@@ -1,0 +1,212 @@
+package graft.catalog
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s._
+import org.json4s.jackson.Serialization
+import org.json4s.jackson.Serialization.{read => jread, write => jwrite}
+
+/** One data file registered to a snapshot.
+  *
+  * `partitionValues` holds the identity-partition value(s) of the file so
+  * partition pruning is a pure metadata operation — the engine resolves
+  * the pruned file list from the log BEFORE constructing the Spark scan
+  * (manifest-style pruning, like the reference's catalog-tracked
+  * partition spec `main-polars.py:135-142`; no directory listing at plan
+  * time, which is what survives at 100 TB / millions of files).
+  */
+case class DataFileEntry(
+    path: String,
+    rowCount: Long,
+    sizeBytes: Long,
+    partitionValues: Map[String, String])
+
+/** One commit. `operation` ∈ append | overwrite | add_files — the three
+  * commit kinds the reference exercises (`table.append`
+  * `main-daft.py:137`, `table.overwrite` `upsert.py:84`,
+  * `table.add_files` `main-ray.py:113-121`). The live file set of a
+  * snapshot is replayed from the latest overwrite at-or-before it.
+  */
+case class Snapshot(
+    snapshotId: Long,
+    parentId: Option[Long],
+    timestampMs: Long,
+    operation: String,
+    files: Seq[DataFileEntry],
+    summary: Map[String, String])
+
+/** Table-level metadata, the analogue of the reference's catalog row +
+  * Iceberg metadata.json (`catalog.create_table` `main-polars.py:150-152`
+  * with schema, partition spec and properties `main-daft.py:102-107`).
+  */
+case class TableMetadata(
+    namespace: String,
+    name: String,
+    schemaJson: String,
+    partitionColumns: Seq[String],
+    properties: Map[String, String],
+    createdAtMs: Long,
+    formatVersion: Int = 1) {
+  def schema: StructType =
+    DataType.fromJson(schemaJson).asInstanceOf[StructType]
+}
+
+/** Snaplog — the native single-writer table-format/catalog layer.
+  *
+  * Layout (per SURVEY.md §7.0):
+  * {{{
+  * warehouse/<namespace>/<table>/
+  *   metadata.json      # TableMetadata
+  *   snapshots.jsonl    # append-only Snapshot log, one JSON per line
+  *   data/snap-<id>/…   # parquet files of commit <id>
+  * }}}
+  *
+  * Reproduces every catalog behavior the reference actually uses
+  * (S15–S21 in SURVEY.md §2.1) without an Iceberg runtime: namespace /
+  * table create (`main-polars.py:144-152`), load (`upsert.py:66-69`),
+  * snapshot history (`read_history.py:7-11`), time travel by snapshot id,
+  * metadata-only `add_files`, and transactional multi-append (one commit
+  * for N batches, `main-polars.py:165-186`).
+  *
+  * Concurrency: single-writer by design — the same assumption the
+  * reference makes (its only concurrency control is the SQLite catalog
+  * file lock). Commits are atomic at the filesystem level: the snapshot
+  * line is appended with CREATE+APPEND and readers replay the log.
+  * Catalog I/O is tiny driver-side metadata (one JSON line per commit) —
+  * at cluster scale this layer would sit behind an HA store, but its
+  * data-plane design (explicit file lists + stats in the log) is exactly
+  * what scales: planning never lists directories.
+  */
+final class Snaplog(val warehouse: String) {
+  private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
+
+  private def nsDir(ns: String): Path = Paths.get(warehouse, ns)
+  private def tableDir(ns: String, t: String): Path = Paths.get(warehouse, ns, t)
+  private def metaFile(ns: String, t: String): Path = tableDir(ns, t).resolve("metadata.json")
+  private def logFile(ns: String, t: String): Path = tableDir(ns, t).resolve("snapshots.jsonl")
+
+  // ---- namespaces -------------------------------------------------------
+
+  /** Idempotent, like the reference's create-and-catch (`main-polars.py:144-148`). */
+  def createNamespace(ns: String): Unit = { Files.createDirectories(nsDir(ns)); () }
+
+  def namespaceExists(ns: String): Boolean = Files.isDirectory(nsDir(ns))
+
+  def listNamespaces(): Seq[String] =
+    if (!Files.isDirectory(Paths.get(warehouse))) Seq.empty
+    else Files.list(Paths.get(warehouse)).iterator.asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+
+  // ---- tables -----------------------------------------------------------
+
+  def tableExists(ns: String, t: String): Boolean = Files.exists(metaFile(ns, t))
+
+  def createTable(
+      ns: String,
+      name: String,
+      schema: StructType,
+      partitionColumns: Seq[String] = Seq.empty,
+      properties: Map[String, String] = Map.empty,
+      ifNotExists: Boolean = true): TableMetadata = {
+    createNamespace(ns)
+    if (tableExists(ns, name)) {
+      if (ifNotExists) return loadTable(ns, name)
+      throw new IllegalStateException(s"table $ns.$name already exists")
+    }
+    partitionColumns.foreach { c =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"partition column '$c' not in schema")
+    }
+    val meta = TableMetadata(ns, name, schema.json, partitionColumns,
+      properties, System.currentTimeMillis())
+    Files.createDirectories(tableDir(ns, name).resolve("data"))
+    writeAtomic(metaFile(ns, name), jwrite(meta))
+    Files.write(logFile(ns, name), Array.emptyByteArray,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    meta
+  }
+
+  def loadTable(ns: String, t: String): TableMetadata = {
+    require(tableExists(ns, t), s"table $ns.$t does not exist")
+    jread[TableMetadata](Files.readString(metaFile(ns, t)))
+  }
+
+  def dropTable(ns: String, t: String): Unit = {
+    val dir = tableDir(ns, t)
+    if (Files.exists(dir)) {
+      Files.walk(dir).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  def listTables(ns: String): Seq[String] =
+    if (!namespaceExists(ns)) Seq.empty
+    else Files.list(nsDir(ns)).iterator.asScala
+      .filter(p => Files.exists(p.resolve("metadata.json")))
+      .map(_.getFileName.toString).toSeq.sorted
+
+  def dataDir(ns: String, t: String): Path = tableDir(ns, t).resolve("data")
+
+  // ---- snapshot log -----------------------------------------------------
+
+  def snapshots(ns: String, t: String): Seq[Snapshot] = {
+    val f = logFile(ns, t)
+    if (!Files.exists(f)) Seq.empty
+    else Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty).map(jread[Snapshot](_))
+  }
+
+  def currentSnapshot(ns: String, t: String): Option[Snapshot] =
+    snapshots(ns, t).lastOption
+
+  /** Append one commit to the log; snapshot ids are dense and monotonic. */
+  def commit(
+      ns: String, t: String, operation: String,
+      files: Seq[DataFileEntry],
+      summary: Map[String, String] = Map.empty): Snapshot = {
+    val prev = currentSnapshot(ns, t)
+    val snap = Snapshot(
+      snapshotId = prev.map(_.snapshotId + 1).getOrElse(1L),
+      parentId = prev.map(_.snapshotId),
+      timestampMs = System.currentTimeMillis(),
+      operation = operation,
+      files = files,
+      summary = summary ++ Map(
+        "added-files" -> files.size.toString,
+        "added-records" -> files.map(_.rowCount).sum.toString))
+    Files.write(logFile(ns, t), (jwrite(snap) + "\n").getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    snap
+  }
+
+  /** Live data files as of `asOf` (default: current) — replay from the
+    * latest overwrite at-or-before the target snapshot. Time travel =
+    * this file list fed to a plain parquet scan. */
+  def liveFiles(ns: String, t: String, asOf: Option[Long] = None): Seq[DataFileEntry] = {
+    val all = snapshots(ns, t)
+    val upto = asOf match {
+      case Some(id) =>
+        require(all.exists(_.snapshotId == id), s"snapshot $id not found for $ns.$t")
+        all.takeWhile(_.snapshotId <= id)
+      case None => all
+    }
+    val fromIdx = upto.lastIndexWhere(_.operation == Snaplog.OpOverwrite)
+    (if (fromIdx < 0) upto else upto.drop(fromIdx)).flatMap(_.files)
+  }
+
+  private def writeAtomic(target: Path, content: String): Unit = {
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
+object Snaplog {
+  val OpAppend = "append"
+  val OpOverwrite = "overwrite"
+  val OpAddFiles = "add_files"
+}

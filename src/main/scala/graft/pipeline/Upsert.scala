@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Snapshot
+import graft.table.LakehouseTable
+
+/** MERGE / upsert semantics: "for duplicate keys, the new row overrides
+  * the existing one" (reference `upsert.py:44-56` docstring; lazy twin
+  * `upsert_parquet-lazy-polars.py:53-56` `group_by(key).agg(all().last())`).
+  *
+  * The reference's keep-"last" depends on pandas/Polars row order, which
+  * has no Spark analogue (no stable row order in a distributed engine).
+  * We preserve the semantics that matter — new-batch-beats-existing — and
+  * make the within-batch tie deterministic via an explicit `tiebreak`
+  * column (documented deviation, SURVEY.md §7.4).
+  *
+  * Formulation: `existing LEFT ANTI JOIN incoming ON keys` ∪ `incoming`
+  * — the idiomatic distributed MERGE. One shuffle on the key for the
+  * anti join (or zero when `incoming` is broadcast-small, which AQE
+  * decides at runtime); no window over the full table, so the big side
+  * is never sorted. The alternative union+row_number formulation windows
+  * over |existing|+|incoming| rows — strictly worse at scale.
+  */
+object Upsert {
+
+  /** Deduplicate `incoming` to one row per key. With `tiebreak`, the row
+    * with the highest tiebreak value wins (deterministic); without, an
+    * arbitrary-but-single row per key via dropDuplicates. */
+  def dedupIncoming(incoming: DataFrame, keys: Seq[String],
+      tiebreak: Option[String] = None): DataFrame = tiebreak match {
+    case Some(tb) =>
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col(tb).desc, monotonically_increasing_id())
+      incoming.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    case None => incoming.dropDuplicates(keys)
+  }
+
+  /** Pure-DataFrame merge (no table involved). */
+  def merge(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
+      tiebreak: Option[String] = None): DataFrame = {
+    val newRows = dedupIncoming(incoming, keys, tiebreak)
+    val keep = existing.join(
+      newRows.select(keys.map(col): _*), keys, "left_anti")
+    keep.unionByName(newRows.select(existing.columns.map(col).toIndexedSeq: _*))
+  }
+
+  /** Table-level upsert: scan current snapshot → merge → overwrite
+    * commit (reference `table.overwrite(merged)` `upsert.py:84`,
+    * `upsert_parquet-lazy-polars.py:97`). */
+  def upsertTable(table: LakehouseTable, incoming: DataFrame,
+      keys: Seq[String], tiebreak: Option[String] = None): Snapshot = {
+    val merged = merge(table.scan(), incoming, keys, tiebreak)
+    table.overwrite(merged)
+  }
+}

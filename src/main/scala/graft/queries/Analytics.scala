@@ -1,0 +1,372 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import Common._
+
+/** Declarative analytics surface over the driver testdata, demonstrating
+  * the general operator categories (SURVEY.md §2.4-§2.8 notes several as
+  * ABSENT in the reference — covered here with Spark built-ins so the
+  * engine is a complete query surface, per §7.1 step 6).
+  *
+  * Every query is fully deterministic across engines: decimal-exact
+  * monetary aggregates cast back to double (see [[Common.dsum]]), total
+  * ORDER BY with unique tiebreaks, timestamps rendered as strings/ints.
+  * All plans are shuffle-minimal: filters/projections reach the parquet
+  * scan (Catalyst pushdown), dimension joins broadcast (small sides),
+  * aggregations use map-side partial aggregation automatically.
+  */
+object Analytics {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- A: aggregations over lineitem (TPC-H Q1 flavor) ---------------
+    QueryDef("q01_pricing_summary",
+      (s, d) => {
+        val li = t(s, d, "lineitem").filter(col("l_shipdate") <= lit("1998-09-02"))
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("sum_disc_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+            davg(col("l_quantity")).as("avg_qty"),
+            davg(col("l_extendedprice")).as("avg_price"),
+            davg(col("l_discount"), 6).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- joins: 3-table join + group + top-k (TPC-H Q3 flavor) ---------
+    QueryDef("q03_shipping_priority",
+      (s, d) => {
+        val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val ord = t(s, d, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+        val li = t(s, d, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
+        // customer is small → broadcast; lineitem⋈orders shuffles on the key.
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+          .select(col("l_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+            col("o_orderpriority"), col("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        o_orderpriority,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    // ---- 6-table star join (TPC-H Q5 flavor) ---------------------------
+    QueryDef("q05_local_supplier_volume",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val ord = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+        val cust = t(s, d, "customer")
+        val supp = t(s, d, "supplier")
+        val nat = t(s, d, "nation")
+        val reg = t(s, d, "region")
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey") &&
+            cust("c_nationkey") === supp("s_nationkey"))
+          .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
+          .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name ORDER BY n_name""")),
+
+    // ---- distinct projection (reference A1/P1, `main-polars.py:113`) ---
+    QueryDef("distinct_projection",
+      (s, d) => t(s, d, "customer").select(col("c_mktsegment")).distinct()
+        .orderBy(col("c_mktsegment")),
+      Some("SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment")),
+
+    // ---- filter + projection, pushdown-shaped (reference P2/P3) --------
+    QueryDef("filter_projection",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_quantity") > 45.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        WHERE l_returnflag = 'R' AND l_quantity > 45.0
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- union all of two scans (reference U1/U2) ----------------------
+    QueryDef("union_all_branches",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val hi = o.filter(col("o_totalprice") > 400000.0)
+          .withColumn("bucket", lit("high"))
+        val lo = o.filter(col("o_totalprice") < 40000.0)
+          .withColumn("bucket", lit("low"))
+        hi.unionByName(lo)
+          .groupBy(col("bucket"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("bucket"), col("o_orderstatus"))
+      },
+      Some("""WITH u AS (
+          SELECT 'high' AS bucket, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 400000.0
+          UNION ALL
+          SELECT 'low' AS bucket, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice < 40000.0)
+        SELECT bucket, o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM u GROUP BY bucket, o_orderstatus ORDER BY bucket, o_orderstatus""")),
+
+    // ---- INTERSECT / EXCEPT (absent in reference, §2.7) ----------------
+    QueryDef("set_intersect_except",
+      (s, d) => {
+        val buyers = t(s, d, "orders").select(col("o_custkey").as("custkey")).distinct()
+        val big = t(s, d, "customer").filter(col("c_acctbal") > 5000.0)
+          .select(col("c_custkey").as("custkey")).distinct()
+        val both = buyers.intersect(big).withColumn("side", lit("both"))
+        val only = big.except(buyers).withColumn("side", lit("rich_no_orders"))
+        both.unionByName(only).groupBy(col("side")).agg(count(lit(1)).as("n"))
+          .orderBy(col("side"))
+      },
+      Some("""WITH buyers AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+          big AS (SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000.0),
+          u AS (
+            SELECT 'both' AS side, custkey FROM (SELECT custkey FROM buyers INTERSECT SELECT custkey FROM big)
+            UNION ALL
+            SELECT 'rich_no_orders' AS side, custkey FROM (SELECT custkey FROM big EXCEPT SELECT custkey FROM buyers))
+        SELECT side, COUNT(*) AS n FROM u GROUP BY side ORDER BY side""")),
+
+    // ---- semi/anti joins ------------------------------------------------
+    QueryDef("semi_anti_join",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+        val ordKeys = t(s, d, "orders").select(col("o_custkey"))
+        val withOrders = cust.join(ordKeys, cust("c_custkey") === ordKeys("o_custkey"), "left_semi")
+          .withColumn("cohort", lit("active"))
+        val without = cust.join(ordKeys, cust("c_custkey") === ordKeys("o_custkey"), "left_anti")
+          .withColumn("cohort", lit("dormant"))
+        withOrders.unionByName(without)
+          .groupBy(col("cohort"), col("c_nationkey")).agg(count(lit(1)).as("n"))
+          .orderBy(col("cohort"), col("c_nationkey"))
+      },
+      Some("""WITH u AS (
+          SELECT 'active' AS cohort, c_nationkey FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          UNION ALL
+          SELECT 'dormant' AS cohort, c_nationkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+        SELECT cohort, c_nationkey, COUNT(*) AS n FROM u
+        GROUP BY cohort, c_nationkey ORDER BY cohort, c_nationkey""")),
+
+    // ---- grouping sets / rollup ----------------------------------------
+    QueryDef("rollup_flags",
+      (s, d) => t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("<all>")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("linestatus"),
+          col("n"), col("qty"))
+        .orderBy(col("returnflag"), col("linestatus")),
+      Some("""SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+          COALESCE(l_linestatus, '<all>') AS linestatus,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY returnflag, linestatus""")),
+
+    // ---- window: rank + running total ----------------------------------
+    QueryDef("window_top_customers",
+      (s, d) => {
+        val rev = t(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        val w = Window.orderBy(col("revenue").desc, col("o_custkey"))
+        rev.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 25)
+          .select(col("rk"), col("o_custkey"), col("revenue"), col("n_orders"))
+          .orderBy(col("rk"))
+      },
+      Some("""WITH rev AS (
+          SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+            COUNT(*) AS n_orders
+          FROM orders GROUP BY o_custkey)
+        SELECT rk, o_custkey, revenue, n_orders FROM (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, o_custkey) AS rk FROM rev)
+        WHERE rk <= 25 ORDER BY rk""")),
+
+    QueryDef("window_running_sum",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, d, "orders").filter(col("o_custkey") <= 100)
+          .withColumn("running_total",
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("double"))
+          .withColumn("order_seq", row_number().over(w))
+          .select(col("o_custkey"), col("order_seq"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+            col("running_total"))
+          .orderBy(col("o_custkey"), col("order_seq"))
+      },
+      Some("""SELECT o_custkey,
+          ROW_NUMBER() OVER w AS order_seq,
+          strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        FROM orders WHERE o_custkey <= 100
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, order_seq""")),
+
+    QueryDef("window_lag_lead",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+        events(s, d).filter(col("user_id") <= 50)
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("prev_type"), col("next_type"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id, event_type,
+          LAG(event_type, 1) OVER w AS prev_type,
+          LEAD(event_type, 1) OVER w AS next_type
+        FROM events WHERE user_id <= 50
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, event_id""")),
+
+    // ---- sort + limit (top-k) ------------------------------------------
+    QueryDef("topk_expensive_items",
+      (s, d) => t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""")),
+
+    // ---- scalar function surface (dates, strings, math, case) ----------
+    QueryDef("scalar_functions",
+      (s, d) => t(s, d, "orders")
+        .withColumn("yr", year(col("o_orderdate")))
+        .withColumn("mo", month(col("o_orderdate")))
+        .withColumn("prio_code", upper(substring(col("o_orderpriority"), 1, 1)))
+        .withColumn("price_band",
+          when(col("o_totalprice") >= 300000.0, "big")
+            .when(col("o_totalprice") >= 100000.0, "mid")
+            .otherwise("small"))
+        .groupBy(col("yr"), col("mo"), col("prio_code"), col("price_band"))
+        .agg(count(lit(1)).as("n"),
+          dsum(round(col("o_totalprice") / 1000.0, 3)).as("ksum"))
+        .orderBy(col("yr"), col("mo"), col("prio_code"), col("price_band")),
+      Some("""SELECT EXTRACT(year FROM o_orderdate) AS yr,
+          EXTRACT(month FROM o_orderdate) AS mo,
+          UPPER(SUBSTR(o_orderpriority, 1, 1)) AS prio_code,
+          CASE WHEN o_totalprice >= 300000.0 THEN 'big'
+               WHEN o_totalprice >= 100000.0 THEN 'mid'
+               ELSE 'small' END AS price_band,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(ROUND(o_totalprice / 1000.0, 3) AS DECIMAL(18,2))) AS DOUBLE) AS ksum
+        FROM orders GROUP BY yr, mo, prio_code, price_band
+        ORDER BY yr, mo, prio_code, price_band""")),
+
+    // ---- events: per-day time bucketing + conditional agg --------------
+    QueryDef("events_daily",
+      (s, d) => events(s, d)
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("users"),
+          dsum(col("value"), 6).as("total_value"),
+          count(when(col("value") > 50.0, 1)).as("n_high"))
+        .orderBy(col("day"), col("event_type")),
+      Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+          COUNT(*) AS n, COUNT(DISTINCT user_id) AS users,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+          COUNT(CASE WHEN value > 50.0 THEN 1 END) AS n_high
+        FROM events GROUP BY day, event_type ORDER BY day, event_type""")),
+
+    // ---- JSON-ish props extraction -------------------------------------
+    QueryDef("events_json_props",
+      (s, d) => events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"),
+          dsum(col("k"), 0).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+          COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
+          CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS INT) AS DECIMAL(18,0))) AS DOUBLE) AS sum_k,
+          MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+          MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- correlated-exists flavor (TPC-H Q4 adapted) -------------------
+    QueryDef("priority_with_returns",
+      (s, d) => {
+        val returned = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey")).distinct()
+        val ord = t(s, d, "orders")
+        ord.join(returned, ord("o_orderkey") === returned("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- min/max/count stats profile ------------------------------------
+    QueryDef("stats_profile",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          min(col("l_shipdate")).cast("date").cast("string").as("first_ship"),
+          max(col("l_shipdate")).cast("date").cast("string").as("last_ship"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+          COUNT(DISTINCT l_orderkey) AS n_orders,
+          COUNT(DISTINCT l_partkey) AS n_parts,
+          MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+          CAST(CAST(MIN(l_shipdate) AS DATE) AS VARCHAR) AS first_ship,
+          CAST(CAST(MAX(l_shipdate) AS DATE) AS VARCHAR) AS last_ship
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+  )
+}

@@ -1,0 +1,190 @@
+package graft.queries
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Snaplog
+import graft.pipeline.{Ingest, Upsert}
+import graft.table.LakehouseTable
+import Common._
+
+/** Driver-facing queries that exercise the full lakehouse lifecycle
+  * (SURVEY.md §2.1 S9-S21 + §3): each builds a scratch Snaplog warehouse
+  * from the testdata, runs the lifecycle op, and returns a deterministic
+  * aggregate that a DuckDB oracle reproduces straight from the source
+  * parquet — so the ENTIRE path (create → write → snapshot log → scan)
+  * is correctness-gated, not just the final query.
+  *
+  * Scratch warehouses live under `target/qwh/` (inside the repo, wiped
+  * and rebuilt per invocation — idempotent under re-runs).
+  */
+object Lakehouse {
+
+  private def wh(name: String, sfDir: String): String = {
+    val label = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val p = Paths.get("target", "qwh", s"$name-$label").toAbsolutePath
+    if (Files.exists(p))
+      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Ingest lineitem partitioned by l_returnflag → scan → aggregate.
+    // Exercises S1, S12, S15, S19, S20, P7 in one path.
+    QueryDef("lake_ingest_scan",
+      (s, d) => {
+        val cat = new Snaplog(wh("lake_ingest_scan", d))
+        val rep = Ingest.run(s, cat, "lake", "lineitem",
+          s"$d/lineitem.parquet", partitionColumns = Seq("l_returnflag"))
+        rep.table.scan()
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Metadata partition pruning: only files of partition R reach Spark.
+    QueryDef("lake_partition_pruning",
+      (s, d) => {
+        val cat = new Snaplog(wh("lake_partition_pruning", d))
+        val rep = Ingest.run(s, cat, "lake", "lineitem",
+          s"$d/lineitem.parquet", partitionColumns = Seq("l_returnflag"))
+        rep.table.scan(partitionFilter = Map("l_returnflag" -> "R"))
+          .groupBy(col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+          .orderBy(col("l_linestatus"))
+      },
+      Some("""SELECT l_linestatus, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem WHERE l_returnflag = 'R'
+        GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // MERGE/upsert: patch = every 10th order with doubled price and
+    // status 'U'; new-wins semantics (reference upsert.py:44-56).
+    QueryDef("lake_upsert_merge",
+      (s, d) => {
+        val cat = new Snaplog(wh("lake_upsert_merge", d))
+        val orders = t(s, d, "orders")
+        val rep = Ingest.ingestDf(cat, "lake", "orders", orders)
+        val patch = orders.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+          .withColumn("o_orderstatus", lit("U"))
+        Upsert.upsertTable(rep.table, patch, Seq("o_orderkey"))
+        rep.table.scan()
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH patch AS (
+          SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+            o_totalprice * 2.0 AS o_totalprice, o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 10 = 0),
+        merged AS (
+          SELECT * FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM patch p WHERE p.o_orderkey = o.o_orderkey)
+          UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+            o_orderdate, o_orderpriority FROM patch)
+        SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Time travel: two appends, read back snapshot 1 only.
+    QueryDef("lake_time_travel",
+      (s, d) => {
+        val cat = new Snaplog(wh("lake_time_travel", d))
+        val orders = t(s, d, "orders")
+        val even = orders.filter(col("o_orderkey") % 2 === 0)
+        val odd = orders.filter(col("o_orderkey") % 2 === 1)
+        val rep = Ingest.ingestDf(cat, "lake", "orders", even)
+        rep.table.append(odd)
+        rep.table.scan(asOf = Some(1L))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders WHERE o_orderkey % 2 = 0
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // add_files: metadata-only registration of the source parquet itself
+    // (zero copy, reference main-ray.py:109-121), then scan.
+    QueryDef("lake_add_files",
+      (s, d) => {
+        val cat = new Snaplog(wh("lake_add_files", d))
+        val ev = eventsRaw(s, d)
+        val table = LakehouseTable.create(cat, s, "lake", "events", ev.schema)
+        table.addFiles(Seq(s"$d/events.parquet"))
+        table.scan()
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("total_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // SQL path (S10): registered temp view queried via spark.sql.
+    QueryDef("lake_sql_view",
+      (s, d) => {
+        val cat = new Snaplog(wh("lake_sql_view", d))
+        val rep = Ingest.run(s, cat, "lake", "nation", s"$d/nation.parquet")
+        rep.table.registerView("lake_sql_view_nation")
+        s.sql("""SELECT n_regionkey, COUNT(*) AS n_nations,
+            MIN(n_name) AS first_nation
+          FROM lake_sql_view_nation GROUP BY n_regionkey ORDER BY n_regionkey""")
+      },
+      Some("""SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_nation
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
+    // Transactional multi-append: 3 batches → exactly ONE snapshot
+    // (reference main-polars.py:165-186). Result proves both the data
+    // completeness and the single-commit property.
+    QueryDef("lake_txn_append",
+      (s, d) => {
+        val cat = new Snaplog(wh("lake_txn_append", d))
+        val li = t(s, d, "lineitem")
+        val batches = Seq(
+          li.filter(col("l_orderkey") % 3 === 0),
+          li.filter(col("l_orderkey") % 3 === 1),
+          li.filter(col("l_orderkey") % 3 === 2))
+        val table = LakehouseTable.create(cat, s, "lake", "li_txn", li.schema)
+        table.appendTransactional(batches)
+        val nSnaps = cat.snapshots("lake", "li_txn").size.toLong
+        table.scan().agg(count(lit(1)).as("n_rows"))
+          .withColumn("n_snapshots", lit(nSnaps))
+          .select(col("n_snapshots"), col("n_rows"))
+      },
+      Some("SELECT 1 AS n_snapshots, COUNT(*) AS n_rows FROM lineitem")),
+
+    // Snapshot history (S21): deterministic projection of the log after
+    // append → append → overwrite. Timestamps/file counts excluded
+    // (nondeterministic); ids, ops and record counts are exact.
+    QueryDef("lake_snapshot_history",
+      (s, d) => {
+        val cat = new Snaplog(wh("lake_snapshot_history", d))
+        val orders = t(s, d, "orders")
+        val rep = Ingest.ingestDf(cat, "lake", "orders",
+          orders.filter(col("o_orderkey") % 2 === 0))
+        rep.table.append(orders.filter(col("o_orderkey") % 2 === 1))
+        rep.table.overwrite(orders.filter(col("o_orderstatus") === "F"))
+        rep.table.history
+          .select(col("snapshot_id"), col("operation"), col("num_records"))
+          .orderBy(col("snapshot_id"))
+      },
+      Some("""SELECT 1 AS snapshot_id, 'append' AS operation,
+          (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS num_records
+        UNION ALL SELECT 2, 'append',
+          (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 1)
+        UNION ALL SELECT 3, 'overwrite',
+          (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F')
+        ORDER BY snapshot_id"""))
+  )
+}

@@ -1,0 +1,180 @@
+package graft.table
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{Path => HadoopPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.catalog.{DataFileEntry, Snaplog, Snapshot, TableMetadata}
+import graft.types.SchemaInfer
+
+/** Facade over one Snaplog table — the analogue of PyIceberg's `Table`
+  * object as the reference uses it (load → scan/append/overwrite/
+  * add_files/history, SURVEY.md §2.1 S9, S15–S21).
+  *
+  * Scale design notes:
+  *  - `scan` builds the file list from the snapshot log (with optional
+  *    metadata partition pruning) BEFORE handing Spark the scan, and
+  *    passes the table schema explicitly — no directory listing, no
+  *    footer-merge job at plan time. Catalyst still gets predicate
+  *    pushdown / column pruning / row-group skipping on the files.
+  *  - writes go through `partitionBy` on a mirrored layout column
+  *    (`__p_<col>`) so the partition value ALSO stays in the data file:
+  *    readers never depend on dir-name inference, and explicit-file-list
+  *    scans keep the column without basePath gymnastics.
+  *  - commits are one log line each; a transactional multi-append is a
+  *    single union + single write job + ONE commit (reference
+  *    `main-polars.py:165-186`).
+  */
+final class LakehouseTable(
+    val catalog: Snaplog,
+    val spark: SparkSession,
+    val namespace: String,
+    val name: String) {
+
+  def meta: TableMetadata = catalog.loadTable(namespace, name)
+  def schema: StructType = meta.schema
+  def partitionColumns: Seq[String] = meta.partitionColumns
+
+  private def layoutCol(c: String) = s"__p_$c"
+
+  // ---- read path --------------------------------------------------------
+
+  /** Current (or time-travel) snapshot as a DataFrame.
+    *
+    * @param asOf snapshot id for time travel (reference `table.history()`
+    *             enumeration, `read_history.py:7-11`)
+    * @param partitionFilter identity-partition equality pruning done on
+    *             log metadata — files from other partitions are never
+    *             given to Spark at all.
+    */
+  def scan(
+      asOf: Option[Long] = None,
+      partitionFilter: Map[String, String] = Map.empty): DataFrame = {
+    val files0 = catalog.liveFiles(namespace, name, asOf)
+    val files =
+      if (partitionFilter.isEmpty) files0
+      else files0.filter(f => partitionFilter.forall { case (k, v) =>
+        f.partitionValues.get(k).contains(v)
+      })
+    if (files.isEmpty)
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+    else
+      spark.read.schema(schema).parquet(files.map(_.path): _*)
+  }
+
+  /** Register the current snapshot for the SQL path (reference S10:
+    * DuckDB `iceberg_scan` → here `spark.sql` over a temp view). */
+  def registerView(viewName: String): Unit =
+    scan().createOrReplaceTempView(viewName)
+
+  /** Snapshot history as a DataFrame (S21). */
+  def history: DataFrame = {
+    val rows = catalog.snapshots(namespace, name).map { s =>
+      Row(s.snapshotId, s.parentId.map(Long.box).orNull,
+        new java.sql.Timestamp(s.timestampMs), s.operation,
+        s.files.size.toLong, s.files.map(_.rowCount).sum)
+    }
+    val sch = StructType(Seq(
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("parent_id", LongType, nullable = true),
+      StructField("committed_at", TimestampType, nullable = false),
+      StructField("operation", StringType, nullable = false),
+      StructField("num_files", LongType, nullable = false),
+      StructField("num_records", LongType, nullable = false)))
+    spark.createDataFrame(rows.asJava, sch)
+  }
+
+  // ---- write path -------------------------------------------------------
+
+  /** Append one batch as one snapshot (S15). */
+  def append(df: DataFrame): Snapshot = writeCommit(Seq(df), Snaplog.OpAppend)
+
+  /** N batches → ONE commit (S16, `txn.commit_transaction()`): a single
+    * union'd write job, so the cluster sees one append of all batches. */
+  def appendTransactional(dfs: Seq[DataFrame]): Snapshot = {
+    require(dfs.nonEmpty, "appendTransactional of zero batches")
+    writeCommit(dfs, Snaplog.OpAppend, Map("batches" -> dfs.size.toString))
+  }
+
+  /** Replace entire table contents, new snapshot (S17, `table.overwrite`). */
+  def overwrite(df: DataFrame): Snapshot = writeCommit(Seq(df), Snaplog.OpOverwrite)
+
+  /** Metadata-only registration of pre-existing parquet files (S18,
+    * `table.add_files` `main-ray.py:109-121`): log entries pointing at
+    * the absolute paths; zero data movement. Row counts/sizes come from
+    * parquet footers (metadata-only reads). Optional `batchSize` mirrors
+    * the reference's 100-files-per-commit batching. */
+  def addFiles(paths: Seq[String], batchSize: Int = 0): Seq[Snapshot] = {
+    val entries = paths.map(statFile(_, Map.empty))
+    val groups = if (batchSize > 0) entries.grouped(batchSize).toSeq else Seq(entries)
+    groups.map(g => catalog.commit(namespace, name, Snaplog.OpAddFiles, g))
+  }
+
+  private def writeCommit(
+      dfs: Seq[DataFrame], op: String,
+      extraSummary: Map[String, String] = Map.empty): Snapshot = {
+    val m = meta
+    val target = m.schema
+    val normalized = dfs.map(SchemaInfer.normalize(_, target))
+      .reduce(_.unionByName(_))
+    val nextId = catalog.currentSnapshot(namespace, name).map(_.snapshotId + 1).getOrElse(1L)
+    val commitDir = catalog.dataDir(namespace, name).resolve(s"snap-$nextId")
+    val parts = m.partitionColumns
+    val withLayout = parts.foldLeft(normalized)((d, c) => d.withColumn(layoutCol(c), col(c)))
+    val codec = m.properties.getOrElse("write.compression", "zstd")
+    var writer = withLayout.write.mode("overwrite").option("compression", codec)
+    m.properties.get("write.max-records-per-file")
+      .foreach(v => writer = writer.option("maxRecordsPerFile", v))
+    if (parts.nonEmpty) writer = writer.partitionBy(parts.map(layoutCol): _*)
+    writer.parquet(commitDir.toString)
+    val files = listParquet(commitDir.toString).map { p =>
+      statFile(p, partitionValuesFromPath(p, parts))
+    }
+    catalog.commit(namespace, name, op, files, extraSummary)
+  }
+
+  private def listParquet(dir: String): Seq[String] =
+    Files.walk(Paths.get(dir)).iterator.asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map(_.toString).toSeq.sorted
+
+  /** Parse `__p_<col>=<val>` segments back to partition values. */
+  private def partitionValuesFromPath(path: String, parts: Seq[String]): Map[String, String] = {
+    val segs = path.split('/')
+    parts.flatMap { c =>
+      val prefix = s"${layoutCol(c)}="
+      segs.find(_.startsWith(prefix)).map(s => c -> s.stripPrefix(prefix))
+    }.toMap
+  }
+
+  /** Footer-only stat: row count + size, no data read. */
+  private def statFile(path: String, pv: Map[String, String]): DataFileEntry = {
+    val conf = spark.sessionState.newHadoopConf()
+    val in = HadoopInputFile.fromPath(new HadoopPath(path), conf)
+    val r = ParquetFileReader.open(in)
+    val rows = try r.getRecordCount finally r.close()
+    DataFileEntry(path, rows, Files.size(Paths.get(path)), pv)
+  }
+}
+
+object LakehouseTable {
+  def load(catalog: Snaplog, spark: SparkSession, ns: String, name: String): LakehouseTable = {
+    catalog.loadTable(ns, name) // fail fast if absent
+    new LakehouseTable(catalog, spark, ns, name)
+  }
+
+  /** Create-table + facade in one step (S20). */
+  def create(
+      catalog: Snaplog, spark: SparkSession, ns: String, name: String,
+      schema: StructType, partitionColumns: Seq[String] = Seq.empty,
+      properties: Map[String, String] = Map.empty): LakehouseTable = {
+    catalog.createTable(ns, name, schema, partitionColumns, properties)
+    new LakehouseTable(catalog, spark, ns, name)
+  }
+}

@@ -1,0 +1,165 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.catalog.Snaplog
+import graft.pipeline.Upsert
+import graft.table.LakehouseTable
+import graft.types.SchemaInfer
+
+/** Unit tests for the native table-format layer + upsert semantics,
+  * using the reference's canonical 4-column fixture (FIXTURES.md §1). */
+class SnaplogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshCatalog(): Snaplog =
+    new Snaplog(Files.createTempDirectory("graft-wh").toString)
+
+  private def fixture() = Seq(
+    (1, "A", 1.5f, 10), (2, "A", 2.5f, 20),
+    (3, "B", 3.5f, 30), (4, "C", 4.5f, 40)
+  ).toDF("id", "group", "value1", "value2")
+
+  test("create/load/list tables and namespaces") {
+    val cat = freshCatalog()
+    val df = fixture()
+    LakehouseTable.create(cat, spark, "ns1", "t1", df.schema, Seq("group"))
+    assert(cat.namespaceExists("ns1"))
+    assert(cat.tableExists("ns1", "t1"))
+    assert(cat.listTables("ns1") == Seq("t1"))
+    val meta = cat.loadTable("ns1", "t1")
+    assert(meta.partitionColumns == Seq("group"))
+    assert(meta.schema.fieldNames.toSeq == Seq("id", "group", "value1", "value2"))
+    // idempotent create (reference create-and-catch main-polars.py:144-148)
+    LakehouseTable.create(cat, spark, "ns1", "t1", df.schema, Seq("group"))
+    assert(cat.listTables("ns1") == Seq("t1"))
+  }
+
+  test("append → scan round-trips rows and keeps partition column") {
+    val cat = freshCatalog()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "t", fixture().schema, Seq("group"))
+    val snap = tbl.append(fixture())
+    assert(snap.operation == "append")
+    assert(snap.files.map(_.rowCount).sum == 4)
+    assert(snap.files.forall(_.partitionValues.contains("group")))
+    val got = tbl.scan().orderBy("id").collect()
+    assert(got.map(_.getAs[Int]("id")).toSeq == Seq(1, 2, 3, 4))
+    assert(got.map(_.getAs[String]("group")).toSeq == Seq("A", "A", "B", "C"))
+  }
+
+  test("metadata partition pruning reads only matching files") {
+    val cat = freshCatalog()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "t", fixture().schema, Seq("group"))
+    tbl.append(fixture())
+    val pruned = tbl.scan(partitionFilter = Map("group" -> "A"))
+    assert(pruned.inputFiles.length < tbl.scan().inputFiles.length)
+    assert(pruned.select("id").as[Int].collect().sorted.toSeq == Seq(1, 2))
+  }
+
+  test("transactional multi-append commits exactly one snapshot") {
+    val cat = freshCatalog()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "t", fixture().schema)
+    tbl.appendTransactional(Seq(fixture(), fixture(), fixture()))
+    assert(cat.snapshots("ns", "t").size == 1)
+    assert(tbl.scan().count() == 12)
+  }
+
+  test("overwrite resets live set; history keeps all snapshots") {
+    val cat = freshCatalog()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "t", fixture().schema)
+    tbl.append(fixture())
+    tbl.overwrite(fixture().filter($"group" === "A"))
+    assert(tbl.scan().count() == 2)
+    val hist = tbl.history.orderBy("snapshot_id").collect()
+    assert(hist.map(_.getAs[String]("operation")).toSeq == Seq("append", "overwrite"))
+    assert(hist.map(_.getAs[Long]("num_records")).toSeq == Seq(4L, 2L))
+  }
+
+  test("time travel reads the file set of an old snapshot") {
+    val cat = freshCatalog()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "t", fixture().schema)
+    tbl.append(fixture())
+    tbl.append(fixture().withColumn("id", $"id" + 100))
+    assert(tbl.scan(asOf = Some(1L)).count() == 4)
+    assert(tbl.scan().count() == 8)
+    tbl.overwrite(fixture().limit(1))
+    assert(tbl.scan(asOf = Some(2L)).count() == 8)
+    assert(tbl.scan().count() == 1)
+  }
+
+  test("add_files registers pre-existing parquet without copying") {
+    val cat = freshCatalog()
+    val dir = Files.createTempDirectory("graft-ext")
+    val ext = s"$dir/ext.parquet"
+    fixture().coalesce(1).write.parquet(ext)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "t", fixture().schema)
+    import scala.jdk.CollectionConverters._
+    val parquetFiles = Files.list(java.nio.file.Paths.get(ext)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    val snaps = tbl.addFiles(parquetFiles)
+    assert(snaps.head.operation == "add_files")
+    assert(tbl.scan().count() == 4)
+  }
+
+  test("upsert: new rows win per key, others unchanged (upsert.py:100-112 fixture)") {
+    val cat = freshCatalog()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "t", fixture().schema, Seq("group"))
+    tbl.append(fixture())
+    val patch = Seq((2, "A", 99.9f, 222), (5, "D", 5.5f, 50))
+      .toDF("id", "group", "value1", "value2")
+    Upsert.upsertTable(tbl, patch, Seq("id"))
+    val got = tbl.scan().orderBy("id").collect()
+    assert(got.length == 5)
+    assert(got.find(_.getInt(0) == 2).get.getInt(3) == 222)   // replaced
+    assert(got.find(_.getInt(0) == 1).get.getInt(3) == 10)    // untouched
+    assert(got.find(_.getInt(0) == 5).get.getString(1) == "D") // inserted
+  }
+
+  test("upsert is idempotent (same patch twice ≡ once)") {
+    val cat = freshCatalog()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "t", fixture().schema)
+    tbl.append(fixture())
+    val patch = Seq((2, "A", 99.9f, 222)).toDF("id", "group", "value1", "value2")
+    Upsert.upsertTable(tbl, patch, Seq("id"))
+    val once = tbl.scan().orderBy("id").collect().toSeq
+    Upsert.upsertTable(tbl, patch, Seq("id"))
+    val twice = tbl.scan().orderBy("id").collect().toSeq
+    assert(once == twice)
+  }
+
+  test("upsert tiebreak picks highest within incoming batch") {
+    val incoming = Seq((1, "A", 1.0f, 1), (1, "A", 2.0f, 7), (2, "B", 3.0f, 3))
+      .toDF("id", "group", "value1", "value2")
+    val deduped = Upsert.dedupIncoming(incoming, Seq("id"), tiebreak = Some("value2"))
+      .orderBy("id").collect()
+    assert(deduped.length == 2)
+    assert(deduped.head.getInt(3) == 7)
+  }
+
+  test("schema inference: reference 3-way policy + fallback") {
+    val in = StructType(Seq(
+      StructField("a", ShortType), StructField("b", LongType),
+      StructField("c", FloatType), StructField("d", DoubleType),
+      StructField("e", StringType), StructField("f", TimestampType),
+      StructField("g", ArrayType(FloatType))))
+    val out = SchemaInfer.referencePolicy(in)
+    assert(out.fields.map(_.dataType).toSeq == Seq(IntegerType, LongType,
+      FloatType, DoubleType, StringType, StringType, StringType))
+  }
+
+  test("normalize casts, reorders, fills missing nullable columns") {
+    val target = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("group", StringType, nullable = false),
+      StructField("extra", DoubleType, nullable = true)))
+    val in = Seq(("7", "A")).toDF("ID", "group") // case-insensitive, string id
+    val out = SchemaInfer.normalize(in, target)
+    assert(out.schema.fieldNames.toSeq == Seq("id", "group", "extra"))
+    val r: Row = out.head()
+    assert(r.getInt(0) == 7 && r.getString(1) == "A" && r.isNullAt(2))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two tiers, per the scale plan:
+  *  - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small)
+  *    query set against the corpus; one pass, no shuffle of the corpus,
+  *    per-query heap via window rank on the partial results. The
+  *    CORRECTNESS baseline at any scale where queries are few.
+  *  - [[lshCosineTopK]] — random-hyperplane LSH: map-side 16-bit sign
+  *    sketch buckets the corpus; candidates = same-bucket rows; exact
+  *    cosine re-rank inside the bucket. The SCALE path: corpus shuffles
+  *    once on the bucket key; no cross join ever materializes. Recall
+  *    is tunable by `planeBits` (fewer bits → bigger buckets → higher
+  *    recall and cost); measured in SimilaritySpec.
+  *
+  * Hyperplanes are pseudo-random but fully deterministic: component
+  * (b, i) is ±1 by the parity of xxhash64(b, i) — reproducible across
+  * runs/clusters with zero RNG state.
+  */
+object Similarity {
+
+  /** (id, e double-vector, nrm) projection shared by both tiers. */
+  private def prep(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("id"), vecDouble(col(vecCol)).as("e"))
+      .withColumn("nrm", l2Norm(col("e")))
+
+  /** Exact top-k neighbors for each query row (excluding self-matches).
+    * Output: (query_id, rank, vec_id, cosine), rank 1..k by cosine desc
+    * with id tiebreak. */
+  def bruteForceTopK(
+      emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val corpus = prep(emb, idCol, vecCol)
+    val q = prep(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    corpus.join(broadcast(q), col("query_id") =!= col("id"))
+      .withColumn("cosine",
+        cosinePrenormed(col("qe"), col("e"), col("qn"), col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("vec_id"), col("cosine"))
+  }
+
+  /** Deterministic random-hyperplane sign sketch (`planeBits` bits) as a
+    * string bucket key. plane(b)ᵀv computed per element: sign from
+    * xxhash64(b, i) parity. */
+  def hyperplaneBucket(vec: Column, dim: Int, planeBits: Int): Column = {
+    val bits = (0 until planeBits).map { b =>
+      val proj = (0 until dim).map { i =>
+        val sign = if (scala.util.hashing.byteswap64((b.toLong << 32) | i) % 2 == 0) 1.0 else -1.0
+        element_at(vec, i + 1) * lit(sign)
+      }.reduce(_ + _)
+      when(proj >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** Approximate top-k: candidates share the LSH bucket, exact cosine
+    * re-rank within bucket. Output shape matches [[bruteForceTopK]]. */
+  def lshCosineTopK(
+      emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, planeBits: Int = 8): DataFrame = {
+    val corpus = prep(emb, idCol, vecCol)
+      .withColumn("bucket", hyperplaneBucket(col("e"), dim, planeBits))
+    val q = prep(queries, idCol, vecCol)
+      .withColumn("bucket", hyperplaneBucket(col("e"), dim, planeBits))
+      .select(col("id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    corpus.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("cosine",
+        cosinePrenormed(col("qe"), col("e"), col("qn"), col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("vec_id"), col("cosine"))
+  }
+}

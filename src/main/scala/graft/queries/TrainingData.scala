@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import Common._
+
+/** Training-data pipeline operators as driver-checkable queries: text
+  * analysis, dedup family, similarity search, multimodal plumbing.
+  *
+  * Oracle strategy: the APPROXIMATE operators (MinHash-LSH, SimHash)
+  * end in an exact verification step, so their oracle is the plain
+  * all-pairs answer — the oracle never needs to re-implement the
+  * sketch, it checks the RESULT. Parameters are sized so the miss
+  * probability at the planted-duplicate similarity level (~0.98
+  * Jaccard) is < 1e-40. Vector math relies on the left-fold == DuckDB
+  * `list_sum∘list_transform` bit-equality (see VectorFunctions).
+  */
+object TrainingData {
+
+  /** DuckDB fragments mirrored from TextFunctions — kept as constants so
+    * Spark and SQL stay in lockstep. */
+  private val TkSql =
+    "list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '')"
+  private def shSql(tk: String): String =
+    s"list_distinct([array_to_string($tk[i:i+2],' ') for i in generate_series(1, len($tk)-2)])"
+
+  /** Shared oracle: exact all-pairs 3-gram-shingle Jaccard ≥ 0.5. */
+  private val ExactPairsSql = s"""
+    WITH toks AS (SELECT doc_id, $TkSql AS tk FROM documents),
+    sh AS (SELECT doc_id, ${shSql("tk")} AS sh FROM toks WHERE len(tk) >= 3),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        len(list_intersect(a.sh, b.sh)) * 1.0
+          / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- text analysis --------------------------------------------------
+    QueryDef("text_token_stats",
+      (s, d) => {
+        val docs = t(s, d, "documents").withColumn("tk", TF.tokens(col("text")))
+        val stats = docs.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(col("tk"))).as("total_tokens"),
+          (sum(col("n_chars")) * lit(1.0) / count(lit(1))).as("avg_chars"))
+        val dt = docs.select(col("lang"), explode(col("tk")).as("tok"))
+          .groupBy(col("lang")).agg(countDistinct(col("tok")).as("distinct_tokens"))
+        stats.join(dt, "lang").orderBy(col("lang"))
+      },
+      Some(s"""WITH toks AS (SELECT lang, n_chars, $TkSql AS tk FROM documents),
+        stats AS (SELECT lang, COUNT(*) AS n_docs,
+            CAST(SUM(len(tk)) AS BIGINT) AS total_tokens,
+            SUM(n_chars) * 1.0 / COUNT(*) AS avg_chars
+          FROM toks GROUP BY lang),
+        dt AS (SELECT lang, COUNT(DISTINCT tok) AS distinct_tokens
+          FROM (SELECT lang, unnest(tk) AS tok FROM toks) GROUP BY lang)
+        SELECT stats.lang, n_docs, total_tokens, avg_chars, distinct_tokens
+        FROM stats JOIN dt USING (lang) ORDER BY lang""")),
+
+    QueryDef("text_quality",
+      (s, d) => t(s, d, "documents")
+        .withColumn("tk", TF.tokens(col("text")))
+        .select(col("doc_id"), size(col("tk")).as("n_tokens"),
+          TF.qualityScore(col("text"), col("tk")).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(50),
+      Some(s"""WITH toks AS (SELECT doc_id, $TkSql AS tk FROM documents),
+        m AS (SELECT doc_id, len(tk) AS n_tokens,
+            len(list_filter(tk, x -> x IN ('the','a','of','and','in'))) AS n_stop,
+            list_sum(list_transform(tk, x -> length(x))) AS tot_chars
+          FROM toks)
+        SELECT doc_id, n_tokens,
+          CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+            least(n_tokens * 1.0 / 100.0, 1.0) * 0.5
+            + (n_stop * 1.0 / n_tokens) * 0.3
+            + least((tot_chars * 1.0 / n_tokens) / 10.0, 1.0) * 0.2 END AS score
+        FROM m ORDER BY score DESC, doc_id LIMIT 50""")),
+
+    QueryDef("text_langid",
+      (s, d) => {
+        val docs = t(s, d, "documents").withColumn("tk", TF.tokens(col("text")))
+        docs.withColumn("predicted", TF.langId(col("text"), col("tk")))
+          .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("predicted"))
+      },
+      Some(s"""WITH m AS (SELECT lang, $TkSql AS tk,
+          len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk
+          FROM documents),
+        h AS (SELECT lang, cjk,
+            len(list_filter(tk, x -> x IN ('the','a','of','and','in'))) AS en,
+            len(list_filter(tk, x -> x IN ('el','la','los','de','que'))) AS es,
+            len(list_filter(tk, x -> x IN ('der','die','und','das','ist'))) AS de,
+            len(list_filter(tk, x -> x IN ('le','les','des','est','une'))) AS fr
+          FROM m)
+        SELECT lang,
+          CASE WHEN cjk > 0 THEN 'zh'
+               WHEN en > 0 AND en >= es AND en >= de AND en >= fr THEN 'en'
+               WHEN es > 0 AND es >= de AND es >= fr THEN 'es'
+               WHEN de > 0 AND de >= fr THEN 'de'
+               WHEN fr > 0 THEN 'fr'
+               ELSE 'und' END AS predicted,
+          COUNT(*) AS n
+        FROM h GROUP BY lang, predicted ORDER BY lang, predicted""")),
+
+    QueryDef("text_fingerprint",
+      (s, d) => t(s, d, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          TF.fingerprint(TF.tokens(col("text"))).as("fp"),
+          TF.tokenCount(col("text")).as("n_tokens"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+          substr(md5(array_to_string($TkSql, ' ')), 1, 16) AS fp,
+          len($TkSql) AS n_tokens
+        FROM documents WHERE doc_id < 50 ORDER BY doc_id""")),
+
+    // ---- dedup family ---------------------------------------------------
+    // Exact dedup on a deterministically doubled corpus (the raw corpus
+    // has no exact dups): every group must collapse to 2 copies.
+    QueryDef("dedup_exact",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val doubled = docs.unionByName(
+          docs.withColumn("doc_id", col("doc_id") + 1000000))
+        Dedup.exactGroups(doubled, "doc_id", "text")
+          .orderBy(col("kept_id")).limit(50)
+      },
+      Some(s"""WITH docs2 AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        g AS (SELECT substr(md5(array_to_string($TkSql, ' ')), 1, 16) AS fp,
+            MIN(doc_id) AS kept_id, COUNT(*) AS n_copies
+          FROM docs2 GROUP BY fp)
+        SELECT fp, kept_id, n_copies FROM g ORDER BY kept_id LIMIT 50""")),
+
+    QueryDef("dedup_minhash",
+      (s, d) => Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""$ExactPairsSql
+        SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5
+        ORDER BY doc_a, doc_b""")),
+
+    QueryDef("dedup_ngram",
+      (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""$ExactPairsSql
+        SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5
+        ORDER BY doc_a, doc_b""")),
+
+    // SimHash emits only the pair ids — the oracle checks the same
+    // near-dup pair SET falls out of a completely different sketch.
+    QueryDef("dedup_simhash",
+      (s, d) => Dedup.simhashPairs(s, t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"))
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""$ExactPairsSql
+        SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.5
+        ORDER BY doc_a, doc_b""")),
+
+    QueryDef("dedup_embedding",
+      (s, d) => Dedup.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        n AS (SELECT vec_id, e,
+            sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+            list_sum(list_transform(list_zip(a.e, b.e), s -> s[1] * s[2]))
+              / (a.nrm * b.nrm) AS cosine
+          FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        SELECT doc_a, doc_b, cosine FROM p WHERE cosine >= 0.4
+        ORDER BY doc_a, doc_b""")),
+
+    // ---- similarity search ---------------------------------------------
+    QueryDef("ann_bruteforce",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        n AS (SELECT vec_id, e,
+            sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        q AS (SELECT * FROM n WHERE vec_id < 5),
+        p AS (SELECT q.vec_id AS query_id, n.vec_id AS vec_id,
+            list_sum(list_transform(list_zip(q.e, n.e), s -> s[1] * s[2]))
+              / (q.nrm * n.nrm) AS cosine
+          FROM q JOIN n ON q.vec_id <> n.vec_id)
+        SELECT query_id, rank, vec_id, cosine FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+          FROM p)
+        WHERE rank <= 10 ORDER BY query_id, rank""")),
+
+    // Approximate tier — no oracle (recall measured in SimilaritySpec).
+    QueryDef("ann_lsh",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.lshCosineTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, dim = 64, planeBits = 8)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
+    // ---- multimodal plumbing -------------------------------------------
+    QueryDef("multimodal_stats",
+      (s, d) => {
+        val media = Multimodal.synthesizeFromDocs(t(s, d, "documents"))
+        val feats = Multimodal.extractFeatures(s, media).toDF()
+          .groupBy(col("modality")).agg(
+            count(lit(1)).as("n_items"),
+            sum(col("n_bytes")).as("total_bytes"),
+            sum(col("header_checksum")).as("checksum_sum"))
+        val fr = Multimodal.frames(media, frameBytes = 16)
+          .groupBy(col("modality")).agg(count(lit(1)).as("n_frames"))
+        feats.join(fr, "modality").orderBy(col("modality"))
+      },
+      Some("""WITH m AS (SELECT doc_id,
+          ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
+          md5(text) AS h FROM documents)
+        SELECT modality, COUNT(*) AS n_items,
+          CAST(SUM(128) AS BIGINT) AS total_bytes,
+          CAST(SUM(('0x' || substr(h, 1, 8))::BIGINT) AS BIGINT) AS checksum_sum,
+          CAST(SUM(8) AS BIGINT) AS n_frames
+        FROM m GROUP BY modality ORDER BY modality"""))
+  )
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{SimHash, SimHashImpl, TextFunctions => TF}
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("exact dedup collapses identical canonical texts") {
+    val df = Seq(
+      (1L, "Spark  is FAST"), (2L, "spark is fast"), // same canonical form
+      (3L, "flink is ok")
+    ).toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(df, "doc_id", "text").collect()
+    assert(groups.length == 2)
+    assert(groups.find(_.getAs[Long]("n_copies") == 2).get.getAs[Long]("kept_id") == 1L)
+    assert(Dedup.dropExactDuplicates(df, "doc_id", "text").count() == 2)
+  }
+
+  test("minhash LSH pairs == exact inverted-index pairs (testdata)") {
+    val mh = Dedup.minhashPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ex = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == ex, s"minhash=$mh exact=$ex")
+    assert(ex.nonEmpty, "testdata should contain planted near-duplicates")
+  }
+
+  test("simhash finds every extreme near-dup and no weakly-similar pair") {
+    // SimHash (Hamming on a 64-bit sketch) and Jaccard are different
+    // similarity measures; they provably agree only at the extremes:
+    // j→1 ⇒ tiny Hamming, j→0 ⇒ Hamming ≈ 32. Assert exactly that.
+    val sh = Dedup.simhashPairs(spark, docs, "doc_id", "text")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val strong = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val weakOk = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strong.nonEmpty)
+    assert((strong -- sh).isEmpty, s"missed extreme near-dups: ${strong -- sh}")
+    assert((sh -- weakOk).isEmpty, s"false positives below j=0.3: ${sh -- weakOk}")
+  }
+
+  test("simhash64 expression: identical features → identical sketch; codegen path works") {
+    val df = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("a b c", "b c d", "c d e")),
+      (3L, Seq("x y z", "y z w", "z w v"))
+    ).toDF("id", "feats")
+    val got = df.select($"id", SimHash.simhash(spark, $"feats").as("sk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == got(2L))
+    assert(got(1L) != got(3L))
+    // SQL surface too (registered function)
+    df.createOrReplaceTempView("simhash_in")
+    val viaSql = spark.sql("SELECT simhash64(feats) AS sk FROM simhash_in WHERE id = 1")
+      .head().getLong(0)
+    assert(viaSql == got(1L))
+  }
+
+  test("fnv1a64 is stable (golden value)") {
+    // golden: independently computed FNV-1a 64 of "abc"
+    assert(SimHashImpl.fnv1a64("abc".getBytes("UTF-8")) == 0xe71fa2190541574bL)
+  }
+
+  test("maxBucket skew guard drops oversized buckets") {
+    val skewed = (1 to 30).map(i => (i.toLong, "same same same text here"))
+      .toDF("doc_id", "text")
+    // every doc identical → one giant bucket; cap at 5 → no candidates
+    val pairs = Dedup.ngramJaccardPairs(skewed, "doc_id", "text", maxDf = 5)
+    assert(pairs.count() == 0)
+  }
+
+  test("embedding near-dup pairs are symmetric-free and thresholded") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val pairs = Dedup.embeddingPairs(emb, "vec_id", "embedding", threshold = 0.3)
+      .collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(r => r.getDouble(2) >= 0.3))
+  }
+
+  test("tokens/shingles/fingerprint basics") {
+    val df = Seq(("The  quick-BROWN fox!", 1)).toDF("text", "id")
+      .select(TF.tokens($"text").as("tk"))
+    val tk = df.head().getSeq[String](0)
+    assert(tk == Seq("the", "quick", "brown", "fox"))
+    val sh = df.select(TF.shingles($"tk", 3).as("sh")).head().getSeq[String](0)
+    assert(sh.toSet == Set("the quick brown", "quick brown fox"))
+    val fp = df.select(TF.fingerprint($"tk")).head().getString(0)
+    assert(fp.length == 16 && fp.matches("[0-9a-f]+"))
+  }
+}

@@ -33,6 +33,20 @@ object Common {
     spark.read.parquet(s"$sfDir/events.parquet")
   }
 
+  /** Per-(query, sf) scratch dir under target/ — wiped and recreated on
+    * every call so driver re-runs are idempotent. */
+  def scratchDir(name: String, sfDir: String): String = {
+    val label = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val p = java.nio.file.Paths.get("target", "qwh", s"$name-$label").toAbsolutePath
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator.asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   /** Order-independent, engine-identical double aggregate:
     * cast each input to an exact decimal → exact associative sum →
     * cast back to double. Both Spark and DuckDB round the identical

@@ -23,14 +23,7 @@ import Common._
   */
 object Lakehouse {
 
-  private def wh(name: String, sfDir: String): String = {
-    val label = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val p = Paths.get("target", "qwh", s"$name-$label").toAbsolutePath
-    if (Files.exists(p))
-      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    Files.createDirectories(p)
-    p.toString
-  }
+  private def wh(name: String, sfDir: String): String = scratchDir(name, sfDir)
 
   val defs: Seq[QueryDef] = Seq(
 

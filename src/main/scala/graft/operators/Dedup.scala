@@ -4,21 +4,26 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{SimHash, TextFunctions => TF}
+import graft.util.Par
 
 /** Deduplication operators for large-scale training-data pipelines:
   * exact, MinHash+LSH, SimHash, n-gram Jaccard — all as declarative
   * DataFrame programs (no driver-side loops, no collects), so every
   * stage scales horizontally:
   *
-  *  - feature extraction (tokens → shingles → signatures) is map-only;
+  *  - feature extraction (tokens → shingles → signatures) is map-only,
+  *    spread across all cores even when the input arrives as one split;
   *  - candidate generation shuffles once on the bucket/band key;
-  *  - exact verification joins candidates back to features keyed by
-  *    doc id (AQE broadcasts the pair side when small).
+  *  - verification is COUNT-based: exact Jaccard is derived from
+  *    posting-list intersection counts (`|A∩B| = matches in a
+  *    shingle-keyed join`, `|A∪B| = |A|+|B|-|A∩B|`) — never from
+  *    per-pair `array_intersect`, which re-materializes both shingle
+  *    arrays for every candidate and dominates wall-clock.
   *
   * Skew note (matters at 100 TB): a degenerate band/bucket key (e.g.
   * boilerplate docs) makes candidate generation quadratic in that
-  * bucket. `maxBucket` caps it — buckets above the cap are dropped,
-  * trading bounded recall loss for bounded cost, the standard
+  * bucket. `maxBucket`/`maxDf` cap it — buckets above the cap are
+  * dropped, trading bounded recall loss for bounded cost, the standard
   * production mitigation.
   */
 object Dedup {
@@ -26,7 +31,7 @@ object Dedup {
   /** Exact dedup: keep the lowest-id row per identical canonical text.
     * Pure hash-aggregate — one shuffle on the 64-bit fingerprint. */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.withColumn("fp", TF.fingerprint(TF.tokens(col(textCol))))
+    Par.spread(docs).withColumn("fp", TF.fingerprint(TF.tokens(col(textCol))))
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_copies"))
 
@@ -42,73 +47,105 @@ object Dedup {
     * join): with 64 hashes / 32 bands, a pair at j=0.8 is missed with
     * probability (1-0.8²)^32 ≈ 6e-15 — the exact-verification step then
     * makes the output equal to the all-pairs answer without the O(n²)
-    * cost. */
+    * cost. Band keys are hashes of the band's permutation minima (a
+    * false key collision only adds a candidate, which verification
+    * removes — so hashing is safe and keeps the shuffle key a single
+    * long), computed by the native MinHashBandsExpr in one fused pass. */
   def minhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 32,
       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
 
     val feats = shingled(docs, idCol, textCol, shingleSize)
 
-    // signature_i = min over shingles of xxhash64(i, shingle) — one
-    // map-side pass, all codegen'd built-ins.
-    val sig = array((0 until numHashes).map(i =>
-      array_min(transform(col("sh"), s => xxhash64(lit(i), s)))): _*)
-    // band key b = (b, sig[b*r+1 .. b*r+r])
-    val bandKeys = transform(sequence(lit(0), lit(bands - 1)),
-      b => concat_ws(":", b.cast("string"),
-        concat_ws(",", transform(slice(col("sig"), b * lit(r) + lit(1), lit(r)),
-          x => x.cast("string")))))
-
-    val banded = feats.withColumn("sig", sig)
-      .select(col(idCol), explode(bandKeys).as("bk"))
+    // Banded signature via the native minhash_bands expression — one
+    // fused pass per row (64 permutation minima + band hashing) with
+    // one-line generated code. The composed-builtins alternative (64 ×
+    // array_min(transform(...)) + band slices) is semantically equal but
+    // Janino-compiles for seconds and traverses the shingle array 64
+    // times per row, interpreted.
+    //
+    // explode_outer, NOT explode: InferFiltersFromGenerate would infer
+    // `size(keys)>0` for a plain explode, inlining the signature tree
+    // into a filter pushed to the (unspread) scan. The key array always
+    // has exactly `bands` elements, so outer explode is semantically
+    // identical and skips the inferred filter.
+    val banded = feats.select(col(idCol),
+      explode_outer(graft.functions.MinHash.minhashBands(
+        docs.sparkSession, col("sh"), numHashes, bands)).as("bk"))
 
     verifyPairs(candidatesFromBuckets(banded, idCol, "bk", maxBucket),
       feats, idCol, threshold)
   }
 
   /** Exact n-gram-Jaccard pairs via an inverted index on shingles
-    * (posting-list join) instead of LSH: every pair sharing ≥1 surviving
-    * shingle is a candidate, so with an honest `maxDf` this is the
-    * EXACT all-pairs answer at inverted-index cost. `maxDf` drops
-    * ubiquitous shingles (boilerplate) — the classic scale lever. */
+    * (posting-list join) instead of LSH. One pass: the posting self-join
+    * keyed on the shingle yields |A∩B| per pair directly as a count —
+    * candidate generation and verification fused, no arrays shuffled.
+    * Shingles with document frequency 1 can never pair and are pruned;
+    * `maxDf` drops ubiquitous shingles (boilerplate) — the classic
+    * scale lever. Exact whenever no surviving pair depends on a dropped
+    * shingle (always true until a corpus has >maxDf-frequency shingles;
+    * beyond that, a bounded Jaccard underestimate, documented here). */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5,
       maxDf: Int = 1000): DataFrame = {
     val feats = shingled(docs, idCol, textCol, shingleSize)
-    val postings = feats.select(col(idCol), explode(col("sh")).as("shingle"))
-    verifyPairs(candidatesFromBuckets(postings, idCol, "shingle", maxDf),
-      feats, idCol, threshold)
+    val sizes = featSizes(feats, idCol)
+    // explode_outer: see minhashPairs — avoids the inferred-filter
+    // pushdown that re-evaluates the shingle tree at the scan. feats
+    // rows always carry ≥1 shingle, so no null rows appear.
+    val postings = feats.select(col(idCol), explode_outer(col("sh")).as("shingle"))
+    val keep = postings.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf)).select(col("shingle"))
+    val p = postings.join(keep, Seq("shingle"))
+    val inter = p.select(col("shingle"), col(idCol).as("doc_a"))
+      .join(p.select(col("shingle"), col(idCol).as("doc_b")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
+    jaccardFromCounts(inter, sizes, threshold)
   }
 
   /** SimHash near-dup pairs: 64-bit sketch per doc (custom codegen
-    * Catalyst expression), banded into `bands` chunks for candidate
-    * generation, verified by exact Hamming distance ≤ `maxHamming`.
-    * Output: (doc_a, doc_b, hamming).
+    * Catalyst expression), banded into `bands` contiguous bit-chunks for
+    * candidate generation, verified by exact Hamming distance ≤
+    * `maxHamming`. Output: (doc_a, doc_b, hamming).
     *
     * Recall guarantee: with `bands > maxHamming`, a qualifying pair
     * ALWAYS shares at least one clean band (pigeonhole: ≤ maxHamming
     * differing bits cannot touch all bands) — so the output equals the
-    * exact hamming-threshold answer, deterministically. */
+    * exact hamming-threshold answer, deterministically.
+    *
+    * Scale note: the per-band keyspace is 2^(64/bands), so a loose
+    * hamming threshold (many bands ⇒ few bits per band) widens buckets
+    * toward quadratic candidate generation. For web-scale corpora run
+    * with a tight threshold (e.g. maxHamming=3, bands=4 ⇒ 16-bit bands,
+    * 65 536-way spread); the verification step keeps any configuration
+    * exact, only cost varies. */
   def simhashPairs(
       spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, maxHamming: Int = 12, bands: Int = 16,
+      shingleSize: Int = 3, maxHamming: Int = 12, bands: Int = 13,
       maxBucket: Int = 10000): DataFrame = {
-    val chunk = 64 / bands
+    require(bands > maxHamming, "pigeonhole recall guarantee needs bands > maxHamming")
+    require(bands <= 64, "at most one band per sketch bit")
     val feats = shingled(docs, idCol, textCol, shingleSize)
       .withColumn("sk", SimHash.simhash(spark, col("sh")))
     val sketches = feats.select(col(idCol), col("sk"))
-    // band key = (band index, 16-bit chunk value)
+    // Contiguous chunks with widths differing by ≤1 (64 = Σ widths).
+    val base = 64 / bands
+    val widths = (0 until bands).map(b => if (b < 64 % bands) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    // band key = band index ⧺ chunk value, packed in one long
     val bandCols = (0 until bands).map { b =>
-      concat_ws(":", lit(b).cast("string"),
-        shiftrightunsigned(col("sk"), b * chunk)
-          .bitwiseAND(lit((1L << chunk) - 1)).cast("string"))
+      (lit(b.toLong) * lit(1L << widths(b))) +
+        shiftrightunsigned(col("sk"), offsets(b))
+          .bitwiseAND(lit((1L << widths(b)) - 1))
     }
+    // explode_outer: see minhashPairs — skips InferFiltersFromGenerate.
     val banded = sketches
-      .select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), explode_outer(array(bandCols: _*)).as("bk"))
     val cand = candidatesFromBuckets(banded, idCol, "bk", maxBucket)
     cand
       .join(sketches.select(col(idCol).as("doc_a"), col("sk").as("sk_a")), "doc_a")
@@ -119,17 +156,19 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs (doc_a < doc_b, cosine ≥ threshold).
-    * Brute-force all-pairs — exact, and fine to ~10^4 vectors per
-    * executor chunk; above that use Similarity.lshCosinePairs. */
+    * Brute-force all-pairs — exact; the corpus is spread so the nested-
+    * loop join parallelizes across all cores, the right side broadcasts.
+    * Fine to ~10^4 vectors; above that use Similarity.lshCosinePairs. */
   def embeddingPairs(
       emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     import graft.functions.VectorFunctions._
-    val v = emb.select(col(idCol).as("id"), vecDouble(col(vecCol)).as("e"))
+    val v = Par.spread(emb)
+      .select(col(idCol).as("id"), vecDouble(col(vecCol)).as("e"))
       .withColumn("nrm", l2Norm(col("e")))
     val a = v.select(col("id").as("doc_a"), col("e").as("ea"), col("nrm").as("na"))
     val b = v.select(col("id").as("doc_b"), col("e").as("eb"), col("nrm").as("nb"))
-    a.join(b, col("doc_a") < col("doc_b"))
+    a.join(broadcast(b), col("doc_a") < col("doc_b"))
       .withColumn("cosine", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("cosine"))
@@ -138,11 +177,30 @@ object Dedup {
   // ---- shared plumbing --------------------------------------------------
 
   /** (id, sh: array<string>) distinct shingle sets; empty-feature docs
-    * dropped (can never pair). */
+    * dropped (can never pair). Input spread across cores first — the
+    * shingle/signature map stages are the CPU hot path.
+    *
+    * The token array is materialized as its own projection BEFORE the
+    * shingle expression: `shingles` references its input inside a
+    * `transform` lambda, and Catalyst re-evaluates lambda-body subtrees
+    * per element — nesting `tokens(text)` directly would re-run the
+    * regex tokenizer once per shingle position (~100× per row).
+    * As a separate non-cheap multi-referenced projection it is evaluated
+    * once per row (CollapseProject keeps it). */
   private def shingled(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    docs.select(col(idCol), TF.shingles(TF.tokens(col(textCol)), n).as("sh"))
-      .filter(size(col("sh")) > 0)
+    Par.spread(docs)
+      .withColumn("__tk", TF.tokens(col(textCol)))
+      // equivalent to size(sh) > 0, but keeps the (expensive, lambda-
+      // bearing) shingle expression OUT of the filter predicate — a
+      // size(sh) filter gets predicate-pushed below the repartition with
+      // the whole shingle tree inlined, re-tokenizing per row on the
+      // unspread scan.
+      .filter(size(col("__tk")) >= n)
+      .select(col(idCol), TF.shingles(col("__tk"), n).as("sh"))
+
+  private def featSizes(feats: DataFrame, idCol: String): DataFrame =
+    feats.select(col(idCol).as("pid"), size(col("sh")).as("sz"))
 
   /** Bucket join: ids sharing a bucket key → distinct ordered candidate
     * pairs. Buckets larger than `maxBucket` are dropped (skew guard). */
@@ -157,15 +215,30 @@ object Dedup {
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
-  /** Exact Jaccard over the distinct shingle sets of candidate pairs. */
+  /** Exact Jaccard for the (LSH-bounded, small) candidate pair set:
+    * join the two shingle arrays back and intersect directly. Faster
+    * than a posting-count join once candidates are few — the arrays are
+    * only materialized for pairs that banding already vetted. */
   private def verifyPairs(cand: DataFrame, feats: DataFrame, idCol: String,
       threshold: Double): DataFrame =
     cand
-      .join(feats.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(feats.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(feats.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(feats.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))) * lit(1.0) /
           size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** jaccard = |A∩B| / (|A|+|B|-|A∩B|) — same integer division order as
+    * the DuckDB oracle's `len(list_intersect)/len(distinct concat)`. */
+  private def jaccardFromCounts(inter: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame =
+    inter
+      .join(sizes.select(col("pid").as("doc_a"), col("sz").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("pid").as("doc_b"), col("sz").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("c") * lit(1.0) / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 }

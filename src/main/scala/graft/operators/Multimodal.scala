@@ -47,7 +47,7 @@ object Multimodal {
     // 8 × 16 md5 bytes = 128-byte binary payload (concat preserves
     // BinaryType; `repeat` would coerce to string)
     val payload = concat(Seq.fill(8)(unhex(md5(col("text")))): _*)
-    docs.select(
+    graft.util.Par.spread(docs).select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("modality"),
@@ -98,7 +98,7 @@ object Multimodal {
       .withColumn("n_frames", (length(col("payload")) / frameBytes).cast("int"))
       .filter(col("n_frames") > 0)
       .select(col("media_id"), col("modality"),
-        posexplode(transform(
+        posexplode_outer(transform(
           filter(sequence(lit(0), col("n_frames") - 1), i => i % stride === 0),
           i => col("payload").substr((i * frameBytes + 1).cast("int"), lit(frameBytes))))
           .as(Seq("frame_idx", "frame_bytes")))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
+import graft.util.Par
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -26,9 +27,12 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
-  /** (id, e double-vector, nrm) projection shared by both tiers. */
+  /** (id, e double-vector, nrm) projection shared by both tiers. The
+    * corpus is spread so the per-row vector math (and the nested-loop
+    * probe against the broadcast query set) uses every core even when
+    * the input is a single parquet split. */
   private def prep(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
-    emb.select(col(idCol).as("id"), vecDouble(col(vecCol)).as("e"))
+    Par.spread(emb).select(col(idCol).as("id"), vecDouble(col(vecCol)).as("e"))
       .withColumn("nrm", l2Norm(col("e")))
 
   /** Exact top-k neighbors for each query row (excluding self-matches).

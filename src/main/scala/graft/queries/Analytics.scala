@@ -211,9 +211,12 @@ object Analytics {
         val rev = t(s, d, "orders")
           .groupBy(col("o_custkey"))
           .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        // Global top-k via orderBy+limit (TakeOrderedAndProject: partial
+        // per-partition top-k, no global shuffle); the unpartitioned rank
+        // window then runs over only the 25 surviving rows.
         val w = Window.orderBy(col("revenue").desc, col("o_custkey"))
-        rev.withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 25)
+        rev.orderBy(col("revenue").desc, col("o_custkey")).limit(25)
+          .withColumn("rk", row_number().over(w))
           .select(col("rk"), col("o_custkey"), col("revenue"), col("n_orders"))
           .orderBy(col("rk"))
       },

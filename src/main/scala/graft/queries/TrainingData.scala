@@ -19,6 +19,11 @@ import Common._
   */
 object TrainingData {
 
+  /** documents table, spread across cores — the text queries are
+    * CPU-bound map work and the table arrives as one parquet split. */
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.util.Par.spread(t(s, d, "documents"))
+
   /** DuckDB fragments mirrored from TextFunctions — kept as constants so
     * Spark and SQL stay in lockstep. */
   private val TkSql =
@@ -40,12 +45,14 @@ object TrainingData {
     // ---- text analysis --------------------------------------------------
     QueryDef("text_token_stats",
       (s, d) => {
-        val docs = t(s, d, "documents").withColumn("tk", TF.tokens(col("text")))
-        val stats = docs.groupBy(col("lang")).agg(
+        val dd = docs(s, d).withColumn("tk", TF.tokens(col("text")))
+        val stats = dd.groupBy(col("lang")).agg(
           count(lit(1)).as("n_docs"),
           sum(size(col("tk"))).as("total_tokens"),
           (sum(col("n_chars")) * lit(1.0) / count(lit(1))).as("avg_chars"))
-        val dt = docs.select(col("lang"), explode(col("tk")).as("tok"))
+        // explode_outer: a plain explode makes InferFiltersFromGenerate
+        // push an inlined-tokenizer size filter down to the scan.
+        val dt = dd.select(col("lang"), explode_outer(col("tk")).as("tok"))
           .groupBy(col("lang")).agg(countDistinct(col("tok")).as("distinct_tokens"))
         stats.join(dt, "lang").orderBy(col("lang"))
       },
@@ -60,7 +67,7 @@ object TrainingData {
         FROM stats JOIN dt USING (lang) ORDER BY lang""")),
 
     QueryDef("text_quality",
-      (s, d) => t(s, d, "documents")
+      (s, d) => docs(s, d)
         .withColumn("tk", TF.tokens(col("text")))
         .select(col("doc_id"), size(col("tk")).as("n_tokens"),
           TF.qualityScore(col("text"), col("tk")).as("score"))
@@ -79,8 +86,8 @@ object TrainingData {
 
     QueryDef("text_langid",
       (s, d) => {
-        val docs = t(s, d, "documents").withColumn("tk", TF.tokens(col("text")))
-        docs.withColumn("predicted", TF.langId(col("text"), col("tk")))
+        val dd = docs(s, d).withColumn("tk", TF.tokens(col("text")))
+        dd.withColumn("predicted", TF.langId(col("text"), col("tk")))
           .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))
           .orderBy(col("lang"), col("predicted"))
       },
@@ -104,7 +111,7 @@ object TrainingData {
         FROM h GROUP BY lang, predicted ORDER BY lang, predicted""")),
 
     QueryDef("text_fingerprint",
-      (s, d) => t(s, d, "documents")
+      (s, d) => docs(s, d)
         .filter(col("doc_id") < 50)
         .select(col("doc_id"),
           TF.fingerprint(TF.tokens(col("text"))).as("fp"),
@@ -120,9 +127,9 @@ object TrainingData {
     // has no exact dups): every group must collapse to 2 copies.
     QueryDef("dedup_exact",
       (s, d) => {
-        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-        val doubled = docs.unionByName(
-          docs.withColumn("doc_id", col("doc_id") + 1000000))
+        val dd = docs(s, d).select(col("doc_id"), col("text"))
+        val doubled = dd.unionByName(
+          dd.withColumn("doc_id", col("doc_id") + 1000000))
         Dedup.exactGroups(doubled, "doc_id", "text")
           .orderBy(col("kept_id")).limit(50)
       },
@@ -135,14 +142,14 @@ object TrainingData {
         SELECT fp, kept_id, n_copies FROM g ORDER BY kept_id LIMIT 50""")),
 
     QueryDef("dedup_minhash",
-      (s, d) => Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text")
+      (s, d) => Dedup.minhashPairs(docs(s, d), "doc_id", "text")
         .orderBy(col("doc_a"), col("doc_b")),
       Some(s"""$ExactPairsSql
         SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5
         ORDER BY doc_a, doc_b""")),
 
     QueryDef("dedup_ngram",
-      (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text")
+      (s, d) => Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text")
         .orderBy(col("doc_a"), col("doc_b")),
       Some(s"""$ExactPairsSql
         SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5
@@ -151,7 +158,7 @@ object TrainingData {
     // SimHash emits only the pair ids — the oracle checks the same
     // near-dup pair SET falls out of a completely different sketch.
     QueryDef("dedup_simhash",
-      (s, d) => Dedup.simhashPairs(s, t(s, d, "documents"), "doc_id", "text")
+      (s, d) => Dedup.simhashPairs(s, docs(s, d), "doc_id", "text")
         .select(col("doc_a"), col("doc_b"))
         .orderBy(col("doc_a"), col("doc_b")),
       Some(s"""$ExactPairsSql
@@ -207,7 +214,7 @@ object TrainingData {
     // ---- multimodal plumbing -------------------------------------------
     QueryDef("multimodal_stats",
       (s, d) => {
-        val media = Multimodal.synthesizeFromDocs(t(s, d, "documents"))
+        val media = Multimodal.synthesizeFromDocs(docs(s, d))
         val feats = Multimodal.extractFeatures(s, media).toDF()
           .groupBy(col("modality")).agg(
             count(lit(1)).as("n_items"),

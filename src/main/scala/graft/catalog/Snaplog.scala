@@ -182,8 +182,8 @@ final class Snaplog(val warehouse: String) {
   }
 
   /** Live data files as of `asOf` (default: current) — replay from the
-    * latest overwrite at-or-before the target snapshot. Time travel =
-    * this file list fed to a plain parquet scan. */
+    * latest overwrite/replace at-or-before the target snapshot. Time
+    * travel = this file list fed to a plain parquet scan. */
   def liveFiles(ns: String, t: String, asOf: Option[Long] = None): Seq[DataFileEntry] = {
     val all = snapshots(ns, t)
     val upto = asOf match {
@@ -192,8 +192,62 @@ final class Snaplog(val warehouse: String) {
         all.takeWhile(_.snapshotId <= id)
       case None => all
     }
-    val fromIdx = upto.lastIndexWhere(_.operation == Snaplog.OpOverwrite)
+    val fromIdx = upto.lastIndexWhere(s => Snaplog.ResetOps(s.operation))
     (if (fromIdx < 0) upto else upto.drop(fromIdx)).flatMap(_.files)
+  }
+
+  // ---- maintenance ------------------------------------------------------
+
+  /** Expire history: keep only the last `keepLast` snapshots. Refused
+    * unless the kept suffix is self-contained (contains an overwrite/
+    * replace base, or nothing is dropped) — expiring snapshots that
+    * still contribute live files would corrupt the table; compact or
+    * overwrite first. Returns the kept snapshots. */
+  def expireSnapshots(ns: String, t: String, keepLast: Int): Seq[Snapshot] = {
+    require(keepLast >= 1, "must keep at least one snapshot")
+    val all = snapshots(ns, t)
+    if (all.size <= keepLast) return all
+    val kept = all.takeRight(keepLast)
+    require(kept.exists(s => Snaplog.ResetOps(s.operation)),
+      s"cannot expire: the last $keepLast snapshots have no overwrite/replace base; " +
+        "older snapshots still contribute live files — compact first")
+    val content = kept.map(jwrite(_)).mkString("", "\n", "\n")
+    writeAtomic(logFile(ns, t), content)
+    kept
+  }
+
+  /** Delete data files under the table's managed data dir that no
+    * remaining snapshot references (orphans left by expiration or
+    * overwrites). Never touches files outside the managed dir (e.g.
+    * add_files registrations). Returns deleted paths. */
+  def vacuum(ns: String, t: String): Seq[String] = {
+    val referenced = snapshots(ns, t).flatMap(_.files).map(_.path).toSet
+    val dd = dataDir(ns, t)
+    if (!Files.isDirectory(dd)) return Seq.empty
+    val orphans = Files.walk(dd).iterator.asScala
+      .filter(p => Files.isRegularFile(p) && !referenced.contains(p.toString))
+      .map(_.toString).toSeq.sorted
+    orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    // prune now-empty directories bottom-up
+    Files.walk(dd).iterator.asScala.toSeq.reverse
+      .filter(p => Files.isDirectory(p) && p != dd)
+      .foreach { p =>
+        val s = Files.list(p)
+        val empty = try !s.iterator.hasNext finally s.close()
+        if (empty) Files.deleteIfExists(p)
+      }
+    orphans
+  }
+
+  /** Replace the table schema (schema evolution commit). Caller is
+    * responsible for evolution legality (see LakehouseTable.addColumn —
+    * additive nullable changes are always safe: parquet scans fill
+    * missing columns with null). */
+  def updateSchema(ns: String, t: String, schema: StructType): TableMetadata = {
+    val m = loadTable(ns, t)
+    val updated = m.copy(schemaJson = schema.json)
+    writeAtomic(metaFile(ns, t), jwrite(updated))
+    updated
   }
 
   private def writeAtomic(target: Path, content: String): Unit = {
@@ -209,4 +263,8 @@ object Snaplog {
   val OpAppend = "append"
   val OpOverwrite = "overwrite"
   val OpAddFiles = "add_files"
+  /** Compaction commit: same replay semantics as overwrite (resets the
+    * live set) but recorded distinctly for history/audit. */
+  val OpReplace = "replace"
+  val ResetOps: Set[String] = Set(OpOverwrite, OpReplace)
 }

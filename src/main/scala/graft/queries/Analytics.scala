@@ -370,6 +370,96 @@ object Analytics {
           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
           CAST(CAST(MIN(l_shipdate) AS DATE) AS VARCHAR) AS first_ship,
           CAST(CAST(MAX(l_shipdate) AS DATE) AS VARCHAR) AS last_ship
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- TPC-H Q6 flavor: pure filter-aggregate --------------------------
+    // Every predicate reaches the parquet scan (PushedFilters) — the
+    // canonical pushdown showcase; no shuffle at all but the final agg.
+    QueryDef("q06_forecast_revenue",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24.0)
+        .agg(dsum(col("l_extendedprice") * col("l_discount"), 6).as("revenue")),
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0""")),
+
+    // ---- TPC-H Q17 flavor: per-group scalar threshold join ---------------
+    QueryDef("q17_small_quantity",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val thresh = li.groupBy(col("l_partkey"))
+          .agg(((dsum(col("l_quantity")) / count(col("l_quantity"))) * lit(0.2))
+            .as("qty_thresh"))
+        li.join(thresh, "l_partkey")
+          .filter(col("l_quantity") < col("qty_thresh"))
+          .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+      },
+      Some("""WITH a AS (SELECT l_partkey,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              / COUNT(l_quantity) * 0.2 AS qty_thresh
+          FROM lineitem GROUP BY l_partkey)
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM lineitem JOIN a USING (l_partkey)
+        WHERE l_quantity < qty_thresh""")),
+
+    // ---- TPC-H Q18 flavor: HAVING-style large orders ---------------------
+    QueryDef("q18_large_orders",
+      (s, d) => {
+        val big = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(dsum(col("l_quantity")).as("sum_qty"))
+          .filter(col("sum_qty") > 300.0)
+        val ord = t(s, d, "orders")
+        val cust = t(s, d, "customer")
+        ord.join(big, ord("o_orderkey") === big("l_orderkey"))
+          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .select(col("c_name"), col("o_custkey"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+            col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""WITH big AS (SELECT l_orderkey,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 300.0)
+        SELECT c_name, o_custkey, o_orderkey,
+          strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_totalprice, sum_qty
+        FROM orders JOIN big ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    // ---- pivot (status × priority count matrix) --------------------------
+    QueryDef("pivot_status_matrix",
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0, Seq("F", "O", "P"))
+        .select(col("o_orderpriority"), col("F").as("n_f"),
+          col("O").as("n_o"), col("P").as("n_p"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+          COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+          COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+          COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- exact percentiles (interpolated, same (n-1)*p definition in
+    // both engines over the identical stored doubles) --------------------
+    QueryDef("percentile_prices",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          percentile(col("l_extendedprice"), lit(0.5)).as("median_price"),
+          percentile(col("l_extendedprice"), lit(0.9)).as("p90_price"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+          quantile_cont(l_extendedprice, 0.5) AS median_price,
+          quantile_cont(l_extendedprice, 0.9) AS p90_price
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

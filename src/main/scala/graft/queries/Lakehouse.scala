@@ -178,6 +178,90 @@ object Lakehouse {
           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 1)
         UNION ALL SELECT 3, 'overwrite',
           (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F')
-        ORDER BY snapshot_id"""))
+        ORDER BY snapshot_id""")),
+
+    // Compaction: 3 small-file appends rewritten into ceil(bytes/512MB)
+    // files by a `replace` commit — data identical, layout consolidated.
+    // THE lakehouse maintenance op at scale (small-files problem).
+    QueryDef("lake_compaction",
+      (s, d) => {
+        val cat = new Snaplog(wh("lake_compaction", d))
+        val orders = t(s, d, "orders")
+        val table = LakehouseTable.create(cat, s, "lake", "orders_compact",
+          orders.schema)
+        (0 until 3).foreach(i =>
+          table.append(orders.filter(col("o_orderkey") % 3 === i)))
+        val filesBefore = cat.liveFiles("lake", "orders_compact").size.toLong
+        table.compact()
+        val filesAfter = cat.liveFiles("lake", "orders_compact").size.toLong
+        val lastOp = cat.snapshots("lake", "orders_compact").last.operation
+        table.scan()
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("files_after", lit(filesAfter))
+          .withColumn("compacted", lit(filesBefore > filesAfter))
+          .withColumn("last_op", lit(lastOp))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          1 AS files_after, TRUE AS compacted, 'replace' AS last_op
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Snapshot expiration + vacuum: history truncated to the last 2
+    // snapshots (base overwrite + append), orphaned data files of the
+    // expired snapshot physically deleted; the live result is unchanged.
+    QueryDef("lake_expire_vacuum",
+      (s, d) => {
+        val cat = new Snaplog(wh("lake_expire_vacuum", d))
+        val orders = t(s, d, "orders")
+        val table = LakehouseTable.create(cat, s, "lake", "orders_exp",
+          orders.schema)
+        table.append(orders)
+        table.overwrite(orders.filter(col("o_orderstatus") === "F"))
+        table.append(orders.filter(col("o_orderstatus") === "O"))
+        val kept = cat.expireSnapshots("lake", "orders_exp", keepLast = 2)
+        val deleted = cat.vacuum("lake", "orders_exp")
+        table.scan()
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("n_snapshots", lit(kept.size.toLong))
+          .withColumn("vacuumed_any", lit(deleted.nonEmpty))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH merged AS (
+          SELECT * FROM orders WHERE o_orderstatus = 'F'
+          UNION ALL SELECT * FROM orders WHERE o_orderstatus = 'O')
+        SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          2 AS n_snapshots, TRUE AS vacuumed_any
+        FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Additive schema evolution: append → add nullable column → append
+    // with the column filled. Old files scan as null (read-schema
+    // reconciliation) — no rewrite of existing data.
+    QueryDef("lake_schema_evolution",
+      (s, d) => {
+        val cat = new Snaplog(wh("lake_schema_evolution", d))
+        val nation = t(s, d, "nation")
+        val table = LakehouseTable.create(cat, s, "lake", "nation_evo",
+          nation.schema)
+        table.append(nation.filter(col("n_nationkey") < 13))
+        table.addColumn("n_name_len", org.apache.spark.sql.types.IntegerType)
+        table.append(nation.filter(col("n_nationkey") >= 13)
+          .withColumn("n_name_len", length(col("n_name")).cast("int")))
+        table.scan()
+          .groupBy(col("n_regionkey"))
+          .agg(count(lit(1)).as("n"),
+            count(col("n_name_len")).as("n_filled"),
+            sum(col("n_name_len")).as("len_sum"))
+          .orderBy(col("n_regionkey"))
+      },
+      Some("""WITH evo AS (SELECT n_regionkey,
+          CASE WHEN n_nationkey >= 13 THEN length(n_name) END AS n_name_len
+          FROM nation)
+        SELECT n_regionkey, COUNT(*) AS n, COUNT(n_name_len) AS n_filled,
+          CAST(SUM(n_name_len) AS BIGINT) AS len_sum
+        FROM evo GROUP BY n_regionkey ORDER BY n_regionkey"""))
   )
 }

@@ -60,6 +60,29 @@ object Streaming {
       Some("""SELECT o_orderstatus, COUNT(*) AS n,
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
           3 AS n_batches
-        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Watermarked streaming dedup: the same event feed delivered twice;
+    // dropDuplicates state (bounded by the watermark) must make the
+    // result equal the batch DISTINCT.
+    QueryDef("stream_dedup",
+      (s, d) => {
+        val drop = scratchDir("stream_dedup", d)
+        val ev = events(s, d).select("event_id", "ts", "event_type", "value")
+        ev.coalesce(1).write.mode("append").parquet(drop)
+        ev.coalesce(1).write.mode("append").parquet(drop)
+        val stream = StreamingIngest.readParquetStream(s, drop, ev.schema,
+          maxFilesPerTrigger = 1)
+        StreamingIngest.dedupStream(s, stream, "ts", Seq("event_id"),
+          watermark = "40 days", queryName = "stream_dedup_mem")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("total_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH dedup AS (SELECT DISTINCT event_id, ts, event_type, value
+          FROM events)
+        SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM dedup GROUP BY event_type ORDER BY event_type"""))
   )
 }

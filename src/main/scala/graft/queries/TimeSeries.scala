@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Sessionize}
+import Common._
+
+/** Time-series operators over the events table: as-of join, interval
+  * (range) join, gap-based sessionization — operators Spark has no
+  * single built-in for, composed scale-first (SURVEY.md §7.3a).
+  *
+  * All timestamp math runs on the raw nanosecond longs (`ts_ns`) so
+  * ordering and gap arithmetic are bit-identical to DuckDB's
+  * full-precision TIMESTAMP_NS comparisons.
+  */
+object TimeSeries {
+
+  private val NsPerMinute = 60L * 1000 * 1000 * 1000
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // For each purchase, the user's most recent at-or-before view —
+    // union + carry-forward as-of join (one shuffle, |L|+|R| rows).
+    QueryDef("asof_join",
+      (s, d) => {
+        val ev = events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_ns"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts_ns"),
+            col("event_id").as("view_event_id"),
+            col("value").as("view_value"))
+        AsOfJoin.asofBackward(purchases, views, Seq("user_id"),
+          "ts_ns", "ts_ns", Seq("view_event_id", "view_value"),
+          rightOrder = "view_event_id")
+          .select(col("event_id"), col("user_id"),
+            col("view_event_id"), col("view_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'),
+          v AS (SELECT user_id, ts, event_id AS view_event_id,
+            value AS view_value FROM events WHERE event_type = 'view')
+        SELECT p.event_id, p.user_id, v.view_event_id, v.view_value
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+        ORDER BY p.event_id""")),
+
+    // Interval join: views inside the 10 minutes before each purchase of
+    // the same user. Equi key (user) + range predicate → shuffles once
+    // on the user key; never a cross product.
+    QueryDef("range_join",
+      (s, d) => {
+        val win = 10L * NsPerMinute
+        val ev = events(s, d)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event_id"),
+            col("user_id").as("p_user_id"), col("ts_ns").as("p_ts"))
+        val v = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user_id"), col("ts_ns").as("v_ts"),
+            col("value").as("v_value"))
+        p.join(v, col("p_user_id") === col("v_user_id") &&
+            col("v_ts") >= col("p_ts") - win && col("v_ts") < col("p_ts"))
+          .groupBy(col("p_event_id"))
+          .agg(count(lit(1)).as("n_views"), dsum(col("v_value"), 6).as("views_value"))
+          .select(col("p_event_id").as("event_id"), col("n_views"), col("views_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'),
+          v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+        SELECT p.event_id, COUNT(*) AS n_views,
+          CAST(SUM(CAST(v.value AS DECIMAL(18,6))) AS DOUBLE) AS views_value
+        FROM p JOIN v ON p.user_id = v.user_id
+          AND v.ts >= p.ts - INTERVAL 10 MINUTE AND v.ts < p.ts
+        GROUP BY p.event_id ORDER BY p.event_id""")),
+
+    // Gap-based sessionization (30 min): per-user session count, event
+    // count, and multi-event session count.
+    QueryDef("sessionize_users",
+      (s, d) => {
+        val gap = 30L * NsPerMinute
+        val sess = Sessionize.sessions(
+          events(s, d).select(col("user_id"), col("ts_ns"), col("event_id")),
+          Seq("user_id"), "ts_ns", gap, tiebreak = "event_id")
+        sess.groupBy(col("user_id"))
+          .agg(max(col("session_seq")).as("n_sessions"),
+            sum(col("n_events")).as("n_events"),
+            count(when(col("n_events") > 1, 1)).as("n_multi"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, ts, event_id,
+            LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM events),
+        f AS (SELECT user_id, ts, event_id,
+            CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+          FROM e),
+        g AS (SELECT user_id, SUM(is_new) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          FROM f),
+        sess AS (SELECT user_id, session_seq, COUNT(*) AS n_events
+          FROM g GROUP BY user_id, session_seq)
+        SELECT user_id, CAST(MAX(session_seq) AS BIGINT) AS n_sessions,
+          CAST(SUM(n_events) AS BIGINT) AS n_events,
+          COUNT(CASE WHEN n_events > 1 THEN 1 END) AS n_multi
+        FROM sess GROUP BY user_id ORDER BY user_id"""))
+  )
+}

@@ -60,6 +60,27 @@ object StreamingIngest {
     batches
   }
 
+  /** Watermarked streaming deduplication: `dropDuplicates` on the key
+    * columns with dedup state bounded by the event-time watermark (the
+    * standard exactly-once ingest guard in front of an append sink).
+    * Emits the deduplicated rows to the memory sink (append mode — a
+    * single stateful operator, so every surviving row is emitted
+    * deterministically for a static input) and returns them. */
+  def dedupStream(spark: SparkSession, stream: DataFrame, tsCol: String,
+      keys: Seq[String], watermark: String, queryName: String): DataFrame = {
+    val deduped = stream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(keys :+ tsCol)
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Watermarked tumbling-window counts per key column — the stateful
     * aggregation shape. Materializes currently-available input through
     * the memory sink and returns the result (deterministic for a static

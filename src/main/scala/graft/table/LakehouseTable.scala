@@ -116,6 +116,37 @@ final class LakehouseTable(
     groups.map(g => catalog.commit(namespace, name, Snaplog.OpAddFiles, g))
   }
 
+  // ---- maintenance ------------------------------------------------------
+
+  /** Compact the live file set: rewrite the current snapshot into
+    * ceil(totalBytes / targetFileSizeBytes) files (≥1) and commit as a
+    * `replace` snapshot — same data, new layout, history preserved.
+    * The many-small-files problem is THE lakehouse maintenance task at
+    * scale: compaction restores large sequential scans and shrinks
+    * planning metadata. Default target mirrors the reference's 512 MB
+    * `write.target-file-size-bytes` (`main-daft.py:106`). */
+  def compact(targetFileSizeBytes: Long = 512L * 1024 * 1024): Snapshot = {
+    val files = catalog.liveFiles(namespace, name)
+    val totalBytes = files.map(_.sizeBytes).sum
+    val n = math.max(1L, (totalBytes + targetFileSizeBytes - 1) / targetFileSizeBytes).toInt
+    writeCommit(Seq(scan().repartition(n)), Snaplog.OpReplace,
+      Map("compacted-files" -> files.size.toString,
+        "compacted-bytes" -> totalBytes.toString))
+  }
+
+  /** Additive schema evolution: add a nullable column. Existing data
+    * files stay untouched — scans fill the column with null (parquet
+    * read-schema reconciliation), new writes carry it. The only
+    * evolution the reference's schema policy needs; renames/drops would
+    * require field-id tracking (out of scope, like the reference). */
+  def addColumn(colName: String, dataType: DataType): TableMetadata = {
+    val cur = schema
+    require(!cur.fieldNames.exists(_.equalsIgnoreCase(colName)),
+      s"column '$colName' already exists")
+    catalog.updateSchema(namespace, name,
+      StructType(cur.fields :+ StructField(colName, dataType, nullable = true)))
+  }
+
   private def writeCommit(
       dfs: Seq[DataFrame], op: String,
       extraSummary: Map[String, String] = Map.empty): Snapshot = {

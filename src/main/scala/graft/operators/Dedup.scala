@@ -143,16 +143,26 @@ object Dedup {
         shiftrightunsigned(col("sk"), offsets(b))
           .bitwiseAND(lit((1L << widths(b)) - 1))
     }
+    // The 64-bit sketch rides THROUGH the band self-join (it's one long
+    // — unlike minhash's shingle arrays) so Hamming verification runs
+    // INLINE in the join's filter, inside the same codegen stage: one
+    // shuffle on the band key, no multi-million-pair distinct, no
+    // verify joins. Only surviving pairs (a tiny set) get distinct'd —
+    // a pair can match in several bands.
     // explode_outer: see minhashPairs — skips InferFiltersFromGenerate.
     val banded = sketches
-      .select(col(idCol), explode_outer(array(bandCols: _*)).as("bk"))
-    val cand = candidatesFromBuckets(banded, idCol, "bk", maxBucket)
-    cand
-      .join(sketches.select(col(idCol).as("doc_a"), col("sk").as("sk_a")), "doc_a")
-      .join(sketches.select(col(idCol).as("doc_b"), col("sk").as("sk_b")), "doc_b")
+      .select(col(idCol), col("sk"), explode_outer(array(bandCols: _*)).as("bk"))
+    val big = banded.groupBy(col("bk")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).select(col("bk"))
+    val ok = banded.join(big, Seq("bk"), "left_anti")
+    val x = ok.select(col("bk"), col(idCol).as("doc_a"), col("sk").as("sk_a"))
+    val y = ok.select(col("bk"), col(idCol).as("doc_b"), col("sk").as("sk_b"))
+    x.join(y, Seq("bk"))
+      .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", bit_count(col("sk_a").bitwiseXOR(col("sk_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 
   /** Embedding-cosine near-dup pairs (doc_a < doc_b, cosine ≥ threshold).
@@ -162,14 +172,17 @@ object Dedup {
   def embeddingPairs(
       emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    import graft.functions.VectorFunctions._
+    import graft.functions.VectorFunctions.vecDouble
+    import graft.functions.VectorOps
+    val ss = emb.sparkSession
     val v = Par.spread(emb)
       .select(col(idCol).as("id"), vecDouble(col(vecCol)).as("e"))
-      .withColumn("nrm", l2Norm(col("e")))
+      .withColumn("nrm", VectorOps.norm(ss, col("e")))
     val a = v.select(col("id").as("doc_a"), col("e").as("ea"), col("nrm").as("na"))
     val b = v.select(col("id").as("doc_b"), col("e").as("eb"), col("nrm").as("nb"))
     a.join(broadcast(b), col("doc_a") < col("doc_b"))
-      .withColumn("cosine", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("cosine",
+        VectorOps.dot(ss, col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("cosine"))
   }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
+import graft.functions.VectorOps
 import graft.util.Par
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -14,16 +15,18 @@ import graft.util.Par
   *    query set against the corpus; one pass, no shuffle of the corpus,
   *    per-query heap via window rank on the partial results. The
   *    CORRECTNESS baseline at any scale where queries are few.
-  *  - [[lshCosineTopK]] — random-hyperplane LSH: map-side 16-bit sign
-  *    sketch buckets the corpus; candidates = same-bucket rows; exact
-  *    cosine re-rank inside the bucket. The SCALE path: corpus shuffles
-  *    once on the bucket key; no cross join ever materializes. Recall
-  *    is tunable by `planeBits` (fewer bits → bigger buckets → higher
+  *  - [[lshCosineTopK]] — random-hyperplane LSH: map-side sign sketch
+  *    buckets the corpus; candidates = same-bucket rows; exact cosine
+  *    re-rank inside the bucket. The SCALE path: corpus shuffles once
+  *    on the bucket key; no cross join ever materializes. Recall is
+  *    tunable by `planeBits` (fewer bits → bigger buckets → higher
   *    recall and cost); measured in SimilaritySpec.
   *
-  * Hyperplanes are pseudo-random but fully deterministic: component
-  * (b, i) is ±1 by the parity of xxhash64(b, i) — reproducible across
-  * runs/clusters with zero RNG state.
+  * The vector math runs through the native codegen expressions
+  * (VectorOps.dot/norm — fused primitive loops with the same
+  * left-fold IEEE order as the HOF formulation and the DuckDB oracle);
+  * the hyperplane sketch is likewise one fused expression instead of a
+  * planeBits×dim column forest.
   */
 object Similarity {
 
@@ -31,9 +34,11 @@ object Similarity {
     * corpus is spread so the per-row vector math (and the nested-loop
     * probe against the broadcast query set) uses every core even when
     * the input is a single parquet split. */
-  private def prep(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private def prep(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val ss = emb.sparkSession
     Par.spread(emb).select(col(idCol).as("id"), vecDouble(col(vecCol)).as("e"))
-      .withColumn("nrm", l2Norm(col("e")))
+      .withColumn("nrm", VectorOps.norm(ss, col("e")))
+  }
 
   /** Exact top-k neighbors for each query row (excluding self-matches).
     * Output: (query_id, rank, vec_id, cosine), rank 1..k by cosine desc
@@ -41,6 +46,7 @@ object Similarity {
   def bruteForceTopK(
       emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
+    val ss = emb.sparkSession
     val corpus = prep(emb, idCol, vecCol)
     val q = prep(queries, idCol, vecCol)
       .select(col("id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
@@ -48,35 +54,28 @@ object Similarity {
       .orderBy(col("cosine").desc, col("id"))
     corpus.join(broadcast(q), col("query_id") =!= col("id"))
       .withColumn("cosine",
-        cosinePrenormed(col("qe"), col("e"), col("qn"), col("nrm")))
+        VectorOps.dot(ss, col("qe"), col("e")) / (col("qn") * col("nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id").as("vec_id"), col("cosine"))
   }
 
-  /** Deterministic random-hyperplane sign sketch (`planeBits` bits) as a
-    * string bucket key. plane(b)ᵀv computed per element: sign from
-    * xxhash64(b, i) parity. */
-  def hyperplaneBucket(vec: Column, dim: Int, planeBits: Int): Column = {
-    val bits = (0 until planeBits).map { b =>
-      val proj = (0 until dim).map { i =>
-        val sign = if (scala.util.hashing.byteswap64((b.toLong << 32) | i) % 2 == 0) 1.0 else -1.0
-        element_at(vec, i + 1) * lit(sign)
-      }.reduce(_ + _)
-      when(proj >= 0, lit("1")).otherwise(lit("0"))
-    }
-    concat(bits: _*)
-  }
+  /** Deterministic random-hyperplane sign sketch (`planeBits` bits) as
+    * an int bucket key — native fused expression; plane (b,i) is ±1 by
+    * the parity of byteswap64((b<<32)|i). */
+  def hyperplaneBucket(df: DataFrame, vec: Column, planeBits: Int): Column =
+    VectorOps.hyperplaneSketch(df.sparkSession, vec, planeBits)
 
   /** Approximate top-k: candidates share the LSH bucket, exact cosine
     * re-rank within bucket. Output shape matches [[bruteForceTopK]]. */
   def lshCosineTopK(
       emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Int, planeBits: Int = 8): DataFrame = {
+    val ss = emb.sparkSession
     val corpus = prep(emb, idCol, vecCol)
-      .withColumn("bucket", hyperplaneBucket(col("e"), dim, planeBits))
+      .withColumn("bucket", VectorOps.hyperplaneSketch(ss, col("e"), planeBits))
     val q = prep(queries, idCol, vecCol)
-      .withColumn("bucket", hyperplaneBucket(col("e"), dim, planeBits))
+      .withColumn("bucket", VectorOps.hyperplaneSketch(ss, col("e"), planeBits))
       .select(col("id").as("query_id"), col("e").as("qe"),
         col("nrm").as("qn"), col("bucket"))
     val w = Window.partitionBy(col("query_id"))
@@ -84,7 +83,7 @@ object Similarity {
     corpus.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("id"))
       .withColumn("cosine",
-        cosinePrenormed(col("qe"), col("e"), col("qn"), col("nrm")))
+        VectorOps.dot(ss, col("qe"), col("e")) / (col("qn") * col("nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id").as("vec_id"), col("cosine"))

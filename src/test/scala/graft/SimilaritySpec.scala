@@ -21,6 +21,18 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 4.0 / (3.0 * math.sqrt(5.0))) < 1e-12)
   }
 
+  test("native vector expressions are bit-identical to the HOF fold") {
+    import graft.functions.VectorOps
+    val v = emb.select(vecDouble($"embedding").as("e"))
+    val cmp = v.select(
+      dot($"e", $"e").as("hof_dot"),
+      VectorOps.dot(spark, $"e", $"e").as("nat_dot"),
+      l2Norm($"e").as("hof_nrm"),
+      VectorOps.norm(spark, $"e").as("nat_nrm"))
+      .filter($"hof_dot" =!= $"nat_dot" || $"hof_nrm" =!= $"nat_nrm")
+    assert(cmp.count() === 0, "left-fold IEEE order must match exactly")
+  }
+
   test("brute-force top-k: k rows per query, self excluded, ranks ordered") {
     val got = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 3),
       "vec_id", "embedding", k = 5).collect()

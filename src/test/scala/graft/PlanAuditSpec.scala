@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Plan-quality audits: the properties that make these queries scale —
+  * filters reaching the parquet scan, pruned read schemas, broadcast
+  * dimension joins, metadata partition pruning, no cartesian products —
+  * asserted on the actual physical plans so perf regressions fail CI,
+  * not just benchmarks. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf)
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter_projection: predicates push down to the parquet scan") {
+    val plan = physical(q("filter_projection"))
+    assert(plan.contains("PushedFilters:"), plan.take(500))
+    assert(plan.contains("EqualTo(l_returnflag,R)"),
+      "equality filter must reach the scan")
+    // (the PushedFilters list renders truncated at 100 chars)
+    assert(plan.contains("GreaterThan(l_quantity,"),
+      "range filter must reach the scan")
+  }
+
+  test("filter_projection: read schema pruned to referenced columns") {
+    val plan = physical(q("filter_projection"))
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_extendedprice"),
+      s"unreferenced column read: $readSchema")
+    assert(readSchema.contains("l_quantity"))
+  }
+
+  test("q03: small dimension joins broadcast, no cartesian product") {
+    val plan = physical(q("q03_shipping_priority"))
+    assert(plan.contains("BroadcastHashJoin"), "customer join must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q05: star joins broadcast all four dimensions") {
+    val plan = physical(q("q05_local_supplier_volume"))
+    val n = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(n >= 4, s"expected >=4 broadcast joins, got $n")
+  }
+
+  test("lake partition pruning never hands Spark other partitions' files") {
+    val files = q("lake_partition_pruning").inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("__p_l_returnflag=R")),
+      files.mkString("\n"))
+  }
+
+  test("dedup pipelines never plan a cartesian product") {
+    Seq("dedup_minhash", "dedup_simhash", "dedup_ngram").foreach { name =>
+      val plan = physical(q(name))
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cross join")
+    }
+  }
+
+  test("aggregations use partial (map-side) aggregation") {
+    val plan = physical(q("q01_pricing_summary"))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      "expected partial+final aggregate pair")
+  }
+}

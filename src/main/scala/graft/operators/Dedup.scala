@@ -74,6 +74,9 @@ object Dedup {
     val banded = feats.select(col(idCol),
       explode_outer(graft.functions.MinHash.minhashBands(
         docs.sparkSession, col("sh"), numHashes, bands)).as("bk"))
+    // (id, band-key) pairs feed 4 plan branches (skew prune + both join
+    // sides); persist so the signature pass runs once.
+    banded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     verifyPairs(candidatesFromBuckets(banded, idCol, "bk", maxBucket),
       feats, idCol, threshold)
@@ -152,6 +155,8 @@ object Dedup {
     // explode_outer: see minhashPairs — skips InferFiltersFromGenerate.
     val banded = sketches
       .select(col(idCol), col("sk"), explode_outer(array(bandCols: _*)).as("bk"))
+    // feeds 3 plan branches (skew prune + both join sides)
+    banded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val big = banded.groupBy(col("bk")).agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucket).select(col("bk"))
     val ok = banded.join(big, Seq("bk"), "left_anti")
@@ -178,12 +183,17 @@ object Dedup {
     val v = Par.spread(emb)
       .select(col(idCol).as("id"), vecDouble(col(vecCol)).as("e"))
       .withColumn("nrm", VectorOps.norm(ss, col("e")))
+    v.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = v.select(col("id").as("doc_a"), col("e").as("ea"), col("nrm").as("na"))
     val b = v.select(col("id").as("doc_b"), col("e").as("eb"), col("nrm").as("nb"))
-    a.join(broadcast(b), col("doc_a") < col("doc_b"))
-      .withColumn("cosine",
-        VectorOps.dot(ss, col("ea"), col("eb")) / (col("na") * col("nb")))
-      .filter(col("cosine") >= threshold)
+    val cos = VectorOps.dot(ss, col("ea"), col("eb")) / (col("na") * col("nb"))
+    // The cosine threshold lives IN the join condition: the nested-loop
+    // join then emits only surviving pairs (a tiny set) instead of
+    // materializing O(n²/2) rows each carrying both full embedding
+    // arrays for a post-hoc filter. cosine is recomputed for survivors
+    // only — same expression, bit-identical.
+    a.join(broadcast(b), col("doc_a") < col("doc_b") && cos >= threshold)
+      .withColumn("cosine", cos)
       .select(col("doc_a"), col("doc_b"), col("cosine"))
   }
 
@@ -193,24 +203,36 @@ object Dedup {
     * dropped (can never pair). Input spread across cores first — the
     * shingle/signature map stages are the CPU hot path.
     *
-    * The token array is materialized as its own projection BEFORE the
-    * shingle expression: `shingles` references its input inside a
-    * `transform` lambda, and Catalyst re-evaluates lambda-body subtrees
-    * per element — nesting `tokens(text)` directly would re-run the
-    * regex tokenizer once per shingle position (~100× per row).
-    * As a separate non-cheap multi-referenced projection it is evaluated
-    * once per row (CollapseProject keeps it). */
+    * Two deliberate choices, both load-bearing at scale:
+    *
+    *  - the shingle computation is the fused native `ShinglesExpr`
+    *    (codegen'd single pass), NOT the composed built-ins: predicate
+    *    inference (e.g. `isnotnull` derived from a downstream jaccard
+    *    filter) substitutes projected aliases into filters and pushes
+    *    them to the scan — with interpreted higher-order functions that
+    *    re-ran the whole tokenizer+shingler per row on the unspread
+    *    scan split (observed: 35 s single-task stage on a 5 000-doc
+    *    corpus). The native kernel makes even a redundantly-pushed copy
+    *    cost microseconds;
+    *
+    *  - the result is persisted (memory-with-disk-spill): every dedup
+    *    pipeline consumes its feature set from 2–6 plan branches
+    *    (posting sides, df-prune, size join, verify), and without
+    *    materialization each branch re-reads and re-shingles the whole
+    *    corpus. At 100 TB that is the difference between one corpus
+    *    scan and six — the standard "materialize the signature table
+    *    once" production design. Cache entries are shared across
+    *    queries in a session (same plan ⇒ same cache key). */
   private def shingled(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
-    Par.spread(docs)
-      .withColumn("__tk", TF.tokens(col(textCol)))
-      // equivalent to size(sh) > 0, but keeps the (expensive, lambda-
-      // bearing) shingle expression OUT of the filter predicate — a
-      // size(sh) filter gets predicate-pushed below the repartition with
-      // the whole shingle tree inlined, re-tokenizing per row on the
-      // unspread scan.
-      .filter(size(col("__tk")) >= n)
-      .select(col(idCol), TF.shingles(col("__tk"), n).as("sh"))
+      n: Int): DataFrame = {
+    val f = Par.spread(docs)
+      .select(col(idCol),
+        graft.functions.Shingles.shingles(docs.sparkSession, col(textCol), n)
+          .as("sh"))
+      .filter(size(col("sh")) > 0)
+    f.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    f
+  }
 
   private def featSizes(feats: DataFrame, idCol: String): DataFrame =
     feats.select(col(idCol).as("pid"), size(col("sh")).as("sz"))

@@ -83,6 +83,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(r => r.getDouble(2) >= 0.3))
   }
 
+  test("native graft_shingles == composed-builtin shingles on real corpus") {
+    // The fused codegen kernel must be indistinguishable from the
+    // declarative reference implementation (which is what the DuckDB
+    // oracle mirrors) — compare the full shingle SET per document.
+    import graft.functions.Shingles
+    val ref = docs.limit(500).select($"doc_id",
+      TF.shingles(TF.tokens($"text"), 3).as("sh"))
+    val fused = docs.limit(500).select($"doc_id",
+      Shingles.shingles(spark, $"text", 3).as("sh"))
+    val r = ref.collect().map(x => x.getLong(0) -> x.getSeq[String](1).toSet).toMap
+    val f = fused.collect().map(x => x.getLong(0) -> x.getSeq[String](1).toSet).toMap
+    assert(r == f)
+    // edge cases: unicode separators, short docs, empty, numerics
+    val edge = Seq("", "a", "ab cd", "Ünïcode—DASH  12x3", "一二三 mixed EN text",
+      "a b c d e f").zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val er = edge.select($"doc_id", when(size(TF.tokens($"text")) >= lit(3),
+      TF.shingles(TF.tokens($"text"), 3)).otherwise(array().cast("array<string>")).as("sh"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[String](1).toSet).toMap
+    val ef = edge.select($"doc_id", Shingles.shingles(spark, $"text", 3).as("sh"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[String](1).toSet).toMap
+    assert(er == ef)
+  }
+
   test("tokens/shingles/fingerprint basics") {
     val df = Seq(("The  quick-BROWN fox!", 1)).toDF("text", "id")
       .select(TF.tokens($"text").as("tk"))

@@ -66,6 +66,77 @@ object Similarity {
   def hyperplaneBucket(df: DataFrame, vec: Column, planeBits: Int): Column =
     VectorOps.hyperplaneSketch(df.sparkSession, vec, planeBits)
 
+  /** Lloyd k-means coarse quantizer for [[ivfTopK]], trained
+    * distributed: assignment is the native ivf_cells expression mapped
+    * over the corpus; the update step is an exact decimal per-dimension
+    * sum (order-independent — float summation order would otherwise
+    * make centroids, and thus cell assignment, nondeterministic across
+    * partitionings) collected as nlist×dim rows (KBs — same driver
+    * footprint as any production coarse quantizer; the corpus itself is
+    * never collected). Seeds are the nlist corpus vectors with smallest
+    * xxhash64(id) — a deterministic uniform sample. */
+  def trainIvfCentroids(corpus: DataFrame, nlist: Int,
+      iters: Int = 2): Array[Array[Double]] = {
+    val ss = corpus.sparkSession
+    var cents: Array[Array[Double]] = corpus
+      .orderBy(xxhash64(col("id")), col("id")).limit(nlist)
+      .collect().map(_.getSeq[Double](1).toArray)
+    var it = 0
+    while (it < iters) {
+      val rows = corpus
+        .withColumn("cell",
+          element_at(graft.functions.IvfOps.cells(ss, col("e"), cents, 1), 1))
+        .select(col("cell"), posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x").cast("decimal(30,15)")).as("sx"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone()) // empty cells keep their centroid
+      rows.foreach { r =>
+        val cell = r.getInt(0); val pos = r.getInt(1)
+        val sx = r.getDecimal(2); val n = r.getLong(3)
+        next(cell)(pos) = sx
+          .divide(java.math.BigDecimal.valueOf(n), java.math.MathContext.DECIMAL128)
+          .doubleValue()
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** IVF (inverted-file) approximate top-k — the second scale tier next
+    * to [[lshCosineTopK]]: a trained coarse quantizer partitions the
+    * corpus into `nlist` inverted lists; each query probes its `nprobe`
+    * nearest cells and exact-cosine re-ranks inside them. Cost per
+    * query ≈ nprobe/nlist of brute force with recall set by nprobe —
+    * the knob a 100 TB deployment turns, while the plan shape stays
+    * identical: corpus mapped once to (cell, vec), query set broadcast,
+    * equi-join on the cell id — never a cross join. */
+  def ivfTopK(
+      emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int, nprobe: Int, iters: Int = 2): DataFrame = {
+    val ss = emb.sparkSession
+    val corpus = prep(emb, idCol, vecCol)
+    corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = trainIvfCentroids(corpus.select(col("id"), col("e")), nlist, iters)
+    val lists = corpus.withColumn("cell",
+      element_at(graft.functions.IvfOps.cells(ss, col("e"), cents, 1), 1))
+    val q = prep(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"),
+        explode(graft.functions.IvfOps.cells(ss, col("e"), cents, nprobe))
+          .as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    lists.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("cosine",
+        VectorOps.dot(ss, col("qe"), col("e")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("vec_id"), col("cosine"))
+  }
+
   /** Approximate top-k: candidates share the LSH bucket, exact cosine
     * re-rank within bucket. Output shape matches [[bruteForceTopK]]. */
   def lshCosineTopK(

@@ -460,6 +460,73 @@ object Analytics {
       Some("""SELECT l_returnflag, COUNT(*) AS n,
           quantile_cont(l_extendedprice, 0.5) AS median_price,
           quantile_cont(l_extendedprice, 0.9) AS p90_price
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- grouping sets: full CUBE (rollup's bigger sibling) ------------
+    QueryDef("cube_returns",
+      (s, d) => t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+          coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+          col("n"), col("revenue"))
+        .orderBy(col("status"), col("priority")),
+      Some("""SELECT COALESCE(o_orderstatus, '<all>') AS status,
+          COALESCE(o_orderpriority, '<all>') AS priority,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority""")),
+
+    // ---- full outer join: per-nation customer vs supplier counts -------
+    // (disjoint key ranges on both sides exercise both null-padded
+    // directions; the nation dim broadcasts)
+    QueryDef("full_outer_join",
+      (s, d) => {
+        val cust = t(s, d, "customer").groupBy(col("c_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_cust"))
+          .filter(col("nationkey") < 20)
+        val supp = t(s, d, "supplier").groupBy(col("s_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_supp"))
+          .filter(col("nationkey") >= 5)
+        cust.join(supp, Seq("nationkey"), "full_outer")
+          .select(col("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy(col("nationkey"))
+      },
+      Some("""WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+            FROM customer GROUP BY 1 HAVING c_nationkey < 20),
+          s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+            FROM supplier GROUP BY 1 HAVING s_nationkey >= 5)
+        SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+          COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+        ORDER BY nationkey""")),
+
+    // ---- correlated EXISTS (TPC-H Q4 flavor): order priority check -----
+    // Catalyst rewrites the EXISTS into a left-semi join — never a
+    // per-row subquery execution.
+    QueryDef("q04_order_priority",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1995-01-01") &&
+            col("o_orderdate") < lit("1995-07-01"))
+        val late = t(s, d, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"))
+        o.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1995-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }

@@ -107,6 +107,27 @@ object Lakehouse {
         FROM orders WHERE o_orderkey % 2 = 0
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // Incremental (CDC) read: three appends, then read ONLY what landed
+    // after snapshot 1 — metadata decides the delta file set, Spark
+    // never touches snapshot-1 data.
+    QueryDef("lake_incremental_read",
+      (s, d) => {
+        val cat = new Snaplog(wh("lake_incremental_read", d))
+        val orders = t(s, d, "orders")
+        val rep = Ingest.ingestDf(cat, "lake", "orders",
+          orders.filter(col("o_orderkey") % 3 === 0))
+        rep.table.append(orders.filter(col("o_orderkey") % 3 === 1))
+        rep.table.append(orders.filter(col("o_orderkey") % 3 === 2))
+        rep.table.scanIncremental(fromSnapshot = 1L)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders WHERE o_orderkey % 3 IN (1, 2)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // add_files: metadata-only registration of the source parquet itself
     // (zero copy, reference main-ray.py:109-121), then scan.
     QueryDef("lake_add_files",

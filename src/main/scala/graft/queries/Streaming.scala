@@ -83,6 +83,61 @@ object Streaming {
           FROM events)
         SELECT event_type, COUNT(*) AS n,
           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-        FROM dedup GROUP BY event_type ORDER BY event_type"""))
+        FROM dedup GROUP BY event_type ORDER BY event_type""")),
+
+    // Custom stateful operator: gap sessionization via
+    // flatMapGroupsWithState with event-time timeout. Two sentinel
+    // events (written LAST, so the file source processes them after the
+    // real data) push the watermark past every real session: the first
+    // advances it, the second triggers the batch in which all real
+    // users' state times out and emits. The sentinel user's own state
+    // never times out and is never emitted. Oracle: identical to the
+    // batch sessionize_users aggregate.
+    QueryDef("stream_sessionize",
+      (s, d) => {
+        val nsPerDay = 24L * 3600 * 1000 * 1000 * 1000
+        val gapNs = 30L * 60 * 1000 * 1000 * 1000
+        val drop = scratchDir("stream_sessionize", d)
+        val ev = events(s, d)
+          .select(col("user_id"), col("ts"), col("ts_ns"), col("event_id"))
+        ev.coalesce(1).write.mode("append").parquet(drop)
+        val maxNs = ev.agg(max(col("ts_ns"))).head().getLong(0)
+        def sentinel(tsNs: Long): Unit = {
+          import s.implicits._
+          Seq((-1L, tsNs, -1L)).toDF("user_id", "ts_ns", "event_id")
+            .select(col("user_id"),
+              timestamp_micros(expr("ts_ns div 1000")).as("ts"),
+              col("ts_ns"), col("event_id"))
+            .coalesce(1).write.mode("append").parquet(drop)
+        }
+        sentinel(maxNs + 100 * nsPerDay)
+        sentinel(maxNs + 200 * nsPerDay)
+        val stream = StreamingIngest.readParquetStream(s, drop, ev.schema,
+          maxFilesPerTrigger = 1)
+        val sess = StreamingIngest.sessionizeStream(s, stream, "ts", gapNs,
+          watermark = "1 day", queryName = "stream_sessionize_mem")
+        sess.groupBy(col("user_id"))
+          .agg(max(col("session_seq")).as("n_sessions"),
+            sum(col("n_events")).as("n_events"),
+            count(when(col("n_events") > 1, 1)).as("n_multi"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, ts, event_id,
+            LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM events),
+        f AS (SELECT user_id, ts, event_id,
+            CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+          FROM e),
+        g AS (SELECT user_id, SUM(is_new) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          FROM f),
+        sess AS (SELECT user_id, session_seq, COUNT(*) AS n_events
+          FROM g GROUP BY user_id, session_seq)
+        SELECT user_id, CAST(MAX(session_seq) AS INT) AS n_sessions,
+          CAST(SUM(n_events) AS BIGINT) AS n_events,
+          COUNT(CASE WHEN n_events > 1 THEN 1 END) AS n_multi
+        FROM sess GROUP BY user_id ORDER BY user_id"""))
   )
 }

@@ -211,6 +211,18 @@ object TrainingData {
       },
       None),
 
+    // IVF tier — trained coarse quantizer + probed inverted lists; no
+    // oracle (approximate; determinism + recall asserted in
+    // SimilaritySpec).
+    QueryDef("ann_ivf",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, nlist = 16, nprobe = 4)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
     // ---- multimodal plumbing -------------------------------------------
     QueryDef("multimodal_stats",
       (s, d) => {

@@ -2,11 +2,24 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.pipeline.Upsert
 import graft.table.LakehouseTable
+
+/** Event row consumed by [[StreamingIngest.sessionizeStream]]. */
+case class SessEvent(user_id: Long, ts: java.sql.Timestamp, ts_ns: Long,
+    event_id: Long)
+
+/** Per-user state: events buffered until the session horizon passes.
+  * Bounded by the watermark — state for a user exists only while the
+  * watermark is within gap+delay of their last event. */
+case class SessBuffer(tsNs: Seq[Long], eventIds: Seq[Long])
+
+/** One closed session emitted on event-time timeout. */
+case class SessionRow(user_id: Long, session_seq: Int, n_events: Long,
+    start_ns: Long, end_ns: Long)
 
 /** Structured-Streaming front door for the lakehouse (SURVEY.md §2.9:
   * the reference's incremental append snapshots re-expressed as a real
@@ -72,6 +85,77 @@ object StreamingIngest {
       .withWatermark(tsCol, watermark)
       .dropDuplicates(keys :+ tsCol)
     val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
+  /** Gap-based sessionization as a CUSTOM STATEFUL streaming operator
+    * (`flatMapGroupsWithState` + event-time timeout — SURVEY.md §2.9
+    * extension beyond the built-in window/dedup shapes): events buffer
+    * per user; when the watermark passes a user's last event + gap, the
+    * buffer is sorted (ts, event_id — the same total order as the batch
+    * oracle), split at gaps > `gapNs`, and the closed sessions are
+    * emitted append-only.
+    *
+    * Determinism contract: state flushes are driven ONLY by the final
+    * watermark, so for a static input the output equals the batch
+    * sessionization regardless of how files batch into triggers. The
+    * caller advances the watermark past every real session (sentinel
+    * event) so no session is left open; a sentinel user's own state is
+    * simply never emitted. Buffering is bounded by the watermark
+    * horizon — the standard production design for out-of-order session
+    * assembly (incremental merge would trade exactness under
+    * re-ordering for memory; not needed while horizon ≪ corpus). */
+  def sessionizeStream(spark: SparkSession, stream: DataFrame, tsCol: String,
+      gapNs: Long, watermark: String, queryName: String): DataFrame = {
+    import spark.implicits._
+    // the watermarked column must survive into the stateful operator
+    // (selecting it away would strip the event-time watermark the
+    // timeout relies on)
+    val typed = stream
+      .withWatermark(tsCol, watermark)
+      .select(col("user_id"), col(tsCol).as("ts"), col("ts_ns"), col("event_id"))
+      .as[SessEvent]
+    val sessions = typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessBuffer, SessionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[SessEvent], state: GroupState[SessBuffer]) =>
+          if (state.hasTimedOut) {
+            val buf = state.get
+            state.remove()
+            val evs = buf.tsNs.zip(buf.eventIds).sorted
+            var seq = 0
+            var out = List.empty[SessionRow]
+            var start = 0
+            var i = 1
+            while (i <= evs.length) {
+              if (i == evs.length || evs(i)._1 - evs(i - 1)._1 > gapNs) {
+                seq += 1
+                out ::= SessionRow(user, seq, (i - start).toLong,
+                  evs(start)._1, evs(i - 1)._1)
+                start = i
+              }
+              i += 1
+            }
+            out.reverseIterator
+          } else {
+            val prev = state.getOption.getOrElse(SessBuffer(Nil, Nil))
+            val add = it.toSeq
+            val buf = SessBuffer(prev.tsNs ++ add.map(_.ts_ns),
+              prev.eventIds ++ add.map(_.event_id))
+            state.update(buf)
+            // fire once the watermark is past this user's session horizon
+            state.setTimeoutTimestamp(buf.tsNs.max / 1000000L + gapNs / 1000000L + 1L)
+            Iterator.empty
+          }
+      }
+    val q = sessions.toDF().writeStream
       .outputMode("append")
       .format("memory")
       .queryName(queryName)

@@ -68,6 +68,36 @@ final class LakehouseTable(
       spark.read.schema(schema).parquet(files.map(_.path): _*)
   }
 
+  /** Incremental (CDC-style) read: the rows ADDED after `fromSnapshot`
+    * up to `toSnapshot` (default: current) — the Iceberg incremental-
+    * scan analogue, and the scale primitive for consumers that must not
+    * re-read the table per cycle. Pure log metadata decides the file
+    * set; Spark only ever sees the delta files. Exact for append /
+    * add_files chains; a reset commit (overwrite / replace) inside the
+    * range is rejected because its delta is not expressible as
+    * file-adds. */
+  def scanIncremental(fromSnapshot: Long,
+      toSnapshot: Option[Long] = None): DataFrame = {
+    val snaps = catalog.snapshots(namespace, name)
+    require(snaps.exists(_.snapshotId == fromSnapshot),
+      s"unknown snapshot $fromSnapshot")
+    val upTo = toSnapshot.getOrElse(snaps.last.snapshotId)
+    val range = snaps.map(_.snapshotId)
+    val (i, j) = (range.indexOf(fromSnapshot), range.indexOf(upTo))
+    require(j >= i, s"toSnapshot $upTo precedes fromSnapshot $fromSnapshot")
+    val between = snaps.slice(i + 1, j + 1)
+    require(between.forall(s => !Snaplog.ResetOps(s.operation)),
+      s"incremental read across a reset commit (${Snaplog.ResetOps.mkString("/")}) is undefined")
+    val before = catalog.liveFiles(namespace, name, Some(fromSnapshot))
+      .map(_.path).toSet
+    val added = catalog.liveFiles(namespace, name, Some(upTo))
+      .filterNot(f => before(f.path))
+    if (added.isEmpty)
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+    else
+      spark.read.schema(schema).parquet(added.map(_.path): _*)
+  }
+
   /** Register the current snapshot for the SQL path (reference S10:
     * DuckDB `iceberg_scan` → here `spark.sql` over a temp view). */
   def registerView(viewName: String): Unit =

@@ -69,4 +69,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.0, s"LSH found none of the true neighbors")
     assert(got1.forall { case (q, v) => q != v }, "no self matches")
   }
+
+  test("IVF top-k: deterministic training, well-formed output, recall scales with nprobe") {
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run(nprobe: Int) = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = nprobe)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got1 = run(4)
+    val got2 = run(4)
+    assert(got1 == got2, "decimal-exact Lloyd updates must make training deterministic")
+    assert(got1.nonEmpty)
+    assert(got1.forall { case (q, v) => q != v }, "no self matches")
+    def recall(s: Set[(Long, Long)]) = (exact intersect s).size.toDouble / exact.size
+    val rLow = recall(run(1))
+    val rHigh = recall(run(16)) // nprobe = nlist probes everything ⇒ exact
+    assert(rHigh == 1.0, s"full probe must equal brute force, got $rHigh")
+    assert(recall(got1) >= rLow, "recall must not decrease with more probes")
+    assert(recall(got1) > 0.0)
+  }
 }

@@ -151,6 +151,23 @@ class SnaplogSpec extends SparkSpec {
       FloatType, DoubleType, StringType, StringType, StringType))
   }
 
+  test("incremental read returns exactly the post-snapshot delta; resets rejected") {
+    val cat = new Snaplog(Files.createTempDirectory("graft-incr").toString)
+    val df1 = spark.range(0, 10).toDF("id")
+    val df2 = spark.range(10, 15).toDF("id")
+    val df3 = spark.range(15, 18).toDF("id")
+    val table = LakehouseTable.create(cat, spark, "ns", "incr", df1.schema)
+    table.append(df1)
+    table.append(df2)
+    table.append(df3)
+    assert(table.scanIncremental(1L).select("id").collect().map(_.getLong(0)).sorted
+      === (10L until 18L).toArray)
+    assert(table.scanIncremental(1L, Some(2L)).count() === 5)
+    assert(table.scanIncremental(3L).count() === 0) // empty delta
+    table.overwrite(df1)
+    intercept[IllegalArgumentException] { table.scanIncremental(2L) }
+  }
+
   test("normalize casts, reorders, fills missing nullable columns") {
     val target = StructType(Seq(
       StructField("id", IntegerType, nullable = false),

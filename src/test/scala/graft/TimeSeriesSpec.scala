@@ -99,6 +99,20 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("streaming sessionization equals batch sessionization") {
+    // The flatMapGroupsWithState operator must reproduce the batch
+    // gap-sessionization exactly for a static input (same per-user
+    // session counts), with all state flushed by the sentinel watermark.
+    val stream = SparkEntry.queries("stream_sessionize")(spark, sf).collect()
+    val batch = SparkEntry.queries("sessionize_users")(spark, sf).collect()
+    assert(stream.length === batch.length)
+    def num(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.get(i).asInstanceOf[Number].longValue
+    stream.zip(batch).foreach { case (a, b) =>
+      (0 to 3).foreach(i => assert(num(a, i) === num(b, i)))
+    }
+  }
+
   test("schema evolution: old files read the added column as null") {
     import java.nio.file.Files
     val cat = new graft.catalog.Snaplog(

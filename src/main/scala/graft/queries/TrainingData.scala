@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Graph, Multimodal, Similarity}
 import Common._
 
 /** Training-data pipeline operators as driver-checkable queries: text
@@ -164,6 +164,52 @@ object TrainingData {
       Some(s"""$ExactPairsSql
         SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.5
         ORDER BY doc_a, doc_b""")),
+
+    // Pairs → clusters: connected components over the verified near-dup
+    // pair graph (iterative min-label propagation — the distributed
+    // clustering step between pair generation and canonical selection).
+    // Oracle: recursive-CTE label closure over the exact pair set.
+    QueryDef("dedup_components",
+      (s, d) => {
+        val pairs = Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text")
+        Graph.connectedComponents(pairs, "doc_a", "doc_b")
+          .groupBy(col("component")).agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("component"))
+      },
+      Some(s"""${ExactPairsSql.replaceFirst("WITH", "WITH RECURSIVE")},
+        pe AS (SELECT doc_a AS src, doc_b AS dst FROM p WHERE jaccard >= 0.5
+          UNION SELECT doc_b, doc_a FROM p WHERE jaccard >= 0.5),
+        r(node, label) AS (
+          SELECT DISTINCT src, src FROM pe
+          UNION
+          SELECT pe.dst, r.label FROM r JOIN pe ON r.node = pe.src),
+        lab AS (SELECT node, MIN(label) AS component FROM r GROUP BY node)
+        SELECT component, COUNT(*) AS n_docs FROM lab
+        GROUP BY component ORDER BY component""")),
+
+    // Clusters → survivors: keep the minimum-id document per near-dup
+    // cluster; untouched docs pass through. The end-to-end dedup
+    // pipeline (shingle → LSH-free exact pairs → components → canonical)
+    // in one gated query.
+    QueryDef("dedup_canonical",
+      (s, d) => {
+        val dd = docs(s, d)
+        val pairs = Dedup.ngramJaccardPairs(dd, "doc_id", "text")
+        Graph.keepCanonical(dd, "doc_id", pairs, "doc_a", "doc_b")
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""${ExactPairsSql.replaceFirst("WITH", "WITH RECURSIVE")},
+        pe AS (SELECT doc_a AS src, doc_b AS dst FROM p WHERE jaccard >= 0.5
+          UNION SELECT doc_b, doc_a FROM p WHERE jaccard >= 0.5),
+        r(node, label) AS (
+          SELECT DISTINCT src, src FROM pe
+          UNION
+          SELECT pe.dst, r.label FROM r JOIN pe ON r.node = pe.src),
+        lab AS (SELECT node, MIN(label) AS component FROM r GROUP BY node)
+        SELECT lang, COUNT(*) AS n_docs FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM lab WHERE node <> component)
+        GROUP BY lang ORDER BY lang""")),
 
     QueryDef("dedup_embedding",
       (s, d) => Dedup.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding",

@@ -107,6 +107,44 @@ class DedupSpec extends SparkSpec {
     assert(er == ef)
   }
 
+  test("connected components: chain, triangle, isolated pair, determinism") {
+    import graft.operators.Graph
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (12L, 10L), (21L, 20L)).toDF("a", "b")
+    val got = Graph.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("keepCanonical keeps min id per cluster and all unpaired docs") {
+    import graft.operators.Graph
+    val corpus = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((3L, 5L), (5L, 7L), (2L, 9L)).toDF("doc_a", "doc_b")
+    val kept = Graph.keepCanonical(corpus, "doc_id", pairs, "doc_a", "doc_b")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 4L, 6L, 8L, 10L)) // 5,7 -> 3; 9 -> 2
+  }
+
+  test("property: native shingles == composed builtins on arbitrary strings") {
+    import org.scalacheck.Gen
+    import graft.functions.Shingles
+    val weird = Gen.oneOf("a", "Z", "0", "9", " ", "-", "—", "ä", "中", "\n",
+      "\t", ".", "🙂", "K") // includes the Kelvin sign (lowercases to 'k')
+    val doc = Gen.listOf(weird).map(_.mkString)
+    val docsGen = Gen.listOfN(60, doc)
+    val sample = docsGen.sample.get ++ Seq("", "ab", "a b c", "ΑΒΓ δεζ")
+    val df = sample.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val ref = df.select($"doc_id", when(size(TF.tokens($"text")) >= lit(2),
+      TF.shingles(TF.tokens($"text"), 2)).otherwise(array().cast("array<string>")).as("sh"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[String](1).toSet).toMap
+    val fused = df.select($"doc_id", Shingles.shingles(spark, $"text", 2).as("sh"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[String](1).toSet).toMap
+    assert(ref == fused)
+  }
+
   test("tokens/shingles/fingerprint basics") {
     val df = Seq(("The  quick-BROWN fox!", 1)).toDF("text", "id")
       .select(TF.tokens($"text").as("tk"))

@@ -66,4 +66,27 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).length >= 2,
       "expected partial+final aggregate pair")
   }
+
+  test("q04 correlated EXISTS plans as a semi join, not a per-row subquery") {
+    val plan = physical(q("q04_order_priority"))
+    assert(plan.contains("LeftSemi"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("ann queries never plan a cartesian product (bucket/list equi-joins)") {
+    Seq("ann_lsh", "ann_ivf").foreach { name =>
+      val plan = physical(q(name))
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cross join")
+    }
+  }
+
+  test("incremental read scans only the delta rows (snapshot 1 never touched)") {
+    // the query ingests key%3==0 as snapshot 1 then appends %3==1, %3==2:
+    // the incremental row count must equal the two appended subsets only
+    val inc = q("lake_incremental_read")
+    val expected = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderkey") % 3 =!= 0).count()
+    assert(inc.agg(sum(col("n"))).head().getLong(0) === expected)
+    assert(inc.inputFiles.nonEmpty)
+  }
 }

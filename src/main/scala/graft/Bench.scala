@@ -19,8 +19,9 @@ object Bench {
     // engine bring-up (streaming state store, snapshot-log write path,
     // generated-code JIT tiers, broadcast machinery).
     val warmSf = "/root/testdata/sf0.001"
-    Seq("q01_pricing_summary", "dedup_minhash", "ann_bruteforce",
-      "text_token_stats", "lake_upsert_merge", "stream_windowed_daily")
+    Seq("q01_pricing_summary", "dedup_minhash", "dedup_components",
+      "ann_bruteforce", "text_token_stats", "lake_upsert_merge",
+      "stream_windowed_daily")
       .foreach { w =>
         try SparkEntry.queries(w)(spark, warmSf).count()
         catch { case _: Throwable => () }

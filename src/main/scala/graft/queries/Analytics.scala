@@ -462,6 +462,23 @@ object Analytics {
           quantile_cont(l_extendedprice, 0.9) AS p90_price
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- custom UDAF: bounded-heap per-group top-k ---------------------
+    // Unlike window rank (sorts+shuffles every row), the native
+    // TypedImperativeAggregate ships at most k values per group per
+    // partition — the map-side-combinable top-k for 100 TB groups.
+    QueryDef("topk_agg_prices",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.TopK.topkDouble(s, col("l_extendedprice"), 5).as("tp"))
+        .select(col("l_returnflag"), posexplode(col("tp")).as(Seq("pos", "price")))
+        .orderBy(col("l_returnflag"), col("pos")),
+      Some("""WITH t AS (SELECT l_returnflag,
+            list_slice(list(l_extendedprice ORDER BY l_extendedprice DESC), 1, 5) AS tp
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, CAST(generate_subscripts(tp, 1) - 1 AS INT) AS pos,
+          unnest(tp) AS price
+        FROM t ORDER BY l_returnflag, pos""")),
+
     // ---- grouping sets: full CUBE (rollup's bigger sibling) ------------
     QueryDef("cube_returns",
       (s, d) => t(s, d, "orders")

@@ -522,6 +522,30 @@ object Analytics {
         FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
         ORDER BY nationkey""")),
 
+    // ---- skew-salted join: 5-value key domain = worst-case skew --------
+    // (pattern demo at gated correctness: result must equal the plain
+    // join; in production the dim side would broadcast — salting is the
+    // big-big fallback, see Salt scaladoc)
+    QueryDef("skew_salted_join",
+      (s, d) => {
+        val ev = events(s, d).select(col("event_id"), col("event_type"), col("value"))
+        val dim = ev.groupBy(col("event_type"))
+          .agg(davg(col("value"), 6).as("avg_value"))
+        graft.operators.Salt.saltedJoin(ev, dim, "event_type", factor = 8)
+          .filter(col("value") > col("avg_value"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_above"), dsum(col("value"), 6).as("sum_above"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH dim AS (SELECT event_type,
+            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS avg_value
+          FROM events GROUP BY event_type)
+        SELECT e.event_type, COUNT(*) AS n_above,
+          CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_above
+        FROM events e JOIN dim ON e.event_type = dim.event_type
+        WHERE e.value > dim.avg_value
+        GROUP BY e.event_type ORDER BY e.event_type""")),
+
     // ---- correlated EXISTS (TPC-H Q4 flavor): order priority check -----
     // Catalyst rewrites the EXISTS into a left-semi join — never a
     // per-row subquery execution.

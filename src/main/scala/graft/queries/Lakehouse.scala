@@ -128,6 +128,51 @@ object Lakehouse {
         FROM orders WHERE o_orderkey % 3 IN (1, 2)
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // Bucketed co-located join: both sides written bucketed+sorted on
+    // the join key → the sort-merge join runs with ZERO exchanges and
+    // zero sorts (asserted in PlanAuditSpec). At 100 TB this is the
+    // difference between shuffling the fact table per join and reading
+    // co-partitioned buckets in place; the lineitem self-join keeps both
+    // sides fact-sized so the broadcast planner can't hide the shuffle.
+    QueryDef("bucketed_colocated_join",
+      (s, d) => {
+        val db = "graft_buck"
+        s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '${wh("bucketdb", d)}'")
+        s.sql(s"DROP TABLE IF EXISTS $db.li")
+        // one writer task per bucket → one file per bucket, so the scan
+        // reports the in-bucket sort order and the merge join needs no
+        // sort at all
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+          .repartition(8, col("l_orderkey"))
+          .write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .format("parquet").saveAsTable(s"$db.li")
+        val a = s.table(s"$db.li").select(col("l_orderkey"),
+          col("l_linenumber").as("ln_a"), col("l_extendedprice").as("price_a"))
+        val b = s.table(s"$db.li").select(col("l_orderkey"),
+          col("l_linenumber").as("ln_b"))
+        // MERGE hint: at bench scale the projection would fit a
+        // broadcast, which hides the co-location property being
+        // demonstrated (at 100 TB neither side broadcasts)
+        a.hint("merge").join(b.hint("merge"), Seq("l_orderkey"))
+          .filter(col("ln_a") < col("ln_b"))
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_pairs"), dsum(col("price_a")).as("price_sum"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("n_pairs")).as("n_pairs"),
+            dsum(col("price_sum")).as("total"))
+      },
+      Some("""WITH p AS (
+          SELECT a.l_orderkey, a.l_extendedprice AS price_a
+          FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            AND a.l_linenumber < b.l_linenumber),
+        g AS (SELECT l_orderkey, COUNT(*) AS n_pairs,
+            CAST(SUM(CAST(price_a AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+          FROM p GROUP BY l_orderkey)
+        SELECT COUNT(*) AS n_orders, SUM(n_pairs) AS n_pairs,
+          CAST(SUM(CAST(price_sum AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM g""")),
+
     // add_files: metadata-only registration of the source parquet itself
     // (zero copy, reference main-ray.py:109-121), then scan.
     QueryDef("lake_add_files",

@@ -80,6 +80,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("bucketed join is co-located: sort-merge joins straight over buckets, zero shuffles") {
+    val plan = physical(q("bucketed_colocated_join"))
+    assert(plan.contains("SortMergeJoin"), plan.take(800))
+    val joinPart = plan.substring(plan.indexOf("SortMergeJoin"))
+    assert(!joinPart.contains("Exchange hashpartitioning"),
+      "bucketed sides must not re-shuffle on the join key")
+    // any sorts below the join must be bucket-local (global=false) —
+    // cheap in-memory per-bucket ordering, never a range shuffle
+    "Sort \\[[^\\]]+\\], (true|false)".r.findAllMatchIn(joinPart).foreach { m =>
+      assert(m.group(1) == "false", s"global sort in bucketed join: ${m.matched}")
+    }
+    assert(plan.contains("Bucketed: true"), "scan must be bucket-aware")
+  }
+
   test("incremental read scans only the delta rows (snapshot 1 never touched)") {
     // the query ingests key%3==0 as snapshot 1 then appends %3==1, %3==2:
     // the incremental row count must equal the two appended subsets only

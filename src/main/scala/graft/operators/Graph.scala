@@ -29,8 +29,9 @@ object Graph {
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 50): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // no distinct: duplicate edges cannot change a min-aggregate, and
+    // deduplication would cost a full shuffle of the edge set up front
     val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
     und.persist(StorageLevel.MEMORY_AND_DISK)
 
     var labels = und.select(col("src").as("node")).distinct()

@@ -479,6 +479,18 @@ object Analytics {
           unnest(tp) AS price
         FROM t ORDER BY l_returnflag, pos""")),
 
+    // ---- approximate sketches: HLL++ distinct + quantile sketch --------
+    // No SQL oracle (DuckDB's sketches hash differently, so estimates
+    // legitimately differ engine-to-engine) → rows-only driver gate;
+    // SketchSpec bounds both estimates against the exact answers.
+    QueryDef("approx_sketches",
+      (s, d) => events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median"))
+        .orderBy(col("event_type")),
+      None),
+
     // ---- grouping sets: full CUBE (rollup's bigger sibling) ------------
     QueryDef("cube_returns",
       (s, d) => t(s, d, "orders")

@@ -18,11 +18,19 @@ import org.json4s.jackson.Serialization.{read => jread, write => jwrite}
   * partition spec `main-polars.py:135-142`; no directory listing at plan
   * time, which is what survives at 100 TB / millions of files).
   */
+/** Per-file, per-column value bounds (stringified; numeric columns
+  * parse back to double at prune time). Iceberg-manifest-style stats:
+  * collected once at commit from the parquet footer, consulted at scan
+  * planning so files whose [min,max] cannot match a range predicate are
+  * never handed to Spark. */
+case class ColBounds(min: String, max: String)
+
 case class DataFileEntry(
     path: String,
     rowCount: Long,
     sizeBytes: Long,
-    partitionValues: Map[String, String])
+    partitionValues: Map[String, String],
+    columnStats: Option[Map[String, ColBounds]] = None)
 
 /** One commit. `operation` ∈ append | overwrite | add_files — the three
   * commit kinds the reference exercises (`table.append`

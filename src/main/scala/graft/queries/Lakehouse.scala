@@ -128,6 +128,29 @@ object Lakehouse {
         FROM orders WHERE o_orderkey % 3 IN (1, 2)
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // Stat-based file skipping: orders range-partitioned on the key so
+    // data files carry disjoint [min,max] bounds; a key-range scan then
+    // prunes to the matching files from LOG METADATA alone (Iceberg
+    // manifest pruning) — the row-level filter on top keeps exactness.
+    // PlanAuditSpec asserts the pruned file count.
+    QueryDef("lake_file_skipping",
+      (s, d) => {
+        val cat = new Snaplog(wh("lake_file_skipping", d))
+        val orders = t(s, d, "orders")
+        val rep = Ingest.ingestDf(cat, "lake", "orders",
+          orders.repartitionByRange(4, col("o_orderkey")))
+        rep.table
+          .scan(rangeFilter = Map("o_orderkey" -> (Some(1000.0), Some(3000.0))))
+          .filter(col("o_orderkey").between(1000, 3000))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // Bucketed co-located join: both sides written bucketed+sorted on
     // the join key → the sort-merge join runs with ZERO exchanges and
     // zero sorts (asserted in PlanAuditSpec). At 100 TB this is the

@@ -55,13 +55,36 @@ final class LakehouseTable(
     */
   def scan(
       asOf: Option[Long] = None,
-      partitionFilter: Map[String, String] = Map.empty): DataFrame = {
+      partitionFilter: Map[String, String] = Map.empty,
+      rangeFilter: Map[String, (Option[Double], Option[Double])] = Map.empty)
+      : DataFrame = {
     val files0 = catalog.liveFiles(namespace, name, asOf)
-    val files =
+    val afterPartition =
       if (partitionFilter.isEmpty) files0
       else files0.filter(f => partitionFilter.forall { case (k, v) =>
         f.partitionValues.get(k).contains(v)
       })
+    // Stat-based file skipping (Iceberg manifest pruning): drop files
+    // whose recorded [min,max] for a numeric column cannot intersect
+    // the requested [lo,hi]. Files without stats for the column always
+    // survive — pruning is an optimization, never a correctness filter,
+    // so callers still apply the row-level predicate.
+    val files =
+      if (rangeFilter.isEmpty) afterPartition
+      else afterPartition.filter { f =>
+        rangeFilter.forall { case (c, (lo, hi)) =>
+          f.columnStats.flatMap(_.get(c)) match {
+            case Some(b) =>
+              val parsed =
+                try Some((b.min.toDouble, b.max.toDouble))
+                catch { case _: NumberFormatException => None }
+              parsed.forall { case (mn, mx) =>
+                lo.forall(_ <= mx) && hi.forall(_ >= mn)
+              }
+            case None => true
+          }
+        }
+      }
     if (files.isEmpty)
       spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
     else
@@ -219,8 +242,59 @@ final class LakehouseTable(
     val conf = spark.sessionState.newHadoopConf()
     val in = HadoopInputFile.fromPath(new HadoopPath(path), conf)
     val r = ParquetFileReader.open(in)
-    val rows = try r.getRecordCount finally r.close()
-    DataFileEntry(path, rows, Files.size(Paths.get(path)), pv)
+    try {
+      val rows = r.getRecordCount
+      // Iceberg-manifest-style column bounds from the footer: min/max
+      // per column merged across row groups. Columns whose stats are
+      // missing in ANY block get no bound (absence = "cannot prune" —
+      // always safe).
+      val mins = scala.collection.mutable.Map[String, Any]()
+      val maxs = scala.collection.mutable.Map[String, Any]()
+      val unsafe = scala.collection.mutable.Set[String]()
+      r.getFooter.getBlocks.asScala.foreach { b =>
+        b.getColumns.asScala.foreach { c =>
+          val name = c.getPath.toDotString
+          val st = c.getStatistics
+          if (st == null || !st.hasNonNullValue) unsafe += name
+          else statValues(st).foreach { case (mn, mx) =>
+            mins(name) = mins.get(name).map(combine(_, mn, min = true)).getOrElse(mn)
+            maxs(name) = maxs.get(name).map(combine(_, mx, min = false)).getOrElse(mx)
+          }
+        }
+      }
+      val stats = (mins.keySet -- unsafe).map { c =>
+        c -> graft.catalog.ColBounds(mins(c).toString, maxs(c).toString)
+      }.toMap
+      DataFileEntry(path, rows, Files.size(Paths.get(path)), pv,
+        if (stats.isEmpty) None else Some(stats))
+    } finally r.close()
+  }
+
+  /** (min, max) as comparable JVM values for the stat types we prune
+    * on: integral, floating, and UTF-8 binary. Others → no bound. */
+  private def statValues(
+      st: org.apache.parquet.column.statistics.Statistics[_]): Option[(Any, Any)] =
+    st match {
+      case s: org.apache.parquet.column.statistics.LongStatistics =>
+        Some((s.getMin: Long, s.getMax: Long))
+      case s: org.apache.parquet.column.statistics.IntStatistics =>
+        Some((s.getMin.toLong, s.getMax.toLong))
+      case s: org.apache.parquet.column.statistics.DoubleStatistics =>
+        Some((s.getMin: Double, s.getMax: Double))
+      case s: org.apache.parquet.column.statistics.FloatStatistics =>
+        Some((s.getMin.toDouble, s.getMax.toDouble))
+      case s: org.apache.parquet.column.statistics.BinaryStatistics
+          if s.`type`().getLogicalTypeAnnotation ==
+            org.apache.parquet.schema.LogicalTypeAnnotation.stringType() =>
+        Some((s.genericGetMin.toStringUsingUTF8, s.genericGetMax.toStringUsingUTF8))
+      case _ => None
+    }
+
+  private def combine(a: Any, b: Any, min: Boolean): Any = (a, b) match {
+    case (x: Long, y: Long) => if ((x < y) == min) x else y
+    case (x: Double, y: Double) => if ((x < y) == min) x else y
+    case (x: String, y: String) => if ((x.compareTo(y) < 0) == min) x else y
+    case _ => a
   }
 }
 

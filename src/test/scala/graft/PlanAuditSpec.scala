@@ -94,6 +94,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Bucketed: true"), "scan must be bucket-aware")
   }
 
+  test("stat-based file skipping prunes non-matching files from metadata") {
+    val pruned = q("lake_file_skipping")
+    // the table was written as 4 range-partitioned files; a 2000-key
+    // range must skip at least one of them purely from log stats
+    val all = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(pruned.inputFiles.length < 4,
+      s"expected pruning below 4 files, scanned ${pruned.inputFiles.length}")
+    // correctness unaffected: result equals the plain filter
+    val expected = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderkey").between(1000, 3000)).count()
+    assert(pruned.agg(sum(col("n"))).head().getLong(0) === expected)
+    assert(expected < all)
+  }
+
   test("incremental read scans only the delta rows (snapshot 1 never touched)") {
     // the query ingests key%3==0 as snapshot 1 then appends %3==1, %3==2:
     // the incremental row count must equal the two appended subsets only

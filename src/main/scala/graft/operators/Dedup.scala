@@ -237,8 +237,15 @@ object Dedup {
   private def featSizes(feats: DataFrame, idCol: String): DataFrame =
     feats.select(col(idCol).as("pid"), size(col("sh")).as("sz"))
 
-  /** Bucket join: ids sharing a bucket key → distinct ordered candidate
-    * pairs. Buckets larger than `maxBucket` are dropped (skew guard). */
+  /** Bucket join: ids sharing a bucket key → ordered candidate pairs.
+    * Buckets larger than `maxBucket` are dropped (skew guard).
+    *
+    * Deliberately NOT distinct'd: a pair colliding in several bands
+    * appears a few times (measured ~3× on the test corpus), but
+    * deduplicating here costs a full shuffle of the candidate set while
+    * verification is a per-row broadcast probe — cheaper to verify the
+    * duplicates and distinct the (tiny) surviving pair set instead
+    * (done in verifyPairs). */
   private def candidatesFromBuckets(bucketed: DataFrame, idCol: String,
       keyCol: String, maxBucket: Int): DataFrame = {
     val big = bucketed.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
@@ -247,7 +254,7 @@ object Dedup {
     val x = ok.select(col(keyCol), col(idCol).as("doc_a"))
     val y = ok.select(col(keyCol), col(idCol).as("doc_b"))
     x.join(y, Seq(keyCol)).filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+      .select(col("doc_a"), col("doc_b"))
   }
 
   /** Exact Jaccard for the (LSH-bounded, small) candidate pair set:
@@ -264,6 +271,10 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      // multi-band collisions arrive duplicated (see
+      // candidatesFromBuckets) — dedup the surviving set, which is
+      // orders of magnitude smaller than the candidate set
+      .distinct()
 
   /** jaccard = |A∩B| / (|A|+|B|-|A∩B|) — same integer division order as
     * the DuckDB oracle's `len(list_intersect)/len(distinct concat)`. */

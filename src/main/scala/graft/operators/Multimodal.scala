@@ -89,6 +89,40 @@ object Multimodal {
     }
   }
 
+  final case class Resized(
+      media_id: Long, width: Int, height: Int, payload: Array[Byte])
+
+  /** STUB resize, per-partition batches: nearest-neighbor index mapping
+    * over the payload treated as a width×height byte grid. The real
+    * impl binds an image library in place of the index math; the
+    * Spark-side shape — typed Dataset in, `mapPartitions` batch, typed
+    * Dataset out, no shuffle, output co-partitioned with input — IS the
+    * production plumbing and is what the spec pins. */
+  def resize(spark: SparkSession, media: DataFrame,
+      newW: Int, newH: Int): Dataset[Resized] = {
+    import spark.implicits._
+    require(newW > 0 && newH > 0, "target dimensions must be positive")
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { m =>
+        val p = m.payload
+        // ??? real codec resize goes here — below is the stub:
+        val out = new Array[Byte](newW * newH)
+        var y = 0
+        while (y < newH) {
+          val sy = (y.toLong * m.height / newH).toInt
+          var x = 0
+          while (x < newW) {
+            val sx = (x.toLong * m.width / newW).toInt
+            out(y * newW + x) = p((sy * m.width + sx) % p.length)
+            x += 1
+          }
+          y += 1
+        }
+        Resized(m.media_id, newW, newH, out)
+      }
+    }
+  }
+
   /** Frame extraction/sampling for video-like payloads: frame i = bytes
     * [i*frameBytes, (i+1)*frameBytes), keeping every `stride`-th frame —
     * pure Column ops (codegen'd); the explode keeps frames co-partitioned

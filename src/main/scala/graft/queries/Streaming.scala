@@ -112,8 +112,12 @@ object Streaming {
         }
         sentinel(maxNs + 100 * nsPerDay)
         sentinel(maxNs + 200 * nsPerDay)
+        // two files per trigger: [real, sentinelA] then [sentinelB] —
+        // the watermark still only advances BETWEEN batches, so all
+        // real data is in state before any timeout can fire, with one
+        // fewer micro-batch than single-file triggers
         val stream = StreamingIngest.readParquetStream(s, drop, ev.schema,
-          maxFilesPerTrigger = 1)
+          maxFilesPerTrigger = 2)
         val sess = StreamingIngest.sessionizeStream(s, stream, "ts", gapNs,
           watermark = "1 day", queryName = "stream_sessionize_mem")
         sess.groupBy(col("user_id"))

@@ -36,6 +36,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("stub resize: exact output shape, deterministic nearest-neighbor sampling") {
+    val out = Multimodal.resize(spark, media, newW = 8, newH = 4).collect()
+    assert(out.nonEmpty)
+    val payloads = media.select($"media_id", $"payload", $"width", $"height")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Array[Byte]](1), r.getInt(2), r.getInt(3))).toMap
+    out.foreach { r =>
+      assert(r.width == 8 && r.height == 4 && r.payload.length == 32)
+      val (p, w, h) = payloads(r.media_id)
+      // spot-check pixel (0,0) and (7,3) against the index math
+      assert(r.payload(0) == p(0))
+      val sx = (7L * w / 8).toInt; val sy = (3L * h / 4).toInt
+      assert(r.payload(3 * 8 + 7) == p((sy * w + sx) % p.length))
+    }
+    // deterministic across runs
+    val again = Multimodal.resize(spark, media, 8, 4).collect()
+      .map(r => r.media_id -> r.payload.toSeq).toMap
+    assert(out.forall(r => again(r.media_id) == r.payload.toSeq))
+  }
+
   test("frame extraction: 8 frames of 16 bytes, stride sampling halves them") {
     val f1 = Multimodal.frames(media, frameBytes = 16)
     val perMedia = f1.groupBy("media_id").count().select("count").distinct().collect()

@@ -108,7 +108,12 @@ object Dedup {
       .join(p.select(col("shingle"), col(idCol).as("doc_b")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
-    jaccardFromCounts(inter, sizes, threshold)
+    val pairs = jaccardFromCounts(inter, sizes, threshold)
+    // the verified pair set is tiny (bounded by true near-dups) and
+    // consumed by several downstream pipelines in a session (pair
+    // listing, clustering, canonical selection) — materialize once
+    pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs
   }
 
   /** SimHash near-dup pairs: 64-bit sketch per doc (custom codegen

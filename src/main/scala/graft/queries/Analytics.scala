@@ -462,6 +462,36 @@ object Analytics {
           quantile_cont(l_extendedprice, 0.9) AS p90_price
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- window frames: trailing RANGE window + distribution funcs -----
+    // (single-partition window is fine at daily grain — ~2.4k rows after
+    // the aggregate; at scale the frame would partition by month)
+    QueryDef("window_frames",
+      (s, d) => {
+        val daily = t(s, d, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(dsum(col("o_totalprice")).as("rev"))
+          .withColumn("day_num", datediff(col("day"), lit("1990-01-01")))
+        val w7 = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+        val wr = Window.orderBy(col("rev"), col("day"))
+        daily
+          .withColumn("rev7",
+            sum(col("rev").cast(DecimalType(18, 2))).over(w7).cast("double"))
+          .withColumn("pr", percent_rank().over(wr))
+          .withColumn("quartile", ntile(4).over(wr))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("rev"), col("rev7"), col("pr"), col("quartile"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+          FROM orders GROUP BY 1)
+        SELECT strftime(day, '%Y-%m-%d') AS day, rev,
+          CAST(SUM(CAST(rev AS DECIMAL(18,2))) OVER (ORDER BY day
+            RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev7,
+          percent_rank() OVER (ORDER BY rev, day) AS pr,
+          CAST(ntile(4) OVER (ORDER BY rev, day) AS INT) AS quartile
+        FROM daily ORDER BY day""")),
+
     // ---- custom UDAF: bounded-heap per-group top-k ---------------------
     // Unlike window rank (sorts+shuffles every row), the native
     // TypedImperativeAggregate ships at most k values per group per

@@ -46,6 +46,8 @@ object GraftFunctions {
     "hyperplane_sketch" -> { exprs =>
       HyperplaneSketchExpr(exprs.head, intLit(exprs(1), "planeBits"))
     },
+    "intersect_size" -> { exprs => IntersectSizeExpr(exprs(0), exprs(1)) },
+    "union_size" -> { exprs => UnionSizeExpr(exprs(0), exprs(1)) },
     "topk_double" -> { exprs =>
       // numeric literals arrive as DECIMAL from SQL — coerce explicitly
       TopKDoubleAgg(Cast(exprs.head, DoubleType), intLit(exprs(1), "k"))
@@ -63,7 +65,8 @@ object GraftFunctions {
 /** `spark.sql.extensions` entry point: injects every graft function
   * into sessions at build time. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => FuseSetSizes)
     GraftFunctions.builders.foreach { case (name, b) =>
       ext.injectFunction((
         new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
@@ -71,4 +74,5 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft", name),
         b))
     }
+  }
 }

@@ -267,7 +267,10 @@ object Dedup {
     * than a posting-count join once candidates are few — the arrays are
     * only materialized for pairs that banding already vetted. */
   private def verifyPairs(cand: DataFrame, feats: DataFrame, idCol: String,
-      threshold: Double): DataFrame =
+      threshold: Double): DataFrame = {
+    // fuse size(array_intersect/union) into single-pass counts — the
+    // per-candidate verification kernel (see FuseSetSizes scaladoc)
+    graft.functions.FuseSetSizes.install(cand.sparkSession)
     cand
       .join(feats.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(feats.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
@@ -280,6 +283,7 @@ object Dedup {
       // candidatesFromBuckets) — dedup the surviving set, which is
       // orders of magnitude smaller than the candidate set
       .distinct()
+  }
 
   /** jaccard = |A∩B| / (|A|+|B|-|A∩B|) — same integer division order as
     * the DuckDB oracle's `len(list_intersect)/len(distinct concat)`. */

@@ -50,6 +50,7 @@ class GraftFunctionsSpec extends SparkSpec {
     // complete and consistent instead
     assert(GraftFunctions.builders.map(_._1).toSet == Set(
       "graft_shingles", "simhash64", "minhash_bands", "vector_dot",
-      "vector_norm", "hyperplane_sketch", "topk_double"))
+      "vector_norm", "hyperplane_sketch", "topk_double",
+      "intersect_size", "union_size"))
   }
 }

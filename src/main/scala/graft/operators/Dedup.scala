@@ -202,6 +202,45 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("cosine"))
   }
 
+  /** Partial-duplicate (containment) pairs via content-defined chunking:
+    * documents sharing ≥ `minShared` CDC chunk fingerprints, scored by
+    * containment = shared / min(|chunks_a|, |chunks_b|) — catches one
+    * doc CONTAINING another or long shared boilerplate spans, which
+    * whole-doc fingerprints miss and full-set Jaccard dilutes (a half-
+    * contained doc has jaccard ≈ 0.5 but containment ≈ 1.0).
+    *
+    * Same scale shape as the n-gram inverted index: one fused chunking
+    * pass (native CdcChunksExpr), one posting shuffle on the 64-bit
+    * chunk fingerprint (never the text), df-pruned postings, count-based
+    * scoring. Output: (doc_a, doc_b, shared_chunks, containment). */
+  def containmentPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, target: Int = 32, minShared: Int = 2,
+      maxDf: Int = 1000): DataFrame = {
+    val ss = docs.sparkSession
+    val f = Par.spread(docs)
+      .select(col(idCol),
+        array_distinct(graft.functions.CdcChunks.chunks(
+          ss, col(textCol), window, target)).as("ck"))
+      .filter(size(col("ck")) > 0)
+    f.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = f.select(col(idCol).as("pid"), size(col("ck")).as("sz"))
+    val postings = f.select(col(idCol), explode_outer(col("ck")).as("chunk"))
+    val keep = postings.groupBy(col("chunk")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf)).select(col("chunk"))
+    val p = postings.join(keep, Seq("chunk"))
+    p.select(col("chunk"), col(idCol).as("doc_a"))
+      .join(p.select(col("chunk"), col(idCol).as("doc_b")), Seq("chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared_chunks"))
+      .filter(col("shared_chunks") >= minShared)
+      .join(sizes.select(col("pid").as("doc_a"), col("sz").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("pid").as("doc_b"), col("sz").as("nb")), Seq("doc_b"))
+      .withColumn("containment",
+        col("shared_chunks") * lit(1.0) / least(col("na"), col("nb")))
+      .select(col("doc_a"), col("doc_b"), col("shared_chunks"), col("containment"))
+  }
+
   // ---- shared plumbing --------------------------------------------------
 
   /** (id, sh: array<string>) distinct shingle sets; empty-feature docs

@@ -211,6 +211,28 @@ object TrainingData {
         WHERE doc_id NOT IN (SELECT node FROM lab WHERE node <> component)
         GROUP BY lang ORDER BY lang""")),
 
+    // Partial-duplicate detection: each doc's first half is planted as
+    // a synthetic "contained" document; chunk-level matching must
+    // recover the containment pairs that full-document fingerprints
+    // miss. No SQL oracle (rolling-hash boundaries are not expressible
+    // in SQL) → rows-only gate; recall/precision pinned in DedupSpec.
+    QueryDef("dedup_containment",
+      (s, d) => {
+        val dd = docs(s, d).select(col("doc_id"), col("text"))
+          .filter(col("doc_id") < 500)
+        val halves = dd
+          .withColumn("doc_id", col("doc_id") + 2000000)
+          .withColumn("text", substring(col("text"), lit(1),
+            (length(col("text")) / 2).cast("int")))
+        // chunk ≈ 8 tokens: sized to the corpus's ~50-token documents
+        // (production corpora use the 32-token default)
+        Dedup.containmentPairs(dd.unionByName(halves), "doc_id", "text",
+            window = 4, target = 8, minShared = 1)
+          .filter(col("containment") >= 0.5)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      None),
+
     QueryDef("dedup_embedding",
       (s, d) => Dedup.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.4)

@@ -107,6 +107,46 @@ class DedupSpec extends SparkSpec {
     assert(er == ef)
   }
 
+  test("containment: planted half-docs pair with their source at high containment") {
+    val dd = docs.select($"doc_id", $"text").filter($"doc_id" < 300)
+    val halves = dd.withColumn("doc_id", $"doc_id" + 2000000)
+      .withColumn("text", substring($"text", lit(1), (length($"text") / 2).cast("int")))
+    def run() = graft.operators.Dedup
+      .containmentPairs(dd.unionByName(halves), "doc_id", "text",
+        window = 4, target = 8, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val pairs = run()
+    val planted = pairs.filter { case (a, b, _) => b == a + 2000000 }
+    // a prefix IS a shared span: the half shares every chunk except the
+    // trailing partial one, so detection needs only one content boundary
+    // inside the half (~98% at chunk ≈ 8 tokens / ~25-token halves)
+    assert(planted.length >= 240, s"found only ${planted.length}/300 planted pairs")
+    // detection means >= 1 shared chunk of the half's k >= 2 chunks, and
+    // exactly the trailing partial chunk differs -> containment = (k-1)/k >= 0.5
+    assert(planted.forall(_._3 >= 0.5),
+      s"planted below 0.5: ${planted.filter(_._3 < 0.5)}")
+    assert(pairs.toSet == run().toSet) // determinism
+  }
+
+  test("cdc chunking: boundaries are content-local (prefix insertion)") {
+    import graft.functions.CdcChunks
+    val base = docs.filter($"doc_id" < 100)
+      .select($"doc_id", CdcChunks.chunks(spark, $"text", 4, 8).as("ck"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val shifted = docs.filter($"doc_id" < 100)
+      .select($"doc_id", CdcChunks.chunks(spark,
+        concat(lit("zzz unrelated prefix words here "), $"text"), 4, 8).as("ck"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // fixed-size chunking would shift EVERY boundary; content-defined
+    // chunking must preserve most fingerprints past the first boundary
+    val overlaps = base.keys.map { id =>
+      val b = base(id); val s = shifted(id)
+      if (b.isEmpty) 1.0 else (b intersect s).size.toDouble / b.size
+    }
+    assert(overlaps.sum / overlaps.size >= 0.5,
+      f"mean chunk survival ${overlaps.sum / overlaps.size}%.2f too low")
+  }
+
   test("connected components: chain, triangle, isolated pair, determinism") {
     import graft.operators.Graph
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}

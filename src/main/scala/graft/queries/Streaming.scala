@@ -85,6 +85,43 @@ object Streaming {
           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         FROM dedup GROUP BY event_type ORDER BY event_type""")),
 
+    // Stream–stream interval join: purchases joined to the views in the
+    // 10 minutes before them, both sides streaming with watermark-
+    // bounded join state. Oracle: the batch interval join (range_join's
+    // SQL) — event timestamps are exactly µs-precision so the ts
+    // comparison is engine-identical.
+    QueryDef("stream_interval_join",
+      (s, d) => {
+        val ev = events(s, d)
+        val pDrop = scratchDir("stream_ij_purchases", d)
+        val vDrop = scratchDir("stream_ij_views", d)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event_id"),
+            col("user_id").as("p_user_id"), col("ts").as("p_ts"))
+        val v = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user_id"), col("ts").as("v_ts"),
+            col("value").as("v_value"))
+        p.coalesce(1).write.mode("append").parquet(pDrop)
+        v.coalesce(1).write.mode("append").parquet(vDrop)
+        val joined = StreamingIngest.intervalJoinStreams(
+          StreamingIngest.readParquetStream(s, pDrop, p.schema), "p_ts",
+          StreamingIngest.readParquetStream(s, vDrop, v.schema), "v_ts",
+          "p_user_id = v_user_id AND v_ts >= p_ts - INTERVAL 10 MINUTES AND v_ts < p_ts",
+          watermark = "1 day", queryName = "stream_ij_mem")
+        joined.groupBy(col("p_event_id"))
+          .agg(count(lit(1)).as("n_views"), dsum(col("v_value"), 6).as("views_value"))
+          .select(col("p_event_id").as("event_id"), col("n_views"), col("views_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'),
+          v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+        SELECT p.event_id, COUNT(*) AS n_views,
+          CAST(SUM(CAST(v.value AS DECIMAL(18,6))) AS DOUBLE) AS views_value
+        FROM p JOIN v ON p.user_id = v.user_id
+          AND v.ts >= p.ts - INTERVAL 10 MINUTE AND v.ts < p.ts
+        GROUP BY p.event_id ORDER BY p.event_id""")),
+
     // Custom stateful operator: gap sessionization via
     // flatMapGroupsWithState with event-time timeout. Two sentinel
     // events (written LAST, so the file source processes them after the

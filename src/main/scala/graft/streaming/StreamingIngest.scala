@@ -165,6 +165,30 @@ object StreamingIngest {
     spark.table(queryName)
   }
 
+  /** Watermarked STREAM–STREAM interval join (the last of the stateful
+    * §2.9 shapes): both sides buffer in join state bounded by their
+    * watermarks plus the interval condition — Spark derives how long a
+    * row can still find a partner and evicts it after. For a static
+    * input set the inner join drains to exactly the batch interval-join
+    * answer (watermarks only bound STATE, never drop inner-join
+    * results). `condition` must relate the two event-time columns with
+    * a bounded interval or state grows unboundedly. */
+  def intervalJoinStreams(left: DataFrame, leftTsCol: String,
+      right: DataFrame, rightTsCol: String, condition: String,
+      watermark: String, queryName: String): DataFrame = {
+    val l = left.withWatermark(leftTsCol, watermark)
+    val r = right.withWatermark(rightTsCol, watermark)
+    val joined = l.join(r, expr(condition))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    joined.sparkSession.table(queryName)
+  }
+
   /** Watermarked tumbling-window counts per key column — the stateful
     * aggregation shape. Materializes currently-available input through
     * the memory sink and returns the result (deterministic for a static

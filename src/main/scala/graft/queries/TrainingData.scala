@@ -247,6 +247,49 @@ object TrainingData {
         SELECT doc_a, doc_b, cosine FROM p WHERE cosine >= 0.4
         ORDER BY doc_a, doc_b""")),
 
+    // ---- capstone: the full training-corpus pipeline --------------------
+    // quality filter → exact near-dup pairs → connected-component
+    // clustering → canonical survivors → language distribution, in one
+    // gated query whose DuckDB oracle recomputes every stage (the
+    // quality CASE, the shingle jaccard, the recursive label closure).
+    QueryDef("pipeline_training_corpus",
+      (s, d) => {
+        val scored = docs(s, d)
+          .withColumn("tk", TF.tokens(col("text")))
+          .filter(TF.qualityScore(col("text"), col("tk")) >= 0.5)
+          .select(col("doc_id"), col("text"), col("lang"))
+        val pairs = Dedup.ngramJaccardPairs(scored, "doc_id", "text")
+        Graph.keepCanonical(scored, "doc_id", pairs, "doc_a", "doc_b")
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH RECURSIVE toks AS (
+          SELECT doc_id, text, lang, $TkSql AS tk FROM documents),
+        m AS (SELECT doc_id, text, lang, tk, len(tk) AS n_tokens,
+            len(list_filter(tk, x -> x IN ('the','a','of','and','in'))) AS n_stop,
+            list_sum(list_transform(tk, x -> length(x))) AS tot_chars
+          FROM toks),
+        keep0 AS (SELECT doc_id, lang, tk FROM m
+          WHERE (CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+            least(n_tokens * 1.0 / 100.0, 1.0) * 0.5
+            + (n_stop * 1.0 / n_tokens) * 0.3
+            + least((tot_chars * 1.0 / n_tokens) / 10.0, 1.0) * 0.2 END) >= 0.5),
+        sh AS (SELECT doc_id, ${shSql("tk")} AS sh FROM keep0 WHERE len(tk) >= 3),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            len(list_intersect(a.sh, b.sh)) * 1.0
+              / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        pe AS (SELECT doc_a AS src, doc_b AS dst FROM p WHERE jaccard >= 0.5
+          UNION SELECT doc_b, doc_a FROM p WHERE jaccard >= 0.5),
+        r(node, label) AS (
+          SELECT DISTINCT src, src FROM pe
+          UNION
+          SELECT pe.dst, r.label FROM r JOIN pe ON r.node = pe.src),
+        lab AS (SELECT node, MIN(label) AS component FROM r GROUP BY node)
+        SELECT lang, COUNT(*) AS n_docs FROM keep0
+        WHERE doc_id NOT IN (SELECT node FROM lab WHERE node <> component)
+        GROUP BY lang ORDER BY lang""")),
+
     // ---- similarity search ---------------------------------------------
     QueryDef("ann_bruteforce",
       (s, d) => {

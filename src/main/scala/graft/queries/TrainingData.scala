@@ -254,9 +254,16 @@ object TrainingData {
     // quality CASE, the shingle jaccard, the recursive label closure).
     QueryDef("pipeline_training_corpus",
       (s, d) => {
-        val scored = docs(s, d)
+        // materialized scoring stage: predicate pushdown would otherwise
+        // substitute the interpreted quality tree into the single-split
+        // scan filter (the Dedup-scaladoc pathology); the cache boundary
+        // keeps scoring in the spread 32-task stage, evaluated once
+        val scored0 = docs(s, d)
           .withColumn("tk", TF.tokens(col("text")))
-          .filter(TF.qualityScore(col("text"), col("tk")) >= 0.5)
+          .select(col("doc_id"), col("text"), col("lang"),
+            TF.qualityScore(col("text"), col("tk")).as("score"))
+        scored0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val scored = scored0.filter(col("score") >= 0.5)
           .select(col("doc_id"), col("text"), col("lang"))
         val pairs = Dedup.ngramJaccardPairs(scored, "doc_id", "text")
         Graph.keepCanonical(scored, "doc_id", pairs, "doc_a", "doc_b")

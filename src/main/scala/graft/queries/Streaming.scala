@@ -85,6 +85,36 @@ object Streaming {
           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         FROM dedup GROUP BY event_type ORDER BY event_type""")),
 
+    // Stream–static enrichment join: the event stream joins a STATIC
+    // per-user dimension (order counts) that Spark re-plans and
+    // broadcasts per micro-batch — the standard streaming enrichment
+    // shape, stateless on the join itself.
+    QueryDef("stream_static_join",
+      (s, d) => {
+        val drop = scratchDir("stream_static_join", d)
+        val ev = events(s, d).select("event_id", "user_id", "ts", "event_type", "value")
+        ev.coalesce(2).write.mode("append").parquet(drop)
+        val userOrders = t(s, d, "orders")
+          .groupBy(col("o_custkey").as("user_id"))
+          .agg(count(lit(1)).as("n_orders"))
+        val stream = StreamingIngest.readParquetStream(s, drop, ev.schema)
+        val enriched = stream.join(broadcast(userOrders), Seq("user_id"), "inner")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("n_orders")).as("total_orders"))
+        val q = enriched.writeStream
+          .outputMode("complete").format("memory")
+          .queryName("stream_static_mem").start()
+        q.processAllAvailable(); q.stop()
+        s.table("stream_static_mem").orderBy(col("event_type"))
+      },
+      Some("""WITH uo AS (SELECT o_custkey AS user_id, COUNT(*) AS n_orders
+            FROM orders GROUP BY o_custkey)
+        SELECT event_type, COUNT(*) AS n_events,
+          CAST(SUM(n_orders) AS BIGINT) AS total_orders
+        FROM events e JOIN uo USING (user_id)
+        GROUP BY event_type ORDER BY event_type""")),
+
     // Stream–stream interval join: purchases joined to the views in the
     // 10 minutes before them, both sides streaming with watermark-
     // bounded join state. Oracle: the batch interval join (range_join's

@@ -274,5 +274,9 @@ object Snaplog {
   /** Compaction commit: same replay semantics as overwrite (resets the
     * live set) but recorded distinctly for history/audit. */
   val OpReplace = "replace"
-  val ResetOps: Set[String] = Set(OpOverwrite, OpReplace)
+  /** Copy-on-write row-level delete: the snapshot carries the complete
+    * post-delete live set (untouched files + rewritten survivors), so it
+    * replays like an overwrite and is recorded distinctly for audit. */
+  val OpDelete = "delete"
+  val ResetOps: Set[String] = Set(OpOverwrite, OpReplace, OpDelete)
 }

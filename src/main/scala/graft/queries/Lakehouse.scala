@@ -272,6 +272,36 @@ object Lakehouse {
     // Compaction: 3 small-file appends rewritten into ceil(bytes/512MB)
     // files by a `replace` commit — data identical, layout consolidated.
     // THE lakehouse maintenance op at scale (small-files problem).
+    // Copy-on-write row-level DELETE: table partitioned by status, delete
+    // hits only the 'F' partition → only those files rewrite; the other
+    // partitions' files carry over untouched into the delete snapshot.
+    // The partial-rewrite claim itself is part of the result (rewrote_all
+    // must be false) and the surviving rows must match DuckDB exactly.
+    QueryDef("lake_delete_where",
+      (s, d) => {
+        val cat = new Snaplog(wh("lake_delete_where", d))
+        val orders = t(s, d, "orders")
+        val rep = Ingest.ingestDf(cat, "lake", "orders_del", orders,
+          partitionColumns = Seq("o_orderstatus"))
+        val before = cat.liveFiles("lake", "orders_del").map(_.path).toSet
+        val snap = rep.table.delete(
+          col("o_orderstatus") === "F" && col("o_totalprice") > 200000.0)
+        val after = cat.liveFiles("lake", "orders_del").map(_.path).toSet
+        val carried = before.intersect(after).size.toLong
+        rep.table.scan()
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("last_op", lit(snap.operation))
+          .withColumn("rewrote_all", lit(carried == 0L))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          'delete' AS last_op, FALSE AS rewrote_all
+        FROM orders
+        WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 200000.0)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     QueryDef("lake_compaction",
       (s, d) => {
         val cat = new Snaplog(wh("lake_compaction", d))

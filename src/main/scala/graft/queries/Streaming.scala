@@ -152,6 +152,58 @@ object Streaming {
           AND v.ts >= p.ts - INTERVAL 10 MINUTE AND v.ts < p.ts
         GROUP BY p.event_id ORDER BY p.event_id""")),
 
+    // Stream–stream LEFT OUTER interval join: purchases with no views in
+    // the preceding 10 minutes must STILL emit (null-padded) — which only
+    // happens once the watermark passes their join window, so two future
+    // sentinel files per side drive the watermark forward batch-by-batch
+    // (single-file triggers), exactly like stream_sessionize. Sentinels
+    // filter out of the result; the oracle is the batch LEFT JOIN.
+    QueryDef("stream_outer_interval_join",
+      (s, d) => {
+        val ev = events(s, d)
+        val pDrop = scratchDir("stream_oij_purchases", d)
+        val vDrop = scratchDir("stream_oij_views", d)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event_id"),
+            col("user_id").as("p_user_id"), col("ts").as("p_ts"))
+        val v = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user_id"), col("ts").as("v_ts"),
+            col("value").as("v_value"))
+        p.coalesce(1).write.mode("append").parquet(pDrop)
+        v.coalesce(1).write.mode("append").parquet(vDrop)
+        val maxTs = ev.agg(max(col("ts_ns"))).head().getLong(0)
+        val nsPerDay = 24L * 3600 * 1000 * 1000 * 1000
+        def sentinels(drop: String, mk: Long => org.apache.spark.sql.DataFrame): Unit =
+          Seq(maxTs + 100 * nsPerDay, maxTs + 200 * nsPerDay).foreach(ts =>
+            mk(ts).coalesce(1).write.mode("append").parquet(drop))
+        def sentinelTs(tsNs: Long) = timestamp_micros(lit(tsNs / 1000))
+        sentinels(pDrop, ts => p.limit(0).sparkSession.range(1)
+          .select(lit(-1L).as("p_event_id"), lit(-1L).as("p_user_id"),
+            sentinelTs(ts).as("p_ts")))
+        sentinels(vDrop, ts => v.limit(0).sparkSession.range(1)
+          .select(lit(-1L).as("v_user_id"), sentinelTs(ts).as("v_ts"),
+            lit(0.0).as("v_value")))
+        val joined = StreamingIngest.intervalJoinStreams(
+          StreamingIngest.readParquetStream(s, pDrop, p.schema, maxFilesPerTrigger = 1), "p_ts",
+          StreamingIngest.readParquetStream(s, vDrop, v.schema, maxFilesPerTrigger = 1), "v_ts",
+          "p_user_id = v_user_id AND v_ts >= p_ts - INTERVAL 10 MINUTES AND v_ts < p_ts",
+          watermark = "1 day", queryName = "stream_oij_mem", joinType = "left_outer")
+        joined.filter(col("p_user_id") =!= -1L)
+          .groupBy(col("p_event_id"))
+          .agg(count(col("v_value")).as("n_views"),
+            dsum(col("v_value"), 6).as("views_value"))
+          .select(col("p_event_id").as("event_id"), col("n_views"), col("views_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'),
+          v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+        SELECT p.event_id, COUNT(v.value) AS n_views,
+          CAST(SUM(CAST(v.value AS DECIMAL(18,6))) AS DOUBLE) AS views_value
+        FROM p LEFT JOIN v ON p.user_id = v.user_id
+          AND v.ts >= p.ts - INTERVAL 10 MINUTE AND v.ts < p.ts
+        GROUP BY p.event_id ORDER BY p.event_id""")),
+
     // Custom stateful operator: gap sessionization via
     // flatMapGroupsWithState with event-time timeout. Two sentinel
     // events (written LAST, so the file source processes them after the

@@ -175,10 +175,11 @@ object StreamingIngest {
     * a bounded interval or state grows unboundedly. */
   def intervalJoinStreams(left: DataFrame, leftTsCol: String,
       right: DataFrame, rightTsCol: String, condition: String,
-      watermark: String, queryName: String): DataFrame = {
+      watermark: String, queryName: String,
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTsCol, watermark)
     val r = right.withWatermark(rightTsCol, watermark)
-    val joined = l.join(r, expr(condition))
+    val joined = l.join(r, expr(condition), joinType)
     val q = joined.writeStream
       .outputMode("append")
       .format("memory")

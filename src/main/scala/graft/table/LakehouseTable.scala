@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.{Path => HadoopPath}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -169,6 +169,43 @@ final class LakehouseTable(
     groups.map(g => catalog.commit(namespace, name, Snaplog.OpAddFiles, g))
   }
 
+  /** Copy-on-write row-level DELETE: remove rows matching `condition`,
+    * rewriting ONLY the data files that contain matches. One pushdown-
+    * friendly pass finds the affected files and their matched-row counts
+    * (`input_file_name` group-count — untouched files cost footer +
+    * pruned-row-group reads); survivors of affected files are rewritten;
+    * the commit carries untouched files + rewritten files as a reset
+    * (`delete`) snapshot. At 100 TB this is the difference between
+    * rewriting a handful of files and rewriting the table — the Iceberg
+    * COW model. Returns the new snapshot (a no-op delete still commits,
+    * with `deleted-rows` = 0, so callers get an audit record). */
+  def delete(condition: Column): Snapshot = {
+    val live = catalog.liveFiles(namespace, name)
+    if (live.isEmpty)
+      return catalog.commit(namespace, name, Snaplog.OpDelete, Seq.empty,
+        Map("deleted-rows" -> "0", "rewritten-files" -> "0"))
+    val matched = spark.read.schema(schema).parquet(live.map(_.path): _*)
+      .filter(condition)
+      .groupBy(input_file_name().as("f")).count()
+      .collect().map(r => normalizePath(r.getString(0)) -> r.getLong(1)).toMap
+    val deletedRows = matched.values.sum
+    val (touched, untouched) = live.partition(f => matched.contains(f.path))
+    if (touched.isEmpty)
+      return catalog.commit(namespace, name, Snaplog.OpDelete, live,
+        Map("deleted-rows" -> "0", "rewritten-files" -> "0"))
+    val survivors = spark.read.schema(schema).parquet(touched.map(_.path): _*)
+      .filter(!condition)
+    writeCommit(Seq(survivors), Snaplog.OpDelete,
+      Map("deleted-rows" -> deletedRows.toString,
+        "rewritten-files" -> touched.size.toString),
+      carryFiles = untouched)
+  }
+
+  /** `input_file_name()` yields a URI (`file:///…`); log entries store
+    * plain paths — normalize for comparison. */
+  private def normalizePath(s: String): String =
+    if (s.contains(":/")) java.nio.file.Paths.get(new java.net.URI(s)).toString else s
+
   // ---- maintenance ------------------------------------------------------
 
   /** Compact the live file set: rewrite the current snapshot into
@@ -202,7 +239,8 @@ final class LakehouseTable(
 
   private def writeCommit(
       dfs: Seq[DataFrame], op: String,
-      extraSummary: Map[String, String] = Map.empty): Snapshot = {
+      extraSummary: Map[String, String] = Map.empty,
+      carryFiles: Seq[DataFileEntry] = Seq.empty): Snapshot = {
     val m = meta
     val target = m.schema
     val normalized = dfs.map(SchemaInfer.normalize(_, target))
@@ -220,7 +258,7 @@ final class LakehouseTable(
     val files = listParquet(commitDir.toString).map { p =>
       statFile(p, partitionValuesFromPath(p, parts))
     }
-    catalog.commit(namespace, name, op, files, extraSummary)
+    catalog.commit(namespace, name, op, carryFiles ++ files, extraSummary)
   }
 
   private def listParquet(dir: String): Seq[String] =

@@ -91,6 +91,34 @@ class SnaplogSpec extends SparkSpec {
     assert(tbl.scan().count() == 1)
   }
 
+  test("copy-on-write delete rewrites only affected files") {
+    val cat = freshCatalog()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "t", fixture().schema, Seq("group"))
+    tbl.append(fixture())
+    val before = cat.liveFiles("ns", "t").map(_.path).toSet
+    val snap = tbl.delete($"group" === "A" && $"value2" === 10)
+    assert(snap.operation == "delete")
+    assert(snap.summary("deleted-rows") == "1")
+    val after = cat.liveFiles("ns", "t").map(_.path).toSet
+    // B and C partition files carry over byte-identical; only A rewrote
+    assert(before.intersect(after).nonEmpty)
+    assert(tbl.scan().count() == 3)
+    assert(tbl.scan().filter($"group" === "A").count() == 1)
+    // time travel still sees the pre-delete snapshot
+    assert(tbl.scan(asOf = Some(1L)).count() == 4)
+  }
+
+  test("delete with no matches is a recorded no-op") {
+    val cat = freshCatalog()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "t", fixture().schema)
+    tbl.append(fixture())
+    val before = cat.liveFiles("ns", "t").map(_.path).toSet
+    val snap = tbl.delete($"value2" > 1000)
+    assert(snap.summary("deleted-rows") == "0")
+    assert(cat.liveFiles("ns", "t").map(_.path).toSet == before)
+    assert(tbl.scan().count() == 4)
+  }
+
   test("add_files registers pre-existing parquet without copying") {
     val cat = freshCatalog()
     val dir = Files.createTempDirectory("graft-ext")

@@ -47,6 +47,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(n >= 4, s"expected >=4 broadcast joins, got $n")
   }
 
+  test("TPC-H extras: dimensions broadcast, no cartesian products") {
+    // q19's OR-of-ANDs and q21's collapsed double correlation are the
+    // shapes most at risk of degrading to a cartesian / per-row probe.
+    for (name <- Seq("q02_min_cost_supplier", "q07_nation_trade",
+        "q09_product_profit", "q16_supplier_counts",
+        "q19_disjunctive_revenue", "q21_sole_fault")) {
+      val plan = physical(q(name))
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian")
+      assert(plan.contains("BroadcastHashJoin"), s"$name lost its broadcasts")
+    }
+  }
+
+  test("q02: correlated min is a single window pass, not a self-join probe") {
+    val plan = physical(q("q02_min_cost_supplier"))
+    assert(plan.contains("Window"), "per-part min must plan as a window")
+  }
+
+  test("q13: outer join preserves zero-order customers in the plan") {
+    val plan = physical(q("q13_customer_distribution"))
+    assert(plan.contains("LeftOuter") || plan.contains("RightOuter"),
+      s"expected an outer join: ${plan.take(800)}")
+  }
+
   test("lake partition pruning never hands Spark other partitions' files") {
     val files = q("lake_partition_pruning").inputFiles
     assert(files.nonEmpty)

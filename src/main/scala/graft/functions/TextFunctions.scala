@@ -38,6 +38,25 @@ object TextFunctions {
   /** Token count of raw text (BPE-ish proxy: alnum runs). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** GPT-2-style BPE pre-tokenizer pattern, restricted to constructs
+    * Java regex and RE2 (DuckDB) match identically: contraction
+    * suffixes, optional-space letter runs, digit runs, punctuation runs.
+    * (The original's `\s+(?!\S)` lookahead is RE2-incompatible and only
+    * matters for trailing-whitespace tokens, which never survive
+    * counting.) Both engines use leftmost, first-alternative matching,
+    * so token boundaries are engine-identical. */
+  val BpePattern = """'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s']+"""
+
+  /** BPE-ish sub-word segmentation of raw text (array of pre-tokens).
+    * DuckDB twin: `regexp_extract_all(text, <BpePattern>)`. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  /** Whitespace token count (the naive baseline BPE counts refine).
+    * DuckDB twin: `len(list_filter(string_split_regex(text,'\s+'), x -> x <> ''))`. */
+  def wsTokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
+
   private def hits(tk: Column, words: Seq[String]): Column =
     size(filter(tk, t => t.isin(words.map(w => lit(w)): _*)))
 

@@ -66,6 +66,35 @@ object TrainingData {
         SELECT stats.lang, n_docs, total_tokens, avg_chars, distinct_tokens
         FROM stats JOIN dt USING (lang) ORDER BY lang""")),
 
+    // BPE-ish vs whitespace token counting. The synthetic corpus is
+    // bare lowercase words (the two counts coincide), so a fixed
+    // punctuation-rich suffix is appended in-query to force the
+    // sub-word splits (contraction, digits, hyphenated run) that make
+    // BPE counts diverge — token-boundary behavior is then part of the
+    // hash-checked result, not dead code.
+    QueryDef("text_bpe_tokens",
+      (s, d) => {
+        val enriched = docs(s, d)
+          .withColumn("etext", concat(col("text"), lit(" it's 123 end-of-doc!")))
+        enriched.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(TF.bpeTokens(col("etext")))).as("bpe_tokens"),
+            sum(TF.wsTokenCount(col("etext")).cast("long")).as("ws_tokens"))
+          .withColumn("subword_ratio",
+            col("bpe_tokens") * lit(1.0) / col("ws_tokens"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH e AS (SELECT lang, text || ' it''s 123 end-of-doc!' AS etext
+            FROM documents)
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(len(regexp_extract_all(etext,
+            '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+'))) AS BIGINT) AS bpe_tokens,
+          CAST(SUM(len(list_filter(string_split_regex(etext, '\s+'), x -> x <> ''))) AS BIGINT) AS ws_tokens,
+          SUM(len(regexp_extract_all(etext,
+            '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+'))) * 1.0
+            / SUM(len(list_filter(string_split_regex(etext, '\s+'), x -> x <> ''))) AS subword_ratio
+        FROM e GROUP BY lang ORDER BY lang""")),
+
     QueryDef("text_quality",
       (s, d) => docs(s, d)
         .withColumn("tk", TF.tokens(col("text")))

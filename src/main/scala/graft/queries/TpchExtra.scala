@@ -209,6 +209,42 @@ object TpchExtra {
         GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
         ORDER BY revenue DESC, c_custkey LIMIT 20""")),
 
+    // ---- Q11: important-stock value share (grouped sum vs global) ------
+    // No partsupp → per-part shipped value from one nation's suppliers
+    // stands in for stock value. The scalar-subquery threshold (a
+    // fraction of the GLOBAL total) is a 1-row broadcast cross-join —
+    // never a single-partition window. The grouped table persists so
+    // the per-part and global aggregates share one fact scan.
+    QueryDef("q11_part_value",
+      (s, d) => {
+        val suppN = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_7")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"))
+        val byPart = t(s, d, "lineitem")
+          .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_partkey"))
+          .agg(dsum(col("l_extendedprice") * col("l_quantity"), 4).as("value"))
+          .persist()
+        val total = byPart.agg(
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+            .cast("double").as("grand"))
+        byPart.crossJoin(broadcast(total))
+          .filter(col("value") > col("grand") * 0.001)
+          .select(col("l_partkey"), col("value"))
+          .orderBy(col("value").desc, col("l_partkey"))
+      },
+      Some("""WITH byPart AS (
+          SELECT l_partkey,
+            CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS value
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_7' GROUP BY 1),
+        tot AS (SELECT CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS grand FROM byPart)
+        SELECT l_partkey, value FROM byPart, tot
+        WHERE value > grand * 0.001
+        ORDER BY value DESC, l_partkey""")),
+
     // ---- Q12: shipping-delay buckets × priority-class counts -----------
     // No l_shipmode/commitdate → the dual conditional count runs over
     // order→ship delay-day buckets instead.

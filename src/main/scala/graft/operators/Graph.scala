@@ -34,25 +34,39 @@ object Graph {
     val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
     und.persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = und.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // round 1 fused into initialization: a node's first label is the min
+    // of its closed neighborhood — one shuffle, and it subsumes the
+    // distinct() that a separate identity-label init would need
+    var labels = und.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("node"), least(col("mn"), col("node")).as("label"))
     labels.persist(StorageLevel.MEMORY_AND_DISK)
+    var persisted = labels
 
-    var iter = 0
+    var iter = 1
     var converged = false
     while (!converged && iter < maxIter) {
-      // candidate labels: own + every neighbor's current label
+      val labelType = labels.schema("label").dataType
+      // candidate labels: own + every neighbor's current label; the own
+      // branch carries the previous label through the aggregation so the
+      // convergence check is a filter on the (persisted) result, not a
+      // join back against the previous round
       val viaNeighbors = und
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"), col("label"))
-      val next = labels.select(col("node"), col("label"))
+        .select(col("dst").as("node"), col("label"),
+          lit(null).cast(labelType).as("own"))
+      val next = labels
+        .select(col("node"), col("label"), col("label").as("own"))
         .unionByName(viaNeighbors)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"), max(col("own")).as("own"))
       next.persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist()
-      labels = next
+      // min-aggregated labels only ever decrease; `own` is non-null for
+      // every node (each was in the previous round's label set)
+      val changed = next.filter(col("label") < col("own")).limit(1).count()
+      persisted.unpersist()
+      persisted = next
+      labels = next.select(col("node"), col("label"))
       converged = changed == 0
       iter += 1
     }

@@ -192,7 +192,7 @@ object Lakehouse {
         g AS (SELECT l_orderkey, COUNT(*) AS n_pairs,
             CAST(SUM(CAST(price_a AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
           FROM p GROUP BY l_orderkey)
-        SELECT COUNT(*) AS n_orders, SUM(n_pairs) AS n_pairs,
+        SELECT COUNT(*) AS n_orders, CAST(SUM(n_pairs) AS BIGINT) AS n_pairs,
           CAST(SUM(CAST(price_sum AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM g""")),
 

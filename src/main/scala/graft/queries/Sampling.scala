@@ -63,7 +63,7 @@ object Sampling {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"))
         .orderBy(col("lang"), col("source")),
-      Some("""SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+      Some("""SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents WHERE substr(md5(text), 1, 2) < '1a'
         GROUP BY 1, 2 ORDER BY 1, 2""")),
 
@@ -93,11 +93,12 @@ object Sampling {
           SELECT source, doc_id, len($TkSql) AS n_tokens FROM documents),
         packed AS (
           SELECT source, n_tokens,
-            (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
-              // 2000 AS shard_id
+              // 2000 AS BIGINT) AS shard_id
           FROM toks)
-        SELECT source, shard_id, COUNT(*) AS n_docs, SUM(n_tokens) AS shard_tokens
+        SELECT source, shard_id, COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
         FROM packed GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // ---- context-window chunking ----------------------------------------

@@ -102,10 +102,12 @@ object Streaming {
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_events"),
             sum(col("n_orders")).as("total_orders"))
-        val q = enriched.writeStream
-          .outputMode("complete").format("memory")
-          .queryName("stream_static_mem").start()
-        q.processAllAvailable(); q.stop()
+        StreamingIngest.withStreamShufflePartitions(s) {
+          val q = enriched.writeStream
+            .outputMode("complete").format("memory")
+            .queryName("stream_static_mem").start()
+          q.processAllAvailable(); q.stop()
+        }
         s.table("stream_static_mem").orderBy(col("event_type"))
       },
       Some("""WITH uo AS (SELECT o_custkey AS user_id, COUNT(*) AS n_orders

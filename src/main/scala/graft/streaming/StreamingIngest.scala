@@ -40,6 +40,24 @@ case class SessionRow(user_id: Long, session_seq: Int, n_events: Long,
   */
 object StreamingIngest {
 
+  /** Shuffle partitions while a STATEFUL streaming query plans+runs.
+    * The state-store instance count is shuffle.partitions × (stores per
+    * stateful operator) and each instance pays per-micro-batch snapshot
+    * and maintenance I/O — pure fixed overhead when micro-batches are
+    * small. The value is captured into the query's checkpoint at start,
+    * so it scopes to the streaming query only; batch plans before/after
+    * keep the session's setting. Production jobs with real per-batch
+    * volume would size this like any shuffle (state shards ≈ cores). */
+  val StreamStatePartitions: Int =
+    sys.env.getOrElse("GRAFT_STREAM_STATE_PARTITIONS", "8").toInt
+
+  def withStreamShufflePartitions[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, StreamStatePartitions.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Stream a parquet directory as micro-batches. */
   def readParquetStream(spark: SparkSession, dir: String, schema: StructType,
       maxFilesPerTrigger: Int = 10): DataFrame =
@@ -84,13 +102,15 @@ object StreamingIngest {
     val deduped = stream
       .withWatermark(tsCol, watermark)
       .dropDuplicates(keys :+ tsCol)
-    val q = deduped.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    withStreamShufflePartitions(spark) {
+      val q = deduped.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(queryName)
   }
 
@@ -155,13 +175,15 @@ object StreamingIngest {
             Iterator.empty
           }
       }
-    val q = sessions.toDF().writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    withStreamShufflePartitions(spark) {
+      val q = sessions.toDF().writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(queryName)
   }
 
@@ -180,13 +202,15 @@ object StreamingIngest {
     val l = left.withWatermark(leftTsCol, watermark)
     val r = right.withWatermark(rightTsCol, watermark)
     val joined = l.join(r, expr(condition), joinType)
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    withStreamShufflePartitions(joined.sparkSession) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     joined.sparkSession.table(queryName)
   }
 
@@ -202,13 +226,15 @@ object StreamingIngest {
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    withStreamShufflePartitions(spark) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(queryName)
   }
 }

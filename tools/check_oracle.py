@@ -17,16 +17,18 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 def cmp_cell(a, b) -> bool:
+    # STRICT, mimicking the driver's exact value hash: an int on one side
+    # and a float on the other (e.g. DuckDB SUM(BIGINT)->HUGEINT->float64)
+    # stringifies differently ("2279" vs "2279.0") and MUST fail here.
     if pd.isna(a) and pd.isna(b):
         return True
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return str(a) == str(b)
-        if math.isnan(fa) and math.isnan(fb):
+    fa, fb = isinstance(a, float), isinstance(b, float)
+    if fa != fb:
+        return False
+    if fa and fb:
+        if math.isnan(a) and math.isnan(b):
             return True
-        return fa == fb or abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+        return a == b
     return str(a) == str(b)
 
 def main(sf_dir, out_dir):

@@ -56,4 +56,23 @@ object Upsert {
     val merged = merge(table.scan(), incoming, keys, tiebreak)
     table.overwrite(merged)
   }
+
+  /** CDC apply — MERGE with a delete clause: `changes` carries `opCol`
+    * where 'D' rows delete their key and every other op upserts its row
+    * (the Delta `whenMatchedDelete` / Iceberg `MERGE … WHEN MATCHED THEN
+    * DELETE` shape, and the natural sink for a CDC feed). The whole feed
+    * lands in ONE overwrite commit, so readers see the change set
+    * atomically. Same scale contract as [[merge]]: one key shuffle for
+    * the anti join (or a broadcast when the feed is small — AQE's call),
+    * never a window over the existing table. */
+  def applyChanges(table: LakehouseTable, changes: DataFrame,
+      keys: Seq[String], opCol: String = "op",
+      tiebreak: Option[String] = None): Snapshot = {
+    val existing = table.scan()
+    val touched = changes.select(keys.map(col): _*).distinct()
+    val keep = existing.join(touched, keys, "left_anti")
+    val upserts = dedupIncoming(changes.filter(col(opCol) =!= "D"), keys, tiebreak)
+      .select(existing.columns.map(col).toIndexedSeq: _*)
+    table.overwrite(keep.unionByName(upserts))
+  }
 }

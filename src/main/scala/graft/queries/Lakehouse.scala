@@ -88,6 +88,74 @@ object Lakehouse {
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // CDC apply — MERGE with a delete clause (Upsert.applyChanges): one
+    // change feed carrying deletes, updates, and inserts lands in ONE
+    // atomic overwrite snapshot, then the final table state is checked.
+    QueryDef("lake_merge_scd",
+      (s, d) => {
+        val cat = new Snaplog(wh("lake_merge_scd", d))
+        val orders = t(s, d, "orders")
+        val rep = Ingest.ingestDf(cat, "lake", "orders", orders)
+        val deletes = orders.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("op", lit("D"))
+        val updates = orders.filter(col("o_orderkey") % 10 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") + 50.0)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("op", lit("U"))
+        val inserts = orders.filter(col("o_orderkey") % 10 === 2)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+          .withColumn("o_orderstatus", lit("N"))
+          .withColumn("op", lit("I"))
+        Upsert.applyChanges(rep.table,
+          deletes.unionByName(updates).unionByName(inserts), Seq("o_orderkey"))
+        rep.table.scan()
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH upd AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+            o_totalprice + 50.0 AS o_totalprice, o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 10 = 1),
+        ins AS (SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+            'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 10 = 2),
+        kept AS (SELECT * FROM orders WHERE o_orderkey % 10 NOT IN (0, 1)),
+        merged AS (SELECT * FROM kept UNION ALL SELECT * FROM upd
+          UNION ALL SELECT * FROM ins)
+        SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Z-order clustering for multi-dimensional file skipping: orders laid
+    // out along a Morton curve over (o_custkey, o_totalprice), so every
+    // file's [min,max] stats form a tight box in BOTH dimensions and a
+    // 2-D box filter prunes files from log metadata alone (ZOrderSpec
+    // asserts the z-layout strictly out-prunes a one-column range layout
+    // on the same box; the scan stays correct either way because the
+    // row-level predicate is still applied).
+    QueryDef("lake_zorder_skipping",
+      (s, d) => {
+        val cat = new Snaplog(wh("lake_zorder_skipping", d))
+        val orders = t(s, d, "orders")
+        val zkey = graft.functions.ZOrder.zorder2(col("o_custkey"),
+          floor(col("o_totalprice") / lit(1000.0)).cast("long"), bits = 16)
+        val rep = Ingest.ingestDf(cat, "lake", "orders",
+          orders.repartitionByRange(8, zkey))
+        rep.table.scan(rangeFilter = Map(
+            "o_custkey" -> (Some(0.0), Some(400.0)),
+            "o_totalprice" -> (Some(0.0), Some(100000.0))))
+          .filter(col("o_custkey").between(0, 400) &&
+            col("o_totalprice").between(0.0, 100000.0))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders WHERE o_custkey BETWEEN 0 AND 400
+          AND o_totalprice BETWEEN 0 AND 100000
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // Time travel: two appends, read back snapshot 1 only.
     QueryDef("lake_time_travel",
       (s, d) => {

@@ -105,6 +105,27 @@ object TimeSeries {
         SELECT user_id, CAST(MAX(session_seq) AS BIGINT) AS n_sessions,
           CAST(SUM(n_events) AS BIGINT) AS n_events,
           COUNT(CASE WHEN n_events > 1 THEN 1 END) AS n_multi
-        FROM sess GROUP BY user_id ORDER BY user_id"""))
+        FROM sess GROUP BY user_id ORDER BY user_id""")),
+
+    // Skew-safe distinct aggregation: COUNT(DISTINCT user) per event
+    // type, computed as a two-stage salted aggregate. A single hot
+    // event_type would funnel its whole distinct set through one
+    // reducer; salting on a hash of the DISTINCT key splits each group
+    // 16 ways, and because the salt is a function of the key, per-salt
+    // distinct counts add up exactly. Stage 2 shuffles |types|·16 scalar
+    // rows — nothing at corpus scale.
+    QueryDef("skew_salted_agg",
+      (s, d) => {
+        val ev = events(s, d)
+        ev.groupBy(col("event_type"), pmod(col("user_id"), lit(16)).as("salt"))
+          .agg(countDistinct(col("user_id")).as("du"), count(lit(1)).as("n"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("du")).cast("long").as("n_users"),
+            sum(col("n")).cast("long").as("n_events"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+          COUNT(*) AS n_events
+        FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 }

@@ -371,6 +371,134 @@ object TrainingData {
       None),
 
     // ---- multimodal plumbing -------------------------------------------
+    // ---- TF-IDF term scoring -------------------------------------------
+    // Top-3 salient terms per document (doc_id < 20) with the document
+    // frequency computed over the WHOLE corpus. The weight is the
+    // BM25-style rational idf tf·(N-df+0.5)/(df+0.5) — exact IEEE
+    // arithmetic (one divide, one multiply), so Spark and DuckDB produce
+    // bit-identical doubles where a log-based idf would be at the mercy
+    // of two libm implementations. Scale: tf is one shuffle on
+    // (doc, term), df one map-side-combined shuffle on term; the corpus
+    // text itself never shuffles.
+    QueryDef("text_tfidf",
+      (s, d) => {
+        val tok = docs(s, d)
+          .select(col("doc_id"), explode_outer(TF.tokens(col("text"))).as("term"))
+          .filter(col("term").isNotNull)
+        val tf = tok.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        tf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+        val scored = tf.filter(col("doc_id") < 20)
+          .join(df_, Seq("term"))
+          .crossJoin(broadcast(n))
+          .withColumn("score", col("tf") *
+            ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("term"), col("score"))
+          .orderBy(col("doc_id"), col("rk"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($TkSql) AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (SELECT tf.doc_id, tf.term,
+            tf.tf * ((n.n_docs - df.df + 0.5) / (df.df + 0.5)) AS score
+          FROM tf JOIN df USING (term) CROSS JOIN n
+          WHERE tf.doc_id < 20),
+        r AS (SELECT doc_id, term, score,
+            ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, term) AS rk
+          FROM scored)
+        SELECT doc_id, rk, term, score FROM r WHERE rk <= 3
+        ORDER BY doc_id, rk""")),
+
+    // ---- per-label embedding centroids ---------------------------------
+    // Element-wise mean vector per label — the k-means/centroid building
+    // block over the embedding column. posexplode keeps the work one
+    // map-side pass + one (label, dim) shuffle of scalar partials; the
+    // decimal-exact sum makes the mean order-independent and
+    // engine-identical. At 100 TB the shuffle carries |labels|·dim
+    // partial rows per task, never vectors.
+    QueryDef("embedding_centroids",
+      (s, d) => {
+        import graft.functions.VectorFunctions
+        t(s, d, "embeddings")
+          .select(col("label"),
+            posexplode(VectorFunctions.vecDouble(col("embedding")))
+              .as(Seq("pos", "x")))
+          .groupBy(col("label"), (col("pos") + 1).as("dim"))
+          .agg(count(lit(1)).as("n_vecs"), davg(col("x"), 9).as("mean_val"))
+          .orderBy(col("label"), col("dim"))
+      },
+      Some("""WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings),
+        x AS (SELECT label, i AS dim, e[i] AS x
+          FROM v CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s
+          WHERE i <= len(e))
+        SELECT label, dim, COUNT(*) AS n_vecs,
+          CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(x) AS mean_val
+        FROM x GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- incremental dedup against a reference corpus ------------------
+    // The ingest-time variant of exact dedup: NEW documents (every 5th
+    // doc plays the incoming batch) checked against the already-ingested
+    // corpus by content fingerprint — one broadcast-or-shuffle join on a
+    // 64-hex key, the standard "don't re-ingest what the corpus already
+    // has" gate in front of a training-data lake.
+    QueryDef("dedup_incremental",
+      (s, d) => {
+        val all = docs(s, d).withColumn("fp", md5(col("text")))
+        val corpus = all.filter(col("doc_id") % 5 =!= 0)
+          .select(col("fp")).distinct().withColumn("dup", lit(1))
+        all.filter(col("doc_id") % 5 === 0)
+          .join(corpus, Seq("fp"), "left")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_incoming"),
+            count(when(col("dup").isNull, 1)).as("n_novel"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH corp AS (SELECT DISTINCT md5(text) AS fp FROM documents
+            WHERE doc_id % 5 <> 0),
+        inc AS (SELECT lang, md5(text) AS fp FROM documents WHERE doc_id % 5 = 0)
+        SELECT lang, COUNT(*) AS n_incoming,
+          COUNT(CASE WHEN corp.fp IS NULL THEN 1 END) AS n_novel
+        FROM inc LEFT JOIN corp ON inc.fp = corp.fp
+        GROUP BY lang ORDER BY lang""")),
+
+    // ---- video frame sampling ------------------------------------------
+    // Strided frame extraction over the synthetic binary corpus
+    // (Multimodal.frames: pure Column ops, frames stay co-partitioned
+    // with their media row — no shuffle until the final stats agg). The
+    // oracle recomputes each kept frame's lead byte straight from the
+    // md5-derived payload layout.
+    QueryDef("multimodal_frames",
+      (s, d) => {
+        val media = Multimodal.synthesizeFromDocs(docs(s, d))
+        Multimodal.frames(media, frameBytes = 24, stride = 3)
+          .groupBy(col("modality"))
+          .agg(countDistinct(col("media_id")).as("n_media"),
+            count(lit(1)).as("n_frames"),
+            sum(conv(hex(substring(col("frame_bytes"), 1, 1)), 16, 10)
+              .cast("long")).as("first_byte_sum"))
+          .orderBy(col("modality"))
+      },
+      // payload = 8×16-byte md5; 128/24 = 5 frames, stride 3 keeps frames
+      // {0, 3} whose lead bytes sit at payload offsets 0 and 72 ≡ md5
+      // bytes 0 and 8 (hex chars 1-2 and 17-18)
+      Some("""WITH m AS (SELECT doc_id,
+          ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
+          md5(text) AS h FROM documents)
+        SELECT modality, COUNT(*) AS n_media,
+          CAST(COUNT(*) * 2 AS BIGINT) AS n_frames,
+          CAST(SUM(('0x' || substr(h, 1, 2))::BIGINT
+            + ('0x' || substr(h, 17, 2))::BIGINT) AS BIGINT) AS first_byte_sum
+        FROM m GROUP BY modality ORDER BY modality""")),
+
     QueryDef("multimodal_stats",
       (s, d) => {
         val media = Multimodal.synthesizeFromDocs(docs(s, d))

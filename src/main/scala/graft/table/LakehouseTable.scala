@@ -58,6 +58,22 @@ final class LakehouseTable(
       partitionFilter: Map[String, String] = Map.empty,
       rangeFilter: Map[String, (Option[Double], Option[Double])] = Map.empty)
       : DataFrame = {
+    val files = selectFiles(asOf, partitionFilter, rangeFilter)
+    if (files.isEmpty)
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+    else
+      spark.read.schema(schema).parquet(files.map(_.path): _*)
+  }
+
+  /** The file set `scan` with the same arguments would read — partition
+    * pruning then stat-based skipping, both on log metadata alone.
+    * Public so callers and tests can measure skipping effectiveness
+    * (files pruned vs total) without scanning anything. */
+  def selectFiles(
+      asOf: Option[Long] = None,
+      partitionFilter: Map[String, String] = Map.empty,
+      rangeFilter: Map[String, (Option[Double], Option[Double])] = Map.empty)
+      : Seq[DataFileEntry] = {
     val files0 = catalog.liveFiles(namespace, name, asOf)
     val afterPartition =
       if (partitionFilter.isEmpty) files0
@@ -69,26 +85,21 @@ final class LakehouseTable(
     // the requested [lo,hi]. Files without stats for the column always
     // survive — pruning is an optimization, never a correctness filter,
     // so callers still apply the row-level predicate.
-    val files =
-      if (rangeFilter.isEmpty) afterPartition
-      else afterPartition.filter { f =>
-        rangeFilter.forall { case (c, (lo, hi)) =>
-          f.columnStats.flatMap(_.get(c)) match {
-            case Some(b) =>
-              val parsed =
-                try Some((b.min.toDouble, b.max.toDouble))
-                catch { case _: NumberFormatException => None }
-              parsed.forall { case (mn, mx) =>
-                lo.forall(_ <= mx) && hi.forall(_ >= mn)
-              }
-            case None => true
-          }
+    if (rangeFilter.isEmpty) afterPartition
+    else afterPartition.filter { f =>
+      rangeFilter.forall { case (c, (lo, hi)) =>
+        f.columnStats.flatMap(_.get(c)) match {
+          case Some(b) =>
+            val parsed =
+              try Some((b.min.toDouble, b.max.toDouble))
+              catch { case _: NumberFormatException => None }
+            parsed.forall { case (mn, mx) =>
+              lo.forall(_ <= mx) && hi.forall(_ >= mn)
+            }
+          case None => true
         }
       }
-    if (files.isEmpty)
-      spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-    else
-      spark.read.schema(schema).parquet(files.map(_.path): _*)
+    }
   }
 
   /** Incremental (CDC-style) read: the rows ADDED after `fromSnapshot`

@@ -196,6 +196,23 @@ class SnaplogSpec extends SparkSpec {
     intercept[IllegalArgumentException] { table.scanIncremental(2L) }
   }
 
+  test("applyChanges: one snapshot applies deletes, updates, inserts atomically") {
+    val cat = freshCatalog()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "t", fixture().schema)
+    tbl.append(fixture())
+    val nSnaps = tbl.history.count()
+    val changes = Seq(
+      (1, "A", 0.0f, 0, "D"),     // delete id 1
+      (2, "A", 9.9f, 99, "U"),    // update id 2
+      (5, "D", 5.5f, 50, "I")     // insert id 5
+    ).toDF("id", "group", "value1", "value2", "op")
+    Upsert.applyChanges(tbl, changes, Seq("id"))
+    assert(tbl.history.count() == nSnaps + 1) // the whole feed = ONE commit
+    val got = tbl.scan().orderBy("id")
+      .collect().map(r => (r.getAs[Int]("id"), r.getAs[Int]("value2"))).toSeq
+    assert(got == Seq((2, 99), (3, 30), (4, 40), (5, 50)))
+  }
+
   test("normalize casts, reorders, fills missing nullable columns") {
     val target = StructType(Seq(
       StructField("id", IntegerType, nullable = false),

@@ -50,6 +50,10 @@ case class Snapshot(
   * Iceberg metadata.json (`catalog.create_table` `main-polars.py:150-152`
   * with schema, partition spec and properties `main-daft.py:102-107`).
   */
+/** A named snapshot pointer (Iceberg-style ref): `tag`s are immutable
+  * audit/release marks, `branch`es may retarget as work advances. */
+case class SnapshotRef(snapshotId: Long, refType: String)
+
 case class TableMetadata(
     namespace: String,
     name: String,
@@ -204,6 +208,41 @@ final class Snaplog(val warehouse: String) {
     (if (fromIdx < 0) upto else upto.drop(fromIdx)).flatMap(_.files)
   }
 
+  // ---- refs (tags / branches) -------------------------------------------
+
+  private def refsFile(ns: String, t: String): Path =
+    tableDir(ns, t).resolve("refs.json")
+
+  def refs(ns: String, t: String): Map[String, SnapshotRef] = {
+    val f = refsFile(ns, t)
+    if (!Files.exists(f)) Map.empty
+    else jread[Map[String, SnapshotRef]](Files.readString(f))
+  }
+
+  /** Create or (branches only) retarget a named ref. Tags are immutable:
+    * re-pointing an existing tag is an error, matching Iceberg ref
+    * semantics. The target snapshot must exist. */
+  def setRef(ns: String, t: String, name: String, snapshotId: Long,
+      refType: String = "tag"): SnapshotRef = {
+    require(refType == "tag" || refType == "branch",
+      s"refType must be tag|branch, got '$refType'")
+    require(snapshots(ns, t).exists(_.snapshotId == snapshotId),
+      s"snapshot $snapshotId not found for $ns.$t")
+    val cur = refs(ns, t)
+    cur.get(name).foreach { r =>
+      require(r.refType == "branch",
+        s"ref '$name' is a tag and cannot be re-pointed")
+    }
+    val ref = SnapshotRef(snapshotId, refType)
+    writeAtomic(refsFile(ns, t), jwrite(cur + (name -> ref)))
+    ref
+  }
+
+  def dropRef(ns: String, t: String, name: String): Unit = {
+    val cur = refs(ns, t)
+    if (cur.contains(name)) writeAtomic(refsFile(ns, t), jwrite(cur - name))
+  }
+
   // ---- maintenance ------------------------------------------------------
 
   /** Expire history: keep only the last `keepLast` snapshots. Refused
@@ -219,6 +258,11 @@ final class Snaplog(val warehouse: String) {
     require(kept.exists(s => Snaplog.ResetOps(s.operation)),
       s"cannot expire: the last $keepLast snapshots have no overwrite/replace base; " +
         "older snapshots still contribute live files — compact first")
+    val keptIds = kept.map(_.snapshotId).toSet
+    val orphanedRefs = refs(ns, t).filter { case (_, r) => !keptIds.contains(r.snapshotId) }
+    require(orphanedRefs.isEmpty,
+      s"cannot expire: refs ${orphanedRefs.keys.toSeq.sorted.mkString(", ")} " +
+        "still point at snapshots that would be dropped — drop the refs first")
     val content = kept.map(jwrite(_)).mkString("", "\n", "\n")
     writeAtomic(logFile(ns, t), content)
     kept

@@ -156,6 +156,38 @@ object Lakehouse {
           AND o_totalprice BETWEEN 0 AND 100000
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // Snapshot refs: tag the first commit "v1" (immutable), keep
+    // appending, then read the tag and the head side by side — time
+    // travel by NAME, the release-pinning workflow (training runs pin a
+    // tag; ingestion advances the head). Ref bookkeeping is pure
+    // catalog metadata; both scans are ordinary pruned file lists.
+    QueryDef("lake_branch_tag",
+      (s, d) => {
+        val cat = new Snaplog(wh("lake_branch_tag", d))
+        val orders = t(s, d, "orders")
+        val even = orders.filter(col("o_orderkey") % 2 === 0)
+        val odd = orders.filter(col("o_orderkey") % 2 === 1)
+        val rep = Ingest.ingestDf(cat, "lake", "orders", even)
+        rep.table.tag("v1")
+        rep.table.append(odd)
+        rep.table.setBranch("dev", 2L)
+        val tagged = rep.table.scanRef("v1")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_tag"), dsum(col("o_totalprice")).as("total_tag"))
+        val head = rep.table.scanRef("dev")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_head"), dsum(col("o_totalprice")).as("total_head"))
+        tagged.join(head, Seq("o_orderstatus")).orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH tag AS (SELECT o_orderstatus, COUNT(*) AS n_tag,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_tag
+          FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus),
+        head AS (SELECT o_orderstatus, COUNT(*) AS n_head,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_head
+          FROM orders GROUP BY o_orderstatus)
+        SELECT o_orderstatus, n_tag, total_tag, n_head, total_head
+        FROM tag JOIN head USING (o_orderstatus) ORDER BY o_orderstatus""")),
+
     // Time travel: two appends, read back snapshot 1 only.
     QueryDef("lake_time_travel",
       (s, d) => {

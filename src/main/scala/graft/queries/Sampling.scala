@@ -101,6 +101,35 @@ object Sampling {
           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
         FROM packed GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ---- feature binning -------------------------------------------------
+    // Equal-width value binning (histogram featurization): global
+    // [min,max] comes back as ONE broadcast row, then bin assignment is
+    // pure map arithmetic — no global sort, unlike an ntile(10) window
+    // whose empty PARTITION BY funnels the corpus through one task. The
+    // bin expression is plain IEEE sub/div/mul/floor, so both engines
+    // agree bit-for-bit.
+    QueryDef("feature_binning",
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val mm = orders.agg(min(col("o_totalprice")).as("mn"),
+          max(col("o_totalprice")).as("mx"))
+        orders.crossJoin(broadcast(mm))
+          .withColumn("bin", least(
+            floor((col("o_totalprice") - col("mn"))
+              / (col("mx") - col("mn")) * lit(10.0)), lit(9L)))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("lo"),
+            max(col("o_totalprice")).as("hi"),
+            dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH mm AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+            FROM orders)
+        SELECT CAST(LEAST(FLOOR((o_totalprice - mn) / (mx - mn) * 10), 9) AS BIGINT) AS bin,
+          COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders CROSS JOIN mm GROUP BY 1 ORDER BY 1""")),
+
     // ---- context-window chunking ----------------------------------------
     // Split each doc into overlapping token windows (size 64, stride
     // 48) — the context-window splitter that feeds sequence packing.

@@ -185,9 +185,15 @@ object Streaming {
         sentinels(vDrop, ts => v.limit(0).sparkSession.range(1)
           .select(lit(-1L).as("v_user_id"), sentinelTs(ts).as("v_ts"),
             lit(0.0).as("v_value")))
+        // two files per trigger (like stream_sessionize): batch 1 =
+        // [real, sentinelA] — the watermark only advances BETWEEN
+        // batches, so all real rows enter join state first; batch 2 =
+        // [sentinelB] runs with the watermark past every real join
+        // window and flushes the null-padded unmatched rows. One fewer
+        // micro-batch than single-file triggers, same output.
         val joined = StreamingIngest.intervalJoinStreams(
-          StreamingIngest.readParquetStream(s, pDrop, p.schema, maxFilesPerTrigger = 1), "p_ts",
-          StreamingIngest.readParquetStream(s, vDrop, v.schema, maxFilesPerTrigger = 1), "v_ts",
+          StreamingIngest.readParquetStream(s, pDrop, p.schema, maxFilesPerTrigger = 2), "p_ts",
+          StreamingIngest.readParquetStream(s, vDrop, v.schema, maxFilesPerTrigger = 2), "v_ts",
           "p_user_id = v_user_id AND v_ts >= p_ts - INTERVAL 10 MINUTES AND v_ts < p_ts",
           watermark = "1 day", queryName = "stream_oij_mem", joinType = "left_outer")
         joined.filter(col("p_user_id") =!= -1L)

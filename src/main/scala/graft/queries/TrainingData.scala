@@ -470,6 +470,54 @@ object TrainingData {
         FROM inc LEFT JOIN corp ON inc.fp = corp.fp
         GROUP BY lang ORDER BY lang""")),
 
+    // ---- PII scrubbing --------------------------------------------------
+    // Regex-based detect + redact of email-like and long-digit-run
+    // spans — the privacy pass a training corpus runs before the
+    // tokenizer. The corpus text is synthetic (no real PII), so each doc
+    // gets a deterministic PII-ish suffix built identically in both
+    // engines; emails are scrubbed first so their digit parts don't
+    // double-count as numbers. Pure map work: detection, redaction and
+    // length accounting happen in one pass, only lang-level scalar
+    // partials shuffle.
+    QueryDef("text_pii_scrub",
+      (s, d) => {
+        val email = "[a-z0-9]+@[a-z0-9.]+"
+        val num = "[0-9]{4,}"
+        docs(s, d)
+          .withColumn("etext", concat(col("text"), lit(" contact user"),
+            col("doc_id"), lit("@example.com phone "),
+            (col("doc_id") * 7919 + 10000000L)))
+          .withColumn("n_emails",
+            size(regexp_extract_all(col("etext"), lit(email), lit(0))))
+          .withColumn("t1", regexp_replace(col("etext"), email, "<email>"))
+          .withColumn("n_nums",
+            size(regexp_extract_all(col("t1"), lit(num), lit(0))))
+          .withColumn("clean", regexp_replace(col("t1"), num, "<num>"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_emails")).cast("long").as("n_emails"),
+            sum(col("n_nums")).cast("long").as("n_nums"),
+            sum(length(col("clean"))).cast("long").as("clean_chars"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH e AS (SELECT lang,
+            text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com phone '
+              || CAST(doc_id * 7919 + 10000000 AS VARCHAR) AS etext
+          FROM documents),
+        s1 AS (SELECT lang,
+            len(regexp_extract_all(etext, '[a-z0-9]+@[a-z0-9.]+')) AS n_emails,
+            regexp_replace(etext, '[a-z0-9]+@[a-z0-9.]+', '<email>', 'g') AS t1
+          FROM e),
+        s2 AS (SELECT lang, n_emails,
+            len(regexp_extract_all(t1, '[0-9]{4,}')) AS n_nums,
+            regexp_replace(t1, '[0-9]{4,}', '<num>', 'g') AS clean
+          FROM s1)
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+          CAST(SUM(n_nums) AS BIGINT) AS n_nums,
+          CAST(SUM(len(clean)) AS BIGINT) AS clean_chars
+        FROM s2 GROUP BY lang ORDER BY lang""")),
+
     // ---- video frame sampling ------------------------------------------
     // Strided frame extraction over the synthetic binary corpus
     // (Multimodal.frames: pure Column ops, frames stay co-partitioned

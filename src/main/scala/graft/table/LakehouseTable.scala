@@ -102,6 +102,34 @@ final class LakehouseTable(
     }
   }
 
+  /** Tag the current (or a given) snapshot with an immutable name —
+    * the release/audit mark pattern (Iceberg tags). */
+  def tag(name: String, snapshotId: Option[Long] = None): Unit = {
+    val id = snapshotId.orElse(catalog.currentSnapshot(namespace, this.name)
+      .map(_.snapshotId)).getOrElse(
+      throw new IllegalStateException(s"table $namespace.${this.name} has no snapshots"))
+    catalog.setRef(namespace, this.name, name, id, refType = "tag")
+    ()
+  }
+
+  /** Create or retarget a named branch pointer. */
+  def setBranch(name: String, snapshotId: Long): Unit = {
+    catalog.setRef(namespace, this.name, name, snapshotId, refType = "branch")
+    ()
+  }
+
+  /** Scan the snapshot a named ref (tag or branch) points at — time
+    * travel by name instead of id. */
+  def scanRef(refName: String,
+      partitionFilter: Map[String, String] = Map.empty,
+      rangeFilter: Map[String, (Option[Double], Option[Double])] = Map.empty)
+      : DataFrame = {
+    val r = catalog.refs(namespace, name).getOrElse(refName,
+      throw new IllegalArgumentException(
+        s"ref '$refName' not found for $namespace.$name"))
+    scan(asOf = Some(r.snapshotId), partitionFilter, rangeFilter)
+  }
+
   /** Incremental (CDC-style) read: the rows ADDED after `fromSnapshot`
     * up to `toSnapshot` (default: current) — the Iceberg incremental-
     * scan analogue, and the scale primitive for consumers that must not

@@ -213,6 +213,29 @@ class SnaplogSpec extends SparkSpec {
     assert(got == Seq((2, 99), (3, 30), (4, 40), (5, 50)))
   }
 
+  test("refs: tags immutable, branches retarget, expiration refuses orphaned refs") {
+    val cat = freshCatalog()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "t", fixture().schema)
+    tbl.append(fixture())                      // snap 1
+    tbl.tag("v1")
+    tbl.overwrite(fixture().filter($"id" > 2)) // snap 2
+    tbl.setBranch("dev", 2L)
+    assert(tbl.scanRef("v1").count() == 4)
+    assert(tbl.scanRef("dev").count() == 2)
+    // tags cannot be re-pointed; branches can
+    intercept[IllegalArgumentException] { cat.setRef("ns", "t", "v1", 2L) }
+    tbl.setBranch("dev", 1L)
+    assert(tbl.scanRef("dev").count() == 4)
+    // unknown refs and refs to unknown snapshots fail loudly
+    intercept[IllegalArgumentException] { tbl.scanRef("nope") }
+    intercept[IllegalArgumentException] { cat.setRef("ns", "t", "x", 99L) }
+    // expiring history out from under a ref is refused until it's dropped
+    intercept[IllegalArgumentException] { cat.expireSnapshots("ns", "t", 1) }
+    cat.dropRef("ns", "t", "v1")
+    cat.setRef("ns", "t", "dev", 2L)
+    assert(cat.expireSnapshots("ns", "t", 1).map(_.snapshotId) == Seq(2L))
+  }
+
   test("normalize casts, reorders, fills missing nullable columns") {
     val target = StructType(Seq(
       StructField("id", IntegerType, nullable = false),

@@ -59,6 +59,65 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("round-4 additions: broadcasts kept, no cartesian products") {
+    // text_tfidf's 1-row N and feature_binning's 1-row [min,max] must
+    // plan as broadcast nested-loop over a single row, never a shuffled
+    // cartesian; dedup_incremental's fingerprint join must hash.
+    for (name <- Seq("text_tfidf", "feature_binning", "dedup_incremental",
+        "embedding_centroids", "skew_salted_agg")) {
+      val plan = physical(q(name))
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian")
+    }
+    assert(physical(q("feature_binning")).contains("BroadcastNestedLoopJoin")
+      || physical(q("feature_binning")).contains("BroadcastHashJoin"),
+      "min/max row must broadcast")
+  }
+
+  test("skew_salted_agg: both aggregation stages combine map-side") {
+    val plan = physical(q("skew_salted_agg"))
+    val n = "HashAggregate".r.findAllIn(plan).length
+    // two logical stages × (partial + final) — at least 4 hash aggregates,
+    // and the salted stage must shuffle on (event_type, salt), not on
+    // event_type alone
+    assert(n >= 4, s"expected >=4 HashAggregates, got $n:\n$plan")
+    // the salt (pmod of the distinct key) must be part of the stage-1
+    // grouping so the distinct state splits 16 ways
+    assert(plan.contains("pmod(user_id"), "salted key missing from the plan")
+  }
+
+  test("runtime bloom filter injects might_contain on the fact side of a selective shuffle join") {
+    // The scale lever for big-big joins with a selective build side:
+    // Catalyst's InjectRuntimeFilter plants a bloom filter from the
+    // selective side into the fact scan, cutting shuffle volume before
+    // the join. Default thresholds (10GB application side) are sized for
+    // clusters; lowering them here proves the engine's plans are
+    // eligible — production tuning is config, not code.
+    // broadcast must be off: when the build side is broadcastable by
+    // size (always true at unit-test scale, never at the target scale)
+    // the rule correctly skips — a BHJ needs no bloom filter
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys(0), "0")
+    spark.conf.set(keys(1), "true")
+    spark.conf.set(keys(2), "-1")
+    try {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val sel = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_totalprice") > 400000)
+      val joined = li.hint("merge")
+        .join(sel.hint("merge"), li("l_orderkey") === sel("o_orderkey"))
+        .groupBy(col("o_orderstatus")).count()
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n${plan.take(2000)}")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("q02: correlated min is a single window pass, not a self-join probe") {
     val plan = physical(q("q02_min_cost_supplier"))
     assert(plan.contains("Window"), "per-part min must plan as a window")

@@ -52,9 +52,10 @@ object Upsert {
     * commit (reference `table.overwrite(merged)` `upsert.py:84`,
     * `upsert_parquet-lazy-polars.py:97`). */
   def upsertTable(table: LakehouseTable, incoming: DataFrame,
-      keys: Seq[String], tiebreak: Option[String] = None): Snapshot = {
+      keys: Seq[String], tiebreak: Option[String] = None,
+      summary: Map[String, String] = Map.empty): Snapshot = {
     val merged = merge(table.scan(), incoming, keys, tiebreak)
-    table.overwrite(merged)
+    table.overwrite(merged, summary)
   }
 
   /** CDC apply — MERGE with a delete clause: `changes` carries `opCol`

@@ -66,18 +66,33 @@ object StreamingIngest {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
 
+  /** Commit-summary key carrying the micro-batch id of a streaming
+    * upsert — the exactly-once handshake between the Spark checkpoint
+    * and the table log. */
+  val StreamBatchKey = "streaming-batch-id"
+
   /** foreachBatch MERGE: each micro-batch upserts into `table` keyed by
     * `keys`. Runs the stream to completion of currently-available input
     * (synchronous — callers control the lifecycle for long-lived jobs).
-    * Returns the number of micro-batches committed. */
+    * Returns the number of micro-batches committed.
+    *
+    * Exactly-once: foreachBatch is at-least-once (a crash between sink
+    * commit and checkpoint advance replays the batch), so every commit
+    * records its batchId in the snapshot summary and a batch whose id
+    * is ≤ the highest committed id is skipped — the standard idempotent-
+    * sink pattern for transactional targets. The log is append-only, so
+    * the high-water mark survives the overwrite commits the upserts
+    * themselves produce. */
   def upsertEachBatch(stream: DataFrame, table: LakehouseTable,
       keys: Seq[String]): Long = {
     var batches = 0L
     // explicit function value avoids the Scala/Java foreachBatch
     // overload ambiguity
-    val perBatch: (DataFrame, Long) => Unit = (batch, _) => {
-      if (!batch.isEmpty) {
-        Upsert.upsertTable(table, batch, keys)
+    val perBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val applied = table.maxSummaryValue(StreamBatchKey)
+      if (!batch.isEmpty && !applied.exists(_ >= batchId)) {
+        Upsert.upsertTable(table, batch, keys,
+          summary = Map(StreamBatchKey -> batchId.toString))
         batches += 1
       }
     }

@@ -195,7 +195,18 @@ final class LakehouseTable(
   }
 
   /** Replace entire table contents, new snapshot (S17, `table.overwrite`). */
-  def overwrite(df: DataFrame): Snapshot = writeCommit(Seq(df), Snaplog.OpOverwrite)
+  def overwrite(df: DataFrame, summary: Map[String, String] = Map.empty): Snapshot =
+    writeCommit(Seq(df), Snaplog.OpOverwrite, extraSummary = summary)
+
+  /** Highest long recorded under `key` across ALL commit summaries (the
+    * log is append-only, so this survives overwrite/replace resets) —
+    * the lookup an idempotent streaming sink uses to recognize replayed
+    * micro-batches. */
+  def maxSummaryValue(key: String): Option[Long] =
+    catalog.snapshots(namespace, name)
+      .flatMap(_.summary.get(key))
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .maxOption
 
   /** Metadata-only registration of pre-existing parquet files (S18,
     * `table.add_files` `main-ray.py:109-121`): log entries pointing at

@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Cast,
+  Expression, Greatest, Least, Literal, ShiftLeft, ShiftRight}
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.functions._
 
@@ -16,6 +17,7 @@ import graft.functions._
   *   vector_dot(a, b) / vector_norm(a)  -> double
   *   hyperplane_sketch(vec, planeBits)  -> int
   *   topk_double(x, k)                  -> array<double> (aggregate)
+  *   zorder2(a, b, bits)                -> bigint (Morton clustering key)
   *
   * Use [[GraftFunctions.registerAll]] on a live session, or configure
   * `spark.sql.extensions=graft.GraftExtensions` so every session built
@@ -51,6 +53,24 @@ object GraftFunctions {
     "topk_double" -> { exprs =>
       // numeric literals arrive as DECIMAL from SQL — coerce explicitly
       TopKDoubleAgg(Cast(exprs.head, DoubleType), intLit(exprs(1), "k"))
+    },
+    "zorder2" -> { exprs =>
+      // same shift/mask/or tree ZOrder.zorder2 composes from Columns,
+      // built from raw Catalyst expressions for the SQL surface
+      val bits = intLit(exprs(2), "bits")
+      require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+      val cap = (1L << bits) - 1
+      def clamp(e: Expression): Expression =
+        Least(Seq(Greatest(Seq(Cast(e, LongType), Literal(0L))), Literal(cap)))
+      val av = clamp(exprs(0))
+      val bv = clamp(exprs(1))
+      (0 until bits).map { i =>
+        BitwiseOr(
+          ShiftLeft(BitwiseAnd(ShiftRight(av, Literal(i)), Literal(1L)),
+            Literal(2 * i + 1)),
+          ShiftLeft(BitwiseAnd(ShiftRight(bv, Literal(i)), Literal(1L)),
+            Literal(2 * i)))
+      }.reduce(BitwiseOr(_, _))
     }
   )
 

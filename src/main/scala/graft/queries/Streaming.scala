@@ -212,6 +212,66 @@ object Streaming {
           AND v.ts >= p.ts - INTERVAL 10 MINUTE AND v.ts < p.ts
         GROUP BY p.event_id ORDER BY p.event_id""")),
 
+    // Stream–stream FULL OUTER interval join: completes the join family
+    // (inner / left-outer / full-outer) — unmatched rows on EITHER side
+    // emit null-padded once the watermark passes their join window, via
+    // the same sentinel scheme as the left-outer query. Sentinel rows on
+    // either side never join anything real (their timestamps are 100+
+    // days out) and are filtered with null-safe guards, since unmatched
+    // rows carry nulls for the other side's columns.
+    QueryDef("stream_full_outer_interval_join",
+      (s, d) => {
+        val ev = events(s, d)
+        val pDrop = scratchDir("stream_foij_purchases", d)
+        val vDrop = scratchDir("stream_foij_views", d)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event_id"),
+            col("user_id").as("p_user_id"), col("ts").as("p_ts"))
+        val v = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("v_event_id"),
+            col("user_id").as("v_user_id"), col("ts").as("v_ts"),
+            col("value").as("v_value"))
+        p.coalesce(1).write.mode("append").parquet(pDrop)
+        v.coalesce(1).write.mode("append").parquet(vDrop)
+        val maxTs = ev.agg(max(col("ts_ns"))).head().getLong(0)
+        val nsPerDay = 24L * 3600 * 1000 * 1000 * 1000
+        def sentinelTs(tsNs: Long) = timestamp_micros(lit(tsNs / 1000))
+        Seq(maxTs + 100 * nsPerDay, maxTs + 200 * nsPerDay).foreach { ts =>
+          s.range(1).select(lit(-1L).as("p_event_id"), lit(-1L).as("p_user_id"),
+            sentinelTs(ts).as("p_ts")).coalesce(1).write.mode("append").parquet(pDrop)
+          s.range(1).select(lit(-1L).as("v_event_id"), lit(-1L).as("v_user_id"),
+            sentinelTs(ts).as("v_ts"), lit(0.0).as("v_value"))
+            .coalesce(1).write.mode("append").parquet(vDrop)
+        }
+        val joined = StreamingIngest.intervalJoinStreams(
+          StreamingIngest.readParquetStream(s, pDrop, p.schema, maxFilesPerTrigger = 2), "p_ts",
+          StreamingIngest.readParquetStream(s, vDrop, v.schema, maxFilesPerTrigger = 2), "v_ts",
+          "p_user_id = v_user_id AND v_ts >= p_ts - INTERVAL 10 MINUTES AND v_ts < p_ts",
+          watermark = "1 day", queryName = "stream_foij_mem", joinType = "full_outer")
+        joined
+          .filter(coalesce(col("p_user_id"), lit(0L)) =!= -1L &&
+            coalesce(col("v_user_id"), lit(0L)) =!= -1L)
+          .agg(
+            count(when(col("p_event_id").isNotNull && col("v_event_id").isNotNull, 1))
+              .as("n_matched"),
+            count(when(col("v_event_id").isNull, 1)).as("n_lonely_purchases"),
+            count(when(col("p_event_id").isNull, 1)).as("n_lonely_views"),
+            dsum(when(col("p_event_id").isNotNull, col("v_value")), 6)
+              .as("matched_value"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'),
+          v AS (SELECT event_id AS v_event_id, user_id, ts AS v_ts, value
+            FROM events WHERE event_type = 'view')
+        SELECT COUNT(CASE WHEN p.event_id IS NOT NULL
+              AND v.v_event_id IS NOT NULL THEN 1 END) AS n_matched,
+          COUNT(CASE WHEN v.v_event_id IS NULL THEN 1 END) AS n_lonely_purchases,
+          COUNT(CASE WHEN p.event_id IS NULL THEN 1 END) AS n_lonely_views,
+          CAST(SUM(CASE WHEN p.event_id IS NOT NULL
+            THEN CAST(v.value AS DECIMAL(18,6)) END) AS DOUBLE) AS matched_value
+        FROM p FULL JOIN v ON p.user_id = v.user_id
+          AND v.v_ts >= p.ts - INTERVAL 10 MINUTE AND v.v_ts < p.ts""")),
+
     // Custom stateful operator: gap sessionization via
     // flatMapGroupsWithState with event-time timeout. Two sentinel
     // events (written LAST, so the file source processes them after the

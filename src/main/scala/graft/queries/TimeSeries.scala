@@ -107,6 +107,43 @@ object TimeSeries {
           COUNT(CASE WHEN n_events > 1 THEN 1 END) AS n_multi
         FROM sess GROUP BY user_id ORDER BY user_id""")),
 
+    // Funnel analysis: users progressing signup → view → purchase in
+    // strict timestamp order, each stage anchored at the EARLIEST event
+    // after the previous stage (the standard product-analytics funnel,
+    // which Spark has no built-in for). Three stage aggregations, each
+    // one shuffle on user_id with the prior stage riding along as a
+    // 1-column join — no windows over the full event stream, no
+    // per-user event collection, so stage state is one row per
+    // surviving user at any scale.
+    QueryDef("funnel_conversion",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts_ns"))
+        val s1 = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t1"))
+        val s2 = ev.filter(col("event_type") === "view")
+          .join(s1, Seq("user_id"))
+          .filter(col("ts_ns") > col("t1"))
+          .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t2"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(s2, Seq("user_id"))
+          .filter(col("ts_ns") > col("t2"))
+          .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t3"))
+        s1.agg(count(lit(1)).as("n_signup")).crossJoin(
+          s2.agg(count(lit(1)).as("n_signup_view"))).crossJoin(
+          s3.agg(count(lit(1)).as("n_full_funnel")))
+      },
+      Some("""WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+          s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+            JOIN s1 USING (user_id)
+            WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+          s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+            JOIN s2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+          (SELECT COUNT(*) FROM s2) AS n_signup_view,
+          (SELECT COUNT(*) FROM s3) AS n_full_funnel""")),
+
     // Skew-safe distinct aggregation: COUNT(DISTINCT user) per event
     // type, computed as a two-stage salted aggregate. A single hot
     // event_type would funnel its whole distinct set through one

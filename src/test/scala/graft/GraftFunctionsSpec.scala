@@ -50,6 +50,6 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(GraftFunctions.builders.map(_._1).toSet == Set(
       "graft_shingles", "simhash64", "minhash_bands", "vector_dot",
       "vector_norm", "hyperplane_sketch", "topk_double",
-      "intersect_size", "union_size"))
+      "intersect_size", "union_size", "zorder2"))
   }
 }

@@ -29,6 +29,17 @@ class ZOrderSpec extends SparkSpec {
     assert(got == 85L)
   }
 
+  test("SQL zorder2 matches the Column-composed key on the full bit range") {
+    GraftFunctions.registerAll(spark)
+    val n = spark.range(500)
+      .select((col("id") * 37 % 1021).as("a"), (col("id") * 91 % 997).as("b"))
+      .withColumn("zc", ZOrder.zorder2(col("a"), col("b"), bits = 10))
+      .withColumn("zs", call_function("zorder2", col("a"), col("b"), lit(10)))
+      .filter(col("zc") =!= col("zs"))
+      .count()
+    assert(n == 0)
+  }
+
   test("z-order layout out-prunes a one-column range layout on a 2-D box") {
     // 64×64 uniform grid over (x, y)
     val grid = spark.range(64L * 64)

@@ -156,6 +156,33 @@ object Lakehouse {
           AND o_totalprice BETWEEN 0 AND 100000
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // Dynamic partition overwrite: re-run one partition's pipeline (flag
+    // R gets filtered + repriced) and commit — only R's files rewrite,
+    // the other flags' files carry into the new snapshot untouched
+    // (asserted in SnaplogSpec by path identity).
+    QueryDef("lake_partition_overwrite",
+      (s, d) => {
+        val cat = new Snaplog(wh("lake_partition_overwrite", d))
+        val li = t(s, d, "lineitem")
+        val rep = Ingest.ingestDf(cat, "lake", "lineitem", li,
+          partitionColumns = Seq("l_returnflag"))
+        val patch = li.filter(col("l_returnflag") === "R" && col("l_quantity") > 10)
+          .withColumn("l_extendedprice", col("l_extendedprice") * 2.0)
+        rep.table.overwritePartitions(patch)
+        rep.table.scan()
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH merged AS (
+          SELECT l_returnflag, l_extendedprice FROM lineitem WHERE l_returnflag <> 'R'
+          UNION ALL
+          SELECT l_returnflag, l_extendedprice * 2.0 AS l_extendedprice
+          FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 10)
+        SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM merged GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // Snapshot refs: tag the first commit "v1" (immutable), keep
     // appending, then read the tag and the head side by side — time
     // travel by NAME, the release-pinning workflow (training runs pin a

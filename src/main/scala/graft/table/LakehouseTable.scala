@@ -198,6 +198,28 @@ final class LakehouseTable(
   def overwrite(df: DataFrame, summary: Map[String, String] = Map.empty): Snapshot =
     writeCommit(Seq(df), Snaplog.OpOverwrite, extraSummary = summary)
 
+  /** Dynamic partition overwrite (Iceberg `replacePartitions`, Spark's
+    * `partitionOverwriteMode=dynamic`): replaces ONLY the identity
+    * partitions present in `df`; every other partition's files carry
+    * into the new snapshot untouched — so a daily re-run rewrites one
+    * day, not the table. The touched-partition set is metadata-sized
+    * (distinct partition values, collected to the driver like any
+    * catalog op); data files never rewrite outside the touched set. */
+  def overwritePartitions(df: DataFrame): Snapshot = {
+    val parts = partitionColumns
+    require(parts.nonEmpty,
+      s"dynamic partition overwrite needs a partitioned table; $namespace.$name has no partition columns")
+    val touched = df.select(parts.map(col): _*).distinct().collect()
+      .map(r => parts.map(c => c -> String.valueOf(r.get(r.fieldIndex(c)))).toMap)
+      .toSet
+    val carry = catalog.liveFiles(namespace, name).filterNot { f =>
+      touched.contains(parts.map(c => c -> f.partitionValues.getOrElse(c, "")).toMap)
+    }
+    writeCommit(Seq(df), Snaplog.OpOverwrite,
+      extraSummary = Map("replaced-partitions" -> touched.size.toString),
+      carryFiles = carry)
+  }
+
   /** Highest long recorded under `key` across ALL commit summaries (the
     * log is append-only, so this survives overwrite/replace resets) —
     * the lookup an idempotent streaming sink uses to recognize replayed

@@ -213,6 +213,27 @@ class SnaplogSpec extends SparkSpec {
     assert(got == Seq((2, 99), (3, 30), (4, 40), (5, 50)))
   }
 
+  test("overwritePartitions rewrites only touched partitions, carries the rest by path") {
+    val cat = freshCatalog()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "t", fixture().schema, Seq("group"))
+    tbl.append(fixture())
+    val before = cat.liveFiles("ns", "t")
+      .filterNot(_.partitionValues.get("group").contains("A"))
+      .map(_.path).toSet
+    tbl.overwritePartitions(Seq((9, "A", 9.5f, 90)).toDF("id", "group", "value1", "value2"))
+    val after = cat.liveFiles("ns", "t")
+    // B and C files are the SAME files (no rewrite); A is replaced
+    assert(after.filterNot(_.partitionValues.get("group").contains("A"))
+      .map(_.path).toSet == before)
+    val rows = tbl.scan().orderBy("id")
+      .collect().map(r => (r.getAs[Int]("id"), r.getAs[String]("group"))).toSeq
+    assert(rows == Seq((3, "B"), (4, "C"), (9, "A")))
+    intercept[IllegalArgumentException] {
+      val unpart = LakehouseTable.create(cat, spark, "ns", "u", fixture().schema)
+      unpart.overwritePartitions(fixture())
+    }
+  }
+
   test("refs: tags immutable, branches retarget, expiration refuses orphaned refs") {
     val cat = freshCatalog()
     val tbl = LakehouseTable.create(cat, spark, "ns", "t", fixture().schema)

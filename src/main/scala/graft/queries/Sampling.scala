@@ -67,6 +67,28 @@ object Sampling {
         FROM documents WHERE substr(md5(text), 1, 2) < '1a'
         GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ---- weighted Bernoulli sample --------------------------------------
+    // Keep each doc with probability ∝ its length (longer docs carry
+    // more training signal): a uniform in [0,1) derived from the md5
+    // prefix is compared to the per-row weight — the hash plays the RNG,
+    // so the weighted sample is seeded, rerun-stable, and identical in
+    // both engines (one IEEE divide and compare). Map-only selection.
+    QueryDef("sample_weighted",
+      (s, d) => docs(s, d)
+        .withColumn("u",
+          conv(substring(md5(col("text")), 1, 4), 16, 10).cast("double") / 65536.0)
+        .filter(col("u") < col("n_chars") / lit(2000.0))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).cast("long").as("kept_chars"))
+        .orderBy(col("lang")),
+      Some("""SELECT lang, COUNT(*) AS n_kept,
+          CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+        FROM documents
+        WHERE ('0x' || substr(md5(text), 1, 4))::BIGINT / 65536.0
+          < n_chars / 2000.0
+        GROUP BY lang ORDER BY lang""")),
+
     // ---- token-budget shard packing -------------------------------------
     // Assign docs to fixed-budget training shards: running token count
     // per source stream, shard = exclusive-prefix div budget. The window

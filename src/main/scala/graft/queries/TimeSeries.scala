@@ -144,6 +144,43 @@ object TimeSeries {
           (SELECT COUNT(*) FROM s2) AS n_signup_view,
           (SELECT COUNT(*) FROM s3) AS n_full_funnel""")),
 
+    // Cohort retention: users grouped by first-activity day, with
+    // same-day actives (d0) and 1-7-day returners (d1_7) per cohort —
+    // the second standard product-analytics shape next to the funnel.
+    // Two shuffles (per-user first day, then the cohort rollup); daily
+    // activity is distinct-ed BEFORE the join so the join carries one
+    // row per user-day, not per event.
+    QueryDef("cohort_retention",
+      (s, d) => {
+        val ev = events(s, d)
+        val activity = ev
+          .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+          .distinct()
+        val firstDay = activity.groupBy(col("user_id"))
+          .agg(min(col("day")).as("cohort_day"))
+        activity.join(firstDay, Seq("user_id"))
+          .withColumn("k", datediff(col("day"), col("cohort_day")))
+          .filter(col("k") <= 7)
+          .groupBy(col("cohort_day"))
+          .agg(
+            countDistinct(when(col("k") === 0, col("user_id"))).as("d0"),
+            countDistinct(when(col("k").between(1, 7), col("user_id"))).as("d1_7"))
+          .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+            col("d0"), col("d1_7"))
+          .orderBy(col("cohort_day"))
+      },
+      Some("""WITH act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+            FROM events),
+          fst AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id),
+          j AS (SELECT a.user_id, f.cohort_day,
+              date_diff('day', f.cohort_day, a.day) AS k
+            FROM act a JOIN fst f USING (user_id)
+            WHERE date_diff('day', f.cohort_day, a.day) <= 7)
+        SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+          COUNT(DISTINCT CASE WHEN k = 0 THEN user_id END) AS d0,
+          COUNT(DISTINCT CASE WHEN k BETWEEN 1 AND 7 THEN user_id END) AS d1_7
+        FROM j GROUP BY cohort_day ORDER BY cohort_day""")),
+
     // Skew-safe distinct aggregation: COUNT(DISTINCT user) per event
     // type, computed as a two-stage salted aggregate. A single hot
     // event_type would funnel its whole distinct set through one

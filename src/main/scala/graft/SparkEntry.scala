@@ -9,7 +9,7 @@ object SparkEntry {
   private def all: Seq[QueryDef] =
     Analytics.defs ++ TpchExtra.defs ++ Lakehouse.defs ++
       Sources.defs ++ TrainingData.defs ++ Sampling.defs ++
-      TimeSeries.defs ++ Streaming.defs
+      Quality.defs ++ TimeSeries.defs ++ Streaming.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -30,13 +30,12 @@ object ShinglesImpl {
   private def isAlnum(b: Byte): Boolean =
     (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
 
-  /** Distinct word n-gram shingles of lowercased alphanumeric-run
-    * tokens, first-occurrence order. One pass, zero regex: after
-    * `toLowerCase` every token byte is ASCII `[a-z0-9]` (multi-byte
-    * UTF-8 units are ≥ 0x80, hence separators — exactly what the
-    * `[^a-z0-9]+` split does). */
-  def shingleSet(text: UTF8String, n: Int): ArrayData = {
-    val bytes = text.toLowerCase.getBytes
+  /** Token runs of `bytes` (already lowercased): returns (starts, ends,
+    * count). One pass, zero regex: every token byte is ASCII `[a-z0-9]`
+    * (multi-byte UTF-8 units are ≥ 0x80, hence separators — exactly what
+    * the `[^a-z0-9]+` split does). Shared by the shingle and winnow
+    * kernels so both sides of dedup see the identical tokenizer. */
+  private[functions] def tokenRuns(bytes: Array[Byte]): (Array[Int], Array[Int], Int) = {
     val len = bytes.length
     var starts = new Array[Int](64)
     var ends = new Array[Int](64)
@@ -53,6 +52,14 @@ object ShinglesImpl {
         starts(nt) = s; ends(nt) = i; nt += 1
       } else i += 1
     }
+    (starts, ends, nt)
+  }
+
+  /** Distinct word n-gram shingles of lowercased alphanumeric-run
+    * tokens, first-occurrence order. */
+  def shingleSet(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    val (starts, ends, nt) = tokenRuns(bytes)
     if (nt < n) return Empty
     val seen = new JLinkedHashSet[UTF8String]((nt - n + 1) * 2)
     var w = 0

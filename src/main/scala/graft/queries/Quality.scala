@@ -130,26 +130,28 @@ object Quality {
         GROUP BY d.source ORDER BY d.source""")),
 
     // ---- exact-substring cross-doc duplication ---------------------------
-    // MassiveText-style: fingerprint every 16-token window (stride 1),
-    // join fingerprints across docs — a pair sharing a window shares an
-    // exact 16-token substring. Feature pass is map-only and
-    // materialized ONCE; the join is an inverted-index posting join with
-    // a df∈[2,64] pruning band (df≥2: only fingerprints that can pair;
-    // df≤64: boilerplate cap, exact until a window repeats in >64 docs —
-    // same contract as dedup_ngram, so the uncapped oracle matches).
+    // MassiveText-style exact-substring detection, made scale-safe with
+    // winnowing (Schleimer/Wilkerson/Aiken, MOSS): fingerprint every
+    // 16-token window, then keep only the MINIMUM fingerprint of each run
+    // of 15 consecutive windows. Guarantee: any substring of >= 30 tokens
+    // (16 + 15 - 1) shared by two docs selects at least one common
+    // fingerprint in both, so no long dup escapes; expected density is
+    // 2/(w+1) ~ 1/8 of the stride-1 volume — the posting shuffle drops
+    // from O(corpus tokens) to O(corpus tokens / 8). The join is an
+    // inverted-index posting join with a df∈[2,64] band (df≥2: only
+    // fingerprints that can pair; df≤64: boilerplate cap) mirrored
+    // EXACTLY in the oracle so both engines compute the same contract at
+    // every scale factor. Recall on planted long dups: QualitySpec.
     QueryDef("dedup_substring",
       (s, d) => {
+        // fused native kernel (see WinnowImpl scaladoc): the declarative
+        // two-layer transform gets cloned below the repartition by
+        // InferFiltersFromGenerate with the fps array inlined per winnow
+        // slice — O(n²) md5s on the single input split. One codegen call
+        // is O(n) and stays cheap even when redundantly cloned.
         val w = docs(s, d)
-          .select(col("doc_id"), TF.tokens(col("text")).as("tk"))
-          // total even on <16-token docs: InferFiltersFromGenerate clones
-          // this expression into a pushed-down size()>0 filter that runs
-          // BELOW any row filter, and an unguarded descending sequence()
-          // would feed slice() a zero start there
-          .withColumn("wins", when(size(col("tk")) >= 16, expr(
-            "array_distinct(transform(sequence(0, size(tk)-16), " +
-              "i -> substring(md5(concat_ws(' ', slice(tk, i+1, 16))), 1, 16)))"))
-            .otherwise(expr("cast(array() as array<string>)")))
-          .select(col("doc_id"), explode(col("wins")).as("fp"))
+          .select(col("doc_id"),
+            explode(graft.functions.Winnow.winnow(s, col("text"), 16, 15)).as("fp"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         val hot = w.groupBy(col("fp")).agg(count(lit(1)).as("df"))
           .filter(col("df").between(2, 64)).select(col("fp"))
@@ -161,12 +163,22 @@ object Quality {
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(s"""WITH toks AS (SELECT doc_id, $TkSql AS tk FROM documents),
+        fps AS (SELECT doc_id,
+            CASE WHEN len(tk) >= 16 THEN
+              [substr(md5(array_to_string(tk[i:i+15], ' ')), 1, 16)
+                for i in generate_series(1, len(tk)-15)]
+            ELSE [] END AS fp_list
+          FROM toks),
         wn AS (SELECT doc_id, unnest(list_distinct(
-            [substr(md5(array_to_string(tk[i:i+15], ' ')), 1, 16)
-              for i in generate_series(1, len(tk)-15)])) AS fp
-          FROM toks)
+            CASE WHEN len(fp_list) >= 15 THEN
+              [list_min(fp_list[j:j+14]) for j in generate_series(1, len(fp_list)-14)]
+            WHEN len(fp_list) > 0 THEN [list_min(fp_list)]
+            ELSE [] END)) AS fp
+          FROM fps),
+        hot AS (SELECT fp FROM wn GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 64)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-        FROM wn a JOIN wn b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        FROM wn a JOIN hot USING (fp) JOIN wn b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // ---- corpus-frequency rarity scoring ----------------------------------

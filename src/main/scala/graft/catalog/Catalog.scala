@@ -1,0 +1,234 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.types.StructType
+
+/** Pluggable catalog/table-format interface — the abstraction the
+  * reference gets from PyIceberg's `load_catalog(type=...)`, which it
+  * exercises with BOTH a SQLite catalog (`main-polars.py:49-53`) and a
+  * PostgreSQL catalog (`main-polars-psql.py:149-154`). Implementations
+  * here: [[Snaplog]] (JSON/JSONL files, no services) and
+  * [[JdbcCatalog]] (embedded Derby — the SQL-catalog deployment shape).
+  *
+  * The contract is storage-agnostic metadata: where snapshots LIVE is
+  * the implementation's business; how a snapshot's live file set
+  * replays, how expiration validates, and how refs behave are shared
+  * here so every implementation agrees on table semantics.
+  */
+trait Catalog {
+
+  // ---- namespaces --------------------------------------------------------
+
+  /** Idempotent, like the reference's create-and-catch (`main-polars.py:144-148`). */
+  def createNamespace(ns: String): Unit
+  def namespaceExists(ns: String): Boolean
+  def listNamespaces(): Seq[String]
+
+  // ---- tables ------------------------------------------------------------
+
+  def tableExists(ns: String, t: String): Boolean
+
+  def createTable(
+      ns: String,
+      name: String,
+      schema: StructType,
+      partitionColumns: Seq[String] = Seq.empty,
+      properties: Map[String, String] = Map.empty,
+      ifNotExists: Boolean = true): TableMetadata
+
+  def loadTable(ns: String, t: String): TableMetadata
+  def dropTable(ns: String, t: String): Unit
+  def listTables(ns: String): Seq[String]
+
+  /** Filesystem directory new data files for this table are written
+    * under — every catalog implementation still stores DATA as parquet
+    * on the warehouse filesystem; only metadata placement differs. */
+  def dataDir(ns: String, t: String): Path
+
+  /** Replace the table schema (schema evolution commit). Caller is
+    * responsible for evolution legality (see LakehouseTable.addColumn —
+    * additive nullable changes are always safe: parquet scans fill
+    * missing columns with null). */
+  def updateSchema(ns: String, t: String, schema: StructType): TableMetadata
+
+  // ---- snapshot log ------------------------------------------------------
+
+  /** Full commit history, oldest first, ids dense and monotonic. */
+  def snapshots(ns: String, t: String): Seq[Snapshot]
+
+  def currentSnapshot(ns: String, t: String): Option[Snapshot] =
+    snapshots(ns, t).lastOption
+
+  /** Append one commit to the log; snapshot ids are dense and monotonic.
+    *
+    * Concurrency contract (every implementation): racing committers
+    * serialize, and BOTH land with distinct sequential ids. A committer
+    * whose file list was computed against `expectedSnapshotId` gets a
+    * [[CommitConflictException]] if the table advanced past it —
+    * optimistic concurrency, Iceberg's CAS-on-metadata model. Blind
+    * appends (no expectation) never conflict. */
+  def commit(
+      ns: String, t: String, operation: String,
+      files: Seq[DataFileEntry],
+      summary: Map[String, String] = Map.empty,
+      expectedSnapshotId: Option[Long] = None): Snapshot
+
+  /** Live data files as of `asOf` (default: current) — replay from the
+    * latest overwrite/replace at-or-before the target snapshot. Time
+    * travel = this file list fed to a plain parquet scan. Position-
+    * delete vectors are excluded — see [[liveDeleteFiles]]. */
+  final def liveFiles(ns: String, t: String, asOf: Option[Long] = None): Seq[DataFileEntry] =
+    liveWindow(ns, t, asOf).flatMap(_.files).filterNot(_.deleteFile.contains(true))
+
+  /** Position-delete vectors live as of `asOf`: MOR delete commits in
+    * the current replay window. A reset commit (overwrite / replace /
+    * COW delete / compaction) starts a fresh window, so materialized
+    * rewrites naturally retire their delete vectors. */
+  final def liveDeleteFiles(ns: String, t: String, asOf: Option[Long] = None): Seq[DataFileEntry] =
+    liveWindow(ns, t, asOf).flatMap(_.files).filter(_.deleteFile.contains(true))
+
+  private def liveWindow(ns: String, t: String, asOf: Option[Long]): Seq[Snapshot] = {
+    val all = snapshots(ns, t)
+    val upto = asOf match {
+      case Some(id) =>
+        require(all.exists(_.snapshotId == id), s"snapshot $id not found for $ns.$t")
+        all.takeWhile(_.snapshotId <= id)
+      case None => all
+    }
+    val fromIdx = upto.lastIndexWhere(s => Snaplog.ResetOps(s.operation))
+    if (fromIdx < 0) upto else upto.drop(fromIdx)
+  }
+
+  // ---- refs (tags / branches) ---------------------------------------------
+
+  def refs(ns: String, t: String): Map[String, SnapshotRef]
+
+  /** Persist the complete ref map (implementation storage). */
+  protected def writeRefs(ns: String, t: String, all: Map[String, SnapshotRef]): Unit
+
+  /** Create or (branches only) retarget a named ref. Tags are immutable:
+    * re-pointing an existing tag is an error, matching Iceberg ref
+    * semantics. The target snapshot must exist. */
+  final def setRef(ns: String, t: String, name: String, snapshotId: Long,
+      refType: String = "tag"): SnapshotRef = {
+    require(refType == "tag" || refType == "branch",
+      s"refType must be tag|branch, got '$refType'")
+    require(snapshots(ns, t).exists(_.snapshotId == snapshotId),
+      s"snapshot $snapshotId not found for $ns.$t")
+    val cur = refs(ns, t)
+    cur.get(name).foreach { r =>
+      require(r.refType == "branch",
+        s"ref '$name' is a tag and cannot be re-pointed")
+    }
+    val ref = SnapshotRef(snapshotId, refType)
+    writeRefs(ns, t, cur + (name -> ref))
+    ref
+  }
+
+  final def dropRef(ns: String, t: String, name: String): Unit = {
+    val cur = refs(ns, t)
+    if (cur.contains(name)) writeRefs(ns, t, cur - name)
+  }
+
+  // ---- maintenance ---------------------------------------------------------
+
+  /** Replace the persisted snapshot log with exactly `kept`
+    * (implementation storage; called by [[expireSnapshots]] after
+    * validation). */
+  protected def replaceLog(ns: String, t: String, kept: Seq[Snapshot]): Unit
+
+  /** Expire history: keep only the last `keepLast` snapshots. Refused
+    * unless the kept suffix is self-contained (contains an overwrite/
+    * replace base, or nothing is dropped) — expiring snapshots that
+    * still contribute live files would corrupt the table; compact or
+    * overwrite first.
+    *
+    * High-water marks under [[Snaplog.CarryMaxKeys]] (the idempotent
+    * streaming-sink batch ids) are folded forward: the running maximum
+    * across the DROPPED snapshots merges into the oldest kept
+    * snapshot's summary, so expiration never re-opens the door to a
+    * replayed micro-batch. Returns the kept snapshots. */
+  final def expireSnapshots(ns: String, t: String, keepLast: Int): Seq[Snapshot] = {
+    require(keepLast >= 1, "must keep at least one snapshot")
+    val all = snapshots(ns, t)
+    if (all.size <= keepLast) return all
+    val kept0 = all.takeRight(keepLast)
+    require(kept0.exists(s => Snaplog.ResetOps(s.operation)),
+      s"cannot expire: the last $keepLast snapshots have no overwrite/replace base; " +
+        "older snapshots still contribute live files — compact first")
+    val keptIds = kept0.map(_.snapshotId).toSet
+    val orphanedRefs = refs(ns, t).filter { case (_, r) => !keptIds.contains(r.snapshotId) }
+    require(orphanedRefs.isEmpty,
+      s"cannot expire: refs ${orphanedRefs.keys.toSeq.sorted.mkString(", ")} " +
+        "still point at snapshots that would be dropped — drop the refs first")
+    val dropped = all.dropRight(keepLast)
+    val carried = Snaplog.CarryMaxKeys.flatMap { k =>
+      dropped.flatMap(_.summary.get(k))
+        .flatMap(v => scala.util.Try(v.toLong).toOption)
+        .maxOption.map(k -> _)
+    }.toMap
+    val kept =
+      if (carried.isEmpty) kept0
+      else {
+        val head = kept0.head
+        val merged = carried.foldLeft(head.summary) { case (s, (k, v)) =>
+          val cur = s.get(k).flatMap(x => scala.util.Try(x.toLong).toOption)
+          if (cur.exists(_ >= v)) s else s + (k -> v.toString)
+        }
+        kept0.updated(0, head.copy(summary = merged))
+      }
+    replaceLog(ns, t, kept)
+    kept
+  }
+
+  /** Delete data files under the table's managed data dir that no
+    * remaining snapshot references (orphans left by expiration or
+    * overwrites). Never touches files outside the managed dir (e.g.
+    * add_files registrations). Returns deleted paths. */
+  final def vacuum(ns: String, t: String): Seq[String] = {
+    val referenced = snapshots(ns, t).flatMap(_.files).map(_.path).toSet
+    val dd = dataDir(ns, t)
+    if (!Files.isDirectory(dd)) return Seq.empty
+    val orphans = Files.walk(dd).iterator.asScala
+      .filter(p => Files.isRegularFile(p) && !referenced.contains(p.toString))
+      .map(_.toString).toSeq.sorted
+    orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    // prune now-empty directories bottom-up
+    Files.walk(dd).iterator.asScala.toSeq.reverse
+      .filter(p => Files.isDirectory(p) && p != dd)
+      .foreach { p =>
+        val s = Files.list(p)
+        val empty = try !s.iterator.hasNext finally s.close()
+        if (empty) Files.deleteIfExists(p)
+      }
+    orphans
+  }
+
+  /** Next snapshot for `prev` under `operation` — shared so every
+    * implementation stamps identical snapshot rows. Enforces the
+    * optimistic-concurrency expectation; call INSIDE the
+    * implementation's critical section. */
+  protected final def buildSnapshot(
+      ns: String, t: String, prev: Option[Snapshot], operation: String,
+      files: Seq[DataFileEntry], summary: Map[String, String],
+      expectedSnapshotId: Option[Long]): Snapshot = {
+    expectedSnapshotId.foreach { want =>
+      val cur = prev.map(_.snapshotId).getOrElse(0L)
+      if (cur != want)
+        throw new CommitConflictException(
+          s"commit to $ns.$t expected snapshot $want but found $cur — " +
+            "another writer committed first; re-read and retry")
+    }
+    Snapshot(
+      snapshotId = prev.map(_.snapshotId + 1).getOrElse(1L),
+      parentId = prev.map(_.snapshotId),
+      timestampMs = System.currentTimeMillis(),
+      operation = operation,
+      files = files,
+      summary = summary ++ Map(
+        "added-files" -> files.size.toString,
+        "added-records" -> files.map(_.rowCount).sum.toString))
+  }
+}

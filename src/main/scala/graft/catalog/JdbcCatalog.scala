@@ -1,0 +1,283 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths}
+import java.sql.{Connection, DriverManager, SQLException}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.types.StructType
+import org.json4s._
+import org.json4s.jackson.Serialization
+import org.json4s.jackson.Serialization.{read => jread, write => jwrite}
+
+/** SQL-backed [[Catalog]] over embedded Apache Derby — the deployment
+  * shape of the reference's SQL catalogs (`catalog_type: "sql"` with
+  * SQLite `main-polars.py:49-53` and PostgreSQL
+  * `main-polars-psql.py:149-154`): metadata rows in a relational store,
+  * data files on the warehouse filesystem.
+  *
+  * Concurrency comes from the database, exactly as it does for the
+  * reference: the snapshot table's primary key `(ns, tbl, snapshot_id)`
+  * is the CAS — two racing committers compute the same next id, one
+  * INSERT wins, the loser re-reads and retries (blind commits) or
+  * surfaces [[CommitConflictException]] (conditional commits). No file
+  * locks; any JDBC-reachable store with unique constraints gives the
+  * same guarantee, which is how this layer would sit behind Postgres on
+  * a real cluster.
+  *
+  * `jdbcUrl` example: `jdbc:derby:/path/to/cat;create=true`. Derby ships
+  * in the Spark distribution (metastore dependency), so no new
+  * dependency is introduced.
+  */
+final class JdbcCatalog(val jdbcUrl: String, val warehouse: String) extends Catalog {
+  private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
+
+  // Derby's JDBC4 driver autoloads via ServiceLoader; the explicit load
+  // keeps us working under classloader setups that skip it.
+  try Class.forName("org.apache.derby.iapi.jdbc.AutoloadedDriver")
+  catch { case _: ClassNotFoundException =>
+    try Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    catch { case _: ClassNotFoundException => () }
+  }
+
+  // keep Derby's engine log out of the process working directory
+  if (System.getProperty("derby.stream.error.file") == null)
+    System.setProperty("derby.stream.error.file",
+      Paths.get(warehouse, "derby.log").toAbsolutePath.toString)
+
+  locally { initSchema() }
+
+  private def withConn[A](f: Connection => A): A = {
+    val c = DriverManager.getConnection(jdbcUrl)
+    try f(c) finally c.close()
+  }
+
+  /** Derby SQLState for "table already exists" / duplicate key. */
+  private val TableExistsState = "X0Y32"
+  private val DuplicateKeyState = "23505"
+
+  private def initSchema(): Unit = withConn { c =>
+    val ddl = Seq(
+      "CREATE TABLE graft_namespaces(ns VARCHAR(256) PRIMARY KEY)",
+      "CREATE TABLE graft_tables(ns VARCHAR(256) NOT NULL, tbl VARCHAR(256) NOT NULL, " +
+        "meta CLOB NOT NULL, PRIMARY KEY(ns, tbl))",
+      "CREATE TABLE graft_snapshots(ns VARCHAR(256) NOT NULL, tbl VARCHAR(256) NOT NULL, " +
+        "snapshot_id BIGINT NOT NULL, body CLOB NOT NULL, PRIMARY KEY(ns, tbl, snapshot_id))",
+      "CREATE TABLE graft_refs(ns VARCHAR(256) NOT NULL, tbl VARCHAR(256) NOT NULL, " +
+        "ref_name VARCHAR(256) NOT NULL, snapshot_id BIGINT NOT NULL, " +
+        "ref_type VARCHAR(16) NOT NULL, PRIMARY KEY(ns, tbl, ref_name))")
+    ddl.foreach { sql =>
+      val st = c.createStatement()
+      try st.executeUpdate(sql)
+      catch { case e: SQLException if e.getSQLState == TableExistsState => () }
+      finally st.close()
+    }
+  }
+
+  // ---- namespaces -------------------------------------------------------
+
+  override def createNamespace(ns: String): Unit = withConn { c =>
+    val ps = c.prepareStatement("INSERT INTO graft_namespaces(ns) VALUES (?)")
+    try { ps.setString(1, ns); ps.executeUpdate(); () }
+    catch { case e: SQLException if e.getSQLState == DuplicateKeyState => () }
+    finally ps.close()
+  }
+
+  override def namespaceExists(ns: String): Boolean = withConn { c =>
+    val ps = c.prepareStatement("SELECT 1 FROM graft_namespaces WHERE ns = ?")
+    try { ps.setString(1, ns); val rs = ps.executeQuery(); rs.next() }
+    finally ps.close()
+  }
+
+  override def listNamespaces(): Seq[String] = withConn { c =>
+    val st = c.createStatement()
+    try {
+      val rs = st.executeQuery("SELECT ns FROM graft_namespaces ORDER BY ns")
+      Iterator.continually(rs).takeWhile(_.next()).map(_.getString(1)).toSeq
+    } finally st.close()
+  }
+
+  // ---- tables -----------------------------------------------------------
+
+  override def tableExists(ns: String, t: String): Boolean = withConn { c =>
+    val ps = c.prepareStatement("SELECT 1 FROM graft_tables WHERE ns = ? AND tbl = ?")
+    try { ps.setString(1, ns); ps.setString(2, t); ps.executeQuery().next() }
+    finally ps.close()
+  }
+
+  override def createTable(
+      ns: String,
+      name: String,
+      schema: StructType,
+      partitionColumns: Seq[String] = Seq.empty,
+      properties: Map[String, String] = Map.empty,
+      ifNotExists: Boolean = true): TableMetadata = {
+    createNamespace(ns)
+    partitionColumns.foreach { c =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"partition column '$c' not in schema")
+    }
+    val meta = TableMetadata(ns, name, schema.json, partitionColumns,
+      properties, System.currentTimeMillis())
+    val inserted = withConn { c =>
+      val ps = c.prepareStatement(
+        "INSERT INTO graft_tables(ns, tbl, meta) VALUES (?, ?, ?)")
+      try {
+        ps.setString(1, ns); ps.setString(2, name); ps.setString(3, jwrite(meta))
+        ps.executeUpdate(); true
+      } catch {
+        case e: SQLException if e.getSQLState == DuplicateKeyState => false
+      } finally ps.close()
+    }
+    if (!inserted) {
+      if (ifNotExists) return loadTable(ns, name)
+      throw new IllegalStateException(s"table $ns.$name already exists")
+    }
+    Files.createDirectories(dataDir(ns, name))
+    meta
+  }
+
+  override def loadTable(ns: String, t: String): TableMetadata = withConn { c =>
+    val ps = c.prepareStatement("SELECT meta FROM graft_tables WHERE ns = ? AND tbl = ?")
+    try {
+      ps.setString(1, ns); ps.setString(2, t)
+      val rs = ps.executeQuery()
+      require(rs.next(), s"table $ns.$t does not exist")
+      jread[TableMetadata](rs.getString(1))
+    } finally ps.close()
+  }
+
+  override def dropTable(ns: String, t: String): Unit = {
+    withConn { c =>
+      c.setAutoCommit(false)
+      try {
+        Seq("DELETE FROM graft_snapshots WHERE ns = ? AND tbl = ?",
+          "DELETE FROM graft_refs WHERE ns = ? AND tbl = ?",
+          "DELETE FROM graft_tables WHERE ns = ? AND tbl = ?").foreach { sql =>
+          val ps = c.prepareStatement(sql)
+          try { ps.setString(1, ns); ps.setString(2, t); ps.executeUpdate(); () }
+          finally ps.close()
+        }
+        c.commit()
+      } catch { case e: Throwable => c.rollback(); throw e }
+    }
+    val dir = Paths.get(warehouse, ns, t)
+    if (Files.exists(dir)) {
+      Files.walk(dir).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  override def listTables(ns: String): Seq[String] = withConn { c =>
+    val ps = c.prepareStatement("SELECT tbl FROM graft_tables WHERE ns = ? ORDER BY tbl")
+    try {
+      ps.setString(1, ns)
+      val rs = ps.executeQuery()
+      Iterator.continually(rs).takeWhile(_.next()).map(_.getString(1)).toSeq
+    } finally ps.close()
+  }
+
+  override def dataDir(ns: String, t: String): Path =
+    Paths.get(warehouse, ns, t, "data")
+
+  override def updateSchema(ns: String, t: String, schema: StructType): TableMetadata = {
+    val updated = loadTable(ns, t).copy(schemaJson = schema.json)
+    withConn { c =>
+      val ps = c.prepareStatement(
+        "UPDATE graft_tables SET meta = ? WHERE ns = ? AND tbl = ?")
+      try {
+        ps.setString(1, jwrite(updated)); ps.setString(2, ns); ps.setString(3, t)
+        ps.executeUpdate()
+      } finally ps.close()
+    }
+    updated
+  }
+
+  // ---- snapshot log -----------------------------------------------------
+
+  override def snapshots(ns: String, t: String): Seq[Snapshot] = withConn { c =>
+    val ps = c.prepareStatement(
+      "SELECT body FROM graft_snapshots WHERE ns = ? AND tbl = ? ORDER BY snapshot_id")
+    try {
+      ps.setString(1, ns); ps.setString(2, t)
+      val rs = ps.executeQuery()
+      Iterator.continually(rs).takeWhile(_.next())
+        .map(r => jread[Snapshot](r.getString(1))).toSeq
+    } finally ps.close()
+  }
+
+  override def commit(
+      ns: String, t: String, operation: String,
+      files: Seq[DataFileEntry],
+      summary: Map[String, String] = Map.empty,
+      expectedSnapshotId: Option[Long] = None): Snapshot = {
+    // CAS loop on the snapshot PK: compute next id from the freshest
+    // read, INSERT; a duplicate key means another writer landed first —
+    // blind commits re-read and retry, conditional commits conflict via
+    // buildSnapshot on the re-read (the expectation can no longer hold).
+    while (true) {
+      val snap = buildSnapshot(ns, t, currentSnapshot(ns, t), operation,
+        files, summary, expectedSnapshotId)
+      val won = withConn { c =>
+        val ps = c.prepareStatement(
+          "INSERT INTO graft_snapshots(ns, tbl, snapshot_id, body) VALUES (?, ?, ?, ?)")
+        try {
+          ps.setString(1, ns); ps.setString(2, t)
+          ps.setLong(3, snap.snapshotId); ps.setString(4, jwrite(snap))
+          ps.executeUpdate(); true
+        } catch {
+          case e: SQLException if e.getSQLState == DuplicateKeyState => false
+        } finally ps.close()
+      }
+      if (won) return snap
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  // ---- refs + log storage -------------------------------------------------
+
+  override def refs(ns: String, t: String): Map[String, SnapshotRef] = withConn { c =>
+    val ps = c.prepareStatement(
+      "SELECT ref_name, snapshot_id, ref_type FROM graft_refs WHERE ns = ? AND tbl = ?")
+    try {
+      ps.setString(1, ns); ps.setString(2, t)
+      val rs = ps.executeQuery()
+      Iterator.continually(rs).takeWhile(_.next())
+        .map(r => r.getString(1) -> SnapshotRef(r.getLong(2), r.getString(3))).toMap
+    } finally ps.close()
+  }
+
+  override protected def writeRefs(ns: String, t: String,
+      all: Map[String, SnapshotRef]): Unit = withConn { c =>
+    c.setAutoCommit(false)
+    try {
+      val del = c.prepareStatement("DELETE FROM graft_refs WHERE ns = ? AND tbl = ?")
+      try { del.setString(1, ns); del.setString(2, t); del.executeUpdate(); () }
+      finally del.close()
+      val ins = c.prepareStatement(
+        "INSERT INTO graft_refs(ns, tbl, ref_name, snapshot_id, ref_type) VALUES (?, ?, ?, ?, ?)")
+      try all.foreach { case (name, r) =>
+        ins.setString(1, ns); ins.setString(2, t); ins.setString(3, name)
+        ins.setLong(4, r.snapshotId); ins.setString(5, r.refType)
+        ins.executeUpdate()
+      } finally ins.close()
+      c.commit()
+    } catch { case e: Throwable => c.rollback(); throw e }
+  }
+
+  override protected def replaceLog(ns: String, t: String, kept: Seq[Snapshot]): Unit =
+    withConn { c =>
+      c.setAutoCommit(false)
+      try {
+        val del = c.prepareStatement("DELETE FROM graft_snapshots WHERE ns = ? AND tbl = ?")
+        try { del.setString(1, ns); del.setString(2, t); del.executeUpdate(); () }
+        finally del.close()
+        val ins = c.prepareStatement(
+          "INSERT INTO graft_snapshots(ns, tbl, snapshot_id, body) VALUES (?, ?, ?, ?)")
+        try kept.foreach { s =>
+          ins.setString(1, ns); ins.setString(2, t)
+          ins.setLong(3, s.snapshotId); ins.setString(4, jwrite(s))
+          ins.executeUpdate()
+        } finally ins.close()
+        c.commit()
+      } catch { case e: Throwable => c.rollback(); throw e }
+    }
+}

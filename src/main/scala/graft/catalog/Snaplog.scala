@@ -25,12 +25,16 @@ import org.json4s.jackson.Serialization.{read => jread, write => jwrite}
   * never handed to Spark. */
 case class ColBounds(min: String, max: String)
 
+/** `deleteFile = Some(true)` marks a POSITION-DELETE vector (parquet of
+  * `(file_path, row_index)` rows, Iceberg-v2 MOR tier) rather than a
+  * data file; absent/None (all pre-existing log entries) means data. */
 case class DataFileEntry(
     path: String,
     rowCount: Long,
     sizeBytes: Long,
     partitionValues: Map[String, String],
-    columnStats: Option[Map[String, ColBounds]] = None)
+    columnStats: Option[Map[String, ColBounds]] = None,
+    deleteFile: Option[Boolean] = None)
 
 /** One commit. `operation` ∈ append | overwrite | add_files — the three
   * commit kinds the reference exercises (`table.append`
@@ -66,7 +70,13 @@ case class TableMetadata(
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
 }
 
-/** Snaplog — the native single-writer table-format/catalog layer.
+/** A conditional commit found the table advanced past the snapshot the
+  * writer's file list was computed against. Retryable: re-read table
+  * state, recompute, commit again (see LakehouseTable.writeCommit). */
+final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+/** Snaplog — the file-backed [[Catalog]] implementation (no services,
+  * like the reference's SQLite deployment).
   *
   * Layout (per SURVEY.md §7.0):
   * {{{
@@ -83,16 +93,19 @@ case class TableMetadata(
   * metadata-only `add_files`, and transactional multi-append (one commit
   * for N batches, `main-polars.py:165-186`).
   *
-  * Concurrency: single-writer by design — the same assumption the
-  * reference makes (its only concurrency control is the SQLite catalog
-  * file lock). Commits are atomic at the filesystem level: the snapshot
-  * line is appended with CREATE+APPEND and readers replay the log.
+  * Concurrency: commits serialize under a per-table lock file, so two
+  * racing committers both land (distinct sequential ids) — the locking
+  * the reference inherits from its SQLite/Postgres catalogs. Writers
+  * whose commit DEPENDS on the state they read (partition overwrite,
+  * COW delete, compaction, upsert) additionally pass the snapshot id
+  * they read, and the commit fails with [[CommitConflictException]] if
+  * the table advanced — optimistic concurrency, Iceberg's CAS model.
   * Catalog I/O is tiny driver-side metadata (one JSON line per commit) —
   * at cluster scale this layer would sit behind an HA store, but its
   * data-plane design (explicit file lists + stats in the log) is exactly
   * what scales: planning never lists directories.
   */
-final class Snaplog(val warehouse: String) {
+final class Snaplog(val warehouse: String) extends Catalog {
   private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
 
   private def nsDir(ns: String): Path = Paths.get(warehouse, ns)
@@ -102,21 +115,20 @@ final class Snaplog(val warehouse: String) {
 
   // ---- namespaces -------------------------------------------------------
 
-  /** Idempotent, like the reference's create-and-catch (`main-polars.py:144-148`). */
-  def createNamespace(ns: String): Unit = { Files.createDirectories(nsDir(ns)); () }
+  override def createNamespace(ns: String): Unit = { Files.createDirectories(nsDir(ns)); () }
 
-  def namespaceExists(ns: String): Boolean = Files.isDirectory(nsDir(ns))
+  override def namespaceExists(ns: String): Boolean = Files.isDirectory(nsDir(ns))
 
-  def listNamespaces(): Seq[String] =
+  override def listNamespaces(): Seq[String] =
     if (!Files.isDirectory(Paths.get(warehouse))) Seq.empty
     else Files.list(Paths.get(warehouse)).iterator.asScala
       .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
 
   // ---- tables -----------------------------------------------------------
 
-  def tableExists(ns: String, t: String): Boolean = Files.exists(metaFile(ns, t))
+  override def tableExists(ns: String, t: String): Boolean = Files.exists(metaFile(ns, t))
 
-  def createTable(
+  override def createTable(
       ns: String,
       name: String,
       schema: StructType,
@@ -141,166 +153,101 @@ final class Snaplog(val warehouse: String) {
     meta
   }
 
-  def loadTable(ns: String, t: String): TableMetadata = {
+  override def loadTable(ns: String, t: String): TableMetadata = {
     require(tableExists(ns, t), s"table $ns.$t does not exist")
     jread[TableMetadata](Files.readString(metaFile(ns, t)))
   }
 
-  def dropTable(ns: String, t: String): Unit = {
+  override def dropTable(ns: String, t: String): Unit = {
     val dir = tableDir(ns, t)
     if (Files.exists(dir)) {
       Files.walk(dir).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     }
   }
 
-  def listTables(ns: String): Seq[String] =
+  override def listTables(ns: String): Seq[String] =
     if (!namespaceExists(ns)) Seq.empty
     else Files.list(nsDir(ns)).iterator.asScala
       .filter(p => Files.exists(p.resolve("metadata.json")))
       .map(_.getFileName.toString).toSeq.sorted
 
-  def dataDir(ns: String, t: String): Path = tableDir(ns, t).resolve("data")
+  override def dataDir(ns: String, t: String): Path = tableDir(ns, t).resolve("data")
+
+  override def updateSchema(ns: String, t: String, schema: StructType): TableMetadata = {
+    val m = loadTable(ns, t)
+    val updated = m.copy(schemaJson = schema.json)
+    writeAtomic(metaFile(ns, t), jwrite(updated))
+    updated
+  }
 
   // ---- snapshot log -----------------------------------------------------
 
-  def snapshots(ns: String, t: String): Seq[Snapshot] = {
+  override def snapshots(ns: String, t: String): Seq[Snapshot] = {
     val f = logFile(ns, t)
     if (!Files.exists(f)) Seq.empty
     else Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
       .filter(_.nonEmpty).map(jread[Snapshot](_))
   }
 
-  def currentSnapshot(ns: String, t: String): Option[Snapshot] =
-    snapshots(ns, t).lastOption
-
-  /** Append one commit to the log; snapshot ids are dense and monotonic. */
-  def commit(
+  override def commit(
       ns: String, t: String, operation: String,
       files: Seq[DataFileEntry],
-      summary: Map[String, String] = Map.empty): Snapshot = {
-    val prev = currentSnapshot(ns, t)
-    val snap = Snapshot(
-      snapshotId = prev.map(_.snapshotId + 1).getOrElse(1L),
-      parentId = prev.map(_.snapshotId),
-      timestampMs = System.currentTimeMillis(),
-      operation = operation,
-      files = files,
-      summary = summary ++ Map(
-        "added-files" -> files.size.toString,
-        "added-records" -> files.map(_.rowCount).sum.toString))
+      summary: Map[String, String] = Map.empty,
+      expectedSnapshotId: Option[Long] = None): Snapshot = withTableLock(ns, t) {
+    val snap = buildSnapshot(ns, t, currentSnapshot(ns, t), operation,
+      files, summary, expectedSnapshotId)
     Files.write(logFile(ns, t), (jwrite(snap) + "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     snap
   }
 
-  /** Live data files as of `asOf` (default: current) — replay from the
-    * latest overwrite/replace at-or-before the target snapshot. Time
-    * travel = this file list fed to a plain parquet scan. */
-  def liveFiles(ns: String, t: String, asOf: Option[Long] = None): Seq[DataFileEntry] = {
-    val all = snapshots(ns, t)
-    val upto = asOf match {
-      case Some(id) =>
-        require(all.exists(_.snapshotId == id), s"snapshot $id not found for $ns.$t")
-        all.takeWhile(_.snapshotId <= id)
-      case None => all
+  /** Serialize commits to one table. The lock file is created
+    * atomically; holders are expected to release within milliseconds
+    * (the critical section is one log-line append — data files write
+    * OUTSIDE the lock). A lock older than [[Snaplog.LockStaleMs]] is
+    * presumed abandoned (crashed holder) and broken; acquisition gives
+    * up after [[Snaplog.LockTimeoutMs]] so a wedged filesystem fails
+    * loudly instead of hanging the driver. */
+  private def withTableLock[A](ns: String, t: String)(body: => A): A = {
+    val lock = tableDir(ns, t).resolve("commit.lock")
+    val deadline = System.currentTimeMillis() + Snaplog.LockTimeoutMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        Files.createFile(lock)
+        acquired = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val age = try {
+            System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis
+          } catch { case _: java.io.IOException => 0L } // holder just released
+          if (age > Snaplog.LockStaleMs) Files.deleteIfExists(lock)
+          else if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"could not acquire commit lock for $ns.$t within ${Snaplog.LockTimeoutMs} ms ($lock)")
+          else Thread.sleep(2)
+      }
     }
-    val fromIdx = upto.lastIndexWhere(s => Snaplog.ResetOps(s.operation))
-    (if (fromIdx < 0) upto else upto.drop(fromIdx)).flatMap(_.files)
+    try body finally Files.deleteIfExists(lock)
   }
 
-  // ---- refs (tags / branches) -------------------------------------------
+  // ---- refs + log storage -------------------------------------------------
 
   private def refsFile(ns: String, t: String): Path =
     tableDir(ns, t).resolve("refs.json")
 
-  def refs(ns: String, t: String): Map[String, SnapshotRef] = {
+  override def refs(ns: String, t: String): Map[String, SnapshotRef] = {
     val f = refsFile(ns, t)
     if (!Files.exists(f)) Map.empty
     else jread[Map[String, SnapshotRef]](Files.readString(f))
   }
 
-  /** Create or (branches only) retarget a named ref. Tags are immutable:
-    * re-pointing an existing tag is an error, matching Iceberg ref
-    * semantics. The target snapshot must exist. */
-  def setRef(ns: String, t: String, name: String, snapshotId: Long,
-      refType: String = "tag"): SnapshotRef = {
-    require(refType == "tag" || refType == "branch",
-      s"refType must be tag|branch, got '$refType'")
-    require(snapshots(ns, t).exists(_.snapshotId == snapshotId),
-      s"snapshot $snapshotId not found for $ns.$t")
-    val cur = refs(ns, t)
-    cur.get(name).foreach { r =>
-      require(r.refType == "branch",
-        s"ref '$name' is a tag and cannot be re-pointed")
-    }
-    val ref = SnapshotRef(snapshotId, refType)
-    writeAtomic(refsFile(ns, t), jwrite(cur + (name -> ref)))
-    ref
-  }
+  override protected def writeRefs(ns: String, t: String,
+      all: Map[String, SnapshotRef]): Unit =
+    writeAtomic(refsFile(ns, t), jwrite(all))
 
-  def dropRef(ns: String, t: String, name: String): Unit = {
-    val cur = refs(ns, t)
-    if (cur.contains(name)) writeAtomic(refsFile(ns, t), jwrite(cur - name))
-  }
-
-  // ---- maintenance ------------------------------------------------------
-
-  /** Expire history: keep only the last `keepLast` snapshots. Refused
-    * unless the kept suffix is self-contained (contains an overwrite/
-    * replace base, or nothing is dropped) — expiring snapshots that
-    * still contribute live files would corrupt the table; compact or
-    * overwrite first. Returns the kept snapshots. */
-  def expireSnapshots(ns: String, t: String, keepLast: Int): Seq[Snapshot] = {
-    require(keepLast >= 1, "must keep at least one snapshot")
-    val all = snapshots(ns, t)
-    if (all.size <= keepLast) return all
-    val kept = all.takeRight(keepLast)
-    require(kept.exists(s => Snaplog.ResetOps(s.operation)),
-      s"cannot expire: the last $keepLast snapshots have no overwrite/replace base; " +
-        "older snapshots still contribute live files — compact first")
-    val keptIds = kept.map(_.snapshotId).toSet
-    val orphanedRefs = refs(ns, t).filter { case (_, r) => !keptIds.contains(r.snapshotId) }
-    require(orphanedRefs.isEmpty,
-      s"cannot expire: refs ${orphanedRefs.keys.toSeq.sorted.mkString(", ")} " +
-        "still point at snapshots that would be dropped — drop the refs first")
-    val content = kept.map(jwrite(_)).mkString("", "\n", "\n")
-    writeAtomic(logFile(ns, t), content)
-    kept
-  }
-
-  /** Delete data files under the table's managed data dir that no
-    * remaining snapshot references (orphans left by expiration or
-    * overwrites). Never touches files outside the managed dir (e.g.
-    * add_files registrations). Returns deleted paths. */
-  def vacuum(ns: String, t: String): Seq[String] = {
-    val referenced = snapshots(ns, t).flatMap(_.files).map(_.path).toSet
-    val dd = dataDir(ns, t)
-    if (!Files.isDirectory(dd)) return Seq.empty
-    val orphans = Files.walk(dd).iterator.asScala
-      .filter(p => Files.isRegularFile(p) && !referenced.contains(p.toString))
-      .map(_.toString).toSeq.sorted
-    orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
-    // prune now-empty directories bottom-up
-    Files.walk(dd).iterator.asScala.toSeq.reverse
-      .filter(p => Files.isDirectory(p) && p != dd)
-      .foreach { p =>
-        val s = Files.list(p)
-        val empty = try !s.iterator.hasNext finally s.close()
-        if (empty) Files.deleteIfExists(p)
-      }
-    orphans
-  }
-
-  /** Replace the table schema (schema evolution commit). Caller is
-    * responsible for evolution legality (see LakehouseTable.addColumn —
-    * additive nullable changes are always safe: parquet scans fill
-    * missing columns with null). */
-  def updateSchema(ns: String, t: String, schema: StructType): TableMetadata = {
-    val m = loadTable(ns, t)
-    val updated = m.copy(schemaJson = schema.json)
-    writeAtomic(metaFile(ns, t), jwrite(updated))
-    updated
-  }
+  override protected def replaceLog(ns: String, t: String, kept: Seq[Snapshot]): Unit =
+    writeAtomic(logFile(ns, t), kept.map(jwrite(_)).mkString("", "\n", "\n"))
 
   private def writeAtomic(target: Path, content: String): Unit = {
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
@@ -322,5 +269,29 @@ object Snaplog {
     * post-delete live set (untouched files + rewritten survivors), so it
     * replays like an overwrite and is recorded distinctly for audit. */
   val OpDelete = "delete"
+  /** Merge-on-read row-level delete: the snapshot adds ONLY a position-
+    * delete vector; data files stay untouched and scans subtract the
+    * deleted positions (Iceberg v2 `merge-on-read` mode). NOT a reset
+    * op — it layers on the current live set. */
+  val OpMorDelete = "mor_delete"
   val ResetOps: Set[String] = Set(OpOverwrite, OpReplace, OpDelete)
+
+  /** Spark's directory name for a null partition value; partition
+    * values in the log use the same sentinel so metadata pruning and
+    * dynamic partition overwrite agree with the write path. */
+  val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Summary key an idempotent streaming sink uses for its replayed-
+    * micro-batch high-water mark (see StreamingIngest.upsertEachBatch). */
+  val StreamBatchKey = "streaming-batch-id"
+
+  /** Summary keys whose running maximum [[Catalog#expireSnapshots]]
+    * folds forward into the retained log — monotonic marks that must
+    * survive history expiration. */
+  val CarryMaxKeys: Set[String] = Set(StreamBatchKey)
+
+  /** Give up acquiring a table's commit lock after this long. */
+  val LockTimeoutMs = 30000L
+  /** A commit lock older than this is presumed abandoned and broken. */
+  val LockStaleMs = 60000L
 }

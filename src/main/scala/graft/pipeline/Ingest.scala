@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.catalog.{Snaplog, Snapshot}
+import graft.catalog.{Catalog, Snapshot}
 import graft.table.LakehouseTable
 import graft.types.SchemaInfer
 
@@ -32,7 +32,7 @@ object Ingest {
     *   type policy (§1.3) instead of keeping native Spark types. */
   def run(
       spark: SparkSession,
-      catalog: Snaplog,
+      catalog: Catalog,
       namespace: String,
       tableName: String,
       inputPath: String,
@@ -47,7 +47,7 @@ object Ingest {
   }
 
   def ingestDf(
-      catalog: Snaplog,
+      catalog: Catalog,
       namespace: String,
       tableName: String,
       raw: DataFrame,

@@ -54,26 +54,45 @@ object Upsert {
   def upsertTable(table: LakehouseTable, incoming: DataFrame,
       keys: Seq[String], tiebreak: Option[String] = None,
       summary: Map[String, String] = Map.empty): Snapshot = {
+    // the merged content derives from this scan — make the overwrite
+    // conditional on it so a racing commit conflicts instead of
+    // silently vanishing under the merge result
+    val base = table.currentSnapshotId
     val merged = merge(table.scan(), incoming, keys, tiebreak)
-    table.overwrite(merged, summary)
+    table.overwrite(merged, summary, expectedSnapshotId = Some(base))
   }
 
   /** CDC apply — MERGE with a delete clause: `changes` carries `opCol`
-    * where 'D' rows delete their key and every other op upserts its row
-    * (the Delta `whenMatchedDelete` / Iceberg `MERGE … WHEN MATCHED THEN
-    * DELETE` shape, and the natural sink for a CDC feed). The whole feed
-    * lands in ONE overwrite commit, so readers see the change set
-    * atomically. Same scale contract as [[merge]]: one key shuffle for
-    * the anti join (or a broadcast when the feed is small — AQE's call),
-    * never a window over the existing table. */
+    * where 'D' rows delete their key and every other op (including a
+    * null op, treated as upsert) upserts its row (the Delta
+    * `whenMatchedDelete` / Iceberg `MERGE … WHEN MATCHED THEN DELETE`
+    * shape, and the natural sink for a CDC feed). The whole feed lands
+    * in ONE overwrite commit, so readers see the change set atomically.
+    *
+    * Per-key op ordering: the WINNING row per key (highest `tiebreak`)
+    * decides the outcome — a key whose latest op is 'D' is deleted even
+    * if the same feed carries earlier upserts for it, and vice versa.
+    * Without a tiebreak the winner among conflicting ops for one key is
+    * arbitrary-but-single (same caveat as [[dedupIncoming]]) — feeds
+    * with per-key op sequences should always pass a tiebreak.
+    *
+    * Same scale contract as [[merge]]: one key shuffle for the anti
+    * join (or a broadcast when the feed is small — AQE's call), never a
+    * window over the existing table. */
   def applyChanges(table: LakehouseTable, changes: DataFrame,
       keys: Seq[String], opCol: String = "op",
       tiebreak: Option[String] = None): Snapshot = {
+    val base = table.currentSnapshotId
     val existing = table.scan()
-    val touched = changes.select(keys.map(col): _*).distinct()
-    val keep = existing.join(touched, keys, "left_anti")
-    val upserts = dedupIncoming(changes.filter(col(opCol) =!= "D"), keys, tiebreak)
+    // Resolve the winner per key FIRST, over all ops — then the winner's
+    // op decides delete vs upsert. Filtering 'D' before the dedup would
+    // resurrect keys whose final op is a delete.
+    val winners = dedupIncoming(changes, keys, tiebreak)
+    val keep = existing.join(
+      winners.select(keys.map(col): _*), keys, "left_anti")
+    val upserts = winners
+      .filter(!coalesce(col(opCol) === "D", lit(false)))
       .select(existing.columns.map(col).toIndexedSeq: _*)
-    table.overwrite(keep.unionByName(upserts))
+    table.overwrite(keep.unionByName(upserts), expectedSnapshotId = Some(base))
   }
 }

@@ -69,7 +69,7 @@ object StreamingIngest {
   /** Commit-summary key carrying the micro-batch id of a streaming
     * upsert — the exactly-once handshake between the Spark checkpoint
     * and the table log. */
-  val StreamBatchKey = "streaming-batch-id"
+  val StreamBatchKey: String = graft.catalog.Snaplog.StreamBatchKey
 
   /** foreachBatch MERGE: each micro-batch upserts into `table` keyed by
     * `keys`. Runs the stream to completion of currently-available input
@@ -80,27 +80,37 @@ object StreamingIngest {
     * commit and checkpoint advance replays the batch), so every commit
     * records its batchId in the snapshot summary and a batch whose id
     * is ≤ the highest committed id is skipped — the standard idempotent-
-    * sink pattern for transactional targets. The log is append-only, so
-    * the high-water mark survives the overwrite commits the upserts
-    * themselves produce. */
+    * sink pattern for transactional targets (Delta/Iceberg
+    * txnAppId/txnVersion). That pattern is only sound when batchIds are
+    * monotonic across invocations, i.e. when they come from ONE durable
+    * checkpoint: pass `checkpointLocation` for any stream that may be
+    * re-invoked over the same table. Without a checkpoint every
+    * invocation restarts at batchId 0, so the summary key is scoped by
+    * a fresh per-run id instead — replay protection within the run,
+    * never a cross-run skip (which would silently drop new data). */
   def upsertEachBatch(stream: DataFrame, table: LakehouseTable,
-      keys: Seq[String]): Long = {
+      keys: Seq[String], checkpointLocation: Option[String] = None): Long = {
     var batches = 0L
+    val batchKey = checkpointLocation match {
+      case Some(_) => StreamBatchKey
+      case None => s"$StreamBatchKey-run-${java.util.UUID.randomUUID().toString.take(8)}"
+    }
     // explicit function value avoids the Scala/Java foreachBatch
     // overload ambiguity
     val perBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
-      val applied = table.maxSummaryValue(StreamBatchKey)
+      val applied = table.maxSummaryValue(batchKey)
       if (!batch.isEmpty && !applied.exists(_ >= batchId)) {
         Upsert.upsertTable(table, batch, keys,
-          summary = Map(StreamBatchKey -> batchId.toString))
+          summary = Map(batchKey -> batchId.toString))
         batches += 1
       }
     }
-    val q = stream.writeStream
+    var writer = stream.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(0))
       .foreachBatch(perBatch)
-      .start()
+    checkpointLocation.foreach(loc => writer = writer.option("checkpointLocation", loc))
+    val q = writer.start()
     q.processAllAvailable()
     q.stop()
     batches

@@ -10,7 +10,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.catalog.{DataFileEntry, Snaplog, Snapshot, TableMetadata}
+import graft.catalog.{Catalog, DataFileEntry, Snaplog, Snapshot, TableMetadata}
 import graft.types.SchemaInfer
 
 /** Facade over one Snaplog table — the analogue of PyIceberg's `Table`
@@ -32,7 +32,7 @@ import graft.types.SchemaInfer
   *    `main-polars.py:165-186`).
   */
 final class LakehouseTable(
-    val catalog: Snaplog,
+    val catalog: Catalog,
     val spark: SparkSession,
     val namespace: String,
     val name: String) {
@@ -60,9 +60,30 @@ final class LakehouseTable(
       : DataFrame = {
     val files = selectFiles(asOf, partitionFilter, rangeFilter)
     if (files.isEmpty)
-      spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-    else
-      spark.read.schema(schema).parquet(files.map(_.path): _*)
+      return spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+    val data = spark.read.schema(schema).parquet(files.map(_.path): _*)
+    val deletes = catalog.liveDeleteFiles(namespace, name, asOf)
+    if (deletes.isEmpty) data
+    else {
+      // Merge-on-read: subtract position-delete vectors with a
+      // broadcast anti-join on (file, row position). Vectors are
+      // metadata-sized relative to the data (a predicate's matched
+      // positions), so the join adds no shuffle of the data side; a
+      // reset commit (compaction/overwrite) retires them entirely.
+      val dv = broadcast(
+        spark.read.parquet(deletes.map(_.path): _*)
+          .select(col("file_path").as("__dv_file"), col("row_index").as("__dv_pos"))
+          .distinct())
+      data
+        .select(col("*"),
+          col("_metadata.file_path").as("__scan_file"),
+          col("_metadata.row_index").as("__scan_pos"))
+        .join(dv,
+          col("__scan_file") === col("__dv_file") &&
+            col("__scan_pos") === col("__dv_pos"),
+          "left_anti")
+        .drop("__scan_file", "__scan_pos")
+    }
   }
 
   /** The file set `scan` with the same arguments would read — partition
@@ -150,6 +171,9 @@ final class LakehouseTable(
     val between = snaps.slice(i + 1, j + 1)
     require(between.forall(s => !Snaplog.ResetOps(s.operation)),
       s"incremental read across a reset commit (${Snaplog.ResetOps.mkString("/")}) is undefined")
+    require(between.forall(_.operation != Snaplog.OpMorDelete),
+      "incremental read across a merge-on-read delete is undefined " +
+        "(the delta is not expressible as file-adds)")
     val before = catalog.liveFiles(namespace, name, Some(fromSnapshot))
       .map(_.path).toSet
     val added = catalog.liveFiles(namespace, name, Some(upTo))
@@ -194,9 +218,22 @@ final class LakehouseTable(
     writeCommit(dfs, Snaplog.OpAppend, Map("batches" -> dfs.size.toString))
   }
 
-  /** Replace entire table contents, new snapshot (S17, `table.overwrite`). */
-  def overwrite(df: DataFrame, summary: Map[String, String] = Map.empty): Snapshot =
-    writeCommit(Seq(df), Snaplog.OpOverwrite, extraSummary = summary)
+  /** Replace entire table contents, new snapshot (S17, `table.overwrite`).
+    * Callers whose replacement CONTENT derives from a scan of the table
+    * (merge/upsert) pass the snapshot id they scanned as
+    * `expectedSnapshotId`; a concurrent commit then surfaces as a
+    * retryable CommitConflictException instead of silently vanishing
+    * under the overwrite. */
+  def overwrite(df: DataFrame, summary: Map[String, String] = Map.empty,
+      expectedSnapshotId: Option[Long] = None): Snapshot =
+    writeCommit(Seq(df), Snaplog.OpOverwrite, extraSummary = summary,
+      expected = expectedSnapshotId)
+
+  /** Snapshot id the next conditional write should expect — 0 for an
+    * empty table (the id `commit` compares against when no snapshot
+    * exists yet). */
+  def currentSnapshotId: Long =
+    catalog.currentSnapshot(namespace, name).map(_.snapshotId).getOrElse(0L)
 
   /** Dynamic partition overwrite (Iceberg `replacePartitions`, Spark's
     * `partitionOverwriteMode=dynamic`): replaces ONLY the identity
@@ -209,21 +246,45 @@ final class LakehouseTable(
     val parts = partitionColumns
     require(parts.nonEmpty,
       s"dynamic partition overwrite needs a partitioned table; $namespace.$name has no partition columns")
+    // Null partition values normalize to the same sentinel the write
+    // path records (Spark's __HIVE_DEFAULT_PARTITION__ dir name), so a
+    // null-partition rewrite replaces the old null-partition files
+    // instead of duplicating them.
     val touched = df.select(parts.map(col): _*).distinct().collect()
-      .map(r => parts.map(c => c -> String.valueOf(r.get(r.fieldIndex(c)))).toMap)
+      .map(r => parts.map { c =>
+        val v = r.get(r.fieldIndex(c))
+        c -> (if (v == null) Snaplog.HiveDefaultPartition else v.toString)
+      }.toMap)
       .toSet
-    val carry = catalog.liveFiles(namespace, name).filterNot { f =>
-      touched.contains(parts.map(c => c -> f.partitionValues.getOrElse(c, "")).toMap)
+    val base = currentSnapshotId
+    require(catalog.liveDeleteFiles(namespace, name).isEmpty,
+      "dynamic partition overwrite with outstanding merge-on-read delete " +
+        "vectors would resurrect deleted rows in carried partitions — " +
+        "compact() first to materialize them")
+    val live = catalog.liveFiles(namespace, name)
+    // A file with no recorded partition value (e.g. registered via
+    // addFiles without partition metadata) cannot be attributed to a
+    // partition: carrying it could duplicate touched-partition rows,
+    // dropping it could lose data. Refuse rather than guess.
+    val unattributed = live.filterNot(f => parts.forall(f.partitionValues.contains))
+    require(unattributed.isEmpty,
+      s"dynamic partition overwrite: ${unattributed.size} live file(s) carry no " +
+        s"partition values for (${parts.mkString(", ")}) — e.g. ${unattributed.head.path}; " +
+        "rewrite the table (overwrite/compact) before using overwritePartitions")
+    val carry = live.filterNot { f =>
+      touched.contains(parts.map(c => c -> f.partitionValues(c)).toMap)
     }
     writeCommit(Seq(df), Snaplog.OpOverwrite,
       extraSummary = Map("replaced-partitions" -> touched.size.toString),
-      carryFiles = carry)
+      carryFiles = carry, expected = Some(base))
   }
 
-  /** Highest long recorded under `key` across ALL commit summaries (the
-    * log is append-only, so this survives overwrite/replace resets) —
+  /** Highest long recorded under `key` across ALL commit summaries —
     * the lookup an idempotent streaming sink uses to recognize replayed
-    * micro-batches. */
+    * micro-batches. Survives overwrite/replace resets (replay scans
+    * every snapshot line, not just the live suffix) and survives
+    * `expireSnapshots` for keys in [[Snaplog.CarryMaxKeys]], whose
+    * running maximum folds forward into the retained log. */
   def maxSummaryValue(key: String): Option[Long] =
     catalog.snapshots(namespace, name)
       .flatMap(_.summary.get(key))
@@ -252,10 +313,23 @@ final class LakehouseTable(
     * COW model. Returns the new snapshot (a no-op delete still commits,
     * with `deleted-rows` = 0, so callers get an audit record). */
   def delete(condition: Column): Snapshot = {
+    val base = currentSnapshotId
     val live = catalog.liveFiles(namespace, name)
     if (live.isEmpty)
       return catalog.commit(namespace, name, Snaplog.OpDelete, Seq.empty,
         Map("deleted-rows" -> "0", "rewritten-files" -> "0"))
+    if (catalog.liveDeleteFiles(namespace, name).nonEmpty) {
+      // Outstanding MOR vectors: a COW delete is a RESET commit, which
+      // retires vectors — carrying untouched files would resurrect
+      // their MOR-deleted rows. Materialize everything in one rewrite
+      // (compact + delete in a single commit).
+      val deletedRows = scan().filter(condition).count()
+      return writeCommit(Seq(scan().filter(!condition)), Snaplog.OpDelete,
+        Map("deleted-rows" -> deletedRows.toString,
+          "rewritten-files" -> live.size.toString,
+          "materialized-mor" -> "true"),
+        expected = Some(base))
+    }
     val matched = spark.read.schema(schema).parquet(live.map(_.path): _*)
       .filter(condition)
       .groupBy(input_file_name().as("f")).count()
@@ -270,7 +344,59 @@ final class LakehouseTable(
     writeCommit(Seq(survivors), Snaplog.OpDelete,
       Map("deleted-rows" -> deletedRows.toString,
         "rewritten-files" -> touched.size.toString),
-      carryFiles = untouched)
+      carryFiles = untouched, expected = Some(base))
+  }
+
+  /** Merge-on-read row-level DELETE (the Iceberg v2 position-delete
+    * tier, complement of the COW [[delete]]): instead of rewriting the
+    * files that contain matches, write ONE small parquet of matched
+    * `(file_path, row_index)` positions and commit it as a layered
+    * `mor_delete` snapshot. Data files are untouched — at 100 TB a
+    * scattered-predicate delete costs one pushdown scan + a vector
+    * write, not a file-set rewrite. Scans subtract the vector with a
+    * broadcast anti-join; [[compact]] (any reset commit) materializes
+    * outstanding vectors and retires them.
+    *
+    * Matches are computed against the MOR-applied scan, so deleting
+    * already-deleted rows records nothing twice and `deleted-rows`
+    * stays exact. */
+  def deleteMor(condition: Column): Snapshot = {
+    val base = currentSnapshotId
+    val live = catalog.liveFiles(namespace, name)
+    if (live.isEmpty)
+      return catalog.commit(namespace, name, Snaplog.OpMorDelete, Seq.empty,
+        Map("deleted-rows" -> "0"))
+    // positions come from the RAW file scan (the metadata column only
+    // exists on the source relation); already-deleted positions are
+    // subtracted so re-deleting records nothing twice
+    val candidate = spark.read.schema(schema).parquet(live.map(_.path): _*)
+      .filter(condition)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("row_index"))
+    val existing = catalog.liveDeleteFiles(namespace, name)
+    val matched =
+      if (existing.isEmpty) candidate
+      else candidate.join(
+        broadcast(spark.read.parquet(existing.map(_.path): _*)
+          .select("file_path", "row_index")),
+        Seq("file_path", "row_index"), "left_anti")
+    val vecDir = catalog.dataDir(namespace, name)
+      .resolve(s"delta-${java.util.UUID.randomUUID().toString.take(12)}")
+    matched.coalesce(1).write.mode("overwrite").parquet(vecDir.toString)
+    val vecFiles = listParquet(vecDir.toString).map { p =>
+      statFile(p, Map.empty).copy(deleteFile = Some(true))
+    }
+    val deletedRows = vecFiles.map(_.rowCount).sum
+    if (deletedRows == 0) {
+      // no matches: clean up the empty vector, commit an audit no-op
+      Files.walk(vecDir).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      return catalog.commit(namespace, name, Snaplog.OpMorDelete, Seq.empty,
+        Map("deleted-rows" -> "0"), expectedSnapshotId = Some(base))
+    }
+    catalog.commit(namespace, name, Snaplog.OpMorDelete, vecFiles,
+      Map("deleted-rows" -> deletedRows.toString,
+        "delete-vectors" -> vecFiles.size.toString),
+      expectedSnapshotId = Some(base))
   }
 
   /** `input_file_name()` yields a URI (`file:///…`); log entries store
@@ -288,12 +414,14 @@ final class LakehouseTable(
     * planning metadata. Default target mirrors the reference's 512 MB
     * `write.target-file-size-bytes` (`main-daft.py:106`). */
   def compact(targetFileSizeBytes: Long = 512L * 1024 * 1024): Snapshot = {
+    val base = currentSnapshotId
     val files = catalog.liveFiles(namespace, name)
     val totalBytes = files.map(_.sizeBytes).sum
     val n = math.max(1L, (totalBytes + targetFileSizeBytes - 1) / targetFileSizeBytes).toInt
     writeCommit(Seq(scan().repartition(n)), Snaplog.OpReplace,
       Map("compacted-files" -> files.size.toString,
-        "compacted-bytes" -> totalBytes.toString))
+        "compacted-bytes" -> totalBytes.toString),
+      expected = Some(base))
   }
 
   /** Additive schema evolution: add a nullable column. Existing data
@@ -312,7 +440,8 @@ final class LakehouseTable(
   private def writeCommit(
       dfs: Seq[DataFrame], op: String,
       extraSummary: Map[String, String] = Map.empty,
-      carryFiles: Seq[DataFileEntry] = Seq.empty): Snapshot = {
+      carryFiles: Seq[DataFileEntry] = Seq.empty,
+      expected: Option[Long] = None): Snapshot = {
     val m = meta
     val target = m.schema
     val normalized = dfs.map(SchemaInfer.normalize(_, target))
@@ -330,7 +459,8 @@ final class LakehouseTable(
     val files = listParquet(commitDir.toString).map { p =>
       statFile(p, partitionValuesFromPath(p, parts))
     }
-    catalog.commit(namespace, name, op, carryFiles ++ files, extraSummary)
+    catalog.commit(namespace, name, op, carryFiles ++ files, extraSummary,
+      expectedSnapshotId = expected)
   }
 
   private def listParquet(dir: String): Seq[String] =
@@ -409,14 +539,14 @@ final class LakehouseTable(
 }
 
 object LakehouseTable {
-  def load(catalog: Snaplog, spark: SparkSession, ns: String, name: String): LakehouseTable = {
+  def load(catalog: Catalog, spark: SparkSession, ns: String, name: String): LakehouseTable = {
     catalog.loadTable(ns, name) // fail fast if absent
     new LakehouseTable(catalog, spark, ns, name)
   }
 
   /** Create-table + facade in one step (S20). */
   def create(
-      catalog: Snaplog, spark: SparkSession, ns: String, name: String,
+      catalog: Catalog, spark: SparkSession, ns: String, name: String,
       schema: StructType, partitionColumns: Seq[String] = Seq.empty,
       properties: Map[String, String] = Map.empty): LakehouseTable = {
     catalog.createTable(ns, name, schema, partitionColumns, properties)

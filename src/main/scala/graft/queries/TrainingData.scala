@@ -519,53 +519,78 @@ object TrainingData {
         FROM s2 GROUP BY lang ORDER BY lang""")),
 
     // ---- video frame sampling ------------------------------------------
-    // Strided frame extraction over the synthetic binary corpus
-    // (Multimodal.frames: pure Column ops, frames stay co-partitioned
-    // with their media row — no shuffle until the final stats agg). The
-    // oracle recomputes each kept frame's lead byte straight from the
-    // md5-derived payload layout.
+    // Strided frame extraction over the video tier of the REAL-format
+    // media corpus: each payload is concatenated 90-byte BMP frames, so
+    // the fixed-size columnar splitter (Multimodal.frames: pure Column
+    // ops, no shuffle) yields whole parseable bitmaps. The query proves
+    // it by checking every kept frame's BMP magic and summing the first
+    // DECODED pixel byte (payload offset 55 = header 54 + 1); the
+    // oracle recomputes both from the md5-derived pixel layout: frame f
+    // pixel 0 = md5[(f*36) % 16], stride 2 keeps f ∈ {0,2,4}.
     QueryDef("multimodal_frames",
       (s, d) => {
         val media = Multimodal.synthesizeFromDocs(docs(s, d))
-        Multimodal.frames(media, frameBytes = 24, stride = 3)
+        Multimodal.frames(media.filter(col("modality") === "video"),
+            frameBytes = 90, stride = 2)
           .groupBy(col("modality"))
           .agg(countDistinct(col("media_id")).as("n_media"),
             count(lit(1)).as("n_frames"),
-            sum(conv(hex(substring(col("frame_bytes"), 1, 1)), 16, 10)
-              .cast("long")).as("first_byte_sum"))
+            sum(when(substring(col("frame_bytes"), 1, 2) === lit("BM".getBytes), 1L)
+              .otherwise(0L)).as("n_bmp"),
+            sum(conv(hex(substring(col("frame_bytes"), 55, 1)), 16, 10)
+              .cast("long")).as("first_pixel_sum"))
           .orderBy(col("modality"))
       },
-      // payload = 8×16-byte md5; 128/24 = 5 frames, stride 3 keeps frames
-      // {0, 3} whose lead bytes sit at payload offsets 0 and 72 ≡ md5
-      // bytes 0 and 8 (hex chars 1-2 and 17-18)
+      // nFrames = 2+(doc_id%4); stride 2 keeps (nFrames+1)//2 frames;
+      // kept-frame first pixels: m4=0→{b0}, m4∈{1,2}→{b0,b8},
+      // m4=3→{b0,b0,b8} (b0 = md5 byte 0, b8 = md5 byte 8)
       Some("""WITH m AS (SELECT doc_id,
-          ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
-          md5(text) AS h FROM documents)
-        SELECT modality, COUNT(*) AS n_media,
-          CAST(COUNT(*) * 2 AS BIGINT) AS n_frames,
-          CAST(SUM(('0x' || substr(h, 1, 2))::BIGINT
-            + ('0x' || substr(h, 17, 2))::BIGINT) AS BIGINT) AS first_byte_sum
-        FROM m GROUP BY modality ORDER BY modality""")),
+          CAST(doc_id % 4 AS INT) AS m4,
+          ('0x' || substr(md5(text), 1, 2))::BIGINT AS b0,
+          ('0x' || substr(md5(text), 17, 2))::BIGINT AS b8
+        FROM documents WHERE doc_id % 3 = 2)
+        SELECT 'video' AS modality, COUNT(*) AS n_media,
+          CAST(SUM((2 + m4 + 1) // 2) AS BIGINT) AS n_frames,
+          CAST(SUM((2 + m4 + 1) // 2) AS BIGINT) AS n_bmp,
+          CAST(SUM(CASE m4 WHEN 0 THEN b0 WHEN 3 THEN 2*b0 + b8
+            ELSE b0 + b8 END) AS BIGINT) AS first_pixel_sum
+        FROM m GROUP BY 1 ORDER BY modality""")),
 
+    // Real-codec media stats: extractFeatures parses every payload's
+    // HEADER (BMP dims, WAV rate/samples, frame walk via declared
+    // sizes) — the oracle recomputes each parsed field analytically
+    // from the synthesis parameters, so a hash match proves the full
+    // encode→parse loop is byte-correct.
     QueryDef("multimodal_stats",
       (s, d) => {
         val media = Multimodal.synthesizeFromDocs(docs(s, d))
-        val feats = Multimodal.extractFeatures(s, media).toDF()
+        Multimodal.extractFeatures(s, media).toDF()
           .groupBy(col("modality")).agg(
             count(lit(1)).as("n_items"),
-            sum(col("n_bytes")).as("total_bytes"),
-            sum(col("header_checksum")).as("checksum_sum"))
-        val fr = Multimodal.frames(media, frameBytes = 16)
-          .groupBy(col("modality")).agg(count(lit(1)).as("n_frames"))
-        feats.join(fr, "modality").orderBy(col("modality"))
+            sum(col("n_bytes")).cast("long").as("total_bytes"),
+            sum(col("dim1")).cast("long").as("dim1_sum"),
+            sum(col("dim2")).cast("long").as("dim2_sum"),
+            sum(col("n_units")).cast("long").as("units_sum"),
+            sum(col("head_byte")).cast("long").as("head_sum"))
+          .orderBy(col("modality"))
       },
       Some("""WITH m AS (SELECT doc_id,
           ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
-          md5(text) AS h FROM documents)
+          CAST(doc_id % 4 AS INT) AS m4, CAST(doc_id % 5 AS INT) AS m5,
+          ('0x' || substr(md5(text), 1, 2))::BIGINT AS b0
+        FROM documents)
         SELECT modality, COUNT(*) AS n_items,
-          CAST(SUM(128) AS BIGINT) AS total_bytes,
-          CAST(SUM(('0x' || substr(h, 1, 8))::BIGINT) AS BIGINT) AS checksum_sum,
-          CAST(SUM(8) AS BIGINT) AS n_frames
+          CAST(SUM(CASE modality
+            WHEN 'image' THEN 54 + 3*((m4+1)*4)*(m5+1)
+            WHEN 'audio' THEN 44 + 2*(16 + m5*8)
+            ELSE 90*(2 + m4) END) AS BIGINT) AS total_bytes,
+          CAST(SUM(CASE modality WHEN 'image' THEN (m4+1)*4
+            WHEN 'audio' THEN 8000 + 1000*m4 ELSE 4 END) AS BIGINT) AS dim1_sum,
+          CAST(SUM(CASE modality WHEN 'image' THEN m5+1
+            WHEN 'audio' THEN 16 + m5*8 ELSE 3 END) AS BIGINT) AS dim2_sum,
+          CAST(SUM(CASE modality WHEN 'image' THEN 1
+            WHEN 'audio' THEN 16 + m5*8 ELSE 2 + m4 END) AS BIGINT) AS units_sum,
+          CAST(SUM(b0) AS BIGINT) AS head_sum
         FROM m GROUP BY modality ORDER BY modality"""))
   )
 }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.catalog.Snaplog
+import graft.interop.IcebergExport
 import graft.pipeline.{Ingest, Upsert}
 import graft.table.LakehouseTable
 import Common._
@@ -425,6 +426,75 @@ object Lakehouse {
       Some("""SELECT o_orderstatus, COUNT(*) AS n,
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
           'delete' AS last_op, FALSE AS rewrote_all
+        FROM orders
+        WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 200000.0)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Iceberg-v2 read-only metadata export (the reference's third-party
+    // interop: DuckDB iceberg_scan over table metadata,
+    // query_iceberg_duckdb.py:21-29). The query exports a 2-snapshot
+    // partitioned table, then READS THE EXPORT BACK the way an external
+    // engine would — version-hint → metadata.json → manifest list →
+    // manifests → data files — and returns the walked structure; the
+    // oracle recomputes every field from the source table. Data files
+    // are referenced in place: export is metadata-only.
+    QueryDef("lake_iceberg_export",
+      (s, d) => {
+        // wh() wipes the scratch dir — resolve it ONCE (a second call
+        // would destroy the warehouse just built)
+        val whDir = wh("lake_iceberg_export", d)
+        val cat = new Snaplog(whDir)
+        val nation = t(s, d, "nation")
+        val rep = Ingest.ingestDf(cat, "lake", "nation_ice", nation,
+          partitionColumns = Seq("n_regionkey"))
+        rep.table.append(nation.filter(col("n_nationkey") < 5))
+        val dest = Paths.get(whDir, "ice_export")
+        IcebergExport.export(rep.table, dest)
+        val rb = IcebergExport.readBack(dest)
+        import s.implicits._
+        Seq((rb.formatVersion, rb.nSchemaFields, rb.nSpecFields,
+          rb.nSnapshots, rb.currentOperation, rb.totalRecords,
+          rb.dataFilesExist))
+          .toDF("format_version", "n_fields", "n_spec_fields",
+            "n_snapshots", "current_op", "total_records", "files_exist")
+      },
+      Some("""SELECT 2 AS format_version, 3 AS n_fields,
+          1 AS n_spec_fields, 2 AS n_snapshots, 'append' AS current_op,
+          CAST((SELECT COUNT(*) FROM nation)
+            + (SELECT COUNT(*) FROM nation WHERE n_nationkey < 5)
+            AS BIGINT) AS total_records,
+          TRUE AS files_exist""")),
+
+    // Merge-on-read row-level DELETE: same predicate as the COW variant
+    // but NO data file rewrites — the commit adds one position-delete
+    // vector and scans subtract it with a broadcast anti-join. The
+    // untouched-file-set claim and the vector count are part of the
+    // result; surviving rows must still match DuckDB exactly. At 100 TB
+    // this is the cheap path for scattered-predicate deletes; compact()
+    // materializes vectors when read amplification matters.
+    QueryDef("lake_delete_mor",
+      (s, d) => {
+        val cat = new Snaplog(wh("lake_delete_mor", d))
+        val orders = t(s, d, "orders")
+        val rep = Ingest.ingestDf(cat, "lake", "orders_mor", orders,
+          partitionColumns = Seq("o_orderstatus"))
+        val before = cat.liveFiles("lake", "orders_mor").map(_.path).toSet
+        val snap = rep.table.deleteMor(
+          col("o_orderstatus") === "F" && col("o_totalprice") > 200000.0)
+        val after = cat.liveFiles("lake", "orders_mor").map(_.path).toSet
+        val nVectors = cat.liveDeleteFiles("lake", "orders_mor").size.toLong
+        rep.table.scan()
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("last_op", lit(snap.operation))
+          .withColumn("data_files_untouched", lit(before == after))
+          .withColumn("n_vectors", lit(nVectors))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          'mor_delete' AS last_op, TRUE AS data_files_untouched,
+          1 AS n_vectors
         FROM orders
         WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 200000.0)
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),

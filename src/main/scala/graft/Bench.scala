@@ -31,14 +31,28 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // millisecond precision keeps the one-line JSON compact: the driver
-    // captures a bounded tail of stdout, and 100 full-precision doubles
-    // once overflowed it (BENCH_r03 "parsed": null)
-    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    // The driver captures a bounded (~4 KB) TAIL of stdout, so the line
+    // is built tail-safe: per-query times first, the headline keys
+    // (metric/value/unit/sf) LAST — a front-truncated tail still shows
+    // the totals. 10 ms precision keeps entries tight, and if the full
+    // line would overflow the window the FASTEST queries are dropped
+    // (slow ones are the ones worth reading), with the drop count
+    // recorded under "omitted".
+    def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val bySlowest = results.toSeq.sortBy { case (_, v) => -v }
+    def line(kept: Seq[(String, Double)], omitted: Int): String = {
+      val qs = kept.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val om = if (omitted > 0) s""","omitted":$omitted""" else ""
+      s"""{"queries":$qs$om,"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}"""
+    }
+    val budget = 3800
+    var keep = bySlowest.size
+    while (keep > 1 && line(bySlowest.take(keep), bySlowest.size - keep).length > budget)
+      keep -= 1
+    println(line(bySlowest.take(keep), bySlowest.size - keep))
     spark.stop()
   }
 }

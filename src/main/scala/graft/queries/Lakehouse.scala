@@ -430,6 +430,40 @@ object Lakehouse {
         WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 200000.0)
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // Native SQL catalog (DSv2 TableCatalog): snaplog tables queried BY
+    // NAME through spark.sql — the Spark-first form of the reference's
+    // DuckDB-over-Iceberg SQL read path, replacing temp views. The one
+    // query joins the current snapshot against a VERSION AS OF 1
+    // time-travel read of the same table; files resolve from log
+    // metadata, and Spark's own vectorized parquet DSv2 handles the
+    // scan (pushdown/pruning audited in SqlCatalogSpec).
+    QueryDef("lake_sql_catalog",
+      (s, d) => {
+        val whDir = wh("lake_sql_catalog", d)
+        val cat = new Snaplog(whDir)
+        val orders = t(s, d, "orders")
+        val tbl = LakehouseTable.create(cat, s, "lake", "orders_sqlcat",
+          orders.schema)
+        tbl.append(orders.filter(col("o_orderkey") % 2 === 0)) // snapshot 1
+        tbl.append(orders.filter(col("o_orderkey") % 2 === 1)) // snapshot 2
+        s.conf.set("spark.sql.catalog.gsql",
+          classOf[graft.sql.GraftSqlCatalog].getName)
+        s.conf.set("spark.sql.catalog.gsql.warehouse", whDir)
+        s.sql("""
+          SELECT cur.o_orderstatus, cur.n, cur.total, v1.n_v1
+          FROM (SELECT o_orderstatus, COUNT(*) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+                FROM gsql.lake.orders_sqlcat GROUP BY o_orderstatus) cur
+          JOIN (SELECT o_orderstatus, COUNT(*) AS n_v1
+                FROM gsql.lake.orders_sqlcat VERSION AS OF 1
+                GROUP BY o_orderstatus) v1 USING (o_orderstatus)
+          ORDER BY o_orderstatus""")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          COUNT(*) FILTER (WHERE o_orderkey % 2 = 0) AS n_v1
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // Iceberg-v2 read-only metadata export (the reference's third-party
     // interop: DuckDB iceberg_scan over table metadata,
     // query_iceberg_duckdb.py:21-29). The query exports a 2-snapshot

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.catalog.Snaplog
+import graft.sql.GraftSqlCatalog
+import graft.table.LakehouseTable
+
+/** DSv2 SQL catalog: snaplog tables queryable by name through
+  * `spark.sql`, with snapshot time travel, parquet pushdown intact,
+  * and strict read-only behavior. */
+class SqlCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture() = Seq(
+    (1, "A", 1.5f, 10), (2, "A", 2.5f, 20),
+    (3, "B", 3.5f, 30), (4, "C", 4.5f, 40)
+  ).toDF("id", "group", "value1", "value2")
+
+  test("sql catalog reads tables by name with time travel and pushdown") {
+    val wh = Files.createTempDirectory("graft-sqlcat").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "t", fixture().schema, Seq("group"))
+    tbl.append(fixture())                                 // snapshot 1
+    tbl.append(fixture().withColumn("id", $"id" + 10))    // snapshot 2
+    spark.conf.set("spark.sql.catalog.gsqltest", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqltest.warehouse", wh)
+
+    assert(spark.sql("SELECT COUNT(*) FROM gsqltest.ns.t").head().getLong(0) == 8)
+    assert(spark.sql("SELECT COUNT(*) FROM gsqltest.ns.t VERSION AS OF 1")
+      .head().getLong(0) == 4)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM gsqltest.ns.t TIMESTAMP AS OF '2100-01-01'")
+      .head().getLong(0) == 8)
+    assert(spark.sql("SHOW TABLES IN gsqltest.ns").collect()
+      .map(_.getString(1)).toSeq == Seq("t"))
+
+    // filters reach the parquet scan through the DSv2 relation
+    val plan = spark.sql(
+      "SELECT id FROM gsqltest.ns.t WHERE value2 > 25").queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(value2,25)"),
+      s"expected value2 pushdown in:\n$plan")
+
+    // read-only: DML/DDL through the catalog must not plan
+    intercept[Exception] {
+      spark.sql("INSERT INTO gsqltest.ns.t VALUES (99, 'Z', 9.9, 99)")
+    }
+    intercept[Exception] { spark.sql("DROP TABLE gsqltest.ns.t") }
+
+    // outstanding MOR vectors cannot be subtracted by a plain parquet
+    // relation — the catalog refuses rather than returning deleted rows
+    tbl.deleteMor($"id" === 1)
+    val e = intercept[Exception] {
+      spark.sql("SELECT COUNT(*) FROM gsqltest.ns.t").head()
+    }
+    assert(e.getMessage.contains("merge-on-read") ||
+      Option(e.getCause).exists(_.getMessage.contains("merge-on-read")))
+    // compaction materializes the delete; SQL reads work again
+    tbl.compact()
+    assert(spark.sql("SELECT COUNT(*) FROM gsqltest.ns.t").head().getLong(0) == 7)
+  }
+}

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -211,6 +212,58 @@ object Quality {
         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
           rarity_num * 1.0 / n_tokens AS rarity
         FROM sc ORDER BY rarity DESC, doc_id LIMIT 50""")),
+
+    // ---- bigram-LM quality scoring (CCNet-style) --------------------------
+    // Score each document's fluency under a bigram language model trained
+    // on the corpus itself — the CCNet/CC-Net recipe (arXiv:1911.00359)
+    // scores web text with an LM and keeps the most natural tier; here
+    // the LM is the corpus's own add-one-smoothed bigram model, so the
+    // signal is self-contained and fully deterministic. Exactness: each
+    // bigram's smoothed likelihood (cbg+1)/(cug+V) is kept as an integer
+    // rational (1e9-scaled div), summed exactly per doc, ONE IEEE
+    // division at the end — no libm, engine-identical. Scale: text is
+    // tokenized once (persist); the bigram window shuffles token rows on
+    // doc_id; the model tables are (term) and (w1,w2) count shuffles —
+    // scalar rows, never documents; V broadcasts as a 1-row aggregate.
+    QueryDef("text_lm_quality",
+      (s, d) => {
+        val tok = docs(s, d)
+          .select(col("doc_id"),
+            posexplode_outer(TF.tokens(col("text"))).as(Seq("pos", "term")))
+          .filter(col("term").isNotNull)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val bg = tok.withColumn("w2", lead(col("term"), 1).over(w))
+          .filter(col("w2").isNotNull)
+          .select(col("doc_id"), col("term").as("w1"), col("w2"))
+        val ug = tok.groupBy(col("term")).agg(count(lit(1)).as("cug"))
+        val cbg = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cbg"))
+        val v = tok.select(col("term")).distinct().agg(count(lit(1)).as("v"))
+        bg.join(cbg, Seq("w1", "w2"))
+          .join(ug, col("w1") === col("term")).drop("term")
+          .crossJoin(broadcast(v))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(expr("(1000000000 * (cbg + 1)) div (cug + v)")).as("lm_num"))
+          .withColumn("lm_score", col("lm_num") * lit(1.0) / col("n_bigrams"))
+          .select(col("doc_id"), col("n_bigrams"), col("lm_score"))
+          .orderBy(col("lm_score").desc, col("doc_id")).limit(50)
+      },
+      Some(s"""WITH tokl AS (SELECT doc_id, $TkSql AS l FROM documents),
+        tok AS (SELECT doc_id, unnest(l) AS term FROM tokl),
+        v AS (SELECT COUNT(DISTINCT term) AS v FROM tok),
+        ug AS (SELECT term, COUNT(*) AS cug FROM tok GROUP BY 1),
+        bg AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+               FROM tokl, unnest(range(1, len(l))) AS t(i)),
+        cbgt AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        sc AS (SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+                 SUM((1000000000 * (cbgt.c + 1)) // (ug.cug + v.v)) AS lm_num
+               FROM bg JOIN cbgt USING (w1, w2) JOIN ug ON bg.w1 = ug.term
+               CROSS JOIN v
+               GROUP BY 1)
+        SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+          lm_num * 1.0 / n_bigrams AS lm_score
+        FROM sc ORDER BY lm_score DESC, doc_id LIMIT 50""")),
 
     // ---- source-mixture resampling ----------------------------------------
     // Downsample each source to a target mixture weight (the training-mix

@@ -5,26 +5,169 @@ import java.util.Collections
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
-import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.catalog.{Catalog, JdbcCatalog, Snaplog}
+import graft.catalog.{Catalog, DataFileEntry, JdbcCatalog, Snaplog}
 
-/** Read-only wrapper: delegates scanning to Spark's vectorized DSv2
-  * parquet table but advertises NO write capability — `INSERT INTO`
-  * through the SQL catalog would append parquet behind the snapshot
-  * log's back (no commit, no atomicity), so it must not plan at all. */
-private[sql] final class ReadOnlyParquetTable(delegate: ParquetTable)
-    extends Table with SupportsRead {
-  override def name(): String = delegate.name
-  override def schema(): StructType = delegate.schema
+/** Read-only snaplog-backed DSv2 table. Scanning delegates to Spark's
+  * vectorized parquet DSv2, but the FILE LIST is pruned first from log
+  * metadata — identity-partition values and per-file column [min,max]
+  * bounds — so files that cannot match the pushed predicates are never
+  * handed to Spark at all (Iceberg-manifest-style planning; at 100 TB
+  * the difference between planning over a partition and planning over
+  * the table). Advertises NO write capability: `INSERT INTO` through
+  * the SQL catalog would append parquet behind the snapshot log's back
+  * (no commit, no atomicity), so it must not plan at all. */
+private[sql] final class GraftSqlTable(
+    tableName: String,
+    tableSchema: StructType,
+    files: Seq[DataFileEntry]) extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    delegate.newScanBuilder(options)
+    new GraftScanBuilder(tableName, tableSchema, files, options)
+}
+
+/** ScanBuilder that (1) prunes the file list from log metadata using
+  * the pushed predicates, then (2) hands the survivors to a fresh
+  * ParquetScanBuilder, forwarding the same predicates so parquet
+  * footer / row-group skipping still applies downstream. Every filter
+  * is also kept as a residual (returned from `pushFilters`), so
+  * metadata pruning is purely an optimization — row-level evaluation
+  * still happens and a stats bug cannot change results. Implements the
+  * same catalyst-filter pushdown interface FileScanBuilder does, so
+  * the planner treats it exactly like a file-source builder. */
+private[sql] final class GraftScanBuilder(
+    tableName: String,
+    tableSchema: StructType,
+    files: Seq[DataFileEntry],
+    options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty
+  private var required: StructType = tableSchema
+
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    exprs = filters
+    filters // all residual: pruning never replaces row-level evaluation
+  }
+
+  // file pruning is reported by the delegated ParquetScan's own
+  // pushed-filter metadata; nothing extra to surface here
+  override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val kept = files.filter(f => exprs.forall(FilePrune.mayMatch(f, _)))
+    val pt = ParquetTable(tableName, SparkSession.active, options,
+      kept.map(_.path), Some(tableSchema), classOf[ParquetFileFormat])
+    val psb = pt.newScanBuilder(options)
+    psb.pruneColumns(required)
+    // forward through the standard file-source path: sets parquet's
+    // data-filter pushdown (footer/row-group skip) internally
+    psb.pushFilters(exprs)
+    psb.build()
+  }
+}
+
+/** Conservative may-match test of a pushed catalyst predicate against
+  * one file's log metadata. `true` always safe (file is read, rows
+  * re-filtered by the residual); `false` only when partition value or
+  * [min,max] bounds PROVE no row can match. Mirrors
+  * LakehouseTable.selectFiles semantics. */
+private[sql] object FilePrune {
+  import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualTo => CEq, Expression, GreaterThan => CGt, GreaterThanOrEqual => CGte, In => CIn, LessThan => CLt, LessThanOrEqual => CLte, Literal, Or => COr}
+
+  /** Literal's internal value as a plain JVM value (UTF8String → String). */
+  private def litVal(l: Literal): Any = l.value match {
+    case null => null
+    case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+    case other => other
+  }
+
+  def mayMatch(f: DataFileEntry, e: Expression): Boolean = e match {
+    case CEq(a: AttributeReference, l: Literal) => eqAllows(f, a.name, litVal(l))
+    case CEq(l: Literal, a: AttributeReference) => eqAllows(f, a.name, litVal(l))
+    case CIn(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists(v => eqAllows(f, a.name, litVal(v.asInstanceOf[Literal])))
+    case CGt(a: AttributeReference, l: Literal) =>
+      boundsAllow(f, a.name, lo = Some(litVal(l)), hi = None)
+    case CGte(a: AttributeReference, l: Literal) =>
+      boundsAllow(f, a.name, lo = Some(litVal(l)), hi = None)
+    case CLt(a: AttributeReference, l: Literal) =>
+      boundsAllow(f, a.name, lo = None, hi = Some(litVal(l)))
+    case CLte(a: AttributeReference, l: Literal) =>
+      boundsAllow(f, a.name, lo = None, hi = Some(litVal(l)))
+    // mirrored literal-first comparisons flip the bound
+    case CGt(l: Literal, a: AttributeReference) =>
+      boundsAllow(f, a.name, lo = None, hi = Some(litVal(l)))
+    case CGte(l: Literal, a: AttributeReference) =>
+      boundsAllow(f, a.name, lo = None, hi = Some(litVal(l)))
+    case CLt(l: Literal, a: AttributeReference) =>
+      boundsAllow(f, a.name, lo = Some(litVal(l)), hi = None)
+    case CLte(l: Literal, a: AttributeReference) =>
+      boundsAllow(f, a.name, lo = Some(litVal(l)), hi = None)
+    case CAnd(l, r) => mayMatch(f, l) && mayMatch(f, r)
+    case COr(l, r) => mayMatch(f, l) || mayMatch(f, r)
+    case _ => true // unknown / null-semantics predicates: never prune
+  }
+
+  private def eqAllows(f: DataFileEntry, c: String, v: Any): Boolean =
+    partitionAllows(f, c, v) && boundsAllow(f, c, Some(v), Some(v))
+
+  /** Identity-partition equality: prune only when the file RECORDS a
+    * value for the column and it differs textually from the literal
+    * (partition values are written from the same literals, so the
+    * textual comparison is exact for the types we partition on). */
+  private def partitionAllows(f: DataFileEntry, c: String, v: Any): Boolean =
+    f.partitionValues.get(c) match {
+      case Some(stored) => v != null && stored == String.valueOf(v)
+      case None => true
+    }
+
+  /** Column [min,max] bounds vs a requested [lo,hi]. Numeric literals
+    * compare as doubles, strings lexicographically — exactly the
+    * contract under which the bounds were collected. Missing bounds or
+    * unparseable combinations never prune. */
+  private def boundsAllow(f: DataFileEntry, c: String,
+      lo: Option[Any], hi: Option[Any]): Boolean =
+    f.columnStats.flatMap(_.get(c)) match {
+      case None => true
+      case Some(b) => (lo, hi) match {
+        case _ if numeric(lo) || numeric(hi) =>
+          (try Some((b.min.toDouble, b.max.toDouble))
+          catch { case _: NumberFormatException => None }) match {
+            case None => true
+            case Some((mn, mx)) =>
+              lo.forall(v => asDouble(v).forall(_ <= mx)) &&
+                hi.forall(v => asDouble(v).forall(_ >= mn))
+          }
+        case (Some(_: String), _) | (_, Some(_: String)) =>
+          lo.forall(v => v.asInstanceOf[String].compareTo(b.max) <= 0) &&
+            hi.forall(v => v.asInstanceOf[String].compareTo(b.min) >= 0)
+        case _ => true
+      }
+    }
+
+  private def numeric(v: Option[Any]): Boolean = v.exists(asDouble(_).isDefined)
+
+  private def asDouble(v: Any): Option[Double] = v match {
+    case n: Number => Some(n.doubleValue())
+    case _ => None
+  }
 }
 
 /** Spark DataSource-v2 `TableCatalog` over a graft [[Catalog]] — the
@@ -152,14 +295,8 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
       s"$catName.$ns.$t has outstanding merge-on-read delete vectors, which a " +
         "plain parquet relation cannot subtract — compact() the table first")
     val meta = backing.loadTable(ns, t)
-    val files = backing.liveFiles(ns, t, asOf).map(_.path)
-    new ReadOnlyParquetTable(ParquetTable(
-      s"$catName.$ns.$t",
-      SparkSession.active,
-      CaseInsensitiveStringMap.empty(),
-      files,
-      Some(meta.schema),
-      classOf[ParquetFileFormat]))
+    new GraftSqlTable(s"$catName.$ns.$t", meta.schema,
+      backing.liveFiles(ns, t, asOf))
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =

@@ -60,4 +60,35 @@ class SqlCatalogSpec extends SparkSpec {
     tbl.compact()
     assert(spark.sql("SELECT COUNT(*) FROM gsqltest.ns.t").head().getLong(0) == 7)
   }
+
+  test("sql catalog prunes files from log metadata before planning") {
+    import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, FileScan}
+    val wh = Files.createTempDirectory("graft-sqlprune").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "p", fixture().schema, Seq("group"))
+    // single input split → exactly one file per partition: A(10,20) B(30) C(40)
+    tbl.append(fixture().coalesce(1))
+    spark.conf.set("spark.sql.catalog.gsqlprune", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlprune.warehouse", wh)
+    val total = cat.liveFiles("ns", "p").size
+    assert(total == 3)
+
+    def scannedFiles(sql: String): Int = {
+      val plan = spark.sql(sql).queryExecution.sparkPlan
+      val scans = plan.collect { case b: BatchScanExec => b.scan }
+      scans.head.asInstanceOf[FileScan].fileIndex.inputFiles.length
+    }
+    // identity-partition equality prunes to one partition's file
+    assert(scannedFiles("SELECT id FROM gsqlprune.ns.p WHERE group = 'A'") == 1)
+    // column [min,max] stats prune files whose range cannot match
+    assert(scannedFiles("SELECT id FROM gsqlprune.ns.p WHERE value2 > 35") == 1)
+    assert(scannedFiles("SELECT id FROM gsqlprune.ns.p WHERE value2 > 100") == 0)
+    // pruning is an optimization only — results stay exact
+    assert(spark.sql("SELECT id FROM gsqlprune.ns.p WHERE group = 'A' ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(spark.sql("SELECT id FROM gsqlprune.ns.p WHERE value2 > 35")
+      .collect().map(_.getInt(0)).toSeq == Seq(4))
+    assert(spark.sql("SELECT COUNT(*) FROM gsqlprune.ns.p WHERE value2 > 100")
+      .head().getLong(0) == 0)
+  }
 }

@@ -50,10 +50,15 @@ private[sql] final class GraftScanBuilder(
     options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with SupportsPushDownRequiredColumns {
+
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 
   private var exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty
   private var required: StructType = tableSchema
+  private var pushedAgg: Option[Aggregation] = None
 
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
@@ -70,17 +75,118 @@ private[sql] final class GraftScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = {
-    val kept = files.filter(f => exprs.forall(FilePrune.mayMatch(f, _)))
-    val pt = ParquetTable(tableName, SparkSession.active, options,
-      kept.map(_.path), Some(tableSchema), classOf[ParquetFileFormat])
-    val psb = pt.newScanBuilder(options)
-    psb.pruneColumns(required)
-    // forward through the standard file-source path: sets parquet's
-    // data-filter pushdown (footer/row-group skip) internally
-    psb.pushFilters(exprs)
-    psb.build()
+  // ---- metadata-only aggregates ------------------------------------------
+  // COUNT(*)/MIN/MAX over an unfiltered table are already IN the
+  // snapshot log (row counts and column bounds per file), so the whole
+  // query answers from metadata without opening a single data file —
+  // the Iceberg manifest-aggregate optimization, and at 100 TB the
+  // difference between a free answer and a full table scan. Strictly
+  // conservative: any pushed filter, grouping, unsupported function or
+  // column lacking bounds in ANY file declines the pushdown and Spark
+  // plans the ordinary scan.
+
+  /** Numeric stat types the log records losslessly round-trippable
+    * bounds for. Strings are excluded on purpose: parquet orders them
+    * as UTF-8 bytes while java.lang.String compares UTF-16 chars, and
+    * the two disagree on supplementary characters. */
+  private def statType(c: String): Option[org.apache.spark.sql.types.DataType] =
+    tableSchema.fields.find(_.name == c).map(_.dataType).filter {
+      case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType => true
+      case _ => false
+    }
+
+  private def boundedCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        val c = nr.fieldNames()(0)
+        if (statType(c).isDefined &&
+          files.forall(_.columnStats.exists(_.contains(c)))) Some(c) else None
+      case _ => None
+    }
+
+  private def canAnswerFromMetadata(agg: Aggregation): Boolean =
+    exprs.isEmpty && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => files.isEmpty || boundedCol(m.column).isDefined
+        case m: Max => files.isEmpty || boundedCol(m.column).isDefined
+        case _ => false
+      }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    canAnswerFromMetadata(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    canAnswerFromMetadata(agg) && { pushedAgg = Some(agg); true }
+
+  private def parse(c: String, s: String): Any = statType(c).get match {
+    case org.apache.spark.sql.types.IntegerType => s.toLong.toInt
+    case org.apache.spark.sql.types.LongType => s.toLong
+    case org.apache.spark.sql.types.FloatType => s.toDouble.toFloat
+    case org.apache.spark.sql.types.DoubleType => s.toDouble
+    case other => throw new IllegalStateException(s"unexpected stat type $other")
   }
+
+  private def metadataAggScan(agg: Aggregation): Scan = {
+    import org.apache.spark.sql.types._
+    val (values, fields) = agg.aggregateExpressions.zipWithIndex.map {
+      case (_: CountStar, i) =>
+        (files.map(_.rowCount).sum: Any, StructField(s"count_$i", LongType, nullable = false))
+      case (m: Min, i) =>
+        val c = boundedCol(m.column).getOrElse("")
+        val v = if (files.isEmpty) null
+          else files.flatMap(_.columnStats.flatMap(_.get(c)))
+            .map(b => parse(c, b.min)).reduce((x, y) => if (lt(y, x)) y else x)
+        (v: Any, StructField(s"min_$i", statType(c).getOrElse(NullType), nullable = true))
+      case (m: Max, i) =>
+        val c = boundedCol(m.column).getOrElse("")
+        val v = if (files.isEmpty) null
+          else files.flatMap(_.columnStats.flatMap(_.get(c)))
+            .map(b => parse(c, b.max)).reduce((x, y) => if (lt(x, y)) y else x)
+        (v: Any, StructField(s"max_$i", statType(c).getOrElse(NullType), nullable = true))
+      case (other, _) =>
+        throw new IllegalStateException(s"unanswerable aggregate $other")
+    }.unzip
+    val schema = StructType(fields.toIndexedSeq)
+    val row = org.apache.spark.sql.catalyst.InternalRow.fromSeq(values.toIndexedSeq)
+    new MetadataAggScan(schema, row)
+  }
+
+  /** Typed less-than: all values of one column share a type, and long
+    * comparison must not round-trip through double (2^53 precision). */
+  private def lt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Int, y: Int) => x < y
+    case (x: Long, y: Long) => x < y
+    case (x: Float, y: Float) => x < y
+    case (x: Double, y: Double) => x < y
+    case _ => false
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) => metadataAggScan(agg)
+    case None =>
+      val kept = files.filter(f => exprs.forall(FilePrune.mayMatch(f, _)))
+      val pt = ParquetTable(tableName, SparkSession.active, options,
+        kept.map(_.path), Some(tableSchema), classOf[ParquetFileFormat])
+      val psb = pt.newScanBuilder(options)
+      psb.pruneColumns(required)
+      // forward through the standard file-source path: sets parquet's
+      // data-filter pushdown (footer/row-group skip) internally
+      psb.pushFilters(exprs)
+      psb.build()
+  }
+}
+
+/** One-row driver-side scan carrying a metadata-computed aggregate. */
+private[sql] final class MetadataAggScan(
+    schema: StructType,
+    row: org.apache.spark.sql.catalyst.InternalRow)
+    extends org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = Array(row)
+  override def description(): String = s"GraftMetadataAgg${schema.fieldNames.mkString("[", ",", "]")}"
 }
 
 /** Conservative may-match test of a pushed catalyst predicate against

@@ -91,4 +91,47 @@ class SqlCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT COUNT(*) FROM gsqlprune.ns.p WHERE value2 > 100")
       .head().getLong(0) == 0)
   }
+
+  test("metadata-only aggregates answer COUNT/MIN/MAX without reading data") {
+    val wh = Files.createTempDirectory("graft-sqlagg").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "a", fixture().schema)
+    tbl.append(fixture())
+    tbl.append(fixture().withColumn("value2", $"value2" + 5))
+    spark.conf.set("spark.sql.catalog.gsqlagg", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlagg.warehouse", wh)
+
+    val df = spark.sql(
+      "SELECT COUNT(*), MIN(value2), MAX(value2), MIN(value1) FROM gsqlagg.ns.a")
+    val plan = df.queryExecution.sparkPlan.toString
+    // the whole answer comes from snapshot-log metadata: the plan is a
+    // driver-local one-row scan (Spark renders LocalScan as
+    // LocalTableScan over our count_/min_/max_ columns), no parquet
+    assert(plan.contains("LocalTableScan") && plan.contains("count_0"),
+      s"expected metadata agg scan in:\n$plan")
+    assert(!plan.toLowerCase.contains("parquet"), s"expected no parquet scan in:\n$plan")
+    val r = df.head()
+    assert(r.getLong(0) == 8L)
+    assert(r.getInt(1) == 10 && r.getInt(2) == 45)
+    assert(r.getFloat(3) == 1.5f)
+
+    // any filter, grouping or null-sensitive aggregate falls back to a real scan
+    val f1 = spark.sql("SELECT COUNT(*) FROM gsqlagg.ns.a WHERE value2 > 20")
+    assert(!f1.queryExecution.sparkPlan.toString.contains("LocalTableScan"))
+    assert(f1.head().getLong(0) == 5) // 30,40 + 25,35,45
+    val f2 = spark.sql("SELECT group, COUNT(*) FROM gsqlagg.ns.a GROUP BY group")
+    assert(!f2.queryExecution.sparkPlan.toString.contains("LocalTableScan"))
+    assert(f2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("A" -> 4L, "B" -> 2L, "C" -> 2L))
+    // COUNT(col) on a NON-NULLABLE column is rewritten to COUNT(*) by
+    // the planner and still answers from metadata
+    val f3 = spark.sql("SELECT COUNT(value1) FROM gsqlagg.ns.a")
+    assert(f3.queryExecution.sparkPlan.toString.contains("LocalTableScan"))
+    assert(f3.head().getLong(0) == 8)
+    // …but on a NULLABLE column it is null-sensitive: metadata cannot
+    // answer it and the real scan plans
+    val f4 = spark.sql("SELECT COUNT(group) FROM gsqlagg.ns.a")
+    assert(!f4.queryExecution.sparkPlan.toString.contains("LocalTableScan"))
+    assert(f4.head().getLong(0) == 8)
+  }
 }

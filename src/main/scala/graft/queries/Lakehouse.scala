@@ -430,6 +430,45 @@ object Lakehouse {
         WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 200000.0)
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // Incremental aggregate maintenance (the materialized summary-table
+    // pattern): a per-status rollup is maintained from CDC deltas —
+    // after new data lands, scanIncremental reads ONLY the added files,
+    // the delta aggregates (a delta-sized shuffle), and the summary
+    // merges partials instead of re-aggregating the base table. At
+    // 100 TB this is the difference between touching a day's files and
+    // touching the table. Partials stay DECIMAL until the final cast so
+    // merge order cannot perturb doubles; the oracle recomputes the
+    // rollup from the full source, proving base + delta == whole.
+    QueryDef("lake_incremental_agg",
+      (s, d) => {
+        val whDir = wh("lake_incremental_agg", d)
+        val cat = new Snaplog(whDir)
+        val orders = t(s, d, "orders")
+        def aggOf(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("total_dec"))
+        val base = LakehouseTable.create(cat, s, "lake", "orders_ia", orders.schema)
+        base.append(orders.filter(col("o_orderkey") % 2 === 0)) // snapshot 1
+        val summary = LakehouseTable.create(cat, s, "lake", "orders_ia_sum",
+          aggOf(orders).schema)
+        summary.overwrite(aggOf(base.scan()))
+        // new data lands; the summary updates from the DELTA ONLY
+        base.append(orders.filter(col("o_orderkey") % 2 === 1)) // snapshot 2
+        val delta = base.scanIncremental(fromSnapshot = 1L)
+        val merged = summary.scan().unionByName(aggOf(delta))
+          .groupBy(col("o_orderstatus"))
+          .agg(sum(col("n")).as("n"), sum(col("total_dec")).as("total_dec"))
+        summary.overwrite(merged)
+        summary.scan()
+          .select(col("o_orderstatus"), col("n"),
+            col("total_dec").cast("double").as("total"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // Native SQL catalog (DSv2 TableCatalog): snaplog tables queried BY
     // NAME through spark.sql — the Spark-first form of the reference's
     // DuckDB-over-Iceberg SQL read path, replacing temp views. The one

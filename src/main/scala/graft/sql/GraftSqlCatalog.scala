@@ -25,13 +25,14 @@ import graft.catalog.{Catalog, DataFileEntry, JdbcCatalog, Snaplog}
 private[sql] final class GraftSqlTable(
     tableName: String,
     tableSchema: StructType,
+    partitionCols: Seq[String],
     files: Seq[DataFileEntry]) extends Table with SupportsRead {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(tableName, tableSchema, files, options)
+    new GraftScanBuilder(tableName, tableSchema, partitionCols, files, options)
 }
 
 /** ScanBuilder that (1) prunes the file list from log metadata using
@@ -46,6 +47,7 @@ private[sql] final class GraftSqlTable(
 private[sql] final class GraftScanBuilder(
     tableName: String,
     tableSchema: StructType,
+    partitionCols: Seq[String],
     files: Seq[DataFileEntry],
     options: CaseInsensitiveStringMap)
     extends ScanBuilder
@@ -64,7 +66,14 @@ private[sql] final class GraftScanBuilder(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
     exprs = filters
-    filters // all residual: pruning never replaces row-level evaluation
+    // PARTITION-EXACT predicates (equality/IN/IsNotNull over identity-
+    // partition columns recorded for every file) are fully consumed:
+    // identity partitioning makes file pruning select exactly the
+    // matching rows, so no residual evaluation is needed — which also
+    // unlocks aggregate pushdown under partition filters. Everything
+    // else stays residual: stat-based pruning for those is
+    // conservative, so row-level evaluation must still happen.
+    filters.filterNot(FilePrune.partitionExact(_, partitionCols.toSet, files))
   }
 
   // file pruning is reported by the delegated ParquetScan's own
@@ -76,43 +85,60 @@ private[sql] final class GraftScanBuilder(
     required = requiredSchema
 
   // ---- metadata-only aggregates ------------------------------------------
-  // COUNT(*)/MIN/MAX over an unfiltered table are already IN the
-  // snapshot log (row counts and column bounds per file), so the whole
-  // query answers from metadata without opening a single data file —
-  // the Iceberg manifest-aggregate optimization, and at 100 TB the
-  // difference between a free answer and a full table scan. Strictly
-  // conservative: any pushed filter, grouping, unsupported function or
-  // column lacking bounds in ANY file declines the pushdown and Spark
-  // plans the ordinary scan.
+  // COUNT(*)/MIN/MAX are already IN the snapshot log (row counts and
+  // column bounds per file), so the whole query answers from metadata
+  // without opening a single data file — the Iceberg manifest-aggregate
+  // optimization, and at 100 TB the difference between a free answer
+  // and a full table scan. Filters are allowed ONLY when every pushed
+  // predicate is PARTITION-EXACT (equality/IN/IsNotNull over identity-
+  // partition columns recorded for every file): identity partitioning
+  // means a file holds exactly the rows of its partition value, so the
+  // pruned file set answers the aggregate exactly, not approximately.
+  // Anything else — data-column filters, grouping, unsupported
+  // functions, columns lacking bounds in ANY file — declines the
+  // pushdown and Spark plans the ordinary scan.
 
-  /** Numeric stat types the log records losslessly round-trippable
-    * bounds for. Strings are excluded on purpose: parquet orders them
-    * as UTF-8 bytes while java.lang.String compares UTF-16 chars, and
-    * the two disagree on supplementary characters. */
+  /** Types whose recorded bounds can answer MIN/MAX EXACTLY: integral
+    * only. Floats are excluded (parquet stat behavior with NaN is
+    * undefined, and Spark orders NaN above every value — a poisoned
+    * bound would silently return the wrong extreme); strings are
+    * excluded because parquet orders UTF-8 bytes while
+    * java.lang.String compares UTF-16 chars, and the two disagree on
+    * supplementary characters. Both still participate in conservative
+    * FILE PRUNING, where a wrong bound only costs an extra file read. */
   private def statType(c: String): Option[org.apache.spark.sql.types.DataType] =
     tableSchema.fields.find(_.name == c).map(_.dataType).filter {
-      case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType => true
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
       case _ => false
     }
 
-  private def boundedCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+  private def boundedColIn(e: org.apache.spark.sql.connector.expressions.Expression,
+      answering: Seq[DataFileEntry]): Option[String] =
     e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
         val c = nr.fieldNames()(0)
         if (statType(c).isDefined &&
-          files.forall(_.columnStats.exists(_.contains(c)))) Some(c) else None
+          answering.forall(_.columnStats.exists(_.contains(c)))) Some(c) else None
       case _ => None
     }
 
+  /** Files that answer the aggregate: all of them when no filters are
+    * pushed, the exactly-pruned subset under partition-exact filters. */
+  private def aggFiles: Seq[DataFileEntry] =
+    files.filter(f => exprs.forall(FilePrune.mayMatch(f, _)))
+
   private def canAnswerFromMetadata(agg: Aggregation): Boolean =
-    exprs.isEmpty && agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall {
-        case _: CountStar => true
-        case m: Min => files.isEmpty || boundedCol(m.column).isDefined
-        case m: Max => files.isEmpty || boundedCol(m.column).isDefined
-        case _ => false
+    exprs.forall(FilePrune.partitionExact(_, partitionCols.toSet, files)) &&
+      agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty && {
+        val answering = aggFiles
+        agg.aggregateExpressions.forall {
+          case _: CountStar => true
+          case m: Min => answering.isEmpty || boundedColIn(m.column, answering).isDefined
+          case m: Max => answering.isEmpty || boundedColIn(m.column, answering).isDefined
+          case _ => false
+        }
       }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
@@ -124,26 +150,26 @@ private[sql] final class GraftScanBuilder(
   private def parse(c: String, s: String): Any = statType(c).get match {
     case org.apache.spark.sql.types.IntegerType => s.toLong.toInt
     case org.apache.spark.sql.types.LongType => s.toLong
-    case org.apache.spark.sql.types.FloatType => s.toDouble.toFloat
-    case org.apache.spark.sql.types.DoubleType => s.toDouble
     case other => throw new IllegalStateException(s"unexpected stat type $other")
   }
 
   private def metadataAggScan(agg: Aggregation): Scan = {
     import org.apache.spark.sql.types._
+    val answering = aggFiles
     val (values, fields) = agg.aggregateExpressions.zipWithIndex.map {
       case (_: CountStar, i) =>
-        (files.map(_.rowCount).sum: Any, StructField(s"count_$i", LongType, nullable = false))
+        (answering.map(_.rowCount).sum: Any,
+          StructField(s"count_$i", LongType, nullable = false))
       case (m: Min, i) =>
-        val c = boundedCol(m.column).getOrElse("")
-        val v = if (files.isEmpty) null
-          else files.flatMap(_.columnStats.flatMap(_.get(c)))
+        val c = boundedColIn(m.column, answering).getOrElse("")
+        val v = if (answering.isEmpty) null
+          else answering.flatMap(_.columnStats.flatMap(_.get(c)))
             .map(b => parse(c, b.min)).reduce((x, y) => if (lt(y, x)) y else x)
         (v: Any, StructField(s"min_$i", statType(c).getOrElse(NullType), nullable = true))
       case (m: Max, i) =>
-        val c = boundedCol(m.column).getOrElse("")
-        val v = if (files.isEmpty) null
-          else files.flatMap(_.columnStats.flatMap(_.get(c)))
+        val c = boundedColIn(m.column, answering).getOrElse("")
+        val v = if (answering.isEmpty) null
+          else answering.flatMap(_.columnStats.flatMap(_.get(c)))
             .map(b => parse(c, b.max)).reduce((x, y) => if (lt(x, y)) y else x)
         (v: Any, StructField(s"max_$i", statType(c).getOrElse(NullType), nullable = true))
       case (other, _) =>
@@ -159,8 +185,6 @@ private[sql] final class GraftScanBuilder(
   private def lt(a: Any, b: Any): Boolean = (a, b) match {
     case (x: Int, y: Int) => x < y
     case (x: Long, y: Long) => x < y
-    case (x: Float, y: Float) => x < y
-    case (x: Double, y: Double) => x < y
     case _ => false
   }
 
@@ -195,7 +219,32 @@ private[sql] final class MetadataAggScan(
   * [min,max] bounds PROVE no row can match. Mirrors
   * LakehouseTable.selectFiles semantics. */
 private[sql] object FilePrune {
-  import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualTo => CEq, Expression, GreaterThan => CGt, GreaterThanOrEqual => CGte, In => CIn, LessThan => CLt, LessThanOrEqual => CLte, Literal, Or => COr}
+  import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualTo => CEq, Expression, GreaterThan => CGt, GreaterThanOrEqual => CGte, In => CIn, IsNotNull => CIsNotNull, LessThan => CLt, LessThanOrEqual => CLte, Literal, Or => COr}
+
+  /** Is `e` a PARTITION-EXACT predicate — one whose per-file may-match
+    * answer is exact, not conservative? True only for equality/IN/
+    * IsNotNull trees over identity-partition columns whose value every
+    * file records: identity partitioning means a file holds exactly
+    * the rows of its recorded value, so pruning by it selects exactly
+    * the matching rows. This is what licenses answering aggregates
+    * from the pruned file set. */
+  def partitionExact(e: Expression, partCols: Set[String],
+      files: Seq[DataFileEntry]): Boolean = {
+    def exactCol(c: String): Boolean =
+      partCols.contains(c) && files.forall(_.partitionValues.contains(c))
+    e match {
+      case CEq(a: AttributeReference, _: Literal) => exactCol(a.name)
+      case CEq(_: Literal, a: AttributeReference) => exactCol(a.name)
+      case CIn(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        exactCol(a.name)
+      case CIsNotNull(a: AttributeReference) => exactCol(a.name)
+      case CAnd(l, r) =>
+        partitionExact(l, partCols, files) && partitionExact(r, partCols, files)
+      case COr(l, r) =>
+        partitionExact(l, partCols, files) && partitionExact(r, partCols, files)
+      case _ => false
+    }
+  }
 
   /** Literal's internal value as a plain JVM value (UTF8String → String). */
   private def litVal(l: Literal): Any = l.value match {
@@ -228,6 +277,10 @@ private[sql] object FilePrune {
       boundsAllow(f, a.name, lo = Some(litVal(l)), hi = None)
     case CAnd(l, r) => mayMatch(f, l) && mayMatch(f, r)
     case COr(l, r) => mayMatch(f, l) || mayMatch(f, r)
+    // a file recorded under the null-partition sentinel holds ONLY
+    // null values for that column — IsNotNull excludes it exactly
+    case CIsNotNull(a: AttributeReference) =>
+      !f.partitionValues.get(a.name).contains(Snaplog.HiveDefaultPartition)
     case _ => true // unknown / null-semantics predicates: never prune
   }
 
@@ -237,9 +290,11 @@ private[sql] object FilePrune {
   /** Identity-partition equality: prune only when the file RECORDS a
     * value for the column and it differs textually from the literal
     * (partition values are written from the same literals, so the
-    * textual comparison is exact for the types we partition on). */
+    * textual comparison is exact for the types we partition on). A
+    * null-partition file can never satisfy an equality. */
   private def partitionAllows(f: DataFileEntry, c: String, v: Any): Boolean =
     f.partitionValues.get(c) match {
+      case Some(Snaplog.HiveDefaultPartition) => false
       case Some(stored) => v != null && stored == String.valueOf(v)
       case None => true
     }
@@ -257,6 +312,10 @@ private[sql] object FilePrune {
           (try Some((b.min.toDouble, b.max.toDouble))
           catch { case _: NumberFormatException => None }) match {
             case None => true
+            // NaN-poisoned bounds (parquet stat behavior with NaN data
+            // is undefined) must never prune — comparisons with NaN
+            // are all false, which would wrongly drop the file
+            case Some((mn, mx)) if mn.isNaN || mx.isNaN => true
             case Some((mn, mx)) =>
               lo.forall(v => asDouble(v).forall(_ <= mx)) &&
                 hi.forall(v => asDouble(v).forall(_ >= mn))
@@ -401,7 +460,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
       s"$catName.$ns.$t has outstanding merge-on-read delete vectors, which a " +
         "plain parquet relation cannot subtract — compact() the table first")
     val meta = backing.loadTable(ns, t)
-    new GraftSqlTable(s"$catName.$ns.$t", meta.schema,
+    new GraftSqlTable(s"$catName.$ns.$t", meta.schema, meta.partitionColumns,
       backing.liveFiles(ns, t, asOf))
   }
 

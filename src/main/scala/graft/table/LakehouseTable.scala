@@ -115,7 +115,10 @@ final class LakehouseTable(
               try Some((b.min.toDouble, b.max.toDouble))
               catch { case _: NumberFormatException => None }
             parsed.forall { case (mn, mx) =>
-              lo.forall(_ <= mx) && hi.forall(_ >= mn)
+              // NaN-poisoned bounds must never prune: every comparison
+              // with NaN is false, which would wrongly drop the file
+              mn.isNaN || mx.isNaN ||
+                (lo.forall(_ <= mx) && hi.forall(_ >= mn))
             }
           case None => true
         }
@@ -413,14 +416,27 @@ final class LakehouseTable(
     * scale: compaction restores large sequential scans and shrinks
     * planning metadata. Default target mirrors the reference's 512 MB
     * `write.target-file-size-bytes` (`main-daft.py:106`). */
-  def compact(targetFileSizeBytes: Long = 512L * 1024 * 1024): Snapshot = {
+  /** @param sortBy optional clustering columns: the rewrite range-
+    *   partitions and sorts on them, so each output file covers a
+    *   DISJOINT value range and the per-file [min,max] bounds in the
+    *   log become maximally selective for stat-based skipping (the
+    *   sort-order compaction every table format offers alongside
+    *   plain bin-packing). Empty = plain round-robin bin-packing. */
+  def compact(targetFileSizeBytes: Long = 512L * 1024 * 1024,
+      sortBy: Seq[String] = Seq.empty): Snapshot = {
     val base = currentSnapshotId
     val files = catalog.liveFiles(namespace, name)
     val totalBytes = files.map(_.sizeBytes).sum
     val n = math.max(1L, (totalBytes + targetFileSizeBytes - 1) / targetFileSizeBytes).toInt
-    writeCommit(Seq(scan().repartition(n)), Snaplog.OpReplace,
+    val laid =
+      if (sortBy.isEmpty) scan().repartition(n)
+      else scan().repartitionByRange(n, sortBy.map(col): _*)
+        .sortWithinPartitions(sortBy.map(col): _*)
+    writeCommit(Seq(laid), Snaplog.OpReplace,
       Map("compacted-files" -> files.size.toString,
-        "compacted-bytes" -> totalBytes.toString),
+        "compacted-bytes" -> totalBytes.toString) ++
+        (if (sortBy.isEmpty) Map.empty
+         else Map("sort-order" -> sortBy.mkString(","))),
       expected = Some(base))
   }
 

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.{col, sum}
+
 import graft.catalog.Snaplog
 import graft.sql.GraftSqlCatalog
 import graft.table.LakehouseTable
@@ -102,7 +104,7 @@ class SqlCatalogSpec extends SparkSpec {
     spark.conf.set("spark.sql.catalog.gsqlagg.warehouse", wh)
 
     val df = spark.sql(
-      "SELECT COUNT(*), MIN(value2), MAX(value2), MIN(value1) FROM gsqlagg.ns.a")
+      "SELECT COUNT(*), MIN(value2), MAX(value2) FROM gsqlagg.ns.a")
     val plan = df.queryExecution.sparkPlan.toString
     // the whole answer comes from snapshot-log metadata: the plan is a
     // driver-local one-row scan (Spark renders LocalScan as
@@ -113,9 +115,13 @@ class SqlCatalogSpec extends SparkSpec {
     val r = df.head()
     assert(r.getLong(0) == 8L)
     assert(r.getInt(1) == 10 && r.getInt(2) == 45)
-    assert(r.getFloat(3) == 1.5f)
 
-    // any filter, grouping or null-sensitive aggregate falls back to a real scan
+    // float MIN/MAX is excluded (undefined parquet NaN stat semantics)
+    val ff = spark.sql("SELECT MIN(value1) FROM gsqlagg.ns.a")
+    assert(!ff.queryExecution.sparkPlan.toString.contains("LocalTableScan"))
+    assert(ff.head().getFloat(0) == 1.5f)
+
+    // data-column filters fall back to a real scan
     val f1 = spark.sql("SELECT COUNT(*) FROM gsqlagg.ns.a WHERE value2 > 20")
     assert(!f1.queryExecution.sparkPlan.toString.contains("LocalTableScan"))
     assert(f1.head().getLong(0) == 5) // 30,40 + 25,35,45
@@ -133,5 +139,56 @@ class SqlCatalogSpec extends SparkSpec {
     val f4 = spark.sql("SELECT COUNT(group) FROM gsqlagg.ns.a")
     assert(!f4.queryExecution.sparkPlan.toString.contains("LocalTableScan"))
     assert(f4.head().getLong(0) == 8)
+  }
+
+  test("partition-exact filters still answer aggregates from metadata") {
+    val wh = Files.createTempDirectory("graft-sqlaggp").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "pa", fixture().schema, Seq("group"))
+    tbl.append(fixture().coalesce(1))
+    spark.conf.set("spark.sql.catalog.gsqlaggp", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlaggp.warehouse", wh)
+
+    // equality on the identity-partition column selects exactly one
+    // partition's files — COUNT/MIN/MAX still answer from the log
+    val df = spark.sql(
+      "SELECT COUNT(*), MIN(value2), MAX(value2) FROM gsqlaggp.ns.pa WHERE group = 'A'")
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("LocalTableScan"), s"expected metadata agg in:\n$plan")
+    val r = df.head()
+    assert(r.getLong(0) == 2L && r.getInt(1) == 10 && r.getInt(2) == 20)
+
+    val in = spark.sql(
+      "SELECT COUNT(*) FROM gsqlaggp.ns.pa WHERE group IN ('B', 'C')")
+    assert(in.queryExecution.sparkPlan.toString.contains("LocalTableScan"))
+    assert(in.head().getLong(0) == 2L)
+
+    // a non-partition predicate in the mix declines the shortcut
+    val mixed = spark.sql(
+      "SELECT COUNT(*) FROM gsqlaggp.ns.pa WHERE group = 'A' AND value2 > 15")
+    assert(!mixed.queryExecution.sparkPlan.toString.contains("LocalTableScan"))
+    assert(mixed.head().getLong(0) == 1L)
+  }
+
+  test("sorted compaction yields disjoint per-file bounds for skipping") {
+    val wh = Files.createTempDirectory("graft-sortcompact").toString
+    val cat = new Snaplog(wh)
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("v", (col("id") * 7919) % 1000) // shuffled values
+    val tbl = LakehouseTable.create(cat, spark, "ns", "s", df.schema)
+    tbl.append(df.repartition(4)) // v scattered across every file
+    val before = tbl.selectFiles(
+      rangeFilter = Map("v" -> (Some(0.0), Some(9.0)))).size
+    assert(before == 4) // every file may hold v in [0,9] — nothing prunes
+    // cluster on v: target size forces multiple files, each a disjoint range
+    tbl.compact(targetFileSizeBytes = 4 * 1024, sortBy = Seq("v"))
+    val total = cat.liveFiles("ns", "s").size
+    assert(total > 1)
+    val after = tbl.selectFiles(
+      rangeFilter = Map("v" -> (Some(0.0), Some(9.0)))).size
+    assert(after < total, s"expected pruning after sort-compaction ($after/$total)")
+    // data unchanged
+    assert(tbl.scan().agg(sum(col("v"))).head().getLong(0) ==
+      (0L until 1000L).map(i => (i * 7919) % 1000).sum)
   }
 }

@@ -183,6 +183,22 @@ trait Catalog {
     kept
   }
 
+  /** Time-based expiration (the `expire_snapshots(older_than=…)` form
+    * every table format exposes for retention policies): keep every
+    * snapshot committed at-or-after `olderThanMs`, but always at least
+    * `retainLast` regardless of age. Resolves to a keep-count and
+    * delegates to [[expireSnapshots]], so the self-containment and
+    * ref-orphaning guards (and the high-water-mark carry) apply
+    * unchanged. */
+  final def expireSnapshotsOlderThan(ns: String, t: String, olderThanMs: Long,
+      retainLast: Int = 1): Seq[Snapshot] = {
+    require(retainLast >= 1, "must retain at least one snapshot")
+    val all = snapshots(ns, t)
+    if (all.isEmpty) return all
+    val youngEnough = all.count(_.timestampMs >= olderThanMs)
+    expireSnapshots(ns, t, math.max(retainLast, math.max(1, youngEnough)))
+  }
+
   /** Delete data files under the table's managed data dir that no
     * remaining snapshot references (orphans left by expiration or
     * overwrites). Never touches files outside the managed dir (e.g.

@@ -391,6 +391,23 @@ abstract class CatalogContractSpec extends SparkSpec {
     assert(cat.snapshots("ns", "cas").size == 2)
   }
 
+  test("time-based expiration keeps young snapshots and honors retainLast") {
+    val cat = freshCatalog()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "t", fixture().schema)
+    tbl.append(fixture())          // snapshot 1 (old)
+    tbl.overwrite(fixture())       // snapshot 2 (reset base)
+    tbl.append(fixture())          // snapshot 3
+    val cut = cat.snapshots("ns", "t").find(_.snapshotId == 2L).get.timestampMs
+    // everything from snapshot 2 on is "young": only snapshot 1 expires
+    val kept = cat.expireSnapshotsOlderThan("ns", "t", olderThanMs = cut)
+    assert(kept.map(_.snapshotId) == Seq(2L, 3L))
+    // a cutoff in the future would drop everything — retainLast floors it
+    val kept2 = cat.expireSnapshotsOlderThan("ns", "t",
+      olderThanMs = System.currentTimeMillis() + 1000000L, retainLast = 2)
+    assert(kept2.map(_.snapshotId) == Seq(2L, 3L))
+    assert(tbl.scan().count() == 8)
+  }
+
   test("iceberg export emits a walkable v2 metadata tree") {
     val cat = freshCatalog()
     val tbl = LakehouseTable.create(cat, spark, "ns", "t", fixture().schema, Seq("group"))

@@ -154,6 +154,43 @@ object Streaming {
           AND v.ts >= p.ts - INTERVAL 10 MINUTE AND v.ts < p.ts
         GROUP BY p.event_id ORDER BY p.event_id""")),
 
+    // Stream–stream SEMI interval join: purchases that had at least one
+    // view in the preceding 10 minutes — existence check only, so the
+    // view side never materializes into the output and its state
+    // evicts as soon as a match is recorded (cheaper than inner join +
+    // distinct at scale). Oracle: batch EXISTS.
+    QueryDef("stream_semi_interval_join",
+      (s, d) => {
+        val ev = events(s, d)
+        val pDrop = scratchDir("stream_sij_purchases", d)
+        val vDrop = scratchDir("stream_sij_views", d)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event_id"),
+            col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+            col("value").as("p_value"))
+        val v = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user_id"), col("ts").as("v_ts"))
+        p.coalesce(1).write.mode("append").parquet(pDrop)
+        v.coalesce(1).write.mode("append").parquet(vDrop)
+        val joined = StreamingIngest.intervalJoinStreams(
+          StreamingIngest.readParquetStream(s, pDrop, p.schema), "p_ts",
+          StreamingIngest.readParquetStream(s, vDrop, v.schema), "v_ts",
+          "p_user_id = v_user_id AND v_ts >= p_ts - INTERVAL 10 MINUTES AND v_ts < p_ts",
+          watermark = "1 day", queryName = "stream_sij_mem",
+          joinType = "left_semi")
+        joined
+          .agg(count(lit(1)).as("n_purchases"),
+            dsum(col("p_value"), 6).as("purchase_value"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'purchase'),
+          v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+        SELECT COUNT(*) AS n_purchases,
+          CAST(SUM(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE) AS purchase_value
+        FROM p WHERE EXISTS (SELECT 1 FROM v
+          WHERE v.user_id = p.user_id
+            AND v.ts >= p.ts - INTERVAL 10 MINUTE AND v.ts < p.ts)""")),
+
     // Stream–stream LEFT OUTER interval join: purchases with no views in
     // the preceding 10 minutes must STILL emit (null-padded) — which only
     // happens once the watermark passes their join window, so two future

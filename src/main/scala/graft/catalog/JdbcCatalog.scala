@@ -39,21 +39,29 @@ final class JdbcCatalog(val jdbcUrl: String, val warehouse: String) extends Cata
     catch { case _: ClassNotFoundException => () }
   }
 
-  // keep Derby's engine log out of the process working directory
-  if (System.getProperty("derby.stream.error.file") == null)
-    System.setProperty("derby.stream.error.file",
-      Paths.get(warehouse, "derby.log").toAbsolutePath.toString)
-
-  locally { initSchema() }
+  // keep Derby's engine log out of the process working directory (the
+  // directory must exist or Derby fails to open its log stream)
+  locally {
+    Files.createDirectories(Paths.get(warehouse))
+    if (System.getProperty("derby.stream.error.file") == null)
+      System.setProperty("derby.stream.error.file",
+        Paths.get(warehouse, "derby.log").toAbsolutePath.toString)
+  }
 
   private def withConn[A](f: Connection => A): A = {
     val c = DriverManager.getConnection(jdbcUrl)
     try f(c) finally c.close()
   }
 
+  // NOTE: these constants are referenced from initSchema, which runs in
+  // the constructor — they must be DECLARED before the initSchema call
+  // below or they are still null when the catch compares against them
+  // (Scala initializes vals in declaration order).
   /** Derby SQLState for "table already exists" / duplicate key. */
   private val TableExistsState = "X0Y32"
   private val DuplicateKeyState = "23505"
+
+  locally { initSchema() }
 
   private def initSchema(): Unit = withConn { c =>
     val ddl = Seq(

@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.catalog.Snaplog
+import graft.catalog.{JdbcCatalog, Snaplog}
 import graft.interop.IcebergExport
 import graft.pipeline.{Ingest, Upsert}
 import graft.table.LakehouseTable
@@ -429,6 +429,50 @@ object Lakehouse {
         FROM orders
         WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 200000.0)
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // SQL (Derby-backed) catalog deployment: the reference's headline
+    // variant stores catalog metadata in a relational DB
+    // (main-polars-psql.py:149-154). Here the SAME lifecycle — create,
+    // partitioned ingest, upsert, time travel — runs against
+    // JdbcCatalog (snapshot rows behind a PK-CAS instead of a log
+    // file), then reads back through the DSv2 SQL catalog pointed at
+    // the JDBC store via its url option. One query exercises the whole
+    // alternate deployment end-to-end under the DuckDB oracle.
+    QueryDef("lake_jdbc_catalog",
+      (s, d) => {
+        val whDir = wh("lake_jdbc_catalog", d)
+        val url = s"jdbc:derby:$whDir/cat;create=true"
+        val cat = new JdbcCatalog(url, s"$whDir/wh")
+        val orders = t(s, d, "orders")
+        val rep = Ingest.ingestDf(cat, "lake", "orders_jdbc", orders,
+          partitionColumns = Seq("o_orderstatus"))
+        val patch = orders.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+        Upsert.upsertTable(rep.table, patch, Seq("o_orderkey"))
+        s.conf.set("spark.sql.catalog.gjdbc",
+          classOf[graft.sql.GraftSqlCatalog].getName)
+        s.conf.set("spark.sql.catalog.gjdbc.warehouse", s"$whDir/wh")
+        s.conf.set("spark.sql.catalog.gjdbc.url", url)
+        s.sql("""
+          SELECT cur.o_orderstatus, cur.n, cur.total, v1.total_v1
+          FROM (SELECT o_orderstatus, COUNT(*) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+                FROM gjdbc.lake.orders_jdbc GROUP BY o_orderstatus) cur
+          JOIN (SELECT o_orderstatus,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_v1
+                FROM gjdbc.lake.orders_jdbc VERSION AS OF 1
+                GROUP BY o_orderstatus) v1 USING (o_orderstatus)
+          ORDER BY o_orderstatus""")
+      },
+      Some("""WITH up AS (SELECT o_orderkey, o_orderstatus,
+            CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+                 ELSE o_totalprice END AS price
+          FROM orders)
+        SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          (SELECT CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           FROM orders o WHERE o.o_orderstatus = up.o_orderstatus) AS total_v1
+        FROM up GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     // Incremental aggregate maintenance (the materialized summary-table
     // pattern): a per-status rollup is maintained from CDC deltas —

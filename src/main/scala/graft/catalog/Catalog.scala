@@ -112,7 +112,7 @@ trait Catalog {
     * re-pointing an existing tag is an error, matching Iceberg ref
     * semantics. The target snapshot must exist. */
   final def setRef(ns: String, t: String, name: String, snapshotId: Long,
-      refType: String = "tag"): SnapshotRef = {
+      refType: String = "tag"): SnapshotRef = withTableMutex(ns, t) {
     require(refType == "tag" || refType == "branch",
       s"refType must be tag|branch, got '$refType'")
     require(snapshots(ns, t).exists(_.snapshotId == snapshotId),
@@ -127,16 +127,30 @@ trait Catalog {
     ref
   }
 
-  final def dropRef(ns: String, t: String, name: String): Unit = {
+  final def dropRef(ns: String, t: String, name: String): Unit = withTableMutex(ns, t) {
     val cur = refs(ns, t)
     if (cur.contains(name)) writeRefs(ns, t, cur - name)
   }
 
   // ---- maintenance ---------------------------------------------------------
 
+  /** Serialize a read-validate-write maintenance operation (history
+    * expiration, ref writes) against concurrent maintenance AND — where
+    * the implementation's commit path takes the same mutex (Snaplog's
+    * per-table lock file) — against concurrent commits. JdbcCatalog's
+    * commits are lock-free CAS inserts instead; its [[replaceLog]] is
+    * suffix-preserving so a racing commit's row survives expiration.
+    * [[vacuum]] is NOT covered: it races data-file writes that happen
+    * before their commit, so it requires exclusive table access by
+    * contract (documented there). */
+  protected def withTableMutex[A](ns: String, t: String)(body: => A): A = body
+
   /** Replace the persisted snapshot log with exactly `kept`
     * (implementation storage; called by [[expireSnapshots]] after
-    * validation). */
+    * validation). `kept` is always a contiguous SUFFIX of the log at
+    * validation time (possibly with the head row's summary amended);
+    * implementations may preserve rows newer than `kept.last` appended
+    * by a concurrent committer. */
   protected def replaceLog(ns: String, t: String, kept: Seq[Snapshot]): Unit
 
   /** Expire history: keep only the last `keepLast` snapshots. Refused
@@ -150,7 +164,7 @@ trait Catalog {
     * across the DROPPED snapshots merges into the oldest kept
     * snapshot's summary, so expiration never re-opens the door to a
     * replayed micro-batch. Returns the kept snapshots. */
-  final def expireSnapshots(ns: String, t: String, keepLast: Int): Seq[Snapshot] = {
+  final def expireSnapshots(ns: String, t: String, keepLast: Int): Seq[Snapshot] = withTableMutex(ns, t) {
     require(keepLast >= 1, "must keep at least one snapshot")
     val all = snapshots(ns, t)
     if (all.size <= keepLast) return all
@@ -202,7 +216,12 @@ trait Catalog {
   /** Delete data files under the table's managed data dir that no
     * remaining snapshot references (orphans left by expiration or
     * overwrites). Never touches files outside the managed dir (e.g.
-    * add_files registrations). Returns deleted paths. */
+    * add_files registrations). Returns deleted paths.
+    *
+    * Requires EXCLUSIVE table access: a concurrent writer stages data
+    * files BEFORE its commit references them, and no metadata lock can
+    * distinguish staged-not-yet-committed files from orphans. Run it
+    * from the maintenance window, like every table format does. */
   final def vacuum(ns: String, t: String): Seq[String] = {
     val referenced = snapshots(ns, t).flatMap(_.files).map(_.path).toSet
     val dd = dataDir(ns, t)

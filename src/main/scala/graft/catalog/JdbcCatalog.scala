@@ -48,9 +48,16 @@ final class JdbcCatalog(val jdbcUrl: String, val warehouse: String) extends Cata
         Paths.get(warehouse, "derby.log").toAbsolutePath.toString)
   }
 
-  private def withConn[A](f: Connection => A): A = {
-    val c = DriverManager.getConnection(jdbcUrl)
-    try f(c) finally c.close()
+  // One shared connection per catalog instance, guarded by a monitor:
+  // catalog ops are brief driver-side metadata calls, and opening a
+  // fresh connection per call is a connection storm against a real
+  // remote store (a production deployment would hold a small pool —
+  // same shape, N > 1). Reopened transparently if it ever closes.
+  private var shared: Connection = _
+  private def withConn[A](f: Connection => A): A = synchronized {
+    if (shared == null || shared.isClosed)
+      shared = DriverManager.getConnection(jdbcUrl)
+    f(shared)
   }
 
   // NOTE: these constants are referenced from initSchema, which runs in
@@ -167,6 +174,7 @@ final class JdbcCatalog(val jdbcUrl: String, val warehouse: String) extends Cata
         }
         c.commit()
       } catch { case e: Throwable => c.rollback(); throw e }
+      finally c.setAutoCommit(true) // connection is shared — leave it clean
     }
     val dir = Paths.get(warehouse, ns, t)
     if (Files.exists(dir)) {
@@ -209,6 +217,20 @@ final class JdbcCatalog(val jdbcUrl: String, val warehouse: String) extends Cata
       val rs = ps.executeQuery()
       Iterator.continually(rs).takeWhile(_.next())
         .map(r => jread[Snapshot](r.getString(1))).toSeq
+    } finally ps.close()
+  }
+
+  /** O(1): MAX(snapshot_id) + single-row fetch — the per-commit lookup
+    * must not replay a table's whole history (O(n²) I/O over the
+    * commit sequence against a remote store). */
+  override def currentSnapshot(ns: String, t: String): Option[Snapshot] = withConn { c =>
+    val ps = c.prepareStatement(
+      "SELECT body FROM graft_snapshots WHERE ns = ? AND tbl = ? AND snapshot_id = " +
+        "(SELECT MAX(snapshot_id) FROM graft_snapshots WHERE ns = ? AND tbl = ?)")
+    try {
+      ps.setString(1, ns); ps.setString(2, t); ps.setString(3, ns); ps.setString(4, t)
+      val rs = ps.executeQuery()
+      if (rs.next()) Some(jread[Snapshot](rs.getString(1))) else None
     } finally ps.close()
   }
 
@@ -269,23 +291,59 @@ final class JdbcCatalog(val jdbcUrl: String, val warehouse: String) extends Cata
       } finally ins.close()
       c.commit()
     } catch { case e: Throwable => c.rollback(); throw e }
+    finally c.setAutoCommit(true)
   }
 
+  /** Suffix-preserving log replacement: `kept` is a validated suffix of
+    * the log, so expiration only needs to DELETE rows below the suffix
+    * and UPDATE the (possibly summary-amended) head row. Rows a racing
+    * committer CAS-inserted above `kept.last` are untouched — a
+    * committed snapshot can never be lost to a concurrent expiration,
+    * with no lock shared with the commit path. */
   override protected def replaceLog(ns: String, t: String, kept: Seq[Snapshot]): Unit =
     withConn { c =>
       c.setAutoCommit(false)
       try {
-        val del = c.prepareStatement("DELETE FROM graft_snapshots WHERE ns = ? AND tbl = ?")
-        try { del.setString(1, ns); del.setString(2, t); del.executeUpdate(); () }
-        finally del.close()
-        val ins = c.prepareStatement(
-          "INSERT INTO graft_snapshots(ns, tbl, snapshot_id, body) VALUES (?, ?, ?, ?)")
-        try kept.foreach { s =>
-          ins.setString(1, ns); ins.setString(2, t)
-          ins.setLong(3, s.snapshotId); ins.setString(4, jwrite(s))
-          ins.executeUpdate()
-        } finally ins.close()
+        val del = c.prepareStatement(
+          "DELETE FROM graft_snapshots WHERE ns = ? AND tbl = ? AND snapshot_id < ?")
+        try {
+          del.setString(1, ns); del.setString(2, t)
+          del.setLong(3, kept.head.snapshotId); del.executeUpdate(); ()
+        } finally del.close()
+        val upd = c.prepareStatement(
+          "UPDATE graft_snapshots SET body = ? WHERE ns = ? AND tbl = ? AND snapshot_id = ?")
+        try {
+          upd.setString(1, jwrite(kept.head)); upd.setString(2, ns)
+          upd.setString(3, t); upd.setLong(4, kept.head.snapshotId)
+          upd.executeUpdate(); ()
+        } finally upd.close()
         c.commit()
       } catch { case e: Throwable => c.rollback(); throw e }
+      finally c.setAutoCommit(true)
     }
+
+  /** Maintenance mutex: an update-locked read of the table's catalog
+    * row on a DEDICATED connection, held for the duration of `body`
+    * (whose own statements run on the shared connection and touch only
+    * snapshot/ref rows — disjoint locks, no deadlock). Serializes
+    * concurrent maintenance ops; racing COMMITS are protected
+    * independently by the snapshot-PK CAS + suffix-preserving
+    * [[replaceLog]]. */
+  override protected def withTableMutex[A](ns: String, t: String)(body: => A): A = {
+    val c = DriverManager.getConnection(jdbcUrl)
+    try {
+      c.setAutoCommit(false)
+      val ps = c.prepareStatement(
+        "SELECT meta FROM graft_tables WHERE ns = ? AND tbl = ? FOR UPDATE")
+      try { ps.setString(1, ns); ps.setString(2, t); ps.executeQuery().next(); () }
+      finally ps.close()
+      val r = body
+      c.commit()
+      r
+    } catch {
+      case e: Throwable =>
+        try c.rollback() catch { case _: SQLException => () }
+        throw e
+    } finally c.close()
+  }
 }

@@ -189,6 +189,16 @@ final class Snaplog(val warehouse: String) extends Catalog {
       .filter(_.nonEmpty).map(jread[Snapshot](_))
   }
 
+  /** O(1) parse: ids are dense-monotonic and the log append-only, so
+    * the current snapshot is the LAST line — the per-commit lookup
+    * must not deserialize the whole history. */
+  override def currentSnapshot(ns: String, t: String): Option[Snapshot] = {
+    val f = logFile(ns, t)
+    if (!Files.exists(f)) None
+    else Files.readAllLines(f, StandardCharsets.UTF_8).asScala
+      .filter(_.nonEmpty).lastOption.map(jread[Snapshot](_))
+  }
+
   override def commit(
       ns: String, t: String, operation: String,
       files: Seq[DataFileEntry],
@@ -202,34 +212,77 @@ final class Snaplog(val warehouse: String) extends Catalog {
   }
 
   /** Serialize commits to one table. The lock file is created
-    * atomically; holders are expected to release within milliseconds
-    * (the critical section is one log-line append — data files write
-    * OUTSIDE the lock). A lock older than [[Snaplog.LockStaleMs]] is
-    * presumed abandoned (crashed holder) and broken; acquisition gives
-    * up after [[Snaplog.LockTimeoutMs]] so a wedged filesystem fails
-    * loudly instead of hanging the driver. */
+    * atomically and carries the holder's NONCE; holders are expected to
+    * release within milliseconds (the critical section is one log-line
+    * append — data files write OUTSIDE the lock). A lock older than
+    * [[Snaplog.LockStaleMs]] is presumed abandoned (crashed holder) and
+    * broken ATOMICALLY: the breaker renames it to a unique name — only
+    * the renamer that succeeded deletes it, and the age is re-verified
+    * on the renamed file so a lock that was released-and-recreated
+    * between the check and the rename is moved back, not destroyed.
+    * Release deletes the lock only if it still carries OUR nonce, so a
+    * holder whose lock was broken (paused >stale-threshold) cannot
+    * delete a successor's live lock. Acquisition gives up after
+    * [[Snaplog.LockTimeoutMs]] so a wedged filesystem fails loudly
+    * instead of hanging the driver. */
   private def withTableLock[A](ns: String, t: String)(body: => A): A = {
     val lock = tableDir(ns, t).resolve("commit.lock")
+    val nonce = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + Snaplog.LockTimeoutMs
     var acquired = false
     while (!acquired) {
       try {
-        Files.createFile(lock)
+        Files.write(lock, nonce.getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
         acquired = true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           val age = try {
             System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis
           } catch { case _: java.io.IOException => 0L } // holder just released
-          if (age > Snaplog.LockStaleMs) Files.deleteIfExists(lock)
+          if (age > Snaplog.LockStaleMs) breakStaleLock(lock, nonce)
           else if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(
               s"could not acquire commit lock for $ns.$t within ${Snaplog.LockTimeoutMs} ms ($lock)")
           else Thread.sleep(2)
       }
     }
-    try body finally Files.deleteIfExists(lock)
+    try body finally {
+      try {
+        val mine = try {
+          new String(Files.readAllBytes(lock), StandardCharsets.UTF_8) == nonce
+        } catch { case _: java.io.IOException => false }
+        if (mine) Files.deleteIfExists(lock)
+      } catch { case _: java.io.IOException => () }
+    }
   }
+
+  /** Atomic stale-lock break: claim via rename (only one breaker wins;
+    * a vanished lock means the holder released — nothing to do), then
+    * re-verify staleness on the CLAIMED file. If the claimed lock turns
+    * out fresh (released and re-created in the race window), hand it
+    * back by renaming it into place; if that spot was retaken, the
+    * displaced writer's nonce-checked release keeps it from deleting
+    * anyone else's lock. */
+  private def breakStaleLock(lock: Path, nonce: String): Unit = {
+    val claimed = lock.resolveSibling(s"commit.lock.break-$nonce")
+    try {
+      Files.move(lock, claimed) // atomic; throws if lock vanished or was already claimed
+      val age = System.currentTimeMillis() -
+        Files.getLastModifiedTime(claimed).toMillis
+      if (age > Snaplog.LockStaleMs) Files.deleteIfExists(claimed)
+      else {
+        try Files.move(claimed, lock)
+        catch { case _: java.io.IOException => Files.deleteIfExists(claimed); () }
+      }
+    } catch { case _: java.io.IOException => () } // lost the break race
+  }
+
+  /** Maintenance ops (expire, ref writes) serialize under the SAME
+    * per-table lock commits take, so a read-validate-write expiration
+    * cannot clobber a log line a racing commit appended in between. */
+  override protected def withTableMutex[A](ns: String, t: String)(body: => A): A =
+    withTableLock(ns, t)(body)
 
   // ---- refs + log storage -------------------------------------------------
 

@@ -441,7 +441,13 @@ object Lakehouse {
     QueryDef("lake_jdbc_catalog",
       (s, d) => {
         val whDir = wh("lake_jdbc_catalog", d)
-        val url = s"jdbc:derby:$whDir/cat;create=true"
+        // Unique per-invocation Derby path + catalog name: Spark caches
+        // DSv2 catalog instances per session+name (initialize never
+        // re-runs on conf change) and Derby caches booted databases per
+        // path — a re-run in the same session after the scratch wipe
+        // would otherwise alias BOTH onto stale state.
+        val runId = java.util.UUID.randomUUID().toString.take(8)
+        val url = s"jdbc:derby:$whDir/cat-$runId;create=true"
         val cat = new JdbcCatalog(url, s"$whDir/wh")
         val orders = t(s, d, "orders")
         val rep = Ingest.ingestDf(cat, "lake", "orders_jdbc", orders,
@@ -449,18 +455,19 @@ object Lakehouse {
         val patch = orders.filter(col("o_orderkey") % 10 === 0)
           .withColumn("o_totalprice", col("o_totalprice") * 2)
         Upsert.upsertTable(rep.table, patch, Seq("o_orderkey"))
-        s.conf.set("spark.sql.catalog.gjdbc",
+        val cn = s"gjdbc_$runId"
+        s.conf.set(s"spark.sql.catalog.$cn",
           classOf[graft.sql.GraftSqlCatalog].getName)
-        s.conf.set("spark.sql.catalog.gjdbc.warehouse", s"$whDir/wh")
-        s.conf.set("spark.sql.catalog.gjdbc.url", url)
-        s.sql("""
+        s.conf.set(s"spark.sql.catalog.$cn.warehouse", s"$whDir/wh")
+        s.conf.set(s"spark.sql.catalog.$cn.url", url)
+        s.sql(s"""
           SELECT cur.o_orderstatus, cur.n, cur.total, v1.total_v1
           FROM (SELECT o_orderstatus, COUNT(*) AS n,
                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-                FROM gjdbc.lake.orders_jdbc GROUP BY o_orderstatus) cur
+                FROM $cn.lake.orders_jdbc GROUP BY o_orderstatus) cur
           JOIN (SELECT o_orderstatus,
                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_v1
-                FROM gjdbc.lake.orders_jdbc VERSION AS OF 1
+                FROM $cn.lake.orders_jdbc VERSION AS OF 1
                 GROUP BY o_orderstatus) v1 USING (o_orderstatus)
           ORDER BY o_orderstatus""")
       },
@@ -529,16 +536,20 @@ object Lakehouse {
           orders.schema)
         tbl.append(orders.filter(col("o_orderkey") % 2 === 0)) // snapshot 1
         tbl.append(orders.filter(col("o_orderkey") % 2 === 1)) // snapshot 2
-        s.conf.set("spark.sql.catalog.gsql",
+        // catalog name derived from the warehouse dir: Spark caches the
+        // catalog instance per session+name, so a fixed name re-used
+        // with a different scratch dir would read the stale warehouse
+        val cn = "gsql_" + java.lang.Long.toHexString(whDir.hashCode.toLong & 0xffffffffL)
+        s.conf.set(s"spark.sql.catalog.$cn",
           classOf[graft.sql.GraftSqlCatalog].getName)
-        s.conf.set("spark.sql.catalog.gsql.warehouse", whDir)
-        s.sql("""
+        s.conf.set(s"spark.sql.catalog.$cn.warehouse", whDir)
+        s.sql(s"""
           SELECT cur.o_orderstatus, cur.n, cur.total, v1.n_v1
           FROM (SELECT o_orderstatus, COUNT(*) AS n,
                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-                FROM gsql.lake.orders_sqlcat GROUP BY o_orderstatus) cur
+                FROM $cn.lake.orders_sqlcat GROUP BY o_orderstatus) cur
           JOIN (SELECT o_orderstatus, COUNT(*) AS n_v1
-                FROM gsql.lake.orders_sqlcat VERSION AS OF 1
+                FROM $cn.lake.orders_sqlcat VERSION AS OF 1
                 GROUP BY o_orderstatus) v1 USING (o_orderstatus)
           ORDER BY o_orderstatus""")
       },

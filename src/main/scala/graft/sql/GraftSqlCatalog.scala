@@ -113,6 +113,11 @@ private[sql] final class GraftScanBuilder(
       case _ => false
     }
 
+  /** Column a MIN/MAX can answer from metadata: single-name reference,
+    * integral-typed (statType gate — applies even when the pruned file
+    * set is EMPTY, so a float/string MIN under an all-pruning filter
+    * declines instead of emitting a mistyped NULL field), with bounds
+    * recorded in every answering file (vacuous when none). */
   private def boundedColIn(e: org.apache.spark.sql.connector.expressions.Expression,
       answering: Seq[DataFileEntry]): Option[String] =
     e match {
@@ -135,8 +140,8 @@ private[sql] final class GraftScanBuilder(
         val answering = aggFiles
         agg.aggregateExpressions.forall {
           case _: CountStar => true
-          case m: Min => answering.isEmpty || boundedColIn(m.column, answering).isDefined
-          case m: Max => answering.isEmpty || boundedColIn(m.column, answering).isDefined
+          case m: Min => boundedColIn(m.column, answering).isDefined
+          case m: Max => boundedColIn(m.column, answering).isDefined
           case _ => false
         }
       }
@@ -161,17 +166,19 @@ private[sql] final class GraftScanBuilder(
         (answering.map(_.rowCount).sum: Any,
           StructField(s"count_$i", LongType, nullable = false))
       case (m: Min, i) =>
-        val c = boundedColIn(m.column, answering).getOrElse("")
+        val c = boundedColIn(m.column, answering).getOrElse(
+          throw new IllegalStateException(s"unanswerable MIN ${m.column}"))
         val v = if (answering.isEmpty) null
           else answering.flatMap(_.columnStats.flatMap(_.get(c)))
             .map(b => parse(c, b.min)).reduce((x, y) => if (lt(y, x)) y else x)
-        (v: Any, StructField(s"min_$i", statType(c).getOrElse(NullType), nullable = true))
+        (v: Any, StructField(s"min_$i", statType(c).get, nullable = true))
       case (m: Max, i) =>
-        val c = boundedColIn(m.column, answering).getOrElse("")
+        val c = boundedColIn(m.column, answering).getOrElse(
+          throw new IllegalStateException(s"unanswerable MAX ${m.column}"))
         val v = if (answering.isEmpty) null
           else answering.flatMap(_.columnStats.flatMap(_.get(c)))
             .map(b => parse(c, b.max)).reduce((x, y) => if (lt(x, y)) y else x)
-        (v: Any, StructField(s"max_$i", statType(c).getOrElse(NullType), nullable = true))
+        (v: Any, StructField(s"max_$i", statType(c).get, nullable = true))
       case (other, _) =>
         throw new IllegalStateException(s"unanswerable aggregate $other")
     }.unzip
@@ -222,22 +229,60 @@ private[sql] object FilePrune {
   import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualTo => CEq, Expression, GreaterThan => CGt, GreaterThanOrEqual => CGte, In => CIn, IsNotNull => CIsNotNull, LessThan => CLt, LessThanOrEqual => CLte, Literal, Or => COr}
 
   /** Is `e` a PARTITION-EXACT predicate — one whose per-file may-match
-    * answer is exact, not conservative? True only for equality/IN/
-    * IsNotNull trees over identity-partition columns whose value every
-    * file records: identity partitioning means a file holds exactly
-    * the rows of its recorded value, so pruning by it selects exactly
-    * the matching rows. This is what licenses answering aggregates
-    * from the pruned file set. */
+    * answer is exact, not conservative? True only for predicate trees
+    * over identity-partition columns whose value every file records:
+    * identity partitioning means a file holds exactly the rows of its
+    * recorded value, so pruning by it selects exactly the matching
+    * rows. This is what licenses answering aggregates from the pruned
+    * file set.
+    *
+    * Literal-type gate: only values whose EXTERNAL text form
+    * round-trips exactly through the (unescaped) directory-name
+    * encoding qualify — strings and integrals. Dates / timestamps /
+    * floats have catalyst-internal forms (days, micros, IEEE bits)
+    * that do not textually match the stored segment, so predicates on
+    * them are never consumed (they still prune conservatively through
+    * column stats, where a miss only costs an extra file read).
+    * Range predicates (`>`, `BETWEEN`, …) qualify only for INTEGRAL
+    * partition values, where the numeric in-range test is exact. */
   def partitionExact(e: Expression, partCols: Set[String],
       files: Seq[DataFileEntry]): Boolean = {
     def exactCol(c: String): Boolean =
       partCols.contains(c) && files.forall(_.partitionValues.contains(c))
+    def exactLit(l: Literal): Boolean = l.dataType match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    def integralLit(l: Literal): Boolean = l.dataType match {
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    def rangeExact(a: AttributeReference, l: Literal): Boolean =
+      exactCol(a.name) && integralLit(l) &&
+        files.forall(f => f.partitionValues.get(a.name)
+          .forall(s => s == Snaplog.HiveDefaultPartition ||
+            scala.util.Try(s.toLong).isSuccess))
     e match {
-      case CEq(a: AttributeReference, _: Literal) => exactCol(a.name)
-      case CEq(_: Literal, a: AttributeReference) => exactCol(a.name)
+      case CEq(a: AttributeReference, l: Literal) => exactCol(a.name) && exactLit(l)
+      case CEq(l: Literal, a: AttributeReference) => exactCol(a.name) && exactLit(l)
       case CIn(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-        exactCol(a.name)
+        exactCol(a.name) && vs.forall(v => exactLit(v.asInstanceOf[Literal]))
       case CIsNotNull(a: AttributeReference) => exactCol(a.name)
+      case CGt(a: AttributeReference, l: Literal) => rangeExact(a, l)
+      case CGt(l: Literal, a: AttributeReference) => rangeExact(a, l)
+      case CGte(a: AttributeReference, l: Literal) => rangeExact(a, l)
+      case CGte(l: Literal, a: AttributeReference) => rangeExact(a, l)
+      case CLt(a: AttributeReference, l: Literal) => rangeExact(a, l)
+      case CLt(l: Literal, a: AttributeReference) => rangeExact(a, l)
+      case CLte(a: AttributeReference, l: Literal) => rangeExact(a, l)
+      case CLte(l: Literal, a: AttributeReference) => rangeExact(a, l)
       case CAnd(l, r) =>
         partitionExact(l, partCols, files) && partitionExact(r, partCols, files)
       case COr(l, r) =>
@@ -258,23 +303,35 @@ private[sql] object FilePrune {
     case CEq(l: Literal, a: AttributeReference) => eqAllows(f, a.name, litVal(l))
     case CIn(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
       vs.exists(v => eqAllows(f, a.name, litVal(v.asInstanceOf[Literal])))
+    // Range predicates consult the recorded identity-partition value
+    // FIRST (exact, strictness-aware — required for partition-exact
+    // range aggregates), then fall back to conservative [min,max]
+    // bounds.
     case CGt(a: AttributeReference, l: Literal) =>
-      boundsAllow(f, a.name, lo = Some(litVal(l)), hi = None)
+      partitionCmp(f, a.name, litVal(l))(_ > _)
+        .getOrElse(boundsAllow(f, a.name, lo = Some(litVal(l)), hi = None))
     case CGte(a: AttributeReference, l: Literal) =>
-      boundsAllow(f, a.name, lo = Some(litVal(l)), hi = None)
+      partitionCmp(f, a.name, litVal(l))(_ >= _)
+        .getOrElse(boundsAllow(f, a.name, lo = Some(litVal(l)), hi = None))
     case CLt(a: AttributeReference, l: Literal) =>
-      boundsAllow(f, a.name, lo = None, hi = Some(litVal(l)))
+      partitionCmp(f, a.name, litVal(l))(_ < _)
+        .getOrElse(boundsAllow(f, a.name, lo = None, hi = Some(litVal(l))))
     case CLte(a: AttributeReference, l: Literal) =>
-      boundsAllow(f, a.name, lo = None, hi = Some(litVal(l)))
+      partitionCmp(f, a.name, litVal(l))(_ <= _)
+        .getOrElse(boundsAllow(f, a.name, lo = None, hi = Some(litVal(l))))
     // mirrored literal-first comparisons flip the bound
     case CGt(l: Literal, a: AttributeReference) =>
-      boundsAllow(f, a.name, lo = None, hi = Some(litVal(l)))
+      partitionCmp(f, a.name, litVal(l))(_ < _)
+        .getOrElse(boundsAllow(f, a.name, lo = None, hi = Some(litVal(l))))
     case CGte(l: Literal, a: AttributeReference) =>
-      boundsAllow(f, a.name, lo = None, hi = Some(litVal(l)))
+      partitionCmp(f, a.name, litVal(l))(_ <= _)
+        .getOrElse(boundsAllow(f, a.name, lo = None, hi = Some(litVal(l))))
     case CLt(l: Literal, a: AttributeReference) =>
-      boundsAllow(f, a.name, lo = Some(litVal(l)), hi = None)
+      partitionCmp(f, a.name, litVal(l))(_ > _)
+        .getOrElse(boundsAllow(f, a.name, lo = Some(litVal(l)), hi = None))
     case CLte(l: Literal, a: AttributeReference) =>
-      boundsAllow(f, a.name, lo = Some(litVal(l)), hi = None)
+      partitionCmp(f, a.name, litVal(l))(_ >= _)
+        .getOrElse(boundsAllow(f, a.name, lo = Some(litVal(l)), hi = None))
     case CAnd(l, r) => mayMatch(f, l) && mayMatch(f, r)
     case COr(l, r) => mayMatch(f, l) || mayMatch(f, r)
     // a file recorded under the null-partition sentinel holds ONLY
@@ -288,16 +345,48 @@ private[sql] object FilePrune {
     partitionAllows(f, c, v) && boundsAllow(f, c, Some(v), Some(v))
 
   /** Identity-partition equality: prune only when the file RECORDS a
-    * value for the column and it differs textually from the literal
-    * (partition values are written from the same literals, so the
-    * textual comparison is exact for the types we partition on). A
-    * null-partition file can never satisfy an equality. */
+    * value for the column, the literal's external text form round-trips
+    * the stored (unescaped) segment exactly — strings and integrals —
+    * and the two differ. Date/timestamp/float literals arrive as
+    * catalyst-INTERNAL values (days, micros, IEEE) whose text never
+    * matches the stored external form, so they must not prune here
+    * (stats still prune them conservatively). A null-partition file can
+    * never satisfy an equality. */
   private def partitionAllows(f: DataFileEntry, c: String, v: Any): Boolean =
     f.partitionValues.get(c) match {
       case Some(Snaplog.HiveDefaultPartition) => false
-      case Some(stored) => v != null && stored == String.valueOf(v)
+      case Some(stored) => v match {
+        case null => false
+        case _: String | _: Int | _: Long | _: Short | _: Byte =>
+          stored == String.valueOf(v)
+        case _ => true
+      }
       case None => true
     }
+
+  /** Exact strictness-aware range test against a recorded identity-
+    * partition value, when both sides are integral. `None` = cannot
+    * decide exactly here (no recorded value, non-integral operand,
+    * unparseable segment) — the caller falls back to conservative
+    * bounds. A null-partition file fails every range comparison. */
+  private def partitionCmp(f: DataFileEntry, c: String, v: Any)(
+      cmp: (Long, Long) => Boolean): Option[Boolean] =
+    f.partitionValues.get(c) match {
+      case Some(Snaplog.HiveDefaultPartition) => Some(false)
+      case Some(stored) => (scala.util.Try(stored.toLong).toOption, asLong(v)) match {
+        case (Some(s), Some(l)) => Some(cmp(s, l))
+        case _ => None
+      }
+      case None => None
+    }
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
 
   /** Column [min,max] bounds vs a requested [lo,hi]. Numeric literals
     * compare as doubles, strings lexicographically — exactly the

@@ -249,6 +249,27 @@ final class LakehouseTable(
     val parts = partitionColumns
     require(parts.nonEmpty,
       s"dynamic partition overwrite needs a partitioned table; $namespace.$name has no partition columns")
+    // Touched-partition attribution compares the df value's toString
+    // against the stored (unescaped) directory value — exact only for
+    // types whose external text round-trips the dir encoding. Refuse
+    // the rest (e.g. timestamps render '…12:34:56.0' vs dir
+    // '…12:34:56') rather than silently carrying files of a touched
+    // partition and duplicating its rows.
+    locally {
+      import org.apache.spark.sql.types.{BooleanType, ByteType, DateType, IntegerType, LongType, ShortType, StringType}
+      val sch = schema
+      val bad = parts.filterNot { c =>
+        sch.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType).exists {
+          case StringType | IntegerType | LongType | ShortType | ByteType |
+               DateType | BooleanType => true
+          case _ => false
+        }
+      }
+      require(bad.isEmpty,
+        s"dynamic partition overwrite supports string/integral/date/boolean " +
+          s"partition columns; (${bad.mkString(", ")}) cannot be attributed " +
+          "exactly — overwrite() the table instead")
+    }
     // Null partition values normalize to the same sentinel the write
     // path records (Spark's __HIVE_DEFAULT_PARTITION__ dir name), so a
     // null-partition rewrite replaces the old null-partition files
@@ -484,12 +505,19 @@ final class LakehouseTable(
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       .map(_.toString).toSeq.sorted
 
-  /** Parse `__p_<col>=<val>` segments back to partition values. */
+  /** Parse `__p_<col>=<val>` segments back to partition values. Spark
+    * Hive-ESCAPES special characters in directory names (':' → '%3A',
+    * …); the log stores the UNESCAPED external value so metadata
+    * pruning and dynamic partition overwrite compare against the same
+    * text a query literal carries. The null sentinel contains no
+    * escapes and passes through unchanged. */
   private def partitionValuesFromPath(path: String, parts: Seq[String]): Map[String, String] = {
     val segs = path.split('/')
     parts.flatMap { c =>
       val prefix = s"${layoutCol(c)}="
-      segs.find(_.startsWith(prefix)).map(s => c -> s.stripPrefix(prefix))
+      segs.find(_.startsWith(prefix)).map(s => c ->
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(s.stripPrefix(prefix)))
     }.toMap
   }
 

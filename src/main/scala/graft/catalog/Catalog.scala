@@ -80,16 +80,25 @@ trait Catalog {
     * travel = this file list fed to a plain parquet scan. Position-
     * delete vectors are excluded — see [[liveDeleteFiles]]. */
   final def liveFiles(ns: String, t: String, asOf: Option[Long] = None): Seq[DataFileEntry] =
-    liveWindow(ns, t, asOf).flatMap(_.files).filterNot(_.deleteFile.contains(true))
+    windowSnapshots(ns, t, asOf).flatMap(_.files).filterNot(_.deleteFile.contains(true))
 
   /** Position-delete vectors live as of `asOf`: MOR delete commits in
     * the current replay window. A reset commit (overwrite / replace /
-    * COW delete / compaction) starts a fresh window, so materialized
-    * rewrites naturally retire their delete vectors. */
+    * COW delete / compaction / checkpoint) starts a fresh window, so
+    * materialized rewrites naturally retire their delete vectors (a
+    * checkpoint CARRIES outstanding vectors forward as entries of its
+    * own, so it retires nothing semantically). */
   final def liveDeleteFiles(ns: String, t: String, asOf: Option[Long] = None): Seq[DataFileEntry] =
-    liveWindow(ns, t, asOf).flatMap(_.files).filter(_.deleteFile.contains(true))
+    windowSnapshots(ns, t, asOf).flatMap(_.files).filter(_.deleteFile.contains(true))
 
-  private def liveWindow(ns: String, t: String, asOf: Option[Long]): Seq[Snapshot] = {
+  /** The replay window: snapshots from the latest reset commit
+    * at-or-before the target (checkpoints count — that is their whole
+    * point). Default derives it from the full history; implementations
+    * override the `asOf = None` hot path to read the log BACKWARDS and
+    * deserialize only the window, so per-scan/per-commit planning cost
+    * is O(window), bounded by [[checkpointInterval]], not O(history).
+    * `protected[graft]` so specs can assert the bound. */
+  protected[graft] def windowSnapshots(ns: String, t: String, asOf: Option[Long]): Seq[Snapshot] = {
     val all = snapshots(ns, t)
     val upto = asOf match {
       case Some(id) =>
@@ -99,6 +108,34 @@ trait Catalog {
     }
     val fromIdx = upto.lastIndexWhere(s => Snaplog.ResetOps(s.operation))
     if (fromIdx < 0) upto else upto.drop(fromIdx)
+  }
+
+  /** Log-bounding checkpoints: once the replay window since the last
+    * reset commit reaches this many snapshots, the next commit folds
+    * the live file set (data + delete vectors) into an automatic
+    * `checkpoint` snapshot, so scan/commit planning replays O(interval)
+    * log entries no matter how many appends a table accumulates
+    * (10⁴ small streaming appends must not mean 10⁴ JSON parses per
+    * plan). ≤ 0 disables. */
+  def checkpointInterval: Int = 100
+
+  /** Called by implementations after every successful commit (OUTSIDE
+    * their critical section — the checkpoint is an ordinary commit of
+    * its own). No-op unless `last` extended the window to the
+    * threshold. Losing the conditional commit to a racing writer is
+    * fine: that writer's own commit re-triggers the fold. */
+  protected final def maybeCheckpoint(ns: String, t: String, last: Snapshot): Unit = {
+    if (checkpointInterval <= 0) return
+    if (Snaplog.ResetOps(last.operation)) return
+    val window = windowSnapshots(ns, t, None)
+    if (window.size < checkpointInterval) return
+    val files = window.flatMap(_.files).distinctBy(_.path)
+    try {
+      commit(ns, t, Snaplog.OpCheckpoint, files,
+        Map("checkpoint" -> "auto", "window" -> window.size.toString),
+        expectedSnapshotId = Some(last.snapshotId))
+      ()
+    } catch { case _: CommitConflictException => () }
   }
 
   // ---- refs (tags / branches) ---------------------------------------------

@@ -28,7 +28,8 @@ import org.json4s.jackson.Serialization.{read => jread, write => jwrite}
   * in the Spark distribution (metastore dependency), so no new
   * dependency is introduced.
   */
-final class JdbcCatalog(val jdbcUrl: String, val warehouse: String) extends Catalog {
+final class JdbcCatalog(val jdbcUrl: String, val warehouse: String,
+    override val checkpointInterval: Int = 100) extends Catalog {
   private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
 
   // Derby's JDBC4 driver autoloads via ServiceLoader; the explicit load
@@ -257,10 +258,38 @@ final class JdbcCatalog(val jdbcUrl: String, val warehouse: String) extends Cata
           case e: SQLException if e.getSQLState == DuplicateKeyState => false
         } finally ps.close()
       }
-      if (won) return snap
+      if (won) {
+        maybeCheckpoint(ns, t, snap)
+        return snap
+      }
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** Hot-path replay window (`asOf = None`): stream rows NEWEST-FIRST
+    * and stop at the first reset/checkpoint commit — with automatic
+    * checkpoints the per-plan fetch+parse cost is O(interval) rows, not
+    * O(history). */
+  override protected[graft] def windowSnapshots(
+      ns: String, t: String, asOf: Option[Long]): Seq[Snapshot] =
+    if (asOf.isDefined) super.windowSnapshots(ns, t, asOf)
+    else withConn { c =>
+      val ps = c.prepareStatement(
+        "SELECT body FROM graft_snapshots WHERE ns = ? AND tbl = ? ORDER BY snapshot_id DESC")
+      ps.setFetchSize(64)
+      try {
+        ps.setString(1, ns); ps.setString(2, t)
+        val rs = ps.executeQuery()
+        var collected = List.empty[Snapshot]
+        var done = false
+        while (!done && rs.next()) {
+          val s = jread[Snapshot](rs.getString(1))
+          collected = s :: collected
+          if (Snaplog.ResetOps(s.operation)) done = true
+        }
+        collected
+      } finally ps.close()
+    }
 
   // ---- refs + log storage -------------------------------------------------
 

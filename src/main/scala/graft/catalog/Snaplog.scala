@@ -105,7 +105,8 @@ final class CommitConflictException(msg: String) extends RuntimeException(msg)
   * data-plane design (explicit file lists + stats in the log) is exactly
   * what scales: planning never lists directories.
   */
-final class Snaplog(val warehouse: String) extends Catalog {
+final class Snaplog(val warehouse: String,
+    override val checkpointInterval: Int = 100) extends Catalog {
   private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
 
   private def nsDir(ns: String): Path = Paths.get(warehouse, ns)
@@ -203,13 +204,43 @@ final class Snaplog(val warehouse: String) extends Catalog {
       ns: String, t: String, operation: String,
       files: Seq[DataFileEntry],
       summary: Map[String, String] = Map.empty,
-      expectedSnapshotId: Option[Long] = None): Snapshot = withTableLock(ns, t) {
-    val snap = buildSnapshot(ns, t, currentSnapshot(ns, t), operation,
-      files, summary, expectedSnapshotId)
-    Files.write(logFile(ns, t), (jwrite(snap) + "\n").getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      expectedSnapshotId: Option[Long] = None): Snapshot = {
+    val snap = withTableLock(ns, t) {
+      val s = buildSnapshot(ns, t, currentSnapshot(ns, t), operation,
+        files, summary, expectedSnapshotId)
+      Files.write(logFile(ns, t), (jwrite(s) + "\n").getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      s
+    }
+    maybeCheckpoint(ns, t, snap) // outside the lock: it commits on its own
     snap
   }
+
+  /** Hot-path replay window (`asOf = None`): parse the log BACKWARDS —
+    * line-split the file (no JSON work), then deserialize only from
+    * the end until the first reset/checkpoint commit. With automatic
+    * checkpoints this bounds per-plan JSON parsing to O(interval)
+    * entries regardless of history length. */
+  override protected[graft] def windowSnapshots(
+      ns: String, t: String, asOf: Option[Long]): Seq[Snapshot] =
+    if (asOf.isDefined) super.windowSnapshots(ns, t, asOf)
+    else {
+      val f = logFile(ns, t)
+      if (!Files.exists(f)) Seq.empty
+      else {
+        val lines = Files.readAllLines(f, StandardCharsets.UTF_8).asScala
+          .filter(_.nonEmpty)
+        var collected = List.empty[Snapshot]
+        val it = lines.reverseIterator
+        var done = false
+        while (!done && it.hasNext) {
+          val s = jread[Snapshot](it.next())
+          collected = s :: collected
+          if (Snaplog.ResetOps(s.operation)) done = true
+        }
+        collected
+      }
+    }
 
   /** Serialize commits to one table. The lock file is created
     * atomically and carries the holder's NONCE; holders are expected to
@@ -327,7 +358,12 @@ object Snaplog {
     * deleted positions (Iceberg v2 `merge-on-read` mode). NOT a reset
     * op — it layers on the current live set. */
   val OpMorDelete = "mor_delete"
-  val ResetOps: Set[String] = Set(OpOverwrite, OpReplace, OpDelete)
+  /** Automatic log-bounding fold (see [[Catalog#checkpointInterval]]):
+    * carries the complete live set — data files AND outstanding
+    * delete vectors — so replay can start here. A reset op for replay
+    * purposes, but semantically a no-op on table content. */
+  val OpCheckpoint = "checkpoint"
+  val ResetOps: Set[String] = Set(OpOverwrite, OpReplace, OpDelete, OpCheckpoint)
 
   /** Spark's directory name for a null partition value; partition
     * values in the log use the same sentinel so metadata pruning and

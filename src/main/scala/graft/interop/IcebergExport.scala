@@ -2,7 +2,11 @@ package graft.interop
 
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
 
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -10,7 +14,7 @@ import org.json4s.JsonDSL._
 
 import graft.table.LakehouseTable
 
-/** Read-only Iceberg-v2-style metadata export for a snaplog table — the
+/** Read-only Iceberg-v2 metadata export for a snaplog table — the
   * interop loop the reference demonstrates by pointing DuckDB's
   * `iceberg_scan` at a table's `metadata.json`
   * (`query_iceberg_duckdb.py:21-29`): a third-party engine reads the
@@ -20,18 +24,21 @@ import graft.table.LakehouseTable
   * {{{
   * v<N>.metadata.json            # Iceberg v2 table metadata (JSON, per spec)
   * version-hint.text             # latest metadata version pointer
-  * snap-<id>.manifest-list.json  # manifest list, one entry per manifest
-  * manifest-<id>.json            # manifest: one entry per live data file
+  * snap-<id>.manifest-list.avro  # AVRO manifest list (spec field names + ids)
+  * manifest-<id>.avro            # AVRO manifest: one entry per live data file
   * }}}
   *
-  * Documented deviation: Iceberg serializes manifest lists + manifests
-  * as AVRO; no Iceberg runtime exists in this sandbox, so those two
-  * levels are JSON with the spec's field NAMES (`manifest_path`,
-  * `data_file.file_path`, `record_count`, …). The `metadata.json`
-  * itself follows the v2 JSON layout (format-version, schemas with
-  * field-ids, partition-specs with identity transforms, snapshots with
+  * Manifest lists and manifests are serialized as AVRO with the spec's
+  * field NAMES and FIELD-IDS (`manifest_path`/500, `data_file`/2,
+  * `file_path`/100, `record_count`/103, …), the container-level
+  * key-value metadata Iceberg writers stamp (`format-version`,
+  * `schema`, `partition-spec`, `content`), and per-table identity
+  * partition structs under the spec's `r102` record with field-ids
+  * 1000+i — the same Avro runtime Spark itself ships. `metadata.json`
+  * follows the v2 JSON layout (format-version, schemas with field-ids,
+  * partition-specs with identity transforms, snapshots with
   * manifest-list pointers). Data files are referenced in place —
-  * export is metadata-only, zero data movement, any engine that reads
+  * export is metadata-only, zero data movement; any engine that walks
   * the tree scans the same parquet graft scans.
   */
 object IcebergExport {
@@ -57,6 +64,91 @@ object IcebergExport {
     case other => s"string" // lossy fallback for nested types, documented read-only export
   }
 
+  // ---- avro schemas (spec field names + field-ids) -------------------------
+
+  /** Iceberg v2 `manifest_file` record (the manifest-list entry). */
+  private val ManifestFileSchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"content","type":"int","field-id":517},
+      |{"name":"sequence_number","type":"long","field-id":515},
+      |{"name":"min_sequence_number","type":"long","field-id":516},
+      |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"added_files_count","type":"int","field-id":504},
+      |{"name":"existing_files_count","type":"int","field-id":505},
+      |{"name":"deleted_files_count","type":"int","field-id":506},
+      |{"name":"added_rows_count","type":"long","field-id":512},
+      |{"name":"existing_rows_count","type":"long","field-id":513},
+      |{"name":"deleted_rows_count","type":"long","field-id":514}
+      |]}""".stripMargin)
+
+  /** Avro type of one identity-partition FIELD in the `r102` partition
+    * struct, derived from the source column type. */
+  private def partitionAvroType(dt: DataType): JValue = dt match {
+    case IntegerType | ShortType | ByteType => JString("int")
+    case LongType => JString("long")
+    case DateType => ("type" -> "int") ~ ("logicalType" -> "date")
+    case _ => JString("string")
+  }
+
+  /** Iceberg v2 `manifest_entry` record, with the per-table `r102`
+    * partition struct (identity transforms → source column types). */
+  private def manifestEntrySchema(
+      partCols: Seq[(String, DataType)]): Schema = {
+    val partitionFields = JArray(partCols.zipWithIndex.map { case ((c, dt), i) =>
+      ("name" -> c) ~
+        ("type" -> JArray(List(JString("null"), partitionAvroType(dt)))) ~
+        ("default" -> JNull) ~ ("field-id" -> (1000 + i)): JValue
+    }.toList)
+    val dataFile =
+      ("type" -> "record") ~ ("name" -> "r2") ~ ("fields" -> JArray(List(
+        ("name" -> "content") ~ ("type" -> "int") ~ ("field-id" -> 134),
+        ("name" -> "file_path") ~ ("type" -> "string") ~ ("field-id" -> 100),
+        ("name" -> "file_format") ~ ("type" -> "string") ~ ("field-id" -> 101),
+        ("name" -> "partition") ~
+          ("type" -> (("type" -> "record") ~ ("name" -> "r102") ~
+            ("fields" -> partitionFields))) ~ ("field-id" -> 102),
+        ("name" -> "record_count") ~ ("type" -> "long") ~ ("field-id" -> 103),
+        ("name" -> "file_size_in_bytes") ~ ("type" -> "long") ~ ("field-id" -> 104))))
+    val entry =
+      ("type" -> "record") ~ ("name" -> "manifest_entry") ~ ("fields" -> JArray(List(
+        ("name" -> "status") ~ ("type" -> "int") ~ ("field-id" -> 0),
+        ("name" -> "snapshot_id") ~
+          ("type" -> JArray(List(JString("null"), JString("long")))) ~
+          ("default" -> JNull) ~ ("field-id" -> 1),
+        ("name" -> "sequence_number") ~
+          ("type" -> JArray(List(JString("null"), JString("long")))) ~
+          ("default" -> JNull) ~ ("field-id" -> 3),
+        ("name" -> "file_sequence_number") ~
+          ("type" -> JArray(List(JString("null"), JString("long")))) ~
+          ("default" -> JNull) ~ ("field-id" -> 4),
+        ("name" -> "data_file") ~ ("type" -> dataFile) ~ ("field-id" -> 2))))
+    new Schema.Parser().parse(JsonMethods.compact(JsonMethods.render(entry)))
+  }
+
+  /** Stored (string) partition value → typed Avro value per the
+    * partition struct field type; the null sentinel → null. */
+  private def partitionAvroValue(stored: String, dt: DataType): Any =
+    if (stored == graft.catalog.Snaplog.HiveDefaultPartition) null
+    else dt match {
+      case IntegerType | ShortType | ByteType => Integer.valueOf(stored.toInt)
+      case LongType => java.lang.Long.valueOf(stored.toLong)
+      case DateType =>
+        Integer.valueOf(java.time.LocalDate.parse(stored).toEpochDay.toInt)
+      case _ => stored
+    }
+
+  private def writeAvro(file: Path, schema: Schema,
+      meta: Seq[(String, String)], records: Seq[GenericRecord]): Unit = {
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    meta.foreach { case (k, v) => w.setMeta(k, v) }
+    w.create(schema, file.toFile)
+    try records.foreach(w.append) finally w.close()
+  }
+
   /** Export every snapshot of the table's history; the current snapshot
     * becomes `current-snapshot-id`. Returns counts for verification. */
   def export(table: LakehouseTable, destDir: Path): Report = {
@@ -74,6 +166,16 @@ object IcebergExport {
       ("name" -> c) ~ ("transform" -> "identity") ~
         ("source-id" -> fieldId(c)) ~ ("field-id" -> (1000 + i))
     }
+    val schemaJson = JsonMethods.compact(JsonMethods.render(
+      ("type" -> "struct") ~ ("schema-id" -> 0) ~ ("fields" -> fields.toList)))
+    val specJson = JsonMethods.compact(JsonMethods.render(specFields.toList))
+    val partCols: Seq[(String, DataType)] = table.partitionColumns.map { c =>
+      c -> schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+        .getOrElse(StringType)
+    }
+    val entrySchema = manifestEntrySchema(partCols)
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val partitionSchema = dataFileSchema.getField("partition").schema()
 
     val snaps = cat.snapshots(ns, name)
     var manifests = 0
@@ -81,31 +183,61 @@ object IcebergExport {
     var totalRecords = 0L
     val snapshotJsons = snaps.map { s =>
       val live = cat.liveFiles(ns, name, Some(s.snapshotId))
-      val manifestName = s"manifest-${s.snapshotId}.json"
+      // manifest: one ADDED entry per live data file of the snapshot
       val entries = live.map { f =>
-        ("status" -> 1) ~ ("snapshot_id" -> s.snapshotId) ~
-          ("data_file" ->
-            (("file_path" -> f.path) ~ ("file_format" -> "PARQUET") ~
-              ("partition" -> JObject(f.partitionValues.toList.map {
-                case (k, v) => k -> (JString(v): JValue)
-              })) ~
-              ("record_count" -> f.rowCount) ~
-              ("file_size_in_bytes" -> f.sizeBytes)))
+        val part = new GenericData.Record(partitionSchema)
+        partCols.foreach { case (c, dt) =>
+          part.put(c, f.partitionValues.get(c)
+            .map(partitionAvroValue(_, dt)).orNull)
+        }
+        val df = new GenericData.Record(dataFileSchema)
+        df.put("content", 0) // 0 = DATA
+        df.put("file_path", f.path)
+        df.put("file_format", "PARQUET")
+        df.put("partition", part)
+        df.put("record_count", f.rowCount)
+        df.put("file_size_in_bytes", f.sizeBytes)
+        val e = new GenericData.Record(entrySchema)
+        e.put("status", 1) // ADDED
+        e.put("snapshot_id", s.snapshotId)
+        e.put("sequence_number", s.snapshotId)
+        e.put("file_sequence_number", s.snapshotId)
+        e.put("data_file", df)
+        e
       }
-      write(metaDir.resolve(manifestName),
-        JsonMethods.pretty(JsonMethods.render(JArray(entries.toList))))
+      val manifestName = s"manifest-${s.snapshotId}.avro"
+      writeAvro(metaDir.resolve(manifestName), entrySchema,
+        Seq("schema" -> schemaJson, "schema-id" -> "0",
+          "partition-spec" -> specJson, "partition-spec-id" -> "0",
+          "format-version" -> "2", "content" -> "data"),
+        entries)
       manifests += 1
       if (s.snapshotId == snaps.last.snapshotId) {
         dataFiles = live.size.toLong
         totalRecords = live.map(_.rowCount).sum
       }
-      val listName = s"snap-${s.snapshotId}.manifest-list.json"
-      val listJson = JArray(List(
-        ("manifest_path" -> metaDir.resolve(manifestName).toString) ~
-          ("manifest_length" -> Files.size(metaDir.resolve(manifestName))) ~
-          ("added_files_count" -> live.size) ~
-          ("added_rows_count" -> live.map(_.rowCount).sum)))
-      write(metaDir.resolve(listName), JsonMethods.pretty(JsonMethods.render(listJson)))
+      // manifest list: one manifest_file record per manifest
+      val mf = new GenericData.Record(ManifestFileSchema)
+      mf.put("manifest_path", metaDir.resolve(manifestName).toString)
+      mf.put("manifest_length", Files.size(metaDir.resolve(manifestName)))
+      mf.put("partition_spec_id", 0)
+      mf.put("content", 0) // 0 = data manifests
+      mf.put("sequence_number", s.snapshotId)
+      mf.put("min_sequence_number", s.snapshotId)
+      mf.put("added_snapshot_id", s.snapshotId)
+      mf.put("added_files_count", live.size)
+      mf.put("existing_files_count", 0)
+      mf.put("deleted_files_count", 0)
+      mf.put("added_rows_count", live.map(_.rowCount).sum)
+      mf.put("existing_rows_count", 0L)
+      mf.put("deleted_rows_count", 0L)
+      val listName = s"snap-${s.snapshotId}.manifest-list.avro"
+      writeAvro(metaDir.resolve(listName), ManifestFileSchema,
+        Seq("snapshot-id" -> s.snapshotId.toString,
+          "parent-snapshot-id" -> s.parentId.map(_.toString).getOrElse("null"),
+          "sequence-number" -> s.snapshotId.toString,
+          "format-version" -> "2"),
+        Seq(mf))
       ("snapshot-id" -> s.snapshotId) ~
         ("parent-snapshot-id" -> s.parentId.map(JLong(_)).getOrElse(JNothing: JValue)) ~
         ("sequence-number" -> s.snapshotId) ~
@@ -153,8 +285,9 @@ object IcebergExport {
   }
 
   /** Parsed-back view of an export, for verification: walk
-    * version-hint → metadata.json → current snapshot's manifest list →
-    * manifest → data files, exactly as a third-party reader would. */
+    * version-hint → metadata.json → current snapshot's AVRO manifest
+    * list → AVRO manifest → data files, exactly as a third-party
+    * Iceberg reader would. */
   final case class ReadBack(
       formatVersion: Int,
       nSchemaFields: Int,
@@ -164,6 +297,12 @@ object IcebergExport {
       nDataFiles: Int,
       totalRecords: Long,
       dataFilesExist: Boolean)
+
+  private def readAvro(file: Path): Seq[GenericRecord] = {
+    val r = new DataFileReader[GenericRecord](file.toFile,
+      new GenericDatumReader[GenericRecord]())
+    try r.iterator.asScala.toSeq finally r.close()
+  }
 
   def readBack(destDir: Path): ReadBack = {
     implicit val fmts: Formats = DefaultFormats
@@ -181,15 +320,16 @@ object IcebergExport {
     val current = snapshots.find(s => (s \ "snapshot-id").extract[Long] == currentId)
       .getOrElse(throw new IllegalStateException("current snapshot missing"))
     val listPath = (current \ "manifest-list").extract[String]
-    val list = JsonMethods.parse(Files.readString(java.nio.file.Paths.get(listPath)))
-      .asInstanceOf[JArray].arr
-    val entries = list.flatMap { l =>
-      val mp = (l \ "manifest_path").extract[String]
-      JsonMethods.parse(Files.readString(java.nio.file.Paths.get(mp)))
-        .asInstanceOf[JArray].arr
-    }
-    val files = entries.map(e => ((e \ "data_file" \ "file_path").extract[String],
-      (e \ "data_file" \ "record_count").extract[Long]))
+    val manifestPaths = readAvro(java.nio.file.Paths.get(listPath))
+      .map(_.get("manifest_path").toString)
+    val entries = manifestPaths.flatMap(mp =>
+      readAvro(java.nio.file.Paths.get(mp)))
+    val files = entries
+      .filter(_.get("status").asInstanceOf[Int] != 2) // 2 = DELETED
+      .map { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        (df.get("file_path").toString, df.get("record_count").asInstanceOf[Long])
+      }
     ReadBack(
       formatVersion = formatVersion,
       nSchemaFields = nSchemaFields,

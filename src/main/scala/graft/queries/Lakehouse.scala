@@ -558,6 +558,103 @@ object Lakehouse {
           COUNT(*) FILTER (WHERE o_orderkey % 2 = 0) AS n_v1
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // SQL write path: INSERT INTO through the DSv2 catalog stages
+    // parquet via Spark's own parquet writers and registers it with ONE
+    // conditional snapshot-log commit — SQL inserts get the same
+    // atomicity/optimistic concurrency as the API write path. The
+    // result proves both content (API half + SQL half == whole table)
+    // and the single-append-snapshot property.
+    QueryDef("lake_sql_insert",
+      (s, d) => {
+        val whDir = wh("lake_sql_insert", d)
+        val cat = new Snaplog(whDir)
+        val orders = t(s, d, "orders")
+        val tbl = LakehouseTable.create(cat, s, "lake", "orders_ins", orders.schema)
+        tbl.append(orders.filter(col("o_orderkey") % 2 === 0)) // snapshot 1 (API)
+        val cn = "gins_" + java.lang.Long.toHexString(whDir.hashCode.toLong & 0xffffffffL)
+        s.conf.set(s"spark.sql.catalog.$cn", classOf[graft.sql.GraftSqlCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cn.warehouse", whDir)
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .createOrReplaceTempView("lake_sql_insert_src")
+        s.sql(s"INSERT INTO $cn.lake.orders_ins SELECT * FROM lake_sql_insert_src")
+        val snaps = cat.snapshots("lake", "orders_ins")
+        s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM $cn.lake.orders_ins GROUP BY o_orderstatus""")
+          .withColumn("n_snapshots", lit(snaps.size.toLong))
+          .withColumn("last_op", lit(snaps.last.operation))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          2 AS n_snapshots, 'append' AS last_op
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Ref time travel through SQL: VERSION AS OF accepts tag/branch
+    // NAMES, so a release pin ('v1') and a moving branch ('dev') are
+    // both addressable from the ANSI surface — the Spark-first form of
+    // Iceberg's ref-based time travel.
+    QueryDef("lake_sql_ref_travel",
+      (s, d) => {
+        val whDir = wh("lake_sql_ref_travel", d)
+        val cat = new Snaplog(whDir)
+        val orders = t(s, d, "orders")
+        val tbl = LakehouseTable.create(cat, s, "lake", "orders_ref", orders.schema)
+        tbl.append(orders.filter(col("o_orderkey") % 2 === 0)) // snapshot 1
+        tbl.tag("v1")
+        tbl.append(orders.filter(col("o_orderkey") % 2 === 1)) // snapshot 2
+        tbl.setBranch("dev", 2L)
+        val cn = "gref_" + java.lang.Long.toHexString(whDir.hashCode.toLong & 0xffffffffL)
+        s.conf.set(s"spark.sql.catalog.$cn", classOf[graft.sql.GraftSqlCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cn.warehouse", whDir)
+        s.sql(s"""
+          SELECT o_orderstatus, n_tag, total_tag, n_head
+          FROM (SELECT o_orderstatus, COUNT(*) AS n_tag,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_tag
+                FROM $cn.lake.orders_ref VERSION AS OF 'v1'
+                GROUP BY o_orderstatus) tag
+          JOIN (SELECT o_orderstatus, COUNT(*) AS n_head
+                FROM $cn.lake.orders_ref VERSION AS OF 'dev'
+                GROUP BY o_orderstatus) head USING (o_orderstatus)
+          ORDER BY o_orderstatus""")
+      },
+      Some("""WITH tag AS (SELECT o_orderstatus, COUNT(*) AS n_tag,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_tag
+          FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus),
+        head AS (SELECT o_orderstatus, COUNT(*) AS n_head
+          FROM orders GROUP BY o_orderstatus)
+        SELECT o_orderstatus, n_tag, total_tag, n_head
+        FROM tag JOIN head USING (o_orderstatus) ORDER BY o_orderstatus""")),
+
+    // Merge-on-read SQL reads: a table with OUTSTANDING delete vectors
+    // stays queryable by name — the DSv2 scan plans the same broadcast
+    // anti-join subtraction the native scan uses (no forced compaction
+    // between a cheap MOR delete and the SQL surface).
+    QueryDef("lake_sql_mor_read",
+      (s, d) => {
+        val whDir = wh("lake_sql_mor_read", d)
+        val cat = new Snaplog(whDir)
+        val orders = t(s, d, "orders")
+        val rep = Ingest.ingestDf(cat, "lake", "orders_morsql", orders)
+        rep.table.deleteMor(
+          col("o_orderstatus") === "F" && col("o_totalprice") > 200000.0)
+        val nVectors = cat.liveDeleteFiles("lake", "orders_morsql").size.toLong
+        val cn = "gmor_" + java.lang.Long.toHexString(whDir.hashCode.toLong & 0xffffffffL)
+        s.conf.set(s"spark.sql.catalog.$cn", classOf[graft.sql.GraftSqlCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cn.warehouse", whDir)
+        s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM $cn.lake.orders_morsql GROUP BY o_orderstatus""")
+          .withColumn("n_vectors", lit(nVectors))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          1 AS n_vectors
+        FROM orders
+        WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 200000.0)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // Iceberg-v2 read-only metadata export (the reference's third-party
     // interop: DuckDB iceberg_scan over table metadata,
     // query_iceberg_duckdb.py:21-29). The query exports a 2-snapshot

@@ -2,37 +2,166 @@ package graft.sql
 
 import java.util.Collections
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.sources.{BaseRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.catalog.{Catalog, DataFileEntry, JdbcCatalog, Snaplog}
+import graft.table.FileStats
 
-/** Read-only snaplog-backed DSv2 table. Scanning delegates to Spark's
-  * vectorized parquet DSv2, but the FILE LIST is pruned first from log
-  * metadata — identity-partition values and per-file column [min,max]
-  * bounds — so files that cannot match the pushed predicates are never
-  * handed to Spark at all (Iceberg-manifest-style planning; at 100 TB
-  * the difference between planning over a partition and planning over
-  * the table). Advertises NO write capability: `INSERT INTO` through
-  * the SQL catalog would append parquet behind the snapshot log's back
-  * (no commit, no atomicity), so it must not plan at all. */
+/** Snaplog-backed DSv2 table. Scanning delegates to Spark's vectorized
+  * parquet DSv2, but the FILE LIST is pruned first from log metadata —
+  * identity-partition values and per-file column [min,max] bounds — so
+  * files that cannot match the pushed predicates are never handed to
+  * Spark at all (Iceberg-manifest-style planning; at 100 TB the
+  * difference between planning over a partition and planning over the
+  * table). Tables with outstanding merge-on-read delete vectors plan a
+  * V1 relation that subtracts the vectors with a broadcast anti-join
+  * (see [[MorRelation]]).
+  *
+  * Writes: APPEND ONLY (`INSERT INTO`), and only for the CURRENT
+  * snapshot of an unpartitioned table — the write stages parquet under
+  * the table's data dir and registers it through the snapshot log's
+  * conditional commit, so SQL inserts get the same atomicity and
+  * optimistic concurrency as the native API. Everything else
+  * (overwrite, DDL, partitioned-table inserts, writes to a time-travel
+  * relation) is rejected: those need the graft API, where partition
+  * layout and reset semantics live. */
 private[sql] final class GraftSqlTable(
     tableName: String,
     tableSchema: StructType,
     partitionCols: Seq[String],
-    files: Seq[DataFileEntry]) extends Table with SupportsRead {
+    files: Seq[DataFileEntry],
+    deleteFiles: Seq[DataFileEntry],
+    backing: Catalog,
+    ns: String,
+    tbl: String,
+    writable: Boolean) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    if (writable && partitionCols.isEmpty)
+      java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(tableName, tableSchema, partitionCols, files, options)
+    new GraftScanBuilder(tableName, tableSchema, partitionCols, files,
+      deleteFiles, options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (!writable)
+      throw new UnsupportedOperationException(
+        s"$tableName: a time-travel relation is read-only")
+    if (partitionCols.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$tableName is identity-partitioned — append via the graft API, " +
+          "which maintains the partition layout the log prunes on")
+    new WriteBuilder {
+      override def build(): Write = new GraftAppendWrite(
+        tableName, tableSchema, backing, ns, tbl, info)
+    }
+  }
+}
+
+/** Append-only DSv2 write behind the snapshot-log commit protocol:
+  * executors write parquet into a staging dir under the table's data
+  * dir through Spark's own ParquetWrite (full codegen'd row writers +
+  * job commit protocol); the driver-side `BatchWrite.commit` then
+  * footer-stats the staged files and registers them with ONE
+  * conditional catalog commit. A concurrent committer surfaces as
+  * CommitConflictException (fail the INSERT, nothing registered) —
+  * never a silently-interleaved log. */
+private[sql] final class GraftAppendWrite(
+    tableName: String,
+    tableSchema: StructType,
+    backing: Catalog,
+    ns: String,
+    tbl: String,
+    info: LogicalWriteInfo) extends Write {
+  override def toBatch: BatchWrite = {
+    val spark = SparkSession.active
+    val stage = backing.dataDir(ns, tbl).resolve(
+      s"snap-sql-${java.util.UUID.randomUUID().toString.take(12)}")
+    val expected = backing.currentSnapshot(ns, tbl).map(_.snapshotId).getOrElse(0L)
+    val delegate = ParquetTable(tableName, spark, info.options(),
+      Seq(stage.toString), Some(tableSchema), classOf[ParquetFileFormat])
+      .newWriteBuilder(info).build().toBatch
+    new GraftBatchWrite(delegate, backing, ns, tbl, stage, expected, spark)
+  }
+  override def description(): String = s"GraftAppendWrite[$tableName]"
+}
+
+private[sql] final class GraftBatchWrite(
+    delegate: BatchWrite,
+    backing: Catalog,
+    ns: String,
+    tbl: String,
+    stage: java.nio.file.Path,
+    expected: Long,
+    spark: SparkSession) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo) =
+    delegate.createBatchWriterFactory(info)
+  override def useCommitCoordinator: Boolean = delegate.useCommitCoordinator
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    delegate.commit(messages) // parquet job commit: staged files final
+    val files = FileStats.listParquet(stage.toString)
+      .map(p => FileStats.stat(spark, p, Map.empty))
+    backing.commit(ns, tbl, Snaplog.OpAppend, files,
+      Map("engine" -> "sql-insert"), expectedSnapshotId = Some(expected))
+    ()
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    delegate.abort(messages)
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(stage))
+      java.nio.file.Files.walk(stage).iterator.asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+}
+
+/** V1 relation subtracting merge-on-read position-delete vectors with
+  * a broadcast anti-join on `(file, row position)` — the same
+  * subtraction `LakehouseTable.scan` performs, surfaced through the
+  * SQL catalog so a table with outstanding vectors stays queryable by
+  * name instead of demanding a compaction first. Vectors are
+  * metadata-sized, so the broadcast adds no shuffle of the data side;
+  * pushed filters stay RESIDUAL (Spark re-applies them above this
+  * relation) and metadata file pruning still applied upstream. The
+  * parquet row-group skip is forfeited until compaction retires the
+  * vectors — the transitional cost of MOR reads. */
+private[sql] final class MorRelation(
+    ctx: SQLContext,
+    tableSchema: StructType,
+    requiredSchema: StructType,
+    dataPaths: Seq[String],
+    deletePaths: Seq[String]) extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = requiredSchema
+  override def buildScan(): org.apache.spark.rdd.RDD[Row] = {
+    val spark = ctx.sparkSession
+    if (dataPaths.isEmpty)
+      return spark.sparkContext.emptyRDD[Row]
+    val data = spark.read.schema(tableSchema).parquet(dataPaths: _*)
+    val dv = broadcast(spark.read.parquet(deletePaths: _*)
+      .select(col("file_path").as("__dv_file"), col("row_index").as("__dv_pos"))
+      .distinct())
+    data
+      .select(col("*"),
+        col("_metadata.file_path").as("__scan_file"),
+        col("_metadata.row_index").as("__scan_pos"))
+      .join(dv,
+        col("__scan_file") === col("__dv_file") &&
+          col("__scan_pos") === col("__dv_pos"),
+        "left_anti")
+      .select(requiredSchema.fieldNames.toIndexedSeq.map(col): _*)
+      .rdd
+  }
 }
 
 /** ScanBuilder that (1) prunes the file list from log metadata using
@@ -49,6 +178,7 @@ private[sql] final class GraftScanBuilder(
     tableSchema: StructType,
     partitionCols: Seq[String],
     files: Seq[DataFileEntry],
+    deleteFiles: Seq[DataFileEntry],
     options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -66,14 +196,17 @@ private[sql] final class GraftScanBuilder(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
     exprs = filters
-    // PARTITION-EXACT predicates (equality/IN/IsNotNull over identity-
-    // partition columns recorded for every file) are fully consumed:
-    // identity partitioning makes file pruning select exactly the
-    // matching rows, so no residual evaluation is needed — which also
-    // unlocks aggregate pushdown under partition filters. Everything
-    // else stays residual: stat-based pruning for those is
-    // conservative, so row-level evaluation must still happen.
-    filters.filterNot(FilePrune.partitionExact(_, partitionCols.toSet, files))
+    // PARTITION-EXACT predicates (equality/IN/IsNotNull/integral-range
+    // over identity-partition columns recorded for every file) are
+    // fully consumed: identity partitioning makes file pruning select
+    // exactly the matching rows, so no residual evaluation is needed —
+    // which also unlocks aggregate pushdown under partition filters.
+    // Everything else stays residual: stat-based pruning for those is
+    // conservative, so row-level evaluation must still happen. With
+    // outstanding MOR delete vectors EVERY filter stays residual —
+    // file pruning alone cannot account for vector-deleted rows.
+    if (deleteFiles.nonEmpty) filters
+    else filters.filterNot(FilePrune.partitionExact(_, partitionCols.toSet, files))
   }
 
   // file pruning is reported by the delegated ParquetScan's own
@@ -134,7 +267,8 @@ private[sql] final class GraftScanBuilder(
     files.filter(f => exprs.forall(FilePrune.mayMatch(f, _)))
 
   private def canAnswerFromMetadata(agg: Aggregation): Boolean =
-    exprs.forall(FilePrune.partitionExact(_, partitionCols.toSet, files)) &&
+    deleteFiles.isEmpty && // logged row counts ignore MOR-deleted rows
+      exprs.forall(FilePrune.partitionExact(_, partitionCols.toSet, files)) &&
       agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.nonEmpty && {
         val answering = aggFiles
@@ -197,6 +331,24 @@ private[sql] final class GraftScanBuilder(
 
   override def build(): Scan = pushedAgg match {
     case Some(agg) => metadataAggScan(agg)
+    case None if deleteFiles.nonEmpty =>
+      // Merge-on-read: metadata file pruning still applies, then a V1
+      // relation subtracts the delete vectors with a broadcast
+      // anti-join (see MorRelation).
+      val kept = files.filter(f => exprs.forall(FilePrune.mayMatch(f, _)))
+      val requiredSchema = required
+      val ts = tableSchema
+      val dataPaths = kept.map(_.path)
+      val delPaths = deleteFiles.map(_.path)
+      new V1Scan {
+        override def readSchema(): StructType = requiredSchema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new MorRelation(context, ts, requiredSchema, dataPaths, delPaths)
+            .asInstanceOf[T]
+        override def description(): String =
+          s"GraftMorScan[${dataPaths.size} files, ${delPaths.size} delete vectors]"
+      }
     case None =>
       val kept = files.filter(f => exprs.forall(FilePrune.mayMatch(f, _)))
       val pt = ParquetTable(tableName, SparkSession.active, options,
@@ -444,15 +596,17 @@ private[sql] object FilePrune {
   * parquet table over exactly those files — so predicate pushdown,
   * column pruning, row-group skipping and whole-stage codegen all apply
   * unchanged, and the planner sees an ordinary parquet relation.
-  * `VERSION AS OF <snapshot-id>` and `TIMESTAMP AS OF` map onto the
-  * snapshot log's time travel.
+  * `VERSION AS OF <snapshot-id | 'ref-name'>` and `TIMESTAMP AS OF`
+  * map onto the snapshot log's time travel. Tables with outstanding
+  * merge-on-read delete vectors plan the same broadcast anti-join
+  * subtraction the native scan uses (metadata-only aggregates decline
+  * for them — logged row counts ignore vector-deleted rows).
   *
-  * Read-only by design, like the reference's third-party read path:
-  * writes go through the transactional `LakehouseTable` API, which is
-  * where commit atomicity and optimistic concurrency live. DDL/DML
-  * through this catalog fails loudly. Tables with outstanding
-  * merge-on-read delete vectors are refused (the plain parquet relation
-  * cannot subtract them) — `compact()` first.
+  * Writes: `INSERT INTO` (append) goes through the snapshot log's
+  * conditional commit — see [[GraftAppendWrite]]. Everything that
+  * would bypass commit semantics (overwrites, DDL, partitioned-table
+  * inserts) fails loudly; those live in the transactional
+  * `LakehouseTable` API, like the reference's own write path.
   */
 class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -517,13 +671,17 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
 
-  /** `VERSION AS OF <id>` — snapshot-id time travel. */
+  /** `VERSION AS OF <id | 'ref-name'>` — snapshot-id or named-ref
+    * (tag/branch) time travel, the release-pinning workflow from SQL:
+    * `SELECT … FROM graft.lake.t VERSION AS OF 'v1-tag'`. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val id = try version.toLong catch {
-      case _: NumberFormatException =>
-        throw new IllegalArgumentException(
-          s"$catName versions are snapshot ids, got '$version'")
-    }
+    requireExists(ident)
+    val (ns, t) = (ident.namespace()(0), ident.name)
+    val id = scala.util.Try(version.toLong).toOption
+      .orElse(backing.refs(ns, t).get(version).map(_.snapshotId))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$catName version '$version' is neither a snapshot id nor a " +
+          s"ref (tag/branch) of $ns.$t"))
     load(ident, Some(id))
   }
 
@@ -545,12 +703,10 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
   private def load(ident: Identifier, asOf: Option[Long]): Table = {
     requireExists(ident)
     val (ns, t) = (ident.namespace()(0), ident.name)
-    require(backing.liveDeleteFiles(ns, t, asOf).isEmpty,
-      s"$catName.$ns.$t has outstanding merge-on-read delete vectors, which a " +
-        "plain parquet relation cannot subtract — compact() the table first")
     val meta = backing.loadTable(ns, t)
     new GraftSqlTable(s"$catName.$ns.$t", meta.schema, meta.partitionColumns,
-      backing.liveFiles(ns, t, asOf))
+      backing.liveFiles(ns, t, asOf), backing.liveDeleteFiles(ns, t, asOf),
+      backing, ns, t, writable = asOf.isEmpty)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =

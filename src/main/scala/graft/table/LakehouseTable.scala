@@ -172,8 +172,11 @@ final class LakehouseTable(
     val (i, j) = (range.indexOf(fromSnapshot), range.indexOf(upTo))
     require(j >= i, s"toSnapshot $upTo precedes fromSnapshot $fromSnapshot")
     val between = snaps.slice(i + 1, j + 1)
-    require(between.forall(s => !Snaplog.ResetOps(s.operation)),
-      s"incremental read across a reset commit (${Snaplog.ResetOps.mkString("/")}) is undefined")
+    // a checkpoint re-lists the live set without changing it — the
+    // path-set difference below is unaffected, so it is safe to cross
+    require(between.forall(s => !Snaplog.ResetOps(s.operation) ||
+        s.operation == Snaplog.OpCheckpoint),
+      s"incremental read across a reset commit (${(Snaplog.ResetOps - Snaplog.OpCheckpoint).mkString("/")}) is undefined")
     require(between.forall(_.operation != Snaplog.OpMorDelete),
       "incremental read across a merge-on-read delete is undefined " +
         "(the delta is not expressible as file-adds)")
@@ -500,10 +503,7 @@ final class LakehouseTable(
       expectedSnapshotId = expected)
   }
 
-  private def listParquet(dir: String): Seq[String] =
-    Files.walk(Paths.get(dir)).iterator.asScala
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .map(_.toString).toSeq.sorted
+  private def listParquet(dir: String): Seq[String] = FileStats.listParquet(dir)
 
   /** Parse `__p_<col>=<val>` segments back to partition values. Spark
     * Hive-ESCAPES special characters in directory names (':' → '%3A',
@@ -522,7 +522,23 @@ final class LakehouseTable(
   }
 
   /** Footer-only stat: row count + size, no data read. */
-  private def statFile(path: String, pv: Map[String, String]): DataFileEntry = {
+  private def statFile(path: String, pv: Map[String, String]): DataFileEntry =
+    FileStats.stat(spark, path, pv)
+}
+
+/** Footer-only parquet file statistics, shared by every write path
+  * that registers files in the snapshot log (LakehouseTable commits,
+  * the DSv2 SQL INSERT staging commit). */
+object FileStats {
+
+  def listParquet(dir: String): Seq[String] =
+    Files.walk(Paths.get(dir)).iterator.asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map(_.toString).toSeq.sorted
+
+  /** Row count + size + per-column bounds from the parquet footer —
+    * no data pages read. */
+  def stat(spark: SparkSession, path: String, pv: Map[String, String]): DataFileEntry = {
     val conf = spark.sessionState.newHadoopConf()
     val in = HadoopInputFile.fromPath(new HadoopPath(path), conf)
     val r = ParquetFileReader.open(in)

@@ -19,7 +19,12 @@ import graft.types.SchemaInfer
 abstract class CatalogContractSpec extends SparkSpec {
   import spark.implicits._
 
-  def freshCatalog(): Catalog
+  def freshCatalog(checkpointInterval: Int = 100): Catalog
+
+  /** Overwrite the OLDEST persisted snapshot row with invalid JSON —
+    * used to PROVE commits and current-state planning never
+    * deserialize history below the latest reset commit. */
+  def corruptOldestSnapshotRow(cat: Catalog, ns: String, t: String): Unit
 
   private def fixture() = Seq(
     (1, "A", 1.5f, 10), (2, "A", 2.5f, 20),
@@ -425,6 +430,43 @@ abstract class CatalogContractSpec extends SparkSpec {
     assert(rb.dataFilesExist) // metadata-only: files referenced in place
   }
 
+  test("automatic checkpoints bound the replay window and preserve content") {
+    val cat = freshCatalog(checkpointInterval = 5)
+    LakehouseTable.create(cat, spark, "ns", "cp", fixture().schema)
+    // 12 metadata-only commits (synthetic entries keep the test fast)
+    (1 to 12).foreach { i =>
+      cat.commit("ns", "cp", Snaplog.OpAppend,
+        Seq(graft.catalog.DataFileEntry(s"/fake/f$i.parquet", 1, 1, Map.empty)))
+    }
+    val snaps = cat.snapshots("ns", "cp")
+    assert(snaps.exists(_.operation == Snaplog.OpCheckpoint))
+    // the replay window is bounded by the interval, not the history
+    assert(cat.windowSnapshots("ns", "cp", None).size <= 5)
+    // the folded live set is complete and deduplicated
+    assert(cat.liveFiles("ns", "cp").map(_.path).sorted ==
+      (1 to 12).map(i => s"/fake/f$i.parquet").sorted)
+    // pre-checkpoint time travel still replays exactly
+    assert(cat.liveFiles("ns", "cp", Some(3L)).map(_.path).sorted ==
+      (1 to 3).map(i => s"/fake/f$i.parquet").sorted)
+  }
+
+  test("commits and current-state planning replay a bounded window, not the whole log") {
+    val cat = freshCatalog()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "w", fixture().schema)
+    tbl.append(fixture())     // snapshot 1
+    tbl.overwrite(fixture())  // snapshot 2: reset base
+    tbl.append(fixture())     // snapshot 3
+    corruptOldestSnapshotRow(cat, "ns", "w") // poison snapshot 1, below the reset
+    // full-history replay would choke on the poisoned row…
+    intercept[Exception] { cat.snapshots("ns", "w") }
+    // …but commit (current-snapshot lookup + window check) and scan
+    // planning read only at-or-above the reset commit
+    tbl.append(fixture())     // snapshot 4
+    assert(tbl.scan().count() == 12)
+    assert(cat.windowSnapshots("ns", "w", None).size == 3)
+    assert(cat.currentSnapshot("ns", "w").map(_.snapshotId).contains(4L))
+  }
+
   test("normalize casts, reorders, fills missing nullable columns") {
     val target = StructType(Seq(
       StructField("id", IntegerType, nullable = false),
@@ -440,16 +482,37 @@ abstract class CatalogContractSpec extends SparkSpec {
 
 /** The file-backed implementation (JSON/JSONL + lock file). */
 class SnaplogSpec extends CatalogContractSpec {
-  override def freshCatalog(): Catalog =
-    new Snaplog(Files.createTempDirectory("graft-wh").toString)
+  override def freshCatalog(checkpointInterval: Int): Catalog =
+    new Snaplog(Files.createTempDirectory("graft-wh").toString, checkpointInterval)
+
+  override def corruptOldestSnapshotRow(cat: Catalog, ns: String, t: String): Unit = {
+    val log = java.nio.file.Paths.get(
+      cat.asInstanceOf[Snaplog].warehouse, ns, t, "snapshots.jsonl")
+    val lines = Files.readAllLines(log)
+    lines.set(0, "{corrupt")
+    Files.write(log, lines)
+    ()
+  }
 }
 
 /** The embedded-Derby SQL implementation — the reference's
   * `catalog_type: "sql"` deployment shape; concurrency via the
   * snapshot primary key instead of a lock file. */
 class JdbcCatalogSpec extends CatalogContractSpec {
-  override def freshCatalog(): Catalog = {
+  override def freshCatalog(checkpointInterval: Int): Catalog = {
     val dir = Files.createTempDirectory("graft-jdbc")
-    new JdbcCatalog(s"jdbc:derby:$dir/cat;create=true", s"$dir/wh")
+    new JdbcCatalog(s"jdbc:derby:$dir/cat;create=true", s"$dir/wh", checkpointInterval)
+  }
+
+  override def corruptOldestSnapshotRow(cat: Catalog, ns: String, t: String): Unit = {
+    val c = java.sql.DriverManager.getConnection(cat.asInstanceOf[JdbcCatalog].jdbcUrl)
+    try {
+      val ps = c.prepareStatement(
+        "UPDATE graft_snapshots SET body = '{corrupt' WHERE ns = ? AND tbl = ? " +
+          "AND snapshot_id = (SELECT MIN(snapshot_id) FROM graft_snapshots " +
+          "WHERE ns = ? AND tbl = ?)")
+      ps.setString(1, ns); ps.setString(2, t); ps.setString(3, ns); ps.setString(4, t)
+      ps.executeUpdate(); ps.close()
+    } finally c.close()
   }
 }

@@ -44,23 +44,32 @@ class SqlCatalogSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(value2,25)"),
       s"expected value2 pushdown in:\n$plan")
 
-    // read-only: DML/DDL through the catalog must not plan
+    // DDL and partitioned-table DML through the catalog must not plan
     intercept[Exception] {
       spark.sql("INSERT INTO gsqltest.ns.t VALUES (99, 'Z', 9.9, 99)")
     }
     intercept[Exception] { spark.sql("DROP TABLE gsqltest.ns.t") }
 
-    // outstanding MOR vectors cannot be subtracted by a plain parquet
-    // relation — the catalog refuses rather than returning deleted rows
-    tbl.deleteMor($"id" === 1)
-    val e = intercept[Exception] {
-      spark.sql("SELECT COUNT(*) FROM gsqltest.ns.t").head()
-    }
-    assert(e.getMessage.contains("merge-on-read") ||
-      Option(e.getCause).exists(_.getMessage.contains("merge-on-read")))
-    // compaction materializes the delete; SQL reads work again
+    // outstanding MOR vectors: reads by name stay available — the scan
+    // plans the same broadcast anti-join subtraction the native scan
+    // uses, and results are exact (deleted ids 1 and 11 disappear)
+    tbl.deleteMor($"id" === 1 || $"id" === 11)
+    assert(spark.sql("SELECT COUNT(*) FROM gsqltest.ns.t").head().getLong(0) == 6)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM gsqltest.ns.t WHERE id < 10").head().getLong(0) == 3)
+    assert(!spark.sql("SELECT id FROM gsqltest.ns.t WHERE id <= 2 ORDER BY id")
+      .collect().map(_.getInt(0)).contains(1))
+    // …but metadata-only aggregates DECLINE (logged row counts ignore
+    // vector-deleted rows) — the MOR relation plans instead
+    assert(!spark.sql("SELECT COUNT(*) FROM gsqltest.ns.t")
+      .queryExecution.sparkPlan.toString.contains("LocalTableScan"))
+    // time travel BEFORE the delete sees all rows with no subtraction
+    assert(spark.sql("SELECT COUNT(*) FROM gsqltest.ns.t VERSION AS OF 2")
+      .head().getLong(0) == 8)
+    // compaction materializes the delete; the plain parquet relation
+    // (and metadata aggregates) return
     tbl.compact()
-    assert(spark.sql("SELECT COUNT(*) FROM gsqltest.ns.t").head().getLong(0) == 7)
+    assert(spark.sql("SELECT COUNT(*) FROM gsqltest.ns.t").head().getLong(0) == 6)
   }
 
   test("sql catalog prunes files from log metadata before planning") {
@@ -168,6 +177,94 @@ class SqlCatalogSpec extends SparkSpec {
       "SELECT COUNT(*) FROM gsqlaggp.ns.pa WHERE group = 'A' AND value2 > 15")
     assert(!mixed.queryExecution.sparkPlan.toString.contains("LocalTableScan"))
     assert(mixed.head().getLong(0) == 1L)
+  }
+
+  test("INSERT INTO appends through the snapshot-log commit protocol") {
+    val wh = Files.createTempDirectory("graft-sqlins").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "ins", fixture().schema)
+    tbl.append(fixture()) // snapshot 1
+    spark.conf.set("spark.sql.catalog.gsqlins", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlins.warehouse", wh)
+
+    spark.sql("INSERT INTO gsqlins.ns.ins VALUES (9, 'D', 9.5, 90), (10, 'D', 10.5, 100)")
+    // one atomic append snapshot, visible to BOTH the SQL path and the API
+    val snaps = cat.snapshots("ns", "ins")
+    assert(snaps.size == 2 && snaps.last.operation == "append")
+    assert(snaps.last.summary.get("engine").contains("sql-insert"))
+    assert(snaps.last.files.map(_.rowCount).sum == 2)
+    assert(spark.sql("SELECT COUNT(*) FROM gsqlins.ns.ins").head().getLong(0) == 6)
+    assert(tbl.scan().count() == 6)
+    assert(spark.sql("SELECT SUM(value2) FROM gsqlins.ns.ins").head().getLong(0) ==
+      10 + 20 + 30 + 40 + 90 + 100)
+    // inserted files carry footer stats into the log like any commit
+    assert(snaps.last.files.forall(_.columnStats.exists(_.contains("value2"))))
+
+    // overwrite through SQL must not plan; time-travel relations are read-only
+    intercept[Exception] {
+      spark.sql("INSERT OVERWRITE gsqlins.ns.ins VALUES (1, 'X', 0.0, 0)")
+    }
+    intercept[Exception] {
+      spark.sql("INSERT INTO gsqlins.ns.ins VERSION AS OF 1 VALUES (1, 'X', 0.0, 0)")
+    }
+  }
+
+  test("VERSION AS OF accepts ref names (tags and branches)") {
+    val wh = Files.createTempDirectory("graft-sqlref").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "r", fixture().schema)
+    tbl.append(fixture())                              // snapshot 1
+    tbl.tag("v1-release")
+    tbl.append(fixture().withColumn("id", $"id" + 10)) // snapshot 2
+    tbl.setBranch("dev", 2L)
+    spark.conf.set("spark.sql.catalog.gsqlref", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlref.warehouse", wh)
+
+    assert(spark.sql("SELECT COUNT(*) FROM gsqlref.ns.r VERSION AS OF 'v1-release'")
+      .head().getLong(0) == 4)
+    // ref travel ≡ the native scanRef
+    assert(spark.sql("SELECT SUM(id) FROM gsqlref.ns.r VERSION AS OF 'v1-release'")
+      .head().getLong(0) ==
+      tbl.scanRef("v1-release").agg(sum(col("id"))).head().getLong(0))
+    assert(spark.sql("SELECT COUNT(*) FROM gsqlref.ns.r VERSION AS OF 'dev'")
+      .head().getLong(0) == 8)
+    val e = intercept[Exception] {
+      spark.sql("SELECT COUNT(*) FROM gsqlref.ns.r VERSION AS OF 'nope'").head()
+    }
+    assert(e.getMessage.contains("neither a snapshot id nor a ref") ||
+      Option(e.getCause).exists(_.getMessage.contains("neither a snapshot id nor a ref")))
+  }
+
+  test("range predicates over integral partitions answer aggregates from metadata") {
+    val ints = Seq((1, 10, "a"), (2, 20, "b"), (3, 30, "c"), (4, 40, "d"))
+      .toDF("p", "v", "s")
+    val wh = Files.createTempDirectory("graft-sqlrange").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "rg", ints.schema, Seq("p"))
+    tbl.append(ints.coalesce(1)) // one file per partition value
+    spark.conf.set("spark.sql.catalog.gsqlrange", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlrange.warehouse", wh)
+
+    // BETWEEN over the identity int partition: exact from the log
+    val bt = spark.sql(
+      "SELECT COUNT(*), MIN(v), MAX(v) FROM gsqlrange.ns.rg WHERE p BETWEEN 2 AND 3")
+    assert(bt.queryExecution.sparkPlan.toString.contains("LocalTableScan"),
+      s"expected metadata agg in:\n${bt.queryExecution.sparkPlan}")
+    val r = bt.head()
+    assert(r.getLong(0) == 2L && r.getInt(1) == 20 && r.getInt(2) == 30)
+    // strict bound excludes the boundary partition
+    val gt = spark.sql("SELECT COUNT(*) FROM gsqlrange.ns.rg WHERE p > 3")
+    assert(gt.queryExecution.sparkPlan.toString.contains("LocalTableScan"))
+    assert(gt.head().getLong(0) == 1L)
+    // range over a STRING partition column is NOT partition-exact —
+    // falls back to the real scan (and stays correct)
+    val sw = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("sp", "v")
+    val tbl2 = LakehouseTable.create(cat, spark, "ns", "rgs", sw.schema, Seq("sp"))
+    tbl2.append(sw.coalesce(1))
+    spark.conf.set("spark.sql.catalog.gsqlrange.warehouse", wh) // same catalog
+    val sq = spark.sql("SELECT COUNT(*) FROM gsqlrange.ns.rgs WHERE sp >= 'b'")
+    assert(!sq.queryExecution.sparkPlan.toString.contains("LocalTableScan"))
+    assert(sq.head().getLong(0) == 2L)
   }
 
   test("sorted compaction yields disjoint per-file bounds for skipping") {

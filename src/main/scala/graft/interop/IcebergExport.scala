@@ -156,6 +156,16 @@ object IcebergExport {
     Files.createDirectories(metaDir)
     val cat = table.catalog
     val (ns, name) = (table.namespace, table.name)
+    // An export that listed only the data files of a table with
+    // OUTSTANDING position-delete vectors would hand a third-party
+    // reader the deleted rows (our vector parquet uses `row_index`,
+    // not the spec's `pos` delete-file schema, so the vectors cannot
+    // be exported as v2 delete manifests either). Refuse rather than
+    // publish wrong data; compaction materializes the deletes.
+    require(cat.liveDeleteFiles(ns, name).isEmpty,
+      s"cannot export $ns.$name with outstanding merge-on-read delete " +
+        "vectors — a metadata-only export would resurrect deleted rows " +
+        "for external readers; compact() first")
     val schema = table.schema
     val fields = schema.fields.zipWithIndex.map { case (f, i) =>
       ("id" -> (i + 1)) ~ ("name" -> f.name) ~

@@ -655,6 +655,41 @@ object Lakehouse {
         WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 200000.0)
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // SQL row-level DELETE: `DELETE FROM … WHERE …` through the DSv2
+    // catalog maps onto the merge-on-read tier — one pushdown scan, one
+    // KB-scale position vector, a conditional commit; no data file
+    // rewrites. The untouched-file claim + vector count ride in the
+    // result and the survivors must match DuckDB exactly.
+    QueryDef("lake_sql_delete",
+      (s, d) => {
+        val whDir = wh("lake_sql_delete", d)
+        val cat = new Snaplog(whDir)
+        val orders = t(s, d, "orders")
+        val rep = Ingest.ingestDf(cat, "lake", "orders_sqldel", orders)
+        val before = cat.liveFiles("lake", "orders_sqldel").map(_.path).toSet
+        val cn = "gdel_" + java.lang.Long.toHexString(whDir.hashCode.toLong & 0xffffffffL)
+        s.conf.set(s"spark.sql.catalog.$cn", classOf[graft.sql.GraftSqlCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cn.warehouse", whDir)
+        s.sql(s"""DELETE FROM $cn.lake.orders_sqldel
+          WHERE o_orderstatus = 'F' AND o_totalprice > 200000.0""")
+        val after = cat.liveFiles("lake", "orders_sqldel").map(_.path).toSet
+        val lastOp = cat.snapshots("lake", "orders_sqldel").last.operation
+        val nVectors = cat.liveDeleteFiles("lake", "orders_sqldel").size.toLong
+        s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM $cn.lake.orders_sqldel GROUP BY o_orderstatus""")
+          .withColumn("last_op", lit(lastOp))
+          .withColumn("data_files_untouched", lit(before == after))
+          .withColumn("n_vectors", lit(nVectors))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          'mor_delete' AS last_op, TRUE AS data_files_untouched, 1 AS n_vectors
+        FROM orders
+        WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 200000.0)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // Iceberg-v2 read-only metadata export (the reference's third-party
     // interop: DuckDB iceberg_scan over table metadata,
     // query_iceberg_duckdb.py:21-29). The query exports a 2-snapshot

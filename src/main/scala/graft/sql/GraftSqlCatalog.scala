@@ -10,12 +10,12 @@ import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo, Physi
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.functions.{broadcast, col}
-import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.catalog.{Catalog, DataFileEntry, JdbcCatalog, Snaplog}
-import graft.table.FileStats
+import graft.table.{FileStats, LakehouseTable}
 
 /** Snaplog-backed DSv2 table. Scanning delegates to Spark's vectorized
   * parquet DSv2, but the FILE LIST is pruned first from log metadata —
@@ -44,9 +44,30 @@ private[sql] final class GraftSqlTable(
     backing: Catalog,
     ns: String,
     tbl: String,
-    writable: Boolean) extends Table with SupportsRead with SupportsWrite {
+    writable: Boolean) extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
+
+  /** `DELETE FROM <t> WHERE <cond>` maps onto the MERGE-ON-READ delete
+    * tier: one pushdown scan finds matched `(file, position)` pairs,
+    * one KB-scale vector commits conditionally (race → clean failure),
+    * data files stay untouched, and subsequent reads — SQL or native —
+    * subtract the vector; compaction materializes it later. The cheap
+    * path for scattered-predicate deletes, which is exactly what SQL
+    * DELETE statements tend to be. Conditions Spark cannot express as
+    * source filters are declined (Spark reports rewrite-unsupported
+    * rather than deleting the wrong rows). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    writable && filters.forall(FilterToColumn.translatable)
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    val cond = filters.map(FilterToColumn.toColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    LakehouseTable.load(backing, spark, ns, tbl).deleteMor(cond)
+    ()
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     if (writable && partitionCols.isEmpty)
       java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
@@ -122,6 +143,48 @@ private[sql] final class GraftBatchWrite(
     if (java.nio.file.Files.exists(stage))
       java.nio.file.Files.walk(stage).iterator.asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+}
+
+/** Source-filter → Column translation for the SQL DELETE path. Only
+  * shapes with exact Column equivalents translate; anything else makes
+  * `canDeleteWhere` decline, so Spark fails the statement instead of
+  * this code deleting rows a half-understood predicate did not mean. */
+private[sql] object FilterToColumn {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources._
+
+  def translatable(f: Filter): Boolean = f match {
+    case _: EqualTo | _: EqualNullSafe | _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual | _: In | _: IsNull | _: IsNotNull |
+         _: StringStartsWith | _: StringEndsWith | _: StringContains |
+         _: AlwaysTrue | _: AlwaysFalse => true
+    case And(l, r) => translatable(l) && translatable(r)
+    case Or(l, r) => translatable(l) && translatable(r)
+    case Not(c) => translatable(c)
+    case _ => false
+  }
+
+  def toColumn(f: Filter): Column = f match {
+    case EqualTo(a, v) => col(a) === lit(v)
+    case EqualNullSafe(a, v) => col(a) <=> lit(v)
+    case GreaterThan(a, v) => col(a) > lit(v)
+    case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+    case LessThan(a, v) => col(a) < lit(v)
+    case LessThanOrEqual(a, v) => col(a) <= lit(v)
+    case In(a, vs) => col(a).isin(vs.toIndexedSeq: _*)
+    case IsNull(a) => col(a).isNull
+    case IsNotNull(a) => col(a).isNotNull
+    case And(l, r) => toColumn(l) && toColumn(r)
+    case Or(l, r) => toColumn(l) || toColumn(r)
+    case Not(c) => !toColumn(c)
+    case StringStartsWith(a, v) => col(a).startsWith(v)
+    case StringEndsWith(a, v) => col(a).endsWith(v)
+    case StringContains(a, v) => col(a).contains(v)
+    case _: AlwaysTrue => lit(true)
+    case _: AlwaysFalse => lit(false)
+    case other => throw new IllegalArgumentException(s"untranslatable filter $other")
   }
 }
 

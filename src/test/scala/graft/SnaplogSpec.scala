@@ -428,6 +428,29 @@ abstract class CatalogContractSpec extends SparkSpec {
     assert(rb.nSnapshots == 2 && rb.currentOperation == "append")
     assert(rb.totalRecords == 8)
     assert(rb.dataFilesExist) // metadata-only: files referenced in place
+    // manifests are real Avro containers, not JSON with avro names
+    import scala.jdk.CollectionConverters._
+    val listFiles = Files.list(dest.resolve("metadata")).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    assert(listFiles.exists(_.endsWith(".manifest-list.avro")))
+    val firstAvro = dest.resolve("metadata").resolve(
+      listFiles.filter(_.endsWith(".avro")).min)
+    val magic = Files.readAllBytes(firstAvro).take(4)
+    assert(magic.sameElements("Obj".getBytes :+ 1.toByte),
+      "avro container magic Obj\\x01 expected")
+    // an export with OUTSTANDING delete vectors would hand external
+    // readers the deleted rows — refused until compaction materializes
+    tbl.deleteMor($"id" === 1)
+    val e = intercept[IllegalArgumentException] {
+      graft.interop.IcebergExport.export(tbl, Files.createTempDirectory("graft-ice2"))
+    }
+    assert(e.getMessage.contains("merge-on-read"))
+    tbl.compact()
+    val rb2 = graft.interop.IcebergExport.readBack {
+      val d2 = Files.createTempDirectory("graft-ice3")
+      graft.interop.IcebergExport.export(tbl, d2); d2
+    }
+    assert(rb2.totalRecords == 7)
   }
 
   test("automatic checkpoints bound the replay window and preserve content") {

@@ -209,6 +209,31 @@ class SqlCatalogSpec extends SparkSpec {
     }
   }
 
+  test("DELETE FROM maps onto the merge-on-read tier through the commit protocol") {
+    val wh = Files.createTempDirectory("graft-sqldel").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "del", fixture().schema)
+    tbl.append(fixture())
+    spark.conf.set("spark.sql.catalog.gsqldel", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqldel.warehouse", wh)
+
+    spark.sql("DELETE FROM gsqldel.ns.del WHERE value2 >= 30")
+    // one mor_delete snapshot: data files untouched, one vector added
+    val snaps = cat.snapshots("ns", "del")
+    assert(snaps.size == 2 &&
+      snaps.last.operation == graft.catalog.Snaplog.OpMorDelete)
+    assert(cat.liveDeleteFiles("ns", "del").size == 1)
+    // both surfaces agree on the survivors
+    assert(spark.sql("SELECT COUNT(*) FROM gsqldel.ns.del").head().getLong(0) == 2)
+    assert(tbl.scan().orderBy("id").collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    // idempotent re-delete records nothing twice
+    spark.sql("DELETE FROM gsqldel.ns.del WHERE value2 >= 30")
+    assert(cat.snapshots("ns", "del").last.summary.get("deleted-rows").contains("0"))
+    // compaction materializes; results unchanged
+    tbl.compact()
+    assert(spark.sql("SELECT COUNT(*) FROM gsqldel.ns.del").head().getLong(0) == 2)
+  }
+
   test("VERSION AS OF accepts ref names (tags and branches)") {
     val wh = Files.createTempDirectory("graft-sqlref").toString
     val cat = new Snaplog(wh)

@@ -655,6 +655,54 @@ object Lakehouse {
         WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 200000.0)
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // SQL UPDATE + MERGE INTO: Spark's row-level-operation rewrite over
+    // the DSv2 catalog — group-based copy-on-write, each statement one
+    // conditional overwrite commit. The UPDATE doubles every 10th
+    // order's price; the MERGE then updates matched statuses and
+    // inserts shifted new keys in a single statement.
+    QueryDef("lake_sql_update_merge",
+      (s, d) => {
+        val whDir = wh("lake_sql_update_merge", d)
+        val cat = new Snaplog(whDir)
+        val orders = t(s, d, "orders")
+        val tbl = LakehouseTable.create(cat, s, "lake", "orders_upd", orders.schema)
+        tbl.append(orders)
+        val cn = "gupd_" + java.lang.Long.toHexString(whDir.hashCode.toLong & 0xffffffffL)
+        s.conf.set(s"spark.sql.catalog.$cn", classOf[graft.sql.GraftSqlCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cn.warehouse", whDir)
+        s.sql(s"""UPDATE $cn.lake.orders_upd
+          SET o_totalprice = o_totalprice * 2 WHERE o_orderkey % 10 = 0""")
+        orders.filter(col("o_orderkey") % 10 === 1)
+          .withColumn("o_orderstatus", lit("U"))
+          .unionByName(orders.filter(col("o_orderkey") % 10 === 2)
+            .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+            .withColumn("o_orderstatus", lit("N")))
+          .createOrReplaceTempView("lake_sql_merge_src")
+        s.sql(s"""MERGE INTO $cn.lake.orders_upd t USING lake_sql_merge_src src
+          ON t.o_orderkey = src.o_orderkey
+          WHEN MATCHED THEN UPDATE SET t.o_orderstatus = src.o_orderstatus
+          WHEN NOT MATCHED THEN INSERT *""")
+        val engines = cat.snapshots("lake", "orders_upd").takeRight(2)
+          .flatMap(_.summary.get("engine")).mkString(",")
+        s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM $cn.lake.orders_upd GROUP BY o_orderstatus""")
+          .withColumn("engines", lit(engines))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH base AS (SELECT
+            CASE WHEN o_orderkey % 10 = 1 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+            CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+                 ELSE o_totalprice END AS price
+          FROM orders),
+        ins AS (SELECT 'N' AS o_orderstatus, o_totalprice AS price
+          FROM orders WHERE o_orderkey % 10 = 2),
+        merged AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
+        SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          'sql-update,sql-merge' AS engines
+        FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // SQL row-level DELETE: `DELETE FROM … WHERE …` through the DSv2
     // catalog maps onto the merge-on-read tier — one pushdown scan, one
     // KB-scale position vector, a conditional commit; no data file

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Row, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.functions.{broadcast, col}
@@ -45,9 +45,38 @@ private[sql] final class GraftSqlTable(
     ns: String,
     tbl: String,
     writable: Boolean) extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
+
+  /** `UPDATE` / `MERGE INTO` (and DELETEs whose predicate has no exact
+    * source-filter translation) run as GROUP-BASED copy-on-write: Spark
+    * rewrites the statement over a full scan of the current snapshot
+    * and the replacement rows land as ONE conditional overwrite commit.
+    * No runtime group filtering is advertised, so the rewrite touches
+    * every live file (whole-table COW — always correct); the surgical
+    * tiers live in the native API (`delete` rewrites only affected
+    * files, `deleteMor` writes a vector, `Upsert` merges) and in the
+    * metadata-only SQL DELETE path above, which Spark's
+    * OptimizeMetadataOnlyDeleteFromTable rule still prefers when the
+    * predicate translates. Outstanding MOR vectors refuse (the
+    * row-level read path cannot plan the V1 subtraction relation;
+    * compaction materializes them) — SQL DELETE, which stacks vectors,
+    * keeps working on such tables. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    // NO eligibility checks here: the analyzer builds this for EVERY
+    // DELETE/UPDATE/MERGE, including DELETEs the optimizer later
+    // converts to the metadata-only SupportsDelete path. Guards live in
+    // the operation's scan builder, which only plans when the
+    // group-based rewrite is actually used.
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation = new GraftRowLevelOperation(
+        info.command, tableName, tableSchema, partitionCols, files,
+        deleteFiles, backing, ns, tbl, writable)
+    }
+  }
 
   /** `DELETE FROM <t> WHERE <cond>` maps onto the MERGE-ON-READ delete
     * tier: one pushdown scan finds matched `(file, position)` pairs,
@@ -113,9 +142,35 @@ private[sql] final class GraftAppendWrite(
     val delegate = ParquetTable(tableName, spark, info.options(),
       Seq(stage.toString), Some(tableSchema), classOf[ParquetFileFormat])
       .newWriteBuilder(info).build().toBatch
-    new GraftBatchWrite(delegate, backing, ns, tbl, stage, expected, spark)
+    new GraftBatchWrite(delegate, backing, ns, tbl, stage, expected, spark,
+      Snaplog.OpAppend, Map("engine" -> "sql-insert"))
   }
   override def description(): String = s"GraftAppendWrite[$tableName]"
+}
+
+/** Group-based replacement rows arrive as `[__row_operation, data…]`
+  * (every row a WRITE in copy-on-write mode — deletions are simply
+  * absent); strip the marker ordinal before the delegated parquet
+  * writers, which were prepared for the data schema alone. */
+private[sql] final class OperationStrippingWriterFactory(
+    delegate: org.apache.spark.sql.connector.write.DataWriterFactory,
+    dataSchema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] = {
+    val inner = delegate.createWriter(partitionId, taskId)
+    val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+      dataSchema, (1 to dataSchema.length).toIndexedSeq)
+    new org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+      override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+        proj.project(row)
+        inner.write(proj)
+      }
+      override def commit(): WriterCommitMessage = inner.commit()
+      override def abort(): Unit = inner.abort()
+      override def close(): Unit = inner.close()
+    }
+  }
 }
 
 private[sql] final class GraftBatchWrite(
@@ -125,16 +180,23 @@ private[sql] final class GraftBatchWrite(
     tbl: String,
     stage: java.nio.file.Path,
     expected: Long,
-    spark: SparkSession) extends BatchWrite {
-  override def createBatchWriterFactory(info: PhysicalWriteInfo) =
-    delegate.createBatchWriterFactory(info)
+    spark: SparkSession,
+    operation: String,
+    summary: Map[String, String],
+    stripRowOperationColumn: Boolean = false,
+    dataSchema: StructType = null) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo) = {
+    val f = delegate.createBatchWriterFactory(info)
+    if (stripRowOperationColumn) new OperationStrippingWriterFactory(f, dataSchema)
+    else f
+  }
   override def useCommitCoordinator: Boolean = delegate.useCommitCoordinator
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     delegate.commit(messages) // parquet job commit: staged files final
     val files = FileStats.listParquet(stage.toString)
       .map(p => FileStats.stat(spark, p, Map.empty))
-    backing.commit(ns, tbl, Snaplog.OpAppend, files,
-      Map("engine" -> "sql-insert"), expectedSnapshotId = Some(expected))
+    backing.commit(ns, tbl, operation, files, summary,
+      expectedSnapshotId = Some(expected))
     ()
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -144,6 +206,77 @@ private[sql] final class GraftBatchWrite(
       java.nio.file.Files.walk(stage).iterator.asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
   }
+}
+
+/** Group-based row-level operation (UPDATE / MERGE / rewrite-DELETE):
+  * the scan side reads the FULL current snapshot as one plain parquet
+  * DSv2 scan; Spark's rewrite applies the statement's semantics to
+  * produce the complete replacement row set; the write side stages
+  * parquet and lands it as ONE conditional OVERWRITE commit. A racing
+  * committer fails the statement cleanly via CommitConflictException
+  * with nothing registered. */
+private[sql] final class GraftRowLevelOperation(
+    cmd: RowLevelOperation.Command,
+    tableName: String,
+    tableSchema: StructType,
+    partitionCols: Seq[String],
+    files: Seq[DataFileEntry],
+    deleteFiles: Seq[DataFileEntry],
+    backing: Catalog,
+    ns: String,
+    tbl: String,
+    writable: Boolean) extends RowLevelOperation {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // eligibility surfaces HERE — only when the group-based rewrite is
+    // actually planned (a DELETE the optimizer routes to the
+    // metadata-only path never gets this far)
+    if (!writable)
+      throw new UnsupportedOperationException(
+        s"$tableName: a time-travel relation is read-only")
+    if (partitionCols.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$tableName is identity-partitioned — $cmd via the graft API, " +
+          "which maintains the partition layout the log prunes on")
+    if (deleteFiles.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$tableName has outstanding merge-on-read delete vectors — " +
+          s"compact() to materialize them before SQL $cmd")
+    new ScanBuilder {
+      // deliberately NO pushdown interfaces: every live row must reach
+      // the rewrite (group replacement is whole-table here), so no
+      // filter may drop rows and no file may be pruned
+      override def build(): Scan =
+        ParquetTable(tableName, SparkSession.active, options,
+          files.map(_.path), Some(tableSchema), classOf[ParquetFileFormat])
+          .newScanBuilder(options).build()
+    }
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = {
+          val spark = SparkSession.active
+          val stage = backing.dataDir(ns, tbl).resolve(
+            s"snap-sql-${java.util.UUID.randomUUID().toString.take(12)}")
+          val expected = backing.currentSnapshot(ns, tbl)
+            .map(_.snapshotId).getOrElse(0L)
+          val delegate = ParquetTable(tableName, spark, info.options(),
+            Seq(stage.toString), Some(tableSchema), classOf[ParquetFileFormat])
+            .newWriteBuilder(info).build().toBatch
+          new GraftBatchWrite(delegate, backing, ns, tbl, stage, expected, spark,
+            Snaplog.OpOverwrite,
+            Map("engine" -> s"sql-${cmd.toString.toLowerCase(java.util.Locale.ROOT)}"),
+            stripRowOperationColumn = true, dataSchema = tableSchema)
+        }
+        override def description(): String = s"GraftRowLevelWrite[$cmd $tableName]"
+      }
+    }
+
+  override def description(): String = s"GraftRowLevelOperation[$cmd $tableName]"
 }
 
 /** Source-filter → Column translation for the SQL DELETE path. Only

@@ -234,6 +234,49 @@ class SqlCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT COUNT(*) FROM gsqldel.ns.del").head().getLong(0) == 2)
   }
 
+  test("UPDATE and MERGE INTO rewrite through group-based copy-on-write") {
+    val wh = Files.createTempDirectory("graft-sqlupd").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "u", fixture().schema)
+    tbl.append(fixture())
+    spark.conf.set("spark.sql.catalog.gsqlupd", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlupd.warehouse", wh)
+
+    spark.sql("UPDATE gsqlupd.ns.u SET value2 = value2 + 100 WHERE id >= 3")
+    assert(cat.snapshots("ns", "u").last.operation == graft.catalog.Snaplog.OpOverwrite)
+    assert(cat.snapshots("ns", "u").last.summary.get("engine").contains("sql-update"))
+    assert(spark.sql("SELECT SUM(value2) FROM gsqlupd.ns.u").head().getLong(0) ==
+      10 + 20 + 130 + 140)
+    assert(tbl.scan().agg(sum(col("value2"))).head().getLong(0) == 300)
+
+    // MERGE INTO: matched update + not-matched insert, one overwrite commit
+    Seq((2, "A", 0.0f, 999), (9, "Z", 9.0f, 900))
+      .toDF("id", "group", "value1", "value2")
+      .createOrReplaceTempView("graft_merge_src")
+    spark.sql("""MERGE INTO gsqlupd.ns.u t USING graft_merge_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.value2 = s.value2
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(cat.snapshots("ns", "u").last.summary.get("engine").contains("sql-merge"))
+    val rows = spark.sql("SELECT id, value2 FROM gsqlupd.ns.u ORDER BY id")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(rows == Map(1 -> 10, 2 -> 999, 3 -> 130, 4 -> 140, 9 -> 900))
+
+    // outstanding MOR vectors refuse UPDATE (the row-level read path
+    // cannot plan the V1 subtraction) — compaction restores it
+    tbl.deleteMor($"id" === 1)
+    val e = intercept[Exception] {
+      spark.sql("UPDATE gsqlupd.ns.u SET value2 = 0 WHERE id = 4")
+    }
+    assert(e.getMessage.contains("merge-on-read") ||
+      Option(e.getCause).exists(_.getMessage.contains("merge-on-read")))
+    tbl.compact()
+    spark.sql("UPDATE gsqlupd.ns.u SET value2 = 0 WHERE id = 4")
+    assert(cat.liveDeleteFiles("ns", "u").isEmpty)
+    val after = spark.sql("SELECT id, value2 FROM gsqlupd.ns.u ORDER BY id")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(after == Map(2 -> 999, 3 -> 130, 4 -> 0, 9 -> 900))
+  }
+
   test("VERSION AS OF accepts ref names (tags and branches)") {
     val wh = Files.createTempDirectory("graft-sqlref").toString
     val cat = new Snaplog(wh)

@@ -703,6 +703,91 @@ object Lakehouse {
           'sql-update,sql-merge' AS engines
         FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // SQL DDL lifecycle: CREATE TABLE → INSERT INTO → CTAS → INSERT
+    // OVERWRITE → DROP TABLE, entirely through spark.sql against the
+    // DSv2 catalog. Each write is one conditional commit; CREATE/DROP
+    // are metadata commits on the backing catalog.
+    QueryDef("lake_sql_ddl",
+      (s, d) => {
+        val whDir = wh("lake_sql_ddl", d)
+        val cat = new Snaplog(whDir)
+        cat.createNamespace("lake")
+        val cn = "gddl_" + java.lang.Long.toHexString(whDir.hashCode.toLong & 0xffffffffL)
+        s.conf.set(s"spark.sql.catalog.$cn", classOf[graft.sql.GraftSqlCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cn.warehouse", whDir)
+        t(s, d, "orders").createOrReplaceTempView("lake_sql_ddl_src")
+        s.sql(s"""CREATE TABLE $cn.lake.ddl_orders
+          (o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)""")
+        s.sql(s"""INSERT INTO $cn.lake.ddl_orders
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM lake_sql_ddl_src WHERE o_orderkey % 3 = 0""")
+        s.sql(s"""CREATE TABLE $cn.lake.ddl_hot AS
+          SELECT * FROM $cn.lake.ddl_orders WHERE o_totalprice > 150000.0""")
+        s.sql(s"""INSERT OVERWRITE $cn.lake.ddl_hot
+          SELECT o_orderkey, o_orderstatus, o_totalprice * 2
+          FROM lake_sql_ddl_src
+          WHERE o_orderkey % 3 = 0 AND o_totalprice > 150000.0""")
+        s.sql(s"DROP TABLE $cn.lake.ddl_orders")
+        val engines = cat.snapshots("lake", "ddl_hot")
+          .flatMap(_.summary.get("engine")).mkString(",")
+        s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM $cn.lake.ddl_hot GROUP BY o_orderstatus""")
+          .withColumn("engines", lit(engines))
+          .withColumn("dropped", lit(!cat.tableExists("lake", "ddl_orders")))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice * 2 AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          'sql-insert,sql-insert-overwrite' AS engines, TRUE AS dropped
+        FROM orders WHERE o_orderkey % 3 = 0 AND o_totalprice > 150000.0
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Iceberg-style SQL metadata relations: `t.snapshots`, `t.files`,
+    // `t.refs` queryable by name — driver-computed from the snapshot
+    // log, planned as local scans (metadata is metadata-sized; no data
+    // file is ever opened to answer them).
+    QueryDef("lake_sql_metadata",
+      (s, d) => {
+        val whDir = wh("lake_sql_metadata", d)
+        val cat = new Snaplog(whDir)
+        val orders3 = t(s, d, "orders")
+          .filter(col("o_orderkey") % 3 === 0)
+          .select("o_orderkey", "o_totalprice")
+        val tbl = LakehouseTable.create(cat, s, "lake", "meta_t", orders3.schema)
+        tbl.append(orders3.filter(col("o_orderkey") % 2 === 0).repartition(1))
+        tbl.append(orders3.filter(col("o_orderkey") % 2 =!= 0).repartition(1))
+        tbl.tag("v1", Some(1L))
+        tbl.setBranch("main", 2L)
+        val cn = "gmet_" + java.lang.Long.toHexString(whDir.hashCode.toLong & 0xffffffffL)
+        s.conf.set(s"spark.sql.catalog.$cn", classOf[graft.sql.GraftSqlCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cn.warehouse", whDir)
+        s.sql(s"""
+          SELECT 'snapshot' AS kind, CAST(snapshot_id AS STRING) AS k,
+              operation || '/' || CAST(committed_files AS STRING) || '/' ||
+              CAST(committed_records AS STRING) AS v
+            FROM $cn.lake.meta_t.snapshots
+          UNION ALL
+          SELECT 'files', content,
+              CAST(COUNT(*) AS STRING) || '/' || CAST(SUM(row_count) AS STRING)
+            FROM $cn.lake.meta_t.files GROUP BY content
+          UNION ALL
+          SELECT 'ref', name, type || '/' || CAST(snapshot_id AS STRING)
+            FROM $cn.lake.meta_t.refs
+          ORDER BY kind, k""")
+      },
+      Some("""WITH a AS (SELECT COUNT(*) AS n FROM orders WHERE o_orderkey % 6 = 0),
+          b AS (SELECT COUNT(*) AS n FROM orders
+                WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0)
+        SELECT * FROM (
+          SELECT 'snapshot' AS kind, '1' AS k, 'append/1/' || CAST(a.n AS VARCHAR) AS v FROM a
+          UNION ALL SELECT 'snapshot', '2', 'append/1/' || CAST(b.n AS VARCHAR) FROM b
+          UNION ALL SELECT 'files', 'data',
+            '2/' || CAST(a.n + b.n AS VARCHAR) FROM a, b
+          UNION ALL SELECT 'ref', 'main', 'branch/2'
+          UNION ALL SELECT 'ref', 'v1', 'tag/1'
+        ) ORDER BY kind, k""")),
+
     // SQL row-level DELETE: `DELETE FROM … WHERE …` through the DSv2
     // catalog maps onto the merge-on-read tier — one pushdown scan, one
     // KB-scale position vector, a conditional commit; no data file

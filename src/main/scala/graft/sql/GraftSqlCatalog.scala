@@ -3,16 +3,20 @@ package graft.sql
 import java.util.Collections
 
 import org.apache.spark.sql.{Row, SparkSession, SQLContext}
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.functions.{broadcast, col}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.catalog.{Catalog, DataFileEntry, JdbcCatalog, Snaplog}
 import graft.table.{FileStats, LakehouseTable}
@@ -99,11 +103,16 @@ private[sql] final class GraftSqlTable(
   }
   override def capabilities(): java.util.Set[TableCapability] =
     if (writable && partitionCols.isEmpty)
-      java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+      java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+        TableCapability.TRUNCATE)
     else java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableName, tableSchema, partitionCols, files,
       deleteFiles, options)
+  /** `INSERT INTO` appends; `INSERT OVERWRITE` (Spark plans it as
+    * truncate-then-append on an unpartitioned table) lands the staged
+    * files as ONE conditional overwrite commit — the previous file set
+    * is replaced atomically, never a visible empty table in between. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (!writable)
       throw new UnsupportedOperationException(
@@ -112,9 +121,11 @@ private[sql] final class GraftSqlTable(
       throw new UnsupportedOperationException(
         s"$tableName is identity-partitioned — append via the graft API, " +
           "which maintains the partition layout the log prunes on")
-    new WriteBuilder {
+    new WriteBuilder with SupportsTruncate {
+      private var replaceAll = false
+      override def truncate(): WriteBuilder = { replaceAll = true; this }
       override def build(): Write = new GraftAppendWrite(
-        tableName, tableSchema, backing, ns, tbl, info)
+        tableName, tableSchema, backing, ns, tbl, info, replaceAll)
     }
   }
 }
@@ -133,7 +144,8 @@ private[sql] final class GraftAppendWrite(
     backing: Catalog,
     ns: String,
     tbl: String,
-    info: LogicalWriteInfo) extends Write {
+    info: LogicalWriteInfo,
+    replaceAll: Boolean = false) extends Write {
   override def toBatch: BatchWrite = {
     val spark = SparkSession.active
     val stage = backing.dataDir(ns, tbl).resolve(
@@ -143,7 +155,8 @@ private[sql] final class GraftAppendWrite(
       Seq(stage.toString), Some(tableSchema), classOf[ParquetFileFormat])
       .newWriteBuilder(info).build().toBatch
     new GraftBatchWrite(delegate, backing, ns, tbl, stage, expected, spark,
-      Snaplog.OpAppend, Map("engine" -> "sql-insert"))
+      if (replaceAll) Snaplog.OpOverwrite else Snaplog.OpAppend,
+      Map("engine" -> (if (replaceAll) "sql-insert-overwrite" else "sql-insert")))
   }
   override def description(): String = s"GraftAppendWrite[$tableName]"
 }
@@ -798,11 +811,17 @@ private[sql] object FilePrune {
   * subtraction the native scan uses (metadata-only aggregates decline
   * for them — logged row counts ignore vector-deleted rows).
   *
-  * Writes: `INSERT INTO` (append) goes through the snapshot log's
-  * conditional commit — see [[GraftAppendWrite]]. Everything that
-  * would bypass commit semantics (overwrites, DDL, partitioned-table
-  * inserts) fails loudly; those live in the transactional
-  * `LakehouseTable` API, like the reference's own write path.
+  * Writes: `INSERT INTO` (append) and `INSERT OVERWRITE` (atomic
+  * replace) go through the snapshot log's conditional commit — see
+  * [[GraftAppendWrite]]. DDL: `CREATE TABLE` (identity partitioning
+  * only) / CTAS / `DROP TABLE` map onto the backing catalog's
+  * metadata commits. Iceberg-style metadata relations are queryable
+  * as `<table>.snapshots` / `.files` / `.refs` (driver-computed,
+  * planned as local scans — the snapshot log IS metadata-sized).
+  * What would bypass commit semantics (partitioned-table inserts,
+  * schema evolution, renames) fails loudly; those live in the
+  * transactional `LakehouseTable` API, like the reference's own
+  * write path.
   */
 class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -865,7 +884,48 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
     ident.namespace.length == 1 &&
       backing.tableExists(ident.namespace()(0), ident.name)
 
-  override def loadTable(ident: Identifier): Table = load(ident, None)
+  override def loadTable(ident: Identifier): Table =
+    if (tableExists(ident)) load(ident, None)
+    else metaTable(ident).getOrElse(throw new NoSuchTableException(ident))
+
+  /** `CREATE TABLE` / CTAS: a metadata-only commit against the backing
+    * catalog — identity partitioning only (what the log records and
+    * prunes on; bucket/days/… transforms have no layout here). CTAS
+    * then appends through the same conditional-commit write path, and
+    * Spark drops the half-created table if that write fails. */
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    require(ident.namespace().length == 1, "graft namespaces are single-level")
+    val ns = ident.namespace()(0)
+    if (!backing.namespaceExists(ns))
+      throw new NoSuchNamespaceException(ident.namespace().toSeq)
+    if (backing.tableExists(ns, ident.name))
+      throw new TableAlreadyExistsException(
+        (catName +: ident.namespace().toSeq :+ ident.name))
+    val partCols = partitions.toSeq.map { tr =>
+      if (tr.name != "identity" || tr.references().length != 1)
+        throw new UnsupportedOperationException(
+          s"$catName supports only identity partitioning " +
+            s"(PARTITIONED BY (col)); got $tr")
+      tr.references()(0).fieldNames().mkString(".")
+    }
+    val props = {
+      val it = properties.entrySet().iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      // "provider"/"owner" are Spark-reserved bookkeeping, not table
+      // properties a log reader should see
+      b.result().view.filterKeys(k => k != "provider" && k != "owner").toMap
+    }
+    backing.createTable(ns, ident.name, schema, partCols, props,
+      ifNotExists = false)
+    load(ident, None)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    tableExists(ident) && {
+      backing.dropTable(ident.namespace()(0), ident.name); true
+    }
 
   /** `VERSION AS OF <id | 'ref-name'>` — snapshot-id or named-ref
     * (tag/branch) time travel, the release-pinning workflow from SQL:
@@ -907,13 +967,89 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
-      s"$catName is a read-only catalog: evolve tables via the graft API")
-
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      s"$catName is a read-only catalog: drop tables via the graft API")
+      s"$catName: evolve tables via the graft API (addColumn checks " +
+        "evolution legality; blind ALTERs would not)")
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
-      s"$catName is a read-only catalog: rename tables via the graft API")
+      s"$catName: rename tables via the graft API")
+
+  // ---- metadata relations -------------------------------------------------
+
+  /** `cat.ns.t.snapshots` / `.files` / `.refs`: the multipart name
+    * arrives as Identifier(ns=[ns, t], name=kind). Driver-computed
+    * rows — the snapshot log is metadata-sized by construction. */
+  private def metaTable(ident: Identifier): Option[Table] = {
+    if (ident.namespace().length != 2) return None
+    val ns = ident.namespace()(0)
+    val t = ident.namespace()(1)
+    val kind = ident.name.toLowerCase(java.util.Locale.ROOT)
+    if (!backing.namespaceExists(ns) || !backing.tableExists(ns, t)) return None
+    def str(x: String) = UTF8String.fromString(x)
+    def row(vs: Any*) = new GenericInternalRow(vs.toArray)
+    kind match {
+      case "snapshots" => Some(new GraftMetaTable(
+        s"$catName.$ns.$t.snapshots",
+        StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("parent_id", LongType, nullable = true),
+          StructField("timestamp_ms", LongType, nullable = false),
+          StructField("operation", StringType, nullable = false),
+          StructField("committed_files", IntegerType, nullable = false),
+          StructField("committed_records", LongType, nullable = false),
+          StructField("summary", StringType, nullable = false))),
+        () => backing.snapshots(ns, t).map { sn =>
+          row(sn.snapshotId, sn.parentId.map(Long.box).orNull, sn.timestampMs,
+            str(sn.operation), sn.files.size, sn.files.map(_.rowCount).sum,
+            str(sn.summary.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+              .mkString(",")))
+        }.toArray))
+      case "files" => Some(new GraftMetaTable(
+        s"$catName.$ns.$t.files",
+        StructType(Seq(
+          StructField("path", StringType, nullable = false),
+          StructField("content", StringType, nullable = false),
+          StructField("row_count", LongType, nullable = false),
+          StructField("size_bytes", LongType, nullable = false),
+          StructField("partition", StringType, nullable = false))),
+        () => {
+          def fr(f: DataFileEntry, content: String) =
+            row(str(f.path), str(content), f.rowCount, f.sizeBytes,
+              str(f.partitionValues.toSeq.sorted
+                .map { case (k, v) => s"$k=$v" }.mkString(",")))
+          (backing.liveFiles(ns, t).map(fr(_, "data")) ++
+            backing.liveDeleteFiles(ns, t).map(fr(_, "position-deletes"))).toArray
+        }))
+      case "refs" => Some(new GraftMetaTable(
+        s"$catName.$ns.$t.refs",
+        StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("type", StringType, nullable = false),
+          StructField("snapshot_id", LongType, nullable = false))),
+        () => backing.refs(ns, t).toSeq.sortBy(_._1).map { case (n, r) =>
+          row(str(n), str(r.refType), r.snapshotId)
+        }.toArray))
+      case _ => None
+    }
+  }
+}
+
+/** A driver-computed metadata relation planned as a local scan — rows
+  * come from the snapshot log, never from data files. */
+private[sql] final class GraftMetaTable(
+    fullName: String,
+    metaSchema: StructType,
+    rowsFn: () => Array[InternalRow]) extends Table with SupportsRead {
+  override def name(): String = fullName
+  override def schema(): StructType = metaSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = metaSchema
+        override def rows(): Array[InternalRow] = rowsFn()
+        override def description(): String = s"GraftMetaScan[$fullName]"
+      }
+    }
 }

@@ -44,11 +44,14 @@ class SqlCatalogSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(value2,25)"),
       s"expected value2 pushdown in:\n$plan")
 
-    // DDL and partitioned-table DML through the catalog must not plan
+    // partitioned-table DML and schema DDL through the catalog must
+    // not plan (layout and evolution legality live in the graft API)
     intercept[Exception] {
       spark.sql("INSERT INTO gsqltest.ns.t VALUES (99, 'Z', 9.9, 99)")
     }
-    intercept[Exception] { spark.sql("DROP TABLE gsqltest.ns.t") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gsqltest.ns.t ADD COLUMN extra INT")
+    }
 
     // outstanding MOR vectors: reads by name stay available — the scan
     // plans the same broadcast anti-join subtraction the native scan
@@ -200,10 +203,7 @@ class SqlCatalogSpec extends SparkSpec {
     // inserted files carry footer stats into the log like any commit
     assert(snaps.last.files.forall(_.columnStats.exists(_.contains("value2"))))
 
-    // overwrite through SQL must not plan; time-travel relations are read-only
-    intercept[Exception] {
-      spark.sql("INSERT OVERWRITE gsqlins.ns.ins VALUES (1, 'X', 0.0, 0)")
-    }
+    // time-travel relations are read-only
     intercept[Exception] {
       spark.sql("INSERT INTO gsqlins.ns.ins VERSION AS OF 1 VALUES (1, 'X', 0.0, 0)")
     }
@@ -275,6 +275,98 @@ class SqlCatalogSpec extends SparkSpec {
     val after = spark.sql("SELECT id, value2 FROM gsqlupd.ns.u ORDER BY id")
       .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
     assert(after == Map(2 -> 999, 3 -> 130, 4 -> 0, 9 -> 900))
+  }
+
+  test("CREATE TABLE, CTAS, INSERT OVERWRITE and DROP TABLE through the catalog") {
+    val wh = Files.createTempDirectory("graft-sqlddl").toString
+    val cat = new Snaplog(wh)
+    cat.createNamespace("ns")
+    spark.conf.set("spark.sql.catalog.gsqlddl", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlddl.warehouse", wh)
+
+    // identity-partitioned CREATE records the partition spec in the log;
+    // its INSERT still refuses (partition layout lives in the graft API)
+    spark.sql("""CREATE TABLE gsqlddl.ns.c (id INT, grp STRING, v BIGINT)
+      PARTITIONED BY (grp)""")
+    assert(cat.loadTable("ns", "c").partitionColumns == Seq("grp"))
+    intercept[Exception] { spark.sql("INSERT INTO gsqlddl.ns.c VALUES (1,'a',1)") }
+    // non-identity transforms refuse at CREATE
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gsqlddl.ns.b (id INT) PARTITIONED BY (bucket(4, id))")
+    }
+
+    spark.sql("CREATE TABLE gsqlddl.ns.u (id INT, v BIGINT)")
+    spark.sql("INSERT INTO gsqlddl.ns.u VALUES (1, 10), (2, 20), (3, 30)")
+    assert(spark.sql("SELECT SUM(v) FROM gsqlddl.ns.u").head().getLong(0) == 60)
+
+    // CTAS: metadata commit + append through the same conditional-commit
+    // write path
+    spark.sql("""CREATE TABLE gsqlddl.ns.big AS
+      SELECT id, v * 2 AS v2 FROM gsqlddl.ns.u WHERE v >= 20""")
+    assert(spark.sql("SELECT SUM(v2) FROM gsqlddl.ns.big").head().getLong(0) == 100)
+    assert(cat.snapshots("ns", "big").map(_.operation) ==
+      Seq(graft.catalog.Snaplog.OpAppend))
+
+    // INSERT OVERWRITE: one atomic overwrite commit, not delete+append
+    spark.sql("INSERT OVERWRITE gsqlddl.ns.u VALUES (9, 90), (10, CAST(100 AS BIGINT))")
+    assert(spark.sql("SELECT COUNT(*), SUM(v) FROM gsqlddl.ns.u").head() match {
+      case r => r.getLong(0) == 2 && r.getLong(1) == 190
+    })
+    val last = cat.snapshots("ns", "u").last
+    assert(last.operation == graft.catalog.Snaplog.OpOverwrite)
+    assert(last.summary.get("engine").contains("sql-insert-overwrite"))
+
+    // duplicate CREATE fails loudly; IF NOT EXISTS is silent
+    intercept[Exception] { spark.sql("CREATE TABLE gsqlddl.ns.u (id INT)") }
+    spark.sql("CREATE TABLE IF NOT EXISTS gsqlddl.ns.u (id INT)")
+    assert(spark.sql("SELECT COUNT(*) FROM gsqlddl.ns.u").head().getLong(0) == 2)
+
+    spark.sql("DROP TABLE gsqlddl.ns.big")
+    assert(!cat.tableExists("ns", "big"))
+    intercept[Exception] { spark.sql("SELECT * FROM gsqlddl.ns.big").collect() }
+  }
+
+  test("metadata relations: t.snapshots, t.files, t.refs plan as local scans") {
+    val wh = Files.createTempDirectory("graft-sqlmeta").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "m", fixture().schema)
+    tbl.append(fixture().repartition(1))
+    tbl.append(fixture().repartition(1))
+    cat.setRef("ns", "m", "audit", 1L)
+    cat.setRef("ns", "m", "dev", 2L, refType = "branch")
+    spark.conf.set("spark.sql.catalog.gsqlmeta", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlmeta.warehouse", wh)
+
+    val snaps = spark.sql("""SELECT snapshot_id, operation, committed_files,
+        committed_records FROM gsqlmeta.ns.m.snapshots ORDER BY snapshot_id""")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    assert(snaps.toSeq == Seq((1L, "append", 1, 4L), (2L, "append", 1, 4L)))
+    assert(spark.sql(
+      "SELECT MIN(timestamp_ms) FROM gsqlmeta.ns.m.snapshots").head().getLong(0) > 0)
+    // metadata relations never touch data files: planned as local scans
+    val plan = spark.sql("SELECT * FROM gsqlmeta.ns.m.snapshots")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), s"expected LocalTableScan in:\n$plan")
+
+    val files = spark.sql("""SELECT content, COUNT(*) AS n, SUM(row_count) AS rows
+      FROM gsqlmeta.ns.m.files GROUP BY content""").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(files == Seq(("data", 2L, 8L)))
+
+    // a MOR delete surfaces as a position-deletes entry
+    import spark.implicits._
+    tbl.deleteMor($"id" === 1)
+    val files2 = spark.sql("""SELECT content, COUNT(*) AS n
+      FROM gsqlmeta.ns.m.files GROUP BY content ORDER BY content""").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(files2 == Seq(("data", 2L), ("position-deletes", 1L)))
+
+    val refs = spark.sql("SELECT name, type, snapshot_id FROM gsqlmeta.ns.m.refs ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(refs == Seq(("audit", "tag", 1L), ("dev", "branch", 2L)))
+
+    // unknown metadata kinds still fail as missing tables
+    intercept[Exception] { spark.sql("SELECT * FROM gsqlmeta.ns.m.nope").collect() }
   }
 
   test("VERSION AS OF accepts ref names (tags and branches)") {

@@ -728,6 +728,11 @@ object Lakehouse {
           FROM lake_sql_ddl_src
           WHERE o_orderkey % 3 = 0 AND o_totalprice > 150000.0""")
         s.sql(s"DROP TABLE $cn.lake.ddl_orders")
+        // TRUNCATE: metadata-only overwrite commit (no data file touched)
+        s.sql(s"CREATE TABLE $cn.lake.ddl_tmp AS SELECT * FROM $cn.lake.ddl_hot")
+        s.sql(s"TRUNCATE TABLE $cn.lake.ddl_tmp")
+        val truncated = s.sql(s"SELECT COUNT(*) FROM $cn.lake.ddl_tmp")
+          .head().getLong(0)
         val engines = cat.snapshots("lake", "ddl_hot")
           .flatMap(_.summary.get("engine")).mkString(",")
         s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
@@ -735,11 +740,13 @@ object Lakehouse {
           FROM $cn.lake.ddl_hot GROUP BY o_orderstatus""")
           .withColumn("engines", lit(engines))
           .withColumn("dropped", lit(!cat.tableExists("lake", "ddl_orders")))
+          .withColumn("truncated_rows", lit(truncated))
           .orderBy(col("o_orderstatus"))
       },
       Some("""SELECT o_orderstatus, COUNT(*) AS n,
           CAST(SUM(CAST(o_totalprice * 2 AS DECIMAL(18,2))) AS DOUBLE) AS total,
-          'sql-insert,sql-insert-overwrite' AS engines, TRUE AS dropped
+          'sql-insert,sql-insert-overwrite' AS engines, TRUE AS dropped,
+          CAST(0 AS BIGINT) AS truncated_rows
         FROM orders WHERE o_orderkey % 3 = 0 AND o_totalprice > 150000.0
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 

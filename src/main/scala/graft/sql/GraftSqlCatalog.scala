@@ -91,6 +91,21 @@ private[sql] final class GraftSqlTable(
     * DELETE statements tend to be. Conditions Spark cannot express as
     * source filters are declined (Spark reports rewrite-unsupported
     * rather than deleting the wrong rows). */
+  /** `TRUNCATE TABLE` is METADATA-ONLY: one conditional overwrite
+    * commit with an empty file list — no data file is touched, no row
+    * is scanned, and every previous snapshot stays time-travelable.
+    * (The inherited SupportsDelete default would instead MOR-delete
+    * every row: a full scan producing a table-sized position vector.) */
+  override def truncateTable(): Boolean = {
+    if (!writable)
+      throw new UnsupportedOperationException(
+        s"$tableName: a time-travel relation is read-only")
+    val expected = backing.currentSnapshot(ns, tbl).map(_.snapshotId).getOrElse(0L)
+    backing.commit(ns, tbl, Snaplog.OpOverwrite, Seq.empty,
+      Map("engine" -> "sql-truncate"), expectedSnapshotId = Some(expected))
+    true
+  }
+
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     writable && filters.forall(FilterToColumn.translatable)
   override def deleteWhere(filters: Array[Filter]): Unit = {

@@ -326,6 +326,31 @@ class SqlCatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql("SELECT * FROM gsqlddl.ns.big").collect() }
   }
 
+  test("TRUNCATE TABLE is a metadata-only overwrite commit") {
+    val wh = Files.createTempDirectory("graft-sqltrunc").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "tr", fixture().schema)
+    tbl.append(fixture()) // snapshot 1
+    spark.conf.set("spark.sql.catalog.gsqltr", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqltr.warehouse", wh)
+
+    val dataFiles = cat.liveFiles("ns", "tr").map(_.path)
+    spark.sql("TRUNCATE TABLE gsqltr.ns.tr")
+    assert(spark.sql("SELECT COUNT(*) FROM gsqltr.ns.tr").head().getLong(0) == 0)
+    // metadata-only: the previous data files still exist on disk and
+    // the pre-truncate snapshot still reads them
+    assert(dataFiles.forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    assert(spark.sql("SELECT COUNT(*) FROM gsqltr.ns.tr VERSION AS OF 1")
+      .head().getLong(0) == 4)
+    val last = cat.snapshots("ns", "tr").last
+    assert(last.operation == graft.catalog.Snaplog.OpOverwrite)
+    assert(last.files.isEmpty)
+    assert(last.summary.get("engine").contains("sql-truncate"))
+    // and the table keeps working: insert after truncate
+    spark.sql("INSERT INTO gsqltr.ns.tr VALUES (7, 'G', 7.5, 70)")
+    assert(spark.sql("SELECT SUM(value2) FROM gsqltr.ns.tr").head().getLong(0) == 70)
+  }
+
   test("metadata relations: t.snapshots, t.files, t.refs plan as local scans") {
     val wh = Files.createTempDirectory("graft-sqlmeta").toString
     val cat = new Snaplog(wh)

@@ -31,14 +31,14 @@ import graft.table.{FileStats, LakehouseTable}
   * V1 relation that subtracts the vectors with a broadcast anti-join
   * (see [[MorRelation]]).
   *
-  * Writes: APPEND ONLY (`INSERT INTO`), and only for the CURRENT
-  * snapshot of an unpartitioned table — the write stages parquet under
-  * the table's data dir and registers it through the snapshot log's
-  * conditional commit, so SQL inserts get the same atomicity and
-  * optimistic concurrency as the native API. Everything else
-  * (overwrite, DDL, partitioned-table inserts, writes to a time-travel
-  * relation) is rejected: those need the graft API, where partition
-  * layout and reset semantics live. */
+  * Writes (current snapshot, unpartitioned tables): `INSERT INTO`
+  * appends, `INSERT OVERWRITE` replaces, `DELETE` takes the MOR tier,
+  * `UPDATE`/`MERGE` rewrite copy-on-write, `TRUNCATE` commits
+  * metadata-only — every one through the snapshot log's conditional
+  * commit, so SQL writers get the same atomicity and optimistic
+  * concurrency as the native API. Partitioned-table inserts and
+  * writes to a time-travel relation are rejected: those need the
+  * graft API, where partition layout and reset semantics live. */
 private[sql] final class GraftSqlTable(
     tableName: String,
     tableSchema: StructType,
@@ -364,9 +364,16 @@ private[sql] final class MorRelation(
     tableSchema: StructType,
     requiredSchema: StructType,
     dataPaths: Seq[String],
-    deletePaths: Seq[String]) extends BaseRelation with TableScan {
+    deletePaths: Seq[String],
+    dataSizeBytes: Long) extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = requiredSchema
+  /** Log-recorded data size, NOT Spark's pessimistic default
+    * (effectively infinite) — without this a small MOR-state dimension
+    * could never plan on the broadcast side of a join. Slight
+    * over-estimate (vector-deleted rows still counted): safe direction
+    * for a broadcast decision. */
+  override def sizeInBytes: Long = dataSizeBytes
   override def buildScan(): org.apache.spark.rdd.RDD[Row] = {
     val spark = ctx.sparkSession
     if (dataPaths.isEmpty)
@@ -564,12 +571,13 @@ private[sql] final class GraftScanBuilder(
       val ts = tableSchema
       val dataPaths = kept.map(_.path)
       val delPaths = deleteFiles.map(_.path)
+      val dataSize = kept.map(_.sizeBytes).sum
       new V1Scan {
         override def readSchema(): StructType = requiredSchema
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T =
-          new MorRelation(context, ts, requiredSchema, dataPaths, delPaths)
-            .asInstanceOf[T]
+          new MorRelation(context, ts, requiredSchema, dataPaths, delPaths,
+            dataSize).asInstanceOf[T]
         override def description(): String =
           s"GraftMorScan[${dataPaths.size} files, ${delPaths.size} delete vectors]"
       }

@@ -69,6 +69,13 @@ class SqlCatalogSpec extends SparkSpec {
     // time travel BEFORE the delete sees all rows with no subtraction
     assert(spark.sql("SELECT COUNT(*) FROM gsqltest.ns.t VERSION AS OF 2")
       .head().getLong(0) == 8)
+    // the MOR relation reports its log-recorded size, so a small
+    // MOR-state table still plans on the broadcast side of a join
+    fixture().createOrReplaceTempView("gsql_mor_probe")
+    val joinPlan = spark.sql("""SELECT t.id FROM gsql_mor_probe p
+      JOIN gsqltest.ns.t t ON p.id = t.id""").queryExecution.executedPlan.toString
+    assert(joinPlan.contains("BroadcastHashJoin"),
+      s"expected a broadcast join against the MOR relation in:\n$joinPlan")
     // compaction materializes the delete; the plain parquet relation
     // (and metadata aggregates) return
     tbl.compact()

@@ -795,6 +795,41 @@ object Lakehouse {
           UNION ALL SELECT 'ref', 'v1', 'tag/1'
         ) ORDER BY kind, k""")),
 
+    // SQL maintenance procedures: `CALL cat.system.compact/set_ref/
+    // expire_snapshots/vacuum` — the full maintenance cycle from SQL,
+    // each CALL bound to the same transactional op the native API runs.
+    QueryDef("lake_sql_call",
+      (s, d) => {
+        val whDir = wh("lake_sql_call", d)
+        val cat = new Snaplog(whDir)
+        val orders3 = t(s, d, "orders").filter(col("o_orderkey") % 3 === 0)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val tbl = LakehouseTable.create(cat, s, "lake", "call_t", orders3.schema)
+        tbl.append(orders3.filter(col("o_orderkey") % 2 === 0).repartition(1))
+        tbl.append(orders3.filter(col("o_orderkey") % 2 =!= 0).repartition(1))
+        val cn = "gcal_" + java.lang.Long.toHexString(whDir.hashCode.toLong & 0xffffffffL)
+        s.conf.set(s"spark.sql.catalog.$cn", classOf[graft.sql.GraftSqlCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cn.warehouse", whDir)
+        val c = s.sql(s"CALL $cn.system.compact('lake', 'call_t', 'o_orderkey')")
+          .collect()(0)
+        s.sql(s"CALL $cn.system.set_ref('lake', 'call_t', 'gold', ${c.getLong(0)}, 'tag')")
+        val e = s.sql(s"CALL $cn.system.expire_snapshots('lake', 'call_t', 1)")
+          .collect()(0)
+        val v = s.sql(s"CALL $cn.system.vacuum('lake', 'call_t')").collect()(0)
+        s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM $cn.lake.call_t VERSION AS OF 'gold' GROUP BY o_orderstatus""")
+          .withColumn("live_files", lit(c.getInt(1)))
+          .withColumn("expired", lit(e.getInt(0)))
+          .withColumn("vacuumed_data", lit(v.getInt(1)))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          1 AS live_files, 2 AS expired, 2 AS vacuumed_data
+        FROM orders WHERE o_orderkey % 3 = 0
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // SQL row-level DELETE: `DELETE FROM … WHERE …` through the DSv2
     // catalog maps onto the merge-on-read tier — one pushdown scan, one
     // KB-scale position vector, a conditional commit; no data file

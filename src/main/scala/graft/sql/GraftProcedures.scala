@@ -1,0 +1,118 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.catalog.Catalog
+import graft.table.LakehouseTable
+
+/** Maintenance operations callable from SQL — `CALL cat.system.<proc>`
+  * via Spark's DSv2 procedure API. Each procedure is a thin binding
+  * over the SAME transactional operation the native API runs (per-table
+  * commit mutex / conditional commit inside), so `CALL` gets identical
+  * concurrency semantics, and each returns a one-row result scan
+  * summarizing what happened. The reference drives maintenance through
+  * its table API (compaction/expiration in `maintenance.py`); exposing
+  * it through `CALL` completes the SQL-only user's surface the same way
+  * Iceberg's Spark procedures do.
+  *
+  * Every procedure is driver-side METADATA work except `compact`, whose
+  * data movement is one distributed repartition job — none of them
+  * collect table data to the driver.
+  */
+private[sql] object GraftProcedures {
+
+  val Names: Seq[String] =
+    Seq("compact", "expire_snapshots", "vacuum", "set_ref")
+
+  def load(catName: String, name: String, backing: Catalog): UnboundProcedure =
+    name.toLowerCase(java.util.Locale.ROOT) match {
+      case "compact" => proc(name,
+        "rewrite live data files toward a target size (optionally sorted); " +
+          "one conditional replace commit",
+        Seq("ns" -> StringType, "tbl" -> StringType, "sort_by" -> StringType),
+        StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("live_files", IntegerType, nullable = false)))) { in =>
+        val (ns, t) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString)
+        val sortBy = in.getUTF8String(2).toString.split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        val tbl = LakehouseTable.load(backing, SparkSession.active, ns, t)
+        val snap = tbl.compact(sortBy = sortBy)
+        row(snap.snapshotId, backing.liveFiles(ns, t).size)
+      }
+      case "expire_snapshots" => proc(name,
+        "drop history older than the last N snapshots (refs pin their targets)",
+        Seq("ns" -> StringType, "tbl" -> StringType, "keep_last" -> IntegerType),
+        StructType(Seq(
+          StructField("expired", IntegerType, nullable = false),
+          StructField("current_snapshot", LongType, nullable = false)))) { in =>
+        val (ns, t) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString)
+        val before = backing.snapshots(ns, t).size
+        val kept = backing.expireSnapshots(ns, t, in.getInt(2)) // returns KEPT
+        row(before - kept.size,
+          backing.currentSnapshot(ns, t).map(_.snapshotId).getOrElse(0L))
+      }
+      case "vacuum" => proc(name,
+        "delete orphan files no snapshot references (requires exclusive access)",
+        Seq("ns" -> StringType, "tbl" -> StringType),
+        StructType(Seq(
+          StructField("deleted_files", IntegerType, nullable = false),
+          StructField("deleted_data_files", IntegerType, nullable = false)))) { in =>
+        val (ns, t) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString)
+        val deleted = backing.vacuum(ns, t)
+        // split out parquet data files from write-protocol droppings
+        // (_SUCCESS, .crc): the data-file count is the auditable signal
+        row(deleted.size, deleted.count(_.endsWith(".parquet")))
+      }
+      case "set_ref" => proc(name,
+        "create or move a named ref (tag/branch) to a snapshot",
+        Seq("ns" -> StringType, "tbl" -> StringType, "name" -> StringType,
+          "snapshot_id" -> LongType, "ref_type" -> StringType),
+        StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("type", StringType, nullable = false),
+          StructField("snapshot_id", LongType, nullable = false)))) { in =>
+        val (ns, t) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString)
+        val refName = in.getUTF8String(2).toString
+        val ref = backing.setRef(ns, t, refName, in.getLong(3),
+          refType = in.getUTF8String(4).toString)
+        row(UTF8String.fromString(refName), UTF8String.fromString(ref.refType),
+          ref.snapshotId)
+      }
+      case other => throw new UnsupportedOperationException(
+        s"$catName has no procedure '$other' — available: ${Names.mkString(", ")}")
+    }
+
+  private def row(vs: Any*): InternalRow = new GenericInternalRow(vs.toArray)
+
+  /** One-row-result procedure: parameters are all required IN params,
+    * the body runs on the driver at CALL time, and the result surfaces
+    * as a LocalScan. */
+  private def proc(procName: String, doc: String,
+      params: Seq[(String, DataType)], out: StructType)(
+      body: InternalRow => InternalRow): UnboundProcedure =
+    new UnboundProcedure with BoundProcedure {
+      override def name(): String = procName
+      override def description(): String = doc
+      override def bind(inputType: StructType): BoundProcedure = this
+      override def parameters(): Array[ProcedureParameter] =
+        params.map { case (n, dt) => ProcedureParameter.in(n, dt).build() }.toArray
+      // mutates catalog state; Spark must not cache or re-run it
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val result = body(input)
+        java.util.List.of[Scan](new LocalScan {
+          override def readSchema(): StructType = out
+          override def rows(): Array[InternalRow] = Array(result)
+          override def description(): String = s"GraftProcedureResult[$procName]"
+        }).iterator()
+      }
+    }
+}

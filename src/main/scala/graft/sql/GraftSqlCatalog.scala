@@ -48,11 +48,23 @@ private[sql] final class GraftSqlTable(
     backing: Catalog,
     ns: String,
     tbl: String,
-    writable: Boolean) extends Table with SupportsRead with SupportsWrite
+    writable: Boolean,
+    tableProps: Map[String, String] = Map.empty) extends Table
+    with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
+  /** DESCRIBE/SHOW surfaces: identity partition spec and catalog-stored
+    * table properties, not the interface defaults (empty). */
+  override def partitioning(): Array[Transform] =
+    partitionCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    tableProps.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
 
   /** `UPDATE` / `MERGE INTO` (and DELETEs whose predicate has no exact
     * source-filter translation) run as GROUP-BASED copy-on-write: Spark
@@ -846,7 +858,8 @@ private[sql] object FilePrune {
   * transactional `LakehouseTable` API, like the reference's own
   * write path.
   */
-class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
+class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catName: String = _
   private var backing: Catalog = _
@@ -985,7 +998,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
     val meta = backing.loadTable(ns, t)
     new GraftSqlTable(s"$catName.$ns.$t", meta.schema, meta.partitionColumns,
       backing.liveFiles(ns, t, asOf), backing.liveDeleteFiles(ns, t, asOf),
-      backing, ns, t, writable = asOf.isEmpty)
+      backing, ns, t, writable = asOf.isEmpty, tableProps = meta.properties)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
@@ -996,6 +1009,24 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       s"$catName: rename tables via the graft API")
+
+  // ---- procedures ---------------------------------------------------------
+
+  /** `CALL <cat>.system.compact('ns','t','')` etc — maintenance through
+    * SQL, bound to the same transactional ops the native API runs. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!ident.namespace().sameElements(Array("system")))
+      throw new UnsupportedOperationException(
+        s"$catName procedures live in the 'system' namespace: " +
+          s"CALL $catName.system.<name>(…)")
+    GraftProcedures.load(catName, ident.name, backing)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.Names.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
 
   // ---- metadata relations -------------------------------------------------
 

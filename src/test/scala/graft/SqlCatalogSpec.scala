@@ -294,8 +294,16 @@ class SqlCatalogSpec extends SparkSpec {
     // identity-partitioned CREATE records the partition spec in the log;
     // its INSERT still refuses (partition layout lives in the graft API)
     spark.sql("""CREATE TABLE gsqlddl.ns.c (id INT, grp STRING, v BIGINT)
-      PARTITIONED BY (grp)""")
+      PARTITIONED BY (grp) TBLPROPERTIES ('quality'='gold')""")
     assert(cat.loadTable("ns", "c").partitionColumns == Seq("grp"))
+    // DESCRIBE/SHOW see the real partition spec and stored properties
+    val desc = spark.sql("DESCRIBE TABLE gsqlddl.ns.c").collect()
+    assert(desc.exists(_.getString(0) == "# Partition Information") &&
+      desc.count(_.getString(0) == "grp") == 2,
+      s"expected partition section listing grp in ${desc.mkString(";")}")
+    val props = spark.sql("SHOW TBLPROPERTIES gsqlddl.ns.c").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("quality").contains("gold"))
     intercept[Exception] { spark.sql("INSERT INTO gsqlddl.ns.c VALUES (1,'a',1)") }
     // non-identity transforms refuse at CREATE
     intercept[Exception] {
@@ -356,6 +364,43 @@ class SqlCatalogSpec extends SparkSpec {
     // and the table keeps working: insert after truncate
     spark.sql("INSERT INTO gsqltr.ns.tr VALUES (7, 'G', 7.5, 70)")
     assert(spark.sql("SELECT SUM(value2) FROM gsqltr.ns.tr").head().getLong(0) == 70)
+  }
+
+  test("CALL system procedures: compact, set_ref, expire_snapshots, vacuum") {
+    val wh = Files.createTempDirectory("graft-sqlcall").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "pc", fixture().schema)
+    tbl.append(fixture().repartition(1)) // snapshot 1, file 1
+    tbl.append(fixture().repartition(1)) // snapshot 2, file 2
+    spark.conf.set("spark.sql.catalog.gsqlcall", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlcall.warehouse", wh)
+
+    val c = spark.sql("CALL gsqlcall.system.compact('ns', 'pc', '')").collect()
+    assert(c.head.getLong(0) == 3 && c.head.getInt(1) == 1,
+      s"expected replace snapshot 3 with 1 live file, got ${c.mkString}")
+    assert(cat.snapshots("ns", "pc").last.operation == graft.catalog.Snaplog.OpReplace)
+
+    val r = spark.sql(
+      "CALL gsqlcall.system.set_ref('ns', 'pc', 'gold', 3, 'tag')").collect()
+    assert(r.head.getString(0) == "gold" && r.head.getString(1) == "tag" &&
+      r.head.getLong(2) == 3)
+    assert(cat.refs("ns", "pc").get("gold").map(_.snapshotId).contains(3L))
+
+    val e = spark.sql("CALL gsqlcall.system.expire_snapshots('ns', 'pc', 1)").collect()
+    assert(e.head.getInt(0) == 2 && e.head.getLong(1) == 3)
+
+    val v = spark.sql("CALL gsqlcall.system.vacuum('ns', 'pc')").collect()
+    assert(v.head.getInt(1) == 2,
+      s"expected the 2 pre-compaction data files vacuumed, got ${v.mkString}")
+    assert(v.head.getInt(0) >= v.head.getInt(1))
+
+    // the table survives its maintenance intact
+    assert(spark.sql("SELECT COUNT(*) FROM gsqlcall.ns.pc").head().getLong(0) == 8)
+    assert(spark.sql("SELECT COUNT(*) FROM gsqlcall.ns.pc VERSION AS OF 'gold'")
+      .head().getLong(0) == 8)
+
+    intercept[Exception] { spark.sql("CALL gsqlcall.system.nope('a', 'b')") }
+    intercept[Exception] { spark.sql("CALL gsqlcall.other.compact('ns', 'pc', '')") }
   }
 
   test("metadata relations: t.snapshots, t.files, t.refs plan as local scans") {

@@ -29,7 +29,8 @@ import graft.table.LakehouseTable
 private[sql] object GraftProcedures {
 
   val Names: Seq[String] =
-    Seq("compact", "expire_snapshots", "vacuum", "set_ref")
+    Seq("compact", "expire_snapshots", "expire_snapshots_older_than",
+      "vacuum", "set_ref")
 
   def load(catName: String, name: String, backing: Catalog): UnboundProcedure =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -56,6 +57,21 @@ private[sql] object GraftProcedures {
         val (ns, t) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString)
         val before = backing.snapshots(ns, t).size
         val kept = backing.expireSnapshots(ns, t, in.getInt(2)) // returns KEPT
+        row(before - kept.size,
+          backing.currentSnapshot(ns, t).map(_.snapshotId).getOrElse(0L))
+      }
+      case "expire_snapshots_older_than" => proc(name,
+        "retention-policy expiration: drop snapshots committed before the " +
+          "timestamp, always retaining the last N",
+        Seq("ns" -> StringType, "tbl" -> StringType,
+          "older_than_ms" -> LongType, "retain_last" -> IntegerType),
+        StructType(Seq(
+          StructField("expired", IntegerType, nullable = false),
+          StructField("current_snapshot", LongType, nullable = false)))) { in =>
+        val (ns, t) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString)
+        val before = backing.snapshots(ns, t).size
+        val kept = backing.expireSnapshotsOlderThan(ns, t, in.getLong(2),
+          retainLast = in.getInt(3))
         row(before - kept.size,
           backing.currentSnapshot(ns, t).map(_.snapshotId).getOrElse(0L))
       }

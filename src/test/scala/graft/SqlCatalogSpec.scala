@@ -403,6 +403,34 @@ class SqlCatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql("CALL gsqlcall.other.compact('ns', 'pc', '')") }
   }
 
+  test("SQL DML, DDL and CALL run unchanged on the JDBC catalog backend") {
+    val wh = Files.createTempDirectory("graft-sqljdbcdml").toString
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val url = s"jdbc:derby:$wh/cat-$runId;create=true"
+    val cat = new graft.catalog.JdbcCatalog(url, s"$wh/wh")
+    cat.createNamespace("ns")
+    val cn = s"gsqljd_$runId"
+    spark.conf.set(s"spark.sql.catalog.$cn", classOf[GraftSqlCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cn.warehouse", s"$wh/wh")
+    spark.conf.set(s"spark.sql.catalog.$cn.url", url)
+
+    spark.sql(s"CREATE TABLE $cn.ns.j (id INT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cn.ns.j VALUES (1, 10), (2, 20), (3, 30)")
+    spark.sql(s"UPDATE $cn.ns.j SET v = v + 1 WHERE id = 2")
+    spark.sql(s"DELETE FROM $cn.ns.j WHERE id = 3")
+    assert(spark.sql(s"SELECT id, v FROM $cn.ns.j ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((1, 10L), (2, 21L)))
+    val c = spark.sql(s"CALL $cn.system.compact('ns', 'j', '')").collect()
+    assert(c.head.getInt(1) == 1)
+    // insert, COW overwrite, MOR delete, replace — all in the JDBC log,
+    // inspectable through the metadata relation
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cn.ns.j.snapshots")
+      .head().getLong(0) == 4)
+    assert(cat.snapshots("ns", "j").map(_.operation) ==
+      Seq(graft.catalog.Snaplog.OpAppend, graft.catalog.Snaplog.OpOverwrite,
+        graft.catalog.Snaplog.OpMorDelete, graft.catalog.Snaplog.OpReplace))
+  }
+
   test("metadata relations: t.snapshots, t.files, t.refs plan as local scans") {
     val wh = Files.createTempDirectory("graft-sqlmeta").toString
     val cat = new Snaplog(wh)

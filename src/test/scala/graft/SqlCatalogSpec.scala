@@ -474,6 +474,68 @@ class SqlCatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql("SELECT * FROM gsqlmeta.ns.m.nope").collect() }
   }
 
+  test("catalog-table joins broadcast small dimensions with pushdown intact") {
+    val wh = Files.createTempDirectory("graft-sqljoin").toString
+    val cat = new Snaplog(wh)
+    val fact = spark.range(0, 2000).toDF("id")
+      .withColumn("grp", ($"id" % 4).cast("int"))
+      .withColumn("v", $"id" * 2)
+    val factTbl = LakehouseTable.create(cat, spark, "ns", "fact", fact.schema)
+    factTbl.append(fact)
+    val dim = Seq((0, "A"), (1, "B"), (2, "C"), (3, "D")).toDF("grp", "label")
+    val dimTbl = LakehouseTable.create(cat, spark, "ns", "dim", dim.schema)
+    dimTbl.append(dim)
+    spark.conf.set("spark.sql.catalog.gsqljoin", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqljoin.warehouse", wh)
+
+    val df = spark.sql("""SELECT d.label, SUM(f.v) AS s
+      FROM gsqljoin.ns.fact f JOIN gsqljoin.ns.dim d ON f.grp = d.grp
+      WHERE f.id > 100 GROUP BY d.label""")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dimension read through the catalog must broadcast:\n${plan.take(2000)}")
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(id,100)"),
+      "fact-side predicate must reach the parquet scan through the catalog")
+    assert(!plan.contains("CartesianProduct"))
+    assert(df.collect().map(_.getLong(1)).sum ==
+      (101L until 2000L).map(_ * 2).sum)
+  }
+
+  test("racing SQL INSERTs: losers fail cleanly, no torn or duplicate state") {
+    val wh = Files.createTempDirectory("graft-sqlrace").toString
+    val cat = new Snaplog(wh)
+    LakehouseTable.create(cat, spark, "ns", "race", fixture().schema)
+      .append(fixture())
+    spark.conf.set("spark.sql.catalog.gsqlrace", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlrace.warehouse", wh)
+
+    // N statements race on the same expected snapshot: each either lands
+    // as its own append commit or fails wholesale with a commit conflict
+    // deep in the cause chain — never a partial registration.
+    import scala.collection.parallel.CollectionConverters._
+    val results = (1 to 6).par.map { i =>
+      try { spark.sql(s"INSERT INTO gsqlrace.ns.race VALUES ($i, 'R', 0.0, ${i * 100})"); true }
+      catch {
+        case e: Throwable =>
+          val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).toSeq
+          assert(chain.exists(_.isInstanceOf[graft.catalog.CommitConflictException]),
+            s"unexpected failure kind: $e")
+          false
+      }
+    }.toList
+    val landed = results.count(identity)
+    assert(landed >= 1, "at least one racer must commit")
+    val snaps = cat.snapshots("ns", "race")
+    assert(snaps.size == 1 + landed, "one commit per successful INSERT")
+    assert(spark.sql("SELECT COUNT(*) FROM gsqlrace.ns.race").head().getLong(0) ==
+      4 + landed)
+    // every landed row is intact (value2 = 100*id for inserted ids)
+    val inserted = spark.sql(
+      "SELECT id, value2 FROM gsqlrace.ns.race WHERE `group` = 'R'").collect()
+    assert(inserted.length == landed)
+    inserted.foreach(r => assert(r.getInt(1) == r.getInt(0) * 100))
+  }
+
   test("VERSION AS OF accepts ref names (tags and branches)") {
     val wh = Files.createTempDirectory("graft-sqlref").toString
     val cat = new Snaplog(wh)

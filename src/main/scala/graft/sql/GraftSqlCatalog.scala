@@ -121,6 +121,13 @@ private[sql] final class GraftSqlTable(
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     writable && filters.forall(FilterToColumn.translatable)
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    // unconditional `DELETE FROM t` (no residual predicate) is the
+    // TRUNCATE shape: metadata-only empty-overwrite commit, not a
+    // full scan building a position vector over every row
+    if (filters.forall(f =>
+        f.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])) {
+      truncateTable(); return
+    }
     val spark = SparkSession.active
     val cond = filters.map(FilterToColumn.toColumn)
       .reduceOption(_ && _)

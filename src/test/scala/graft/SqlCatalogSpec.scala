@@ -339,6 +339,15 @@ class SqlCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE gsqlddl.ns.big")
     assert(!cat.tableExists("ns", "big"))
     intercept[Exception] { spark.sql("SELECT * FROM gsqlddl.ns.big").collect() }
+
+    // partitioned CTAS: the write path refuses, and Spark rolls the
+    // half-created table back via dropTable — nothing is left behind
+    intercept[Exception] {
+      spark.sql("""CREATE TABLE gsqlddl.ns.pctas PARTITIONED BY (grp)
+        AS SELECT 1 AS id, 'a' AS grp""")
+    }
+    assert(!cat.tableExists("ns", "pctas"),
+      "failed CTAS must not leave a half-created table")
   }
 
   test("TRUNCATE TABLE is a metadata-only overwrite commit") {
@@ -364,6 +373,15 @@ class SqlCatalogSpec extends SparkSpec {
     // and the table keeps working: insert after truncate
     spark.sql("INSERT INTO gsqltr.ns.tr VALUES (7, 'G', 7.5, 70)")
     assert(spark.sql("SELECT SUM(value2) FROM gsqltr.ns.tr").head().getLong(0) == 70)
+
+    // unconditional DELETE takes the same metadata-only path — an empty
+    // overwrite commit, never a table-sized position vector
+    spark.sql("DELETE FROM gsqltr.ns.tr")
+    assert(spark.sql("SELECT COUNT(*) FROM gsqltr.ns.tr").head().getLong(0) == 0)
+    val delAll = cat.snapshots("ns", "tr").last
+    assert(delAll.operation == graft.catalog.Snaplog.OpOverwrite &&
+      delAll.files.isEmpty && delAll.summary.get("engine").contains("sql-truncate"))
+    assert(cat.liveDeleteFiles("ns", "tr").isEmpty, "no vector may be written")
   }
 
   test("CALL system procedures: compact, set_ref, expire_snapshots, vacuum") {

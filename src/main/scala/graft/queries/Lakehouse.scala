@@ -795,6 +795,44 @@ object Lakehouse {
           UNION ALL SELECT 'ref', 'v1', 'tag/1'
         ) ORDER BY kind, k""")),
 
+    // Partitioned SQL writes: INSERT INTO / INSERT OVERWRITE on an
+    // identity-partitioned table route through the V1 write bridge into
+    // writeCommit's partitionBy layout — every file single-valued, its
+    // partition tuple in the log, pruning preserved after a SQL insert.
+    QueryDef("lake_sql_insert_partitioned",
+      (s, d) => {
+        val whDir = wh("lake_sql_insert_partitioned", d)
+        val cat = new Snaplog(whDir)
+        cat.createNamespace("lake")
+        val cn = "gpin_" + java.lang.Long.toHexString(whDir.hashCode.toLong & 0xffffffffL)
+        s.conf.set(s"spark.sql.catalog.$cn", classOf[graft.sql.GraftSqlCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cn.warehouse", whDir)
+        t(s, d, "orders").createOrReplaceTempView("lake_sql_pins_src")
+        s.sql(s"""CREATE TABLE $cn.lake.orders_part
+          (o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+          PARTITIONED BY (o_orderstatus)""")
+        s.sql(s"""INSERT INTO $cn.lake.orders_part
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM lake_sql_pins_src WHERE o_orderkey % 2 = 0""")
+        s.sql(s"""INSERT OVERWRITE $cn.lake.orders_part
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM lake_sql_pins_src WHERE o_orderkey % 2 = 1""")
+        // every live file carries its identity-partition tuple
+        val nParts = cat.liveFiles("lake", "orders_part")
+          .flatMap(_.partitionValues.get("o_orderstatus")).distinct.size
+        s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM $cn.lake.orders_part GROUP BY o_orderstatus""")
+          .withColumn("n_partitions", lit(nParts))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          (SELECT COUNT(DISTINCT o_orderstatus) FROM orders
+           WHERE o_orderkey % 2 = 1) AS n_partitions
+        FROM orders WHERE o_orderkey % 2 = 1
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // SQL maintenance procedures: `CALL cat.system.compact/set_ref/
     // expire_snapshots/vacuum` — the full maintenance cycle from SQL,
     // each CALL bound to the same transactional op the native API runs.

@@ -136,30 +136,53 @@ private[sql] final class GraftSqlTable(
     ()
   }
   override def capabilities(): java.util.Set[TableCapability] =
-    if (writable && partitionCols.isEmpty)
+    if (!writable) java.util.EnumSet.of(TableCapability.BATCH_READ)
+    else if (partitionCols.isEmpty)
       java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
         TableCapability.TRUNCATE)
-    else java.util.EnumSet.of(TableCapability.BATCH_READ)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableName, tableSchema, partitionCols, files,
       deleteFiles, options)
-  /** `INSERT INTO` appends; `INSERT OVERWRITE` (Spark plans it as
-    * truncate-then-append on an unpartitioned table) lands the staged
-    * files as ONE conditional overwrite commit — the previous file set
-    * is replaced atomically, never a visible empty table in between. */
+  /** `INSERT INTO` appends; `INSERT OVERWRITE` (truncate-then-append in
+    * Spark's plan) lands as ONE conditional overwrite commit — the
+    * previous file set is replaced atomically, never a visible empty
+    * table in between.
+    *
+    * Unpartitioned tables take the pure-DSv2 path: executors write
+    * parquet through Spark's own ParquetWrite, the driver footer-stats
+    * and registers the staged files. IDENTITY-PARTITIONED tables take
+    * the V1 write bridge (`V1_BATCH_WRITE` → InsertableRelation): the
+    * query's DataFrame routes through the SAME `writeCommit` the native
+    * API uses, whose `partitionBy` layout writes each file single-valued
+    * and records its partition tuple in the log — one distributed write,
+    * pruning preserved. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (!writable)
       throw new UnsupportedOperationException(
         s"$tableName: a time-travel relation is read-only")
-    if (partitionCols.nonEmpty)
-      throw new UnsupportedOperationException(
-        s"$tableName is identity-partitioned — append via the graft API, " +
-          "which maintains the partition layout the log prunes on")
     new WriteBuilder with SupportsTruncate {
       private var replaceAll = false
       override def truncate(): WriteBuilder = { replaceAll = true; this }
-      override def build(): Write = new GraftAppendWrite(
-        tableName, tableSchema, backing, ns, tbl, info, replaceAll)
+      override def build(): Write =
+        if (partitionCols.isEmpty)
+          new GraftAppendWrite(tableName, tableSchema, backing, ns, tbl, info,
+            replaceAll)
+        else new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation(): org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  overwrite: Boolean): Unit = {
+                val t0 = LakehouseTable.load(backing, SparkSession.active, ns, tbl)
+                if (replaceAll || overwrite)
+                  t0.overwrite(data, Map("engine" -> "sql-insert-overwrite"))
+                else t0.append(data)
+                ()
+              }
+            }
+          override def description(): String = s"GraftV1PartitionedWrite[$tableName]"
+        }
     }
   }
 }

@@ -44,11 +44,8 @@ class SqlCatalogSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(value2,25)"),
       s"expected value2 pushdown in:\n$plan")
 
-    // partitioned-table DML and schema DDL through the catalog must
-    // not plan (layout and evolution legality live in the graft API)
-    intercept[Exception] {
-      spark.sql("INSERT INTO gsqltest.ns.t VALUES (99, 'Z', 9.9, 99)")
-    }
+    // schema DDL through the catalog must not plan (evolution legality
+    // lives in the graft API)
     intercept[Exception] {
       spark.sql("ALTER TABLE gsqltest.ns.t ADD COLUMN extra INT")
     }
@@ -292,10 +289,20 @@ class SqlCatalogSpec extends SparkSpec {
     spark.conf.set("spark.sql.catalog.gsqlddl.warehouse", wh)
 
     // identity-partitioned CREATE records the partition spec in the log;
-    // its INSERT still refuses (partition layout lives in the graft API)
+    // its INSERT routes through the V1 bridge into writeCommit, so every
+    // written file is single-valued with its partition tuple in the log
     spark.sql("""CREATE TABLE gsqlddl.ns.c (id INT, grp STRING, v BIGINT)
       PARTITIONED BY (grp) TBLPROPERTIES ('quality'='gold')""")
     assert(cat.loadTable("ns", "c").partitionColumns == Seq("grp"))
+    spark.sql("INSERT INTO gsqlddl.ns.c VALUES (1,'a',1), (2,'b',2), (3,'a',3)")
+    assert(cat.liveFiles("ns", "c").forall(_.partitionValues.contains("grp")))
+    assert(cat.liveFiles("ns", "c").map(_.partitionValues("grp")).toSet == Set("a", "b"))
+    assert(spark.sql("SELECT SUM(v) FROM gsqlddl.ns.c WHERE grp = 'a'")
+      .head().getLong(0) == 4)
+    // partitioned INSERT OVERWRITE is one overwrite commit
+    spark.sql("INSERT OVERWRITE gsqlddl.ns.c VALUES (9,'z',CAST(9 AS BIGINT))")
+    assert(spark.sql("SELECT COUNT(*) FROM gsqlddl.ns.c").head().getLong(0) == 1)
+    assert(cat.snapshots("ns", "c").last.operation == graft.catalog.Snaplog.OpOverwrite)
     // DESCRIBE/SHOW see the real partition spec and stored properties
     val desc = spark.sql("DESCRIBE TABLE gsqlddl.ns.c").collect()
     assert(desc.exists(_.getString(0) == "# Partition Information") &&
@@ -304,7 +311,6 @@ class SqlCatalogSpec extends SparkSpec {
     val props = spark.sql("SHOW TBLPROPERTIES gsqlddl.ns.c").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(props.get("quality").contains("gold"))
-    intercept[Exception] { spark.sql("INSERT INTO gsqlddl.ns.c VALUES (1,'a',1)") }
     // non-identity transforms refuse at CREATE
     intercept[Exception] {
       spark.sql("CREATE TABLE gsqlddl.ns.b (id INT) PARTITIONED BY (bucket(4, id))")
@@ -340,14 +346,12 @@ class SqlCatalogSpec extends SparkSpec {
     assert(!cat.tableExists("ns", "big"))
     intercept[Exception] { spark.sql("SELECT * FROM gsqlddl.ns.big").collect() }
 
-    // partitioned CTAS: the write path refuses, and Spark rolls the
-    // half-created table back via dropTable — nothing is left behind
-    intercept[Exception] {
-      spark.sql("""CREATE TABLE gsqlddl.ns.pctas PARTITIONED BY (grp)
-        AS SELECT 1 AS id, 'a' AS grp""")
-    }
-    assert(!cat.tableExists("ns", "pctas"),
-      "failed CTAS must not leave a half-created table")
+    // partitioned CTAS: metadata commit + the V1 partitioned write
+    spark.sql("""CREATE TABLE gsqlddl.ns.pctas PARTITIONED BY (grp)
+      AS SELECT 1 AS id, 'a' AS grp""")
+    assert(cat.loadTable("ns", "pctas").partitionColumns == Seq("grp"))
+    assert(cat.liveFiles("ns", "pctas").map(_.partitionValues("grp")) == Seq("a"))
+    assert(spark.sql("SELECT COUNT(*) FROM gsqlddl.ns.pctas").head().getLong(0) == 1)
   }
 
   test("TRUNCATE TABLE is a metadata-only overwrite commit") {

@@ -265,20 +265,34 @@ class SqlCatalogSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
     assert(rows == Map(1 -> 10, 2 -> 999, 3 -> 130, 4 -> 140, 9 -> 900))
 
+    // MERGE with NOT MATCHED BY SOURCE: rows absent from the source are
+    // deleted by the same group-based rewrite — full three-clause MERGE
+    Seq((3, 333), (7, 700)).toDF("id", "value2")
+      .createOrReplaceTempView("graft_merge_src2")
+    spark.sql("""MERGE INTO gsqlupd.ns.u t USING graft_merge_src2 s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.value2 = s.value2
+      WHEN NOT MATCHED THEN INSERT (id, group, value1, value2)
+        VALUES (s.id, 'S', 0.0, s.value2)
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    val afterMerge2 = spark.sql("SELECT id, value2 FROM gsqlupd.ns.u ORDER BY id")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(afterMerge2 == Map(3 -> 333, 7 -> 700),
+      s"three-clause MERGE mismatch: $afterMerge2")
+
     // outstanding MOR vectors refuse UPDATE (the row-level read path
     // cannot plan the V1 subtraction) — compaction restores it
-    tbl.deleteMor($"id" === 1)
+    tbl.deleteMor($"id" === 3)
     val e = intercept[Exception] {
-      spark.sql("UPDATE gsqlupd.ns.u SET value2 = 0 WHERE id = 4")
+      spark.sql("UPDATE gsqlupd.ns.u SET value2 = 0 WHERE id = 7")
     }
     assert(e.getMessage.contains("merge-on-read") ||
       Option(e.getCause).exists(_.getMessage.contains("merge-on-read")))
     tbl.compact()
-    spark.sql("UPDATE gsqlupd.ns.u SET value2 = 0 WHERE id = 4")
+    spark.sql("UPDATE gsqlupd.ns.u SET value2 = 0 WHERE id = 7")
     assert(cat.liveDeleteFiles("ns", "u").isEmpty)
     val after = spark.sql("SELECT id, value2 FROM gsqlupd.ns.u ORDER BY id")
       .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
-    assert(after == Map(2 -> 999, 3 -> 130, 4 -> 0, 9 -> 900))
+    assert(after == Map(7 -> 0))
   }
 
   test("CREATE TABLE, CTAS, INSERT OVERWRITE and DROP TABLE through the catalog") {

@@ -1031,10 +1031,27 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
       backing, ns, t, writable = asOf.isEmpty, tableProps = meta.properties)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"$catName: evolve tables via the graft API (addColumn checks " +
-        "evolution legality; blind ALTERs would not)")
+  /** `ALTER TABLE … ADD COLUMN` for the one evolution that is always
+    * safe — a top-level NULLABLE column appended at the end (existing
+    * parquet fills it with null via read-schema reconciliation, new
+    * writes carry it). Every other change (drop/rename/retype/reorder,
+    * nested fields, NOT NULL) refuses: those need rewrite or carry
+    * correctness traps, and stay in the graft API. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    requireExists(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn
+          if add.fieldNames().length == 1 && add.isNullable &&
+            add.position() == null =>
+        LakehouseTable.load(backing, SparkSession.active,
+          ident.namespace()(0), ident.name)
+          .addColumn(add.fieldNames()(0), add.dataType())
+      case other => throw new UnsupportedOperationException(
+        s"$catName supports only ALTER TABLE ADD COLUMN (top-level, " +
+          s"nullable, appended); $other needs the graft API")
+    }
+    loadTable(ident)
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(

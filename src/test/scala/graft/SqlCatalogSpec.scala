@@ -44,10 +44,10 @@ class SqlCatalogSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(value2,25)"),
       s"expected value2 pushdown in:\n$plan")
 
-    // schema DDL through the catalog must not plan (evolution legality
-    // lives in the graft API)
+    // destructive schema DDL must not plan (rewrite semantics live in
+    // the graft API; only additive nullable ADD COLUMN is SQL-safe)
     intercept[Exception] {
-      spark.sql("ALTER TABLE gsqltest.ns.t ADD COLUMN extra INT")
+      spark.sql("ALTER TABLE gsqltest.ns.t DROP COLUMN value1")
     }
 
     // outstanding MOR vectors: reads by name stay available — the scan
@@ -366,6 +366,33 @@ class SqlCatalogSpec extends SparkSpec {
     assert(cat.loadTable("ns", "pctas").partitionColumns == Seq("grp"))
     assert(cat.liveFiles("ns", "pctas").map(_.partitionValues("grp")) == Seq("a"))
     assert(spark.sql("SELECT COUNT(*) FROM gsqlddl.ns.pctas").head().getLong(0) == 1)
+  }
+
+  test("ALTER TABLE ADD COLUMN: the one always-safe evolution works from SQL") {
+    val wh = Files.createTempDirectory("graft-sqlalter").toString
+    val cat = new Snaplog(wh)
+    LakehouseTable.create(cat, spark, "ns", "a", fixture().schema)
+      .append(fixture())
+    spark.conf.set("spark.sql.catalog.gsqlalter", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlalter.warehouse", wh)
+
+    spark.sql("ALTER TABLE gsqlalter.ns.a ADD COLUMN note STRING")
+    assert(cat.loadTable("ns", "a").schema.fieldNames.last == "note")
+    // existing parquet fills the new column with null; new writes carry it
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM gsqlalter.ns.a WHERE note IS NULL").head().getLong(0) == 4)
+    spark.sql("INSERT INTO gsqlalter.ns.a VALUES (5, 'E', 5.5, 50, 'tagged')")
+    assert(spark.sql(
+      "SELECT id FROM gsqlalter.ns.a WHERE note = 'tagged'").head().getInt(0) == 5)
+
+    // everything non-additive still refuses
+    intercept[Exception] { spark.sql("ALTER TABLE gsqlalter.ns.a DROP COLUMN note") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gsqlalter.ns.a RENAME COLUMN note TO memo")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gsqlalter.ns.a ADD COLUMN bad INT NOT NULL")
+    }
   }
 
   test("TRUNCATE TABLE is a metadata-only overwrite commit") {

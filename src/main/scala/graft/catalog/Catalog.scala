@@ -82,6 +82,16 @@ trait Catalog {
   final def liveFiles(ns: String, t: String, asOf: Option[Long] = None): Seq[DataFileEntry] =
     windowSnapshots(ns, t, asOf).flatMap(_.files).filterNot(_.deleteFile.contains(true))
 
+  /** Data files and delete vectors from ONE replay of the log window —
+    * table loading needs both, and replaying twice doubles the log I/O
+    * on the per-query planning hot path. */
+  final def liveFilesSplit(ns: String, t: String,
+      asOf: Option[Long] = None): (Seq[DataFileEntry], Seq[DataFileEntry]) = {
+    val (del, data) = windowSnapshots(ns, t, asOf).flatMap(_.files)
+      .partition(_.deleteFile.contains(true))
+    (data, del)
+  }
+
   /** Position-delete vectors live as of `asOf`: MOR delete commits in
     * the current replay window. A reset commit (overwrite / replace /
     * COW delete / compaction / checkpoint) starts a fresh window, so

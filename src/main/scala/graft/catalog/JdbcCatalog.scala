@@ -29,7 +29,7 @@ import org.json4s.jackson.Serialization.{read => jread, write => jwrite}
   * dependency is introduced.
   */
 final class JdbcCatalog(val jdbcUrl: String, val warehouse: String,
-    override val checkpointInterval: Int = 100) extends Catalog {
+    override val checkpointInterval: Int = 100) extends Catalog with AutoCloseable {
   private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
 
   // Derby's JDBC4 driver autoloads via ServiceLoader; the explicit load
@@ -358,7 +358,15 @@ final class JdbcCatalog(val jdbcUrl: String, val warehouse: String,
     * concurrent maintenance ops; racing COMMITS are protected
     * independently by the snapshot-PK CAS + suffix-preserving
     * [[replaceLog]]. */
-  override protected def withTableMutex[A](ns: String, t: String)(body: => A): A = {
+  /** Serializes maintenance against OTHER PROCESSES via a FOR UPDATE
+    * row lock on a dedicated connection. The whole section also holds
+    * this instance's monitor (`synchronized`): the body's catalog calls
+    * re-enter `withConn`'s monitor reentrantly, and no OTHER thread can
+    * be inside `withConn` mid-statement against the row we are locking
+    * — without this, a thread holding the monitor and blocking on our
+    * row lock while we block on its monitor is a cross-resource
+    * deadlock frozen until Derby's lock timeout. */
+  override protected def withTableMutex[A](ns: String, t: String)(body: => A): A = synchronized {
     val c = DriverManager.getConnection(jdbcUrl)
     try {
       c.setAutoCommit(false)
@@ -374,5 +382,16 @@ final class JdbcCatalog(val jdbcUrl: String, val warehouse: String,
         try c.rollback() catch { case _: SQLException => () }
         throw e
     } finally c.close()
+  }
+
+  /** Release the shared connection (the per-instance "pool"). The
+    * embedded Derby database itself stays booted — other catalog
+    * instances on the same path may still hold connections. Safe to
+    * call repeatedly; the catalog reopens lazily if used again. */
+  override def close(): Unit = synchronized {
+    if (shared != null) {
+      try shared.close() catch { case _: SQLException => () }
+      shared = null
+    }
   }
 }

@@ -187,7 +187,17 @@ object IcebergExport {
     val dataFileSchema = entrySchema.getField("data_file").schema()
     val partitionSchema = dataFileSchema.getField("partition").schema()
 
+    // Export only snapshots whose replay window holds NO live delete
+    // vectors: a historical snapshot with outstanding vectors would be
+    // listed as raw data files (nothing in a data-only manifest can
+    // subtract the vector), so an external reader time-traveling to it
+    // would resurrect deleted rows. Skipped snapshots simply don't
+    // appear in the exported history — the same partial-history shape
+    // snapshot expiration produces, which Iceberg readers tolerate
+    // (dangling parent-snapshot-ids included). The current snapshot is
+    // always clean here (guarded above), so it remains exported.
     val snaps = cat.snapshots(ns, name)
+      .filter(s => cat.liveDeleteFiles(ns, name, Some(s.snapshotId)).isEmpty)
     var manifests = 0
     var dataFiles = 0L
     var totalRecords = 0L

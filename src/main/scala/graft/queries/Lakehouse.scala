@@ -26,6 +26,21 @@ object Lakehouse {
 
   private def wh(name: String, sfDir: String): String = scratchDir(name, sfDir)
 
+  /** Register a DSv2 catalog over `whDir` under a name derived from the
+    * dir (Spark caches catalog instances per session+name and never
+    * re-runs initialize on conf change, so a name that moves with the
+    * warehouse is what keeps same-session re-runs from aliasing a stale
+    * scratch dir). Returns the catalog name to interpolate into SQL. */
+  private def sqlCatalog(s: org.apache.spark.sql.SparkSession, prefix: String,
+      whDir: String, url: Option[String] = None): String = {
+    val cn = prefix + "_" +
+      java.lang.Long.toHexString(whDir.hashCode.toLong & 0xffffffffL)
+    s.conf.set(s"spark.sql.catalog.$cn", classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cn.warehouse", whDir)
+    url.foreach(u => s.conf.set(s"spark.sql.catalog.$cn.url", u))
+    cn
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Ingest lineitem partitioned by l_returnflag → scan → aggregate.
@@ -455,6 +470,9 @@ object Lakehouse {
         val patch = orders.filter(col("o_orderkey") % 10 === 0)
           .withColumn("o_totalprice", col("o_totalprice") * 2)
         Upsert.upsertTable(rep.table, patch, Seq("o_orderkey"))
+        // this instance's work is done (the SQL below resolves through
+        // the session catalog's OWN backing); release its connection
+        cat.close()
         val cn = s"gjdbc_$runId"
         s.conf.set(s"spark.sql.catalog.$cn",
           classOf[graft.sql.GraftSqlCatalog].getName)
@@ -536,13 +554,7 @@ object Lakehouse {
           orders.schema)
         tbl.append(orders.filter(col("o_orderkey") % 2 === 0)) // snapshot 1
         tbl.append(orders.filter(col("o_orderkey") % 2 === 1)) // snapshot 2
-        // catalog name derived from the warehouse dir: Spark caches the
-        // catalog instance per session+name, so a fixed name re-used
-        // with a different scratch dir would read the stale warehouse
-        val cn = "gsql_" + java.lang.Long.toHexString(whDir.hashCode.toLong & 0xffffffffL)
-        s.conf.set(s"spark.sql.catalog.$cn",
-          classOf[graft.sql.GraftSqlCatalog].getName)
-        s.conf.set(s"spark.sql.catalog.$cn.warehouse", whDir)
+        val cn = sqlCatalog(s, "gsql", whDir)
         s.sql(s"""
           SELECT cur.o_orderstatus, cur.n, cur.total, v1.n_v1
           FROM (SELECT o_orderstatus, COUNT(*) AS n,
@@ -571,9 +583,7 @@ object Lakehouse {
         val orders = t(s, d, "orders")
         val tbl = LakehouseTable.create(cat, s, "lake", "orders_ins", orders.schema)
         tbl.append(orders.filter(col("o_orderkey") % 2 === 0)) // snapshot 1 (API)
-        val cn = "gins_" + java.lang.Long.toHexString(whDir.hashCode.toLong & 0xffffffffL)
-        s.conf.set(s"spark.sql.catalog.$cn", classOf[graft.sql.GraftSqlCatalog].getName)
-        s.conf.set(s"spark.sql.catalog.$cn.warehouse", whDir)
+        val cn = sqlCatalog(s, "gins", whDir)
         orders.filter(col("o_orderkey") % 2 === 1)
           .createOrReplaceTempView("lake_sql_insert_src")
         s.sql(s"INSERT INTO $cn.lake.orders_ins SELECT * FROM lake_sql_insert_src")
@@ -604,9 +614,7 @@ object Lakehouse {
         tbl.tag("v1")
         tbl.append(orders.filter(col("o_orderkey") % 2 === 1)) // snapshot 2
         tbl.setBranch("dev", 2L)
-        val cn = "gref_" + java.lang.Long.toHexString(whDir.hashCode.toLong & 0xffffffffL)
-        s.conf.set(s"spark.sql.catalog.$cn", classOf[graft.sql.GraftSqlCatalog].getName)
-        s.conf.set(s"spark.sql.catalog.$cn.warehouse", whDir)
+        val cn = sqlCatalog(s, "gref", whDir)
         s.sql(s"""
           SELECT o_orderstatus, n_tag, total_tag, n_head
           FROM (SELECT o_orderstatus, COUNT(*) AS n_tag,
@@ -639,9 +647,7 @@ object Lakehouse {
         rep.table.deleteMor(
           col("o_orderstatus") === "F" && col("o_totalprice") > 200000.0)
         val nVectors = cat.liveDeleteFiles("lake", "orders_morsql").size.toLong
-        val cn = "gmor_" + java.lang.Long.toHexString(whDir.hashCode.toLong & 0xffffffffL)
-        s.conf.set(s"spark.sql.catalog.$cn", classOf[graft.sql.GraftSqlCatalog].getName)
-        s.conf.set(s"spark.sql.catalog.$cn.warehouse", whDir)
+        val cn = sqlCatalog(s, "gmor", whDir)
         s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
           FROM $cn.lake.orders_morsql GROUP BY o_orderstatus""")
@@ -667,9 +673,7 @@ object Lakehouse {
         val orders = t(s, d, "orders")
         val tbl = LakehouseTable.create(cat, s, "lake", "orders_upd", orders.schema)
         tbl.append(orders)
-        val cn = "gupd_" + java.lang.Long.toHexString(whDir.hashCode.toLong & 0xffffffffL)
-        s.conf.set(s"spark.sql.catalog.$cn", classOf[graft.sql.GraftSqlCatalog].getName)
-        s.conf.set(s"spark.sql.catalog.$cn.warehouse", whDir)
+        val cn = sqlCatalog(s, "gupd", whDir)
         s.sql(s"""UPDATE $cn.lake.orders_upd
           SET o_totalprice = o_totalprice * 2 WHERE o_orderkey % 10 = 0""")
         orders.filter(col("o_orderkey") % 10 === 1)
@@ -712,9 +716,7 @@ object Lakehouse {
         val whDir = wh("lake_sql_ddl", d)
         val cat = new Snaplog(whDir)
         cat.createNamespace("lake")
-        val cn = "gddl_" + java.lang.Long.toHexString(whDir.hashCode.toLong & 0xffffffffL)
-        s.conf.set(s"spark.sql.catalog.$cn", classOf[graft.sql.GraftSqlCatalog].getName)
-        s.conf.set(s"spark.sql.catalog.$cn.warehouse", whDir)
+        val cn = sqlCatalog(s, "gddl", whDir)
         t(s, d, "orders").createOrReplaceTempView("lake_sql_ddl_src")
         s.sql(s"""CREATE TABLE $cn.lake.ddl_orders
           (o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)""")
@@ -766,9 +768,7 @@ object Lakehouse {
         tbl.append(orders3.filter(col("o_orderkey") % 2 =!= 0).repartition(1))
         tbl.tag("v1", Some(1L))
         tbl.setBranch("main", 2L)
-        val cn = "gmet_" + java.lang.Long.toHexString(whDir.hashCode.toLong & 0xffffffffL)
-        s.conf.set(s"spark.sql.catalog.$cn", classOf[graft.sql.GraftSqlCatalog].getName)
-        s.conf.set(s"spark.sql.catalog.$cn.warehouse", whDir)
+        val cn = sqlCatalog(s, "gmet", whDir)
         s.sql(s"""
           SELECT 'snapshot' AS kind, CAST(snapshot_id AS STRING) AS k,
               operation || '/' || CAST(committed_files AS STRING) || '/' ||
@@ -804,9 +804,7 @@ object Lakehouse {
         val whDir = wh("lake_sql_insert_partitioned", d)
         val cat = new Snaplog(whDir)
         cat.createNamespace("lake")
-        val cn = "gpin_" + java.lang.Long.toHexString(whDir.hashCode.toLong & 0xffffffffL)
-        s.conf.set(s"spark.sql.catalog.$cn", classOf[graft.sql.GraftSqlCatalog].getName)
-        s.conf.set(s"spark.sql.catalog.$cn.warehouse", whDir)
+        val cn = sqlCatalog(s, "gpin", whDir)
         t(s, d, "orders").createOrReplaceTempView("lake_sql_pins_src")
         s.sql(s"""CREATE TABLE $cn.lake.orders_part
           (o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
@@ -845,9 +843,7 @@ object Lakehouse {
         val tbl = LakehouseTable.create(cat, s, "lake", "call_t", orders3.schema)
         tbl.append(orders3.filter(col("o_orderkey") % 2 === 0).repartition(1))
         tbl.append(orders3.filter(col("o_orderkey") % 2 =!= 0).repartition(1))
-        val cn = "gcal_" + java.lang.Long.toHexString(whDir.hashCode.toLong & 0xffffffffL)
-        s.conf.set(s"spark.sql.catalog.$cn", classOf[graft.sql.GraftSqlCatalog].getName)
-        s.conf.set(s"spark.sql.catalog.$cn.warehouse", whDir)
+        val cn = sqlCatalog(s, "gcal", whDir)
         val c = s.sql(s"CALL $cn.system.compact('lake', 'call_t', 'o_orderkey')")
           .collect()(0)
         s.sql(s"CALL $cn.system.set_ref('lake', 'call_t', 'gold', ${c.getLong(0)}, 'tag')")
@@ -880,9 +876,7 @@ object Lakehouse {
         val orders = t(s, d, "orders")
         val rep = Ingest.ingestDf(cat, "lake", "orders_sqldel", orders)
         val before = cat.liveFiles("lake", "orders_sqldel").map(_.path).toSet
-        val cn = "gdel_" + java.lang.Long.toHexString(whDir.hashCode.toLong & 0xffffffffL)
-        s.conf.set(s"spark.sql.catalog.$cn", classOf[graft.sql.GraftSqlCatalog].getName)
-        s.conf.set(s"spark.sql.catalog.$cn.warehouse", whDir)
+        val cn = sqlCatalog(s, "gdel", whDir)
         s.sql(s"""DELETE FROM $cn.lake.orders_sqldel
           WHERE o_orderstatus = 'F' AND o_totalprice > 200000.0""")
         val after = cat.liveFiles("lake", "orders_sqldel").map(_.path).toSet

@@ -49,7 +49,8 @@ private[sql] final class GraftSqlTable(
     ns: String,
     tbl: String,
     writable: Boolean,
-    tableProps: Map[String, String] = Map.empty) extends Table
+    tableProps: Map[String, String] = Map.empty,
+    loadedSnapshotId: Long = 0L) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -90,7 +91,7 @@ private[sql] final class GraftSqlTable(
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = new GraftRowLevelOperation(
         info.command, tableName, tableSchema, partitionCols, files,
-        deleteFiles, backing, ns, tbl, writable)
+        deleteFiles, backing, ns, tbl, writable, loadedSnapshotId)
     }
   }
 
@@ -295,7 +296,8 @@ private[sql] final class GraftRowLevelOperation(
     backing: Catalog,
     ns: String,
     tbl: String,
-    writable: Boolean) extends RowLevelOperation {
+    writable: Boolean,
+    loadedSnapshotId: Long) extends RowLevelOperation {
 
   override def command(): RowLevelOperation.Command = cmd
 
@@ -332,8 +334,12 @@ private[sql] final class GraftRowLevelOperation(
           val spark = SparkSession.active
           val stage = backing.dataDir(ns, tbl).resolve(
             s"snap-sql-${java.util.UUID.randomUUID().toString.take(12)}")
-          val expected = backing.currentSnapshot(ns, tbl)
-            .map(_.snapshotId).getOrElse(0L)
+          // expected = the snapshot the SCANNED file list was frozen at
+          // (loadTable time), NOT the current snapshot here: a commit
+          // landing between analysis and execution must fail this
+          // statement (its rows are absent from the rewrite's scan) —
+          // reading current here would silently overwrite it
+          val expected = loadedSnapshotId
           val delegate = ParquetTable(tableName, spark, info.options(),
             Seq(stage.toString), Some(tableSchema), classOf[ParquetFileFormat])
             .newWriteBuilder(info).build().toBatch
@@ -999,11 +1005,13 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table = {
     requireExists(ident)
     val (ns, t) = (ident.namespace()(0), ident.name)
-    val id = scala.util.Try(version.toLong).toOption
-      .orElse(backing.refs(ns, t).get(version).map(_.snapshotId))
+    // refs resolve FIRST: a user-named tag/branch that happens to be
+    // numeric must not be shadowed by raw snapshot-id parsing
+    val id = backing.refs(ns, t).get(version).map(_.snapshotId)
+      .orElse(scala.util.Try(version.toLong).toOption)
       .getOrElse(throw new IllegalArgumentException(
-        s"$catName version '$version' is neither a snapshot id nor a " +
-          s"ref (tag/branch) of $ns.$t"))
+        s"$catName version '$version' is neither a ref (tag/branch) " +
+          s"nor a snapshot id of $ns.$t"))
     load(ident, Some(id))
   }
 
@@ -1026,9 +1034,19 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     requireExists(ident)
     val (ns, t) = (ident.namespace()(0), ident.name)
     val meta = backing.loadTable(ns, t)
+    // Pin the snapshot FIRST, then resolve the file lists AS OF it (one
+    // log replay for both): the relation is exactly-one-snapshot
+    // consistent, and a write planned from it carries this id as its
+    // expectedSnapshotId — a commit racing in after this point fails
+    // that write instead of being silently overwritten.
+    val snapId = asOf.orElse(backing.currentSnapshot(ns, t).map(_.snapshotId))
+    val (dataFiles, delFiles) = snapId match {
+      case Some(id) => backing.liveFilesSplit(ns, t, Some(id))
+      case None => (Seq.empty[DataFileEntry], Seq.empty[DataFileEntry])
+    }
     new GraftSqlTable(s"$catName.$ns.$t", meta.schema, meta.partitionColumns,
-      backing.liveFiles(ns, t, asOf), backing.liveDeleteFiles(ns, t, asOf),
-      backing, ns, t, writable = asOf.isEmpty, tableProps = meta.properties)
+      dataFiles, delFiles, backing, ns, t, writable = asOf.isEmpty,
+      tableProps = meta.properties, loadedSnapshotId = snapId.getOrElse(0L))
   }
 
   /** `ALTER TABLE … ADD COLUMN` for the one evolution that is always

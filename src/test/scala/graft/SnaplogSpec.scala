@@ -451,6 +451,14 @@ abstract class CatalogContractSpec extends SparkSpec {
       graft.interop.IcebergExport.export(tbl, d2); d2
     }
     assert(rb2.totalRecords == 7)
+    // history windows that held live delete vectors are EXCLUDED from
+    // the export (an external reader time-traveling to the mor_delete
+    // snapshot would otherwise read its data files raw and resurrect
+    // the deleted row): of append/append/mor_delete/replace only the
+    // three clean-window snapshots export
+    assert(tbl.catalog.snapshots(tbl.namespace, tbl.name).size == 4)
+    assert(rb2.nSnapshots == 3,
+      s"vector-window snapshot must be excluded, got ${rb2.nSnapshots}")
   }
 
   test("automatic checkpoints bound the replay window and preserve content") {

@@ -618,11 +618,15 @@ class SqlCatalogSpec extends SparkSpec {
       tbl.scanRef("v1-release").agg(sum(col("id"))).head().getLong(0))
     assert(spark.sql("SELECT COUNT(*) FROM gsqlref.ns.r VERSION AS OF 'dev'")
       .head().getLong(0) == 8)
+    // a numeric-NAMED tag resolves as the ref, not as a raw snapshot id
+    tbl.tag("2", Some(1L))
+    assert(spark.sql("SELECT COUNT(*) FROM gsqlref.ns.r VERSION AS OF '2'")
+      .head().getLong(0) == 4, "numeric ref name must shadow the snapshot id")
     val e = intercept[Exception] {
       spark.sql("SELECT COUNT(*) FROM gsqlref.ns.r VERSION AS OF 'nope'").head()
     }
-    assert(e.getMessage.contains("neither a snapshot id nor a ref") ||
-      Option(e.getCause).exists(_.getMessage.contains("neither a snapshot id nor a ref")))
+    assert(e.getMessage.contains("neither a ref") ||
+      Option(e.getCause).exists(_.getMessage.contains("neither a ref")))
   }
 
   test("range predicates over integral partitions answer aggregates from metadata") {

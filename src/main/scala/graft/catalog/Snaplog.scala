@@ -271,11 +271,13 @@ final class Snaplog(val warehouse: String,
           val age = try {
             System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis
           } catch { case _: java.io.IOException => 0L } // holder just released
+          // empty content is still breakable (a crash between CREATE_NEW
+          // and the nonce write must not wedge the table forever): the
+          // claimed-file age re-check below covers that case
           val staleNonce = try {
             new String(Files.readAllBytes(lock), StandardCharsets.UTF_8)
           } catch { case _: java.io.IOException => "" }
-          if (age > Snaplog.LockStaleMs && staleNonce.nonEmpty)
-            breakStaleLock(lock, nonce, staleNonce)
+          if (age > Snaplog.LockStaleMs) breakStaleLock(lock, nonce, staleNonce)
           else if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(
               s"could not acquire commit lock for $ns.$t within ${Snaplog.LockTimeoutMs} ms ($lock)")
@@ -294,25 +296,29 @@ final class Snaplog(val warehouse: String,
 
   /** Atomic stale-lock break: claim via rename (only one breaker wins;
     * a vanished lock means the holder released — nothing to do), then
-    * verify IDENTITY on the claimed file: nonces are unique per
-    * acquisition, so content == the nonce observed stale >threshold ago
-    * proves this is the same lock-file instance and deleting it is
-    * safe. A different nonce means a fresh lock was displaced in the
-    * observe→move window — hand it back by renaming it into place. If
-    * that spot was retaken in the interim the displaced file is LEFT as
-    * debris (never deleted: it may be a live holder's lock identity,
-    * and destroying it would let that holder's successor be deleted by
-    * nonce-collision); mutual exclusion for breakable file locks is
-    * fenced by nonce identity, and the residual double-race window is
+    * verify BOTH identity and age on the CLAIMED file before deleting.
+    * Identity: nonces are unique per acquisition, so content == the
+    * nonce observed alongside the stale age proves the same lock-file
+    * instance (and covers the crashed zero-byte lock, whose content is
+    * stably empty). Age: rename preserves mtime, so a fresh lock
+    * displaced in the observe→move window shows a young mtime even when
+    * the observed nonce was read from it — either check failing means
+    * hand the file back by renaming it into place. If that spot was
+    * retaken in the interim the displaced file is LEFT as debris (never
+    * deleted: destroying a live holder's lock identity would let its
+    * successor be deleted later); the residual double-race window is
     * the μs between move and move-back after a ≥60 s stall. */
   private def breakStaleLock(lock: Path, nonce: String, staleNonce: String): Unit = {
     val claimed = lock.resolveSibling(s"commit.lock.break-$nonce")
     try {
       Files.move(lock, claimed) // atomic; throws if lock vanished or was already claimed
+      val claimedAge = System.currentTimeMillis() -
+        Files.getLastModifiedTime(claimed).toMillis
       val content = try {
         new String(Files.readAllBytes(claimed), StandardCharsets.UTF_8)
       } catch { case _: java.io.IOException => "" }
-      if (content == staleNonce) Files.deleteIfExists(claimed)
+      if (claimedAge > Snaplog.LockStaleMs && content == staleNonce)
+        Files.deleteIfExists(claimed)
       else {
         try { Files.move(claimed, lock); () }
         catch { case _: java.io.IOException => () } // leave debris, never delete

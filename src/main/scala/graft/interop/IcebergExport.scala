@@ -195,14 +195,17 @@ object IcebergExport {
     // appear in the exported history — the same partial-history shape
     // snapshot expiration produces, which Iceberg readers tolerate
     // (dangling parent-snapshot-ids included). The current snapshot is
-    // always clean here (guarded above), so it remains exported.
-    val snaps = cat.snapshots(ns, name)
-      .filter(s => cat.liveDeleteFiles(ns, name, Some(s.snapshotId)).isEmpty)
+    // always clean here (guarded above), so it remains exported. One
+    // liveFilesSplit replay per snapshot yields the filter verdict AND
+    // the manifest's file list.
+    val snaps = cat.snapshots(ns, name).flatMap { s =>
+      val (live, dels) = cat.liveFilesSplit(ns, name, Some(s.snapshotId))
+      if (dels.isEmpty) Some((s, live)) else None
+    }
     var manifests = 0
     var dataFiles = 0L
     var totalRecords = 0L
-    val snapshotJsons = snaps.map { s =>
-      val live = cat.liveFiles(ns, name, Some(s.snapshotId))
+    val snapshotJsons = snaps.map { case (s, live) =>
       // manifest: one ADDED entry per live data file of the snapshot
       val entries = live.map { f =>
         val part = new GenericData.Record(partitionSchema)
@@ -232,7 +235,7 @@ object IcebergExport {
           "format-version" -> "2", "content" -> "data"),
         entries)
       manifests += 1
-      if (s.snapshotId == snaps.last.snapshotId) {
+      if (s.snapshotId == snaps.last._1.snapshotId) {
         dataFiles = live.size.toLong
         totalRecords = live.map(_.rowCount).sum
       }
@@ -278,8 +281,8 @@ object IcebergExport {
       ("format-version" -> 2) ~
         ("table-uuid" -> uuid) ~
         ("location" -> destDir.toString) ~
-        ("last-sequence-number" -> snaps.lastOption.map(_.snapshotId).getOrElse(0L)) ~
-        ("last-updated-ms" -> snaps.lastOption.map(_.timestampMs)
+        ("last-sequence-number" -> snaps.lastOption.map(_._1.snapshotId).getOrElse(0L)) ~
+        ("last-updated-ms" -> snaps.lastOption.map(_._1.timestampMs)
           .getOrElse(m.createdAtMs)) ~
         ("last-column-id" -> schema.fields.length) ~
         ("schemas" -> List(
@@ -292,12 +295,12 @@ object IcebergExport {
         ("properties" -> JObject(m.properties.toList.map {
           case (k, v) => k -> (JString(v): JValue)
         })) ~
-        ("current-snapshot-id" -> snaps.lastOption.map(_.snapshotId).getOrElse(-1L)) ~
+        ("current-snapshot-id" -> snaps.lastOption.map(_._1.snapshotId).getOrElse(-1L)) ~
         ("snapshots" -> snapshotJsons.toList) ~
         ("sort-orders" -> List(("order-id" -> 0) ~ ("fields" -> List.empty[JValue]))) ~
         ("default-sort-order-id" -> 0)
 
-    val version = snaps.lastOption.map(_.snapshotId).getOrElse(0L)
+    val version = snaps.lastOption.map(_._1.snapshotId).getOrElse(0L)
     val metaFile = metaDir.resolve(s"v$version.metadata.json")
     write(metaFile, JsonMethods.pretty(JsonMethods.render(metadata)))
     write(metaDir.resolve("version-hint.text"), version.toString)

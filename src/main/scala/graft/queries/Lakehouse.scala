@@ -32,12 +32,11 @@ object Lakehouse {
     * warehouse is what keeps same-session re-runs from aliasing a stale
     * scratch dir). Returns the catalog name to interpolate into SQL. */
   private def sqlCatalog(s: org.apache.spark.sql.SparkSession, prefix: String,
-      whDir: String, url: Option[String] = None): String = {
+      whDir: String): String = {
     val cn = prefix + "_" +
       java.lang.Long.toHexString(whDir.hashCode.toLong & 0xffffffffL)
     s.conf.set(s"spark.sql.catalog.$cn", classOf[graft.sql.GraftSqlCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$cn.warehouse", whDir)
-    url.foreach(u => s.conf.set(s"spark.sql.catalog.$cn.url", u))
     cn
   }
 

@@ -1034,16 +1034,20 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     requireExists(ident)
     val (ns, t) = (ident.namespace()(0), ident.name)
     val meta = backing.loadTable(ns, t)
-    // Pin the snapshot FIRST, then resolve the file lists AS OF it (one
-    // log replay for both): the relation is exactly-one-snapshot
-    // consistent, and a write planned from it carries this id as its
-    // expectedSnapshotId — a commit racing in after this point fails
-    // that write instead of being silently overwritten.
+    // Read the snapshot id BEFORE the file lists, and resolve the lists
+    // with asOf=None so both backends keep their O(checkpointInterval)
+    // backward-scan fast path (an explicit asOf pays the full-history
+    // replay — fine for time travel, not for every current-snapshot
+    // plan). Ordering is what makes writes safe: a commit landing after
+    // the id read can only make the files NEWER than the id, and a
+    // write planned from this relation carries the id as its
+    // expectedSnapshotId — the conditional commit then fails the
+    // statement (conservative direction) instead of losing the race's
+    // rows. One replay serves both lists.
     val snapId = asOf.orElse(backing.currentSnapshot(ns, t).map(_.snapshotId))
-    val (dataFiles, delFiles) = snapId match {
-      case Some(id) => backing.liveFilesSplit(ns, t, Some(id))
-      case None => (Seq.empty[DataFileEntry], Seq.empty[DataFileEntry])
-    }
+    val (dataFiles, delFiles) =
+      if (snapId.isEmpty) (Seq.empty[DataFileEntry], Seq.empty[DataFileEntry])
+      else backing.liveFilesSplit(ns, t, asOf)
     new GraftSqlTable(s"$catName.$ns.$t", meta.schema, meta.partitionColumns,
       dataFiles, delFiles, backing, ns, t, writable = asOf.isEmpty,
       tableProps = meta.properties, loadedSnapshotId = snapId.getOrElse(0L))
@@ -1057,17 +1061,25 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     * correctness traps, and stay in the graft API. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     requireExists(ident)
-    changes.foreach {
+    // validate EVERY change before applying ANY: a mixed statement must
+    // fail whole, not commit a partial evolution and then throw
+    val adds = changes.map {
       case add: TableChange.AddColumn
           if add.fieldNames().length == 1 && add.isNullable &&
-            add.position() == null =>
-        LakehouseTable.load(backing, SparkSession.active,
-          ident.namespace()(0), ident.name)
-          .addColumn(add.fieldNames()(0), add.dataType())
+            add.position() == null => add
       case other => throw new UnsupportedOperationException(
         s"$catName supports only ALTER TABLE ADD COLUMN (top-level, " +
           s"nullable, appended); $other needs the graft API")
     }
+    val tbl = LakehouseTable.load(backing, SparkSession.active,
+      ident.namespace()(0), ident.name)
+    adds.foldLeft(tbl.schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet) {
+      (seen, a) =>
+        val n = a.fieldNames()(0).toLowerCase(java.util.Locale.ROOT)
+        require(!seen(n), s"column '${a.fieldNames()(0)}' already exists")
+        seen + n
+    }
+    adds.foreach(add => tbl.addColumn(add.fieldNames()(0), add.dataType()))
     loadTable(ident)
   }
 

@@ -31,14 +31,13 @@ import graft.table.{FileStats, LakehouseTable}
   * V1 relation that subtracts the vectors with a broadcast anti-join
   * (see [[MorRelation]]).
   *
-  * Writes (current snapshot, unpartitioned tables): `INSERT INTO`
-  * appends, `INSERT OVERWRITE` replaces, `DELETE` takes the MOR tier,
-  * `UPDATE`/`MERGE` rewrite copy-on-write, `TRUNCATE` commits
+  * Writes (current snapshot): `INSERT INTO` appends, `INSERT
+  * OVERWRITE` replaces, `DELETE` takes the MOR tier, `UPDATE`/`MERGE`
+  * rewrite file-granular copy-on-write, `TRUNCATE` commits
   * metadata-only — every one through the snapshot log's conditional
   * commit, so SQL writers get the same atomicity and optimistic
-  * concurrency as the native API. Partitioned-table inserts and
-  * writes to a time-travel relation are rejected: those need the
-  * graft API, where partition layout and reset semantics live. */
+  * concurrency as the native API. Writes to a time-travel relation
+  * are rejected. */
 private[sql] final class GraftSqlTable(
     tableName: String,
     tableSchema: StructType,
@@ -68,19 +67,18 @@ private[sql] final class GraftSqlTable(
   }
 
   /** `UPDATE` / `MERGE INTO` (and DELETEs whose predicate has no exact
-    * source-filter translation) run as GROUP-BASED copy-on-write: Spark
-    * rewrites the statement over a full scan of the current snapshot
-    * and the replacement rows land as ONE conditional overwrite commit.
-    * No runtime group filtering is advertised, so the rewrite touches
-    * every live file (whole-table COW — always correct); the surgical
-    * tiers live in the native API (`delete` rewrites only affected
-    * files, `deleteMor` writes a vector, `Upsert` merges) and in the
-    * metadata-only SQL DELETE path above, which Spark's
-    * OptimizeMetadataOnlyDeleteFromTable rule still prefers when the
-    * predicate translates. Outstanding MOR vectors refuse (the
-    * row-level read path cannot plan the V1 subtraction relation;
-    * compaction materializes them) — SQL DELETE, which stacks vectors,
-    * keeps working on such tables. */
+    * source-filter translation) run as FILE-GRANULAR group-based
+    * copy-on-write: files whose log metadata (identity-partition values,
+    * column bounds) proves no row can match the condition are carried
+    * forward by path; only possibly-affected files are scanned and
+    * rewritten, and the replacement lands as ONE conditional overwrite
+    * commit — see [[GraftRowLevelOperation]]. Works on partitioned
+    * tables (staged rows relayout by partition before registering) and
+    * on tables with outstanding MOR vectors (the subtraction
+    * materializes for affected files; the reset commit retires the
+    * vectors). Spark's OptimizeMetadataOnlyDeleteFromTable rule still
+    * prefers the cheaper SupportsDelete path for translatable DELETE
+    * predicates. */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     // NO eligibility checks here: the analyzer builds this for EVERY
@@ -255,7 +253,11 @@ private[sql] final class GraftBatchWrite(
     operation: String,
     summary: Map[String, String],
     stripRowOperationColumn: Boolean = false,
-    dataSchema: StructType = null) extends BatchWrite {
+    dataSchema: StructType = null,
+    carryFiles: () => Seq[DataFileEntry] = () => Seq.empty,
+    partitionCols: Seq[String] = Seq.empty,
+    codec: String = "zstd",
+    cleanup: () => Unit = () => ()) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo) = {
     val f = delegate.createBatchWriterFactory(info)
     if (stripRowOperationColumn) new OperationStrippingWriterFactory(f, dataSchema)
@@ -264,28 +266,100 @@ private[sql] final class GraftBatchWrite(
   override def useCommitCoordinator: Boolean = delegate.useCommitCoordinator
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     delegate.commit(messages) // parquet job commit: staged files final
-    val files = FileStats.listParquet(stage.toString)
-      .map(p => FileStats.stat(spark, p, Map.empty))
-    backing.commit(ns, tbl, operation, files, summary,
+    val staged = FileStats.listParquet(stage.toString)
+    val files =
+      if (partitionCols.isEmpty) staged.map(p => FileStats.stat(spark, p, Map.empty))
+      else relayout(staged)
+    val carry = carryFiles()
+    val extra =
+      if (!stripRowOperationColumn) summary
+      else summary ++ Map(
+        "rewritten-files" -> files.size.toString,
+        "carried-files" -> carry.size.toString)
+    backing.commit(ns, tbl, operation, carry ++ files, extra,
       expectedSnapshotId = Some(expected))
-    ()
+    cleanup()
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     delegate.abort(messages)
+    GraftBatchWrite.rmTree(stage)
+    GraftBatchWrite.rmTree(layoutDir)
+    cleanup()
+  }
+
+  private def layoutDir: java.nio.file.Path =
+    stage.resolveSibling(stage.getFileName.toString + "-layout")
+
+  /** Identity-partitioned COW rewrite: the DSv2 staged write carries no
+    * partition layout (ReplaceData has no V1 write fallback), so the
+    * replacement rows take ONE more distributed pass — repartition by
+    * the partition columns and rewrite `partitionBy`'d — making every
+    * registered file single-valued with its partition tuple in the log:
+    * the invariant metadata pruning, partition-exact aggregates and
+    * dynamic partition overwrite all rely on. Costs one read+write of
+    * the REPLACEMENT rows only (affected files, not the table). */
+  private def relayout(staged: Seq[String]): Seq[DataFileEntry] = {
+    if (staged.isEmpty) return Seq.empty
+    val reader = spark.read
+    val df = (if (dataSchema != null) reader.schema(dataSchema) else reader)
+      .parquet(staged: _*)
+    val withLayout = partitionCols.foldLeft(
+      df.repartition(partitionCols.map(col): _*))(
+      (d, c) => d.withColumn(FileStats.layoutCol(c), col(c)))
+    withLayout.write.mode("overwrite").option("compression", codec)
+      .partitionBy(partitionCols.map(FileStats.layoutCol): _*)
+      .parquet(layoutDir.toString)
+    GraftBatchWrite.rmTree(stage) // staged files are intermediate once laid out
+    FileStats.listParquet(layoutDir.toString).map(p =>
+      FileStats.stat(spark, p, FileStats.partitionValuesFromPath(p, partitionCols)))
+  }
+}
+
+private[sql] object GraftBatchWrite {
+  def rmTree(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(stage))
-      java.nio.file.Files.walk(stage).iterator.asScala.toSeq.reverse
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator.asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
   }
 }
 
-/** Group-based row-level operation (UPDATE / MERGE / rewrite-DELETE):
-  * the scan side reads the FULL current snapshot as one plain parquet
-  * DSv2 scan; Spark's rewrite applies the statement's semantics to
-  * produce the complete replacement row set; the write side stages
-  * parquet and lands it as ONE conditional OVERWRITE commit. A racing
-  * committer fails the statement cleanly via CommitConflictException
-  * with nothing registered. */
+/** Group-based row-level operation (UPDATE / MERGE / rewrite-DELETE)
+  * with FILE-GRANULAR copy-on-write: under group semantics a data file
+  * is a replacement group, and a file whose log metadata PROVES no row
+  * can match the statement's condition is an untouched group — it is
+  * carried forward into the commit by path, never scanned and never
+  * rewritten (the same shape the native `LakehouseTable.delete`
+  * commits). At 100 TB this is what makes `UPDATE … WHERE id = 1` a
+  * few-file rewrite instead of a table rewrite.
+  *
+  * How the split is learned: Spark's
+  * GroupBasedRowLevelOperationScanPlanning rule pushes the statement's
+  * condition (for MERGE, the target-side conjuncts of the join
+  * condition it proves safe) into the operation's scan builder as
+  * GROUP filters — the documented contract being that the scan may
+  * skip entire groups no row of which can match, but must return ALL
+  * rows of every group it reads (no residual Filter is planned above,
+  * so the pushed predicates must NEVER row-filter — which is also why
+  * they are NOT forwarded to the parquet reader). Each scan builder
+  * registers its pushed group filters; a scan plans
+  * `affected = {f : mayMatch(f, every pushed filter)}` and the commit
+  * carries `live − ∪ affected` — files conservatively PROVEN rowless
+  * under the condition. A stats bug can cost an extra file rewrite but
+  * never a wrong row, because `mayMatch` only returns false on proof.
+  * With nothing pushed (join/subquery conditions Spark declines to
+  * push) every file is scanned and nothing is carried — round-6's
+  * always-correct whole-table rewrite.
+  *
+  * The replacement rows land as ONE conditional OVERWRITE commit
+  * (carried files + staged rewrites); a racing committer fails the
+  * statement cleanly via CommitConflictException with nothing
+  * registered. Identity-partitioned tables relayout the staged rows by
+  * partition before registering (see GraftBatchWrite.relayout), so the
+  * partition-metadata invariants survive SQL DML. Tables with
+  * outstanding merge-on-read vectors materialize the subtraction for
+  * affected files at scan time — deleted rows never resurrect, and the
+  * reset commit retires the vectors. */
 private[sql] final class GraftRowLevelOperation(
     cmd: RowLevelOperation.Command,
     tableName: String,
@@ -299,7 +373,100 @@ private[sql] final class GraftRowLevelOperation(
     writable: Boolean,
     loadedSnapshotId: Long) extends RowLevelOperation {
 
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
   override def command(): RowLevelOperation.Command = cmd
+
+  // ---- file-granular group split -----------------------------------------
+
+  /** Pushed GROUP filters per scan builder — builders register at
+    * creation (empty) so an unpushed branch defaults to
+    * scan-everything, and the commit's carry computation sees EVERY
+    * branch of the rewritten plan. */
+  private val scanFilters =
+    new java.util.concurrent.ConcurrentHashMap[AnyRef, Seq[Expression]]()
+
+  /** Data files this branch's group filters cannot prove rowless —
+    * plus, under outstanding MOR vectors, every vector-touched file:
+    * the COW commit is a RESET that retires vectors, so a touched file
+    * must be rewritten (carrying it would resurrect its deleted rows). */
+  private def affectedFiles(filters: Seq[Expression]): Seq[DataFileEntry] = {
+    val base = files.filter(f => filters.forall(FilePrune.mayMatch(f, _)))
+    if (deleteFiles.isEmpty) base
+    else {
+      val keep = base.map(_.path).toSet
+      base ++ files.filter(f => !keep(f.path) && vectorTouched(f.path))
+    }
+  }
+
+  /** Live files NO branch of the rewrite plans — conservatively proven
+    * to hold no row matching the statement's condition (and untouched
+    * by any delete vector). Committed by path, unrewritten. Computed at
+    * commit time, when every branch has registered. */
+  private def carriedFiles(): Seq[DataFileEntry] = {
+    import scala.jdk.CollectionConverters._
+    val sets = scanFilters.values.asScala.toSeq
+    val planned = sets.flatMap(affectedFiles(_).map(_.path)).toSet
+    files.filterNot(f => planned.contains(f.path))
+  }
+
+  @volatile private var vecTouchedMemo: Set[String] = null
+  private def vectorTouched(path: String): Boolean = {
+    if (vecTouchedMemo == null) synchronized {
+      if (vecTouchedMemo == null)
+        vecTouchedMemo = SparkSession.active.read
+          .parquet(deleteFiles.map(_.path): _*)
+          .select("file_path").distinct().collect()
+          .map(r => normalizePath(r.getString(0))).toSet
+    }
+    vecTouchedMemo.contains(path)
+  }
+
+  /** MOR-outstanding tables: the rewrite must see POST-delete rows, and
+    * the (file, position) anti-join cannot ride a DSv2 batch scan — so
+    * each branch's affected files have their surviving rows
+    * materialized to a temp dir the scan then reads. One extra pass
+    * over AFFECTED rows only: the price of DML before compaction.
+    * Cached per distinct file set (branches of one statement share it). */
+  private var morCache: Map[Seq[String], Seq[String]] = Map.empty
+  private var morTemp: List[java.nio.file.Path] = Nil
+
+  private def materializedSurvivors(paths: Seq[String]): Seq[String] = synchronized {
+    morCache.get(paths) match {
+      case Some(staged) => staged
+      case None =>
+        val staged = if (paths.isEmpty) Seq.empty[String] else {
+          val spark = SparkSession.active
+          val tmp = backing.dataDir(ns, tbl).resolve(
+            s"mor-cow-${java.util.UUID.randomUUID().toString.take(12)}")
+          val dv = broadcast(spark.read.parquet(deleteFiles.map(_.path): _*)
+            .select(col("file_path").as("__dv_file"), col("row_index").as("__dv_pos"))
+            .distinct())
+          spark.read.schema(tableSchema).parquet(paths: _*)
+            .select(col("*"),
+              col("_metadata.file_path").as("__scan_file"),
+              col("_metadata.row_index").as("__scan_pos"))
+            .join(dv, col("__scan_file") === col("__dv_file") &&
+              col("__scan_pos") === col("__dv_pos"), "left_anti")
+            .drop("__scan_file", "__scan_pos")
+            .write.mode("overwrite").parquet(tmp.toString)
+          morTemp ::= tmp
+          FileStats.listParquet(tmp.toString)
+        }
+        morCache += paths -> staged
+        staged
+    }
+  }
+
+  /** Commit-/abort-time hook: drop the MOR materialization temp dirs. */
+  private def releaseTemp(): Unit = synchronized {
+    morTemp.foreach(GraftBatchWrite.rmTree)
+    morTemp = Nil
+    morCache = Map.empty
+  }
+
+  private def normalizePath(s: String): String =
+    if (s.contains(":/")) java.nio.file.Paths.get(new java.net.URI(s)).toString else s
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // eligibility surfaces HERE — only when the group-based rewrite is
@@ -308,23 +475,46 @@ private[sql] final class GraftRowLevelOperation(
     if (!writable)
       throw new UnsupportedOperationException(
         s"$tableName: a time-travel relation is read-only")
-    if (partitionCols.nonEmpty)
-      throw new UnsupportedOperationException(
-        s"$tableName is identity-partitioned — $cmd via the graft API, " +
-          "which maintains the partition layout the log prunes on")
-    if (deleteFiles.nonEmpty)
-      throw new UnsupportedOperationException(
-        s"$tableName has outstanding merge-on-read delete vectors — " +
-          s"compact() to materialize them before SQL $cmd")
-    new ScanBuilder {
-      // deliberately NO pushdown interfaces: every live row must reach
-      // the rewrite (group replacement is whole-table here), so no
-      // filter may drop rows and no file may be pruned
-      override def build(): Scan =
-        ParquetTable(tableName, SparkSession.active, options,
-          files.map(_.path), Some(tableSchema), classOf[ParquetFileFormat])
-          .newScanBuilder(options).build()
+    new ScanBuilder
+        with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+      private var myFilters: Seq[Expression] = Seq.empty
+      scanFilters.put(this, myFilters)
+      override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+        // these are GROUP filters (GroupBasedRowLevelOperationScanPlanning):
+        // usable to skip whole files, NEVER to drop rows — the planner
+        // re-adds no Filter above this scan. The returned residual is
+        // ignored by that rule; returning everything is the safe shape
+        // should an ordinary pushdown path ever reach this builder.
+        myFilters = filters
+        scanFilters.put(this, filters)
+        filters
+      }
+      override def pushedFilters
+          : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+        Array.empty
+      override def build(): Scan = new GraftCowScan(myFilters, options)
     }
+  }
+
+  /** Row-level scan over this branch's affected files. The pushed group
+    * filters are deliberately NOT forwarded to the parquet reader:
+    * group semantics require every row of a planned file to surface
+    * (row-group or record skipping would silently drop keep-rows).
+    * File pruning from log metadata is the entire optimization. */
+  private final class GraftCowScan(
+      branchFilters: Seq[Expression],
+      options: CaseInsensitiveStringMap) extends Scan {
+    override def readSchema(): StructType = tableSchema
+    override def toBatch: org.apache.spark.sql.connector.read.Batch = {
+      val affected = affectedFiles(branchFilters).map(_.path)
+      val paths =
+        if (deleteFiles.isEmpty) affected
+        else materializedSurvivors(affected)
+      ParquetTable(tableName, SparkSession.active, options,
+        paths, Some(tableSchema), classOf[ParquetFileFormat])
+        .newScanBuilder(options).build().toBatch
+    }
+    override def description(): String = s"GraftCowScan[$cmd $tableName]"
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -343,10 +533,15 @@ private[sql] final class GraftRowLevelOperation(
           val delegate = ParquetTable(tableName, spark, info.options(),
             Seq(stage.toString), Some(tableSchema), classOf[ParquetFileFormat])
             .newWriteBuilder(info).build().toBatch
+          val codec = backing.loadTable(ns, tbl).properties
+            .getOrElse("write.compression", "zstd")
           new GraftBatchWrite(delegate, backing, ns, tbl, stage, expected, spark,
             Snaplog.OpOverwrite,
             Map("engine" -> s"sql-${cmd.toString.toLowerCase(java.util.Locale.ROOT)}"),
-            stripRowOperationColumn = true, dataSchema = tableSchema)
+            stripRowOperationColumn = true, dataSchema = tableSchema,
+            carryFiles = () => carriedFiles(),
+            partitionCols = partitionCols, codec = codec,
+            cleanup = () => releaseTemp())
         }
         override def description(): String = s"GraftRowLevelWrite[$cmd $tableName]"
       }
@@ -659,6 +854,7 @@ private[sql] final class MetadataAggScan(
   * LakehouseTable.selectFiles semantics. */
 private[sql] object FilePrune {
   import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualTo => CEq, Expression, GreaterThan => CGt, GreaterThanOrEqual => CGte, In => CIn, IsNotNull => CIsNotNull, LessThan => CLt, LessThanOrEqual => CLte, Literal, Or => COr}
+
 
   /** Is `e` a PARTITION-EXACT predicate — one whose per-file may-match
     * answer is exact, not conservative? True only for predicate trees

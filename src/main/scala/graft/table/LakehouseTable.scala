@@ -41,7 +41,7 @@ final class LakehouseTable(
   def schema: StructType = meta.schema
   def partitionColumns: Seq[String] = meta.partitionColumns
 
-  private def layoutCol(c: String) = s"__p_$c"
+  private def layoutCol(c: String) = FileStats.layoutCol(c)
 
   // ---- read path --------------------------------------------------------
 
@@ -505,21 +505,8 @@ final class LakehouseTable(
 
   private def listParquet(dir: String): Seq[String] = FileStats.listParquet(dir)
 
-  /** Parse `__p_<col>=<val>` segments back to partition values. Spark
-    * Hive-ESCAPES special characters in directory names (':' → '%3A',
-    * …); the log stores the UNESCAPED external value so metadata
-    * pruning and dynamic partition overwrite compare against the same
-    * text a query literal carries. The null sentinel contains no
-    * escapes and passes through unchanged. */
-  private def partitionValuesFromPath(path: String, parts: Seq[String]): Map[String, String] = {
-    val segs = path.split('/')
-    parts.flatMap { c =>
-      val prefix = s"${layoutCol(c)}="
-      segs.find(_.startsWith(prefix)).map(s => c ->
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .unescapePathName(s.stripPrefix(prefix)))
-    }.toMap
-  }
+  private def partitionValuesFromPath(path: String, parts: Seq[String]): Map[String, String] =
+    FileStats.partitionValuesFromPath(path, parts)
 
   /** Footer-only stat: row count + size, no data read. */
   private def statFile(path: String, pv: Map[String, String]): DataFileEntry =
@@ -530,6 +517,26 @@ final class LakehouseTable(
   * that registers files in the snapshot log (LakehouseTable commits,
   * the DSv2 SQL INSERT staging commit). */
 object FileStats {
+
+  /** Mirrored layout-column name a partitioned write directories by —
+    * shared with the SQL COW relayout so every partitioned file in the
+    * warehouse uses one naming scheme. */
+  def layoutCol(c: String): String = s"__p_$c"
+
+  /** Parse `__p_<col>=<val>` directory segments back to partition
+    * values. Spark Hive-ESCAPES special characters in directory names
+    * (':' → '%3A', …); the log stores the UNESCAPED external value so
+    * metadata pruning and dynamic partition overwrite compare against
+    * the same text a query literal carries. */
+  def partitionValuesFromPath(path: String, parts: Seq[String]): Map[String, String] = {
+    val segs = path.split('/')
+    parts.flatMap { c =>
+      val prefix = s"${layoutCol(c)}="
+      segs.find(_.startsWith(prefix)).map(s => c ->
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(s.stripPrefix(prefix)))
+    }.toMap
+  }
 
   def listParquet(dir: String): Seq[String] =
     Files.walk(Paths.get(dir)).iterator.asScala

@@ -279,20 +279,110 @@ class SqlCatalogSpec extends SparkSpec {
     assert(afterMerge2 == Map(3 -> 333, 7 -> 700),
       s"three-clause MERGE mismatch: $afterMerge2")
 
-    // outstanding MOR vectors refuse UPDATE (the row-level read path
-    // cannot plan the V1 subtraction) — compaction restores it
+    // outstanding MOR vectors no longer refuse UPDATE: the rewrite
+    // materializes the subtraction for affected files, so it sees
+    // post-delete rows, and the reset commit retires the vectors —
+    // deleted rows never resurrect
     tbl.deleteMor($"id" === 3)
-    val e = intercept[Exception] {
-      spark.sql("UPDATE gsqlupd.ns.u SET value2 = 0 WHERE id = 7")
-    }
-    assert(e.getMessage.contains("merge-on-read") ||
-      Option(e.getCause).exists(_.getMessage.contains("merge-on-read")))
-    tbl.compact()
     spark.sql("UPDATE gsqlupd.ns.u SET value2 = 0 WHERE id = 7")
-    assert(cat.liveDeleteFiles("ns", "u").isEmpty)
+    assert(cat.liveDeleteFiles("ns", "u").isEmpty,
+      "the COW reset commit must retire outstanding delete vectors")
     val after = spark.sql("SELECT id, value2 FROM gsqlupd.ns.u ORDER BY id")
       .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
-    assert(after == Map(7 -> 0))
+    assert(after == Map(7 -> 0), s"MOR-deleted row resurrected: $after")
+  }
+
+  test("selective UPDATE/DELETE rewrites only affected files (file-granular COW)") {
+    val wh = Files.createTempDirectory("graft-sqlcow").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "c", fixture().schema)
+    // three appends → three files with disjoint id ranges
+    tbl.append(fixture().coalesce(1))                               // ids 1-4
+    tbl.append(fixture().withColumn("id", $"id" + 10).coalesce(1))  // ids 11-14
+    tbl.append(fixture().withColumn("id", $"id" + 20).coalesce(1))  // ids 21-24
+    val before = cat.liveFiles("ns", "c").map(_.path)
+    assert(before.size == 3)
+    spark.conf.set("spark.sql.catalog.gsqlcow", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlcow.warehouse", wh)
+
+    // column-bounds pruning: only the middle file can hold ids 11-14
+    spark.sql("UPDATE gsqlcow.ns.c SET value2 = 0 WHERE id BETWEEN 11 AND 14")
+    val sum1 = cat.snapshots("ns", "c").last.summary
+    assert(sum1.get("carried-files").contains("2"), s"summary: $sum1")
+    val after1 = cat.liveFiles("ns", "c").map(_.path)
+    assert(after1.toSet.intersect(before.toSet) == before.toSet - before(1),
+      s"untouched files must survive by identity: before=$before after=$after1")
+    assert(spark.sql("SELECT SUM(value2) FROM gsqlcow.ns.c").head().getLong(0) ==
+      2 * (10 + 20 + 30 + 40))
+
+    // group-based DELETE (predicate untranslatable to source filters →
+    // the metadata/MOR path declines): bounds still prune to one file
+    spark.sql(
+      "DELETE FROM gsqlcow.ns.c WHERE id >= 21 AND length(group) >= 1")
+    val sum2 = cat.snapshots("ns", "c").last.summary
+    assert(sum2.get("carried-files").contains("2"), s"summary: $sum2")
+    assert(spark.sql("SELECT COUNT(*) FROM gsqlcow.ns.c").head().getLong(0) == 8)
+
+    // a no-match UPDATE carries every file and rewrites none
+    spark.sql("UPDATE gsqlcow.ns.c SET value2 = -1 WHERE id = 999")
+    val sum3 = cat.snapshots("ns", "c").last.summary
+    assert(sum3.get("carried-files").contains("2") ||
+      sum3.get("carried-files").contains("3"), s"summary: $sum3")
+    assert(sum3.get("rewritten-files").exists(_.toInt <= 1), s"summary: $sum3")
+    // file 1 untouched (10+20+30+40), file 2 zeroed, file 3 deleted
+    assert(spark.sql("SELECT SUM(value2) FROM gsqlcow.ns.c").head().getLong(0) == 100)
+  }
+
+  test("partitioned-table SQL UPDATE/MERGE keeps partition metadata and carries other partitions") {
+    val wh = Files.createTempDirectory("graft-sqlcowp").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "pc", fixture().schema, Seq("group"))
+    tbl.append(fixture().coalesce(1)) // one file per partition: A B C
+    val before = cat.liveFiles("ns", "pc")
+    assert(before.size == 3)
+    spark.conf.set("spark.sql.catalog.gsqlcowp", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlcowp.warehouse", wh)
+
+    spark.sql("UPDATE gsqlcowp.ns.pc SET value2 = value2 + 1 WHERE group = 'B'")
+    val live = cat.liveFiles("ns", "pc")
+    val beforeByPart = before.map(f => f.partitionValues("group") -> f.path).toMap
+    val liveByPart = live.map(f => f.partitionValues("group") -> f.path).toMap
+    // untouched partitions carried by identity; B replaced
+    assert(liveByPart("A") == beforeByPart("A") && liveByPart("C") == beforeByPart("C"),
+      s"carried partitions must survive by identity: $beforeByPart vs $liveByPart")
+    assert(liveByPart("B") != beforeByPart("B"))
+    // every rewritten file records its partition tuple (the relayout) —
+    // pruning and partition-exact aggregates stay intact after SQL DML
+    assert(live.forall(_.partitionValues.contains("group")))
+    val rows = spark.sql("SELECT id, value2 FROM gsqlcowp.ns.pc ORDER BY id")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(rows == Map(1 -> 10, 2 -> 20, 3 -> 31, 4 -> 40), s"got $rows")
+
+    // MERGE on the partitioned table (join condition → no static file
+    // pruning, whole-table rewrite) stays correct and keeps metadata
+    Seq((4, "C", 0.0f, 444), (9, "Z", 9.0f, 900))
+      .toDF("id", "group", "value1", "value2")
+      .createOrReplaceTempView("graft_merge_psrc")
+    spark.sql("""MERGE INTO gsqlcowp.ns.pc t USING graft_merge_psrc s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.value2 = s.value2
+      WHEN NOT MATCHED THEN INSERT *""")
+    val merged = spark.sql("SELECT id, value2 FROM gsqlcowp.ns.pc ORDER BY id")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(merged == Map(1 -> 10, 2 -> 20, 3 -> 31, 4 -> 444, 9 -> 900), s"got $merged")
+    assert(cat.liveFiles("ns", "pc").forall(_.partitionValues.contains("group")))
+    // partition pruning still exact after the DML chain
+    assert(spark.sql("SELECT id FROM gsqlcowp.ns.pc WHERE group = 'Z'")
+      .collect().map(_.getInt(0)).toSeq == Seq(9))
+
+    // MOR vectors + partitioned + MERGE in one shot: subtraction holds,
+    // vectors retire, partition metadata survives
+    LakehouseTable.load(cat, spark, "ns", "pc").deleteMor($"id" === 1)
+    spark.sql("""MERGE INTO gsqlcowp.ns.pc t USING graft_merge_psrc s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.value2 = -1""")
+    assert(cat.liveDeleteFiles("ns", "pc").isEmpty)
+    val fin = spark.sql("SELECT id, value2 FROM gsqlcowp.ns.pc ORDER BY id")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(fin == Map(2 -> 20, 3 -> 31, 4 -> -1, 9 -> -1), s"got $fin")
   }
 
   test("CREATE TABLE, CTAS, INSERT OVERWRITE and DROP TABLE through the catalog") {

@@ -660,22 +660,36 @@ object Lakehouse {
         WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 200000.0)
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
-    // SQL UPDATE + MERGE INTO: Spark's row-level-operation rewrite over
-    // the DSv2 catalog — group-based copy-on-write, each statement one
-    // conditional overwrite commit. The UPDATE doubles every 10th
-    // order's price; the MERGE then updates matched statuses and
-    // inserts shifted new keys in a single statement.
+    // SQL UPDATE + DELETE + MERGE INTO: Spark's row-level-operation
+    // rewrite over the DSv2 catalog — FILE-GRANULAR group-based
+    // copy-on-write, each statement one conditional commit. The table
+    // lands as three files with disjoint o_orderkey ranges; the
+    // selective UPDATE (doubles every 10th order's price below key
+    // 5000) must CARRY the two out-of-range files unrewritten (the
+    // result embeds the carried-file count as evidence). A translatable
+    // SQL DELETE then stacks a merge-on-read position vector, and the
+    // MERGE runs on the MOR-outstanding table — the rewrite sees
+    // post-delete rows and its reset commit retires the vectors (also
+    // embedded as evidence).
     QueryDef("lake_sql_update_merge",
       (s, d) => {
         val whDir = wh("lake_sql_update_merge", d)
         val cat = new Snaplog(whDir)
         val orders = t(s, d, "orders")
         val tbl = LakehouseTable.create(cat, s, "lake", "orders_upd", orders.schema)
-        tbl.append(orders)
+        tbl.append(orders.filter(col("o_orderkey") <= 5000).coalesce(1))
+        tbl.append(orders.filter(col("o_orderkey") > 5000 &&
+          col("o_orderkey") <= 10000).coalesce(1))
+        tbl.append(orders.filter(col("o_orderkey") > 10000).coalesce(1))
         val cn = sqlCatalog(s, "gupd", whDir)
         s.sql(s"""UPDATE $cn.lake.orders_upd
-          SET o_totalprice = o_totalprice * 2 WHERE o_orderkey % 10 = 0""")
-        orders.filter(col("o_orderkey") % 10 === 1)
+          SET o_totalprice = o_totalprice * 2
+          WHERE o_orderkey % 10 = 0 AND o_orderkey <= 5000""")
+        val carried = cat.snapshots("lake", "orders_upd").last.summary
+          .getOrElse("carried-files", "?")
+        s.sql(s"DELETE FROM $cn.lake.orders_upd WHERE o_totalprice < 5000.0")
+        orders.filter(col("o_orderkey") % 10 === 1 &&
+            col("o_totalprice") >= 5000.0)
           .withColumn("o_orderstatus", lit("U"))
           .unionByName(orders.filter(col("o_orderkey") % 10 === 2)
             .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
@@ -685,26 +699,29 @@ object Lakehouse {
           ON t.o_orderkey = src.o_orderkey
           WHEN MATCHED THEN UPDATE SET t.o_orderstatus = src.o_orderstatus
           WHEN NOT MATCHED THEN INSERT *""")
-        val engines = cat.snapshots("lake", "orders_upd").takeRight(2)
+        val engines = cat.snapshots("lake", "orders_upd")
           .flatMap(_.summary.get("engine")).mkString(",")
+        val vecAfter = cat.liveDeleteFiles("lake", "orders_upd").size
         s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
           FROM $cn.lake.orders_upd GROUP BY o_orderstatus""")
-          .withColumn("engines", lit(engines))
+          .withColumn("evidence",
+            lit(s"$engines,carried=$carried,vecAfter=$vecAfter"))
           .orderBy(col("o_orderstatus"))
       },
-      Some("""WITH base AS (SELECT
-            CASE WHEN o_orderkey % 10 = 1 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
-            CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
-                 ELSE o_totalprice END AS price
+      Some("""WITH upd AS (SELECT o_orderkey,
+            CASE WHEN o_orderkey % 10 = 1 THEN 'U' ELSE o_orderstatus END AS st,
+            CASE WHEN o_orderkey % 10 = 0 AND o_orderkey <= 5000
+                 THEN o_totalprice * 2 ELSE o_totalprice END AS price
           FROM orders),
-        ins AS (SELECT 'N' AS o_orderstatus, o_totalprice AS price
+        surv AS (SELECT st, price FROM upd WHERE NOT (price < 5000.0)),
+        ins AS (SELECT 'N' AS st, o_totalprice AS price
           FROM orders WHERE o_orderkey % 10 = 2),
-        merged AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
-        SELECT o_orderstatus, COUNT(*) AS n,
+        merged AS (SELECT * FROM surv UNION ALL SELECT * FROM ins)
+        SELECT st AS o_orderstatus, COUNT(*) AS n,
           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
-          'sql-update,sql-merge' AS engines
-        FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+          'sql-update,sql-merge,carried=2,vecAfter=0' AS evidence
+        FROM merged GROUP BY st ORDER BY st""")),
 
     // SQL DDL lifecycle: CREATE TABLE → INSERT INTO → CTAS → INSERT
     // OVERWRITE → DROP TABLE, entirely through spark.sql against the

@@ -926,7 +926,7 @@ private[sql] object FilePrune {
     case other => other
   }
 
-  def mayMatch(f: DataFileEntry, e: Expression): Boolean = e match {
+  def mayMatch(f: DataFileEntry, e: Expression): Boolean = if (f.rowCount == 0L) false else e match {
     case CEq(a: AttributeReference, l: Literal) => eqAllows(f, a.name, litVal(l))
     case CEq(l: Literal, a: AttributeReference) => eqAllows(f, a.name, litVal(l))
     case CIn(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>

@@ -1,0 +1,185 @@
+package graft.interop
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.catalog.{Catalog, DataFileEntry, Snaplog, Snapshot}
+import graft.table.{FileStats, LakehouseTable}
+
+/** External Iceberg-v2 READ (import) — the inverse of
+  * [[IcebergExport]], closing the interop loop the reference runs in
+  * both directions (PyIceberg writes a metadata tree, DuckDB's
+  * `iceberg_scan` consumes one, `query_iceberg_duckdb.py:21-29`):
+  * walk a foreign `metadata/` tree — version-hint → metadata.json →
+  * Avro manifest-list → Avro manifests — and register the CURRENT
+  * snapshot's data files as a NEW graft table through the same
+  * metadata-only path `add_files` uses.
+  *
+  * Zero data movement: data files are referenced in place, row counts
+  * and sizes come from the manifests, identity-partition tuples map
+  * onto the log's partition metadata (so partition pruning works on
+  * the imported table immediately). Import cost is metadata-sized at
+  * any table size — a 100 TB Iceberg table imports by parsing its
+  * manifests, never by touching a data page. Optional
+  * `statFooters = true` adds a footer-only pass per data file to
+  * recover column [min,max] bounds for stat-based file skipping (the
+  * manifests' binary bound maps are not parsed).
+  *
+  * Honest refusals, all failing BEFORE any catalog mutation: delete
+  * manifests / delete files (a data-only import would resurrect
+  * deleted rows), non-identity partition transforms (the log prunes on
+  * identity values only), non-parquet file formats, and non-primitive
+  * column types (nested structs need field-id tracking this format
+  * does not carry).
+  */
+object IcebergImport {
+
+  final case class Report(
+      table: LakehouseTable,
+      snapshot: Snapshot,
+      schema: StructType,
+      partitionColumns: Seq[String],
+      dataFiles: Int,
+      totalRecords: Long)
+
+  /** Inverse of IcebergExport.icebergType for the primitive types the
+    * spec names. Anything else refuses — imported schemas must read
+    * back exactly. */
+  private def sparkType(s: String): DataType = s match {
+    case "boolean" => BooleanType
+    case "int" => IntegerType
+    case "long" => LongType
+    case "float" => FloatType
+    case "double" => DoubleType
+    case "string" => StringType
+    case "binary" => BinaryType
+    case "date" => DateType
+    case "timestamp" | "timestamptz" => TimestampType
+    case d if d.startsWith("decimal(") =>
+      val Array(p, sc) = d.stripPrefix("decimal(").stripSuffix(")").split(",").map(_.trim.toInt)
+      DecimalType(p, sc)
+    case other => throw new IllegalArgumentException(
+      s"iceberg type '$other' has no exact graft mapping — import refused")
+  }
+
+  private def readAvro(file: Path): Seq[GenericRecord] = {
+    val r = new DataFileReader[GenericRecord](file.toFile,
+      new GenericDatumReader[GenericRecord]())
+    try r.iterator.asScala.toSeq finally r.close()
+  }
+
+  /** Avro partition-struct value → the stored external text the log
+    * records for identity partitions (null → the Hive null sentinel,
+    * date logical ints → ISO dates — the exact inverse of the export's
+    * `partitionAvroValue`). */
+  private def partitionText(v: Any, dt: DataType): String = v match {
+    case null => Snaplog.HiveDefaultPartition
+    case i: Integer if dt == DateType =>
+      java.time.LocalDate.ofEpochDay(i.longValue()).toString
+    case other => other.toString
+  }
+
+  /** Walk `root` (the table dir containing `metadata/`, or the
+    * `metadata/` dir itself) and register the current snapshot as the
+    * new table `ns.name` in `catalog`. */
+  def register(catalog: Catalog, spark: SparkSession, root: Path,
+      ns: String, name: String, statFooters: Boolean = false): Report = {
+    implicit val fmts: Formats = DefaultFormats
+    val metaDir =
+      if (Files.exists(root.resolve("version-hint.text"))) root
+      else root.resolve("metadata")
+    val version = Files.readString(metaDir.resolve("version-hint.text")).trim
+    val meta = JsonMethods.parse(Files.readString(
+      metaDir.resolve(s"v$version.metadata.json")))
+    require((meta \ "format-version").extract[Int] == 2,
+      "only Iceberg format-version 2 trees import")
+
+    // -- schema (current-schema-id) ------------------------------------------
+    val schemaId = (meta \ "current-schema-id").extract[Int]
+    val schemaJson = (meta \ "schemas").asInstanceOf[JArray].arr
+      .find(s => (s \ "schema-id").extract[Int] == schemaId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"current-schema-id $schemaId not present in schemas"))
+    val fieldsJson = (schemaJson \ "fields").asInstanceOf[JArray].arr
+    val fieldById = fieldsJson.map(f => (f \ "id").extract[Int] -> f).toMap
+    val schema = StructType(fieldsJson.map { f =>
+      val tpe = (f \ "type") match {
+        case JString(s) => sparkType(s)
+        case other => throw new IllegalArgumentException(
+          s"nested/complex type on column '${(f \ "name").extract[String]}' — " +
+            s"import refused (${JsonMethods.compact(JsonMethods.render(other))})")
+      }
+      StructField((f \ "name").extract[String], tpe,
+        nullable = !(f \ "required").extract[Boolean])
+    })
+
+    // -- partition spec (default-spec-id, identity transforms only) ----------
+    val specId = (meta \ "default-spec-id").extract[Int]
+    val specJson = (meta \ "partition-specs").asInstanceOf[JArray].arr
+      .find(s => (s \ "spec-id").extract[Int] == specId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"default-spec-id $specId not present in partition-specs"))
+    val partCols = (specJson \ "fields").asInstanceOf[JArray].arr.map { pf =>
+      val transform = (pf \ "transform").extract[String]
+      require(transform == "identity",
+        s"partition transform '$transform' is not identity — the snapshot " +
+          "log prunes on identity values only; import refused")
+      val srcId = (pf \ "source-id").extract[Int]
+      (fieldById.getOrElse(srcId, throw new IllegalArgumentException(
+        s"partition source-id $srcId not in schema")) \ "name").extract[String]
+    }
+    val partTypes = partCols.map(c =>
+      c -> schema.fields.find(_.name == c).map(_.dataType).getOrElse(StringType)).toMap
+
+    // -- current snapshot → manifest list → manifests → data files -----------
+    val currentId = (meta \ "current-snapshot-id").extract[Long]
+    require(currentId > 0, "table has no current snapshot — nothing to import")
+    val current = (meta \ "snapshots").asInstanceOf[JArray].arr
+      .find(s => (s \ "snapshot-id").extract[Long] == currentId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"current-snapshot-id $currentId missing from snapshots"))
+    val manifestFiles = readAvro(Paths.get((current \ "manifest-list").extract[String]))
+    manifestFiles.foreach { mf =>
+      require(mf.get("content").asInstanceOf[Int] == 0,
+        s"${mf.get("manifest_path")}: DELETE manifests present — a data-only " +
+          "import would resurrect deleted rows; import refused")
+    }
+    val entries = manifestFiles.flatMap(mf =>
+      readAvro(Paths.get(mf.get("manifest_path").toString)))
+      .filter(_.get("status").asInstanceOf[Int] != 2) // 2 = DELETED
+    val files = entries.map { e =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      require(df.get("content").asInstanceOf[Int] == 0,
+        s"${df.get("file_path")}: delete file listed as data — import refused")
+      require(df.get("file_format").toString.equalsIgnoreCase("PARQUET"),
+        s"${df.get("file_path")}: only PARQUET data files import")
+      val path = df.get("file_path").toString
+      require(Files.exists(Paths.get(path)), s"data file missing: $path")
+      val part = df.get("partition").asInstanceOf[GenericRecord]
+      val pv = partCols.map { c =>
+        c -> partitionText(part.get(c), partTypes(c))
+      }.toMap
+      if (statFooters) FileStats.stat(spark, path, pv)
+      else DataFileEntry(path, df.get("record_count").asInstanceOf[Long],
+        df.get("file_size_in_bytes").asInstanceOf[Long], pv, None)
+    }
+
+    // -- one metadata-only registration commit -------------------------------
+    catalog.createTable(ns, name, schema, partCols,
+      properties = Map("iceberg.imported-from" -> metaDir.toString,
+        "iceberg.imported-snapshot-id" -> currentId.toString),
+      ifNotExists = false)
+    val snap = catalog.commit(ns, name, Snaplog.OpAddFiles, files,
+      Map("iceberg-import" -> s"v$version.metadata.json",
+        "iceberg-snapshot-id" -> currentId.toString))
+    Report(LakehouseTable.load(catalog, spark, ns, name), snap, schema,
+      partCols, files.size, files.map(_.rowCount).sum)
+  }
+}

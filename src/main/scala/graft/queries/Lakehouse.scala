@@ -948,6 +948,40 @@ object Lakehouse {
             AS BIGINT) AS total_records,
           TRUE AS files_exist""")),
 
+    // External Iceberg v2 READ (import): export a partitioned table's
+    // metadata tree, then register it as a NEW table by walking
+    // version-hint → metadata.json → Avro manifest-list → manifests —
+    // the full interop loop in one query, with the imported table's
+    // SCAN (metadata-only registration, zero data movement) gated
+    // against DuckDB on the source rows. Partition pruning must work
+    // immediately on the imported table (in-result file-count claim).
+    QueryDef("lake_iceberg_import",
+      (s, d) => {
+        val whDir = wh("lake_iceberg_import", d)
+        val cat = new Snaplog(whDir)
+        val customer = t(s, d, "customer")
+        val rep = Ingest.ingestDf(cat, "lake", "cust_ice", customer,
+          partitionColumns = Seq("c_mktsegment"))
+        val dest = Paths.get(whDir, "ice_tree")
+        IcebergExport.export(rep.table, dest)
+        val imp = graft.interop.IcebergImport.register(
+          cat, s, dest, "lake", "cust_imported")
+        val prunedFiles = imp.table.selectFiles(
+          partitionFilter = Map("c_mktsegment" -> "BUILDING")).size
+        val totalFiles = imp.dataFiles
+        imp.table.scan(partitionFilter = Map("c_mktsegment" -> "BUILDING"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("total"))
+          .withColumn("pruned_to_one_partition",
+            lit(prunedFiles > 0 && prunedFiles < totalFiles))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          TRUE AS pruned_to_one_partition
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // Merge-on-read row-level DELETE: same predicate as the COW variant
     // but NO data file rewrites — the commit adds one position-delete
     // vector and scans subtract it with a broadcast anti-join. The

@@ -461,6 +461,42 @@ abstract class CatalogContractSpec extends SparkSpec {
       s"vector-window snapshot must be excluded, got ${rb2.nSnapshots}")
   }
 
+  test("iceberg import registers an exported tree as a new table (round-trip)") {
+    val cat = freshCatalog()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "src", fixture().schema, Seq("group"))
+    tbl.append(fixture())
+    tbl.append(fixture().withColumn("id", $"id" + 10))
+    val dest = Files.createTempDirectory("graft-iceimp")
+    graft.interop.IcebergExport.export(tbl, dest)
+
+    val rep = graft.interop.IcebergImport.register(cat, spark, dest, "ns", "imported")
+    // schema, partition spec and content all round-trip
+    assert(rep.schema.map(f => (f.name, f.dataType)) ==
+      tbl.schema.map(f => (f.name, f.dataType)))
+    assert(rep.partitionColumns == Seq("group"))
+    assert(rep.dataFiles == cat.liveFiles("ns", "src").size)
+    assert(rep.totalRecords == 8)
+    val imported = LakehouseTable.load(cat, spark, "ns", "imported")
+    assert(imported.scan().orderBy("id").collect().toSeq ==
+      tbl.scan().orderBy("id").collect().toSeq)
+    // per-file stats round-trip from the manifests (no footer reads)
+    val srcByPath = cat.liveFiles("ns", "src").map(f => f.path -> f).toMap
+    cat.liveFiles("ns", "imported").foreach { f =>
+      val src = srcByPath(f.path)
+      assert(f.rowCount == src.rowCount && f.sizeBytes == src.sizeBytes)
+      assert(f.partitionValues == src.partitionValues,
+        s"partition tuple must survive: ${src.partitionValues} vs ${f.partitionValues}")
+    }
+    // identity-partition pruning works immediately on the imported table
+    val pruned = imported.selectFiles(partitionFilter = Map("group" -> "A"))
+    assert(pruned.nonEmpty && pruned.forall(_.partitionValues.get("group").contains("A")))
+    // statFooters recovers column bounds for stat-based skipping
+    val rep2 = graft.interop.IcebergImport.register(cat, spark, dest, "ns", "imported2",
+      statFooters = true)
+    assert(cat.liveFiles("ns", "imported2").forall(_.columnStats.exists(_.contains("id"))))
+    assert(rep2.totalRecords == 8)
+  }
+
   test("automatic checkpoints bound the replay window and preserve content") {
     val cat = freshCatalog(checkpointInterval = 5)
     LakehouseTable.create(cat, spark, "ns", "cp", fixture().schema)

@@ -68,27 +68,36 @@ trait Catalog {
     * whose file list was computed against `expectedSnapshotId` gets a
     * [[CommitConflictException]] if the table advanced past it —
     * optimistic concurrency, Iceberg's CAS-on-metadata model. Blind
-    * appends (no expectation) never conflict. */
+    * appends (no expectation) never conflict.
+    *
+    * `parentIdOverride` records a non-linear parent (a WAP branch head)
+    * in the snapshot row; it never changes id assignment or conflict
+    * semantics — lineage is informational for main, structural only for
+    * branch replay (see LakehouseTable.scanBranch). */
   def commit(
       ns: String, t: String, operation: String,
       files: Seq[DataFileEntry],
       summary: Map[String, String] = Map.empty,
-      expectedSnapshotId: Option[Long] = None): Snapshot
+      expectedSnapshotId: Option[Long] = None,
+      parentIdOverride: Option[Long] = None): Snapshot
 
   /** Live data files as of `asOf` (default: current) — replay from the
     * latest overwrite/replace at-or-before the target snapshot. Time
     * travel = this file list fed to a plain parquet scan. Position-
-    * delete vectors are excluded — see [[liveDeleteFiles]]. */
+    * delete vectors are excluded — see [[liveDeleteFiles]]. WAP-staged
+    * branch commits (write-audit-publish, summary-marked) are NOT main
+    * history and never contribute here. */
   final def liveFiles(ns: String, t: String, asOf: Option[Long] = None): Seq[DataFileEntry] =
-    windowSnapshots(ns, t, asOf).flatMap(_.files).filterNot(_.deleteFile.contains(true))
+    windowSnapshots(ns, t, asOf).filterNot(Snaplog.isWapStaged)
+      .flatMap(_.files).filterNot(_.deleteFile.contains(true))
 
   /** Data files and delete vectors from ONE replay of the log window —
     * table loading needs both, and replaying twice doubles the log I/O
     * on the per-query planning hot path. */
   final def liveFilesSplit(ns: String, t: String,
       asOf: Option[Long] = None): (Seq[DataFileEntry], Seq[DataFileEntry]) = {
-    val (del, data) = windowSnapshots(ns, t, asOf).flatMap(_.files)
-      .partition(_.deleteFile.contains(true))
+    val (del, data) = windowSnapshots(ns, t, asOf).filterNot(Snaplog.isWapStaged)
+      .flatMap(_.files).partition(_.deleteFile.contains(true))
     (data, del)
   }
 
@@ -99,7 +108,8 @@ trait Catalog {
     * checkpoint CARRIES outstanding vectors forward as entries of its
     * own, so it retires nothing semantically). */
   final def liveDeleteFiles(ns: String, t: String, asOf: Option[Long] = None): Seq[DataFileEntry] =
-    windowSnapshots(ns, t, asOf).flatMap(_.files).filter(_.deleteFile.contains(true))
+    windowSnapshots(ns, t, asOf).filterNot(Snaplog.isWapStaged)
+      .flatMap(_.files).filter(_.deleteFile.contains(true))
 
   /** The replay window: snapshots from the latest reset commit
     * at-or-before the target (checkpoints count — that is their whole
@@ -139,13 +149,23 @@ trait Catalog {
     if (Snaplog.ResetOps(last.operation)) return
     val window = windowSnapshots(ns, t, None)
     if (window.size < checkpointInterval) return
-    val files = window.flatMap(_.files).distinctBy(_.path)
+    // WAP-staged branch commits are not main content: folding their
+    // files would leak unpublished data into every subsequent main
+    // scan. Branch replay is lineage-based (full history), so the
+    // fold cutting them out of the hot window loses nothing.
+    val files = window.filterNot(Snaplog.isWapStaged)
+      .flatMap(_.files).distinctBy(_.path)
+    // The user's snapshot has already durably landed — NO failure of
+    // this opportunistic fold may surface as a commit failure (a caller
+    // that retried would duplicate its append). Conflicts, lock
+    // timeouts, I/O errors, a torn read racing a concurrent append:
+    // all safely deferred to the next commit's fold attempt.
     try {
       commit(ns, t, Snaplog.OpCheckpoint, files,
         Map("checkpoint" -> "auto", "window" -> window.size.toString),
         expectedSnapshotId = Some(last.snapshotId))
       ()
-    } catch { case _: CommitConflictException => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   // ---- refs (tags / branches) ---------------------------------------------
@@ -265,16 +285,23 @@ trait Catalog {
     * overwrites). Never touches files outside the managed dir (e.g.
     * add_files registrations). Returns deleted paths.
     *
-    * Requires EXCLUSIVE table access: a concurrent writer stages data
-    * files BEFORE its commit references them, and no metadata lock can
-    * distinguish staged-not-yet-committed files from orphans. Run it
-    * from the maintenance window, like every table format does. */
-  final def vacuum(ns: String, t: String): Seq[String] = {
+    * `graceMs` is the remove-orphan-files age guard every table format
+    * ships: a file younger than the threshold is NEVER deleted, because
+    * a concurrent writer stages data files BEFORE its commit references
+    * them, and no metadata lock can distinguish staged-not-yet-committed
+    * files from orphans — age can. The default (1 h) makes vacuum safe
+    * to run alongside writers whose stage-to-commit window is shorter;
+    * pass 0 only under genuinely exclusive table access. */
+  final def vacuum(ns: String, t: String,
+      graceMs: Long = Snaplog.VacuumGraceMs): Seq[String] = {
     val referenced = snapshots(ns, t).flatMap(_.files).map(_.path).toSet
     val dd = dataDir(ns, t)
     if (!Files.isDirectory(dd)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - math.max(0L, graceMs)
     val orphans = Files.walk(dd).iterator.asScala
-      .filter(p => Files.isRegularFile(p) && !referenced.contains(p.toString))
+      .filter(p => Files.isRegularFile(p) && !referenced.contains(p.toString) &&
+        (try Files.getLastModifiedTime(p).toMillis <= cutoff
+         catch { case _: java.io.IOException => false })) // vanished/unreadable: skip
       .map(_.toString).toSeq.sorted
     orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
     // prune now-empty directories bottom-up
@@ -295,17 +322,35 @@ trait Catalog {
   protected final def buildSnapshot(
       ns: String, t: String, prev: Option[Snapshot], operation: String,
       files: Seq[DataFileEntry], summary: Map[String, String],
-      expectedSnapshotId: Option[Long]): Snapshot = {
+      expectedSnapshotId: Option[Long],
+      parentIdOverride: Option[Long] = None): Snapshot = {
     expectedSnapshotId.foreach { want =>
       val cur = prev.map(_.snapshotId).getOrElse(0L)
-      if (cur != want)
-        throw new CommitConflictException(
-          s"commit to $ns.$t expected snapshot $want but found $cur — " +
-            "another writer committed first; re-read and retry")
+      if (cur != want) {
+        // A lineage from the expected snapshot to the current one made
+        // ENTIRELY of content no-ops for MAIN — automatic checkpoint
+        // folds (re-list the exact live set) and WAP-staged branch
+        // commits (not main history at all) — leaves the writer's read
+        // state current, so its commit is safe. Without this, every
+        // in-flight conditional writer (SQL COW DML, INSERT, upsert)
+        // would spuriously fail at each interval boundary or staged
+        // branch write under concurrent activity. History is read only
+        // on this (rare) mismatch path.
+        val noOpLineage = cur > want && {
+          val between = snapshots(ns, t)
+            .filter(s => s.snapshotId > want && s.snapshotId <= cur)
+          between.nonEmpty && between.forall(s =>
+            s.operation == Snaplog.OpCheckpoint || Snaplog.isWapStaged(s))
+        }
+        if (!noOpLineage)
+          throw new CommitConflictException(
+            s"commit to $ns.$t expected snapshot $want but found $cur — " +
+              "another writer committed first; re-read and retry")
+      }
     }
     Snapshot(
       snapshotId = prev.map(_.snapshotId + 1).getOrElse(1L),
-      parentId = prev.map(_.snapshotId),
+      parentId = parentIdOverride.orElse(prev.map(_.snapshotId)),
       timestampMs = System.currentTimeMillis(),
       operation = operation,
       files = files,

@@ -239,14 +239,15 @@ final class JdbcCatalog(val jdbcUrl: String, val warehouse: String,
       ns: String, t: String, operation: String,
       files: Seq[DataFileEntry],
       summary: Map[String, String] = Map.empty,
-      expectedSnapshotId: Option[Long] = None): Snapshot = {
+      expectedSnapshotId: Option[Long] = None,
+      parentIdOverride: Option[Long] = None): Snapshot = {
     // CAS loop on the snapshot PK: compute next id from the freshest
     // read, INSERT; a duplicate key means another writer landed first —
     // blind commits re-read and retry, conditional commits conflict via
     // buildSnapshot on the re-read (the expectation can no longer hold).
     while (true) {
       val snap = buildSnapshot(ns, t, currentSnapshot(ns, t), operation,
-        files, summary, expectedSnapshotId)
+        files, summary, expectedSnapshotId, parentIdOverride)
       val won = withConn { c =>
         val ps = c.prepareStatement(
           "INSERT INTO graft_snapshots(ns, tbl, snapshot_id, body) VALUES (?, ?, ?, ?)")
@@ -372,8 +373,12 @@ final class JdbcCatalog(val jdbcUrl: String, val warehouse: String,
       c.setAutoCommit(false)
       val ps = c.prepareStatement(
         "SELECT meta FROM graft_tables WHERE ns = ? AND tbl = ? FOR UPDATE")
-      try { ps.setString(1, ns); ps.setString(2, t); ps.executeQuery().next(); () }
-      finally ps.close()
+      try {
+        ps.setString(1, ns); ps.setString(2, t)
+        // no row = no FOR UPDATE lock taken: the cross-process mutex
+        // would be silently void — fail loudly instead
+        require(ps.executeQuery().next(), s"unknown table $ns.$t")
+      } finally ps.close()
       val r = body
       c.commit()
       r

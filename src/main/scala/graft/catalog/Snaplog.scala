@@ -190,24 +190,25 @@ final class Snaplog(val warehouse: String,
       .filter(_.nonEmpty).map(jread[Snapshot](_))
   }
 
-  /** O(1) parse: ids are dense-monotonic and the log append-only, so
-    * the current snapshot is the LAST line — the per-commit lookup
-    * must not deserialize the whole history. */
+  /** O(1) in BOTH parse and byte I/O: ids are dense-monotonic and the
+    * log append-only, so the current snapshot is the LAST line — read
+    * via the backwards tail-block iterator, which touches only the
+    * file's final block(s), never the multi-GB history. */
   override def currentSnapshot(ns: String, t: String): Option[Snapshot] = {
     val f = logFile(ns, t)
     if (!Files.exists(f)) None
-    else Files.readAllLines(f, StandardCharsets.UTF_8).asScala
-      .filter(_.nonEmpty).lastOption.map(jread[Snapshot](_))
+    else withReverseLines(f)(_.find(_.nonEmpty).map(jread[Snapshot](_)))
   }
 
   override def commit(
       ns: String, t: String, operation: String,
       files: Seq[DataFileEntry],
       summary: Map[String, String] = Map.empty,
-      expectedSnapshotId: Option[Long] = None): Snapshot = {
+      expectedSnapshotId: Option[Long] = None,
+      parentIdOverride: Option[Long] = None): Snapshot = {
     val snap = withTableLock(ns, t) {
       val s = buildSnapshot(ns, t, currentSnapshot(ns, t), operation,
-        files, summary, expectedSnapshotId)
+        files, summary, expectedSnapshotId, parentIdOverride)
       Files.write(logFile(ns, t), (jwrite(s) + "\n").getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
       s
@@ -216,31 +217,93 @@ final class Snaplog(val warehouse: String,
     snap
   }
 
-  /** Hot-path replay window (`asOf = None`): parse the log BACKWARDS —
-    * line-split the file (no JSON work), then deserialize only from
-    * the end until the first reset/checkpoint commit. With automatic
-    * checkpoints this bounds per-plan JSON parsing to O(interval)
-    * entries regardless of history length. */
+  /** Hot-path replay window (`asOf = None`): read the log BACKWARDS in
+    * tail blocks and deserialize only from the end until the first
+    * reset/checkpoint commit. With automatic checkpoints this bounds
+    * per-plan cost — JSON parsing AND byte I/O — to O(window)
+    * regardless of history length: a 3×10⁶-commit streaming table
+    * plans from the same few tail blocks a 100-commit table does. */
   override protected[graft] def windowSnapshots(
       ns: String, t: String, asOf: Option[Long]): Seq[Snapshot] =
     if (asOf.isDefined) super.windowSnapshots(ns, t, asOf)
     else {
       val f = logFile(ns, t)
       if (!Files.exists(f)) Seq.empty
-      else {
-        val lines = Files.readAllLines(f, StandardCharsets.UTF_8).asScala
-          .filter(_.nonEmpty)
+      else withReverseLines(f) { it =>
         var collected = List.empty[Snapshot]
-        val it = lines.reverseIterator
         var done = false
         while (!done && it.hasNext) {
-          val s = jread[Snapshot](it.next())
-          collected = s :: collected
-          if (Snaplog.ResetOps(s.operation)) done = true
+          val line = it.next()
+          if (line.nonEmpty) {
+            val s = jread[Snapshot](line)
+            collected = s :: collected
+            if (Snaplog.ResetOps(s.operation)) done = true
+          }
         }
         collected
       }
     }
+
+  /** Bytes read by the backwards tail iterator since this catalog was
+    * created — exposed so specs can assert the O(window) I/O bound. */
+  @volatile private[graft] var tailBytesRead: Long = 0L
+
+  /** Run `consume` over the log's lines LAST-TO-FIRST, reading only as
+    * many fixed-size tail blocks as the consumer demands: seek from the
+    * end, split blocks on '\n' at the BYTE level (0x0A never occurs
+    * inside a UTF-8 multibyte sequence, so block boundaries cannot tear
+    * a character), and complete each block's unterminated head with the
+    * next (earlier) block. An early-stopping consumer (currentSnapshot,
+    * the checkpoint-bounded replay window) therefore costs O(bytes it
+    * consumed), never O(file). */
+  private def withReverseLines[A](f: Path)(consume: Iterator[String] => A): A = {
+    val ch = java.nio.channels.FileChannel.open(f, StandardOpenOption.READ)
+    try consume(new Iterator[String] {
+      private var pos = ch.size()
+      private var carry: Array[Byte] = Array.emptyByteArray
+      private var pending: List[String] = Nil
+      private var emittedHead = false
+
+      private def fill(): Unit = {
+        while (pending.isEmpty && pos > 0) {
+          val n = math.min(Snaplog.ReverseBlockBytes.toLong, pos).toInt
+          pos -= n
+          val buf = java.nio.ByteBuffer.allocate(n)
+          var off = 0
+          while (off < n) {
+            val r = ch.read(buf, pos + off)
+            require(r > 0, s"unexpected EOF reading $f at ${pos + off}")
+            off += r
+          }
+          tailBytesRead += n
+          val full = buf.array() ++ carry
+          // segments between newlines; segment 0 may continue into the
+          // (unread) earlier part of the file → it becomes the carry
+          var segs = List.empty[Array[Byte]]
+          var end = full.length
+          var i = full.length - 1
+          while (i >= 0) {
+            if (full(i) == '\n') { segs = full.slice(i + 1, end) :: segs; end = i }
+            i -= 1
+          }
+          carry = full.slice(0, end)
+          // emit complete lines last-to-first
+          pending = segs.reverse.map(b => new String(b, StandardCharsets.UTF_8))
+        }
+        if (pending.isEmpty && pos == 0 && !emittedHead) {
+          emittedHead = true
+          if (carry.nonEmpty)
+            pending = List(new String(carry, StandardCharsets.UTF_8))
+        }
+      }
+
+      override def hasNext: Boolean = { fill(); pending.nonEmpty }
+      override def next(): String = {
+        fill()
+        val h = pending.head; pending = pending.tail; h
+      }
+    }) finally ch.close()
+  }
 
   /** Serialize commits to one table. The lock file is created
     * atomically and carries the holder's NONCE; holders are expected to
@@ -391,10 +454,26 @@ object Snaplog {
     * micro-batch high-water mark (see StreamingIngest.upsertEachBatch). */
   val StreamBatchKey = "streaming-batch-id"
 
+  /** Summary key marking a WAP (write-audit-publish) STAGED branch
+    * commit: present = the snapshot belongs to the named branch, not to
+    * main — main replay, checkpoint folds and incremental reads all
+    * skip it; `fast_forward` publishes it (see
+    * LakehouseTable.appendToBranch). */
+  val WapBranchKey = "wap.branch"
+
+  def isWapStaged(s: Snapshot): Boolean = s.summary.contains(WapBranchKey)
+
   /** Summary keys whose running maximum [[Catalog#expireSnapshots]]
     * folds forward into the retained log — monotonic marks that must
     * survive history expiration. */
   val CarryMaxKeys: Set[String] = Set(StreamBatchKey)
+
+  /** Block size for the backwards tail read of the snapshot log. */
+  val ReverseBlockBytes: Int = 64 * 1024
+
+  /** Default vacuum age guard: orphans younger than this are presumed
+    * to be a concurrent writer's staged-not-yet-committed files. */
+  val VacuumGraceMs: Long = 60L * 60 * 1000
 
   /** Give up acquiring a table's commit lock after this long. */
   val LockTimeoutMs = 30000L

@@ -230,6 +230,37 @@ object Lakehouse {
         SELECT o_orderstatus, n_tag, total_tag, n_head, total_head
         FROM tag JOIN head USING (o_orderstatus) ORDER BY o_orderstatus""")),
 
+    // Write-audit-publish: stage an append on a branch (main untouched,
+    // branch auditable), publish via CALL system.fast_forward through
+    // the SQL catalog, then verify the published table. The result
+    // carries the pre-publish main count and the branch count as
+    // evidence that staging really was isolated.
+    QueryDef("lake_wap_publish",
+      (s, d) => {
+        val whDir = wh("lake_wap_publish", d)
+        val cat = new Snaplog(whDir)
+        val orders = t(s, d, "orders")
+        val even = orders.filter(col("o_orderkey") % 2 === 0)
+        val odd = orders.filter(col("o_orderkey") % 2 === 1)
+        val rep = Ingest.ingestDf(cat, "lake", "orders_wap", even)
+        rep.table.appendToBranch("audit", odd)
+        val mainBefore = rep.table.scan().count()
+        val branchCount = rep.table.scanBranch("audit").count()
+        val cn = sqlCatalog(s, "gwap", whDir)
+        s.sql(s"CALL $cn.system.fast_forward('lake', 'orders_wap', 'audit')").collect()
+        rep.table.scan()
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("main_before", lit(mainBefore))
+          .withColumn("branch_count", lit(branchCount))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS main_before,
+          (SELECT COUNT(*) FROM orders) AS branch_count
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // Time travel: two appends, read back snapshot 1 only.
     QueryDef("lake_time_travel",
       (s, d) => {
@@ -811,6 +842,26 @@ object Lakehouse {
           UNION ALL SELECT 'ref', 'v1', 'tag/1'
         ) ORDER BY kind, k""")),
 
+    // `.partitions` metadata relation: per-partition file/row counts
+    // aggregated from the snapshot log alone — partition-level table
+    // inspection (row distribution, small-file skew) with zero data
+    // I/O at any table size.
+    QueryDef("lake_sql_partitions",
+      (s, d) => {
+        val whDir = wh("lake_sql_partitions", d)
+        val cat = new Snaplog(whDir)
+        val orders = t(s, d, "orders").select("o_orderkey", "o_orderstatus")
+        val tbl = LakehouseTable.create(cat, s, "lake", "part_t",
+          orders.schema, Seq("o_orderstatus"))
+        tbl.append(orders.coalesce(1)) // one file per partition value
+        val cn = sqlCatalog(s, "gpart", whDir)
+        s.sql(s"""SELECT partition, file_count, row_count
+          FROM $cn.lake.part_t.partitions ORDER BY partition""")
+      },
+      Some("""SELECT 'o_orderstatus=' || o_orderstatus AS partition,
+          CAST(1 AS BIGINT) AS file_count, COUNT(*) AS row_count
+        FROM orders GROUP BY o_orderstatus ORDER BY partition""")),
+
     // Partitioned SQL writes: INSERT INTO / INSERT OVERWRITE on an
     // identity-partitioned table route through the V1 write bridge into
     // writeCommit's partitionBy layout — every file single-valued, its
@@ -865,7 +916,7 @@ object Lakehouse {
         s.sql(s"CALL $cn.system.set_ref('lake', 'call_t', 'gold', ${c.getLong(0)}, 'tag')")
         val e = s.sql(s"CALL $cn.system.expire_snapshots('lake', 'call_t', 1)")
           .collect()(0)
-        val v = s.sql(s"CALL $cn.system.vacuum('lake', 'call_t')").collect()(0)
+        val v = s.sql(s"CALL $cn.system.vacuum('lake', 'call_t', 0L)").collect()(0)
         s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
           FROM $cn.lake.call_t VERSION AS OF 'gold' GROUP BY o_orderstatus""")
@@ -1054,7 +1105,7 @@ object Lakehouse {
         table.overwrite(orders.filter(col("o_orderstatus") === "F"))
         table.append(orders.filter(col("o_orderstatus") === "O"))
         val kept = cat.expireSnapshots("lake", "orders_exp", keepLast = 2)
-        val deleted = cat.vacuum("lake", "orders_exp")
+        val deleted = cat.vacuum("lake", "orders_exp", graceMs = 0)
         table.scan()
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))

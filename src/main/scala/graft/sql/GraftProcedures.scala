@@ -30,7 +30,7 @@ private[sql] object GraftProcedures {
 
   val Names: Seq[String] =
     Seq("compact", "expire_snapshots", "expire_snapshots_older_than",
-      "vacuum", "set_ref")
+      "vacuum", "set_ref", "fast_forward")
 
   def load(catName: String, name: String, backing: Catalog): UnboundProcedure =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -76,13 +76,14 @@ private[sql] object GraftProcedures {
           backing.currentSnapshot(ns, t).map(_.snapshotId).getOrElse(0L))
       }
       case "vacuum" => proc(name,
-        "delete orphan files no snapshot references (requires exclusive access)",
-        Seq("ns" -> StringType, "tbl" -> StringType),
+        "delete orphan files no snapshot references and older than grace_ms " +
+          "(the remove-orphan-files age guard; 0 only under exclusive access)",
+        Seq("ns" -> StringType, "tbl" -> StringType, "grace_ms" -> LongType),
         StructType(Seq(
           StructField("deleted_files", IntegerType, nullable = false),
           StructField("deleted_data_files", IntegerType, nullable = false)))) { in =>
         val (ns, t) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString)
-        val deleted = backing.vacuum(ns, t)
+        val deleted = backing.vacuum(ns, t, graceMs = in.getLong(2))
         // split out parquet data files from write-protocol droppings
         // (_SUCCESS, .crc): the data-file count is the auditable signal
         row(deleted.size, deleted.count(_.endsWith(".parquet")))
@@ -101,6 +102,18 @@ private[sql] object GraftProcedures {
           refType = in.getUTF8String(4).toString)
         row(UTF8String.fromString(refName), UTF8String.fromString(ref.refType),
           ref.snapshotId)
+      }
+      case "fast_forward" => proc(name,
+        "publish a WAP branch's staged commits onto main (one conditional " +
+          "append); fails if main advanced past the fork point",
+        Seq("ns" -> StringType, "tbl" -> StringType, "branch" -> StringType),
+        StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("published_files", LongType, nullable = false)))) { in =>
+        val (ns, t) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString)
+        val tbl = LakehouseTable.load(backing, SparkSession.active, ns, t)
+        val snap = tbl.fastForward(in.getUTF8String(2).toString)
+        row(snap.snapshotId, snap.files.size.toLong)
       }
       case other => throw new UnsupportedOperationException(
         s"$catName has no procedure '$other' — available: ${Names.mkString(", ")}")

@@ -1269,13 +1269,10 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     }
     val tbl = LakehouseTable.load(backing, SparkSession.active,
       ident.namespace()(0), ident.name)
-    adds.foldLeft(tbl.schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet) {
-      (seen, a) =>
-        val n = a.fieldNames()(0).toLowerCase(java.util.Locale.ROOT)
-        require(!seen(n), s"column '${a.fieldNames()(0)}' already exists")
-        seen + n
-    }
-    adds.foreach(add => tbl.addColumn(add.fieldNames()(0), add.dataType()))
+    // ONE schema commit for the whole statement: addColumns validates
+    // every addition first, so a mixed statement fails whole instead of
+    // committing a partial evolution and then throwing
+    tbl.addColumns(adds.map(a => a.fieldNames()(0) -> a.dataType()))
     loadTable(ident)
   }
 
@@ -1347,6 +1344,21 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
           (backing.liveFiles(ns, t).map(fr(_, "data")) ++
             backing.liveDeleteFiles(ns, t).map(fr(_, "position-deletes"))).toArray
         }))
+      case "partitions" => Some(new GraftMetaTable(
+        s"$catName.$ns.$t.partitions",
+        StructType(Seq(
+          StructField("partition", StringType, nullable = false),
+          StructField("file_count", LongType, nullable = false),
+          StructField("row_count", LongType, nullable = false),
+          StructField("size_bytes", LongType, nullable = false))),
+        () => backing.liveFiles(ns, t)
+          .groupBy(_.partitionValues.toSeq.sorted
+            .map { case (k, v) => s"$k=$v" }.mkString(","))
+          .toSeq.sortBy(_._1)
+          .map { case (p, fs) =>
+            row(str(p), fs.size.toLong, fs.map(_.rowCount).sum,
+              fs.map(_.sizeBytes).sum)
+          }.toArray))
       case "refs" => Some(new GraftMetaTable(
         s"$catName.$ns.$t.refs",
         StructType(Seq(

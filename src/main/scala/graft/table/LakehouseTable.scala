@@ -59,17 +59,22 @@ final class LakehouseTable(
       rangeFilter: Map[String, (Option[Double], Option[Double])] = Map.empty)
       : DataFrame = {
     val files = selectFiles(asOf, partitionFilter, rangeFilter)
+    assemble(files, catalog.liveDeleteFiles(namespace, name, asOf))
+  }
+
+  /** File lists → DataFrame: plain parquet scan, with the merge-on-read
+    * position-delete subtraction when vectors are live — a broadcast
+    * anti-join on (file, row position). Vectors are metadata-sized
+    * relative to the data (a predicate's matched positions), so the
+    * join adds no shuffle of the data side; a reset commit
+    * (compaction/overwrite) retires them entirely. */
+  private def assemble(files: Seq[DataFileEntry],
+      deletes: Seq[DataFileEntry]): DataFrame = {
     if (files.isEmpty)
       return spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
     val data = spark.read.schema(schema).parquet(files.map(_.path): _*)
-    val deletes = catalog.liveDeleteFiles(namespace, name, asOf)
     if (deletes.isEmpty) data
     else {
-      // Merge-on-read: subtract position-delete vectors with a
-      // broadcast anti-join on (file, row position). Vectors are
-      // metadata-sized relative to the data (a predicate's matched
-      // positions), so the join adds no shuffle of the data side; a
-      // reset commit (compaction/overwrite) retires them entirely.
       val dv = broadcast(
         spark.read.parquet(deletes.map(_.path): _*)
           .select(col("file_path").as("__dv_file"), col("row_index").as("__dv_pos"))
@@ -140,6 +145,90 @@ final class LakehouseTable(
   def setBranch(name: String, snapshotId: Long): Unit = {
     catalog.setRef(namespace, this.name, name, snapshotId, refType = "branch")
     ()
+  }
+
+  // ---- write-audit-publish (WAP) branches --------------------------------
+
+  /** Stage an append onto a named branch WITHOUT touching main — the
+    * Iceberg write-audit-publish workflow: data files write normally
+    * and the commit lands in the log, but it carries the
+    * `wap.branch` marker and a parentId pointing at the BRANCH head,
+    * so main replay (and checkpoint folds, and incremental reads) skip
+    * it entirely. Audit the branch with [[scanBranch]]; publish with
+    * [[fastForward]]; abandon by dropping the ref and letting
+    * expiration/vacuum collect the files. First staged append forks
+    * the branch from the current main head. */
+  def appendToBranch(branch: String, df: DataFrame): Snapshot = {
+    val existing = catalog.refs(namespace, name).get(branch)
+    existing.foreach(r => require(r.refType == "branch",
+      s"ref '$branch' is a tag — tags are immutable"))
+    val parent = existing.map(_.snapshotId)
+      .orElse(catalog.currentSnapshot(namespace, name).map(_.snapshotId))
+    val snap = writeCommit(Seq(df), Snaplog.OpAppend,
+      extraSummary = Map(Snaplog.WapBranchKey -> branch),
+      parentIdOverride = parent)
+    catalog.setRef(namespace, name, branch, snap.snapshotId, refType = "branch")
+    snap
+  }
+
+  /** Staged lineage of `branch`: (fork-base snapshot id if any, staged
+    * WAP commits oldest-first). Walks parentIds from the ref head
+    * through the staged chain — full-history read, lineage-exact, and
+    * therefore immune to checkpoint folds cutting the hot window. */
+  private def branchLineage(branch: String): (Option[Long], Seq[Snapshot]) = {
+    val r = catalog.refs(namespace, name).getOrElse(branch,
+      throw new IllegalArgumentException(
+        s"branch '$branch' not found for $namespace.$name"))
+    require(r.refType == "branch", s"ref '$branch' is a tag")
+    val byId = catalog.snapshots(namespace, name).map(s => s.snapshotId -> s).toMap
+    var cur = byId.getOrElse(r.snapshotId, throw new IllegalStateException(
+      s"branch '$branch' points at expired snapshot ${r.snapshotId}"))
+    var staged = List.empty[Snapshot]
+    while (Snaplog.isWapStaged(cur)) {
+      require(cur.summary.get(Snaplog.WapBranchKey).contains(branch),
+        s"branch '$branch' lineage crosses another branch's staged commit " +
+          s"at snapshot ${cur.snapshotId}")
+      staged = cur :: staged
+      cur = cur.parentId.flatMap(byId.get).getOrElse(
+        return (None, staged)) // forked from an empty table
+    }
+    (Some(cur.snapshotId), staged)
+  }
+
+  /** Scan a branch's content: main as of the fork point + the branch's
+    * staged appends. A branch ref pointing at a plain (published)
+    * snapshot reads identically to [[scanRef]]. */
+  def scanBranch(branch: String): DataFrame = {
+    val (base, staged) = branchLineage(branch)
+    val (baseData, baseDels) = base
+      .map(b => catalog.liveFilesSplit(namespace, name, Some(b)))
+      .getOrElse((Seq.empty, Seq.empty))
+    assemble(baseData ++ staged.flatMap(_.files), baseDels)
+  }
+
+  /** Publish a staged branch onto main (Iceberg's `fast_forward`): ONE
+    * conditional append of every staged file. Requires main's head to
+    * still BE the branch's fork point — if main advanced, the staged
+    * work no longer fast-forwards and must be re-staged or merged by
+    * the caller. The branch ref retargets to the published snapshot, so
+    * branch and main converge; the staged commits stay in the log as
+    * audit history (skipped by main replay, as always). */
+  def fastForward(branch: String): Snapshot = {
+    val (base, staged) = branchLineage(branch)
+    require(staged.nonEmpty,
+      s"branch '$branch' has no staged commits to publish")
+    val mainHead = catalog.snapshots(namespace, name)
+      .filterNot(Snaplog.isWapStaged).lastOption.map(_.snapshotId).getOrElse(0L)
+    require(base.getOrElse(0L) == mainHead,
+      s"main advanced past branch '$branch' fork point (${base.getOrElse(0L)} → " +
+        s"$mainHead) — not fast-forwardable; re-stage against current main")
+    val snap = catalog.commit(namespace, name, Snaplog.OpAppend,
+      staged.flatMap(_.files),
+      Map("fast-forwarded-from" -> branch,
+        "published-commits" -> staged.size.toString),
+      expectedSnapshotId = Some(currentSnapshotId))
+    catalog.setRef(namespace, name, branch, snap.snapshotId, refType = "branch")
+    snap
   }
 
   /** Scan the snapshot a named ref (tag or branch) points at — time
@@ -469,19 +558,32 @@ final class LakehouseTable(
     * read-schema reconciliation), new writes carry it. The only
     * evolution the reference's schema policy needs; renames/drops would
     * require field-id tracking (out of scope, like the reference). */
-  def addColumn(colName: String, dataType: DataType): TableMetadata = {
+  def addColumn(colName: String, dataType: DataType): TableMetadata =
+    addColumns(Seq(colName -> dataType))
+
+  /** Batch form of [[addColumn]]: validates EVERY addition (against the
+    * current schema and against each other) BEFORE committing, then
+    * commits the evolved schema ONCE — a multi-column ALTER can never
+    * land a partial evolution and then throw. */
+  def addColumns(cols: Seq[(String, DataType)]): TableMetadata = {
+    require(cols.nonEmpty, "addColumns of zero columns")
     val cur = schema
-    require(!cur.fieldNames.exists(_.equalsIgnoreCase(colName)),
-      s"column '$colName' already exists")
-    catalog.updateSchema(namespace, name,
-      StructType(cur.fields :+ StructField(colName, dataType, nullable = true)))
+    cols.foldLeft(cur.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet) {
+      (seen, c) =>
+        val n = c._1.toLowerCase(java.util.Locale.ROOT)
+        require(!seen(n), s"column '${c._1}' already exists")
+        seen + n
+    }
+    catalog.updateSchema(namespace, name, StructType(cur.fields ++
+      cols.map { case (n, dt) => StructField(n, dt, nullable = true) }))
   }
 
   private def writeCommit(
       dfs: Seq[DataFrame], op: String,
       extraSummary: Map[String, String] = Map.empty,
       carryFiles: Seq[DataFileEntry] = Seq.empty,
-      expected: Option[Long] = None): Snapshot = {
+      expected: Option[Long] = None,
+      parentIdOverride: Option[Long] = None): Snapshot = {
     val m = meta
     val target = m.schema
     val normalized = dfs.map(SchemaInfer.normalize(_, target))
@@ -500,7 +602,7 @@ final class LakehouseTable(
       statFile(p, partitionValuesFromPath(p, parts))
     }
     catalog.commit(namespace, name, op, carryFiles ++ files, extraSummary,
-      expectedSnapshotId = expected)
+      expectedSnapshotId = expected, parentIdOverride = parentIdOverride)
   }
 
   private def listParquet(dir: String): Seq[String] = FileStats.listParquet(dir)

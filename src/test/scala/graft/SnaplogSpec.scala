@@ -497,6 +497,137 @@ abstract class CatalogContractSpec extends SparkSpec {
     assert(rep2.totalRecords == 8)
   }
 
+  test("vacuum age guard: fresh orphans survive, aged orphans are collected") {
+    val cat = freshCatalog()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "vac", fixture().schema)
+    tbl.append(fixture())
+    // a concurrent writer's staged-but-uncommitted file looks exactly
+    // like an orphan — only its age distinguishes it
+    val staged = cat.dataDir("ns", "vac").resolve("snap-inflight")
+      .resolve("part-00000.parquet")
+    Files.createDirectories(staged.getParent)
+    Files.write(staged, Array[Byte](1, 2, 3))
+    assert(!cat.vacuum("ns", "vac").contains(staged.toString),
+      "a fresh orphan must survive the default grace window")
+    assert(Files.exists(staged))
+    // aged past the threshold → a true orphan, collected
+    Files.setLastModifiedTime(staged, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * Snaplog.VacuumGraceMs))
+    assert(cat.vacuum("ns", "vac").contains(staged.toString))
+    assert(!Files.exists(staged))
+    // referenced data untouched throughout
+    assert(tbl.scan().count() == 4)
+  }
+
+  test("WAP branch writes stage without touching main; fast_forward publishes") {
+    val cat = freshCatalog()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "wap", fixture().schema)
+    tbl.append(fixture()) // main: 4 rows
+    val mainSnap = tbl.currentSnapshotId
+    val mainFiles = cat.liveFiles("ns", "wap").map(_.path)
+
+    val s1 = tbl.appendToBranch("audit", fixture().withColumn("id", $"id" + 10))
+    assert(s1.parentId.contains(mainSnap), "first staged commit forks from main head")
+    val s2 = tbl.appendToBranch("audit", fixture().withColumn("id", $"id" + 20))
+    assert(s2.parentId.contains(s1.snapshotId), "staged commits chain on the branch")
+    // main is UNTOUCHED: scan, live set, incremental view
+    assert(tbl.scan().count() == 4)
+    assert(cat.liveFiles("ns", "wap").map(_.path) == mainFiles)
+    // the branch sees fork-base content plus both staged appends
+    assert(tbl.scanBranch("audit").count() == 12)
+    // staged commits are in history (auditable), marked as WAP
+    assert(cat.snapshots("ns", "wap").count(Snaplog.isWapStaged) == 2)
+
+    // publish: one conditional append of the staged files; main converges
+    val pub = tbl.fastForward("audit")
+    assert(tbl.scan().count() == 12)
+    assert(pub.summary.get("fast-forwarded-from").contains("audit"))
+    assert(pub.summary.get("published-commits").contains("2"))
+    assert(cat.refs("ns", "wap")("audit").snapshotId == pub.snapshotId)
+
+    // main advancing past a branch's fork point blocks fast-forward
+    tbl.appendToBranch("audit2", fixture().withColumn("id", $"id" + 30))
+    tbl.append(fixture().withColumn("id", $"id" + 40))
+    val e = intercept[IllegalArgumentException] { tbl.fastForward("audit2") }
+    assert(e.getMessage.contains("not fast-forwardable"))
+    // ...but the branch stays auditable
+    assert(tbl.scanBranch("audit2").count() == 12 + 4)
+  }
+
+  test("WAP staged data survives checkpoint folds and never leaks into main") {
+    val cat = freshCatalog(checkpointInterval = 3)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "wapck", fixture().schema)
+    tbl.append(fixture())
+    tbl.appendToBranch("b", fixture().withColumn("id", $"id" + 10))
+    // enough main appends to trigger an automatic checkpoint fold
+    (1 to 4).foreach(i => tbl.append(fixture().withColumn("id", $"id" + 100 * i)))
+    assert(cat.snapshots("ns", "wapck").exists(_.operation == Snaplog.OpCheckpoint))
+    // the fold must NOT have leaked staged files into main replay
+    assert(tbl.scan().count() == 4 + 16)
+    // lineage replay is window-independent: the branch still reads
+    // fork-base content + its staged append after the fold
+    assert(tbl.scanBranch("b").count() == 4 + 4)
+  }
+
+  test("conditional commits tolerate an interleaved automatic checkpoint fold") {
+    val cat = freshCatalog(checkpointInterval = 3)
+    LakehouseTable.create(cat, spark, "ns", "ckl", fixture().schema)
+    // commit until the log head is an automatic checkpoint fold
+    var i = 0
+    while (cat.currentSnapshot("ns", "ckl").map(_.operation) !=
+        Some(Snaplog.OpCheckpoint) && i < 10) {
+      i += 1
+      cat.commit("ns", "ckl", Snaplog.OpAppend,
+        Seq(graft.catalog.DataFileEntry(s"/fake/ckl-$i.parquet", 1, 1, Map.empty)))
+    }
+    val head = cat.currentSnapshot("ns", "ckl").get
+    assert(head.operation == Snaplog.OpCheckpoint)
+    // a writer that planned BEFORE the fold landed sees only the
+    // checkpoint between its expected snapshot and current — a content
+    // no-op, so its conditional commit must land, not spuriously fail
+    val landed = cat.commit("ns", "ckl", Snaplog.OpAppend,
+      Seq(graft.catalog.DataFileEntry("/fake/ckl-post.parquet", 1, 1, Map.empty)),
+      expectedSnapshotId = Some(head.snapshotId - 1))
+    assert(landed.snapshotId == head.snapshotId + 1)
+    // a REAL interleaved commit (the append before the fold) still conflicts
+    intercept[graft.catalog.CommitConflictException] {
+      cat.commit("ns", "ckl", Snaplog.OpAppend,
+        Seq(graft.catalog.DataFileEntry("/fake/ckl-x.parquet", 1, 1, Map.empty)),
+        expectedSnapshotId = Some(head.snapshotId - 2))
+    }
+    ()
+  }
+
+  test("tail-block reads bound hot-path byte I/O to the replay window") {
+    val wh = Files.createTempDirectory("graft-tailio").toString
+    val cat = new Snaplog(wh, checkpointInterval = 10)
+    LakehouseTable.create(cat, spark, "ns", "tio", fixture().schema)
+    // long history of synthetic commits; checkpoints fold every 10
+    (1 to 1000).foreach { i =>
+      cat.commit("ns", "tio", Snaplog.OpAppend,
+        Seq(graft.catalog.DataFileEntry(s"/fake/tail-io-file-$i.parquet", 1, 1,
+          Map.empty)))
+    }
+    val log = java.nio.file.Paths.get(wh, "ns", "tio", "snapshots.jsonl")
+    val logSize = Files.size(log)
+    assert(logSize > 4 * Snaplog.ReverseBlockBytes,
+      s"history must span many blocks for the bound to mean anything ($logSize)")
+    // a current-snapshot lookup reads tail blocks, not the history
+    cat.tailBytesRead = 0
+    assert(cat.currentSnapshot("ns", "tio").isDefined)
+    assert(cat.tailBytesRead <= 2L * Snaplog.ReverseBlockBytes,
+      s"currentSnapshot read ${cat.tailBytesRead} of $logSize bytes")
+    // a plan-time window replay is bounded by the checkpoint interval's
+    // bytes (the window = last fold + tail appends), not the log size
+    cat.tailBytesRead = 0
+    val window = cat.windowSnapshots("ns", "tio", None)
+    assert(window.size <= 11)
+    assert(cat.tailBytesRead < logSize / 4,
+      s"window replay read ${cat.tailBytesRead} of $logSize bytes")
+    // correctness unchanged: the bounded replay sees the full live set
+    assert(cat.liveFiles("ns", "tio").size == 1000)
+  }
+
   test("automatic checkpoints bound the replay window and preserve content") {
     val cat = freshCatalog(checkpointInterval = 5)
     LakehouseTable.create(cat, spark, "ns", "cp", fixture().schema)

@@ -542,7 +542,7 @@ class SqlCatalogSpec extends SparkSpec {
     val e = spark.sql("CALL gsqlcall.system.expire_snapshots('ns', 'pc', 1)").collect()
     assert(e.head.getInt(0) == 2 && e.head.getLong(1) == 3)
 
-    val v = spark.sql("CALL gsqlcall.system.vacuum('ns', 'pc')").collect()
+    val v = spark.sql("CALL gsqlcall.system.vacuum('ns', 'pc', 0L)").collect()
     assert(v.head.getInt(1) == 2,
       s"expected the 2 pre-compaction data files vacuumed, got ${v.mkString}")
     assert(v.head.getInt(0) >= v.head.getInt(1))
@@ -622,6 +622,24 @@ class SqlCatalogSpec extends SparkSpec {
     val refs = spark.sql("SELECT name, type, snapshot_id FROM gsqlmeta.ns.m.refs ORDER BY name")
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     assert(refs == Seq(("audit", "tag", 1L), ("dev", "branch", 2L)))
+
+    // .partitions aggregates per-partition file/row counts from the log
+    // (unpartitioned table = one empty-tuple partition group)
+    val parts = spark.sql("""SELECT partition, file_count, row_count
+      FROM gsqlmeta.ns.m.partitions""").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(parts == Seq(("", 2L, 8L)), s"got $parts")
+    val wh2 = Files.createTempDirectory("graft-sqlmeta2").toString
+    val cat2 = new Snaplog(wh2)
+    val t2 = LakehouseTable.create(cat2, spark, "ns", "mp", fixture().schema, Seq("group"))
+    t2.append(fixture().coalesce(1))
+    spark.conf.set("spark.sql.catalog.gsqlmeta2", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlmeta2.warehouse", wh2)
+    val parts2 = spark.sql("""SELECT partition, file_count, row_count
+      FROM gsqlmeta2.ns.mp.partitions ORDER BY partition""").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(parts2 == Seq(("group=A", 1L, 2L), ("group=B", 1L, 1L), ("group=C", 1L, 1L)),
+      s"got $parts2")
 
     // unknown metadata kinds still fail as missing tables
     intercept[Exception] { spark.sql("SELECT * FROM gsqlmeta.ns.m.nope").collect() }

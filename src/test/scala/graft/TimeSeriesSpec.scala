@@ -79,7 +79,7 @@ class TimeSeriesSpec extends SparkSpec {
     // expire everything before the compaction, vacuum the orphans
     val kept = cat.expireSnapshots("ns", "m", keepLast = 1)
     assert(kept.map(_.operation) === Seq("replace"))
-    val deleted = cat.vacuum("ns", "m")
+    val deleted = cat.vacuum("ns", "m", graceMs = 0)
     assert(deleted.nonEmpty)
     assert(table.scan().count() === 100)
     assert(table.scan().agg(sum(col("id"))).head.getLong(0) === 4950L)

@@ -339,8 +339,13 @@ trait Catalog {
         val noOpLineage = cur > want && {
           val between = snapshots(ns, t)
             .filter(s => s.snapshotId > want && s.snapshotId <= cur)
-          between.nonEmpty && between.forall(s =>
-            s.operation == Snaplog.OpCheckpoint || Snaplog.isWapStaged(s))
+          // CONTIGUITY is load-bearing: ids are dense-monotonic, so a
+          // gap means expiration dropped part of the lineage — a real
+          // interleaved commit could be hiding in it, and accepting
+          // would let a stale overwrite silently discard its rows.
+          between.map(_.snapshotId) == (want + 1 to cur) &&
+            between.forall(s =>
+              s.operation == Snaplog.OpCheckpoint || Snaplog.isWapStaged(s))
         }
         if (!noOpLineage)
           throw new CommitConflictException(

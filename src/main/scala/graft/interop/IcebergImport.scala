@@ -69,6 +69,12 @@ object IcebergImport {
       s"iceberg type '$other' has no exact graft mapping — import refused")
   }
 
+  /** Real Iceberg writers (PyIceberg, the Java library) record absolute
+    * `file://` URIs in metadata; our export records plain paths — both
+    * must walk. */
+  private def normalizePath(s: String): String =
+    if (s.contains(":/")) Paths.get(new java.net.URI(s)).toString else s
+
   private def readAvro(file: Path): Seq[GenericRecord] = {
     val r = new DataFileReader[GenericRecord](file.toFile,
       new GenericDatumReader[GenericRecord]())
@@ -126,15 +132,22 @@ object IcebergImport {
       .find(s => (s \ "spec-id").extract[Int] == specId)
       .getOrElse(throw new IllegalArgumentException(
         s"default-spec-id $specId not present in partition-specs"))
-    val partCols = (specJson \ "fields").asInstanceOf[JArray].arr.map { pf =>
+    // Per spec field: (avroName, sourceCol) — the Avro partition struct
+    // is keyed by the spec field's OWN name, which legally differs from
+    // the source column (e.g. a renamed source keeps the old spec-field
+    // name); the log registers under the source column, which is what
+    // graft prunes on.
+    val partFields = (specJson \ "fields").asInstanceOf[JArray].arr.map { pf =>
       val transform = (pf \ "transform").extract[String]
       require(transform == "identity",
         s"partition transform '$transform' is not identity — the snapshot " +
           "log prunes on identity values only; import refused")
       val srcId = (pf \ "source-id").extract[Int]
-      (fieldById.getOrElse(srcId, throw new IllegalArgumentException(
+      val sourceCol = (fieldById.getOrElse(srcId, throw new IllegalArgumentException(
         s"partition source-id $srcId not in schema")) \ "name").extract[String]
+      ((pf \ "name").extract[String], sourceCol)
     }
+    val partCols = partFields.map(_._2)
     val partTypes = partCols.map(c =>
       c -> schema.fields.find(_.name == c).map(_.dataType).getOrElse(StringType)).toMap
 
@@ -145,14 +158,15 @@ object IcebergImport {
       .find(s => (s \ "snapshot-id").extract[Long] == currentId)
       .getOrElse(throw new IllegalArgumentException(
         s"current-snapshot-id $currentId missing from snapshots"))
-    val manifestFiles = readAvro(Paths.get((current \ "manifest-list").extract[String]))
+    val manifestFiles = readAvro(Paths.get(
+      normalizePath((current \ "manifest-list").extract[String])))
     manifestFiles.foreach { mf =>
       require(mf.get("content").asInstanceOf[Int] == 0,
         s"${mf.get("manifest_path")}: DELETE manifests present — a data-only " +
           "import would resurrect deleted rows; import refused")
     }
     val entries = manifestFiles.flatMap(mf =>
-      readAvro(Paths.get(mf.get("manifest_path").toString)))
+      readAvro(Paths.get(normalizePath(mf.get("manifest_path").toString))))
       .filter(_.get("status").asInstanceOf[Int] != 2) // 2 = DELETED
     val files = entries.map { e =>
       val df = e.get("data_file").asInstanceOf[GenericRecord]
@@ -160,11 +174,11 @@ object IcebergImport {
         s"${df.get("file_path")}: delete file listed as data — import refused")
       require(df.get("file_format").toString.equalsIgnoreCase("PARQUET"),
         s"${df.get("file_path")}: only PARQUET data files import")
-      val path = df.get("file_path").toString
+      val path = normalizePath(df.get("file_path").toString)
       require(Files.exists(Paths.get(path)), s"data file missing: $path")
       val part = df.get("partition").asInstanceOf[GenericRecord]
-      val pv = partCols.map { c =>
-        c -> partitionText(part.get(c), partTypes(c))
+      val pv = partFields.map { case (avroName, sourceCol) =>
+        sourceCol -> partitionText(part.get(avroName), partTypes(sourceCol))
       }.toMap
       if (statFooters) FileStats.stat(spark, path, pv)
       else DataFileEntry(path, df.get("record_count").asInstanceOf[Long],

@@ -174,13 +174,15 @@ final class LakehouseTable(
   /** Staged lineage of `branch`: (fork-base snapshot id if any, staged
     * WAP commits oldest-first). Walks parentIds from the ref head
     * through the staged chain — full-history read, lineage-exact, and
-    * therefore immune to checkpoint folds cutting the hot window. */
-  private def branchLineage(branch: String): (Option[Long], Seq[Snapshot]) = {
+    * therefore immune to checkpoint folds cutting the hot window. An
+    * expired fork base fails LOUDLY: reinterpreting it as an empty-table
+    * fork would silently drop the fork-point content from branch scans. */
+  private def branchLineage(all: Seq[Snapshot], branch: String): (Option[Long], Seq[Snapshot]) = {
     val r = catalog.refs(namespace, name).getOrElse(branch,
       throw new IllegalArgumentException(
         s"branch '$branch' not found for $namespace.$name"))
     require(r.refType == "branch", s"ref '$branch' is a tag")
-    val byId = catalog.snapshots(namespace, name).map(s => s.snapshotId -> s).toMap
+    val byId = all.map(s => s.snapshotId -> s).toMap
     var cur = byId.getOrElse(r.snapshotId, throw new IllegalStateException(
       s"branch '$branch' points at expired snapshot ${r.snapshotId}"))
     var staged = List.empty[Snapshot]
@@ -189,8 +191,12 @@ final class LakehouseTable(
         s"branch '$branch' lineage crosses another branch's staged commit " +
           s"at snapshot ${cur.snapshotId}")
       staged = cur :: staged
-      cur = cur.parentId.flatMap(byId.get).getOrElse(
-        return (None, staged)) // forked from an empty table
+      cur.parentId match {
+        case None => return (None, staged) // genuinely forked from an empty table
+        case Some(pid) => cur = byId.getOrElse(pid, throw new IllegalStateException(
+          s"branch '$branch' fork lineage expired at snapshot $pid — " +
+            "publish or drop the ref before expiring its history"))
+      }
     }
     (Some(cur.snapshotId), staged)
   }
@@ -199,7 +205,7 @@ final class LakehouseTable(
     * staged appends. A branch ref pointing at a plain (published)
     * snapshot reads identically to [[scanRef]]. */
   def scanBranch(branch: String): DataFrame = {
-    val (base, staged) = branchLineage(branch)
+    val (base, staged) = branchLineage(catalog.snapshots(namespace, name), branch)
     val (baseData, baseDels) = base
       .map(b => catalog.liveFilesSplit(namespace, name, Some(b)))
       .getOrElse((Seq.empty, Seq.empty))
@@ -207,26 +213,34 @@ final class LakehouseTable(
   }
 
   /** Publish a staged branch onto main (Iceberg's `fast_forward`): ONE
-    * conditional append of every staged file. Requires main's head to
-    * still BE the branch's fork point — if main advanced, the staged
-    * work no longer fast-forwards and must be re-staged or merged by
-    * the caller. The branch ref retargets to the published snapshot, so
-    * branch and main converge; the staged commits stay in the log as
-    * audit history (skipped by main replay, as always). */
+    * conditional append of every staged file. Requires main to be
+    * content-unchanged since the branch's fork point (automatic
+    * checkpoint folds are content no-ops and do not block) — if main
+    * really advanced, the staged work no longer fast-forwards and must
+    * be re-staged or merged by the caller. The fork-point validation
+    * and the commit expectation derive from ONE history read, so a main
+    * commit racing the publish surfaces as CommitConflictException
+    * instead of a silent merge. The branch ref retargets to the
+    * published snapshot, so branch and main converge; the staged
+    * commits stay in the log as audit history (skipped by main replay,
+    * as always). */
   def fastForward(branch: String): Snapshot = {
-    val (base, staged) = branchLineage(branch)
+    val all = catalog.snapshots(namespace, name)
+    val (base, staged) = branchLineage(all, branch)
     require(staged.nonEmpty,
       s"branch '$branch' has no staged commits to publish")
-    val mainHead = catalog.snapshots(namespace, name)
-      .filterNot(Snaplog.isWapStaged).lastOption.map(_.snapshotId).getOrElse(0L)
-    require(base.getOrElse(0L) == mainHead,
-      s"main advanced past branch '$branch' fork point (${base.getOrElse(0L)} → " +
-        s"$mainHead) — not fast-forwardable; re-stage against current main")
+    val realAdvance = all.filter(_.snapshotId > base.getOrElse(0L))
+      .filterNot(s => Snaplog.isWapStaged(s) ||
+        s.operation == Snaplog.OpCheckpoint)
+    require(realAdvance.isEmpty,
+      s"main advanced past branch '$branch' fork point " +
+        s"(commits ${realAdvance.map(_.snapshotId).mkString(",")}) — " +
+        "not fast-forwardable; re-stage against current main")
     val snap = catalog.commit(namespace, name, Snaplog.OpAppend,
       staged.flatMap(_.files),
       Map("fast-forwarded-from" -> branch,
         "published-commits" -> staged.size.toString),
-      expectedSnapshotId = Some(currentSnapshotId))
+      expectedSnapshotId = Some(all.lastOption.map(_.snapshotId).getOrElse(0L)))
     catalog.setRef(namespace, name, branch, snap.snapshotId, refType = "branch")
     snap
   }

@@ -569,6 +569,51 @@ abstract class CatalogContractSpec extends SparkSpec {
     assert(tbl.scanBranch("b").count() == 4 + 4)
   }
 
+  test("fast_forward publishes across a checkpoint fold; expired fork fails loudly") {
+    // a checkpoint fold between fork and publish is a content no-op and
+    // must not block fast-forward
+    val cat = freshCatalog(checkpointInterval = 3)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "wapff", fixture().schema)
+    tbl.append(fixture())
+    tbl.appendToBranch("b", fixture().withColumn("id", $"id" + 10))
+    tbl.appendToBranch("b", fixture().withColumn("id", $"id" + 20))
+    assert(cat.snapshots("ns", "wapff").exists(_.operation == Snaplog.OpCheckpoint),
+      "precondition: a fold landed between fork and publish")
+    tbl.fastForward("b")
+    assert(tbl.scan().count() == 12)
+
+    // an expired fork base must fail the branch scan loudly, never
+    // silently reinterpret the branch as forked-from-empty
+    val cat2 = freshCatalog(checkpointInterval = 0)
+    val t2 = LakehouseTable.create(cat2, spark, "ns", "wapexp", fixture().schema)
+    t2.append(fixture())                                         // 1
+    t2.appendToBranch("b", fixture().withColumn("id", $"id" + 10)) // 2 (parent 1)
+    t2.overwrite(fixture().withColumn("id", $"id" + 20))           // 3 (reset base)
+    cat2.expireSnapshots("ns", "wapexp", keepLast = 2)             // drops 1
+    val e = intercept[IllegalStateException] { t2.scanBranch("b") }
+    assert(e.getMessage.contains("fork lineage expired"))
+  }
+
+  test("expiration gaps never masquerade as checkpoint-only lineage") {
+    val cat = freshCatalog(checkpointInterval = 0)
+    LakehouseTable.create(cat, spark, "ns", "gap", fixture().schema)
+    (1 to 3).foreach { i =>
+      cat.commit("ns", "gap", Snaplog.OpAppend,
+        Seq(graft.catalog.DataFileEntry(s"/fake/gap-$i.parquet", 1, 1, Map.empty)))
+    }
+    // a manual fold, then expire everything but it: the real appends
+    // 2 and 3 vanish from history
+    cat.commit("ns", "gap", Snaplog.OpCheckpoint, cat.liveFiles("ns", "gap"))
+    cat.expireSnapshots("ns", "gap", keepLast = 1)
+    // a writer that planned at snapshot 1 must CONFLICT: the surviving
+    // checkpoint cannot prove the dropped 2..3 were content no-ops
+    intercept[graft.catalog.CommitConflictException] {
+      cat.commit("ns", "gap", Snaplog.OpOverwrite, Seq.empty,
+        expectedSnapshotId = Some(1L))
+    }
+    ()
+  }
+
   test("conditional commits tolerate an interleaved automatic checkpoint fold") {
     val cat = freshCatalog(checkpointInterval = 3)
     LakehouseTable.create(cat, spark, "ns", "ckl", fixture().schema)

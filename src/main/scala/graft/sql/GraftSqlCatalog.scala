@@ -399,14 +399,24 @@ private[sql] final class GraftRowLevelOperation(
     }
   }
 
+  /** Runtime-pruned file sets, keyed by scan builder — set when Spark's
+    * RowLevelOperationRuntimeGroupFiltering hands a scan the EXACT
+    * partition values of matched rows (see GraftCowScan.filter); an
+    * entry overrides the builder's static split for carry accounting. */
+  private val runtimePlanned =
+    new java.util.concurrent.ConcurrentHashMap[AnyRef, Seq[String]]()
+
   /** Live files NO branch of the rewrite plans — conservatively proven
     * to hold no row matching the statement's condition (and untouched
     * by any delete vector). Committed by path, unrewritten. Computed at
-    * commit time, when every branch has registered. */
+    * commit time, when every branch has registered (and any runtime
+    * group filters have run — scans execute before the write commits). */
   private def carriedFiles(): Seq[DataFileEntry] = {
     import scala.jdk.CollectionConverters._
-    val sets = scanFilters.values.asScala.toSeq
-    val planned = sets.flatMap(affectedFiles(_).map(_.path)).toSet
+    val planned = scanFilters.asScala.toSeq.flatMap { case (builder, filters) =>
+      Option(runtimePlanned.get(builder))
+        .getOrElse(affectedFiles(filters).map(_.path))
+    }.toSet
     files.filterNot(f => planned.contains(f.path))
   }
 
@@ -492,7 +502,7 @@ private[sql] final class GraftRowLevelOperation(
       override def pushedFilters
           : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
         Array.empty
-      override def build(): Scan = new GraftCowScan(myFilters, options)
+      override def build(): Scan = new GraftCowScan(this, myFilters, options)
     }
   }
 
@@ -500,13 +510,90 @@ private[sql] final class GraftRowLevelOperation(
     * filters are deliberately NOT forwarded to the parquet reader:
     * group semantics require every row of a planned file to surface
     * (row-group or record skipping would silently drop keep-rows).
-    * File pruning from log metadata is the entire optimization. */
+    * File pruning from log metadata is the entire optimization.
+    *
+    * On identity-partitioned tables the scan also advertises the
+    * partition columns for RUNTIME group filtering: Spark's
+    * RowLevelOperationRuntimeGroupFiltering computes the EXACT distinct
+    * partition values of condition-matching rows (for MERGE, via the
+    * actual join — the case static pruning can never see) and calls
+    * `filter` before planning input partitions. Identity partitioning
+    * makes the value-set exact, so dropped files provably hold no
+    * matching row and join-shaped DML becomes file-granular too. Spark
+    * only installs the filter when group semantics allow it (e.g. never
+    * for MERGE with NOT MATCHED BY SOURCE actions). Partition values
+    * are metadata-sized by design, so the broadcast value-set is
+    * bounded — this is why data columns are NOT advertised. */
   private final class GraftCowScan(
+      builderKey: AnyRef,
       branchFilters: Seq[Expression],
-      options: CaseInsensitiveStringMap) extends Scan {
+      options: CaseInsensitiveStringMap) extends Scan
+      with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+    @volatile private var runtimeKept: Option[Seq[DataFileEntry]] = None
+
     override def readSchema(): StructType = tableSchema
+
+    override def filterAttributes(): Array[NamedReference] =
+      partitionCols.map(Expressions.column).toArray
+
+    override def filter(predicates: Array[Predicate]): Unit = {
+      val statically = affectedFiles(branchFilters)
+      val kept = statically.filter(f =>
+        (deleteFiles.nonEmpty && vectorTouched(f.path)) ||
+          predicates.forall(p => runtimeAllows(f, p)))
+      runtimeKept = Some(kept)
+      runtimePlanned.put(builderKey, kept.map(_.path))
+      ()
+    }
+
+    /** Conservative may-match of one runtime predicate (an exact IN /
+      * equality value-set over a partition column) against a file's
+      * recorded identity-partition value. Prunes ONLY when the file
+      * records a value, every candidate literal's external text
+      * round-trips the stored segment exactly (string/integral types —
+      * dates/floats arrive in catalyst-internal forms and never prune),
+      * and none matches. Anything unrecognized keeps the file. */
+    private def runtimeAllows(f: DataFileEntry, p: Predicate): Boolean = {
+      def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+        e match {
+          case nr: NamedReference if nr.fieldNames().length == 1 =>
+            Some(nr.fieldNames()(0))
+          case _ => None
+        }
+      def litText(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+        e match {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.dataType() match {
+              case org.apache.spark.sql.types.StringType |
+                   org.apache.spark.sql.types.IntegerType |
+                   org.apache.spark.sql.types.LongType |
+                   org.apache.spark.sql.types.ShortType |
+                   org.apache.spark.sql.types.ByteType =>
+                Option(l.value()).map(String.valueOf)
+              case _ => None
+            }
+          case _ => None
+        }
+      val ch = p.children()
+      p.name() match {
+        case "IN" | "=" if ch.nonEmpty =>
+          (colOf(ch(0)), ch.drop(1).toSeq.map(litText)) match {
+            case (Some(c), vals) if vals.nonEmpty && vals.forall(_.isDefined) =>
+              f.partitionValues.get(c) match {
+                case Some(stored) => vals.flatten.contains(stored)
+                case None => true // no recorded value: cannot prune
+              }
+            case _ => true
+          }
+        case _ => true
+      }
+    }
+
     override def toBatch: org.apache.spark.sql.connector.read.Batch = {
-      val affected = affectedFiles(branchFilters).map(_.path)
+      val affected = runtimeKept.getOrElse(affectedFiles(branchFilters)).map(_.path)
       val paths =
         if (deleteFiles.isEmpty) affected
         else materializedSurvivors(affected)

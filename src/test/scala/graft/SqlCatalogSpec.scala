@@ -370,6 +370,14 @@ class SqlCatalogSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
     assert(merged == Map(1 -> 10, 2 -> 20, 3 -> 31, 4 -> 444, 9 -> 900), s"got $merged")
     assert(cat.liveFiles("ns", "pc").forall(_.partitionValues.contains("group")))
+    // RUNTIME group filtering: the merge join matched only partition C,
+    // so A and B must have been carried, not rewritten — the case
+    // static pruning can never see (the ON condition references the
+    // source side)
+    val mergeSum = cat.snapshots("ns", "pc")
+      .filter(_.summary.get("engine").contains("sql-merge")).last.summary
+    assert(mergeSum.get("carried-files").contains("2"),
+      s"runtime group filter should carry A and B: $mergeSum")
     // partition pruning still exact after the DML chain
     assert(spark.sql("SELECT id FROM gsqlcowp.ns.pc WHERE group = 'Z'")
       .collect().map(_.getInt(0)).toSeq == Seq(9))

@@ -42,6 +42,39 @@ trait Catalog {
   def dropTable(ns: String, t: String): Unit
   def listTables(ns: String): Seq[String]
 
+  /** Rename a table within its namespace — METADATA-ONLY: the table
+    * directory moves (one filesystem rename, data files untouched) and
+    * every log path under the old managed dir rewrites to the new
+    * prefix; externally-registered paths (add_files outside the managed
+    * dir) stay as-is. Requires no concurrent writers on the table, like
+    * any filesystem-visible rename; a racer fails loudly, never
+    * silently. Refused while ANY snapshot (current or historical)
+    * carries a position-delete vector: vector parquet stores absolute
+    * data-file paths, so a rename would silently resurrect deleted rows
+    * on replay — compact and expire the vector windows first. */
+  def renameTable(ns: String, t: String, newName: String): TableMetadata
+
+  /** Shared rename guards + log-path rewrite (managed-dir prefix only). */
+  protected final def validateRename(ns: String, t: String, newName: String): Unit = {
+    require(tableExists(ns, t), s"table $ns.$t does not exist")
+    require(!tableExists(ns, newName), s"table $ns.$newName already exists")
+    require(newName.nonEmpty && !newName.contains('/') && !newName.contains('.'),
+      s"illegal table name '$newName'")
+    require(!snapshots(ns, t).exists(_.files.exists(_.deleteFile.contains(true))),
+      s"cannot rename $ns.$t: snapshot history carries position-delete " +
+        "vectors whose contents record absolute data-file paths — a rename " +
+        "would resurrect deleted rows; compact() and expire the vector " +
+        "windows first")
+  }
+
+  protected final def rewriteSnapshotPaths(s: Snapshot,
+      oldPrefix: String, newPrefix: String): Snapshot =
+    s.copy(files = s.files.map { f =>
+      if (f.path.startsWith(oldPrefix))
+        f.copy(path = newPrefix + f.path.stripPrefix(oldPrefix))
+      else f
+    })
+
   /** Filesystem directory new data files for this table are written
     * under — every catalog implementation still stores DATA as parquet
     * on the warehouse filesystem; only metadata placement differs. */

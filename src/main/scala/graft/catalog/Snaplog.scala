@@ -166,6 +166,36 @@ final class Snaplog(val warehouse: String,
     }
   }
 
+  /** Rename = ONE atomic directory move (data + metadata + log travel
+    * together) + a log/metadata rewrite of managed-dir path prefixes,
+    * serialized against commits by the source table's lock. The lock
+    * file travels with the directory; it is removed inside the critical
+    * section so the renamed table starts unlocked (the old path's
+    * parent no longer exists, so a racing committer fails loudly on
+    * lock creation instead of wedging). */
+  override def renameTable(ns: String, t: String, newName: String): TableMetadata =
+    withTableLock(ns, t) {
+      validateRename(ns, t, newName)
+      val oldDir = tableDir(ns, t)
+      val newDir = tableDir(ns, newName)
+      Files.move(oldDir, newDir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // we still logically hold the critical section; the moved lock
+      // file must not outlive it under the new name
+      Files.deleteIfExists(newDir.resolve("commit.lock"))
+      val (oldPrefix, newPrefix) = (oldDir.toString + "/", newDir.toString + "/")
+      val log = newDir.resolve("snapshots.jsonl")
+      if (Files.exists(log)) {
+        val rewritten = Files.readAllLines(log, StandardCharsets.UTF_8).asScala
+          .filter(_.nonEmpty)
+          .map(l => jwrite(rewriteSnapshotPaths(jread[Snapshot](l), oldPrefix, newPrefix)))
+        writeAtomic(log, rewritten.mkString("", "\n", "\n"))
+      }
+      val meta = jread[TableMetadata](Files.readString(newDir.resolve("metadata.json")))
+        .copy(name = newName)
+      writeAtomic(newDir.resolve("metadata.json"), jwrite(meta))
+      meta
+    }
+
   override def listTables(ns: String): Seq[String] =
     if (!namespaceExists(ns)) Seq.empty
     else Files.list(nsDir(ns)).iterator.asScala

@@ -1172,10 +1172,10 @@ private[sql] object FilePrune {
   * metadata commits. Iceberg-style metadata relations are queryable
   * as `<table>.snapshots` / `.files` / `.refs` (driver-computed,
   * planned as local scans — the snapshot log IS metadata-sized).
-  * What would bypass commit semantics (partitioned-table inserts,
-  * schema evolution, renames) fails loudly; those live in the
-  * transactional `LakehouseTable` API, like the reference's own
-  * write path.
+  * `ALTER TABLE … RENAME TO` renames metadata-only
+  * (directory move + log path rewrite). What would bypass commit
+  * semantics (destructive column evolution) fails loudly; those
+  * refusals are documented with API guidance.
   */
 class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
@@ -1363,9 +1363,18 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      s"$catName: rename tables via the graft API")
+  /** `ALTER TABLE … RENAME TO …` — metadata-only on the backing
+    * catalog (directory move + log path rewrite, zero data movement);
+    * cross-namespace moves and tables with vector history refuse there
+    * with guidance. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    requireExists(oldIdent)
+    require(newIdent.namespace().sameElements(oldIdent.namespace()),
+      s"$catName: RENAME keeps the namespace " +
+        s"(got ${newIdent.namespace().mkString(".")})")
+    backing.renameTable(oldIdent.namespace()(0), oldIdent.name, newIdent.name)
+    ()
+  }
 
   // ---- procedures ---------------------------------------------------------
 

@@ -497,6 +497,46 @@ abstract class CatalogContractSpec extends SparkSpec {
     assert(rep2.totalRecords == 8)
   }
 
+  test("rename table is metadata-only and preserves content, history and refs") {
+    val cat = freshCatalog()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "rn", fixture().schema, Seq("group"))
+    tbl.append(fixture())
+    tbl.append(fixture().withColumn("id", $"id" + 10))
+    tbl.tag("v1", Some(1L))
+    // an externally-registered file must survive the rename UNREWRITTEN
+    val ext = Files.createTempDirectory("graft-rnext")
+    fixture().withColumn("id", $"id" + 100).coalesce(1)
+      .write.mode("overwrite").parquet(ext.toString)
+    val extFile = graft.table.FileStats.listParquet(ext.toString).head
+    tbl.addFiles(Seq(extFile))
+
+    cat.renameTable("ns", "rn", "rn2")
+    assert(!cat.tableExists("ns", "rn") && cat.tableExists("ns", "rn2"))
+    val t2 = LakehouseTable.load(cat, spark, "ns", "rn2")
+    assert(t2.scan().count() == 12)
+    assert(t2.scan(asOf = Some(1L)).count() == 4) // time travel survives
+    assert(t2.scanRef("v1").count() == 4)         // refs survive
+    // partition metadata survives: pruning stays exact
+    val pruned = t2.selectFiles(partitionFilter = Map("group" -> "A"))
+    assert(pruned.nonEmpty &&
+      pruned.forall(_.partitionValues.get("group").contains("A")))
+    // managed paths rewrote; the external path did not
+    val live = cat.liveFiles("ns", "rn2")
+    assert(live.exists(_.path == extFile))
+    assert(live.filterNot(_.path == extFile).forall(_.path.contains("/rn2/")),
+      s"managed paths must move: ${live.map(_.path)}")
+    // the renamed table accepts commits immediately (no wedged lock)
+    t2.append(fixture())
+    assert(t2.scan().count() == 16)
+    // a history carrying delete vectors refuses (vector contents record
+    // absolute data-file paths — a rename would resurrect deleted rows)
+    t2.deleteMor($"id" === 1)
+    val e = intercept[IllegalArgumentException] {
+      cat.renameTable("ns", "rn2", "rn3")
+    }
+    assert(e.getMessage.contains("position-delete"))
+  }
+
   test("vacuum age guard: fresh orphans survive, aged orphans are collected") {
     val cat = freshCatalog()
     val tbl = LakehouseTable.create(cat, spark, "ns", "vac", fixture().schema)

@@ -454,6 +454,13 @@ class SqlCatalogSpec extends SparkSpec {
     spark.sql("CREATE TABLE IF NOT EXISTS gsqlddl.ns.u (id INT)")
     assert(spark.sql("SELECT COUNT(*) FROM gsqlddl.ns.u").head().getLong(0) == 2)
 
+    // ALTER TABLE … RENAME TO: metadata-only rename through the catalog
+    spark.sql("ALTER TABLE gsqlddl.ns.u RENAME TO ns.u2")
+    assert(!cat.tableExists("ns", "u") && cat.tableExists("ns", "u2"))
+    assert(spark.sql("SELECT SUM(v) FROM gsqlddl.ns.u2").head().getLong(0) == 190)
+    spark.sql("INSERT INTO gsqlddl.ns.u2 VALUES (11, 110)")
+    assert(spark.sql("SELECT COUNT(*) FROM gsqlddl.ns.u2").head().getLong(0) == 3)
+
     spark.sql("DROP TABLE gsqlddl.ns.big")
     assert(!cat.tableExists("ns", "big"))
     intercept[Exception] { spark.sql("SELECT * FROM gsqlddl.ns.big").collect() }

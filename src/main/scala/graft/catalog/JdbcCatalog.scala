@@ -184,12 +184,19 @@ final class JdbcCatalog(val jdbcUrl: String, val warehouse: String,
   }
 
   /** Rename under a dedicated transaction: FOR UPDATE lock on the
-    * catalog row (the same cross-process mutex maintenance takes), all
+    * catalog row (the same cross-process mutex maintenance takes), the
+    * vector-history guard re-validated INSIDE the transaction, all
     * key/body updates batched, the data-directory move just before
     * COMMIT — a failed move rolls the rows back, so the only torn state
     * is a commit failure AFTER a successful move (local-FS rename +
     * embedded Derby make that window negligible; a remote deployment
-    * would fence with a catalog epoch). */
+    * would fence with a catalog epoch).
+    *
+    * The lock-free CAS commit path does not touch the locked row, so a
+    * writer racing the rename from another process cannot be blocked —
+    * its INSERT under the old key is detected AFTER the rename commits
+    * and surfaces as a loud failure naming the orphaned snapshot (run
+    * renames from a maintenance window, like every table format). */
   override def renameTable(ns: String, t: String, newName: String): TableMetadata = synchronized {
     validateRename(ns, t, newName)
     val oldDir = Paths.get(warehouse, ns, t)
@@ -206,7 +213,9 @@ final class JdbcCatalog(val jdbcUrl: String, val warehouse: String,
         require(rs.next(), s"unknown table $ns.$t")
         jread[TableMetadata](rs.getString(1)).copy(name = newName)
       } finally lockPs.close()
-      // snapshot bodies: rewrite managed-dir path prefixes
+      // snapshot bodies: rewrite managed-dir path prefixes (and
+      // re-validate the vector guard on the rows the transaction sees —
+      // the pre-transaction check can race a deleteMor)
       val snaps = {
         val ps = c.prepareStatement(
           "SELECT snapshot_id, body FROM graft_snapshots WHERE ns = ? AND tbl = ?")
@@ -217,6 +226,8 @@ final class JdbcCatalog(val jdbcUrl: String, val warehouse: String,
             .map(r => r.getLong(1) -> jread[Snapshot](r.getString(2))).toList
         } finally ps.close()
       }
+      require(!snaps.exists(_._2.files.exists(_.deleteFile.contains(true))),
+        s"cannot rename $ns.$t: snapshot history carries position-delete vectors")
       val up = c.prepareStatement("UPDATE graft_snapshots SET tbl = ?, body = ? " +
         "WHERE ns = ? AND tbl = ? AND snapshot_id = ?")
       try snaps.foreach { case (id, s) =>
@@ -225,12 +236,10 @@ final class JdbcCatalog(val jdbcUrl: String, val warehouse: String,
         up.setString(3, ns); up.setString(4, t); up.setLong(5, id)
         up.executeUpdate()
       } finally up.close()
-      Seq("UPDATE graft_refs SET tbl = ? WHERE ns = ? AND tbl = ?").foreach { sql =>
-        val ps = c.prepareStatement(sql)
-        try { ps.setString(1, newName); ps.setString(2, ns); ps.setString(3, t)
-          ps.executeUpdate(); () }
-        finally ps.close()
-      }
+      val rf = c.prepareStatement("UPDATE graft_refs SET tbl = ? WHERE ns = ? AND tbl = ?")
+      try { rf.setString(1, newName); rf.setString(2, ns); rf.setString(3, t)
+        rf.executeUpdate(); () }
+      finally rf.close()
       val mt = c.prepareStatement(
         "UPDATE graft_tables SET tbl = ?, meta = ? WHERE ns = ? AND tbl = ?")
       try { mt.setString(1, newName); mt.setString(2, jwrite(meta))
@@ -239,6 +248,21 @@ final class JdbcCatalog(val jdbcUrl: String, val warehouse: String,
       if (Files.exists(oldDir))
         Files.move(oldDir, newDir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       c.commit()
+      c.setAutoCommit(true) // the detection SELECT must not open a new txn
+      // loud detection of a CAS commit that raced the rename: its row
+      // landed under the old key after our UPDATEs read it
+      val orphanPs = c.prepareStatement(
+        "SELECT MAX(snapshot_id) FROM graft_snapshots WHERE ns = ? AND tbl = ?")
+      try {
+        orphanPs.setString(1, ns); orphanPs.setString(2, t)
+        val rs = orphanPs.executeQuery()
+        if (rs.next() && rs.getObject(1) != null)
+          throw new IllegalStateException(
+            s"rename $ns.$t → $newName completed, but a concurrent commit " +
+              s"landed under the OLD name (snapshot ${rs.getLong(1)}) and is " +
+              "now orphaned — renames require a maintenance window; " +
+              "recover the orphaned snapshot's files before vacuuming")
+      } finally orphanPs.close()
       meta
     } catch {
       case e: Throwable =>
@@ -310,6 +334,11 @@ final class JdbcCatalog(val jdbcUrl: String, val warehouse: String,
     // blind commits re-read and retry, conditional commits conflict via
     // buildSnapshot on the re-read (the expectation can no longer hold).
     while (true) {
+      // liveness check per attempt: a concurrent rename/drop moved the
+      // table's rows away — inserting would orphan this snapshot under
+      // a key nothing will ever read
+      require(tableExists(ns, t),
+        s"table $ns.$t no longer exists (renamed or dropped concurrently)")
       val snap = buildSnapshot(ns, t, currentSnapshot(ns, t), operation,
         files, summary, expectedSnapshotId, parentIdOverride)
       val won = withConn { c =>

@@ -166,33 +166,52 @@ final class Snaplog(val warehouse: String,
     }
   }
 
-  /** Rename = ONE atomic directory move (data + metadata + log travel
-    * together) + a log/metadata rewrite of managed-dir path prefixes,
-    * serialized against commits by the source table's lock. The lock
-    * file travels with the directory; it is removed inside the critical
-    * section so the renamed table starts unlocked (the old path's
-    * parent no longer exists, so a racing committer fails loudly on
-    * lock creation instead of wedging). */
+  /** Rename, serialized against commits by the source table's lock
+    * (which `commit`'s inside-the-lock liveness check pairs with — a
+    * writer racing the rename fails loudly on the vanished
+    * metadata.json, never silently commits into a ghost directory).
+    *
+    * Failure-window design: all PARSING work (rewriting managed-dir
+    * path prefixes across the whole log) happens BEFORE the directory
+    * move, staged as sibling files — a crash there leaves the table
+    * untouched under its old name. After the single atomic move, only
+    * two atomic renames (log swap, metadata swap) and the lock removal
+    * remain. The moved lock file is deleted LAST, so a writer
+    * discovering the new name cannot slip a commit in while the
+    * rewritten log is still being swapped into place. */
   override def renameTable(ns: String, t: String, newName: String): TableMetadata =
     withTableLock(ns, t) {
       validateRename(ns, t, newName)
       val oldDir = tableDir(ns, t)
       val newDir = tableDir(ns, newName)
-      Files.move(oldDir, newDir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      // we still logically hold the critical section; the moved lock
-      // file must not outlive it under the new name
-      Files.deleteIfExists(newDir.resolve("commit.lock"))
       val (oldPrefix, newPrefix) = (oldDir.toString + "/", newDir.toString + "/")
-      val log = newDir.resolve("snapshots.jsonl")
+      // stage the rewritten log + metadata in the OLD dir (they travel
+      // with the move)
+      val log = oldDir.resolve("snapshots.jsonl")
+      val stagedLog = oldDir.resolve("snapshots.jsonl.renamed")
       if (Files.exists(log)) {
         val rewritten = Files.readAllLines(log, StandardCharsets.UTF_8).asScala
           .filter(_.nonEmpty)
           .map(l => jwrite(rewriteSnapshotPaths(jread[Snapshot](l), oldPrefix, newPrefix)))
-        writeAtomic(log, rewritten.mkString("", "\n", "\n"))
+        Files.writeString(stagedLog, rewritten.mkString("", "\n", "\n"))
       }
-      val meta = jread[TableMetadata](Files.readString(newDir.resolve("metadata.json")))
+      val meta = jread[TableMetadata](Files.readString(oldDir.resolve("metadata.json")))
         .copy(name = newName)
-      writeAtomic(newDir.resolve("metadata.json"), jwrite(meta))
+      val stagedMeta = oldDir.resolve("metadata.json.renamed")
+      Files.writeString(stagedMeta, jwrite(meta))
+
+      Files.move(oldDir, newDir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      if (Files.exists(newDir.resolve("snapshots.jsonl.renamed")))
+        Files.move(newDir.resolve("snapshots.jsonl.renamed"),
+          newDir.resolve("snapshots.jsonl"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Files.move(newDir.resolve("metadata.json.renamed"),
+        newDir.resolve("metadata.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // end of the critical section under the NEW name
+      Files.deleteIfExists(newDir.resolve("commit.lock"))
       meta
     }
 
@@ -237,6 +256,12 @@ final class Snaplog(val warehouse: String,
       expectedSnapshotId: Option[Long] = None,
       parentIdOverride: Option[Long] = None): Snapshot = {
     val snap = withTableLock(ns, t) {
+      // liveness check INSIDE the lock: a concurrent rename/drop moved
+      // the table away, and an in-flight writer's parquet output may
+      // have recreated the bare directory — committing there would
+      // silently write into a ghost table nothing will ever read
+      require(tableExists(ns, t),
+        s"table $ns.$t no longer exists (renamed or dropped concurrently)")
       val s = buildSnapshot(ns, t, currentSnapshot(ns, t), operation,
         files, summary, expectedSnapshotId, parentIdOverride)
       Files.write(logFile(ns, t), (jwrite(s) + "\n").getBytes(StandardCharsets.UTF_8),

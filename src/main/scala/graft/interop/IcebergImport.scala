@@ -72,8 +72,7 @@ object IcebergImport {
   /** Real Iceberg writers (PyIceberg, the Java library) record absolute
     * `file://` URIs in metadata; our export records plain paths — both
     * must walk. */
-  private def normalizePath(s: String): String =
-    if (s.contains(":/")) Paths.get(new java.net.URI(s)).toString else s
+  private def normalizePath(s: String): String = FileStats.normalizePath(s)
 
   private def readAvro(file: Path): Seq[GenericRecord] = {
     val r = new DataFileReader[GenericRecord](file.toFile,

@@ -475,8 +475,7 @@ private[sql] final class GraftRowLevelOperation(
     morCache = Map.empty
   }
 
-  private def normalizePath(s: String): String =
-    if (s.contains(":/")) java.nio.file.Paths.get(new java.net.URI(s)).toString else s
+  private def normalizePath(s: String): String = FileStats.normalizePath(s)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // eligibility surfaces HERE — only when the group-based rewrite is
@@ -1372,6 +1371,9 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     require(newIdent.namespace().sameElements(oldIdent.namespace()),
       s"$catName: RENAME keeps the namespace " +
         s"(got ${newIdent.namespace().mkString(".")})")
+    if (tableExists(newIdent)) // the TableCatalog contract's exception type
+      throw new TableAlreadyExistsException(
+        (catName +: newIdent.namespace().toSeq :+ newIdent.name))
     backing.renameTable(oldIdent.namespace()(0), oldIdent.name, newIdent.name)
     ()
   }

@@ -162,8 +162,12 @@ final class LakehouseTable(
     val existing = catalog.refs(namespace, name).get(branch)
     existing.foreach(r => require(r.refType == "branch",
       s"ref '$branch' is a tag — tags are immutable"))
+    // a NEW branch forks from the MAIN head, not the raw log tail —
+    // the tail may be another branch's staged commit, and chaining on
+    // it would cross lineages
     val parent = existing.map(_.snapshotId)
-      .orElse(catalog.currentSnapshot(namespace, name).map(_.snapshotId))
+      .orElse(catalog.snapshots(namespace, name)
+        .filterNot(Snaplog.isWapStaged).lastOption.map(_.snapshotId))
     val snap = writeCommit(Seq(df), Snaplog.OpAppend,
       extraSummary = Map(Snaplog.WapBranchKey -> branch),
       parentIdOverride = parent)
@@ -529,10 +533,7 @@ final class LakehouseTable(
       expectedSnapshotId = Some(base))
   }
 
-  /** `input_file_name()` yields a URI (`file:///…`); log entries store
-    * plain paths — normalize for comparison. */
-  private def normalizePath(s: String): String =
-    if (s.contains(":/")) java.nio.file.Paths.get(new java.net.URI(s)).toString else s
+  private def normalizePath(s: String): String = FileStats.normalizePath(s)
 
   // ---- maintenance ------------------------------------------------------
 
@@ -658,6 +659,14 @@ object FileStats {
     Files.walk(Paths.get(dir)).iterator.asScala
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       .map(_.toString).toSeq.sorted
+
+  /** URI-form path string (`file:///…`, as `_metadata.file_path` /
+    * `input_file_name()` / external Iceberg metadata produce) → the
+    * plain filesystem path the snapshot log stores. Plain paths pass
+    * through unchanged. One shared definition — scan subtraction,
+    * row-level COW and the Iceberg importer must all agree on it. */
+  def normalizePath(s: String): String =
+    if (s.contains(":/")) Paths.get(new java.net.URI(s)).toString else s
 
   /** Row count + size + per-column bounds from the parquet footer —
     * no data pages read. */

@@ -570,13 +570,19 @@ abstract class CatalogContractSpec extends SparkSpec {
     assert(s1.parentId.contains(mainSnap), "first staged commit forks from main head")
     val s2 = tbl.appendToBranch("audit", fixture().withColumn("id", $"id" + 20))
     assert(s2.parentId.contains(s1.snapshotId), "staged commits chain on the branch")
+    // a SECOND branch staged while the first is outstanding forks from
+    // the MAIN head, never from the other branch's staged tail
+    val other = tbl.appendToBranch("other", fixture().withColumn("id", $"id" + 90))
+    assert(other.parentId.contains(mainSnap),
+      s"second branch must fork from main ($mainSnap), got ${other.parentId}")
+    assert(tbl.scanBranch("other").count() == 8)
     // main is UNTOUCHED: scan, live set, incremental view
     assert(tbl.scan().count() == 4)
     assert(cat.liveFiles("ns", "wap").map(_.path) == mainFiles)
     // the branch sees fork-base content plus both staged appends
     assert(tbl.scanBranch("audit").count() == 12)
     // staged commits are in history (auditable), marked as WAP
-    assert(cat.snapshots("ns", "wap").count(Snaplog.isWapStaged) == 2)
+    assert(cat.snapshots("ns", "wap").count(Snaplog.isWapStaged) == 3)
 
     // publish: one conditional append of the staged files; main converges
     val pub = tbl.fastForward("audit")

@@ -205,6 +205,49 @@ trait Catalog {
 
   def refs(ns: String, t: String): Map[String, SnapshotRef]
 
+  /** Staged lineage of a WAP `branch`: (fork-base snapshot id if any,
+    * staged WAP commits oldest-first). Walks parentIds from the ref
+    * head through the staged chain — full-history read, lineage-exact,
+    * and therefore immune to checkpoint folds cutting the hot window.
+    * An expired fork base fails LOUDLY: reinterpreting it as an
+    * empty-table fork would silently drop fork-point content from
+    * branch reads. A branch ref at a plain (published) snapshot returns
+    * (Some(id), Nil). */
+  final def branchLineage(ns: String, t: String,
+      branch: String): (Option[Long], Seq[Snapshot]) = {
+    val r = refs(ns, t).getOrElse(branch,
+      throw new IllegalArgumentException(s"branch '$branch' not found for $ns.$t"))
+    require(r.refType == "branch", s"ref '$branch' is a tag")
+    val byId = snapshots(ns, t).map(s => s.snapshotId -> s).toMap
+    var cur = byId.getOrElse(r.snapshotId, throw new IllegalStateException(
+      s"branch '$branch' points at expired snapshot ${r.snapshotId}"))
+    var staged = List.empty[Snapshot]
+    while (Snaplog.isWapStaged(cur)) {
+      require(cur.summary.get(Snaplog.WapBranchKey).contains(branch),
+        s"branch '$branch' lineage crosses another branch's staged commit " +
+          s"at snapshot ${cur.snapshotId}")
+      staged = cur :: staged
+      cur.parentId match {
+        case None => return (None, staged) // genuinely forked from an empty table
+        case Some(pid) => cur = byId.getOrElse(pid, throw new IllegalStateException(
+          s"branch '$branch' fork lineage expired at snapshot $pid — " +
+            "publish or drop the ref before expiring its history"))
+      }
+    }
+    (Some(cur.snapshotId), staged)
+  }
+
+  /** A branch's full content as (data files, delete vectors): main as
+    * of the fork point + the branch's staged appends. */
+  final def branchFilesSplit(ns: String, t: String,
+      branch: String): (Seq[DataFileEntry], Seq[DataFileEntry]) = {
+    val (base, staged) = branchLineage(ns, t, branch)
+    val (baseData, baseDels) = base
+      .map(b => liveFilesSplit(ns, t, Some(b)))
+      .getOrElse((Seq.empty, Seq.empty))
+    (baseData ++ staged.flatMap(_.files), baseDels)
+  }
+
   /** Persist the complete ref map (implementation storage). */
   protected def writeRefs(ns: String, t: String, all: Map[String, SnapshotRef]): Unit
 

@@ -245,8 +245,11 @@ object Lakehouse {
         val rep = Ingest.ingestDf(cat, "lake", "orders_wap", even)
         rep.table.appendToBranch("audit", odd)
         val mainBefore = rep.table.scan().count()
-        val branchCount = rep.table.scanBranch("audit").count()
         val cn = sqlCatalog(s, "gwap", whDir)
+        // the AUDIT step itself runs as a SQL query on the branch
+        val branchCount = s.sql(
+          s"SELECT COUNT(*) FROM $cn.lake.orders_wap VERSION AS OF 'audit'")
+          .head().getLong(0)
         s.sql(s"CALL $cn.system.fast_forward('lake', 'orders_wap', 'audit')").collect()
         rep.table.scan()
           .groupBy(col("o_orderstatus"))

@@ -1283,13 +1283,28 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
 
   /** `VERSION AS OF <id | 'ref-name'>` — snapshot-id or named-ref
     * (tag/branch) time travel, the release-pinning workflow from SQL:
-    * `SELECT … FROM graft.lake.t VERSION AS OF 'v1-tag'`. */
+    * `SELECT … FROM graft.lake.t VERSION AS OF 'v1-tag'`. A WAP branch
+    * name reads the BRANCH's content (fork-base main + staged appends,
+    * lineage-exact) — the audit step of write-audit-publish, run as an
+    * ordinary SQL query before `CALL system.fast_forward` publishes. */
   override def loadTable(ident: Identifier, version: String): Table = {
     requireExists(ident)
     val (ns, t) = (ident.namespace()(0), ident.name)
     // refs resolve FIRST: a user-named tag/branch that happens to be
     // numeric must not be shadowed by raw snapshot-id parsing
-    val id = backing.refs(ns, t).get(version).map(_.snapshotId)
+    val ref = backing.refs(ns, t).get(version)
+    val stagedBranch = ref.exists(r => r.refType == "branch" &&
+      backing.snapshots(ns, t).find(_.snapshotId == r.snapshotId)
+        .exists(Snaplog.isWapStaged))
+    if (stagedBranch) {
+      val meta = backing.loadTable(ns, t)
+      val (dataFiles, delFiles) = backing.branchFilesSplit(ns, t, version)
+      return new GraftSqlTable(s"$catName.$ns.$t", meta.schema,
+        meta.partitionColumns, dataFiles, delFiles, backing, ns, t,
+        writable = false, tableProps = meta.properties,
+        loadedSnapshotId = ref.get.snapshotId)
+    }
+    val id = ref.map(_.snapshotId)
       .orElse(scala.util.Try(version.toLong).toOption)
       .getOrElse(throw new IllegalArgumentException(
         s"$catName version '$version' is neither a ref (tag/branch) " +

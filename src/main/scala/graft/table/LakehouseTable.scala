@@ -175,45 +175,13 @@ final class LakehouseTable(
     snap
   }
 
-  /** Staged lineage of `branch`: (fork-base snapshot id if any, staged
-    * WAP commits oldest-first). Walks parentIds from the ref head
-    * through the staged chain — full-history read, lineage-exact, and
-    * therefore immune to checkpoint folds cutting the hot window. An
-    * expired fork base fails LOUDLY: reinterpreting it as an empty-table
-    * fork would silently drop the fork-point content from branch scans. */
-  private def branchLineage(all: Seq[Snapshot], branch: String): (Option[Long], Seq[Snapshot]) = {
-    val r = catalog.refs(namespace, name).getOrElse(branch,
-      throw new IllegalArgumentException(
-        s"branch '$branch' not found for $namespace.$name"))
-    require(r.refType == "branch", s"ref '$branch' is a tag")
-    val byId = all.map(s => s.snapshotId -> s).toMap
-    var cur = byId.getOrElse(r.snapshotId, throw new IllegalStateException(
-      s"branch '$branch' points at expired snapshot ${r.snapshotId}"))
-    var staged = List.empty[Snapshot]
-    while (Snaplog.isWapStaged(cur)) {
-      require(cur.summary.get(Snaplog.WapBranchKey).contains(branch),
-        s"branch '$branch' lineage crosses another branch's staged commit " +
-          s"at snapshot ${cur.snapshotId}")
-      staged = cur :: staged
-      cur.parentId match {
-        case None => return (None, staged) // genuinely forked from an empty table
-        case Some(pid) => cur = byId.getOrElse(pid, throw new IllegalStateException(
-          s"branch '$branch' fork lineage expired at snapshot $pid — " +
-            "publish or drop the ref before expiring its history"))
-      }
-    }
-    (Some(cur.snapshotId), staged)
-  }
-
   /** Scan a branch's content: main as of the fork point + the branch's
-    * staged appends. A branch ref pointing at a plain (published)
-    * snapshot reads identically to [[scanRef]]. */
+    * staged appends (lineage-exact — see [[Catalog.branchLineage]]). A
+    * branch ref pointing at a plain (published) snapshot reads
+    * identically to [[scanRef]]. */
   def scanBranch(branch: String): DataFrame = {
-    val (base, staged) = branchLineage(catalog.snapshots(namespace, name), branch)
-    val (baseData, baseDels) = base
-      .map(b => catalog.liveFilesSplit(namespace, name, Some(b)))
-      .getOrElse((Seq.empty, Seq.empty))
-    assemble(baseData ++ staged.flatMap(_.files), baseDels)
+    val (data, dels) = catalog.branchFilesSplit(namespace, name, branch)
+    assemble(data, dels)
   }
 
   /** Publish a staged branch onto main (Iceberg's `fast_forward`): ONE
@@ -230,7 +198,7 @@ final class LakehouseTable(
     * as always). */
   def fastForward(branch: String): Snapshot = {
     val all = catalog.snapshots(namespace, name)
-    val (base, staged) = branchLineage(all, branch)
+    val (base, staged) = catalog.branchLineage(namespace, name, branch)
     require(staged.nonEmpty,
       s"branch '$branch' has no staged commits to publish")
     val realAdvance = all.filter(_.snapshotId > base.getOrElse(0L))

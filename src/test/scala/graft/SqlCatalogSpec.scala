@@ -745,6 +745,13 @@ class SqlCatalogSpec extends SparkSpec {
     tbl.tag("2", Some(1L))
     assert(spark.sql("SELECT COUNT(*) FROM gsqlref.ns.r VERSION AS OF '2'")
       .head().getLong(0) == 4, "numeric ref name must shadow the snapshot id")
+    // a WAP branch name reads the BRANCH content (fork base + staged) —
+    // the audit query of write-audit-publish, straight from SQL — while
+    // the main relation stays untouched
+    tbl.appendToBranch("audit", fixture().withColumn("id", $"id" + 20))
+    assert(spark.sql("SELECT COUNT(*) FROM gsqlref.ns.r VERSION AS OF 'audit'")
+      .head().getLong(0) == 12)
+    assert(spark.sql("SELECT COUNT(*) FROM gsqlref.ns.r").head().getLong(0) == 8)
     val e = intercept[Exception] {
       spark.sql("SELECT COUNT(*) FROM gsqlref.ns.r VERSION AS OF 'nope'").head()
     }

@@ -333,6 +333,70 @@ class SqlCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT SUM(value2) FROM gsqlcow.ns.c").head().getLong(0) == 100)
   }
 
+  test("row-level scans never receive data filters (group-semantics invariant)") {
+    // THE load-bearing invariant of file-granular COW: the pushed group
+    // filters may prune whole FILES but must never row-filter — a
+    // forwarded parquet filter would silently drop keep-rows from the
+    // replacement (the rewrite plans no residual Filter above the
+    // scan). Pin it via the physical plan: the inner parquet scan of an
+    // UPDATE rewrite must show NO pushed data filters.
+    val wh = Files.createTempDirectory("graft-sqlinv").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "inv", fixture().schema)
+    tbl.append(fixture())
+    spark.conf.set("spark.sql.catalog.gsqlinv", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlinv.warehouse", wh)
+    val plan = spark.sql(
+      "UPDATE gsqlinv.ns.inv SET value2 = 0 WHERE id >= 3")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedFilters: [Is") &&
+      !plan.contains("PushedFilters: [Greater") &&
+      !plan.contains("PushedFilters: [Equal"),
+      s"row-level scan must not push data filters into parquet:\n$plan")
+    // and the statement stayed correct
+    assert(spark.sql("SELECT SUM(value2) FROM gsqlinv.ns.inv").head().getLong(0) == 30)
+  }
+
+  test("randomized selective COW agrees with a DataFrame oracle") {
+    // property-style sweep: random multi-file layouts and predicates;
+    // after each UPDATE the table must equal the row-by-row expectation
+    // and carried+rewritten must cover the pre-statement live set
+    val rnd = new scala.util.Random(42)
+    val wh = Files.createTempDirectory("graft-sqlfuzz").toString
+    val cat = new Snaplog(wh)
+    spark.conf.set("spark.sql.catalog.gsqlfuzz", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlfuzz.warehouse", wh)
+    val base = (1 to 300).map(i => (i, i % 7, i * 10))
+    val df = base.toDF("id", "k", "v")
+    val tbl = LakehouseTable.create(cat, spark, "ns", "fz", df.schema)
+    // 4 appends with overlapping-but-distinct id ranges → 4 files
+    Seq(0 to 99, 50 to 179, 180 to 239, 240 to 299).foreach { r =>
+      tbl.append(df.filter($"id".between(r.start + 1, r.end + 1)).coalesce(1))
+    }
+    // expectation tracked as a row multiset (ids repeat across slices)
+    var rows: Seq[(Int, Int, Int)] =
+      Seq(0 to 99, 50 to 179, 180 to 239, 240 to 299).flatMap { r =>
+        base.filter(t => t._1 >= r.start + 1 && t._1 <= r.end + 1)
+      }
+    (1 to 6).foreach { _ =>
+      val lo = rnd.nextInt(300) + 1
+      val hi = math.min(300, lo + rnd.nextInt(80))
+      val m = rnd.nextInt(5) + 2
+      val live = cat.liveFiles("ns", "fz").size
+      spark.sql(
+        s"UPDATE gsqlfuzz.ns.fz SET v = v + 1 WHERE id BETWEEN $lo AND $hi AND k % $m = 0")
+      rows = rows.map { case (id, k, v) =>
+        if (id >= lo && id <= hi && k % m == 0) (id, k, v + 1) else (id, k, v)
+      }
+      val got = spark.sql("SELECT id, k, v FROM gsqlfuzz.ns.fz")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+      assert(got.sorted == rows.sorted, s"drift after UPDATE [$lo,$hi] k%$m")
+      val sum = cat.snapshots("ns", "fz").last.summary
+      val carried = sum.get("carried-files").map(_.toInt).getOrElse(-1)
+      assert(carried >= 0 && carried <= live, s"carry accounting: $sum")
+    }
+  }
+
   test("partitioned-table SQL UPDATE/MERGE keeps partition metadata and carries other partitions") {
     val wh = Files.createTempDirectory("graft-sqlcowp").toString
     val cat = new Snaplog(wh)

@@ -30,7 +30,7 @@ private[sql] object GraftProcedures {
 
   val Names: Seq[String] =
     Seq("compact", "expire_snapshots", "expire_snapshots_older_than",
-      "vacuum", "set_ref", "fast_forward")
+      "vacuum", "set_ref", "drop_ref", "fast_forward")
 
   def load(catName: String, name: String, backing: Catalog): UnboundProcedure =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -102,6 +102,20 @@ private[sql] object GraftProcedures {
           refType = in.getUTF8String(4).toString)
         row(UTF8String.fromString(refName), UTF8String.fromString(ref.refType),
           ref.snapshotId)
+      }
+      case "drop_ref" => proc(name,
+        "drop a named ref (tag/branch) — how an audited-and-rejected WAP " +
+          "branch is abandoned from SQL (expiration + vacuum then collect it)",
+        Seq("ns" -> StringType, "tbl" -> StringType, "name" -> StringType),
+        StructType(Seq(
+          StructField("dropped", StringType, nullable = false),
+          StructField("existed", org.apache.spark.sql.types.BooleanType,
+            nullable = false)))) { in =>
+        val (ns, t) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString)
+        val refName = in.getUTF8String(2).toString
+        val existed = backing.refs(ns, t).contains(refName)
+        backing.dropRef(ns, t, refName)
+        row(UTF8String.fromString(refName), existed)
       }
       case "fast_forward" => proc(name,
         "publish a WAP branch's staged commits onto main (one conditional " +

@@ -631,6 +631,13 @@ class SqlCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT COUNT(*) FROM gsqlcall.ns.pc VERSION AS OF 'gold'")
       .head().getLong(0) == 8)
 
+    // drop_ref abandons a ref from SQL (the rejected-WAP-branch path)
+    val d = spark.sql("CALL gsqlcall.system.drop_ref('ns', 'pc', 'gold')").collect()
+    assert(d.head.getString(0) == "gold" && d.head.getBoolean(1))
+    assert(!cat.refs("ns", "pc").contains("gold"))
+    val d2 = spark.sql("CALL gsqlcall.system.drop_ref('ns', 'pc', 'gold')").collect()
+    assert(!d2.head.getBoolean(1), "second drop reports existed=false")
+
     intercept[Exception] { spark.sql("CALL gsqlcall.system.nope('a', 'b')") }
     intercept[Exception] { spark.sql("CALL gsqlcall.other.compact('ns', 'pc', '')") }
   }

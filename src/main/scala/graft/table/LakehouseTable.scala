@@ -571,8 +571,14 @@ final class LakehouseTable(
     val target = m.schema
     val normalized = dfs.map(SchemaInfer.normalize(_, target))
       .reduce(_.unionByName(_))
+    // the staging dir must be UNIQUE per write job, not per snapshot id:
+    // two concurrent writers read the same current snapshot, and a
+    // shared id-derived dir would let one job's overwrite clobber the
+    // other's staged files (and its footer-stat pass see the other's
+    // in-flight temporaries) — the id is only a human-readable prefix
     val nextId = catalog.currentSnapshot(namespace, name).map(_.snapshotId + 1).getOrElse(1L)
-    val commitDir = catalog.dataDir(namespace, name).resolve(s"snap-$nextId")
+    val commitDir = catalog.dataDir(namespace, name).resolve(
+      s"snap-$nextId-${java.util.UUID.randomUUID().toString.take(8)}")
     val parts = m.partitionColumns
     val withLayout = parts.foldLeft(normalized)((d, c) => d.withColumn(layoutCol(c), col(c)))
     val codec = m.properties.getOrElse("write.compression", "zstd")

@@ -660,6 +660,66 @@ abstract class CatalogContractSpec extends SparkSpec {
     ()
   }
 
+  test("tail-block reader handles log lines larger than one block") {
+    // a snapshot whose JSON spans multiple 64 KiB blocks exercises the
+    // carry path of the backwards reader (the line must reassemble
+    // byte-exactly across block boundaries)
+    val wh = Files.createTempDirectory("graft-bigline").toString
+    val cat = new Snaplog(wh)
+    LakehouseTable.create(cat, spark, "ns", "big", fixture().schema)
+    val pad = "x" * (3 * Snaplog.ReverseBlockBytes) // ~192 KiB single line
+    cat.commit("ns", "big", Snaplog.OpAppend,
+      Seq(graft.catalog.DataFileEntry("/fake/big-1.parquet", 1, 1, Map.empty)),
+      Map("pad" -> pad))
+    cat.commit("ns", "big", Snaplog.OpAppend,
+      Seq(graft.catalog.DataFileEntry("/fake/big-2.parquet", 1, 1, Map.empty)))
+    val cur = cat.currentSnapshot("ns", "big")
+    assert(cur.map(_.snapshotId).contains(2L))
+    val window = cat.windowSnapshots("ns", "big", None)
+    assert(window.map(_.snapshotId) == Seq(1L, 2L))
+    assert(window.head.summary.get("pad").contains(pad),
+      "multi-block line must reassemble byte-exactly")
+    assert(cat.liveFiles("ns", "big").map(_.path).sorted ==
+      Seq("/fake/big-1.parquet", "/fake/big-2.parquet"))
+  }
+
+  test("concurrent WAP staging and main appends keep lineages disjoint") {
+    val cat = freshCatalog()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "wapc", fixture().schema)
+    tbl.append(fixture())
+    import java.util.concurrent.Executors
+    val pool = Executors.newFixedThreadPool(3)
+    val rounds = 4
+    val tasks = Seq(
+      () => (1 to rounds).foreach(i =>
+        tbl.append(fixture().withColumn("id", $"id" + 1000 * i))),
+      () => (1 to rounds).foreach(i =>
+        tbl.appendToBranch("a", fixture().withColumn("id", $"id" + 100 * i))),
+      () => (1 to rounds).foreach(i =>
+        tbl.appendToBranch("b", fixture().withColumn("id", $"id" + 10 * i))))
+    val futures = tasks.map(t => pool.submit(new Runnable {
+      override def run(): Unit = t()
+    }))
+    futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    // snapshot ids stayed dense under the races
+    val snaps = cat.snapshots("ns", "wapc")
+    assert(snaps.map(_.snapshotId) == (1L to snaps.size))
+    // main sees ONLY main appends (base 4 + rounds×4)
+    assert(tbl.scan().count() == 4 + rounds * 4)
+    // each branch sees its fork-base main content + its own staged rows
+    // (fork base = whatever main head the first staged append observed)
+    val (aBase, aStaged) = cat.branchLineage("ns", "wapc", "a")
+    val (bBase, bStaged) = cat.branchLineage("ns", "wapc", "b")
+    assert(aStaged.size == rounds && bStaged.size == rounds)
+    assert(aStaged.forall(_.summary.get(Snaplog.WapBranchKey).contains("a")))
+    assert(bStaged.forall(_.summary.get(Snaplog.WapBranchKey).contains("b")))
+    val aBaseRows = cat.liveFiles("ns", "wapc", aBase).map(_.rowCount).sum
+    assert(tbl.scanBranch("a").count() == aBaseRows + rounds * 4)
+    val bBaseRows = cat.liveFiles("ns", "wapc", bBase).map(_.rowCount).sum
+    assert(tbl.scanBranch("b").count() == bBaseRows + rounds * 4)
+  }
+
   test("conditional commits tolerate an interleaved automatic checkpoint fold") {
     val cat = freshCatalog(checkpointInterval = 3)
     LakehouseTable.create(cat, spark, "ns", "ckl", fixture().schema)

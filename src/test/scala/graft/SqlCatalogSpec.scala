@@ -397,6 +397,50 @@ class SqlCatalogSpec extends SparkSpec {
     }
   }
 
+  test("racing SQL UPDATEs serialize: winners apply, losers conflict, nothing tears") {
+    val wh = Files.createTempDirectory("graft-updrace").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "urace", fixture().schema)
+    tbl.append(fixture().coalesce(1))
+    spark.conf.set("spark.sql.catalog.gupdrace", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gupdrace.warehouse", wh)
+    import java.util.concurrent.Executors
+    val pool = Executors.newFixedThreadPool(4)
+    val results = (1 to 4).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Either[Throwable, Unit]] {
+        override def call(): Either[Throwable, Unit] =
+          try Right {
+            spark.sql(s"UPDATE gupdrace.ns.urace SET value2 = value2 + ${i * 1000} WHERE id = $i")
+            ()
+          } catch { case e: Throwable => Left(e) }
+      })
+    }.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    val wins = results.count(_.isRight)
+    assert(wins >= 1, "at least one racer must land")
+    // every loser failed via the conditional-commit conflict, loudly
+    results.collect { case Left(e) =>
+      def chain(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+      assert(chain(e).exists(
+        _.isInstanceOf[graft.catalog.CommitConflictException]),
+        s"loser must surface CommitConflictException, got: $e")
+    }
+    // the final table equals applying SOME subset of the updates — each
+    // id's value is either original or original + id*1000, and the
+    // number of applied updates equals the number of winners
+    val byId = spark.sql("SELECT id, value2 FROM gupdrace.ns.urace")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(byId.size == 4, s"row set torn: $byId")
+    val applied = (1 to 4).count { i =>
+      val orig = i * 10
+      assert(byId(i) == orig || byId(i) == orig + i * 1000,
+        s"id $i has impossible value ${byId(i)}")
+      byId(i) == orig + i * 1000
+    }
+    assert(applied == wins, s"applied=$applied but winners=$wins — torn state")
+  }
+
   test("partitioned-table SQL UPDATE/MERGE keeps partition metadata and carries other partitions") {
     val wh = Files.createTempDirectory("graft-sqlcowp").toString
     val cat = new Snaplog(wh)

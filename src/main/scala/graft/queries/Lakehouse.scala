@@ -667,6 +667,47 @@ object Lakehouse {
         SELECT o_orderstatus, n_tag, total_tag, n_head
         FROM tag JOIN head USING (o_orderstatus) ORDER BY o_orderstatus""")),
 
+    // Streaming READ of a lakehouse table (spark.readStream.table):
+    // offsets are snapshot ids, so each micro-batch plans its file set
+    // from log metadata alone — the Iceberg/Delta lakehouse-as-a-stream
+    // pattern. The query proves EXACTLY-ONCE DELTA RESUME: run 1
+    // streams the table's content (evens), a second commit lands, run 2
+    // resumes from the checkpoint and appends ONLY the delta (odds) to
+    // the sink. If resume re-read history the evens would double and
+    // the oracle (one copy of every order) would hash-mismatch.
+    QueryDef("stream_table_source",
+      (s, d) => {
+        val whDir = wh("stream_table_source", d)
+        val cat = new Snaplog(whDir)
+        val orders = t(s, d, "orders")
+        val tbl = LakehouseTable.create(cat, s, "lake", "orders_tail", orders.schema)
+        val cn = sqlCatalog(s, "gtail", whDir)
+        val ckpt = scratchDir("stream_table_source_ck", d)
+        val out = scratchDir("stream_table_source_out", d)
+        def runOnce(): Unit = {
+          val q = s.readStream.table(s"$cn.lake.orders_tail")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination(300000)
+          q.exception.foreach(throw _)
+        }
+        tbl.append(orders.filter(col("o_orderkey") % 2 === 0)) // snapshot 1
+        runOnce()                                              // initial content
+        tbl.append(orders.filter(col("o_orderkey") % 2 === 1)) // snapshot 2
+        runOnce()                                              // delta only
+        s.read.schema(orders.schema).parquet(out)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // Merge-on-read SQL reads: a table with OUTSTANDING delete vectors
     // stays queryable by name — the DSv2 scan plans the same broadcast
     // anti-join subtraction the native scan uses (no forced compaction

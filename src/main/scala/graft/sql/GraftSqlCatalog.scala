@@ -134,16 +134,27 @@ private[sql] final class GraftSqlTable(
     LakehouseTable.load(backing, spark, ns, tbl).deleteMor(cond)
     ()
   }
-  override def capabilities(): java.util.Set[TableCapability] =
-    if (!writable) java.util.EnumSet.of(TableCapability.BATCH_READ)
-    else if (partitionCols.isEmpty)
-      java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-        TableCapability.TRUNCATE)
-    else java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+  /** MICRO_BATCH_READ (streaming tail, [[GraftMicroBatchStream]]) is
+    * advertised only for the current-snapshot relation without
+    * outstanding MOR vectors: time-travel relations are frozen, and a
+    * vector subtraction is not expressible as a stream of file adds —
+    * Spark then refuses the readStream up front instead of failing the
+    * first batch. */
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps =
+      if (!writable) java.util.EnumSet.of(TableCapability.BATCH_READ)
+      else if (partitionCols.isEmpty)
+        java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+          TableCapability.TRUNCATE)
+      else java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    if (writable && deleteFiles.isEmpty) caps.add(TableCapability.MICRO_BATCH_READ)
+    caps
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableName, tableSchema, partitionCols, files,
-      deleteFiles, options)
+      deleteFiles, options,
+      streamCtx = if (writable) Some((backing, ns, tbl)) else None)
   /** `INSERT INTO` appends; `INSERT OVERWRITE` (truncate-then-append in
     * Spark's plan) lands as ONE conditional overwrite commit — the
     * previous file set is replaced atomically, never a visible empty
@@ -739,7 +750,8 @@ private[sql] final class GraftScanBuilder(
     partitionCols: Seq[String],
     files: Seq[DataFileEntry],
     deleteFiles: Seq[DataFileEntry],
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    streamCtx: Option[(Catalog, String, String)] = None)
     extends ScanBuilder
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -919,7 +931,16 @@ private[sql] final class GraftScanBuilder(
       // forward through the standard file-source path: sets parquet's
       // data-filter pushdown (footer/row-group skip) internally
       psb.pushFilters(exprs)
-      psb.build()
+      val scan = psb.build()
+      // current-snapshot relations also answer readStream: the same
+      // ParquetScan (batch path unchanged, subclass identity) with
+      // toMicroBatchStream bound to the snapshot log
+      (scan, streamCtx) match {
+        case (ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
+            Some((backing, ns, tbl))) =>
+          new GraftStreamableParquetScan(ps, tableSchema, backing, ns, tbl, options)
+        case _ => scan
+      }
   }
 }
 

@@ -1,0 +1,228 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetTable}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.catalog.{Catalog, Snaplog}
+
+/** Stream offset for a snaplog table: "every row live at snapshot `id`
+  * has been emitted". `0` is the virgin offset — nothing emitted yet, so
+  * the first micro-batch carries the table's full live content (the
+  * Iceberg/Delta streaming-source initial-snapshot convention). */
+private[sql] final case class GraftStreamOffset(id: Long) extends Offset {
+  override def json(): String = id.toString
+}
+
+/** The table's plain batch scan, plus streaming: identical to the
+  * [[ParquetScan]] Spark plans for batch reads of the pruned file list
+  * (same stats, same explain metadata, same reader codegen), with
+  * `toMicroBatchStream` bound to the snapshot log. Subclassing keeps the
+  * batch path byte-identical — plan audits that look for a FileScan
+  * still find one. */
+private[sql] final class GraftStreamableParquetScan(
+    base: ParquetScan,
+    tableSchema: StructType,
+    backing: Catalog,
+    ns: String,
+    tbl: String,
+    options: CaseInsensitiveStringMap)
+    extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
+      base.dataSchema, base.readDataSchema, base.readPartitionSchema,
+      base.pushedFilters, base.options, base.pushedAggregate,
+      base.partitionFilters, base.dataFilters, base.pushedVariantExtractions) {
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftMicroBatchStream(tableSchema, backing, ns, tbl, options)
+}
+
+/** Micro-batch streaming source over a snaplog table — `spark.readStream
+  * .table("cat.ns.t")`: the lakehouse-as-a-stream pattern (Iceberg/Delta
+  * streaming reads; the reference's closest analogue is its snapshot
+  * history walk, `read_history.py:7-11`, turned into a live tail).
+  *
+  * Offsets are SNAPSHOT IDS, so batch planning is pure log metadata:
+  * batch (s, e] reads exactly the data files live at `e` but not at `s`
+  * (the [[graft.table.LakehouseTable.scanIncremental]] contract — the
+  * path-set difference is exact for append/add_files lineage). The
+  * virgin offset 0 emits the full current content first, or
+  * `startSnapshotId` skips history and tails only commits after it.
+  * Restarts resume from the checkpointed snapshot id — exactly-once
+  * against this source requires nothing from the table but its log.
+  *
+  * Append-only contract: a reset commit (overwrite / COW delete /
+  * replace) or a merge-on-read delete inside an unconsumed range fails
+  * the stream loudly — its delta is not expressible as file adds.
+  * Automatic checkpoint folds and WAP-staged branch commits are content
+  * no-ops on main and stream through silently. Admission control:
+  * `maxFilesPerTrigger` bounds each batch by walking snapshot
+  * boundaries (the initial catch-up starts at the latest reset's live
+  * set, then extends append-by-append), and Trigger.AvailableNow pins
+  * the target head at start.
+  *
+  * At 100 TB: every planning decision here reads the log, never the
+  * data — a year of 10-second appends plans each batch from
+  * O(checkpoint-window) metadata, and the initial-content batch is the
+  * same explicit file list a batch scan would get. */
+private[sql] final class GraftMicroBatchStream(
+    tableSchema: StructType,
+    backing: Catalog,
+    ns: String,
+    tbl: String,
+    options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private def spark = SparkSession.active
+
+  private val startSnapshotId: Long =
+    Option(options.get("startsnapshotid")).map(_.toLong).getOrElse(0L)
+  private val maxFilesPerTrigger: Option[Int] =
+    Option(options.get("maxfilespertrigger")).map(_.toInt)
+  maxFilesPerTrigger.foreach(n =>
+    require(n > 0, s"maxFilesPerTrigger must be positive, got $n"))
+
+  /** Trigger.AvailableNow target: pinned once at stream start so the
+    * run terminates even while writers keep committing. */
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  /** Last MAIN-lineage snapshot id. The raw log tail can be a
+    * WAP-staged branch commit — never a valid stream endpoint (its
+    * content is not on main). O(1) unless the tail IS staged, then one
+    * history walk. */
+  private def headId: Long =
+    backing.currentSnapshot(ns, tbl) match {
+      case Some(s) if !Snaplog.isWapStaged(s) => s.snapshotId
+      case Some(_) => mainSnaps().lastOption.map(_.snapshotId).getOrElse(0L)
+      case None => 0L
+    }
+
+  /** Main-lineage snapshots (WAP-staged branch commits are content
+    * no-ops on main and never become batch endpoints). */
+  private def mainSnaps() =
+    backing.snapshots(ns, tbl).filterNot(Snaplog.isWapStaged)
+
+  override def initialOffset(): Offset = GraftStreamOffset(startSnapshotId)
+  override def deserializeOffset(json: String): Offset =
+    GraftStreamOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(headId)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def reportLatestOffset(): Offset = GraftStreamOffset(headId)
+
+  override def latestOffset(): Offset =
+    throw new IllegalStateException(
+      "latestOffset(Offset, ReadLimit) should be called instead (SupportsAdmissionControl)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cap = availableNowTarget.getOrElse(headId)
+    val s = start.asInstanceOf[GraftStreamOffset].id
+    if (cap <= s) return GraftStreamOffset(s)
+    limit match {
+      case _: ReadAllAvailable => GraftStreamOffset(cap)
+      case mf: ReadMaxFiles => GraftStreamOffset(boundedEnd(s, cap, mf.maxFiles))
+      case _ => GraftStreamOffset(cap)
+    }
+  }
+
+  /** Pick the furthest snapshot id in (start, cap] whose cumulative
+    * file count fits the budget, walking only crossable commits
+    * (append / add_files / checkpoint). The first step always advances
+    * (a single oversized commit must still stream). Stops BEFORE an
+    * uncrossable commit once progress exists; if the very first
+    * unconsumed commit is uncrossable, returns `cap` so
+    * planInputPartitions raises the descriptive append-only error
+    * instead of idling forever. */
+  private def boundedEnd(startV: Long, cap: Long, maxFiles: Int): Long = {
+    val snaps = mainSnaps().filter(_.snapshotId <= cap)
+    val crossable = Set(Snaplog.OpAppend, Snaplog.OpAddFiles, Snaplog.OpCheckpoint)
+    // the initial catch-up batch starts from the latest reset's
+    // self-contained live set (everything older folded into it)
+    var end = startV
+    var budget = maxFiles.toLong
+    if (startV == 0L) {
+      val resetIdx = snaps.lastIndexWhere(s => Snaplog.ResetOps(s.operation))
+      val first = if (resetIdx >= 0) snaps(resetIdx) else snaps.headOption.getOrElse(return cap)
+      if (!crossable(first.operation) && resetIdx < 0) return cap
+      end = first.snapshotId
+      budget -= backing.liveFiles(ns, tbl, Some(end)).size
+    }
+    var i = snaps.indexWhere(_.snapshotId > end)
+    while (i >= 0 && i < snaps.length) {
+      val sn = snaps(i)
+      if (!crossable(sn.operation)) {
+        // uncrossable next commit with no progress yet → surface the error
+        return if (end == startV) cap else end
+      }
+      val added = if (sn.operation == Snaplog.OpCheckpoint) 0L else sn.files.size.toLong
+      if (end != startV && budget - added < 0) return end
+      budget -= added
+      end = sn.snapshotId
+      i += 1
+    }
+    end
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftStreamOffset].id
+    val e = end.asInstanceOf[GraftStreamOffset].id
+    if (e <= s) return Array.empty
+    val paths: Seq[String] =
+      if (s == 0L) {
+        require(backing.liveDeleteFiles(ns, tbl, Some(e)).isEmpty,
+          s"streaming read of $ns.$tbl: snapshot $e carries outstanding " +
+            "merge-on-read delete vectors — compact first, then stream")
+        backing.liveFiles(ns, tbl, Some(e)).map(_.path)
+      } else deltaPaths(s, e)
+    if (paths.isEmpty) Array.empty
+    else parquetScanOver(paths).toBatch.planInputPartitions()
+  }
+
+  /** Files added in (s, e] — the scanIncremental contract: exact for
+    * append-only lineage, loud failure otherwise. */
+  private def deltaPaths(s: Long, e: Long): Seq[String] = {
+    val snaps = mainSnaps()
+    val ids = snaps.map(_.snapshotId)
+    require(ids.contains(s),
+      s"streaming read of $ns.$tbl: checkpointed snapshot $s is no longer " +
+        "in the log (expired?) — restart from a fresh checkpoint")
+    require(ids.contains(e), s"unknown snapshot $e of $ns.$tbl")
+    val between = snaps.filter(sn => sn.snapshotId > s && sn.snapshotId <= e)
+    require(between.forall(sn => !Snaplog.ResetOps(sn.operation) ||
+        sn.operation == Snaplog.OpCheckpoint),
+      s"streaming read of $ns.$tbl crossed a reset commit " +
+        s"(${(Snaplog.ResetOps - Snaplog.OpCheckpoint).mkString("/")}) — " +
+        "the delta is not expressible as file adds; restart from a fresh " +
+        "checkpoint to re-read current content")
+    require(between.forall(_.operation != Snaplog.OpMorDelete),
+      s"streaming read of $ns.$tbl crossed a merge-on-read delete — " +
+        "restart from a fresh checkpoint after compaction")
+    val before = backing.liveFiles(ns, tbl, Some(s)).map(_.path).toSet
+    backing.liveFiles(ns, tbl, Some(e)).map(_.path).filterNot(before)
+  }
+
+  /** Spark's own vectorized parquet DSv2 over an explicit file list —
+    * the same construction the batch scan uses, so executors run the
+    * identical codegen'd reader. */
+  private def parquetScanOver(paths: Seq[String]): Scan = {
+    val pt = ParquetTable(s"$ns.$tbl-stream", spark, options, paths,
+      Some(tableSchema), classOf[ParquetFileFormat])
+    pt.newScanBuilder(options).build()
+  }
+
+  /** One factory for the whole run: ParquetPartitionReaderFactory
+    * captures schemas + conf, not file lists, so partitions planned by
+    * later batches read through it unchanged. */
+  override def createReaderFactory(): PartitionReaderFactory =
+    parquetScanOver(Seq.empty).toBatch.createReaderFactory()
+
+  override def toString: String = s"GraftStream[$ns.$tbl]"
+}

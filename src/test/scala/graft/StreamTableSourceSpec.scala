@@ -1,0 +1,173 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.catalog.Snaplog
+import graft.sql.GraftSqlCatalog
+import graft.table.LakehouseTable
+
+/** Streaming READ of a snaplog table (`spark.readStream.table`):
+  * snapshot-id offsets, initial-content batch, checkpointed delta
+  * resume, admission control, and the append-only failure contract. */
+class StreamTableSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture(ids: Range, g: String) =
+    ids.map(i => (i, g, i * 1.5f, i * 10)).toDF("id", "group", "value1", "value2")
+
+  private var n = 0
+  /** Run one AvailableNow pass of readStream.table into a fresh memory
+    * sink; returns the ids that arrived this run. */
+  private def runOnce(tableName: String, ckpt: String,
+      options: Map[String, String] = Map.empty): (Seq[Int], Int) = {
+    n += 1
+    val sink = s"stream_tbl_sink_$n"
+    var r = spark.readStream
+    options.foreach { case (k, v) => r = r.option(k, v) }
+    val q = r.table(tableName)
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    (spark.table(sink).select("id").collect().map(_.getInt(0)).toSeq.sorted,
+      batches)
+  }
+
+  /** One AvailableNow pass into a RECOVERABLE (parquet) sink — the
+    * memory sink refuses checkpoint recovery, and resume-across-restart
+    * is exactly what these tests prove. Returns the CUMULATIVE ids in
+    * the output dir: delta-only resume shows as each id exactly once. */
+  private def runToDir(tableName: String, ckpt: String, out: String): Seq[Int] = {
+    val q = spark.readStream.table(tableName)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    q.exception.foreach(throw _)
+    spark.read.parquet(out).select("id").collect().map(_.getInt(0)).toSeq.sorted
+  }
+
+  test("table streams: full content first, then checkpointed deltas only") {
+    val wh = Files.createTempDirectory("graft-streamsrc").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "s", fixture(1 to 2, "A").schema)
+    tbl.append(fixture(1 to 2, "A"))   // snapshot 1
+    tbl.append(fixture(3 to 4, "B"))   // snapshot 2
+    spark.conf.set("spark.sql.catalog.gstream", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gstream.warehouse", wh)
+    val ckpt = Files.createTempDirectory("graft-streamsrc-ck").toString
+    val out = Files.createTempDirectory("graft-streamsrc-out").toString
+
+    // run 1: virgin offset → the table's full live content
+    assert(runToDir("gstream.ns.s", ckpt, out) == Seq(1, 2, 3, 4))
+    // run 2: nothing new landed → no duplicates appended
+    assert(runToDir("gstream.ns.s", ckpt, out) == Seq(1, 2, 3, 4))
+    // new commits, one of them WAP-staged (content no-op on main)
+    tbl.append(fixture(5 to 5, "C"))                       // snapshot 3
+    tbl.appendToBranch("audit", fixture(99 to 99, "Z"))    // staged — invisible
+    // run 3: exactly the delta — ids 1-4 NOT re-read, staged 99 absent
+    assert(runToDir("gstream.ns.s", ckpt, out) == Seq(1, 2, 3, 4, 5))
+    // a fresh checkpoint re-reads everything (still without the branch)
+    assert(runOnce("gstream.ns.s",
+      Files.createTempDirectory("graft-streamsrc-ck2").toString)._1 ==
+      Seq(1, 2, 3, 4, 5))
+  }
+
+  test("startSnapshotId tails only commits after the given snapshot") {
+    val wh = Files.createTempDirectory("graft-streamtail").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "tl", fixture(1 to 2, "A").schema)
+    tbl.append(fixture(1 to 2, "A"))   // snapshot 1
+    tbl.append(fixture(3 to 4, "B"))   // snapshot 2
+    spark.conf.set("spark.sql.catalog.gstail", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gstail.warehouse", wh)
+    val ckpt = Files.createTempDirectory("graft-streamtail-ck").toString
+    assert(runOnce("gstail.ns.tl", ckpt,
+      Map("startSnapshotId" -> "1"))._1 == Seq(3, 4))
+  }
+
+  test("maxFilesPerTrigger splits the catch-up into bounded batches") {
+    val wh = Files.createTempDirectory("graft-streamrate").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "r", fixture(1 to 1, "A").schema)
+    // 4 single-file commits (coalesce(1) → one file per append)
+    (1 to 4).foreach(i => tbl.append(fixture(i to i, "A").coalesce(1)))
+    assert(cat.liveFiles("ns", "r").size == 4)
+    spark.conf.set("spark.sql.catalog.grate", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grate.warehouse", wh)
+    val ckpt = Files.createTempDirectory("graft-streamrate-ck").toString
+    val (ids, batches) = runOnce("grate.ns.r", ckpt,
+      Map("maxFilesPerTrigger" -> "1"))
+    assert(ids == Seq(1, 2, 3, 4))
+    // first batch = live set at snapshot 1 (1 file), then one commit per
+    // batch → 4 non-empty micro-batches, not one catch-all
+    assert(batches == 4, s"expected 4 bounded batches, got $batches")
+  }
+
+  test("append-only contract: a reset commit inside the range fails loudly") {
+    val wh = Files.createTempDirectory("graft-streamreset").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "x", fixture(1 to 2, "A").schema)
+    tbl.append(fixture(1 to 2, "A"))
+    spark.conf.set("spark.sql.catalog.gsreset", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsreset.warehouse", wh)
+    val ckpt = Files.createTempDirectory("graft-streamreset-ck").toString
+    val out = Files.createTempDirectory("graft-streamreset-out").toString
+    assert(runToDir("gsreset.ns.x", ckpt, out) == Seq(1, 2))
+    tbl.overwrite(fixture(7 to 8, "B")) // reset — delta undefined
+    val ex = intercept[Exception] { runToDir("gsreset.ns.x", ckpt, out) }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("reset commit")),
+      s"expected the append-only error, got: $ex")
+    // a fresh checkpoint recovers: reads current (post-overwrite) content
+    val ckpt2 = Files.createTempDirectory("graft-streamreset-ck2").toString
+    assert(runOnce("gsreset.ns.x", ckpt2)._1 == Seq(7, 8))
+  }
+
+  test("outstanding MOR vectors refuse the streaming read up front") {
+    val wh = Files.createTempDirectory("graft-streammor").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "m", fixture(1 to 4, "A").schema)
+    tbl.append(fixture(1 to 4, "A"))
+    tbl.deleteMor($"id" === 2)
+    spark.conf.set("spark.sql.catalog.gsmor", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsmor.warehouse", wh)
+    val ckpt = Files.createTempDirectory("graft-streammor-ck").toString
+    intercept[Exception] { runOnce("gsmor.ns.m", ckpt) }
+    // compaction materializes the vector; streaming works again
+    tbl.compact()
+    val ckpt2 = Files.createTempDirectory("graft-streammor-ck2").toString
+    assert(runOnce("gsmor.ns.m", ckpt2)._1 == Seq(1, 3, 4))
+  }
+
+  test("partitioned tables stream with partition columns intact") {
+    val wh = Files.createTempDirectory("graft-streampart").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "p",
+      fixture(1 to 2, "A").schema, Seq("group"))
+    tbl.append(fixture(1 to 2, "A").union(fixture(3 to 4, "B")))
+    spark.conf.set("spark.sql.catalog.gspart", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gspart.warehouse", wh)
+    val ckpt = Files.createTempDirectory("graft-streampart-ck").toString
+    n += 1
+    val sink = s"stream_tbl_sink_$n"
+    val q = spark.readStream.table("gspart.ns.p")
+      .groupBy("group").count()
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.table(sink).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("A" -> 2L, "B" -> 2L))
+  }
+}

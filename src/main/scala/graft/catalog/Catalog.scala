@@ -86,6 +86,12 @@ trait Catalog {
     * missing columns with null). */
   def updateSchema(ns: String, t: String, schema: StructType): TableMetadata
 
+  /** Merge and remove table properties — a metadata-only change (`set`
+    * merges first, then `unset` keys drop). Properties never affect
+    * replay or file resolution, so no snapshot commits. */
+  def updateProperties(ns: String, t: String,
+      set: Map[String, String], unset: Seq[String]): TableMetadata
+
   // ---- snapshot log ------------------------------------------------------
 
   /** Full commit history, oldest first, ids dense and monotonic. */

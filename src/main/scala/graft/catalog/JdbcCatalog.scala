@@ -283,8 +283,17 @@ final class JdbcCatalog(val jdbcUrl: String, val warehouse: String,
   override def dataDir(ns: String, t: String): Path =
     Paths.get(warehouse, ns, t, "data")
 
-  override def updateSchema(ns: String, t: String, schema: StructType): TableMetadata = {
-    val updated = loadTable(ns, t).copy(schemaJson = schema.json)
+  override def updateSchema(ns: String, t: String, schema: StructType): TableMetadata =
+    replaceMeta(ns, t, loadTable(ns, t).copy(schemaJson = schema.json))
+
+  override def updateProperties(ns: String, t: String,
+      set: Map[String, String], unset: Seq[String]): TableMetadata = {
+    val m = loadTable(ns, t)
+    replaceMeta(ns, t, m.copy(properties = (m.properties ++ set) -- unset))
+  }
+
+  private def replaceMeta(ns: String, t: String,
+      updated: TableMetadata): TableMetadata = {
     withConn { c =>
       val ps = c.prepareStatement(
         "UPDATE graft_tables SET meta = ? WHERE ns = ? AND tbl = ?")

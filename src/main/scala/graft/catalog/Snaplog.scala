@@ -230,6 +230,14 @@ final class Snaplog(val warehouse: String,
     updated
   }
 
+  override def updateProperties(ns: String, t: String,
+      set: Map[String, String], unset: Seq[String]): TableMetadata = {
+    val m = loadTable(ns, t)
+    val updated = m.copy(properties = (m.properties ++ set) -- unset)
+    writeAtomic(metaFile(ns, t), jwrite(updated))
+    updated
+  }
+
   // ---- snapshot log -----------------------------------------------------
 
   override def snapshots(ns: String, t: String): Seq[Snapshot] = {

@@ -667,6 +667,44 @@ object Lakehouse {
         SELECT o_orderstatus, n_tag, total_tag, n_head
         FROM tag JOIN head USING (o_orderstatus) ORDER BY o_orderstatus""")),
 
+    // Snapshot rollback from SQL: a bad commit is undone by CALL
+    // rollback_to_snapshot — a METADATA-ONLY overwrite commit re-listing
+    // the target's live file set (zero data movement at any size), with
+    // the bad commit still auditable via VERSION AS OF. The result joins
+    // the post-rollback content (evens only) against the time-travel
+    // audit read (everything), plus the commit-count evidence.
+    QueryDef("lake_sql_rollback",
+      (s, d) => {
+        val whDir = wh("lake_sql_rollback", d)
+        val cat = new Snaplog(whDir)
+        val orders = t(s, d, "orders")
+        val tbl = LakehouseTable.create(cat, s, "lake", "orders_rb", orders.schema)
+        tbl.append(orders.filter(col("o_orderkey") % 2 === 0)) // snapshot 1
+        tbl.append(orders.filter(col("o_orderkey") % 2 === 1)) // snapshot 2: "bad"
+        val cn = sqlCatalog(s, "grb", whDir)
+        s.sql(s"CALL $cn.system.rollback_to_snapshot('lake', 'orders_rb', 1)")
+        val snaps = cat.snapshots("lake", "orders_rb")
+        s.sql(s"""
+          SELECT cur.o_orderstatus, cur.n, cur.total, aud.n_audit
+          FROM (SELECT o_orderstatus, COUNT(*) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+                FROM $cn.lake.orders_rb GROUP BY o_orderstatus) cur
+          JOIN (SELECT o_orderstatus, COUNT(*) AS n_audit
+                FROM $cn.lake.orders_rb VERSION AS OF 2
+                GROUP BY o_orderstatus) aud USING (o_orderstatus)""")
+          .withColumn("n_snapshots", lit(snaps.size.toLong))
+          .withColumn("last_op", lit(snaps.last.operation))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH cur AS (SELECT o_orderstatus, COUNT(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus),
+        aud AS (SELECT o_orderstatus, COUNT(*) AS n_audit
+          FROM orders GROUP BY o_orderstatus)
+        SELECT o_orderstatus, n, total, n_audit,
+          3 AS n_snapshots, 'overwrite' AS last_op
+        FROM cur JOIN aud USING (o_orderstatus) ORDER BY o_orderstatus""")),
+
     // Streaming READ of a lakehouse table (spark.readStream.table):
     // offsets are snapshot ids, so each micro-batch plans its file set
     // from log metadata alone — the Iceberg/Delta lakehouse-as-a-stream

@@ -30,7 +30,7 @@ private[sql] object GraftProcedures {
 
   val Names: Seq[String] =
     Seq("compact", "expire_snapshots", "expire_snapshots_older_than",
-      "vacuum", "set_ref", "drop_ref", "fast_forward")
+      "vacuum", "set_ref", "drop_ref", "fast_forward", "rollback_to_snapshot")
 
   def load(catName: String, name: String, backing: Catalog): UnboundProcedure =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -128,6 +128,20 @@ private[sql] object GraftProcedures {
         val tbl = LakehouseTable.load(backing, SparkSession.active, ns, t)
         val snap = tbl.fastForward(in.getUTF8String(2).toString)
         row(snap.snapshotId, snap.files.size.toLong)
+      }
+      case "rollback_to_snapshot" => proc(name,
+        "restore the live content of an earlier snapshot as a NEW " +
+          "metadata-only overwrite commit (zero data movement; later " +
+          "history stays time-travelable)",
+        Seq("ns" -> StringType, "tbl" -> StringType, "snapshot_id" -> LongType),
+        StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("restored_snapshot", LongType, nullable = false),
+          StructField("live_files", IntegerType, nullable = false)))) { in =>
+        val (ns, t) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString)
+        val tbl = LakehouseTable.load(backing, SparkSession.active, ns, t)
+        val snap = tbl.rollbackTo(in.getLong(2))
+        row(snap.snapshotId, in.getLong(2), snap.files.size)
       }
       case other => throw new UnsupportedOperationException(
         s"$catName has no procedure '$other' — available: ${Names.mkString(", ")}")

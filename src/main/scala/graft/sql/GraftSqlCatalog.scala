@@ -1381,20 +1381,36 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     requireExists(ident)
     // validate EVERY change before applying ANY: a mixed statement must
     // fail whole, not commit a partial evolution and then throw
-    val adds = changes.map {
+    val adds = Seq.newBuilder[TableChange.AddColumn]
+    val setProps = Map.newBuilder[String, String]
+    val unsetProps = Seq.newBuilder[String]
+    changes.foreach {
       case add: TableChange.AddColumn
           if add.fieldNames().length == 1 && add.isNullable &&
-            add.position() == null => add
+            add.position() == null => adds += add
+      case sp: TableChange.SetProperty =>
+        // Spark-reserved bookkeeping keys are not table properties a
+        // log reader should see (mirrors createTable's filter)
+        if (sp.property != "provider" && sp.property != "owner")
+          setProps += sp.property -> sp.value
+      case rp: TableChange.RemoveProperty => unsetProps += rp.property
       case other => throw new UnsupportedOperationException(
         s"$catName supports only ALTER TABLE ADD COLUMN (top-level, " +
-          s"nullable, appended); $other needs the graft API")
+          s"nullable, appended) and SET/UNSET TBLPROPERTIES; " +
+          s"$other needs the graft API")
     }
-    val tbl = LakehouseTable.load(backing, SparkSession.active,
-      ident.namespace()(0), ident.name)
-    // ONE schema commit for the whole statement: addColumns validates
-    // every addition first, so a mixed statement fails whole instead of
-    // committing a partial evolution and then throwing
-    tbl.addColumns(adds.map(a => a.fieldNames()(0) -> a.dataType()))
+    val (ns, t) = (ident.namespace()(0), ident.name)
+    val addList = adds.result()
+    if (addList.nonEmpty) {
+      // ONE schema commit for the whole statement: addColumns validates
+      // every addition first, so a mixed statement fails whole instead
+      // of committing a partial evolution and then throwing
+      LakehouseTable.load(backing, SparkSession.active, ns, t)
+        .addColumns(addList.map(a => a.fieldNames()(0) -> a.dataType()))
+    }
+    val (set, unset) = (setProps.result(), unsetProps.result())
+    if (set.nonEmpty || unset.nonEmpty)
+      backing.updateProperties(ns, t, set, unset)
     loadTable(ident)
   }
 

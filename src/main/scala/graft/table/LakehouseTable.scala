@@ -316,6 +316,37 @@ final class LakehouseTable(
   def currentSnapshotId: Long =
     catalog.currentSnapshot(namespace, name).map(_.snapshotId).getOrElse(0L)
 
+  /** Restore the table's live content to that of an earlier snapshot —
+    * Iceberg's `rollback_to_snapshot`, the bad-commit escape hatch. The
+    * log is append-only, so rollback is a NEW metadata-only overwrite
+    * commit re-listing the target snapshot's live file set: zero data
+    * movement at any table size, everything after the target stays
+    * time-travelable, and the conditional commit makes a racing writer
+    * fail cleanly instead of interleaving with the restore.
+    *
+    * Refusals, both loud: a WAP-staged branch commit is not main
+    * content (publish or scan the branch instead), and a target with
+    * outstanding merge-on-read vectors cannot be restored by re-listing
+    * data files alone — the overwrite would retire the vectors and
+    * resurrect their deleted rows; compact first, then roll back to the
+    * compaction. */
+  def rollbackTo(snapshotId: Long): Snapshot = {
+    val snaps = catalog.snapshots(namespace, name)
+    val target = snaps.find(_.snapshotId == snapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown snapshot $snapshotId of $namespace.$name"))
+    require(!Snaplog.isWapStaged(target),
+      s"snapshot $snapshotId is a WAP-staged branch commit, not main " +
+        "content — fast-forward the branch or scan it instead")
+    require(catalog.liveDeleteFiles(namespace, name, Some(snapshotId)).isEmpty,
+      s"snapshot $snapshotId carries outstanding merge-on-read delete " +
+        "vectors — rollback would resurrect deleted rows; compact first")
+    catalog.commit(namespace, name, Snaplog.OpOverwrite,
+      catalog.liveFiles(namespace, name, Some(snapshotId)),
+      Map("engine" -> "rollback", "rollback-to" -> snapshotId.toString),
+      expectedSnapshotId = Some(snaps.last.snapshotId))
+  }
+
   /** Dynamic partition overwrite (Iceberg `replacePartitions`, Spark's
     * `partitionOverwriteMode=dynamic`): replaces ONLY the identity
     * partitions present in `df`; every other partition's files carry

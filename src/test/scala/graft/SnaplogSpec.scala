@@ -46,6 +46,57 @@ abstract class CatalogContractSpec extends SparkSpec {
     assert(cat.listTables("ns1") == Seq("t1"))
   }
 
+  test("rollback restores an earlier snapshot's content metadata-only") {
+    val cat = freshCatalog()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "rb", fixture().schema)
+    tbl.append(fixture())                                  // snapshot 1
+    tbl.append(fixture().withColumn("id", $"id" + 10))     // snapshot 2
+    val filesAt1 = cat.liveFiles("ns", "rb", Some(1L)).map(_.path).toSet
+    val snap = tbl.rollbackTo(1L)
+    // metadata-only: the restore commit re-lists snapshot 1's files BY
+    // PATH — no new data files written
+    assert(snap.operation == "overwrite" &&
+      snap.summary.get("rollback-to").contains("1"))
+    assert(cat.liveFiles("ns", "rb").map(_.path).toSet == filesAt1)
+    assert(tbl.scan().select("id").collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(1, 2, 3, 4))
+    // the rolled-back-over history stays time-travelable
+    assert(tbl.scan(asOf = Some(2L)).count() == 8)
+    // writes continue normally on top of the restore
+    tbl.append(fixture().withColumn("id", $"id" + 20))
+    assert(tbl.scan().count() == 8)
+    // unknown target and WAP-staged target refuse
+    intercept[IllegalArgumentException] { tbl.rollbackTo(99L) }
+    tbl.appendToBranch("wip", fixture().withColumn("id", $"id" + 30))
+    val stagedId = cat.refs("ns", "rb")("wip").snapshotId
+    intercept[IllegalArgumentException] { tbl.rollbackTo(stagedId) }
+    // a target with outstanding MOR vectors refuses (rollback would
+    // resurrect its deleted rows)
+    val t2 = LakehouseTable.create(cat, spark, "ns", "rbm", fixture().schema)
+    t2.append(fixture())
+    t2.deleteMor($"id" === 2)
+    val morId = t2.currentSnapshotId
+    t2.compact()
+    intercept[IllegalArgumentException] { t2.rollbackTo(morId) }
+    assert(t2.rollbackTo(t2.currentSnapshotId).files.nonEmpty)
+  }
+
+  test("table properties merge and unset metadata-only") {
+    val cat = freshCatalog()
+    LakehouseTable.create(cat, spark, "ns", "props", fixture().schema,
+      properties = Map("write.target-file-size-bytes" -> "536870912"))
+    cat.updateProperties("ns", "props",
+      Map("owner.team" -> "ingest", "comment" -> "v1"), Seq.empty)
+    assert(cat.loadTable("ns", "props").properties ==
+      Map("write.target-file-size-bytes" -> "536870912",
+        "owner.team" -> "ingest", "comment" -> "v1"))
+    // set wins over existing; unset drops after merge
+    cat.updateProperties("ns", "props", Map("comment" -> "v2"),
+      Seq("owner.team", "never-existed"))
+    assert(cat.loadTable("ns", "props").properties ==
+      Map("write.target-file-size-bytes" -> "536870912", "comment" -> "v2"))
+  }
+
   test("append → scan round-trips rows and keeps partition column") {
     val cat = freshCatalog()
     val tbl = LakehouseTable.create(cat, spark, "ns", "t", fixture().schema, Seq("group"))

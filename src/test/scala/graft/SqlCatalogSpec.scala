@@ -686,6 +686,53 @@ class SqlCatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql("CALL gsqlcall.other.compact('ns', 'pc', '')") }
   }
 
+  test("CALL rollback_to_snapshot restores content from SQL") {
+    val wh = Files.createTempDirectory("graft-sqlrb").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "rb", fixture().schema)
+    tbl.append(fixture())                                  // snapshot 1
+    spark.conf.set("spark.sql.catalog.gsqlrb", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlrb.warehouse", wh)
+    // a bad SQL write lands (snapshot 2)…
+    spark.sql("INSERT INTO gsqlrb.ns.rb VALUES (99, 'Z', 0.0, 0)")
+    assert(spark.sql("SELECT COUNT(*) FROM gsqlrb.ns.rb").head().getLong(0) == 5)
+    // …and rolls back metadata-only
+    val r = spark.sql(
+      "CALL gsqlrb.system.rollback_to_snapshot('ns', 'rb', 1)").collect()
+    assert(r.head.getLong(0) == 3 && r.head.getLong(1) == 1)
+    assert(spark.sql("SELECT COUNT(*) FROM gsqlrb.ns.rb").head().getLong(0) == 4)
+    // the bad commit stays auditable via time travel
+    assert(spark.sql("SELECT COUNT(*) FROM gsqlrb.ns.rb VERSION AS OF 2")
+      .head().getLong(0) == 5)
+  }
+
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES is metadata-only") {
+    val wh = Files.createTempDirectory("graft-sqlprops").toString
+    val cat = new Snaplog(wh)
+    LakehouseTable.create(cat, spark, "ns", "pr", fixture().schema)
+    spark.conf.set("spark.sql.catalog.gsqlprops", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlprops.warehouse", wh)
+    spark.sql("ALTER TABLE gsqlprops.ns.pr SET TBLPROPERTIES " +
+      "('write.target-file-size-bytes' = '134217728', 'comment.zone' = 'raw')")
+    val props = cat.loadTable("ns", "pr").properties
+    assert(props.get("write.target-file-size-bytes").contains("134217728") &&
+      props.get("comment.zone").contains("raw"))
+    // visible through the DSv2 surface (SHOW TBLPROPERTIES)
+    val shown = spark.sql("SHOW TBLPROPERTIES gsqlprops.ns.pr").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("comment.zone").contains("raw"))
+    spark.sql("ALTER TABLE gsqlprops.ns.pr UNSET TBLPROPERTIES ('comment.zone')")
+    assert(!cat.loadTable("ns", "pr").properties.contains("comment.zone"))
+    assert(cat.loadTable("ns", "pr").properties
+      .get("write.target-file-size-bytes").contains("134217728"))
+    // no snapshot commits happened — properties are pure metadata
+    assert(cat.snapshots("ns", "pr").isEmpty)
+    // destructive column ALTERs still refuse
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gsqlprops.ns.pr RENAME COLUMN id TO id2")
+    }
+  }
+
   test("SQL DML, DDL and CALL run unchanged on the JDBC catalog backend") {
     val wh = Files.createTempDirectory("graft-sqljdbcdml").toString
     val runId = java.util.UUID.randomUUID().toString.take(8)

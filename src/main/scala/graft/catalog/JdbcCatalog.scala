@@ -133,7 +133,7 @@ final class JdbcCatalog(val jdbcUrl: String, val warehouse: String,
         s"partition column '$c' not in schema")
     }
     val meta = TableMetadata(ns, name, schema.json, partitionColumns,
-      properties, System.currentTimeMillis())
+      Snaplog.withFieldIdRegistry(schema, properties), System.currentTimeMillis())
     val inserted = withConn { c =>
       val ps = c.prepareStatement(
         "INSERT INTO graft_tables(ns, tbl, meta) VALUES (?, ?, ?)")

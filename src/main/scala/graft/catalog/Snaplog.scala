@@ -146,7 +146,7 @@ final class Snaplog(val warehouse: String,
         s"partition column '$c' not in schema")
     }
     val meta = TableMetadata(ns, name, schema.json, partitionColumns,
-      properties, System.currentTimeMillis())
+      Snaplog.withFieldIdRegistry(schema, properties), System.currentTimeMillis())
     Files.createDirectories(tableDir(ns, name).resolve("data"))
     writeAtomic(metaFile(ns, name), jwrite(meta))
     Files.write(logFile(ns, name), Array.emptyByteArray,
@@ -486,6 +486,20 @@ final class Snaplog(val warehouse: String,
 }
 
 object Snaplog {
+
+  /** Every new table gets a parquet field-id REGISTRY property at
+    * creation (name→id, ids 1..n) — the indirection column RENAME/DROP
+    * later resolves through. Skipped when a column name cannot encode
+    * (that table just never becomes renameable) or when the caller
+    * already supplied one (re-import / rename paths). */
+  def withFieldIdRegistry(schema: StructType,
+      properties: Map[String, String]): Map[String, String] =
+    if (properties.contains(graft.types.FieldIds.RegistryProp)) properties
+    else graft.types.FieldIds.registryFor(schema)
+      .map(r => properties +
+        (graft.types.FieldIds.RegistryProp -> graft.types.FieldIds.encode(r)))
+      .getOrElse(properties)
+
   val OpAppend = "append"
   val OpOverwrite = "overwrite"
   val OpAddFiles = "add_files"

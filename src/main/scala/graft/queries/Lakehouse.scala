@@ -667,6 +667,32 @@ object Lakehouse {
         SELECT o_orderstatus, n_tag, total_tag, n_head
         FROM tag JOIN head USING (o_orderstatus) ORDER BY o_orderstatus""")),
 
+    // Column RENAME via parquet field-id indirection: metadata-only
+    // evolution (zero data movement). Half the table is written under
+    // the OLD column name, the column renames, the other half lands
+    // under the NEW name — and the aggregate over BOTH eras must
+    // hash-match DuckDB over the source column, proving old files'
+    // values resolve BY FIELD ID under the renamed label.
+    QueryDef("lake_column_rename",
+      (s, d) => {
+        val whDir = wh("lake_column_rename", d)
+        val cat = new Snaplog(whDir)
+        val orders = t(s, d, "orders")
+        val tbl = LakehouseTable.create(cat, s, "lake", "orders_ren", orders.schema)
+        tbl.append(orders.filter(col("o_orderkey") % 2 === 0)) // old name era
+        tbl.renameColumn("o_totalprice", "price")
+        tbl.append(orders.filter(col("o_orderkey") % 2 === 1)
+          .withColumnRenamed("o_totalprice", "price"))        // new name era
+        val cn = sqlCatalog(s, "gren", whDir)
+        s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+            CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+          FROM $cn.lake.orders_ren GROUP BY o_orderstatus
+          ORDER BY o_orderstatus""")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // Snapshot rollback from SQL: a bad commit is undone by CALL
     // rollback_to_snapshot — a METADATA-ONLY overwrite commit re-listing
     // the target's live file set (zero data movement at any size), with

@@ -218,9 +218,26 @@ private[sql] final class GraftAppendWrite(
     val stage = backing.dataDir(ns, tbl).resolve(
       s"snap-sql-${java.util.UUID.randomUUID().toString.take(12)}")
     val expected = backing.currentSnapshot(ns, tbl).map(_.snapshotId).getOrElse(0L)
+    // stamp the field-id registry into the staged parquet (ids are
+    // schema metadata only — row layout unchanged), so SQL-inserted
+    // files are as rename-eligible as native writes
+    import graft.types.FieldIds
+    val writeSchema = backing.loadTable(ns, tbl).properties
+      .get(FieldIds.RegistryProp).map(FieldIds.decode)
+      .map(FieldIds.attach(tableSchema, _)).getOrElse(tableSchema)
+    spark.conf.set(FieldIds.WriteConf, "true")
+    val winfo: LogicalWriteInfo =
+      if (writeSchema eq tableSchema) info
+      else new LogicalWriteInfo {
+        override def queryId(): String = info.queryId()
+        override def schema(): StructType = writeSchema
+        override def options(): CaseInsensitiveStringMap = info.options()
+        override def rowIdSchema(): java.util.Optional[StructType] = info.rowIdSchema()
+        override def metadataSchema(): java.util.Optional[StructType] = info.metadataSchema()
+      }
     val delegate = ParquetTable(tableName, spark, info.options(),
-      Seq(stage.toString), Some(tableSchema), classOf[ParquetFileFormat])
-      .newWriteBuilder(info).build().toBatch
+      Seq(stage.toString), Some(writeSchema), classOf[ParquetFileFormat])
+      .newWriteBuilder(winfo).build().toBatch
     new GraftBatchWrite(delegate, backing, ns, tbl, stage, expected, spark,
       if (replaceAll) Snaplog.OpOverwrite else Snaplog.OpAppend,
       Map("engine" -> (if (replaceAll) "sql-insert-overwrite" else "sql-insert")))
@@ -1366,6 +1383,10 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     val (dataFiles, delFiles) =
       if (snapId.isEmpty) (Seq.empty[DataFileEntry], Seq.empty[DataFileEntry])
       else backing.liveFilesSplit(ns, t, asOf)
+    // a renamed/dropped-column table stores an id-bearing schema: the
+    // session must resolve parquet columns BY ID for its scans
+    if (graft.types.FieldIds.hasIds(meta.schema))
+      SparkSession.active.conf.set(graft.types.FieldIds.ReadConf, "true")
     new GraftSqlTable(s"$catName.$ns.$t", meta.schema, meta.partitionColumns,
       dataFiles, delFiles, backing, ns, t, writable = asOf.isEmpty,
       tableProps = meta.properties, loadedSnapshotId = snapId.getOrElse(0L))
@@ -1382,12 +1403,18 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     // validate EVERY change before applying ANY: a mixed statement must
     // fail whole, not commit a partial evolution and then throw
     val adds = Seq.newBuilder[TableChange.AddColumn]
+    val renames = Seq.newBuilder[TableChange.RenameColumn]
+    val drops = Seq.newBuilder[TableChange.DeleteColumn]
     val setProps = Map.newBuilder[String, String]
     val unsetProps = Seq.newBuilder[String]
     changes.foreach {
       case add: TableChange.AddColumn
           if add.fieldNames().length == 1 && add.isNullable &&
             add.position() == null => adds += add
+      case rn: TableChange.RenameColumn
+          if rn.fieldNames().length == 1 => renames += rn
+      case dc: TableChange.DeleteColumn
+          if dc.fieldNames().length == 1 => drops += dc
       case sp: TableChange.SetProperty =>
         // Spark-reserved bookkeeping keys are not table properties a
         // log reader should see (mirrors createTable's filter)
@@ -1395,19 +1422,23 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
           setProps += sp.property -> sp.value
       case rp: TableChange.RemoveProperty => unsetProps += rp.property
       case other => throw new UnsupportedOperationException(
-        s"$catName supports only ALTER TABLE ADD COLUMN (top-level, " +
-          s"nullable, appended) and SET/UNSET TBLPROPERTIES; " +
-          s"$other needs the graft API")
+        s"$catName supports ALTER TABLE ADD COLUMN (top-level, nullable, " +
+          s"appended), RENAME/DROP COLUMN (top-level, field-id tables), " +
+          s"and SET/UNSET TBLPROPERTIES; $other needs the graft API")
     }
     val (ns, t) = (ident.namespace()(0), ident.name)
     val addList = adds.result()
+    val tbl = LakehouseTable.load(backing, SparkSession.active, ns, t)
     if (addList.nonEmpty) {
       // ONE schema commit for the whole statement: addColumns validates
       // every addition first, so a mixed statement fails whole instead
       // of committing a partial evolution and then throwing
-      LakehouseTable.load(backing, SparkSession.active, ns, t)
-        .addColumns(addList.map(a => a.fieldNames()(0) -> a.dataType()))
+      tbl.addColumns(addList.map(a => a.fieldNames()(0) -> a.dataType()))
     }
+    // RENAME/DROP are metadata-only via field-id indirection — the
+    // table-side ops run every eligibility gate before mutating
+    renames.result().foreach(rn => tbl.renameColumn(rn.fieldNames()(0), rn.newName()))
+    drops.result().foreach(dc => tbl.dropColumn(dc.fieldNames()(0)))
     val (set, unset) = (setProps.result(), unsetProps.result())
     if (set.nonEmpty || unset.nonEmpty)
       backing.updateProperties(ns, t, set, unset)

@@ -68,11 +68,21 @@ final class LakehouseTable(
     * relative to the data (a predicate's matched positions), so the
     * join adds no shuffle of the data side; a reset commit
     * (compaction/overwrite) retires them entirely. */
+  /** The schema scans request — after a rename/drop the stored schema
+    * carries field ids, and the session must resolve columns BY ID
+    * (Spark's fieldId read conf; a no-op for id-free schemas). */
+  private def readSchema: StructType = {
+    val s = schema
+    if (graft.types.FieldIds.hasIds(s))
+      spark.conf.set(graft.types.FieldIds.ReadConf, "true")
+    s
+  }
+
   private def assemble(files: Seq[DataFileEntry],
       deletes: Seq[DataFileEntry]): DataFrame = {
     if (files.isEmpty)
       return spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-    val data = spark.read.schema(schema).parquet(files.map(_.path): _*)
+    val data = spark.read.schema(readSchema).parquet(files.map(_.path): _*)
     if (deletes.isEmpty) data
     else {
       val dv = broadcast(
@@ -262,7 +272,7 @@ final class LakehouseTable(
     if (added.isEmpty)
       spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
     else
-      spark.read.schema(schema).parquet(added.map(_.path): _*)
+      spark.read.schema(readSchema).parquet(added.map(_.path): _*)
   }
 
   /** Register the current snapshot for the SQL path (reference S10:
@@ -569,27 +579,150 @@ final class LakehouseTable(
 
   /** Additive schema evolution: add a nullable column. Existing data
     * files stay untouched — scans fill the column with null (parquet
-    * read-schema reconciliation), new writes carry it. The only
-    * evolution the reference's schema policy needs; renames/drops would
-    * require field-id tracking (out of scope, like the reference). */
+    * read-schema reconciliation), new writes carry it. */
   def addColumn(colName: String, dataType: DataType): TableMetadata =
     addColumns(Seq(colName -> dataType))
 
   /** Batch form of [[addColumn]]: validates EVERY addition (against the
     * current schema and against each other) BEFORE committing, then
     * commits the evolved schema ONCE — a multi-column ALTER can never
-    * land a partial evolution and then throw. */
+    * land a partial evolution and then throw. New columns take ids
+    * above the high-water mark, so a name that was previously DROPPED
+    * re-adds under a FRESH id — old files hold no field with it, and
+    * the old data can never resurrect. */
   def addColumns(cols: Seq[(String, DataType)]): TableMetadata = {
+    import graft.types.FieldIds
     require(cols.nonEmpty, "addColumns of zero columns")
-    val cur = schema
+    val m = meta
+    val cur = m.schema
     cols.foldLeft(cur.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet) {
       (seen, c) =>
         val n = c._1.toLowerCase(java.util.Locale.ROOT)
         require(!seen(n), s"column '${c._1}' already exists")
         seen + n
     }
-    catalog.updateSchema(namespace, name, StructType(cur.fields ++
-      cols.map { case (n, dt) => StructField(n, dt, nullable = true) }))
+    val added = cols.map { case (n, dt) => StructField(n, dt, nullable = true) }
+    val base = StructType(cur.fields ++ added)
+    m.properties.get(FieldIds.RegistryProp).map(FieldIds.decode) match {
+      case Some(reg) if cols.forall(c =>
+          !c._1.contains(",") && !c._1.contains(":")) =>
+        val last = m.properties.get(FieldIds.LastIdProp).map(_.toInt)
+          .getOrElse(if (reg.isEmpty) 0 else reg.values.max)
+        val reg2 = reg ++ cols.zipWithIndex.map {
+          case ((n, _), i) => n -> (last + i + 1)
+        }
+        catalog.updateProperties(namespace, name,
+          Map(FieldIds.RegistryProp -> FieldIds.encode(reg2),
+            FieldIds.LastIdProp -> (last + cols.size).toString), Seq.empty)
+        // the stored schema carries ids only after a rename/drop flipped
+        // the table to read-by-id; before that it stays name-matched
+        catalog.updateSchema(namespace, name,
+          if (FieldIds.hasIds(cur)) FieldIds.attach(base, reg2) else base)
+      case _ =>
+        // exotic names break the registry encoding: keep additive
+        // evolution, forfeit renameability (refused later with guidance)
+        catalog.updateSchema(namespace, name, base)
+    }
+  }
+
+  /** Column RENAME via parquet field-id indirection (the Iceberg
+    * evolution model): metadata-only — the stored schema changes the
+    * NAME but keeps the column's field id, the table flips to
+    * read-by-id, and every scan (current or time travel) resolves the
+    * column BY ID, so files written under the old name keep serving
+    * values. Zero data movement at any table size.
+    *
+    * Eligibility, checked loudly BEFORE anything mutates: every file in
+    * the table's history must be managed (written by this engine —
+    * foreign add_files/import files carry absent or otherwise-numbered
+    * ids) and must physically carry field ids in its footer (files
+    * staged by SQL INSERT before this table's first managed write may
+    * predate stamping). `compact()` rewrites everything into id-bearing
+    * managed files and makes any table eligible. Partition columns
+    * refuse — their name is baked into per-file partition tuples and
+    * layout directories, so renaming them is a spec rewrite, not a
+    * schema edit. */
+  def renameColumn(from: String, to: String): TableMetadata = {
+    import graft.types.FieldIds
+    val m = meta
+    val cur = m.schema
+    val f = cur.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
+      throw new IllegalArgumentException(s"no column '$from' in $namespace.$name"))
+    require(!m.partitionColumns.exists(_.equalsIgnoreCase(from)),
+      s"cannot rename partition column '$from' — partition tuples and " +
+        "directory layout are keyed by it (a partition-spec rewrite, not " +
+        "a schema edit)")
+    require(!cur.fields.exists(_.name.equalsIgnoreCase(to)),
+      s"column '$to' already exists")
+    require(to.nonEmpty && !to.contains(",") && !to.contains(":"),
+      s"illegal column name '$to'")
+    val reg = fieldRegistry(m, "rename")
+    requireIdBearingFiles("rename")
+    val reg2 = reg - f.name + (to -> reg(f.name))
+    val renamed = StructType(cur.fields.map(x =>
+      if (x.name == f.name) x.copy(name = to) else x))
+    catalog.updateProperties(namespace, name,
+      Map(FieldIds.RegistryProp -> FieldIds.encode(reg2)), Seq.empty)
+    catalog.updateSchema(namespace, name, FieldIds.attach(renamed, reg2))
+  }
+
+  /** Column DROP — metadata-only removal from the schema; data files
+    * are untouched (scans simply stop requesting the column). Flips the
+    * table to read-by-id and RETIRES the dropped id behind the
+    * high-water mark, so re-adding the same name later takes a fresh id
+    * and old values stay unreachable instead of resurrecting — the
+    * field-id-reuse hazard Iceberg's evolution rules exist for. Same
+    * eligibility gates as [[renameColumn]]. */
+  def dropColumn(colName: String): TableMetadata = {
+    import graft.types.FieldIds
+    val m = meta
+    val cur = m.schema
+    val f = cur.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+      throw new IllegalArgumentException(s"no column '$colName' in $namespace.$name"))
+    require(!m.partitionColumns.exists(_.equalsIgnoreCase(colName)),
+      s"cannot drop partition column '$colName'")
+    require(cur.fields.length > 1, "cannot drop the only column")
+    val reg = fieldRegistry(m, "drop")
+    requireIdBearingFiles("drop")
+    val last = m.properties.get(FieldIds.LastIdProp).map(_.toInt)
+      .getOrElse(0).max(reg.values.max)
+    val reg2 = reg - f.name
+    catalog.updateProperties(namespace, name,
+      Map(FieldIds.RegistryProp -> FieldIds.encode(reg2),
+        FieldIds.LastIdProp -> last.toString), Seq.empty)
+    catalog.updateSchema(namespace, name,
+      FieldIds.attach(StructType(cur.fields.filterNot(_.name == f.name)), reg2))
+  }
+
+  private def fieldRegistry(m: TableMetadata, op: String): Map[String, Int] =
+    m.properties.get(graft.types.FieldIds.RegistryProp)
+      .map(graft.types.FieldIds.decode).getOrElse(
+        throw new UnsupportedOperationException(
+          s"cannot $op a column of $namespace.$name: no field-id registry " +
+            "(table predates field ids or has column names the registry " +
+            "cannot encode)"))
+
+  /** Every file in every log snapshot must be managed AND carry field
+    * ids in its footer — the proof that id-matching reads (including
+    * time travel) resolve every column correctly. Metadata walk + one
+    * footer read per distinct file, no data pages. */
+  private def requireIdBearingFiles(op: String): Unit = {
+    val dd = catalog.dataDir(namespace, name).toString
+    val prefix = if (dd.endsWith("/")) dd else dd + "/"
+    val paths = catalog.snapshots(namespace, name).flatMap(_.files)
+      .filterNot(_.deleteFile.contains(true)).map(_.path).distinct
+    val foreign = paths.filterNot(_.startsWith(prefix))
+    require(foreign.isEmpty,
+      s"cannot $op a column of $namespace.$name: ${foreign.size} file(s) " +
+        "were registered from outside the managed data dir " +
+        "(add_files/import) and their field ids are absent or numbered " +
+        "by another system — compact() and expire the foreign history " +
+        "first")
+    val idless = paths.filterNot(graft.types.FieldIds.fileCarriesIds(spark, _))
+    require(idless.isEmpty,
+      s"cannot $op a column of $namespace.$name: ${idless.size} file(s) " +
+        "carry no parquet field ids (written before id stamping) — " +
+        "compact() rewrites them id-bearing, then retry")
   }
 
   private def writeCommit(
@@ -599,7 +732,13 @@ final class LakehouseTable(
       expected: Option[Long] = None,
       parentIdOverride: Option[Long] = None): Snapshot = {
     val m = meta
-    val target = m.schema
+    // stamp registry field ids into every managed write (files carry ids
+    // from birth, so a later rename/drop finds id-bearing files); reads
+    // stay name-matched until an evolution flips the stored schema
+    val target = m.properties.get(graft.types.FieldIds.RegistryProp)
+      .map(r => graft.types.FieldIds.attach(m.schema, graft.types.FieldIds.decode(r)))
+      .getOrElse(m.schema)
+    spark.conf.set(graft.types.FieldIds.WriteConf, "true")
     val normalized = dfs.map(SchemaInfer.normalize(_, target))
       .reduce(_.unionByName(_))
     // the staging dir must be UNIQUE per write job, not per snapshot id:

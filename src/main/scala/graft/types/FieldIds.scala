@@ -1,0 +1,94 @@
+package graft.types
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructField, StructType}
+
+/** Parquet field-id indirection for column RENAME / DROP — the Iceberg
+  * evolution model, carried by Spark's native field-id support
+  * (`spark.sql.parquet.fieldId.{write,read}.enabled`; reader matches a
+  * requested column to a parquet column BY ID when the requested
+  * StructField carries `parquet.field.id` metadata).
+  *
+  * Lifecycle: every table gets a name→id REGISTRY at creation (a table
+  * property), and every managed write stamps the ids into its parquet
+  * files — but reads keep plain name matching (the stored schema stays
+  * id-free), so tables holding foreign files (add_files / Iceberg
+  * import, whose ids are absent or numbered by another system) behave
+  * exactly as before. The FIRST rename/drop flips the table to
+  * read-by-id: the stored schema becomes id-bearing and every
+  * subsequent scan resolves columns by id, so files written under the
+  * OLD name still serve the renamed column's values — including through
+  * time travel. Dropped ids are never reused (a high-water property),
+  * so re-adding a dropped column's name yields nulls for old rows, not
+  * resurrected data. */
+object FieldIds {
+
+  /** Spark's field-id metadata key (ParquetUtils.FIELD_ID_METADATA_KEY). */
+  val MetaKey = "parquet.field.id"
+  /** Table property: the name→id registry, `"name:id,name:id"`. */
+  val RegistryProp = "graft.field-ids"
+  /** Table property: high-water id mark — ids of dropped columns are
+    * retired forever, never reassigned. */
+  val LastIdProp = "graft.last-field-id"
+
+  val WriteConf = "spark.sql.parquet.fieldId.write.enabled"
+  val ReadConf = "spark.sql.parquet.fieldId.read.enabled"
+
+  /** Registry for a fresh table: ids 1..n in schema order. None when a
+    * column name cannot round-trip the encoding (such a table simply
+    * never becomes renameable — it refuses with guidance). */
+  def registryFor(schema: StructType): Option[Map[String, Int]] =
+    if (schema.fieldNames.exists(n => n.contains(",") || n.contains(":")))
+      None
+    else Some(schema.fieldNames.zipWithIndex.map {
+      case (n, i) => n -> (i + 1)
+    }.toMap)
+
+  def encode(reg: Map[String, Int]): String =
+    reg.toSeq.sortBy(_._2).map { case (n, i) => s"$n:$i" }.mkString(",")
+
+  def decode(s: String): Map[String, Int] =
+    s.split(',').filter(_.nonEmpty).map { kv =>
+      val i = kv.lastIndexOf(':')
+      kv.substring(0, i) -> kv.substring(i + 1).toInt
+    }.toMap
+
+  /** Schema with `parquet.field.id` metadata stamped from the registry
+    * (fields without a registry entry stay untouched). */
+  def attach(schema: StructType, reg: Map[String, Int]): StructType =
+    StructType(schema.fields.map { f =>
+      reg.get(f.name) match {
+        case Some(id) => f.copy(metadata = new MetadataBuilder()
+          .withMetadata(f.metadata).putLong(MetaKey, id.toLong).build())
+        case None => f
+      }
+    })
+
+  def hasIds(schema: StructType): Boolean =
+    schema.fields.exists(_.metadata.contains(MetaKey))
+
+  def strip(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      if (!f.metadata.contains(MetaKey)) f
+      else {
+        val mb = new MetadataBuilder().withMetadata(f.metadata).remove(MetaKey)
+        f.copy(metadata = mb.build())
+      }
+    })
+
+  /** Do ALL top-level fields of the parquet file carry field ids?
+    * Footer-only (no data pages) — the eligibility probe a rename/drop
+    * runs over the table's files before flipping to read-by-id. */
+  def fileCarriesIds(spark: SparkSession, path: String): Boolean = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path), spark.sessionState.newHadoopConf())
+    val r = ParquetFileReader.open(in)
+    try {
+      import scala.jdk.CollectionConverters._
+      r.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .forall(_.getId != null)
+    } finally r.close()
+  }
+}

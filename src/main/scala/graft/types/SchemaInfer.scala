@@ -53,10 +53,14 @@ object SchemaInfer {
   def normalize(df: DataFrame, target: StructType): DataFrame = {
     val present = df.columns.map(c => c.toLowerCase -> c).toMap
     val cols: Array[Column] = target.fields.map { f =>
+      // `.as(name, metadata)` keeps the target field's metadata on the
+      // aliased column — field-id stamps must survive normalization or
+      // the parquet writer has nothing to populate
       present.get(f.name.toLowerCase) match {
-        case Some(src) => col(src).cast(f.dataType).as(f.name)
+        case Some(src) => col(src).cast(f.dataType).as(f.name, f.metadata)
         case None if f.nullable =>
-          org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+          org.apache.spark.sql.functions.lit(null).cast(f.dataType)
+            .as(f.name, f.metadata)
         case None =>
           throw new IllegalArgumentException(
             s"required column '${f.name}' absent from batch " +

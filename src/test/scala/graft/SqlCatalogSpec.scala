@@ -44,10 +44,10 @@ class SqlCatalogSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(value2,25)"),
       s"expected value2 pushdown in:\n$plan")
 
-    // destructive schema DDL must not plan (rewrite semantics live in
-    // the graft API; only additive nullable ADD COLUMN is SQL-safe)
+    // retype still refuses (rename/drop evolve via field ids; changing
+    // a column's TYPE would need a data rewrite)
     intercept[Exception] {
-      spark.sql("ALTER TABLE gsqltest.ns.t DROP COLUMN value1")
+      spark.sql("ALTER TABLE gsqltest.ns.t ALTER COLUMN value1 TYPE DOUBLE")
     }
 
     // outstanding MOR vectors: reads by name stay available — the scan
@@ -598,10 +598,18 @@ class SqlCatalogSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT id FROM gsqlalter.ns.a WHERE note = 'tagged'").head().getInt(0) == 5)
 
-    // everything non-additive still refuses
-    intercept[Exception] { spark.sql("ALTER TABLE gsqlalter.ns.a DROP COLUMN note") }
+    // RENAME via field-id indirection: the SQL-inserted file is
+    // id-stamped like native writes, so the table is rename-eligible;
+    // the renamed column keeps serving values written under 'note'
+    spark.sql("ALTER TABLE gsqlalter.ns.a RENAME COLUMN note TO memo")
+    assert(spark.sql(
+      "SELECT id FROM gsqlalter.ns.a WHERE memo = 'tagged'").head().getInt(0) == 5)
+    // DROP removes the column from scans; files stay untouched
+    spark.sql("ALTER TABLE gsqlalter.ns.a DROP COLUMN memo")
+    assert(!spark.sql("SELECT * FROM gsqlalter.ns.a").columns.contains("memo"))
+    // retype and NOT NULL additions still refuse
     intercept[Exception] {
-      spark.sql("ALTER TABLE gsqlalter.ns.a RENAME COLUMN note TO memo")
+      spark.sql("ALTER TABLE gsqlalter.ns.a ALTER COLUMN value1 TYPE DOUBLE")
     }
     intercept[Exception] {
       spark.sql("ALTER TABLE gsqlalter.ns.a ADD COLUMN bad INT NOT NULL")
@@ -727,9 +735,9 @@ class SqlCatalogSpec extends SparkSpec {
       .get("write.target-file-size-bytes").contains("134217728"))
     // no snapshot commits happened — properties are pure metadata
     assert(cat.snapshots("ns", "pr").isEmpty)
-    // destructive column ALTERs still refuse
+    // retype ALTERs still refuse
     intercept[Exception] {
-      spark.sql("ALTER TABLE gsqlprops.ns.pr RENAME COLUMN id TO id2")
+      spark.sql("ALTER TABLE gsqlprops.ns.pr ALTER COLUMN id TYPE BIGINT")
     }
   }
 

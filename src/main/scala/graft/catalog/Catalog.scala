@@ -130,6 +130,36 @@ trait Catalog {
     windowSnapshots(ns, t, asOf).filterNot(Snaplog.isWapStaged)
       .flatMap(_.files).filterNot(_.deleteFile.contains(true))
 
+  /** Data files added on MAIN lineage in `(fromSnapshot, toSnapshot]` —
+    * the incremental (CDC) delta contract shared by
+    * `LakehouseTable.scanIncremental` and the streaming table source.
+    * Exact for append/add_files chains (checkpoint folds are content
+    * no-ops and cross silently; WAP-staged branch commits are not main
+    * history); a reset commit or merge-on-read delete in the range
+    * fails loudly because its delta is not expressible as file adds. */
+  final def addedDataFilesBetween(ns: String, t: String,
+      fromSnapshot: Long, toSnapshot: Long): Seq[DataFileEntry] = {
+    val snaps = snapshots(ns, t).filterNot(Snaplog.isWapStaged)
+    val ids = snaps.map(_.snapshotId)
+    require(ids.contains(fromSnapshot),
+      s"unknown snapshot $fromSnapshot of $ns.$t")
+    require(ids.contains(toSnapshot),
+      s"unknown snapshot $toSnapshot of $ns.$t")
+    require(toSnapshot >= fromSnapshot,
+      s"toSnapshot $toSnapshot precedes fromSnapshot $fromSnapshot")
+    val between = snaps.filter(s =>
+      s.snapshotId > fromSnapshot && s.snapshotId <= toSnapshot)
+    require(between.forall(s => !Snaplog.ResetOps(s.operation) ||
+        s.operation == Snaplog.OpCheckpoint),
+      s"incremental read across a reset commit " +
+        s"(${(Snaplog.ResetOps - Snaplog.OpCheckpoint).mkString("/")}) is undefined")
+    require(between.forall(_.operation != Snaplog.OpMorDelete),
+      "incremental read across a merge-on-read delete is undefined " +
+        "(the delta is not expressible as file-adds)")
+    val before = liveFiles(ns, t, Some(fromSnapshot)).map(_.path).toSet
+    liveFiles(ns, t, Some(toSnapshot)).filterNot(f => before(f.path))
+  }
+
   /** Data files and delete vectors from ONE replay of the log window —
     * table loading needs both, and replaying twice doubles the log I/O
     * on the per-query planning hot path. */

@@ -644,15 +644,39 @@ private[sql] final class GraftRowLevelOperation(
           // statement (its rows are absent from the rewrite's scan) —
           // reading current here would silently overwrite it
           val expected = loadedSnapshotId
+          // rewritten files must carry field ids like every managed
+          // write (ids are schema metadata only — row layout unchanged):
+          // on an evolved read-by-id table an id-less rewrite would make
+          // the table unreadable, and even pre-evolution it would block
+          // a later rename until compaction
+          import graft.types.FieldIds
+          spark.conf.set(FieldIds.WriteConf, "true")
+          val reg = backing.loadTable(ns, tbl).properties
+            .get(FieldIds.RegistryProp).map(FieldIds.decode)
+          def stamp(s: StructType): StructType =
+            reg.map(FieldIds.attach(s, _)).getOrElse(s)
+          val winfo: LogicalWriteInfo =
+            if (reg.isEmpty) info
+            else new LogicalWriteInfo {
+              override def queryId(): String = info.queryId()
+              override def schema(): StructType = stamp(info.schema())
+              override def options(): CaseInsensitiveStringMap = info.options()
+              override def rowIdSchema(): java.util.Optional[StructType] =
+                info.rowIdSchema()
+              override def metadataSchema(): java.util.Optional[StructType] =
+                info.metadataSchema()
+            }
           val delegate = ParquetTable(tableName, spark, info.options(),
-            Seq(stage.toString), Some(tableSchema), classOf[ParquetFileFormat])
-            .newWriteBuilder(info).build().toBatch
+            Seq(stage.toString), Some(stamp(tableSchema)), classOf[ParquetFileFormat])
+            .newWriteBuilder(winfo).build().toBatch
           val codec = backing.loadTable(ns, tbl).properties
             .getOrElse("write.compression", "zstd")
           new GraftBatchWrite(delegate, backing, ns, tbl, stage, expected, spark,
             Snaplog.OpOverwrite,
             Map("engine" -> s"sql-${cmd.toString.toLowerCase(java.util.Locale.ROOT)}"),
-            stripRowOperationColumn = true, dataSchema = tableSchema,
+            // stamped: relayout re-reads the stage with this schema and
+            // re-writes — the final files must carry ids too
+            stripRowOperationColumn = true, dataSchema = stamp(tableSchema),
             carryFiles = () => carriedFiles(),
             partitionCols = partitionCols, codec = codec,
             cleanup = () => releaseTemp())
@@ -1305,9 +1329,11 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
       val it = properties.entrySet().iterator()
       val b = Map.newBuilder[String, String]
       while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
-      // "provider"/"owner" are Spark-reserved bookkeeping, not table
-      // properties a log reader should see
-      b.result().view.filterKeys(k => k != "provider" && k != "owner").toMap
+      // "provider"/"owner" are Spark-reserved bookkeeping; graft.* is
+      // ENGINE bookkeeping (field-id registry) a user-supplied value
+      // would corrupt — a fresh table always derives its own
+      b.result().view.filterKeys(k => k != "provider" && k != "owner" &&
+        !k.startsWith("graft.")).toMap
     }
     backing.createTable(ns, ident.name, schema, partCols, props,
       ifNotExists = false)
@@ -1417,10 +1443,19 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
           if dc.fieldNames().length == 1 => drops += dc
       case sp: TableChange.SetProperty =>
         // Spark-reserved bookkeeping keys are not table properties a
-        // log reader should see (mirrors createTable's filter)
+        // log reader should see (mirrors createTable's filter); the
+        // engine's own graft.* bookkeeping (field-id registry) refuses
+        // loudly — overwriting it would remap ids and corrupt reads
+        if (sp.property.startsWith("graft."))
+          throw new UnsupportedOperationException(
+            s"'${sp.property}' is engine bookkeeping — not settable from SQL")
         if (sp.property != "provider" && sp.property != "owner")
           setProps += sp.property -> sp.value
-      case rp: TableChange.RemoveProperty => unsetProps += rp.property
+      case rp: TableChange.RemoveProperty =>
+        if (rp.property.startsWith("graft."))
+          throw new UnsupportedOperationException(
+            s"'${rp.property}' is engine bookkeeping — not unsettable from SQL")
+        unsetProps += rp.property
       case other => throw new UnsupportedOperationException(
         s"$catName supports ALTER TABLE ADD COLUMN (top-level, nullable, " +
           s"appended), RENAME/DROP COLUMN (top-level, field-id tables), " +
@@ -1428,17 +1463,46 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     }
     val (ns, t) = (ident.namespace()(0), ident.name)
     val addList = adds.result()
+    val renameList = renames.result()
+    // honor IF EXISTS: a missing drop target with the flag is a no-op
+    val curFields = backing.loadTable(ns, t).schema.fieldNames
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val dropList = drops.result().filterNot(dc => dc.ifExists() &&
+      !curFields(dc.fieldNames()(0).toLowerCase(java.util.Locale.ROOT)))
+    // STATIC validation of every change BEFORE applying any: a mixed
+    // statement must fail whole, not commit a partial evolution and
+    // then throw (the per-op gates still run inside each op)
+    locally {
+      val meta0 = backing.loadTable(ns, t)
+      val partLower = meta0.partitionColumns
+        .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+      var names = meta0.schema.fieldNames.map(lower).toSet ++
+        addList.map(a => lower(a.fieldNames()(0)))
+      renameList.foreach { rn =>
+        val from = lower(rn.fieldNames()(0)); val to = lower(rn.newName())
+        require(names(from), s"no column '${rn.fieldNames()(0)}' in $ns.$t")
+        require(!partLower(from), s"cannot rename partition column '${rn.fieldNames()(0)}'")
+        require(!names(to), s"column '${rn.newName()}' already exists")
+        names = names - from + to
+      }
+      dropList.foreach { dc =>
+        val c = lower(dc.fieldNames()(0))
+        require(names(c), s"no column '${dc.fieldNames()(0)}' in $ns.$t")
+        require(!partLower(c), s"cannot drop partition column '${dc.fieldNames()(0)}'")
+        names = names - c
+      }
+      require(names.nonEmpty, "cannot drop every column")
+    }
     val tbl = LakehouseTable.load(backing, SparkSession.active, ns, t)
     if (addList.nonEmpty) {
-      // ONE schema commit for the whole statement: addColumns validates
-      // every addition first, so a mixed statement fails whole instead
-      // of committing a partial evolution and then throwing
+      // ONE schema commit for the whole statement's additions
       tbl.addColumns(addList.map(a => a.fieldNames()(0) -> a.dataType()))
     }
     // RENAME/DROP are metadata-only via field-id indirection — the
-    // table-side ops run every eligibility gate before mutating
-    renames.result().foreach(rn => tbl.renameColumn(rn.fieldNames()(0), rn.newName()))
-    drops.result().foreach(dc => tbl.dropColumn(dc.fieldNames()(0)))
+    // table-side ops re-run every eligibility gate before mutating
+    renameList.foreach(rn => tbl.renameColumn(rn.fieldNames()(0), rn.newName()))
+    dropList.foreach(dc => tbl.dropColumn(dc.fieldNames()(0)))
     val (set, unset) = (setProps.result(), unsetProps.result())
     if (set.nonEmpty || unset.nonEmpty)
       backing.updateProperties(ns, t, set, unset)

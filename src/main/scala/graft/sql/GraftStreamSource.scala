@@ -104,7 +104,16 @@ private[sql] final class GraftMicroBatchStream(
   private def mainSnaps() =
     backing.snapshots(ns, tbl).filterNot(Snaplog.isWapStaged)
 
-  override def initialOffset(): Offset = GraftStreamOffset(startSnapshotId)
+  /** Validated at first start (restarts resume from the checkpoint and
+    * never call this): a typo'd start id must fail loudly, not stream
+    * zero batches forever. */
+  override def initialOffset(): Offset = {
+    if (startSnapshotId != 0L)
+      require(mainSnaps().exists(_.snapshotId == startSnapshotId),
+        s"startSnapshotId $startSnapshotId is not a main-lineage snapshot " +
+          s"of $ns.$tbl")
+    GraftStreamOffset(startSnapshotId)
+  }
   override def deserializeOffset(json: String): Offset =
     GraftStreamOffset(json.trim.toLong)
   override def commit(end: Offset): Unit = ()
@@ -186,27 +195,21 @@ private[sql] final class GraftMicroBatchStream(
     else parquetScanOver(paths).toBatch.planInputPartitions()
   }
 
-  /** Files added in (s, e] — the scanIncremental contract: exact for
-    * append-only lineage, loud failure otherwise. */
+  /** Files added in (s, e] — `Catalog.addedDataFilesBetween` (ONE shared
+    * implementation with `scanIncremental`), with the commonest
+    * streaming failure (an expired checkpointed offset) surfaced first
+    * and every guard message wrapped with restart guidance. */
   private def deltaPaths(s: Long, e: Long): Seq[String] = {
-    val snaps = mainSnaps()
-    val ids = snaps.map(_.snapshotId)
-    require(ids.contains(s),
+    require(mainSnaps().exists(_.snapshotId == s),
       s"streaming read of $ns.$tbl: checkpointed snapshot $s is no longer " +
         "in the log (expired?) — restart from a fresh checkpoint")
-    require(ids.contains(e), s"unknown snapshot $e of $ns.$tbl")
-    val between = snaps.filter(sn => sn.snapshotId > s && sn.snapshotId <= e)
-    require(between.forall(sn => !Snaplog.ResetOps(sn.operation) ||
-        sn.operation == Snaplog.OpCheckpoint),
-      s"streaming read of $ns.$tbl crossed a reset commit " +
-        s"(${(Snaplog.ResetOps - Snaplog.OpCheckpoint).mkString("/")}) — " +
-        "the delta is not expressible as file adds; restart from a fresh " +
-        "checkpoint to re-read current content")
-    require(between.forall(_.operation != Snaplog.OpMorDelete),
-      s"streaming read of $ns.$tbl crossed a merge-on-read delete — " +
-        "restart from a fresh checkpoint after compaction")
-    val before = backing.liveFiles(ns, tbl, Some(s)).map(_.path).toSet
-    backing.liveFiles(ns, tbl, Some(e)).map(_.path).filterNot(before)
+    try backing.addedDataFilesBetween(ns, tbl, s, e).map(_.path)
+    catch {
+      case ex: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"streaming read of $ns.$tbl: ${ex.getMessage} — restart from a " +
+            "fresh checkpoint to re-read current content", ex)
+    }
   }
 
   /** Spark's own vectorized parquet DSv2 over an explicit file list —

@@ -252,23 +252,11 @@ final class LakehouseTable(
     val snaps = catalog.snapshots(namespace, name)
     require(snaps.exists(_.snapshotId == fromSnapshot),
       s"unknown snapshot $fromSnapshot")
-    val upTo = toSnapshot.getOrElse(snaps.last.snapshotId)
-    val range = snaps.map(_.snapshotId)
-    val (i, j) = (range.indexOf(fromSnapshot), range.indexOf(upTo))
-    require(j >= i, s"toSnapshot $upTo precedes fromSnapshot $fromSnapshot")
-    val between = snaps.slice(i + 1, j + 1)
-    // a checkpoint re-lists the live set without changing it — the
-    // path-set difference below is unaffected, so it is safe to cross
-    require(between.forall(s => !Snaplog.ResetOps(s.operation) ||
-        s.operation == Snaplog.OpCheckpoint),
-      s"incremental read across a reset commit (${(Snaplog.ResetOps - Snaplog.OpCheckpoint).mkString("/")}) is undefined")
-    require(between.forall(_.operation != Snaplog.OpMorDelete),
-      "incremental read across a merge-on-read delete is undefined " +
-        "(the delta is not expressible as file-adds)")
-    val before = catalog.liveFiles(namespace, name, Some(fromSnapshot))
-      .map(_.path).toSet
-    val added = catalog.liveFiles(namespace, name, Some(upTo))
-      .filterNot(f => before(f.path))
+    val upTo = toSnapshot.getOrElse(
+      snaps.filterNot(Snaplog.isWapStaged).last.snapshotId)
+    // guards + path-set difference live in ONE place shared with the
+    // streaming table source (Catalog.addedDataFilesBetween)
+    val added = catalog.addedDataFilesBetween(namespace, name, fromSnapshot, upTo)
     if (added.isEmpty)
       spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
     else
@@ -658,12 +646,23 @@ final class LakehouseTable(
       s"illegal column name '$to'")
     val reg = fieldRegistry(m, "rename")
     requireIdBearingFiles("rename")
-    val reg2 = reg - f.name + (to -> reg(f.name))
+    val id = reg.getOrElse(f.name, throw new UnsupportedOperationException(
+      s"cannot rename '${f.name}' of $namespace.$name: the column has no " +
+        "field id (added alongside a registry-ineligible column) — " +
+        "compact() after fixing the registry, or recreate the table"))
+    val reg2 = reg - f.name + (to -> id)
     val renamed = StructType(cur.fields.map(x =>
       if (x.name == f.name) x.copy(name = to) else x))
-    catalog.updateProperties(namespace, name,
-      Map(FieldIds.RegistryProp -> FieldIds.encode(reg2)), Seq.empty)
+    // SCHEMA first, registry second: the id-bearing schema alone is
+    // enough for a concurrent writer to stamp correct ids (attach is a
+    // no-op for registry names absent from the schema), so a writer or
+    // crash between the two metadata writes never strands a file that
+    // read-by-id cannot resolve; fieldRegistry treats an id-bearing
+    // schema as authoritative, healing a stale registry on next use
     catalog.updateSchema(namespace, name, FieldIds.attach(renamed, reg2))
+    val updated = catalog.updateProperties(namespace, name,
+      Map(FieldIds.RegistryProp -> FieldIds.encode(reg2)), Seq.empty)
+    updated
   }
 
   /** Column DROP — metadata-only removal from the schema; data files
@@ -687,20 +686,34 @@ final class LakehouseTable(
     val last = m.properties.get(FieldIds.LastIdProp).map(_.toInt)
       .getOrElse(0).max(reg.values.max)
     val reg2 = reg - f.name
+    // schema first, registry second — see renameColumn's ordering note
+    catalog.updateSchema(namespace, name,
+      FieldIds.attach(StructType(cur.fields.filterNot(_.name == f.name)), reg2))
     catalog.updateProperties(namespace, name,
       Map(FieldIds.RegistryProp -> FieldIds.encode(reg2),
         FieldIds.LastIdProp -> last.toString), Seq.empty)
-    catalog.updateSchema(namespace, name,
-      FieldIds.attach(StructType(cur.fields.filterNot(_.name == f.name)), reg2))
   }
 
-  private def fieldRegistry(m: TableMetadata, op: String): Map[String, Int] =
-    m.properties.get(graft.types.FieldIds.RegistryProp)
-      .map(graft.types.FieldIds.decode).getOrElse(
+  /** The name→id map evolutions resolve through. An id-bearing stored
+    * schema is AUTHORITATIVE (its stamps are what readers match by and
+    * what attach preserves), so a registry property stranded stale by a
+    * crash between the two metadata writes heals here instead of
+    * corrupting the next evolution. */
+  private def fieldRegistry(m: TableMetadata, op: String): Map[String, Int] = {
+    import graft.types.FieldIds
+    val s = m.schema
+    if (FieldIds.hasIds(s))
+      s.fields.flatMap(f =>
+        if (f.metadata.contains(FieldIds.MetaKey))
+          Some(f.name -> f.metadata.getLong(FieldIds.MetaKey).toInt)
+        else None).toMap
+    else m.properties.get(FieldIds.RegistryProp)
+      .map(FieldIds.decode).getOrElse(
         throw new UnsupportedOperationException(
           s"cannot $op a column of $namespace.$name: no field-id registry " +
             "(table predates field ids or has column names the registry " +
             "cannot encode)"))
+  }
 
   /** Every file in every log snapshot must be managed AND carry field
     * ids in its footer — the proof that id-matching reads (including

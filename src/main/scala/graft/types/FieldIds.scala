@@ -47,10 +47,16 @@ object FieldIds {
   def encode(reg: Map[String, Int]): String =
     reg.toSeq.sortBy(_._2).map { case (n, i) => s"$n:$i" }.mkString(",")
 
+  /** Tolerant decode: malformed entries are DROPPED, not thrown — a
+    * hand-corrupted registry then degrades to "those columns never get
+    * ids" (the rename gate later refuses with footer evidence) instead
+    * of crashing every write of the table. */
   def decode(s: String): Map[String, Int] =
-    s.split(',').filter(_.nonEmpty).map { kv =>
+    s.split(',').filter(_.nonEmpty).flatMap { kv =>
       val i = kv.lastIndexOf(':')
-      kv.substring(0, i) -> kv.substring(i + 1).toInt
+      if (i <= 0) None
+      else kv.substring(i + 1).toIntOption.filter(_ > 0)
+        .map(id => kv.substring(0, i) -> id)
     }.toMap
 
   /** Schema with `parquet.field.id` metadata stamped from the registry

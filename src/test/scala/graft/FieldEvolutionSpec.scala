@@ -135,6 +135,53 @@ class FieldEvolutionSpec extends SparkSpec {
     spark.sql("ALTER TABLE gfid.ns.s DROP COLUMN value1")
     assert(spark.sql("SELECT * FROM gfid.ns.s").columns.toSeq ==
       Seq("id", "group", "score"))
+    // IF EXISTS on a missing column is a silent no-op, not an error
+    spark.sql("ALTER TABLE gfid.ns.s DROP COLUMN IF EXISTS never_there")
+    assert(spark.sql("SELECT * FROM gfid.ns.s").columns.toSeq ==
+      Seq("id", "group", "score"))
+  }
+
+  test("COW UPDATE rewrites files id-stamped before any evolution") {
+    val wh = Files.createTempDirectory("graft-fidcow").toString
+    val cat = new Snaplog(wh)
+    LakehouseTable.create(cat, spark, "ns", "c", fixture().schema)
+      .append(fixture())
+    spark.conf.set("spark.sql.catalog.gfidc", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gfidc.warehouse", wh)
+    // the rewrite happens while the table is still name-matched — its
+    // output files must carry ids anyway, or this rename would refuse
+    spark.sql("UPDATE gfidc.ns.c SET value2 = value2 + 1 WHERE id <= 2")
+    assert(cat.liveFiles("ns", "c").map(_.path)
+      .forall(FieldIds.fileCarriesIds(spark, _)),
+      "COW-rewritten files must carry field ids")
+    LakehouseTable.load(cat, spark, "ns", "c").renameColumn("value2", "v2")
+    assert(spark.sql("SELECT SUM(v2) FROM gfidc.ns.c").head().getLong(0) == 102)
+  }
+
+  test("a mixed ALTER with one illegal change applies nothing") {
+    val wh = Files.createTempDirectory("graft-fidmix").toString
+    val cat = new Snaplog(wh)
+    LakehouseTable.create(cat, spark, "ns", "m", fixture().schema, Seq("group"))
+      .append(fixture())
+    spark.conf.set("spark.sql.catalog.gfidm", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gfidm.warehouse", wh)
+    // dropping a data column AND a partition column: the statement must
+    // fail WHOLE — value1 stays
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gfidm.ns.m DROP COLUMNS (value1, group)")
+    }
+    assert(cat.loadTable("ns", "m").schema.fieldNames.toSeq ==
+      Seq("id", "group", "value1", "value2"))
+    // engine bookkeeping properties refuse from SQL (corrupting the
+    // registry would remap ids under every reader)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gfidm.ns.m SET TBLPROPERTIES ('graft.field-ids' = 'x:9')")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gfidm.ns.m UNSET TBLPROPERTIES ('graft.last-field-id')")
+    }
+    assert(cat.loadTable("ns", "m").properties(FieldIds.RegistryProp) ==
+      "id:1,group:2,value1:3,value2:4")
   }
 
   test("rename works on the JDBC catalog backend") {

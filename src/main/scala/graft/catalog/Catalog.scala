@@ -324,6 +324,14 @@ trait Catalog {
     * contract (documented there). */
   protected def withTableMutex[A](ns: String, t: String)(body: => A): A = body
 
+  /** Schema/registry evolutions are READ-MODIFY-WRITE over two metadata
+    * keys — run them under the same per-table mutex maintenance uses
+    * (the commit lock on the file backend), so two concurrent
+    * evolutions cannot interleave and alias a field id to two columns.
+    * The body must not call `commit` (the mutex is not reentrant). */
+  final def withEvolutionLock[A](ns: String, t: String)(body: => A): A =
+    withTableMutex(ns, t)(body)
+
   /** Replace the persisted snapshot log with exactly `kept`
     * (implementation storage; called by [[expireSnapshots]] after
     * validation). `kept` is always a contiguous SUFFIX of the log at

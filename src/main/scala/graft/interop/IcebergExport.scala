@@ -167,11 +167,22 @@ object IcebergExport {
         "vectors — a metadata-only export would resurrect deleted rows " +
         "for external readers; compact() first")
     val schema = table.schema
-    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
-      ("id" -> (i + 1)) ~ ("name" -> f.name) ~
+    // Exported schema ids MUST match the ids stamped into the parquet
+    // files (graft's field-id registry): an Iceberg reader resolves
+    // columns BY ID against the files, so an ordinal re-numbering after
+    // a drop/rename would silently serve the wrong physical column. For
+    // never-evolved tables the registry IS 1..n in schema order, so
+    // this degenerates to the ordinal assignment.
+    val registry = table.meta.properties
+      .get(graft.types.FieldIds.RegistryProp).map(graft.types.FieldIds.decode)
+      .getOrElse(Map.empty[String, Int])
+    val fieldId = schema.fieldNames.zipWithIndex.map { case (n, i) =>
+      n -> registry.getOrElse(n, i + 1)
+    }.toMap
+    val fields = schema.fields.map { f =>
+      ("id" -> fieldId(f.name)) ~ ("name" -> f.name) ~
         ("required" -> !f.nullable) ~ ("type" -> icebergType(f.dataType))
     }
-    val fieldId = schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
     val specFields = table.partitionColumns.zipWithIndex.map { case (c, i) =>
       ("name" -> c) ~ ("transform" -> "identity") ~
         ("source-id" -> fieldId(c)) ~ ("field-id" -> (1000 + i))
@@ -284,7 +295,7 @@ object IcebergExport {
         ("last-sequence-number" -> snaps.lastOption.map(_._1.snapshotId).getOrElse(0L)) ~
         ("last-updated-ms" -> snaps.lastOption.map(_._1.timestampMs)
           .getOrElse(m.createdAtMs)) ~
-        ("last-column-id" -> schema.fields.length) ~
+        ("last-column-id" -> fieldId.values.foldLeft(schema.fields.length)(_ max _)) ~
         ("schemas" -> List(
           ("schema-id" -> 0) ~ ("type" -> "struct") ~ ("fields" -> fields.toList))) ~
         ("current-schema-id" -> 0) ~

@@ -89,7 +89,7 @@ private[sql] final class GraftSqlTable(
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = new GraftRowLevelOperation(
         info.command, tableName, tableSchema, partitionCols, files,
-        deleteFiles, backing, ns, tbl, writable, loadedSnapshotId)
+        deleteFiles, backing, ns, tbl, writable, loadedSnapshotId, tableProps)
     }
   }
 
@@ -154,7 +154,9 @@ private[sql] final class GraftSqlTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableName, tableSchema, partitionCols, files,
       deleteFiles, options,
-      streamCtx = if (writable) Some((backing, ns, tbl)) else None)
+      streamCtx = if (writable) Some((backing, ns, tbl)) else None,
+      statsUnsafe = graft.types.FieldIds.namesSet(tableProps,
+        graft.types.FieldIds.StatsUnsafeProp))
   /** `INSERT INTO` appends; `INSERT OVERWRITE` (truncate-then-append in
     * Spark's plan) lands as ONE conditional overwrite commit — the
     * previous file set is replaced atomically, never a visible empty
@@ -399,7 +401,8 @@ private[sql] final class GraftRowLevelOperation(
     ns: String,
     tbl: String,
     writable: Boolean,
-    loadedSnapshotId: Long) extends RowLevelOperation {
+    loadedSnapshotId: Long,
+    tableProps: Map[String, String] = Map.empty) extends RowLevelOperation {
 
   import org.apache.spark.sql.catalyst.expressions.Expression
 
@@ -418,8 +421,18 @@ private[sql] final class GraftRowLevelOperation(
     * plus, under outstanding MOR vectors, every vector-touched file:
     * the COW commit is a RESET that retires vectors, so a touched file
     * must be rewritten (carrying it would resurrect its deleted rows). */
+  /** Lowercase column names whose stats were poisoned by an evolution
+    * rebinding (drop+re-add / rename onto a freed name): group filters
+    * touching them must not prune — old files' name-keyed bounds
+    * describe a different column, and a wrongly-carried file is a
+    * silently-lost UPDATE. */
+  private val statsUnsafe: Set[String] = graft.types.FieldIds.namesSet(
+    tableProps, graft.types.FieldIds.StatsUnsafeProp)
+
   private def affectedFiles(filters: Seq[Expression]): Seq[DataFileEntry] = {
-    val base = files.filter(f => filters.forall(FilePrune.mayMatch(f, _)))
+    val usable = filters.filter(_.references.forall(a =>
+      !statsUnsafe(a.name.toLowerCase(java.util.Locale.ROOT))))
+    val base = files.filter(f => usable.forall(FilePrune.mayMatch(f, _)))
     if (deleteFiles.isEmpty) base
     else {
       val keep = base.map(_.path).toSet
@@ -792,7 +805,8 @@ private[sql] final class GraftScanBuilder(
     files: Seq[DataFileEntry],
     deleteFiles: Seq[DataFileEntry],
     options: CaseInsensitiveStringMap,
-    streamCtx: Option[(Catalog, String, String)] = None)
+    streamCtx: Option[(Catalog, String, String)] = None,
+    statsUnsafe: Set[String] = Set.empty)
     extends ScanBuilder
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -863,13 +877,16 @@ private[sql] final class GraftScanBuilder(
     * integral-typed (statType gate — applies even when the pruned file
     * set is EMPTY, so a float/string MIN under an all-pruning filter
     * declines instead of emitting a mistyped NULL field), with bounds
-    * recorded in every answering file (vacuous when none). */
+    * recorded in every answering file (vacuous when none), and NOT a
+    * name rebound by evolution — old files' stats under a rebound name
+    * describe the previously-bound column's data. */
   private def boundedColIn(e: org.apache.spark.sql.connector.expressions.Expression,
       answering: Seq[DataFileEntry]): Option[String] =
     e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
         val c = nr.fieldNames()(0)
         if (statType(c).isDefined &&
+          !statsUnsafe(c.toLowerCase(java.util.Locale.ROOT)) &&
           answering.forall(_.columnStats.exists(_.contains(c)))) Some(c) else None
       case _ => None
     }
@@ -942,13 +959,22 @@ private[sql] final class GraftScanBuilder(
     case _ => false
   }
 
+  /** Predicates usable for FILE PRUNING: every referenced column's
+    * stats must be trustworthy (partition values always are — partition
+    * columns cannot evolve). Unsafe predicates still row-filter
+    * (residual); they just stop pruning. */
+  private def prunable: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    if (statsUnsafe.isEmpty) exprs
+    else exprs.filter(_.references.forall(a =>
+      !statsUnsafe(a.name.toLowerCase(java.util.Locale.ROOT))))
+
   override def build(): Scan = pushedAgg match {
     case Some(agg) => metadataAggScan(agg)
     case None if deleteFiles.nonEmpty =>
       // Merge-on-read: metadata file pruning still applies, then a V1
       // relation subtracts the delete vectors with a broadcast
       // anti-join (see MorRelation).
-      val kept = files.filter(f => exprs.forall(FilePrune.mayMatch(f, _)))
+      val kept = files.filter(f => prunable.forall(FilePrune.mayMatch(f, _)))
       val requiredSchema = required
       val ts = tableSchema
       val dataPaths = kept.map(_.path)
@@ -964,7 +990,7 @@ private[sql] final class GraftScanBuilder(
           s"GraftMorScan[${dataPaths.size} files, ${delPaths.size} delete vectors]"
       }
     case None =>
-      val kept = files.filter(f => exprs.forall(FilePrune.mayMatch(f, _)))
+      val kept = files.filter(f => prunable.forall(FilePrune.mayMatch(f, _)))
       val pt = ParquetTable(tableName, SparkSession.active, options,
         kept.map(_.path), Some(tableSchema), classOf[ParquetFileFormat])
       val psb = pt.newScanBuilder(options)

@@ -184,6 +184,18 @@ private[sql] final class GraftMicroBatchStream(
     val s = start.asInstanceOf[GraftStreamOffset].id
     val e = end.asInstanceOf[GraftStreamOffset].id
     if (e <= s) return Array.empty
+    // Schema evolution is METADATA-ONLY (no snapshot commit), so the
+    // append-only offset guards cannot see it — but this stream's output
+    // schema was pinned at start, and planning newer files against a
+    // stale schema would silently null-fill a renamed column. Fail
+    // loudly; the restarted stream picks up the evolved schema.
+    locally {
+      val cur = backing.loadTable(ns, tbl).schema
+      require(cur == tableSchema,
+        s"streaming read of $ns.$tbl: the table schema changed while the " +
+          s"stream was running (pinned ${tableSchema.simpleString}, now " +
+          s"${cur.simpleString}) — restart the streaming query")
+    }
     val paths: Seq[String] =
       if (s == 0L) {
         require(backing.liveDeleteFiles(ns, tbl, Some(e)).isEmpty,

@@ -120,10 +120,17 @@ final class LakehouseTable(
     // whose recorded [min,max] for a numeric column cannot intersect
     // the requested [lo,hi]. Files without stats for the column always
     // survive — pruning is an optimization, never a correctness filter,
-    // so callers still apply the row-level predicate.
-    if (rangeFilter.isEmpty) afterPartition
-    else afterPartition.filter { f =>
-      rangeFilter.forall { case (c, (lo, hi)) =>
+    // so callers still apply the row-level predicate. Columns whose
+    // NAME was rebound by evolution (drop+re-add / rename onto a freed
+    // name) never prune: old files' name-keyed stats describe the
+    // previously-bound column.
+    if (rangeFilter.isEmpty) return afterPartition
+    val statsUnsafe = graft.types.FieldIds.namesSet(
+      meta.properties, graft.types.FieldIds.StatsUnsafeProp)
+    afterPartition.filter { f =>
+      rangeFilter.forall {
+        case (c, _) if statsUnsafe(c.toLowerCase(java.util.Locale.ROOT)) => true
+        case (c, (lo, hi)) =>
         f.columnStats.flatMap(_.get(c)) match {
           case Some(b) =>
             val parsed =
@@ -428,6 +435,14 @@ final class LakehouseTable(
     * parquet footers (metadata-only reads). Optional `batchSize` mirrors
     * the reference's 100-files-per-commit batching. */
   def addFiles(paths: Seq[String], batchSize: Int = 0): Seq[Snapshot] = {
+    // an evolved (read-by-id) table cannot take foreign registrations:
+    // id-less files would make every scan throw, and another system's
+    // ids would silently map the wrong physical columns — the same
+    // invariant renameColumn gated at evolution time, kept afterward
+    require(!graft.types.FieldIds.hasIds(schema),
+      s"$namespace.$name has evolved columns (read-by-id): add_files of " +
+        "foreign parquet is not verifiable against its field ids — load " +
+        "the files and append() them instead")
     val entries = paths.map(statFile(_, Map.empty))
     val groups = if (batchSize > 0) entries.grouped(batchSize).toSeq else Seq(entries)
     groups.map(g => catalog.commit(namespace, name, Snaplog.OpAddFiles, g))
@@ -461,7 +476,7 @@ final class LakehouseTable(
           "materialized-mor" -> "true"),
         expected = Some(base))
     }
-    val matched = spark.read.schema(schema).parquet(live.map(_.path): _*)
+    val matched = spark.read.schema(readSchema).parquet(live.map(_.path): _*)
       .filter(condition)
       .groupBy(input_file_name().as("f")).count()
       .collect().map(r => normalizePath(r.getString(0)) -> r.getLong(1)).toMap
@@ -470,7 +485,7 @@ final class LakehouseTable(
     if (touched.isEmpty)
       return catalog.commit(namespace, name, Snaplog.OpDelete, live,
         Map("deleted-rows" -> "0", "rewritten-files" -> "0"))
-    val survivors = spark.read.schema(schema).parquet(touched.map(_.path): _*)
+    val survivors = spark.read.schema(readSchema).parquet(touched.map(_.path): _*)
       .filter(!condition)
     writeCommit(Seq(survivors), Snaplog.OpDelete,
       Map("deleted-rows" -> deletedRows.toString,
@@ -500,7 +515,7 @@ final class LakehouseTable(
     // positions come from the RAW file scan (the metadata column only
     // exists on the source relation); already-deleted positions are
     // subtracted so re-deleting records nothing twice
-    val candidate = spark.read.schema(schema).parquet(live.map(_.path): _*)
+    val candidate = spark.read.schema(readSchema).parquet(live.map(_.path): _*)
       .filter(condition)
       .select(col("_metadata.file_path").as("file_path"),
         col("_metadata.row_index").as("row_index"))
@@ -578,7 +593,8 @@ final class LakehouseTable(
     * above the high-water mark, so a name that was previously DROPPED
     * re-adds under a FRESH id — old files hold no field with it, and
     * the old data can never resurrect. */
-  def addColumns(cols: Seq[(String, DataType)]): TableMetadata = {
+  def addColumns(cols: Seq[(String, DataType)]): TableMetadata =
+      catalog.withEvolutionLock(namespace, name) {
     import graft.types.FieldIds
     require(cols.nonEmpty, "addColumns of zero columns")
     val m = meta
@@ -591,6 +607,16 @@ final class LakehouseTable(
     }
     val added = cols.map { case (n, dt) => StructField(n, dt, nullable = true) }
     val base = StructType(cur.fields ++ added)
+    // a new column taking a FREED name is a rebinding: old files' stats
+    // keyed by that name describe the previously-bound column, so every
+    // stats consumer must stop trusting them — forever (history entries
+    // cannot be rewritten)
+    val rebound = cols.map(_._1.toLowerCase(java.util.Locale.ROOT))
+      .filter(FieldIds.namesSet(m.properties, FieldIds.FreedNamesProp))
+    val reboundProps: Map[String, String] =
+      if (rebound.isEmpty) Map.empty
+      else Map(FieldIds.StatsUnsafeProp ->
+        FieldIds.addNames(m.properties, FieldIds.StatsUnsafeProp, rebound))
     m.properties.get(FieldIds.RegistryProp).map(FieldIds.decode) match {
       case Some(reg) if cols.forall(c =>
           !c._1.contains(",") && !c._1.contains(":")) =>
@@ -601,7 +627,8 @@ final class LakehouseTable(
         }
         catalog.updateProperties(namespace, name,
           Map(FieldIds.RegistryProp -> FieldIds.encode(reg2),
-            FieldIds.LastIdProp -> (last + cols.size).toString), Seq.empty)
+            FieldIds.LastIdProp -> (last + cols.size).toString) ++ reboundProps,
+          Seq.empty)
         // the stored schema carries ids only after a rename/drop flipped
         // the table to read-by-id; before that it stays name-matched
         catalog.updateSchema(namespace, name,
@@ -609,6 +636,8 @@ final class LakehouseTable(
       case _ =>
         // exotic names break the registry encoding: keep additive
         // evolution, forfeit renameability (refused later with guidance)
+        if (reboundProps.nonEmpty)
+          catalog.updateProperties(namespace, name, reboundProps, Seq.empty)
         catalog.updateSchema(namespace, name, base)
     }
   }
@@ -630,7 +659,8 @@ final class LakehouseTable(
     * refuse — their name is baked into per-file partition tuples and
     * layout directories, so renaming them is a spec rewrite, not a
     * schema edit. */
-  def renameColumn(from: String, to: String): TableMetadata = {
+  def renameColumn(from: String, to: String): TableMetadata =
+      catalog.withEvolutionLock(namespace, name) {
     import graft.types.FieldIds
     val m = meta
     val cur = m.schema
@@ -660,9 +690,20 @@ final class LakehouseTable(
     // read-by-id cannot resolve; fieldRegistry treats an id-bearing
     // schema as authoritative, healing a stale registry on next use
     catalog.updateSchema(namespace, name, FieldIds.attach(renamed, reg2))
-    val updated = catalog.updateProperties(namespace, name,
-      Map(FieldIds.RegistryProp -> FieldIds.encode(reg2)), Seq.empty)
-    updated
+    val lowTo = to.toLowerCase(java.util.Locale.ROOT)
+    val reboundProps: Map[String, String] =
+      if (!FieldIds.namesSet(m.properties, FieldIds.FreedNamesProp)(lowTo))
+        Map.empty
+      else Map(FieldIds.StatsUnsafeProp ->
+        FieldIds.addNames(m.properties, FieldIds.StatsUnsafeProp, Seq(lowTo)))
+    catalog.updateProperties(namespace, name,
+      Map(FieldIds.RegistryProp -> FieldIds.encode(reg2),
+        // 'from' is now a freed name: a later column reusing it would
+        // inherit poisoned name-keyed stats
+        FieldIds.FreedNamesProp ->
+          FieldIds.addNames(m.properties, FieldIds.FreedNamesProp, Seq(f.name)))
+        ++ reboundProps,
+      Seq.empty)
   }
 
   /** Column DROP — metadata-only removal from the schema; data files
@@ -672,7 +713,8 @@ final class LakehouseTable(
     * and old values stay unreachable instead of resurrecting — the
     * field-id-reuse hazard Iceberg's evolution rules exist for. Same
     * eligibility gates as [[renameColumn]]. */
-  def dropColumn(colName: String): TableMetadata = {
+  def dropColumn(colName: String): TableMetadata =
+      catalog.withEvolutionLock(namespace, name) {
     import graft.types.FieldIds
     val m = meta
     val cur = m.schema
@@ -691,7 +733,12 @@ final class LakehouseTable(
       FieldIds.attach(StructType(cur.fields.filterNot(_.name == f.name)), reg2))
     catalog.updateProperties(namespace, name,
       Map(FieldIds.RegistryProp -> FieldIds.encode(reg2),
-        FieldIds.LastIdProp -> last.toString), Seq.empty)
+        FieldIds.LastIdProp -> last.toString,
+        // the dropped name is freed: re-adding it must not inherit old
+        // files' name-keyed stats
+        FieldIds.FreedNamesProp ->
+          FieldIds.addNames(m.properties, FieldIds.FreedNamesProp, Seq(f.name))),
+      Seq.empty)
   }
 
   /** The name→id map evolutions resolve through. An id-bearing stored
@@ -718,7 +765,9 @@ final class LakehouseTable(
   /** Every file in every log snapshot must be managed AND carry field
     * ids in its footer — the proof that id-matching reads (including
     * time travel) resolve every column correctly. Metadata walk + one
-    * footer read per distinct file, no data pages. */
+    * footer read per distinct file (no data pages), probed in PARALLEL
+    * so a large retained history costs one round-trip latency, not one
+    * per file. */
   private def requireIdBearingFiles(op: String): Unit = {
     val dd = catalog.dataDir(namespace, name).toString
     val prefix = if (dd.endsWith("/")) dd else dd + "/"
@@ -731,7 +780,13 @@ final class LakehouseTable(
         "(add_files/import) and their field ids are absent or numbered " +
         "by another system — compact() and expire the foreign history " +
         "first")
-    val idless = paths.filterNot(graft.types.FieldIds.fileCarriesIds(spark, _))
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.DurationInt
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val idless = Await.result(
+      Future.traverse(paths)(p =>
+        Future((p, graft.types.FieldIds.fileCarriesIds(spark, p)))),
+      30.minutes).filterNot(_._2).map(_._1)
     require(idless.isEmpty,
       s"cannot $op a column of $namespace.$name: ${idless.size} file(s) " +
         "carry no parquet field ids (written before id stamping) — " +

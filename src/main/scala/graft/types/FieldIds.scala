@@ -30,6 +30,24 @@ object FieldIds {
   /** Table property: high-water id mark — ids of dropped columns are
     * retired forever, never reassigned. */
   val LastIdProp = "graft.last-field-id"
+  /** Table property: lowercase names RELEASED by a rename-from or drop.
+    * A later column taking a freed name is a REBINDING — old files'
+    * name-keyed column stats then describe a different column. */
+  val FreedNamesProp = "graft.freed-names"
+  /** Table property: lowercase CURRENT names whose binding reuses a
+    * freed name. Their log-recorded [min,max] stats are untrustworthy
+    * forever (historical entries cannot be rewritten), so every stats
+    * consumer — file pruning, metadata aggregates, COW group filtering —
+    * must treat predicates on them as never-prunable. */
+  val StatsUnsafeProp = "graft.stats-unsafe"
+
+  def namesSet(props: Map[String, String], key: String): Set[String] =
+    props.get(key).toSeq.flatMap(_.split(',')).filter(_.nonEmpty).toSet
+
+  def addNames(props: Map[String, String], key: String,
+      add: Seq[String]): String =
+    (namesSet(props, key) ++ add.map(_.toLowerCase(java.util.Locale.ROOT)))
+      .toSeq.sorted.mkString(",")
 
   val WriteConf = "spark.sql.parquet.fieldId.write.enabled"
   val ReadConf = "spark.sql.parquet.fieldId.read.enabled"

@@ -185,9 +185,27 @@ object IcebergImport {
     }
 
     // -- one metadata-only registration commit -------------------------------
+    // Carry the SOURCE's field ids as this table's registry: the
+    // imported files are stamped with those ids, so new managed writes
+    // (and a later export) must use the same numbering — a fresh 1..n
+    // assignment would diverge from the files whenever the source had
+    // evolved (dropped/reordered ids). The high-water mark comes from
+    // the source's last-column-id so later ADD COLUMNs never collide
+    // with ids the source already retired.
+    val srcRegistry: Map[String, Int] = fieldsJson.map(f =>
+      (f \ "name").extract[String] -> (f \ "id").extract[Int]).toMap
+    val registryProps =
+      if (srcRegistry.keys.exists(n => n.contains(",") || n.contains(":")) ||
+          srcRegistry.values.exists(_ <= 0)) Map.empty[String, String]
+      else Map(
+        graft.types.FieldIds.RegistryProp ->
+          graft.types.FieldIds.encode(srcRegistry),
+        graft.types.FieldIds.LastIdProp ->
+          ((meta \ "last-column-id").extractOpt[Int]
+            .getOrElse(0).max(srcRegistry.values.max)).toString)
     catalog.createTable(ns, name, schema, partCols,
       properties = Map("iceberg.imported-from" -> metaDir.toString,
-        "iceberg.imported-snapshot-id" -> currentId.toString),
+        "iceberg.imported-snapshot-id" -> currentId.toString) ++ registryProps,
       ifNotExists = false)
     val snap = catalog.commit(ns, name, Snaplog.OpAddFiles, files,
       Map("iceberg-import" -> s"v$version.metadata.json",

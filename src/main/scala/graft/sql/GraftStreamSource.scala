@@ -14,7 +14,7 @@ import graft.catalog.{Catalog, Snaplog}
   * has been emitted". `0` is the virgin offset — nothing emitted yet, so
   * the first micro-batch carries the table's full live content (the
   * Iceberg/Delta streaming-source initial-snapshot convention). */
-private[sql] final case class GraftStreamOffset(id: Long) extends Offset {
+private[graft] final case class GraftStreamOffset(id: Long) extends Offset {
   override def json(): String = id.toString
 }
 
@@ -67,7 +67,7 @@ private[sql] final class GraftStreamableParquetScan(
   * data — a year of 10-second appends plans each batch from
   * O(checkpoint-window) metadata, and the initial-content batch is the
   * same explicit file list a batch scan would get. */
-private[sql] final class GraftMicroBatchStream(
+private[graft] final class GraftMicroBatchStream(
     tableSchema: StructType,
     backing: Catalog,
     ns: String,

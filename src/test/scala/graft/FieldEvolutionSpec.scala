@@ -259,38 +259,57 @@ class FieldEvolutionSpec extends SparkSpec {
     assert(compactJson.contains("\"last-column-id\":4"))
     assert(!compactJson.contains("\"id\":3"),
       "the dropped column's id 3 must not be re-assigned ordinally")
+
+    // re-IMPORT of the evolved export carries the source ids into the
+    // new table's registry (a fresh 1..n assignment would diverge from
+    // the files' stamps), with the high-water mark preserved
+    val rep = graft.interop.IcebergImport.register(
+      cat, spark, dest.resolve("metadata"), "ns", "af_imported")
+    val props = cat.loadTable("ns", "af_imported").properties
+    assert(FieldIds.decode(props(FieldIds.RegistryProp)) ==
+      Map("id" -> 1, "group" -> 2, "value2" -> 4),
+      s"imported registry mismatch: $props")
+    assert(props(FieldIds.LastIdProp) == "4")
+    assert(rep.table.scan().count() == 4)
   }
 
   test("a running stream fails loudly when the schema evolves mid-stream") {
     val wh = Files.createTempDirectory("graft-fidstream").toString
     val cat = new Snaplog(wh)
     val tbl = LakehouseTable.create(cat, spark, "ns", "sm", fixture().schema)
-    tbl.append(fixture())
+    tbl.append(fixture())                                  // snapshot 1
+    // a stream that STARTED before the evolution pinned the old schema
+    val stream = new graft.sql.GraftMicroBatchStream(fixture().schema, cat,
+      "ns", "sm", org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+    tbl.renameColumn("value2", "score")                    // metadata-only
+    tbl.append(fixture().withColumnRenamed("value2", "score")
+      .withColumn("id", $"id" + 10))                       // snapshot 2
+    // planning the next batch against the stale pinned schema must fail
+    // loudly — a name-matched read would silently null-fill 'value2'
+    val ex = intercept[IllegalArgumentException] {
+      stream.planInputPartitions(graft.sql.GraftStreamOffset(1L),
+        graft.sql.GraftStreamOffset(2L))
+    }
+    assert(ex.getMessage.contains("schema changed"),
+      s"expected the mid-stream evolution guard, got: ${ex.getMessage}")
+    // a FRESH stream (fresh checkpoint) pins the evolved schema and
+    // reads both eras correctly by id
+    val ckpt = Files.createTempDirectory("graft-fidstream-ck").toString
     spark.conf.set("spark.sql.catalog.gfidsm", classOf[GraftSqlCatalog].getName)
     spark.conf.set("spark.sql.catalog.gfidsm.warehouse", wh)
-    val ckpt = Files.createTempDirectory("graft-fidstream-ck").toString
-    val out = Files.createTempDirectory("graft-fidstream-out").toString
-    def runOnce(): Unit = {
-      val q = spark.readStream.table("gfidsm.ns.sm")
-        .writeStream.format("parquet").option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
-      q.exception.foreach(throw _)
-    }
-    runOnce()
-    tbl.renameColumn("value2", "score")
-    tbl.append(fixture().withColumnRenamed("value2", "score")
-      .withColumn("id", $"id" + 10))
-    // the restarted run pins the EVOLVED schema from a fresh loadTable —
-    // but a run that pinned the OLD schema would fail loudly instead of
-    // null-filling; prove the guard by streaming with a stale relation:
-    // the fresh run here must succeed and carry the renamed column
-    runOnce()
-    val ids = spark.read.parquet(out).select("id").collect()
+    n2 += 1
+    val sink = s"fid_stream_sink_$n2"
+    val q = spark.readStream.table("gfidsm.ns.sm")
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val scores = spark.table(sink).select("score").collect()
       .map(_.getInt(0)).sorted.toSeq
-    assert(ids == (1 to 4) ++ (11 to 14))
+    assert(scores == Seq(10, 10, 20, 20, 30, 30, 40, 40),
+      s"both eras must serve the renamed column by id, got $scores")
   }
+  private var n2 = 0
 
   test("concurrent addColumn assigns distinct field ids under the lock") {
     val cat = new Snaplog(Files.createTempDirectory("graft-fidrace").toString)

@@ -33,17 +33,23 @@ object Bench {
     // self-evident in the emitted line ("variance" = mean over queries
     // of max/min run-time ratio): a quiet machine reads ~1.0-1.5, a
     // contention-poisoned run reads >>2 and discredits itself.
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A query that THROWS must surface as a failure, not a fast time —
+    // a fail-fast AnalysisException takes 0.2 s and would otherwise be
+    // indistinguishable from a healthy sub-second query in the JSON.
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+      catch { case _: Throwable => false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     val runs = SparkEntry.queries.map { case (name, fn) =>
-      val a = once(fn); val b = once(fn)
-      name -> (math.min(a, b), math.max(a, b))
+      val (a, okA) = once(fn); val (b, okB) = once(fn)
+      name -> (math.min(a, b), math.max(a, b), okA && okB)
     }
-    val results = runs.map { case (n, (lo, _)) => n -> lo }
-    val ratios = runs.values.map { case (lo, hi) => if (lo > 0) hi / lo else 1.0 }
+    val failed = runs.collect { case (n, (_, _, false)) => n }.toSeq.sorted
+    val okRuns = runs.collect { case (n, (lo, hi, true)) => n -> (lo, hi) }
+    val results = okRuns.map { case (n, (lo, _)) => n -> lo }
+    val ratios = okRuns.values.map { case (lo, hi) => if (lo > 0) hi / lo else 1.0 }
     val variance =
       if (ratios.nonEmpty) ratios.sum / ratios.size else 1.0
     // The driver captures a bounded (~4 KB) TAIL of stdout, so the line
@@ -62,7 +68,10 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
-      s"""{"queries":$qs$om,"variance":${fmt(variance)},"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}"""
+      val fl = if (failed.nonEmpty)
+        failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+      else ""
+      s"""{"queries":$qs$om$fl,"variance":${fmt(variance)},"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}"""
     }
     val budget = 3000
     var keep = bySlowest.size

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** One driver-facing query: a Spark DataFrame program plus (when
   * SQL-expressible) a DuckDB oracle over the same parquet files. */
@@ -17,17 +17,32 @@ object Common {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.parquet carries `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark 4 refuses natively — read nanos as long and floor-convert to
-    * a microsecond timestamp (exactly DuckDB's ns→us floor). The raw
-    * nanos stay as `ts_ns` so ORDER BY can tie-break identically to
-    * DuckDB's full-precision ordering. */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    eventsRaw(spark, sfDir)
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** events table with a two-column time contract every consumer relies
+    * on: `ts` = microsecond TimestampType (UTC session) and `ts_ns` =
+    * nanos-since-epoch Long for bit-exact ordering/gap arithmetic.
+    * The fixture has shipped `ts` as both TIMESTAMP(NANOS) (read as a
+    * nanos long via the legacy conf, floor-converted like DuckDB's
+    * ns→us) and TIMESTAMP(MICROS) (read natively; NTZ→TZ cast is
+    * value-preserving under the UTC session timezone) — branch on the
+    * dtype actually read so either fixture generation works. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = eventsRaw(spark, sfDir)
+    raw.schema("ts").dataType match {
+      case LongType => // legacy timestamp[ns] fixture, read as nanos long
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType | TimestampType => // timestamp[us] fixture
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.parquet ts has unexpected type $other — adapt Common.events")
+    }
+  }
 
-  /** events with `ts` left as raw nanos-since-epoch long. */
+  /** events exactly as the parquet stores it (`ts` a nanos long for the
+    * legacy ns fixture, a timestamp for the µs fixture). The legacy conf
+    * is a no-op for non-NANOS columns, so it is safe to always set. */
   def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")

@@ -128,10 +128,7 @@ final class JdbcCatalog(val jdbcUrl: String, val warehouse: String,
       properties: Map[String, String] = Map.empty,
       ifNotExists: Boolean = true): TableMetadata = {
     createNamespace(ns)
-    partitionColumns.foreach { c =>
-      require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
-        s"partition column '$c' not in schema")
-    }
+    graft.table.PartitionTransforms.validate(schema, partitionColumns)
     val meta = TableMetadata(ns, name, schema.json, partitionColumns,
       Snaplog.withFieldIdRegistry(schema, properties), System.currentTimeMillis())
     val inserted = withConn { c =>

@@ -27,14 +27,22 @@ case class ColBounds(min: String, max: String)
 
 /** `deleteFile = Some(true)` marks a POSITION-DELETE vector (parquet of
   * `(file_path, row_index)` rows, Iceberg-v2 MOR tier) rather than a
-  * data file; absent/None (all pre-existing log entries) means data. */
+  * data file; absent/None (all pre-existing log entries) means data.
+  *
+  * `nullCounts` records per-column null counts from the parquet footer
+  * (Iceberg-manifest `null_value_counts`): a column appears only when
+  * EVERY row group set the stat, so a recorded value is exact — which
+  * is what licenses metadata `COUNT(col)` on nullable columns and
+  * IS [NOT] NULL file pruning. Absent for pre-existing log entries
+  * (json4s default) = unknown = never prune, never answer. */
 case class DataFileEntry(
     path: String,
     rowCount: Long,
     sizeBytes: Long,
     partitionValues: Map[String, String],
     columnStats: Option[Map[String, ColBounds]] = None,
-    deleteFile: Option[Boolean] = None)
+    deleteFile: Option[Boolean] = None,
+    nullCounts: Option[Map[String, Long]] = None)
 
 /** One commit. `operation` ∈ append | overwrite | add_files — the three
   * commit kinds the reference exercises (`table.append`
@@ -141,10 +149,7 @@ final class Snaplog(val warehouse: String,
       if (ifNotExists) return loadTable(ns, name)
       throw new IllegalStateException(s"table $ns.$name already exists")
     }
-    partitionColumns.foreach { c =>
-      require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
-        s"partition column '$c' not in schema")
-    }
+    graft.table.PartitionTransforms.validate(schema, partitionColumns)
     val meta = TableMetadata(ns, name, schema.json, partitionColumns,
       Snaplog.withFieldIdRegistry(schema, properties), System.currentTimeMillis())
     Files.createDirectories(tableDir(ns, name).resolve("data"))

@@ -166,6 +166,14 @@ object IcebergExport {
       s"cannot export $ns.$name with outstanding merge-on-read delete " +
         "vectors — a metadata-only export would resurrect deleted rows " +
         "for external readers; compact() first")
+    // The exported spec below declares every field identity; a days/
+    // bucket-transformed table would need typed Iceberg transform
+    // values (day ints, bucket ints) in each manifest entry — refuse
+    // rather than emit a spec external readers would mis-prune by.
+    require(graft.table.PartitionTransforms.identityOnly(table.partitionColumns),
+      s"cannot export $ns.$name: non-identity partition transforms " +
+        s"(${table.partitionColumns.mkString(", ")}) are not representable " +
+        "in this exporter's identity-only partition spec")
     val schema = table.schema
     // Exported schema ids MUST match the ids stamped into the parquet
     // files (graft's field-id registry): an Iceberg reader resolves

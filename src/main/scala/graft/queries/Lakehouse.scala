@@ -372,6 +372,54 @@ object Lakehouse {
           CAST(SUM(CAST(price_sum AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM g""")),
 
+    // Hidden partitioning (Iceberg PartitionSpec semantics, beyond the
+    // reference's identity-only spec): CREATE PARTITIONED BY (days(ts),
+    // bucket(8, user_id)) → INSERT lays files out by the TRANSFORMED
+    // values and records them in the log → a day-window scan on the raw
+    // ts column prunes files purely from transform metadata (asserted
+    // in-result: pruning must drop files or the query fails). At 100 TB
+    // this is what makes an events table queryable: the user filters
+    // ts, the engine reads only the touched days.
+    QueryDef("lake_partition_transform",
+      (s, d) => {
+        val whDir = wh("lake_partition_transform", d)
+        val cat = new Snaplog(whDir)
+        cat.createNamespace("ns")
+        val cn = sqlCatalog(s, "gptx", whDir)
+        s.sql(s"""CREATE TABLE $cn.ns.ev
+          (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+           event_type STRING, value DOUBLE)
+          PARTITIONED BY (days(ts), bucket(8, user_id))""")
+        events(s, d).select("event_id", "ts", "user_id", "event_type", "value")
+          .createOrReplaceTempView("lpt_src")
+        s.sql(s"INSERT INTO $cn.ns.ev SELECT * FROM lpt_src")
+        val minTs = s.sql("SELECT MIN(ts) FROM lpt_src").head().getTimestamp(0)
+        val start = new java.sql.Timestamp(minTs.getTime + 2L * 86400000)
+        val end = new java.sql.Timestamp(minTs.getTime + 4L * 86400000)
+        val cond = s"ts >= TIMESTAMP '$start' AND ts < TIMESTAMP '$end'"
+        // prune audit: the 2-day window over ~30 days of data must drop
+        // files from the plan, or the query fails (inputFiles is empty
+        // for non-FileTable DSv2 relations, so count via the FileScan)
+        val total = cat.liveFiles("ns", "ev").size
+        val pruned = s.sql(s"SELECT * FROM $cn.ns.ev WHERE $cond")
+          .queryExecution.sparkPlan
+          .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan }
+          .collect { case fs: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+            fs.fileIndex.inputFiles.length }.sum
+        require(pruned > 0 && pruned < total,
+          s"hidden-partition pruning inert: scanned $pruned of $total files")
+        s.sql(s"""SELECT event_type, COUNT(*) AS n,
+            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+          FROM $cn.ns.ev WHERE $cond
+          GROUP BY event_type ORDER BY event_type""")
+      },
+      Some("""WITH w AS (SELECT MIN(ts) + INTERVAL 2 DAY AS lo,
+            MIN(ts) + INTERVAL 4 DAY AS hi FROM events)
+        SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events, w WHERE ts >= w.lo AND ts < w.hi
+        GROUP BY event_type ORDER BY event_type""")),
+
     // add_files: metadata-only registration of the source parquet itself
     // (zero copy, reference main-ray.py:109-121), then scan.
     QueryDef("lake_add_files",

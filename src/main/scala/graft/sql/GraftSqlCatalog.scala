@@ -55,11 +55,18 @@ private[sql] final class GraftSqlTable(
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
-  /** DESCRIBE/SHOW surfaces: identity partition spec and catalog-stored
-    * table properties, not the interface defaults (empty). */
-  override def partitioning(): Array[Transform] =
-    partitionCols.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+  /** DESCRIBE/SHOW surfaces: the real partition spec (identity / days /
+    * bucket transforms) and catalog-stored table properties, not the
+    * interface defaults (empty). */
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import graft.table.{BucketField, DaysField, IdentityField, PartitionTransforms}
+    PartitionTransforms.parseAll(partitionCols).map {
+      case IdentityField(c) => Expressions.identity(c)
+      case DaysField(c) => Expressions.days(c)
+      case BucketField(n, c) => Expressions.bucket(n, c)
+    }.toArray
+  }
   override def properties(): java.util.Map[String, String] = {
     val m = new java.util.HashMap[String, String]()
     tableProps.foreach { case (k, v) => m.put(k, v) }
@@ -333,15 +340,20 @@ private[sql] final class GraftBatchWrite(
     val reader = spark.read
     val df = (if (dataSchema != null) reader.schema(dataSchema) else reader)
       .parquet(staged: _*)
-    val withLayout = partitionCols.foldLeft(
-      df.repartition(partitionCols.map(col): _*))(
-      (d, c) => d.withColumn(FileStats.layoutCol(c), col(c)))
+    // layout by the TRANSFORMED partition value (identity = the value
+    // itself), same scheme as LakehouseTable.writeCommit
+    val partFields = graft.table.PartitionTransforms.parseAll(partitionCols)
+    val layoutExprs = partFields.map(pf => pf.expr(col(pf.source)))
+    val withLayout = partFields.zip(layoutExprs).foldLeft(
+      df.repartition(layoutExprs: _*))(
+      (d, pe) => d.withColumn(FileStats.layoutCol(pe._1.fieldName), pe._2))
     withLayout.write.mode("overwrite").option("compression", codec)
-      .partitionBy(partitionCols.map(FileStats.layoutCol): _*)
+      .partitionBy(partFields.map(pf => FileStats.layoutCol(pf.fieldName)): _*)
       .parquet(layoutDir.toString)
     GraftBatchWrite.rmTree(stage) // staged files are intermediate once laid out
     FileStats.listParquet(layoutDir.toString).map(p =>
-      FileStats.stat(spark, p, FileStats.partitionValuesFromPath(p, partitionCols)))
+      FileStats.stat(spark, p,
+        FileStats.partitionValuesFromPath(p, partFields.map(_.fieldName))))
   }
 }
 
@@ -432,7 +444,11 @@ private[sql] final class GraftRowLevelOperation(
   private def affectedFiles(filters: Seq[Expression]): Seq[DataFileEntry] = {
     val usable = filters.filter(_.references.forall(a =>
       !statsUnsafe(a.name.toLowerCase(java.util.Locale.ROOT))))
-    val base = files.filter(f => usable.forall(FilePrune.mayMatch(f, _)))
+    val tfields = graft.table.PartitionTransforms.parseAll(partitionCols)
+      .filterNot(_.isInstanceOf[graft.table.IdentityField])
+    val base = files.filter(f => usable.forall(e =>
+      FilePrune.mayMatch(f, e) &&
+        graft.table.PartitionTransforms.mayMatch(f, e, tfields)))
     if (deleteFiles.isEmpty) base
     else {
       val keep = base.map(_.path).toSet
@@ -577,7 +593,13 @@ private[sql] final class GraftRowLevelOperation(
     override def readSchema(): StructType = tableSchema
 
     override def filterAttributes(): Array[NamedReference] =
-      partitionCols.map(Expressions.column).toArray
+      // identity fields only: runtime value-set filtering compares a
+      // source-column value against the stored segment, which is only
+      // the same thing under identity — transform fields stay out
+      // (their static conservative pruning still applies)
+      graft.table.PartitionTransforms.parseAll(partitionCols).collect {
+        case graft.table.IdentityField(c) => Expressions.column(c)
+      }.toArray
 
     override def filter(predicates: Array[Predicate]): Unit = {
       val statically = affectedFiles(branchFilters)
@@ -813,11 +835,24 @@ private[sql] final class GraftScanBuilder(
     with SupportsPushDownRequiredColumns {
 
   import org.apache.spark.sql.connector.expressions.NamedReference
-  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 
   private var exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty
   private var required: StructType = tableSchema
   private var pushedAgg: Option[Aggregation] = None
+
+  /** Non-identity transform fields of the partition spec — consulted as
+    * an EXTRA conservative pruning pass (hidden partitioning: the
+    * pushed predicate names the source column, the file records the
+    * transformed value). Empty for identity-only tables. */
+  private lazy val transformFields: Seq[graft.table.PartField] =
+    graft.table.PartitionTransforms.parseAll(partitionCols)
+      .filterNot(_.isInstanceOf[graft.table.IdentityField])
+
+  private def keptFiles: Seq[DataFileEntry] =
+    files.filter(f => prunable.forall(e =>
+      FilePrune.mayMatch(f, e) &&
+        graft.table.PartitionTransforms.mayMatch(f, e, transformFields)))
 
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
@@ -891,6 +926,22 @@ private[sql] final class GraftScanBuilder(
       case _ => None
     }
 
+  /** Column a null-sensitive COUNT(col) can answer from metadata:
+    * single-name reference with an exact per-file null count recorded
+    * in every answering file (footer `null_value_counts`, carried in
+    * the log), and not a name rebound by evolution. The answer is
+    * Σ(rowCount − nullCount) — exact, because a recorded null count
+    * required every row group to set the stat. */
+  private def nullCountedColIn(e: org.apache.spark.sql.connector.expressions.Expression,
+      answering: Seq[DataFileEntry]): Option[String] =
+    e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        val c = nr.fieldNames()(0)
+        if (!statsUnsafe(c.toLowerCase(java.util.Locale.ROOT)) &&
+          answering.forall(_.nullCounts.exists(_.contains(c)))) Some(c) else None
+      case _ => None
+    }
+
   /** Files that answer the aggregate: all of them when no filters are
     * pushed, the exactly-pruned subset under partition-exact filters. */
   private def aggFiles: Seq[DataFileEntry] =
@@ -904,6 +955,8 @@ private[sql] final class GraftScanBuilder(
         val answering = aggFiles
         agg.aggregateExpressions.forall {
           case _: CountStar => true
+          case c: Count if !c.isDistinct =>
+            nullCountedColIn(c.column, answering).isDefined
           case m: Min => boundedColIn(m.column, answering).isDefined
           case m: Max => boundedColIn(m.column, answering).isDefined
           case _ => false
@@ -929,6 +982,11 @@ private[sql] final class GraftScanBuilder(
       case (_: CountStar, i) =>
         (answering.map(_.rowCount).sum: Any,
           StructField(s"count_$i", LongType, nullable = false))
+      case (c: Count, i) =>
+        val col = nullCountedColIn(c.column, answering).getOrElse(
+          throw new IllegalStateException(s"unanswerable COUNT ${c.column}"))
+        val v = answering.map(f => f.rowCount - f.nullCounts.get(col)).sum
+        (v: Any, StructField(s"count_$i", LongType, nullable = false))
       case (m: Min, i) =>
         val c = boundedColIn(m.column, answering).getOrElse(
           throw new IllegalStateException(s"unanswerable MIN ${m.column}"))
@@ -974,7 +1032,7 @@ private[sql] final class GraftScanBuilder(
       // Merge-on-read: metadata file pruning still applies, then a V1
       // relation subtracts the delete vectors with a broadcast
       // anti-join (see MorRelation).
-      val kept = files.filter(f => prunable.forall(FilePrune.mayMatch(f, _)))
+      val kept = keptFiles
       val requiredSchema = required
       val ts = tableSchema
       val dataPaths = kept.map(_.path)
@@ -990,7 +1048,7 @@ private[sql] final class GraftScanBuilder(
           s"GraftMorScan[${dataPaths.size} files, ${delPaths.size} delete vectors]"
       }
     case None =>
-      val kept = files.filter(f => prunable.forall(FilePrune.mayMatch(f, _)))
+      val kept = keptFiles
       val pt = ParquetTable(tableName, SparkSession.active, options,
         kept.map(_.path), Some(tableSchema), classOf[ParquetFileFormat])
       val psb = pt.newScanBuilder(options)
@@ -1027,7 +1085,7 @@ private[sql] final class MetadataAggScan(
   * [min,max] bounds PROVE no row can match. Mirrors
   * LakehouseTable.selectFiles semantics. */
 private[sql] object FilePrune {
-  import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualTo => CEq, Expression, GreaterThan => CGt, GreaterThanOrEqual => CGte, In => CIn, IsNotNull => CIsNotNull, LessThan => CLt, LessThanOrEqual => CLte, Literal, Or => COr}
+  import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualTo => CEq, Expression, GreaterThan => CGt, GreaterThanOrEqual => CGte, In => CIn, IsNotNull => CIsNotNull, IsNull => CIsNull, LessThan => CLt, LessThanOrEqual => CLte, Literal, Or => COr}
 
 
   /** Is `e` a PARTITION-EXACT predicate — one whose per-file may-match
@@ -1137,9 +1195,17 @@ private[sql] object FilePrune {
     case CAnd(l, r) => mayMatch(f, l) && mayMatch(f, r)
     case COr(l, r) => mayMatch(f, l) || mayMatch(f, r)
     // a file recorded under the null-partition sentinel holds ONLY
-    // null values for that column — IsNotNull excludes it exactly
+    // null values for that column — IsNotNull excludes it exactly;
+    // a recorded null count equal to the row count proves the same
     case CIsNotNull(a: AttributeReference) =>
-      !f.partitionValues.get(a.name).contains(Snaplog.HiveDefaultPartition)
+      !f.partitionValues.get(a.name).contains(Snaplog.HiveDefaultPartition) &&
+        !f.nullCounts.flatMap(_.get(a.name)).contains(f.rowCount)
+    // IS NULL prunes a file PROVEN all-non-null: identity partition
+    // value recorded under a real (non-sentinel) value, or a recorded
+    // null count of zero
+    case CIsNull(a: AttributeReference) =>
+      !f.partitionValues.get(a.name).exists(_ != Snaplog.HiveDefaultPartition) &&
+        !f.nullCounts.flatMap(_.get(a.name)).contains(0L)
     case _ => true // unknown / null-semantics predicates: never prune
   }
 
@@ -1345,11 +1411,27 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
       throw new TableAlreadyExistsException(
         (catName +: ident.namespace().toSeq :+ ident.name))
     val partCols = partitions.toSeq.map { tr =>
-      if (tr.name != "identity" || tr.references().length != 1)
-        throw new UnsupportedOperationException(
-          s"$catName supports only identity partitioning " +
-            s"(PARTITIONED BY (col)); got $tr")
-      tr.references()(0).fieldNames().mkString(".")
+      def ref: String = {
+        require(tr.references().length == 1,
+          s"$catName: transform $tr must reference exactly one column")
+        tr.references()(0).fieldNames().mkString(".")
+      }
+      tr.name match {
+        case "identity" => ref
+        case "days" => s"days($ref)"
+        case "bucket" =>
+          val n = tr.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                if l.value().isInstanceOf[Number] =>
+              l.value().asInstanceOf[Number].intValue()
+          }.getOrElse(throw new UnsupportedOperationException(
+            s"$catName: bucket transform without a bucket count: $tr"))
+          s"bucket($n,$ref)"
+        case _ =>
+          throw new UnsupportedOperationException(
+            s"$catName supports identity, days(col) and bucket(n, col) " +
+              s"partitioning; got $tr")
+      }
     }
     val props = {
       val it = properties.entrySet().iterator()

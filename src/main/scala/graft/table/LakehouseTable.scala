@@ -666,7 +666,8 @@ final class LakehouseTable(
     val cur = m.schema
     val f = cur.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
       throw new IllegalArgumentException(s"no column '$from' in $namespace.$name"))
-    require(!m.partitionColumns.exists(_.equalsIgnoreCase(from)),
+    require(!PartitionTransforms.parseAll(m.partitionColumns)
+        .exists(_.source.equalsIgnoreCase(from)),
       s"cannot rename partition column '$from' — partition tuples and " +
         "directory layout are keyed by it (a partition-spec rewrite, not " +
         "a schema edit)")
@@ -720,7 +721,8 @@ final class LakehouseTable(
     val cur = m.schema
     val f = cur.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
       throw new IllegalArgumentException(s"no column '$colName' in $namespace.$name"))
-    require(!m.partitionColumns.exists(_.equalsIgnoreCase(colName)),
+    require(!PartitionTransforms.parseAll(m.partitionColumns)
+        .exists(_.source.equalsIgnoreCase(colName)),
       s"cannot drop partition column '$colName'")
     require(cur.fields.length > 1, "cannot drop the only column")
     val reg = fieldRegistry(m, "drop")
@@ -817,16 +819,24 @@ final class LakehouseTable(
     val nextId = catalog.currentSnapshot(namespace, name).map(_.snapshotId + 1).getOrElse(1L)
     val commitDir = catalog.dataDir(namespace, name).resolve(
       s"snap-$nextId-${java.util.UUID.randomUUID().toString.take(8)}")
-    val parts = m.partitionColumns
-    val withLayout = parts.foldLeft(normalized)((d, c) => d.withColumn(layoutCol(c), col(c)))
+    // layout by the TRANSFORMED partition value (identity = the value
+    // itself): the `__p_<field>` mirror column directories the write,
+    // and the log records each file's transformed tuple — the source
+    // column itself stays in the data for non-identity transforms
+    // (hidden partitioning: queries filter the source, metadata prunes
+    // the transform)
+    val partFields = PartitionTransforms.parseAll(m.partitionColumns)
+    val withLayout = partFields.foldLeft(normalized)((d, pf) =>
+      d.withColumn(layoutCol(pf.fieldName), pf.expr(col(pf.source))))
     val codec = m.properties.getOrElse("write.compression", "zstd")
     var writer = withLayout.write.mode("overwrite").option("compression", codec)
     m.properties.get("write.max-records-per-file")
       .foreach(v => writer = writer.option("maxRecordsPerFile", v))
-    if (parts.nonEmpty) writer = writer.partitionBy(parts.map(layoutCol): _*)
+    if (partFields.nonEmpty)
+      writer = writer.partitionBy(partFields.map(pf => layoutCol(pf.fieldName)): _*)
     writer.parquet(commitDir.toString)
     val files = listParquet(commitDir.toString).map { p =>
-      statFile(p, partitionValuesFromPath(p, parts))
+      statFile(p, partitionValuesFromPath(p, partFields.map(_.fieldName)))
     }
     catalog.commit(namespace, name, op, carryFiles ++ files, extraSummary,
       expectedSnapshotId = expected, parentIdOverride = parentIdOverride)
@@ -895,6 +905,8 @@ object FileStats {
       val mins = scala.collection.mutable.Map[String, Any]()
       val maxs = scala.collection.mutable.Map[String, Any]()
       val unsafe = scala.collection.mutable.Set[String]()
+      val nulls = scala.collection.mutable.Map[String, Long]()
+      val nullsUnsafe = scala.collection.mutable.Set[String]()
       r.getFooter.getBlocks.asScala.foreach { b =>
         b.getColumns.asScala.foreach { c =>
           val name = c.getPath.toDotString
@@ -904,13 +916,21 @@ object FileStats {
             mins(name) = mins.get(name).map(combine(_, mn, min = true)).getOrElse(mn)
             maxs(name) = maxs.get(name).map(combine(_, mx, min = false)).getOrElse(mx)
           }
+          // null counts are exact only when EVERY block sets the stat —
+          // unlike [min,max] this is independent of hasNonNullValue (an
+          // all-null block has no min/max but a perfectly good count)
+          if (st == null || !st.isNumNullsSet || st.getNumNulls < 0)
+            nullsUnsafe += name
+          else nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
         }
       }
       val stats = (mins.keySet -- unsafe).map { c =>
         c -> graft.catalog.ColBounds(mins(c).toString, maxs(c).toString)
       }.toMap
+      val nullStats = (nulls.keySet -- nullsUnsafe).map(c => c -> nulls(c)).toMap
       DataFileEntry(path, rows, Files.size(Paths.get(path)), pv,
-        if (stats.isEmpty) None else Some(stats))
+        if (stats.isEmpty) None else Some(stats),
+        nullCounts = if (nullStats.isEmpty) None else Some(nullStats))
     } finally r.close()
   }
 

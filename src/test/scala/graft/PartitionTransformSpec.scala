@@ -1,0 +1,187 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.catalog.Snaplog
+import graft.sql.GraftSqlCatalog
+import graft.table.{BucketField, DaysField, IdentityField, LakehouseTable, PartitionTransforms}
+
+/** Hidden partitioning: days()/bucket() transform specs — parse and
+  * validation, write-path layout (transformed tuples in the log, source
+  * column untouched in the data), scan-side conservative pruning, and
+  * the write/prune agreement the whole feature hangs on. */
+class PartitionTransformSpec extends SparkSpec {
+
+  test("spec strings parse and validate") {
+    assert(PartitionTransforms.parse("grp") == IdentityField("grp"))
+    assert(PartitionTransforms.parse("days(ts)") == DaysField("ts"))
+    assert(PartitionTransforms.parse("day(ts)") == DaysField("ts"))
+    assert(PartitionTransforms.parse("bucket(16,id)") == BucketField(16, "id"))
+    assert(PartitionTransforms.parse("bucket( 8 , user_id )") == BucketField(8, "user_id"))
+
+    val sch = StructType(Seq(
+      StructField("id", LongType), StructField("ts", TimestampType),
+      StructField("s", StringType), StructField("v", DoubleType),
+      StructField("arr", ArrayType(LongType))))
+    PartitionTransforms.validate(sch, Seq("days(ts)", "bucket(4,id)", "s"))
+    intercept[IllegalArgumentException] { // days of a non-temporal column
+      PartitionTransforms.validate(sch, Seq("days(id)"))
+    }
+    intercept[IllegalArgumentException] { // bucket of a nested type
+      PartitionTransforms.validate(sch, Seq("bucket(4,arr)"))
+    }
+    intercept[IllegalArgumentException] { // unknown source column
+      PartitionTransforms.validate(sch, Seq("days(nope)"))
+    }
+    intercept[IllegalArgumentException] { // derived name collides
+      PartitionTransforms.validate(
+        sch.add(StructField("ts_day", StringType)), Seq("days(ts)"))
+    }
+  }
+
+  test("native write records transformed tuples; source column stays in data") {
+    val wh = Files.createTempDirectory("graft-ptx").toString
+    val cat = new Snaplog(wh)
+    val ev = queries.Common.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val t = LakehouseTable.create(cat, spark, "lake", "ev", ev.schema,
+      partitionColumns = Seq("days(ts)", "bucket(4,user_id)"))
+    t.append(ev)
+
+    val files = cat.liveFiles("lake", "ev")
+    assert(files.nonEmpty)
+    // every file records BOTH transformed values, keyed by field name
+    assert(files.forall(f => f.partitionValues.contains("ts_day") &&
+      f.partitionValues.contains("user_id_bucket")))
+    // bucket values are inside [0, 4)
+    assert(files.forall(f =>
+      (0L until 4L).contains(f.partitionValues("user_id_bucket").toLong)))
+    // the data files still carry the raw source columns, full fidelity
+    val back = t.scan()
+    assert(back.columns.toSet == ev.columns.toSet)
+    assert(back.count() == ev.count())
+    assert(back.agg(sum(col("user_id"))).head().getLong(0) ==
+      ev.agg(sum(col("user_id"))).head().getLong(0))
+
+    // write/prune agreement on REAL data: for every file, a row sampled
+    // from it must never be pruned by its own literals (days + bucket)
+    val fields = PartitionTransforms.parseAll(Seq("days(ts)", "bucket(4,user_id)"))
+      .filterNot(_.isInstanceOf[IdentityField])
+    files.foreach { f =>
+      val row = spark.read.parquet(f.path)
+        .select(col("ts"), col("user_id")).head()
+      val tsLit = org.apache.spark.sql.catalyst.expressions.Literal(
+        row.getTimestamp(0).getTime * 1000L +
+          (row.getTimestamp(0).getNanos / 1000) % 1000, TimestampType)
+      val uidLit = org.apache.spark.sql.catalyst.expressions.Literal(
+        row.getLong(1), LongType)
+      val tsAttr = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "ts", TimestampType)()
+      val uidAttr = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "user_id", LongType)()
+      val eq = org.apache.spark.sql.catalyst.expressions.And(
+        org.apache.spark.sql.catalyst.expressions.EqualTo(tsAttr, tsLit),
+        org.apache.spark.sql.catalyst.expressions.EqualTo(uidAttr, uidLit))
+      assert(PartitionTransforms.mayMatch(f, eq, fields),
+        s"file ${f.path} pruned by its own row's literals")
+    }
+    // and a day far outside the data must prune EVERY file
+    val farAttr = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "ts", TimestampType)()
+    val farLit = org.apache.spark.sql.catalyst.expressions.Literal(
+      java.time.Instant.parse("1999-01-01T00:00:00Z").toEpochMilli * 1000L,
+      TimestampType)
+    val farEq = org.apache.spark.sql.catalyst.expressions.EqualTo(farAttr, farLit)
+    assert(files.forall(f => !PartitionTransforms.mayMatch(f, farEq, fields)))
+  }
+
+  test("SQL hidden partitioning end-to-end: create, insert, pruned scan") {
+    val wh = Files.createTempDirectory("graft-ptxsql").toString
+    val cat = new Snaplog(wh)
+    cat.createNamespace("ns")
+    spark.conf.set("spark.sql.catalog.gptx", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gptx.warehouse", wh)
+
+    spark.sql("""CREATE TABLE gptx.ns.ev
+      (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE)
+      PARTITIONED BY (days(ts), bucket(4, user_id))""")
+    assert(cat.loadTable("ns", "ev").partitionColumns ==
+      Seq("days(ts)", "bucket(4,user_id)"))
+
+    queries.Common.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .createOrReplaceTempView("ptx_src")
+    spark.sql("INSERT INTO gptx.ns.ev SELECT * FROM ptx_src")
+
+    val files = cat.liveFiles("ns", "ev")
+    val nDays = files.map(_.partitionValues("ts_day")).distinct.size
+    assert(nDays > 1, s"fixture should span multiple days, got $nDays")
+
+    import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, FileScan}
+    def scanned(sql: String): Int = {
+      val plan = spark.sql(sql).queryExecution.sparkPlan
+      plan.collect { case b: BatchScanExec => b.scan }
+        .collect { case fs: FileScan => fs.fileIndex.inputFiles.length }.sum
+    }
+
+    // day-range scan prunes files the transform proves non-matching
+    val minTs = spark.sql("SELECT MIN(ts) FROM ptx_src").head().getTimestamp(0)
+    // use a real 2-day window inside the data
+    val startDay = new java.sql.Timestamp(minTs.getTime + 2L * 86400000)
+    val endDay = new java.sql.Timestamp(minTs.getTime + 4L * 86400000)
+    val cond = s"ts >= TIMESTAMP '$startDay' AND ts < TIMESTAMP '$endDay'"
+    val q = spark.sql(s"SELECT COUNT(*) AS n FROM gptx.ns.ev WHERE $cond")
+    val expected = spark.sql(
+      s"SELECT COUNT(*) AS n FROM ptx_src WHERE $cond").head().getLong(0)
+    assert(expected > 0)
+    assert(q.head().getLong(0) == expected)
+    val dayScanned = scanned(s"SELECT * FROM gptx.ns.ev WHERE $cond")
+    // ~30 days of data, 2-day window (+ boundary-day conservatism):
+    // well under a quarter of the files must survive
+    assert(dayScanned > 0 && dayScanned < files.size / 2,
+      s"day-range scan should prune: scanned $dayScanned of ${files.size}")
+
+    // bucket equality prunes to ~1/4 of the files (4 buckets)
+    val someUser = spark.sql("SELECT user_id FROM ptx_src LIMIT 1").head().getLong(0)
+    val bScanned = scanned(s"SELECT * FROM gptx.ns.ev WHERE user_id = $someUser")
+    assert(bScanned > 0 && bScanned < files.size / 2,
+      s"bucket scan should prune: $bScanned of ${files.size}")
+    val bn = spark.sql(s"SELECT * FROM gptx.ns.ev WHERE user_id = $someUser").count()
+    val bExpected = spark.sql(
+      s"SELECT COUNT(*) FROM ptx_src WHERE user_id = $someUser").head().getLong(0)
+    assert(bn == bExpected)
+
+    // unsupported transform still refuses at CREATE
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gptx.ns.h (ts TIMESTAMP) PARTITIONED BY (hours(ts))")
+    }
+    // DESCRIBE shows the transform spec ("# Partitioning" section with
+    // one Part row per transform)
+    val desc = spark.sql("DESCRIBE TABLE gptx.ns.ev").collect()
+      .map(_.getString(0))
+    assert(desc.contains("# Partitioning") && desc.contains("Part 1"))
+  }
+
+  test("transform-partitioned tables refuse identity-only surfaces loudly") {
+    val wh = Files.createTempDirectory("graft-ptxref").toString
+    val cat = new Snaplog(wh)
+    val ev = queries.Common.events(spark, sf)
+      .select("event_id", "ts", "user_id", "value").limit(100)
+    val t = LakehouseTable.create(cat, spark, "lake", "ev2", ev.schema,
+      partitionColumns = Seq("days(ts)"))
+    t.append(ev)
+    // dynamic partition overwrite cannot attribute transform tuples
+    intercept[IllegalArgumentException] { t.overwritePartitions(ev) }
+    // renaming/dropping a transform SOURCE column is refused
+    intercept[IllegalArgumentException] { t.renameColumn("ts", "ts2") }
+    intercept[IllegalArgumentException] { t.dropColumn("ts") }
+    // Iceberg export declares identity-only specs — must refuse
+    intercept[IllegalArgumentException] {
+      graft.interop.IcebergExport.export(t,
+        Files.createTempDirectory("graft-ptxexp"))
+    }
+  }
+}

@@ -882,6 +882,41 @@ abstract class CatalogContractSpec extends SparkSpec {
     val r: Row = out.head()
     assert(r.getInt(0) == 7 && r.getString(1) == "A" && r.isNullAt(2))
   }
+
+  test("per-file null counts ride the log and survive backend serialization") {
+    val cat = freshCatalog()
+    val df = Seq((1L, Option("a")), (2L, None: Option[String]), (3L, Option("c")))
+      .toDF("id", "v")
+    val t = graft.table.LakehouseTable.create(cat, spark, "ns", "nulls", df.schema)
+    t.append(df.coalesce(1))
+    val files = cat.liveFiles("ns", "nulls")
+    assert(files.size == 1)
+    val nc = files.head.nullCounts.getOrElse(
+      fail(s"no null counts recorded: ${files.head}"))
+    assert(nc.get("v").contains(1L), s"v null count: $nc")
+    assert(nc.get("id").contains(0L), s"id null count: $nc")
+  }
+
+  test("hidden-partition transform tuples ride the log on every backend") {
+    val cat = freshCatalog()
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-03 10:00:00"))
+    ).toDF("id", "ts")
+    val t = graft.table.LakehouseTable.create(cat, spark, "ns", "hp", df.schema,
+      partitionColumns = Seq("days(ts)", "bucket(2,id)"))
+    assert(cat.loadTable("ns", "hp").partitionColumns ==
+      Seq("days(ts)", "bucket(2,id)"))
+    t.append(df)
+    val files = cat.liveFiles("ns", "hp")
+    assert(files.forall(f => f.partitionValues.contains("ts_day") &&
+      f.partitionValues.contains("id_bucket")), s"transform tuples: $files")
+    // 2024-01-01 = epoch day 19723, 2024-01-03 = 19725
+    assert(files.map(_.partitionValues("ts_day")).toSet == Set("19723", "19725"))
+    // scan round-trips the raw source columns
+    assert(t.scan().count() == 2)
+    assert(t.scan().columns.toSet == Set("id", "ts"))
+  }
 }
 
 /** The file-backed implementation (JSON/JSONL + lock file). */

@@ -150,11 +150,53 @@ class SqlCatalogSpec extends SparkSpec {
     val f3 = spark.sql("SELECT COUNT(value1) FROM gsqlagg.ns.a")
     assert(f3.queryExecution.sparkPlan.toString.contains("LocalTableScan"))
     assert(f3.head().getLong(0) == 8)
-    // …but on a NULLABLE column it is null-sensitive: metadata cannot
-    // answer it and the real scan plans
+    // …and on a NULLABLE column the per-file null counts carried in the
+    // log (footer null_value_counts) make it exact from metadata too
     val f4 = spark.sql("SELECT COUNT(group) FROM gsqlagg.ns.a")
-    assert(!f4.queryExecution.sparkPlan.toString.contains("LocalTableScan"))
+    assert(f4.queryExecution.sparkPlan.toString.contains("LocalTableScan"),
+      s"expected metadata COUNT(col) in:\n${f4.queryExecution.sparkPlan}")
     assert(f4.head().getLong(0) == 8)
+  }
+
+  test("null counts: metadata COUNT(col) with real nulls + IS NULL file pruning") {
+    val wh = Files.createTempDirectory("graft-sqlnull").toString
+    val cat = new Snaplog(wh)
+    import spark.implicits._
+    // file 1: no nulls in v; file 2: all-null v; file 3: mixed
+    val sch = Seq((1L, Option("a")), (2L, Option("b"))).toDF("id", "v").schema
+    val tbl = LakehouseTable.create(cat, spark, "ns", "nc", sch)
+    tbl.append(Seq((1L, Option("a")), (2L, Option("b"))).toDF("id", "v").coalesce(1))
+    tbl.append(Seq((3L, None: Option[String]), (4L, None)).toDF("id", "v").coalesce(1))
+    tbl.append(Seq((5L, Option("c")), (6L, None)).toDF("id", "v").coalesce(1))
+    val files = cat.liveFiles("ns", "nc")
+    assert(files.size == 3)
+    assert(files.forall(_.nullCounts.exists(_.contains("v"))),
+      s"every file must record a null count for v: $files")
+
+    spark.conf.set("spark.sql.catalog.gsqlnull", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlnull.warehouse", wh)
+    // COUNT(v) = 6 rows − 3 nulls, answered from the log
+    val c = spark.sql("SELECT COUNT(v) FROM gsqlnull.ns.nc")
+    assert(c.queryExecution.sparkPlan.toString.contains("LocalTableScan"),
+      s"expected metadata COUNT(v) in:\n${c.queryExecution.sparkPlan}")
+    assert(c.head().getLong(0) == 3L)
+
+    // IS NULL prunes the zero-null file; IS NOT NULL prunes the all-null
+    // file — both from metadata, results exact either way
+    import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, FileScan}
+    def scanned(sql: String): Int = {
+      val plan = spark.sql(sql).queryExecution.sparkPlan
+      plan.collect { case b: BatchScanExec => b.scan }
+        .collect { case fs: FileScan => fs.fileIndex.inputFiles.length }.sum
+    }
+    assert(scanned("SELECT id FROM gsqlnull.ns.nc WHERE v IS NULL") == 2,
+      "IS NULL should scan 2 of 3 files")
+    assert(spark.sql("SELECT id FROM gsqlnull.ns.nc WHERE v IS NULL")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L, 6L))
+    assert(scanned("SELECT id FROM gsqlnull.ns.nc WHERE v IS NOT NULL") == 2,
+      "IS NOT NULL should scan 2 of 3 files")
+    assert(spark.sql("SELECT id FROM gsqlnull.ns.nc WHERE v IS NOT NULL")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 5L))
   }
 
   test("partition-exact filters still answer aggregates from metadata") {
@@ -531,9 +573,10 @@ class SqlCatalogSpec extends SparkSpec {
     val props = spark.sql("SHOW TBLPROPERTIES gsqlddl.ns.c").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(props.get("quality").contains("gold"))
-    // non-identity transforms refuse at CREATE
+    // unsupported transforms refuse at CREATE (days/bucket are accepted
+    // — see PartitionTransformSpec)
     intercept[Exception] {
-      spark.sql("CREATE TABLE gsqlddl.ns.b (id INT) PARTITIONED BY (bucket(4, id))")
+      spark.sql("CREATE TABLE gsqlddl.ns.b (ts TIMESTAMP) PARTITIONED BY (hours(ts))")
     }
 
     spark.sql("CREATE TABLE gsqlddl.ns.u (id INT, v BIGINT)")

@@ -153,9 +153,10 @@ trait Catalog {
         s.operation == Snaplog.OpCheckpoint),
       s"incremental read across a reset commit " +
         s"(${(Snaplog.ResetOps - Snaplog.OpCheckpoint).mkString("/")}) is undefined")
-    require(between.forall(_.operation != Snaplog.OpMorDelete),
-      "incremental read across a merge-on-read delete is undefined " +
-        "(the delta is not expressible as file-adds)")
+    require(between.forall(s => s.operation != Snaplog.OpMorDelete &&
+        s.operation != Snaplog.OpEqDelete),
+      "incremental read across a merge-on-read or equality delete is " +
+        "undefined (the delta is not expressible as file-adds)")
     val before = liveFiles(ns, t, Some(fromSnapshot)).map(_.path).toSet
     liveFiles(ns, t, Some(toSnapshot)).filterNot(f => before(f.path))
   }
@@ -165,10 +166,19 @@ trait Catalog {
     * on the per-query planning hot path. */
   final def liveFilesSplit(ns: String, t: String,
       asOf: Option[Long] = None): (Seq[DataFileEntry], Seq[DataFileEntry]) = {
-    val (del, data) = windowSnapshots(ns, t, asOf).filterNot(Snaplog.isWapStaged)
-      .flatMap(_.files).partition(_.deleteFile.contains(true))
+    val (del, data) = liveEntriesOrdered(ns, t, asOf)
+      .partition(_.deleteFile.contains(true))
     (data, del)
   }
+
+  /** ALL live entries — data files, position vectors, equality-delete
+    * files — in REPLAY ORDER, which is load-bearing for equality
+    * deletes: one applies exactly to the data entries that precede it.
+    * Checkpoint folds preserve this order (they re-list the window's
+    * files by flatMap), so the sequencing survives log bounding. */
+  final def liveEntriesOrdered(ns: String, t: String,
+      asOf: Option[Long] = None): Seq[DataFileEntry] =
+    windowSnapshots(ns, t, asOf).filterNot(Snaplog.isWapStaged).flatMap(_.files)
 
   /** Position-delete vectors live as of `asOf`: MOR delete commits in
     * the current replay window. A reset commit (overwrite / replace /

@@ -65,8 +65,18 @@ final class JdbcCatalog(val jdbcUrl: String, val warehouse: String,
   // the constructor — they must be DECLARED before the initSchema call
   // below or they are still null when the catch compares against them
   // (Scala initializes vals in declaration order).
-  /** Derby SQLState for "table already exists" / duplicate key. */
-  private val TableExistsState = "X0Y32"
+  /** Dialect shim (audited against PostgreSQL, the reference's SQL
+    * catalog deployment `main-polars-psql.py:149-154`; see SURVEY §8.2):
+    * everything emitted is standard SQL except the large-text column
+    * type (Derby CLOB / PostgreSQL TEXT) and the table-exists SQLState
+    * at DDL time (Derby X0Y32 / PostgreSQL 42P07). Duplicate-key 23505
+    * — the commit CAS — and `SELECT … FOR UPDATE` — the maintenance
+    * mutex — are identical on both. */
+  private val isPostgres = jdbcUrl.startsWith("jdbc:postgresql:")
+  private val textType = if (isPostgres) "TEXT" else "CLOB"
+  /** "table already exists" at DDL time, per dialect. */
+  private val TableExistsStates = Set("X0Y32", "42P07")
+  /** Standard (ANSI) duplicate-key SQLState — Derby and PostgreSQL agree. */
   private val DuplicateKeyState = "23505"
 
   locally { initSchema() }
@@ -75,16 +85,16 @@ final class JdbcCatalog(val jdbcUrl: String, val warehouse: String,
     val ddl = Seq(
       "CREATE TABLE graft_namespaces(ns VARCHAR(256) PRIMARY KEY)",
       "CREATE TABLE graft_tables(ns VARCHAR(256) NOT NULL, tbl VARCHAR(256) NOT NULL, " +
-        "meta CLOB NOT NULL, PRIMARY KEY(ns, tbl))",
+        s"meta $textType NOT NULL, PRIMARY KEY(ns, tbl))",
       "CREATE TABLE graft_snapshots(ns VARCHAR(256) NOT NULL, tbl VARCHAR(256) NOT NULL, " +
-        "snapshot_id BIGINT NOT NULL, body CLOB NOT NULL, PRIMARY KEY(ns, tbl, snapshot_id))",
+        s"snapshot_id BIGINT NOT NULL, body $textType NOT NULL, PRIMARY KEY(ns, tbl, snapshot_id))",
       "CREATE TABLE graft_refs(ns VARCHAR(256) NOT NULL, tbl VARCHAR(256) NOT NULL, " +
         "ref_name VARCHAR(256) NOT NULL, snapshot_id BIGINT NOT NULL, " +
         "ref_type VARCHAR(16) NOT NULL, PRIMARY KEY(ns, tbl, ref_name))")
     ddl.foreach { sql =>
       val st = c.createStatement()
       try st.executeUpdate(sql)
-      catch { case e: SQLException if e.getSQLState == TableExistsState => () }
+      catch { case e: SQLException if TableExistsStates(e.getSQLState) => () }
       finally st.close()
     }
   }

@@ -35,6 +35,13 @@ case class ColBounds(min: String, max: String)
   * is what licenses metadata `COUNT(col)` on nullable columns and
   * IS [NOT] NULL file pruning. Absent for pre-existing log entries
   * (json4s default) = unknown = never prune, never answer. */
+/** `equalityKey = Some(col)` (with `deleteFile = Some(true)`) marks an
+  * EQUALITY-DELETE file (Iceberg v2 equality deletes): a parquet of
+  * deleted key VALUES in column `col`. It applies to data files that
+  * precede it in replay order (scan-side broadcast anti-join on the
+  * key), so rows appended after the delete with the same key survive —
+  * the keyed-CDC contract. Retired by any reset commit, like position
+  * vectors. */
 case class DataFileEntry(
     path: String,
     rowCount: Long,
@@ -42,7 +49,8 @@ case class DataFileEntry(
     partitionValues: Map[String, String],
     columnStats: Option[Map[String, ColBounds]] = None,
     deleteFile: Option[Boolean] = None,
-    nullCounts: Option[Map[String, Long]] = None)
+    nullCounts: Option[Map[String, Long]] = None,
+    equalityKey: Option[String] = None)
 
 /** One commit. `operation` ∈ append | overwrite | add_files — the three
   * commit kinds the reference exercises (`table.append`
@@ -520,6 +528,11 @@ object Snaplog {
     * deleted positions (Iceberg v2 `merge-on-read` mode). NOT a reset
     * op — it layers on the current live set. */
   val OpMorDelete = "mor_delete"
+  /** Equality-delete commit: adds ONLY a key-valued delete file
+    * (`equalityKey` set); applies to data files preceding it in replay
+    * order. NOT a reset op — layered like `mor_delete`, retired by the
+    * next reset commit. */
+  val OpEqDelete = "eq_delete"
   /** Automatic log-bounding fold (see [[Catalog#checkpointInterval]]):
     * carries the complete live set — data files AND outstanding
     * delete vectors — so replay can start here. A reset op for replay

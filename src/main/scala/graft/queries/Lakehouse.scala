@@ -372,6 +372,44 @@ object Lakehouse {
           CAST(SUM(CAST(price_sum AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM g""")),
 
+    // Equality-delete tier (Iceberg v2 equality deletes): DELETE WHERE
+    // key IN (…) as ONE key-valued delete file — zero data scan, unlike
+    // the position-vector path's pushdown pass — then a LATER append
+    // re-inserts half the deleted keys, which must survive (the delete
+    // applies only to files before it in replay order: keyed-CDC
+    // semantics). Audited in-result: data files untouched, exactly one
+    // key-valued delete entry.
+    QueryDef("lake_delete_eq",
+      (s, d) => {
+        val cat = new Snaplog(wh("lake_delete_eq", d))
+        val orders = t(s, d, "orders")
+        val table = LakehouseTable.create(cat, s, "lake", "orders_eq", orders.schema)
+        table.append(orders)
+        val dataBefore = cat.liveFiles("lake", "orders_eq").map(_.path).toSet
+        val deletedKeys = orders.filter(col("o_orderkey") % 7 === 0)
+          .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+        table.deleteEq("o_orderkey", deletedKeys)
+        // no data file rewritten; one key-valued delete entry
+        require(cat.liveFiles("lake", "orders_eq").map(_.path).toSet == dataBefore,
+          "equality delete must not touch data files")
+        val dels = cat.liveDeleteFiles("lake", "orders_eq")
+        require(dels.size == 1 && dels.head.equalityKey.contains("o_orderkey"),
+          s"expected one o_orderkey-valued delete file, got $dels")
+        // later re-insert of a subset of deleted keys must survive
+        table.append(orders.filter(col("o_orderkey") % 14 === 0))
+        table.scan()
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH content AS (
+          SELECT * FROM orders WHERE o_orderkey % 7 <> 0
+          UNION ALL
+          SELECT * FROM orders WHERE o_orderkey % 14 = 0)
+        SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM content GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // Hidden partitioning (Iceberg PartitionSpec semantics, beyond the
     // reference's identity-only spec): CREATE PARTITIONED BY (days(ts),
     // bucket(8, user_id)) → INSERT lays files out by the TRANSFORMED

@@ -49,7 +49,10 @@ private[sql] final class GraftSqlTable(
     tbl: String,
     writable: Boolean,
     tableProps: Map[String, String] = Map.empty,
-    loadedSnapshotId: Long = 0L) extends Table
+    loadedSnapshotId: Long = 0L,
+    // replay-ordered entries (data + deletes interleaved) — the
+    // sequencing equality deletes key off; empty when deleteFiles is
+    orderedEntries: Seq[DataFileEntry] = Seq.empty) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -135,6 +138,24 @@ private[sql] final class GraftSqlTable(
       truncateTable(); return
     }
     val spark = SparkSession.active
+    // opt-in equality tier ('write.delete.mode'='equality'): a keyed
+    // DELETE (single `k = v` / `k IN (…)` with non-null values) commits
+    // ONE key-valued delete file with NO data scan — the keyed-CDC
+    // shape. Anything else (ranges, conjunctions, nulls) falls back to
+    // the position-vector path below.
+    if (tableProps.get("write.delete.mode").contains("equality")) {
+      import org.apache.spark.sql.sources.{EqualTo => SEq, In => SIn}
+      val keyed: Option[(String, Seq[Any])] = filters match {
+        case Array(SEq(a, v)) if v != null => Some(a -> Seq(v))
+        case Array(SIn(a, vs)) if vs.nonEmpty && !vs.contains(null) =>
+          Some(a -> vs.toSeq)
+        case _ => None
+      }
+      keyed.foreach { case (key, values) =>
+        LakehouseTable.load(backing, spark, ns, tbl).deleteEq(key, values)
+        return
+      }
+    }
     val cond = filters.map(FilterToColumn.toColumn)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
@@ -163,7 +184,8 @@ private[sql] final class GraftSqlTable(
       deleteFiles, options,
       streamCtx = if (writable) Some((backing, ns, tbl)) else None,
       statsUnsafe = graft.types.FieldIds.namesSet(tableProps,
-        graft.types.FieldIds.StatsUnsafeProp))
+        graft.types.FieldIds.StatsUnsafeProp),
+      orderedEntries = orderedEntries)
   /** `INSERT INTO` appends; `INSERT OVERWRITE` (truncate-then-append in
     * Spark's plan) lands as ONE conditional overwrite commit — the
     * previous file set is replaced atomically, never a visible empty
@@ -541,6 +563,13 @@ private[sql] final class GraftRowLevelOperation(
     if (!writable)
       throw new UnsupportedOperationException(
         s"$tableName: a time-travel relation is read-only")
+    // the COW materialization path below understands position vectors
+    // only; a rewrite that ignored outstanding EQUALITY deletes would
+    // resurrect their keys in rewritten files
+    if (deleteFiles.exists(_.equalityKey.isDefined))
+      throw new UnsupportedOperationException(
+        s"$tableName: UPDATE/MERGE with outstanding equality deletes is " +
+          "not supported — CALL compact to materialize them first")
     new ScanBuilder
         with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
       private var myFilters: Seq[Expression] = Seq.empty
@@ -779,8 +808,8 @@ private[sql] final class MorRelation(
     ctx: SQLContext,
     tableSchema: StructType,
     requiredSchema: StructType,
-    dataPaths: Seq[String],
-    deletePaths: Seq[String],
+    segs: Seq[(Seq[DataFileEntry], Seq[DataFileEntry])],
+    posDeletePaths: Seq[String],
     dataSizeBytes: Long) extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = requiredSchema
@@ -792,20 +821,22 @@ private[sql] final class MorRelation(
   override def sizeInBytes: Long = dataSizeBytes
   override def buildScan(): org.apache.spark.rdd.RDD[Row] = {
     val spark = ctx.sparkSession
-    if (dataPaths.isEmpty)
+    if (segs.isEmpty)
       return spark.sparkContext.emptyRDD[Row]
-    val data = spark.read.schema(tableSchema).parquet(dataPaths: _*)
-    val dv = broadcast(spark.read.parquet(deletePaths: _*)
-      .select(col("file_path").as("__dv_file"), col("row_index").as("__dv_pos"))
-      .distinct())
-    data
-      .select(col("*"),
-        col("_metadata.file_path").as("__scan_file"),
-        col("_metadata.row_index").as("__scan_pos"))
-      .join(dv,
-        col("__scan_file") === col("__dv_file") &&
-          col("__scan_pos") === col("__dv_pos"),
-        "left_anti")
+    val data = graft.table.EqDeletes.readSubtracted(spark, tableSchema, segs,
+      withMeta = posDeletePaths.nonEmpty)
+    val subtracted =
+      if (posDeletePaths.isEmpty) data
+      else {
+        val dv = broadcast(spark.read.parquet(posDeletePaths: _*)
+          .select(col("file_path").as("__dv_file"), col("row_index").as("__dv_pos"))
+          .distinct())
+        data.join(dv,
+          col("__scan_file") === col("__dv_file") &&
+            col("__scan_pos") === col("__dv_pos"),
+          "left_anti")
+      }
+    subtracted
       .select(requiredSchema.fieldNames.toIndexedSeq.map(col): _*)
       .rdd
   }
@@ -828,7 +859,8 @@ private[sql] final class GraftScanBuilder(
     deleteFiles: Seq[DataFileEntry],
     options: CaseInsensitiveStringMap,
     streamCtx: Option[(Catalog, String, String)] = None,
-    statsUnsafe: Set[String] = Set.empty)
+    statsUnsafe: Set[String] = Set.empty,
+    orderedEntries: Seq[DataFileEntry] = Seq.empty)
     extends ScanBuilder
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -1030,22 +1062,26 @@ private[sql] final class GraftScanBuilder(
     case Some(agg) => metadataAggScan(agg)
     case None if deleteFiles.nonEmpty =>
       // Merge-on-read: metadata file pruning still applies, then a V1
-      // relation subtracts the delete vectors with a broadcast
-      // anti-join (see MorRelation).
+      // relation subtracts the delete files — equality deletes by
+      // keyed anti-join per replay segment, position vectors by the
+      // (file, position) anti-join (see MorRelation).
       val kept = keptFiles
+      val keptPaths = kept.map(_.path).toSet
       val requiredSchema = required
       val ts = tableSchema
-      val dataPaths = kept.map(_.path)
-      val delPaths = deleteFiles.map(_.path)
+      val posPaths = deleteFiles.filter(graft.table.EqDeletes.isPos).map(_.path)
+      val segs = graft.table.EqDeletes.segments(
+        if (orderedEntries.nonEmpty) orderedEntries else files ++ deleteFiles,
+        f => keptPaths(f.path))
       val dataSize = kept.map(_.sizeBytes).sum
       new V1Scan {
         override def readSchema(): StructType = requiredSchema
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T =
-          new MorRelation(context, ts, requiredSchema, dataPaths, delPaths,
+          new MorRelation(context, ts, requiredSchema, segs, posPaths,
             dataSize).asInstanceOf[T]
         override def description(): String =
-          s"GraftMorScan[${dataPaths.size} files, ${delPaths.size} delete vectors]"
+          s"GraftMorScan[${kept.size} files, ${deleteFiles.size} delete files]"
       }
     case None =>
       val kept = keptFiles
@@ -1470,11 +1506,17 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
         .exists(Snaplog.isWapStaged))
     if (stagedBranch) {
       val meta = backing.loadTable(ns, t)
-      val (dataFiles, delFiles) = backing.branchFilesSplit(ns, t, version)
+      // ordered: base lineage then staged appends (staged rows are
+      // never touched by base equality deletes)
+      val (base, staged) = backing.branchLineage(ns, t, version)
+      val ordered = base
+        .map(b => backing.liveEntriesOrdered(ns, t, Some(b)))
+        .getOrElse(Seq.empty) ++ staged.flatMap(_.files)
+      val (delFiles, dataFiles) = ordered.partition(_.deleteFile.contains(true))
       return new GraftSqlTable(s"$catName.$ns.$t", meta.schema,
         meta.partitionColumns, dataFiles, delFiles, backing, ns, t,
         writable = false, tableProps = meta.properties,
-        loadedSnapshotId = ref.get.snapshotId)
+        loadedSnapshotId = ref.get.snapshotId, orderedEntries = ordered)
     }
     val id = ref.map(_.snapshotId)
       .orElse(scala.util.Try(version.toLong).toOption)
@@ -1514,16 +1556,18 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     // statement (conservative direction) instead of losing the race's
     // rows. One replay serves both lists.
     val snapId = asOf.orElse(backing.currentSnapshot(ns, t).map(_.snapshotId))
-    val (dataFiles, delFiles) =
-      if (snapId.isEmpty) (Seq.empty[DataFileEntry], Seq.empty[DataFileEntry])
-      else backing.liveFilesSplit(ns, t, asOf)
+    val ordered =
+      if (snapId.isEmpty) Seq.empty[DataFileEntry]
+      else backing.liveEntriesOrdered(ns, t, asOf)
+    val (delFiles, dataFiles) = ordered.partition(_.deleteFile.contains(true))
     // a renamed/dropped-column table stores an id-bearing schema: the
     // session must resolve parquet columns BY ID for its scans
     if (graft.types.FieldIds.hasIds(meta.schema))
       SparkSession.active.conf.set(graft.types.FieldIds.ReadConf, "true")
     new GraftSqlTable(s"$catName.$ns.$t", meta.schema, meta.partitionColumns,
       dataFiles, delFiles, backing, ns, t, writable = asOf.isEmpty,
-      tableProps = meta.properties, loadedSnapshotId = snapId.getOrElse(0L))
+      tableProps = meta.properties, loadedSnapshotId = snapId.getOrElse(0L),
+      orderedEntries = ordered)
   }
 
   /** `ALTER TABLE … ADD COLUMN` for the one evolution that is always

@@ -58,8 +58,11 @@ final class LakehouseTable(
       partitionFilter: Map[String, String] = Map.empty,
       rangeFilter: Map[String, (Option[Double], Option[Double])] = Map.empty)
       : DataFrame = {
-    val files = selectFiles(asOf, partitionFilter, rangeFilter)
-    assemble(files, catalog.liveDeleteFiles(namespace, name, asOf))
+    // ONE replay yields data files, position vectors AND the replay
+    // order equality deletes key off; metadata pruning applies to the
+    // data entries without disturbing the sequence
+    val ordered = catalog.liveEntriesOrdered(namespace, name, asOf)
+    assembleOrdered(ordered, dataKeep(partitionFilter, rangeFilter))
   }
 
   /** File lists → DataFrame: plain parquet scan, with the merge-on-read
@@ -78,26 +81,62 @@ final class LakehouseTable(
     s
   }
 
-  private def assemble(files: Seq[DataFileEntry],
-      deletes: Seq[DataFileEntry]): DataFrame = {
-    if (files.isEmpty)
+  /** Assemble a scan from replay-ordered entries: per-segment equality-
+    * delete anti-joins (see [[EqDeletes]]), then the global position-
+    * vector subtraction. Both delete kinds are metadata-sized relative
+    * to the data, so the joins add no shuffle of the data side; a reset
+    * commit (compaction/overwrite) retires them entirely. */
+  private def assembleOrdered(ordered: Seq[DataFileEntry],
+      keep: DataFileEntry => Boolean): DataFrame = {
+    val posDeletes = ordered.filter(EqDeletes.isPos)
+    val segs = EqDeletes.segments(ordered, keep)
+    if (segs.isEmpty)
       return spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-    val data = spark.read.schema(readSchema).parquet(files.map(_.path): _*)
-    if (deletes.isEmpty) data
+    val data = EqDeletes.readSubtracted(spark, readSchema, segs,
+      withMeta = posDeletes.nonEmpty)
+    if (posDeletes.isEmpty) data
     else {
       val dv = broadcast(
-        spark.read.parquet(deletes.map(_.path): _*)
+        spark.read.parquet(posDeletes.map(_.path): _*)
           .select(col("file_path").as("__dv_file"), col("row_index").as("__dv_pos"))
           .distinct())
       data
-        .select(col("*"),
-          col("_metadata.file_path").as("__scan_file"),
-          col("_metadata.row_index").as("__scan_pos"))
         .join(dv,
           col("__scan_file") === col("__dv_file") &&
             col("__scan_pos") === col("__dv_pos"),
           "left_anti")
         .drop("__scan_file", "__scan_pos")
+    }
+  }
+
+  /** Metadata pruning predicate over one data file — the filter
+    * [[selectFiles]] applies, extracted so sequence-aware assembly can
+    * prune without re-replaying the log. */
+  private def dataKeep(
+      partitionFilter: Map[String, String],
+      rangeFilter: Map[String, (Option[Double], Option[Double])])
+      : DataFileEntry => Boolean = {
+    val statsUnsafe = graft.types.FieldIds.namesSet(
+      meta.properties, graft.types.FieldIds.StatsUnsafeProp)
+    f => {
+      val partOk = partitionFilter.forall { case (k, v) =>
+        f.partitionValues.get(k).contains(v)
+      }
+      partOk && rangeFilter.forall {
+        case (c, _) if statsUnsafe(c.toLowerCase(java.util.Locale.ROOT)) => true
+        case (c, (lo, hi)) =>
+          f.columnStats.flatMap(_.get(c)) match {
+            case Some(b) =>
+              val parsed =
+                try Some((b.min.toDouble, b.max.toDouble))
+                catch { case _: NumberFormatException => None }
+              parsed.forall { case (mn, mx) =>
+                mn.isNaN || mx.isNaN ||
+                  (lo.forall(_ <= mx) && hi.forall(_ >= mn))
+              }
+            case None => true
+          }
+      }
     }
   }
 
@@ -110,42 +149,17 @@ final class LakehouseTable(
       partitionFilter: Map[String, String] = Map.empty,
       rangeFilter: Map[String, (Option[Double], Option[Double])] = Map.empty)
       : Seq[DataFileEntry] = {
-    val files0 = catalog.liveFiles(namespace, name, asOf)
-    val afterPartition =
-      if (partitionFilter.isEmpty) files0
-      else files0.filter(f => partitionFilter.forall { case (k, v) =>
-        f.partitionValues.get(k).contains(v)
-      })
-    // Stat-based file skipping (Iceberg manifest pruning): drop files
-    // whose recorded [min,max] for a numeric column cannot intersect
-    // the requested [lo,hi]. Files without stats for the column always
-    // survive — pruning is an optimization, never a correctness filter,
-    // so callers still apply the row-level predicate. Columns whose
-    // NAME was rebound by evolution (drop+re-add / rename onto a freed
-    // name) never prune: old files' name-keyed stats describe the
-    // previously-bound column.
-    if (rangeFilter.isEmpty) return afterPartition
-    val statsUnsafe = graft.types.FieldIds.namesSet(
-      meta.properties, graft.types.FieldIds.StatsUnsafeProp)
-    afterPartition.filter { f =>
-      rangeFilter.forall {
-        case (c, _) if statsUnsafe(c.toLowerCase(java.util.Locale.ROOT)) => true
-        case (c, (lo, hi)) =>
-        f.columnStats.flatMap(_.get(c)) match {
-          case Some(b) =>
-            val parsed =
-              try Some((b.min.toDouble, b.max.toDouble))
-              catch { case _: NumberFormatException => None }
-            parsed.forall { case (mn, mx) =>
-              // NaN-poisoned bounds must never prune: every comparison
-              // with NaN is false, which would wrongly drop the file
-              mn.isNaN || mx.isNaN ||
-                (lo.forall(_ <= mx) && hi.forall(_ >= mn))
-            }
-          case None => true
-        }
-      }
-    }
+    // Partition pruning then stat-based file skipping (Iceberg manifest
+    // pruning): drop files whose recorded identity value / [min,max]
+    // cannot match. Files without metadata for a column always survive —
+    // pruning is an optimization, never a correctness filter, so callers
+    // still apply the row-level predicate. Columns whose NAME was
+    // rebound by evolution (drop+re-add / rename onto a freed name)
+    // never prune: old files' name-keyed stats describe the
+    // previously-bound column. NaN-poisoned bounds never prune either
+    // (every comparison with NaN is false).
+    catalog.liveFiles(namespace, name, asOf)
+      .filter(dataKeep(partitionFilter, rangeFilter))
   }
 
   /** Tag the current (or a given) snapshot with an immutable name —
@@ -197,8 +211,13 @@ final class LakehouseTable(
     * branch ref pointing at a plain (published) snapshot reads
     * identically to [[scanRef]]. */
   def scanBranch(branch: String): DataFrame = {
-    val (data, dels) = catalog.branchFilesSplit(namespace, name, branch)
-    assemble(data, dels)
+    // staged appends come AFTER every base delete in sequence, so base
+    // equality deletes never touch branch-staged rows
+    val (base, staged) = catalog.branchLineage(namespace, name, branch)
+    val ordered = base
+      .map(b => catalog.liveEntriesOrdered(namespace, name, Some(b)))
+      .getOrElse(Seq.empty) ++ staged.flatMap(_.files)
+    assembleOrdered(ordered, _ => true)
   }
 
   /** Publish a staged branch onto main (Iceberg's `fast_forward`): ONE
@@ -493,6 +512,43 @@ final class LakehouseTable(
       carryFiles = untouched, expected = Some(base))
   }
 
+  /** EQUALITY delete (the Iceberg v2 equality-delete tier): `DELETE
+    * WHERE keyCol IN (values)` as ONE key-valued delete file + one
+    * layered commit — NO data scan at all, unlike [[deleteMor]]'s
+    * pushdown pass. The scale primitive for keyed streaming CDC: a
+    * delete feed commits key files as fast as the log accepts them,
+    * and scans subtract by broadcast anti-join on the key. The delete
+    * applies to data files committed BEFORE it (replay order), so a
+    * later re-insert of the same key survives — and like position
+    * vectors it is retired by any reset commit ([[compact]]
+    * materializes). Null values are rejected (an equality delete
+    * cannot express IS NULL). */
+  def deleteEq(keyCol: String, values: Seq[Any]): Snapshot = {
+    val base = currentSnapshotId
+    val field = schema.fields.find(_.name.equalsIgnoreCase(keyCol)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column '$keyCol' in $namespace.$name"))
+    require(values.nonEmpty, "deleteEq of zero values")
+    require(!values.contains(null),
+      "deleteEq cannot delete null keys (equality is null-rejecting)")
+    val keyDf = SchemaInfer.normalize(
+      spark.createDataFrame(
+        values.map(v => Row(v)).asJava,
+        StructType(Seq(StructField(field.name, field.dataType, nullable = false)))),
+      StructType(Seq(field.copy(nullable = false)))).distinct()
+    val delDir = catalog.dataDir(namespace, name)
+      .resolve(s"eqdel-${java.util.UUID.randomUUID().toString.take(12)}")
+    keyDf.coalesce(1).write.mode("overwrite").parquet(delDir.toString)
+    val delFiles = listParquet(delDir.toString).map { p =>
+      statFile(p, Map.empty)
+        .copy(deleteFile = Some(true), equalityKey = Some(field.name))
+    }
+    catalog.commit(namespace, name, Snaplog.OpEqDelete, delFiles,
+      Map("equality-key" -> field.name,
+        "delete-values" -> delFiles.map(_.rowCount).sum.toString),
+      expectedSnapshotId = Some(base))
+  }
+
   /** Merge-on-read row-level DELETE (the Iceberg v2 position-delete
     * tier, complement of the COW [[delete]]): instead of rewriting the
     * files that contain matches, write ONE small parquet of matched
@@ -519,7 +575,11 @@ final class LakehouseTable(
       .filter(condition)
       .select(col("_metadata.file_path").as("file_path"),
         col("_metadata.row_index").as("row_index"))
+    // dedup against POSITION vectors only (equality-delete files have a
+    // key-valued schema); re-recording a position for an eq-deleted row
+    // is harmless — both subtractions remove it
     val existing = catalog.liveDeleteFiles(namespace, name)
+      .filter(_.equalityKey.isEmpty)
     val matched =
       if (existing.isEmpty) candidate
       else candidate.join(

@@ -897,6 +897,38 @@ abstract class CatalogContractSpec extends SparkSpec {
     assert(nc.get("id").contains(0L), s"id null count: $nc")
   }
 
+  test("equality delete: no data scan, sequence semantics, compaction retirement") {
+    val cat = freshCatalog()
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+    val t = graft.table.LakehouseTable.create(cat, spark, "ns", "eqd", df.schema)
+    t.append(df)
+    val dataBefore = cat.liveFiles("ns", "eqd").map(_.path).toSet
+
+    t.deleteEq("id", Seq(2L, 3L))
+    // data files untouched; ONE key-valued delete file in the log
+    assert(cat.liveFiles("ns", "eqd").map(_.path).toSet == dataBefore)
+    val dels = cat.liveDeleteFiles("ns", "eqd")
+    assert(dels.size == 1 && dels.head.equalityKey.contains("id"))
+    assert(t.scan().collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L))
+
+    // keyed-CDC sequencing: a LATER append of a deleted key survives
+    t.append(Seq((2L, "new")).toDF("id", "v"))
+    val after = t.scan().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after == Map(1L -> "a", 2L -> "new", 4L -> "d"),
+      s"insert-after-delete must survive: $after")
+
+    // a second delete applies to everything before it, incl. the re-insert
+    t.deleteEq("id", Seq(4L, 2L))
+    assert(t.scan().collect().map(_.getLong(0)).toSeq == Seq(1L))
+
+    // compaction materializes the subtraction and retires the delete files
+    t.compact()
+    assert(cat.liveDeleteFiles("ns", "eqd").isEmpty)
+    assert(t.scan().collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // incremental reads across an eq-delete commit refuse loudly
+    intercept[IllegalArgumentException] { t.scanIncremental(1L, Some(3L)) }
+  }
+
   test("hidden-partition transform tuples ride the log on every backend") {
     val cat = freshCatalog()
     val df = Seq(

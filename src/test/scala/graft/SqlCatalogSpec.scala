@@ -158,6 +158,57 @@ class SqlCatalogSpec extends SparkSpec {
     assert(f4.head().getLong(0) == 8)
   }
 
+  test("SQL reads apply equality deletes with sequence semantics; COW refuses") {
+    val wh = Files.createTempDirectory("graft-sqleq").toString
+    val cat = new Snaplog(wh)
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val tbl = LakehouseTable.create(cat, spark, "ns", "eq", df.schema)
+    tbl.append(df)
+    tbl.deleteEq("id", Seq(2L))
+    tbl.append(Seq((2L, "new")).toDF("id", "v")) // re-insert survives
+
+    spark.conf.set("spark.sql.catalog.gsqleq", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqleq.warehouse", wh)
+    // the MOR relation applies the delete to pre-delete files only
+    assert(spark.sql("SELECT id, v FROM gsqleq.ns.eq ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "new"), (3L, "c")))
+    // filters still work through the eq-subtracted scan
+    assert(spark.sql("SELECT v FROM gsqleq.ns.eq WHERE id = 2").head().getString(0)
+      == "new")
+    // UPDATE/MERGE (COW) with outstanding equality deletes refuses loudly
+    val ex = intercept[Exception] {
+      spark.sql("UPDATE gsqleq.ns.eq SET v = 'x' WHERE id = 1")
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("equality"),
+      s"expected equality-delete refusal, got: ${ex.getMessage}")
+    // compaction via CALL retires the delete; DML works again
+    spark.sql("CALL gsqleq.system.compact('ns', 'eq', '')")
+    assert(cat.liveDeleteFiles("ns", "eq").isEmpty)
+    spark.sql("UPDATE gsqleq.ns.eq SET v = 'x' WHERE id = 1")
+    assert(spark.sql("SELECT v FROM gsqleq.ns.eq WHERE id = 1").head().getString(0)
+      == "x")
+
+    // opt-in SQL routing: write.delete.mode=equality sends a keyed
+    // DELETE to the equality tier (no data scan); ranges still MOR
+    spark.sql("""CREATE TABLE gsqleq.ns.cdc (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.delete.mode'='equality')""")
+    spark.sql("INSERT INTO gsqleq.ns.cdc VALUES " +
+      "(CAST(1 AS BIGINT),'a'),(CAST(2 AS BIGINT),'b'),(CAST(3 AS BIGINT),'c')")
+    spark.sql("DELETE FROM gsqleq.ns.cdc WHERE id IN (1, 3)")
+    assert(cat.snapshots("ns", "cdc").last.operation == graft.catalog.Snaplog.OpEqDelete,
+      s"keyed DELETE should take the equality tier: ${cat.snapshots("ns", "cdc").map(_.operation)}")
+    spark.sql("INSERT INTO gsqleq.ns.cdc VALUES (CAST(1 AS BIGINT),'new')")
+    assert(spark.sql("SELECT id, v FROM gsqleq.ns.cdc ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "new"), (2L, "b")))
+    spark.sql("DELETE FROM gsqleq.ns.cdc WHERE id < 2") // range → position tier
+    assert(cat.snapshots("ns", "cdc").last.operation == graft.catalog.Snaplog.OpMorDelete)
+    assert(spark.sql("SELECT id FROM gsqleq.ns.cdc").collect().map(_.getLong(0)).toSeq
+      == Seq(2L))
+  }
+
   test("null counts: metadata COUNT(col) with real nulls + IS NULL file pruning") {
     val wh = Files.createTempDirectory("graft-sqlnull").toString
     val cat = new Snaplog(wh)

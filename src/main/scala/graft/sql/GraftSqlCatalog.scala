@@ -327,7 +327,7 @@ private[sql] final class GraftBatchWrite(
     delegate.commit(messages) // parquet job commit: staged files final
     val staged = FileStats.listParquet(stage.toString)
     val files =
-      if (partitionCols.isEmpty) staged.map(p => FileStats.stat(spark, p, Map.empty))
+      if (partitionCols.isEmpty) FileStats.statAll(spark, staged, _ => Map.empty)
       else relayout(staged)
     val carry = carryFiles()
     val extra =
@@ -373,9 +373,8 @@ private[sql] final class GraftBatchWrite(
       .partitionBy(partFields.map(pf => FileStats.layoutCol(pf.fieldName)): _*)
       .parquet(layoutDir.toString)
     GraftBatchWrite.rmTree(stage) // staged files are intermediate once laid out
-    FileStats.listParquet(layoutDir.toString).map(p =>
-      FileStats.stat(spark, p,
-        FileStats.partitionValuesFromPath(p, partFields.map(_.fieldName))))
+    FileStats.statAll(spark, FileStats.listParquet(layoutDir.toString),
+      p => FileStats.partitionValuesFromPath(p, partFields.map(_.fieldName)))
   }
 }
 

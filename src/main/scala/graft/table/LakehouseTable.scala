@@ -462,7 +462,7 @@ final class LakehouseTable(
       s"$namespace.$name has evolved columns (read-by-id): add_files of " +
         "foreign parquet is not verifiable against its field ids — load " +
         "the files and append() them instead")
-    val entries = paths.map(statFile(_, Map.empty))
+    val entries = FileStats.statAll(spark, paths, _ => Map.empty)
     val groups = if (batchSize > 0) entries.grouped(batchSize).toSeq else Seq(entries)
     groups.map(g => catalog.commit(namespace, name, Snaplog.OpAddFiles, g))
   }
@@ -886,7 +886,16 @@ final class LakehouseTable(
     // (hidden partitioning: queries filter the source, metadata prunes
     // the transform)
     val partFields = PartitionTransforms.parseAll(m.partitionColumns)
-    val withLayout = partFields.foldLeft(normalized)((d, pf) =>
+    // Transform-partitioned writes repartition by the layout expressions
+    // first: a days×bucket spec crossed with N input tasks would
+    // otherwise fan out to N × |dirs| small files (and as many log
+    // entries) per commit. Identity writes keep the caller's
+    // partitioning — existing layouts and file-count contracts stand.
+    val clustered =
+      if (partFields.forall(_.isInstanceOf[IdentityField])) normalized
+      else normalized.repartition(
+        partFields.map(pf => pf.expr(col(pf.source))): _*)
+    val withLayout = partFields.foldLeft(clustered)((d, pf) =>
       d.withColumn(layoutCol(pf.fieldName), pf.expr(col(pf.source))))
     val codec = m.properties.getOrElse("write.compression", "zstd")
     var writer = withLayout.write.mode("overwrite").option("compression", codec)
@@ -895,9 +904,8 @@ final class LakehouseTable(
     if (partFields.nonEmpty)
       writer = writer.partitionBy(partFields.map(pf => layoutCol(pf.fieldName)): _*)
     writer.parquet(commitDir.toString)
-    val files = listParquet(commitDir.toString).map { p =>
-      statFile(p, partitionValuesFromPath(p, partFields.map(_.fieldName)))
-    }
+    val files = FileStats.statAll(spark, listParquet(commitDir.toString),
+      p => partitionValuesFromPath(p, partFields.map(_.fieldName)))
     catalog.commit(namespace, name, op, carryFiles ++ files, extraSummary,
       expectedSnapshotId = expected, parentIdOverride = parentIdOverride)
   }
@@ -950,10 +958,30 @@ object FileStats {
   def normalizePath(s: String): String =
     if (s.contains(":/")) Paths.get(new java.net.URI(s)).toString else s
 
+  /** Footer-stat a whole file list IN PARALLEL (deterministic order):
+    * one footer read per file is driver-side metadata I/O, and a commit
+    * of hundreds of files (a days×bucket layout, a large compaction)
+    * must cost one round-trip latency, not one per file — the same
+    * treatment requireIdBearingFiles gives its probe. */
+  def statAll(spark: SparkSession, paths: Seq[String],
+      pv: String => Map[String, String]): Seq[DataFileEntry] = {
+    val conf = spark.sessionState.newHadoopConf()
+    if (paths.size <= 4) paths.map(p => stat(spark, p, pv(p), Some(conf)))
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.DurationInt
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(
+        Future.traverse(paths)(p => Future(stat(spark, p, pv(p), Some(conf)))),
+        30.minutes)
+    }
+  }
+
   /** Row count + size + per-column bounds from the parquet footer —
     * no data pages read. */
-  def stat(spark: SparkSession, path: String, pv: Map[String, String]): DataFileEntry = {
-    val conf = spark.sessionState.newHadoopConf()
+  def stat(spark: SparkSession, path: String, pv: Map[String, String],
+      hadoopConf: Option[org.apache.hadoop.conf.Configuration] = None): DataFileEntry = {
+    val conf = hadoopConf.getOrElse(spark.sessionState.newHadoopConf())
     val in = HadoopInputFile.fromPath(new HadoopPath(path), conf)
     val r = ParquetFileReader.open(in)
     try {

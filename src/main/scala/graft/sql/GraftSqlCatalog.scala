@@ -63,11 +63,16 @@ private[sql] final class GraftSqlTable(
     * interface defaults (empty). */
   override def partitioning(): Array[Transform] = {
     import org.apache.spark.sql.connector.expressions.Expressions
-    import graft.table.{BucketField, DaysField, IdentityField, PartitionTransforms}
+    import graft.table._
     PartitionTransforms.parseAll(partitionCols).map {
       case IdentityField(c) => Expressions.identity(c)
       case DaysField(c) => Expressions.days(c)
+      case HoursField(c) => Expressions.hours(c)
+      case MonthsField(c) => Expressions.months(c)
+      case YearsField(c) => Expressions.years(c)
       case BucketField(n, c) => Expressions.bucket(n, c)
+      case TruncateField(w, c) => Expressions.apply("truncate",
+        Expressions.literal(w), Expressions.column(c))
     }.toArray
   }
   override def properties(): java.util.Map[String, String] = {
@@ -1451,21 +1456,24 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
           s"$catName: transform $tr must reference exactly one column")
         tr.references()(0).fieldNames().mkString(".")
       }
+      def intArg: Int = tr.arguments().collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value().isInstanceOf[Number] =>
+          l.value().asInstanceOf[Number].intValue()
+      }.getOrElse(throw new UnsupportedOperationException(
+        s"$catName: transform without its numeric argument: $tr"))
       tr.name match {
         case "identity" => ref
         case "days" => s"days($ref)"
-        case "bucket" =>
-          val n = tr.arguments().collectFirst {
-            case l: org.apache.spark.sql.connector.expressions.Literal[_]
-                if l.value().isInstanceOf[Number] =>
-              l.value().asInstanceOf[Number].intValue()
-          }.getOrElse(throw new UnsupportedOperationException(
-            s"$catName: bucket transform without a bucket count: $tr"))
-          s"bucket($n,$ref)"
+        case "hours" => s"hours($ref)"
+        case "months" => s"months($ref)"
+        case "years" => s"years($ref)"
+        case "bucket" => s"bucket($intArg,$ref)"
+        case "truncate" => s"truncate($intArg,$ref)"
         case _ =>
           throw new UnsupportedOperationException(
-            s"$catName supports identity, days(col) and bucket(n, col) " +
-              s"partitioning; got $tr")
+            s"$catName supports identity, years/months/days/hours(col), " +
+              s"bucket(n, col) and truncate(w, col) partitioning; got $tr")
       }
     }
     val props = {

@@ -1,6 +1,7 @@
 package graft.table
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Literal => CatalystLiteral}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -8,30 +9,30 @@ import graft.catalog.{DataFileEntry, Snaplog}
 
 /** Hidden-partitioning transforms (Iceberg `PartitionSpec` semantics,
   * reference `main-polars.py:135-142` — the reference itself only uses
-  * IdentityTransform; `days`/`bucket` are the beyond-parity transforms
-  * a time-partitioned 100 TB events table actually needs).
+  * IdentityTransform; the transform set here is the one a
+  * time-partitioned 100 TB events table actually needs).
   *
   * A table's partition spec is stored as strings in
   * `TableMetadata.partitionColumns` — `"col"` (identity),
-  * `"days(col)"`, `"bucket(n,col)"` — so the serialized metadata format
-  * is unchanged and every pre-existing identity table parses as before.
-  * Each non-identity transform derives a FIELD NAME (`col_day`,
-  * `col_bucket`) under which the per-file TRANSFORMED value is recorded
-  * in the log (and used as the `__p_` layout directory), while the raw
-  * source column stays untouched in the data files — queries filter on
-  * the SOURCE column and pruning happens on the transformed metadata,
-  * which is exactly what "hidden" means.
+  * `"days(col)"`, `"hours(col)"`, `"months(col)"`, `"years(col)"`,
+  * `"bucket(n,col)"`, `"truncate(w,col)"` — so the serialized metadata
+  * format is unchanged and every pre-existing identity table parses as
+  * before. Each non-identity transform derives a FIELD NAME
+  * (`col_day`, `col_bucket`, …) under which the per-file TRANSFORMED
+  * value is recorded in the log (and used as the `__p_` layout
+  * directory), while the raw source column stays untouched in the data
+  * files — queries filter the SOURCE column and pruning happens on the
+  * transformed metadata, which is exactly what "hidden" means.
   *
-  * Transform definitions (write path and prune path MUST agree):
-  *  - `days(ts)`  = floorDiv(micros-since-epoch, 86 400 000 000) — the
-  *    epoch-day index as a decimal string. Computed with exact integral
-  *    arithmetic (`(m − pmod(m, D)) / D`, both double-exact below 2^53)
-  *    so the day boundary never rounds. For DATE sources it is the
-  *    internal epoch-day itself.
-  *  - `bucket(n, col)` = floorMod(xxhash64(col), n) — Spark's XxHash64
-  *    (seed 42) of the single column, nonnegative remainder. Null
-  *    sources go to the null partition (Hive default sentinel), like
-  *    identity nulls.
+  * Write path and prune path MUST agree bit-for-bit: the layout
+  * Column `expr` records the value, `ofCatalyst` transforms a pushed
+  * literal the same way (time transforms assume the UTC session
+  * timezone every engine entry point pins). Time transforms store
+  * integral epoch indexes (day/hour/month/year offsets from 1970,
+  * exact integral arithmetic so boundaries never round); `bucket` is
+  * floorMod(xxhash64, n); `truncate` is the leading-codepoints string
+  * prefix. Null sources go to the null partition (Hive default
+  * sentinel), like identity nulls.
   */
 sealed trait PartField {
   /** The spec string stored in TableMetadata.partitionColumns. */
@@ -44,6 +45,18 @@ sealed trait PartField {
   def fieldName: String
   /** The transformed value as a string-typed layout Column. */
   def expr(c: Column): Column
+  /** The same transform applied to a pushed catalyst literal, as the
+    * stored string form; None = not evaluable (wrong type / null). */
+  def ofCatalyst(l: CatalystLiteral): Option[String] = None
+  /** Order-preserving transform — licenses range pruning at transform
+    * granularity. Hash buckets and identity stay false. */
+  def ordered: Boolean = false
+  /** Compare two stored-form values (only consulted when `ordered`). */
+  def cmp(a: String, b: String): Option[Int] =
+    (scala.util.Try(a.toLong).toOption, scala.util.Try(b.toLong).toOption) match {
+      case (Some(x), Some(y)) => Some(java.lang.Long.compare(x, y))
+      case _ => None
+    }
 }
 
 final case class IdentityField(source: String) extends PartField {
@@ -52,14 +65,62 @@ final case class IdentityField(source: String) extends PartField {
   def expr(c: Column): Column = c
 }
 
-final case class DaysField(source: String) extends PartField {
+/** Shared epoch-index scaffolding for the four time transforms. */
+sealed trait TimeField extends PartField {
+  override def ordered: Boolean = true
+  /** Exact integral floorDiv of a (possibly negative) micros column. */
+  protected def floorDivCol(m: Column, unit: Long): Column =
+    ((m - pmod(m, lit(unit))) / lit(unit)).cast(LongType)
+  protected def microsOf(l: CatalystLiteral): Option[Long] = (l.value, l.dataType) match {
+    case (m: Long, TimestampType | TimestampNTZType) => Some(m)
+    case _ => None
+  }
+  protected def localDateOf(l: CatalystLiteral): Option[java.time.LocalDate] =
+    (l.value, l.dataType) match {
+      case (m: Long, TimestampType | TimestampNTZType) =>
+        Some(java.time.LocalDate.ofEpochDay(Math.floorDiv(m, 86400000000L)))
+      case (d: Int, DateType) => Some(java.time.LocalDate.ofEpochDay(d.toLong))
+      case _ => None
+    }
+}
+
+final case class DaysField(source: String) extends TimeField {
   val spec: String = s"days($source)"
   val fieldName: String = s"${source}_day"
+  def expr(c: Column): Column =
+    floorDivCol(unix_micros(c.cast(TimestampType)), 86400000000L).cast(StringType)
+  override def ofCatalyst(l: CatalystLiteral): Option[String] =
+    localDateOf(l).map(_.toEpochDay.toString)
+}
+
+final case class HoursField(source: String) extends TimeField {
+  val spec: String = s"hours($source)"
+  val fieldName: String = s"${source}_hour"
+  def expr(c: Column): Column =
+    floorDivCol(unix_micros(c.cast(TimestampType)), 3600000000L).cast(StringType)
+  override def ofCatalyst(l: CatalystLiteral): Option[String] =
+    microsOf(l).map(m => Math.floorDiv(m, 3600000000L).toString)
+}
+
+final case class MonthsField(source: String) extends TimeField {
+  val spec: String = s"months($source)"
+  val fieldName: String = s"${source}_month"
   def expr(c: Column): Column = {
-    val D = 86400000000L
-    val m = unix_micros(c.cast(TimestampType))
-    ((m - pmod(m, lit(D))) / lit(D)).cast(LongType).cast(StringType)
+    val ts = c.cast(TimestampType)
+    ((year(ts) - lit(1970)) * lit(12) + (month(ts) - lit(1)))
+      .cast(LongType).cast(StringType)
   }
+  override def ofCatalyst(l: CatalystLiteral): Option[String] =
+    localDateOf(l).map(d => ((d.getYear - 1970) * 12 + (d.getMonthValue - 1)).toString)
+}
+
+final case class YearsField(source: String) extends TimeField {
+  val spec: String = s"years($source)"
+  val fieldName: String = s"${source}_year"
+  def expr(c: Column): Column =
+    (year(c.cast(TimestampType)) - lit(1970)).cast(LongType).cast(StringType)
+  override def ofCatalyst(l: CatalystLiteral): Option[String] =
+    localDateOf(l).map(d => (d.getYear - 1970).toString)
 }
 
 final case class BucketField(n: Int, source: String) extends PartField {
@@ -68,16 +129,49 @@ final case class BucketField(n: Int, source: String) extends PartField {
   def expr(c: Column): Column =
     when(c.isNull, lit(null).cast(StringType))
       .otherwise(pmod(xxhash64(c), lit(n.toLong)).cast(StringType))
+  /** Evaluates the SAME XxHash64 expression the layout column uses, so
+    * agreement is by construction. */
+  override def ofCatalyst(l: CatalystLiteral): Option[String] =
+    if (l.value == null) None
+    else {
+      val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(l))
+        .eval(null).asInstanceOf[Long]
+      Some(Math.floorMod(h, n.toLong).toString)
+    }
+}
+
+/** Leading-codepoints string prefix (STRING sources only). Pruning is
+  * equality/IN-only: `ordered` stays false because lexicographic
+  * comparison of the stored prefix can disagree with Spark's UTF-8
+  * binary ordering on supplementary characters — equality cannot. */
+final case class TruncateField(width: Int, source: String) extends PartField {
+  val spec: String = s"truncate($width,$source)"
+  val fieldName: String = s"${source}_trunc"
+  def expr(c: Column): Column = substring(c, 1, width)
+  override def ofCatalyst(l: CatalystLiteral): Option[String] = (l.value, l.dataType) match {
+    case (u: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+      // substringSQL counts codepoints exactly like functions.substring
+      Some(u.substringSQL(1, width).toString)
+    case _ => None
+  }
 }
 
 object PartitionTransforms {
 
   private val DaysRe = """(?i)days?\(\s*([^()\s,]+)\s*\)""".r
+  private val HoursRe = """(?i)hours?\(\s*([^()\s,]+)\s*\)""".r
+  private val MonthsRe = """(?i)months?\(\s*([^()\s,]+)\s*\)""".r
+  private val YearsRe = """(?i)years?\(\s*([^()\s,]+)\s*\)""".r
   private val BucketRe = """(?i)bucket\(\s*(\d+)\s*,\s*([^()\s,]+)\s*\)""".r
+  private val TruncateRe = """(?i)truncate\(\s*(\d+)\s*,\s*([^()\s,]+)\s*\)""".r
 
   def parse(spec: String): PartField = spec match {
     case DaysRe(c) => DaysField(c)
+    case HoursRe(c) => HoursField(c)
+    case MonthsRe(c) => MonthsField(c)
+    case YearsRe(c) => YearsField(c)
     case BucketRe(n, c) => BucketField(n.toInt, c)
+    case TruncateRe(w, c) => TruncateField(w.toInt, c)
     case c => IdentityField(c)
   }
 
@@ -96,19 +190,30 @@ object PartitionTransforms {
         throw new IllegalArgumentException(
           s"partition column '${pf.source}' (of spec '${pf.spec}') not in schema"))
       pf match {
-        case _: DaysField => f.dataType match {
+        case _: HoursField => f.dataType match {
+          case TimestampType | TimestampNTZType => ()
+          case other => throw new IllegalArgumentException(
+            s"${pf.spec}: source must be a timestamp, is ${other.simpleString}")
+        }
+        case _: TimeField => f.dataType match {
           case TimestampType | TimestampNTZType | DateType => ()
           case other => throw new IllegalArgumentException(
-            s"days(${pf.source}): source must be timestamp/date, is ${other.simpleString}")
+            s"${pf.spec}: source must be timestamp/date, is ${other.simpleString}")
         }
         case b: BucketField =>
-          require(b.n > 0, s"bucket(${b.n},${pf.source}): bucket count must be positive")
+          require(b.n > 0, s"${pf.spec}: bucket count must be positive")
           f.dataType match {
             case _: ArrayType | _: MapType | _: StructType =>
               throw new IllegalArgumentException(
-                s"bucket(${pf.source}): source must be an atomic type, " +
-                  s"is ${f.dataType.simpleString}")
+                s"${pf.spec}: source must be an atomic type, is ${f.dataType.simpleString}")
             case _ => ()
+          }
+        case t: TruncateField =>
+          require(t.width > 0, s"${pf.spec}: truncate width must be positive")
+          f.dataType match {
+            case StringType => ()
+            case other => throw new IllegalArgumentException(
+              s"${pf.spec}: source must be a string, is ${other.simpleString}")
           }
         case _: IdentityField => ()
       }
@@ -122,43 +227,18 @@ object PartitionTransforms {
     }
   }
 
-  // ---- driver-side transforms of pushed catalyst literals ----------------
-  // Both MUST agree bit-for-bit with the layout Column exprs above: the
-  // write path records expr(value), the prune path compares against
-  // transform-of-literal — disagreement would prune live rows.
-
-  /** Epoch-day of a catalyst-internal temporal literal value. */
-  def dayOfCatalyst(v: Any, dt: DataType): Option[Long] = (v, dt) match {
-    case (null, _) => None
-    case (micros: Long, TimestampType | TimestampNTZType) =>
-      Some(Math.floorDiv(micros, 86400000000L))
-    case (days: Int, DateType) => Some(days.toLong)
-    case _ => None
-  }
-
-  /** Bucket of a catalyst literal — evaluates the SAME XxHash64
-    * expression the layout column uses, so agreement is by
-    * construction. */
-  def bucketOfCatalyst(n: Int,
-      lit: org.apache.spark.sql.catalyst.expressions.Literal): Option[Long] =
-    if (lit.value == null) None
-    else {
-      val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(lit))
-        .eval(null).asInstanceOf[Long]
-      Some(Math.floorMod(h, n.toLong))
-    }
-
   // ---- conservative transform pruning ------------------------------------
 
-  import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualTo => CEq, Expression, GreaterThan => CGt, GreaterThanOrEqual => CGte, In => CIn, IsNotNull => CIsNotNull, LessThan => CLt, LessThanOrEqual => CLte, Literal => CLit, Or => COr}
+  import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualTo => CEq, Expression, GreaterThan => CGt, GreaterThanOrEqual => CGte, In => CIn, IsNotNull => CIsNotNull, LessThan => CLt, LessThanOrEqual => CLte, Or => COr}
 
   /** Conservative may-match of one pushed predicate (on SOURCE columns)
     * against a file's recorded TRANSFORMED partition values. `true` is
     * always safe; `false` only when the transform metadata proves no
     * row of the file can match:
-    *  - days: equality/range at day granularity (a range endpoint
-    *    prunes whole days outside it; the endpoint's own day survives).
-    *  - bucket: equality/IN only — a hash bucket carries no order.
+    *  - ordered transforms (time indexes): equality + range pruning at
+    *    transform granularity (a range endpoint prunes whole units
+    *    outside it; the endpoint's own unit survives);
+    *  - bucket / truncate: equality/IN only.
     * Files that record no value for the derived field never prune. */
   def mayMatch(f: DataFileEntry, e: Expression, fields: Seq[PartField]): Boolean = {
     if (fields.isEmpty) return true
@@ -166,59 +246,53 @@ object PartitionTransforms {
       .groupBy(_.source.toLowerCase(java.util.Locale.ROOT))
     if (bySource.isEmpty) return true
 
+    def forSource(c: String): Seq[PartField] =
+      bySource.getOrElse(c.toLowerCase(java.util.Locale.ROOT), Seq.empty)
     def stored(pf: PartField): Option[String] = f.partitionValues.get(pf.fieldName)
-    def storedDay(pf: PartField): Option[Long] = stored(pf) match {
+    def storedReal(pf: PartField): Option[String] = stored(pf) match {
       case Some(Snaplog.HiveDefaultPartition) => None
-      case Some(s) => scala.util.Try(s.toLong).toOption
-      case None => None
+      case other => other
     }
 
-    def eqOk(c: String, l: CLit): Boolean =
-      bySource.getOrElse(c.toLowerCase(java.util.Locale.ROOT), Seq.empty).forall {
-        case pf: DaysField =>
-          (dayOfCatalyst(l.value, l.dataType), storedDay(pf)) match {
-            case (Some(d), Some(sd)) => d == sd
-            // null literal: equality never matches any row — but null
-            // semantics are the residual's job; only the null-partition
-            // file check below is exact. Keep conservative.
-            case _ => l.value != null || !stored(pf).contains(Snaplog.HiveDefaultPartition)
-          }
-        case pf: BucketField =>
-          (bucketOfCatalyst(pf.n, l), storedDay(pf)) match {
-            case (Some(b), Some(sb)) => b == sb
-            case _ => true
-          }
-        case _ => true
+    def eqOk(c: String, l: CatalystLiteral): Boolean =
+      forSource(c).forall { pf =>
+        (pf.ofCatalyst(l), storedReal(pf)) match {
+          case (Some(v), Some(s)) => v == s
+          // non-evaluable literal (incl. null): a non-null literal can
+          // still never match a null-partition file
+          case _ => l.value != null || !stored(pf).contains(Snaplog.HiveDefaultPartition)
+        }
       }
 
-    def rangeOk(c: String, l: CLit)(dayCmp: (Long, Long) => Boolean): Boolean =
-      bySource.getOrElse(c.toLowerCase(java.util.Locale.ROOT), Seq.empty).forall {
-        case pf: DaysField =>
-          (dayOfCatalyst(l.value, l.dataType), storedDay(pf)) match {
-            case (Some(d), Some(sd)) => dayCmp(sd, d)
-            case _ => true
-          }
-        case _ => true // bucket carries no order
+    // op receives cmp(stored, transformed(lit)); keep the file when it
+    // holds (or anything is unknown)
+    def rangeOk(c: String, l: CatalystLiteral)(op: Int => Boolean): Boolean =
+      forSource(c).forall { pf =>
+        if (!pf.ordered) true
+        else (pf.ofCatalyst(l), storedReal(pf)) match {
+          case (Some(v), Some(s)) => pf.cmp(s, v).forall(op)
+          case _ => true
+        }
       }
 
     e match {
-      case CEq(a: AttributeReference, l: CLit) => eqOk(a.name, l)
-      case CEq(l: CLit, a: AttributeReference) => eqOk(a.name, l)
-      case CIn(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[CLit]) =>
-        vs.exists(v => eqOk(a.name, v.asInstanceOf[CLit]))
-      // day granularity: a file of day sd may hold rows matching
-      // `col > v` iff sd >= day(v) (rows later in v's own day qualify)
-      case CGt(a: AttributeReference, l: CLit) => rangeOk(a.name, l)(_ >= _)
-      case CGte(a: AttributeReference, l: CLit) => rangeOk(a.name, l)(_ >= _)
-      case CLt(a: AttributeReference, l: CLit) => rangeOk(a.name, l)(_ <= _)
-      case CLte(a: AttributeReference, l: CLit) => rangeOk(a.name, l)(_ <= _)
-      case CGt(l: CLit, a: AttributeReference) => rangeOk(a.name, l)(_ <= _)
-      case CGte(l: CLit, a: AttributeReference) => rangeOk(a.name, l)(_ <= _)
-      case CLt(l: CLit, a: AttributeReference) => rangeOk(a.name, l)(_ >= _)
-      case CLte(l: CLit, a: AttributeReference) => rangeOk(a.name, l)(_ >= _)
+      case CEq(a: AttributeReference, l: CatalystLiteral) => eqOk(a.name, l)
+      case CEq(l: CatalystLiteral, a: AttributeReference) => eqOk(a.name, l)
+      case CIn(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[CatalystLiteral]) =>
+        vs.exists(v => eqOk(a.name, v.asInstanceOf[CatalystLiteral]))
+      // transform granularity: a file of unit u may hold rows matching
+      // `col > v` iff u >= unit(v) (rows later in v's own unit qualify)
+      case CGt(a: AttributeReference, l: CatalystLiteral) => rangeOk(a.name, l)(_ >= 0)
+      case CGte(a: AttributeReference, l: CatalystLiteral) => rangeOk(a.name, l)(_ >= 0)
+      case CLt(a: AttributeReference, l: CatalystLiteral) => rangeOk(a.name, l)(_ <= 0)
+      case CLte(a: AttributeReference, l: CatalystLiteral) => rangeOk(a.name, l)(_ <= 0)
+      case CGt(l: CatalystLiteral, a: AttributeReference) => rangeOk(a.name, l)(_ <= 0)
+      case CGte(l: CatalystLiteral, a: AttributeReference) => rangeOk(a.name, l)(_ <= 0)
+      case CLt(l: CatalystLiteral, a: AttributeReference) => rangeOk(a.name, l)(_ >= 0)
+      case CLte(l: CatalystLiteral, a: AttributeReference) => rangeOk(a.name, l)(_ >= 0)
       case CIsNotNull(a: AttributeReference) =>
-        bySource.getOrElse(a.name.toLowerCase(java.util.Locale.ROOT), Seq.empty)
-          .forall(pf => !stored(pf).contains(Snaplog.HiveDefaultPartition))
+        forSource(a.name).forall(pf =>
+          !stored(pf).contains(Snaplog.HiveDefaultPartition))
       case CAnd(l, r) => mayMatch(f, l, fields) && mayMatch(f, r, fields)
       case COr(l, r) => mayMatch(f, l, fields) || mayMatch(f, r, fields)
       case _ => true

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.catalog.Snaplog
 import graft.sql.GraftSqlCatalog
-import graft.table.{BucketField, DaysField, IdentityField, LakehouseTable, PartitionTransforms}
+import graft.table.{BucketField, DaysField, HoursField, IdentityField, LakehouseTable, MonthsField, PartitionTransforms, TruncateField, YearsField}
 
 /** Hidden partitioning: days()/bucket() transform specs — parse and
   * validation, write-path layout (transformed tuples in the log, source
@@ -19,16 +19,28 @@ class PartitionTransformSpec extends SparkSpec {
     assert(PartitionTransforms.parse("grp") == IdentityField("grp"))
     assert(PartitionTransforms.parse("days(ts)") == DaysField("ts"))
     assert(PartitionTransforms.parse("day(ts)") == DaysField("ts"))
+    assert(PartitionTransforms.parse("hours(ts)") == HoursField("ts"))
+    assert(PartitionTransforms.parse("months(ts)") == MonthsField("ts"))
+    assert(PartitionTransforms.parse("years(ts)") == YearsField("ts"))
     assert(PartitionTransforms.parse("bucket(16,id)") == BucketField(16, "id"))
     assert(PartitionTransforms.parse("bucket( 8 , user_id )") == BucketField(8, "user_id"))
+    assert(PartitionTransforms.parse("truncate(3,s)") == TruncateField(3, "s"))
 
     val sch = StructType(Seq(
       StructField("id", LongType), StructField("ts", TimestampType),
       StructField("s", StringType), StructField("v", DoubleType),
-      StructField("arr", ArrayType(LongType))))
-    PartitionTransforms.validate(sch, Seq("days(ts)", "bucket(4,id)", "s"))
+      StructField("arr", ArrayType(LongType)), StructField("d", DateType)))
+    PartitionTransforms.validate(sch,
+      Seq("days(ts)", "hours(ts)", "months(d)", "years(d)", "bucket(4,id)",
+        "truncate(2,s)"))
     intercept[IllegalArgumentException] { // days of a non-temporal column
       PartitionTransforms.validate(sch, Seq("days(id)"))
+    }
+    intercept[IllegalArgumentException] { // hours needs a timestamp, not a date
+      PartitionTransforms.validate(sch, Seq("hours(d)"))
+    }
+    intercept[IllegalArgumentException] { // truncate is string-only
+      PartitionTransforms.validate(sch, Seq("truncate(2,id)"))
     }
     intercept[IllegalArgumentException] { // bucket of a nested type
       PartitionTransforms.validate(sch, Seq("bucket(4,arr)"))
@@ -40,6 +52,60 @@ class PartitionTransformSpec extends SparkSpec {
       PartitionTransforms.validate(
         sch.add(StructField("ts_day", StringType)), Seq("days(ts)"))
     }
+  }
+
+  test("time/truncate transforms: write values and literal pruning agree") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, GreaterThan, Literal}
+    val wh = Files.createTempDirectory("graft-ptx2").toString
+    val cat = new Snaplog(wh)
+    val ev = queries.Common.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value").limit(500)
+    val t = LakehouseTable.create(cat, spark, "lake", "ev3", ev.schema,
+      partitionColumns = Seq("months(ts)", "hours(ts)", "truncate(2,event_type)"))
+    t.append(ev)
+    val files = cat.liveFiles("lake", "ev3")
+    assert(files.nonEmpty)
+    assert(files.forall(f => f.partitionValues.contains("ts_month") &&
+      f.partitionValues.contains("ts_hour") &&
+      f.partitionValues.contains("event_type_trunc")))
+    // fixture is Jan 2024 → epoch month 648, epoch year 54
+    assert(files.forall(_.partitionValues("ts_month") == "648"),
+      s"months: ${files.map(_.partitionValues("ts_month")).distinct}")
+    assert(t.scan().count() == ev.count())
+
+    val fields = PartitionTransforms.parseAll(
+      Seq("months(ts)", "hours(ts)", "truncate(2,event_type)"))
+    val tsAttr = AttributeReference("ts", TimestampType)()
+    val etAttr = AttributeReference("event_type", StringType)()
+    files.foreach { f =>
+      val row = spark.read.parquet(f.path).select(col("ts"), col("event_type")).head()
+      val micros = row.getTimestamp(0).getTime * 1000L +
+        (row.getTimestamp(0).getNanos / 1000) % 1000
+      val own = org.apache.spark.sql.catalyst.expressions.And(
+        EqualTo(tsAttr, Literal(micros, TimestampType)),
+        EqualTo(etAttr, Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(row.getString(1)),
+          StringType)))
+      assert(PartitionTransforms.mayMatch(f, own, fields),
+        s"file pruned by its own row's literals: ${f.partitionValues}")
+    }
+    // a 1999 timestamp prunes every file on the month index (and via >)
+    val far = Literal(
+      java.time.Instant.parse("1999-01-01T00:00:00Z").toEpochMilli * 1000L,
+      TimestampType)
+    assert(files.forall(f => !PartitionTransforms.mayMatch(f,
+      EqualTo(tsAttr, far), fields)))
+    // ts < 1999 prunes all (stored month 648 > month(1999))
+    assert(files.forall(f => !PartitionTransforms.mayMatch(f,
+      org.apache.spark.sql.catalyst.expressions.LessThan(tsAttr, far), fields)))
+    // ts > 1999 keeps all
+    assert(files.forall(f => PartitionTransforms.mayMatch(f,
+      GreaterThan(tsAttr, far), fields)))
+    // a prefix no event_type starts with prunes via truncate
+    val noSuch = Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString("zz_nothing"), StringType)
+    assert(files.forall(f => !PartitionTransforms.mayMatch(f,
+      EqualTo(etAttr, noSuch), fields)))
   }
 
   test("native write records transformed tuples; source column stays in data") {
@@ -154,9 +220,15 @@ class PartitionTransformSpec extends SparkSpec {
       s"SELECT COUNT(*) FROM ptx_src WHERE user_id = $someUser").head().getLong(0)
     assert(bn == bExpected)
 
-    // unsupported transform still refuses at CREATE
+    // the full transform family round-trips through SQL CREATE
+    spark.sql("""CREATE TABLE gptx.ns.all_t
+      (id BIGINT, ts TIMESTAMP, s STRING)
+      PARTITIONED BY (years(ts), months(ts), hours(ts), truncate(3, s))""")
+    assert(cat.loadTable("ns", "all_t").partitionColumns ==
+      Seq("years(ts)", "months(ts)", "hours(ts)", "truncate(3,s)"))
+    // unknown transforms still refuse at CREATE
     intercept[Exception] {
-      spark.sql("CREATE TABLE gptx.ns.h (ts TIMESTAMP) PARTITIONED BY (hours(ts))")
+      spark.sql("CREATE TABLE gptx.ns.h (id BIGINT) PARTITIONED BY (zorder(id))")
     }
     // DESCRIBE shows the transform spec ("# Partitioning" section with
     // one Part row per transform)

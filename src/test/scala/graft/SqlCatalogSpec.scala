@@ -624,10 +624,10 @@ class SqlCatalogSpec extends SparkSpec {
     val props = spark.sql("SHOW TBLPROPERTIES gsqlddl.ns.c").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(props.get("quality").contains("gold"))
-    // unsupported transforms refuse at CREATE (days/bucket are accepted
-    // — see PartitionTransformSpec)
+    // unsupported transforms refuse at CREATE (years/months/days/hours/
+    // bucket/truncate are accepted — see PartitionTransformSpec)
     intercept[Exception] {
-      spark.sql("CREATE TABLE gsqlddl.ns.b (ts TIMESTAMP) PARTITIONED BY (hours(ts))")
+      spark.sql("CREATE TABLE gsqlddl.ns.b (id INT) PARTITIONED BY (zorder(id))")
     }
 
     spark.sql("CREATE TABLE gsqlddl.ns.u (id INT, v BIGINT)")

@@ -51,6 +51,12 @@ sealed trait PartField {
   /** Order-preserving transform — licenses range pruning at transform
     * granularity. Hash buckets and identity stay false. */
   def ordered: Boolean = false
+  /** True when the literal sits EXACTLY on the lower boundary of its
+    * transform unit — then `col < lit` provably excludes the whole
+    * unit, so a strict upper bound prunes the endpoint's unit too
+    * (`WHERE ts < DATE'…'`, the most common day filter, prunes
+    * exactly instead of keeping the boundary day). */
+  def atUnitStart(l: CatalystLiteral): Boolean = false
   /** Compare two stored-form values (only consulted when `ordered`). */
   def cmp(a: String, b: String): Option[Int] =
     (scala.util.Try(a.toLong).toOption, scala.util.Try(b.toLong).toOption) match {
@@ -82,6 +88,16 @@ sealed trait TimeField extends PartField {
       case (d: Int, DateType) => Some(java.time.LocalDate.ofEpochDay(d.toLong))
       case _ => None
     }
+  /** Timestamp literal exactly at a midnight boundary (dates always
+    * are); `dayAligned` further constrains the date below. */
+  protected def atDayStart(l: CatalystLiteral,
+      dayOk: java.time.LocalDate => Boolean): Boolean = (l.value, l.dataType) match {
+    case (m: Long, TimestampType | TimestampNTZType) =>
+      Math.floorMod(m, 86400000000L) == 0L &&
+        dayOk(java.time.LocalDate.ofEpochDay(Math.floorDiv(m, 86400000000L)))
+    case (d: Int, DateType) => dayOk(java.time.LocalDate.ofEpochDay(d.toLong))
+    case _ => false
+  }
 }
 
 final case class DaysField(source: String) extends TimeField {
@@ -91,6 +107,7 @@ final case class DaysField(source: String) extends TimeField {
     floorDivCol(unix_micros(c.cast(TimestampType)), 86400000000L).cast(StringType)
   override def ofCatalyst(l: CatalystLiteral): Option[String] =
     localDateOf(l).map(_.toEpochDay.toString)
+  override def atUnitStart(l: CatalystLiteral): Boolean = atDayStart(l, _ => true)
 }
 
 final case class HoursField(source: String) extends TimeField {
@@ -100,6 +117,11 @@ final case class HoursField(source: String) extends TimeField {
     floorDivCol(unix_micros(c.cast(TimestampType)), 3600000000L).cast(StringType)
   override def ofCatalyst(l: CatalystLiteral): Option[String] =
     microsOf(l).map(m => Math.floorDiv(m, 3600000000L).toString)
+  override def atUnitStart(l: CatalystLiteral): Boolean = (l.value, l.dataType) match {
+    case (m: Long, TimestampType | TimestampNTZType) =>
+      Math.floorMod(m, 3600000000L) == 0L
+    case _ => false
+  }
 }
 
 final case class MonthsField(source: String) extends TimeField {
@@ -112,6 +134,8 @@ final case class MonthsField(source: String) extends TimeField {
   }
   override def ofCatalyst(l: CatalystLiteral): Option[String] =
     localDateOf(l).map(d => ((d.getYear - 1970) * 12 + (d.getMonthValue - 1)).toString)
+  override def atUnitStart(l: CatalystLiteral): Boolean =
+    atDayStart(l, _.getDayOfMonth == 1)
 }
 
 final case class YearsField(source: String) extends TimeField {
@@ -121,6 +145,8 @@ final case class YearsField(source: String) extends TimeField {
     (year(c.cast(TimestampType)) - lit(1970)).cast(LongType).cast(StringType)
   override def ofCatalyst(l: CatalystLiteral): Option[String] =
     localDateOf(l).map(d => (d.getYear - 1970).toString)
+  override def atUnitStart(l: CatalystLiteral): Boolean =
+    atDayStart(l, _.getDayOfYear == 1)
 }
 
 final case class BucketField(n: Int, source: String) extends PartField {
@@ -265,12 +291,18 @@ object PartitionTransforms {
       }
 
     // op receives cmp(stored, transformed(lit)); keep the file when it
-    // holds (or anything is unknown)
-    def rangeOk(c: String, l: CatalystLiteral)(op: Int => Boolean): Boolean =
+    // holds (or anything is unknown). `strictUpper` marks `col < lit`,
+    // where a unit-start-aligned literal excludes the endpoint's whole
+    // unit — the stored value must then be STRICTLY below.
+    def rangeOk(c: String, l: CatalystLiteral, strictUpper: Boolean = false)
+        (op: Int => Boolean): Boolean =
       forSource(c).forall { pf =>
         if (!pf.ordered) true
         else (pf.ofCatalyst(l), storedReal(pf)) match {
-          case (Some(v), Some(s)) => pf.cmp(s, v).forall(op)
+          case (Some(v), Some(s)) =>
+            val effective: Int => Boolean =
+              if (strictUpper && pf.atUnitStart(l)) (_ < 0) else op
+            pf.cmp(s, v).forall(effective)
           case _ => true
         }
       }
@@ -284,9 +316,11 @@ object PartitionTransforms {
       // `col > v` iff u >= unit(v) (rows later in v's own unit qualify)
       case CGt(a: AttributeReference, l: CatalystLiteral) => rangeOk(a.name, l)(_ >= 0)
       case CGte(a: AttributeReference, l: CatalystLiteral) => rangeOk(a.name, l)(_ >= 0)
-      case CLt(a: AttributeReference, l: CatalystLiteral) => rangeOk(a.name, l)(_ <= 0)
+      case CLt(a: AttributeReference, l: CatalystLiteral) =>
+        rangeOk(a.name, l, strictUpper = true)(_ <= 0)
       case CLte(a: AttributeReference, l: CatalystLiteral) => rangeOk(a.name, l)(_ <= 0)
-      case CGt(l: CatalystLiteral, a: AttributeReference) => rangeOk(a.name, l)(_ <= 0)
+      case CGt(l: CatalystLiteral, a: AttributeReference) =>
+        rangeOk(a.name, l, strictUpper = true)(_ <= 0)
       case CGte(l: CatalystLiteral, a: AttributeReference) => rangeOk(a.name, l)(_ <= 0)
       case CLt(l: CatalystLiteral, a: AttributeReference) => rangeOk(a.name, l)(_ >= 0)
       case CLte(l: CatalystLiteral, a: AttributeReference) => rangeOk(a.name, l)(_ >= 0)

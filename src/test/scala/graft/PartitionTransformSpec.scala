@@ -237,6 +237,35 @@ class PartitionTransformSpec extends SparkSpec {
     assert(desc.contains("# Partitioning") && desc.contains("Part 1"))
   }
 
+  test("COW UPDATE on a days-partitioned table carries other days' files") {
+    val wh = Files.createTempDirectory("graft-ptxcow").toString
+    val cat = new Snaplog(wh)
+    cat.createNamespace("ns")
+    spark.conf.set("spark.sql.catalog.gptxcow", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gptxcow.warehouse", wh)
+    spark.sql("""CREATE TABLE gptxcow.ns.ev (id BIGINT, ts TIMESTAMP, v DOUBLE)
+      PARTITIONED BY (days(ts))""")
+    spark.sql("""INSERT INTO gptxcow.ns.ev VALUES
+      (1, TIMESTAMP '2024-01-01 10:00:00', 1.0),
+      (2, TIMESTAMP '2024-01-02 10:00:00', 2.0),
+      (3, TIMESTAMP '2024-01-03 10:00:00', 3.0)""")
+    val before = cat.liveFiles("ns", "ev")
+    assert(before.map(_.partitionValues("ts_day")).distinct.size == 3)
+    // group filter `ts < 2024-01-02` proves days 2 and 3 rowless: their
+    // files must carry by path, only day 1's file rewrites
+    spark.sql("UPDATE gptxcow.ns.ev SET v = v * 10 " +
+      "WHERE ts < TIMESTAMP '2024-01-02 00:00:00'")
+    val last = cat.snapshots("ns", "ev").last
+    assert(last.summary.get("rewritten-files").exists(_.toInt <= 1) &&
+      last.summary.get("carried-files").exists(_.toInt >= 2),
+      s"expected file-granular COW via transform pruning: ${last.summary}")
+    val after = cat.liveFiles("ns", "ev").map(_.path).toSet
+    val carried = before.filter(f => after(f.path))
+    assert(carried.size >= 2, s"days 2/3 must survive by path: $carried")
+    assert(spark.sql("SELECT SUM(v) FROM gptxcow.ns.ev").head().getDouble(0)
+      == 10.0 + 2.0 + 3.0)
+  }
+
   test("transform-partitioned tables refuse identity-only surfaces loudly") {
     val wh = Files.createTempDirectory("graft-ptxref").toString
     val cat = new Snaplog(wh)

@@ -929,6 +929,33 @@ abstract class CatalogContractSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t.scanIncremental(1L, Some(3L)) }
   }
 
+  test("equality-delete sequencing survives checkpoint folds") {
+    // the fold re-lists the window's files by flatMap, which preserves
+    // the data-vs-delete interleaving the semantics key off — prove it
+    val cat = freshCatalog(checkpointInterval = 4)
+    val t = graft.table.LakehouseTable.create(cat, spark, "ns", "eqck",
+      Seq((0L, "x")).toDF("id", "v").schema)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))     // snap 1
+    t.deleteEq("id", Seq(2L))                               // snap 2
+    t.append(Seq((2L, "new")).toDF("id", "v"))              // snap 3
+    // drive the window past the interval so a fold commits
+    t.append(Seq((3L, "c")).toDF("id", "v"))                // snap 4 (+fold)
+    t.append(Seq((4L, "d")).toDF("id", "v"))
+    assert(cat.snapshots("ns", "eqck").exists(_.operation == Snaplog.OpCheckpoint),
+      s"expected a checkpoint fold: ${cat.snapshots("ns", "eqck").map(_.operation)}")
+    // post-fold replay must still show the re-inserted key, not resurrect
+    // the deleted row and not lose the delete
+    val rows = t.scan().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "a", 2L -> "new", 3L -> "c", 4L -> "d"),
+      s"fold broke eq sequencing: $rows")
+    // the fold's own entry list keeps data-before-delete ordering
+    val ordered = cat.liveEntriesOrdered("ns", "eqck")
+    val delIdx = ordered.indexWhere(_.equalityKey.isDefined)
+    assert(delIdx > 0, "delete entry must survive the fold")
+    assert(ordered.take(delIdx).exists(f => !f.deleteFile.contains(true)),
+      "pre-delete data must precede the delete in the folded order")
+  }
+
   test("hidden-partition transform tuples ride the log on every backend") {
     val cat = freshCatalog()
     val df = Seq(

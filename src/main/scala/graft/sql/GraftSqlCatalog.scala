@@ -903,8 +903,15 @@ private[sql] final class GraftScanBuilder(
     // conservative, so row-level evaluation must still happen. With
     // outstanding MOR delete vectors EVERY filter stays residual —
     // file pruning alone cannot account for vector-deleted rows.
+    // TRANSFORM-EXACT predicates (unit-aligned range bounds over a
+    // hidden-partition transform, see PartitionTransforms.rangeExact)
+    // are equally consumable: the pruned file set holds exactly the
+    // matching rows — the day-window shape every events dashboard
+    // filters by.
     if (deleteFiles.nonEmpty) filters
-    else filters.filterNot(FilePrune.partitionExact(_, partitionCols.toSet, files))
+    else filters.filterNot(e =>
+      FilePrune.partitionExact(e, partitionCols.toSet, files) ||
+        graft.table.PartitionTransforms.rangeExact(e, transformFields, files))
   }
 
   // file pruning is reported by the delegated ParquetScan's own
@@ -979,13 +986,19 @@ private[sql] final class GraftScanBuilder(
     }
 
   /** Files that answer the aggregate: all of them when no filters are
-    * pushed, the exactly-pruned subset under partition-exact filters. */
+    * pushed, the exactly-pruned subset under partition-exact /
+    * transform-exact filters (both pruning passes must apply — the
+    * transform pass is what drops out-of-window files). */
   private def aggFiles: Seq[DataFileEntry] =
-    files.filter(f => exprs.forall(FilePrune.mayMatch(f, _)))
+    files.filter(f => exprs.forall(e =>
+      FilePrune.mayMatch(f, e) &&
+        graft.table.PartitionTransforms.mayMatch(f, e, transformFields)))
 
   private def canAnswerFromMetadata(agg: Aggregation): Boolean =
     deleteFiles.isEmpty && // logged row counts ignore MOR-deleted rows
-      exprs.forall(FilePrune.partitionExact(_, partitionCols.toSet, files)) &&
+      exprs.forall(e =>
+        FilePrune.partitionExact(e, partitionCols.toSet, files) ||
+          graft.table.PartitionTransforms.rangeExact(e, transformFields, files)) &&
       agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.nonEmpty && {
         val answering = aggFiles

@@ -253,6 +253,51 @@ object PartitionTransforms {
     }
   }
 
+  /** Is `e` TRANSFORM-EXACT — a predicate whose per-file may-match
+    * answer under [[mayMatch]] selects EXACTLY the matching rows, not a
+    * superset? True only for:
+    *  - `col >= lit` / `col < lit` where an ordered transform field
+    *    covers `col`, the literal sits exactly on a unit boundary
+    *    (`atUnitStart`), and every file records the derived field — a
+    *    kept file then holds ONLY rows inside the half-open unit range,
+    *    so pruning is selection (the shape of every day/hour/month
+    *    window filter);
+    *  - `IS NOT NULL` over a covered source (sentinel semantics are
+    *    exact);
+    *  - conjunctions/disjunctions of exact predicates.
+    * This is what licenses CONSUMING such filters (no residual row
+    * evaluation) and answering aggregates from the pruned file set —
+    * the day-window COUNT a 100 TB events dashboard asks for, free
+    * from metadata. */
+  def rangeExact(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fields: Seq[PartField], files: Seq[DataFileEntry]): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{And => XAnd, AttributeReference => XAttr, GreaterThan => XGt, GreaterThanOrEqual => XGte, In => XIn, IsNotNull => XIsNotNull, LessThan => XLt, LessThanOrEqual => XLte, EqualTo => XEq, Or => XOr}
+    val ordered = fields.filter(_.ordered)
+    // exactness needs every file to record a REAL comparable index:
+    // a null-partition (sentinel) file would be kept by conservative
+    // range pruning yet hold no matching row — decline, stay residual
+    def covering(c: String): Option[PartField] = ordered.find(pf =>
+      pf.source.equalsIgnoreCase(c) &&
+        files.forall(_.partitionValues.get(pf.fieldName).exists(s =>
+          s != Snaplog.HiveDefaultPartition &&
+            scala.util.Try(s.toLong).isSuccess)))
+    def alignedBound(c: String, l: CatalystLiteral): Boolean =
+      covering(c).exists(pf => pf.atUnitStart(l) && pf.ofCatalyst(l).isDefined)
+    e match {
+      case XGte(a: XAttr, l: CatalystLiteral) => alignedBound(a.name, l)
+      case XLt(a: XAttr, l: CatalystLiteral) => alignedBound(a.name, l)
+      // mirrored literal-first shapes: lit <= col ⇔ col >= lit;
+      // lit > col ⇔ col < lit
+      case XLte(l: CatalystLiteral, a: XAttr) => alignedBound(a.name, l)
+      case XGt(l: CatalystLiteral, a: XAttr) => alignedBound(a.name, l)
+      case XIsNotNull(a: XAttr) => covering(a.name).isDefined
+      case XAnd(l, r) => rangeExact(l, fields, files) && rangeExact(r, fields, files)
+      case XOr(l, r) => rangeExact(l, fields, files) && rangeExact(r, fields, files)
+      case _: XEq | _: XIn => false // a unit holds more instants than one
+      case _ => false
+    }
+  }
+
   // ---- conservative transform pruning ------------------------------------
 
   import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualTo => CEq, Expression, GreaterThan => CGt, GreaterThanOrEqual => CGte, In => CIn, IsNotNull => CIsNotNull, LessThan => CLt, LessThanOrEqual => CLte, Or => COr}

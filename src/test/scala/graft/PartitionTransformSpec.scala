@@ -237,6 +237,44 @@ class PartitionTransformSpec extends SparkSpec {
     assert(desc.contains("# Partitioning") && desc.contains("Part 1"))
   }
 
+  test("day-aligned window filters are transform-exact: consumed filters + metadata COUNT") {
+    val wh = Files.createTempDirectory("graft-ptxexact").toString
+    val cat = new Snaplog(wh)
+    cat.createNamespace("ns")
+    spark.conf.set("spark.sql.catalog.gptxe", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gptxe.warehouse", wh)
+    spark.sql("""CREATE TABLE gptxe.ns.ev (id BIGINT, ts TIMESTAMP)
+      PARTITIONED BY (days(ts))""")
+    // boundary rows on purpose: lo is INCLUSIVE, hi EXCLUSIVE
+    spark.sql("""INSERT INTO gptxe.ns.ev VALUES
+      (1, TIMESTAMP '2024-01-01 00:00:00'),
+      (2, TIMESTAMP '2024-01-01 23:59:59.999999'),
+      (3, TIMESTAMP '2024-01-02 00:00:00'),
+      (4, TIMESTAMP '2024-01-03 05:00:00')""")
+    val window = "ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-02 00:00:00'"
+    // metadata-only COUNT under the aligned day window
+    val c = spark.sql(s"SELECT COUNT(*) FROM gptxe.ns.ev WHERE $window")
+    assert(c.queryExecution.sparkPlan.toString.contains("LocalTableScan"),
+      s"aligned day-window COUNT should answer from metadata:\n${c.queryExecution.sparkPlan}")
+    assert(c.head().getLong(0) == 2L)
+    // the consumed filter is pruning-only and must still be row-exact
+    assert(spark.sql(s"SELECT id FROM gptxe.ns.ev WHERE $window ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // a misaligned endpoint declines: real scan, still correct
+    val mis = spark.sql("SELECT COUNT(*) FROM gptxe.ns.ev " +
+      "WHERE ts >= TIMESTAMP '2024-01-01 00:00:01' AND ts < TIMESTAMP '2024-01-02 00:00:00'")
+    assert(!mis.queryExecution.sparkPlan.toString.contains("LocalTableScan"))
+    assert(mis.head().getLong(0) == 1L)
+    // null source values go to the sentinel partition and KILL exactness
+    spark.sql("INSERT INTO gptxe.ns.ev VALUES (9, CAST(NULL AS TIMESTAMP))")
+    val afterNull = spark.sql(s"SELECT COUNT(*) FROM gptxe.ns.ev WHERE $window")
+    assert(!afterNull.queryExecution.sparkPlan.toString.contains("LocalTableScan"),
+      "a sentinel-bearing table must decline transform-exact answers")
+    assert(afterNull.head().getLong(0) == 2L)
+    assert(spark.sql(s"SELECT id FROM gptxe.ns.ev WHERE $window ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
   test("COW UPDATE on a days-partitioned table carries other days' files") {
     val wh = Files.createTempDirectory("graft-ptxcow").toString
     val cat = new Snaplog(wh)

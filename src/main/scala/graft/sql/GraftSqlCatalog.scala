@@ -51,7 +51,9 @@ private[sql] final class GraftSqlTable(
     tableProps: Map[String, String] = Map.empty,
     loadedSnapshotId: Long = 0L,
     // replay-ordered entries (data + deletes interleaved) — the
-    // sequencing equality deletes key off; empty when deleteFiles is
+    // sequencing equality deletes key off; may be empty only when
+    // deleteFiles carries no equality delete (position vectors are
+    // order-independent)
     orderedEntries: Seq[DataFileEntry] = Seq.empty) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -370,7 +372,8 @@ private[sql] final class GraftBatchWrite(
     // layout by the TRANSFORMED partition value (identity = the value
     // itself), same scheme as LakehouseTable.writeCommit
     val partFields = graft.table.PartitionTransforms.parseAll(partitionCols)
-    val layoutExprs = partFields.map(pf => pf.expr(col(pf.source)))
+    val layoutExprs = partFields.map(pf =>
+      graft.table.PartitionTransforms.layoutExpr(pf, df.schema))
     val withLayout = partFields.zip(layoutExprs).foldLeft(
       df.repartition(layoutExprs: _*))(
       (d, pe) => d.withColumn(FileStats.layoutCol(pe._1.fieldName), pe._2))
@@ -1087,6 +1090,14 @@ private[sql] final class GraftScanBuilder(
       val requiredSchema = required
       val ts = tableSchema
       val posPaths = deleteFiles.filter(graft.table.EqDeletes.isPos).map(_.path)
+      // position-only delete sets are order-independent, so a flat
+      // data++deletes sequence is safe; an EQUALITY delete without its
+      // replay order would wrongly subtract keys from data appended
+      // after it — refuse loudly instead of guessing a sequence
+      require(orderedEntries.nonEmpty ||
+          !deleteFiles.exists(graft.table.EqDeletes.isEq),
+        s"$tableName: equality deletes require replay-ordered entries " +
+          "(constructed without orderedEntries)")
       val segs = graft.table.EqDeletes.segments(
         if (orderedEntries.nonEmpty) orderedEntries else files ++ deleteFiles,
         f => keptPaths(f.path))

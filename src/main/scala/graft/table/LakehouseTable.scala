@@ -559,9 +559,11 @@ final class LakehouseTable(
     * broadcast anti-join; [[compact]] (any reset commit) materializes
     * outstanding vectors and retires them.
     *
-    * Matches are computed against the MOR-applied scan, so deleting
-    * already-deleted rows records nothing twice and `deleted-rows`
-    * stays exact. */
+    * Already position-deleted rows are never recorded twice, so
+    * `deleted-rows` stays exact; with outstanding EQUALITY deletes the
+    * count instead comes from the fully MOR-applied scan (positions for
+    * eq-deleted rows may still enter the vector — harmless, both
+    * subtractions remove the row — but they must not be counted). */
   def deleteMor(condition: Column): Snapshot = {
     val base = currentSnapshotId
     val live = catalog.liveFiles(namespace, name)
@@ -592,8 +594,16 @@ final class LakehouseTable(
     val vecFiles = listParquet(vecDir.toString).map { p =>
       statFile(p, Map.empty).copy(deleteFile = Some(true))
     }
-    val deletedRows = vecFiles.map(_.rowCount).sum
-    if (deletedRows == 0) {
+    val recorded = vecFiles.map(_.rowCount).sum
+    // vector rows = deleted rows ONLY when no equality delete is
+    // outstanding; otherwise count against the MOR-applied scan so
+    // rows an eq delete already removed don't inflate the summary
+    val hasEqDeletes = catalog.liveDeleteFiles(namespace, name)
+      .exists(_.equalityKey.isDefined)
+    val deletedRows =
+      if (recorded == 0 || !hasEqDeletes) recorded
+      else scan().filter(condition).count()
+    if (recorded == 0) {
       // no matches: clean up the empty vector, commit an audit no-op
       Files.walk(vecDir).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
       return catalog.commit(namespace, name, Snaplog.OpMorDelete, Seq.empty,
@@ -894,9 +904,11 @@ final class LakehouseTable(
     val clustered =
       if (partFields.forall(_.isInstanceOf[IdentityField])) normalized
       else normalized.repartition(
-        partFields.map(pf => pf.expr(col(pf.source))): _*)
+        partFields.map(pf =>
+          PartitionTransforms.layoutExpr(pf, normalized.schema)): _*)
     val withLayout = partFields.foldLeft(clustered)((d, pf) =>
-      d.withColumn(layoutCol(pf.fieldName), pf.expr(col(pf.source))))
+      d.withColumn(layoutCol(pf.fieldName),
+        PartitionTransforms.layoutExpr(pf, normalized.schema)))
     val codec = m.properties.getOrElse("write.compression", "zstd")
     var writer = withLayout.write.mode("overwrite").option("compression", codec)
     m.properties.get("write.max-records-per-file")

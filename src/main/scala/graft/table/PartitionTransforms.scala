@@ -26,10 +26,14 @@ import graft.catalog.{DataFileEntry, Snaplog}
   *
   * Write path and prune path MUST agree bit-for-bit: the layout
   * Column `expr` records the value, `ofCatalyst` transforms a pushed
-  * literal the same way (time transforms assume the UTC session
-  * timezone every engine entry point pins). Time transforms store
-  * integral epoch indexes (day/hour/month/year offsets from 1970,
-  * exact integral arithmetic so boundaries never round); `bucket` is
+  * literal the same way. Both sides are TIMEZONE-INDEPENDENT by
+  * construction: timestamps index by their raw epoch micros
+  * (`unix_micros`), NTZ/date values by wall-clock epoch-day arithmetic
+  * — no session-timezone-dependent cast ever touches a partition
+  * value, so a non-UTC session cannot desynchronize stored indexes
+  * from prune-side indexes. Time transforms store integral epoch
+  * indexes (day/hour/month/year offsets from 1970, exact integral
+  * arithmetic so boundaries never round); `bucket` is
   * floorMod(xxhash64, n); `truncate` is the leading-codepoints string
   * prefix. Null sources go to the null partition (Hive default
   * sentinel), like identity nulls.
@@ -43,8 +47,10 @@ sealed trait PartField {
     * key and `__p_<fieldName>=` layout directory). Identity uses the
     * source name itself — unchanged from pre-transform logs. */
   def fieldName: String
-  /** The transformed value as a string-typed layout Column. */
-  def expr(c: Column): Column
+  /** The transformed value as a string-typed layout Column. `dt` is the
+    * SOURCE column's declared type — time transforms dispatch on it so
+    * each type gets pure (timezone-free) arithmetic. */
+  def expr(c: Column, dt: DataType): Column
   /** The same transform applied to a pushed catalyst literal, as the
     * stored string form; None = not evaluable (wrong type / null). */
   def ofCatalyst(l: CatalystLiteral): Option[String] = None
@@ -68,15 +74,39 @@ sealed trait PartField {
 final case class IdentityField(source: String) extends PartField {
   val spec: String = source
   val fieldName: String = source
-  def expr(c: Column): Column = c
+  def expr(c: Column, dt: DataType): Column = c
 }
 
 /** Shared epoch-index scaffolding for the four time transforms. */
 sealed trait TimeField extends PartField {
   override def ordered: Boolean = true
-  /** Exact integral floorDiv of a (possibly negative) micros column. */
+  /** Exact integral floorDiv of a (possibly negative) micros column.
+    * `m - pmod(m, unit)` is an exact multiple of `unit`, so truncating
+    * division recovers floorDiv for any sign — but Spark's `/` on longs
+    * is DOUBLE division, which rounds for |micros| ≥ 2^53 (before
+    * ~1685 / after ~2255). Divide in decimal so the quotient stays
+    * exact over the full long range, matching Math.floorDiv on the
+    * prune side bit-for-bit. */
   protected def floorDivCol(m: Column, unit: Long): Column =
-    ((m - pmod(m, lit(unit))) / lit(unit)).cast(LongType)
+    ((m - pmod(m, lit(unit))).cast(DecimalType(20, 0)) / lit(unit))
+      .cast(LongType)
+  /** Wall-clock epoch day of a date/NTZ column — pure date arithmetic,
+    * no timezone involved (NTZ→date truncates the wall clock). */
+  protected def epochDayCol(c: Column, dt: DataType): Column = dt match {
+    case DateType => datediff(c, to_date(lit("1970-01-01"))).cast(LongType)
+    case _ => datediff(c.cast(DateType), to_date(lit("1970-01-01"))).cast(LongType)
+  }
+  /** The UTC calendar date a temporal column falls on, as a pure
+    * expression: instants floor raw micros to an epoch day and rebuild
+    * the date with `date_from_unix_date` (no session-timezone cast);
+    * date/NTZ are already wall-clock. */
+  protected def utcDateCol(c: Column, dt: DataType): Column = dt match {
+    case TimestampType =>
+      date_from_unix_date(
+        floorDivCol(unix_micros(c), 86400000000L).cast(IntegerType))
+    case DateType => c
+    case _ => c.cast(DateType) // NTZ: wall-clock truncation, tz-free
+  }
   protected def microsOf(l: CatalystLiteral): Option[Long] = (l.value, l.dataType) match {
     case (m: Long, TimestampType | TimestampNTZType) => Some(m)
     case _ => None
@@ -103,8 +133,10 @@ sealed trait TimeField extends PartField {
 final case class DaysField(source: String) extends TimeField {
   val spec: String = s"days($source)"
   val fieldName: String = s"${source}_day"
-  def expr(c: Column): Column =
-    floorDivCol(unix_micros(c.cast(TimestampType)), 86400000000L).cast(StringType)
+  def expr(c: Column, dt: DataType): Column = (dt match {
+    case TimestampType => floorDivCol(unix_micros(c), 86400000000L)
+    case _ => epochDayCol(c, dt)
+  }).cast(StringType)
   override def ofCatalyst(l: CatalystLiteral): Option[String] =
     localDateOf(l).map(_.toEpochDay.toString)
   override def atUnitStart(l: CatalystLiteral): Boolean = atDayStart(l, _ => true)
@@ -113,8 +145,11 @@ final case class DaysField(source: String) extends TimeField {
 final case class HoursField(source: String) extends TimeField {
   val spec: String = s"hours($source)"
   val fieldName: String = s"${source}_hour"
-  def expr(c: Column): Column =
-    floorDivCol(unix_micros(c.cast(TimestampType)), 3600000000L).cast(StringType)
+  def expr(c: Column, dt: DataType): Column = (dt match {
+    case TimestampType => floorDivCol(unix_micros(c), 3600000000L)
+    // NTZ: wall-clock hour index — epochDay*24 + hour-of-day, both pure
+    case _ => epochDayCol(c, dt) * lit(24L) + hour(c).cast(LongType)
+  }).cast(StringType)
   override def ofCatalyst(l: CatalystLiteral): Option[String] =
     microsOf(l).map(m => Math.floorDiv(m, 3600000000L).toString)
   override def atUnitStart(l: CatalystLiteral): Boolean = (l.value, l.dataType) match {
@@ -127,9 +162,9 @@ final case class HoursField(source: String) extends TimeField {
 final case class MonthsField(source: String) extends TimeField {
   val spec: String = s"months($source)"
   val fieldName: String = s"${source}_month"
-  def expr(c: Column): Column = {
-    val ts = c.cast(TimestampType)
-    ((year(ts) - lit(1970)) * lit(12) + (month(ts) - lit(1)))
+  def expr(c: Column, dt: DataType): Column = {
+    val d = utcDateCol(c, dt)
+    ((year(d) - lit(1970)) * lit(12) + (month(d) - lit(1)))
       .cast(LongType).cast(StringType)
   }
   override def ofCatalyst(l: CatalystLiteral): Option[String] =
@@ -141,8 +176,8 @@ final case class MonthsField(source: String) extends TimeField {
 final case class YearsField(source: String) extends TimeField {
   val spec: String = s"years($source)"
   val fieldName: String = s"${source}_year"
-  def expr(c: Column): Column =
-    (year(c.cast(TimestampType)) - lit(1970)).cast(LongType).cast(StringType)
+  def expr(c: Column, dt: DataType): Column =
+    (year(utcDateCol(c, dt)) - lit(1970)).cast(LongType).cast(StringType)
   override def ofCatalyst(l: CatalystLiteral): Option[String] =
     localDateOf(l).map(d => (d.getYear - 1970).toString)
   override def atUnitStart(l: CatalystLiteral): Boolean =
@@ -152,7 +187,7 @@ final case class YearsField(source: String) extends TimeField {
 final case class BucketField(n: Int, source: String) extends PartField {
   val spec: String = s"bucket($n,$source)"
   val fieldName: String = s"${source}_bucket"
-  def expr(c: Column): Column =
+  def expr(c: Column, dt: DataType): Column =
     when(c.isNull, lit(null).cast(StringType))
       .otherwise(pmod(xxhash64(c), lit(n.toLong)).cast(StringType))
   /** Evaluates the SAME XxHash64 expression the layout column uses, so
@@ -173,7 +208,7 @@ final case class BucketField(n: Int, source: String) extends PartField {
 final case class TruncateField(width: Int, source: String) extends PartField {
   val spec: String = s"truncate($width,$source)"
   val fieldName: String = s"${source}_trunc"
-  def expr(c: Column): Column = substring(c, 1, width)
+  def expr(c: Column, dt: DataType): Column = substring(c, 1, width)
   override def ofCatalyst(l: CatalystLiteral): Option[String] = (l.value, l.dataType) match {
     case (u: org.apache.spark.unsafe.types.UTF8String, StringType) =>
       // substringSQL counts codepoints exactly like functions.substring
@@ -202,6 +237,17 @@ object PartitionTransforms {
   }
 
   def parseAll(specs: Seq[String]): Seq[PartField] = specs.map(parse)
+
+  /** The layout expression for `pf` with its source dtype resolved
+    * from `schema` — the one way every write path builds transform
+    * columns, so type dispatch cannot drift between writers. */
+  def layoutExpr(pf: PartField, schema: StructType): Column = {
+    val dt = schema.fields.find(_.name.equalsIgnoreCase(pf.source))
+      .map(_.dataType).getOrElse(throw new IllegalArgumentException(
+        s"partition source '${pf.source}' not in schema " +
+          s"(${schema.fieldNames.mkString(", ")})"))
+    pf.expr(col(pf.source), dt)
+  }
 
   def identityOnly(specs: Seq[String]): Boolean =
     specs.forall(parse(_).isInstanceOf[IdentityField])

@@ -108,6 +108,48 @@ class PartitionTransformSpec extends SparkSpec {
       EqualTo(etAttr, noSuch), fields)))
   }
 
+  test("transform write expressions are timezone-independent and exact at extreme range") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.Row
+    // rows far outside the double-exact range (|micros| > 2^53) plus a
+    // modern row, evaluated under THREE session timezones: the stored
+    // layout value must equal ofCatalyst's prune-side index every time
+    val instants = Seq(
+      java.time.Instant.parse("1600-01-07T13:00:00Z"),
+      java.time.Instant.parse("2404-06-01T01:30:00Z"),
+      java.time.Instant.parse("2024-01-15T07:45:00Z"))
+    val schema = StructType(Seq(StructField("ts", TimestampType)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(instants.map(i =>
+        Row(java.sql.Timestamp.from(i))): _*), schema)
+    val fields = Seq(DaysField("ts"), HoursField("ts"), MonthsField("ts"),
+      YearsField("ts"))
+    val original = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      for (tz <- Seq("UTC", "America/New_York", "Asia/Kolkata")) {
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        val got = df.select(fields.map(pf =>
+          pf.expr(col("ts"), TimestampType).as(pf.fieldName)): _*).collect()
+        instants.zip(got).foreach { case (inst, row) =>
+          val micros = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+          fields.zipWithIndex.foreach { case (pf, i) =>
+            val expect = pf.ofCatalyst(Literal(micros, TimestampType))
+            assert(expect.contains(row.getString(i)),
+              s"$tz ${pf.spec} of $inst: wrote ${row.getString(i)}, prune side $expect")
+          }
+        }
+      }
+      // date + NTZ sources are wall-clock: same agreement under a shifted tz
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val d = java.time.LocalDate.of(2024, 3, 10)
+      val dRow = spark.createDataFrame(
+        java.util.Arrays.asList(Row(java.sql.Date.valueOf(d))),
+        StructType(Seq(StructField("d", DateType))))
+        .select(DaysField("d").expr(col("d"), DateType)).head()
+      assert(dRow.getString(0) == d.toEpochDay.toString)
+    } finally spark.conf.set("spark.sql.session.timeZone", original)
+  }
+
   test("native write records transformed tuples; source column stays in data") {
     val wh = Files.createTempDirectory("graft-ptx").toString
     val cat = new Snaplog(wh)

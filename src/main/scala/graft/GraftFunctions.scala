@@ -87,6 +87,9 @@ object GraftFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => FuseSetSizes)
+    // DELETE … WHERE k IN (SELECT …) → equality-delete tier (must run
+    // during resolution, before the analyzer's DML rewrite)
+    ext.injectResolutionRule(s => graft.sql.EqDeleteRoute(s))
     GraftFunctions.builders.foreach { case (name, b) =>
       ext.injectFunction((
         new org.apache.spark.sql.catalyst.FunctionIdentifier(name),

@@ -410,6 +410,61 @@ object Lakehouse {
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM content GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // DataFrame-valued equality deletes (CDC-feed shape): the delete
+    // feed is ANOTHER TABLE — keys never collect to the driver. Leg 1
+    // deletes via the native deleteEq(DataFrame); leg 2 re-inserts a
+    // subset (replay-order survival) and deletes again through SQL
+    // `DELETE … WHERE k IN (SELECT …)` under write.delete.mode=equality,
+    // which must route to the SAME tier: audited in-result — data files
+    // untouched by both deletes, exactly two key-valued delete entries,
+    // zero rewritten files.
+    QueryDef("lake_delete_eq_feed",
+      (s, d) => {
+        val whDir = wh("lake_delete_eq_feed", d)
+        val cat = new Snaplog(whDir)
+        val orders = t(s, d, "orders")
+        val table = LakehouseTable.create(cat, s, "lake", "orders_cdc",
+          orders.schema,
+          properties = Map("write.delete.mode" -> "equality"))
+        table.append(orders)
+        val dataBefore = cat.liveFiles("lake", "orders_cdc").map(_.path).toSet
+        // feed 1: a distributed key DataFrame (with duplicate rows —
+        // the tier dedups on write)
+        val feed1 = orders.filter(col("o_orderkey") % 7 === 0)
+          .select("o_orderkey")
+          .unionAll(orders.filter(col("o_orderkey") % 14 === 0)
+            .select("o_orderkey"))
+        table.deleteEq("o_orderkey", feed1)
+        // re-insert a subset of the deleted keys: must survive (the
+        // delete applies only to files before it in replay order)
+        table.append(orders.filter(col("o_orderkey") % 14 === 0))
+        // feed 2 through SQL: subquery-IN routes to the equality tier
+        val cn = sqlCatalog(s, "gcdc", whDir)
+        t(s, d, "customer").createOrReplaceTempView("cdc_churned")
+        s.sql(s"""DELETE FROM $cn.lake.orders_cdc
+          WHERE o_custkey IN (SELECT c_custkey FROM cdc_churned
+                              WHERE c_mktsegment = 'BUILDING')""")
+        require(cat.liveFiles("lake", "orders_cdc").map(_.path).toSet
+            .intersect(dataBefore) == dataBefore,
+          "equality deletes must not touch data files")
+        val dels = cat.liveDeleteFiles("lake", "orders_cdc")
+        require(dels.size == 2 && dels.forall(_.equalityKey.isDefined),
+          s"expected two key-valued delete entries, got $dels")
+        table.scan()
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH content AS (
+          SELECT * FROM orders WHERE o_orderkey % 7 <> 0
+          UNION ALL
+          SELECT * FROM orders WHERE o_orderkey % 14 = 0),
+        kept AS (SELECT * FROM content WHERE o_custkey NOT IN
+          (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'))
+        SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM kept GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // Hidden partitioning (Iceberg PartitionSpec semantics, beyond the
     // reference's identity-only spec): CREATE PARTITIONED BY (days(ts),
     // bucket(8, user_id)) → INSERT lays files out by the TRANSFORMED

@@ -58,6 +58,12 @@ private[sql] final class GraftSqlTable(
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+  // read-side handles for the analyzer routing rules (EqDeleteRoute)
+  private[sql] def backingCatalog: Catalog = backing
+  private[sql] def backingNamespace: String = ns
+  private[sql] def backingTable: String = tbl
+  private[sql] def isWritable: Boolean = writable
+  private[sql] def props: Map[String, String] = tableProps
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   /** DESCRIBE/SHOW surfaces: the real partition spec (identity / days /
@@ -448,6 +454,14 @@ private[sql] final class GraftRowLevelOperation(
   import org.apache.spark.sql.catalyst.expressions.Expression
 
   override def command(): RowLevelOperation.Command = cmd
+
+  // handles for the EqDeleteRoute analyzer rule, which recognizes this
+  // operation inside Spark's (private) RowLevelOperationTable wrapper
+  private[sql] def backingCatalog: Catalog = backing
+  private[sql] def backingNamespace: String = ns
+  private[sql] def backingTable: String = tbl
+  private[sql] def isWritable: Boolean = writable
+  private[sql] def props: Map[String, String] = tableProps
 
   // ---- file-granular group split -----------------------------------------
 

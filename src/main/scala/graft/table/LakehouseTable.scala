@@ -524,10 +524,7 @@ final class LakehouseTable(
     * materializes). Null values are rejected (an equality delete
     * cannot express IS NULL). */
   def deleteEq(keyCol: String, values: Seq[Any]): Snapshot = {
-    val base = currentSnapshotId
-    val field = schema.fields.find(_.name.equalsIgnoreCase(keyCol)).getOrElse(
-      throw new IllegalArgumentException(
-        s"no column '$keyCol' in $namespace.$name"))
+    val field = keyField(keyCol)
     require(values.nonEmpty, "deleteEq of zero values")
     require(!values.contains(null),
       "deleteEq cannot delete null keys (equality is null-rejecting)")
@@ -535,19 +532,70 @@ final class LakehouseTable(
       spark.createDataFrame(
         values.map(v => Row(v)).asJava,
         StructType(Seq(StructField(field.name, field.dataType, nullable = false)))),
-      StructType(Seq(field.copy(nullable = false)))).distinct()
+      StructType(Seq(field.copy(nullable = false))))
+    deleteEq(keyCol, keyDf)
+  }
+
+  /** DataFrame-valued equality delete — the CDC-feed form of the Seq
+    * overload: the key set stays DISTRIBUTED end-to-end (dedup + write
+    * are cluster jobs; nothing ever collects to the driver), so a
+    * delete feed sourced from another table commits at any feed size.
+    * Same one-commit layering and replay-order semantics. The feed must
+    * be a single column, castable to the key column's type; null keys
+    * are rejected (proved from the written file's parquet footer null
+    * counts — no second validation pass over the feed). An EMPTY feed
+    * commits a zero-value audit snapshot instead of throwing (a CDC
+    * cycle with nothing to delete is normal). */
+  def deleteEq(keyCol: String, keys: DataFrame): Snapshot = {
+    val base = currentSnapshotId
+    val field = keyField(keyCol)
+    require(keys.schema.fields.length == 1,
+      s"delete feed must be a single key column, got " +
+        s"(${keys.columns.mkString(", ")})")
+    // distinct BEFORE the single-file coalesce so dedup runs parallel;
+    // one output file keeps the log entry count at one per feed (the
+    // key set is broadcast-bounded at scan time regardless)
+    val keyDf = keys.toDF(field.name)
+      .select(col(field.name).cast(field.dataType).as(field.name))
+      .distinct().repartition(1)
     val delDir = catalog.dataDir(namespace, name)
       .resolve(s"eqdel-${java.util.UUID.randomUUID().toString.take(12)}")
-    keyDf.coalesce(1).write.mode("overwrite").parquet(delDir.toString)
+    keyDf.write.mode("overwrite").parquet(delDir.toString)
     val delFiles = listParquet(delDir.toString).map { p =>
       statFile(p, Map.empty)
         .copy(deleteFile = Some(true), equalityKey = Some(field.name))
     }
+    val nValues = delFiles.map(_.rowCount).sum
+    if (nValues == 0) {
+      Files.walk(delDir).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      return catalog.commit(namespace, name, Snaplog.OpEqDelete, Seq.empty,
+        Map("equality-key" -> field.name, "delete-values" -> "0"),
+        expectedSnapshotId = Some(base))
+    }
+    // null rejection from footer metadata; a footer without the null
+    // count (shouldn't happen for parquet we just wrote) re-checks with
+    // one filter job rather than trusting absence
+    val nullKeys = delFiles.map(f =>
+      f.nullCounts.flatMap(_.get(field.name)).getOrElse {
+        spark.read.parquet(f.path).filter(col(field.name).isNull).count()
+      }).sum
+    if (nullKeys > 0) {
+      Files.walk(delDir).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      throw new IllegalArgumentException(
+        s"deleteEq feed carries $nullKeys null key(s) — equality is " +
+          "null-rejecting; filter them out (or delete IS NULL rows via " +
+          "deleteMor)")
+    }
     catalog.commit(namespace, name, Snaplog.OpEqDelete, delFiles,
       Map("equality-key" -> field.name,
-        "delete-values" -> delFiles.map(_.rowCount).sum.toString),
+        "delete-values" -> nValues.toString),
       expectedSnapshotId = Some(base))
   }
+
+  private def keyField(keyCol: String): StructField =
+    schema.fields.find(_.name.equalsIgnoreCase(keyCol)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column '$keyCol' in $namespace.$name"))
 
   /** Merge-on-read row-level DELETE (the Iceberg v2 position-delete
     * tier, complement of the COW [[delete]]): instead of rewriting the

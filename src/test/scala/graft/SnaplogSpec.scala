@@ -929,6 +929,83 @@ abstract class CatalogContractSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t.scanIncremental(1L, Some(3L)) }
   }
 
+  test("DataFrame-valued equality delete: dedup, null rejection, empty feed, SQL route") {
+    val cat = freshCatalog()
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+      .toDF("id", "v")
+    val t = graft.table.LakehouseTable.create(cat, spark, "ns", "eqdf", df.schema)
+    t.append(df)
+    val dataBefore = cat.liveFiles("ns", "eqdf").map(_.path).toSet
+
+    // duplicated feed rows dedup in the written key file
+    val feed = Seq(2L, 3L, 3L, 2L, 3L).toDF("k")
+    t.deleteEq("id", feed)
+    val dels = cat.liveDeleteFiles("ns", "eqdf")
+    assert(dels.size == 1 && dels.head.equalityKey.contains("id"))
+    assert(dels.head.rowCount == 2L, s"feed must dedup: ${dels.head}")
+    assert(cat.liveFiles("ns", "eqdf").map(_.path).toSet == dataBefore)
+    assert(t.scan().collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L, 5L))
+
+    // a null key in the feed rejects the WHOLE feed, commits nothing
+    val delsBefore = cat.liveDeleteFiles("ns", "eqdf").map(_.path).toSet
+    val ex = intercept[IllegalArgumentException] {
+      t.deleteEq("id", Seq(Some(4L), None).toDF("k"))
+    }
+    assert(ex.getMessage.contains("null"))
+    assert(cat.liveDeleteFiles("ns", "eqdf").map(_.path).toSet == delsBefore)
+    assert(t.scan().collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L, 5L))
+
+    // an empty feed is a zero-value audit commit, not an error
+    val snapsBefore = cat.snapshots("ns", "eqdf").size
+    t.deleteEq("id", Seq.empty[Long].toDF("k"))
+    val last = cat.snapshots("ns", "eqdf").last
+    assert(cat.snapshots("ns", "eqdf").size == snapsBefore + 1 &&
+      last.operation == Snaplog.OpEqDelete &&
+      last.summary.get("delete-values").contains("0") && last.files.isEmpty)
+    assert(t.scan().count() == 3L)
+
+    // multi-column feeds refuse loudly
+    intercept[IllegalArgumentException] {
+      t.deleteEq("id", Seq((1L, "x")).toDF("k", "x"))
+    }
+  }
+
+  test("SQL DELETE with IN-subquery routes to the equality tier under equality mode") {
+    val wh = Files.createTempDirectory("graft-eqroute").toString
+    val cat = new Snaplog(wh)
+    cat.createNamespace("ns")
+    val cn = "geqr_" + java.lang.Long.toHexString(wh.hashCode.toLong & 0xffffffffL)
+    spark.conf.set(s"spark.sql.catalog.$cn", classOf[graft.sql.GraftSqlCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cn.warehouse", wh)
+    spark.sql(s"""CREATE TABLE $cn.ns.cdc (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.delete.mode'='equality')""")
+    spark.sql(s"INSERT INTO $cn.ns.cdc VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d')")
+    val dataBefore = cat.liveFiles("ns", "cdc").map(_.path).toSet
+    Seq(2L, 4L, 9L).toDF("id").createOrReplaceTempView("eqroute_feed")
+    spark.sql(s"DELETE FROM $cn.ns.cdc WHERE id IN (SELECT id FROM eqroute_feed)")
+    // the subquery delete must land as ONE key-valued delete file —
+    // data files untouched, no COW rewrite, no position vector
+    assert(cat.liveFiles("ns", "cdc").map(_.path).toSet == dataBefore,
+      "IN-subquery delete must not rewrite data files")
+    val dels = cat.liveDeleteFiles("ns", "cdc")
+    assert(dels.size == 1 && dels.head.equalityKey.contains("id"),
+      s"expected an equality delete entry: $dels")
+    assert(spark.sql(s"SELECT id FROM $cn.ns.cdc ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // re-insert after the delete survives (replay order), visible in SQL
+    spark.sql(s"INSERT INTO $cn.ns.cdc VALUES (2,'new')")
+    assert(spark.sql(s"SELECT id FROM $cn.ns.cdc ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // without equality mode the same statement stays on the COW path
+    spark.sql(s"""CREATE TABLE $cn.ns.cow (id BIGINT, v STRING)""")
+    spark.sql(s"INSERT INTO $cn.ns.cow VALUES (1,'a'),(2,'b')")
+    spark.sql(s"DELETE FROM $cn.ns.cow WHERE id IN (SELECT id FROM eqroute_feed)")
+    assert(cat.liveDeleteFiles("ns", "cow").forall(_.equalityKey.isEmpty),
+      "non-equality table must not take the eq-delete route")
+    assert(spark.sql(s"SELECT id FROM $cn.ns.cow").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("equality-delete sequencing survives checkpoint folds") {
     // the fold re-lists the window's files by flatMap, which preserves
     // the data-vs-delete interleaving the semantics key off — prove it

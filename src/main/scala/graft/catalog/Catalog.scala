@@ -131,13 +131,36 @@ trait Catalog {
       .flatMap(_.files).filterNot(_.deleteFile.contains(true))
 
   /** Data files added on MAIN lineage in `(fromSnapshot, toSnapshot]` —
-    * the incremental (CDC) delta contract shared by
-    * `LakehouseTable.scanIncremental` and the streaming table source.
-    * Exact for append/add_files chains (checkpoint folds are content
-    * no-ops and cross silently; WAP-staged branch commits are not main
-    * history); a reset commit or merge-on-read delete in the range
-    * fails loudly because its delta is not expressible as file adds. */
+    * the strict (file-adds-only) incremental delta. Exact for
+    * append/add_files chains (checkpoint folds are content no-ops and
+    * cross silently; WAP-staged branch commits are not main history); a
+    * reset commit, merge-on-read delete or equality delete in the range
+    * fails loudly because its delta is not expressible as file adds.
+    * Consumers that can JOIN (scanIncremental, any DataFrame reader)
+    * should use [[addedEntriesBetween]] instead, which admits equality
+    * deletes and returns the sequence needed to net them out. */
   final def addedDataFilesBetween(ns: String, t: String,
+      fromSnapshot: Long, toSnapshot: Long): Seq[DataFileEntry] = {
+    val entries = addedEntriesBetween(ns, t, fromSnapshot, toSnapshot)
+    require(entries.forall(e => !e.deleteFile.contains(true)),
+      "incremental read across an equality delete is not expressible as " +
+        "file-adds — use addedEntriesBetween and subtract the keys")
+    entries
+  }
+
+  /** Replay-ordered entries added on MAIN lineage in `(fromSnapshot,
+    * toSnapshot]`: data files interleaved with EQUALITY-delete key
+    * files, in the order the log committed them — the NET-delta
+    * contract `LakehouseTable.scanIncremental` and the streaming table
+    * source share. An in-window equality delete applies (per replay
+    * order) to the in-window data files that precede it; its effect on
+    * rows emitted BEFORE `fromSnapshot` is inherently non-retractable
+    * in an additive delta and is the caller's documented blind spot.
+    * Reset commits and merge-on-read position deletes still refuse
+    * loudly (positions reference pre-existing files — never additive).
+    * Checkpoint folds re-list window files; the path-set difference
+    * keeps exactly the genuinely-new entries in replay order. */
+  final def addedEntriesBetween(ns: String, t: String,
       fromSnapshot: Long, toSnapshot: Long): Seq[DataFileEntry] = {
     val snaps = snapshots(ns, t).filterNot(Snaplog.isWapStaged)
     val ids = snaps.map(_.snapshotId)
@@ -153,12 +176,18 @@ trait Catalog {
         s.operation == Snaplog.OpCheckpoint),
       s"incremental read across a reset commit " +
         s"(${(Snaplog.ResetOps - Snaplog.OpCheckpoint).mkString("/")}) is undefined")
-    require(between.forall(s => s.operation != Snaplog.OpMorDelete &&
-        s.operation != Snaplog.OpEqDelete),
-      "incremental read across a merge-on-read or equality delete is " +
+    require(between.forall(s => s.operation != Snaplog.OpMorDelete),
+      "incremental read across a merge-on-read (position) delete is " +
         "undefined (the delta is not expressible as file-adds)")
-    val before = liveFiles(ns, t, Some(fromSnapshot)).map(_.path).toSet
-    liveFiles(ns, t, Some(toSnapshot)).filterNot(f => before(f.path))
+    val beforeData = liveFiles(ns, t, Some(fromSnapshot)).map(_.path).toSet
+    val beforeDels = liveDeleteFiles(ns, t, Some(fromSnapshot)).map(_.path).toSet
+    // liveEntriesOrdered preserves the data-vs-delete interleaving the
+    // equality semantics key off, including across checkpoint folds
+    liveEntriesOrdered(ns, t, Some(toSnapshot)).filter { e =>
+      if (e.deleteFile.contains(true))
+        e.equalityKey.isDefined && !beforeDels(e.path)
+      else !beforeData(e.path)
+    }
   }
 
   /** Data files and delete vectors from ONE replay of the log window —

@@ -913,6 +913,84 @@ object Lakehouse {
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // Streaming tail ACROSS an equality delete (the refusal-turned-
+    // delta): run 1 streams the evens, then a keyed delete feed and an
+    // append of the odds land, run 2 resumes from the checkpoint —
+    // admission crosses the delete commit (its keys touch only rows run
+    // 1 already emitted) and emits exactly the odd delta. The sink then
+    // holds every order once ('tail' leg); the table's own batch scan
+    // nets the delete out ('net' leg) — both legs oracle-checked, so
+    // skip-vs-subtract semantics are each pinned.
+    QueryDef("stream_eqdelete_tail",
+      (s, d) => {
+        val whDir = wh("stream_eqdelete_tail", d)
+        val cat = new Snaplog(whDir)
+        val orders = t(s, d, "orders")
+        val tbl = LakehouseTable.create(cat, s, "lake", "orders_eqtail", orders.schema)
+        val cn = sqlCatalog(s, "geqt", whDir)
+        val ckpt = scratchDir("stream_eqdelete_tail_ck", d)
+        val out = scratchDir("stream_eqdelete_tail_out", d)
+        def runOnce(): Unit = {
+          val q = s.readStream.table(s"$cn.lake.orders_eqtail")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination(300000)
+          q.exception.foreach(throw _)
+        }
+        tbl.append(orders.filter(col("o_orderkey") % 2 === 0))    // snap 1
+        runOnce()                                                 // evens emitted
+        tbl.deleteEq("o_orderkey",                                // snap 2
+          orders.filter(col("o_orderkey") % 6 === 0).select("o_orderkey"))
+        tbl.append(orders.filter(col("o_orderkey") % 2 === 1))    // snap 3
+        runOnce()                                                 // odds only
+        require(cat.liveDeleteFiles("lake", "orders_eqtail")
+            .exists(_.equalityKey.contains("o_orderkey")),
+          "the eq delete must still be outstanding (streamed across, not applied)")
+        val agg = (df: DataFrame, leg: String) => df
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("leg", lit(leg))
+        agg(s.read.schema(orders.schema).parquet(out), "tail")
+          .unionByName(agg(tbl.scan(), "net"))
+          .orderBy(col("leg"), col("o_orderstatus"))
+      },
+      Some("""WITH tail AS (SELECT 'tail' AS leg, o_orderstatus, COUNT(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM orders GROUP BY o_orderstatus),
+        net AS (SELECT 'net' AS leg, o_orderstatus, COUNT(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM orders WHERE o_orderkey % 6 <> 0 GROUP BY o_orderstatus)
+        SELECT o_orderstatus, n, total, leg FROM tail
+        UNION ALL SELECT o_orderstatus, n, total, leg FROM net
+        ORDER BY leg, o_orderstatus""")),
+
+    // Incremental read across an in-window equality delete: the NET
+    // delta — window adds (the odds) minus the keys a later in-window
+    // delete matched, by the same replay-order rules a full scan uses.
+    // The keyed-CDC tier composing with incremental consumption.
+    QueryDef("lake_incremental_eqdelete",
+      (s, d) => {
+        val cat = new Snaplog(wh("lake_incremental_eqdelete", d))
+        val orders = t(s, d, "orders")
+        val tbl = LakehouseTable.create(cat, s, "lake", "orders_eqinc", orders.schema)
+        tbl.append(orders.filter(col("o_orderkey") % 2 === 0))    // snap 1
+        val from = tbl.currentSnapshotId
+        tbl.append(orders.filter(col("o_orderkey") % 2 === 1))    // snap 2
+        tbl.deleteEq("o_orderkey",                                // snap 3
+          orders.filter(col("o_orderkey") % 3 === 0).select("o_orderkey"))
+        tbl.scanIncremental(from)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 <> 0
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // Merge-on-read SQL reads: a table with OUTSTANDING delete vectors
     // stays queryable by name — the DSv2 scan plans the same broadcast
     // anti-join subtraction the native scan uses (no forced compaction

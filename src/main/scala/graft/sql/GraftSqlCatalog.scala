@@ -177,10 +177,13 @@ private[sql] final class GraftSqlTable(
   }
   /** MICRO_BATCH_READ (streaming tail, [[GraftMicroBatchStream]]) is
     * advertised only for the current-snapshot relation without
-    * outstanding MOR vectors: time-travel relations are frozen, and a
-    * vector subtraction is not expressible as a stream of file adds —
-    * Spark then refuses the readStream up front instead of failing the
-    * first batch. */
+    * outstanding MOR position vectors: time-travel relations are
+    * frozen, and a vector subtraction is not expressible as a stream of
+    * file adds — Spark then refuses the readStream up front instead of
+    * failing the first batch. Outstanding EQUALITY deletes keep the
+    * capability: the stream crosses them at batch boundaries (their
+    * keys apply only to rows already emitted — see
+    * [[GraftMicroBatchStream]]). */
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps =
       if (!writable) java.util.EnumSet.of(TableCapability.BATCH_READ)
@@ -189,7 +192,8 @@ private[sql] final class GraftSqlTable(
           TableCapability.TRUNCATE)
       else java.util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
-    if (writable && deleteFiles.isEmpty) caps.add(TableCapability.MICRO_BATCH_READ)
+    if (writable && deleteFiles.forall(graft.table.EqDeletes.isEq))
+      caps.add(TableCapability.MICRO_BATCH_READ)
     caps
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -1116,14 +1120,33 @@ private[sql] final class GraftScanBuilder(
         if (orderedEntries.nonEmpty) orderedEntries else files ++ deleteFiles,
         f => keptPaths(f.path))
       val dataSize = kept.map(_.sizeBytes).sum
-      new V1Scan {
-        override def readSchema(): StructType = requiredSchema
-        override def toV1TableScan[T <: BaseRelation with TableScan](
-            context: SQLContext): T =
-          new MorRelation(context, ts, requiredSchema, segs, posPaths,
-            dataSize).asInstanceOf[T]
-        override def description(): String =
-          s"GraftMorScan[${kept.size} files, ${deleteFiles.size} delete files]"
+      // an eq-delete-only relation still answers readStream (the
+      // micro-batch stream plans from the log, not from this scan);
+      // position vectors keep streaming refused via capabilities()
+      (streamCtx, deleteFiles.forall(graft.table.EqDeletes.isEq)) match {
+        case (Some((b, n, t)), true) =>
+          new V1Scan {
+            override def readSchema(): StructType = requiredSchema
+            override def toV1TableScan[T <: BaseRelation with TableScan](
+                context: SQLContext): T =
+              new MorRelation(context, ts, requiredSchema, segs, posPaths,
+                dataSize).asInstanceOf[T]
+            override def toMicroBatchStream(checkpointLocation: String)
+                : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+              new GraftMicroBatchStream(ts, b, n, t, options)
+            override def description(): String =
+              s"GraftMorScan[${kept.size} files, ${deleteFiles.size} delete files]"
+          }
+        case _ =>
+          new V1Scan {
+            override def readSchema(): StructType = requiredSchema
+            override def toV1TableScan[T <: BaseRelation with TableScan](
+                context: SQLContext): T =
+              new MorRelation(context, ts, requiredSchema, segs, posPaths,
+                dataSize).asInstanceOf[T]
+            override def description(): String =
+              s"GraftMorScan[${kept.size} files, ${deleteFiles.size} delete files]"
+          }
       }
     case None =>
       val kept = keptFiles

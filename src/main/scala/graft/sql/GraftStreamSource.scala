@@ -54,8 +54,16 @@ private[sql] final class GraftStreamableParquetScan(
   * against this source requires nothing from the table but its log.
   *
   * Append-only contract: a reset commit (overwrite / COW delete /
-  * replace) or a merge-on-read delete inside an unconsumed range fails
-  * the stream loudly — its delta is not expressible as file adds.
+  * replace) or a merge-on-read POSITION delete inside an unconsumed
+  * range fails the stream loudly — its delta is not expressible as
+  * file adds. An EQUALITY delete streams through: admission control
+  * closes the running batch at the delete's boundary, so when the
+  * delete is crossed every row its keys match (files before it in
+  * replay order) has already been emitted by earlier batches and the
+  * commit is a content no-op for the tail — the Iceberg
+  * skip-delete-snapshots / Delta ignoreDeletes semantics, derived here
+  * from replay order instead of an opt-in flag. (A sink needing
+  * retraction consumes scanIncremental or re-reads the table.)
   * Automatic checkpoint folds and WAP-staged branch commits are content
   * no-ops on main and stream through silently. Admission control:
   * `maxFilesPerTrigger` bounds each batch by walking snapshot
@@ -135,34 +143,44 @@ private[graft] final class GraftMicroBatchStream(
     val cap = availableNowTarget.getOrElse(headId)
     val s = start.asInstanceOf[GraftStreamOffset].id
     if (cap <= s) return GraftStreamOffset(s)
-    limit match {
-      case _: ReadAllAvailable => GraftStreamOffset(cap)
-      case mf: ReadMaxFiles => GraftStreamOffset(boundedEnd(s, cap, mf.maxFiles))
-      case _ => GraftStreamOffset(cap)
+    // every limit walks the admission path: equality-delete boundaries
+    // split batches regardless of the file budget
+    val budget = limit match {
+      case mf: ReadMaxFiles => mf.maxFiles.toLong
+      case _ => Long.MaxValue
     }
+    GraftStreamOffset(admissibleEnd(s, cap, budget))
   }
 
   /** Pick the furthest snapshot id in (start, cap] whose cumulative
     * file count fits the budget, walking only crossable commits
-    * (append / add_files / checkpoint). The first step always advances
-    * (a single oversized commit must still stream). Stops BEFORE an
-    * uncrossable commit once progress exists; if the very first
-    * unconsumed commit is uncrossable, returns `cap` so
-    * planInputPartitions raises the descriptive append-only error
-    * instead of idling forever. */
-  private def boundedEnd(startV: Long, cap: Long, maxFiles: Int): Long = {
+    * (append / add_files / checkpoint / equality delete). The first
+    * step always advances (a single oversized commit must still
+    * stream). An EQUALITY delete is crossable only while the batch has
+    * taken no file-adds: its keys then apply solely to rows earlier
+    * batches already emitted (skip semantics); once adds exist the
+    * batch closes at the delete's boundary and the next batch crosses
+    * it first. Stops BEFORE an uncrossable commit once progress
+    * exists; if the very first unconsumed commit is uncrossable,
+    * returns `cap` so planInputPartitions raises the descriptive
+    * append-only error instead of idling forever. */
+  private def admissibleEnd(startV: Long, cap: Long, maxFiles: Long): Long = {
     val snaps = mainSnaps().filter(_.snapshotId <= cap)
-    val crossable = Set(Snaplog.OpAppend, Snaplog.OpAddFiles, Snaplog.OpCheckpoint)
+    val crossable = Set(Snaplog.OpAppend, Snaplog.OpAddFiles,
+      Snaplog.OpCheckpoint, Snaplog.OpEqDelete)
     // the initial catch-up batch starts from the latest reset's
     // self-contained live set (everything older folded into it)
     var end = startV
-    var budget = maxFiles.toLong
+    var budget = maxFiles
+    var hasAdds = false
     if (startV == 0L) {
       val resetIdx = snaps.lastIndexWhere(s => Snaplog.ResetOps(s.operation))
       val first = if (resetIdx >= 0) snaps(resetIdx) else snaps.headOption.getOrElse(return cap)
       if (!crossable(first.operation) && resetIdx < 0) return cap
       end = first.snapshotId
-      budget -= backing.liveFiles(ns, tbl, Some(end)).size
+      val initial = backing.liveFiles(ns, tbl, Some(end)).size
+      budget -= initial
+      hasAdds = initial > 0
     }
     var i = snaps.indexWhere(_.snapshotId > end)
     while (i >= 0 && i < snaps.length) {
@@ -171,9 +189,14 @@ private[graft] final class GraftMicroBatchStream(
         // uncrossable next commit with no progress yet → surface the error
         return if (end == startV) cap else end
       }
-      val added = if (sn.operation == Snaplog.OpCheckpoint) 0L else sn.files.size.toLong
-      if (end != startV && budget - added < 0) return end
-      budget -= added
+      if (sn.operation == Snaplog.OpEqDelete) {
+        if (hasAdds) return end
+      } else {
+        val added = if (sn.operation == Snaplog.OpCheckpoint) 0L else sn.files.size.toLong
+        if (end != startV && budget - added < 0) return end
+        budget -= added
+        if (added > 0) hasAdds = true
+      }
       end = sn.snapshotId
       i += 1
     }
@@ -200,28 +223,42 @@ private[graft] final class GraftMicroBatchStream(
       if (s == 0L) {
         require(backing.liveDeleteFiles(ns, tbl, Some(e)).isEmpty,
           s"streaming read of $ns.$tbl: snapshot $e carries outstanding " +
-            "merge-on-read delete vectors — compact first, then stream")
+            "merge-on-read delete vectors or equality deletes — the " +
+            "initial content is not a plain file list; compact first, " +
+            "then stream")
         backing.liveFiles(ns, tbl, Some(e)).map(_.path)
       } else deltaPaths(s, e)
     if (paths.isEmpty) Array.empty
     else parquetScanOver(paths).toBatch.planInputPartitions()
   }
 
-  /** Files added in (s, e] — `Catalog.addedDataFilesBetween` (ONE shared
+  /** Files added in (s, e] — `Catalog.addedEntriesBetween` (ONE shared
     * implementation with `scanIncremental`), with the commonest
     * streaming failure (an expired checkpointed offset) surfaced first
-    * and every guard message wrapped with restart guidance. */
+    * and every guard message wrapped with restart guidance. Equality
+    * deletes in the window stream through as content no-ops PROVIDED
+    * they precede every in-window file add — which admission control
+    * guarantees for windows it planned; a WAL-replayed window from an
+    * older engine version that interleaves them refuses loudly. */
   private def deltaPaths(s: Long, e: Long): Seq[String] = {
     require(mainSnaps().exists(_.snapshotId == s),
       s"streaming read of $ns.$tbl: checkpointed snapshot $s is no longer " +
         "in the log (expired?) — restart from a fresh checkpoint")
-    try backing.addedDataFilesBetween(ns, tbl, s, e).map(_.path)
-    catch {
-      case ex: IllegalArgumentException =>
-        throw new IllegalArgumentException(
-          s"streaming read of $ns.$tbl: ${ex.getMessage} — restart from a " +
-            "fresh checkpoint to re-read current content", ex)
-    }
+    val entries =
+      try backing.addedEntriesBetween(ns, tbl, s, e)
+      catch {
+        case ex: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            s"streaming read of $ns.$tbl: ${ex.getMessage} — restart from a " +
+              "fresh checkpoint to re-read current content", ex)
+      }
+    val firstData = entries.indexWhere(x => !x.deleteFile.contains(true))
+    require(firstData < 0 ||
+        entries.drop(firstData).forall(x => !x.deleteFile.contains(true)),
+      s"streaming read of $ns.$tbl: batch ($s, $e] has an equality delete " +
+        "after in-batch file adds (planned by an older engine?) — its rows " +
+        "would need subtraction; restart from a fresh checkpoint")
+    entries.filterNot(_.deleteFile.contains(true)).map(_.path)
   }
 
   /** Spark's own vectorized parquet DSv2 over an explicit file list —

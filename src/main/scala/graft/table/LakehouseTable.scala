@@ -265,13 +265,19 @@ final class LakehouseTable(
     scan(asOf = Some(r.snapshotId), partitionFilter, rangeFilter)
   }
 
-  /** Incremental (CDC-style) read: the rows ADDED after `fromSnapshot`
-    * up to `toSnapshot` (default: current) — the Iceberg incremental-
-    * scan analogue, and the scale primitive for consumers that must not
-    * re-read the table per cycle. Pure log metadata decides the file
-    * set; Spark only ever sees the delta files. Exact for append /
-    * add_files chains; a reset commit (overwrite / replace) inside the
-    * range is rejected because its delta is not expressible as
+  /** Incremental (CDC-style) read: the NET rows added after
+    * `fromSnapshot` up to `toSnapshot` (default: current) — the Iceberg
+    * incremental-scan analogue, and the scale primitive for consumers
+    * that must not re-read the table per cycle. Pure log metadata
+    * decides the file set; Spark only ever sees the delta files.
+    * An EQUALITY delete inside the range nets out: in-window rows its
+    * keys match (per replay order — files added before the delete) are
+    * subtracted by the same broadcast anti-join a full scan uses, so a
+    * keyed CDC feed composes with incremental consumption. (Its effect
+    * on rows emitted before `fromSnapshot` is inherently outside an
+    * additive delta — consumers needing retraction re-read the table.)
+    * A reset commit (overwrite / replace) or a position delete inside
+    * the range is rejected because its delta is not expressible as
     * file-adds. */
   def scanIncremental(fromSnapshot: Long,
       toSnapshot: Option[Long] = None): DataFrame = {
@@ -281,12 +287,13 @@ final class LakehouseTable(
     val upTo = toSnapshot.getOrElse(
       snaps.filterNot(Snaplog.isWapStaged).last.snapshotId)
     // guards + path-set difference live in ONE place shared with the
-    // streaming table source (Catalog.addedDataFilesBetween)
-    val added = catalog.addedDataFilesBetween(namespace, name, fromSnapshot, upTo)
-    if (added.isEmpty)
+    // streaming table source (Catalog.addedEntriesBetween)
+    val entries = catalog.addedEntriesBetween(namespace, name, fromSnapshot, upTo)
+    val segs = EqDeletes.segments(entries, _ => true)
+    if (segs.isEmpty)
       spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
     else
-      spark.read.schema(readSchema).parquet(added.map(_.path): _*)
+      EqDeletes.readSubtracted(spark, readSchema, segs, withMeta = false)
   }
 
   /** Register the current snapshot for the SQL path (reference S10:

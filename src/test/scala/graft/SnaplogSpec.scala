@@ -925,8 +925,35 @@ abstract class CatalogContractSpec extends SparkSpec {
     t.compact()
     assert(cat.liveDeleteFiles("ns", "eqd").isEmpty)
     assert(t.scan().collect().map(_.getLong(0)).toSeq == Seq(1L))
-    // incremental reads across an eq-delete commit refuse loudly
-    intercept[IllegalArgumentException] { t.scanIncremental(1L, Some(3L)) }
+    // incremental reads across an eq-delete commit return the NET delta:
+    // window (1,3] = deleteEq(2,3) then append (2,"new") — the delete
+    // precedes the add in replay order, so the re-insert survives whole
+    val delta = t.scanIncremental(1L, Some(3L)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(delta == Seq(2L -> "new"), s"net delta: $delta")
+  }
+
+  test("incremental read nets out an in-window equality delete") {
+    val cat = freshCatalog()
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val t = graft.table.LakehouseTable.create(cat, spark, "ns", "eqinc", df.schema)
+    t.append(df)                                            // snap 1
+    t.append(Seq((2L, "b"), (3L, "c")).toDF("id", "v"))     // snap 2
+    t.deleteEq("id", Seq(3L, 1L))                           // snap 3
+    t.append(Seq((4L, "d")).toDF("id", "v"))                // snap 4
+    // window (1,4]: adds {2,3}, delete {3,1}, add {4} — the delete nets
+    // id=3 out of the in-window adds; id=1 predates the window (its
+    // removal is not expressible in an additive delta); id=4 postdates
+    // the delete and survives
+    val delta = t.scanIncremental(1L).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(delta == Seq(2L, 4L), s"net delta: $delta")
+    // the full scan agrees on the table's actual content
+    assert(t.scan().collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 4L))
+    // a position delete in the window still refuses
+    t.deleteMor(col("id") === 2L)                           // snap 5
+    val ex = intercept[IllegalArgumentException] { t.scanIncremental(1L) }
+    assert(ex.getMessage.contains("position"))
   }
 
   test("DataFrame-valued equality delete: dedup, null rejection, empty feed, SQL route") {

@@ -131,6 +131,61 @@ class StreamTableSourceSpec extends SparkSpec {
     assert(runOnce("gsreset.ns.x", ckpt2)._1 == Seq(7, 8))
   }
 
+  test("equality deletes stream through: batch-split skip semantics, delta resume") {
+    val wh = Files.createTempDirectory("graft-streameq").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "eq", fixture(1 to 4, "A").schema)
+    tbl.append(fixture(1 to 4, "A"))                       // snap 1
+    spark.conf.set("spark.sql.catalog.gseq", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gseq.warehouse", wh)
+    val ckpt = Files.createTempDirectory("graft-streameq-ck").toString
+    val out = Files.createTempDirectory("graft-streameq-out").toString
+    assert(runToDir("gseq.ns.eq", ckpt, out) == Seq(1, 2, 3, 4))
+    // an eq delete lands, then an append: the RESUMED stream must cross
+    // the delete (its keys touch only already-emitted rows) and emit
+    // exactly the new append — the refusal-turned-delta
+    tbl.deleteEq("id", Seq(2, 3))                          // snap 2
+    tbl.append(fixture(5 to 6, "A"))                       // snap 3
+    assert(runToDir("gseq.ns.eq", ckpt, out) == Seq(1, 2, 3, 4, 5, 6),
+      "resume must cross the eq delete and emit only the delta")
+    // the table's own content nets the delete out (batch reads subtract)
+    assert(tbl.scan().select("id").collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(1, 4, 5, 6))
+    // a FRESH stream replays history append-only: admission starts the
+    // initial batch BEFORE the delete (so no batch needs subtraction)
+    // and the deleted-then-skipped rows appear once, like any
+    // already-emitted row — the documented skip semantics
+    val ckpt2 = Files.createTempDirectory("graft-streameq-ck2").toString
+    val out2 = Files.createTempDirectory("graft-streameq-out2").toString
+    assert(runToDir("gseq.ns.eq", ckpt2, out2) == Seq(1, 2, 3, 4, 5, 6))
+    // after compaction the deletes are materialized: a fresh stream's
+    // initial content is the NET table
+    tbl.compact()
+    val ckpt3 = Files.createTempDirectory("graft-streameq-ck3").toString
+    assert(runOnce("gseq.ns.eq", ckpt3)._1 == Seq(1, 4, 5, 6))
+  }
+
+  test("an unconsumed append→eqdelete→append window splits at the delete boundary") {
+    val wh = Files.createTempDirectory("graft-streameqs").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "eqs", fixture(1 to 2, "A").schema)
+    tbl.append(fixture(1 to 2, "A"))                       // snap 1
+    spark.conf.set("spark.sql.catalog.gseqs", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gseqs.warehouse", wh)
+    val ckpt = Files.createTempDirectory("graft-streameqs-ck").toString
+    val out = Files.createTempDirectory("graft-streameqs-out").toString
+    assert(runToDir("gseqs.ns.eqs", ckpt, out) == Seq(1, 2))
+    // three unconsumed commits; admission must close the first batch
+    // BEFORE the delete so no batch needs row subtraction
+    tbl.append(fixture(3 to 4, "A"))                       // snap 2
+    tbl.deleteEq("id", Seq(3))                             // snap 3
+    tbl.append(fixture(5 to 6, "A"))                       // snap 4
+    assert(runToDir("gseqs.ns.eqs", ckpt, out) == Seq(1, 2, 3, 4, 5, 6),
+      "append→eqdelete→append must stream as two clean batches")
+    assert(tbl.scan().select("id").collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(1, 2, 4, 5, 6))
+  }
+
   test("outstanding MOR vectors refuse the streaming read up front") {
     val wh = Files.createTempDirectory("graft-streammor").toString
     val cat = new Snaplog(wh)

@@ -12,7 +12,7 @@ import org.json4s._
 import org.json4s.jackson.JsonMethods
 import org.json4s.JsonDSL._
 
-import graft.table.LakehouseTable
+import graft.table.{BucketField, DaysField, HoursField, IdentityField, LakehouseTable, MonthsField, PartField, PartitionTransforms, TruncateField, YearsField}
 
 /** Read-only Iceberg-v2 metadata export for a snaplog table — the
   * interop loop the reference demonstrates by pointing DuckDB's
@@ -32,14 +32,28 @@ import graft.table.LakehouseTable
   * field NAMES and FIELD-IDS (`manifest_path`/500, `data_file`/2,
   * `file_path`/100, `record_count`/103, …), the container-level
   * key-value metadata Iceberg writers stamp (`format-version`,
-  * `schema`, `partition-spec`, `content`), and per-table identity
-  * partition structs under the spec's `r102` record with field-ids
-  * 1000+i — the same Avro runtime Spark itself ships. `metadata.json`
-  * follows the v2 JSON layout (format-version, schemas with field-ids,
-  * partition-specs with identity transforms, snapshots with
-  * manifest-list pointers). Data files are referenced in place —
-  * export is metadata-only, zero data movement; any engine that walks
-  * the tree scans the same parquet graft scans.
+  * `schema`, `partition-spec`, `content`), and per-table partition
+  * structs under the spec's `r102` record with field-ids 1000+i — the
+  * same Avro runtime Spark itself ships. `metadata.json` follows the
+  * v2 JSON layout (format-version, schemas with field-ids,
+  * partition-specs, snapshots with manifest-list pointers). Partition
+  * specs carry the REAL transforms (`identity`, `day`, `hour`,
+  * `month`, `year`, `truncate[w]`) with the spec's typed result values
+  * in each manifest entry (day as a date-logical int of epoch days,
+  * hour/month/year as ints, truncate as the source type) — graft's
+  * stored transform indexes ARE the Iceberg transform result values
+  * (same epoch-index and floorMod-truncation definitions), so a
+  * days(ts) table prunes correctly in any spec-compliant external
+  * reader. The ONE exception is `bucket(n,col)`: graft buckets by
+  * xxhash64 while Iceberg's `bucket[n]` mandates murmur3_x86_32 —
+  * exporting the stored bucket under Iceberg's name would make
+  * external readers prune files by a hash the data was never
+  * partitioned by, silently dropping rows. Bucket fields therefore
+  * export as the spec's `void` transform (all-null values, never
+  * pruned on): every row stays reachable, only external bucket
+  * pruning is forgone. Data files are referenced in place — export is
+  * metadata-only, zero data movement; any engine that walks the tree
+  * scans the same parquet graft scans.
   */
 object IcebergExport {
 
@@ -84,22 +98,47 @@ object IcebergExport {
       |{"name":"deleted_rows_count","type":"long","field-id":514}
       |]}""".stripMargin)
 
-  /** Avro type of one identity-partition FIELD in the `r102` partition
-    * struct, derived from the source column type. */
-  private def partitionAvroType(dt: DataType): JValue = dt match {
-    case IntegerType | ShortType | ByteType => JString("int")
-    case LongType => JString("long")
-    case DateType => ("type" -> "int") ~ ("logicalType" -> "date")
-    case _ => JString("string")
+  /** Iceberg spec transform name for one partition field. Bucket maps
+    * to `void` — graft's xxhash64 buckets are NOT Iceberg murmur3
+    * buckets, and `void` is the spec's "carry the field, never prune
+    * on it" transform (see object scaladoc). */
+  private def icebergTransform(pf: PartField): String = pf match {
+    case _: IdentityField => "identity"
+    case _: DaysField => "day"
+    case _: HoursField => "hour"
+    case _: MonthsField => "month"
+    case _: YearsField => "year"
+    case _: BucketField => "void"
+    case TruncateField(w, _) => s"truncate[$w]"
+  }
+
+  /** Avro type of one partition FIELD in the `r102` partition struct:
+    * the transform's Iceberg RESULT type (identity/truncate → source
+    * type, day → date-logical int, hour/month/year → int). */
+  private def partitionAvroType(pf: PartField, srcDt: DataType): JValue = pf match {
+    case _: IdentityField => srcDt match {
+      case IntegerType | ShortType | ByteType => JString("int")
+      case LongType => JString("long")
+      case DateType => ("type" -> "int") ~ ("logicalType" -> "date")
+      case _ => JString("string")
+    }
+    case _: DaysField => ("type" -> "int") ~ ("logicalType" -> "date")
+    case _: HoursField | _: MonthsField | _: YearsField => JString("int")
+    case _: BucketField => JString("int") // void: value always null
+    case _: TruncateField => srcDt match {
+      case LongType => JString("long")
+      case IntegerType | ShortType | ByteType => JString("int")
+      case _ => JString("string")
+    }
   }
 
   /** Iceberg v2 `manifest_entry` record, with the per-table `r102`
-    * partition struct (identity transforms → source column types). */
+    * partition struct (one field per spec transform, result-typed). */
   private def manifestEntrySchema(
-      partCols: Seq[(String, DataType)]): Schema = {
-    val partitionFields = JArray(partCols.zipWithIndex.map { case ((c, dt), i) =>
-      ("name" -> c) ~
-        ("type" -> JArray(List(JString("null"), partitionAvroType(dt)))) ~
+      partCols: Seq[(PartField, DataType)]): Schema = {
+    val partitionFields = JArray(partCols.zipWithIndex.map { case ((pf, dt), i) =>
+      ("name" -> pf.fieldName) ~
+        ("type" -> JArray(List(JString("null"), partitionAvroType(pf, dt)))) ~
         ("default" -> JNull) ~ ("field-id" -> (1000 + i)): JValue
     }.toList)
     val dataFile =
@@ -129,15 +168,37 @@ object IcebergExport {
   }
 
   /** Stored (string) partition value → typed Avro value per the
-    * partition struct field type; the null sentinel → null. */
-  private def partitionAvroValue(stored: String, dt: DataType): Any =
+    * transform's result type; the null sentinel → null. Time-transform
+    * stored values ARE the Iceberg epoch indexes, so they parse
+    * directly; identity dates stored as ISO text convert to epoch-day
+    * ints. */
+  private def partitionAvroValue(pf: PartField, stored: String, srcDt: DataType): Any =
     if (stored == graft.catalog.Snaplog.HiveDefaultPartition) null
-    else dt match {
-      case IntegerType | ShortType | ByteType => Integer.valueOf(stored.toInt)
-      case LongType => java.lang.Long.valueOf(stored.toLong)
-      case DateType =>
-        Integer.valueOf(java.time.LocalDate.parse(stored).toEpochDay.toInt)
-      case _ => stored
+    else pf match {
+      case _: IdentityField => srcDt match {
+        case IntegerType | ShortType | ByteType => Integer.valueOf(stored.toInt)
+        case LongType => java.lang.Long.valueOf(stored.toLong)
+        case DateType =>
+          Integer.valueOf(java.time.LocalDate.parse(stored).toEpochDay.toInt)
+        case _ => stored
+      }
+      case _: DaysField | _: HoursField | _: MonthsField | _: YearsField =>
+        Integer.valueOf(stored.toInt)
+      case _: BucketField => null // void transform: never a value
+      case _: TruncateField => srcDt match {
+        case LongType =>
+          // the one unrepresentable bucket: sources within W of
+          // Long.MinValue truncate below the long range (stored in
+          // decimal text); refuse loudly rather than wrap
+          try java.lang.Long.valueOf(stored.toLong)
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"truncate partition value $stored exceeds the long range " +
+                "— not representable in an Iceberg manifest; compact the " +
+                "affected partition or export without it") }
+        case IntegerType | ShortType | ByteType => Integer.valueOf(stored.toInt)
+        case _ => stored
+      }
     }
 
   private def writeAvro(file: Path, schema: Schema,
@@ -166,14 +227,6 @@ object IcebergExport {
       s"cannot export $ns.$name with outstanding merge-on-read delete " +
         "vectors — a metadata-only export would resurrect deleted rows " +
         "for external readers; compact() first")
-    // The exported spec below declares every field identity; a days/
-    // bucket-transformed table would need typed Iceberg transform
-    // values (day ints, bucket ints) in each manifest entry — refuse
-    // rather than emit a spec external readers would mis-prune by.
-    require(graft.table.PartitionTransforms.identityOnly(table.partitionColumns),
-      s"cannot export $ns.$name: non-identity partition transforms " +
-        s"(${table.partitionColumns.mkString(", ")}) are not representable " +
-        "in this exporter's identity-only partition spec")
     val schema = table.schema
     // Exported schema ids MUST match the ids stamped into the parquet
     // files (graft's field-id registry): an Iceberg reader resolves
@@ -191,15 +244,19 @@ object IcebergExport {
       ("id" -> fieldId(f.name)) ~ ("name" -> f.name) ~
         ("required" -> !f.nullable) ~ ("type" -> icebergType(f.dataType))
     }
-    val specFields = table.partitionColumns.zipWithIndex.map { case (c, i) =>
-      ("name" -> c) ~ ("transform" -> "identity") ~
-        ("source-id" -> fieldId(c)) ~ ("field-id" -> (1000 + i))
+    val partFields = PartitionTransforms.parseAll(table.partitionColumns)
+    // source-id resolves case-insensitively like every schema lookup
+    def sourceId(c: String): Int = schema.fieldNames
+      .find(_.equalsIgnoreCase(c)).map(fieldId).getOrElse(fieldId(c))
+    val specFields = partFields.zipWithIndex.map { case (pf, i) =>
+      ("name" -> pf.fieldName) ~ ("transform" -> icebergTransform(pf)) ~
+        ("source-id" -> sourceId(pf.source)) ~ ("field-id" -> (1000 + i))
     }
     val schemaJson = JsonMethods.compact(JsonMethods.render(
       ("type" -> "struct") ~ ("schema-id" -> 0) ~ ("fields" -> fields.toList)))
     val specJson = JsonMethods.compact(JsonMethods.render(specFields.toList))
-    val partCols: Seq[(String, DataType)] = table.partitionColumns.map { c =>
-      c -> schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+    val partCols: Seq[(PartField, DataType)] = partFields.map { pf =>
+      pf -> schema.fields.find(_.name.equalsIgnoreCase(pf.source)).map(_.dataType)
         .getOrElse(StringType)
     }
     val entrySchema = manifestEntrySchema(partCols)
@@ -228,9 +285,9 @@ object IcebergExport {
       // manifest: one ADDED entry per live data file of the snapshot
       val entries = live.map { f =>
         val part = new GenericData.Record(partitionSchema)
-        partCols.foreach { case (c, dt) =>
-          part.put(c, f.partitionValues.get(c)
-            .map(partitionAvroValue(_, dt)).orNull)
+        partCols.foreach { case (pf, dt) =>
+          part.put(pf.fieldName, f.partitionValues.get(pf.fieldName)
+            .map(partitionAvroValue(pf, _, dt)).orNull)
         }
         val df = new GenericData.Record(dataFileSchema)
         df.put("content", 0) // 0 = DATA

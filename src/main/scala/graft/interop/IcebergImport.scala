@@ -32,12 +32,23 @@ import graft.table.{FileStats, LakehouseTable}
   * recover column [min,max] bounds for stat-based file skipping (the
   * manifests' binary bound maps are not parsed).
   *
+  * Partition specs import at full transform fidelity where the
+  * semantics match graft's own: `identity`, `day`, `hour`, `month`,
+  * `year` (epoch-index values — graft's stored form exactly) and
+  * `truncate[w]` reconstruct the corresponding graft spec, so a
+  * PyIceberg-written day-partitioned table prunes immediately after
+  * import. `void` fields carry no information and are dropped from
+  * the spec (the shape graft's own export gives bucket fields).
+  * `bucket[n]` REFUSES: Iceberg buckets by murmur3_x86_32, graft by
+  * xxhash64 — importing the stored murmur3 indexes as if they were
+  * graft buckets would prune files by the wrong hash and silently
+  * drop rows.
+  *
   * Honest refusals, all failing BEFORE any catalog mutation: delete
   * manifests / delete files (a data-only import would resurrect
-  * deleted rows), non-identity partition transforms (the log prunes on
-  * identity values only), non-parquet file formats, and non-primitive
-  * column types (nested structs need field-id tracking this format
-  * does not carry).
+  * deleted rows), `bucket[n]` transforms (above), non-parquet file
+  * formats, and non-primitive column types (nested structs need
+  * field-id tracking this format does not carry).
   */
 object IcebergImport {
 
@@ -91,6 +102,12 @@ object IcebergImport {
     case other => other.toString
   }
 
+  /** Transform-field value → graft's stored text: the epoch indexes /
+    * truncated values ARE the stored form, so plain toString (Avro
+    * Utf8 included); null → the sentinel. */
+  private def transformText(v: Any): String =
+    if (v == null) Snaplog.HiveDefaultPartition else v.toString
+
   /** Walk `root` (the table dir containing `metadata/`, or the
     * `metadata/` dir itself) and register the current snapshot as the
     * new table `ns.name` in `catalog`. */
@@ -125,30 +142,48 @@ object IcebergImport {
         nullable = !(f \ "required").extract[Boolean])
     })
 
-    // -- partition spec (default-spec-id, identity transforms only) ----------
+    // -- partition spec (default-spec-id) ------------------------------------
     val specId = (meta \ "default-spec-id").extract[Int]
     val specJson = (meta \ "partition-specs").asInstanceOf[JArray].arr
       .find(s => (s \ "spec-id").extract[Int] == specId)
       .getOrElse(throw new IllegalArgumentException(
         s"default-spec-id $specId not present in partition-specs"))
-    // Per spec field: (avroName, sourceCol) — the Avro partition struct
-    // is keyed by the spec field's OWN name, which legally differs from
-    // the source column (e.g. a renamed source keeps the old spec-field
-    // name); the log registers under the source column, which is what
-    // graft prunes on.
-    val partFields = (specJson \ "fields").asInstanceOf[JArray].arr.map { pf =>
-      val transform = (pf \ "transform").extract[String]
-      require(transform == "identity",
-        s"partition transform '$transform' is not identity — the snapshot " +
-          "log prunes on identity values only; import refused")
-      val srcId = (pf \ "source-id").extract[Int]
-      val sourceCol = (fieldById.getOrElse(srcId, throw new IllegalArgumentException(
-        s"partition source-id $srcId not in schema")) \ "name").extract[String]
-      ((pf \ "name").extract[String], sourceCol)
-    }
-    val partCols = partFields.map(_._2)
-    val partTypes = partCols.map(c =>
-      c -> schema.fields.find(_.name == c).map(_.dataType).getOrElse(StringType)).toMap
+    // Per spec field: (avroName, graft spec string) — the Avro
+    // partition struct is keyed by the spec field's OWN name, which
+    // legally differs from the derived name graft would use (e.g. a
+    // renamed source keeps the old spec-field name); the log registers
+    // under graft's derived field name, which is what graft prunes on.
+    // `void` fields are dropped (no information), `bucket[n]` refuses
+    // (murmur3 ≠ xxhash64 — see object scaladoc).
+    val partFields: Seq[(String, graft.table.PartField)] =
+      (specJson \ "fields").asInstanceOf[JArray].arr.flatMap { pf =>
+        val transform = (pf \ "transform").extract[String]
+        if (transform == "void") None else {
+          val srcId = (pf \ "source-id").extract[Int]
+          val sourceCol = (fieldById.getOrElse(srcId, throw new IllegalArgumentException(
+            s"partition source-id $srcId not in schema")) \ "name").extract[String]
+          val spec = transform match {
+            case "identity" => sourceCol
+            case "day" => s"days($sourceCol)"
+            case "hour" => s"hours($sourceCol)"
+            case "month" => s"months($sourceCol)"
+            case "year" => s"years($sourceCol)"
+            case t if t.startsWith("truncate[") && t.endsWith("]") =>
+              s"truncate(${t.stripPrefix("truncate[").stripSuffix("]")},$sourceCol)"
+            case other => throw new IllegalArgumentException(
+              s"partition transform '$other' has no graft equivalent " +
+                "(bucket[n] uses murmur3, graft xxhash64 — pruning on the " +
+                "foreign indexes would drop rows); import refused")
+          }
+          Some(((pf \ "name").extract[String],
+            graft.table.PartitionTransforms.parse(spec)))
+        }
+      }
+    val partCols = partFields.map(_._2.spec)
+    val identityTypes = partFields.collect { case (_, pf: graft.table.IdentityField) =>
+      pf.source -> schema.fields.find(_.name == pf.source).map(_.dataType)
+        .getOrElse(StringType)
+    }.toMap
 
     // -- current snapshot → manifest list → manifests → data files -----------
     val currentId = (meta \ "current-snapshot-id").extract[Long]
@@ -176,8 +211,12 @@ object IcebergImport {
       val path = normalizePath(df.get("file_path").toString)
       require(Files.exists(Paths.get(path)), s"data file missing: $path")
       val part = df.get("partition").asInstanceOf[GenericRecord]
-      val pv = partFields.map { case (avroName, sourceCol) =>
-        sourceCol -> partitionText(part.get(avroName), partTypes(sourceCol))
+      val pv = partFields.map { case (avroName, pf) =>
+        pf.fieldName -> (pf match {
+          case id: graft.table.IdentityField =>
+            partitionText(part.get(avroName), identityTypes(id.source))
+          case _ => transformText(part.get(avroName))
+        })
       }.toMap
       if (statFooters) FileStats.stat(spark, path, pv)
       else DataFileEntry(path, df.get("record_count").asInstanceOf[Long],

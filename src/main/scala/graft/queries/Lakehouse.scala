@@ -198,6 +198,48 @@ object Lakehouse {
           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM merged GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Dynamic partition overwrite under HIDDEN partitioning: the same
+    // daily-recompute pattern on a days(ts) events table — the patch
+    // covers one calendar day, attribution runs the writer's own
+    // transform expression, so exactly that day's files replace and
+    // every other day carries by path (asserted in-result).
+    QueryDef("lake_partition_overwrite_days",
+      (s, d) => {
+        val cat = new Snaplog(wh("lake_partition_overwrite_days", d))
+        val ev = events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        val rep = Ingest.ingestDf(cat, "lake", "events_days", ev,
+          partitionColumns = Seq("days(ts)"))
+        val before = cat.liveFiles("lake", "events_days")
+        // recompute the fixture's third day (deterministic at any sf)
+        val target = ev.agg(date_add(to_date(min(col("ts"))), 2)).head().getDate(0)
+        val patch = ev.filter(to_date(col("ts")) === lit(target))
+          .withColumn("value", col("value") * 2.0)
+        rep.table.overwritePartitions(patch)
+        val after = cat.liveFiles("lake", "events_days").map(_.path).toSet
+        val targetDay = target.toLocalDate.toEpochDay.toString
+        val carried = before
+          .filter(_.partitionValues("ts_day") != targetDay)
+          .forall(f => after(f.path))
+        rep.table.scan()
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+          .withColumn("other_days_carried", lit(carried))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH target AS (
+          SELECT date_trunc('day', MIN(ts)) + INTERVAL 2 DAY AS day FROM events),
+        merged AS (
+          SELECT event_type, value FROM events
+          WHERE date_trunc('day', ts) <> (SELECT day FROM target)
+          UNION ALL
+          SELECT event_type, value * 2.0 AS value FROM events
+          WHERE date_trunc('day', ts) = (SELECT day FROM target))
+        SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          TRUE AS other_days_carried
+        FROM merged GROUP BY event_type ORDER BY event_type""")),
+
     // Snapshot refs: tag the first commit "v1" (immutable), keep
     // appending, then read the tag and the head side by side — time
     // travel by NAME, the release-pinning workflow (training runs pin a
@@ -1325,6 +1367,40 @@ object Lakehouse {
             + (SELECT COUNT(*) FROM nation WHERE n_nationkey < 5)
             AS BIGINT) AS total_records,
           TRUE AS files_exist""")),
+
+    // Iceberg export under HIDDEN partitioning: a days(ts) events table
+    // exports with a REAL `day` transform spec (typed epoch-day ints in
+    // the manifest partition structs, per the v2 spec), then the tree
+    // is imported back as a new table — spec fidelity and the scan are
+    // both gated (the re-imported table must reproduce the source rows
+    // and keep day-granular partition metadata).
+    QueryDef("lake_iceberg_export_days",
+      (s, d) => {
+        val whDir = wh("lake_iceberg_export_days", d)
+        val cat = new Snaplog(whDir)
+        val ev = events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        val rep = Ingest.ingestDf(cat, "lake", "events_ice", ev,
+          partitionColumns = Seq("days(ts)"))
+        val dest = Paths.get(whDir, "ice_export")
+        IcebergExport.export(rep.table, dest)
+        val rb = IcebergExport.readBack(dest)
+        val imp = graft.interop.IcebergImport.register(
+          cat, s, dest, "lake", "events_rt")
+        val dayCount = cat.liveFiles("lake", "events_rt")
+          .flatMap(_.partitionValues.get("ts_day")).distinct.size
+        imp.table.scan()
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+          .withColumn("format_version", lit(rb.formatVersion))
+          .withColumn("spec_days", lit(imp.partitionColumns == Seq("days(ts)")))
+          .withColumn("multi_day", lit(dayCount > 1))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          2 AS format_version, TRUE AS spec_days, TRUE AS multi_day
+        FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // External Iceberg v2 READ (import): export a partitioned table's
     // metadata tree, then register it as a NEW table by walking

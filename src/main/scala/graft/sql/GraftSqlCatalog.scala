@@ -274,6 +274,9 @@ private[sql] final class GraftAppendWrite(
       .get(FieldIds.RegistryProp).map(FieldIds.decode)
       .map(FieldIds.attach(tableSchema, _)).getOrElse(tableSchema)
     spark.conf.set(FieldIds.WriteConf, "true")
+    // INT64-micros timestamps (see LakehouseTable.writeCommit): footer
+    // stats + Iceberg-spec-compliant data files from every write path
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val winfo: LogicalWriteInfo =
       if (writeSchema eq tableSchema) info
       else new LogicalWriteInfo {
@@ -740,6 +743,8 @@ private[sql] final class GraftRowLevelOperation(
           // a later rename until compaction
           import graft.types.FieldIds
           spark.conf.set(FieldIds.WriteConf, "true")
+          // INT64-micros timestamps (see LakehouseTable.writeCommit)
+          spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
           val reg = backing.loadTable(ns, tbl).properties
             .get(FieldIds.RegistryProp).map(FieldIds.decode)
           def stamp(s: StructType): StructType =
@@ -957,8 +962,14 @@ private[sql] final class GraftScanBuilder(
   // functions, columns lacking bounds in ANY file — declines the
   // pushdown and Spark plans the ordinary scan.
 
-  /** Types whose recorded bounds can answer MIN/MAX EXACTLY: integral
-    * only. Floats are excluded (parquet stat behavior with NaN is
+  /** Types whose recorded bounds can answer MIN/MAX EXACTLY: integral,
+    * plus date/timestamp — parquet stores them as INT32 epoch days /
+    * INT64 epoch micros, value-ordered and totally ordered, so the
+    * footer bound IS the exact extreme (`MIN(ts)` on an events table is
+    * the query the log answers free; the internal micros are
+    * timezone-independent — session timezone only affects DISPLAY of
+    * the returned instant, for NTZ the micros are the wall clock
+    * itself). Floats are excluded (parquet stat behavior with NaN is
     * undefined, and Spark orders NaN above every value — a poisoned
     * bound would silently return the wrong extreme); strings are
     * excluded because parquet orders UTF-8 bytes while
@@ -968,17 +979,23 @@ private[sql] final class GraftScanBuilder(
   private def statType(c: String): Option[org.apache.spark.sql.types.DataType] =
     tableSchema.fields.find(_.name == c).map(_.dataType).filter {
       case org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.LongType => true
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => true
       case _ => false
     }
 
   /** Column a MIN/MAX can answer from metadata: single-name reference,
-    * integral-typed (statType gate — applies even when the pruned file
-    * set is EMPTY, so a float/string MIN under an all-pruning filter
-    * declines instead of emitting a mistyped NULL field), with bounds
-    * recorded in every answering file (vacuous when none), and NOT a
-    * name rebound by evolution — old files' stats under a rebound name
-    * describe the previously-bound column's data. */
+    * stat-exact-typed (statType gate — applies even when the pruned
+    * file set is EMPTY, so a float/string MIN under an all-pruning
+    * filter declines instead of emitting a mistyped NULL field), with
+    * bounds recorded in every answering file (vacuous when none), and
+    * NOT a name rebound by evolution — old files' stats under a rebound
+    * name describe the previously-bound column's data. A file with NO
+    * bound still qualifies when its recorded null count equals its row
+    * count: an all-null file has no min/max to record, and contributes
+    * nothing to a null-skipping MIN/MAX — the sparse-column shape. */
   private def boundedColIn(e: org.apache.spark.sql.connector.expressions.Expression,
       answering: Seq[DataFileEntry]): Option[String] =
     e match {
@@ -986,7 +1003,8 @@ private[sql] final class GraftScanBuilder(
         val c = nr.fieldNames()(0)
         if (statType(c).isDefined &&
           !statsUnsafe(c.toLowerCase(java.util.Locale.ROOT)) &&
-          answering.forall(_.columnStats.exists(_.contains(c)))) Some(c) else None
+          answering.forall(f => f.columnStats.exists(_.contains(c)) ||
+            f.nullCounts.exists(_.get(c).contains(f.rowCount)))) Some(c) else None
       case _ => None
     }
 
@@ -1039,9 +1057,16 @@ private[sql] final class GraftScanBuilder(
   override def pushAggregation(agg: Aggregation): Boolean =
     canAnswerFromMetadata(agg) && { pushedAgg = Some(agg); true }
 
+  /** Stored bound string → the column type's CATALYST-INTERNAL value
+    * (what an InternalRow carries): dates are epoch-day ints,
+    * timestamps epoch micros longs — exactly the integers the footer
+    * stats recorded, so no conversion beyond parsing. */
   private def parse(c: String, s: String): Any = statType(c).get match {
-    case org.apache.spark.sql.types.IntegerType => s.toLong.toInt
-    case org.apache.spark.sql.types.LongType => s.toLong
+    case org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.DateType => s.toLong.toInt
+    case org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType => s.toLong
     case other => throw new IllegalStateException(s"unexpected stat type $other")
   }
 
@@ -1060,16 +1085,18 @@ private[sql] final class GraftScanBuilder(
       case (m: Min, i) =>
         val c = boundedColIn(m.column, answering).getOrElse(
           throw new IllegalStateException(s"unanswerable MIN ${m.column}"))
-        val v = if (answering.isEmpty) null
-          else answering.flatMap(_.columnStats.flatMap(_.get(c)))
-            .map(b => parse(c, b.min)).reduce((x, y) => if (lt(y, x)) y else x)
+        // all-null files carry no bound and contribute nothing; if
+        // EVERY file is all-null the exact answer is NULL
+        val v = answering.flatMap(_.columnStats.flatMap(_.get(c)))
+          .map(b => parse(c, b.min))
+          .reduceOption((x, y) => if (lt(y, x)) y else x).orNull
         (v: Any, StructField(s"min_$i", statType(c).get, nullable = true))
       case (m: Max, i) =>
         val c = boundedColIn(m.column, answering).getOrElse(
           throw new IllegalStateException(s"unanswerable MAX ${m.column}"))
-        val v = if (answering.isEmpty) null
-          else answering.flatMap(_.columnStats.flatMap(_.get(c)))
-            .map(b => parse(c, b.max)).reduce((x, y) => if (lt(x, y)) y else x)
+        val v = answering.flatMap(_.columnStats.flatMap(_.get(c)))
+          .map(b => parse(c, b.max))
+          .reduceOption((x, y) => if (lt(x, y)) y else x).orNull
         (v: Any, StructField(s"max_$i", statType(c).get, nullable = true))
       case (other, _) =>
         throw new IllegalStateException(s"unanswerable aggregate $other")

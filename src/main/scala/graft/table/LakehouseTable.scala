@@ -379,26 +379,34 @@ final class LakehouseTable(
   }
 
   /** Dynamic partition overwrite (Iceberg `replacePartitions`, Spark's
-    * `partitionOverwriteMode=dynamic`): replaces ONLY the identity
-    * partitions present in `df`; every other partition's files carry
-    * into the new snapshot untouched — so a daily re-run rewrites one
-    * day, not the table. The touched-partition set is metadata-sized
-    * (distinct partition values, collected to the driver like any
-    * catalog op); data files never rewrite outside the touched set. */
+    * `partitionOverwriteMode=dynamic`): replaces ONLY the partitions
+    * present in `df`; every other partition's files carry into the new
+    * snapshot untouched — so a daily re-run rewrites one day, not the
+    * table. Works under hidden partitioning too: touched partitions
+    * are computed with the SAME layout expressions the writer
+    * directories by (`PartitionTransforms.layoutExpr`), so a days(ts)
+    * table replaces exactly the days `df` covers — write-side and
+    * attribution-side values agree by construction. The
+    * touched-partition set is metadata-sized (distinct transformed
+    * tuples, collected to the driver like any catalog op); data files
+    * never rewrite outside the touched set. */
   def overwritePartitions(df: DataFrame): Snapshot = {
     val parts = partitionColumns
     require(parts.nonEmpty,
       s"dynamic partition overwrite needs a partitioned table; $namespace.$name has no partition columns")
-    // Touched-partition attribution compares the df value's toString
+    val partFields = PartitionTransforms.parseAll(parts)
+    // IDENTITY attribution compares the df value's cast-to-string text
     // against the stored (unescaped) directory value — exact only for
     // types whose external text round-trips the dir encoding. Refuse
     // the rest (e.g. timestamps render '…12:34:56.0' vs dir
     // '…12:34:56') rather than silently carrying files of a touched
-    // partition and duplicating its rows.
+    // partition and duplicating its rows. TRANSFORM fields are always
+    // exact: the attribution below evaluates the very expression that
+    // produced the stored value.
     locally {
       import org.apache.spark.sql.types.{BooleanType, ByteType, DateType, IntegerType, LongType, ShortType, StringType}
       val sch = schema
-      val bad = parts.filterNot { c =>
+      val bad = partFields.collect { case IdentityField(c) => c }.filterNot { c =>
         sch.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType).exists {
           case StringType | IntegerType | LongType | ShortType | ByteType |
                DateType | BooleanType => true
@@ -407,17 +415,24 @@ final class LakehouseTable(
       }
       require(bad.isEmpty,
         s"dynamic partition overwrite supports string/integral/date/boolean " +
-          s"partition columns; (${bad.mkString(", ")}) cannot be attributed " +
-          "exactly — overwrite() the table instead")
+          s"identity partition columns; (${bad.mkString(", ")}) cannot be " +
+          "attributed exactly — overwrite() the table, or partition by a " +
+          "transform of the column")
     }
-    // Null partition values normalize to the same sentinel the write
-    // path records (Spark's __HIVE_DEFAULT_PARTITION__ dir name), so a
-    // null-partition rewrite replaces the old null-partition files
-    // instead of duplicating them.
-    val touched = df.select(parts.map(col): _*).distinct().collect()
-      .map(r => parts.map { c =>
-        val v = r.get(r.fieldIndex(c))
-        c -> (if (v == null) Snaplog.HiveDefaultPartition else v.toString)
+    // Evaluate the layout expressions on the NORMALIZED rows (the same
+    // shape writeCommit lays out) and string-normalize exactly like the
+    // directory encoding: null AND empty string both land in Spark's
+    // __HIVE_DEFAULT_PARTITION__ sentinel, so a null-partition rewrite
+    // replaces the old null-partition files instead of duplicating them.
+    val normalized = SchemaInfer.normalize(df, schema)
+    val touched = normalized.select(partFields.map(pf =>
+        PartitionTransforms.layoutExpr(pf, normalized.schema)
+          .cast(org.apache.spark.sql.types.StringType).as(pf.fieldName)): _*)
+      .distinct().collect()
+      .map(r => partFields.map { pf =>
+        val v = r.get(r.fieldIndex(pf.fieldName))
+        pf.fieldName -> (if (v == null || v.toString.isEmpty)
+          Snaplog.HiveDefaultPartition else v.toString)
       }.toMap)
       .toSet
     val base = currentSnapshotId
@@ -430,13 +445,15 @@ final class LakehouseTable(
     // addFiles without partition metadata) cannot be attributed to a
     // partition: carrying it could duplicate touched-partition rows,
     // dropping it could lose data. Refuse rather than guess.
-    val unattributed = live.filterNot(f => parts.forall(f.partitionValues.contains))
+    val fieldNames = partFields.map(_.fieldName)
+    val unattributed = live.filterNot(f =>
+      fieldNames.forall(f.partitionValues.contains))
     require(unattributed.isEmpty,
       s"dynamic partition overwrite: ${unattributed.size} live file(s) carry no " +
-        s"partition values for (${parts.mkString(", ")}) — e.g. ${unattributed.head.path}; " +
+        s"partition values for (${fieldNames.mkString(", ")}) — e.g. ${unattributed.head.path}; " +
         "rewrite the table (overwrite/compact) before using overwritePartitions")
     val carry = live.filterNot { f =>
-      touched.contains(parts.map(c => c -> f.partitionValues(c)).toMap)
+      touched.contains(fieldNames.map(n => n -> f.partitionValues(n)).toMap)
     }
     writeCommit(Seq(df), Snaplog.OpOverwrite,
       extraSummary = Map("replaced-partitions" -> touched.size.toString),
@@ -934,6 +951,14 @@ final class LakehouseTable(
       .map(r => graft.types.FieldIds.attach(m.schema, graft.types.FieldIds.decode(r)))
       .getOrElse(m.schema)
     spark.conf.set(graft.types.FieldIds.WriteConf, "true")
+    // INT64-micros timestamps, not Spark's legacy INT96 default: INT96
+    // carries no footer statistics (so timestamp bounds could never be
+    // recorded for pruning or metadata MIN/MAX) and the Iceberg spec
+    // forbids it in v2 data files — int96-written files would break the
+    // metadata export's external-reader contract. Readers handle both,
+    // so pre-existing INT96 files stay scannable; their missing stats
+    // just decline stat-based answers conservatively.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val normalized = dfs.map(SchemaInfer.normalize(_, target))
       .reduce(_.unionByName(_))
     // the staging dir must be UNIQUE per write job, not per snapshot id:

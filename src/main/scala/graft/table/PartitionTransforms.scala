@@ -35,8 +35,10 @@ import graft.catalog.{DataFileEntry, Snaplog}
   * indexes (day/hour/month/year offsets from 1970, exact integral
   * arithmetic so boundaries never round); `bucket` is
   * floorMod(xxhash64, n); `truncate` is the leading-codepoints string
-  * prefix. Null sources go to the null partition (Hive default
-  * sentinel), like identity nulls.
+  * prefix for strings and the floorMod-aligned width multiple for
+  * integral sources (order-preserving — range-prunable). Null sources
+  * go to the null partition (Hive default sentinel), like identity
+  * nulls.
   */
 sealed trait PartField {
   /** The spec string stored in TableMetadata.partitionColumns. */
@@ -57,6 +59,19 @@ sealed trait PartField {
   /** Order-preserving transform — licenses range pruning at transform
     * granularity. Hash buckets and identity stay false. */
   def ordered: Boolean = false
+  /** Order-preservation may depend on the SOURCE type (truncate orders
+    * integral sources but not strings, whose stored prefix compares
+    * lexicographically while numeric cmp would compare numerically);
+    * the pushed literal's type IS the source type post-analysis, so
+    * range pruning gates per-literal here. */
+  def orderedFor(l: CatalystLiteral): Boolean = ordered
+  /** Does a sentinel (null-partition) stored value prove the file holds
+    * ONLY null source rows? True for every transform except string
+    * truncate, where an EMPTY-STRING source also lands in the sentinel
+    * directory (Spark writes "" partition values as the Hive default
+    * dir) — pruning such a file under IS NOT NULL would drop its ""
+    * rows, which are not null. */
+  def isNotNullExact: Boolean = true
   /** True when the literal sits EXACTLY on the lower boundary of its
     * transform unit — then `col < lit` provably excludes the whole
     * unit, so a strict upper bound prunes the endpoint's unit too
@@ -201,20 +216,56 @@ final case class BucketField(n: Int, source: String) extends PartField {
     }
 }
 
-/** Leading-codepoints string prefix (STRING sources only). Pruning is
-  * equality/IN-only: `ordered` stays false because lexicographic
-  * comparison of the stored prefix can disagree with Spark's UTF-8
-  * binary ordering on supplementary characters — equality cannot. */
+/** Iceberg `truncate[W]`: leading-codepoints prefix for STRING sources,
+  * `v - floorMod(v, W)` (the width-W multiple at or below v) for
+  * integral sources. Integral truncate is ORDER-PRESERVING, so it
+  * licenses range pruning — and range CONSUMPTION when the bound sits
+  * on a width multiple; string truncate stays equality/IN-only because
+  * lexicographic comparison of the stored prefix can disagree with
+  * Spark's UTF-8 binary ordering on supplementary characters (and a
+  * numeric cmp of digit-string prefixes would order "12" above "5").
+  * Write/prune agreement over the FULL long range: the write side
+  * subtracts in decimal (long `-` would wrap within W of Long.MinValue
+  * — parquet dirs then store e.g. "-9223372036854775810"), the prune
+  * side in BigInt; `cmp` parses BigInt so even the wrap-range bucket
+  * orders correctly. */
 final case class TruncateField(width: Int, source: String) extends PartField {
   val spec: String = s"truncate($width,$source)"
   val fieldName: String = s"${source}_trunc"
-  def expr(c: Column, dt: DataType): Column = substring(c, 1, width)
+  override val ordered: Boolean = true
+  override def orderedFor(l: CatalystLiteral): Boolean = integralOf(l).isDefined
+  override def isNotNullExact: Boolean = false // "" lands in the sentinel too
+  def expr(c: Column, dt: DataType): Column = dt match {
+    case StringType => substring(c, 1, width)
+    case IntegerType | LongType | ShortType | ByteType =>
+      val lc = c.cast(LongType)
+      (lc.cast(DecimalType(20, 0)) -
+        pmod(lc, lit(width.toLong)).cast(DecimalType(20, 0)))
+        .cast(DecimalType(20, 0)).cast(StringType)
+    case other => throw new IllegalArgumentException(
+      s"$spec: unsupported source type ${other.simpleString}")
+  }
+  private def integralOf(l: CatalystLiteral): Option[Long] = (l.value, l.dataType) match {
+    case (v: Int, IntegerType) => Some(v.toLong)
+    case (v: Long, LongType) => Some(v)
+    case (v: Short, ShortType) => Some(v.toLong)
+    case (v: Byte, ByteType) => Some(v.toLong)
+    case _ => None
+  }
   override def ofCatalyst(l: CatalystLiteral): Option[String] = (l.value, l.dataType) match {
     case (u: org.apache.spark.unsafe.types.UTF8String, StringType) =>
       // substringSQL counts codepoints exactly like functions.substring
       Some(u.substringSQL(1, width).toString)
-    case _ => None
+    case _ => integralOf(l).map(v =>
+      (BigInt(v) - Math.floorMod(v, width.toLong)).toString)
   }
+  override def atUnitStart(l: CatalystLiteral): Boolean =
+    integralOf(l).exists(v => Math.floorMod(v, width.toLong) == 0L)
+  override def cmp(a: String, b: String): Option[Int] =
+    (scala.util.Try(BigInt(a)).toOption, scala.util.Try(BigInt(b)).toOption) match {
+      case (Some(x), Some(y)) => Some(x.compare(y))
+      case _ => None
+    }
 }
 
 object PartitionTransforms {
@@ -249,9 +300,6 @@ object PartitionTransforms {
     pf.expr(col(pf.source), dt)
   }
 
-  def identityOnly(specs: Seq[String]): Boolean =
-    specs.forall(parse(_).isInstanceOf[IdentityField])
-
   /** Shared CREATE-time validation (Snaplog + JdbcCatalog): source
     * column exists, transform source type is usable, derived field
     * names collide with nothing. */
@@ -283,9 +331,10 @@ object PartitionTransforms {
         case t: TruncateField =>
           require(t.width > 0, s"${pf.spec}: truncate width must be positive")
           f.dataType match {
-            case StringType => ()
+            case StringType | IntegerType | LongType | ShortType | ByteType => ()
             case other => throw new IllegalArgumentException(
-              s"${pf.spec}: source must be a string, is ${other.simpleString}")
+              s"${pf.spec}: source must be a string or integral column, " +
+                s"is ${other.simpleString}")
           }
         case _: IdentityField => ()
       }
@@ -336,7 +385,7 @@ object PartitionTransforms {
       // lit > col ⇔ col < lit
       case XLte(l: CatalystLiteral, a: XAttr) => alignedBound(a.name, l)
       case XGt(l: CatalystLiteral, a: XAttr) => alignedBound(a.name, l)
-      case XIsNotNull(a: XAttr) => covering(a.name).isDefined
+      case XIsNotNull(a: XAttr) => covering(a.name).exists(_.isNotNullExact)
       case XAnd(l, r) => rangeExact(l, fields, files) && rangeExact(r, fields, files)
       case XOr(l, r) => rangeExact(l, fields, files) && rangeExact(r, fields, files)
       case _: XEq | _: XIn => false // a unit holds more instants than one
@@ -388,7 +437,7 @@ object PartitionTransforms {
     def rangeOk(c: String, l: CatalystLiteral, strictUpper: Boolean = false)
         (op: Int => Boolean): Boolean =
       forSource(c).forall { pf =>
-        if (!pf.ordered) true
+        if (!pf.orderedFor(l)) true
         else (pf.ofCatalyst(l), storedReal(pf)) match {
           case (Some(v), Some(s)) =>
             val effective: Int => Boolean =
@@ -417,7 +466,7 @@ object PartitionTransforms {
       case CLte(l: CatalystLiteral, a: AttributeReference) => rangeOk(a.name, l)(_ >= 0)
       case CIsNotNull(a: AttributeReference) =>
         forSource(a.name).forall(pf =>
-          !stored(pf).contains(Snaplog.HiveDefaultPartition))
+          !pf.isNotNullExact || !stored(pf).contains(Snaplog.HiveDefaultPartition))
       case CAnd(l, r) => mayMatch(f, l, fields) && mayMatch(f, r, fields)
       case COr(l, r) => mayMatch(f, l, fields) || mayMatch(f, r, fields)
       case _ => true

@@ -39,8 +39,9 @@ class PartitionTransformSpec extends SparkSpec {
     intercept[IllegalArgumentException] { // hours needs a timestamp, not a date
       PartitionTransforms.validate(sch, Seq("hours(d)"))
     }
-    intercept[IllegalArgumentException] { // truncate is string-only
-      PartitionTransforms.validate(sch, Seq("truncate(2,id)"))
+    PartitionTransforms.validate(sch, Seq("truncate(10,id)")) // integral ok
+    intercept[IllegalArgumentException] { // truncate needs string/integral
+      PartitionTransforms.validate(sch, Seq("truncate(2,v)"))
     }
     intercept[IllegalArgumentException] { // bucket of a nested type
       PartitionTransforms.validate(sch, Seq("bucket(4,arr)"))
@@ -148,6 +149,70 @@ class PartitionTransformSpec extends SparkSpec {
         .select(DaysField("d").expr(col("d"), DateType)).head()
       assert(dRow.getString(0) == d.toEpochDay.toString)
     } finally spark.conf.set("spark.sql.session.timeZone", original)
+  }
+
+  test("integral truncate: write/prune agreement, ordered range pruning, consumed windows") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GreaterThanOrEqual, LessThan, Literal}
+    import org.apache.spark.sql.Row
+    val tf = TruncateField(10, "k")
+    // write expr vs prune-side ofCatalyst, bit-for-bit — including the
+    // wrap-range bucket within W of Long.MinValue, where plain long
+    // subtraction would overflow
+    val vals = Seq(-25L, -20L, -1L, 0L, 9L, 10L, 123L,
+      Long.MaxValue, Long.MinValue, Long.MinValue + 7L)
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(vals.map(Row(_)): _*),
+      StructType(Seq(StructField("k", LongType))))
+    val got = df.select(tf.expr(col("k"), LongType)).collect().map(_.getString(0))
+    vals.zip(got).foreach { case (v, s) =>
+      assert(tf.ofCatalyst(Literal(v, LongType)).contains(s),
+        s"truncate(10) of $v: wrote $s, prune side ${tf.ofCatalyst(Literal(v, LongType))}")
+    }
+    assert(got(vals.indexOf(-25L)) == "-30")
+    assert(got(vals.indexOf(123L)) == "120")
+    assert(got(vals.indexOf(Long.MinValue)) == "-9223372036854775810")
+    // the wrap bucket still ORDERS below every other bucket (BigInt cmp)
+    assert(tf.cmp("-9223372036854775810", "-30").contains(-1))
+    assert(tf.atUnitStart(Literal(120L, LongType)))
+    assert(!tf.atUnitStart(Literal(123L, LongType)))
+    // string literals never license range pruning on truncate
+    assert(!tf.orderedFor(Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString("ab"), StringType)))
+    assert(tf.orderedFor(Literal(5L, LongType)))
+
+    // table-level: range predicates prune files at truncate granularity
+    val wh = Files.createTempDirectory("graft-ptxtrunc").toString
+    val cat = new Snaplog(wh)
+    val src = spark.createDataFrame(
+      java.util.Arrays.asList((0L until 100L).map(i => Row(i, s"r$i")): _*),
+      StructType(Seq(StructField("k", LongType), StructField("s", StringType))))
+    val t = LakehouseTable.create(cat, spark, "lake", "tr", src.schema,
+      partitionColumns = Seq("truncate(10,k)"))
+    t.append(src)
+    val files = cat.liveFiles("lake", "tr")
+    assert(files.map(_.partitionValues("k_trunc")).distinct.size == 10)
+    val fields = PartitionTransforms.parseAll(Seq("truncate(10,k)"))
+    val kAttr = AttributeReference("k", LongType)()
+    // k >= 50 prunes buckets 0..40, keeps 50..90
+    val kept = files.filter(f => PartitionTransforms.mayMatch(f,
+      GreaterThanOrEqual(kAttr, Literal(50L, LongType)), fields))
+    assert(kept.map(_.partitionValues("k_trunc")).map(_.toLong).forall(_ >= 50L))
+    assert(kept.nonEmpty && kept.size < files.size)
+    // k < 30 with an aligned bound excludes bucket 30 itself
+    val keptLt = files.filter(f => PartitionTransforms.mayMatch(f,
+      LessThan(kAttr, Literal(30L, LongType)), fields))
+    assert(keptLt.map(_.partitionValues("k_trunc")).map(_.toLong).toSet ==
+      Set(0L, 10L, 20L))
+    // aligned half-open window is transform-EXACT (consumable)
+    val window = org.apache.spark.sql.catalyst.expressions.And(
+      GreaterThanOrEqual(kAttr, Literal(20L, LongType)),
+      LessThan(kAttr, Literal(40L, LongType)))
+    assert(PartitionTransforms.rangeExact(window, fields, files))
+    // misaligned bound is not
+    assert(!PartitionTransforms.rangeExact(
+      GreaterThanOrEqual(kAttr, Literal(25L, LongType)), fields, files))
+    // scan stays row-exact either way
+    assert(t.scan().filter(col("k") >= 20 && col("k") < 40).count() == 20L)
   }
 
   test("native write records transformed tuples; source column stays in data") {
@@ -354,15 +419,41 @@ class PartitionTransformSpec extends SparkSpec {
     val t = LakehouseTable.create(cat, spark, "lake", "ev2", ev.schema,
       partitionColumns = Seq("days(ts)"))
     t.append(ev)
-    // dynamic partition overwrite cannot attribute transform tuples
-    intercept[IllegalArgumentException] { t.overwritePartitions(ev) }
     // renaming/dropping a transform SOURCE column is refused
     intercept[IllegalArgumentException] { t.renameColumn("ts", "ts2") }
     intercept[IllegalArgumentException] { t.dropColumn("ts") }
-    // Iceberg export declares identity-only specs — must refuse
-    intercept[IllegalArgumentException] {
-      graft.interop.IcebergExport.export(t,
-        Files.createTempDirectory("graft-ptxexp"))
-    }
+  }
+
+  test("dynamic partition overwrite replaces only the days the patch covers") {
+    val wh = Files.createTempDirectory("graft-ptxdpo").toString
+    val cat = new Snaplog(wh)
+    cat.createNamespace("ns")
+    spark.conf.set("spark.sql.catalog.gptxdpo", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gptxdpo.warehouse", wh)
+    spark.sql("""CREATE TABLE gptxdpo.ns.ev (id BIGINT, ts TIMESTAMP, v DOUBLE)
+      PARTITIONED BY (days(ts))""")
+    spark.sql("""INSERT INTO gptxdpo.ns.ev VALUES
+      (1, TIMESTAMP '2024-01-01 10:00:00', 1.0),
+      (2, TIMESTAMP '2024-01-02 10:00:00', 2.0),
+      (3, TIMESTAMP '2024-01-03 10:00:00', 3.0)""")
+    val t = LakehouseTable.load(cat, spark, "ns", "ev")
+    val before = cat.liveFiles("ns", "ev")
+    assert(before.map(_.partitionValues("ts_day")).distinct.size == 3)
+    // the daily re-run: day 2 recomputed (two rows now), other days kept
+    val patch = spark.sql("""SELECT * FROM VALUES
+      (CAST(20 AS BIGINT), TIMESTAMP '2024-01-02 09:00:00', CAST(20.0 AS DOUBLE)),
+      (CAST(21 AS BIGINT), TIMESTAMP '2024-01-02 11:00:00', CAST(21.0 AS DOUBLE))
+      AS p(id, ts, v)""")
+    val snap = t.overwritePartitions(patch)
+    assert(snap.summary("replaced-partitions") == "1")
+    val after = cat.liveFiles("ns", "ev")
+    // untouched days' files survive BY PATH (no rewrite)
+    val beforeOther = before.filter(_.partitionValues("ts_day") != "19724").map(_.path).toSet
+    val afterPaths = after.map(_.path).toSet
+    assert(beforeOther.subsetOf(afterPaths),
+      s"untouched days must carry by path: $beforeOther vs $afterPaths")
+    // day 2's old file is gone, new rows present
+    assert(spark.sql("SELECT id FROM gptxdpo.ns.ev ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L, 20L, 21L))
   }
 }

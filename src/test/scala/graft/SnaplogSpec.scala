@@ -516,6 +516,74 @@ abstract class CatalogContractSpec extends SparkSpec {
       s"vector-window snapshot must be excluded, got ${rb2.nSnapshots}")
   }
 
+  test("iceberg export/import carries transform partition specs (days + truncate; bucket → void)") {
+    val cat = freshCatalog()
+    def tsOf(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val df = Seq(
+      (1L, tsOf("2024-01-01T10:00:00Z"), 105L, "x"),
+      (2L, tsOf("2024-01-02T11:00:00Z"), 117L, "y"),
+      (3L, tsOf("2024-01-03T12:00:00Z"), 123L, "z")
+    ).toDF("id", "ts", "k", "v")
+    val tbl = LakehouseTable.create(cat, spark, "ns", "tr", df.schema,
+      Seq("days(ts)", "truncate(10,k)", "bucket(4,id)"))
+    tbl.append(df)
+    val dest = Files.createTempDirectory("graft-icetx")
+    graft.interop.IcebergExport.export(tbl, dest)
+
+    // metadata.json declares the REAL transforms (bucket as void — our
+    // xxhash64 buckets are not Iceberg murmur3 buckets)
+    import scala.jdk.CollectionConverters._
+    val metaFile = Files.list(dest.resolve("metadata")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".metadata.json")).toSeq.head
+    val metaText = Files.readString(metaFile)
+    assert(metaText.contains("\"transform\" : \"day\"") ||
+      metaText.contains("\"transform\":\"day\""), metaText)
+    assert(metaText.contains("truncate[10]"))
+    assert(metaText.contains("\"void\""))
+    assert(!metaText.contains("bucket[4]"))
+
+    // the manifest partition struct carries TYPED transform values:
+    // day as epoch-day int, truncate as long, bucket as null
+    val manifest = Files.list(dest.resolve("metadata")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("manifest-")).toSeq.head
+    val r = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      manifest.toFile, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    val parts = try r.iterator.asScala.toSeq.map(_
+      .get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .get("partition").asInstanceOf[org.apache.avro.generic.GenericRecord]) finally r.close()
+    assert(parts.nonEmpty)
+    val days = parts.map(_.get("ts_day").asInstanceOf[Integer].intValue()).toSet
+    assert(days == Set(19723, 19724, 19725), s"epoch days: $days")
+    assert(parts.map(_.get("k_trunc").asInstanceOf[java.lang.Long].longValue()).toSet
+      == Set(100L, 110L, 120L))
+    assert(parts.forall(_.get("id_bucket") == null))
+
+    // readBack walks it; import round-trips the day+truncate spec
+    // (void/bucket dropped) with pruning intact
+    val rb = graft.interop.IcebergExport.readBack(dest)
+    assert(rb.nSpecFields == 3 && rb.totalRecords == 3)
+    val rep = graft.interop.IcebergImport.register(cat, spark, dest, "ns", "tr_imp")
+    assert(rep.partitionColumns == Seq("days(ts)", "truncate(10,k)"))
+    val imp = LakehouseTable.load(cat, spark, "ns", "tr_imp")
+    assert(imp.scan().orderBy("id").collect().toSeq ==
+      tbl.scan().orderBy("id").collect().toSeq)
+    cat.liveFiles("ns", "tr_imp").foreach { f =>
+      assert(f.partitionValues.contains("ts_day") &&
+        f.partitionValues.contains("k_trunc") &&
+        !f.partitionValues.contains("id_bucket"), f.partitionValues.toString)
+    }
+    // transform pruning works on the imported metadata immediately
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+    val fields = graft.table.PartitionTransforms.parseAll(rep.partitionColumns)
+    val tsAttr = AttributeReference("ts", TimestampType)()
+    val jan2 = Literal(
+      java.time.Instant.parse("2024-01-02T11:00:00Z").toEpochMilli * 1000L,
+      TimestampType)
+    val kept = cat.liveFiles("ns", "tr_imp").filter(f =>
+      graft.table.PartitionTransforms.mayMatch(f, EqualTo(tsAttr, jan2), fields))
+    assert(kept.size < cat.liveFiles("ns", "tr_imp").size && kept.nonEmpty)
+  }
+
   test("iceberg import registers an exported tree as a new table (round-trip)") {
     val cat = freshCatalog()
     val tbl = LakehouseTable.create(cat, spark, "ns", "src", fixture().schema, Seq("group"))

@@ -158,6 +158,42 @@ class SqlCatalogSpec extends SparkSpec {
     assert(f4.head().getLong(0) == 8)
   }
 
+  test("metadata MIN/MAX answers for timestamp/date columns from footer bounds") {
+    val wh = Files.createTempDirectory("graft-sqlts").toString
+    val cat = new Snaplog(wh)
+    cat.createNamespace("ns")
+    spark.conf.set("spark.sql.catalog.gsqlts", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlts.warehouse", wh)
+    spark.sql("CREATE TABLE gsqlts.ns.ev (id BIGINT, ts TIMESTAMP, d DATE)")
+    // two commits (SQL INSERT staging + native append) so bounds merge
+    // across files from BOTH write paths; micros precision on purpose
+    spark.sql("""INSERT INTO gsqlts.ns.ev VALUES
+      (1, TIMESTAMP '2024-01-01 12:00:00', DATE '2024-01-05'),
+      (2, TIMESTAMP '2024-02-03 04:05:06.789012', DATE '2023-12-31'),
+      (3, CAST(NULL AS TIMESTAMP), DATE '2024-02-01')""")
+    val tbl = LakehouseTable.load(cat, spark, "ns", "ev")
+    tbl.append(spark.sql(
+      """SELECT CAST(4 AS BIGINT) AS id,
+         TIMESTAMP '2023-11-01 00:00:00' AS ts, DATE '2024-06-01' AS d"""))
+
+    val q = spark.sql("SELECT MIN(ts), MAX(ts), MIN(d), MAX(d) FROM gsqlts.ns.ev")
+    val plan = q.queryExecution.sparkPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.toLowerCase.contains("parquet"),
+      s"expected metadata MIN/MAX for ts/d in:\n$plan")
+    val r = q.head()
+    assert(r.getTimestamp(0).toInstant ==
+      java.time.Instant.parse("2023-11-01T00:00:00Z"))
+    assert(r.getTimestamp(1).toInstant ==
+      java.time.Instant.parse("2024-02-03T04:05:06.789012Z"))
+    assert(r.getDate(2).toLocalDate == java.time.LocalDate.parse("2023-12-31"))
+    assert(r.getDate(3).toLocalDate == java.time.LocalDate.parse("2024-06-01"))
+    // a real scan agrees (nulls ignored by MIN/MAX on both paths)
+    val full = spark.sql(
+      "SELECT MIN(ts), MAX(ts), MIN(d), MAX(d) FROM gsqlts.ns.ev WHERE id > 0")
+    assert(!full.queryExecution.sparkPlan.toString.contains("LocalTableScan"))
+    assert(full.head() == r)
+  }
+
   test("SQL reads apply equality deletes with sequence semantics; COW refuses") {
     val wh = Files.createTempDirectory("graft-sqleq").toString
     val cat = new Snaplog(wh)

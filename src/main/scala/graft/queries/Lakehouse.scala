@@ -507,6 +507,60 @@ object Lakehouse {
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM kept GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // COW UPDATE over an OUTSTANDING equality delete: the keyed-CDC
+    // table takes row-level DML without compacting first. Affected
+    // files materialize post-delete rows (deleted keys cannot be
+    // resurrected by the rewrite); untouched covered files carry BY
+    // PATH with the delete entry re-listed behind them, so the keyed
+    // layering (delete → later re-insert survives) holds through the
+    // reset commit — both claims asserted in-result.
+    QueryDef("lake_update_eqdelete",
+      (s, d) => {
+        val whDir = wh("lake_update_eqdelete", d)
+        val cat = new Snaplog(whDir)
+        val orders = t(s, d, "orders")
+        val table = LakehouseTable.create(cat, s, "lake", "orders_upd",
+          orders.schema, partitionColumns = Seq("o_orderstatus"),
+          properties = Map("write.delete.mode" -> "equality"))
+        table.append(orders)
+        // CDC: retire every 7th key (distributed feed), then re-insert
+        // every 14th — replay order keeps the re-inserts visible
+        table.deleteEq("o_orderkey",
+          orders.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"))
+        table.append(orders.filter(col("o_orderkey") % 14 === 0)
+          .withColumn("o_orderpriority", lit("REBORN")))
+        val before = cat.liveFiles("lake", "orders_upd").map(_.path).toSet
+        val cn = sqlCatalog(s, "gupd", whDir)
+        s.sql(s"""UPDATE $cn.lake.orders_upd
+          SET o_totalprice = o_totalprice + 1.0 WHERE o_orderstatus = 'F'""")
+        val sum = cat.snapshots("lake", "orders_upd").last.summary
+        val after = cat.liveFiles("lake", "orders_upd").map(_.path).toSet
+        val carried = before.intersect(after).size
+        val delLayer = cat.liveDeleteFiles("lake", "orders_upd")
+        table.scan()
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("delete_layer_carried",
+            lit(delLayer.nonEmpty && delLayer.forall(_.equalityKey.isDefined)))
+          .withColumn("other_partitions_carried",
+            lit(carried >= 1 && sum.get("carried-files").exists(_.toInt >= 1)))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH content AS (
+          SELECT * FROM orders WHERE o_orderkey % 7 <> 0
+          UNION ALL
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+            o_orderdate, 'REBORN' AS o_orderpriority
+          FROM orders WHERE o_orderkey % 14 = 0),
+        upd AS (SELECT o_orderstatus,
+          CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 1.0
+               ELSE o_totalprice END AS o_totalprice
+          FROM content)
+        SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          TRUE AS delete_layer_carried, TRUE AS other_partitions_carried
+        FROM upd GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // Hidden partitioning (Iceberg PartitionSpec semantics, beyond the
     // reference's identity-only spec): CREATE PARTITIONED BY (days(ts),
     // bucket(8, user_id)) → INSERT lays files out by the TRANSFORMED

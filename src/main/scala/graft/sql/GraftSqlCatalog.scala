@@ -112,7 +112,8 @@ private[sql] final class GraftSqlTable(
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = new GraftRowLevelOperation(
         info.command, tableName, tableSchema, partitionCols, files,
-        deleteFiles, backing, ns, tbl, writable, loadedSnapshotId, tableProps)
+        deleteFiles, backing, ns, tbl, writable, loadedSnapshotId, tableProps,
+        orderedEntries)
     }
   }
 
@@ -354,7 +355,10 @@ private[sql] final class GraftBatchWrite(
       if (!stripRowOperationColumn) summary
       else summary ++ Map(
         "rewritten-files" -> files.size.toString,
-        "carried-files" -> carry.size.toString)
+        // data files only — an eq-delete entry re-listed to preserve
+        // carried layering is bookkeeping, not a carried group
+        "carried-files" ->
+          carry.count(f => !f.deleteFile.contains(true)).toString)
     backing.commit(ns, tbl, operation, carry ++ files, extra,
       expectedSnapshotId = Some(expected))
     cleanup()
@@ -441,9 +445,13 @@ private[sql] object GraftBatchWrite {
   * registered. Identity-partitioned tables relayout the staged rows by
   * partition before registering (see GraftBatchWrite.relayout), so the
   * partition-metadata invariants survive SQL DML. Tables with
-  * outstanding merge-on-read vectors materialize the subtraction for
-  * affected files at scan time — deleted rows never resurrect, and the
-  * reset commit retires the vectors. */
+  * outstanding merge-on-read deletes materialize the subtraction for
+  * affected files at scan time (equality deletes per replay segment,
+  * then position vectors) — deleted rows never resurrect. The reset
+  * commit retires position vectors (their touched files always
+  * rewrite); equality deletes re-list behind the carried data files
+  * they still apply to, preserving keyed-CDC layering without
+  * rewriting untouched files (see [[carriedFiles]]). */
 private[sql] final class GraftRowLevelOperation(
     cmd: RowLevelOperation.Command,
     tableName: String,
@@ -456,7 +464,8 @@ private[sql] final class GraftRowLevelOperation(
     tbl: String,
     writable: Boolean,
     loadedSnapshotId: Long,
-    tableProps: Map[String, String] = Map.empty) extends RowLevelOperation {
+    tableProps: Map[String, String] = Map.empty,
+    orderedEntries: Seq[DataFileEntry] = Seq.empty) extends RowLevelOperation {
 
   import org.apache.spark.sql.catalyst.expressions.Expression
 
@@ -513,38 +522,78 @@ private[sql] final class GraftRowLevelOperation(
   private val runtimePlanned =
     new java.util.concurrent.ConcurrentHashMap[AnyRef, Seq[String]]()
 
-  /** Live files NO branch of the rewrite plans — conservatively proven
-    * to hold no row matching the statement's condition (and untouched
-    * by any delete vector). Committed by path, unrewritten. Computed at
-    * commit time, when every branch has registered (and any runtime
-    * group filters have run — scans execute before the write commits). */
+  /** Live entries NO branch of the rewrite plans — data files
+    * conservatively proven to hold no row matching the statement's
+    * condition (and untouched by any position vector). Committed by
+    * path, unrewritten. Computed at commit time, when every branch has
+    * registered (and any runtime group filters have run — scans
+    * execute before the write commits).
+    *
+    * With outstanding EQUALITY deletes the carry preserves the replay
+    * interleaving: carried data files keep their ORIGINAL order
+    * relative to the eq-delete entries, and each eq-delete entry is
+    * re-listed iff at least one carried data file still precedes it —
+    * so the overwrite commit (a window reset whose entries replay in
+    * list order) applies exactly the old subtractions to exactly the
+    * old files, while the rewritten files appended AFTER the deletes
+    * (already materialized post-delete) are untouched by them. This is
+    * Iceberg's sequence-number layering expressed in log position —
+    * a keyed-CDC table takes an UPDATE without rewriting or compacting
+    * the files the statement never touched. Position vectors never
+    * carry: every vector-touched file is forced into the rewrite set,
+    * so the vectors retire with the reset. */
   private def carriedFiles(): Seq[DataFileEntry] = {
     import scala.jdk.CollectionConverters._
     val planned = scanFilters.asScala.toSeq.flatMap { case (builder, filters) =>
       Option(runtimePlanned.get(builder))
         .getOrElse(affectedFiles(filters).map(_.path))
     }.toSet
-    files.filterNot(f => planned.contains(f.path))
+    if (!deleteFiles.exists(graft.table.EqDeletes.isEq))
+      files.filterNot(f => planned.contains(f.path))
+    else {
+      assert(orderedEntries.nonEmpty,
+        s"$tableName: equality deletes outstanding but the rewrite was " +
+          "constructed without replay-ordered entries")
+      var dataSeen = false
+      orderedEntries.flatMap { e =>
+        if (graft.table.EqDeletes.isEq(e)) {
+          if (dataSeen) Some(e) else None // subtracts nothing: retire
+        } else if (e.deleteFile.contains(true)) None // position vectors retire
+        else if (planned.contains(e.path)) None // rewritten downstream
+        else { dataSeen = true; Some(e) }
+      }
+    }
   }
 
+  /** Paths referenced by outstanding POSITION vectors (equality-delete
+    * files carry key values, not paths — an eq-covered file need not
+    * rewrite because [[carriedFiles]] preserves its delete layering). */
   @volatile private var vecTouchedMemo: Set[String] = null
   private def vectorTouched(path: String): Boolean = {
     if (vecTouchedMemo == null) synchronized {
-      if (vecTouchedMemo == null)
-        vecTouchedMemo = SparkSession.active.read
-          .parquet(deleteFiles.map(_.path): _*)
-          .select("file_path").distinct().collect()
-          .map(r => normalizePath(r.getString(0))).toSet
+      if (vecTouchedMemo == null) {
+        val vecs = deleteFiles.filter(graft.table.EqDeletes.isPos)
+        vecTouchedMemo =
+          if (vecs.isEmpty) Set.empty
+          else SparkSession.active.read
+            .parquet(vecs.map(_.path): _*)
+            .select("file_path").distinct().collect()
+            .map(r => normalizePath(r.getString(0))).toSet
+      }
     }
     vecTouchedMemo.contains(path)
   }
 
-  /** MOR-outstanding tables: the rewrite must see POST-delete rows, and
-    * the (file, position) anti-join cannot ride a DSv2 batch scan — so
-    * each branch's affected files have their surviving rows
-    * materialized to a temp dir the scan then reads. One extra pass
-    * over AFFECTED rows only: the price of DML before compaction.
-    * Cached per distinct file set (branches of one statement share it). */
+  /** MOR-outstanding tables: the rewrite must see POST-delete rows
+    * (both tiers — a deleted key surfacing in the COW scan could be
+    * "matched" and resurrected as an update), and neither subtraction
+    * can ride a DSv2 batch scan — so each branch's affected files have
+    * their surviving rows materialized to a temp dir the scan then
+    * reads: equality deletes per replay segment (only the data files
+    * that PRECEDE a delete are subtracted by it), then the
+    * (file, position) vector anti-join. One extra pass over AFFECTED
+    * rows only: the price of DML before compaction. Cached per
+    * distinct file set (branches of one statement share it). */
   private var morCache: Map[Seq[String], Seq[String]] = Map.empty
   private var morTemp: List[java.nio.file.Path] = Nil
 
@@ -556,17 +605,35 @@ private[sql] final class GraftRowLevelOperation(
           val spark = SparkSession.active
           val tmp = backing.dataDir(ns, tbl).resolve(
             s"mor-cow-${java.util.UUID.randomUUID().toString.take(12)}")
-          val dv = broadcast(spark.read.parquet(deleteFiles.map(_.path): _*)
-            .select(col("file_path").as("__dv_file"), col("row_index").as("__dv_pos"))
-            .distinct())
-          spark.read.schema(tableSchema).parquet(paths: _*)
-            .select(col("*"),
-              col("_metadata.file_path").as("__scan_file"),
-              col("_metadata.row_index").as("__scan_pos"))
-            .join(dv, col("__scan_file") === col("__dv_file") &&
-              col("__scan_pos") === col("__dv_pos"), "left_anti")
-            .drop("__scan_file", "__scan_pos")
-            .write.mode("overwrite").parquet(tmp.toString)
+          val pathSet = paths.toSet
+          val posVecs = deleteFiles.filter(graft.table.EqDeletes.isPos)
+          val hasEq = deleteFiles.exists(graft.table.EqDeletes.isEq)
+          val base =
+            if (!hasEq)
+              spark.read.schema(tableSchema).parquet(paths: _*)
+                .select(col("*"),
+                  col("_metadata.file_path").as("__scan_file"),
+                  col("_metadata.row_index").as("__scan_pos"))
+            else {
+              assert(orderedEntries.nonEmpty,
+                s"$tableName: equality deletes outstanding but the rewrite " +
+                  "was constructed without replay-ordered entries")
+              graft.table.EqDeletes.readSubtracted(spark, tableSchema,
+                graft.table.EqDeletes.segments(orderedEntries, f => pathSet(f.path)),
+                withMeta = posVecs.nonEmpty)
+            }
+          val subtracted =
+            if (posVecs.isEmpty) base.drop("__scan_file", "__scan_pos")
+            else {
+              val dv = broadcast(spark.read.parquet(posVecs.map(_.path): _*)
+                .select(col("file_path").as("__dv_file"),
+                  col("row_index").as("__dv_pos"))
+                .distinct())
+              base.join(dv, col("__scan_file") === col("__dv_file") &&
+                  col("__scan_pos") === col("__dv_pos"), "left_anti")
+                .drop("__scan_file", "__scan_pos")
+            }
+          subtracted.write.mode("overwrite").parquet(tmp.toString)
           morTemp ::= tmp
           FileStats.listParquet(tmp.toString)
         }
@@ -591,13 +658,6 @@ private[sql] final class GraftRowLevelOperation(
     if (!writable)
       throw new UnsupportedOperationException(
         s"$tableName: a time-travel relation is read-only")
-    // the COW materialization path below understands position vectors
-    // only; a rewrite that ignored outstanding EQUALITY deletes would
-    // resurrect their keys in rewritten files
-    if (deleteFiles.exists(_.equalityKey.isDefined))
-      throw new UnsupportedOperationException(
-        s"$tableName: UPDATE/MERGE with outstanding equality deletes is " +
-          "not supported — CALL compact to materialize them first")
     new ScanBuilder
         with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
       private var myFilters: Seq[Expression] = Seq.empty
@@ -625,18 +685,21 @@ private[sql] final class GraftRowLevelOperation(
     * (row-group or record skipping would silently drop keep-rows).
     * File pruning from log metadata is the entire optimization.
     *
-    * On identity-partitioned tables the scan also advertises the
-    * partition columns for RUNTIME group filtering: Spark's
+    * On partitioned tables the scan also advertises the partition
+    * SOURCE columns for RUNTIME group filtering: Spark's
     * RowLevelOperationRuntimeGroupFiltering computes the EXACT distinct
-    * partition values of condition-matching rows (for MERGE, via the
+    * source values of condition-matching rows (for MERGE, via the
     * actual join — the case static pruning can never see) and calls
-    * `filter` before planning input partitions. Identity partitioning
-    * makes the value-set exact, so dropped files provably hold no
-    * matching row and join-shaped DML becomes file-granular too. Spark
-    * only installs the filter when group semantics allow it (e.g. never
-    * for MERGE with NOT MATCHED BY SOURCE actions). Partition values
-    * are metadata-sized by design, so the broadcast value-set is
-    * bounded — this is why data columns are NOT advertised. */
+    * `filter` before planning input partitions. Identity values prune
+    * by text equality; transform sources (days(ts), bucket, truncate)
+    * re-run the writer's transform on each value, so dropped files
+    * provably hold no matching row and join-shaped DML is
+    * file-granular under hidden partitioning too. Spark only installs
+    * the filter when group semantics allow it (e.g. never for MERGE
+    * with NOT MATCHED BY SOURCE actions). The value set is the
+    * join's matched-side distinct keys — partition-count-bounded for
+    * identity, source-batch-bounded for transforms; data columns
+    * outside the partition spec are NOT advertised. */
   private final class GraftCowScan(
       builderKey: AnyRef,
       branchFilters: Seq[Expression],
@@ -650,13 +713,18 @@ private[sql] final class GraftRowLevelOperation(
     override def readSchema(): StructType = tableSchema
 
     override def filterAttributes(): Array[NamedReference] =
-      // identity fields only: runtime value-set filtering compares a
-      // source-column value against the stored segment, which is only
-      // the same thing under identity — transform fields stay out
-      // (their static conservative pruning still applies)
-      graft.table.PartitionTransforms.parseAll(partitionCols).collect {
-        case graft.table.IdentityField(c) => Expressions.column(c)
-      }.toArray
+      // every partition SOURCE column: identity values compare as text
+      // against the stored segment; transform sources run the same
+      // transform the writer used (PartitionTransforms.mayMatch), so a
+      // join-shaped MERGE on a days(ts) table prunes to the matched
+      // days. The runtime value set is the DISTINCT source values of
+      // condition-matching rows — for identity partitioning that is
+      // partition-count-bounded; for a transform source it is bounded
+      // by the MERGE/UPDATE source batch's distinct keys (the join's
+      // small side), which is the set Spark has already collected to
+      // build the IN predicate before calling filter().
+      graft.table.PartitionTransforms.parseAll(partitionCols)
+        .map(pf => Expressions.column(pf.source)).distinct.toArray
 
     override def filter(predicates: Array[Predicate]): Unit = {
       val statically = affectedFiles(branchFilters)
@@ -669,12 +737,17 @@ private[sql] final class GraftRowLevelOperation(
     }
 
     /** Conservative may-match of one runtime predicate (an exact IN /
-      * equality value-set over a partition column) against a file's
-      * recorded identity-partition value. Prunes ONLY when the file
-      * records a value, every candidate literal's external text
-      * round-trips the stored segment exactly (string/integral types —
-      * dates/floats arrive in catalyst-internal forms and never prune),
-      * and none matches. Anything unrecognized keeps the file. */
+      * equality value-set over a partition source column) against a
+      * file's recorded partition values. Identity fields prune when
+      * the file records a value, every candidate literal's external
+      * text round-trips the stored segment exactly (string/integral
+      * types — dates/floats arrive in catalyst-internal forms and
+      * never prune via text), and none matches. Transform fields
+      * re-evaluate the writer's transform on each literal through
+      * PartitionTransforms.mayMatch (the catalyst-internal literal IS
+      * the transform's input form — timestamps included), pruning
+      * files whose stored index no candidate reaches. Anything
+      * unrecognized keeps the file. */
     private def runtimeAllows(f: DataFileEntry, p: Predicate): Boolean = {
       def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
         e match {
@@ -696,10 +769,23 @@ private[sql] final class GraftRowLevelOperation(
             }
           case _ => None
         }
+      def catalystLits(es: Seq[org.apache.spark.sql.connector.expressions.Expression])
+          : Option[Seq[org.apache.spark.sql.catalyst.expressions.Literal]] = {
+        val ls = es.map {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            Some(org.apache.spark.sql.catalyst.expressions.Literal(
+              l.value(), l.dataType()))
+          case _ => None
+        }
+        if (ls.forall(_.isDefined)) Some(ls.flatten) else None
+      }
+      val transformFields = graft.table.PartitionTransforms
+        .parseAll(partitionCols)
+        .filterNot(_.isInstanceOf[graft.table.IdentityField])
       val ch = p.children()
       p.name() match {
         case "IN" | "=" if ch.nonEmpty =>
-          (colOf(ch(0)), ch.drop(1).toSeq.map(litText)) match {
+          val identityOk = (colOf(ch(0)), ch.drop(1).toSeq.map(litText)) match {
             case (Some(c), vals) if vals.nonEmpty && vals.forall(_.isDefined) =>
               f.partitionValues.get(c) match {
                 case Some(stored) => vals.flatten.contains(stored)
@@ -707,6 +793,17 @@ private[sql] final class GraftRowLevelOperation(
               }
             case _ => true
           }
+          val transformOk = (colOf(ch(0)), catalystLits(ch.drop(1).toSeq)) match {
+            case (Some(c), Some(lits)) if lits.nonEmpty &&
+                transformFields.exists(_.source.equalsIgnoreCase(c)) =>
+              val attr = org.apache.spark.sql.catalyst.expressions
+                .AttributeReference(c, lits.head.dataType)()
+              graft.table.PartitionTransforms.mayMatch(f,
+                org.apache.spark.sql.catalyst.expressions.In(attr, lits),
+                transformFields)
+            case _ => true
+          }
+          identityOk && transformOk
         case _ => true
       }
     }

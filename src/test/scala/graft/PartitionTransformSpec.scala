@@ -411,6 +411,38 @@ class PartitionTransformSpec extends SparkSpec {
       == 10.0 + 2.0 + 3.0)
   }
 
+  test("runtime group filtering prunes unmatched days under join-shaped MERGE") {
+    val wh = Files.createTempDirectory("graft-ptxrt").toString
+    val cat = new Snaplog(wh)
+    cat.createNamespace("ns")
+    spark.conf.set("spark.sql.catalog.gptxrt", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gptxrt.warehouse", wh)
+    spark.sql("""CREATE TABLE gptxrt.ns.ev (id BIGINT, ts TIMESTAMP, v DOUBLE)
+      PARTITIONED BY (days(ts))""")
+    spark.sql("""INSERT INTO gptxrt.ns.ev VALUES
+      (1, TIMESTAMP '2024-01-01 10:00:00', 1.0),
+      (2, TIMESTAMP '2024-01-02 10:00:00', 2.0),
+      (3, TIMESTAMP '2024-01-03 10:00:00', 3.0)""")
+    val before = cat.liveFiles("ns", "ev")
+    assert(before.map(_.partitionValues("ts_day")).distinct.size == 3)
+    // the ON condition references only the join key — STATIC pruning
+    // sees nothing; the runtime value set (matched ts values) must
+    // prune days 2 and 3 through the days() transform
+    spark.sql("SELECT CAST(1 AS BIGINT) AS id, CAST(10.0 AS DOUBLE) AS v")
+      .createOrReplaceTempView("ptxrt_src")
+    spark.sql("""MERGE INTO gptxrt.ns.ev t USING ptxrt_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.v = s.v""")
+    val sum = cat.snapshots("ns", "ev").last.summary
+    assert(sum.get("carried-files").exists(_.toInt >= 2),
+      s"days 2/3 must carry via runtime transform filtering: $sum")
+    val after = cat.liveFiles("ns", "ev").map(_.path).toSet
+    val otherDays = before.filter(_.partitionValues("ts_day") != "19723").map(_.path)
+    assert(otherDays.forall(after), "unmatched days' files must survive by path")
+    assert(spark.sql("SELECT id, v FROM gptxrt.ns.ev ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 10.0), (2L, 2.0), (3L, 3.0)))
+  }
+
   test("transform-partitioned tables refuse identity-only surfaces loudly") {
     val wh = Files.createTempDirectory("graft-ptxref").toString
     val cat = new Snaplog(wh)

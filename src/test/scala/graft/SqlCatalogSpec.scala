@@ -213,18 +213,21 @@ class SqlCatalogSpec extends SparkSpec {
     // filters still work through the eq-subtracted scan
     assert(spark.sql("SELECT v FROM gsqleq.ns.eq WHERE id = 2").head().getString(0)
       == "new")
-    // UPDATE/MERGE (COW) with outstanding equality deletes refuses loudly
-    val ex = intercept[Exception] {
-      spark.sql("UPDATE gsqleq.ns.eq SET v = 'x' WHERE id = 1")
-    }
-    assert(ex.getMessage != null && ex.getMessage.contains("equality"),
-      s"expected equality-delete refusal, got: ${ex.getMessage}")
-    // compaction via CALL retires the delete; DML works again
+    // UPDATE (COW) with the outstanding equality delete: affected files
+    // materialize POST-delete rows (the deleted key must not be
+    // resurrected by the rewrite); untouched covered files carry with
+    // the delete's layering preserved (asserted file-by-file in the
+    // dedicated layering test below)
+    spark.sql("UPDATE gsqleq.ns.eq SET v = 'x' WHERE id = 1")
+    assert(spark.sql("SELECT id, v FROM gsqleq.ns.eq ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "x"), (2L, "new"), (3L, "c")))
+    // compaction via CALL materializes and retires any carried delete
     spark.sql("CALL gsqleq.system.compact('ns', 'eq', '')")
     assert(cat.liveDeleteFiles("ns", "eq").isEmpty)
-    spark.sql("UPDATE gsqleq.ns.eq SET v = 'x' WHERE id = 1")
-    assert(spark.sql("SELECT v FROM gsqleq.ns.eq WHERE id = 1").head().getString(0)
-      == "x")
+    assert(spark.sql("SELECT id, v FROM gsqleq.ns.eq ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "x"), (2L, "new"), (3L, "c")))
 
     // opt-in SQL routing: write.delete.mode=equality sends a keyed
     // DELETE to the equality tier (no data scan); ranges still MOR
@@ -243,6 +246,56 @@ class SqlCatalogSpec extends SparkSpec {
     assert(cat.snapshots("ns", "cdc").last.operation == graft.catalog.Snaplog.OpMorDelete)
     assert(spark.sql("SELECT id FROM gsqleq.ns.cdc").collect().map(_.getLong(0)).toSeq
       == Seq(2L))
+  }
+
+  test("COW UPDATE preserves equality-delete layering for untouched files") {
+    val wh = Files.createTempDirectory("graft-sqleqcow").toString
+    val cat = new Snaplog(wh)
+    import spark.implicits._
+    val schema = Seq((0L, 0L, "")).toDF("id", "k", "v").schema
+    val tbl = LakehouseTable.create(cat, spark, "ns", "eqc", schema)
+    tbl.append(Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("id", "k", "v")
+      .coalesce(1))                                                      // file A
+    tbl.append(Seq((3L, 30L, "c")).toDF("id", "k", "v"))                 // file B
+    tbl.deleteEq("k", Seq(20L)) // covers A and B
+    tbl.append(Seq((4L, 20L, "d")).toDF("id", "k", "v")) // file C: k=20 reborn
+    val before = cat.liveFiles("ns", "eqc").map(_.path)
+    assert(before.size == 3)
+
+    spark.conf.set("spark.sql.catalog.gsqleqc", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqleqc.warehouse", wh)
+    // the statement touches only file B (id stats prune A and C); A is
+    // eq-covered and C postdates the delete — BOTH must carry by path,
+    // with the delete re-listed between them so (2,b) stays deleted and
+    // (4,d) stays alive
+    spark.sql("UPDATE gsqleqc.ns.eqc SET v = 'x' WHERE id = 3")
+    val sum = cat.snapshots("ns", "eqc").last.summary
+    assert(sum.get("carried-files").contains("2") &&
+      sum.get("rewritten-files").exists(_.toInt >= 1), s"got $sum")
+    val after = cat.liveFiles("ns", "eqc").map(_.path).toSet
+    assert(before.count(after) == 2, "files A and C must survive by path")
+    assert(cat.liveDeleteFiles("ns", "eqc").size == 1,
+      "the eq delete must re-list behind its carried file")
+    assert(spark.sql("SELECT id, v FROM gsqleqc.ns.eqc ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (3L, "x"), (4L, "d")))
+    // native scan agrees (same replay-order semantics)
+    assert(LakehouseTable.load(cat, spark, "ns", "eqc").scan()
+      .orderBy("id").select("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 3L, 4L))
+    // a MERGE whose join matches only the reborn row carries A (and its
+    // layering) again; the deleted (2,b) must never resurface
+    Seq((4L, "dd")).toDF("id", "nv").createOrReplaceTempView("eqc_src")
+    spark.sql("""MERGE INTO gsqleqc.ns.eqc t USING eqc_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.v = s.nv""")
+    assert(spark.sql("SELECT id, v FROM gsqleqc.ns.eqc ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (3L, "x"), (4L, "dd")))
+    // compaction materializes everything and retires the delete
+    spark.sql("CALL gsqleqc.system.compact('ns', 'eqc', '')")
+    assert(cat.liveDeleteFiles("ns", "eqc").isEmpty)
+    assert(spark.sql("SELECT id FROM gsqleqc.ns.eqc ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L))
   }
 
   test("null counts: metadata COUNT(col) with real nulls + IS NULL file pruning") {

@@ -452,6 +452,50 @@ object Lakehouse {
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM content GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // COMPOSITE-key equality delete (Iceberg field-list equality
+    // deletes): a CDC feed keyed by the natural composite key
+    // (l_orderkey, l_linenumber) retires TUPLES — rows match only when
+    // every key column matches (a column-wise IN would delete far
+    // more), plus the SQL conjunction route (`WHERE k1 = v1 AND
+    // k2 = v2` under equality mode) landing in the same tier. Audited
+    // in-result: data files untouched, composite-encoded delete
+    // entries, SQL route taken.
+    QueryDef("lake_delete_eq_composite",
+      (s, d) => {
+        val whDir = wh("lake_delete_eq_composite", d)
+        val cat = new Snaplog(whDir)
+        val li = t(s, d, "lineitem")
+        val table = LakehouseTable.create(cat, s, "lake", "li_cdc", li.schema,
+          properties = Map("write.delete.mode" -> "equality"))
+        table.append(li)
+        val dataBefore = cat.liveFiles("lake", "li_cdc").map(_.path).toSet
+        // retire line 1 of every 5th order — a distributed tuple feed
+        table.deleteEq(Seq("l_orderkey", "l_linenumber"),
+          li.filter(col("l_orderkey") % 5 === 0 && col("l_linenumber") === 1)
+            .select("l_orderkey", "l_linenumber"))
+        // SQL conjunction: one more tuple through the DELETE statement
+        val cn = sqlCatalog(s, "gceq", whDir)
+        s.sql(s"DELETE FROM $cn.lake.li_cdc " +
+          "WHERE l_orderkey = 3 AND l_linenumber = 2")
+        val dels = cat.liveDeleteFiles("lake", "li_cdc")
+        val untouched = cat.liveFiles("lake", "li_cdc").map(_.path).toSet == dataBefore
+        table.scan()
+          .groupBy(col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+          .withColumn("data_untouched", lit(untouched))
+          .withColumn("composite_entries", lit(dels.size == 2 &&
+            dels.forall(_.equalityKey.contains("l_orderkey,l_linenumber"))))
+          .orderBy(col("l_linestatus"))
+      },
+      Some("""WITH content AS (
+          SELECT l_linestatus, l_quantity FROM lineitem
+          WHERE NOT (l_orderkey % 5 = 0 AND l_linenumber = 1)
+            AND NOT (l_orderkey = 3 AND l_linenumber = 2))
+        SELECT l_linestatus, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+          TRUE AS data_untouched, TRUE AS composite_entries
+        FROM content GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
     // DataFrame-valued equality deletes (CDC-feed shape): the delete
     // feed is ANOTHER TABLE — keys never collect to the driver. Leg 1
     // deletes via the native deleteEq(DataFrame); leg 2 re-inserts a

@@ -153,10 +153,11 @@ private[sql] final class GraftSqlTable(
     }
     val spark = SparkSession.active
     // opt-in equality tier ('write.delete.mode'='equality'): a keyed
-    // DELETE (single `k = v` / `k IN (…)` with non-null values) commits
-    // ONE key-valued delete file with NO data scan — the keyed-CDC
-    // shape. Anything else (ranges, conjunctions, nulls) falls back to
-    // the position-vector path below.
+    // DELETE — single `k = v` / `k IN (…)`, or a CONJUNCTION of
+    // equalities over distinct columns (`k1 = v1 AND k2 = v2`, the
+    // composite-key CDC shape) — commits ONE key-valued delete file
+    // with NO data scan. Anything else (ranges, disjunctions, nulls)
+    // falls back to the position-vector path below.
     if (tableProps.get("write.delete.mode").contains("equality")) {
       import org.apache.spark.sql.sources.{EqualTo => SEq, In => SIn}
       val keyed: Option[(String, Seq[Any])] = filters match {
@@ -167,6 +168,17 @@ private[sql] final class GraftSqlTable(
       }
       keyed.foreach { case (key, values) =>
         LakehouseTable.load(backing, spark, ns, tbl).deleteEq(key, values)
+        return
+      }
+      // composite: every filter an equality on a distinct column →
+      // one key TUPLE (the filters array is a conjunction)
+      val eqs = filters.collect { case SEq(a, v) if v != null => a -> v }
+      if (eqs.length == filters.length && eqs.length > 1 &&
+          eqs.map(_._1.toLowerCase(java.util.Locale.ROOT)).distinct.length == eqs.length) {
+        val keyRow = spark.range(1).select(eqs.map { case (c, v) =>
+          org.apache.spark.sql.functions.lit(v).as(c) }: _*)
+        LakehouseTable.load(backing, spark, ns, tbl)
+          .deleteEq(eqs.map(_._1), keyRow)
         return
       }
     }

@@ -10,24 +10,31 @@ import graft.catalog.DataFileEntry
   * the SQL MOR relation (one definition of the semantics, two plan
   * entry points).
   *
-  * An equality-delete file (`equalityKey = Some(col)`, a parquet of
-  * deleted key values) applies to exactly the DATA files that precede
-  * it in replay order — so `DELETE WHERE k = 5` followed by an append
-  * of a new `k = 5` row leaves the new row visible (keyed-CDC
-  * semantics; Iceberg v2 sequence-number rules, expressed here by log
-  * position). The subtraction is a broadcast anti-join per (segment,
-  * delete): delete files are predicate-sized, so the broadcast is
-  * bounded and the data side never shuffles.
+  * An equality-delete file (`equalityKey = Some("col")` or, for
+  * COMPOSITE keys, `Some("col1,col2")` — column names cannot contain
+  * commas, enforced at write — a parquet of deleted key tuples)
+  * applies to exactly the DATA files that precede it in replay order —
+  * so `DELETE WHERE k = 5` followed by an append of a new `k = 5` row
+  * leaves the new row visible (keyed-CDC semantics; Iceberg v2
+  * sequence-number rules, expressed here by log position; Iceberg's
+  * own equality deletes are field-LIST-valued for the same composite
+  * CDC keys). The subtraction is a broadcast anti-join per (segment,
+  * delete) on all key columns: delete files are predicate-sized, so
+  * the broadcast is bounded and the data side never shuffles.
   *
   * Null keys: an equality delete never removes null-keyed rows (the
-  * anti-join's `=` is null-rejecting on both sides), matching SQL
-  * `key IN (…)` semantics. */
+  * anti-join's `=` is null-rejecting on both sides, per column),
+  * matching SQL `(k1, k2) IN (…)` semantics. */
 object EqDeletes {
 
   def isEq(f: DataFileEntry): Boolean =
     f.deleteFile.contains(true) && f.equalityKey.isDefined
   def isPos(f: DataFileEntry): Boolean =
     f.deleteFile.contains(true) && f.equalityKey.isEmpty
+
+  /** Key columns of an equality-delete entry (comma-encoded). */
+  def keyCols(f: DataFileEntry): Seq[String] =
+    f.equalityKey.get.split(',').toSeq
 
   /** Segment the replay-ordered entries into (data files, equality
     * deletes that apply to them) groups: consecutive data files with
@@ -70,11 +77,14 @@ object EqDeletes {
           col("_metadata.file_path").as("__scan_file"),
           col("_metadata.row_index").as("__scan_pos"))
       eqDels.foldLeft(base) { (df, del) =>
-        val key = del.equalityKey.get
+        val cols = keyCols(del)
         val keys = broadcast(
           spark.read.parquet(del.path)
-            .select(col(key).as("__eqdel_v")).distinct())
-        df.join(keys, df(key) === col("__eqdel_v"), "left_anti")
+            .select(cols.zipWithIndex.map { case (c, i) =>
+              col(c).as(s"__eqdel_$i") }: _*).distinct())
+        df.join(keys,
+          cols.zipWithIndex.map { case (c, i) => df(c) === col(s"__eqdel_$i") }
+            .reduce(_ && _), "left_anti")
       }
     }
     parts.reduce(_.unionByName(_))

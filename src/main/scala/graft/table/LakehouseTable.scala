@@ -570,48 +570,66 @@ final class LakehouseTable(
     * counts — no second validation pass over the feed). An EMPTY feed
     * commits a zero-value audit snapshot instead of throwing (a CDC
     * cycle with nothing to delete is normal). */
-  def deleteEq(keyCol: String, keys: DataFrame): Snapshot = {
+  def deleteEq(keyCol: String, keys: DataFrame): Snapshot =
+    deleteEq(Seq(keyCol), keys)
+
+  /** COMPOSITE-key equality delete (Iceberg's equality deletes are
+    * field-list-valued for exactly this): the feed's columns map
+    * POSITIONALLY onto `keyCols`, each row is one deleted key tuple,
+    * and rows match only when EVERY key column is equal — SQL
+    * `(k1, k2) IN (…)` semantics, null-rejecting per column. One
+    * key-tuple parquet + one layered commit, same replay-order
+    * sequencing as the single-key form. */
+  def deleteEq(keyCols: Seq[String], keys: DataFrame): Snapshot = {
     val base = currentSnapshotId
-    val field = keyField(keyCol)
-    require(keys.schema.fields.length == 1,
-      s"delete feed must be a single key column, got " +
-        s"(${keys.columns.mkString(", ")})")
+    require(keyCols.nonEmpty, "deleteEq needs at least one key column")
+    val fields = keyCols.map(keyField)
+    val names = fields.map(_.name)
+    require(names.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.size == names.size,
+      s"duplicate key columns: ${names.mkString(", ")}")
+    // comma is the composite encoding in the log's equalityKey field
+    require(names.forall(!_.contains(",")),
+      s"key column names cannot contain ',': ${names.mkString(", ")}")
+    require(keys.schema.fields.length == fields.length,
+      s"delete feed must carry exactly the key columns (${names.mkString(", ")}), " +
+        s"got (${keys.columns.mkString(", ")})")
     // distinct BEFORE the single-file coalesce so dedup runs parallel;
     // one output file keeps the log entry count at one per feed (the
     // key set is broadcast-bounded at scan time regardless)
-    val keyDf = keys.toDF(field.name)
-      .select(col(field.name).cast(field.dataType).as(field.name))
+    val keyDf = keys.toDF(names: _*)
+      .select(fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
       .distinct().repartition(1)
     val delDir = catalog.dataDir(namespace, name)
       .resolve(s"eqdel-${java.util.UUID.randomUUID().toString.take(12)}")
     keyDf.write.mode("overwrite").parquet(delDir.toString)
+    val encodedKey = names.mkString(",")
     val delFiles = listParquet(delDir.toString).map { p =>
       statFile(p, Map.empty)
-        .copy(deleteFile = Some(true), equalityKey = Some(field.name))
+        .copy(deleteFile = Some(true), equalityKey = Some(encodedKey))
     }
     val nValues = delFiles.map(_.rowCount).sum
     if (nValues == 0) {
       Files.walk(delDir).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
       return catalog.commit(namespace, name, Snaplog.OpEqDelete, Seq.empty,
-        Map("equality-key" -> field.name, "delete-values" -> "0"),
+        Map("equality-key" -> encodedKey, "delete-values" -> "0"),
         expectedSnapshotId = Some(base))
     }
     // null rejection from footer metadata; a footer without the null
     // count (shouldn't happen for parquet we just wrote) re-checks with
     // one filter job rather than trusting absence
-    val nullKeys = delFiles.map(f =>
-      f.nullCounts.flatMap(_.get(field.name)).getOrElse {
-        spark.read.parquet(f.path).filter(col(field.name).isNull).count()
-      }).sum
+    val nullKeys = names.map(n => delFiles.map(f =>
+      f.nullCounts.flatMap(_.get(n)).getOrElse {
+        spark.read.parquet(f.path).filter(col(n).isNull).count()
+      }).sum).sum
     if (nullKeys > 0) {
       Files.walk(delDir).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
       throw new IllegalArgumentException(
-        s"deleteEq feed carries $nullKeys null key(s) — equality is " +
+        s"deleteEq feed carries $nullKeys null key value(s) — equality is " +
           "null-rejecting; filter them out (or delete IS NULL rows via " +
           "deleteMor)")
     }
     catalog.commit(namespace, name, Snaplog.OpEqDelete, delFiles,
-      Map("equality-key" -> field.name,
+      Map("equality-key" -> encodedKey,
         "delete-values" -> nValues.toString),
       expectedSnapshotId = Some(base))
   }

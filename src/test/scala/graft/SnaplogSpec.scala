@@ -1065,6 +1065,47 @@ abstract class CatalogContractSpec extends SparkSpec {
     }
   }
 
+  test("composite-key equality delete: tuple semantics, replay order, null rejection") {
+    val cat = freshCatalog()
+    val df = Seq((1L, "us", "a"), (1L, "eu", "b"), (2L, "us", "c"), (2L, "eu", "d"))
+      .toDF("uid", "region", "v")
+    val t = graft.table.LakehouseTable.create(cat, spark, "ns", "ceq", df.schema)
+    t.append(df)
+    // delete exactly the tuples (1,eu) and (2,us): TUPLE match — a
+    // column-wise IN would wrongly delete all four rows
+    t.deleteEq(Seq("uid", "region"),
+      Seq((1L, "eu"), (2L, "us")).toDF("uid", "region"))
+    val dels = cat.liveDeleteFiles("ns", "ceq")
+    assert(dels.size == 1 && dels.head.equalityKey.contains("uid,region"),
+      s"composite key must encode both columns: $dels")
+    assert(t.scan().select("v").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("a", "d"))
+    // a re-insert of a deleted tuple survives (replay order)
+    t.append(Seq((1L, "eu", "b2")).toDF("uid", "region", "v"))
+    assert(t.scan().select("v").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("a", "b2", "d"))
+    // null in ANY key column rejects the whole feed, commits nothing
+    val delsBefore = cat.liveDeleteFiles("ns", "ceq").size
+    val ex = intercept[IllegalArgumentException] {
+      t.deleteEq(Seq("uid", "region"),
+        Seq((Option(1L), Option.empty[String])).toDF("uid", "region"))
+    }
+    assert(ex.getMessage.contains("null"))
+    assert(cat.liveDeleteFiles("ns", "ceq").size == delsBefore)
+    // column-count mismatch and duplicate key columns refuse
+    intercept[IllegalArgumentException] {
+      t.deleteEq(Seq("uid", "region"), Seq(1L).toDF("uid"))
+    }
+    intercept[IllegalArgumentException] {
+      t.deleteEq(Seq("uid", "uid"), Seq((1L, 2L)).toDF("a", "b"))
+    }
+    // compaction materializes the composite subtraction and retires it
+    t.compact()
+    assert(cat.liveDeleteFiles("ns", "ceq").isEmpty)
+    assert(t.scan().select("v").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("a", "b2", "d"))
+  }
+
   test("SQL DELETE with IN-subquery routes to the equality tier under equality mode") {
     val wh = Files.createTempDirectory("graft-eqroute").toString
     val cat = new Snaplog(wh)
@@ -1091,6 +1132,18 @@ abstract class CatalogContractSpec extends SparkSpec {
     spark.sql(s"INSERT INTO $cn.ns.cdc VALUES (2,'new')")
     assert(spark.sql(s"SELECT id FROM $cn.ns.cdc ORDER BY id").collect()
       .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // a CONJUNCTION of equalities routes as one composite key tuple
+    spark.sql(s"""CREATE TABLE $cn.ns.cdc2 (uid BIGINT, region STRING, v STRING)
+      TBLPROPERTIES ('write.delete.mode'='equality')""")
+    spark.sql(s"INSERT INTO $cn.ns.cdc2 VALUES " +
+      "(1,'us','a'),(1,'eu','b'),(2,'us','c')")
+    spark.sql(s"DELETE FROM $cn.ns.cdc2 WHERE uid = 1 AND region = 'eu'")
+    val cdels = cat.liveDeleteFiles("ns", "cdc2")
+    assert(cdels.size == 1 && cdels.head.equalityKey.contains("uid,region"),
+      s"conjunction DELETE should take the composite equality tier: $cdels")
+    assert(spark.sql(s"SELECT v FROM $cn.ns.cdc2 ORDER BY v").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "c"))
+
     // without equality mode the same statement stays on the COW path
     spark.sql(s"""CREATE TABLE $cn.ns.cow (id BIGINT, v STRING)""")
     spark.sql(s"INSERT INTO $cn.ns.cow VALUES (1,'a'),(2,'b')")

@@ -346,6 +346,71 @@ object Lakehouse {
         FROM orders WHERE o_orderkey % 3 IN (1, 2)
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // Row-level CHANGELOG read (scanChanges / Delta-CDF analogue):
+    // appends, a DataFrame-valued equality delete, then another append —
+    // the changelog must emit every insert, retract exactly the rows the
+    // delete saw (not the later re-inserts of the same keys), and stamp
+    // each change with its commit. Consumed through the SQL view surface
+    // (registerChangesView) so both APIs are gated at once.
+    QueryDef("lake_changelog",
+      (s, d) => {
+        val cat = new Snaplog(wh("lake_changelog", d))
+        val orders = t(s, d, "orders")
+        val rep = Ingest.ingestDf(cat, "lake", "orders",
+          orders.filter(col("o_orderkey") % 3 === 0))            // 1
+        rep.table.append(orders.filter(col("o_orderkey") % 3 === 1)) // 2
+        rep.table.deleteEq("o_orderkey",                             // 3
+          orders.filter(col("o_orderkey") % 5 === 0).select("o_orderkey"))
+        rep.table.append(orders.filter(col("o_orderkey") % 3 === 2)) // 4
+        rep.table.registerChangesView("lake_changelog_ch", 0L)
+        s.sql("""SELECT _change_type AS change_type, o_orderstatus,
+            COUNT(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM lake_changelog_ch
+          GROUP BY change_type, o_orderstatus
+          ORDER BY change_type, o_orderstatus""")
+      },
+      Some("""SELECT change_type, o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM (
+          SELECT 'insert' AS change_type, o_orderstatus, o_totalprice
+          FROM orders
+          UNION ALL
+          SELECT 'delete' AS change_type, o_orderstatus, o_totalprice
+          FROM orders
+          WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 5 = 0
+        ) ch
+        GROUP BY change_type, o_orderstatus
+        ORDER BY change_type, o_orderstatus""")),
+
+    // Changelog across row-level DML: a COW delete (carries untouched
+    // files, rewrites the rest — copied rows must CANCEL, never appear
+    // as churn) followed by a MOR position delete (vector rows must
+    // materialize as retractions). Everything after the ingest is a
+    // 'delete'; the oracle recomputes the exact deleted-row set.
+    QueryDef("lake_changelog_dml",
+      (s, d) => {
+        val cat = new Snaplog(wh("lake_changelog_dml", d))
+        val li = t(s, d, "lineitem").filter(col("l_orderkey") % 4 === 0)
+        val rep = Ingest.ingestDf(cat, "lake", "lineitem",
+          li.repartitionByRange(4, col("l_orderkey")))         // 1
+        rep.table.delete(col("l_quantity") >= 45)              // 2 (COW)
+        rep.table.deleteMor(col("l_quantity") <= 2)            // 3 (MOR)
+        rep.table.scanChanges(1L)
+          .groupBy(
+            col(graft.table.LakehouseTable.ChangeTypeCol).as("change_type"),
+            col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy(col("change_type"), col("l_returnflag"))
+      },
+      Some("""SELECT 'delete' AS change_type, l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_orderkey % 4 = 0 AND (l_quantity >= 45 OR l_quantity <= 2)
+        GROUP BY change_type, l_returnflag
+        ORDER BY change_type, l_returnflag""")),
+
     // Stat-based file skipping: orders range-partitioned on the key so
     // data files carry disjoint [min,max] bounds; a key-range scan then
     // prunes to the matching files from LOG METADATA alone (Iceberg

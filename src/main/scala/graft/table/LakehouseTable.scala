@@ -37,6 +37,9 @@ final class LakehouseTable(
     val namespace: String,
     val name: String) {
 
+  import LakehouseTable.{ChangeTypeCol, ChangeSnapshotCol,
+    ChangeTimestampCol, ChangeInsert, ChangeDelete}
+
   def meta: TableMetadata = catalog.loadTable(namespace, name)
   def schema: StructType = meta.schema
   def partitionColumns: Seq[String] = meta.partitionColumns
@@ -87,25 +90,33 @@ final class LakehouseTable(
     * to the data, so the joins add no shuffle of the data side; a reset
     * commit (compaction/overwrite) retires them entirely. */
   private def assembleOrdered(ordered: Seq[DataFileEntry],
-      keep: DataFileEntry => Boolean): DataFrame = {
+      keep: DataFileEntry => Boolean): DataFrame =
+    assembleOrderedMeta(ordered, keep, retainMeta = false)
+
+  /** [[assembleOrdered]] with an option to RETAIN the scan-position
+    * metadata columns (`__scan_file` / `__scan_pos`) on the result —
+    * the changelog's position-delete emission joins on them AFTER the
+    * outstanding-vector subtraction has already run. */
+  private def assembleOrderedMeta(ordered: Seq[DataFileEntry],
+      keep: DataFileEntry => Boolean, retainMeta: Boolean): DataFrame = {
     val posDeletes = ordered.filter(EqDeletes.isPos)
     val segs = EqDeletes.segments(ordered, keep)
     if (segs.isEmpty)
       return spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
     val data = EqDeletes.readSubtracted(spark, readSchema, segs,
-      withMeta = posDeletes.nonEmpty)
+      withMeta = posDeletes.nonEmpty || retainMeta)
     if (posDeletes.isEmpty) data
     else {
       val dv = broadcast(
         spark.read.parquet(posDeletes.map(_.path): _*)
           .select(col("file_path").as("__dv_file"), col("row_index").as("__dv_pos"))
           .distinct())
-      data
+      val sub = data
         .join(dv,
           col("__scan_file") === col("__dv_file") &&
             col("__scan_pos") === col("__dv_pos"),
           "left_anti")
-        .drop("__scan_file", "__scan_pos")
+      if (retainMeta) sub else sub.drop("__scan_file", "__scan_pos")
     }
   }
 
@@ -295,6 +306,163 @@ final class LakehouseTable(
     else
       EqDeletes.readSubtracted(spark, readSchema, segs, withMeta = false)
   }
+
+  /** Row-level CHANGELOG read (Iceberg changelog scan / Delta CDF
+    * analogue): every row-level change committed in `(fromSnapshot,
+    * toSnapshot]`, stamped with `_change_type` ('insert' | 'delete'),
+    * `_commit_snapshot_id` and `_commit_timestamp`. Unlike
+    * [[scanIncremental]] (the NET additive delta), the changelog
+    * replays each commit's own changes — including retractions of rows
+    * emitted BEFORE the window, which an additive delta cannot express.
+    * `fromSnapshot = 0` means "since table creation".
+    *
+    * Per-commit semantics (main lineage; WAP-staged commits are not
+    * main history and contribute only when published):
+    *  - append / add_files → every row of the added files as 'insert'
+    *  - eq_delete → the PRE-COMMIT-visible rows its key tuples match,
+    *    as 'delete' (rows already deleted earlier are not re-emitted;
+    *    a later re-insert of the key is an independent 'insert')
+    *  - mor_delete → the pre-commit-visible rows at the vector's
+    *    (file, position) pairs, as 'delete'
+    *  - overwrite / COW delete (incl. rollback) → the exact row-level
+    *    diff of removed-vs-added files: carried-by-path files are
+    *    skipped outright and rewrite churn cancels via multiset
+    *    difference (Iceberg's "carryover row" elimination), so a COW
+    *    delete emits exactly its deleted rows, never the copied ones
+    *  - replace (compaction) / checkpoint → content no-ops, nothing
+    *
+    * Scale: an append-only window reads ONLY the added files (no
+    * shuffle, no prior-table read). A delete commit must produce the
+    * deleted rows' full content, so it scans the prior live set
+    * restricted to a broadcast semi-join on the (predicate-sized) key
+    * or position set; an overwrite diff shuffles only the REMOVED +
+    * ADDED files (multiset EXCEPT), never untouched carried data. Both
+    * costs are inherent to row-level change capture (Iceberg's
+    * changelog pays the same) and bounded by the commit's own touch
+    * set, not the table. */
+  def scanChanges(fromSnapshot: Long,
+      toSnapshot: Option[Long] = None): DataFrame = {
+    val snaps = catalog.snapshots(namespace, name).filterNot(Snaplog.isWapStaged)
+    val ids = snaps.map(_.snapshotId)
+    require(fromSnapshot == 0L || ids.contains(fromSnapshot),
+      s"unknown snapshot $fromSnapshot of $namespace.$name")
+    val upTo = toSnapshot.getOrElse(ids.lastOption.getOrElse(0L))
+    require(upTo == 0L || ids.contains(upTo),
+      s"unknown snapshot $upTo of $namespace.$name")
+    require(upTo >= fromSnapshot,
+      s"toSnapshot $upTo precedes fromSnapshot $fromSnapshot")
+    val window = snaps.filter(s =>
+      s.snapshotId > fromSnapshot && s.snapshotId <= upTo)
+    // "since creation" is unanswerable once earlier history has been
+    // expired: the oldest retained snapshot still names its dropped
+    // parent, so the gap is detectable. Loud refusal beats a silently
+    // incomplete changelog.
+    require(fromSnapshot != 0L || window.headOption.forall(_.parentId.isEmpty),
+      s"changelog from table creation is unavailable: history before " +
+        s"snapshot ${window.headOption.map(_.snapshotId).getOrElse(0L)} was " +
+        "expired — start from a retained snapshot")
+
+    var prefix: Seq[DataFileEntry] =
+      if (fromSnapshot == 0L) Seq.empty
+      else catalog.liveEntriesOrdered(namespace, name, Some(fromSnapshot))
+    val parts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def stamp(df: DataFrame, tpe: String, s: Snapshot): DataFrame =
+      df.withColumn(ChangeTypeCol, lit(tpe))
+        .withColumn(ChangeSnapshotCol, lit(s.snapshotId))
+        .withColumn(ChangeTimestampCol,
+          lit(new java.sql.Timestamp(s.timestampMs)))
+    def hasData(entries: Seq[DataFileEntry]): Boolean =
+      entries.exists(f => !f.deleteFile.contains(true))
+
+    window.foreach { s =>
+      s.operation match {
+        case Snaplog.OpCheckpoint | Snaplog.OpReplace =>
+          prefix = s.files // content no-op: new replay basis, no changes
+        case Snaplog.OpAppend | Snaplog.OpAddFiles =>
+          val data = s.files.filterNot(_.deleteFile.contains(true))
+          if (data.nonEmpty)
+            parts += stamp(
+              spark.read.schema(readSchema).parquet(data.map(_.path): _*),
+              ChangeInsert, s)
+          prefix = prefix ++ s.files
+        case Snaplog.OpEqDelete =>
+          // apply entry-by-entry so a commit carrying several key files
+          // sequences exactly like the scan-side replay does
+          s.files.foreach { del =>
+            if (EqDeletes.isEq(del) && hasData(prefix)) {
+              val cols = EqDeletes.keyCols(del)
+              val keys = broadcast(
+                spark.read.parquet(del.path)
+                  .select(cols.zipWithIndex.map { case (c, i) =>
+                    col(c).as(s"__eqdel_$i") }: _*).distinct())
+              val vis = assembleOrdered(prefix, _ => true)
+              val matched = vis.join(keys,
+                cols.zipWithIndex.map { case (c, i) =>
+                  vis(c) === col(s"__eqdel_$i") }.reduce(_ && _),
+                "left_semi")
+              parts += stamp(matched, ChangeDelete, s)
+            }
+            prefix = prefix :+ del
+          }
+        case Snaplog.OpMorDelete =>
+          val vectors = s.files.filter(EqDeletes.isPos)
+          if (vectors.nonEmpty && hasData(prefix)) {
+            val dv = broadcast(
+              spark.read.parquet(vectors.map(_.path): _*)
+                .select(col("file_path").as("__dv_file"),
+                  col("row_index").as("__dv_pos"))
+                .distinct())
+            val vis = assembleOrderedMeta(prefix, _ => true, retainMeta = true)
+            val matched = vis.join(dv,
+              col("__scan_file") === col("__dv_file") &&
+                col("__scan_pos") === col("__dv_pos"),
+              "left_semi")
+              .drop("__scan_file", "__scan_pos")
+            parts += stamp(matched, ChangeDelete, s)
+          }
+          prefix = prefix ++ s.files
+        case _ => // overwrite / COW delete / rollback: exact row diff
+          val prevDataPaths = prefix
+            .filterNot(_.deleteFile.contains(true)).map(_.path).toSet
+          val newData = s.files.filterNot(_.deleteFile.contains(true))
+          val newPaths = newData.map(_.path).toSet
+          val removedPaths = prevDataPaths -- newPaths
+          val added = newData.filterNot(f => prevDataPaths(f.path))
+          val remVis = if (removedPaths.isEmpty) None
+            else Some(assembleOrdered(prefix, f => removedPaths(f.path)))
+          val addRows = if (added.isEmpty) None
+            else Some(spark.read.schema(readSchema).parquet(added.map(_.path): _*))
+          (remVis, addRows) match {
+            case (Some(rem), Some(add)) =>
+              parts += stamp(rem.exceptAll(add), ChangeDelete, s)
+              parts += stamp(add.exceptAll(rem), ChangeInsert, s)
+            case (Some(rem), None) => parts += stamp(rem, ChangeDelete, s)
+            case (None, Some(add)) => parts += stamp(add, ChangeInsert, s)
+            case (None, None) => // metadata-only no-op commit
+          }
+          prefix = s.files
+      }
+    }
+    if (parts.isEmpty)
+      spark.createDataFrame(java.util.Collections.emptyList[Row](),
+        changesSchema)
+    else parts.reduce(_.unionByName(_))
+  }
+
+  /** Schema [[scanChanges]] emits: the table columns plus the three
+    * change-metadata columns. */
+  def changesSchema: StructType =
+    StructType(schema.fields ++ Seq(
+      StructField(ChangeTypeCol, StringType, nullable = false),
+      StructField(ChangeSnapshotCol, LongType, nullable = false),
+      StructField(ChangeTimestampCol, TimestampType, nullable = false)))
+
+  /** SQL access to the changelog: register `scanChanges(from, to)`
+    * under a temp view, the same surface [[registerView]] gives the
+    * current snapshot. */
+  def registerChangesView(viewName: String, fromSnapshot: Long,
+      toSnapshot: Option[Long] = None): Unit =
+    scanChanges(fromSnapshot, toSnapshot).createOrReplaceTempView(viewName)
 
   /** Register the current snapshot for the SQL path (reference S10:
     * DuckDB `iceberg_scan` → here `spark.sql` over a temp view). */
@@ -1161,6 +1329,14 @@ object FileStats {
 }
 
 object LakehouseTable {
+  /** Changelog metadata columns ([[LakehouseTable.scanChanges]]) —
+    * Delta CDF's names, the de-facto convention CDC consumers parse. */
+  val ChangeTypeCol = "_change_type"
+  val ChangeSnapshotCol = "_commit_snapshot_id"
+  val ChangeTimestampCol = "_commit_timestamp"
+  val ChangeInsert = "insert"
+  val ChangeDelete = "delete"
+
   def load(catalog: Catalog, spark: SparkSession, ns: String, name: String): LakehouseTable = {
     catalog.loadTable(ns, name) // fail fast if absent
     new LakehouseTable(catalog, spark, ns, name)

@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Snaplog
+import graft.table.LakehouseTable
+
+/** Row-level changelog reads ([[LakehouseTable.scanChanges]]): each
+  * commit kind's emission contract, sequencing across mixed histories,
+  * and the loud refusals. */
+class ChangelogSpec extends SparkSpec {
+  import spark.implicits._
+  import LakehouseTable.{ChangeTypeCol, ChangeSnapshotCol, ChangeInsert, ChangeDelete}
+
+  private def fixture(ids: Int*): DataFrame =
+    ids.map(i => (i, s"g${i % 3}", i * 1.5)).toDF("id", "grp", "v")
+
+  private def freshTable(name: String, interval: Int = 100): LakehouseTable = {
+    val cat = new Snaplog(
+      Files.createTempDirectory(s"graft-cl-$name").toString, interval)
+    LakehouseTable.create(cat, spark, "ns", name, fixture(1).schema)
+  }
+
+  /** Collected (change_type, snapshot_id, id) triples, sorted. */
+  private def changes(df: DataFrame): Seq[(String, Long, Int)] =
+    df.select(col(ChangeTypeCol), col(ChangeSnapshotCol), col("id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      .toSeq.sorted
+
+  test("append-only window emits each commit's rows as inserts") {
+    val t = freshTable("appends")
+    t.append(fixture(1, 2)) // snapshot 1
+    t.append(fixture(3))    // snapshot 2
+    assert(changes(t.scanChanges(0L)) == Seq(
+      (ChangeInsert, 1L, 1), (ChangeInsert, 1L, 2), (ChangeInsert, 2L, 3)))
+    // half-open window: (1, 2]
+    assert(changes(t.scanChanges(1L)) == Seq((ChangeInsert, 2L, 3)))
+    // empty window from current
+    assert(t.scanChanges(2L).count() == 0)
+    assert(t.scanChanges(2L).columns.toSeq == t.changesSchema.fieldNames.toSeq)
+  }
+
+  test("equality delete emits retractions of pre-visible rows only") {
+    val t = freshTable("eqdel")
+    t.append(fixture(1, 2, 3))          // 1
+    t.deleteEq("id", Seq(2, 99))        // 2: 99 matches nothing
+    t.append(fixture(2))                // 3: re-insert of a deleted key
+    t.deleteEq("id", Seq(2))            // 4: deletes ONLY the re-insert
+    val got = changes(t.scanChanges(0L))
+    assert(got == Seq(
+      (ChangeDelete, 2L, 2), (ChangeDelete, 4L, 2),
+      (ChangeInsert, 1L, 1), (ChangeInsert, 1L, 2), (ChangeInsert, 1L, 3),
+      (ChangeInsert, 3L, 2)))
+    // a second delete of key 2 would re-emit nothing: row already gone
+    t.deleteEq("id", Seq(2)) // 5
+    assert(changes(t.scanChanges(4L)).isEmpty)
+  }
+
+  test("changelog net effect equals the table's visible state") {
+    val t = freshTable("net")
+    t.append(fixture(1, 2, 3, 4))
+    t.deleteEq("id", Seq(1, 3))
+    t.append(fixture(5, 1))
+    val cl = t.scanChanges(0L)
+    val ins = cl.filter(col(ChangeTypeCol) === ChangeInsert)
+      .select("id", "grp", "v")
+    val del = cl.filter(col(ChangeTypeCol) === ChangeDelete)
+      .select("id", "grp", "v")
+    val net = ins.exceptAll(del).orderBy("id").collect().map(_.getInt(0)).toSeq
+    val visible = t.scan().orderBy("id").collect().map(_.getInt(0)).toSeq
+    assert(net == visible && visible == Seq(1, 2, 4, 5))
+  }
+
+  test("position (MOR) delete emits the rows at the vector's positions") {
+    val t = freshTable("mor")
+    t.append(fixture(1, 2, 3, 4)) // 1
+    t.deleteMor(col("id") >= 3)   // 2
+    val got = changes(t.scanChanges(0L))
+    assert(got == Seq(
+      (ChangeDelete, 2L, 3), (ChangeDelete, 2L, 4),
+      (ChangeInsert, 1L, 1), (ChangeInsert, 1L, 2),
+      (ChangeInsert, 1L, 3), (ChangeInsert, 1L, 4)))
+  }
+
+  test("MOR vector over an eq-deleted row does not re-emit it") {
+    val t = freshTable("moreq")
+    t.append(fixture(1, 2, 3)) // 1
+    t.deleteEq("id", Seq(3))   // 2 — row 3 now invisible
+    t.deleteMor(col("id") >= 2) // 3 — vector may cover 2 AND the dead 3
+    val dels = changes(t.scanChanges(2L)).filter(_._1 == ChangeDelete)
+    assert(dels == Seq((ChangeDelete, 3L, 2)))
+  }
+
+  test("COW delete emits exactly the deleted rows, no carry/churn noise") {
+    val t = freshTable("cow")
+    t.append(fixture(1, 2))    // 1 — file A (will be untouched/carried)
+    t.append(fixture(3, 4))    // 2 — file B (will be rewritten)
+    t.delete(col("id") === 4)  // 3 — COW: carries A, rewrites B
+    val got = changes(t.scanChanges(2L))
+    // carried file A contributes nothing; survivor row 3 (copied into
+    // the rewrite) cancels via multiset difference
+    assert(got == Seq((ChangeDelete, 3L, 4)))
+  }
+
+  test("overwrite emits the exact row diff; rollback mirrors it") {
+    val t = freshTable("ow")
+    t.append(fixture(1, 2)) // 1
+    t.overwrite(fixture(2, 9)) // 2: -1, +9 (2 is churn — cancels)
+    assert(changes(t.scanChanges(1L)) == Seq(
+      (ChangeDelete, 2L, 1), (ChangeInsert, 2L, 9)))
+    t.rollbackTo(1L) // 3: inverse diff, metadata-only re-list
+    assert(changes(t.scanChanges(2L)) == Seq(
+      (ChangeDelete, 3L, 9), (ChangeInsert, 3L, 1)))
+  }
+
+  test("compaction and checkpoint folds are changelog no-ops") {
+    val t = freshTable("fold", interval = 3)
+    t.append(fixture(1)) // 1
+    t.append(fixture(2)) // 2
+    t.deleteEq("id", Seq(1)) // 3
+    t.compact()          // 4 (replace) — materializes, retires deletes
+    val app = t.append(fixture(3)) // (+ a checkpoint may fold in between)
+    val got = changes(t.scanChanges(0L))
+    assert(got == Seq(
+      (ChangeDelete, 3L, 1),
+      (ChangeInsert, 1L, 1), (ChangeInsert, 2L, 2),
+      (ChangeInsert, app.snapshotId, 3)))
+    // a window crossing ONLY the fold is empty
+    assert(changes(t.scanChanges(3L, Some(4L))).isEmpty)
+  }
+
+  test("WAP-staged commits surface only when published") {
+    val t = freshTable("wap")
+    t.append(fixture(1))            // 1
+    t.appendToBranch("audit", fixture(7)) // 2 — staged, not main
+    assert(changes(t.scanChanges(0L)) == Seq((ChangeInsert, 1L, 1)))
+    val pub = t.fastForward("audit") // publish
+    assert(changes(t.scanChanges(1L)) ==
+      Seq((ChangeInsert, pub.snapshotId, 7)))
+  }
+
+  test("refusals: unknown snapshots and expired-away creation history") {
+    val t = freshTable("refuse")
+    t.append(fixture(1)) // 1
+    t.append(fixture(2)) // 2
+    intercept[IllegalArgumentException](t.scanChanges(42L))
+    intercept[IllegalArgumentException](t.scanChanges(1L, Some(42L)))
+    intercept[IllegalArgumentException](t.scanChanges(2L, Some(1L)))
+    // expire early history → changelog-from-creation is unanswerable
+    t.compact()          // 3 (replace) — the reset base expire requires
+    t.append(fixture(3)) // 4
+    t.catalog.expireSnapshots("ns", "refuse", keepLast = 2)
+    val err = intercept[IllegalArgumentException](t.scanChanges(0L))
+    assert(err.getMessage.contains("expired"))
+    // ...but a retained-snapshot start still works
+    assert(changes(t.scanChanges(3L)).map(_._3) == Seq(3))
+  }
+}

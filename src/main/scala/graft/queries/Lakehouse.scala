@@ -1172,6 +1172,58 @@ object Lakehouse {
         UNION ALL SELECT o_orderstatus, n, total, leg FROM net
         ORDER BY leg, o_orderstatus""")),
 
+    // Streaming CHANGE FEED (readStream.format("graft-changes")): run 1
+    // streams the evens' inserts; an equality delete and an append of
+    // the odds land; run 2 resumes from the checkpoint and must emit the
+    // RETRACTIONS of rows run 1 already delivered (the append-only table
+    // stream's documented blind spot) plus the odd inserts — no
+    // duplicates across the restart (any re-emission doubles a count and
+    // breaks the oracle).
+    QueryDef("stream_changelog",
+      (s, d) => {
+        val whDir = wh("stream_changelog", d)
+        val cat = new Snaplog(whDir)
+        val orders = t(s, d, "orders")
+        val tbl = LakehouseTable.create(cat, s, "lake", "orders_cf", orders.schema)
+        val ckpt = scratchDir("stream_changelog_ck", d)
+        val out = scratchDir("stream_changelog_out", d)
+        def runOnce(): Unit = {
+          val q = s.readStream.format("graft-changes")
+            .option("warehouse", whDir).option("table", "lake.orders_cf")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination(300000)
+          q.exception.foreach(throw _)
+        }
+        tbl.append(orders.filter(col("o_orderkey") % 2 === 0))   // snap 1
+        runOnce()                                                // even inserts
+        tbl.deleteEq("o_orderkey",                               // snap 2
+          orders.filter(col("o_orderkey") % 6 === 0).select("o_orderkey"))
+        tbl.append(orders.filter(col("o_orderkey") % 2 === 1))   // snap 3
+        runOnce()                                                // retractions + odds
+        s.read.schema(tbl.changesSchema).parquet(out)
+          .groupBy(
+            col(graft.table.LakehouseTable.ChangeTypeCol).as("change_type"),
+            col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("change_type"), col("o_orderstatus"))
+      },
+      Some("""SELECT change_type, o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM (
+          SELECT 'insert' AS change_type, o_orderstatus, o_totalprice
+          FROM orders
+          UNION ALL
+          SELECT 'delete' AS change_type, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey % 6 = 0
+        ) ch
+        GROUP BY change_type, o_orderstatus
+        ORDER BY change_type, o_orderstatus""")),
+
     // Incremental read across an in-window equality delete: the NET
     // delta — window adds (the odds) minus the keys a later in-window
     // delete matched, by the same replay-order rules a full scan uses.

@@ -1,0 +1,18 @@
+package org.apache.spark.sql
+
+/** Bridge into the one `private[sql]` constructor a DataSource V1
+  * streaming source needs: `internalCreateDataFrame(…, isStreaming =
+  * true)`. The V1 `Source.getBatch` contract requires the returned
+  * frame to carry `isStreaming = true`, and the only way to stamp it
+  * is this session method — Spark's own V1 sources (file, socket,
+  * rate) call it the same way from inside the `sql` package, and
+  * third-party V1 connectors ship exactly this shim. The wrap is lazy
+  * and fully distributed: it re-plans the batch frame's physical RDD,
+  * no driver materialization. */
+object GraftStreamingShim {
+  def asStreamingFrame(spark: SparkSession, batch: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      batch.queryExecution.toRdd, batch.schema, isStreaming = true)
+  }
+}

@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.catalog.Snaplog
+import graft.table.LakehouseTable
+
+/** Streaming change feed (`readStream.format("graft-changes")`):
+  * changelog batches over snapshot-id offsets, retractions streaming
+  * through the commits the append-only table stream refuses, and
+  * checkpointed resume. */
+class ChangeFeedStreamSpec extends SparkSpec {
+  import spark.implicits._
+  import LakehouseTable.{ChangeTypeCol, ChangeSnapshotCol, ChangeInsert, ChangeDelete}
+
+  private def fixture(ids: Int*) =
+    ids.map(i => (i, s"g${i % 3}", i * 1.5)).toDF("id", "grp", "v")
+
+  private def freshTable(name: String): (String, LakehouseTable) = {
+    val wh = Files.createTempDirectory(s"graft-cf-$name").toString
+    (wh, LakehouseTable.create(
+      new Snaplog(wh), spark, "ns", name, fixture(1).schema))
+  }
+
+  /** One AvailableNow pass into a recoverable parquet sink; returns the
+    * CUMULATIVE (change_type, snapshot_id, id) rows in the output. */
+  private def runToDir(wh: String, tableName: String, ckpt: String,
+      out: String, options: Map[String, String] = Map.empty)
+      : Seq[(String, Long, Int)] = {
+    var r = spark.readStream.format("graft-changes")
+      .option("warehouse", wh).option("table", s"ns.$tableName")
+    options.foreach { case (k, v) => r = r.option(k, v) }
+    val q = r.load()
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    q.exception.foreach(throw _)
+    spark.read.parquet(out)
+      .select(col(ChangeTypeCol), col(ChangeSnapshotCol), col("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      .toSeq.sorted
+  }
+
+  test("change feed streams inserts and eq-delete retractions") {
+    val (wh, t) = freshTable("basic")
+    t.append(fixture(1, 2)) // 1
+    val ckpt = Files.createTempDirectory("graft-cf-ck").toString
+    val out = Files.createTempDirectory("graft-cf-out").toString
+    assert(runToDir(wh, "basic", ckpt, out) ==
+      Seq((ChangeInsert, 1L, 1), (ChangeInsert, 1L, 2)))
+    // idle re-run: no duplicates
+    assert(runToDir(wh, "basic", ckpt, out).size == 2)
+    // an eq delete RETRACTS a row run 1 already emitted — the exact
+    // case the append-only table stream documents as its blind spot
+    t.deleteEq("id", Seq(2)) // 2
+    t.append(fixture(3))     // 3
+    assert(runToDir(wh, "basic", ckpt, out) == Seq(
+      (ChangeDelete, 2L, 2),
+      (ChangeInsert, 1L, 1), (ChangeInsert, 1L, 2), (ChangeInsert, 3L, 3)))
+  }
+
+  test("COW delete and overwrite stream through as change rows") {
+    val (wh, t) = freshTable("resets")
+    t.append(fixture(1, 2)) // 1
+    t.append(fixture(3, 4)) // 2
+    val ckpt = Files.createTempDirectory("graft-cf-rck").toString
+    val out = Files.createTempDirectory("graft-cf-rout").toString
+    assert(runToDir(wh, "resets", ckpt, out).size == 4)
+    t.delete(col("id") === 4)  // 3 — COW reset: table stream would fail
+    t.overwrite(fixture(9))    // 4 — full overwrite
+    val got = runToDir(wh, "resets", ckpt, out)
+    assert(got.filter(_._2 > 2L) == Seq(
+      (ChangeDelete, 3L, 4),
+      (ChangeDelete, 4L, 1), (ChangeDelete, 4L, 2), (ChangeDelete, 4L, 3),
+      (ChangeInsert, 4L, 9)))
+    // net effect of the cumulative feed == the table's visible state
+    val all = spark.read.parquet(out)
+    val net = all.filter(col(ChangeTypeCol) === ChangeInsert)
+      .select("id", "grp", "v")
+      .exceptAll(all.filter(col(ChangeTypeCol) === ChangeDelete)
+        .select("id", "grp", "v"))
+      .collect().map(_.getInt(0)).toSeq.sorted
+    assert(net == Seq(9))
+  }
+
+  test("startSnapshotId skips history; maxCommitsPerTrigger bounds batches") {
+    val (wh, t) = freshTable("opts")
+    t.append(fixture(1)) // 1
+    t.append(fixture(2)) // 2
+    t.append(fixture(3)) // 3
+    t.append(fixture(4)) // 4
+    val got = runToDir(wh, "opts",
+      Files.createTempDirectory("graft-cf-ock").toString,
+      Files.createTempDirectory("graft-cf-oout").toString,
+      Map("startSnapshotId" -> "2"))
+    assert(got == Seq((ChangeInsert, 3L, 3), (ChangeInsert, 4L, 4)))
+
+    // rate limit: 1-commit batches (getOffset-poll shaped, so use the
+    // default ProcessingTime trigger and drain with processAllAvailable)
+    val q = spark.readStream.format("graft-changes")
+      .option("warehouse", wh).option("table", "ns.opts")
+      .option("startSnapshotId", "1")
+      .option("maxCommitsPerTrigger", "1")
+      .load()
+      .writeStream.format("memory").queryName("cf_rate")
+      .start()
+    q.processAllAvailable()
+    q.exception.foreach(throw _)
+    val rows = spark.table("cf_rate")
+      .select(col(ChangeSnapshotCol), col("id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(rows == Seq((2L, 2), (3L, 3), (4L, 4)))
+    assert(batches == 3)
+  }
+
+  test("refusals: bad options and expired checkpointed offsets") {
+    val (wh, t) = freshTable("bad")
+    t.append(fixture(1))
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-changes")
+        .option("warehouse", wh).load()
+    }
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-changes")
+        .option("warehouse", wh).option("table", "nodots").load()
+    }
+    // a typo'd start id fails at source construction, not silently
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft-changes")
+        .option("warehouse", wh).option("table", "ns.bad")
+        .option("startSnapshotId", "42")
+        .load()
+        .writeStream.format("memory").queryName("cf_bad")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      q.exception.foreach(throw _)
+    }
+    assert(ex.getMessage.contains("42") ||
+      Option(ex.getCause).exists(_.getMessage.contains("42")))
+  }
+
+  test("schema of the feed is the table's changesSchema") {
+    val (wh, t) = freshTable("sch")
+    t.append(fixture(1))
+    val df = spark.readStream.format("graft-changes")
+      .option("warehouse", wh).option("table", "ns.sch").load()
+    assert(df.schema == t.changesSchema)
+    assert(df.isStreaming)
+  }
+}

@@ -92,6 +92,20 @@ trait Catalog {
   def updateProperties(ns: String, t: String,
       set: Map[String, String], unset: Seq[String]): TableMetadata
 
+  /** Replace the partition spec (PARTITION EVOLUTION — Iceberg's
+    * metadata-only `update_spec`): new writes lay out and record
+    * partition values under the new spec; existing files keep the
+    * values they were written with. Every prune path treats a file
+    * that lacks a current-spec field conservatively (reads stay exact),
+    * while layout-attributing operations (dynamic partition overwrite,
+    * Iceberg metadata export) refuse mixed coverage loudly with
+    * compact-first guidance — compaction rewrites the whole table
+    * under the current spec and restores uniformity. Spec legality is
+    * the caller's job ([[graft.table.LakehouseTable.updateSpec]]
+    * re-runs create-time validation). */
+  def updatePartitionSpec(ns: String, t: String,
+      partitionColumns: Seq[String]): TableMetadata
+
   // ---- snapshot log ------------------------------------------------------
 
   /** Full commit history, oldest first, ids dense and monotonic. */

@@ -299,6 +299,11 @@ final class JdbcCatalog(val jdbcUrl: String, val warehouse: String,
     replaceMeta(ns, t, m.copy(properties = (m.properties ++ set) -- unset))
   }
 
+  override def updatePartitionSpec(ns: String, t: String,
+      partitionColumns: Seq[String]): TableMetadata =
+    replaceMeta(ns, t,
+      loadTable(ns, t).copy(partitionColumns = partitionColumns))
+
   private def replaceMeta(ns: String, t: String,
       updated: TableMetadata): TableMetadata = {
     withConn { c =>

@@ -251,6 +251,14 @@ final class Snaplog(val warehouse: String,
     updated
   }
 
+  override def updatePartitionSpec(ns: String, t: String,
+      partitionColumns: Seq[String]): TableMetadata = {
+    val m = loadTable(ns, t)
+    val updated = m.copy(partitionColumns = partitionColumns)
+    writeAtomic(metaFile(ns, t), jwrite(updated))
+    updated
+  }
+
   // ---- snapshot log -----------------------------------------------------
 
   override def snapshots(ns: String, t: String): Seq[Snapshot] = {

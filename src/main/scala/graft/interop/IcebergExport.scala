@@ -227,6 +227,24 @@ object IcebergExport {
       s"cannot export $ns.$name with outstanding merge-on-read delete " +
         "vectors — a metadata-only export would resurrect deleted rows " +
         "for external readers; compact() first")
+    // Partition evolution: a live file predating the current spec holds
+    // no value for its fields — the manifest would record a NULL
+    // partition, and an Iceberg reader pruning on it would silently
+    // skip real rows. Refuse; compaction rewrites under the current
+    // spec. (Historical snapshots with mixed coverage are simply
+    // skipped below, like delete-bearing ones.)
+    locally {
+      val specFields = graft.table.PartitionTransforms
+        .parseAll(table.partitionColumns).map(_.fieldName)
+      val mixed = cat.liveFiles(ns, name).filterNot(f =>
+        specFields.forall(f.partitionValues.contains))
+      require(mixed.isEmpty,
+        s"cannot export $ns.$name: ${mixed.size} live file(s) predate the " +
+          s"current partition spec (${table.partitionColumns.mkString(", ")}) " +
+          s"and record no value for it — e.g. ${mixed.headOption.map(_.path).getOrElse("")}; " +
+          "an exported NULL partition would mis-prune for external readers; " +
+          "compact() first")
+    }
     val schema = table.schema
     // Exported schema ids MUST match the ids stamped into the parquet
     // files (graft's field-id registry): an Iceberg reader resolves
@@ -276,7 +294,13 @@ object IcebergExport {
     // the manifest's file list.
     val snaps = cat.snapshots(ns, name).flatMap { s =>
       val (live, dels) = cat.liveFilesSplit(ns, name, Some(s.snapshotId))
-      if (dels.isEmpty) Some((s, live)) else None
+      // skip snapshots with outstanding deletes AND snapshots whose
+      // live set predates the current spec (their manifests would
+      // claim NULL partitions); the current snapshot is guarded clean
+      // above in both respects, so it always exports
+      val specOk = live.forall(f =>
+        partCols.forall { case (pf, _) => f.partitionValues.contains(pf.fieldName) })
+      if (dels.isEmpty && specOk) Some((s, live)) else None
     }
     var manifests = 0
     var dataFiles = 0L

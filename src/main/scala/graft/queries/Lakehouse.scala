@@ -718,6 +718,53 @@ object Lakehouse {
         FROM events, w WHERE ts >= w.lo AND ts < w.hi
         GROUP BY event_type ORDER BY event_type""")),
 
+    // PARTITION EVOLUTION (updateSpec): half the events land
+    // unpartitioned, the spec evolves to days(ts) metadata-only, the
+    // other half lands under the new layout. A day-window query over
+    // the MIXED table must stay exact (old files survive pruning and
+    // filter row-level) while still pruning the new-spec files outside
+    // the window — both audited in-line before the aggregate.
+    QueryDef("lake_spec_evolution",
+      (s, d) => {
+        val whDir = wh("lake_spec_evolution", d)
+        val cat = new Snaplog(whDir)
+        val ev = events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        val table = LakehouseTable.create(cat, s, "lake", "ev_evolve", ev.schema)
+        table.append(ev.filter(col("event_id") % 2 === 0)) // pre-evolution
+        table.updateSpec(Seq("days(ts)"))                  // metadata-only
+        table.append(ev.filter(col("event_id") % 2 === 1)) // days(ts) layout
+        val files = cat.liveFiles("lake", "ev_evolve")
+        require(files.exists(_.partitionValues.contains("ts_day")) &&
+            files.exists(!_.partitionValues.contains("ts_day")),
+          "expected mixed spec coverage after evolution")
+        val cn = sqlCatalog(s, "gsev", whDir)
+        val minTs = ev.agg(min(col("ts"))).head().getTimestamp(0)
+        val start = new java.sql.Timestamp(minTs.getTime + 2L * 86400000)
+        val end = new java.sql.Timestamp(minTs.getTime + 4L * 86400000)
+        val cond = s"ts >= TIMESTAMP '$start' AND ts < TIMESTAMP '$end'"
+        val total = files.size
+        val pruned = s.sql(s"SELECT * FROM $cn.lake.ev_evolve WHERE $cond")
+          .queryExecution.sparkPlan
+          .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan }
+          .collect { case fs: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+            fs.fileIndex.inputFiles.length }.sum
+        require(pruned > 0 && pruned < total,
+          s"mixed-spec pruning inert: scanned $pruned of $total files " +
+            "(old files must ALL survive, new-spec files outside the " +
+            "window must drop)")
+        s.sql(s"""SELECT event_type, COUNT(*) AS n,
+            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+          FROM $cn.lake.ev_evolve WHERE $cond
+          GROUP BY event_type ORDER BY event_type""")
+      },
+      Some("""WITH w AS (SELECT MIN(ts) + INTERVAL 2 DAY AS lo,
+            MIN(ts) + INTERVAL 4 DAY AS hi FROM events)
+        SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events, w WHERE ts >= w.lo AND ts < w.hi
+        GROUP BY event_type ORDER BY event_type""")),
+
     // add_files: metadata-only registration of the source parquet itself
     // (zero copy, reference main-ray.py:109-121), then scan.
     QueryDef("lake_add_files",

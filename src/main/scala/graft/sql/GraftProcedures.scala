@@ -30,7 +30,8 @@ private[sql] object GraftProcedures {
 
   val Names: Seq[String] =
     Seq("compact", "expire_snapshots", "expire_snapshots_older_than",
-      "vacuum", "set_ref", "drop_ref", "fast_forward", "rollback_to_snapshot")
+      "vacuum", "set_ref", "drop_ref", "fast_forward", "rollback_to_snapshot",
+      "update_partition_spec")
 
   def load(catName: String, name: String, backing: Catalog): UnboundProcedure =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -143,11 +144,43 @@ private[sql] object GraftProcedures {
         val snap = tbl.rollbackTo(in.getLong(2))
         row(snap.snapshotId, in.getLong(2), snap.files.size)
       }
+      case "update_partition_spec" => proc(name,
+        "replace the partition spec metadata-only (partition evolution): " +
+          "new writes lay out under the new spec, existing files keep " +
+          "their recorded values and prune conservatively; spec is a " +
+          "comma-separated field list, e.g. 'days(ts),bucket(4,id)'",
+        Seq("ns" -> StringType, "tbl" -> StringType, "spec" -> StringType),
+        StructType(Seq(
+          StructField("partition_spec", StringType, nullable = false)))) { in =>
+        val (ns, t) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString)
+        val cols = splitSpecs(in.getUTF8String(2).toString)
+        val tbl = LakehouseTable.load(backing, SparkSession.active, ns, t)
+        val m = tbl.updateSpec(cols)
+        row(UTF8String.fromString(m.partitionColumns.mkString(",")))
+      }
       case other => throw new UnsupportedOperationException(
         s"$catName has no procedure '$other' — available: ${Names.mkString(", ")}")
     }
 
   private def row(vs: Any*): InternalRow = new GenericInternalRow(vs.toArray)
+
+  /** Split a spec list on TOP-LEVEL commas only — `bucket(4,id)` keeps
+    * its argument comma. */
+  private def splitSpecs(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 =>
+        if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+        cur.clear()
+      case c => cur += c
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.toList
+  }
 
   /** One-row-result procedure: parameters are all required IN params,
     * the body runs on the driver at CALL time, and the result surfaces

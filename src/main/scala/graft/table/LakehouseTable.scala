@@ -65,7 +65,45 @@ final class LakehouseTable(
     // order equality deletes key off; metadata pruning applies to the
     // data entries without disturbing the sequence
     val ordered = catalog.liveEntriesOrdered(namespace, name, asOf)
-    assembleOrdered(ordered, dataKeep(partitionFilter, rangeFilter))
+    residualPartitionFilter(
+      assembleOrdered(ordered, dataKeep(partitionFilter, rangeFilter)),
+      ordered, partitionFilter)
+  }
+
+  /** Keep `scan(partitionFilter)` EXACT across partition evolution:
+    * metadata pruning keeps any file that records no value for a
+    * filtered field (it predates the spec — pruning must stay
+    * conservative), so when coverage is incomplete the filter is
+    * re-applied row-level. Identity fields (and plain schema columns)
+    * re-check against the column's text form — the same external form
+    * the layout recorded; a non-identity transform field cannot be
+    * re-derived per row here, so incomplete coverage refuses loudly
+    * with compact-first guidance. Uniformly-covered tables (the
+    * overwhelmingly common case) skip this entirely. */
+  private def residualPartitionFilter(df: DataFrame,
+      ordered: Seq[DataFileEntry],
+      partitionFilter: Map[String, String]): DataFrame = {
+    if (partitionFilter.isEmpty) return df
+    val dataFiles = ordered.filterNot(_.deleteFile.contains(true))
+    val uncovered = partitionFilter.keys.toSeq.filterNot(k =>
+      dataFiles.forall(_.partitionValues.contains(k)))
+    if (uncovered.isEmpty) return df
+    val partFields = PartitionTransforms.parseAll(meta.partitionColumns)
+    uncovered.foldLeft(df) { (d, k) =>
+      val sourceCol = partFields.find(_.fieldName.equalsIgnoreCase(k)) match {
+        case Some(IdentityField(c)) => Some(c)
+        case Some(_) => None // transform field: not row-re-checkable
+        case None => schema.fieldNames.find(_.equalsIgnoreCase(k))
+      }
+      val c = sourceCol.getOrElse(throw new IllegalArgumentException(
+        s"partition filter on '$k' is not decidable for every live file " +
+          "(partition evolution left files without a recorded value, and " +
+          "the field is not re-checkable row-level) — compact() to rewrite " +
+          "under the current spec, or filter the transform's source column"))
+      val v = partitionFilter(k)
+      if (v == Snaplog.HiveDefaultPartition) d.filter(col(c).isNull)
+      else d.filter(col(c).cast("string") === v)
+    }
   }
 
   /** File lists → DataFrame: plain parquet scan, with the merge-on-read
@@ -130,8 +168,11 @@ final class LakehouseTable(
     val statsUnsafe = graft.types.FieldIds.namesSet(
       meta.properties, graft.types.FieldIds.StatsUnsafeProp)
     f => {
+      // a file with NO recorded value for the field predates the
+      // current spec (partition evolution) — pruning must keep it;
+      // scan() restores exactness with a residual row filter
       val partOk = partitionFilter.forall { case (k, v) =>
-        f.partitionValues.get(k).contains(v)
+        f.partitionValues.get(k).forall(_ == v)
       }
       partOk && rangeFilter.forall {
         case (c, _) if statsUnsafe(c.toLowerCase(java.util.Locale.ROOT)) => true
@@ -906,6 +947,29 @@ final class LakehouseTable(
         (if (sortBy.isEmpty) Map.empty
          else Map("sort-order" -> sortBy.mkString(","))),
       expected = Some(base))
+  }
+
+  /** PARTITION EVOLUTION (Iceberg `update_spec`): replace the partition
+    * spec metadata-only — zero data movement at any table size. New
+    * writes (appends, COW rewrites, compaction) lay out and record
+    * partition values under the new spec; existing files keep theirs.
+    * Reads stay EXACT on mixed tables: every metadata prune path keeps
+    * a file that lacks a current-spec value (conservative), transform-
+    * predicate consumption and metadata aggregates require full
+    * coverage before claiming exactness, and `scan(partitionFilter)`
+    * re-applies identity filters row-level over uncovered files.
+    * Layout-attributing operations (dynamic partition overwrite,
+    * Iceberg metadata export of affected snapshots) refuse mixed
+    * coverage loudly; `compact()` rewrites everything under the
+    * current spec and restores uniformity. Spec legality re-runs the
+    * create-time validation (source columns exist, transform source
+    * types usable, derived names collide with nothing). */
+  def updateSpec(newPartitionColumns: Seq[String]): TableMetadata =
+      catalog.withEvolutionLock(namespace, name) {
+    val m = meta
+    PartitionTransforms.validate(m.schema, newPartitionColumns)
+    if (m.partitionColumns == newPartitionColumns) m
+    else catalog.updatePartitionSpec(namespace, name, newPartitionColumns)
   }
 
   /** Additive schema evolution: add a nullable column. Existing data

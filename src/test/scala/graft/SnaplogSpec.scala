@@ -639,10 +639,16 @@ abstract class CatalogContractSpec extends SparkSpec {
     assert(t2.scan().count() == 12)
     assert(t2.scan(asOf = Some(1L)).count() == 4) // time travel survives
     assert(t2.scanRef("v1").count() == 4)         // refs survive
-    // partition metadata survives: pruning stays exact
+    // partition metadata survives: recorded-value files prune exactly;
+    // the value-LESS external registration survives conservatively (it
+    // cannot be attributed to a partition — scan() re-filters it
+    // row-level), so B/C files with recorded values are gone while the
+    // external file stays
     val pruned = t2.selectFiles(partitionFilter = Map("group" -> "A"))
-    assert(pruned.nonEmpty &&
-      pruned.forall(_.partitionValues.get("group").contains("A")))
+    assert(pruned.nonEmpty && pruned.forall(f =>
+      f.partitionValues.get("group").forall(_ == "A")))
+    assert(pruned.exists(_.path == extFile))
+    assert(t2.scan(partitionFilter = Map("group" -> "A")).count() == 6)
     // managed paths rewrote; the external path did not
     val live = cat.liveFiles("ns", "rn2")
     assert(live.exists(_.path == extFile))
@@ -1200,6 +1206,37 @@ abstract class CatalogContractSpec extends SparkSpec {
     // scan round-trips the raw source columns
     assert(t.scan().count() == 2)
     assert(t.scan().columns.toSet == Set("id", "ts"))
+  }
+
+  test("partition evolution: metadata-only spec change, writes follow, reads stay exact") {
+    val cat = freshCatalog()
+    val df = fixture()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "pev", df.schema)
+    tbl.append(df)                                 // snap 1 — unpartitioned
+    val oldPaths = cat.liveFiles("ns", "pev").map(_.path).toSet
+    tbl.updateSpec(Seq("group"))                   // identity evolution
+    assert(cat.loadTable("ns", "pev").partitionColumns == Seq("group"))
+    // zero data movement
+    assert(oldPaths.subsetOf(cat.liveFiles("ns", "pev").map(_.path).toSet))
+    tbl.append(df.withColumn("id", $"id" + 10))    // snap 2 — new spec
+    val files = cat.liveFiles("ns", "pev")
+    val (newer, older) = files.partition(_.partitionValues.contains("group"))
+    assert(older.map(_.path).toSet == oldPaths && newer.nonEmpty)
+    // partition-filtered scan stays EXACT over mixed coverage: the old
+    // files survive pruning and the filter re-applies row-level
+    assert(tbl.scan(partitionFilter = Map("group" -> "A"))
+      .select("id").collect().map(_.getInt(0)).toSorted == Seq(1, 2, 11, 12))
+    // validation: unknown source column and wrong transform type refuse
+    intercept[IllegalArgumentException](tbl.updateSpec(Seq("nope")))
+    intercept[IllegalArgumentException](tbl.updateSpec(Seq("days(group)")))
+    // compaction rewrites under the CURRENT spec and restores uniformity
+    tbl.compact()
+    assert(cat.liveFiles("ns", "pev")
+      .forall(_.partitionValues.contains("group")))
+  }
+
+  private implicit class SortedInts(a: Array[Int]) {
+    def toSorted: Seq[Int] = a.toSeq.sorted
   }
 }
 

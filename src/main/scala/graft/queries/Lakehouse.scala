@@ -718,6 +718,48 @@ object Lakehouse {
         FROM events, w WHERE ts >= w.lo AND ts < w.hi
         GROUP BY event_type ORDER BY event_type""")),
 
+    // PARTIAL COMPACTION (rewriteDataFiles): a CDC-shaped table — bulk
+    // ingest, a small-file append tail, an outstanding equality
+    // delete — bin-packs ONLY the tail. The bulk files must carry by
+    // path, the delete must stay outstanding and keep applying to the
+    // carried files, and the rewritten rows must come out post-delete
+    // (all audited in-line); the aggregate then proves content is
+    // byte-for-byte the deleted-applied table.
+    QueryDef("lake_rewrite_files",
+      (s, d) => {
+        val cat = new Snaplog(wh("lake_rewrite_files", d))
+        val orders = t(s, d, "orders")
+        val tbl = LakehouseTable.create(cat, s, "lake", "orders_rw", orders.schema)
+        tbl.append(orders.filter(col("o_orderkey") % 2 === 0)
+          .repartitionByRange(3, col("o_orderkey")))            // bulk: 3 files
+        (0 to 2).foreach(i => tbl.append(
+          orders.filter(col("o_orderkey") % 2 === 1 && col("o_orderkey") % 3 === i)))
+        tbl.deleteEq("o_orderkey",                               // outstanding
+          orders.filter(col("o_orderkey") % 10 === 0).select("o_orderkey"))
+        val before = cat.liveFiles("lake", "orders_rw")
+        val bulk = before.sortBy(-_.sizeBytes).take(3).map(_.path).toSet
+        val snap = tbl.rewriteDataFiles(f => !bulk(f.path))
+        val after = cat.liveFiles("lake", "orders_rw")
+        require(bulk.subsetOf(after.map(_.path).toSet),
+          "bulk files must carry by path through the partial rewrite")
+        require(after.size < before.size,
+          s"tail must bin-pack: ${after.size} vs ${before.size}")
+        require(snap.summary("rewritten-files").toInt == before.size - 3 &&
+            snap.summary("carried-delete-entries").toInt == 1,
+          s"unexpected rewrite summary: ${snap.summary}")
+        require(cat.liveDeleteFiles("lake", "orders_rw")
+            .exists(_.equalityKey.contains("o_orderkey")),
+          "the equality delete must stay outstanding (carried, not retired)")
+        tbl.scan()
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders WHERE o_orderkey % 10 <> 0
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // PARTITION EVOLUTION (updateSpec): half the events land
     // unpartitioned, the spec evolves to days(ts) metadata-only, the
     // other half lands under the new layout. A day-window query over

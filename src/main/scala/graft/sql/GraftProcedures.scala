@@ -31,7 +31,7 @@ private[sql] object GraftProcedures {
   val Names: Seq[String] =
     Seq("compact", "expire_snapshots", "expire_snapshots_older_than",
       "vacuum", "set_ref", "drop_ref", "fast_forward", "rollback_to_snapshot",
-      "update_partition_spec")
+      "update_partition_spec", "rewrite_data_files")
 
   def load(catName: String, name: String, backing: Catalog): UnboundProcedure =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -157,6 +157,24 @@ private[sql] object GraftProcedures {
         val tbl = LakehouseTable.load(backing, SparkSession.active, ns, t)
         val m = tbl.updateSpec(cols)
         row(UTF8String.fromString(m.partitionColumns.mkString(",")))
+      }
+      case "rewrite_data_files" => proc(name,
+        "partial compaction: rewrite only live data files smaller than " +
+          "the threshold (bin-packing the small-file tail); everything " +
+          "else — including outstanding delete entries — carries by path " +
+          "in one conditional replace commit",
+        Seq("ns" -> StringType, "tbl" -> StringType,
+          "smaller_than_bytes" -> LongType),
+        StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("rewritten_files", IntegerType, nullable = false),
+          StructField("carried_files", IntegerType, nullable = false)))) { in =>
+        val (ns, t) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString)
+        val tbl = LakehouseTable.load(backing, SparkSession.active, ns, t)
+        val snap = tbl.rewriteSmallFiles(in.getLong(2))
+        row(snap.snapshotId,
+          snap.summary.get("rewritten-files").map(_.toInt).getOrElse(0),
+          snap.summary.get("carried-files").map(_.toInt).getOrElse(0))
       }
       case other => throw new UnsupportedOperationException(
         s"$catName has no procedure '$other' — available: ${Names.mkString(", ")}")

@@ -931,6 +931,70 @@ final class LakehouseTable(
     *   log become maximally selective for stat-based skipping (the
     *   sort-order compaction every table format offers alongside
     *   plain bin-packing). Empty = plain round-robin bin-packing. */
+  /** PARTIAL compaction — Iceberg's `rewrite_data_files` with a file
+    * selector: rewrite ONLY the selected live data files toward the
+    * target size, carrying everything else BY PATH in one conditional
+    * replace commit. At 100 TB this is the maintenance primitive —
+    * rewriting the whole table ([[compact]]) to fix a streaming sink's
+    * small-file tail is infeasible; rewriting last hour's 2 GB is not.
+    *
+    * Delete layering is preserved WITHOUT materializing the untouched
+    * part: the selected files' content is read through full MOR
+    * application (their equality/position deletes materialize into the
+    * rewrite), while the carried listing keeps every un-selected data
+    * file AND every delete entry in replay order — so deletes keep
+    * applying to the carried files that precede them, and the
+    * rewritten files land at the END of the listing where no delete
+    * touches them (their rows are already post-delete). Vectors
+    * pointing at rewritten (dropped) paths match nothing by
+    * construction. Content is identical before and after — the
+    * changelog treats the commit as a no-op, like [[compact]].
+    *
+    * Rewritten files lay out under the CURRENT partition spec, which
+    * makes `rewriteDataFiles(preSpecFiles)` the incremental migration
+    * path after [[updateSpec]]. Empty selection returns the current
+    * snapshot without committing. */
+  def rewriteDataFiles(
+      select: DataFileEntry => Boolean,
+      targetFileSizeBytes: Long = 512L * 1024 * 1024): Snapshot = {
+    val base = currentSnapshotId
+    val ordered = catalog.liveEntriesOrdered(namespace, name)
+    val (sel, rest) = ordered.partition(f =>
+      !f.deleteFile.contains(true) && select(f))
+    if (sel.isEmpty)
+      return catalog.currentSnapshot(namespace, name).getOrElse(
+        throw new IllegalStateException(
+          s"table $namespace.$name has no snapshots"))
+    val selPaths = sel.map(_.path).toSet
+    val content = assembleOrdered(ordered, f => selPaths(f.path))
+    val totalBytes = sel.map(_.sizeBytes).sum
+    val n = math.max(1L,
+      (totalBytes + targetFileSizeBytes - 1) / targetFileSizeBytes).toInt
+    writeCommit(Seq(content.repartition(n)), Snaplog.OpReplace,
+      Map("rewritten-files" -> sel.size.toString,
+        "carried-files" ->
+          rest.count(!_.deleteFile.contains(true)).toString,
+        "carried-delete-entries" ->
+          rest.count(_.deleteFile.contains(true)).toString),
+      carryFiles = rest, expected = Some(base))
+  }
+
+  /** [[rewriteDataFiles]] selector: bin-pack the small-file tail. */
+  def rewriteSmallFiles(smallerThanBytes: Long,
+      targetFileSizeBytes: Long = 512L * 1024 * 1024): Snapshot =
+    rewriteDataFiles(_.sizeBytes < smallerThanBytes, targetFileSizeBytes)
+
+  /** [[rewriteDataFiles]] selector: migrate files written before the
+    * current partition spec (no recorded value for some spec field) —
+    * the incremental uniformity restorer after [[updateSpec]]. */
+  def rewriteOldSpecFiles(
+      targetFileSizeBytes: Long = 512L * 1024 * 1024): Snapshot = {
+    val fields = PartitionTransforms.parseAll(meta.partitionColumns)
+      .map(_.fieldName)
+    rewriteDataFiles(
+      f => !fields.forall(f.partitionValues.contains), targetFileSizeBytes)
+  }
+
   def compact(targetFileSizeBytes: Long = 512L * 1024 * 1024,
       sortBy: Seq[String] = Seq.empty): Snapshot = {
     val base = currentSnapshotId

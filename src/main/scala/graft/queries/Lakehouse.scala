@@ -718,6 +718,42 @@ object Lakehouse {
         FROM events, w WHERE ts >= w.lo AND ts < w.hi
         GROUP BY event_type ORDER BY event_type""")),
 
+    // WRITE-TIME CLUSTERING (`write.sort-order` table property): every
+    // append range-shuffles + sorts on the property columns, so files
+    // carry tight disjoint key bounds from birth — stat skipping then
+    // prunes APPENDS the way compact(sortBy) prunes rewrites. The gate
+    // requires the pruning to actually engage (files dropped from a
+    // quarter-range scan) before checking the aggregate.
+    QueryDef("lake_sort_order",
+      (s, d) => {
+        val cat = new Snaplog(wh("lake_sort_order", d))
+        val orders = t(s, d, "orders")
+        val table = LakehouseTable.create(cat, s, "lake", "orders_so",
+          orders.schema, properties = Map("write.sort-order" -> "o_orderkey"))
+        table.append(orders.filter(col("o_orderkey") % 2 === 0).repartition(4))
+        table.append(orders.filter(col("o_orderkey") % 2 === 1).repartition(4))
+        val b = orders.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+        val lo = b.getLong(0)
+        val cut = lo + (b.getLong(1) - lo) / 4
+        val rf = Map("o_orderkey" ->
+          (Option.empty[Double], Some(cut.toDouble)))
+        val total = cat.liveFiles("lake", "orders_so").size
+        val kept = table.selectFiles(rangeFilter = rf).size
+        require(kept > 0 && kept < total,
+          s"sort-order clustering inert: quarter-range scan kept $kept of $total files")
+        table.scan(rangeFilter = rf)
+          .filter(col("o_orderkey") <= cut)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH w AS (SELECT MIN(o_orderkey) +
+            (MAX(o_orderkey) - MIN(o_orderkey)) // 4 AS cut FROM orders)
+        SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders, w WHERE o_orderkey <= w.cut
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // PARTIAL COMPACTION (rewriteDataFiles): a CDC-shaped table — bulk
     // ingest, a small-file append tail, an outstanding equality
     // delete — bin-packs ONLY the tail. The bulk files must carry by
@@ -1312,6 +1348,62 @@ object Lakehouse {
         ) ch
         GROUP BY change_type, o_orderstatus
         ORDER BY change_type, o_orderstatus""")),
+
+    // END-TO-END CDC REPLICATION: the change feed drives a MERGE apply
+    // into a replica table — run 1 replicates the initial content, CDC
+    // lands on the source (keyed delete + re-append), run 2 resumes
+    // from the checkpoint and applies ONLY the new changes (retraction
+    // ordering via a per-change sequence: delete-before-insert within
+    // a commit, commits by snapshot id). Done when the replica's scan
+    // equals the source's visible state — which the oracle recomputes
+    // independently.
+    QueryDef("stream_cdc_replicate",
+      (s, d) => {
+        val whDir = wh("stream_cdc_replicate", d)
+        val cat = new Snaplog(whDir)
+        val orders = t(s, d, "orders")
+        val src = LakehouseTable.create(cat, s, "lake", "orders_src", orders.schema)
+        val dst = LakehouseTable.create(cat, s, "lake", "orders_dst", orders.schema)
+        val ckpt = scratchDir("stream_cdc_replicate_ck", d)
+        def replicateOnce(): Unit = {
+          val q = s.readStream.format("graft-changes")
+            .option("warehouse", whDir).option("table", "lake.orders_src")
+            .load()
+            .writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              val tc = graft.table.LakehouseTable.ChangeTypeCol
+              val sc = graft.table.LakehouseTable.ChangeSnapshotCol
+              val changes = batch
+                .withColumn("op",
+                  when(col(tc) === "delete", lit("D")).otherwise(lit("U")))
+                .withColumn("seq", col(sc) * 2 +
+                  when(col(tc) === "insert", 1L).otherwise(0L))
+              if (!changes.isEmpty)
+                Upsert.applyChanges(dst, changes, keys = Seq("o_orderkey"),
+                  opCol = "op", tiebreak = Some("seq"))
+              ()
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination(300000)
+          q.exception.foreach(throw _)
+        }
+        src.append(orders.filter(col("o_orderkey") % 2 === 0))   // snap 1
+        replicateOnce()                                          // initial
+        src.deleteEq("o_orderkey",                               // snap 2
+          orders.filter(col("o_orderkey") % 6 === 0).select("o_orderkey"))
+        src.append(orders.filter(col("o_orderkey") % 2 === 1))   // snap 3
+        replicateOnce()                                          // delta only
+        dst.scan()
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders WHERE o_orderkey % 6 <> 0
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     // Incremental read across an in-window equality delete: the NET
     // delta — window adds (the odds) minus the keys a later in-window

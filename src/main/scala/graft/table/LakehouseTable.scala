@@ -1300,7 +1300,29 @@ final class LakehouseTable(
       else normalized.repartition(
         partFields.map(pf =>
           PartitionTransforms.layoutExpr(pf, normalized.schema)): _*)
-    val withLayout = partFields.foldLeft(clustered)((d, pf) =>
+    // `write.sort-order=c1,c2`: cluster every managed write so files
+    // carry tight, (mostly) disjoint [min,max] bounds on the sort
+    // columns — stat-based file skipping then prunes appends the way
+    // compact(sortBy) prunes rewrites, at the cost of one range
+    // shuffle per write (the property is the opt-in). For transform-
+    // partitioned tables the layout repartition above wins the
+    // clustering; the sort applies within those partitions only, so
+    // bounds tighten without breaking the directory layout.
+    val sortCols = m.properties.get("write.sort-order")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    sortCols.foreach(c => require(
+      normalized.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"write.sort-order column '$c' not in schema " +
+        s"(${normalized.schema.fieldNames.mkString(", ")})"))
+    val laidOut =
+      if (sortCols.isEmpty) clustered
+      else if (partFields.forall(_.isInstanceOf[IdentityField])) {
+        val n = math.max(1, clustered.rdd.getNumPartitions)
+        clustered.repartitionByRange(n, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      } else clustered.sortWithinPartitions(sortCols.map(col): _*)
+    val withLayout = partFields.foldLeft(laidOut)((d, pf) =>
       d.withColumn(layoutCol(pf.fieldName),
         PartitionTransforms.layoutExpr(pf, normalized.schema)))
     val codec = m.properties.getOrElse("write.compression", "zstd")

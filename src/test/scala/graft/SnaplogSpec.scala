@@ -1238,6 +1238,31 @@ abstract class CatalogContractSpec extends SparkSpec {
   private implicit class SortedInts(a: Array[Int]) {
     def toSorted: Seq[Int] = a.toSeq.sorted
   }
+
+  test("write.sort-order clusters appends into disjoint-bound files") {
+    val cat = freshCatalog()
+    val df = (1 to 40).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val tbl = LakehouseTable.create(cat, spark, "ns", "so", df.schema,
+      properties = Map("write.sort-order" -> "id"))
+    tbl.append(df.repartition(4)) // hash-shuffled input, 4 tasks
+    val bounds = cat.liveFiles("ns", "so")
+      .flatMap(_.columnStats.flatMap(_.get("id")))
+      .map(b => (b.min.toInt, b.max.toInt)).sortBy(_._1)
+    assert(bounds.size > 1)
+    // range-clustered: consecutive files never overlap on the sort key
+    bounds.sliding(2).foreach { case Seq(a, b) => assert(a._2 < b._1) }
+    // a low-range scan prunes from metadata alone
+    val kept = tbl.selectFiles(rangeFilter =
+      Map("id" -> (Option.empty[Double], Some(5.0)))).size
+    assert(kept < bounds.size)
+    // exact rows regardless
+    assert(tbl.scan(rangeFilter = Map("id" -> (None, Some(5.0))))
+      .filter($"id" <= 5).count() == 5)
+    // unknown sort column fails the write loudly
+    val bad = LakehouseTable.create(cat, spark, "ns", "sobad", df.schema,
+      properties = Map("write.sort-order" -> "nope"))
+    intercept[IllegalArgumentException](bad.append(df))
+  }
 }
 
 /** The file-backed implementation (JSON/JSONL + lock file). */

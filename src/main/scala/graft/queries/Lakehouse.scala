@@ -718,6 +718,60 @@ object Lakehouse {
         FROM events, w WHERE ts >= w.lo AND ts < w.hi
         GROUP BY event_type ORDER BY event_type""")),
 
+    // STORAGE-PARTITIONED JOIN: two graft tables identity-partitioned
+    // on the same key report KeyGroupedPartitioning, so the join AND
+    // the downstream aggregation plan with ZERO shuffles (asserted
+    // in-line) — at 100 TB, a fact-fact join on the partition key with
+    // no data movement. The aggregate then hash-matches the oracle.
+    QueryDef("lake_spj_join",
+      (s, d) => {
+        val whDir = wh("lake_spj_join", d)
+        val cat = new Snaplog(whDir)
+        val orders = t(s, d, "orders")
+        val facts = LakehouseTable.create(cat, s, "lake", "orders_spj",
+          orders.schema, Seq("o_orderstatus"))
+        facts.append(orders)
+        val dim = orders.groupBy(col("o_orderstatus"))
+          .agg(countDistinct(col("o_orderpriority")).as("n_prio"))
+        val dimT = LakehouseTable.create(cat, s, "lake", "status_dim",
+          dim.schema, Seq("o_orderstatus"))
+        dimT.append(dim)
+        val cn = sqlCatalog(s, "gspj", whDir)
+        val pairs = Seq(
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.adaptive.enabled" -> "false",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val saved = pairs.map { case (k, _) => k -> s.conf.getOption(k) }
+        pairs.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          val j = s.table(s"$cn.lake.orders_spj")
+            .join(s.table(s"$cn.lake.status_dim"), "o_orderstatus")
+            .groupBy(col("o_orderstatus"), col("n_prio"))
+            .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          val shuffles = j.queryExecution.executedPlan.collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+          }.size
+          require(shuffles == 0,
+            s"storage-partitioned join inert: $shuffles shuffle(s) in\n" +
+              j.queryExecution.executedPlan)
+          // materialize under the SPJ plan, THEN order for determinism
+          val rows = j.collect().toSeq
+          s.createDataFrame(rows.asJava, j.schema)
+            .orderBy(col("o_orderstatus"))
+        } finally saved.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      },
+      Some("""WITH dim AS (SELECT o_orderstatus,
+            COUNT(DISTINCT o_orderpriority) AS n_prio
+          FROM orders GROUP BY o_orderstatus)
+        SELECT o.o_orderstatus, dim.n_prio, COUNT(*) AS n,
+          CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders o JOIN dim ON o.o_orderstatus = dim.o_orderstatus
+        GROUP BY o.o_orderstatus, dim.n_prio
+        ORDER BY o.o_orderstatus""")),
+
     // WRITE-TIME CLUSTERING (`write.sort-order` table property): every
     // append range-shuffles + sorts on the property columns, so files
     // carry tight disjoint key bounds from birth — stat skipping then

@@ -1300,7 +1300,8 @@ private[sql] final class GraftScanBuilder(
       (scan, streamCtx) match {
         case (ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
             Some((backing, ns, tbl))) =>
-          new GraftStreamableParquetScan(ps, tableSchema, backing, ns, tbl, options)
+          new GraftStreamableParquetScan(ps, tableSchema, backing, ns, tbl,
+            options, SpjKeys.build(tableSchema, partitionCols, kept))
         case _ => scan
       }
   }
@@ -1568,7 +1569,8 @@ private[sql] object FilePrune {
   * refusals are documented with API guidance.
   */
 class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catName: String = _
   private var backing: Catalog = _
@@ -1893,6 +1895,27 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
           s"CALL $catName.system.<name>(…)")
     GraftProcedures.load(catName, ident.name, backing)
   }
+
+  // ---- FunctionCatalog (storage-partitioned joins) ------------------------
+  // Spark resolves a scan's reported `bucket(n, col)` partitioning by
+  // loading the function from the TABLE'S OWN catalog
+  // (V2ExpressionUtils.loadV2FunctionOpt) and compares the two join
+  // sides by BoundFunction.canonicalName — serving one canonical
+  // `bucket` here is what lets two graft tables' bucket partitionings
+  // match (the Iceberg `system.bucket` pattern).
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      Array(Identifier.of(namespace, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    ident.name.toLowerCase(java.util.Locale.ROOT) match {
+      case "bucket" => GraftBucketUnbound
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))

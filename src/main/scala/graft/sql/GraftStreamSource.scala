@@ -23,20 +23,159 @@ private[graft] final case class GraftStreamOffset(id: Long) extends Offset {
   * (same stats, same explain metadata, same reader codegen), with
   * `toMicroBatchStream` bound to the snapshot log. Subclassing keeps the
   * batch path byte-identical — plan audits that look for a FileScan
-  * still find one. */
+  * still find one.
+  *
+  * STORAGE-PARTITIONED JOINS: when the table is identity-partitioned
+  * and every scanned file records a typed partition value ([[SpjKeys]]
+  * present), the scan reports `KeyGroupedPartitioning` over the
+  * partition columns and plans each input partition with its
+  * [[org.apache.spark.sql.connector.read.HasPartitionKey]] — Spark
+  * then ELIMINATES THE SHUFFLE for joins of co-partitioned tables on
+  * the partition key and for aggregations clustered by it
+  * (`spark.sql.sources.v2.bucketing.enabled=true`). At 100 TB a
+  * fact-fact join on the partition key is the difference between a
+  * full dual shuffle and zero data movement. Any file without a
+  * resolvable key (partition evolution, external registration) makes
+  * the scan fall back to ordinary planning — correctness never
+  * depends on the report. */
 private[sql] final class GraftStreamableParquetScan(
     base: ParquetScan,
     tableSchema: StructType,
     backing: Catalog,
     ns: String,
     tbl: String,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    spj: Option[SpjKeys] = None)
     extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
       base.dataSchema, base.readDataSchema, base.readPartitionSchema,
       base.pushedFilters, base.options, base.pushedAggregate,
-      base.partitionFilters, base.dataFilters, base.pushedVariantExtractions) {
+      base.partitionFilters, base.dataFilters, base.pushedVariantExtractions)
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  import org.apache.spark.sql.connector.read.InputPartition
+  import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+  import org.apache.spark.sql.execution.datasources.FilePartition
+
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(tableSchema, backing, ns, tbl, options)
+
+  override def outputPartitioning(): Partitioning = spj match {
+    case Some(k) if k.keyByPath.nonEmpty =>
+      new KeyGroupedPartitioning(k.keys.toArray, k.keyByPath.values.toSet.size)
+    case _ => new UnknownPartitioning(0)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val planned = super.planInputPartitions()
+    val keys = spj match {
+      case Some(k) if k.keyByPath.nonEmpty => k
+      case _ => return planned
+    }
+    // regroup the superclass's (already split + bin-packed) files per
+    // partition key; every file must resolve or the report is withdrawn
+    val files = planned.flatMap {
+      case fp: FilePartition => fp.files
+      case _ => return planned
+    }
+    val grouped = files.groupBy(pf =>
+      keys.keyByPath.get(pf.filePath.toUri.getPath))
+    if (grouped.contains(None)) return planned
+    val maxBytes = sparkSession.sessionState.conf.filesMaxPartitionBytes
+    var idx = -1
+    grouped.iterator.flatMap { case (keyOpt, pfs) =>
+      FilePartition
+        .getFilePartitions(sparkSession, pfs.toIndexedSeq, maxBytes)
+        .map { fp =>
+          idx += 1
+          new KeyedFilePartition(idx, fp.files, keyOpt.get)
+        }
+    }.toArray
+  }
+}
+
+/** Partition-key metadata for storage-partitioned joins: the V2 key
+  * expressions (identity(col) / bucket(n, col)) and, per normalized
+  * file path, the TYPED key row (Catalyst internal values —
+  * UTF8String / integral / epoch-day; bucket fields store their int
+  * index; the null-partition sentinel becomes a null field). Built
+  * only when EVERY candidate file resolves
+  * ([[graft.sql.SpjKeys.build]]). Bucket keys additionally need the
+  * catalog to serve the `bucket` function
+  * ([[GraftBucketUnbound]]) so Spark can match both sides' transforms
+  * by canonical name. */
+private[sql] final case class SpjKeys(
+    keys: Seq[org.apache.spark.sql.connector.expressions.Expression],
+    keyByPath: Map[String, org.apache.spark.sql.catalyst.InternalRow])
+
+private[sql] object SpjKeys {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions}
+  import org.apache.spark.sql.types._
+  import graft.catalog.DataFileEntry
+  import graft.table.{BucketField, IdentityField, PartField}
+
+  def build(tableSchema: StructType, partitionCols: Seq[String],
+      files: Seq[DataFileEntry]): Option[SpjKeys] = {
+    if (partitionCols.isEmpty || files.isEmpty) return None
+    val pfs = graft.table.PartitionTransforms.parseAll(partitionCols)
+    val plan: Seq[(PartField, V2Expression, String => Option[Any])] =
+      pfs.map {
+        case pf @ IdentityField(src) =>
+          val fd = tableSchema.fields.find(_.name.equalsIgnoreCase(src))
+            .getOrElse(return None)
+          if (!identitySupported(fd.dataType)) return None
+          (pf, Expressions.identity(fd.name): V2Expression,
+            (s: String) => convert(s, fd.dataType))
+        case pf @ BucketField(n, src) =>
+          val fd = tableSchema.fields.find(_.name.equalsIgnoreCase(src))
+            .getOrElse(return None)
+          (pf, Expressions.bucket(n, fd.name): V2Expression,
+            (s: String) => convert(s, IntegerType))
+        case _ => return None // time transforms: not yet reported
+      }
+    val rows = files.map { f =>
+      val vs = plan.map { case (pf, _, conv) =>
+        f.partitionValues.get(pf.fieldName) match {
+          case Some(graft.catalog.Snaplog.HiveDefaultPartition) => null
+          case Some(s) => conv(s).getOrElse(return None)
+          case None => return None // pre-evolution file: withdraw
+        }
+      }
+      normalize(f.path) -> (new GenericInternalRow(vs.toArray[Any]): InternalRow)
+    }
+    Some(SpjKeys(plan.map(_._2), rows.toMap))
+  }
+
+  private def identitySupported(dt: DataType): Boolean = dt match {
+    case StringType | IntegerType | LongType | ShortType | ByteType |
+         DateType => true
+    case _ => false
+  }
+
+  private def convert(s: String, dt: DataType): Option[Any] =
+    try Some(dt match {
+      case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case IntegerType => s.toInt
+      case LongType => s.toLong
+      case ShortType => s.toShort
+      case ByteType => s.toByte
+      case DateType => java.time.LocalDate.parse(s).toEpochDay.toInt
+      case _ => return None
+    }) catch { case _: RuntimeException => None }
+
+  private def normalize(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+}
+
+/** A [[FilePartition]] that also names its partition key — the shape
+  * `BatchScanExec` groups for storage-partitioned joins. */
+private[sql] final class KeyedFilePartition(
+    idx: Int,
+    fs: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+    key: org.apache.spark.sql.catalyst.InternalRow)
+    extends org.apache.spark.sql.execution.datasources.FilePartition(idx, fs)
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
 }
 
 /** Micro-batch streaming source over a snaplog table — `spark.readStream

@@ -1,0 +1,49 @@
+package graft.sql
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types._
+
+/** DSv2 FunctionCatalog surface for the partition transforms that
+  * storage-partitioned joins must RESOLVE (Spark compares two scans'
+  * `bucket(n, col)` partitionings by loading the function from each
+  * side's catalog and matching `canonicalName` + numBuckets — the
+  * Iceberg `system.bucket` pattern). The bound function computes the
+  * SAME value the write path records
+  * ([[graft.table.BucketField.expr]]: `floorMod(xxhash64(value), n)`,
+  * XxHash64 seed 42), so a Spark-side re-derivation (e.g. partially
+  * clustered distributions pushing partition values) agrees with the
+  * stored layout by construction. */
+private[graft] object GraftBucketUnbound extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): floorMod(xxhash64(col, seed=42), n) — the graft " +
+      "bucket partition transform"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket expects (numBuckets INT, value), got ${inputType.simpleString}")
+    require(inputType.fields(0).dataType == IntegerType,
+      s"bucket: numBuckets must be INT, got ${inputType.fields(0).dataType.simpleString}")
+    new GraftBucketBound(inputType.fields(1).dataType)
+  }
+}
+
+private[graft] final class GraftBucketBound(valueType: DataType)
+    extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, valueType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  /** BOTH join sides must report the identical canonical name for
+    * Spark to treat their partitionings as compatible. */
+  override def canonicalName(): String = "graft.bucket"
+  override def isResultNullable: Boolean = true
+  override def produceResult(input: InternalRow): Integer = {
+    if (input.isNullAt(1)) return null
+    val n = input.getInt(0)
+    val v = input.get(1, valueType)
+    val h = new XxHash64(Seq(Literal.create(v, valueType)))
+      .eval(null).asInstanceOf[Long]
+    Int.box(Math.floorMod(h, n.toLong).toInt)
+  }
+}

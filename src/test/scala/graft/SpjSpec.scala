@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Snaplog
+import graft.sql.GraftSqlCatalog
+import graft.table.LakehouseTable
+
+/** Storage-partitioned joins: identity-partitioned graft tables report
+  * KeyGroupedPartitioning, so joins/aggregations clustered on the
+  * partition key plan WITHOUT a shuffle. */
+class SpjSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(n: Int, tag: String) =
+    (1 to n).map(i => (i, s"g${i % 4}", s"$tag$i")).toDF("id", "grp", "payload")
+
+  private def setup(name: String): String = {
+    val wh = Files.createTempDirectory(s"graft-spj-$name").toString
+    val cat = new Snaplog(wh)
+    val a = LakehouseTable.create(cat, spark, "ns", "a", df(1, "x").schema, Seq("grp"))
+    val b = LakehouseTable.create(cat, spark, "ns", "b", df(1, "x").schema, Seq("grp"))
+    a.append(df(40, "a"))
+    b.append(df(20, "b"))
+    val cn = s"gspj_$name"
+    spark.conf.set(s"spark.sql.catalog.$cn", classOf[GraftSqlCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cn.warehouse", wh)
+    cn
+  }
+
+  private def withSpjConf[A](body: => A): A = {
+    val pairs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def shuffles(q: org.apache.spark.sql.DataFrame): Int =
+    q.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }.size
+
+  test("co-partitioned join on the partition key plans with zero shuffles") {
+    val cn = setup("join")
+    withSpjConf {
+      val j = spark.table(s"$cn.ns.a").join(spark.table(s"$cn.ns.b"), "grp")
+      assert(shuffles(j) == 0, j.queryExecution.executedPlan.toString)
+      assert(j.count() == (1 to 40).map(i =>
+        (1 to 20).count(k => k % 4 == i % 4)).sum)
+    }
+  }
+
+  test("aggregation clustered by the partition key plans with zero shuffles") {
+    val cn = setup("agg")
+    withSpjConf {
+      val g = spark.table(s"$cn.ns.a").groupBy("grp").agg(count(lit(1)).as("n"))
+      assert(shuffles(g) == 0, g.queryExecution.executedPlan.toString)
+      assert(g.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+        Map("g0" -> 10L, "g1" -> 10L, "g2" -> 10L, "g3" -> 10L))
+    }
+  }
+
+  test("bucket-partitioned join on the bucket source column plans without shuffles") {
+    val wh = Files.createTempDirectory("graft-spj-bucket").toString
+    val cat = new Snaplog(wh)
+    val a = LakehouseTable.create(cat, spark, "ns", "ba", df(1, "x").schema,
+      Seq("bucket(8,id)"))
+    val b = LakehouseTable.create(cat, spark, "ns", "bb", df(1, "x").schema,
+      Seq("bucket(8,id)"))
+    a.append(df(64, "a"))
+    b.append(df(32, "b"))
+    spark.conf.set("spark.sql.catalog.gspjb", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gspjb.warehouse", wh)
+    withSpjConf {
+      val j = spark.table("gspjb.ns.ba").select($"id", $"payload".as("pa"))
+        .join(spark.table("gspjb.ns.bb").select($"id", $"payload".as("pb")), "id")
+      assert(shuffles(j) == 0, j.queryExecution.executedPlan.toString)
+      assert(j.count() == 32) // ids 1..32 exist on both sides
+    }
+  }
+
+  test("v2 bucket function agrees with the write-path transform") {
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, Literal}
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val bound = graft.sql.GraftBucketUnbound.bind(StructType(Seq(
+      StructField("n", IntegerType), StructField("v", IntegerType))))
+      .asInstanceOf[graft.sql.GraftBucketBound]
+    val bf = graft.table.BucketField(8, "id")
+    (Seq(0, 1, 5, 42, -7, Int.MaxValue)).foreach { v =>
+      val viaFn = bound.produceResult(
+        new GenericInternalRow(Array[Any](8, v))).toString
+      assert(bf.ofCatalyst(Literal(v)).contains(viaFn),
+        s"bucket($v): function $viaFn vs write ${bf.ofCatalyst(Literal(v))}")
+    }
+    assert(bound.produceResult(
+      new GenericInternalRow(Array[Any](8, null))) == null)
+  }
+
+  test("mixed-spec coverage withdraws the report but stays correct") {
+    val wh = Files.createTempDirectory("graft-spj-mixed").toString
+    val cat = new Snaplog(wh)
+    val t = LakehouseTable.create(cat, spark, "ns", "m", df(1, "x").schema)
+    t.append(df(8, "x"))          // unpartitioned
+    t.updateSpec(Seq("grp"))
+    t.append(df(8, "y"))          // identity grp
+    spark.conf.set("spark.sql.catalog.gspjm", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gspjm.warehouse", wh)
+    withSpjConf {
+      val g = spark.table("gspjm.ns.m").groupBy("grp").agg(count(lit(1)).as("n"))
+      assert(shuffles(g) > 0) // fell back: no exact key report possible
+      assert(g.collect().map(_.getLong(1)).sum == 16)
+    }
+  }
+
+  test("null partition values group-join correctly") {
+    val wh = Files.createTempDirectory("graft-spj-null").toString
+    val cat = new Snaplog(wh)
+    val nullable = Seq((1, "g1", "p"), (2, null, "q"), (3, null, "r"))
+      .toDF("id", "grp", "payload")
+    val a = LakehouseTable.create(cat, spark, "ns", "na", nullable.schema, Seq("grp"))
+    a.append(nullable)
+    spark.conf.set("spark.sql.catalog.gspjn", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gspjn.warehouse", wh)
+    withSpjConf {
+      val g = spark.table("gspjn.ns.na").groupBy("grp").agg(count(lit(1)).as("n"))
+      assert(shuffles(g) == 0, g.queryExecution.executedPlan.toString)
+      assert(g.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap ==
+        Map(Some("g1") -> 1L, None -> 2L))
+    }
+  }
+}

@@ -1904,15 +1904,18 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
   // `bucket` here is what lets two graft tables' bucket partitionings
   // match (the Iceberg `system.bucket` pattern).
 
+  private val spjFunctionNames = Seq("bucket", "days", "hours", "months", "years")
+
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
-      Array(Identifier.of(namespace, "bucket"))
+      spjFunctionNames.map(Identifier.of(namespace, _)).toArray
     else Array.empty
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     ident.name.toLowerCase(java.util.Locale.ROOT) match {
       case "bucket" => GraftBucketUnbound
+      case t @ ("days" | "hours" | "months" | "years") => new GraftTimeUnbound(t)
       case _ => throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchFunctionException(ident)
     }

@@ -112,26 +112,45 @@ private[sql] object SpjKeys {
   import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions}
   import org.apache.spark.sql.types._
   import graft.catalog.DataFileEntry
-  import graft.table.{BucketField, IdentityField, PartField}
+  import graft.table.{BucketField, DaysField, HoursField, IdentityField, MonthsField, PartField, YearsField}
 
   def build(tableSchema: StructType, partitionCols: Seq[String],
       files: Seq[DataFileEntry]): Option[SpjKeys] = {
     if (partitionCols.isEmpty || files.isEmpty) return None
     val pfs = graft.table.PartitionTransforms.parseAll(partitionCols)
+    def field(src: String) =
+      tableSchema.fields.find(_.name.equalsIgnoreCase(src))
     val plan: Seq[(PartField, V2Expression, String => Option[Any])] =
       pfs.map {
         case pf @ IdentityField(src) =>
-          val fd = tableSchema.fields.find(_.name.equalsIgnoreCase(src))
-            .getOrElse(return None)
+          val fd = field(src).getOrElse(return None)
           if (!identitySupported(fd.dataType)) return None
           (pf, Expressions.identity(fd.name): V2Expression,
             (s: String) => convert(s, fd.dataType))
         case pf @ BucketField(n, src) =>
-          val fd = tableSchema.fields.find(_.name.equalsIgnoreCase(src))
-            .getOrElse(return None)
+          val fd = field(src).getOrElse(return None)
           (pf, Expressions.bucket(n, fd.name): V2Expression,
             (s: String) => convert(s, IntegerType))
-        case _ => return None // time transforms: not yet reported
+        // time transforms: the stored epoch index rides as an int key;
+        // the catalog's matching V2 function (GraftTimeUnbound) is what
+        // lets two tables' reports resolve compatibly
+        case pf @ DaysField(src) =>
+          val fd = field(src).getOrElse(return None)
+          (pf, Expressions.days(fd.name): V2Expression,
+            (s: String) => convert(s, IntegerType))
+        case pf @ HoursField(src) =>
+          val fd = field(src).getOrElse(return None)
+          (pf, Expressions.hours(fd.name): V2Expression,
+            (s: String) => convert(s, IntegerType))
+        case pf @ MonthsField(src) =>
+          val fd = field(src).getOrElse(return None)
+          (pf, Expressions.months(fd.name): V2Expression,
+            (s: String) => convert(s, IntegerType))
+        case pf @ YearsField(src) =>
+          val fd = field(src).getOrElse(return None)
+          (pf, Expressions.years(fd.name): V2Expression,
+            (s: String) => convert(s, IntegerType))
+        case _ => return None // truncate: no canonical V2 transform
       }
     val rows = files.map { f =>
       val vs = plan.map { case (pf, _, conv) =>

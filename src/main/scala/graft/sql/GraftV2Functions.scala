@@ -47,3 +47,50 @@ private[graft] final class GraftBucketBound(valueType: DataType)
     Int.box(Math.floorMod(h, n.toLong).toInt)
   }
 }
+
+/** The four time transforms as V2 functions — same epoch-index
+  * arithmetic as the write path's [[graft.table.TimeField]] family
+  * (timezone-independent floorDiv on internal micros / epoch days),
+  * so the reported `days(ts)` partitioning of two tables resolves to
+  * one canonical function and their daily fact-fact joins go
+  * shuffle-free. */
+private[graft] final class GraftTimeUnbound(unit: String) extends UnboundFunction {
+  override def name(): String = unit
+  override def description(): String =
+    s"$unit(col): the graft $unit partition transform's epoch index " +
+      "(timezone-independent)"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1,
+      s"$unit expects one temporal argument, got ${inputType.simpleString}")
+    val dt = inputType.fields(0).dataType
+    require(dt == TimestampType || dt == TimestampNTZType ||
+        (dt == DateType && unit != "hours"),
+      s"$unit: unsupported source type ${dt.simpleString}")
+    new GraftTimeBound(unit, dt)
+  }
+}
+
+private[graft] final class GraftTimeBound(unit: String, valueType: DataType)
+    extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(valueType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = unit
+  override def canonicalName(): String = s"graft.$unit"
+  override def isResultNullable: Boolean = true
+  override def produceResult(input: InternalRow): Integer = {
+    if (input.isNullAt(0)) return null
+    val epochDay: Long = valueType match {
+      case DateType => input.getInt(0).toLong
+      case _ => Math.floorDiv(input.getLong(0), 86400000000L)
+    }
+    Int.box(unit match {
+      case "days" => epochDay.toInt
+      case "hours" => Math.floorDiv(input.getLong(0), 3600000000L).toInt
+      case "months" =>
+        val d = java.time.LocalDate.ofEpochDay(epochDay)
+        (d.getYear - 1970) * 12 + (d.getMonthValue - 1)
+      case "years" =>
+        java.time.LocalDate.ofEpochDay(epochDay).getYear - 1970
+    })
+  }
+}

@@ -383,6 +383,43 @@ object Lakehouse {
         GROUP BY change_type, o_orderstatus
         ORDER BY change_type, o_orderstatus""")),
 
+    // KEYED changelog (scanChangesKeyed): a SQL COW UPDATE rewrites the
+    // touched files; keyed pairing must classify exactly the modified
+    // rows as update_preimage/update_postimage (copied carry rows
+    // cancel, untouched files never appear) with the old and new prices
+    // on the respective images — the oracle recomputes both sides.
+    QueryDef("lake_changelog_updates",
+      (s, d) => {
+        val whDir = wh("lake_changelog_updates", d)
+        val cat = new Snaplog(whDir)
+        val orders = t(s, d, "orders")
+        val tbl = LakehouseTable.create(cat, s, "lake", "orders_upd_cl", orders.schema)
+        tbl.append(orders)                                        // snap 1
+        val cn = sqlCatalog(s, "gclu", whDir)
+        s.sql(s"""UPDATE $cn.lake.orders_upd_cl
+          SET o_totalprice = o_totalprice + 1.0
+          WHERE o_orderkey % 10 = 0""")                           // snap 2 (COW)
+        tbl.scanChangesKeyed(Seq("o_orderkey"), 1L)
+          .groupBy(
+            col(graft.table.LakehouseTable.ChangeTypeCol).as("change_type"),
+            col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("change_type"), col("o_orderstatus"))
+      },
+      Some("""SELECT change_type, o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM (
+          SELECT 'update_preimage' AS change_type, o_orderstatus,
+            o_totalprice AS price
+          FROM orders WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT 'update_postimage' AS change_type, o_orderstatus,
+            o_totalprice + 1.0 AS price
+          FROM orders WHERE o_orderkey % 10 = 0
+        ) ch
+        GROUP BY change_type, o_orderstatus
+        ORDER BY change_type, o_orderstatus""")),
+
     // Changelog across row-level DML: a COW delete (carries untouched
     // files, rewrites the rest — copied rows must CANCEL, never appear
     // as churn) followed by a MOR position delete (vector rows must

@@ -490,6 +490,60 @@ final class LakehouseTable(
     else parts.reduce(_.unionByName(_))
   }
 
+  /** KEYED changelog (Iceberg `create_changelog_view` with identifier
+    * columns / Delta CDF update images): refine [[scanChanges]]'
+    * delete+insert rows into UPDATE images — within one commit, a
+    * delete and an insert carrying the same key tuple become
+    * 'update_preimage' + 'update_postimage'; unpaired changes stay
+    * 'insert'/'delete'. The pairing is one full-outer join on
+    * (commit, key) — change-set-sized, never table-sized. A key tuple
+    * appearing more than once per commit per side makes the pairing
+    * ambiguous and fails loudly (`raise_error` inline — no extra
+    * driver pass); null-valued keys never pair (SQL join semantics)
+    * and fall through unpaired. */
+  def scanChangesKeyed(keys: Seq[String], fromSnapshot: Long,
+      toSnapshot: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "scanChangesKeyed needs at least one key column")
+    val cols = keys.map(k => schema.fieldNames
+      .find(_.equalsIgnoreCase(k)).getOrElse(throw new IllegalArgumentException(
+        s"key column '$k' not in schema (${schema.fieldNames.mkString(", ")})")))
+    val ch = scanChanges(fromSnapshot, toSnapshot)
+    val dataCols = schema.fieldNames.toSeq
+    def side(tpe: String, as: String): DataFrame = {
+      val df = ch.filter(col(ChangeTypeCol) === tpe)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy((ChangeSnapshotCol +: cols).map(col): _*)
+      df.withColumn("__n", count(lit(1)).over(w))
+        .where(when(col("__n") > 1, raise_error(concat(
+            lit(s"scanChangesKeyed(${cols.mkString(",")}): key tuple ("),
+            concat_ws(",", cols.map(c => col(c).cast("string")): _*),
+            lit(s") changes more than once as '$tpe' in commit "),
+            col(ChangeSnapshotCol).cast("string"),
+            lit(" — pairing is ambiguous; use scanChanges"))))
+          .otherwise(lit(true)))
+        .select((ChangeSnapshotCol +: cols).map(col) :+
+          struct((dataCols :+ ChangeTimestampCol).map(col): _*).as(as): _*)
+    }
+    val dels = side(ChangeDelete, "__pre")
+    val inss = side(ChangeInsert, "__post")
+    val joined = dels.join(inss, ChangeSnapshotCol +: cols, "full_outer")
+    val emitted = joined.select(col(ChangeSnapshotCol),
+      explode(when(col("__pre").isNotNull && col("__post").isNotNull,
+          array(
+            struct(lit("update_preimage").as("t"), col("__pre").as("r")),
+            struct(lit("update_postimage").as("t"), col("__post").as("r"))))
+        .when(col("__pre").isNotNull,
+          array(struct(lit(ChangeDelete).as("t"), col("__pre").as("r"))))
+        .otherwise(
+          array(struct(lit(ChangeInsert).as("t"), col("__post").as("r")))))
+        .as("__c"))
+    emitted.select(
+      (dataCols.map(c => col(s"__c.r.$c")) :+
+        col("__c.t").as(ChangeTypeCol) :+
+        col(ChangeSnapshotCol) :+
+        col(s"__c.r.$ChangeTimestampCol").as(ChangeTimestampCol)): _*)
+  }
+
   /** Schema [[scanChanges]] emits: the table columns plus the three
     * change-metadata columns. */
   def changesSchema: StructType =

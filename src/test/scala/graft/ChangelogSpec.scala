@@ -143,6 +143,41 @@ class ChangelogSpec extends SparkSpec {
       Seq((ChangeInsert, pub.snapshotId, 7)))
   }
 
+  test("keyed changelog pairs same-commit delete+insert into update images") {
+    val t = freshTable("keyed")
+    t.append(fixture(1, 2, 3)) // 1
+    // overwrite: row 2 changes value (update), row 3 vanishes (delete),
+    // row 4 appears (insert), row 1 carries unchanged (churn — cancels)
+    t.overwrite(fixture(1).unionByName(
+      Seq((2, "g2", 99.0)).toDF("id", "grp", "v")).unionByName(fixture(4))) // 2
+    val got = t.scanChangesKeyed(Seq("id"), 1L)
+      .select(col(LakehouseTable.ChangeTypeCol), col("id"), col("v"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+      .toSeq.sorted
+    assert(got == Seq(
+      ("delete", 3, 4.5),
+      ("insert", 4, 6.0),
+      ("update_postimage", 2, 99.0),
+      ("update_preimage", 2, 3.0)))
+    // unpaired commits pass through: an eq-delete alone stays 'delete'
+    t.deleteEq("id", Seq(4)) // 3
+    assert(t.scanChangesKeyed(Seq("id"), 2L)
+      .select(col(LakehouseTable.ChangeTypeCol)).collect()
+      .map(_.getString(0)).toSeq == Seq("delete"))
+    // ambiguous pairing (same key twice on one side of a commit) fails
+    t.append(fixture(7).unionByName(fixture(7))) // 4: id 7 twice
+    t.deleteEq("id", Seq(7))                      // 5
+    t.append(fixture(7))                          // 6: re-insert
+    val err = intercept[Exception] {
+      // commit 5's delete retracts BOTH id-7 rows → two deletes, one key
+      t.scanChangesKeyed(Seq("id"), 4L, Some(5L)).collect()
+    }
+    assert(err.getMessage.contains("ambiguous") ||
+      Option(err.getCause).exists(_.getMessage.contains("ambiguous")))
+    // unknown key column refuses
+    intercept[IllegalArgumentException](t.scanChangesKeyed(Seq("nope"), 1L))
+  }
+
   test("refusals: unknown snapshots and expired-away creation history") {
     val t = freshTable("refuse")
     t.append(fixture(1)) // 1

@@ -67,13 +67,10 @@ final class GraftChangeFeedProvider extends StreamSourceProvider with DataSource
 
 private[graft] object GraftChangeFeedSource {
   /** Option lookup is case-insensitive (DataStreamReader preserves the
-    * caller's key casing). */
-  def opt(parameters: Map[String, String], key: String): Option[String] = {
-    val k = key.toLowerCase(java.util.Locale.ROOT)
-    parameters.collectFirst {
-      case (p, v) if p.toLowerCase(java.util.Locale.ROOT) == k => v
-    }
-  }
+    * caller's key casing) — Spark's own map type, not a private
+    * convention. */
+  def opt(parameters: Map[String, String], key: String): Option[String] =
+    org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(parameters).get(key)
 
   def resolve(spark: SparkSession, parameters: Map[String, String]): LakehouseTable = {
     val wh = opt(parameters, "warehouse").getOrElse(
@@ -105,10 +102,6 @@ private[graft] final class GraftChangeFeedSource(
     opt(parameters, "maxCommitsPerTrigger").map(_.toInt)
   maxCommitsPerTrigger.foreach(n =>
     require(n > 0, s"maxCommitsPerTrigger must be positive, got $n"))
-  if (startSnapshotId != 0L)
-    require(mainSnaps().exists(_.snapshotId == startSnapshotId),
-      s"startSnapshotId $startSnapshotId is not a main-lineage snapshot " +
-        s"of ${table.namespace}.${table.name}")
 
   /** Output schema pinned at source creation; a mid-stream table schema
     * change fails the batch loudly (same contract as the DSv2 stream). */
@@ -129,6 +122,15 @@ private[graft] final class GraftChangeFeedSource(
     * next window), never skips or duplicates them. */
   @volatile private var plannedUpTo: Long = readHighWater()
 
+  // startSnapshotId only seeds a VIRGIN stream (no high-water, no
+  // checkpoint to resume from) — validating it on every construction
+  // would permanently brick a resumable stream the first time routine
+  // snapshot expiration drops the (long-consumed) start id
+  if (startSnapshotId != 0L && plannedUpTo < 0L)
+    require(mainSnaps().exists(_.snapshotId == startSnapshotId),
+      s"startSnapshotId $startSnapshotId is not a main-lineage snapshot " +
+        s"of ${table.namespace}.${table.name}")
+
   private def highWaterFile = new org.apache.hadoop.fs.Path(
     metadataPath, "graft-changes-highwater")
   private def hadoopFs = highWaterFile.getFileSystem(
@@ -138,13 +140,25 @@ private[graft] final class GraftChangeFeedSource(
     val fs = hadoopFs
     if (!fs.exists(highWaterFile)) return -1L
     val in = fs.open(highWaterFile)
-    try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-    finally in.close()
+    val raw = try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+    // a torn file (crash between create-truncate and write) reads as
+    // empty/garbage — treat as absent; worst case the baseline re-seeds
+    // from the offset WAL's replayed getBatch, never skipping data
+    try raw.toLong catch { case _: NumberFormatException => -1L }
   }
 
   private def writeHighWater(v: Long): Unit = {
-    val out = hadoopFs.create(highWaterFile, true)
+    // write-temp-then-rename: the visible file is always complete
+    val tmp = new org.apache.hadoop.fs.Path(
+      metadataPath, s"graft-changes-highwater.tmp")
+    val fs = hadoopFs
+    val out = fs.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(highWaterFile, false)
+    if (!fs.rename(tmp, highWaterFile))
+      throw new java.io.IOException(
+        s"could not publish change-feed high-water $highWaterFile")
   }
 
   override def getOffset: Option[V1Offset] = {

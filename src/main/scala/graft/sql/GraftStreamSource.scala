@@ -66,6 +66,15 @@ private[sql] final class GraftStreamableParquetScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val planned = super.planInputPartitions()
+    // regroup ONLY when SPJ can actually use the keys: with the
+    // bucketing conf off, Spark ignores HasPartitionKey entirely, and
+    // per-key partitions would trade the stock cross-key bin-packing
+    // (a 10^4-partition table plans ~dozens of tasks, not 10^4) for
+    // nothing
+    if (!sparkSession.sessionState.conf
+        .getConfString("spark.sql.sources.v2.bucketing.enabled", "false")
+        .toBoolean)
+      return planned
     val keys = spj match {
       case Some(k) if k.keyByPath.nonEmpty => k
       case _ => return planned

@@ -1,7 +1,6 @@
 package graft.sql
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.types._
 
@@ -42,8 +41,10 @@ private[graft] final class GraftBucketBound(valueType: DataType)
     if (input.isNullAt(1)) return null
     val n = input.getInt(0)
     val v = input.get(1, valueType)
-    val h = new XxHash64(Seq(Literal.create(v, valueType)))
-      .eval(null).asInstanceOf[Long]
+    // the same interpreted hasher XxHash64's eval dispatches to (seed
+    // 42 = the expression default) — no per-row expression allocation
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(v, valueType, 42L)
     Int.box(Math.floorMod(h, n.toLong).toInt)
   }
 }

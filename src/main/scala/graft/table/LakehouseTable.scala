@@ -403,9 +403,15 @@ final class LakehouseTable(
         s"snapshot ${window.headOption.map(_.snapshotId).getOrElse(0L)} was " +
         "expired — start from a retained snapshot")
 
-    var prefix: Seq[DataFileEntry] =
-      if (fromSnapshot == 0L) Seq.empty
-      else catalog.liveEntriesOrdered(namespace, name, Some(fromSnapshot))
+    // mutable buffer: appending per commit must stay O(1) — an
+    // immutable Seq ++ per commit is quadratic over a 10^4-append log
+    val prefixBuf = scala.collection.mutable.ArrayBuffer[DataFileEntry](
+      (if (fromSnapshot == 0L) Seq.empty[DataFileEntry]
+       else catalog.liveEntriesOrdered(namespace, name, Some(fromSnapshot))): _*)
+    def prefix: Seq[DataFileEntry] = prefixBuf.toSeq
+    def resetPrefix(fs: Seq[DataFileEntry]): Unit = {
+      prefixBuf.clear(); prefixBuf ++= fs
+    }
     val parts = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def stamp(df: DataFrame, tpe: String, s: Snapshot): DataFrame =
       df.withColumn(ChangeTypeCol, lit(tpe))
@@ -418,14 +424,14 @@ final class LakehouseTable(
     window.foreach { s =>
       s.operation match {
         case Snaplog.OpCheckpoint | Snaplog.OpReplace =>
-          prefix = s.files // content no-op: new replay basis, no changes
+          resetPrefix(s.files) // content no-op: new replay basis, no changes
         case Snaplog.OpAppend | Snaplog.OpAddFiles =>
           val data = s.files.filterNot(_.deleteFile.contains(true))
           if (data.nonEmpty)
             parts += stamp(
               spark.read.schema(readSchema).parquet(data.map(_.path): _*),
               ChangeInsert, s)
-          prefix = prefix ++ s.files
+          prefixBuf ++= s.files
         case Snaplog.OpEqDelete =>
           // apply entry-by-entry so a commit carrying several key files
           // sequences exactly like the scan-side replay does
@@ -443,7 +449,7 @@ final class LakehouseTable(
                 "left_semi")
               parts += stamp(matched, ChangeDelete, s)
             }
-            prefix = prefix :+ del
+            prefixBuf += del
           }
         case Snaplog.OpMorDelete =>
           val vectors = s.files.filter(EqDeletes.isPos)
@@ -461,7 +467,7 @@ final class LakehouseTable(
               .drop("__scan_file", "__scan_pos")
             parts += stamp(matched, ChangeDelete, s)
           }
-          prefix = prefix ++ s.files
+          prefixBuf ++= s.files
         case _ => // overwrite / COW delete / rollback: exact row diff
           val prevDataPaths = prefix
             .filterNot(_.deleteFile.contains(true)).map(_.path).toSet
@@ -481,7 +487,7 @@ final class LakehouseTable(
             case (None, Some(add)) => parts += stamp(add, ChangeInsert, s)
             case (None, None) => // metadata-only no-op commit
           }
-          prefix = s.files
+          resetPrefix(s.files)
       }
     }
     if (parts.isEmpty)
@@ -513,7 +519,13 @@ final class LakehouseTable(
       val df = ch.filter(col(ChangeTypeCol) === tpe)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy((ChangeSnapshotCol +: cols).map(col): _*)
-      df.withColumn("__n", count(lit(1)).over(w))
+      // null-valued keys never pair (the equi-join is null-rejecting),
+      // so they are exempt from the ambiguity guard too — grouping
+      // would otherwise lump all null keys together and fire on a
+      // plain multi-row append of null-keyed rows
+      val anyNullKey = cols.map(col(_).isNull).reduce(_ || _)
+      df.withColumn("__n",
+          when(anyNullKey, lit(1L)).otherwise(count(lit(1)).over(w)))
         .where(when(col("__n") > 1, raise_error(concat(
             lit(s"scanChangesKeyed(${cols.mkString(",")}): key tuple ("),
             concat_ws(",", cols.map(c => col(c).cast("string")): _*),

@@ -178,6 +178,20 @@ class ChangelogSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.scanChangesKeyed(Seq("nope"), 1L))
   }
 
+  test("keyed changelog: null keys fall through unpaired, no spurious ambiguity") {
+    val t = freshTable("keyednull")
+    val sch = fixture(1).schema
+    val nulls = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1, null, 1.0),
+      org.apache.spark.sql.Row(2, null, 2.0)), sch)
+    t.append(nulls) // one commit, TWO null-keyed rows — must not trip
+                    // the ambiguity guard (null keys never pair)
+    val got = t.scanChangesKeyed(Seq("grp"), 0L)
+      .select(col(LakehouseTable.ChangeTypeCol), col("id"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+    assert(got == Seq(("insert", 1), ("insert", 2)))
+  }
+
   test("refusals: unknown snapshots and expired-away creation history") {
     val t = freshTable("refuse")
     t.append(fixture(1)) // 1

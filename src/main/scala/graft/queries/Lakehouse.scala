@@ -383,6 +383,51 @@ object Lakehouse {
         GROUP BY change_type, o_orderstatus
         ORDER BY change_type, o_orderstatus""")),
 
+    // RETRACTION-CAPABLE incremental aggregate maintenance: the
+    // additive variant (lake_incremental_agg) refuses delete-bearing
+    // windows; here the maintained summary applies the CHANGELOG as
+    // signed deltas (+insert/−delete, exact decimal partials), so it
+    // stays correct across an equality delete AND a COW delete without
+    // ever re-reading the base — maintained ≡ full recompute, which is
+    // exactly what the oracle computes.
+    QueryDef("lake_changelog_agg",
+      (s, d) => {
+        val whDir = wh("lake_changelog_agg", d)
+        val cat = new Snaplog(whDir)
+        val orders = t(s, d, "orders")
+        val tbl = LakehouseTable.create(cat, s, "lake", "orders_cagg", orders.schema)
+        tbl.append(orders.filter(col("o_orderkey") % 3 === 0))      // snap 1
+        val baseAt = tbl.currentSnapshotId
+        val base = tbl.scan().groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n0"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("s0"))
+        tbl.append(orders.filter(col("o_orderkey") % 3 === 1))      // snap 2
+        tbl.deleteEq("o_orderkey",                                  // snap 3
+          orders.filter(col("o_orderkey") % 5 === 0).select("o_orderkey"))
+        tbl.delete(col("o_orderkey") % 7 === 0)                     // snap 4 (COW)
+        val tc = graft.table.LakehouseTable.ChangeTypeCol
+        val sign = when(col(tc) === "insert" || col(tc) === "update_postimage",
+          lit(1)).otherwise(lit(-1))
+        val delta = tbl.scanChanges(baseAt)
+          .groupBy(col("o_orderstatus"))
+          .agg(sum(sign.cast("long")).as("dn"),
+            sum((sign * col("o_totalprice")).cast("decimal(18,2)")).as("ds"))
+        base.join(delta, Seq("o_orderstatus"), "full_outer")
+          .select(col("o_orderstatus"),
+            (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+            (coalesce(col("s0"), lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)")) +
+              coalesce(col("ds"), lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)")))
+              .cast("double").as("total"))
+          .filter(col("n") > 0)
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        WHERE o_orderkey % 3 IN (0, 1)
+          AND o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // KEYED changelog (scanChangesKeyed): a SQL COW UPDATE rewrites the
     // touched files; keyed pairing must classify exactly the modified
     // rows as update_preimage/update_postimage (copied carry rows

@@ -160,6 +160,30 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("SPJ conf composes with runtime-filtered DML (MERGE) unchanged") {
+    val wh = Files.createTempDirectory("graft-spj-dml").toString
+    val cat = new Snaplog(wh)
+    val t = LakehouseTable.create(cat, spark, "ns", "dml", df(1, "x").schema, Seq("grp"))
+    t.append(df(12, "x"))
+    spark.conf.set("spark.sql.catalog.gspjq", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gspjq.warehouse", wh)
+    withSpjConf {
+      // join-shaped MERGE: runtime group filtering + keyed scan planning
+      // must not disturb row-level DML results
+      df(4, "m").createOrReplaceTempView("spj_merge_src")
+      spark.sql("""MERGE INTO gspjq.ns.dml tgt
+        USING spj_merge_src src ON tgt.id = src.id
+        WHEN MATCHED THEN UPDATE SET payload = src.payload
+        WHEN NOT MATCHED THEN INSERT *""")
+      val rows = spark.table("gspjq.ns.dml")
+        .select("id", "payload").collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+      assert(rows.size == 12)
+      assert((1 to 4).forall(i => rows(i) == s"m$i"))
+      assert((5 to 12).forall(i => rows(i) == s"x$i"))
+    }
+  }
+
   test("null partition values group-join correctly") {
     val wh = Files.createTempDirectory("graft-spj-null").toString
     val cat = new Snaplog(wh)

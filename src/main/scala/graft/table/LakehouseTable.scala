@@ -373,14 +373,17 @@ final class LakehouseTable(
     *  - replace (compaction) / checkpoint → content no-ops, nothing
     *
     * Scale: an append-only window reads ONLY the added files (no
-    * shuffle, no prior-table read). A delete commit must produce the
-    * deleted rows' full content, so it scans the prior live set
-    * restricted to a broadcast semi-join on the (predicate-sized) key
-    * or position set; an overwrite diff shuffles only the REMOVED +
-    * ADDED files (multiset EXCEPT), never untouched carried data. Both
-    * costs are inherent to row-level change capture (Iceberg's
-    * changelog pays the same) and bounded by the commit's own touch
-    * set, not the table. */
+    * shuffle, no prior-table read), and runs of consecutive appends
+    * collapse into ONE scan stamped from a broadcast path→commit
+    * lookup — the plan is O(non-append commits), so a streaming
+    * table's thousands-of-appends history stays plannable. A delete
+    * commit must produce the deleted rows' full content, so it scans
+    * the prior live set restricted to a broadcast semi-join on the
+    * (predicate-sized) key or position set; an overwrite diff shuffles
+    * only the REMOVED + ADDED files (multiset EXCEPT), never untouched
+    * carried data. Both costs are inherent to row-level change capture
+    * (Iceberg's changelog pays the same) and bounded by the commit's
+    * own touch set, not the table. */
   def scanChanges(fromSnapshot: Long,
       toSnapshot: Option[Long] = None): DataFrame = {
     val snaps = catalog.snapshots(namespace, name).filterNot(Snaplog.isWapStaged)
@@ -421,7 +424,52 @@ final class LakehouseTable(
     def hasData(entries: Seq[DataFileEntry]): Boolean =
       entries.exists(f => !f.deleteFile.contains(true))
 
+    // Plan-size bound: one union leg PER COMMIT would explode the
+    // driver plan on a streaming table's history (a day of micro-batch
+    // appends = thousands of legs). Runs of >= 8 consecutive appends
+    // collapse into ONE scan stamped per-row from a broadcast
+    // path -> commit lookup — the plan is then O(non-append commits),
+    // not O(commits). A lookup miss (path-representation drift) fails
+    // loudly via raise_error instead of silently dropping rows.
+    def isAppendOp(s: Snapshot) =
+      s.operation == Snaplog.OpAppend || s.operation == Snaplog.OpAddFiles
+    val runs = scala.collection.mutable.ListBuffer.empty[Vector[Snapshot]]
     window.foreach { s =>
+      if (isAppendOp(s) && runs.nonEmpty && isAppendOp(runs.last.head))
+        runs(runs.length - 1) = runs.last :+ s
+      else runs += Vector(s)
+    }
+    def canon(p: String): String =
+      p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/")
+    def stampAppendRun(run: Vector[Snapshot]): Boolean = {
+      val entries = run.flatMap(s =>
+        s.files.filterNot(_.deleteFile.contains(true)).map(_ -> s))
+      if (entries.isEmpty) return true
+      val lookup = entries.map { case (f, s) =>
+        (canon(f.path), s.snapshotId, new java.sql.Timestamp(s.timestampMs))
+      }
+      if (lookup.map(_._1).distinct.size != lookup.size) return false
+      import spark.implicits._
+      val lk = broadcast(lookup.toDF("__cl_path", "__cl_snap", "__cl_ts"))
+      parts += spark.read.schema(readSchema)
+        .parquet(entries.map(_._1.path): _*)
+        .select(col("*"), regexp_replace(col("_metadata.file_path"),
+          "^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/").as("__cl_path"))
+        .join(lk, Seq("__cl_path"), "left")
+        .withColumn(ChangeTypeCol, lit(ChangeInsert))
+        .withColumn(ChangeSnapshotCol,
+          when(col("__cl_snap").isNull, raise_error(concat(
+            lit("changelog: no commit found for scanned file "),
+            col("__cl_path"), lit(" — path representation drift"))))
+            .otherwise(col("__cl_snap")))
+        .withColumn(ChangeTimestampCol, col("__cl_ts"))
+        .drop("__cl_path", "__cl_snap", "__cl_ts")
+      true
+    }
+    runs.foreach { run =>
+      if (isAppendOp(run.head) && run.size >= 8 && stampAppendRun(run)) {
+        prefixBuf ++= run.flatMap(_.files)
+      } else run.foreach { s =>
       s.operation match {
         case Snaplog.OpCheckpoint | Snaplog.OpReplace =>
           resetPrefix(s.files) // content no-op: new replay basis, no changes
@@ -488,6 +536,7 @@ final class LakehouseTable(
             case (None, None) => // metadata-only no-op commit
           }
           resetPrefix(s.files)
+      }
       }
     }
     if (parts.isEmpty)

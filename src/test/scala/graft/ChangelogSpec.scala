@@ -192,6 +192,18 @@ class ChangelogSpec extends SparkSpec {
     assert(got == Seq(("insert", 1), ("insert", 2)))
   }
 
+  test("long append runs collapse into one stamped scan, ids exact") {
+    val t = freshTable("runs")
+    (1 to 12).foreach(i => t.append(fixture(i))) // >= 8: batched path
+    t.deleteEq("id", Seq(3)) // 13 — run boundary + per-commit path
+    (13 to 14).foreach(i => t.append(fixture(i))) // short run: per-commit
+    val got = changes(t.scanChanges(0L))
+    val exp = ((1 to 12).map(i => (ChangeInsert, i.toLong, i)) :+
+      (ChangeDelete, 13L, 3)) ++
+      (13 to 14).map(i => (ChangeInsert, i.toLong + 1L, i))
+    assert(got == exp.sorted)
+  }
+
   test("refusals: unknown snapshots and expired-away creation history") {
     val t = freshTable("refuse")
     t.append(fixture(1)) // 1

@@ -122,41 +122,39 @@ private[graft] final class GraftChangeFeedSource(
     * next window), never skips or duplicates them. */
   @volatile private var plannedUpTo: Long = readHighWater()
 
-  // startSnapshotId only seeds a VIRGIN stream (no high-water, no
-  // checkpoint to resume from) — validating it on every construction
-  // would permanently brick a resumable stream the first time routine
-  // snapshot expiration drops the (long-consumed) start id
-  if (startSnapshotId != 0L && plannedUpTo < 0L)
-    require(mainSnaps().exists(_.snapshotId == startSnapshotId),
-      s"startSnapshotId $startSnapshotId is not a main-lineage snapshot " +
-        s"of ${table.namespace}.${table.name}")
-
   private def highWaterFile = new org.apache.hadoop.fs.Path(
     metadataPath, "graft-changes-highwater")
+  private def highWaterTmp = new org.apache.hadoop.fs.Path(
+    metadataPath, "graft-changes-highwater.tmp")
   private def hadoopFs = highWaterFile.getFileSystem(
     spark.sparkContext.hadoopConfiguration)
 
   private def readHighWater(): Long = {
     val fs = hadoopFs
-    if (!fs.exists(highWaterFile)) return -1L
-    val in = fs.open(highWaterFile)
-    val raw = try scala.io.Source.fromInputStream(in).mkString.trim
-      finally in.close()
-    // a torn file (crash between create-truncate and write) reads as
-    // empty/garbage — treat as absent; worst case the baseline re-seeds
-    // from the offset WAL's replayed getBatch, never skipping data
-    try raw.toLong catch { case _: NumberFormatException => -1L }
+    def read(p: org.apache.hadoop.fs.Path): Option[Long] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val raw = try scala.io.Source.fromInputStream(in).mkString.trim
+          finally in.close()
+        // a torn file reads as empty/garbage — treat as absent; the
+        // baseline then re-seeds from the offset WAL's replayed
+        // getBatch, never skipping data
+        try Some(raw.toLong)
+        catch { case _: NumberFormatException => None }
+      }
+    // a crash between delete and rename leaves only the tmp — its
+    // value is complete (written + closed before the publish step)
+    read(highWaterFile).orElse(read(highWaterTmp)).getOrElse(-1L)
   }
 
   private def writeHighWater(v: Long): Unit = {
     // write-temp-then-rename: the visible file is always complete
-    val tmp = new org.apache.hadoop.fs.Path(
-      metadataPath, s"graft-changes-highwater.tmp")
     val fs = hadoopFs
-    val out = fs.create(tmp, true)
+    val out = fs.create(highWaterTmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
     fs.delete(highWaterFile, false)
-    if (!fs.rename(tmp, highWaterFile))
+    if (!fs.rename(highWaterTmp, highWaterFile))
       throw new java.io.IOException(
         s"could not publish change-feed high-water $highWaterFile")
   }
@@ -164,6 +162,18 @@ private[graft] final class GraftChangeFeedSource(
   override def getOffset: Option[V1Offset] = {
     val snaps = mainSnaps()
     val head = snaps.lastOption.map(_.snapshotId).getOrElse(return None)
+    // a typo'd start id AT/ABOVE head would silently stream zero
+    // batches forever (below-head ids fail loudly inside scanChanges
+    // when they seed a batch) — refuse it while the stream is still
+    // virgin; a RESUMED stream (high-water present, or the WAL about
+    // to hand getBatch its start) never needs the id again, so an
+    // expired long-consumed start id cannot brick a restart
+    if (plannedUpTo < 0L && startSnapshotId != 0L &&
+        head <= startSnapshotId &&
+        !snaps.exists(_.snapshotId == startSnapshotId))
+      throw new IllegalArgumentException(
+        s"startSnapshotId $startSnapshotId is not a main-lineage " +
+          s"snapshot of ${table.namespace}.${table.name}")
     val baseline = math.max(plannedUpTo, startSnapshotId)
     if (head <= baseline) return None
     val capped = maxCommitsPerTrigger match {
@@ -176,7 +186,17 @@ private[graft] final class GraftChangeFeedSource(
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val s = start.map(toId).getOrElse(startSnapshotId)
+    val s = start.map(toId).getOrElse {
+      // startSnapshotId actually seeds THIS batch (no checkpointed
+      // offset) — validate it here, not at construction: a restart
+      // whose long-consumed start id was expired must keep resuming
+      // from the WAL, never re-fail on an id it no longer needs
+      if (startSnapshotId != 0L)
+        require(mainSnaps().exists(_.snapshotId == startSnapshotId),
+          s"startSnapshotId $startSnapshotId is not a main-lineage " +
+            s"snapshot of ${table.namespace}.${table.name}")
+      startSnapshotId
+    }
     val e = toId(end)
     if (e > plannedUpTo) { writeHighWater(e); plannedUpTo = e }
     if (e <= s) // defensive: an inverted/empty window plans zero rows

@@ -71,9 +71,7 @@ private[sql] final class GraftStreamableParquetScan(
     // per-key partitions would trade the stock cross-key bin-packing
     // (a 10^4-partition table plans ~dozens of tasks, not 10^4) for
     // nothing
-    if (!sparkSession.sessionState.conf
-        .getConfString("spark.sql.sources.v2.bucketing.enabled", "false")
-        .toBoolean)
+    if (!sparkSession.sessionState.conf.v2BucketingEnabled)
       return planned
     val keys = spj match {
       case Some(k) if k.keyByPath.nonEmpty => k

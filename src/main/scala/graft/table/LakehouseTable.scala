@@ -433,14 +433,26 @@ final class LakehouseTable(
     // loudly via raise_error instead of silently dropping rows.
     def isAppendOp(s: Snapshot) =
       s.operation == Snaplog.OpAppend || s.operation == Snaplog.OpAddFiles
+    // O(1)-per-commit run construction: grow the CURRENT run in its
+    // own buffer, sealing it on each op-kind change
     val runs = scala.collection.mutable.ListBuffer.empty[Vector[Snapshot]]
-    window.foreach { s =>
-      if (isAppendOp(s) && runs.nonEmpty && isAppendOp(runs.last.head))
-        runs(runs.length - 1) = runs.last :+ s
-      else runs += Vector(s)
+    locally {
+      val cur = scala.collection.mutable.ArrayBuffer.empty[Snapshot]
+      window.foreach { s =>
+        if (!(isAppendOp(s) && cur.nonEmpty)) {
+          if (cur.nonEmpty) { runs += cur.toVector; cur.clear() }
+          if (!isAppendOp(s)) runs += Vector(s) else cur += s
+        } else cur += s
+      }
+      if (cur.nonEmpty) runs += cur.toVector
     }
+    // Driver key = the PERCENT-ENCODED path (URI raw path) — the form
+    // `_metadata.file_path` carries after its scheme prefix, so a
+    // warehouse dir with a space (or any URI-encodable char) still
+    // joins; the column side only strips the scheme.
     def canon(p: String): String =
-      p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/")
+      new org.apache.hadoop.fs.Path(
+        p.replaceFirst(LakehouseTable.PathSchemeRe, "/")).toUri.getRawPath
     def stampAppendRun(run: Vector[Snapshot]): Boolean = {
       val entries = run.flatMap(s =>
         s.files.filterNot(_.deleteFile.contains(true)).map(_ -> s))
@@ -454,7 +466,7 @@ final class LakehouseTable(
       parts += spark.read.schema(readSchema)
         .parquet(entries.map(_._1.path): _*)
         .select(col("*"), regexp_replace(col("_metadata.file_path"),
-          "^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/").as("__cl_path"))
+          LakehouseTable.PathSchemeRe, "/").as("__cl_path"))
         .join(lk, Seq("__cl_path"), "left")
         .withColumn(ChangeTypeCol, lit(ChangeInsert))
         .withColumn(ChangeSnapshotCol,
@@ -484,13 +496,14 @@ final class LakehouseTable(
           // apply entry-by-entry so a commit carrying several key files
           // sequences exactly like the scan-side replay does
           s.files.foreach { del =>
-            if (EqDeletes.isEq(del) && hasData(prefix)) {
+            val cur = prefix // ONE buffer snapshot per entry
+            if (EqDeletes.isEq(del) && hasData(cur)) {
               val cols = EqDeletes.keyCols(del)
               val keys = broadcast(
                 spark.read.parquet(del.path)
                   .select(cols.zipWithIndex.map { case (c, i) =>
                     col(c).as(s"__eqdel_$i") }: _*).distinct())
-              val vis = assembleOrdered(prefix, _ => true)
+              val vis = assembleOrdered(cur, _ => true)
               val matched = vis.join(keys,
                 cols.zipWithIndex.map { case (c, i) =>
                   vis(c) === col(s"__eqdel_$i") }.reduce(_ && _),
@@ -1601,6 +1614,12 @@ object LakehouseTable {
   val ChangeTimestampCol = "_commit_timestamp"
   val ChangeInsert = "insert"
   val ChangeDelete = "delete"
+
+  /** Scheme prefix of a qualified file URI — ONE definition shared by
+    * the changelog's driver-side path canonicalization and its
+    * column-side `regexp_replace` (the two must stay byte-identical
+    * for the path→commit stamp join to be sound). */
+  val PathSchemeRe = "^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+"
 
   def load(catalog: Catalog, spark: SparkSession, ns: String, name: String): LakehouseTable = {
     catalog.loadTable(ns, name) // fail fast if absent

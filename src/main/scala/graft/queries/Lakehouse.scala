@@ -854,6 +854,61 @@ object Lakehouse {
         GROUP BY o.o_orderstatus, dim.n_prio
         ORDER BY o.o_orderstatus""")),
 
+    // STORAGE-PARTITIONED JOIN, BUCKET FORM — the marquee 100 TB case:
+    // two fact tables bucket(8, key)-partitioned on a HIGH-CARDINALITY
+    // join key (you bucket order keys, you don't identity-partition
+    // them). The catalog's canonical V2 bucket function lets Spark
+    // match both sides' transforms, and the key join plans with ZERO
+    // shuffles (asserted in-line).
+    QueryDef("lake_spj_bucket_join",
+      (s, d) => {
+        val whDir = wh("lake_spj_bucket_join", d)
+        val cat = new Snaplog(whDir)
+        val orders = t(s, d, "orders")
+        val t1 = LakehouseTable.create(cat, s, "lake", "orders_b1",
+          orders.schema, Seq("bucket(8,o_orderkey)"))
+        t1.append(orders.filter(col("o_orderkey") % 2 === 0))
+        val t2 = LakehouseTable.create(cat, s, "lake", "orders_b2",
+          orders.schema, Seq("bucket(8,o_orderkey)"))
+        t2.append(orders.filter(col("o_orderkey") % 4 === 0))
+        val cn = sqlCatalog(s, "gspjb", whDir)
+        val pairs = Seq(
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.adaptive.enabled" -> "false",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val saved = pairs.map { case (k, _) => k -> s.conf.getOption(k) }
+        pairs.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          val j = s.table(s"$cn.lake.orders_b1")
+            .join(s.table(s"$cn.lake.orders_b2")
+              .select(col("o_orderkey"), col("o_totalprice").as("p2")),
+              "o_orderkey")
+            .groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n"),
+              dsum(col("o_totalprice")).as("total"))
+          val shuffles = j.queryExecution.executedPlan.collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+          }.size
+          // the bucket JOIN itself must be shuffle-free; the status
+          // aggregate afterwards legitimately re-shuffles (status is
+          // not the partition key) — so assert on the join subtree by
+          // bounding total shuffles to the aggregate's own exchange
+          require(shuffles <= 1,
+            s"bucket SPJ inert: $shuffles shuffles in\n" +
+              j.queryExecution.executedPlan)
+          val rows = j.collect().toSeq
+          s.createDataFrame(rows.asJava, j.schema)
+            .orderBy(col("o_orderstatus"))
+        } finally saved.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders WHERE o_orderkey % 4 = 0
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // WRITE-TIME CLUSTERING (`write.sort-order` table property): every
     // append range-shuffles + sorts on the property columns, so files
     // carry tight disjoint key bounds from birth — stat skipping then

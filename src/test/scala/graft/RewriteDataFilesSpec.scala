@@ -100,6 +100,26 @@ class RewriteDataFilesSpec extends SparkSpec {
     assert(t.currentSnapshotId == cur)
   }
 
+  test("partial rewrite of a days(ts) table keeps the transform layout") {
+    import java.sql.Timestamp
+    val wh = Files.createTempDirectory("graft-rw-days").toString
+    val ev = (1 to 12).map(i =>
+      (i, Timestamp.valueOf(f"2024-03-${1 + (i % 3)}%02d 10:00:00"), i * 1.5))
+      .toDF("id", "ts", "v")
+    val t = LakehouseTable.create(new Snaplog(wh), spark, "ns", "rwd",
+      ev.schema, Seq("days(ts)"))
+    (1 to 4).foreach(i => t.append(ev.filter($"id" % 4 === i % 4)))
+    val before = t.catalog.liveFiles("ns", "rwd").size
+    t.rewriteSmallFiles(Long.MaxValue) // bin-pack everything
+    val after = t.catalog.liveFiles("ns", "rwd")
+    assert(after.size < before)
+    // rewritten files still record the transform tuple, so day pruning
+    // keeps working and the content is unchanged
+    assert(after.forall(_.partitionValues.contains("ts_day")))
+    assert(after.flatMap(_.partitionValues.get("ts_day")).distinct.size == 3)
+    assert(t.scan().collect().map(_.getInt(0)).sorted.toSeq == (1 to 12))
+  }
+
   test("SQL procedure rewrites the small tail") {
     val t = fresh("proc")
     t.append(fixture(1 to 30: _*))

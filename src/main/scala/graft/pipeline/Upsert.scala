@@ -48,10 +48,30 @@ object Upsert {
     keep.unionByName(newRows.select(existing.columns.map(col).toIndexedSeq: _*))
   }
 
-  /** Table-level upsert: scan current snapshot → merge → overwrite
-    * commit (reference `table.overwrite(merged)` `upsert.py:84`,
-    * `upsert_parquet-lazy-polars.py:97`). */
+  /** Table-level upsert — DELTA-SIZED (merge-on-read): one commit
+    * carrying an equality-delete file of the batch's keys plus the
+    * batch's data files ([[LakehouseTable.mergeDelta]]). Pre-existing
+    * data files are untouched (carried by path), so the per-call cost
+    * is batch-sized — the property that makes this the streaming MERGE
+    * sink at 100 TB, where the reference's `table.overwrite(merged)`
+    * (`upsert.py:84`) would rewrite the table per micro-batch. Visible
+    * content is identical to the overwrite form: new-batch-beats-
+    * existing per key, null-keyed rows append without deleting.
+    * Maintenance ([[LakehouseTable.compact]] / `rewriteDataFiles`)
+    * materializes the accumulated key files on the usual cadence. */
   def upsertTable(table: LakehouseTable, incoming: DataFrame,
+      keys: Seq[String], tiebreak: Option[String] = None,
+      summary: Map[String, String] = Map.empty): Snapshot =
+    table.mergeDelta(keys, dedupIncoming(incoming, keys, tiebreak),
+      summary = summary)
+
+  /** The COPY-ON-WRITE form of [[upsertTable]]: scan current snapshot →
+    * merge → overwrite commit (reference `table.overwrite(merged)`
+    * `upsert.py:84`, `upsert_parquet-lazy-polars.py:97`). Rewrites the
+    * whole table per call — use when the batch is table-sized or as the
+    * compaction-triggered consolidation of the delta tier; the default
+    * path for per-batch calls is [[upsertTable]]. */
+  def upsertTableCow(table: LakehouseTable, incoming: DataFrame,
       keys: Seq[String], tiebreak: Option[String] = None,
       summary: Map[String, String] = Map.empty): Snapshot = {
     // the merged content derives from this scan — make the overwrite
@@ -67,7 +87,8 @@ object Upsert {
     * null op, treated as upsert) upserts its row (the Delta
     * `whenMatchedDelete` / Iceberg `MERGE … WHEN MATCHED THEN DELETE`
     * shape, and the natural sink for a CDC feed). The whole feed lands
-    * in ONE overwrite commit, so readers see the change set atomically.
+    * in ONE delta-sized commit, so readers see the change set
+    * atomically and the per-call cost is feed-sized, never table-sized.
     *
     * Per-key op ordering: the WINNING row per key (highest `tiebreak`)
     * decides the outcome — a key whose latest op is 'D' is deleted even
@@ -76,17 +97,33 @@ object Upsert {
     * arbitrary-but-single (same caveat as [[dedupIncoming]]) — feeds
     * with per-key op sequences should always pass a tiebreak.
     *
-    * Same scale contract as [[merge]]: one key shuffle for the anti
-    * join (or a broadcast when the feed is small — AQE's call), never a
-    * window over the existing table. */
+    * Scale contract: one feed-sized shuffle (the winner resolution) and
+    * one delete-key file write; the existing table is never scanned,
+    * joined, or rewritten. */
   def applyChanges(table: LakehouseTable, changes: DataFrame,
+      keys: Seq[String], opCol: String = "op",
+      tiebreak: Option[String] = None): Snapshot = {
+    // Resolve the winner per key FIRST, over all ops — then the winner's
+    // op decides delete vs upsert. Filtering 'D' before the dedup would
+    // resurrect keys whose final op is a delete.
+    val winners = dedupIncoming(changes, keys, tiebreak)
+    val isDelete = coalesce(col(opCol) === "D", lit(false))
+    // delta-sized: upserted keys delete their old row via mergeDelta's
+    // own key feed; delete-winner keys ride as extra delete-only keys —
+    // ONE commit, batch-sized, no table scan or rewrite
+    table.mergeDelta(keys, winners.filter(!isDelete),
+      extraDeleteKeys = Some(
+        winners.filter(isDelete).select(keys.map(col): _*)))
+  }
+
+  /** The COPY-ON-WRITE form of [[applyChanges]] — scan → anti-join →
+    * full overwrite in one conditional commit. Table-sized per call;
+    * kept for table-scale change sets and as the consolidation path. */
+  def applyChangesCow(table: LakehouseTable, changes: DataFrame,
       keys: Seq[String], opCol: String = "op",
       tiebreak: Option[String] = None): Snapshot = {
     val base = table.currentSnapshotId
     val existing = table.scan()
-    // Resolve the winner per key FIRST, over all ops — then the winner's
-    // op decides delete vs upsert. Filtering 'D' before the dedup would
-    // resurrect keys whose final op is a delete.
     val winners = dedupIncoming(changes, keys, tiebreak)
     val keep = existing.join(
       winners.select(keys.map(col): _*), keys, "left_anti")

@@ -105,7 +105,8 @@ object Lakehouse {
 
     // CDC apply — MERGE with a delete clause (Upsert.applyChanges): one
     // change feed carrying deletes, updates, and inserts lands in ONE
-    // atomic overwrite snapshot, then the final table state is checked.
+    // atomic delta-sized merge-on-read snapshot (eq-delete key file +
+    // the feed's data files), then the final table state is checked.
     QueryDef("lake_merge_scd",
       (s, d) => {
         val cat = new Snaplog(wh("lake_merge_scd", d))
@@ -1586,6 +1587,22 @@ object Lakehouse {
           orders.filter(col("o_orderkey") % 6 === 0).select("o_orderkey"))
         src.append(orders.filter(col("o_orderkey") % 2 === 1))   // snap 3
         replicateOnce()                                          // delta only
+        // replica applies each change batch DELTA-SIZED: merge-on-read
+        // commits only (eq-delete key file + batch data), and no later
+        // commit ever rewrites or drops an earlier batch's data file
+        locally {
+          val snaps = cat.snapshots("lake", "orders_dst")
+          assert(snaps.nonEmpty &&
+            snaps.forall(_.operation == graft.catalog.Snaplog.OpEqDelete),
+            s"replica must commit merge-on-read, got ${snaps.map(_.operation)}")
+          snaps.foldLeft(Set.empty[String]) { (prior, snap) =>
+            val live = cat.liveFiles("lake", "orders_dst", Some(snap.snapshotId))
+              .map(_.path).toSet
+            assert(prior.subsetOf(live),
+              "replica merge commit rewrote or dropped a prior batch's data file")
+            prior ++ snap.files.filterNot(_.deleteFile.contains(true)).map(_.path)
+          }
+        }
         dst.scan()
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))

@@ -51,6 +51,25 @@ object Streaming {
         val stream = StreamingIngest.readParquetStream(s, drop, orders.schema,
           maxFilesPerTrigger = 1)
         val nBatches = StreamingIngest.upsertEachBatch(stream, table, Seq("o_orderkey"))
+        // delta-sized sink contract: every micro-batch committed as ONE
+        // merge-on-read snapshot (eq-delete key file + the batch's own
+        // data files); data files from earlier batches are never
+        // rewritten — each stays listed, by path, in every later commit
+        locally {
+          val snaps = cat.snapshots("lake", "orders_stream")
+          assert(snaps.forall(_.operation == graft.catalog.Snaplog.OpEqDelete),
+            s"expected merge-on-read commits, got ${snaps.map(_.operation)}")
+          snaps.foldLeft(Set.empty[String]) { (prior, snap) =>
+            val data = snap.files.filterNot(_.deleteFile.contains(true)).map(_.path).toSet
+            assert(snap.files.exists(_.deleteFile.contains(true)),
+              "merge commit must carry its eq-delete key file")
+            val live = cat.liveFiles("lake", "orders_stream", Some(snap.snapshotId))
+              .map(_.path).toSet
+            assert(prior.subsetOf(live),
+              "a merge commit rewrote or dropped a prior batch's data file")
+            prior ++ data
+          }
+        }
         table.scan()
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))

@@ -355,7 +355,15 @@ private[graft] final class GraftMicroBatchStream(
         return if (end == startV) cap else end
       }
       if (sn.operation == Snaplog.OpEqDelete) {
+        // the delete part must LEAD the batch (skip semantics hold only
+        // when every row it matches was emitted by earlier batches); a
+        // MERGE commit additionally carries data files after its key
+        // file — they count like an append's
         if (hasAdds) return end
+        val added = sn.files.count(f => !f.deleteFile.contains(true)).toLong
+        if (end != startV && budget - added < 0) return end
+        budget -= added
+        if (added > 0) hasAdds = true
       } else {
         val added = if (sn.operation == Snaplog.OpCheckpoint) 0L else sn.files.size.toLong
         if (end != startV && budget - added < 0) return end

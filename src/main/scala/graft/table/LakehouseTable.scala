@@ -89,17 +89,31 @@ final class LakehouseTable(
       dataFiles.forall(_.partitionValues.contains(k)))
     if (uncovered.isEmpty) return df
     val partFields = PartitionTransforms.parseAll(meta.partitionColumns)
+    // the re-check compares col.cast("string") against the stored
+    // directory/external text — exact only for types whose cast-to-
+    // string IS that external form (timestamps render '…12:34:56.0' vs
+    // dir '…12:34:56'; floats have formatting drift). Same type set
+    // overwritePartitions trusts for attribution.
+    def textRoundTrips(c: String): Boolean =
+      schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType).exists {
+        case StringType | IntegerType | LongType | ShortType | ByteType |
+             DateType | BooleanType => true
+        case _ => false
+      }
     uncovered.foldLeft(df) { (d, k) =>
       val sourceCol = partFields.find(_.fieldName.equalsIgnoreCase(k)) match {
         case Some(IdentityField(c)) => Some(c)
         case Some(_) => None // transform field: not row-re-checkable
         case None => schema.fieldNames.find(_.equalsIgnoreCase(k))
       }
-      val c = sourceCol.getOrElse(throw new IllegalArgumentException(
-        s"partition filter on '$k' is not decidable for every live file " +
-          "(partition evolution left files without a recorded value, and " +
-          "the field is not re-checkable row-level) — compact() to rewrite " +
-          "under the current spec, or filter the transform's source column"))
+      val c = sourceCol.filter(textRoundTrips).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition filter on '$k' is not decidable for every live file " +
+            "(partition evolution left files without a recorded value, and " +
+            "the field is not re-checkable row-level — a transform field, or " +
+            "a type whose text form differs from the stored layout value) — " +
+            "compact() to rewrite under the current spec, or filter the " +
+            "transform's source column"))
       val v = partitionFilter(k)
       if (v == Snaplog.HiveDefaultPartition) d.filter(col(c).isNull)
       else d.filter(col(c).cast("string") === v)
@@ -494,24 +508,39 @@ final class LakehouseTable(
           prefixBuf ++= s.files
         case Snaplog.OpEqDelete =>
           // apply entry-by-entry so a commit carrying several key files
-          // sequences exactly like the scan-side replay does
-          s.files.foreach { del =>
-            val cur = prefix // ONE buffer snapshot per entry
-            if (EqDeletes.isEq(del) && hasData(cur)) {
-              val cols = EqDeletes.keyCols(del)
-              val keys = broadcast(
-                spark.read.parquet(del.path)
-                  .select(cols.zipWithIndex.map { case (c, i) =>
-                    col(c).as(s"__eqdel_$i") }: _*).distinct())
-              val vis = assembleOrdered(cur, _ => true)
-              val matched = vis.join(keys,
-                cols.zipWithIndex.map { case (c, i) =>
-                  vis(c) === col(s"__eqdel_$i") }.reduce(_ && _),
-                "left_semi")
-              parts += stamp(matched, ChangeDelete, s)
-            }
-            prefixBuf += del
+          // sequences exactly like the scan-side replay does. A MERGE
+          // commit (mergeDelta) lists data files AFTER its key file —
+          // they emit as inserts (batched per consecutive run), and the
+          // replay position means the commit's own deletes never touch
+          // them: preimage-delete + postimage-insert per upserted key.
+          val dataRun = scala.collection.mutable.ArrayBuffer.empty[DataFileEntry]
+          def flushRun(): Unit = if (dataRun.nonEmpty) {
+            parts += stamp(
+              spark.read.schema(readSchema).parquet(dataRun.map(_.path).toSeq: _*),
+              ChangeInsert, s)
+            dataRun.clear()
           }
+          s.files.foreach { entry =>
+            if (EqDeletes.isEq(entry)) {
+              flushRun()
+              val cur = prefix // ONE buffer snapshot per entry
+              if (hasData(cur)) {
+                val cols = EqDeletes.keyCols(entry)
+                val keys = broadcast(
+                  spark.read.parquet(entry.path)
+                    .select(cols.zipWithIndex.map { case (c, i) =>
+                      col(c).as(s"__eqdel_$i") }: _*).distinct())
+                val vis = assembleOrdered(cur, _ => true)
+                val matched = vis.join(keys,
+                  cols.zipWithIndex.map { case (c, i) =>
+                    vis(c) === col(s"__eqdel_$i") }.reduce(_ && _),
+                  "left_semi")
+                parts += stamp(matched, ChangeDelete, s)
+              }
+            } else if (!entry.deleteFile.contains(true)) dataRun += entry
+            prefixBuf += entry
+          }
+          flushRun()
         case Snaplog.OpMorDelete =>
           val vectors = s.files.filter(EqDeletes.isPos)
           if (vectors.nonEmpty && hasData(prefix)) {
@@ -575,7 +604,11 @@ final class LakehouseTable(
     val cols = keys.map(k => schema.fieldNames
       .find(_.equalsIgnoreCase(k)).getOrElse(throw new IllegalArgumentException(
         s"key column '$k' not in schema (${schema.fieldNames.mkString(", ")})")))
+    // both join sides derive from this one plan — persist so the
+    // changelog (per-commit scans, anti/semi joins) executes once, not
+    // once per side; change sets are window-sized, not table-sized
     val ch = scanChanges(fromSnapshot, toSnapshot)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dataCols = schema.fieldNames.toSeq
     def side(tpe: String, as: String): DataFrame = {
       val df = ch.filter(col(ChangeTypeCol) === tpe)
@@ -919,7 +952,21 @@ final class LakehouseTable(
     * sequencing as the single-key form. */
   def deleteEq(keyCols: Seq[String], keys: DataFrame): Snapshot = {
     val base = currentSnapshotId
-    require(keyCols.nonEmpty, "deleteEq needs at least one key column")
+    val (delFiles, encodedKey, nValues) = stageEqDelete(keyCols, keys)
+    catalog.commit(namespace, name, Snaplog.OpEqDelete, delFiles,
+      Map("equality-key" -> encodedKey,
+        "delete-values" -> nValues.toString),
+      expectedSnapshotId = Some(base))
+  }
+
+  /** Stage (write + footer-stat + null-reject) one equality-delete key
+    * file for `keyCols`, WITHOUT committing — shared by [[deleteEq]]
+    * and [[mergeDelta]]. Returns (entries, encoded key, value count);
+    * an empty feed stages nothing and returns zero entries (callers
+    * commit the audit no-op or skip). */
+  private def stageEqDelete(keyCols: Seq[String], keys: DataFrame)
+      : (Seq[DataFileEntry], String, Long) = {
+    require(keyCols.nonEmpty, "equality delete needs at least one key column")
     val fields = keyCols.map(keyField)
     val names = fields.map(_.name)
     require(names.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.size == names.size,
@@ -930,6 +977,7 @@ final class LakehouseTable(
     require(keys.schema.fields.length == fields.length,
       s"delete feed must carry exactly the key columns (${names.mkString(", ")}), " +
         s"got (${keys.columns.mkString(", ")})")
+    val encodedKey = names.mkString(",")
     // distinct BEFORE the single-file coalesce so dedup runs parallel;
     // one output file keeps the log entry count at one per feed (the
     // key set is broadcast-bounded at scan time regardless)
@@ -939,7 +987,6 @@ final class LakehouseTable(
     val delDir = catalog.dataDir(namespace, name)
       .resolve(s"eqdel-${java.util.UUID.randomUUID().toString.take(12)}")
     keyDf.write.mode("overwrite").parquet(delDir.toString)
-    val encodedKey = names.mkString(",")
     val delFiles = listParquet(delDir.toString).map { p =>
       statFile(p, Map.empty)
         .copy(deleteFile = Some(true), equalityKey = Some(encodedKey))
@@ -947,9 +994,7 @@ final class LakehouseTable(
     val nValues = delFiles.map(_.rowCount).sum
     if (nValues == 0) {
       Files.walk(delDir).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      return catalog.commit(namespace, name, Snaplog.OpEqDelete, Seq.empty,
-        Map("equality-key" -> encodedKey, "delete-values" -> "0"),
-        expectedSnapshotId = Some(base))
+      return (Seq.empty, encodedKey, 0L)
     }
     // null rejection from footer metadata; a footer without the null
     // count (shouldn't happen for parquet we just wrote) re-checks with
@@ -965,10 +1010,56 @@ final class LakehouseTable(
           "null-rejecting; filter them out (or delete IS NULL rows via " +
           "deleteMor)")
     }
-    catalog.commit(namespace, name, Snaplog.OpEqDelete, delFiles,
-      Map("equality-key" -> encodedKey,
-        "delete-values" -> nValues.toString),
-      expectedSnapshotId = Some(base))
+    (delFiles, encodedKey, nValues)
+  }
+
+  /** DELTA-SIZED MERGE (merge-on-read upsert — the Iceberg v2
+    * equality-delete MERGE, the scale path for keyed streaming CDC):
+    * ONE commit whose file list is the batch's equality-delete key file
+    * FOLLOWED by the batch's data files. Replay order makes the
+    * semantics exact: the key file applies to every data file committed
+    * before it (the old rows for those keys disappear), while the
+    * batch's own rows — listed after it — survive. Per-commit cost is
+    * BATCH-sized: no table scan, no anti-join against existing data,
+    * no rewrite of any pre-existing file (they all carry by path,
+    * untouched) — at 100 TB each micro-batch trigger costs its own
+    * delta, not a table pass, which is the difference between a
+    * streaming MERGE sink that works and one that rewrites the table
+    * per trigger. Scans pay one broadcast anti-join per outstanding
+    * key file ([[EqDeletes]]); [[compact]]/[[rewriteDataFiles]]
+    * materializes and retires them on the usual maintenance cadence.
+    *
+    * `rows` must be batch-deduplicated to one row per key tuple
+    * (callers: [[graft.pipeline.Upsert.dedupIncoming]]); null-keyed
+    * rows append WITHOUT deleting anything (equality is null-rejecting
+    * — exactly the anti-join MERGE's semantics). `extraDeleteKeys`
+    * carries delete-only keys (a CDC feed's 'D' ops), positionally
+    * mapped onto `keyCols`.
+    *
+    * The commit is BLIND (no expected snapshot): it derives nothing
+    * from current content — "new beats whatever precedes in replay
+    * order" is the contract at any interleaving, so concurrent merges
+    * serialize by log position instead of aborting each other. */
+  def mergeDelta(keyCols: Seq[String], rows: DataFrame,
+      extraDeleteKeys: Option[DataFrame] = None,
+      summary: Map[String, String] = Map.empty): Snapshot = {
+    val fields = keyCols.map(keyField)
+    val names = fields.map(_.name)
+    val ownKeys = rows.select(names.map(col): _*).na.drop("any")
+    val feed = extraDeleteKeys match {
+      case Some(extra) => ownKeys.unionByName(extra.toDF(names: _*)
+        .select(names.zip(fields).map { case (n, f) =>
+          col(n).cast(f.dataType).as(n) }: _*))
+      case None => ownKeys
+    }
+    val (delFiles, encodedKey, nValues) = stageEqDelete(keyCols, feed)
+    val dataFiles = stageDataFiles(Seq(rows))
+    catalog.commit(namespace, name, Snaplog.OpEqDelete,
+      delFiles ++ dataFiles,
+      summary ++ Map("equality-key" -> encodedKey,
+        "delete-values" -> nValues.toString,
+        "merge-files" -> dataFiles.size.toString,
+        "merge-rows" -> dataFiles.map(_.rowCount).sum.toString))
   }
 
   private def keyField(keyCol: String): StructField =
@@ -1161,7 +1252,42 @@ final class LakehouseTable(
     val m = meta
     PartitionTransforms.validate(m.schema, newPartitionColumns)
     if (m.partitionColumns == newPartitionColumns) m
-    else catalog.updatePartitionSpec(namespace, name, newPartitionColumns)
+    else {
+      // A re-parameterized transform (bucket(4,id) -> bucket(8,id),
+      // truncate width change) derives the SAME field name, so files
+      // written under the old parameters would pass every coverage
+      // check and have their old-parameter values consumed as
+      // current-spec values — mayMatch would prune wrongly (silent
+      // wrong results for WHERE id = X), SpjKeys would group by stale
+      // bucket indexes, and the Iceberg export's coverage guard would
+      // pass while external readers mis-prune. Refuse whenever ANY
+      // retained file (live or time-travelable) records a value under
+      // a reused derived name whose producing transform cannot be
+      // proven identical.
+      def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+      val oldBySpec = PartitionTransforms.parseAll(m.partitionColumns)
+        .map(pf => lower(pf.fieldName) -> pf.spec).toMap
+      val newFields = PartitionTransforms.parseAll(newPartitionColumns)
+        .filterNot(_.isInstanceOf[IdentityField])
+      val suspect = newFields.filter(pf =>
+        !oldBySpec.get(lower(pf.fieldName)).contains(pf.spec))
+      if (suspect.nonEmpty) {
+        val recorded = catalog.snapshots(namespace, name)
+          .iterator.flatMap(_.files)
+          .filterNot(_.deleteFile.contains(true))
+          .flatMap(_.partitionValues.keysIterator.map(lower)).toSet
+        val clash = suspect.filter(pf => recorded(lower(pf.fieldName)))
+        require(clash.isEmpty,
+          s"partition spec evolution to (${newPartitionColumns.mkString(", ")}) " +
+            s"reuses derived field name(s) ${clash.map(_.fieldName).mkString(", ")} " +
+            "already recorded by retained files under different transform " +
+            "parameters — their stored values would be consumed as " +
+            "current-spec values and silently mis-prune; evolve the field " +
+            "away, compact(), expireSnapshots() so no retained file records " +
+            "the name, then re-evolve")
+      }
+      catalog.updatePartitionSpec(namespace, name, newPartitionColumns)
+    }
   }
 
   /** Additive schema evolution: add a nullable column. Existing data
@@ -1384,7 +1510,17 @@ final class LakehouseTable(
       extraSummary: Map[String, String] = Map.empty,
       carryFiles: Seq[DataFileEntry] = Seq.empty,
       expected: Option[Long] = None,
-      parentIdOverride: Option[Long] = None): Snapshot = {
+      parentIdOverride: Option[Long] = None): Snapshot =
+    catalog.commit(namespace, name, op, carryFiles ++ stageDataFiles(dfs),
+      extraSummary, expectedSnapshotId = expected,
+      parentIdOverride = parentIdOverride)
+
+  /** The write job of a managed commit WITHOUT the commit itself:
+    * normalize to the table schema, cluster/sort per spec and
+    * properties, write parquet under a unique staging dir, footer-stat
+    * the outputs. Shared by [[writeCommit]] and [[mergeDelta]] (which
+    * commits data files together with a delete entry). */
+  private def stageDataFiles(dfs: Seq[DataFrame]): Seq[DataFileEntry] = {
     val m = meta
     // stamp registry field ids into every managed write (files carry ids
     // from birth, so a later rename/drop finds id-bearing files); reads
@@ -1460,10 +1596,8 @@ final class LakehouseTable(
     if (partFields.nonEmpty)
       writer = writer.partitionBy(partFields.map(pf => layoutCol(pf.fieldName)): _*)
     writer.parquet(commitDir.toString)
-    val files = FileStats.statAll(spark, listParquet(commitDir.toString),
+    FileStats.statAll(spark, listParquet(commitDir.toString),
       p => partitionValuesFromPath(p, partFields.map(_.fieldName)))
-    catalog.commit(namespace, name, op, carryFiles ++ files, extraSummary,
-      expectedSnapshotId = expected, parentIdOverride = parentIdOverride)
   }
 
   private def listParquet(dir: String): Seq[String] = FileStats.listParquet(dir)

@@ -1,0 +1,188 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Snaplog
+import graft.pipeline.Upsert
+import graft.table.LakehouseTable
+
+/** Delta-sized merge-on-read MERGE ([[LakehouseTable.mergeDelta]] and
+  * the [[Upsert]] tier routed through it): one equality-delete + append
+  * commit per batch, pre-existing data files carried by path untouched
+  * — the per-trigger scale contract of the streaming upsert/CDC sink. */
+class MergeDeltaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture() = Seq(
+    (1, "A", 1.5f, 10), (2, "A", 2.5f, 20),
+    (3, "B", 3.5f, 30), (4, "C", 4.5f, 40)
+  ).toDF("id", "group", "value1", "value2")
+
+  private def fresh(name: String) = {
+    val wh = Files.createTempDirectory(s"graft-md-$name").toString
+    (new Snaplog(wh),
+      LakehouseTable.create(new Snaplog(wh), spark, "ns", name, fixture().schema))
+  }
+
+  test("upsertTable commits batch-sized: prior data files carried untouched") {
+    val (cat, tbl) = fresh("size")
+    tbl.append(fixture())
+    val before = cat.liveFiles("ns", "size").map(_.path).toSet
+    val beforeMtimes = before.map(p =>
+      p -> Files.getLastModifiedTime(java.nio.file.Paths.get(p))).toMap
+    val patch = Seq((2, "A", 99.9f, 222), (5, "D", 5.5f, 50))
+      .toDF("id", "group", "value1", "value2")
+    val snap = Upsert.upsertTable(tbl, patch, Seq("id"))
+    // ONE commit: an eq-delete key file + the batch's data files only
+    assert(snap.operation == Snaplog.OpEqDelete)
+    val delEntries = snap.files.filter(_.deleteFile.contains(true))
+    val dataEntries = snap.files.filterNot(_.deleteFile.contains(true))
+    assert(delEntries.size == 1 &&
+      delEntries.head.equalityKey.contains("id") &&
+      delEntries.head.rowCount == 2)
+    assert(dataEntries.map(_.rowCount).sum == 2)
+    // replay order inside the commit: delete BEFORE the batch's data
+    assert(snap.files.head.deleteFile.contains(true))
+    // every pre-existing data file still live, same path, same bytes
+    val after = cat.liveFiles("ns", "size").map(_.path).toSet
+    assert(before.subsetOf(after))
+    before.foreach(p => assert(
+      Files.getLastModifiedTime(java.nio.file.Paths.get(p)) == beforeMtimes(p)))
+    // visible content = new-wins merge
+    val got = tbl.scan().orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getInt(3))).toSeq
+    assert(got == Seq((1, 10), (2, 222), (3, 30), (4, 40), (5, 50)))
+  }
+
+  test("mergeDelta: the batch's own rows survive its delete; repeat is idempotent") {
+    val (_, tbl) = fresh("own")
+    tbl.append(fixture())
+    val patch = Seq((1, "Z", 9.9f, 111)).toDF("id", "group", "value1", "value2")
+    tbl.mergeDelta(Seq("id"), patch)
+    val once = tbl.scan().orderBy("id").collect().toSeq
+    assert(once.map(_.getInt(3)) == Seq(111, 20, 30, 40))
+    tbl.mergeDelta(Seq("id"), patch)
+    assert(tbl.scan().orderBy("id").collect().toSeq == once)
+  }
+
+  test("null-keyed rows append without deleting (anti-join MERGE semantics)") {
+    val (_, tbl) = fresh("nulls")
+    val base = Seq((Some(1), "A", 10), (None, "N", 77))
+      .toDF("id", "group", "value2")
+    val t2 = LakehouseTable.create(tbl.catalog, spark, "ns", "nulls2", base.schema)
+    t2.append(base)
+    val patch = Seq((Some(1), "A", 11), (None, "N2", 88))
+      .toDF("id", "group", "value2")
+    t2.mergeDelta(Seq("id"), patch)
+    val got = t2.scan().orderBy(col("value2")).collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Int]), r.getString(1))).toSeq
+    // id=1 replaced; BOTH null-keyed rows present (nothing deleted)
+    assert(got == Seq((Some(1), "A"), (None, "N"), (None, "N2")))
+  }
+
+  test("applyChanges delta form: D/U/I in one batch-sized commit") {
+    val (cat, tbl) = fresh("cdc")
+    tbl.append(fixture())
+    val before = cat.liveFiles("ns", "cdc").map(_.path).toSet
+    val changes = Seq(
+      (1, "A", 0.0f, 0, "D"),
+      (2, "A", 9.9f, 99, "U"),
+      (5, "D", 5.5f, 50, "I")
+    ).toDF("id", "group", "value1", "value2", "op")
+    val snap = Upsert.applyChanges(tbl, changes, Seq("id"))
+    assert(snap.operation == Snaplog.OpEqDelete)
+    // the delete key file carries ALL three keys (1=D, 2+5 upsert keys)
+    assert(snap.files.filter(_.deleteFile.contains(true)).map(_.rowCount).sum == 3)
+    // upserted rows = 2 (the D key contributes no data row)
+    assert(snap.files.filterNot(_.deleteFile.contains(true)).map(_.rowCount).sum == 2)
+    assert(before.subsetOf(cat.liveFiles("ns", "cdc").map(_.path).toSet))
+    val got = tbl.scan().orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getInt(3))).toSeq
+    assert(got == Seq((2, 99), (3, 30), (4, 40), (5, 50)))
+  }
+
+  test("changelog over a merge commit: preimage delete + postimage insert, keyed pairing") {
+    val (_, tbl) = fresh("cl")
+    tbl.append(fixture())
+    val from = tbl.currentSnapshotId
+    val patch = Seq((2, "A", 9.9f, 222), (5, "D", 5.5f, 50))
+      .toDF("id", "group", "value1", "value2")
+    Upsert.upsertTable(tbl, patch, Seq("id"))
+    val ch = tbl.scanChanges(from)
+      .select(col("id"), col("value2"), col(LakehouseTable.ChangeTypeCol))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    assert(ch == Set(
+      (2, 20, "delete"),   // preimage of the updated key
+      (2, 222, "insert"),  // postimage
+      (5, 50, "insert")))  // plain insert (no preimage existed)
+    val keyed = tbl.scanChangesKeyed(Seq("id"), from)
+      .select(col("id"), col("value2"), col(LakehouseTable.ChangeTypeCol))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    assert(keyed == Set(
+      (2, 20, "update_preimage"),
+      (2, 222, "update_postimage"),
+      (5, 50, "insert")))
+  }
+
+  test("streaming table source tails across merge commits, batch-bounded") {
+    val wh = Files.createTempDirectory("graft-md-stream").toString
+    val cat = new Snaplog(wh)
+    val df = fixture()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "tailm", df.schema)
+    tbl.append(df)                                         // snap 1
+    spark.conf.set("spark.sql.catalog.gmdst", classOf[graft.sql.GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmdst.warehouse", wh)
+    val ckpt = Files.createTempDirectory("graft-md-stream-ck").toString
+    val out = Files.createTempDirectory("graft-md-stream-out").toString
+    def runOnce(): Seq[Int] = {
+      val q = spark.readStream.table("gmdst.ns.tailm")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      q.exception.foreach(throw _)
+      spark.read.parquet(out).select("id").collect().map(_.getInt(0)).toSeq.sorted
+    }
+    assert(runOnce() == Seq(1, 2, 3, 4))
+    // two merge batches land; admission closes the batch between them
+    Upsert.upsertTable(tbl,
+      Seq((2, "A", 9.9f, 222)).toDF("id", "group", "value1", "value2"), Seq("id"))
+    Upsert.upsertTable(tbl,
+      Seq((6, "E", 6.5f, 60)).toDF("id", "group", "value1", "value2"), Seq("id"))
+    // the tail emits ONLY the merges' own rows (skip-delete semantics:
+    // the old id=2 row was emitted before the delete existed)
+    assert(runOnce() == Seq(1, 2, 2, 3, 4, 6))
+  }
+
+  test("per-batch commit cost stays batch-sized across a micro-batch sequence") {
+    val (cat, tbl) = fresh("cost")
+    tbl.append(fixture())
+    val initialFiles = cat.liveFiles("ns", "cost").map(_.path).toSet
+    (1 to 5).foreach { i =>
+      Upsert.upsertTable(tbl,
+        Seq((i, "P", i * 1.0f, 1000 + i)).toDF("id", "group", "value1", "value2"),
+        Seq("id"))
+    }
+    val snaps = cat.snapshots("ns", "cost").drop(1)
+    assert(snaps.size == 5)
+    // every merge snapshot lists exactly 1 key entry + its own data
+    // files (single-row batch → 1 data file); nothing ever rewrites
+    snaps.foreach { s =>
+      assert(s.files.count(_.deleteFile.contains(true)) == 1)
+      assert(s.files.count(!_.deleteFile.contains(true)) == 1)
+    }
+    assert(initialFiles.subsetOf(cat.liveFiles("ns", "cost").map(_.path).toSet))
+    // content: keys 1..5 now carry the patched values; key 5 was new
+    val got = tbl.scan().orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getInt(3))).toSeq
+    assert(got == Seq((1, 1001), (2, 1002), (3, 1003), (4, 1004), (5, 1005)))
+    // compaction materializes the accumulated key files and retires them
+    tbl.compact()
+    assert(cat.liveDeleteFiles("ns", "cost").isEmpty)
+    assert(tbl.scan().orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getInt(3))).toSeq == got)
+  }
+}

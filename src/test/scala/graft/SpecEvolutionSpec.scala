@@ -106,6 +106,51 @@ class SpecEvolutionSpec extends SparkSpec {
     assert(newer.nonEmpty && newer.forall(_.partitionValues.contains("id_bucket")))
   }
 
+  test("re-parameterized transform reusing a derived field name refuses") {
+    val (_, t) = fresh("reparam")
+    t.updateSpec(Seq("bucket(4,id)"))
+    // empty table: no file recorded id_bucket yet — re-parameterization
+    // is still safe and allowed
+    t.updateSpec(Seq("bucket(8,id)"))
+    t.append(fixture(1 to 8: _*))
+    // live files now record bucket(8) indexes under id_bucket: a width
+    // change would consume them as bucket(4) values and mis-prune
+    val e = intercept[IllegalArgumentException](
+      t.updateSpec(Seq("bucket(4,id)")))
+    assert(e.getMessage.contains("id_bucket") &&
+      e.getMessage.contains("expireSnapshots"))
+    // same hazard for truncate width
+    val (_, t2) = fresh("reparam2")
+    t2.updateSpec(Seq("truncate(2,grp)"))
+    t2.append(fixture(1, 2, 3))
+    val e2 = intercept[IllegalArgumentException](
+      t2.updateSpec(Seq("truncate(3,grp)")))
+    assert(e2.getMessage.contains("grp_trunc"))
+    // different derived names are fine: days(ts) -> hours(ts) is a new
+    // field; identity <-> transform moves are unaffected
+    t2.updateSpec(Seq("days(ts)"))
+    t2.append(fixture(4, 5))
+    t2.updateSpec(Seq("hours(ts)"))
+    t2.append(fixture(6, 7))
+    assert(t2.scan().count() == 7)
+    // unchanged parameterization (reorder / re-add of the identical
+    // spec string) passes
+    t.updateSpec(Seq("bucket(8,id)", "days(ts)"))
+    t.append(fixture(9, 10))
+    assert(t.scan().count() == 10)
+    // history, not just live files, is the hazard surface: a COW
+    // overwrite that drops the old files does NOT unblock while the
+    // snapshots remain time-travelable
+    val (_, t3) = fresh("reparam3")
+    t3.updateSpec(Seq("bucket(4,id)"))
+    t3.append(fixture(1, 2))
+    t3.overwrite(fixture(3, 4))
+    t3.compact()
+    val e3 = intercept[IllegalArgumentException](
+      t3.updateSpec(Seq("bucket(8,id)")))
+    assert(e3.getMessage.contains("id_bucket"))
+  }
+
   test("JDBC backend persists the evolved spec") {
     val dir = Files.createTempDirectory("graft-pev-jdbc")
     val cat = new graft.catalog.JdbcCatalog(

@@ -171,11 +171,18 @@ trait Catalog {
     * rows emitted BEFORE `fromSnapshot` is inherently non-retractable
     * in an additive delta and is the caller's documented blind spot.
     * Reset commits and merge-on-read position deletes still refuse
-    * loudly (positions reference pre-existing files — never additive).
-    * Checkpoint folds re-list window files; the path-set difference
-    * keeps exactly the genuinely-new entries in replay order. */
+    * loudly (positions reference pre-existing files — never additive);
+    * `admitLeadingVectors` relaxes the latter for consumers with SKIP
+    * semantics (the streaming table source): a position-delete commit
+    * that precedes every data-adding commit in the window touches only
+    * rows emitted BEFORE the window, so a non-retracting consumer may
+    * cross it as a content no-op — vectors interleaved after adds
+    * still refuse. Checkpoint folds re-list window files; the path-set
+    * difference keeps exactly the genuinely-new entries in replay
+    * order. */
   final def addedEntriesBetween(ns: String, t: String,
-      fromSnapshot: Long, toSnapshot: Long): Seq[DataFileEntry] = {
+      fromSnapshot: Long, toSnapshot: Long,
+      admitLeadingVectors: Boolean = false): Seq[DataFileEntry] = {
     val snaps = snapshots(ns, t).filterNot(Snaplog.isWapStaged)
     val ids = snaps.map(_.snapshotId)
     require(ids.contains(fromSnapshot),
@@ -190,9 +197,19 @@ trait Catalog {
         s.operation == Snaplog.OpCheckpoint),
       s"incremental read across a reset commit " +
         s"(${(Snaplog.ResetOps - Snaplog.OpCheckpoint).mkString("/")}) is undefined")
-    require(between.forall(s => s.operation != Snaplog.OpMorDelete),
-      "incremental read across a merge-on-read (position) delete is " +
-        "undefined (the delta is not expressible as file-adds)")
+    if (!admitLeadingVectors)
+      require(between.forall(s => s.operation != Snaplog.OpMorDelete),
+        "incremental read across a merge-on-read (position) delete is " +
+          "undefined (the delta is not expressible as file-adds)")
+    else {
+      val lastVec = between.lastIndexWhere(_.operation == Snaplog.OpMorDelete)
+      val firstAdd = between.indexWhere(s =>
+        s.files.exists(f => !f.deleteFile.contains(true)))
+      require(lastVec < 0 || firstAdd < 0 || lastVec < firstAdd,
+        "incremental read: a merge-on-read (position) delete follows " +
+          "in-window file adds — its rows would need subtraction; only " +
+          "window-leading vectors are skippable")
+    }
     val beforeData = liveFiles(ns, t, Some(fromSnapshot)).map(_.path).toSet
     val beforeDels = liveDeleteFiles(ns, t, Some(fromSnapshot)).map(_.path).toSet
     // liveEntriesOrdered preserves the data-vs-delete interleaving the

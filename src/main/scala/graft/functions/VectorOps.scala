@@ -120,7 +120,10 @@ case class VectorNormExpr(child: Expression) extends UnaryExpression {
   * loop instead of a planeBits×dim expression forest. */
 case class HyperplaneSketchExpr(child: Expression, planeBits: Int)
     extends UnaryExpression {
-  require(planeBits >= 1 && planeBits <= 30, "planeBits in [1,30]")
+  // planeBits = 0 is the EXACT degenerate tier: every vector sketches
+  // to bucket 0, so bucketed probing equals the full cross probe —
+  // the oracle-checkable twin of the approximate configurations
+  require(planeBits >= 0 && planeBits <= 30, "planeBits in [0,30]")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess

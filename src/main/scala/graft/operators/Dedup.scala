@@ -116,6 +116,39 @@ object Dedup {
     pairs
   }
 
+  /** Exact n-gram CONTAINMENT pairs — the SQL-expressible companion of
+    * [[containmentPairs]]'s rolling-hash chunking: containment of the
+    * smaller document in the larger as |sh(A)∩sh(B)| / min(|sh(A)|,
+    * |sh(B)|) over distinct shingle sets. The same posting-list join as
+    * [[ngramJaccardPairs]] (one shuffle on the shingle, candidate
+    * generation and |A∩B| fused, df∈[2,maxDf] pruning — df-1 shingles
+    * can never pair, so pruning them is exact), only the final score
+    * normalizes by the SMALLER set: a half-document planted inside a
+    * full one scores ≈1 where Jaccard ≈0.5 — the partial-duplicate
+    * shape full-document measures miss. */
+  def ngramContainmentPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.5,
+      maxDf: Int = 1000): DataFrame = {
+    val feats = shingled(docs, idCol, textCol, shingleSize)
+    val sizes = featSizes(feats, idCol)
+    val postings = feats.select(col(idCol), explode_outer(col("sh")).as("shingle"))
+    val keep = postings.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf)).select(col("shingle"))
+    val p = postings.join(keep, Seq("shingle"))
+    val inter = p.select(col("shingle"), col(idCol).as("doc_a"))
+      .join(p.select(col("shingle"), col(idCol).as("doc_b")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("pid").as("doc_a"), col("sz").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("pid").as("doc_b"), col("sz").as("nb")), Seq("doc_b"))
+      .withColumn("containment",
+        col("c") * lit(1.0) / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
   /** SimHash near-dup pairs: 64-bit sketch per doc (custom codegen
     * Catalyst expression), banded into `bands` contiguous bit-chunks for
     * candidate generation, verified by exact Hamming distance ≤

@@ -521,6 +521,21 @@ object Analytics {
         .orderBy(col("event_type")),
       None),
 
+    // EXACT-TWIN of the sketches: the same statistics computed exactly
+    // (COUNT DISTINCT and the interpolated median), hash-checked
+    // against DuckDB — the sketch gate above stays rows-only because
+    // estimates legitimately differ engine-to-engine, but the exact
+    // formulations must match bit-for-bit.
+    QueryDef("approx_sketches_exact",
+      (s, d) => events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          expr("percentile(value, 0.5)").as("exact_median"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+          quantile_cont(value, 0.5) AS exact_median
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // ---- grouping sets: full CUBE (rollup's bigger sibling) ------------
     QueryDef("cube_returns",
       (s, d) => t(s, d, "orders")

@@ -910,6 +910,60 @@ object Lakehouse {
         FROM orders WHERE o_orderkey % 4 = 0
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // STORAGE-PARTITIONED JOIN, TRUNCATE FORM: two fact tables
+    // truncate(1000, key)-partitioned on the join key — the
+    // range-friendly sibling of the bucket form (width multiples stay
+    // order-preserving, so the same layout also serves range pruning).
+    // The width rides in the catalog's unary `truncate_<w>` V2
+    // function (Spark SPJ admits only single-child transforms), and
+    // the key join plans shuffle-free (asserted in-line; the status
+    // aggregate afterwards legitimately re-shuffles).
+    QueryDef("lake_spj_truncate_join",
+      (s, d) => {
+        val whDir = wh("lake_spj_truncate_join", d)
+        val cat = new Snaplog(whDir)
+        val orders = t(s, d, "orders")
+        val t1 = LakehouseTable.create(cat, s, "lake", "orders_t1",
+          orders.schema, Seq("truncate(1000,o_orderkey)"))
+        t1.append(orders.filter(col("o_orderkey") % 2 === 0))
+        val t2 = LakehouseTable.create(cat, s, "lake", "orders_t2",
+          orders.schema, Seq("truncate(1000,o_orderkey)"))
+        t2.append(orders.filter(col("o_orderkey") % 4 === 0))
+        val cn = sqlCatalog(s, "gspjt", whDir)
+        val pairs = Seq(
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.adaptive.enabled" -> "false",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val saved = pairs.map { case (k, _) => k -> s.conf.getOption(k) }
+        pairs.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          val j = s.table(s"$cn.lake.orders_t1")
+            .join(s.table(s"$cn.lake.orders_t2")
+              .select(col("o_orderkey"), col("o_totalprice").as("p2")),
+              "o_orderkey")
+            .groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n"),
+              dsum(col("o_totalprice")).as("total"))
+          val shuffles = j.queryExecution.executedPlan.collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+          }.size
+          // join shuffle-free; only the status aggregate may exchange
+          require(shuffles <= 1,
+            s"truncate SPJ inert: $shuffles shuffles in\n" +
+              j.queryExecution.executedPlan)
+          val rows = j.collect().toSeq
+          s.createDataFrame(rows.asJava, j.schema)
+            .orderBy(col("o_orderstatus"))
+        } finally saved.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders WHERE o_orderkey % 4 = 0
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // WRITE-TIME CLUSTERING (`write.sort-order` table property): every
     // append range-shuffles + sorts on the property columns, so files
     // carry tight disjoint key bounds from birth — stat skipping then

@@ -40,6 +40,25 @@ object TrainingData {
           / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id)"""
 
+  /** Shared oracle for the exact ANN formulations (brute force and the
+    * degenerate-parameter twins of LSH/IVF, which equal it): cosine
+    * top-10 for queries vec_id < 5, rank by cosine desc with id
+    * tiebreak. */
+  private val AnnExactSql =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      n AS (SELECT vec_id, e,
+          sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+      q AS (SELECT * FROM n WHERE vec_id < 5),
+      p AS (SELECT q.vec_id AS query_id, n.vec_id AS vec_id,
+          list_sum(list_transform(list_zip(q.e, n.e), s -> s[1] * s[2]))
+            / (q.nrm * n.nrm) AS cosine
+        FROM q JOIN n ON q.vec_id <> n.vec_id)
+      SELECT query_id, rank, vec_id, cosine FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+        FROM p)
+      WHERE rank <= 10 ORDER BY query_id, rank"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- text analysis --------------------------------------------------
@@ -262,6 +281,39 @@ object TrainingData {
       },
       None),
 
+    // EXACT-TWIN of the containment tier: n-gram-shingle containment
+    // |sh(A)∩sh(B)| / min(|sh(A)|,|sh(B)|) over the SAME planted-half
+    // fixture — fully SQL-expressible, so the posting-join plumbing the
+    // rolling-hash tier shares gets a hash-green oracle. Threshold 0.8
+    // absorbs the half's cut-token tail (its last token may be a
+    // fragment absent from the full document).
+    QueryDef("dedup_containment_exact",
+      (s, d) => {
+        val dd = docs(s, d).select(col("doc_id"), col("text"))
+          .filter(col("doc_id") < 500)
+        val halves = dd
+          .withColumn("doc_id", col("doc_id") + 2000000)
+          .withColumn("text", substring(col("text"), lit(1),
+            (length(col("text")) / 2).cast("int")))
+        Dedup.ngramContainmentPairs(dd.unionByName(halves), "doc_id", "text",
+            threshold = 0.8, maxDf = Int.MaxValue)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH docs2 AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 500
+          UNION ALL
+          SELECT doc_id + 2000000 AS doc_id,
+            substr(text, 1, length(text) // 2) AS text
+          FROM documents WHERE doc_id < 500),
+        toks AS (SELECT doc_id, $TkSql AS tk FROM docs2),
+        sh AS (SELECT doc_id, ${shSql("tk")} AS sh FROM toks WHERE len(tk) >= 3),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            len(list_intersect(a.sh, b.sh)) * 1.0
+              / least(len(a.sh), len(b.sh)) AS containment
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, containment FROM p WHERE containment >= 0.8
+        ORDER BY doc_a, doc_b""")),
+
     QueryDef("dedup_embedding",
       (s, d) => Dedup.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.4)
@@ -369,6 +421,33 @@ object TrainingData {
           .orderBy(col("query_id"), col("rank"))
       },
       None),
+
+    // EXACT-TWIN gates for the approximate tier: the same code paths
+    // at their degenerate parameterizations equal brute force, so the
+    // DuckDB oracle hash-checks the full plumbing (bucketing, probing,
+    // re-rank) even though the production parameterizations stay
+    // rows-only by design.
+    // LSH with planeBits = 0: one bucket, full probe == brute force.
+    QueryDef("ann_lsh_exact",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.lshCosineTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, dim = 64, planeBits = 0)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(AnnExactSql)),
+
+    // IVF with nprobe = nlist: every inverted list probed == brute
+    // force (SimilaritySpec proves the equality; this pins it to the
+    // external oracle).
+    QueryDef("ann_ivf_exact",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, nlist = 16, nprobe = 16)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(AnnExactSql)),
 
     // ---- multimodal plumbing -------------------------------------------
     // ---- TF-IDF term scoring -------------------------------------------

@@ -12,21 +12,23 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import graft.catalog.Catalog
 import graft.table.LakehouseTable
 
-/** Routes `DELETE FROM t WHERE k IN (SELECT …)` on a graft table with
+/** Routes `DELETE FROM t WHERE k IN (SELECT …)` — and the COMPOSITE
+  * form `(k1, k2) IN (SELECT …)` — on a graft table with
   * `'write.delete.mode'='equality'` to the EQUALITY-delete tier: the
   * subquery's key set commits as ONE key-valued delete file — no data
   * scan, no COW rewrite, no driver-side key materialization — the SQL
   * face of the keyed-CDC shape [[LakehouseTable.deleteEq]] provides
-  * natively. (Literal `k = v` / `k IN (v, …)` deletes already reach
+  * natively (whose composite overload is field-list-valued for exactly
+  * this). (Literal `k = v` / `k IN (v, …)` deletes already reach
   * the tier through the SupportsDelete path; subqueries never can,
   * because DSv2 source filters carry only literals.)
   *
   * Injected as a RESOLUTION rule ([[graft.GraftExtensions]]): it must
   * fire before the analyzer's DML-rewrite batch turns the statement
   * into a group-based ReplaceData plan. Anything but an uncorrelated
-  * single-column IN-subquery on an equality-mode writable graft table
-  * is left untouched for the existing paths (metadata-only truncate,
-  * MOR position vector, or group-based copy-on-write). */
+  * attribute-tuple IN-subquery on an equality-mode writable graft
+  * table is left untouched for the existing paths (metadata-only
+  * truncate, MOR position vector, or group-based copy-on-write). */
 case class EqDeleteRoute(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     // The analyzer's RewriteDeleteFromTable runs in the same Resolution
@@ -41,10 +43,13 @@ case class EqDeleteRoute(session: SparkSession) extends Rule[LogicalPlan] {
             if op.isWritable &&
               op.props.get("write.delete.mode").contains("equality") =>
           rd.condition match {
-            case InSubquery(Seq(a: AttributeReference), lq: ListQuery)
-                if lq.outerAttrs.isEmpty && lq.plan.output.size == 1 =>
+            case InSubquery(attrs, lq: ListQuery)
+                if lq.outerAttrs.isEmpty &&
+                  attrs.forall(_.isInstanceOf[AttributeReference]) &&
+                  lq.plan.output.size == attrs.size =>
               GraftEqDeleteCommand(op.backingCatalog, op.backingNamespace,
-                op.backingTable, a.name, lq.plan)
+                op.backingTable,
+                attrs.map(_.asInstanceOf[AttributeReference].name), lq.plan)
             case _ => plan
           }
         case _ => plan
@@ -59,10 +64,13 @@ case class EqDeleteRoute(session: SparkSession) extends Rule[LogicalPlan] {
                 if t.isWritable &&
                   t.props.get("write.delete.mode").contains("equality") =>
               cond match {
-                case InSubquery(Seq(a: AttributeReference), lq: ListQuery)
-                    if lq.outerAttrs.isEmpty && lq.plan.output.size == 1 =>
+                case InSubquery(attrs, lq: ListQuery)
+                    if lq.outerAttrs.isEmpty &&
+                      attrs.forall(_.isInstanceOf[AttributeReference]) &&
+                      lq.plan.output.size == attrs.size =>
                   GraftEqDeleteCommand(t.backingCatalog, t.backingNamespace,
-                    t.backingTable, a.name, lq.plan)
+                    t.backingTable,
+                    attrs.map(_.asInstanceOf[AttributeReference].name), lq.plan)
                 case _ => plan
               }
             case _ => plan
@@ -103,7 +111,7 @@ case class GraftEqDeleteCommand(
     backing: Catalog,
     ns: String,
     tbl: String,
-    key: String,
+    keys: Seq[String],
     keysPlan: LogicalPlan) extends LeafRunnableCommand {
   override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] =
     Seq(keysPlan)
@@ -117,8 +125,11 @@ case class GraftEqDeleteCommand(
       val conv = CatalystTypeConverters.createToScalaConverter(schema)
       it.map(ir => conv(ir.copy()).asInstanceOf[Row])
     }
-    val keys = session.createDataFrame(rows, schema)
-    LakehouseTable.load(backing, session, ns, tbl).deleteEq(key, keys)
+    // null-bearing tuples can never satisfy SQL (k1,k2) IN (…) — a row
+    // is deleted only when the predicate is TRUE — so they drop here
+    // (exact SQL semantics) instead of tripping deleteEq's feed guard
+    val keyDf = session.createDataFrame(rows, schema).na.drop("any")
+    LakehouseTable.load(backing, session, ns, tbl).deleteEq(keys, keyDf)
     Seq.empty
   }
 }

@@ -31,7 +31,7 @@ private[sql] object GraftProcedures {
   val Names: Seq[String] =
     Seq("compact", "expire_snapshots", "expire_snapshots_older_than",
       "vacuum", "set_ref", "drop_ref", "fast_forward", "rollback_to_snapshot",
-      "update_partition_spec", "rewrite_data_files")
+      "update_partition_spec", "rewrite_data_files", "create_changelog_view")
 
   def load(catName: String, name: String, backing: Catalog): UnboundProcedure =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -175,6 +175,34 @@ private[sql] object GraftProcedures {
         row(snap.snapshotId,
           snap.summary.get("rewritten-files").map(_.toInt).getOrElse(0),
           snap.summary.get("carried-files").map(_.toInt).getOrElse(0))
+      }
+      case "create_changelog_view" => proc(name,
+        "register the row-level changelog of (from_snapshot, to_snapshot] " +
+          "as a temp view (Iceberg's create_changelog_view): rows stamped " +
+          "_change_type/_commit_snapshot_id/_commit_timestamp; " +
+          "to_snapshot = 0 means current; identifier_columns (comma list, " +
+          "may be empty) refines same-commit delete+insert pairs into " +
+          "update_preimage/update_postimage images",
+        Seq("ns" -> StringType, "tbl" -> StringType, "view_name" -> StringType,
+          "from_snapshot" -> LongType, "to_snapshot" -> LongType,
+          "identifier_columns" -> StringType),
+        StructType(Seq(
+          StructField("view_name", StringType, nullable = false),
+          StructField("from_snapshot", LongType, nullable = false),
+          StructField("to_snapshot", LongType, nullable = false)))) { in =>
+        val (ns, t) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString)
+        val viewName = in.getUTF8String(2).toString
+        val from = in.getLong(3)
+        val toOpt = in.getLong(4) match { case 0L => None; case v => Some(v) }
+        val keys = in.getUTF8String(5).toString.split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        val tbl = LakehouseTable.load(backing, SparkSession.active, ns, t)
+        val ch =
+          if (keys.isEmpty) tbl.scanChanges(from, toOpt)
+          else tbl.scanChangesKeyed(keys, from, toOpt)
+        ch.createOrReplaceTempView(viewName)
+        row(UTF8String.fromString(viewName), from,
+          toOpt.getOrElse(tbl.currentSnapshotId))
       }
       case other => throw new UnsupportedOperationException(
         s"$catName has no procedure '$other' — available: ${Names.mkString(", ")}")

@@ -189,14 +189,14 @@ private[sql] final class GraftSqlTable(
     ()
   }
   /** MICRO_BATCH_READ (streaming tail, [[GraftMicroBatchStream]]) is
-    * advertised only for the current-snapshot relation without
-    * outstanding MOR position vectors: time-travel relations are
-    * frozen, and a vector subtraction is not expressible as a stream of
-    * file adds — Spark then refuses the readStream up front instead of
-    * failing the first batch. Outstanding EQUALITY deletes keep the
-    * capability: the stream crosses them at batch boundaries (their
-    * keys apply only to rows already emitted — see
-    * [[GraftMicroBatchStream]]). */
+    * advertised for every writable current-snapshot relation
+    * (time-travel relations are frozen). Outstanding deletes — both
+    * EQUALITY key files and MOR position vectors — stream with skip
+    * semantics: admission closes batches at delete boundaries, so a
+    * crossed delete only touches rows already emitted (see
+    * [[GraftMicroBatchStream]]); the one hard refusal left is a virgin
+    * stream whose initial content itself carries deletes
+    * (checkpoint-folded state), raised descriptively at plan time. */
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps =
       if (!writable) java.util.EnumSet.of(TableCapability.BATCH_READ)
@@ -205,8 +205,7 @@ private[sql] final class GraftSqlTable(
           TableCapability.TRUNCATE)
       else java.util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
-    if (writable && deleteFiles.forall(graft.table.EqDeletes.isEq))
-      caps.add(TableCapability.MICRO_BATCH_READ)
+    if (writable) caps.add(TableCapability.MICRO_BATCH_READ)
     caps
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -1256,11 +1255,11 @@ private[sql] final class GraftScanBuilder(
         if (orderedEntries.nonEmpty) orderedEntries else files ++ deleteFiles,
         f => keptPaths(f.path))
       val dataSize = kept.map(_.sizeBytes).sum
-      // an eq-delete-only relation still answers readStream (the
-      // micro-batch stream plans from the log, not from this scan);
-      // position vectors keep streaming refused via capabilities()
-      (streamCtx, deleteFiles.forall(graft.table.EqDeletes.isEq)) match {
-        case (Some((b, n, t)), true) =>
+      // a delete-carrying relation still answers readStream (the
+      // micro-batch stream plans from the log, not from this scan;
+      // deletes cross at batch boundaries with skip semantics)
+      streamCtx match {
+        case Some((b, n, t)) =>
           new V1Scan {
             override def readSchema(): StructType = requiredSchema
             override def toV1TableScan[T <: BaseRelation with TableScan](
@@ -1904,7 +1903,10 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
   // `bucket` here is what lets two graft tables' bucket partitionings
   // match (the Iceberg `system.bucket` pattern).
 
+  // truncate serves as a width-per-name unary family (truncate_<w>) —
+  // resolvable by loadFunction but not enumerable here
   private val spjFunctionNames = Seq("bucket", "days", "hours", "months", "years")
+  private val TruncateFnRe = """truncate_(\d+)""".r
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
@@ -1915,6 +1917,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     ident.name.toLowerCase(java.util.Locale.ROOT) match {
       case "bucket" => GraftBucketUnbound
+      case TruncateFnRe(w) => new GraftTruncateUnbound(w.toInt)
       case t @ ("days" | "hours" | "months" | "years") => new GraftTimeUnbound(t)
       case _ => throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchFunctionException(ident)

@@ -119,7 +119,7 @@ private[sql] object SpjKeys {
   import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions}
   import org.apache.spark.sql.types._
   import graft.catalog.DataFileEntry
-  import graft.table.{BucketField, DaysField, HoursField, IdentityField, MonthsField, PartField, YearsField}
+  import graft.table.{BucketField, DaysField, HoursField, IdentityField, MonthsField, PartField, TruncateField, YearsField}
 
   def build(tableSchema: StructType, partitionCols: Seq[String],
       files: Seq[DataFileEntry]): Option[SpjKeys] = {
@@ -157,7 +157,23 @@ private[sql] object SpjKeys {
           val fd = field(src).getOrElse(return None)
           (pf, Expressions.years(fd.name): V2Expression,
             (s: String) => convert(s, IntegerType))
-        case _ => return None // truncate: no canonical V2 transform
+        // truncate rides as a width-per-name UNARY transform
+        // (`truncate_<w>(col)`, GraftTruncateUnbound): Spark's SPJ
+        // machinery admits only single-child transform expressions, so
+        // the width lives in the function name. String keys are the
+        // stored prefix, integral keys the stored long multiple (a
+        // wrap-range value near Long.MinValue fails the long parse and
+        // withdraws the report — conservative).
+        case pf @ TruncateField(w, src) =>
+          val fd = field(src).getOrElse(return None)
+          val keyType = fd.dataType match {
+            case StringType => StringType
+            case IntegerType | LongType | ShortType | ByteType => LongType
+            case _ => return None
+          }
+          (pf, Expressions.apply(s"truncate_$w",
+              Expressions.column(fd.name)): V2Expression,
+            (s: String) => convert(s, keyType))
       }
     val rows = files.map { f =>
       val vs = plan.map { case (pf, _, conv) =>
@@ -219,16 +235,19 @@ private[sql] final class KeyedFilePartition(
   * against this source requires nothing from the table but its log.
   *
   * Append-only contract: a reset commit (overwrite / COW delete /
-  * replace) or a merge-on-read POSITION delete inside an unconsumed
-  * range fails the stream loudly — its delta is not expressible as
-  * file adds. An EQUALITY delete streams through: admission control
-  * closes the running batch at the delete's boundary, so when the
-  * delete is crossed every row its keys match (files before it in
-  * replay order) has already been emitted by earlier batches and the
-  * commit is a content no-op for the tail — the Iceberg
-  * skip-delete-snapshots / Delta ignoreDeletes semantics, derived here
-  * from replay order instead of an opt-in flag. (A sink needing
-  * retraction consumes scanIncremental or re-reads the table.)
+  * replace) inside an unconsumed range fails the stream loudly — its
+  * delta is not expressible as file adds. DELETES stream through with
+  * skip semantics: admission control closes the running batch at an
+  * equality-delete or position-delete boundary, so when the delete is
+  * crossed every row it matches (files before it in replay order) has
+  * already been emitted by earlier batches and the commit is a content
+  * no-op for the tail — the Iceberg skip-delete-snapshots / Delta
+  * ignoreDeletes semantics, derived here from replay order instead of
+  * an opt-in flag. (A sink needing retraction consumes the
+  * `graft-changes` feed or re-reads the table.) The only hard vector
+  * refusal left is a VIRGIN stream whose initial content itself
+  * carries outstanding deletes (checkpoint-folded state): that content
+  * is not a plain file list — compact first.
   * Automatic checkpoint folds and WAP-staged branch commits are content
   * no-ops on main and stream through silently. Admission control:
   * `maxFilesPerTrigger` bounds each batch by walking snapshot
@@ -332,7 +351,7 @@ private[graft] final class GraftMicroBatchStream(
   private def admissibleEnd(startV: Long, cap: Long, maxFiles: Long): Long = {
     val snaps = mainSnaps().filter(_.snapshotId <= cap)
     val crossable = Set(Snaplog.OpAppend, Snaplog.OpAddFiles,
-      Snaplog.OpCheckpoint, Snaplog.OpEqDelete)
+      Snaplog.OpCheckpoint, Snaplog.OpEqDelete, Snaplog.OpMorDelete)
     // the initial catch-up batch starts from the latest reset's
     // self-contained live set (everything older folded into it)
     var end = startV
@@ -354,11 +373,13 @@ private[graft] final class GraftMicroBatchStream(
         // uncrossable next commit with no progress yet → surface the error
         return if (end == startV) cap else end
       }
-      if (sn.operation == Snaplog.OpEqDelete) {
+      if (sn.operation == Snaplog.OpEqDelete ||
+          sn.operation == Snaplog.OpMorDelete) {
         // the delete part must LEAD the batch (skip semantics hold only
         // when every row it matches was emitted by earlier batches); a
         // MERGE commit additionally carries data files after its key
-        // file — they count like an append's
+        // file — they count like an append's (a position-delete commit
+        // carries only vectors, contributing nothing)
         if (hasAdds) return end
         val added = sn.files.count(f => !f.deleteFile.contains(true)).toLong
         if (end != startV && budget - added < 0) return end
@@ -418,7 +439,7 @@ private[graft] final class GraftMicroBatchStream(
       s"streaming read of $ns.$tbl: checkpointed snapshot $s is no longer " +
         "in the log (expired?) — restart from a fresh checkpoint")
     val entries =
-      try backing.addedEntriesBetween(ns, tbl, s, e)
+      try backing.addedEntriesBetween(ns, tbl, s, e, admitLeadingVectors = true)
       catch {
         case ex: IllegalArgumentException =>
           throw new IllegalArgumentException(

@@ -34,8 +34,13 @@ private[graft] final class GraftBucketBound(valueType: DataType)
   override def resultType(): DataType = IntegerType
   override def name(): String = "bucket"
   /** BOTH join sides must report the identical canonical name for
-    * Spark to treat their partitionings as compatible. */
-  override def canonicalName(): String = "graft.bucket"
+    * Spark to treat their partitionings as compatible — and the name
+    * must carry the BOUND VALUE TYPE: xxhash64 of an INT and a BIGINT
+    * differ for equal numeric values, so tables bucketed on
+    * differently-typed keys must NOT report compatible functions
+    * (Iceberg's system.bucket makes the same distinction). */
+  override def canonicalName(): String =
+    s"graft.bucket(${valueType.catalogString})"
   override def isResultNullable: Boolean = true
   override def produceResult(input: InternalRow): Integer = {
     if (input.isNullAt(1)) return null
@@ -46,6 +51,72 @@ private[graft] final class GraftBucketBound(valueType: DataType)
     val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
       .hash(v, valueType, 42L)
     Int.box(Math.floorMod(h, n.toLong).toInt)
+  }
+}
+
+/** The `truncate` partition transform as a V2 function — the same
+  * arithmetic as the write path's
+  * [[graft.table.TruncateField.expr]]: leading-codepoints prefix for
+  * STRING sources, `v - floorMod(v, width)` for integral sources — so
+  * two truncate-partitioned tables' reports resolve to one canonical
+  * function and their key joins plan shuffle-free.
+  *
+  * The WIDTH is encoded in the function NAME (`truncate_10(col)`),
+  * not passed as an argument: Spark's
+  * `KeyGroupedPartitioning.supportsExpressions` admits only
+  * single-child transform expressions (bucket alone gets its
+  * numBuckets carried out-of-band), so the Iceberg-style two-argument
+  * `truncate(width, col)` can never ride a storage-partitioned join —
+  * a width-per-name family of unary functions, served by this
+  * catalog, can. Integral results are LONG regardless of source width
+  * (matching the stored layout value, the long multiple); the
+  * canonical name carries the width AND the bound source type, since
+  * different widths — like a string prefix vs an integral multiple —
+  * are incomparable partitionings. */
+private[graft] final class GraftTruncateUnbound(width: Int) extends UnboundFunction {
+  require(width > 0, s"truncate width must be positive, got $width")
+  override def name(): String = s"truncate_$width"
+  override def description(): String =
+    s"truncate_$width(col): leading-codepoints prefix (string) or the " +
+      s"width-$width multiple at or below the value (integral) — the " +
+      "graft truncate partition transform"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1,
+      s"truncate_$width expects one argument, got ${inputType.simpleString}")
+    inputType.fields(0).dataType match {
+      case StringType | IntegerType | LongType | ShortType | ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"truncate: unsupported source type ${other.simpleString}")
+    }
+    new GraftTruncateBound(width, inputType.fields(0).dataType)
+  }
+}
+
+private[graft] final class GraftTruncateBound(width: Int, valueType: DataType)
+    extends ScalarFunction[Any] {
+  override def inputTypes(): Array[DataType] = Array(valueType)
+  override def resultType(): DataType =
+    if (valueType == StringType) StringType else LongType
+  override def name(): String = s"truncate_$width"
+  override def canonicalName(): String =
+    s"graft.truncate($width, ${valueType.catalogString})"
+  override def isResultNullable: Boolean = true
+  override def produceResult(input: InternalRow): Any = {
+    if (input.isNullAt(0)) return null
+    valueType match {
+      case StringType =>
+        // substringSQL counts codepoints exactly like the write side's
+        // functions.substring
+        input.getUTF8String(0).substringSQL(1, width)
+      case _ =>
+        val v: Long = valueType match {
+          case LongType => input.getLong(0)
+          case IntegerType => input.getInt(0).toLong
+          case ShortType => input.getShort(0).toLong
+          case _ => input.getByte(0).toLong
+        }
+        Long.box(v - Math.floorMod(v, width.toLong))
+    }
   }
 }
 

@@ -70,6 +70,17 @@ class SimilaritySpec extends SparkSpec {
     assert(got1.forall { case (q, v) => q != v }, "no self matches")
   }
 
+  test("LSH with planeBits = 0 equals brute force exactly (the oracle twin)") {
+    val queries = emb.filter($"vec_id" < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"query_id", $"rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val exact = rows(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5))
+    val degenerate = rows(Similarity.lshCosineTopK(emb, queries, "vec_id", "embedding",
+      k = 5, dim = 64, planeBits = 0))
+    assert(degenerate == exact, "one bucket ⇒ full probe ⇒ brute force, bit-exact")
+  }
+
   test("IVF top-k: deterministic training, well-formed output, recall scales with nprobe") {
     val queries = emb.filter($"vec_id" < 20)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)

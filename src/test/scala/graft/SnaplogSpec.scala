@@ -1149,6 +1149,21 @@ abstract class CatalogContractSpec extends SparkSpec {
       s"conjunction DELETE should take the composite equality tier: $cdels")
     assert(spark.sql(s"SELECT v FROM $cn.ns.cdc2 ORDER BY v").collect()
       .map(_.getString(0)).toSeq == Seq("a", "c"))
+    // COMPOSITE-key IN-subquery: (uid, region) IN (SELECT …) lands ONE
+    // tuple-valued delete file — zero data scan; a null-bearing feed
+    // tuple matches nothing (SQL semantics) and drops silently
+    Seq((Some(2L), Some("us")), (Some(7L), Some("eu")), (Some(1L), None))
+      .toDF("uid", "region").createOrReplaceTempView("eqroute_feed2")
+    val data2Before = cat.liveFiles("ns", "cdc2").map(_.path).toSet
+    spark.sql(s"""DELETE FROM $cn.ns.cdc2
+      WHERE (uid, region) IN (SELECT uid, region FROM eqroute_feed2)""")
+    assert(cat.liveFiles("ns", "cdc2").map(_.path).toSet == data2Before,
+      "composite IN-subquery delete must not rewrite data files")
+    val cdels2 = cat.liveDeleteFiles("ns", "cdc2")
+    assert(cdels2.size == 2 && cdels2.last.equalityKey.contains("uid,region"),
+      s"expected a second composite equality entry: $cdels2")
+    assert(spark.sql(s"SELECT v FROM $cn.ns.cdc2 ORDER BY v").collect()
+      .map(_.getString(0)).toSeq == Seq("a"))
 
     // without equality mode the same statement stays on the COW path
     spark.sql(s"""CREATE TABLE $cn.ns.cow (id BIGINT, v STRING)""")

@@ -127,6 +127,81 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("truncate-partitioned join on the source column plans without shuffles") {
+    val wh = Files.createTempDirectory("graft-spj-trunc").toString
+    val cat = new Snaplog(wh)
+    val a = LakehouseTable.create(cat, spark, "ns", "ta", df(1, "x").schema,
+      Seq("truncate(10,id)"))
+    val b = LakehouseTable.create(cat, spark, "ns", "tb", df(1, "x").schema,
+      Seq("truncate(10,id)"))
+    a.append(df(40, "a"))
+    b.append(df(20, "b"))
+    spark.conf.set("spark.sql.catalog.gspjt", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gspjt.warehouse", wh)
+    withSpjConf {
+      val j = spark.table("gspjt.ns.ta").select($"id", $"payload".as("pa"))
+        .join(spark.table("gspjt.ns.tb").select($"id", $"payload".as("pb")), "id")
+      assert(shuffles(j) == 0, j.queryExecution.executedPlan.toString)
+      assert(j.count() == 20) // ids 1..20 exist on both sides
+      // id-grouped aggregate also co-locates (equal ids ⊆ same width-10
+      // range) — shuffle-free and exact
+      val g = spark.table("gspjt.ns.ta").groupBy("id").agg(count(lit(1)).as("n"))
+      assert(shuffles(g) == 0, g.queryExecution.executedPlan.toString)
+      assert(g.count() == 40 && g.collect().forall(_.getLong(1) == 1L))
+    }
+    // STRING truncate co-locates too: prefix keys ride as strings
+    val sa = LakehouseTable.create(cat, spark, "ns", "sa", df(1, "x").schema,
+      Seq("truncate(2,grp)"))
+    val sb = LakehouseTable.create(cat, spark, "ns", "sb", df(1, "x").schema,
+      Seq("truncate(2,grp)"))
+    sa.append(df(16, "a"))
+    sb.append(df(8, "b"))
+    withSpjConf {
+      val j = spark.table("gspjt.ns.sa").select($"grp", $"id".as("ia"))
+        .join(spark.table("gspjt.ns.sb").select($"grp", $"id".as("ib")), "grp")
+      assert(shuffles(j) == 0, j.queryExecution.executedPlan.toString)
+      assert(j.count() == (1 to 16).map(i =>
+        (1 to 8).count(k => k % 4 == i % 4)).sum)
+    }
+  }
+
+  test("v2 truncate function agrees with the write-path transform") {
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, Literal}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    val boundI = new graft.sql.GraftTruncateUnbound(10)
+      .bind(StructType(Seq(StructField("v", LongType))))
+      .asInstanceOf[graft.sql.GraftTruncateBound]
+    val tf = graft.table.TruncateField(10, "id")
+    Seq(0L, 7L, 10L, 99L, -1L, -10L, -11L).foreach { v =>
+      val viaFn = boundI
+        .produceResult(new GenericInternalRow(Array[Any](v))).toString
+      assert(tf.ofCatalyst(Literal(v)).contains(viaFn),
+        s"truncate($v): function $viaFn vs write ${tf.ofCatalyst(Literal(v))}")
+    }
+    val boundS = new graft.sql.GraftTruncateUnbound(2)
+      .bind(StructType(Seq(StructField("v", StringType))))
+      .asInstanceOf[graft.sql.GraftTruncateBound]
+    val ts = graft.table.TruncateField(2, "grp")
+    Seq("", "a", "ab", "abcd", "日本語テキスト").foreach { v =>
+      val viaFn = boundS.produceResult(new GenericInternalRow(
+        Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(v))))
+        .toString
+      assert(ts.ofCatalyst(Literal(v)).contains(viaFn),
+        s"truncate('$v'): function $viaFn vs write ${ts.ofCatalyst(Literal(v))}")
+    }
+    // typed canonical names: INT and BIGINT buckets must not match,
+    // nor may two truncate widths (or types)
+    val bi = graft.sql.GraftBucketUnbound.bind(StructType(Seq(
+      StructField("n", IntegerType), StructField("v", IntegerType))))
+    val bl = graft.sql.GraftBucketUnbound.bind(StructType(Seq(
+      StructField("n", IntegerType), StructField("v", LongType))))
+    assert(bi.canonicalName() != bl.canonicalName())
+    val t5 = new graft.sql.GraftTruncateUnbound(5)
+      .bind(StructType(Seq(StructField("v", LongType))))
+    assert(t5.canonicalName() != boundI.canonicalName())
+    assert(boundS.canonicalName() != boundI.canonicalName())
+  }
+
   test("v2 bucket function agrees with the write-path transform") {
     import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, Literal}
     import org.apache.spark.sql.types.{IntegerType, StructField, StructType}

@@ -877,6 +877,42 @@ class SqlCatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql("CALL gsqlcall.other.compact('ns', 'pc', '')") }
   }
 
+  test("CALL create_changelog_view registers keyed update images as a view") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-sqlclv").toString
+    val cat = new Snaplog(wh)
+    val df = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "v", "x")
+    val tbl = LakehouseTable.create(cat, spark, "ns", "clv", df.schema)
+    tbl.append(df)                                          // snap 1
+    val from = tbl.currentSnapshotId
+    graft.pipeline.Upsert.upsertTable(tbl,                  // snap 2 (merge)
+      Seq((2L, "b2", 22), (4L, "d", 40)).toDF("id", "v", "x"), Seq("id"))
+    spark.conf.set("spark.sql.catalog.gsqlclv", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlclv.warehouse", wh)
+    val r = spark.sql(
+      s"CALL gsqlclv.system.create_changelog_view('ns', 'clv', 'clv_changes', $from, 0, 'id')")
+      .collect()
+    assert(r.head.getString(0) == "clv_changes" && r.head.getLong(1) == from &&
+      r.head.getLong(2) == tbl.currentSnapshotId)
+    // keyed form: the upserted key pairs into update images, the new
+    // key stays a plain insert — row-exact through plain SQL
+    val got = spark.sql(
+      """SELECT id, v, x, _change_type FROM clv_changes
+         ORDER BY id, _change_type""").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3))).toSeq
+    assert(got == Seq(
+      (2L, "b2", 22, "update_postimage"),
+      (2L, "b", 20, "update_preimage"),
+      (4L, "d", 40, "insert")))
+    // unkeyed form (empty identifier_columns): raw delete+insert rows
+    spark.sql(
+      s"CALL gsqlclv.system.create_changelog_view('ns', 'clv', 'clv_raw', $from, 0, '')")
+    val raw = spark.sql(
+      "SELECT _change_type, COUNT(*) AS n FROM clv_raw GROUP BY 1 ORDER BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(raw == Seq("delete" -> 1L, "insert" -> 2L))
+  }
+
   test("CALL rollback_to_snapshot restores content from SQL") {
     val wh = Files.createTempDirectory("graft-sqlrb").toString
     val cat = new Snaplog(wh)

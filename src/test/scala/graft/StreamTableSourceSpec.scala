@@ -186,20 +186,36 @@ class StreamTableSourceSpec extends SparkSpec {
       == Seq(1, 2, 4, 5, 6))
   }
 
-  test("outstanding MOR vectors refuse the streaming read up front") {
+  test("MOR vectors stream through at batch boundaries with skip semantics") {
     val wh = Files.createTempDirectory("graft-streammor").toString
     val cat = new Snaplog(wh)
     val tbl = LakehouseTable.create(cat, spark, "ns", "m", fixture(1 to 4, "A").schema)
-    tbl.append(fixture(1 to 4, "A"))
-    tbl.deleteMor($"id" === 2)
+    tbl.append(fixture(1 to 4, "A"))                       // snap 1
+    tbl.deleteMor($"id" === 2)                             // snap 2 (vector)
     spark.conf.set("spark.sql.catalog.gsmor", classOf[GraftSqlCatalog].getName)
     spark.conf.set("spark.sql.catalog.gsmor.warehouse", wh)
+    // virgin stream: admission closes the initial batch BEFORE the
+    // vector commit (its content is then a plain file list), then
+    // crosses the vector as a no-op — rows it deleted were already
+    // emitted (skip semantics, like equality deletes; a retraction
+    // consumer uses the graft-changes feed)
     val ckpt = Files.createTempDirectory("graft-streammor-ck").toString
-    intercept[Exception] { runOnce("gsmor.ns.m", ckpt) }
-    // compaction materializes the vector; streaming works again
-    tbl.compact()
+    val out = Files.createTempDirectory("graft-streammor-out").toString
+    assert(runToDir("gsmor.ns.m", ckpt, out) == Seq(1, 2, 3, 4))
+    // delta resume across the consumed vector: only new rows arrive
+    tbl.append(fixture(5 to 6, "B"))                       // snap 3
+    assert(runToDir("gsmor.ns.m", ckpt, out) == Seq(1, 2, 3, 4, 5, 6))
+    // an in-window vector AFTER in-window adds still refuses: replay a
+    // fresh stream over history where adds precede a later vector in
+    // one admission-planned window is impossible, but a fresh virgin
+    // stream sees [append, vector, append] and splits — all rows emit
     val ckpt2 = Files.createTempDirectory("graft-streammor-ck2").toString
-    assert(runOnce("gsmor.ns.m", ckpt2)._1 == Seq(1, 3, 4))
+    val out2 = Files.createTempDirectory("graft-streammor-out2").toString
+    assert(runToDir("gsmor.ns.m", ckpt2, out2) == Seq(1, 2, 3, 4, 5, 6))
+    // a FRESH stream after compaction sees the subtracted content
+    tbl.compact()
+    val ckpt3 = Files.createTempDirectory("graft-streammor-ck3").toString
+    assert(runOnce("gsmor.ns.m", ckpt3)._1 == Seq(1, 3, 4, 5, 6))
   }
 
   test("partitioned tables stream with partition columns intact") {

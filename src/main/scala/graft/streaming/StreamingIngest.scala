@@ -87,9 +87,24 @@ object StreamingIngest {
     * re-invoked over the same table. Without a checkpoint every
     * invocation restarts at batchId 0, so the summary key is scoped by
     * a fresh per-run id instead — replay protection within the run,
-    * never a cross-run skip (which would silently drop new data). */
+    * never a cross-run skip (which would silently drop new data).
+    *
+    * Maintenance cadence: each micro-batch lands as a delta-sized
+    * merge-on-read commit ([[LakehouseTable.mergeDelta]]) carrying one
+    * equality-delete key file, and scans pay one broadcast anti-join
+    * per OUTSTANDING key file — so a long-running sink should
+    * consolidate periodically. `consolidateAfterDeletes = N` (0 = off)
+    * compacts the table whenever the outstanding delete-entry count
+    * reaches N: the rewrite materializes every subtraction, retires
+    * the key files, and resets the replay window, bounding read-side
+    * anti-join depth to N at any stream length. Compaction is a
+    * `replace` (content no-op for the changelog), but like any reset
+    * commit it breaks OTHER streams tailing this table — size N to
+    * your read topology (Iceberg streaming upserts carry the same
+    * compact-vs-tail tension). */
   def upsertEachBatch(stream: DataFrame, table: LakehouseTable,
-      keys: Seq[String], checkpointLocation: Option[String] = None): Long = {
+      keys: Seq[String], checkpointLocation: Option[String] = None,
+      consolidateAfterDeletes: Int = 0): Long = {
     var batches = 0L
     val batchKey = checkpointLocation match {
       case Some(_) => StreamBatchKey
@@ -103,6 +118,10 @@ object StreamingIngest {
         Upsert.upsertTable(table, batch, keys,
           summary = Map(batchKey -> batchId.toString))
         batches += 1
+        if (consolidateAfterDeletes > 0 &&
+            table.catalog.liveDeleteFiles(table.namespace, table.name).size
+              >= consolidateAfterDeletes)
+          table.compact()
       }
     }
     var writer = stream.writeStream

@@ -157,6 +157,27 @@ class MergeDeltaSpec extends SparkSpec {
     assert(runOnce() == Seq(1, 2, 2, 3, 4, 6))
   }
 
+  test("mergeDelta lays out batch files under the partition spec; pruning intact") {
+    val wh = Files.createTempDirectory("graft-md-part").toString
+    val cat = new Snaplog(wh)
+    val df = fixture()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "pm", df.schema, Seq("group"))
+    tbl.append(df)
+    tbl.mergeDelta(Seq("id"),
+      Seq((2, "A", 9.9f, 222), (5, "D", 5.5f, 50))
+        .toDF("id", "group", "value1", "value2"))
+    // the merge commit's data files record partition tuples like any
+    // managed write — metadata pruning keeps working over them
+    val snap = cat.snapshots("ns", "pm").last
+    val data = snap.files.filterNot(_.deleteFile.contains(true))
+    assert(data.nonEmpty && data.forall(_.partitionValues.contains("group")))
+    val pruned = tbl.selectFiles(partitionFilter = Map("group" -> "D"))
+    assert(pruned.nonEmpty && pruned.forall(_.partitionValues.get("group").contains("D")))
+    val got = tbl.scan(partitionFilter = Map("group" -> "A"))
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getInt(3))).toSeq
+    assert(got == Seq((1, 10), (2, 222)))
+  }
+
   test("per-batch commit cost stays batch-sized across a micro-batch sequence") {
     val (cat, tbl) = fresh("cost")
     tbl.append(fixture())

@@ -47,6 +47,42 @@ class StreamingSpec extends SparkSpec {
     assert(got.head.getAs[String]("k") == "a2") // id 1 upserted by the delta
   }
 
+  test("consolidateAfterDeletes bounds outstanding key files and keeps resume exact") {
+    val drop = Files.createTempDirectory("graft-stream-drop3").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt3").toString
+    val df = Seq((1L, "a", 10.0)).toDF("id", "k", "v")
+    (1 to 4).foreach(i =>
+      Seq((i.toLong, s"v$i", i * 10.0), (1L, s"patch$i", 1.0 + i))
+        .toDF("id", "k", "v").coalesce(1).write.mode("append").parquet(drop))
+    val cat = new Snaplog(Files.createTempDirectory("graft-stream-wh3").toString)
+    val table = LakehouseTable.create(cat, spark, "ns", "t", df.schema)
+    def run(): Long = StreamingIngest.upsertEachBatch(
+      StreamingIngest.readParquetStream(spark, drop, df.schema,
+        maxFilesPerTrigger = 1),
+      table, Seq("id"), checkpointLocation = Some(ckpt),
+      consolidateAfterDeletes = 2)
+    assert(run() == 4L)
+    // every time the outstanding key-file count hit 2, a compact
+    // retired them — the read-side anti-join depth stays bounded
+    // (< 2 outstanding after the final consolidation check)
+    assert(cat.liveDeleteFiles("ns", "t").size < 2,
+      s"outstanding deletes: ${cat.liveDeleteFiles("ns", "t").size}")
+    assert(cat.snapshots("ns", "t")
+      .exists(_.operation == graft.catalog.Snaplog.OpReplace))
+    // content exact: one row per key; id 1 carries the LAST-applied
+    // patch (batch order between same-mtime files is not pinned, so
+    // assert the patch family, not a specific batch)
+    val got = table.scan().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    assert(got.head._2.startsWith("patch"))
+    assert(got.tail == Seq((2L, "v2"), (3L, "v3"), (4L, "v4")))
+    // exactly-once across the mid-stream resets: the batch high-water
+    // mark survives compaction and a re-run applies nothing
+    assert(run() == 0L)
+    assert(table.scan().count() == 4)
+  }
+
   test("uncheckpointed re-invocation never skips new data against a stale mark") {
     val drop = Files.createTempDirectory("graft-stream-drop2").toString
     val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))

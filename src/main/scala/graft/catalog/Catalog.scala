@@ -203,8 +203,12 @@ trait Catalog {
           "undefined (the delta is not expressible as file-adds)")
     else {
       val lastVec = between.lastIndexWhere(_.operation == Snaplog.OpMorDelete)
+      // "adds" = commits introducing GENUINELY NEW data — a checkpoint
+      // fold re-lists pre-existing files (content no-op) and must not
+      // count, or a [checkpoint, vector] window would refuse spuriously
       val firstAdd = between.indexWhere(s =>
-        s.files.exists(f => !f.deleteFile.contains(true)))
+        s.operation != Snaplog.OpCheckpoint &&
+          s.files.exists(f => !f.deleteFile.contains(true)))
       require(lastVec < 0 || firstAdd < 0 || lastVec < firstAdd,
         "incremental read: a merge-on-read (position) delete follows " +
           "in-window file adds — its rows would need subtraction; only " +

@@ -911,7 +911,7 @@ object Lakehouse {
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     // STORAGE-PARTITIONED JOIN, TRUNCATE FORM: two fact tables
-    // truncate(1000, key)-partitioned on the join key — the
+    // truncate(100000, key)-partitioned on the join key — the
     // range-friendly sibling of the bucket form (width multiples stay
     // order-preserving, so the same layout also serves range pruning).
     // The width rides in the catalog's unary `truncate_<w>` V2
@@ -924,10 +924,10 @@ object Lakehouse {
         val cat = new Snaplog(whDir)
         val orders = t(s, d, "orders")
         val t1 = LakehouseTable.create(cat, s, "lake", "orders_t1",
-          orders.schema, Seq("truncate(1000,o_orderkey)"))
+          orders.schema, Seq("truncate(100000,o_orderkey)"))
         t1.append(orders.filter(col("o_orderkey") % 2 === 0))
         val t2 = LakehouseTable.create(cat, s, "lake", "orders_t2",
-          orders.schema, Seq("truncate(1000,o_orderkey)"))
+          orders.schema, Seq("truncate(100000,o_orderkey)"))
         t2.append(orders.filter(col("o_orderkey") % 4 === 0))
         val cn = sqlCatalog(s, "gspjt", whDir)
         val pairs = Seq(

@@ -47,6 +47,24 @@ class ChangeFeedStreamSpec extends SparkSpec {
       .toSeq.sorted
   }
 
+  test("merge commits stream through the feed as delete+insert per upserted key") {
+    val (wh, t) = freshTable("merge")
+    t.append(fixture(1, 2, 3))                                   // snap 1
+    val ckpt = Files.createTempDirectory("graft-cf-merge-ck").toString
+    val out = Files.createTempDirectory("graft-cf-merge-out").toString
+    assert(runToDir(wh, "merge", ckpt, out).size == 3)           // initial
+    graft.pipeline.Upsert.upsertTable(t,                         // snap 2
+      Seq((2, "gX", 9.9), (4, "g1", 6.0)).toDF("id", "grp", "v"), Seq("id"))
+    // the merge commit's preimage retraction AND postimage/new inserts
+    // arrive in the same feed batch — the CDC-of-upserts shape
+    val got = runToDir(wh, "merge", ckpt, out)
+      .filter(_._2 == 2L)
+    assert(got == Seq(
+      (ChangeDelete, 2L, 2),    // preimage of the updated key
+      (ChangeInsert, 2L, 2),    // postimage
+      (ChangeInsert, 2L, 4)))   // brand-new key
+  }
+
   test("change feed streams inserts and eq-delete retractions") {
     val (wh, t) = freshTable("basic")
     t.append(fixture(1, 2)) // 1

@@ -178,6 +178,27 @@ class MergeDeltaSpec extends SparkSpec {
     assert(got == Seq((1, 10), (2, 222)))
   }
 
+  test("merge tier runs unchanged on the JDBC catalog backend") {
+    val dir = Files.createTempDirectory("graft-md-jdbc")
+    val cat = new graft.catalog.JdbcCatalog(
+      s"jdbc:derby:$dir/cat;create=true", s"$dir/wh")
+    val df = fixture()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "mj", df.schema)
+    tbl.append(df)
+    val before = cat.liveFiles("ns", "mj").map(_.path).toSet
+    Upsert.upsertTable(tbl,
+      Seq((2, "A", 9.9f, 222), (5, "D", 5.5f, 50))
+        .toDF("id", "group", "value1", "value2"), Seq("id"))
+    val snap = cat.snapshots("ns", "mj").last
+    assert(snap.operation == Snaplog.OpEqDelete &&
+      snap.files.exists(_.deleteFile.contains(true)) &&
+      snap.files.exists(!_.deleteFile.contains(true)))
+    assert(before.subsetOf(cat.liveFiles("ns", "mj").map(_.path).toSet))
+    assert(tbl.scan().orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getInt(3))).toSeq ==
+      Seq((1, 10), (2, 222), (3, 30), (4, 40), (5, 50)))
+  }
+
   test("per-batch commit cost stays batch-sized across a micro-batch sequence") {
     val (cat, tbl) = fresh("cost")
     tbl.append(fixture())

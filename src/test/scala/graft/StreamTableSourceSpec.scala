@@ -218,6 +218,34 @@ class StreamTableSourceSpec extends SparkSpec {
     assert(runOnce("gsmor.ns.m", ckpt3)._1 == Seq(1, 3, 4, 5, 6))
   }
 
+  test("a [checkpoint-fold, vector] window streams through (fold is not an add)") {
+    // regression: the leading-vector guard must not count a checkpoint
+    // fold's RE-LISTED files as in-window adds — a consumed stream that
+    // sees [fold, morDelete] would otherwise refuse spuriously
+    val wh = Files.createTempDirectory("graft-streammorck").toString
+    val cat = new Snaplog(wh, checkpointInterval = 3)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "mc", fixture(1 to 4, "A").schema)
+    tbl.append(fixture(1 to 4, "A"))                       // snap 1
+    spark.conf.set("spark.sql.catalog.gsmorck", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsmorck.warehouse", wh)
+    val ckpt = Files.createTempDirectory("graft-streammorck-ck").toString
+    val out = Files.createTempDirectory("graft-streammorck-out").toString
+    assert(runToDir("gsmorck.ns.mc", ckpt, out) == Seq(1, 2, 3, 4))
+    tbl.append(fixture(5 to 5, "B"))                       // snap 2
+    tbl.deleteMor($"id" === 2)                             // snap 3 (+ auto fold)
+    assert(cat.snapshots("ns", "mc")
+      .exists(_.operation == graft.catalog.Snaplog.OpCheckpoint),
+      "fixture must actually contain a checkpoint fold")
+    tbl.deleteMor($"id" === 3)                             // post-fold vector
+    // resume: the new row arrives; both vectors cross as no-ops
+    assert(runToDir("gsmorck.ns.mc", ckpt, out) == Seq(1, 2, 3, 4, 5))
+    // a fresh stream sees the post-fold live content (subtraction in
+    // the initial batch would need a compact — folded vectors refuse)
+    tbl.compact()
+    val ckpt2 = Files.createTempDirectory("graft-streammorck-ck2").toString
+    assert(runOnce("gsmorck.ns.mc", ckpt2)._1 == Seq(1, 4, 5))
+  }
+
   test("partitioned tables stream with partition columns intact") {
     val wh = Files.createTempDirectory("graft-streampart").toString
     val cat = new Snaplog(wh)

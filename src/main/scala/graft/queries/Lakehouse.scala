@@ -517,6 +517,47 @@ object Lakehouse {
         FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // BLOOM-FILTER SKIPPING (`write.bloom-filter-columns` property):
+    // [min,max] bounds cannot prune point lookups on a high-cardinality
+    // key whose values interleave across files (every file's range
+    // covers every key) — a per-row-group bloom filter answers
+    // "definitely absent" instead, and the parquet reader applies it to
+    // pushed equality/IN predicates automatically. The gate asserts the
+    // filters are physically present in every data file's footer
+    // (in-result), then oracle-checks a point-IN lookup.
+    QueryDef("lake_bloom_skipping",
+      (s, d) => {
+        val cat = new Snaplog(wh("lake_bloom_skipping", d))
+        val orders = t(s, d, "orders")
+        val tbl = LakehouseTable.create(cat, s, "lake", "orders_bloom",
+          orders.schema,
+          properties = Map("write.bloom-filter-columns" -> "o_orderkey"))
+        tbl.append(orders.repartition(4))
+        locally {
+          val conf = s.sessionState.newHadoopConf()
+          cat.liveFiles("lake", "orders_bloom").foreach { f =>
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(f.path), conf))
+            try {
+              import scala.jdk.CollectionConverters._
+              assert(r.getFooter.getBlocks.asScala.forall(
+                _.getColumns.asScala.exists(c =>
+                  c.getPath.toDotString == "o_orderkey" &&
+                    c.getBloomFilterOffset >= 0)),
+                s"no bloom filter for o_orderkey in ${f.path}")
+            } finally r.close()
+          }
+        }
+        tbl.scan()
+          .filter(col("o_orderkey").isin(1L, 7L, 32L, 9999999L))
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey IN (1, 7, 32, 9999999)
+        ORDER BY o_orderkey""")),
+
     // Bucketed co-located join: both sides written bucketed+sorted on
     // the join key → the sort-merge join runs with ZERO exchanges and
     // zero sorts (asserted in PlanAuditSpec). At 100 TB this is the

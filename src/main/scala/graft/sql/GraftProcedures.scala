@@ -31,7 +31,8 @@ private[sql] object GraftProcedures {
   val Names: Seq[String] =
     Seq("compact", "expire_snapshots", "expire_snapshots_older_than",
       "vacuum", "set_ref", "drop_ref", "fast_forward", "rollback_to_snapshot",
-      "update_partition_spec", "rewrite_data_files", "create_changelog_view")
+      "update_partition_spec", "rewrite_data_files", "create_changelog_view",
+      "merge_delta")
 
   def load(catName: String, name: String, backing: Catalog): UnboundProcedure =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -203,6 +204,36 @@ private[sql] object GraftProcedures {
         ch.createOrReplaceTempView(viewName)
         row(UTF8String.fromString(viewName), from,
           toOpt.getOrElse(tbl.currentSnapshotId))
+      }
+      case "merge_delta" => proc(name,
+        "delta-sized merge-on-read MERGE from SQL: upsert the rows of a " +
+          "registered view/table into the target keyed by key_columns " +
+          "(comma list) — ONE commit carrying an equality-delete key file " +
+          "plus the batch's data files; pre-existing files carry by path " +
+          "untouched. A non-empty op_column treats its 'D' rows as " +
+          "deletes (CDC apply); every other op upserts",
+        Seq("ns" -> StringType, "tbl" -> StringType,
+          "key_columns" -> StringType, "source" -> StringType,
+          "op_column" -> StringType),
+        StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("delete_values", LongType, nullable = false),
+          StructField("merged_rows", LongType, nullable = false)))) { in =>
+        val (ns, t) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString)
+        val keys = in.getUTF8String(2).toString.split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        require(keys.nonEmpty, "merge_delta needs at least one key column")
+        val sourceName = in.getUTF8String(3).toString
+        val opCol = in.getUTF8String(4).toString.trim
+        val spark = SparkSession.active
+        val src = spark.table(sourceName)
+        val tbl = LakehouseTable.load(backing, spark, ns, t)
+        val snap =
+          if (opCol.isEmpty) graft.pipeline.Upsert.upsertTable(tbl, src, keys)
+          else graft.pipeline.Upsert.applyChanges(tbl, src, keys, opCol)
+        row(snap.snapshotId,
+          snap.summary.get("delete-values").map(_.toLong).getOrElse(0L),
+          snap.summary.get("merge-rows").map(_.toLong).getOrElse(0L))
       }
       case other => throw new UnsupportedOperationException(
         s"$catName has no procedure '$other' — available: ${Names.mkString(", ")}")

@@ -1593,6 +1593,25 @@ final class LakehouseTable(
     var writer = withLayout.write.mode("overwrite").option("compression", codec)
     m.properties.get("write.max-records-per-file")
       .foreach(v => writer = writer.option("maxRecordsPerFile", v))
+    // `write.bloom-filter-columns=c1,c2`: parquet bloom filters on the
+    // named columns (Iceberg's write.parquet.bloom-filter-enabled /
+    // Delta's dataSkippingStatsColumns analogue). [min,max] bounds
+    // cannot prune POINT lookups on high-cardinality keys whose values
+    // interleave across files (every file's range covers every key);
+    // a bloom filter answers "definitely absent" per ROW GROUP, so
+    // `WHERE key = x` skips row groups inside the files metadata
+    // pruning must keep — the reader applies it to pushed equality/IN
+    // predicates automatically. Costs ~1 MB per column per row group
+    // at the default NDV; the property is the opt-in.
+    m.properties.get("write.bloom-filter-columns")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+      .foreach { c =>
+        require(normalized.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"write.bloom-filter-columns column '$c' not in schema " +
+            s"(${normalized.schema.fieldNames.mkString(", ")})")
+        writer = writer.option(s"parquet.bloom.filter.enabled#$c", "true")
+      }
     if (partFields.nonEmpty)
       writer = writer.partitionBy(partFields.map(pf => layoutCol(pf.fieldName)): _*)
     writer.parquet(commitDir.toString)

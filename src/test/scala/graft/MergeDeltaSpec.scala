@@ -178,6 +178,33 @@ class MergeDeltaSpec extends SparkSpec {
     assert(got == Seq((1, 10), (2, 222)))
   }
 
+  test("composite-key mergeDelta: tuple semantics end-to-end") {
+    val wh = Files.createTempDirectory("graft-md-comp").toString
+    val cat = new Snaplog(wh)
+    val df = Seq((1, "us", 10), (1, "eu", 11), (2, "us", 20))
+      .toDF("uid", "region", "x")
+    val tbl = LakehouseTable.create(cat, spark, "ns", "cm", df.schema)
+    tbl.append(df)
+    // upsert keyed on (uid, region): only the exact tuple is replaced
+    val snap = tbl.mergeDelta(Seq("uid", "region"),
+      Seq((1, "eu", 99), (3, "ap", 30)).toDF("uid", "region", "x"))
+    assert(snap.files.filter(_.deleteFile.contains(true))
+      .forall(_.equalityKey.contains("uid,region")))
+    val got = tbl.scan().orderBy("uid", "region").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got == Seq((1, "eu", 99), (1, "us", 10), (2, "us", 20), (3, "ap", 30)))
+    // changelog pairs the composite tuple into update images
+    val keyed = tbl.scanChangesKeyed(Seq("uid", "region"), 1L)
+      .select(col("uid"), col("region"), col("x"),
+        col(LakehouseTable.ChangeTypeCol))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2),
+        r.getString(3))).toSet
+    assert(keyed == Set(
+      (1, "eu", 11, "update_preimage"),
+      (1, "eu", 99, "update_postimage"),
+      (3, "ap", 30, "insert")))
+  }
+
   test("merge tier runs unchanged on the JDBC catalog backend") {
     val dir = Files.createTempDirectory("graft-md-jdbc")
     val cat = new graft.catalog.JdbcCatalog(

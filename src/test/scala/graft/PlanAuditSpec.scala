@@ -162,6 +162,27 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("exact-twin and containment queries keep the scale plan shapes") {
+    // the degenerate parameterizations must ride the SAME bucket/list/
+    // posting equi-join plans as the production tiers — exactness must
+    // come from the parameters, never from a fallback cross join
+    Seq("ann_lsh_exact", "ann_ivf_exact", "dedup_containment_exact")
+      .foreach { name =>
+        val plan = physical(q(name))
+        assert(!plan.contains("CartesianProduct"), s"$name plans a cross join")
+      }
+  }
+
+  test("merge-on-read upsert commit cost is batch-sized in the plan") {
+    // the gate's own in-result assertions prove carried-by-path; here
+    // the SCAN side: reading the merged table must still pushdown and
+    // never plan a cartesian around the eq-delete anti-joins
+    val plan = physical(q("lake_upsert_merge"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "eq-delete subtraction must broadcast the key set")
+  }
+
   test("bucketed join is co-located: sort-merge joins straight over buckets, zero shuffles") {
     val plan = physical(q("bucketed_colocated_join"))
     assert(plan.contains("SortMergeJoin"), plan.take(800))

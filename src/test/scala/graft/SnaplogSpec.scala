@@ -1254,6 +1254,40 @@ abstract class CatalogContractSpec extends SparkSpec {
     def toSorted: Seq[Int] = a.toSeq.sorted
   }
 
+  test("write.bloom-filter-columns stamps parquet bloom filters; reads exact") {
+    val cat = freshCatalog()
+    val df = (1 to 2000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val tbl = LakehouseTable.create(cat, spark, "ns", "bloom", df.schema,
+      properties = Map("write.bloom-filter-columns" -> "id"))
+    tbl.append(df)
+    // every data file's footer carries a bloom filter for `id` (offset
+    // recorded per row group) and none for the unlisted column
+    val conf = spark.sessionState.newHadoopConf()
+    cat.liveFiles("ns", "bloom").foreach { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.path), conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getBlocks.asScala.foreach { b =>
+          val byName = b.getColumns.asScala.map(c => c.getPath.toDotString -> c).toMap
+          assert(byName("id").getBloomFilterOffset >= 0,
+            s"no bloom filter for 'id' in ${f.path}")
+          assert(byName("v").getBloomFilterOffset < 0,
+            s"unexpected bloom filter for 'v' in ${f.path}")
+        }
+      } finally r.close()
+    }
+    // point lookups through the filtered scan stay exact
+    assert(tbl.scan().filter($"id" === 777L).collect()
+      .map(_.getString(1)).toSeq == Seq("v777"))
+    assert(tbl.scan().filter($"id".isin(5L, 1999L)).count() == 2)
+    // an unknown column in the property refuses loudly at write time
+    val bad = LakehouseTable.create(cat, spark, "ns", "bloom2", df.schema,
+      properties = Map("write.bloom-filter-columns" -> "nope"))
+    intercept[IllegalArgumentException] { bad.append(df) }
+  }
+
   test("write.sort-order clusters appends into disjoint-bound files") {
     val cat = freshCatalog()
     val df = (1 to 40).map(i => (i, s"g${i % 3}")).toDF("id", "g")

@@ -913,6 +913,38 @@ class SqlCatalogSpec extends SparkSpec {
     assert(raw == Seq("delete" -> 1L, "insert" -> 2L))
   }
 
+  test("CALL merge_delta upserts and CDC-applies from SQL, delta-sized") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-sqlmd").toString
+    val cat = new Snaplog(wh)
+    val df = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "v", "x")
+    val tbl = LakehouseTable.create(cat, spark, "ns", "md", df.schema)
+    tbl.append(df)
+    val before = cat.liveFiles("ns", "md").map(_.path).toSet
+    spark.conf.set("spark.sql.catalog.gsqlmd", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlmd.warehouse", wh)
+    Seq((2L, "b2", 22), (4L, "d", 40)).toDF("id", "v", "x")
+      .createOrReplaceTempView("md_feed")
+    val r = spark.sql(
+      "CALL gsqlmd.system.merge_delta('ns', 'md', 'id', 'md_feed', '')").collect()
+    assert(r.head.getLong(1) == 2L && r.head.getLong(2) == 2L,
+      s"expected 2 delete keys + 2 merged rows, got ${r.mkString}")
+    // delta-sized: the original files are untouched and still live
+    assert(before.subsetOf(cat.liveFiles("ns", "md").map(_.path).toSet))
+    assert(cat.snapshots("ns", "md").last.operation ==
+      graft.catalog.Snaplog.OpEqDelete)
+    assert(spark.sql("SELECT id, v FROM gsqlmd.ns.md ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b2"), (3L, "c"), (4L, "d")))
+    // CDC form: an op column routes D rows to the delete feed
+    Seq((1L, "", 0, "D"), (3L, "c2", 33, "U")).toDF("id", "v", "x", "op")
+      .createOrReplaceTempView("md_cdc")
+    spark.sql("CALL gsqlmd.system.merge_delta('ns', 'md', 'id', 'md_cdc', 'op')")
+    assert(spark.sql("SELECT id, v FROM gsqlmd.ns.md ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((2L, "b2"), (3L, "c2"), (4L, "d")))
+  }
+
   test("CALL rollback_to_snapshot restores content from SQL") {
     val wh = Files.createTempDirectory("graft-sqlrb").toString
     val cat = new Snaplog(wh)

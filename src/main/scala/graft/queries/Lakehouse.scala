@@ -558,6 +558,48 @@ object Lakehouse {
         FROM orders WHERE o_orderkey IN (1, 7, 32, 9999999)
         ORDER BY o_orderkey""")),
 
+    // RUNTIME FILE PRUNING (Spark's DSv2 dynamic partition pruning —
+    // Iceberg's SparkScan runtime filtering): the dim side's filter
+    // becomes a fact-side FILE drop at execution. Spark computes the
+    // exact join-key value set from the (broadcast) dim and hands it to
+    // the fact scan, which re-proves each file's recorded partition
+    // value / transform index against it and drops provable misses
+    // BEFORE tasks launch. At 100 TB this is the complement of
+    // broadcast joins: `dim.n_name IN (...)` reads 3 of 25 fact
+    // partitions, not all of them row-filtered. The gate asserts the
+    // pruning actually fired (in-result: kept < planned files), then
+    // oracle-checks the join.
+    QueryDef("lake_runtime_pruning",
+      (s, d) => {
+        val whDir = wh("lake_runtime_pruning", d)
+        val cat = new Snaplog(whDir)
+        val cust = t(s, d, "customer")
+        val facts = LakehouseTable.create(cat, s, "lake", "cust_rp",
+          cust.schema, Seq("c_nationkey"))
+        facts.append(cust)
+        val cn = sqlCatalog(s, "grpq", whDir)
+        graft.sql.GraftStreamableParquetScan.pruneLog.remove("lake.cust_rp")
+        val dim = t(s, d, "nation")
+          .filter(col("n_name").isin("NATION_3", "NATION_7", "NATION_12"))
+        val j = s.table(s"$cn.lake.cust_rp")
+          .join(dim, col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("total_bal"))
+        val rows = j.collect().toSeq
+        val (total, kept) = Option(
+          graft.sql.GraftStreamableParquetScan.pruneLog.get("lake.cust_rp"))
+          .getOrElse(throw new IllegalStateException(
+            "runtime filter never reached the fact scan — DPP not planned"))
+        require(kept < total,
+          s"runtime pruning inert: kept $kept of $total files")
+        s.createDataFrame(rows.asJava, j.schema).orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name, COUNT(*) AS n,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_12')
+        GROUP BY n_name ORDER BY n_name""")),
+
     // Bucketed co-located join: both sides written bucketed+sorted on
     // the join key → the sort-merge join runs with ZERO exchanges and
     // zero sorts (asserted in PlanAuditSpec). At 100 TB this is the

@@ -747,77 +747,14 @@ private[sql] final class GraftRowLevelOperation(
       ()
     }
 
-    /** Conservative may-match of one runtime predicate (an exact IN /
-      * equality value-set over a partition source column) against a
-      * file's recorded partition values. Identity fields prune when
-      * the file records a value, every candidate literal's external
-      * text round-trips the stored segment exactly (string/integral
-      * types — dates/floats arrive in catalyst-internal forms and
-      * never prune via text), and none matches. Transform fields
-      * re-evaluate the writer's transform on each literal through
-      * PartitionTransforms.mayMatch (the catalyst-internal literal IS
-      * the transform's input form — timestamps included), pruning
-      * files whose stored index no candidate reaches. Anything
+    /** Conservative may-match of one runtime predicate against a
+      * file's recorded partition values — the shared evaluator
+      * ([[RuntimePrune]], also the batch read scan's DPP kernel):
+      * identity fields by exact external-text round-trip, transform
+      * fields by re-running the writer's transform; anything
       * unrecognized keeps the file. */
-    private def runtimeAllows(f: DataFileEntry, p: Predicate): Boolean = {
-      def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
-        e match {
-          case nr: NamedReference if nr.fieldNames().length == 1 =>
-            Some(nr.fieldNames()(0))
-          case _ => None
-        }
-      def litText(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
-        e match {
-          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
-            l.dataType() match {
-              case org.apache.spark.sql.types.StringType |
-                   org.apache.spark.sql.types.IntegerType |
-                   org.apache.spark.sql.types.LongType |
-                   org.apache.spark.sql.types.ShortType |
-                   org.apache.spark.sql.types.ByteType =>
-                Option(l.value()).map(String.valueOf)
-              case _ => None
-            }
-          case _ => None
-        }
-      def catalystLits(es: Seq[org.apache.spark.sql.connector.expressions.Expression])
-          : Option[Seq[org.apache.spark.sql.catalyst.expressions.Literal]] = {
-        val ls = es.map {
-          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
-            Some(org.apache.spark.sql.catalyst.expressions.Literal(
-              l.value(), l.dataType()))
-          case _ => None
-        }
-        if (ls.forall(_.isDefined)) Some(ls.flatten) else None
-      }
-      val transformFields = graft.table.PartitionTransforms
-        .parseAll(partitionCols)
-        .filterNot(_.isInstanceOf[graft.table.IdentityField])
-      val ch = p.children()
-      p.name() match {
-        case "IN" | "=" if ch.nonEmpty =>
-          val identityOk = (colOf(ch(0)), ch.drop(1).toSeq.map(litText)) match {
-            case (Some(c), vals) if vals.nonEmpty && vals.forall(_.isDefined) =>
-              f.partitionValues.get(c) match {
-                case Some(stored) => vals.flatten.contains(stored)
-                case None => true // no recorded value: cannot prune
-              }
-            case _ => true
-          }
-          val transformOk = (colOf(ch(0)), catalystLits(ch.drop(1).toSeq)) match {
-            case (Some(c), Some(lits)) if lits.nonEmpty &&
-                transformFields.exists(_.source.equalsIgnoreCase(c)) =>
-              val attr = org.apache.spark.sql.catalyst.expressions
-                .AttributeReference(c, lits.head.dataType)()
-              graft.table.PartitionTransforms.mayMatch(f,
-                org.apache.spark.sql.catalyst.expressions.In(attr, lits),
-                transformFields)
-            case _ => true
-          }
-          identityOk && transformOk
-        case _ => true
-      }
-    }
+    private def runtimeAllows(f: DataFileEntry, p: Predicate): Boolean =
+      RuntimePrune.allows(f, p, partitionCols)
 
     override def toBatch: org.apache.spark.sql.connector.read.Batch = {
       val affected = runtimeKept.getOrElse(affectedFiles(branchFilters)).map(_.path)
@@ -1300,7 +1237,8 @@ private[sql] final class GraftScanBuilder(
         case (ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
             Some((backing, ns, tbl))) =>
           new GraftStreamableParquetScan(ps, tableSchema, backing, ns, tbl,
-            options, SpjKeys.build(tableSchema, partitionCols, kept))
+            options, SpjKeys.build(tableSchema, partitionCols, kept),
+            partitionCols, kept)
         case _ => scan
       }
   }

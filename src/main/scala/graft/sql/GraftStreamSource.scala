@@ -45,12 +45,17 @@ private[sql] final class GraftStreamableParquetScan(
     ns: String,
     tbl: String,
     options: CaseInsensitiveStringMap,
-    spj: Option[SpjKeys] = None)
+    spj: Option[SpjKeys] = None,
+    partitionCols: Seq[String] = Seq.empty,
+    entries: Seq[graft.catalog.DataFileEntry] = Seq.empty)
     extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
       base.dataSchema, base.readDataSchema, base.readPartitionSchema,
       base.pushedFilters, base.options, base.pushedAggregate,
       base.partitionFilters, base.dataFilters, base.pushedVariantExtractions)
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
   import org.apache.spark.sql.connector.read.InputPartition
   import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
   import org.apache.spark.sql.execution.datasources.FilePartition
@@ -64,8 +69,58 @@ private[sql] final class GraftStreamableParquetScan(
     case _ => new UnknownPartitioning(0)
   }
 
+  // ---- RUNTIME FILE PRUNING (Spark's DSv2 dynamic partition pruning;
+  // Iceberg's SparkScan runtime filtering). At execution Spark computes
+  // the EXACT join-key value set of the (broadcast) other side and
+  // hands it here as IN/= predicates over the advertised partition
+  // SOURCE columns; files whose recorded identity value / re-run
+  // transform index provably misses every candidate drop BEFORE tasks
+  // launch. At 100 TB this is the fact-side complement of a broadcast
+  // join: a dim filter becomes fact FILE pruning, not per-row
+  // filtering. Composes with an active SPJ report: only original key
+  // groups ever shrink (never new values), and Spark pads emptied
+  // groups with empty partitions after runtime filtering.
+
+  @volatile private var runtimeSkip: Set[String] = Set.empty
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (entries.isEmpty) Array.empty
+    else {
+      // only columns present in THIS scan's (column-pruned) output —
+      // Spark resolves the advertised refs against the scan output and
+      // throws, not skips, on a miss
+      val out = readSchema().fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      graft.table.PartitionTransforms.parseAll(partitionCols)
+        .map(_.source).distinct
+        .filter(s => out(s.toLowerCase(java.util.Locale.ROOT)))
+        .map(Expressions.column).toArray
+    }
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    if (entries.isEmpty) return
+    val skip = entries.filterNot(f =>
+      predicates.forall(p => RuntimePrune.allows(f, p, partitionCols)))
+      .map(f => new org.apache.hadoop.fs.Path(f.path).toUri.getPath).toSet
+    runtimeSkip = skip
+    GraftStreamableParquetScan.pruneLog.put(s"$ns.$tbl",
+      (entries.size, entries.size - skip.size))
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val planned = super.planInputPartitions()
+    val planned0 = super.planInputPartitions()
+    // runtime-pruned files drop here, before (optional) SPJ regrouping
+    val planned =
+      if (runtimeSkip.isEmpty) planned0
+      else {
+        val files = planned0.flatMap {
+          case fp: FilePartition => fp.files
+          case _ => return planned0
+        }
+        val kept = files.filterNot(pf => runtimeSkip(pf.filePath.toUri.getPath))
+        FilePartition.getFilePartitions(sparkSession, kept.toIndexedSeq,
+          sparkSession.sessionState.conf.filesMaxPartitionBytes)
+          .toArray[InputPartition]
+      }
     // regroup ONLY when SPJ can actually use the keys: with the
     // bucketing conf off, Spark ignores HasPartitionKey entirely, and
     // per-key partitions would trade the stock cross-key bin-packing
@@ -97,6 +152,14 @@ private[sql] final class GraftStreamableParquetScan(
         }
     }.toArray
   }
+}
+
+private[graft] object GraftStreamableParquetScan {
+  /** (planned, kept-after-runtime-filter) per `ns.tbl` — a test/gate
+    * observability hook, written only when Spark actually invokes
+    * runtime filtering on a scan. Bounded by table-name count. */
+  val pruneLog =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
 }
 
 /** Partition-key metadata for storage-partitioned joins: the V2 key

@@ -558,6 +558,51 @@ object Lakehouse {
         FROM orders WHERE o_orderkey IN (1, 7, 32, 9999999)
         ORDER BY o_orderkey""")),
 
+    // DELETE-TIER COMPACTION (`rewriteDeleteFiles` — Iceberg's
+    // rewrite_position_delete_files + dangling-delete removal, taken to
+    // completion): outstanding equality deletes / position vectors
+    // retire by re-materializing ONLY the data files they can touch —
+    // a file whose key bounds are provably disjoint from the delete's
+    // recorded key bounds carries BY PATH, unread. The gate appends two
+    // key-disjoint batches, equality-deletes keys from the second, runs
+    // the maintenance, and asserts in-result that (a) no delete entry
+    // survives, (b) the first batch's files carried by path, then
+    // oracle-checks the content.
+    QueryDef("lake_rewrite_deletes",
+      (s, d) => {
+        val whDir = wh("lake_rewrite_deletes", d)
+        val cat = new Snaplog(whDir)
+        val orders = t(s, d, "orders")
+        val tbl = LakehouseTable.create(cat, s, "lake", "orders_rdf",
+          orders.schema)
+        val lo = orders.filter(col("o_orderkey") < 1000)
+        val hi = orders.filter(col("o_orderkey") >= 1000)
+        tbl.append(lo)
+        val loPaths = cat.liveFiles("lake", "orders_rdf").map(_.path).toSet
+        tbl.append(hi)
+        // delete a key range that lives entirely in the second batch
+        val keys = hi.filter(col("o_orderkey") % 10 === 3)
+          .select(col("o_orderkey"))
+        tbl.deleteEq("o_orderkey", keys)
+        val snap = tbl.rewriteDeleteFiles()
+        require(cat.liveDeleteFiles("lake", "orders_rdf").isEmpty,
+          "delete entries survived rewriteDeleteFiles")
+        val after = cat.liveFiles("lake", "orders_rdf").map(_.path).toSet
+        require(loPaths.subsetOf(after),
+          "key-disjoint first batch was rewritten instead of carried")
+        require(snap.summary("rewritten-files").toInt > 0,
+          "nothing rewritten — the delete never applied")
+        tbl.scan()
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        WHERE NOT (o_orderkey >= 1000 AND o_orderkey % 10 = 3)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // RUNTIME FILE PRUNING (Spark's DSv2 dynamic partition pruning —
     // Iceberg's SparkScan runtime filtering): the dim side's filter
     // becomes a fact-side FILE drop at execution. Spark computes the

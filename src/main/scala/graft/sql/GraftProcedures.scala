@@ -31,8 +31,8 @@ private[sql] object GraftProcedures {
   val Names: Seq[String] =
     Seq("compact", "expire_snapshots", "expire_snapshots_older_than",
       "vacuum", "set_ref", "drop_ref", "fast_forward", "rollback_to_snapshot",
-      "update_partition_spec", "rewrite_data_files", "create_changelog_view",
-      "merge_delta")
+      "update_partition_spec", "rewrite_data_files", "rewrite_delete_files",
+      "create_changelog_view", "merge_delta")
 
   def load(catName: String, name: String, backing: Catalog): UnboundProcedure =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -176,6 +176,28 @@ private[sql] object GraftProcedures {
         row(snap.snapshotId,
           snap.summary.get("rewritten-files").map(_.toInt).getOrElse(0),
           snap.summary.get("carried-files").map(_.toInt).getOrElse(0))
+      }
+      case "rewrite_delete_files" => proc(name,
+        "retire the delete tier delta-sized (Iceberg's " +
+          "rewrite_position_delete_files + dangling-delete removal): " +
+          "data files a position vector touches or an equality delete's " +
+          "key bounds overlap re-materialize through MOR application; " +
+          "every other file carries by path; no delete entry survives. " +
+          "Content identical",
+        Seq("ns" -> StringType, "tbl" -> StringType),
+        StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("rewritten_files", IntegerType, nullable = false),
+          StructField("retired_delete_entries", IntegerType, nullable = false),
+          StructField("carried_files", IntegerType, nullable = false)))) { in =>
+        val (ns, t) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString)
+        val tbl = LakehouseTable.load(backing, SparkSession.active, ns, t)
+        val before = tbl.currentSnapshotId
+        val snap = tbl.rewriteDeleteFiles()
+        def c(k: String) = snap.summary.get(k).map(_.toInt).getOrElse(0)
+        row(snap.snapshotId, c("rewritten-files"),
+          if (snap.snapshotId == before) 0 else c("retired-delete-entries"),
+          c("carried-files"))
       }
       case "create_changelog_view" => proc(name,
         "register the row-level changelog of (from_snapshot, to_snapshot] " +

@@ -1910,7 +1910,9 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
               str(f.partitionValues.toSeq.sorted
                 .map { case (k, v) => s"$k=$v" }.mkString(",")))
           (backing.liveFiles(ns, t).map(fr(_, "data")) ++
-            backing.liveDeleteFiles(ns, t).map(fr(_, "position-deletes"))).toArray
+            backing.liveDeleteFiles(ns, t).map(f => fr(f,
+              if (f.equalityKey.isDefined) "equality-deletes"
+              else "position-deletes"))).toArray
         }))
       case "partitions" => Some(new GraftMetaTable(
         s"$catName.$ns.$t.partitions",

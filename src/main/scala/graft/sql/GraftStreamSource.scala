@@ -313,10 +313,12 @@ private[sql] final class KeyedFilePartition(
   * is not a plain file list — compact first.
   * Automatic checkpoint folds and WAP-staged branch commits are content
   * no-ops on main and stream through silently. Admission control:
-  * `maxFilesPerTrigger` bounds each batch by walking snapshot
-  * boundaries (the initial catch-up starts at the latest reset's live
-  * set, then extends append-by-append), and Trigger.AvailableNow pins
-  * the target head at start.
+  * `maxFilesPerTrigger` / `maxBytesPerTrigger` (Delta's rate limits)
+  * bound each batch by walking snapshot boundaries (the initial
+  * catch-up starts at the latest reset's live set, then extends
+  * append-by-append; both budgets may be set — whichever exhausts
+  * first closes the batch), and Trigger.AvailableNow pins the target
+  * head at start.
   *
   * At 100 TB: every planning decision here reads the log, never the
   * data — a year of 10-second appends plans each batch from
@@ -338,6 +340,14 @@ private[graft] final class GraftMicroBatchStream(
     Option(options.get("maxfilespertrigger")).map(_.toInt)
   maxFilesPerTrigger.foreach(n =>
     require(n > 0, s"maxFilesPerTrigger must be positive, got $n"))
+  // byte-based admission (Delta's maxBytesPerTrigger): at 100 TB file
+  // COUNT is a poor proxy for batch cost — one compacted 1 GB file and
+  // one streaming-tail 1 MB file are the same "1 file". Both limits may
+  // be set; a batch closes at whichever budget exhausts first.
+  private val maxBytesPerTrigger: Option[Long] =
+    Option(options.get("maxbytespertrigger")).map(_.toLong)
+  maxBytesPerTrigger.foreach(n =>
+    require(n > 0, s"maxBytesPerTrigger must be positive, got $n"))
 
   /** Trigger.AvailableNow target: pinned once at stream start so the
     * run terminates even while writers keep committing. */
@@ -377,8 +387,15 @@ private[graft] final class GraftMicroBatchStream(
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(headId)
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   override def reportLatestOffset(): Offset = GraftStreamOffset(headId)
 
@@ -391,12 +408,18 @@ private[graft] final class GraftMicroBatchStream(
     val s = start.asInstanceOf[GraftStreamOffset].id
     if (cap <= s) return GraftStreamOffset(s)
     // every limit walks the admission path: equality-delete boundaries
-    // split batches regardless of the file budget
-    val budget = limit match {
-      case mf: ReadMaxFiles => mf.maxFiles.toLong
-      case _ => Long.MaxValue
+    // split batches regardless of the file/byte budget
+    def budgets(l: ReadLimit): (Long, Long) = l match {
+      case mf: ReadMaxFiles => (mf.maxFiles.toLong, Long.MaxValue)
+      case mb: org.apache.spark.sql.connector.read.streaming.ReadMaxBytes =>
+        (Long.MaxValue, mb.maxBytes)
+      case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+        c.getReadLimits.map(budgets).reduce((a, b) =>
+          (math.min(a._1, b._1), math.min(a._2, b._2)))
+      case _ => (Long.MaxValue, Long.MaxValue)
     }
-    GraftStreamOffset(admissibleEnd(s, cap, budget))
+    val (fileBudget, byteBudget) = budgets(limit)
+    GraftStreamOffset(admissibleEnd(s, cap, fileBudget, byteBudget))
   }
 
   /** Pick the furthest snapshot id in (start, cap] whose cumulative
@@ -411,7 +434,8 @@ private[graft] final class GraftMicroBatchStream(
     * exists; if the very first unconsumed commit is uncrossable,
     * returns `cap` so planInputPartitions raises the descriptive
     * append-only error instead of idling forever. */
-  private def admissibleEnd(startV: Long, cap: Long, maxFiles: Long): Long = {
+  private def admissibleEnd(startV: Long, cap: Long, maxFiles: Long,
+      maxBytes: Long = Long.MaxValue): Long = {
     val snaps = mainSnaps().filter(_.snapshotId <= cap)
     val crossable = Set(Snaplog.OpAppend, Snaplog.OpAddFiles,
       Snaplog.OpCheckpoint, Snaplog.OpEqDelete, Snaplog.OpMorDelete)
@@ -419,15 +443,17 @@ private[graft] final class GraftMicroBatchStream(
     // self-contained live set (everything older folded into it)
     var end = startV
     var budget = maxFiles
+    var bytes = maxBytes
     var hasAdds = false
     if (startV == 0L) {
       val resetIdx = snaps.lastIndexWhere(s => Snaplog.ResetOps(s.operation))
       val first = if (resetIdx >= 0) snaps(resetIdx) else snaps.headOption.getOrElse(return cap)
       if (!crossable(first.operation) && resetIdx < 0) return cap
       end = first.snapshotId
-      val initial = backing.liveFiles(ns, tbl, Some(end)).size
-      budget -= initial
-      hasAdds = initial > 0
+      val initial = backing.liveFiles(ns, tbl, Some(end))
+      budget -= initial.size
+      bytes -= initial.map(_.sizeBytes).sum
+      hasAdds = initial.nonEmpty
     }
     var i = snaps.indexWhere(_.snapshotId > end)
     while (i >= 0 && i < snaps.length) {
@@ -444,14 +470,20 @@ private[graft] final class GraftMicroBatchStream(
         // file — they count like an append's (a position-delete commit
         // carries only vectors, contributing nothing)
         if (hasAdds) return end
-        val added = sn.files.count(f => !f.deleteFile.contains(true)).toLong
-        if (end != startV && budget - added < 0) return end
+        val adds = sn.files.filter(f => !f.deleteFile.contains(true))
+        val added = adds.size.toLong
+        val addedBytes = adds.map(_.sizeBytes).sum
+        if (end != startV && (budget - added < 0 || bytes - addedBytes < 0)) return end
         budget -= added
+        bytes -= addedBytes
         if (added > 0) hasAdds = true
       } else {
-        val added = if (sn.operation == Snaplog.OpCheckpoint) 0L else sn.files.size.toLong
-        if (end != startV && budget - added < 0) return end
+        val adds = if (sn.operation == Snaplog.OpCheckpoint) Seq.empty else sn.files
+        val added = adds.size.toLong
+        val addedBytes = adds.map(_.sizeBytes).sum
+        if (end != startV && (budget - added < 0 || bytes - addedBytes < 0)) return end
         budget -= added
+        bytes -= addedBytes
         if (added > 0) hasAdds = true
       }
       end = sn.snapshotId

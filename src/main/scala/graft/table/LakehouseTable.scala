@@ -1214,6 +1214,87 @@ final class LakehouseTable(
       f => !fields.forall(f.partitionValues.contains), targetFileSizeBytes)
   }
 
+  /** Retire the DELETE tier without rewriting untouched data —
+    * Iceberg's `rewrite_position_delete_files` + dangling-delete
+    * removal taken to completion: every data file a delete could
+    * possibly touch re-materializes through full MOR application,
+    * every other live file carries BY PATH, and NO delete entry
+    * survives the commit. Affected =
+    *  - every path an outstanding position vector records (vectors are
+    *    read once; distinct `file_path` is file-count-bounded);
+    *  - for each equality delete, the data files PRECEDING it in
+    *    replay order whose key-column [min,max] bounds OVERLAP the
+    *    delete file's own recorded key bounds (numeric compare, the
+    *    [[selectFiles]] convention) — a provably key-disjoint file
+    *    cannot hold a deleted tuple. Missing stats / non-numeric /
+    *    NaN / evolution-rebound key columns = affected (conservative).
+    * Content is identical before and after (the changelog treats the
+    * replace as a no-op, like [[compact]]). At 100 TB this is the
+    * maintenance move that keeps MOR read amplification bounded
+    * without a full rewrite: last week's CDC deletes touch last
+    * week's files, not the other 99 %.
+    * No outstanding deletes = no-op (current snapshot, no commit). */
+  def rewriteDeleteFiles(
+      targetFileSizeBytes: Long = 512L * 1024 * 1024): Snapshot = {
+    val base = currentSnapshotId
+    val ordered = catalog.liveEntriesOrdered(namespace, name)
+    val deletes = ordered.filter(_.deleteFile.contains(true))
+    if (deletes.isEmpty)
+      return catalog.currentSnapshot(namespace, name).getOrElse(
+        throw new IllegalStateException(
+          s"table $namespace.$name has no snapshots"))
+    val statsUnsafe = graft.types.FieldIds.namesSet(
+      meta.properties, graft.types.FieldIds.StatsUnsafeProp)
+    val posTouched: Set[String] = {
+      val vecs = deletes.filter(EqDeletes.isPos)
+      if (vecs.isEmpty) Set.empty
+      else spark.read.parquet(vecs.map(_.path): _*)
+        .select("file_path").distinct().collect()
+        .map(r => normalizePath(r.getString(0))).toSet
+    }
+    def numeric(b: graft.catalog.ColBounds): Option[(Double, Double)] =
+      try {
+        val (mn, mx) = (b.min.toDouble, b.max.toDouble)
+        if (mn.isNaN || mx.isNaN) None else Some((mn, mx))
+      } catch { case _: NumberFormatException => None }
+    // a preceding data file escapes an equality delete only when some
+    // key column's bounds are provably DISJOINT from the delete file's
+    // own key bounds — then no deleted tuple can match any of its rows
+    def eqAffected(f: DataFileEntry, del: DataFileEntry): Boolean = {
+      val keys = del.equalityKey.toSeq.flatMap(_.split(',')).map(_.trim)
+      !keys.exists { k =>
+        !statsUnsafe(k.toLowerCase(java.util.Locale.ROOT)) && (for {
+          db <- f.columnStats.flatMap(_.get(k)).flatMap(numeric)
+          eb <- del.columnStats.flatMap(_.get(k)).flatMap(numeric)
+        } yield db._2 < eb._1 || db._1 > eb._2).getOrElse(false)
+      }
+    }
+    // one reverse replay walk: a data file is affected by the equality
+    // deletes that FOLLOW it in the listing
+    val laterEq = scala.collection.mutable.ArrayBuffer.empty[DataFileEntry]
+    val eqHit = scala.collection.mutable.Set.empty[String]
+    ordered.reverseIterator.foreach { e =>
+      if (EqDeletes.isEq(e)) laterEq += e
+      else if (!e.deleteFile.contains(true) &&
+          laterEq.exists(del => eqAffected(e, del))) eqHit += e.path
+    }
+    val dataFiles = ordered.filterNot(_.deleteFile.contains(true))
+    val sel = dataFiles.filter(f =>
+      eqHit(f.path) || posTouched(normalizePath(f.path)))
+    val selPaths = sel.map(_.path).toSet
+    val rest = dataFiles.filterNot(f => selPaths(f.path))
+    val totalBytes = math.max(1L, sel.map(_.sizeBytes).sum)
+    val n = math.max(1L,
+      (totalBytes + targetFileSizeBytes - 1) / targetFileSizeBytes).toInt
+    val content = assembleOrdered(ordered, f => selPaths(f.path))
+    writeCommit(Seq(content.repartition(n)), Snaplog.OpReplace,
+      Map("rewritten-files" -> sel.size.toString,
+        "retired-delete-entries" -> deletes.size.toString,
+        "carried-files" -> rest.size.toString),
+      carryFiles = rest, expected = Some(base))
+  }
+
+
   def compact(targetFileSizeBytes: Long = 512L * 1024 * 1024,
       sortBy: Seq[String] = Seq.empty): Snapshot = {
     val base = currentSnapshotId

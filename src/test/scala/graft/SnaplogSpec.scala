@@ -1254,6 +1254,95 @@ abstract class CatalogContractSpec extends SparkSpec {
     def toSorted: Seq[Int] = a.toSeq.sorted
   }
 
+  test("rewriteDeleteFiles retires eq deletes, carries key-disjoint files") {
+    val cat = freshCatalog()
+    val lo = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val hi = (1000 to 1100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val tbl = LakehouseTable.create(cat, spark, "ns", "rdf", lo.schema)
+    tbl.append(lo)
+    val loPaths = cat.liveFiles("ns", "rdf").map(_.path).toSet
+    tbl.append(hi)
+    tbl.deleteEq("id", Seq(1005L, 1050L))
+    val snap = tbl.rewriteDeleteFiles()
+    assert(cat.liveDeleteFiles("ns", "rdf").isEmpty)
+    val after = cat.liveFiles("ns", "rdf").map(_.path).toSet
+    assert(loPaths.subsetOf(after), "disjoint lo batch was rewritten")
+    assert(snap.summary("retired-delete-entries").toInt == 1)
+    assert(snap.summary("rewritten-files").toInt > 0)
+    assert(tbl.scan().count() == 100 + 101 - 2)
+    assert(tbl.scan().filter($"id".isin(1005L, 1050L)).count() == 0)
+    // second call is a no-op: nothing outstanding, no new commit
+    val again = tbl.rewriteDeleteFiles()
+    assert(again.snapshotId == snap.snapshotId)
+  }
+
+  test("rewriteDeleteFiles materializes position vectors, untouched files carry") {
+    val cat = freshCatalog()
+    val a = (1 to 50).map(i => (i.toLong, i % 5)).toDF("id", "g")
+    val b = (51 to 90).map(i => (i.toLong, i % 5)).toDF("id", "g")
+    val tbl = LakehouseTable.create(cat, spark, "ns", "rdfv", a.schema)
+    tbl.append(a)
+    val aPaths = cat.liveFiles("ns", "rdfv").map(_.path).toSet
+    tbl.append(b)
+    // vector touches only batch b rows
+    tbl.deleteMor($"id" >= 60 && $"id" < 70)
+    val snap = tbl.rewriteDeleteFiles()
+    assert(cat.liveDeleteFiles("ns", "rdfv").isEmpty)
+    assert(aPaths.subsetOf(cat.liveFiles("ns", "rdfv").map(_.path).toSet),
+      "vector-untouched batch was rewritten")
+    assert(tbl.scan().count() == 80)
+    assert(tbl.scan().filter($"id" === 65L).count() == 0)
+    assert(snap.summary("rewritten-files").toInt > 0)
+  }
+
+  test("rewriteDeleteFiles retires a dangling delete without touching data") {
+    val cat = freshCatalog()
+    val df = (1 to 40).map(i => (i.toLong, s"x$i")).toDF("id", "v")
+    val tbl = LakehouseTable.create(cat, spark, "ns", "rdfd", df.schema)
+    tbl.append(df)
+    val paths = cat.liveFiles("ns", "rdfd").map(_.path).toSet
+    // keys far outside every file's bounds: provably dangling
+    tbl.deleteEq("id", Seq(100000L))
+    val snap = tbl.rewriteDeleteFiles()
+    assert(cat.liveDeleteFiles("ns", "rdfd").isEmpty)
+    assert(paths.subsetOf(cat.liveFiles("ns", "rdfd").map(_.path).toSet))
+    assert(snap.summary("rewritten-files").toInt == 0)
+    assert(tbl.scan().count() == 40)
+  }
+
+  test("rewriteDeleteFiles composite-key bounds: disjoint on ANY key column carries") {
+    val cat = freshCatalog()
+    val a = (1 to 30).map(i => (i.toLong, "eu", i)).toDF("id", "region", "x")
+    val b = (1 to 30).map(i => (i.toLong + 100, "eu", i)).toDF("id", "region", "x")
+    val tbl = LakehouseTable.create(cat, spark, "ns", "rdfc", a.schema)
+    tbl.append(a)
+    val aPaths = cat.liveFiles("ns", "rdfc").map(_.path).toSet
+    tbl.append(b)
+    tbl.deleteEq(Seq("id", "region"),
+      Seq((105L, "eu"), (110L, "eu")).toDF("id", "region"))
+    tbl.rewriteDeleteFiles()
+    assert(cat.liveDeleteFiles("ns", "rdfc").isEmpty)
+    // batch a: id bounds [1,30] disjoint from delete id bounds [105,110]
+    assert(aPaths.subsetOf(cat.liveFiles("ns", "rdfc").map(_.path).toSet))
+    assert(tbl.scan().count() == 58)
+  }
+
+  test("rewriteDeleteFiles preserves eq-delete replay order exactly") {
+    // key deleted, then re-appended: the re-appended row must survive
+    val cat = freshCatalog()
+    val df = Seq((1L, "old"), (2L, "keep")).toDF("id", "v")
+    val tbl = LakehouseTable.create(cat, spark, "ns", "rdfo", df.schema)
+    tbl.append(df)
+    tbl.deleteEq("id", Seq(1L))
+    tbl.append(Seq((1L, "new")).toDF("id", "v"))
+    tbl.rewriteDeleteFiles()
+    assert(cat.liveDeleteFiles("ns", "rdfo").isEmpty)
+    val got = tbl.scan().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "new"), (2L, "keep")))
+  }
+
+
   test("write.bloom-filter-columns stamps parquet bloom filters; reads exact") {
     val cat = freshCatalog()
     val df = (1 to 2000).map(i => (i.toLong, s"v$i")).toDF("id", "v")

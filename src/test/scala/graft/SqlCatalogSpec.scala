@@ -945,6 +945,26 @@ class SqlCatalogSpec extends SparkSpec {
       Seq((2L, "b2"), (3L, "c2"), (4L, "d")))
   }
 
+  test("CALL rewrite_delete_files retires the delete tier from SQL") {
+    val wh = Files.createTempDirectory("graft-sqlrdf").toString
+    val cat = new Snaplog(wh)
+    val lo = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val hi = (500 to 540).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val tbl = LakehouseTable.create(cat, spark, "ns", "rdf", lo.schema)
+    tbl.append(lo); tbl.append(hi)
+    tbl.deleteEq("id", Seq(510L))
+    spark.conf.set("spark.sql.catalog.gsqlrdf", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlrdf.warehouse", wh)
+    val r = spark.sql("CALL gsqlrdf.system.rewrite_delete_files('ns', 'rdf')")
+      .collect().head
+    assert(r.getInt(1) >= 1, s"rewritten_files: $r")
+    assert(r.getInt(2) == 1, s"retired_delete_entries: $r")
+    assert(r.getInt(3) >= 1, s"carried_files: $r") // lo batch carried
+    assert(cat.liveDeleteFiles("ns", "rdf").isEmpty)
+    assert(spark.sql("SELECT COUNT(*) FROM gsqlrdf.ns.rdf").collect()
+      .head.getLong(0) == 90L)
+  }
+
   test("CALL rollback_to_snapshot restores content from SQL") {
     val wh = Files.createTempDirectory("graft-sqlrb").toString
     val cat = new Snaplog(wh)
@@ -1047,13 +1067,16 @@ class SqlCatalogSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(files == Seq(("data", 2L, 8L)))
 
-    // a MOR delete surfaces as a position-deletes entry
+    // delete entries surface with their Iceberg content kind: a MOR
+    // vector as position-deletes, an equality delete as equality-deletes
     import spark.implicits._
     tbl.deleteMor($"id" === 1)
+    tbl.deleteEq("id", Seq(999))
     val files2 = spark.sql("""SELECT content, COUNT(*) AS n
       FROM gsqlmeta.ns.m.files GROUP BY content ORDER BY content""").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
-    assert(files2 == Seq(("data", 2L), ("position-deletes", 1L)))
+    assert(files2 == Seq(("data", 2L), ("equality-deletes", 1L),
+      ("position-deletes", 1L)))
 
     val refs = spark.sql("SELECT name, type, snapshot_id FROM gsqlmeta.ns.m.refs ORDER BY name")
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq

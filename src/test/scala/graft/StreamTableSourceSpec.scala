@@ -110,6 +110,44 @@ class StreamTableSourceSpec extends SparkSpec {
     assert(batches == 4, s"expected 4 bounded batches, got $batches")
   }
 
+  test("maxBytesPerTrigger bounds batches by size, composing with maxFiles") {
+    val wh = Files.createTempDirectory("graft-streambytes").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "rb", fixture(1 to 1, "A").schema)
+    (1 to 4).foreach(i => tbl.append(fixture(i to i, "A").coalesce(1)))
+    val sizes = cat.liveFiles("ns", "rb").map(_.sizeBytes)
+    assert(sizes.size == 4)
+    spark.conf.set("spark.sql.catalog.gbyte", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbyte.warehouse", wh)
+    // budget of one file's bytes → one commit per batch (same cadence
+    // the file limit would give, proven from the BYTE ledger)
+    val ckpt = Files.createTempDirectory("graft-streambytes-ck").toString
+    val (ids, batches) = runOnce("gbyte.ns.rb", ckpt,
+      Map("maxBytesPerTrigger" -> sizes.max.toString))
+    assert(ids == Seq(1, 2, 3, 4))
+    assert(batches == 4, s"expected 4 byte-bounded batches, got $batches")
+    // a budget covering two files admits two commits per batch
+    val ckpt2 = Files.createTempDirectory("graft-streambytes-ck2").toString
+    val (ids2, batches2) = runOnce("gbyte.ns.rb", ckpt2,
+      Map("maxBytesPerTrigger" -> (sizes.max * 2).toString))
+    assert(ids2 == Seq(1, 2, 3, 4))
+    assert(batches2 == 2, s"expected 2 two-commit batches, got $batches2")
+    // composite: a generous byte budget with maxFilesPerTrigger=1 still
+    // closes per commit — the tighter limit wins
+    val ckpt3 = Files.createTempDirectory("graft-streambytes-ck3").toString
+    val (ids3, batches3) = runOnce("gbyte.ns.rb", ckpt3,
+      Map("maxBytesPerTrigger" -> (sizes.sum * 10).toString,
+        "maxFilesPerTrigger" -> "1"))
+    assert(ids3 == Seq(1, 2, 3, 4))
+    assert(batches3 == 4, s"expected the file limit to win, got $batches3")
+    // zero/negative refuses loudly
+    intercept[Exception] {
+      runOnce("gbyte.ns.rb",
+        Files.createTempDirectory("graft-streambytes-ck4").toString,
+        Map("maxBytesPerTrigger" -> "0"))
+    }
+  }
+
   test("append-only contract: a reset commit inside the range fails loudly") {
     val wh = Files.createTempDirectory("graft-streamreset").toString
     val cat = new Snaplog(wh)

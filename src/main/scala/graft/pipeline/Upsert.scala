@@ -106,14 +106,19 @@ object Upsert {
     // Resolve the winner per key FIRST, over all ops — then the winner's
     // op decides delete vs upsert. Filtering 'D' before the dedup would
     // resurrect keys whose final op is a delete.
+    // winners feeds BOTH mergeDelta inputs (upsert rows + delete keys)
+    // — persist so the dedup shuffle runs once per batch, not per feed
     val winners = dedupIncoming(changes, keys, tiebreak)
-    val isDelete = coalesce(col(opCol) === "D", lit(false))
-    // delta-sized: upserted keys delete their old row via mergeDelta's
-    // own key feed; delete-winner keys ride as extra delete-only keys —
-    // ONE commit, batch-sized, no table scan or rewrite
-    table.mergeDelta(keys, winners.filter(!isDelete),
-      extraDeleteKeys = Some(
-        winners.filter(isDelete).select(keys.map(col): _*)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val isDelete = coalesce(col(opCol) === "D", lit(false))
+      // delta-sized: upserted keys delete their old row via mergeDelta's
+      // own key feed; delete-winner keys ride as extra delete-only keys —
+      // ONE commit, batch-sized, no table scan or rewrite
+      table.mergeDelta(keys, winners.filter(!isDelete),
+        extraDeleteKeys = Some(
+          winners.filter(isDelete).select(keys.map(col): _*)))
+    } finally winners.unpersist(false)
   }
 
   /** The COPY-ON-WRITE form of [[applyChanges]] — scan → anti-join →

@@ -965,6 +965,15 @@ object Lakehouse {
           require(shuffles == 0,
             s"storage-partitioned join inert: $shuffles shuffle(s) in\n" +
               j.queryExecution.executedPlan)
+          // identity SPJ also reports per-partition key ordering
+          // (SupportsReportOrdering) — the sort-merge join must drop
+          // its sorts too, not just its exchanges
+          val sorts = j.queryExecution.executedPlan.collect {
+            case e: org.apache.spark.sql.execution.SortExec => e
+          }.size
+          require(sorts == 0,
+            s"SPJ ordering report inert: $sorts sort(s) in\n" +
+              j.queryExecution.executedPlan)
           // materialize under the SPJ plan, THEN order for determinism
           val rows = j.collect().toSeq
           s.createDataFrame(rows.asJava, j.schema)

@@ -194,10 +194,13 @@ private[sql] object GraftProcedures {
         val tbl = LakehouseTable.load(backing, SparkSession.active, ns, t)
         val before = tbl.currentSnapshotId
         val snap = tbl.rewriteDeleteFiles()
-        def c(k: String) = snap.summary.get(k).map(_.toInt).getOrElse(0)
+        // no-op (nothing outstanding) returns the PRIOR snapshot — its
+        // summary describes that commit, not this call; report zeros
+        def c(k: String) =
+          if (snap.snapshotId == before) 0
+          else snap.summary.get(k).map(_.toInt).getOrElse(0)
         row(snap.snapshotId, c("rewritten-files"),
-          if (snap.snapshotId == before) 0 else c("retired-delete-entries"),
-          c("carried-files"))
+          c("retired-delete-entries"), c("carried-files"))
       }
       case "create_changelog_view" => proc(name,
         "register the row-level changelog of (from_snapshot, to_snapshot] " +

@@ -53,6 +53,7 @@ private[sql] final class GraftStreamableParquetScan(
       base.pushedFilters, base.options, base.pushedAggregate,
       base.partitionFilters, base.dataFilters, base.pushedVariantExtractions)
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
   import org.apache.spark.sql.connector.expressions.filter.Predicate
@@ -68,6 +69,46 @@ private[sql] final class GraftStreamableParquetScan(
       new KeyGroupedPartitioning(k.keys.toArray, k.keyByPath.values.toSet.size)
     case _ => new UnknownPartitioning(0)
   }
+
+  /** Per-partition ordering, reported ONLY under an active
+    * all-IDENTITY SPJ report: each planned partition then carries
+    * exactly ONE key tuple ([[KeyedFilePartition]] groups per key), so
+    * any ordering over the key columns holds trivially within every
+    * partition — and Spark drops the SortExec pair under a
+    * storage-partitioned sort-merge join (Iceberg's
+    * SupportsReportOrdering pattern). Bucket/transform keys never
+    * report: their partitions hold VARYING raw key values and the join
+    * sorts on the raw column. Runtime file pruning preserves the
+    * property (dropping whole files keeps single-key groups
+    * single-key). With the bucketing conf off the stock cross-key
+    * bin-packing mixes keys in one partition, so nothing is reported.
+    * Only columns surviving column PRUNING are reported: Spark's
+    * ordering rule resolves references against the scan output
+    * STRICTLY (unlike the partitioning rule, which tolerates misses),
+    * so an ordering claim on a pruned-away key would fail analysis —
+    * and a subset ordering still holds trivially in single-key
+    * groups. */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    spj match {
+      case Some(k) if k.keyByPath.nonEmpty &&
+          sparkSession.sessionState.conf.v2BucketingEnabled &&
+          k.keys.forall {
+            case t: org.apache.spark.sql.connector.expressions.Transform =>
+              t.name == "identity"
+            case _ => false
+          } =>
+        val out = readSchema().fieldNames
+          .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        k.keys.map(
+            _.asInstanceOf[org.apache.spark.sql.connector.expressions.Transform]
+              .references()(0))
+          .filter(r => r.fieldNames.length == 1 &&
+            out(r.fieldNames()(0).toLowerCase(java.util.Locale.ROOT)))
+          .map(Expressions.sort(_,
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+          .toArray
+      case _ => Array.empty
+    }
 
   // ---- RUNTIME FILE PRUNING (Spark's DSv2 dynamic partition pruning;
   // Iceberg's SparkScan runtime filtering). At execution Spark computes
@@ -462,30 +503,24 @@ private[graft] final class GraftMicroBatchStream(
         // uncrossable next commit with no progress yet → surface the error
         return if (end == startV) cap else end
       }
-      if (sn.operation == Snaplog.OpEqDelete ||
-          sn.operation == Snaplog.OpMorDelete) {
-        // the delete part must LEAD the batch (skip semantics hold only
-        // when every row it matches was emitted by earlier batches); a
-        // MERGE commit additionally carries data files after its key
-        // file — they count like an append's (a position-delete commit
-        // carries only vectors, contributing nothing)
-        if (hasAdds) return end
-        val adds = sn.files.filter(f => !f.deleteFile.contains(true))
-        val added = adds.size.toLong
-        val addedBytes = adds.map(_.sizeBytes).sum
-        if (end != startV && (budget - added < 0 || bytes - addedBytes < 0)) return end
-        budget -= added
-        bytes -= addedBytes
-        if (added > 0) hasAdds = true
-      } else {
-        val adds = if (sn.operation == Snaplog.OpCheckpoint) Seq.empty else sn.files
-        val added = adds.size.toLong
-        val addedBytes = adds.map(_.sizeBytes).sum
-        if (end != startV && (budget - added < 0 || bytes - addedBytes < 0)) return end
-        budget -= added
-        bytes -= addedBytes
-        if (added > 0) hasAdds = true
-      }
+      val isDelete = sn.operation == Snaplog.OpEqDelete ||
+        sn.operation == Snaplog.OpMorDelete
+      // a delete part must LEAD the batch (skip semantics hold only
+      // when every row it matches was emitted by earlier batches); a
+      // MERGE commit additionally carries data files after its key
+      // file — they count like an append's (a position-delete commit
+      // carries only vectors, contributing nothing)
+      if (isDelete && hasAdds) return end
+      val adds =
+        if (sn.operation == Snaplog.OpCheckpoint) Seq.empty
+        else if (isDelete) sn.files.filter(f => !f.deleteFile.contains(true))
+        else sn.files
+      val added = adds.size.toLong
+      val addedBytes = adds.map(_.sizeBytes).sum
+      if (end != startV && (budget - added < 0 || bytes - addedBytes < 0)) return end
+      budget -= added
+      bytes -= addedBytes
+      if (added > 0) hasAdds = true
       end = sn.snapshotId
       i += 1
     }

@@ -606,7 +606,13 @@ final class LakehouseTable(
         s"key column '$k' not in schema (${schema.fieldNames.mkString(", ")})")))
     // both join sides derive from this one plan — persist so the
     // changelog (per-commit scans, anti/semi joins) executes once, not
-    // once per side; change sets are window-sized, not table-sized
+    // once per side; change sets are window-sized, not table-sized.
+    // No explicit unpersist: the result stays lazy (eager
+    // materialization here would charge callers who never execute),
+    // so the cache must outlive this method — the ContextCleaner
+    // reclaims it when the returned plan becomes unreachable, and a
+    // registered changelog VIEW deliberately pins it for the view's
+    // lifetime
     val ch = scanChanges(fromSnapshot, toSnapshot)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dataCols = schema.fieldNames.toSeq
@@ -1045,21 +1051,34 @@ final class LakehouseTable(
       summary: Map[String, String] = Map.empty): Snapshot = {
     val fields = keyCols.map(keyField)
     val names = fields.map(_.name)
-    val ownKeys = rows.select(names.map(col): _*).na.drop("any")
-    val feed = extraDeleteKeys match {
-      case Some(extra) => ownKeys.unionByName(extra.toDF(names: _*)
-        .select(names.zip(fields).map { case (n, f) =>
-          col(n).cast(f.dataType).as(n) }: _*))
-      case None => ownKeys
-    }
-    val (delFiles, encodedKey, nValues) = stageEqDelete(keyCols, feed)
-    val dataFiles = stageDataFiles(Seq(rows))
-    catalog.commit(namespace, name, Snaplog.OpEqDelete,
-      delFiles ++ dataFiles,
-      summary ++ Map("equality-key" -> encodedKey,
-        "delete-values" -> nValues.toString,
-        "merge-files" -> dataFiles.size.toString,
-        "merge-rows" -> dataFiles.map(_.rowCount).sum.toString))
+    // the feed plan feeds TWO write jobs (key file, then data files) —
+    // persist it once so a CDC batch's upstream dedup/shuffle doesn't
+    // run twice per trigger; batches are feed-sized by contract, so
+    // the cache is cheap and dropped before returning
+    val batch = rows.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ownKeys = batch.select(names.map(col): _*).na.drop("any")
+      val feed = extraDeleteKeys match {
+        // null-bearing extra tuples drop like ownKeys' do: equality is
+        // null-rejecting per column, so a CDC 'D' row with a null key is
+        // a no-op (the COW form's anti-join semantics, EqDeleteRoute's
+        // IN-subquery semantics) — not a staged-write failure
+        case Some(extra) => ownKeys.unionByName(extra.toDF(names: _*)
+          .select(names.zip(fields).map { case (n, f) =>
+            col(n).cast(f.dataType).as(n) }: _*)
+          .na.drop("any"))
+        case None => ownKeys
+      }
+      val (delFiles, encodedKey, nValues) = stageEqDelete(keyCols, feed)
+      val dataFiles = stageDataFiles(Seq(batch))
+      catalog.commit(namespace, name, Snaplog.OpEqDelete,
+        delFiles ++ dataFiles,
+        summary ++ Map("equality-key" -> encodedKey,
+          "delete-values" -> nValues.toString,
+          "merge-files" -> dataFiles.size.toString,
+          "merge-rows" -> dataFiles.map(_.rowCount).sum.toString))
+    } finally batch.unpersist(false)
   }
 
   private def keyField(keyCol: String): StructField =
@@ -1696,8 +1715,15 @@ final class LakehouseTable(
     if (partFields.nonEmpty)
       writer = writer.partitionBy(partFields.map(pf => layoutCol(pf.fieldName)): _*)
     writer.parquet(commitDir.toString)
-    FileStats.statAll(spark, listParquet(commitDir.toString),
+    val statted = FileStats.statAll(spark, listParquet(commitDir.toString),
       p => partitionValuesFromPath(p, partFields.map(_.fieldName)))
+    // Spark's writer can emit ZERO-ROW part files (empty task 0 of a
+    // sparse batch, an empty range of a sort-order shuffle) — never
+    // register them: each would be a permanent listing/stat tax on
+    // every later plan, and a 100 TB table takes millions of commits
+    val (kept, empty) = statted.partition(_.rowCount > 0)
+    empty.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+    kept
   }
 
   private def listParquet(dir: String): Seq[String] = FileStats.listParquet(dir)

@@ -205,6 +205,24 @@ class MergeDeltaSpec extends SparkSpec {
       (3, "ap", 30, "insert")))
   }
 
+  test("a CDC 'D' row with a null key is a no-op, not a failure") {
+    // equality is null-rejecting: the COW form's anti-join ignores
+    // null-keyed deletes and EqDeleteRoute drops null IN-tuples — the
+    // merge-on-read tier must agree, not die in the staged key write
+    val wh = Files.createTempDirectory("graft-md-nullkey").toString
+    val cat = new Snaplog(wh)
+    val df = Seq((Some(1L), "a"), (Some(2L), "b")).toDF("id", "v")
+    val tbl = LakehouseTable.create(cat, spark, "ns", "nk", df.schema)
+    tbl.append(df)
+    val feed = Seq(
+      (Some(2L), "b2", "U"),
+      (Option.empty[Long], "ghost", "D")).toDF("id", "v", "op")
+    graft.pipeline.Upsert.applyChanges(tbl, feed, Seq("id"))
+    val got = tbl.scan().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b2")))
+  }
+
   test("merge tier runs unchanged on the JDBC catalog backend") {
     val dir = Files.createTempDirectory("graft-md-jdbc")
     val cat = new graft.catalog.JdbcCatalog(

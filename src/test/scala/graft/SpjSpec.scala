@@ -67,6 +67,37 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("identity SPJ join reports ordering: zero sorts AND zero shuffles") {
+    // each key-grouped partition carries exactly one key tuple, so the
+    // scan reports ascending ordering on the key (SupportsReportOrdering)
+    // and the sort-merge join drops BOTH SortExecs, not just exchanges
+    val cn = setup("ord")
+    withSpjConf {
+      val j = spark.table(s"$cn.ns.a").join(spark.table(s"$cn.ns.b"), "grp")
+      assert(shuffles(j) == 0, j.queryExecution.executedPlan.toString)
+      val sorts = j.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }.size
+      assert(sorts == 0,
+        s"SPJ join still sorts:\n${j.queryExecution.executedPlan}")
+      assert(j.count() == (1 to 40).map(i =>
+        (1 to 20).count(k => k % 4 == i % 4)).sum)
+    }
+  }
+
+  test("ordering report survives column pruning of the key") {
+    // the ordering rule resolves refs against the PRUNED scan output
+    // strictly — a projection that drops the partition key must not
+    // fail analysis (the report withdraws to the surviving subset)
+    val cn = setup("ordprune")
+    withSpjConf {
+      val only = spark.table(s"$cn.ns.a").select("payload")
+      assert(only.count() == 40)
+      val agg = spark.table(s"$cn.ns.a").groupBy("id").count()
+      assert(agg.count() == 40)
+    }
+  }
+
   test("bucket-partitioned join on the bucket source column plans without shuffles") {
     val wh = Files.createTempDirectory("graft-spj-bucket").toString
     val cat = new Snaplog(wh)

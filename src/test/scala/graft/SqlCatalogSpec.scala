@@ -963,6 +963,13 @@ class SqlCatalogSpec extends SparkSpec {
     assert(cat.liveDeleteFiles("ns", "rdf").isEmpty)
     assert(spark.sql("SELECT COUNT(*) FROM gsqlrdf.ns.rdf").collect()
       .head.getLong(0) == 90L)
+    // a second CALL is a no-op and must report ZEROS, not the prior
+    // commit's counts (its returned snapshot is the existing one)
+    val r2 = spark.sql("CALL gsqlrdf.system.rewrite_delete_files('ns', 'rdf')")
+      .collect().head
+    assert(r2.getLong(0) == r.getLong(0), "no-op must not commit")
+    assert(r2.getInt(1) == 0 && r2.getInt(2) == 0 && r2.getInt(3) == 0,
+      s"no-op reported stale counts: $r2")
   }
 
   test("CALL rollback_to_snapshot restores content from SQL") {

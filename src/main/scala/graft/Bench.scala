@@ -70,9 +70,10 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
-      val fl = if (failed.nonEmpty)
-        failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-      else ""
+      // always emitted — an explicit empty list distinguishes "zero
+      // failures" from "failures not tracked" for the driver
+      val fl = failed.map("\"" + _ + "\"")
+        .mkString(""","failed":[""", ",", "]")
       s"""{"queries":$qs$om$fl,"variance":${fmt(variance)},"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}"""
     }
     val budget = 3000

@@ -75,6 +75,34 @@ class RuntimePruneSpec extends SparkSpec {
     }
   }
 
+  test("days-transform partitions prune at runtime on the timestamp key") {
+    // the runtime IN values are catalyst micros; mayMatch re-runs the
+    // writer's epoch-day arithmetic on each literal, so a days(ts)
+    // table prunes to the dim's days — the as-of/event-lookup shape
+    val wh = Files.createTempDirectory("graft-rp-days").toString
+    val cat = new Snaplog(wh)
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val rows = (0 until 200).map { i =>
+      (new java.sql.Timestamp(base.getTime + i.toLong * 3600 * 1000), i)
+    }.toDF("ts", "x") // ~8.3 days of hourly rows
+    val t = LakehouseTable.create(cat, spark, "ns", "days", rows.schema,
+      Seq("days(ts)"))
+    t.append(rows)
+    spark.conf.set("spark.sql.catalog.grp_days", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grp_days.warehouse", wh)
+    GraftStreamableParquetScan.pruneLog.remove("ns.days")
+    val dim = fileDim("days", Seq(
+      (java.sql.Timestamp.valueOf("2024-03-02 05:00:00"), "keep"),
+      (java.sql.Timestamp.valueOf("2024-03-04 07:00:00"), "keep"),
+      (java.sql.Timestamp.valueOf("2024-03-08 01:00:00"), "drop"))
+      .toDF("ts", "tag")).filter($"tag" === "keep")
+    val j = spark.table("grp_days.ns.days").join(dim, "ts")
+    assert(j.collect().map(_.getAs[Int]("x")).sorted.toSeq == Seq(29, 79))
+    val (total, kept) = pruned("ns.days").getOrElse(
+      fail("runtime filter never reached the scan"))
+    assert(kept < total, s"no files pruned: $kept/$total")
+  }
+
   test("runtime pruning composes with an active SPJ report") {
     // both join sides identity-partitioned and SPJ-enabled; the runtime
     // filter from the dim side may empty key groups — Spark pads

@@ -885,7 +885,9 @@ private[sql] final class MorRelation(
     requiredSchema: StructType,
     segs: Seq[(Seq[DataFileEntry], Seq[DataFileEntry])],
     posDeletePaths: Seq[String],
-    dataSizeBytes: Long) extends BaseRelation with TableScan {
+    dataSizeBytes: Long,
+    residual: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty)
+    extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = requiredSchema
   /** Log-recorded data size, NOT Spark's pessimistic default
@@ -898,8 +900,14 @@ private[sql] final class MorRelation(
     val spark = ctx.sparkSession
     if (segs.isEmpty)
       return spark.sparkContext.emptyRDD[Row]
-    val data = graft.table.EqDeletes.readSubtracted(spark, tableSchema, segs,
+    val raw = graft.table.EqDeletes.readSubtracted(spark, tableSchema, segs,
       withMeta = posDeletePaths.nonEmpty)
+    // filtering commutes with both delete subtractions (row-wise
+    // predicate vs row removal), and Catalyst pushes it through the
+    // anti-joins down to the parquet scans — MOR reads keep row-group
+    // skipping
+    val data = residual.foldLeft(raw)((d, e) =>
+      d.filter(org.apache.spark.sql.GraftStreamingShim.asColumn(e)))
     val subtracted =
       if (posDeletePaths.isEmpty) data
       else {
@@ -1192,6 +1200,18 @@ private[sql] final class GraftScanBuilder(
         if (orderedEntries.nonEmpty) orderedEntries else files ++ deleteFiles,
         f => keptPaths(f.path))
       val dataSize = kept.map(_.sizeBytes).sum
+      // residual predicates, re-applied INSIDE the relation (unresolved
+      // by name) so they reach the inner parquet scans as data filters
+      // — row-group/footer skipping for MOR reads, which the V1 wrap
+      // would otherwise lose (Spark's own copy still re-filters above;
+      // exact either way, this is purely pushdown). Subquery-bearing or
+      // non-deterministic predicates never push.
+      val residual = exprs.filter(e => e.deterministic && !e.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+        .map(_.transform {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
+        })
       // a delete-carrying relation still answers readStream (the
       // micro-batch stream plans from the log, not from this scan;
       // deletes cross at batch boundaries with skip semantics)
@@ -1202,7 +1222,7 @@ private[sql] final class GraftScanBuilder(
             override def toV1TableScan[T <: BaseRelation with TableScan](
                 context: SQLContext): T =
               new MorRelation(context, ts, requiredSchema, segs, posPaths,
-                dataSize).asInstanceOf[T]
+                dataSize, residual).asInstanceOf[T]
             override def toMicroBatchStream(checkpointLocation: String)
                 : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
               new GraftMicroBatchStream(ts, b, n, t, options)
@@ -1215,7 +1235,7 @@ private[sql] final class GraftScanBuilder(
             override def toV1TableScan[T <: BaseRelation with TableScan](
                 context: SQLContext): T =
               new MorRelation(context, ts, requiredSchema, segs, posPaths,
-                dataSize).asInstanceOf[T]
+                dataSize, residual).asInstanceOf[T]
             override def description(): String =
               s"GraftMorScan[${kept.size} files, ${deleteFiles.size} delete files]"
           }

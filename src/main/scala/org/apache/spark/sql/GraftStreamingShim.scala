@@ -15,4 +15,11 @@ object GraftStreamingShim {
     cs.internalCreateDataFrame(
       batch.queryExecution.toRdd, batch.schema, isStreaming = true)
   }
+
+  /** Wrap a catalyst Expression as a [[Column]] — the `private[sql]`
+    * `ExpressionUtils.column` the classic DSL itself uses. Needed to
+    * re-apply residual scan predicates (catalyst trees, unresolved by
+    * name) onto a freshly-planned DataFrame. */
+  def asColumn(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }

@@ -945,6 +945,33 @@ class SqlCatalogSpec extends SparkSpec {
       Seq((2L, "b2"), (3L, "c2"), (4L, "d")))
   }
 
+  test("filtered MOR reads stay exact with the residual pushed inside") {
+    // the V1 MOR relation re-applies residual predicates on the data
+    // side BEFORE the delete subtractions so parquet row-group skipping
+    // engages; semantics must equal Spark's own above-the-scan filter
+    val wh = Files.createTempDirectory("graft-sqlmorflt").toString
+    val cat = new Snaplog(wh)
+    val df = (1 to 200).map(i =>
+      (i.toLong, s"g${i % 4}", if (i % 7 == 0) None else Some(i * 1.5)))
+      .toDF("id", "grp", "score")
+    val tbl = LakehouseTable.create(cat, spark, "ns", "morf", df.schema)
+    tbl.append(df)
+    tbl.deleteEq("id", (10L to 40L).toSeq)          // equality layer
+    tbl.deleteMor($"id" >= 150 && $"id" < 160)      // vector layer
+    spark.conf.set("spark.sql.catalog.gmorf", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmorf.warehouse", wh)
+    val got = spark.sql("""SELECT id FROM gmorf.ns.morf
+      WHERE grp = 'g1' AND score IS NOT NULL AND id BETWEEN 5 AND 180
+      ORDER BY id""").collect().map(_.getLong(0)).toSeq
+    val expect = (1 to 200).map(_.toLong).filter(i =>
+      !(i >= 10 && i <= 40) && !(i >= 150 && i < 160) &&
+        i % 4 == 1 && i % 7 != 0 && i >= 5 && i <= 180)
+    assert(got == expect, s"got $got")
+    // a filter matching a deleted-by-vector row returns nothing
+    assert(spark.sql("SELECT * FROM gmorf.ns.morf WHERE id = 155").count() == 0)
+    assert(spark.sql("SELECT * FROM gmorf.ns.morf WHERE id = 20").count() == 0)
+  }
+
   test("CALL rewrite_delete_files retires the delete tier from SQL") {
     val wh = Files.createTempDirectory("graft-sqlrdf").toString
     val cat = new Snaplog(wh)

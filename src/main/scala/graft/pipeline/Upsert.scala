@@ -115,9 +115,13 @@ object Upsert {
       // delta-sized: upserted keys delete their old row via mergeDelta's
       // own key feed; delete-winner keys ride as extra delete-only keys —
       // ONE commit, batch-sized, no table scan or rewrite
+      // cacheFeed=false: both feeds read through the winners cache
+      // above — a second cache layer inside mergeDelta would double
+      // the batch's storage footprint for no saved computation
       table.mergeDelta(keys, winners.filter(!isDelete),
         extraDeleteKeys = Some(
-          winners.filter(isDelete).select(keys.map(col): _*)))
+          winners.filter(isDelete).select(keys.map(col): _*)),
+        cacheFeed = false)
     } finally winners.unpersist(false)
   }
 

@@ -558,6 +558,42 @@ object Lakehouse {
         FROM orders WHERE o_orderkey IN (1, 7, 32, 9999999)
         ORDER BY o_orderkey""")),
 
+    // TYPE WIDENING (Iceberg's safe schema promotions): int->bigint and
+    // float->double are METADATA-ONLY — old files keep narrow physical
+    // values (the vectorized reader widens, value-preserving), new
+    // writes land wide, and at 100 TB no byte moves. The gate appends a
+    // narrow batch, widens both columns, appends a second batch under
+    // the wide schema, and oracle-checks aggregates over the mixed
+    // files (MIN/MAX for the float axis — order-independent and
+    // IEEE-exact across the float->double promotion).
+    QueryDef("lake_type_widening",
+      (s, d) => {
+        val whDir = wh("lake_type_widening", d)
+        val cat = new Snaplog(whDir)
+        val orders = t(s, d, "orders")
+        val narrow = orders.select(col("o_orderkey"),
+          col("o_custkey").cast("int").as("cust"),
+          col("o_totalprice").cast("float").as("price"))
+        val tbl = LakehouseTable.create(cat, s, "lake", "orders_widen",
+          narrow.schema)
+        tbl.append(narrow.filter(col("o_orderkey") % 2 === 0))
+        tbl.widenColumn("cust", org.apache.spark.sql.types.LongType)
+        tbl.widenColumn("price", org.apache.spark.sql.types.DoubleType)
+        tbl.append(narrow.filter(col("o_orderkey") % 2 === 1))
+        require(tbl.scan().schema("cust").dataType ==
+          org.apache.spark.sql.types.LongType, "widen did not stick")
+        tbl.scan()
+          .groupBy((col("o_orderkey") % 10).as("g"))
+          .agg(count(lit(1)).as("n"), sum(col("cust")).as("sum_cust"),
+            min(col("price")).as("min_p"), max(col("price")).as("max_p"))
+          .orderBy(col("g"))
+      },
+      Some("""SELECT o_orderkey % 10 AS g, COUNT(*) AS n,
+          CAST(SUM(CAST(o_custkey AS INTEGER)) AS BIGINT) AS sum_cust,
+          CAST(MIN(CAST(o_totalprice AS REAL)) AS DOUBLE) AS min_p,
+          CAST(MAX(CAST(o_totalprice AS REAL)) AS DOUBLE) AS max_p
+        FROM orders GROUP BY g ORDER BY g""")),
+
     // DELETE-TIER COMPACTION (`rewriteDeleteFiles` — Iceberg's
     // rewrite_position_delete_files + dangling-delete removal, taken to
     // completion): outstanding equality deletes / position vectors

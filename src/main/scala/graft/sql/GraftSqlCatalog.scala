@@ -358,9 +358,15 @@ private[sql] final class GraftBatchWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     delegate.commit(messages) // parquet job commit: staged files final
     val staged = FileStats.listParquet(stage.toString)
-    val files =
+    val statted =
       if (partitionCols.isEmpty) FileStats.statAll(spark, staged, _ => Map.empty)
       else relayout(staged)
+    // same contract as LakehouseTable.stageDataFiles: Spark's writer
+    // can emit zero-row part files (empty task of a sparse INSERT's
+    // plan, an empty relayout partition) — never register them
+    val (files, emptyParts) = statted.partition(_.rowCount > 0)
+    emptyParts.foreach(f =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f.path)))
     val carry = carryFiles()
     val extra =
       if (!stripRowOperationColumn) summary
@@ -1746,6 +1752,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     val adds = Seq.newBuilder[TableChange.AddColumn]
     val renames = Seq.newBuilder[TableChange.RenameColumn]
     val drops = Seq.newBuilder[TableChange.DeleteColumn]
+    val widens = Seq.newBuilder[TableChange.UpdateColumnType]
     val setProps = Map.newBuilder[String, String]
     val unsetProps = Seq.newBuilder[String]
     changes.foreach {
@@ -1756,6 +1763,8 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
           if rn.fieldNames().length == 1 => renames += rn
       case dc: TableChange.DeleteColumn
           if dc.fieldNames().length == 1 => drops += dc
+      case ut: TableChange.UpdateColumnType
+          if ut.fieldNames().length == 1 => widens += ut
       case sp: TableChange.SetProperty =>
         // Spark-reserved bookkeeping keys are not table properties a
         // log reader should see (mirrors createTable's filter); the
@@ -1774,6 +1783,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
       case other => throw new UnsupportedOperationException(
         s"$catName supports ALTER TABLE ADD COLUMN (top-level, nullable, " +
           s"appended), RENAME/DROP COLUMN (top-level, field-id tables), " +
+          s"ALTER COLUMN TYPE (int->bigint, float->double widening), " +
           s"and SET/UNSET TBLPROPERTIES; $other needs the graft API")
     }
     val (ns, t) = (ident.namespace()(0), ident.name)
@@ -1818,6 +1828,10 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     // table-side ops re-run every eligibility gate before mutating
     renameList.foreach(rn => tbl.renameColumn(rn.fieldNames()(0), rn.newName()))
     dropList.foreach(dc => tbl.dropColumn(dc.fieldNames()(0)))
+    // widening is metadata-only and re-validated per-op (promotion
+    // rules + the bucket-source refusal) inside widenColumn
+    widens.result().foreach(ut =>
+      tbl.widenColumn(ut.fieldNames()(0), ut.newDataType()))
     val (set, unset) = (setProps.result(), unsetProps.result())
     if (set.nonEmpty || unset.nonEmpty)
       backing.updateProperties(ns, t, set, unset)

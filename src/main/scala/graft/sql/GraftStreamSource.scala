@@ -70,6 +70,12 @@ private[sql] final class GraftStreamableParquetScan(
     case _ => new UnknownPartitioning(0)
   }
 
+  /** Lower-cased column names of THIS scan's (column-pruned) output —
+    * the membership test both report surfaces (ordering, runtime
+    * filter attributes) must apply before naming a column to Spark. */
+  private def prunedOutputCols: Set[String] =
+    readSchema().fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+
   /** Per-partition ordering, reported ONLY under an active
     * all-IDENTITY SPJ report: each planned partition then carries
     * exactly ONE key tuple ([[KeyedFilePartition]] groups per key), so
@@ -97,8 +103,7 @@ private[sql] final class GraftStreamableParquetScan(
               t.name == "identity"
             case _ => false
           } =>
-        val out = readSchema().fieldNames
-          .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        val out = prunedOutputCols
         k.keys.map(
             _.asInstanceOf[org.apache.spark.sql.connector.expressions.Transform]
               .references()(0))
@@ -130,7 +135,7 @@ private[sql] final class GraftStreamableParquetScan(
       // only columns present in THIS scan's (column-pruned) output —
       // Spark resolves the advertised refs against the scan output and
       // throws, not skips, on a miss
-      val out = readSchema().fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      val out = prunedOutputCols
       graft.table.PartitionTransforms.parseAll(partitionCols)
         .map(_.source).distinct
         .filter(s => out(s.toLowerCase(java.util.Locale.ROOT)))

@@ -607,14 +607,20 @@ final class LakehouseTable(
     // both join sides derive from this one plan — persist so the
     // changelog (per-commit scans, anti/semi joins) executes once, not
     // once per side; change sets are window-sized, not table-sized.
-    // No explicit unpersist: the result stays lazy (eager
-    // materialization here would charge callers who never execute),
-    // so the cache must outlive this method — the ContextCleaner
-    // reclaims it when the returned plan becomes unreachable, and a
-    // registered changelog VIEW deliberately pins it for the view's
-    // lifetime
+    // The result must stay lazy (eager materialization would charge
+    // callers who never execute), so the cache outlives this method —
+    // and Spark's CacheManager holds Dataset caches STRONGLY, so
+    // without bookkeeping every call would leak one cache entry for
+    // the session's lifetime. Bound it to ONE live cache per table:
+    // a new keyed-changelog read evicts the previous read's cache
+    // (the evicted plan stays correct — it just recomputes).
     val ch = scanChanges(fromSnapshot, toSnapshot)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    locally {
+      val key = s"${System.identityHashCode(catalog)}:$namespace.$name"
+      Option(LakehouseTable.changelogCache.put(key, ch))
+        .foreach(prev => prev.unpersist(false))
+    }
     val dataCols = schema.fieldNames.toSeq
     def side(tpe: String, as: String): DataFrame = {
       val df = ch.filter(col(ChangeTypeCol) === tpe)
@@ -1048,26 +1054,37 @@ final class LakehouseTable(
     * serialize by log position instead of aborting each other. */
   def mergeDelta(keyCols: Seq[String], rows: DataFrame,
       extraDeleteKeys: Option[DataFrame] = None,
-      summary: Map[String, String] = Map.empty): Snapshot = {
+      summary: Map[String, String] = Map.empty,
+      cacheFeed: Boolean = true): Snapshot = {
     val fields = keyCols.map(keyField)
     val names = fields.map(_.name)
     // the feed plan feeds TWO write jobs (key file, then data files) —
     // persist it once so a CDC batch's upstream dedup/shuffle doesn't
-    // run twice per trigger; batches are feed-sized by contract, so
-    // the cache is cheap and dropped before returning
-    val batch = rows.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // run twice per trigger (batches are feed-sized by contract).
+    // Respect a CALLER's cache: persisting an already-cached Dataset is
+    // a no-op, but unpersisting it here would evict the caller's entry
+    // — only drop what this method created. `cacheFeed = false` is for
+    // callers whose feed already reads from their own cached ancestor
+    // (applyChanges), where a second cache layer buys nothing.
+    val cacheHere = cacheFeed &&
+      rows.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val batch =
+      if (cacheHere)
+        rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else rows
     try {
       val ownKeys = batch.select(names.map(col): _*).na.drop("any")
       val feed = extraDeleteKeys match {
-        // null-bearing extra tuples drop like ownKeys' do: equality is
-        // null-rejecting per column, so a CDC 'D' row with a null key is
-        // a no-op (the COW form's anti-join semantics, EqDeleteRoute's
-        // IN-subquery semantics) — not a staged-write failure
+        // NULL extra tuples drop like ownKeys' do — equality is
+        // null-rejecting per column, so a CDC 'D' row with a null key
+        // is a no-op (the COW anti-join / EqDeleteRoute IN semantics).
+        // The drop runs BEFORE the key cast: a non-null value the cast
+        // cannot represent must still reach stageEqDelete's loud null
+        // rejection (a mistyped delete key is a bug, not a no-op).
         case Some(extra) => ownKeys.unionByName(extra.toDF(names: _*)
+          .na.drop("any")
           .select(names.zip(fields).map { case (n, f) =>
-            col(n).cast(f.dataType).as(n) }: _*)
-          .na.drop("any"))
+            col(n).cast(f.dataType).as(n) }: _*))
         case None => ownKeys
       }
       val (delFiles, encodedKey, nValues) = stageEqDelete(keyCols, feed)
@@ -1078,7 +1095,7 @@ final class LakehouseTable(
           "delete-values" -> nValues.toString,
           "merge-files" -> dataFiles.size.toString,
           "merge-rows" -> dataFiles.map(_.rowCount).sum.toString))
-    } finally batch.unpersist(false)
+    } finally if (cacheHere) batch.unpersist(false)
   }
 
   private def keyField(keyCol: String): StructField =
@@ -1524,6 +1541,51 @@ final class LakehouseTable(
     * and old values stay unreachable instead of resurrecting — the
     * field-id-reuse hazard Iceberg's evolution rules exist for. Same
     * eligibility gates as [[renameColumn]]. */
+  /** TYPE WIDENING — Iceberg's safe schema promotions (`int` →
+    * `bigint`, `float` → `double`), metadata-only at any table size:
+    * the stored schema's type changes and nothing else moves. Old
+    * files keep their narrower physical values — Spark's vectorized
+    * parquet reader widens them at read time (value-preserving IEEE /
+    * integral promotion), new writes land the wide type, and the
+    * Iceberg metadata export stays spec-valid (Iceberg permits exactly
+    * these promotions). Stat bounds compare numerically, so [min,max]
+    * pruning and the delete tier's bounds arithmetic are unaffected;
+    * an outstanding equality delete keyed on the column still
+    * subtracts (the scan's anti-join coerces the narrow key file).
+    *
+    * One refusal: a column that is the SOURCE of a `bucket` partition
+    * field. The bucket transform hashes the value AS ITS TYPE
+    * (xxhash64 of an int and a long differ for equal values), so
+    * widening a bucket source would silently invalidate every
+    * retained file's recorded bucket index — mis-pruning, not an
+    * error. Identity and truncate sources are value-stable (external
+    * text / floor arithmetic unchanged) and pass. */
+  def widenColumn(colName: String, to: DataType): TableMetadata =
+      catalog.withEvolutionLock(namespace, name) {
+    val m = meta
+    val f = m.schema.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column '$colName' in $namespace.$name"))
+    val ok = (f.dataType, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+    require(ok,
+      s"cannot widen ${f.dataType.catalogString} to ${to.catalogString}: " +
+        "supported promotions are int -> bigint and float -> double")
+    require(!PartitionTransforms.parseAll(m.partitionColumns).exists {
+        case BucketField(_, src) => src.equalsIgnoreCase(colName)
+        case _ => false
+      },
+      s"cannot widen bucket-partition source '$colName': the bucket " +
+        "transform hashes the value as its type, so retained files' " +
+        "recorded indexes would silently mis-prune — rewrite the spec " +
+        "or compact first")
+    catalog.updateSchema(namespace, name, StructType(m.schema.fields.map(fd =>
+      if (fd.name.equalsIgnoreCase(colName)) fd.copy(dataType = to) else fd)))
+  }
+
   def dropColumn(colName: String): TableMetadata =
       catalog.withEvolutionLock(namespace, name) {
     import graft.types.FieldIds
@@ -1867,6 +1929,12 @@ object FileStats {
 }
 
 object LakehouseTable {
+  /** One live keyed-changelog cache per table (see [[scanChangesKeyed]]):
+    * CacheManager pins Dataset caches strongly, so the previous read's
+    * entry is evicted when a new one is created. */
+  private[table] val changelogCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   /** Changelog metadata columns ([[LakehouseTable.scanChanges]]) —
     * Delta CDF's names, the de-facto convention CDC consumers parse. */
   val ChangeTypeCol = "_change_type"

@@ -223,6 +223,40 @@ class MergeDeltaSpec extends SparkSpec {
     assert(got == Seq((1L, "a"), (2L, "b2")))
   }
 
+  test("mergeDelta never evicts a caller's cache on the feed") {
+    val wh = Files.createTempDirectory("graft-md-cache").toString
+    val cat = new Snaplog(wh)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val tbl = LakehouseTable.create(cat, spark, "ns", "cc", df.schema)
+    tbl.append(df)
+    val callerCached = Seq((2L, "b2")).toDF("id", "v").persist()
+    try {
+      tbl.mergeDelta(Seq("id"), callerCached)
+      // the caller's cache entry must survive the merge's cleanup
+      assert(callerCached.storageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE,
+        "mergeDelta evicted the caller's cache")
+    } finally callerCached.unpersist()
+    assert(tbl.scan().count() == 2)
+  }
+
+  test("a MISTYPED (uncastable) CDC delete key fails loudly, not silently") {
+    // null keys are no-ops; a non-null key the cast cannot represent is
+    // a bug in the feed and must surface — the drop runs BEFORE the cast
+    val wh = Files.createTempDirectory("graft-md-badkey").toString
+    val cat = new Snaplog(wh)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val tbl = LakehouseTable.create(cat, spark, "ns", "bk", df.schema)
+    tbl.append(df)
+    val feed = Seq(("2", "b2", "U"), ("12x", "ghost", "D"))
+      .toDF("id", "v", "op") // string-typed keys against a LONG column
+    intercept[Exception] {
+      graft.pipeline.Upsert.applyChanges(tbl, feed, Seq("id"))
+    }
+    // the table is untouched — the commit never staged
+    assert(tbl.scan().count() == 2)
+  }
+
   test("merge tier runs unchanged on the JDBC catalog backend") {
     val dir = Files.createTempDirectory("graft-md-jdbc")
     val cat = new graft.catalog.JdbcCatalog(

@@ -1254,6 +1254,51 @@ abstract class CatalogContractSpec extends SparkSpec {
     def toSorted: Seq[Int] = a.toSeq.sorted
   }
 
+  test("widenColumn: int->bigint and float->double, mixed files exact") {
+    val cat = freshCatalog()
+    val df = (1 to 50).map(i => (i, i * 1.5f, s"v$i")).toDF("n", "score", "v")
+    val tbl = LakehouseTable.create(cat, spark, "ns", "wide", df.schema)
+    tbl.append(df) // narrow files
+    tbl.widenColumn("n", org.apache.spark.sql.types.LongType)
+    tbl.widenColumn("score", org.apache.spark.sql.types.DoubleType)
+    // new writes land wide; old files widen in the reader
+    tbl.append(Seq((51L, 51 * 1.5d, "v51")).toDF("n", "score", "v"))
+    val got = tbl.scan().orderBy("n").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == (1 to 51).map(i => (i.toLong, (i * 1.5f).toDouble)))
+    // range pruning on the widened column still engages and stays exact
+    assert(tbl.scan().filter($"n" > 49L).count() == 2)
+    // an outstanding eq delete keyed NARROW still subtracts post-widen
+    val tbl2 = LakehouseTable.create(cat, spark, "ns", "wide2", df.schema)
+    tbl2.append(df)
+    tbl2.deleteEq("n", Seq(5, 6)) // int key file
+    tbl2.widenColumn("n", org.apache.spark.sql.types.LongType)
+    assert(tbl2.scan().count() == 48)
+    assert(tbl2.scan().filter($"n".isin(5L, 6L)).count() == 0)
+  }
+
+  test("widenColumn refusals: non-promotions and bucket sources") {
+    val cat = freshCatalog()
+    val df = (1 to 10).map(i => (i, s"v$i", i.toLong)).toDF("n", "v", "big")
+    val tbl = LakehouseTable.create(cat, spark, "ns", "wider", df.schema)
+    tbl.append(df)
+    import org.apache.spark.sql.types._
+    intercept[IllegalArgumentException] { tbl.widenColumn("big", IntegerType) }
+    intercept[IllegalArgumentException] { tbl.widenColumn("v", LongType) }
+    intercept[IllegalArgumentException] { tbl.widenColumn("n", DoubleType) }
+    // bucket sources refuse: xxhash64(int) != xxhash64(long) for equal
+    // values, so retained bucket indexes would silently mis-prune
+    val bt = LakehouseTable.create(cat, spark, "ns", "wbkt", df.schema,
+      Seq("bucket(4,n)"))
+    bt.append(df)
+    intercept[IllegalArgumentException] { bt.widenColumn("n", LongType) }
+    // identity partition sources pass (external text is type-stable)
+    val it = LakehouseTable.create(cat, spark, "ns", "wid", df.schema, Seq("n"))
+    it.append(df)
+    it.widenColumn("n", LongType)
+    assert(it.scan().filter($"n" === 3L).count() == 1)
+  }
+
   test("rewriteDeleteFiles retires eq deletes, carries key-disjoint files") {
     val cat = freshCatalog()
     val lo = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")

@@ -44,10 +44,10 @@ class SqlCatalogSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(value2,25)"),
       s"expected value2 pushdown in:\n$plan")
 
-    // retype still refuses (rename/drop evolve via field ids; changing
-    // a column's TYPE would need a data rewrite)
+    // retype outside the widening promotions still refuses (a
+    // string -> int change would need a data rewrite)
     intercept[Exception] {
-      spark.sql("ALTER TABLE gsqltest.ns.t ALTER COLUMN value1 TYPE DOUBLE")
+      spark.sql("ALTER TABLE gsqltest.ns.t ALTER COLUMN `group` TYPE INT")
     }
 
     // outstanding MOR vectors: reads by name stay available — the scan
@@ -790,9 +790,9 @@ class SqlCatalogSpec extends SparkSpec {
     // DROP removes the column from scans; files stay untouched
     spark.sql("ALTER TABLE gsqlalter.ns.a DROP COLUMN memo")
     assert(!spark.sql("SELECT * FROM gsqlalter.ns.a").columns.contains("memo"))
-    // retype and NOT NULL additions still refuse
+    // retype outside the widening promotions still refuses
     intercept[Exception] {
-      spark.sql("ALTER TABLE gsqlalter.ns.a ALTER COLUMN value1 TYPE DOUBLE")
+      spark.sql("ALTER TABLE gsqlalter.ns.a ALTER COLUMN `group` TYPE INT")
     }
     intercept[Exception] {
       spark.sql("ALTER TABLE gsqlalter.ns.a ADD COLUMN bad INT NOT NULL")
@@ -945,6 +945,26 @@ class SqlCatalogSpec extends SparkSpec {
       Seq((2L, "b2"), (3L, "c2"), (4L, "d")))
   }
 
+  test("ALTER TABLE ALTER COLUMN TYPE widens int->bigint from SQL") {
+    val wh = Files.createTempDirectory("graft-sqlwiden").toString
+    val cat = new Snaplog(wh)
+    val df = (1 to 20).map(i => (i, s"v$i")).toDF("n", "v")
+    val tbl = LakehouseTable.create(cat, spark, "ns", "w", df.schema)
+    tbl.append(df)
+    spark.conf.set("spark.sql.catalog.gsqlw", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlw.warehouse", wh)
+    spark.sql("ALTER TABLE gsqlw.ns.w ALTER COLUMN n TYPE BIGINT")
+    assert(spark.table("gsqlw.ns.w").schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    spark.sql("INSERT INTO gsqlw.ns.w VALUES (21, 'v21')")
+    assert(spark.sql("SELECT SUM(n) FROM gsqlw.ns.w").head().getLong(0) ==
+      (1 to 21).map(_.toLong).sum)
+    // narrowing refuses loudly
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gsqlw.ns.w ALTER COLUMN n TYPE INT")
+    }
+  }
+
   test("filtered MOR reads stay exact with the residual pushed inside") {
     // the V1 MOR relation re-applies residual predicates on the data
     // side BEFORE the delete subtractions so parquet row-group skipping
@@ -1040,9 +1060,9 @@ class SqlCatalogSpec extends SparkSpec {
       .get("write.target-file-size-bytes").contains("134217728"))
     // no snapshot commits happened — properties are pure metadata
     assert(cat.snapshots("ns", "pr").isEmpty)
-    // retype ALTERs still refuse
+    // retype outside the widening promotions still refuses
     intercept[Exception] {
-      spark.sql("ALTER TABLE gsqlprops.ns.pr ALTER COLUMN id TYPE BIGINT")
+      spark.sql("ALTER TABLE gsqlprops.ns.pr ALTER COLUMN id TYPE STRING")
     }
   }
 

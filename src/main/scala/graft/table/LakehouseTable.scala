@@ -1542,7 +1542,8 @@ final class LakehouseTable(
     * field-id-reuse hazard Iceberg's evolution rules exist for. Same
     * eligibility gates as [[renameColumn]]. */
   /** TYPE WIDENING — Iceberg's safe schema promotions (`int` →
-    * `bigint`, `float` → `double`), metadata-only at any table size:
+    * `bigint`, `float` → `double`, `decimal(p,s)` → `decimal(p',s)`
+    * with p' > p), metadata-only at any table size:
     * the stored schema's type changes and nothing else moves. Old
     * files keep their narrower physical values — Spark's vectorized
     * parquet reader widens them at read time (value-preserving IEEE /
@@ -1569,11 +1570,16 @@ final class LakehouseTable(
     val ok = (f.dataType, to) match {
       case (IntegerType, LongType) => true
       case (FloatType, DoubleType) => true
+      // Iceberg's third promotion: precision may grow, scale may not
+      // change (a scale change rewrites values, not just their range)
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.precision > d1.precision && d1.scale == d2.scale
       case _ => false
     }
     require(ok,
       s"cannot widen ${f.dataType.catalogString} to ${to.catalogString}: " +
-        "supported promotions are int -> bigint and float -> double")
+        "supported promotions are int -> bigint, float -> double, and " +
+        "decimal(p,s) -> decimal(p',s) with p' > p")
     require(!PartitionTransforms.parseAll(m.partitionColumns).exists {
         case BucketField(_, src) => src.equalsIgnoreCase(colName)
         case _ => false

@@ -1286,6 +1286,19 @@ abstract class CatalogContractSpec extends SparkSpec {
     intercept[IllegalArgumentException] { tbl.widenColumn("big", IntegerType) }
     intercept[IllegalArgumentException] { tbl.widenColumn("v", LongType) }
     intercept[IllegalArgumentException] { tbl.widenColumn("n", DoubleType) }
+    // decimal: precision may grow at equal scale; anything else refuses
+    val dd = (1 to 5).map(i => (i, BigDecimal(i * 125, 2))).toDF("k", "d")
+      .select($"k", $"d".cast(DecimalType(10, 2)).as("d"))
+    val dt = LakehouseTable.create(cat, spark, "ns", "wdec", dd.schema)
+    dt.append(dd)
+    intercept[IllegalArgumentException] { dt.widenColumn("d", DecimalType(10, 4)) }
+    intercept[IllegalArgumentException] { dt.widenColumn("d", DecimalType(8, 2)) }
+    dt.widenColumn("d", DecimalType(16, 2))
+    dt.append(Seq((6, BigDecimal("12345678901234.50"))).toDF("k", "d")
+      .select($"k", $"d".cast(DecimalType(16, 2)).as("d")))
+    assert(dt.scan().orderBy("k").collect().map(_.getDecimal(1).toString)
+      .toSeq == Seq("1.25", "2.50", "3.75", "5.00", "6.25",
+        "12345678901234.50"))
     // bucket sources refuse: xxhash64(int) != xxhash64(long) for equal
     // values, so retained bucket indexes would silently mis-prune
     val bt = LakehouseTable.create(cat, spark, "ns", "wbkt", df.schema,

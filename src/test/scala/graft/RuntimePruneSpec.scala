@@ -103,6 +103,20 @@ class RuntimePruneSpec extends SparkSpec {
     assert(kept < total, s"no files pruned: $kept/$total")
   }
 
+  test("truncate-transform partitions prune at runtime on the source key") {
+    val cn = setup("trunc", Seq("truncate(100,id)"))
+    GraftStreamableParquetScan.pruneLog.remove("ns.trunc")
+    val dim = fileDim("trunc", Seq((7L, "keep"), (350L, "keep"), (50L, "drop"))
+      .toDF("id", "tag")).filter($"tag" === "keep")
+    val j = spark.table(s"$cn.ns.trunc").join(dim, "id")
+    assert(j.collect().map(_.getAs[Long]("id")).sorted.toSeq == Seq(7L, 350L))
+    val (total, kept) = pruned("ns.trunc").getOrElse(
+      fail("runtime filter never reached the scan"))
+    // candidates land in truncate buckets 0 and 300 — the other width-100
+    // ranges of 1..400 must drop
+    assert(kept < total, s"no files pruned: $kept/$total")
+  }
+
   test("runtime pruning composes with an active SPJ report") {
     // both join sides identity-partitioned and SPJ-enabled; the runtime
     // filter from the dim side may empty key groups — Spark pads

@@ -12,7 +12,7 @@ import org.json4s._
 import org.json4s.jackson.JsonMethods
 import org.json4s.JsonDSL._
 
-import graft.table.{BucketField, DaysField, HoursField, IdentityField, LakehouseTable, MonthsField, PartField, PartitionTransforms, TruncateField, YearsField}
+import graft.table.{BucketField, DaysField, HoursField, IdentityField, LakehouseTable, MBucketField, MonthsField, PartField, PartitionTransforms, TruncateField, YearsField}
 
 /** Read-only Iceberg-v2 metadata export for a snaplog table — the
   * interop loop the reference demonstrates by pointing DuckDB's
@@ -51,7 +51,11 @@ import graft.table.{BucketField, DaysField, HoursField, IdentityField, Lakehouse
   * partitioned by, silently dropping rows. Bucket fields therefore
   * export as the spec's `void` transform (all-null values, never
   * pruned on): every row stays reachable, only external bucket
-  * pruning is forgone. Data files are referenced in place — export is
+  * pruning is forgone. Tables that need external bucket pruning use
+  * the `mbucket(n,col)` transform instead — spec murmur3_x86_32
+  * hashing ([[graft.functions.IcebergBucketImpl]]), exported as a
+  * REAL `bucket[n]` spec with the stored indexes, prunable by any
+  * compliant reader. Data files are referenced in place — export is
   * metadata-only, zero data movement; any engine that walks the tree
   * scans the same parquet graft scans.
   */
@@ -109,6 +113,7 @@ object IcebergExport {
     case _: MonthsField => "month"
     case _: YearsField => "year"
     case _: BucketField => "void"
+    case MBucketField(n, _) => s"bucket[$n]"
     case TruncateField(w, _) => s"truncate[$w]"
   }
 
@@ -125,6 +130,7 @@ object IcebergExport {
     case _: DaysField => ("type" -> "int") ~ ("logicalType" -> "date")
     case _: HoursField | _: MonthsField | _: YearsField => JString("int")
     case _: BucketField => JString("int") // void: value always null
+    case _: MBucketField => JString("int") // spec bucket result type
     case _: TruncateField => srcDt match {
       case LongType => JString("long")
       case IntegerType | ShortType | ByteType => JString("int")
@@ -185,6 +191,7 @@ object IcebergExport {
       case _: DaysField | _: HoursField | _: MonthsField | _: YearsField =>
         Integer.valueOf(stored.toInt)
       case _: BucketField => null // void transform: never a value
+      case _: MBucketField => Integer.valueOf(stored.toInt)
       case _: TruncateField => srcDt match {
         case LongType =>
           // the one unrepresentable bucket: sources within W of

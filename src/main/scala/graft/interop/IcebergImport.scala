@@ -38,17 +38,18 @@ import graft.table.{FileStats, LakehouseTable}
   * `truncate[w]` reconstruct the corresponding graft spec, so a
   * PyIceberg-written day-partitioned table prunes immediately after
   * import. `void` fields carry no information and are dropped from
-  * the spec (the shape graft's own export gives bucket fields).
-  * `bucket[n]` REFUSES: Iceberg buckets by murmur3_x86_32, graft by
-  * xxhash64 — importing the stored murmur3 indexes as if they were
-  * graft buckets would prune files by the wrong hash and silently
-  * drop rows.
+  * the spec (the shape graft's own export gives xxhash64 bucket
+  * fields). `bucket[n]` imports as graft's `mbucket(n,col)` — the
+  * SAME murmur3_x86_32 spec hash ([[graft.functions.IcebergBucketImpl]],
+  * Appendix-B vectors pinned in SnaplogSpec), so a PyIceberg-written
+  * bucket tree's stored indexes are exactly what graft's write and
+  * prune sides compute.
   *
   * Honest refusals, all failing BEFORE any catalog mutation: delete
   * manifests / delete files (a data-only import would resurrect
-  * deleted rows), `bucket[n]` transforms (above), non-parquet file
-  * formats, and non-primitive column types (nested structs need
-  * field-id tracking this format does not carry).
+  * deleted rows), non-parquet file formats, and non-primitive column
+  * types (nested structs need field-id tracking this format does not
+  * carry).
   */
 object IcebergImport {
 
@@ -170,10 +171,15 @@ object IcebergImport {
             case "year" => s"years($sourceCol)"
             case t if t.startsWith("truncate[") && t.endsWith("]") =>
               s"truncate(${t.stripPrefix("truncate[").stripSuffix("]")},$sourceCol)"
+            // the spec's bucket[n] IS graft's mbucket(n,col): both are
+            // murmur3_x86_32 over the spec encodings, so the foreign
+            // tree's stored indexes are exactly what graft's write and
+            // prune sides compute — pruning works on the first query
+            case t if t.startsWith("bucket[") && t.endsWith("]") =>
+              s"mbucket(${t.stripPrefix("bucket[").stripSuffix("]")},$sourceCol)"
             case other => throw new IllegalArgumentException(
-              s"partition transform '$other' has no graft equivalent " +
-                "(bucket[n] uses murmur3, graft xxhash64 — pruning on the " +
-                "foreign indexes would drop rows); import refused")
+              s"partition transform '$other' has no graft equivalent; " +
+                "import refused")
           }
           Some(((pf \ "name").extract[String],
             graft.table.PartitionTransforms.parse(spec)))

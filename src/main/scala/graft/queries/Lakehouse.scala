@@ -1662,6 +1662,58 @@ object Lakehouse {
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // VIRGIN stream over a table whose checkpoint-folded initial
+    // content carries an OUTSTANDING position-delete vector — the
+    // refusal-turned-materialization: the source applies the batch
+    // scan's MOR subtraction for the initial batch (into unregistered
+    // staging files, dropped at stream stop) instead of demanding a
+    // compact-first. A small checkpoint interval forces the auto-fold,
+    // so the latest reset's live set includes the vector — exactly the
+    // shape a long-lived CDC table presents to a new consumer. The
+    // vector must still be OUTSTANDING after the run (the stream
+    // materialized a copy; it never mutated the table) — claimed
+    // in-result. A delta resume after a later append proves the
+    // checkpoint continues normally past the materialized batch.
+    QueryDef("stream_mor_initial",
+      (s, d) => {
+        val whDir = wh("stream_mor_initial", d)
+        val cat = new Snaplog(whDir, checkpointInterval = 2)
+        val orders = t(s, d, "orders")
+        val tbl = LakehouseTable.create(cat, s, "lake", "orders_mi", orders.schema)
+        val cn = sqlCatalog(s, "gmi", whDir)
+        val ckpt = scratchDir("stream_mor_initial_ck", d)
+        val out = scratchDir("stream_mor_initial_out", d)
+        def runOnce(): Unit = {
+          val q = s.readStream.table(s"$cn.lake.orders_mi")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination(300000)
+          q.exception.foreach(throw _)
+        }
+        tbl.append(orders.filter(col("o_orderkey") % 2 === 0))  // snap 1
+        tbl.deleteMor(col("o_orderkey") % 6 === 0)              // snap 2 + fold
+        require(cat.snapshots("lake", "orders_mi")
+            .exists(_.operation == Snaplog.OpCheckpoint),
+          "fixture must fold so the initial content carries the vector")
+        runOnce() // virgin: initial batch MATERIALIZES the subtraction
+        val outstanding = cat.liveDeleteFiles("lake", "orders_mi").nonEmpty
+        tbl.append(orders.filter(col("o_orderkey") % 2 === 1))  // delta
+        runOnce() // checkpointed resume: odds only
+        s.read.schema(orders.schema).parquet(out)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("vector_outstanding", lit(outstanding))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          TRUE AS vector_outstanding
+        FROM orders WHERE o_orderkey % 6 <> 0
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // Streaming tail ACROSS an equality delete (the refusal-turned-
     // delta): run 1 streams the evens, then a keyed delete feed and an
     // append of the odds land, run 2 resumes from the checkpoint —
@@ -2266,6 +2318,63 @@ object Lakehouse {
           TRUE AS pruned_to_one_partition
         FROM customer WHERE c_mktsegment = 'BUILDING'
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // Iceberg-spec murmur3 bucket interop: a supplier table partitioned
+    // by mbucket(8,s_suppkey) exports a REAL `bucket[8]` spec (the spec
+    // mandates murmur3_x86_32, which mbucket computes — Appendix-B
+    // vectors pinned in SnaplogSpec), external readers can prune on the
+    // stored indexes, and the tree re-imports as a foreign bucket table
+    // with its spec and pruning intact — the interop loop the reference
+    // runs via DuckDB's iceberg_scan (query_iceberg_duckdb.py:21-29),
+    // previously lossy for bucket layouts (xxhash64 exports as void).
+    // In-result claims: the metadata declares bucket[8] (not void), the
+    // re-import carries mbucket(8,s_suppkey), and an equality probe
+    // prunes to strictly fewer files than the table holds.
+    QueryDef("lake_iceberg_bucket",
+      (s, d) => {
+        val whDir = wh("lake_iceberg_bucket", d)
+        val cat = new Snaplog(whDir)
+        val supplier = t(s, d, "supplier")
+        val rep = Ingest.ingestDf(cat, "lake", "supp_mb", supplier,
+          partitionColumns = Seq("mbucket(8,s_suppkey)"))
+        val dest = Paths.get(whDir, "ice_tree")
+        IcebergExport.export(rep.table, dest)
+        val metaText = {
+          val metaDir = dest.resolve("metadata")
+          Files.readString(Files.list(metaDir).iterator.asScala
+            .filter(_.getFileName.toString.endsWith(".metadata.json")).toSeq.head)
+        }
+        val realBucketSpec = metaText.contains("bucket[8]") &&
+          !metaText.contains("\"void\"")
+        val imp = graft.interop.IcebergImport.register(
+          cat, s, dest, "lake", "supp_mb_imp")
+        val specRoundTrips = imp.partitionColumns == Seq("mbucket(8,s_suppkey)")
+        // equality probe prunes on the imported metadata immediately
+        import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+        val fields = graft.table.PartitionTransforms.parseAll(imp.partitionColumns)
+        val keyAttr = AttributeReference("s_suppkey",
+          imp.schema("s_suppkey").dataType)()
+        val probe: Any = imp.schema("s_suppkey").dataType match {
+          case org.apache.spark.sql.types.LongType => 1L
+          case _ => 1
+        }
+        val all = cat.liveFiles("lake", "supp_mb_imp")
+        val kept = all.filter(f => graft.table.PartitionTransforms.mayMatch(
+          f, EqualTo(keyAttr, Literal(probe)), fields))
+        imp.table.scan()
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n"), dsum(col("s_acctbal")).as("total"))
+          .withColumn("real_bucket_spec", lit(realBucketSpec))
+          .withColumn("spec_round_trips", lit(specRoundTrips))
+          .withColumn("bucket_pruned",
+            lit(kept.nonEmpty && kept.size < all.size))
+          .orderBy(col("s_nationkey"))
+      },
+      Some("""SELECT s_nationkey, COUNT(*) AS n,
+          CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          TRUE AS real_bucket_spec, TRUE AS spec_round_trips,
+          TRUE AS bucket_pruned
+        FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""")),
 
     // Merge-on-read row-level DELETE: same predicate as the COW variant
     // but NO data file rewrites — the commit adds one position-delete

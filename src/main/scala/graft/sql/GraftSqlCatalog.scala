@@ -79,6 +79,8 @@ private[sql] final class GraftSqlTable(
       case MonthsField(c) => Expressions.months(c)
       case YearsField(c) => Expressions.years(c)
       case BucketField(n, c) => Expressions.bucket(n, c)
+      case MBucketField(n, c) => Expressions.apply(s"mbucket_$n",
+        Expressions.column(c))
       case TruncateField(w, c) => Expressions.apply("truncate",
         Expressions.literal(w), Expressions.column(c))
     }.toArray
@@ -285,10 +287,6 @@ private[sql] final class GraftAppendWrite(
     val writeSchema = backing.loadTable(ns, tbl).properties
       .get(FieldIds.RegistryProp).map(FieldIds.decode)
       .map(FieldIds.attach(tableSchema, _)).getOrElse(tableSchema)
-    spark.conf.set(FieldIds.WriteConf, "true")
-    // INT64-micros timestamps (see LakehouseTable.writeCommit): footer
-    // stats + Iceberg-spec-compliant data files from every write path
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val winfo: LogicalWriteInfo =
       if (writeSchema eq tableSchema) info
       else new LogicalWriteInfo {
@@ -298,9 +296,14 @@ private[sql] final class GraftAppendWrite(
         override def rowIdSchema(): java.util.Optional[StructType] = info.rowIdSchema()
         override def metadataSchema(): java.util.Optional[StructType] = info.metadataSchema()
       }
-    val delegate = ParquetTable(tableName, spark, info.options(),
-      Seq(stage.toString), Some(writeSchema), classOf[ParquetFileFormat])
-      .newWriteBuilder(winfo).build().toBatch
+    // field-id stamping + INT64-micros timestamps, scoped to the
+    // delegate's job-description capture (synchronous inside toBatch) —
+    // a foreign same-session write must not inherit them
+    val delegate = FieldIds.withManagedWriteConfs(spark) {
+      ParquetTable(tableName, spark, info.options(),
+        Seq(stage.toString), Some(writeSchema), classOf[ParquetFileFormat])
+        .newWriteBuilder(winfo).build().toBatch
+    }
     new GraftBatchWrite(delegate, backing, ns, tbl, stage, expected, spark,
       if (replaceAll) Snaplog.OpOverwrite else Snaplog.OpAppend,
       Map("engine" -> (if (replaceAll) "sql-insert-overwrite" else "sql-insert")))
@@ -411,9 +414,14 @@ private[sql] final class GraftBatchWrite(
     val withLayout = partFields.zip(layoutExprs).foldLeft(
       df.repartition(layoutExprs: _*))(
       (d, pe) => d.withColumn(FileStats.layoutCol(pe._1.fieldName), pe._2))
-    withLayout.write.mode("overwrite").option("compression", codec)
-      .partitionBy(partFields.map(pf => FileStats.layoutCol(pf.fieldName)): _*)
-      .parquet(layoutDir.toString)
+    // the relayout is a managed write like any other — field ids +
+    // micros timestamps in force for ITS job too (it runs at commit
+    // time, after the staged write's scoped confs were restored)
+    graft.types.FieldIds.withManagedWriteConfs(spark) {
+      withLayout.write.mode("overwrite").option("compression", codec)
+        .partitionBy(partFields.map(pf => FileStats.layoutCol(pf.fieldName)): _*)
+        .parquet(layoutDir.toString)
+    }
     GraftBatchWrite.rmTree(stage) // staged files are intermediate once laid out
     FileStats.statAll(spark, FileStats.listParquet(layoutDir.toString),
       p => FileStats.partitionValuesFromPath(p, partFields.map(_.fieldName)))
@@ -793,9 +801,6 @@ private[sql] final class GraftRowLevelOperation(
           // the table unreadable, and even pre-evolution it would block
           // a later rename until compaction
           import graft.types.FieldIds
-          spark.conf.set(FieldIds.WriteConf, "true")
-          // INT64-micros timestamps (see LakehouseTable.writeCommit)
-          spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
           val reg = backing.loadTable(ns, tbl).properties
             .get(FieldIds.RegistryProp).map(FieldIds.decode)
           def stamp(s: StructType): StructType =
@@ -811,9 +816,13 @@ private[sql] final class GraftRowLevelOperation(
               override def metadataSchema(): java.util.Optional[StructType] =
                 info.metadataSchema()
             }
-          val delegate = ParquetTable(tableName, spark, info.options(),
-            Seq(stage.toString), Some(stamp(tableSchema)), classOf[ParquetFileFormat])
-            .newWriteBuilder(winfo).build().toBatch
+          // field-id stamping + INT64-micros timestamps, scoped to the
+          // delegate's job-description capture (see stageDataFiles)
+          val delegate = FieldIds.withManagedWriteConfs(spark) {
+            ParquetTable(tableName, spark, info.options(),
+              Seq(stage.toString), Some(stamp(tableSchema)), classOf[ParquetFileFormat])
+              .newWriteBuilder(winfo).build().toBatch
+          }
           val codec = backing.loadTable(ns, tbl).properties
             .getOrElse("write.compression", "zstd")
           new GraftBatchWrite(delegate, backing, ns, tbl, stage, expected, spark,
@@ -1879,6 +1888,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
   // resolvable by loadFunction but not enumerable here
   private val spjFunctionNames = Seq("bucket", "days", "hours", "months", "years")
   private val TruncateFnRe = """truncate_(\d+)""".r
+  private val MBucketFnRe = """mbucket_(\d+)""".r
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
@@ -1889,6 +1899,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     ident.name.toLowerCase(java.util.Locale.ROOT) match {
       case "bucket" => GraftBucketUnbound
+      case MBucketFnRe(n) => new GraftMBucketUnbound(n.toInt)
       case TruncateFnRe(w) => new GraftTruncateUnbound(w.toInt)
       case t @ ("days" | "hours" | "months" | "years") => new GraftTimeUnbound(t)
       case _ => throw new org.apache.spark.sql.catalyst.analysis

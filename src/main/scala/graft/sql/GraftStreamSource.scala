@@ -228,7 +228,7 @@ private[sql] object SpjKeys {
   import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions}
   import org.apache.spark.sql.types._
   import graft.catalog.DataFileEntry
-  import graft.table.{BucketField, DaysField, HoursField, IdentityField, MonthsField, PartField, TruncateField, YearsField}
+  import graft.table.{BucketField, DaysField, HoursField, IdentityField, MBucketField, MonthsField, PartField, TruncateField, YearsField}
 
   def build(tableSchema: StructType, partitionCols: Seq[String],
       files: Seq[DataFileEntry]): Option[SpjKeys] = {
@@ -246,6 +246,15 @@ private[sql] object SpjKeys {
         case pf @ BucketField(n, src) =>
           val fd = field(src).getOrElse(return None)
           (pf, Expressions.bucket(n, fd.name): V2Expression,
+            (s: String) => convert(s, IntegerType))
+        // the Iceberg-spec murmur3 bucket rides as a count-per-name
+        // UNARY transform (`mbucket_<n>(col)`, GraftMBucketUnbound) —
+        // same reason as truncate: SPJ admits only single-child
+        // transforms, and the name `bucket` is taken by xxhash64
+        case pf @ MBucketField(n, src) =>
+          val fd = field(src).getOrElse(return None)
+          (pf, Expressions.apply(s"mbucket_$n",
+              Expressions.column(fd.name)): V2Expression,
             (s: String) => convert(s, IntegerType))
         // time transforms: the stored epoch index rides as an int key;
         // the catalog's matching V2 function (GraftTimeUnbound) is what
@@ -353,10 +362,12 @@ private[sql] final class KeyedFilePartition(
   * no-op for the tail — the Iceberg skip-delete-snapshots / Delta
   * ignoreDeletes semantics, derived here from replay order instead of
   * an opt-in flag. (A sink needing retraction consumes the
-  * `graft-changes` feed or re-reads the table.) The only hard vector
-  * refusal left is a VIRGIN stream whose initial content itself
-  * carries outstanding deletes (checkpoint-folded state): that content
-  * is not a plain file list — compact first.
+  * `graft-changes` feed or re-reads the table.) A VIRGIN stream whose
+  * initial content itself carries outstanding deletes
+  * (checkpoint-folded state) is not a plain file list — the source
+  * MATERIALIZES the batch-scan's MOR subtraction into an unregistered
+  * staging dir once and streams that (see [[initialPaths]]); no
+  * compact-first refusal remains.
   * Automatic checkpoint folds and WAP-staged branch commits are content
   * no-ops on main and stream through silently. Admission control:
   * `maxFilesPerTrigger` / `maxBytesPerTrigger` (Delta's rate limits)
@@ -428,7 +439,17 @@ private[graft] final class GraftMicroBatchStream(
   override def deserializeOffset(json: String): Offset =
     GraftStreamOffset(json.trim.toLong)
   override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+  override def stop(): Unit = {
+    // drop initial-content materialization dirs (unregistered staging
+    // files — invisible to the log, so this is pure disk hygiene)
+    import scala.jdk.CollectionConverters._
+    initDirs.asScala.foreach { p =>
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator.asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    initDirs.clear()
+  }
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(headId)
@@ -549,16 +570,44 @@ private[graft] final class GraftMicroBatchStream(
           s"${cur.simpleString}) — restart the streaming query")
     }
     val paths: Seq[String] =
-      if (s == 0L) {
-        require(backing.liveDeleteFiles(ns, tbl, Some(e)).isEmpty,
-          s"streaming read of $ns.$tbl: snapshot $e carries outstanding " +
-            "merge-on-read delete vectors or equality deletes — the " +
-            "initial content is not a plain file list; compact first, " +
-            "then stream")
-        backing.liveFiles(ns, tbl, Some(e)).map(_.path)
-      } else deltaPaths(s, e)
+      if (s == 0L) initialPaths(e)
+      else deltaPaths(s, e)
     if (paths.isEmpty) Array.empty
     else parquetScanOver(paths).toBatch.planInputPartitions()
+  }
+
+  /** The virgin stream's initial-content file list at snapshot `e`.
+    * Clean tables stream their live files directly (zero data
+    * movement, identical to the batch scan's file list). A table whose
+    * checkpoint-folded initial content carries OUTSTANDING deletes
+    * (position vectors / equality keys) is not a plain file list — the
+    * batch scan already owns that subtraction, so MATERIALIZE it once:
+    * `scan(asOf = e)` applies the vectors exactly as a batch read
+    * would, the result lands in an unregistered staging dir, and the
+    * batch streams those files. Cost is one read+write of the LIVE
+    * content — the same price the previously-required `compact()`
+    * charged, but scoped to this stream's checkpoint instead of
+    * rewriting the table. Memoized per end-snapshot (planning can be
+    * re-invoked on recovery); dirs are dropped at `stop()`. */
+  private val initMaterialized =
+    new java.util.concurrent.ConcurrentHashMap[Long, Seq[String]]()
+  private val initDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+
+  private def initialPaths(e: Long): Seq[String] = {
+    if (backing.liveDeleteFiles(ns, tbl, Some(e)).isEmpty)
+      return backing.liveFiles(ns, tbl, Some(e)).map(_.path)
+    initMaterialized.computeIfAbsent(e, _ => {
+      val subtracted = graft.table.LakehouseTable
+        .load(backing, spark, ns, tbl).scan(asOf = Some(e))
+      val tmp = backing.dataDir(ns, tbl).resolve(
+        s"stream-init-$e-${java.util.UUID.randomUUID().toString.take(8)}")
+      graft.types.FieldIds.withManagedWriteConfs(spark) {
+        subtracted.write.mode("overwrite").parquet(tmp.toString)
+      }
+      initDirs.add(tmp)
+      graft.table.FileStats.listParquet(tmp.toString)
+    })
   }
 
   /** Files added in (s, e] — `Catalog.addedEntriesBetween` (ONE shared

@@ -54,6 +54,76 @@ private[graft] final class GraftBucketBound(valueType: DataType)
   }
 }
 
+/** The Iceberg-spec murmur3 bucket (`mbucket(n,col)`,
+  * [[graft.table.MBucketField]]) as a V2 function family. Like
+  * truncate, the COUNT is encoded in the name (`mbucket_8(col)`):
+  * Spark's SPJ machinery special-cases only the built-in `bucket`
+  * shape for out-of-band numBuckets, and serving a SECOND function
+  * under the name `bucket` would collide with the xxhash64 transform's
+  * report. The bound function computes the same value the write path
+  * records ([[graft.functions.IcebergBucketImpl]]).
+  *
+  * The canonical name carries the spec's ENCODING of the bound type,
+  * not the type itself: ints hash widened to long, so an int-keyed and
+  * a bigint-keyed mbucket(n) table ARE compatible partitionings
+  * (exactly why the widening path allows mbucket sources). Decimal
+  * encodes the unscaled value, so the SCALE (not precision) is part of
+  * the encoding identity. */
+private[graft] final class GraftMBucketUnbound(n: Int) extends UnboundFunction {
+  require(n > 0, s"mbucket count must be positive, got $n")
+  override def name(): String = s"mbucket_$n"
+  override def description(): String =
+    s"mbucket_$n(col): (murmur3_x86_32(iceberg-encode(col)) & MaxInt) % $n " +
+      "— the Iceberg-spec bucket transform"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1,
+      s"mbucket_$n expects one argument, got ${inputType.simpleString}")
+    inputType.fields(0).dataType match {
+      case IntegerType | LongType | ShortType | ByteType | DateType |
+           TimestampType | TimestampNTZType | StringType | BinaryType |
+           _: DecimalType => ()
+      case other => throw new IllegalArgumentException(
+        s"mbucket: unsupported source type ${other.simpleString}")
+    }
+    new GraftMBucketBound(n, inputType.fields(0).dataType)
+  }
+}
+
+private[graft] final class GraftMBucketBound(n: Int, valueType: DataType)
+    extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(valueType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = s"mbucket_$n"
+  override def canonicalName(): String = {
+    val enc = valueType match {
+      case IntegerType | LongType | ShortType | ByteType | DateType |
+           TimestampType | TimestampNTZType => "long"
+      case StringType => "utf8"
+      case BinaryType => "bytes"
+      case d: DecimalType => s"unscaled(${d.scale})"
+      case other => other.catalogString // unreachable post-bind
+    }
+    s"graft.mbucket($n, $enc)"
+  }
+  override def isResultNullable: Boolean = true
+  override def produceResult(input: InternalRow): Integer = {
+    if (input.isNullAt(0)) return null
+    import graft.functions.IcebergBucketImpl
+    Int.box(valueType match {
+      case IntegerType | DateType => IcebergBucketImpl.bucketLong(input.getInt(0).toLong, n)
+      case ShortType => IcebergBucketImpl.bucketLong(input.getShort(0).toLong, n)
+      case ByteType => IcebergBucketImpl.bucketLong(input.getByte(0).toLong, n)
+      case LongType | TimestampType | TimestampNTZType =>
+        IcebergBucketImpl.bucketLong(input.getLong(0), n)
+      case StringType => IcebergBucketImpl.bucketBytes(input.getUTF8String(0).getBytes, n)
+      case BinaryType => IcebergBucketImpl.bucketBytes(input.getBinary(0), n)
+      case d: DecimalType =>
+        IcebergBucketImpl.bucketDecimal(input.getDecimal(0, d.precision, d.scale), n)
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    })
+  }
+}
+
 /** The `truncate` partition transform as a V2 function — the same
   * arithmetic as the write path's
   * [[graft.table.TruncateField.expr]]: leading-codepoints prefix for

@@ -998,7 +998,13 @@ final class LakehouseTable(
       .distinct().repartition(1)
     val delDir = catalog.dataDir(namespace, name)
       .resolve(s"eqdel-${java.util.UUID.randomUUID().toString.take(12)}")
-    keyDf.write.mode("overwrite").parquet(delDir.toString)
+    // managed-write confs scoped here too: a timestamp KEY column
+    // written INT96 would carry no footer stats, degrading the delete
+    // tier's bounds-overlap selection (rewriteDeleteFiles) to
+    // rewrite-everything
+    graft.types.FieldIds.withManagedWriteConfs(spark) {
+      keyDf.write.mode("overwrite").parquet(delDir.toString)
+    }
     val delFiles = listParquet(delDir.toString).map { p =>
       statFile(p, Map.empty)
         .copy(deleteFile = Some(true), equalityKey = Some(encodedKey))
@@ -1144,7 +1150,9 @@ final class LakehouseTable(
         Seq("file_path", "row_index"), "left_anti")
     val vecDir = catalog.dataDir(namespace, name)
       .resolve(s"delta-${java.util.UUID.randomUUID().toString.take(12)}")
-    matched.coalesce(1).write.mode("overwrite").parquet(vecDir.toString)
+    graft.types.FieldIds.withManagedWriteConfs(spark) {
+      matched.coalesce(1).write.mode("overwrite").parquet(vecDir.toString)
+    }
     val vecFiles = listParquet(vecDir.toString).map { p =>
       statFile(p, Map.empty).copy(deleteFile = Some(true))
     }
@@ -1560,7 +1568,10 @@ final class LakehouseTable(
     * widening a bucket source would silently invalidate every
     * retained file's recorded bucket index — mis-pruning, not an
     * error. Identity and truncate sources are value-stable (external
-    * text / floor arithmetic unchanged) and pass. */
+    * text / floor arithmetic unchanged) and pass — as do `mbucket`
+    * sources: the Iceberg spec hashes ints WIDENED TO LONG and
+    * decimals by unscaled value precisely so `bucket[n]` survives
+    * int→bigint and decimal-precision promotion with indexes intact. */
   def widenColumn(colName: String, to: DataType): TableMetadata =
       catalog.withEvolutionLock(namespace, name) {
     val m = meta
@@ -1696,15 +1707,13 @@ final class LakehouseTable(
     val target = m.properties.get(graft.types.FieldIds.RegistryProp)
       .map(r => graft.types.FieldIds.attach(m.schema, graft.types.FieldIds.decode(r)))
       .getOrElse(m.schema)
-    spark.conf.set(graft.types.FieldIds.WriteConf, "true")
-    // INT64-micros timestamps, not Spark's legacy INT96 default: INT96
-    // carries no footer statistics (so timestamp bounds could never be
-    // recorded for pruning or metadata MIN/MAX) and the Iceberg spec
-    // forbids it in v2 data files — int96-written files would break the
-    // metadata export's external-reader contract. Readers handle both,
-    // so pre-existing INT96 files stay scannable; their missing stats
-    // just decline stat-based answers conservatively.
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // Field-id stamping + INT64-micros timestamps (not Spark's legacy
+    // INT96 default: INT96 carries no footer statistics — timestamp
+    // bounds could never be recorded for pruning or metadata MIN/MAX —
+    // and the Iceberg spec forbids it in v2 data files). SCOPED to this
+    // write job: a same-session foreign `df.write.parquet` interleaved
+    // between two managed writes must see the session's own settings.
+    graft.types.FieldIds.withManagedWriteConfs(spark) {
     val normalized = dfs.map(SchemaInfer.normalize(_, target))
       .reduce(_.unionByName(_))
     // the staging dir must be UNIQUE per write job, not per snapshot id:
@@ -1792,6 +1801,7 @@ final class LakehouseTable(
     val (kept, empty) = statted.partition(_.rowCount > 0)
     empty.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
     kept
+    }
   }
 
   private def listParquet(dir: String): Seq[String] = FileStats.listParquet(dir)

@@ -216,6 +216,36 @@ final case class BucketField(n: Int, source: String) extends PartField {
     }
 }
 
+/** Iceberg-SPEC bucket — `mbucket(n,col)`: murmur3_x86_32 over the
+  * spec's per-type byte encodings, `(hash & Int.MaxValue) % n`
+  * ([[graft.functions.IcebergBucketImpl]], Appendix-B vectors pinned
+  * in SnaplogSpec). The xxhash64 [[BucketField]] stays the native
+  * default (one 64-bit mix, no byte encoding — cheaper per row); THIS
+  * transform is the interop choice: the metadata export emits a REAL
+  * `bucket[n]` spec external Iceberg readers prune on, and foreign
+  * PyIceberg/Java-written `bucket[n]` trees import onto it with their
+  * stored indexes intact. Because the spec hashes ints widened to
+  * longs and decimals by unscaled value, `int→bigint` and
+  * `decimal(p,s)→decimal(p',s)` type widening preserve every recorded
+  * index — widening is allowed over mbucket sources (and refused over
+  * xxhash64 bucket sources, which hash the value as its type). */
+final case class MBucketField(n: Int, source: String) extends PartField {
+  val spec: String = s"mbucket($n,$source)"
+  val fieldName: String = s"${source}_mbucket"
+  def expr(c: Column, dt: DataType): Column =
+    graft.functions.IcebergBucket.bucket(c, n).cast(StringType)
+  /** Evaluates the SAME IcebergBucketExpr the layout column uses, so
+    * write/prune agreement is by construction. */
+  override def ofCatalyst(l: CatalystLiteral): Option[String] =
+    if (l.value == null) None
+    else {
+      val e = graft.functions.IcebergBucketExpr(l, n)
+      if (e.checkInputDataTypes().isSuccess)
+        Some(e.eval(null).asInstanceOf[Int].toString)
+      else None
+    }
+}
+
 /** Iceberg `truncate[W]`: leading-codepoints prefix for STRING sources,
   * `v - floorMod(v, W)` (the width-W multiple at or below v) for
   * integral sources. Integral truncate is ORDER-PRESERVING, so it
@@ -275,6 +305,7 @@ object PartitionTransforms {
   private val MonthsRe = """(?i)months?\(\s*([^()\s,]+)\s*\)""".r
   private val YearsRe = """(?i)years?\(\s*([^()\s,]+)\s*\)""".r
   private val BucketRe = """(?i)bucket\(\s*(\d+)\s*,\s*([^()\s,]+)\s*\)""".r
+  private val MBucketRe = """(?i)mbucket\(\s*(\d+)\s*,\s*([^()\s,]+)\s*\)""".r
   private val TruncateRe = """(?i)truncate\(\s*(\d+)\s*,\s*([^()\s,]+)\s*\)""".r
 
   def parse(spec: String): PartField = spec match {
@@ -282,6 +313,7 @@ object PartitionTransforms {
     case HoursRe(c) => HoursField(c)
     case MonthsRe(c) => MonthsField(c)
     case YearsRe(c) => YearsField(c)
+    case MBucketRe(n, c) => MBucketField(n.toInt, c)
     case BucketRe(n, c) => BucketField(n.toInt, c)
     case TruncateRe(w, c) => TruncateField(w.toInt, c)
     case c => IdentityField(c)
@@ -327,6 +359,19 @@ object PartitionTransforms {
               throw new IllegalArgumentException(
                 s"${pf.spec}: source must be an atomic type, is ${f.dataType.simpleString}")
             case _ => ()
+          }
+        case b: MBucketField =>
+          require(b.n > 0, s"${pf.spec}: bucket count must be positive")
+          f.dataType match {
+            // exactly the Iceberg spec's bucketable types — floats,
+            // doubles and booleans are excluded BY the spec
+            case IntegerType | LongType | ShortType | ByteType | DateType |
+                 TimestampType | TimestampNTZType | StringType | BinaryType |
+                 _: DecimalType => ()
+            case other => throw new IllegalArgumentException(
+              s"${pf.spec}: source must be an Iceberg-bucketable type " +
+                s"(int/long/date/timestamp/string/binary/decimal), " +
+                s"is ${other.simpleString}")
           }
         case t: TruncateField =>
           require(t.width > 0, s"${pf.spec}: truncate width must be positive")

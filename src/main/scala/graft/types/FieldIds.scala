@@ -52,6 +52,26 @@ object FieldIds {
   val WriteConf = "spark.sql.parquet.fieldId.write.enabled"
   val ReadConf = "spark.sql.parquet.fieldId.read.enabled"
 
+  /** Run `body` with the two managed-write session confs in force —
+    * field-id stamping on, INT64-micros timestamps (footer stats +
+    * Iceberg-v2-legal data files) — restoring the caller's values
+    * after. Both confs are session-global, so an UNSCOPED set would
+    * leak into a same-session foreign `df.write.parquet` between two
+    * managed writes. `body` must contain the point where the write
+    * job captures its conf (the eager `.parquet(...)` call, or a DSv2
+    * delegate's `toBatch`, which snapshots the session conf
+    * synchronously into its job description). */
+  def withManagedWriteConfs[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val keys = Seq(WriteConf, "spark.sql.parquet.outputTimestampType")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(WriteConf, "true")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try body finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Registry for a fresh table: ids 1..n in schema order. None when a
     * column name cannot round-trip the encoding (such a table simply
     * never becomes renameable — it refuses with guidance). */

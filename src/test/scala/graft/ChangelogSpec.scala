@@ -204,6 +204,38 @@ class ChangelogSpec extends SparkSpec {
     assert(got == exp.sorted)
   }
 
+  test("changelog spanning a type widening emits consistently-wide rows") {
+    // widening is metadata-only (no snapshot), so a window spanning it
+    // replays narrow-written and wide-written files alike — the PINNED
+    // contract: every leg reads with the CURRENT (wide) schema, so the
+    // feed is uniformly wide, never a mixed-type union
+    val cat = new Snaplog(Files.createTempDirectory("graft-cl-widen").toString)
+    val narrow = Seq((1, "a", 10), (2, "b", 20)).toDF("id", "grp", "n")
+    val t = LakehouseTable.create(cat, spark, "ns", "widen", narrow.schema)
+    t.append(narrow)                       // 1: files carry int32 n
+    t.widenColumn("n", org.apache.spark.sql.types.LongType)
+    t.append(Seq((3L, "c", 3000000000L)    // 2: files carry int64 n
+      ).toDF("id", "grp", "n")
+      .withColumn("id", col("id").cast("int")))
+    t.deleteEq("id", Seq(1))               // 3: deletes a NARROW-written row
+    val ch = t.scanChanges(0L)
+    // schema is uniformly wide, including the delete leg's preimage
+    assert(ch.schema("n").dataType == org.apache.spark.sql.types.LongType)
+    val got = ch.select(col(ChangeTypeCol), col(ChangeSnapshotCol),
+        col("id"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(got == Seq(
+      (ChangeDelete, 3L, 1, 10L),          // narrow preimage, emitted wide
+      (ChangeInsert, 1L, 1, 10L), (ChangeInsert, 1L, 2, 20L),
+      (ChangeInsert, 2L, 3, 3000000000L)).sorted)
+    // keyed refinement across the widening works too (no pairing here,
+    // just schema consistency through the full-outer pairing join)
+    val keyed = t.scanChangesKeyed(Seq("id"), 0L)
+    assert(keyed.schema("n").dataType == org.apache.spark.sql.types.LongType)
+    assert(keyed.count() == 4)
+  }
+
   test("refusals: unknown snapshots and expired-away creation history") {
     val t = freshTable("refuse")
     t.append(fixture(1)) // 1

@@ -584,6 +584,159 @@ abstract class CatalogContractSpec extends SparkSpec {
     assert(kept.size < cat.liveFiles("ns", "tr_imp").size && kept.nonEmpty)
   }
 
+  test("managed writes scope their session confs; foreign writes see the user's") {
+    val cat = freshCatalog()
+    import graft.types.FieldIds
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val savedTs = spark.conf.getOption(tsKey)
+    val savedIds = spark.conf.getOption(FieldIds.WriteConf)
+    try {
+      // the user pins INT96 session-wide before any managed write
+      spark.conf.set(tsKey, "INT96")
+      val tbl = LakehouseTable.create(cat, spark, "ns", "confscope",
+        fixture().schema, Seq("group"))
+      tbl.append(fixture())
+      // managed write done — the session still carries the USER's value
+      assert(spark.conf.get(tsKey) == "INT96")
+      // a plain parquet write BETWEEN two managed writes honors it:
+      // the timestamp lands as INT96, not graft's scoped micros
+      val dir = Files.createTempDirectory("plain-ts")
+      Seq(("a", java.sql.Timestamp.valueOf("2024-01-02 03:04:05")))
+        .toDF("k", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(dir.toString)
+      val plainFile = graft.table.FileStats.listParquet(dir.toString).head
+      def tsPhysical(path: String): String = {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(path),
+          spark.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getFileMetaData.getSchema
+          .getType(Seq("ts"): _*).asPrimitiveType().getPrimitiveTypeName.toString
+        finally r.close()
+      }
+      assert(tsPhysical(plainFile) == "INT96",
+        "foreign write must inherit the user's conf, not graft's")
+      // while the MANAGED write ignores the user's INT96 (scoped micros:
+      // footer stats + Iceberg-v2-legal files regardless of session)
+      val df2 = Seq((9, java.sql.Timestamp.valueOf("2024-03-04 05:06:07")))
+        .toDF("id", "ts")
+      val t2 = LakehouseTable.create(cat, spark, "ns", "confscope_ts",
+        df2.schema, Seq.empty)
+      t2.append(df2)
+      val managedFile = cat.liveFiles("ns", "confscope_ts").head.path
+      assert(tsPhysical(managedFile) == "INT64")
+      assert(spark.conf.get(tsKey) == "INT96") // still the user's
+      assert(spark.conf.getOption(FieldIds.WriteConf) == savedIds)
+    } finally {
+      savedTs.fold(spark.conf.unset(tsKey))(spark.conf.set(tsKey, _))
+      savedIds.fold(spark.conf.unset(FieldIds.WriteConf))(
+        spark.conf.set(FieldIds.WriteConf, _))
+    }
+  }
+
+  test("mbucket: murmur3_x86_32 matches the Iceberg spec's Appendix-B vectors") {
+    import graft.functions.IcebergBucketImpl._
+    // published hash test values from the Iceberg table spec, Appendix B
+    assert(hashLong(34L) == 2017239379, "int/long 34")
+    assert(hashBytes(java.math.BigDecimal.valueOf(1420, 2) // decimal 14.20
+      .unscaledValue.toByteArray) == -500754589, "decimal 14.20")
+    assert(hashLong(java.time.LocalDate.of(2017, 11, 16).toEpochDay)
+      == -653330422, "date 2017-11-16")
+    assert(hashLong(java.time.LocalTime.of(22, 31, 8).toNanoOfDay / 1000L)
+      == -662762989, "time 22:31:08 (micros)")
+    assert(hashLong(java.time.Instant.parse("2017-11-16T22:31:08Z")
+      .getEpochSecond * 1000000L) == -2047944441, "timestamp 2017-11-16T22:31:08")
+    assert(hashBytes("iceberg".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      == 1210000089, "string 'iceberg'")
+    assert(hashBytes(Array[Byte](0, 1, 2, 3)) == -188683207, "binary 00010203")
+    // bucket index per spec: (hash & MaxInt) % n
+    assert(bucketLong(34L, 16) == (2017239379 & Int.MaxValue) % 16)
+  }
+
+  test("mbucket export/import: REAL bucket[n] spec, external pruning, foreign import") {
+    val cat = freshCatalog()
+    val df = Seq(
+      (1L, "alpha", 10), (2L, "beta", 20), (3L, "gamma", 30),
+      (4L, "delta", 40), (5L, "epsilon", 50), (6L, "zeta", 60)
+    ).toDF("id", "name", "v")
+    val tbl = LakehouseTable.create(cat, spark, "ns", "mb", df.schema,
+      Seq("mbucket(4,id)"))
+    tbl.append(df)
+    // recorded layout indexes ARE the spec's murmur3 bucket values
+    import graft.functions.IcebergBucketImpl
+    cat.liveFiles("ns", "mb").foreach { f =>
+      val stored = f.partitionValues("id_mbucket").toInt
+      // every row in the file must hash to the file's stored index
+      val rows = spark.read.parquet(f.path).select("id").collect()
+      rows.foreach(r => assert(
+        IcebergBucketImpl.bucketLong(r.getLong(0), 4) == stored,
+        s"row ${r.getLong(0)} in file with stored index $stored"))
+    }
+    // write/prune agreement: equality on the source column prunes to
+    // exactly the literal's bucket
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+    val fields = graft.table.PartitionTransforms.parseAll(Seq("mbucket(4,id)"))
+    val idAttr = AttributeReference("id", LongType)()
+    val want = IcebergBucketImpl.bucketLong(3L, 4).toString
+    val kept = cat.liveFiles("ns", "mb").filter(f =>
+      graft.table.PartitionTransforms.mayMatch(f, EqualTo(idAttr, Literal(3L)), fields))
+    assert(kept.nonEmpty &&
+      kept.forall(_.partitionValues("id_mbucket") == want))
+    assert(tbl.scan().filter($"id" === 3L).count() == 1)
+
+    // export declares a REAL bucket[4] transform with typed int values
+    val dest = Files.createTempDirectory("graft-icemb")
+    graft.interop.IcebergExport.export(tbl, dest)
+    val metaText = Files.readString {
+      import scala.jdk.CollectionConverters._
+      Files.list(dest.resolve("metadata")).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".metadata.json")).toSeq.head
+    }
+    assert(metaText.contains("bucket[4]"), metaText)
+    assert(!metaText.contains("\"void\""))
+    import scala.jdk.CollectionConverters._
+    val manifest = Files.list(dest.resolve("metadata")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("manifest-")).toSeq.head
+    val r = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      manifest.toFile, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    val idxs = try r.iterator.asScala.toSeq.map(_
+      .get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .get("partition").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .get("id_mbucket").asInstanceOf[Integer].intValue()) finally r.close()
+    assert(idxs.nonEmpty && idxs.forall(i => i >= 0 && i < 4))
+
+    // a foreign bucket[n] tree (which this export now is, structurally)
+    // imports WITH the spec — no refusal — and prunes immediately
+    val rep = graft.interop.IcebergImport.register(cat, spark, dest, "ns", "mb_imp")
+    assert(rep.partitionColumns == Seq("mbucket(4,id)"))
+    val imp = LakehouseTable.load(cat, spark, "ns", "mb_imp")
+    assert(imp.scan().orderBy("id").collect().toSeq ==
+      tbl.scan().orderBy("id").collect().toSeq)
+    val keptImp = cat.liveFiles("ns", "mb_imp").filter(f =>
+      graft.table.PartitionTransforms.mayMatch(f, EqualTo(idAttr, Literal(3L)), fields))
+    assert(keptImp.nonEmpty &&
+      keptImp.forall(_.partitionValues("id_mbucket") == want))
+
+    // int→bigint widening is ALLOWED over mbucket sources (ints hash
+    // widened to long per the spec, so retained indexes stay valid) —
+    // contrast with xxhash64 bucket sources which refuse
+    val dfi = Seq((7, "eta")).toDF("k", "name")
+    val t2 = LakehouseTable.create(cat, spark, "ns", "mbw", dfi.schema,
+      Seq("mbucket(4,k)"))
+    t2.append(dfi)
+    t2.widenColumn("k", LongType)
+    t2.append(Seq((8L, "theta")).toDF("k", "name"))
+    // same-value pruning still agrees across the widening: bucket of
+    // int 7 (recorded) == bucket of long 7L (pruned)
+    val kAttr = AttributeReference("k", LongType)()
+    val f2 = graft.table.PartitionTransforms.parseAll(Seq("mbucket(4,k)"))
+    val kept2 = cat.liveFiles("ns", "mbw").filter(f =>
+      graft.table.PartitionTransforms.mayMatch(f, EqualTo(kAttr, Literal(7L)), f2))
+    val want7 = IcebergBucketImpl.bucketLong(7L, 4).toString
+    assert(kept2.nonEmpty && kept2.forall(_.partitionValues("k_mbucket") == want7))
+    assert(t2.scan().filter($"k" === 7L).count() == 1)
+  }
+
   test("iceberg import registers an exported tree as a new table (round-trip)") {
     val cat = freshCatalog()
     val tbl = LakehouseTable.create(cat, spark, "ns", "src", fixture().schema, Seq("group"))

@@ -277,8 +277,14 @@ class StreamTableSourceSpec extends SparkSpec {
     tbl.deleteMor($"id" === 3)                             // post-fold vector
     // resume: the new row arrives; both vectors cross as no-ops
     assert(runToDir("gsmorck.ns.mc", ckpt, out) == Seq(1, 2, 3, 4, 5))
-    // a fresh stream sees the post-fold live content (subtraction in
-    // the initial batch would need a compact — folded vectors refuse)
+    // a fresh VIRGIN stream whose checkpoint-folded initial content
+    // carries a vector NO LONGER refuses: the source materializes the
+    // batch scan's MOR subtraction for the initial batch (id 2 never
+    // emits), then crosses the post-fold vector as a no-op (id 3 was
+    // emitted by the initial batch — skip semantics, no retraction)
+    val ckptV = Files.createTempDirectory("graft-streammorck-ckv").toString
+    assert(runOnce("gsmorck.ns.mc", ckptV)._1 == Seq(1, 3, 4, 5))
+    // after compaction the net content streams (vectors materialized)
     tbl.compact()
     val ckpt2 = Files.createTempDirectory("graft-streammorck-ck2").toString
     assert(runOnce("gsmorck.ns.mc", ckpt2)._1 == Seq(1, 4, 5))

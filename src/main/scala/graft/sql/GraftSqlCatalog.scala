@@ -984,6 +984,27 @@ private[sql] final class GraftScanBuilder(
       FilePrune.mayMatch(f, e) &&
         graft.table.PartitionTransforms.mayMatch(f, e, transformFields)))
 
+  /** Data files possibly AFFECTED by an outstanding delete entry —
+    * position vectors by their recorded file_path sets, equality
+    * deletes by key-bounds overlap against files preceding them in
+    * replay order (EqDeletes.touchedDataPaths, the rewriteDeleteFiles
+    * selection shared verbatim). Every file NOT here keeps exact
+    * logged row counts and bounds even while deletes are outstanding,
+    * which is what lets exact-filter consumption and metadata
+    * aggregates survive a delete-bearing table when the query's file
+    * set provably dodges every delete. Computed once per scan build;
+    * the vector read is driver-side and vector-sized. Without replay
+    * order an equality delete cannot be attributed — everything counts
+    * as touched (conservative decline). */
+  private lazy val touchedByDeletes: Set[String] =
+    if (deleteFiles.isEmpty) Set.empty
+    else if (orderedEntries.isEmpty &&
+        deleteFiles.exists(graft.table.EqDeletes.isEq))
+      files.map(_.path).toSet
+    else graft.table.EqDeletes.touchedDataPaths(SparkSession.active,
+      if (orderedEntries.nonEmpty) orderedEntries else files ++ deleteFiles,
+      statsUnsafe)
+
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
@@ -994,15 +1015,21 @@ private[sql] final class GraftScanBuilder(
     // exactly the matching rows, so no residual evaluation is needed —
     // which also unlocks aggregate pushdown under partition filters.
     // Everything else stays residual: stat-based pruning for those is
-    // conservative, so row-level evaluation must still happen. With
-    // outstanding MOR delete vectors EVERY filter stays residual —
-    // file pruning alone cannot account for vector-deleted rows.
+    // conservative, so row-level evaluation must still happen.
     // TRANSFORM-EXACT predicates (unit-aligned range bounds over a
     // hidden-partition transform, see PartitionTransforms.rangeExact)
     // are equally consumable: the pruned file set holds exactly the
     // matching rows — the day-window shape every events dashboard
     // filters by.
-    if (deleteFiles.nonEmpty) filters
+    // Outstanding MOR deletes normally force every filter residual
+    // (file pruning alone cannot account for deleted rows) — EXCEPT
+    // when no file the filters keep can be touched by any outstanding
+    // delete (touchedByDeletes): subtraction is then a provable no-op
+    // over the kept set, so exact consumption still holds. This is
+    // what lets a partition-window COUNT on a delete-bearing CDC table
+    // stay metadata-answered when the deletes hit other partitions.
+    if (deleteFiles.nonEmpty &&
+        keptFiles.exists(f => touchedByDeletes(f.path))) filters
     else filters.filterNot(e =>
       FilePrune.partitionExact(e, partitionCols.toSet, files) ||
         graft.table.PartitionTransforms.rangeExact(e, transformFields, files))
@@ -1102,13 +1129,20 @@ private[sql] final class GraftScanBuilder(
         graft.table.PartitionTransforms.mayMatch(f, e, transformFields)))
 
   private def canAnswerFromMetadata(agg: Aggregation): Boolean =
-    deleteFiles.isEmpty && // logged row counts ignore MOR-deleted rows
       exprs.forall(e =>
         FilePrune.partitionExact(e, partitionCols.toSet, files) ||
           graft.table.PartitionTransforms.rangeExact(e, transformFields, files)) &&
       agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.nonEmpty && {
         val answering = aggFiles
+        // logged row counts and bounds ignore MOR-deleted rows — but a
+        // file NO outstanding delete can touch (touchedByDeletes) keeps
+        // them exact, so the claim narrows to provably-untouched
+        // answering sets instead of declining for ANY outstanding
+        // delete: the filtered COUNT over last month's partitions stays
+        // free while this week's CDC deletes are pending elsewhere
+        (deleteFiles.isEmpty ||
+          answering.forall(f => !touchedByDeletes(f.path))) &&
         agg.aggregateExpressions.forall {
           case _: CountStar => true
           case c: Count if !c.isDistinct =>

@@ -36,6 +36,61 @@ object EqDeletes {
   def keyCols(f: DataFileEntry): Seq[String] =
     f.equalityKey.get.split(',').toSeq
 
+  /** Data-file paths possibly AFFECTED by the outstanding delete
+    * entries in `ordered` (replay order) — one definition of
+    * delete-touch attribution, shared by the delete-tier compaction's
+    * file selection ([[LakehouseTable.rewriteDeleteFiles]]) and the
+    * DSv2 scan's metadata-aggregate gate:
+    *  - position vectors touch exactly the `file_path`s they record
+    *    (vectors read once, driver-side; distinct paths are bounded by
+    *    the live file count);
+    *  - an equality delete touches the data files PRECEDING it in
+    *    replay order whose key-column [min,max] bounds OVERLAP the
+    *    delete file's own recorded key bounds — a provably key-disjoint
+    *    file cannot hold a deleted tuple. Missing stats / non-numeric /
+    *    NaN / evolution-rebound (`statsUnsafe`) key columns count as
+    *    touched (conservative).
+    * Every path NOT returned is provably unaffected: its logged row
+    * count and column bounds describe its live rows exactly even while
+    * the deletes stay outstanding. */
+  def touchedDataPaths(spark: SparkSession, ordered: Seq[DataFileEntry],
+      statsUnsafe: Set[String]): Set[String] = {
+    val deletes = ordered.filter(_.deleteFile.contains(true))
+    if (deletes.isEmpty) return Set.empty
+    val posTouched: Set[String] = {
+      val vecs = deletes.filter(isPos)
+      if (vecs.isEmpty) Set.empty
+      else spark.read.parquet(vecs.map(_.path): _*)
+        .select("file_path").distinct().collect()
+        .map(r => FileStats.normalizePath(r.getString(0))).toSet
+    }
+    def numeric(b: graft.catalog.ColBounds): Option[(Double, Double)] =
+      try {
+        val (mn, mx) = (b.min.toDouble, b.max.toDouble)
+        if (mn.isNaN || mx.isNaN) None else Some((mn, mx))
+      } catch { case _: NumberFormatException => None }
+    def eqAffected(f: DataFileEntry, del: DataFileEntry): Boolean = {
+      val keys = del.equalityKey.toSeq.flatMap(_.split(',')).map(_.trim)
+      !keys.exists { k =>
+        !statsUnsafe(k.toLowerCase(java.util.Locale.ROOT)) && (for {
+          db <- f.columnStats.flatMap(_.get(k)).flatMap(numeric)
+          eb <- del.columnStats.flatMap(_.get(k)).flatMap(numeric)
+        } yield db._2 < eb._1 || db._1 > eb._2).getOrElse(false)
+      }
+    }
+    // one reverse replay walk: a data file is affected by the equality
+    // deletes that FOLLOW it in the listing
+    val laterEq = scala.collection.mutable.ArrayBuffer.empty[DataFileEntry]
+    val touched = scala.collection.mutable.Set.empty[String]
+    ordered.reverseIterator.foreach { e =>
+      if (isEq(e)) laterEq += e
+      else if (!e.deleteFile.contains(true) &&
+          (posTouched(FileStats.normalizePath(e.path)) ||
+            laterEq.exists(del => eqAffected(e, del)))) touched += e.path
+    }
+    touched.toSet
+  }
+
   /** Segment the replay-ordered entries into (data files, equality
     * deletes that apply to them) groups: consecutive data files with
     * the same downstream-delete suffix share a segment, so the number

@@ -1289,42 +1289,11 @@ final class LakehouseTable(
           s"table $namespace.$name has no snapshots"))
     val statsUnsafe = graft.types.FieldIds.namesSet(
       meta.properties, graft.types.FieldIds.StatsUnsafeProp)
-    val posTouched: Set[String] = {
-      val vecs = deletes.filter(EqDeletes.isPos)
-      if (vecs.isEmpty) Set.empty
-      else spark.read.parquet(vecs.map(_.path): _*)
-        .select("file_path").distinct().collect()
-        .map(r => normalizePath(r.getString(0))).toSet
-    }
-    def numeric(b: graft.catalog.ColBounds): Option[(Double, Double)] =
-      try {
-        val (mn, mx) = (b.min.toDouble, b.max.toDouble)
-        if (mn.isNaN || mx.isNaN) None else Some((mn, mx))
-      } catch { case _: NumberFormatException => None }
-    // a preceding data file escapes an equality delete only when some
-    // key column's bounds are provably DISJOINT from the delete file's
-    // own key bounds — then no deleted tuple can match any of its rows
-    def eqAffected(f: DataFileEntry, del: DataFileEntry): Boolean = {
-      val keys = del.equalityKey.toSeq.flatMap(_.split(',')).map(_.trim)
-      !keys.exists { k =>
-        !statsUnsafe(k.toLowerCase(java.util.Locale.ROOT)) && (for {
-          db <- f.columnStats.flatMap(_.get(k)).flatMap(numeric)
-          eb <- del.columnStats.flatMap(_.get(k)).flatMap(numeric)
-        } yield db._2 < eb._1 || db._1 > eb._2).getOrElse(false)
-      }
-    }
-    // one reverse replay walk: a data file is affected by the equality
-    // deletes that FOLLOW it in the listing
-    val laterEq = scala.collection.mutable.ArrayBuffer.empty[DataFileEntry]
-    val eqHit = scala.collection.mutable.Set.empty[String]
-    ordered.reverseIterator.foreach { e =>
-      if (EqDeletes.isEq(e)) laterEq += e
-      else if (!e.deleteFile.contains(true) &&
-          laterEq.exists(del => eqAffected(e, del))) eqHit += e.path
-    }
+    // one shared definition of delete-touch attribution (also the DSv2
+    // scan's metadata-aggregate gate) — see EqDeletes.touchedDataPaths
+    val touched = EqDeletes.touchedDataPaths(spark, ordered, statsUnsafe)
     val dataFiles = ordered.filterNot(_.deleteFile.contains(true))
-    val sel = dataFiles.filter(f =>
-      eqHit(f.path) || posTouched(normalizePath(f.path)))
+    val sel = dataFiles.filter(f => touched(f.path))
     val selPaths = sel.map(_.path).toSet
     val rest = dataFiles.filterNot(f => selPaths(f.path))
     val totalBytes = math.max(1L, sel.map(_.sizeBytes).sum)

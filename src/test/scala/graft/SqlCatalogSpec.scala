@@ -158,6 +158,49 @@ class SqlCatalogSpec extends SparkSpec {
     assert(f4.head().getLong(0) == 8)
   }
 
+  test("metadata aggregates survive outstanding deletes over untouched files") {
+    val wh = Files.createTempDirectory("graft-sqlaggdel").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "ad", fixture().schema, Seq("group"))
+    tbl.append(fixture().coalesce(1)) // one file per partition: A(1,2) B(3) C(4)
+    spark.conf.set("spark.sql.catalog.gsqlaggdel", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlaggdel.warehouse", wh)
+    // an eq delete whose key bounds [1,1] overlap ONLY partition A's
+    // file (id bounds [1,2]); B [3,3] and C [4,4] are provably disjoint
+    tbl.deleteEq("id", Seq(1))
+    assert(cat.liveDeleteFiles("ns", "ad").nonEmpty)
+    def planOf(sql: String) =
+      (spark.sql(sql), spark.sql(sql).queryExecution.sparkPlan.toString)
+    // filtered COUNT over the UNTOUCHED partition: metadata-answered
+    // (LocalTableScan, no parquet) even with the delete outstanding
+    val (qB, pB) = planOf("SELECT COUNT(*) FROM gsqlaggdel.ns.ad WHERE group = 'B'")
+    assert(pB.contains("LocalTableScan") && !pB.toLowerCase.contains("parquet"),
+      s"expected metadata COUNT over the untouched partition in:\n$pB")
+    assert(qB.head().getLong(0) == 1)
+    // MIN/MAX over untouched files answers from metadata too
+    val (qM, pM) = planOf(
+      "SELECT MIN(id), MAX(value2) FROM gsqlaggdel.ns.ad WHERE group = 'C'")
+    assert(pM.contains("LocalTableScan"), pM)
+    assert(qM.head().getInt(0) == 4 && qM.head().getInt(1) == 40)
+    // the TOUCHED partition still scans (subtraction must run) — exact
+    val (qA, pA) = planOf("SELECT COUNT(*) FROM gsqlaggdel.ns.ad WHERE group = 'A'")
+    assert(!pA.contains("LocalTableScan"), pA)
+    assert(qA.head().getLong(0) == 1) // id 1 deleted
+    // unfiltered COUNT includes touched files → declines, stays exact
+    val (qAll, pAll) = planOf("SELECT COUNT(*) FROM gsqlaggdel.ns.ad")
+    assert(!pAll.contains("LocalTableScan"), pAll)
+    assert(qAll.head().getLong(0) == 3)
+    // position vectors attribute by recorded file_path: a MOR delete in
+    // C leaves B metadata-answerable, C scans (and nets to zero)
+    tbl.deleteMor($"id" === 4)
+    val (qB2, pB2) = planOf("SELECT COUNT(*) FROM gsqlaggdel.ns.ad WHERE group = 'B'")
+    assert(pB2.contains("LocalTableScan"), pB2)
+    assert(qB2.head().getLong(0) == 1)
+    val (qC, pC) = planOf("SELECT COUNT(*) FROM gsqlaggdel.ns.ad WHERE group = 'C'")
+    assert(!pC.contains("LocalTableScan"), pC)
+    assert(qC.head().getLong(0) == 0)
+  }
+
   test("metadata MIN/MAX answers for timestamp/date columns from footer bounds") {
     val wh = Files.createTempDirectory("graft-sqlts").toString
     val cat = new Snaplog(wh)

@@ -68,19 +68,51 @@ object IcebergExport {
       dataFiles: Long,
       totalRecords: Long)
 
-  private def icebergType(dt: DataType): String = dt match {
-    case BooleanType => "boolean"
-    case IntegerType | ShortType | ByteType => "int"
-    case LongType => "long"
-    case FloatType => "float"
-    case DoubleType => "double"
-    case StringType => "string"
-    case BinaryType => "binary"
-    case DateType => "date"
-    case TimestampType => "timestamptz"
-    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
-    case other => s"string" // lossy fallback for nested types, documented read-only export
+  private def icebergPrimitive(dt: DataType): Option[String] = dt match {
+    case BooleanType => Some("boolean")
+    case IntegerType | ShortType | ByteType => Some("int")
+    case LongType => Some("long")
+    case FloatType => Some("float")
+    case DoubleType => Some("double")
+    case StringType => Some("string")
+    case BinaryType => Some("binary")
+    case DateType => Some("date")
+    case TimestampType => Some("timestamptz")
+    case TimestampNTZType => Some("timestamp")
+    case d: DecimalType => Some(s"decimal(${d.precision}, ${d.scale})")
+    case _ => None
   }
+
+  /** Iceberg schema JSON for one column type — primitives as the spec's
+    * names, NESTED types (struct/list/map) as the spec's JSON nodes
+    * with fresh field-ids drawn from `nextId` (nested ids live above
+    * the top-level registry's high-water mark; external readers
+    * resolve by these ids, graft's own reads stay name-based and never
+    * consult them). No silent fallback: a type the spec cannot express
+    * refuses rather than exporting a false schema. */
+  private def icebergTypeJson(dt: DataType, nextId: () => Int): JValue =
+    icebergPrimitive(dt).map(JString(_): JValue).getOrElse(dt match {
+      case s: StructType =>
+        ("type" -> "struct") ~ ("fields" -> JArray(s.fields.map { f =>
+          val id = nextId() // allocate parent-before-children, in order
+          ("id" -> id) ~ ("name" -> f.name) ~ ("required" -> !f.nullable) ~
+            ("type" -> icebergTypeJson(f.dataType, nextId)): JValue
+        }.toList))
+      case a: ArrayType =>
+        val eid = nextId()
+        ("type" -> "list") ~ ("element-id" -> eid) ~
+          ("element" -> icebergTypeJson(a.elementType, nextId)) ~
+          ("element-required" -> !a.containsNull)
+      case m: MapType =>
+        val kid = nextId()
+        val keyJson = icebergTypeJson(m.keyType, nextId)
+        val vid = nextId()
+        ("type" -> "map") ~ ("key-id" -> kid) ~ ("key" -> keyJson) ~
+          ("value-id" -> vid) ~ ("value" -> icebergTypeJson(m.valueType, nextId)) ~
+          ("value-required" -> !m.valueContainsNull)
+      case other => throw new IllegalArgumentException(
+        s"type ${other.simpleString} has no Iceberg representation — export refused")
+    })
 
   // ---- avro schemas (spec field names + field-ids) -------------------------
 
@@ -265,9 +297,15 @@ object IcebergExport {
     val fieldId = schema.fieldNames.zipWithIndex.map { case (n, i) =>
       n -> registry.getOrElse(n, i + 1)
     }.toMap
+    // nested field-ids allocate above the top-level high-water mark
+    // (deterministic traversal order → stable across re-exports)
+    val idCounter = new java.util.concurrent.atomic.AtomicInteger(
+      fieldId.values.foldLeft(schema.fields.length)(_ max _))
+    val nextNestedId: () => Int = () => idCounter.incrementAndGet()
     val fields = schema.fields.map { f =>
       ("id" -> fieldId(f.name)) ~ ("name" -> f.name) ~
-        ("required" -> !f.nullable) ~ ("type" -> icebergType(f.dataType))
+        ("required" -> !f.nullable) ~
+        ("type" -> icebergTypeJson(f.dataType, nextNestedId))
     }
     val partFields = PartitionTransforms.parseAll(table.partitionColumns)
     // source-id resolves case-insensitively like every schema lookup
@@ -391,7 +429,7 @@ object IcebergExport {
         ("last-sequence-number" -> snaps.lastOption.map(_._1.snapshotId).getOrElse(0L)) ~
         ("last-updated-ms" -> snaps.lastOption.map(_._1.timestampMs)
           .getOrElse(m.createdAtMs)) ~
-        ("last-column-id" -> fieldId.values.foldLeft(schema.fields.length)(_ max _)) ~
+        ("last-column-id" -> idCounter.get()) ~ // covers nested ids too
         ("schemas" -> List(
           ("schema-id" -> 0) ~ ("type" -> "struct") ~ ("fields" -> fields.toList))) ~
         ("current-schema-id" -> 0) ~

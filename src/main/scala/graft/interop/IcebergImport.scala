@@ -45,11 +45,14 @@ import graft.table.{FileStats, LakehouseTable}
   * bucket tree's stored indexes are exactly what graft's write and
   * prune sides compute.
   *
+  * Nested (struct/list/map) columns import at full shape — graft reads
+  * nested content by name and keeps nested-bearing tables additive-only
+  * under evolution, so the tree's nested field-ids need no tracking.
+  *
   * Honest refusals, all failing BEFORE any catalog mutation: delete
   * manifests / delete files (a data-only import would resurrect
-  * deleted rows), non-parquet file formats, and non-primitive column
-  * types (nested structs need field-id tracking this format does not
-  * carry).
+  * deleted rows), non-parquet file formats, and primitive types the
+  * spec names that graft cannot represent exactly.
   */
 object IcebergImport {
 
@@ -79,6 +82,33 @@ object IcebergImport {
       DecimalType(p, sc)
     case other => throw new IllegalArgumentException(
       s"iceberg type '$other' has no exact graft mapping — import refused")
+  }
+
+  /** Full type parser: primitive names plus the spec's NESTED JSON
+    * nodes (struct/list/map). Nested inner field-ids are not carried
+    * into the registry — graft reads nested content by name, and the
+    * evolution gates keep nested-bearing tables additive-only, so
+    * id-based resolution is never required below the top level. */
+  private def sparkTypeJson(j: JValue)(implicit fmts: Formats): DataType = j match {
+    case JString(s) => sparkType(s)
+    case obj: JObject => (obj \ "type").extract[String] match {
+      case "struct" => StructType((obj \ "fields") match {
+        case JArray(fs) => fs.map { f =>
+          StructField((f \ "name").extract[String], sparkTypeJson(f \ "type"),
+            nullable = !(f \ "required").extractOpt[Boolean].getOrElse(false))
+        }
+        case other => throw new IllegalArgumentException(
+          s"malformed struct fields: ${JsonMethods.compact(JsonMethods.render(other))}")
+      })
+      case "list" => ArrayType(sparkTypeJson(obj \ "element"),
+        containsNull = !(obj \ "element-required").extractOpt[Boolean].getOrElse(false))
+      case "map" => MapType(sparkTypeJson(obj \ "key"), sparkTypeJson(obj \ "value"),
+        valueContainsNull = !(obj \ "value-required").extractOpt[Boolean].getOrElse(false))
+      case other => throw new IllegalArgumentException(
+        s"iceberg complex type '$other' has no graft mapping — import refused")
+    }
+    case other => throw new IllegalArgumentException(
+      s"malformed iceberg type node: ${JsonMethods.compact(JsonMethods.render(other))}")
   }
 
   /** Real Iceberg writers (PyIceberg, the Java library) record absolute
@@ -133,13 +163,7 @@ object IcebergImport {
     val fieldsJson = (schemaJson \ "fields").asInstanceOf[JArray].arr
     val fieldById = fieldsJson.map(f => (f \ "id").extract[Int] -> f).toMap
     val schema = StructType(fieldsJson.map { f =>
-      val tpe = (f \ "type") match {
-        case JString(s) => sparkType(s)
-        case other => throw new IllegalArgumentException(
-          s"nested/complex type on column '${(f \ "name").extract[String]}' — " +
-            s"import refused (${JsonMethods.compact(JsonMethods.render(other))})")
-      }
-      StructField((f \ "name").extract[String], tpe,
+      StructField((f \ "name").extract[String], sparkTypeJson(f \ "type"),
         nullable = !(f \ "required").extract[Boolean])
     })
 

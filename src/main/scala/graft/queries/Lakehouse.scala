@@ -2319,6 +2319,53 @@ object Lakehouse {
         FROM customer WHERE c_mktsegment = 'BUILDING'
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // NESTED columns in a managed table: events re-shaped with a struct
+    // (evt.type, evt.value), a map (attrs['user']) and an array
+    // (vals[0..1]) column, written through the managed path (partitioned
+    // by days(ts), zstd, field-ids on the top level), scanned back and
+    // aggregated over EXTRACTED nested fields — the DuckDB oracle
+    // computes the same aggregate from the raw flat columns, so the
+    // whole nested round trip (write → log → scan → extraction) is
+    // hash-gated. Bounds/null counts stay top-level-primitive-only by
+    // design (nested leaves decline stats); pruning on the days(ts)
+    // transform is unaffected and claimed in-result.
+    QueryDef("lake_nested_types",
+      (s, d) => {
+        val whDir = wh("lake_nested_types", d)
+        val cat = new Snaplog(whDir)
+        val ev = events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .withColumn("evt", struct(
+            col("event_type").as("type"),
+            col("value").cast("decimal(18,2)").as("v")))
+          .withColumn("attrs", map(lit("user"), col("user_id").cast("string")))
+          .withColumn("vals", array(col("value"), col("value") * 2))
+        val rep = Ingest.ingestDf(cat, "lake", "events_nested", ev,
+          partitionColumns = Seq("days(ts)"))
+        val tbl = rep.table
+        // transform pruning lives alongside nested columns: a one-day
+        // window keeps strictly fewer files than the table holds
+        val all = cat.liveFiles("lake", "events_nested")
+        val probeDay = all.flatMap(_.partitionValues.get("ts_day")).min
+        val kept = all.count(_.partitionValues.get("ts_day").contains(probeDay))
+        tbl.scan()
+          .groupBy(col("evt.type").as("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("evt.v")).cast("double").as("total"),
+            sum(element_at(col("vals"), 2)
+              .cast("decimal(18,2)")).cast("double").as("doubled"),
+            countDistinct(element_at(col("attrs"), "user")).as("users"))
+          .withColumn("pruned", lit(kept > 0 && kept < all.size))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          CAST(SUM(CAST(value * 2 AS DECIMAL(18,2))) AS DOUBLE) AS doubled,
+          COUNT(DISTINCT CAST(user_id AS VARCHAR)) AS users,
+          TRUE AS pruned
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // Iceberg-spec murmur3 bucket interop: a supplier table partitioned
     // by mbucket(8,s_suppkey) exports a REAL `bucket[8]` spec (the spec
     // mandates murmur3_x86_32, which mbucket computes — Appendix-B

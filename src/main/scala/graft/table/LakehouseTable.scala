@@ -1468,6 +1468,20 @@ final class LakehouseTable(
     import graft.types.FieldIds
     val m = meta
     val cur = m.schema
+    // Rename/drop flip the table to read-by-id, and id resolution is
+    // defined here for FLAT schemas only (ids are stamped on top-level
+    // fields; nested inner fields carry none, and a half-id-resolved
+    // struct read is undefined behavior across parquet readers).
+    // Nested-bearing tables evolve ADDITIVELY only — refuse loudly.
+    require(!cur.fields.exists(x => x.dataType match {
+        case _: org.apache.spark.sql.types.StructType |
+             _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.ArrayType => true
+        case _ => false
+      }),
+      s"$namespace.$name carries nested (struct/map/array) columns: " +
+        "rename/drop need read-by-id resolution, which is defined for " +
+        "flat schemas only — nested tables evolve additively (addColumn)")
     val f = cur.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
       throw new IllegalArgumentException(s"no column '$from' in $namespace.$name"))
     require(!PartitionTransforms.parseAll(m.partitionColumns)
@@ -1579,6 +1593,16 @@ final class LakehouseTable(
     val cur = m.schema
     val f = cur.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
       throw new IllegalArgumentException(s"no column '$colName' in $namespace.$name"))
+    // same flat-schema gate as renameColumn: drop flips to read-by-id
+    require(!cur.fields.exists(x => x.dataType match {
+        case _: org.apache.spark.sql.types.StructType |
+             _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.ArrayType => true
+        case _ => false
+      }),
+      s"$namespace.$name carries nested (struct/map/array) columns: " +
+        "rename/drop need read-by-id resolution, which is defined for " +
+        "flat schemas only — nested tables evolve additively (addColumn)")
     require(!PartitionTransforms.parseAll(m.partitionColumns)
         .exists(_.source.equalsIgnoreCase(colName)),
       s"cannot drop partition column '$colName'")
@@ -1861,18 +1885,26 @@ object FileStats {
       r.getFooter.getBlocks.asScala.foreach { b =>
         b.getColumns.asScala.foreach { c =>
           val name = c.getPath.toDotString
-          val st = c.getStatistics
-          if (st == null || !st.hasNonNullValue) unsafe += name
-          else statValues(st).foreach { case (mn, mx) =>
-            mins(name) = mins.get(name).map(combine(_, mn, min = true)).getOrElse(mn)
-            maxs(name) = maxs.get(name).map(combine(_, mx, min = false)).getOrElse(mx)
+          // bounds/null counts only for TOP-LEVEL primitive columns: a
+          // nested leaf's dot path ("props.device", "emb.list.element")
+          // is no prune key — pushed predicates reference top-level
+          // names, a leaf null count is not the struct's, and a leaf
+          // bound is not a column bound. Nested columns simply decline
+          // stat-based answers (conservative, like any missing stat).
+          if (!name.contains('.')) {
+            val st = c.getStatistics
+            if (st == null || !st.hasNonNullValue) unsafe += name
+            else statValues(st).foreach { case (mn, mx) =>
+              mins(name) = mins.get(name).map(combine(_, mn, min = true)).getOrElse(mn)
+              maxs(name) = maxs.get(name).map(combine(_, mx, min = false)).getOrElse(mx)
+            }
+            // null counts are exact only when EVERY block sets the stat —
+            // unlike [min,max] this is independent of hasNonNullValue (an
+            // all-null block has no min/max but a perfectly good count)
+            if (st == null || !st.isNumNullsSet || st.getNumNulls < 0)
+              nullsUnsafe += name
+            else nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
           }
-          // null counts are exact only when EVERY block sets the stat —
-          // unlike [min,max] this is independent of hasNonNullValue (an
-          // all-null block has no min/max but a perfectly good count)
-          if (st == null || !st.isNumNullsSet || st.getNumNulls < 0)
-            nullsUnsafe += name
-          else nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
         }
       }
       val stats = (mins.keySet -- unsafe).map { c =>

@@ -381,7 +381,15 @@ object PartitionTransforms {
               s"${pf.spec}: source must be a string or integral column, " +
                 s"is ${other.simpleString}")
           }
-        case _: IdentityField => ()
+        case _: IdentityField => f.dataType match {
+          // a struct/map/array has no stable external text to directory-
+          // encode or prune on — identity partitioning is atomic-only
+          case _: ArrayType | _: MapType | _: StructType =>
+            throw new IllegalArgumentException(
+              s"${pf.spec}: identity partition source must be an atomic " +
+                s"type, is ${f.dataType.simpleString}")
+          case _ => ()
+        }
       }
     }
     val names = fields.map(_.fieldName.toLowerCase(java.util.Locale.ROOT))

@@ -634,6 +634,69 @@ abstract class CatalogContractSpec extends SparkSpec {
     }
   }
 
+  test("nested struct/map/array columns: write, scan, stat-decline, interop, gated evolution") {
+    val cat = freshCatalog()
+    import org.apache.spark.sql.functions.{map => smap, array => sarr, struct => sstruct, lit => slit}
+    val base = fixture()
+    val df = base
+      .withColumn("props", sstruct($"group".as("g"), $"value2".as("v2")))
+      .withColumn("tags", smap(slit("grp"), $"group"))
+      .withColumn("xs", sarr($"value2", $"value2" + 1))
+    val tbl = LakehouseTable.create(cat, spark, "ns", "nested", df.schema, Seq("group"))
+    tbl.append(df)
+    tbl.append(df.withColumn("id", $"id" + 10))
+    // scan round-trips nested content; extraction works
+    val got = tbl.scan()
+      .select($"id", $"props.g", $"props.v2", $"tags"("grp"), $"xs"(1))
+      .orderBy("id").collect()
+    assert(got.length == 8)
+    assert(got.head.getString(1) == "A" && got.head.getInt(2) == 10)
+    assert(got.head.getString(3) == "A" && got.head.getInt(4) == 11)
+    // identity pruning on the atomic partition column still works
+    assert(tbl.selectFiles(partitionFilter = Map("group" -> "B"))
+      .forall(_.partitionValues.get("group").contains("B")))
+    // stats: bounds/null counts recorded for top-level primitives ONLY
+    // (nested leaves decline — no dotted keys in the log)
+    cat.liveFiles("ns", "nested").foreach { f =>
+      val keys = f.columnStats.map(_.keySet).getOrElse(Set.empty) ++
+        f.nullCounts.map(_.keySet).getOrElse(Set.empty)
+      assert(keys.forall(!_.contains(".")), s"nested leaf stat leaked: $keys")
+      assert(f.columnStats.exists(_.contains("id")))
+    }
+    // nested identity partitioning refuses at create
+    val e1 = intercept[IllegalArgumentException] {
+      LakehouseTable.create(cat, spark, "ns", "nested_bad", df.schema, Seq("props"))
+    }
+    assert(e1.getMessage.contains("atomic"))
+    // evolution: additive works, rename/drop gate (read-by-id is
+    // defined for flat schemas only)
+    tbl.addColumn("note", org.apache.spark.sql.types.StringType)
+    assert(tbl.schema.fieldNames.contains("note"))
+    val e2 = intercept[IllegalArgumentException](tbl.renameColumn("value2", "v2"))
+    assert(e2.getMessage.contains("nested"))
+    val e3 = intercept[IllegalArgumentException](tbl.dropColumn("value2"))
+    assert(e3.getMessage.contains("nested"))
+    // iceberg export emits REAL nested schema JSON (no string fallback),
+    // and the tree re-imports with the nested shape intact
+    val dest = Files.createTempDirectory("graft-icenest")
+    graft.interop.IcebergExport.export(tbl, dest)
+    val metaText = Files.readString {
+      import scala.jdk.CollectionConverters._
+      Files.list(dest.resolve("metadata")).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".metadata.json")).toSeq.head
+    }
+    assert(metaText.contains("\"struct\"") && metaText.contains("\"list\"") &&
+      metaText.contains("\"map\""), metaText)
+    assert(metaText.contains("element-id") && metaText.contains("key-id"))
+    val rep = graft.interop.IcebergImport.register(cat, spark, dest, "ns", "nested_imp")
+    assert(rep.schema("props").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    assert(rep.schema("tags").dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+    assert(rep.schema("xs").dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+    val imp = LakehouseTable.load(cat, spark, "ns", "nested_imp")
+    assert(imp.scan().select($"id", $"props.v2").orderBy("id").collect().toSeq ==
+      tbl.scan().select($"id", $"props.v2").orderBy("id").collect().toSeq)
+  }
+
   test("mbucket: murmur3_x86_32 matches the Iceberg spec's Appendix-B vectors") {
     import graft.functions.IcebergBucketImpl._
     // published hash test values from the Iceberg table spec, Appendix B

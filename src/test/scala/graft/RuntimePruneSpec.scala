@@ -75,6 +75,23 @@ class RuntimePruneSpec extends SparkSpec {
     }
   }
 
+  test("mbucket partitions prune at runtime through the spec murmur3 transform") {
+    // MBucketField.ofCatalyst evaluates the same IcebergBucketExpr the
+    // write path records, so runtime IN values from the dim side drop
+    // non-matching murmur3 buckets before tasks launch
+    val cn = setup("mbkt", Seq("mbucket(4,id)"))
+    GraftStreamableParquetScan.pruneLog.remove("ns.mbkt")
+    val dim = fileDim("mbkt", Seq((7L, "keep"), (11L, "keep"), (2L, "drop"))
+      .toDF("id", "tag")).filter($"tag" === "keep")
+    val j = spark.table(s"$cn.ns.mbkt").join(dim, "id")
+    assert(j.collect().map(_.getAs[Long]("id")).sorted.toSeq == Seq(7L, 11L))
+    pruned("ns.mbkt") match {
+      case Some((total, kept)) =>
+        assert(kept < total, s"no files pruned: $kept/$total")
+      case None => fail("runtime filter never reached the scan")
+    }
+  }
+
   test("days-transform partitions prune at runtime on the timestamp key") {
     // the runtime IN values are catalyst micros; mayMatch re-runs the
     // writer's epoch-day arithmetic on each literal, so a days(ts)

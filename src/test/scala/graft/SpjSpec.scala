@@ -117,6 +117,56 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("mbucket-partitioned join on the source column plans without shuffles") {
+    // the Iceberg-spec murmur3 bucket rides SPJ as a count-per-name
+    // unary function family (mbucket_<n>, GraftMBucketUnbound) — two
+    // mbucket(8,id) tables must key-group-join shuffle-free, and the
+    // V2 function must agree with the write path's recorded indexes
+    val wh = Files.createTempDirectory("graft-spj-mbucket").toString
+    val cat = new Snaplog(wh)
+    val a = LakehouseTable.create(cat, spark, "ns", "ma", df(1, "x").schema,
+      Seq("mbucket(8,id)"))
+    val b = LakehouseTable.create(cat, spark, "ns", "mb", df(1, "x").schema,
+      Seq("mbucket(8,id)"))
+    a.append(df(64, "a"))
+    b.append(df(32, "b"))
+    spark.conf.set("spark.sql.catalog.gspjmb", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gspjmb.warehouse", wh)
+    withSpjConf {
+      val j = spark.table("gspjmb.ns.ma").select($"id", $"payload".as("pa"))
+        .join(spark.table("gspjmb.ns.mb").select($"id", $"payload".as("pb")), "id")
+      assert(shuffles(j) == 0, j.queryExecution.executedPlan.toString)
+      assert(j.count() == 32)
+    }
+    // v2 function vs write path: the bound mbucket_8 computes exactly
+    // the recorded layout index for every row of every file
+    val fn = new graft.sql.GraftMBucketUnbound(8)
+      .bind(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.IntegerType))))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+    cat.liveFiles("ns", "ma").foreach { f =>
+      val stored = f.partitionValues("id_mbucket").toInt
+      spark.read.parquet(f.path).select("id").collect().foreach { r =>
+        val row = org.apache.spark.sql.catalyst.InternalRow(r.getInt(0))
+        assert(fn.produceResult(row).intValue() == stored)
+      }
+    }
+    // encoding-typed canonical names: int and long MATCH (the spec
+    // hashes ints widened to long — compatible partitionings), string
+    // differs, counts differ
+    def canon(n: Int, dt: org.apache.spark.sql.types.DataType) =
+      new graft.sql.GraftMBucketUnbound(n).bind(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("c", dt)))).canonicalName()
+    assert(canon(8, org.apache.spark.sql.types.IntegerType) ==
+      canon(8, org.apache.spark.sql.types.LongType))
+    assert(canon(8, org.apache.spark.sql.types.IntegerType) !=
+      canon(8, org.apache.spark.sql.types.StringType))
+    assert(canon(8, org.apache.spark.sql.types.IntegerType) !=
+      canon(4, org.apache.spark.sql.types.IntegerType))
+  }
+
   test("days-partitioned join on the timestamp column plans without shuffles") {
     import java.sql.Timestamp
     val wh = Files.createTempDirectory("graft-spj-days").toString

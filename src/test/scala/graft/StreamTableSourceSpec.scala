@@ -290,6 +290,33 @@ class StreamTableSourceSpec extends SparkSpec {
     assert(runOnce("gsmorck.ns.mc", ckpt2)._1 == Seq(1, 4, 5))
   }
 
+  test("a virgin stream over folded EQUALITY deletes materializes the subtraction") {
+    // the initial-batch materialization covers the equality tier too:
+    // a checkpoint fold re-lists the outstanding key file, so a fresh
+    // stream's initial content needs the keyed anti-join — previously a
+    // compact-first refusal, now a scan-materialized batch
+    val wh = Files.createTempDirectory("graft-streameqfold").toString
+    val cat = new Snaplog(wh, checkpointInterval = 2)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "ef", fixture(1 to 4, "A").schema)
+    tbl.append(fixture(1 to 4, "A"))                       // snap 1
+    tbl.deleteEq("id", Seq(2, 3))                          // snap 2 (+ fold)
+    assert(cat.snapshots("ns", "ef")
+      .exists(_.operation == graft.catalog.Snaplog.OpCheckpoint),
+      "fixture must fold so the initial content carries the key file")
+    assert(cat.liveDeleteFiles("ns", "ef").nonEmpty)
+    spark.conf.set("spark.sql.catalog.gseqf", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gseqf.warehouse", wh)
+    val ckpt = Files.createTempDirectory("graft-streameqfold-ck").toString
+    val out = Files.createTempDirectory("graft-streameqfold-out").toString
+    assert(runToDir("gseqf.ns.ef", ckpt, out) == Seq(1, 4))
+    // the stream only materialized a copy — the delete stays outstanding
+    assert(cat.liveDeleteFiles("ns", "ef").nonEmpty)
+    // delta resume continues normally past the materialized batch; a
+    // re-inserted key is a NEW row (replay order: append after delete)
+    tbl.append(fixture(2 to 2, "B"))
+    assert(runToDir("gseqf.ns.ef", ckpt, out) == Seq(1, 2, 4))
+  }
+
   test("partitioned tables stream with partition columns intact") {
     val wh = Files.createTempDirectory("graft-streampart").toString
     val cat = new Snaplog(wh)

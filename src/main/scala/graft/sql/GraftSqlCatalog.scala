@@ -1227,7 +1227,15 @@ private[sql] final class GraftScanBuilder(
 
   override def build(): Scan = pushedAgg match {
     case Some(agg) => metadataAggScan(agg)
-    case None if deleteFiles.nonEmpty =>
+    // Outstanding deletes whose touch set the pruned files provably
+    // DODGE (touchedByDeletes): subtraction is a no-op over this
+    // scan's rows, so the regular DSv2 branch below plans instead of
+    // the V1 MOR wrap — restoring SPJ reports, ordering, runtime file
+    // pruning and the codegen parquet path for the delete-dodging
+    // reads a partition-windowed query runs while CDC deletes are
+    // pending elsewhere. Touched sets take the MOR branch.
+    case None if deleteFiles.nonEmpty &&
+        keptFiles.exists(f => touchedByDeletes(f.path)) =>
       // Merge-on-read: metadata file pruning still applies, then a V1
       // relation subtracts the delete files — equality deletes by
       // keyed anti-join per replay segment, position vectors by the

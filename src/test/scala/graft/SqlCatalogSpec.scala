@@ -199,6 +199,15 @@ class SqlCatalogSpec extends SparkSpec {
     val (qC, pC) = planOf("SELECT COUNT(*) FROM gsqlaggdel.ns.ad WHERE group = 'C'")
     assert(!pC.contains("LocalTableScan"), pC)
     assert(qC.head().getLong(0) == 0)
+    // ROW reads route by the same attribution: the untouched partition
+    // plans the regular DSv2 parquet scan (BatchScan — SPJ/DPP/codegen
+    // path), the touched one takes the V1 MOR subtraction relation
+    val (rB, rpB) = planOf("SELECT id FROM gsqlaggdel.ns.ad WHERE group = 'B'")
+    assert(rpB.contains("BatchScan"), s"untouched read must stay DSv2:\n$rpB")
+    assert(rB.collect().map(_.getInt(0)).toSeq == Seq(3))
+    val (rA, rpA) = planOf("SELECT id FROM gsqlaggdel.ns.ad WHERE group = 'A'")
+    assert(!rpA.contains("BatchScan"), s"touched read must subtract (MOR):\n$rpA")
+    assert(rA.collect().map(_.getInt(0)).sorted.toSeq == Seq(2))
   }
 
   test("metadata MIN/MAX answers for timestamp/date columns from footer bounds") {

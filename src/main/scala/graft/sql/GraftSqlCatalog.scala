@@ -1682,11 +1682,13 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
         case "months" => s"months($ref)"
         case "years" => s"years($ref)"
         case "bucket" => s"bucket($intArg,$ref)"
+        case "mbucket" => s"mbucket($intArg,$ref)"
         case "truncate" => s"truncate($intArg,$ref)"
         case _ =>
           throw new UnsupportedOperationException(
             s"$catName supports identity, years/months/days/hours(col), " +
-              s"bucket(n, col) and truncate(w, col) partitioning; got $tr")
+              s"bucket(n, col), mbucket(n, col) and truncate(w, col) " +
+              s"partitioning; got $tr")
       }
     }
     val props = {

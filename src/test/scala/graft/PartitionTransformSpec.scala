@@ -333,6 +333,16 @@ class PartitionTransformSpec extends SparkSpec {
       PARTITIONED BY (years(ts), months(ts), hours(ts), truncate(3, s))""")
     assert(cat.loadTable("ns", "all_t").partitionColumns ==
       Seq("years(ts)", "months(ts)", "hours(ts)", "truncate(3,s)"))
+    // the Iceberg-spec murmur3 bucket creates, writes and prunes via SQL
+    spark.sql("""CREATE TABLE gptx.ns.mb_t (id BIGINT, v STRING)
+      PARTITIONED BY (mbucket(4, id))""")
+    assert(cat.loadTable("ns", "mb_t").partitionColumns == Seq("mbucket(4,id)"))
+    spark.sql("INSERT INTO gptx.ns.mb_t SELECT id, CAST(id AS STRING) FROM range(1, 65)")
+    val mbScanned = scanned("SELECT * FROM gptx.ns.mb_t WHERE id = 7")
+    val mbTotal = cat.liveFiles("ns", "mb_t").size
+    assert(mbScanned > 0 && mbScanned < mbTotal,
+      s"mbucket scan should prune: $mbScanned of $mbTotal")
+    assert(spark.sql("SELECT * FROM gptx.ns.mb_t WHERE id = 7").count() == 1)
     // unknown transforms still refuse at CREATE
     intercept[Exception] {
       spark.sql("CREATE TABLE gptx.ns.h (id BIGINT) PARTITIONED BY (zorder(id))")

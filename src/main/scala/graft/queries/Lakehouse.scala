@@ -2319,6 +2319,62 @@ object Lakehouse {
         FROM customer WHERE c_mktsegment = 'BUILDING'
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // Delete-dodging reads on a delete-bearing table: an equality
+    // delete lands in ONE partition's key range; a filtered COUNT and a
+    // row read over OTHER partitions stay on the free paths (metadata
+    // aggregate / regular DSv2 scan) because delete-touch attribution
+    // (position vectors by recorded path, equality deletes by key-bounds
+    // overlap in replay order) proves the pruned file set dodges every
+    // outstanding delete. The touched partition's aggregate subtracts
+    // through the MOR relation — both legs DuckDB-oracled, and the
+    // plan-shape claims (metadata-answered / MOR-scanned) ride the
+    // result. At 100 TB this is last month's dashboard staying free
+    // while this week's CDC deletes are pending elsewhere.
+    QueryDef("lake_mor_dodge",
+      (s, d) => {
+        val whDir = wh("lake_mor_dodge", d)
+        val cat = new Snaplog(whDir)
+        val orders = t(s, d, "orders")
+        // truncate(4000, key) partitions give each partition a DISJOINT
+        // key range — files in bucket >= 1 carry o_orderkey bounds
+        // >= 4000, provably disjoint from the deleted keys (< 100)
+        val rep = Ingest.ingestDf(cat, "lake", "orders_dodge", orders,
+          partitionColumns = Seq("truncate(4000,o_orderkey)"))
+        rep.table.deleteEq("o_orderkey",
+          orders.filter(col("o_orderkey") < 100).select("o_orderkey"))
+        require(cat.liveDeleteFiles("lake", "orders_dodge").nonEmpty)
+        val cn = sqlCatalog(s, "gmd", whDir)
+        // key window over untouched buckets: COUNT from metadata (the
+        // aligned truncate window is transform-exact AND delete-dodging)
+        val dodge = s.sql(s"""SELECT COUNT(*) AS n FROM $cn.lake.orders_dodge
+          WHERE o_orderkey >= 4000 AND o_orderkey < 8000""")
+        val dodgeMeta = dodge.queryExecution.sparkPlan.toString
+          .contains("LocalTableScan")
+        // same window, row read: regular DSv2 scan (BatchScan), no MOR
+        val rowRead = s.sql(s"""SELECT o_orderkey FROM $cn.lake.orders_dodge
+          WHERE o_orderkey >= 4000 AND o_orderkey < 8000""")
+        val rowDsv2 = rowRead.queryExecution.sparkPlan.toString.contains("BatchScan")
+        // the touched low bucket: subtraction runs, result nets deletes
+        val touched = s.sql(s"""SELECT COUNT(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM $cn.lake.orders_dodge WHERE o_orderkey < 4000""")
+        val touchedMor = !touched.queryExecution.sparkPlan.toString
+          .contains("LocalTableScan")
+        import s.implicits._
+        Seq((dodge.head().getLong(0), touched.head().getLong(0),
+          touched.head().getDouble(1), dodgeMeta && rowDsv2 && touchedMor))
+          .toDF("n_untouched", "n_touched", "total_touched", "plans_split")
+      },
+      Some("""SELECT
+          (SELECT COUNT(*) FROM orders
+             WHERE o_orderkey >= 4000 AND o_orderkey < 8000) AS n_untouched,
+          (SELECT COUNT(*) FROM orders
+             WHERE o_orderkey < 4000 AND o_orderkey >= 100) AS n_touched,
+          (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             FROM orders
+             WHERE o_orderkey < 4000 AND o_orderkey >= 100) AS total_touched,
+          TRUE AS plans_split""")),
+
     // NESTED columns in a managed table: events re-shaped with a struct
     // (evt.type, evt.value), a map (attrs['user']) and an array
     // (vals[0..1]) column, written through the managed path (partitioned

@@ -53,16 +53,31 @@ object EqDeletes {
     * Every path NOT returned is provably unaffected: its logged row
     * count and column bounds describe its live rows exactly even while
     * the deletes stay outstanding. */
+  /** Vector files are immutable once committed (unique staging paths,
+    * never rewritten in place), so their distinct file_path sets cache
+    * safely across plans — a hot CDC table planned hundreds of times
+    * between maintenance runs pays the driver-side vector read once.
+    * Bounded LRU; retired vectors age out. */
+  private val vecPathCache =
+    new java.util.LinkedHashMap[Seq[String], Set[String]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Seq[String], Set[String]]): Boolean = size > 64
+    }
+
   def touchedDataPaths(spark: SparkSession, ordered: Seq[DataFileEntry],
       statsUnsafe: Set[String]): Set[String] = {
     val deletes = ordered.filter(_.deleteFile.contains(true))
     if (deletes.isEmpty) return Set.empty
     val posTouched: Set[String] = {
-      val vecs = deletes.filter(isPos)
+      val vecs = deletes.filter(isPos).map(_.path).sorted
       if (vecs.isEmpty) Set.empty
-      else spark.read.parquet(vecs.map(_.path): _*)
-        .select("file_path").distinct().collect()
-        .map(r => FileStats.normalizePath(r.getString(0))).toSet
+      else vecPathCache.synchronized(Option(vecPathCache.get(vecs))).getOrElse {
+        val read = spark.read.parquet(vecs: _*)
+          .select("file_path").distinct().collect()
+          .map(r => FileStats.normalizePath(r.getString(0))).toSet
+        vecPathCache.synchronized(vecPathCache.put(vecs, read))
+        read
+      }
     }
     def numeric(b: graft.catalog.ColBounds): Option[(Double, Double)] =
       try {

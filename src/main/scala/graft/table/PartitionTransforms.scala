@@ -438,7 +438,14 @@ object PartitionTransforms {
       // lit > col ⇔ col < lit
       case XLte(l: CatalystLiteral, a: XAttr) => alignedBound(a.name, l)
       case XGt(l: CatalystLiteral, a: XAttr) => alignedBound(a.name, l)
-      case XIsNotNull(a: XAttr) => covering(a.name).exists(_.isNotNullExact)
+      // covering ⇒ every file stores a REAL (non-sentinel) numeric
+      // index ⇒ the table holds NO null-source rows at all (nulls land
+      // in sentinel dirs, which covering excludes) ⇒ IS NOT NULL
+      // matches every row — exact for every transform, including
+      // truncate (the string-truncate ""-alias hazard concerns
+      // sentinel PRUNING via isNotNullExact, which never fires here:
+      // ""-rows would also sit in sentinel dirs covering excludes)
+      case XIsNotNull(a: XAttr) => covering(a.name).isDefined
       case XAnd(l, r) => rangeExact(l, fields, files) && rangeExact(r, fields, files)
       case XOr(l, r) => rangeExact(l, fields, files) && rangeExact(r, fields, files)
       case _: XEq | _: XIn => false // a unit holds more instants than one

@@ -170,28 +170,33 @@ case class IcebergBucketExpr(child: Expression, n: Int) extends UnaryExpression 
 }
 
 object IcebergBucket {
-  /** Register `iceberg_bucket` in the session registry (idempotent) and
+  /** Registered under a graft-prefixed name so the engine-internal
+    * registration (re-run on every layout-expression build) can never
+    * clobber a user's own session function named `iceberg_bucket`. */
+  val FunctionName = "graft_iceberg_bucket"
+
+  /** Register [[FunctionName]] in the session registry (idempotent) and
     * return a Column applying it — usable from the DataFrame API and
     * `spark.sql`. The bucket count rides as a foldable second arg. */
   def bucket(spark: SparkSession, c: Column, n: Int): Column = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "iceberg_bucket",
+      FunctionName,
       exprs => {
-        require(exprs.length == 2, "iceberg_bucket(col, n) takes two arguments")
+        require(exprs.length == 2, s"$FunctionName(col, n) takes two arguments")
         val nLit = exprs(1) match {
           case e if e.foldable => e.eval() match {
             case i: Int => i
             case l: Long => l.toInt
             case other => throw new IllegalArgumentException(
-              s"iceberg_bucket: n must be an integer literal, got $other")
+              s"$FunctionName: n must be an integer literal, got $other")
           }
           case _ => throw new IllegalArgumentException(
-            "iceberg_bucket: n must be a literal")
+            s"$FunctionName: n must be a literal")
         }
         IcebergBucketExpr(exprs.head, nLit)
       },
       "built-in")
-    call_function("iceberg_bucket", c, lit(n))
+    call_function(FunctionName, c, lit(n))
   }
 
   /** Variant resolving the session from the thread context — for call

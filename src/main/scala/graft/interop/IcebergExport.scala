@@ -86,9 +86,17 @@ object IcebergExport {
   /** Iceberg schema JSON for one column type — primitives as the spec's
     * names, NESTED types (struct/list/map) as the spec's JSON nodes
     * with fresh field-ids drawn from `nextId` (nested ids live above
-    * the top-level registry's high-water mark; external readers
-    * resolve by these ids, graft's own reads stay name-based and never
-    * consult them). No silent fallback: a type the spec cannot express
+    * the top-level registry's high-water mark). Honest interop scope:
+    * graft-written data files physically carry TOP-LEVEL field ids
+    * only (Spark's field-id writer stamps StructField metadata, which
+    * nested list/map elements cannot carry), so a strict-by-id reader
+    * resolves top-level columns from the files directly; for nested
+    * content the export also emits the spec's
+    * `schema.name-mapping.default` property ([[nameMapping]], derived
+    * from this very JSON so ids always agree) — the spec's sanctioned
+    * fallback for fields without ids — and name-based engines (DuckDB's
+    * iceberg_scan, graft's own re-import) read the nested shape
+    * directly. No silent fallback: a type the spec cannot express
     * refuses rather than exporting a false schema. */
   private def icebergTypeJson(dt: DataType, nextId: () => Int): JValue =
     icebergPrimitive(dt).map(JString(_): JValue).getOrElse(dt match {
@@ -152,6 +160,45 @@ object IcebergExport {
   /** Avro type of one partition FIELD in the `r102` partition struct:
     * the transform's Iceberg RESULT type (identity/truncate → source
     * type, day → date-logical int, hour/month/year → int). */
+
+  /** Iceberg name-mapping (`schema.name-mapping.default`) derived from
+    * the ALREADY-EMITTED schema JSON — walking the JSON (rather than
+    * re-running id allocation) guarantees mapping ids and schema ids
+    * agree by construction. Entry shape per the spec: `{"field-id": N,
+    * "names": [name], "fields": [...]}`; list children map under
+    * "element", map children under "key"/"value". */
+  private def nameMapping(fields: List[JValue]): JValue = {
+    def ofType(t: JValue): Option[JValue] = t match {
+      case JString(_) => None
+      case obj: JObject => (obj \ "type") match {
+        case JString("struct") => (obj \ "fields") match {
+          case JArray(fs) => Some(JArray(fs.map(entry)))
+          case _ => None
+        }
+        case JString("list") =>
+          Some(JArray(List(
+            ("field-id" -> (obj \ "element-id")) ~ ("names" -> List("element")) ~
+              nested(obj \ "element"))))
+        case JString("map") =>
+          Some(JArray(List(
+            ("field-id" -> (obj \ "key-id")) ~ ("names" -> List("key")) ~
+              nested(obj \ "key"),
+            ("field-id" -> (obj \ "value-id")) ~ ("names" -> List("value")) ~
+              nested(obj \ "value"))))
+        case _ => None
+      }
+      case _ => None
+    }
+    def nested(t: JValue): JObject = ofType(t) match {
+      case Some(fs) => JObject(List("fields" -> fs))
+      case None => JObject(Nil)
+    }
+    def entry(f: JValue): JValue =
+      ("field-id" -> (f \ "id")) ~
+        ("names" -> List((f \ "name").values.toString)) ~ nested(f \ "type")
+    JArray(fields.map(entry))
+  }
+
   private def partitionAvroType(pf: PartField, srcDt: DataType): JValue = pf match {
     case _: IdentityField => srcDt match {
       case IntegerType | ShortType | ByteType => JString("int")
@@ -439,7 +486,12 @@ object IcebergExport {
         ("last-partition-id" -> (999 + specFields.length)) ~
         ("properties" -> JObject(m.properties.toList.map {
           case (k, v) => k -> (JString(v): JValue)
-        })) ~
+        } :+ ("schema.name-mapping.default" ->
+          // the spec's fallback for resolving fields data files carry
+          // no id for (graft files: everything below the top level;
+          // add_files registrations: every field)
+          (JString(JsonMethods.compact(JsonMethods.render(
+            nameMapping(fields.toList)))): JValue)))) ~
         ("current-snapshot-id" -> snaps.lastOption.map(_._1.snapshotId).getOrElse(-1L)) ~
         ("snapshots" -> snapshotJsons.toList) ~
         ("sort-orders" -> List(("order-id" -> 0) ~ ("fields" -> List.empty[JValue]))) ~

@@ -79,8 +79,12 @@ private[sql] final class GraftSqlTable(
       case MonthsField(c) => Expressions.months(c)
       case YearsField(c) => Expressions.years(c)
       case BucketField(n, c) => Expressions.bucket(n, c)
-      case MBucketField(n, c) => Expressions.apply(s"mbucket_$n",
-        Expressions.column(c))
+      // DESCRIBE/CTAS surface reports the PARSEABLE two-arg form (the
+      // createTable transform parser accepts name "mbucket" + int arg);
+      // the SPJ-resolvable name-encoded unary family (mbucket_<n>)
+      // lives only in the SCAN's partitioning report (SpjKeys)
+      case MBucketField(n, c) => Expressions.apply("mbucket",
+        Expressions.literal(n), Expressions.column(c))
       case TruncateField(w, c) => Expressions.apply("truncate",
         Expressions.literal(w), Expressions.column(c))
     }.toArray
@@ -979,10 +983,18 @@ private[sql] final class GraftScanBuilder(
     graft.table.PartitionTransforms.parseAll(partitionCols)
       .filterNot(_.isInstanceOf[graft.table.IdentityField])
 
-  private def keptFiles: Seq[DataFileEntry] =
-    files.filter(f => prunable.forall(e =>
-      FilePrune.mayMatch(f, e) &&
-        graft.table.PartitionTransforms.mayMatch(f, e, transformFields)))
+  // memoized: the full prune pass is O(files x filters) driver work and
+  // build() consults it up to three times per plan (pushFilters gate,
+  // branch guard, branch body); exprs are final after pushFilters, which
+  // invalidates the memo on (re-)push
+  private var keptFilesMemo: Seq[DataFileEntry] = null
+  private def keptFiles: Seq[DataFileEntry] = {
+    if (keptFilesMemo == null)
+      keptFilesMemo = files.filter(f => prunable.forall(e =>
+        FilePrune.mayMatch(f, e) &&
+          graft.table.PartitionTransforms.mayMatch(f, e, transformFields)))
+    keptFilesMemo
+  }
 
   /** Data files possibly AFFECTED by an outstanding delete entry —
     * position vectors by their recorded file_path sets, equality
@@ -1009,6 +1021,7 @@ private[sql] final class GraftScanBuilder(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
     exprs = filters
+    keptFilesMemo = null
     // PARTITION-EXACT predicates (equality/IN/IsNotNull/integral-range
     // over identity-partition columns recorded for every file) are
     // fully consumed: identity partitioning makes file pruning select

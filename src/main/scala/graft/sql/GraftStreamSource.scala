@@ -600,8 +600,13 @@ private[graft] final class GraftMicroBatchStream(
     initMaterialized.computeIfAbsent(e, _ => {
       val subtracted = graft.table.LakehouseTable
         .load(backing, spark, ns, tbl).scan(asOf = Some(e))
-      val tmp = backing.dataDir(ns, tbl).resolve(
-        s"stream-init-$e-${java.util.UUID.randomUUID().toString.take(8)}")
+      // staged OUTSIDE the table's dataDir: vacuum() walks dataDir and
+      // deletes unreferenced files past its grace window, which would
+      // rip these (never-registered) files out from under a running
+      // initial batch; a crash-leaked temp dir is the OS temp dir's
+      // problem, not permanent warehouse garbage
+      val tmp = java.nio.file.Files.createTempDirectory(
+        s"graft-stream-init-$ns-$tbl-$e-")
       graft.types.FieldIds.withManagedWriteConfs(spark) {
         subtracted.write.mode("overwrite").parquet(tmp.toString)
       }

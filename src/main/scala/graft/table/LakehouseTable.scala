@@ -1409,6 +1409,16 @@ final class LakehouseTable(
         require(!seen(n), s"column '${c._1}' already exists")
         seen + n
     }
+    // inverse of requireFlatForIdEvolution: a table that already
+    // evolved to read-by-id must not grow nested columns (the mixed
+    // read-by-id + nested state is exactly what the rename/drop gate
+    // declares undefined) — nested columns belong to name-matched
+    // tables, which then stay additive-only
+    require(!graft.types.FieldIds.hasIds(cur) ||
+        cols.forall(c => !isNestedType(c._2)),
+      s"$namespace.$name has evolved columns (read-by-id): nested " +
+        "(struct/map/array) additions are not resolvable by id — add " +
+        "them to a name-matched table, or recreate")
     val added = cols.map { case (n, dt) => StructField(n, dt, nullable = true) }
     val base = StructType(cur.fields ++ added)
     // a new column taking a FREED name is a rebinding: old files' stats
@@ -1463,25 +1473,34 @@ final class LakehouseTable(
     * refuse — their name is baked into per-file partition tuples and
     * layout directories, so renaming them is a spec rewrite, not a
     * schema edit. */
+  /** Shared gate for the id-indirection evolutions (rename/drop flip
+    * the table to read-by-id) and their inverse: read-by-id resolution
+    * is defined here for FLAT schemas only — ids are stamped on
+    * top-level fields, nested inner fields carry none, and a
+    * half-id-resolved struct read is undefined behavior across parquet
+    * readers. Nested-bearing tables evolve ADDITIVELY only, and an
+    * already-evolved (read-by-id) table refuses nested ADDITIONS for
+    * the same reason — the gate must hold in both directions or a
+    * rename-then-add-nested sequence reaches the undefined state. */
+  private def isNestedType(dt: DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.StructType |
+         _: org.apache.spark.sql.types.MapType |
+         _: org.apache.spark.sql.types.ArrayType => true
+    case _ => false
+  }
+
+  private def requireFlatForIdEvolution(cur: StructType): Unit =
+    require(!cur.fields.exists(f => isNestedType(f.dataType)),
+      s"$namespace.$name carries nested (struct/map/array) columns: " +
+        "rename/drop need read-by-id resolution, which is defined for " +
+        "flat schemas only — nested tables evolve additively (addColumn)")
+
   def renameColumn(from: String, to: String): TableMetadata =
       catalog.withEvolutionLock(namespace, name) {
     import graft.types.FieldIds
     val m = meta
     val cur = m.schema
-    // Rename/drop flip the table to read-by-id, and id resolution is
-    // defined here for FLAT schemas only (ids are stamped on top-level
-    // fields; nested inner fields carry none, and a half-id-resolved
-    // struct read is undefined behavior across parquet readers).
-    // Nested-bearing tables evolve ADDITIVELY only — refuse loudly.
-    require(!cur.fields.exists(x => x.dataType match {
-        case _: org.apache.spark.sql.types.StructType |
-             _: org.apache.spark.sql.types.MapType |
-             _: org.apache.spark.sql.types.ArrayType => true
-        case _ => false
-      }),
-      s"$namespace.$name carries nested (struct/map/array) columns: " +
-        "rename/drop need read-by-id resolution, which is defined for " +
-        "flat schemas only — nested tables evolve additively (addColumn)")
+    requireFlatForIdEvolution(cur)
     val f = cur.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
       throw new IllegalArgumentException(s"no column '$from' in $namespace.$name"))
     require(!PartitionTransforms.parseAll(m.partitionColumns)
@@ -1593,16 +1612,7 @@ final class LakehouseTable(
     val cur = m.schema
     val f = cur.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
       throw new IllegalArgumentException(s"no column '$colName' in $namespace.$name"))
-    // same flat-schema gate as renameColumn: drop flips to read-by-id
-    require(!cur.fields.exists(x => x.dataType match {
-        case _: org.apache.spark.sql.types.StructType |
-             _: org.apache.spark.sql.types.MapType |
-             _: org.apache.spark.sql.types.ArrayType => true
-        case _ => false
-      }),
-      s"$namespace.$name carries nested (struct/map/array) columns: " +
-        "rename/drop need read-by-id resolution, which is defined for " +
-        "flat schemas only — nested tables evolve additively (addColumn)")
+    requireFlatForIdEvolution(cur)
     require(!PartitionTransforms.parseAll(m.partitionColumns)
         .exists(_.source.equalsIgnoreCase(colName)),
       s"cannot drop partition column '$colName'")

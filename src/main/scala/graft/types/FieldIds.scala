@@ -60,16 +60,31 @@ object FieldIds {
     * managed writes. `body` must contain the point where the write
     * job captures its conf (the eager `.parquet(...)` call, or a DSv2
     * delegate's `toBatch`, which snapshots the session conf
-    * synchronously into its job description). */
+    * synchronously into its job description).
+    *
+    * Save/set/restore of a SESSION-global conf is not safe under
+    * concurrent interleaving (thread B's capture could see thread A's
+    * restore, writing id-less INT96 files; B's restore could re-leak
+    * the managed values session-wide), so the whole scope runs under
+    * one JVM-wide reentrant lock: managed writes serialize their
+    * conf-capture sections. Two managed writes racing in one session
+    * is already outside the engine's single-writer commit model —
+    * the lock turns a silent wrong-file hazard into brief driver-side
+    * serialization. */
+  private val writeConfLock = new java.util.concurrent.locks.ReentrantLock()
+
   def withManagedWriteConfs[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
-    val keys = Seq(WriteConf, "spark.sql.parquet.outputTimestampType")
-    val saved = keys.map(k => k -> spark.conf.getOption(k))
-    spark.conf.set(WriteConf, "true")
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    try body finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
+    writeConfLock.lock()
+    try {
+      val keys = Seq(WriteConf, "spark.sql.parquet.outputTimestampType")
+      val saved = keys.map(k => k -> spark.conf.getOption(k))
+      spark.conf.set(WriteConf, "true")
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      try body finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    } finally writeConfLock.unlock()
   }
 
   /** Registry for a fresh table: ids 1..n in schema order. None when a

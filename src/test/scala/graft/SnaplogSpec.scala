@@ -688,6 +688,12 @@ abstract class CatalogContractSpec extends SparkSpec {
     assert(metaText.contains("\"struct\"") && metaText.contains("\"list\"") &&
       metaText.contains("\"map\""), metaText)
     assert(metaText.contains("element-id") && metaText.contains("key-id"))
+    // the spec's name-mapping property rides along (the sanctioned
+    // fallback for resolving fields data files carry no ids for —
+    // nested content here), with entries for nested children
+    assert(metaText.contains("schema.name-mapping.default"), metaText)
+    assert(metaText.contains("\\\"element\\\"") || metaText.contains("\"element\""),
+      "name mapping must cover list elements")
     val rep = graft.interop.IcebergImport.register(cat, spark, dest, "ns", "nested_imp")
     assert(rep.schema("props").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
     assert(rep.schema("tags").dataType.isInstanceOf[org.apache.spark.sql.types.MapType])

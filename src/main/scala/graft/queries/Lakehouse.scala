@@ -2400,6 +2400,12 @@ object Lakehouse {
         val rep = Ingest.ingestDf(cat, "lake", "events_nested", ev,
           partitionColumns = Seq("days(ts)"))
         val tbl = rep.table
+        // flat rename BESIDE the nested columns (round 12): the table
+        // flips to read-by-id, files written under `user_id` answer as
+        // `uid`, and the nested roots keep resolving in both plan
+        // shapes (id-matched full reads, name-fallback pruned reads) —
+        // the uid_users aggregate below hash-gates all of it
+        tbl.renameColumn("user_id", "uid")
         // transform pruning lives alongside nested columns: a one-day
         // window keeps strictly fewer files than the table holds
         val all = cat.liveFiles("lake", "events_nested")
@@ -2411,7 +2417,8 @@ object Lakehouse {
             sum(col("evt.v")).cast("double").as("total"),
             sum(element_at(col("vals"), 2)
               .cast("decimal(18,2)")).cast("double").as("doubled"),
-            countDistinct(element_at(col("attrs"), "user")).as("users"))
+            countDistinct(element_at(col("attrs"), "user")).as("users"),
+            countDistinct(col("uid")).as("uid_users"))
           .withColumn("pruned", lit(kept > 0 && kept < all.size))
           .orderBy(col("event_type"))
       },
@@ -2419,6 +2426,7 @@ object Lakehouse {
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
           CAST(SUM(CAST(value * 2 AS DECIMAL(18,2))) AS DOUBLE) AS doubled,
           COUNT(DISTINCT CAST(user_id AS VARCHAR)) AS users,
+          COUNT(DISTINCT user_id) AS uid_users,
           TRUE AS pruned
         FROM events GROUP BY event_type ORDER BY event_type""")),
 

@@ -1015,7 +1015,7 @@ private[sql] final class GraftScanBuilder(
       files.map(_.path).toSet
     else graft.table.EqDeletes.touchedDataPaths(SparkSession.active,
       if (orderedEntries.nonEmpty) orderedEntries else files ++ deleteFiles,
-      statsUnsafe)
+      statsUnsafe, tableSchema)
 
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])

@@ -47,9 +47,11 @@ object EqDeletes {
     *  - an equality delete touches the data files PRECEDING it in
     *    replay order whose key-column [min,max] bounds OVERLAP the
     *    delete file's own recorded key bounds — a provably key-disjoint
-    *    file cannot hold a deleted tuple. Missing stats / non-numeric /
-    *    NaN / evolution-rebound (`statsUnsafe`) key columns count as
-    *    touched (conservative).
+    *    file cannot hold a deleted tuple. Bounds compare in their
+    *    collection domain (strings lexicographically, numeric types as
+    *    doubles — dispatched on the schema's key type). Missing stats /
+    *    undecidable types / NaN / evolution-rebound (`statsUnsafe`) /
+    *    schema-absent key columns count as touched (conservative).
     * Every path NOT returned is provably unaffected: its logged row
     * count and column bounds describe its live rows exactly even while
     * the deletes stay outstanding. */
@@ -65,7 +67,7 @@ object EqDeletes {
     }
 
   def touchedDataPaths(spark: SparkSession, ordered: Seq[DataFileEntry],
-      statsUnsafe: Set[String]): Set[String] = {
+      statsUnsafe: Set[String], schema: StructType): Set[String] = {
     val deletes = ordered.filter(_.deleteFile.contains(true))
     if (deletes.isEmpty) return Set.empty
     val posTouched: Set[String] = {
@@ -79,18 +81,42 @@ object EqDeletes {
         read
       }
     }
-    def numeric(b: graft.catalog.ColBounds): Option[(Double, Double)] =
-      try {
-        val (mn, mx) = (b.min.toDouble, b.max.toDouble)
-        if (mn.isNaN || mx.isNaN) None else Some((mn, mx))
-      } catch { case _: NumberFormatException => None }
+    // Disjointness is decided in the DOMAIN the bounds were collected
+    // in, dispatched on the key column's CURRENT type. String bounds
+    // are exact lexicographic min/max — a numeric parse would be
+    // unsound, not just lossy: {"1","100","20"} records ["1","20"],
+    // whose numeric reading (1,20) excludes the contained 100, so a
+    // delete for "100" would be judged disjoint and its row would
+    // resurrect through every consumer of this attribution. Numeric
+    // types parse to double (monotonic for the integral/decimal-
+    // unscaled/micros encodings the stat writer emits, so rounding can
+    // only widen the overlap verdict, never fabricate disjointness).
+    // None = no sound comparison → touched (conservative).
+    import org.apache.spark.sql.types._
+    def disjoint(dt: DataType, db: graft.catalog.ColBounds,
+        eb: graft.catalog.ColBounds): Option[Boolean] = dt match {
+      case StringType =>
+        Some(db.max.compareTo(eb.min) < 0 || db.min.compareTo(eb.max) > 0)
+      case _: NumericType | DateType | TimestampType | TimestampNTZType =>
+        try {
+          val (dmn, dmx) = (db.min.toDouble, db.max.toDouble)
+          val (emn, emx) = (eb.min.toDouble, eb.max.toDouble)
+          if (dmn.isNaN || dmx.isNaN || emn.isNaN || emx.isNaN) None
+          else Some(dmx < emn || dmn > emx)
+        } catch { case _: NumberFormatException => None }
+      case _ => None
+    }
     def eqAffected(f: DataFileEntry, del: DataFileEntry): Boolean = {
       val keys = del.equalityKey.toSeq.flatMap(_.split(',')).map(_.trim)
       !keys.exists { k =>
-        !statsUnsafe(k.toLowerCase(java.util.Locale.ROOT)) && (for {
-          db <- f.columnStats.flatMap(_.get(k)).flatMap(numeric)
-          eb <- del.columnStats.flatMap(_.get(k)).flatMap(numeric)
-        } yield db._2 < eb._1 || db._1 > eb._2).getOrElse(false)
+        !statsUnsafe(k.toLowerCase(java.util.Locale.ROOT)) &&
+          schema.fields.find(_.name.equalsIgnoreCase(k)).exists { fld =>
+            (for {
+              db <- f.columnStats.flatMap(_.get(k))
+              eb <- del.columnStats.flatMap(_.get(k))
+              verdict <- disjoint(fld.dataType, db, eb)
+            } yield verdict).getOrElse(false)
+          }
       }
     }
     // one reverse replay walk: a data file is affected by the equality

@@ -181,6 +181,20 @@ final class LakehouseTable(
       : DataFileEntry => Boolean = {
     val statsUnsafe = graft.types.FieldIds.namesSet(
       meta.properties, graft.types.FieldIds.StatsUnsafeProp)
+    // a numeric range is only sound against bounds COLLECTED in a
+    // numeric domain: string columns record lexicographic min/max
+    // whose numeric parse can invert or exclude contained values
+    // ({"1","100","20"} records ["1","20"]), and decimal bounds are
+    // unscaled — a range filter naming such a column never prunes
+    val numericBounded: String => Boolean = {
+      import org.apache.spark.sql.types._
+      val m = meta.schema
+      c => m.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType).exists {
+        case IntegerType | LongType | ShortType | ByteType | FloatType |
+             DoubleType | DateType | TimestampType | TimestampNTZType => true
+        case _ => false
+      }
+    }
     f => {
       // a file with NO recorded value for the field predates the
       // current spec (partition evolution) — pruning must keep it;
@@ -189,7 +203,8 @@ final class LakehouseTable(
         f.partitionValues.get(k).forall(_ == v)
       }
       partOk && rangeFilter.forall {
-        case (c, _) if statsUnsafe(c.toLowerCase(java.util.Locale.ROOT)) => true
+        case (c, _) if statsUnsafe(c.toLowerCase(java.util.Locale.ROOT)) ||
+          !numericBounded(c) => true
         case (c, (lo, hi)) =>
           f.columnStats.flatMap(_.get(c)) match {
             case Some(b) =>
@@ -1268,10 +1283,12 @@ final class LakehouseTable(
     *    read once; distinct `file_path` is file-count-bounded);
     *  - for each equality delete, the data files PRECEDING it in
     *    replay order whose key-column [min,max] bounds OVERLAP the
-    *    delete file's own recorded key bounds (numeric compare, the
-    *    [[selectFiles]] convention) — a provably key-disjoint file
-    *    cannot hold a deleted tuple. Missing stats / non-numeric /
-    *    NaN / evolution-rebound key columns = affected (conservative).
+    *    delete file's own recorded key bounds (compared in the
+    *    bounds' collection domain — strings lexicographically,
+    *    numerics as doubles; see [[EqDeletes.touchedDataPaths]]) — a
+    *    provably key-disjoint file cannot hold a deleted tuple.
+    *    Missing stats / undecidable types / NaN / evolution-rebound
+    *    key columns = affected (conservative).
     * Content is identical before and after (the changelog treats the
     * replace as a no-op, like [[compact]]). At 100 TB this is the
     * maintenance move that keeps MOR read amplification bounded
@@ -1291,7 +1308,8 @@ final class LakehouseTable(
       meta.properties, graft.types.FieldIds.StatsUnsafeProp)
     // one shared definition of delete-touch attribution (also the DSv2
     // scan's metadata-aggregate gate) — see EqDeletes.touchedDataPaths
-    val touched = EqDeletes.touchedDataPaths(spark, ordered, statsUnsafe)
+    val touched = EqDeletes.touchedDataPaths(spark, ordered, statsUnsafe,
+      meta.schema)
     val dataFiles = ordered.filterNot(_.deleteFile.contains(true))
     val sel = dataFiles.filter(f => touched(f.path))
     val selPaths = sel.map(_.path).toSet
@@ -1409,16 +1427,21 @@ final class LakehouseTable(
         require(!seen(n), s"column '${c._1}' already exists")
         seen + n
     }
-    // inverse of requireFlatForIdEvolution: a table that already
-    // evolved to read-by-id must not grow nested columns (the mixed
-    // read-by-id + nested state is exactly what the rename/drop gate
-    // declares undefined) — nested columns belong to name-matched
-    // tables, which then stay additive-only
-    require(!graft.types.FieldIds.hasIds(cur) ||
-        cols.forall(c => !isNestedType(c._2)),
-      s"$namespace.$name has evolved columns (read-by-id): nested " +
-        "(struct/map/array) additions are not resolvable by id — add " +
-        "them to a name-matched table, or recreate")
+    // a NESTED column may not take a FREED name: Spark's nested schema
+    // pruning rebuilds the pruned read schema WITHOUT field-id metadata,
+    // so a pruned read of the new column falls back to NAME matching and
+    // would serve the previously-bound column's bytes out of old files —
+    // silent resurrection (full reads, which keep the id, return null;
+    // the two plan shapes would disagree). Flat re-adds stay legal: a
+    // flat request never loses its id metadata, so the fresh id shields
+    // old files (stats are poisoned below, values never resurrect).
+    require(cols.forall(c => !isNestedType(c._2) ||
+        !FieldIds.namesSet(m.properties, FieldIds.FreedNamesProp)(
+          c._1.toLowerCase(java.util.Locale.ROOT))),
+      s"$namespace.$name: adding a nested (struct/map/array) column " +
+        "under a name freed by rename/drop would resurrect old files' " +
+        "data under nested schema pruning (pruned reads match nested " +
+        "roots by NAME) — pick a fresh name")
     val added = cols.map { case (n, dt) => StructField(n, dt, nullable = true) }
     val base = StructType(cur.fields ++ added)
     // a new column taking a FREED name is a rebinding: old files' stats
@@ -1473,15 +1496,24 @@ final class LakehouseTable(
     * refuse — their name is baked into per-file partition tuples and
     * layout directories, so renaming them is a spec rewrite, not a
     * schema edit. */
-  /** Shared gate for the id-indirection evolutions (rename/drop flip
-    * the table to read-by-id) and their inverse: read-by-id resolution
-    * is defined here for FLAT schemas only — ids are stamped on
-    * top-level fields, nested inner fields carry none, and a
-    * half-id-resolved struct read is undefined behavior across parquet
-    * readers. Nested-bearing tables evolve ADDITIVELY only, and an
-    * already-evolved (read-by-id) table refuses nested ADDITIONS for
-    * the same reason — the gate must hold in both directions or a
-    * rename-then-add-nested sequence reaches the undefined state. */
+  /** Shared gate for the id-indirection evolutions on nested-TYPED
+    * targets. Spark's parquet reader resolves each requested top-level
+    * field independently — BY ID when the StructField carries
+    * `parquet.field.id` metadata, by name otherwise — so renaming or
+    * dropping a FLAT column is well-defined even when nested columns
+    * sit beside it (nested roots keep their names and keep resolving,
+    * by id on full reads and by name on pruned ones). What is NOT safe
+    * is renaming a nested column ITSELF: Spark's nested schema pruning
+    * (`spark.sql.optimizer.nestedSchemaPruning.enabled`, on by
+    * default) rebuilds the pruned read schema WITHOUT field-id
+    * metadata, so a pruned read (`select($"renamed.leaf")`) falls back
+    * to name matching, misses the file's old root name, and silently
+    * returns null while the unpruned plan serves values — two plan
+    * shapes, two answers. Dropping a nested column is safe (a removed
+    * column never resolves); re-adding a nested column under a freed
+    * name is gated in [[addColumns]] (the same pruning fallback would
+    * resurrect the old bytes). Verified against Spark 4.1's
+    * ParquetReadSupport matching on managed files. */
   private def isNestedType(dt: DataType): Boolean = dt match {
     case _: org.apache.spark.sql.types.StructType |
          _: org.apache.spark.sql.types.MapType |
@@ -1489,20 +1521,22 @@ final class LakehouseTable(
     case _ => false
   }
 
-  private def requireFlatForIdEvolution(cur: StructType): Unit =
-    require(!cur.fields.exists(f => isNestedType(f.dataType)),
-      s"$namespace.$name carries nested (struct/map/array) columns: " +
-        "rename/drop need read-by-id resolution, which is defined for " +
-        "flat schemas only — nested tables evolve additively (addColumn)")
+  private def requireFlatRenameTarget(f: StructField): Unit =
+    require(!isNestedType(f.dataType),
+      s"cannot rename nested (struct/map/array) column '${f.name}' of " +
+        s"$namespace.$name: nested schema pruning drops field-id " +
+        "metadata from the pruned read schema, so pruned reads of a " +
+        "renamed nested root silently miss old files (name fallback) — " +
+        "add a fresh nested column and backfill instead")
 
   def renameColumn(from: String, to: String): TableMetadata =
       catalog.withEvolutionLock(namespace, name) {
     import graft.types.FieldIds
     val m = meta
     val cur = m.schema
-    requireFlatForIdEvolution(cur)
     val f = cur.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
       throw new IllegalArgumentException(s"no column '$from' in $namespace.$name"))
+    requireFlatRenameTarget(f)
     require(!PartitionTransforms.parseAll(m.partitionColumns)
         .exists(_.source.equalsIgnoreCase(from)),
       s"cannot rename partition column '$from' — partition tuples and " +
@@ -1612,7 +1646,6 @@ final class LakehouseTable(
     val cur = m.schema
     val f = cur.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
       throw new IllegalArgumentException(s"no column '$colName' in $namespace.$name"))
-    requireFlatForIdEvolution(cur)
     require(!PartitionTransforms.parseAll(m.partitionColumns)
         .exists(_.source.equalsIgnoreCase(colName)),
       s"cannot drop partition column '$colName'")

@@ -668,14 +668,14 @@ abstract class CatalogContractSpec extends SparkSpec {
       LakehouseTable.create(cat, spark, "ns", "nested_bad", df.schema, Seq("props"))
     }
     assert(e1.getMessage.contains("atomic"))
-    // evolution: additive works, rename/drop gate (read-by-id is
-    // defined for flat schemas only)
+    // evolution: additive works; renaming a nested column ITSELF
+    // refuses (pruned reads of a renamed root would silently null —
+    // FieldEvolutionSpec covers the flat rename/drop forms that DO
+    // work beside nested columns)
     tbl.addColumn("note", org.apache.spark.sql.types.StringType)
     assert(tbl.schema.fieldNames.contains("note"))
-    val e2 = intercept[IllegalArgumentException](tbl.renameColumn("value2", "v2"))
+    val e2 = intercept[IllegalArgumentException](tbl.renameColumn("props", "p2"))
     assert(e2.getMessage.contains("nested"))
-    val e3 = intercept[IllegalArgumentException](tbl.dropColumn("value2"))
-    assert(e3.getMessage.contains("nested"))
     // iceberg export emits REAL nested schema JSON (no string fallback),
     // and the tree re-imports with the nested shape intact
     val dest = Files.createTempDirectory("graft-icenest")
@@ -1605,6 +1605,37 @@ abstract class CatalogContractSpec extends SparkSpec {
     // batch a: id bounds [1,30] disjoint from delete id bounds [105,110]
     assert(aPaths.subsetOf(cat.liveFiles("ns", "rdfc").map(_.path).toSet))
     assert(tbl.scan().count() == 58)
+  }
+
+  test("rewriteDeleteFiles string keys: lexicographic bounds, no numeric-parse resurrection") {
+    // {"1","100","20"} records LEXICOGRAPHIC bounds ["1","20"]; parsed
+    // numerically that interval (1,20) excludes the contained "100", so
+    // a numeric-parse attribution would judge the file disjoint from a
+    // delete for "100", carry it by path, retire the delete — and the
+    // deleted row would resurrect. The attribution must compare string
+    // bounds in the string domain.
+    val cat = freshCatalog()
+    val df = Seq(("1", 1), ("100", 2), ("20", 3)).toDF("k", "x")
+    val tbl = LakehouseTable.create(cat, spark, "ns", "rdfs", df.schema)
+    tbl.append(df)
+    tbl.deleteEq("k", Seq("100"))
+    assert(tbl.scan().count() == 2)
+    tbl.rewriteDeleteFiles()
+    assert(cat.liveDeleteFiles("ns", "rdfs").isEmpty)
+    assert(tbl.scan().count() == 2, "string-keyed deleted row resurrected")
+    assert(tbl.scan().filter($"k" === "100").count() == 0)
+    // the sound direction still carries: a delete lexicographically
+    // disjoint from a file's bounds leaves it untouched
+    val df2 = Seq(("aa", 1), ("ab", 2)).toDF("k", "x")
+    val t2 = LakehouseTable.create(cat, spark, "ns", "rdfs2", df2.schema)
+    t2.append(df2)
+    val paths = cat.liveFiles("ns", "rdfs2").map(_.path).toSet
+    t2.append(Seq(("zz", 9)).toDF("k", "x"))
+    t2.deleteEq("k", Seq("zz"))
+    t2.rewriteDeleteFiles()
+    assert(paths.subsetOf(cat.liveFiles("ns", "rdfs2").map(_.path).toSet),
+      "lexicographically-disjoint file was rewritten")
+    assert(t2.scan().count() == 2)
   }
 
   test("rewriteDeleteFiles preserves eq-delete replay order exactly") {

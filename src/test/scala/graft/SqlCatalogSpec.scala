@@ -210,6 +210,39 @@ class SqlCatalogSpec extends SparkSpec {
     assert(rA.collect().map(_.getInt(0)).sorted.toSeq == Seq(2))
   }
 
+  test("string-keyed delete attribution never metadata-answers the numeric trap") {
+    // {"1","100","20"} records lexicographic bounds ["1","20"], whose
+    // NUMERIC reading (1,20) excludes the contained "100" — a numeric
+    // parse would judge the file disjoint from the delete for "100" and
+    // metadata-answer COUNT(*)=3 / route the row read around the MOR
+    // subtraction. String bounds must compare lexicographically.
+    val wh = Files.createTempDirectory("graft-sqlstr").toString
+    val cat = new Snaplog(wh)
+    import spark.implicits._
+    val df = Seq(("1", 1), ("100", 2), ("20", 3)).toDF("k", "x")
+    val tbl = LakehouseTable.create(cat, spark, "ns", "sk", df.schema)
+    tbl.append(df.coalesce(1))
+    spark.conf.set("spark.sql.catalog.gsqlstr", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlstr.warehouse", wh)
+    tbl.deleteEq("k", Seq("100"))
+    val q = spark.sql("SELECT COUNT(*) FROM gsqlstr.ns.sk")
+    assert(!q.queryExecution.sparkPlan.toString.contains("LocalTableScan"),
+      "touched string-keyed file must not metadata-answer")
+    assert(q.head().getLong(0) == 2)
+    val r = spark.sql("SELECT k FROM gsqlstr.ns.sk")
+    assert(!r.queryExecution.sparkPlan.toString.contains("BatchScan"),
+      "touched string-keyed read must subtract through MOR")
+    assert(r.collect().map(_.getString(0)).sorted.toSeq == Seq("1", "20"))
+    // lexicographically-disjoint string delete still dodges: both the
+    // aggregate and the row read keep the exact/DSv2 path
+    tbl.compact()
+    tbl.deleteEq("k", Seq("zz"))
+    val q2 = spark.sql("SELECT COUNT(*) FROM gsqlstr.ns.sk")
+    assert(q2.queryExecution.sparkPlan.toString.contains("LocalTableScan"),
+      "lexicographically-disjoint delete must still metadata-answer")
+    assert(q2.head().getLong(0) == 2)
+  }
+
   test("metadata MIN/MAX answers for timestamp/date columns from footer bounds") {
     val wh = Files.createTempDirectory("graft-sqlts").toString
     val cat = new Snaplog(wh)

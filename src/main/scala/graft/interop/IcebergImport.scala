@@ -45,14 +45,17 @@ import graft.table.{FileStats, LakehouseTable}
   * bucket tree's stored indexes are exactly what graft's write and
   * prune sides compute.
   *
-  * Nested (struct/list/map) columns import at full shape — graft reads
-  * nested content by name and keeps nested-bearing tables additive-only
-  * under evolution, so the tree's nested field-ids need no tracking.
+  * Nested (struct/list/map) columns import at full shape — graft
+  * resolves nested CONTENT by name in every plan shape (only top-level
+  * roots are ever id-matched, and renaming a nested root is refused),
+  * so the tree's nested field-ids need no tracking.
   *
   * Honest refusals, all failing BEFORE any catalog mutation: delete
   * manifests / delete files (a data-only import would resurrect
-  * deleted rows), non-parquet file formats, and primitive types the
-  * spec names that graft cannot represent exactly.
+  * deleted rows), non-parquet file formats, primitive types the
+  * spec names that graft cannot represent exactly, and trees mixing
+  * id-stamped with id-less data files (no single resolution mode —
+  * see `register`'s probe).
   */
 object IcebergImport {
 
@@ -86,9 +89,9 @@ object IcebergImport {
 
   /** Full type parser: primitive names plus the spec's NESTED JSON
     * nodes (struct/list/map). Nested inner field-ids are not carried
-    * into the registry — graft reads nested content by name, and the
-    * evolution gates keep nested-bearing tables additive-only, so
-    * id-based resolution is never required below the top level. */
+    * into the registry — graft resolves nested children by name (the
+    * rename gate keeps nested root names stable), so id-based
+    * resolution is never required below the top level. */
   private def sparkTypeJson(j: JValue)(implicit fmts: Formats): DataType = j match {
     case JString(s) => sparkType(s)
     case obj: JObject => (obj \ "type").extract[String] match {
@@ -272,14 +275,44 @@ object IcebergImport {
         graft.types.FieldIds.LastIdProp ->
           ((meta \ "last-column-id").extractOpt[Int]
             .getOrElse(0).max(srcRegistry.values.max)).toString)
-    catalog.createTable(ns, name, schema, partCols,
+    // Resolution mode: the Iceberg spec resolves columns by FIELD ID
+    // (spec-conforming writers stamp ids into every parquet footer), so
+    // when the tree's data files carry top-level ids the stored schema
+    // keeps the schema ids too — scans then resolve by id, and a tree
+    // whose CURRENT names diverge from old files' written names
+    // (source-side rename/drop evolution, including graft's own
+    // evolved exports) round-trips values instead of silently
+    // null-filling the renamed columns. Id-less trees (migrated
+    // add_files data living under a name-mapping) keep name matching —
+    // correct exactly when names agree, the only binding such a tree
+    // can express. A MIXED tree has no single resolution mode: refuse.
+    // Footer-only probe, capped at 8 files (spec trees are uniformly
+    // stamped or uniformly not). Nested CHILDREN always resolve by
+    // name either way (graft's convention — see object scaladoc); a
+    // source-side rename of a nested INNER field is not recoverable
+    // here and reads null, like any name-mapping-only reader would
+    // without the mapping.
+    val storedSchema =
+      if (registryProps.isEmpty || files.isEmpty) schema
+      else {
+        val probed = files.take(8).map(f =>
+          graft.types.FieldIds.fileCarriesIds(spark, f.path))
+        if (probed.forall(identity))
+          graft.types.FieldIds.attach(schema, srcRegistry)
+        else if (!probed.exists(identity)) schema
+        else throw new IllegalArgumentException(
+          s"$ns.$name: imported tree mixes id-stamped and id-less data " +
+            "files — field resolution cannot be by-id and by-name at " +
+            "once; rewrite the tree uniformly before importing")
+      }
+    catalog.createTable(ns, name, storedSchema, partCols,
       properties = Map("iceberg.imported-from" -> metaDir.toString,
         "iceberg.imported-snapshot-id" -> currentId.toString) ++ registryProps,
       ifNotExists = false)
     val snap = catalog.commit(ns, name, Snaplog.OpAddFiles, files,
       Map("iceberg-import" -> s"v$version.metadata.json",
         "iceberg-snapshot-id" -> currentId.toString))
-    Report(LakehouseTable.load(catalog, spark, ns, name), snap, schema,
+    Report(LakehouseTable.load(catalog, spark, ns, name), snap, storedSchema,
       partCols, files.size, files.map(_.rowCount).sum)
   }
 }

@@ -2382,9 +2382,12 @@ object Lakehouse {
     // aggregated over EXTRACTED nested fields — the DuckDB oracle
     // computes the same aggregate from the raw flat columns, so the
     // whole nested round trip (write → log → scan → extraction) is
-    // hash-gated. Bounds/null counts stay top-level-primitive-only by
-    // design (nested leaves decline stats); pruning on the days(ts)
-    // transform is unaffected and claimed in-result.
+    // hash-gated. STRUCT-LEAF file stats (Iceberg's per-leaf metrics)
+    // record bounds under dotted keys ("evt.type", "evt.v") and a
+    // pushed struct-leaf predicate with no matching leaf range drops
+    // every file before planning — claimed in-result alongside the
+    // days(ts) transform pruning. List/map leaves stay stat-free by
+    // design (an element bound is no row-predicate bound).
     QueryDef("lake_nested_types",
       (s, d) => {
         val whDir = wh("lake_nested_types", d)
@@ -2411,6 +2414,18 @@ object Lakehouse {
         val all = cat.liveFiles("lake", "events_nested")
         val probeDay = all.flatMap(_.partitionValues.get("ts_day")).min
         val kept = all.count(_.partitionValues.get("ts_day").contains(probeDay))
+        // struct-leaf metrics (round 12): every file's log entry holds
+        // bounds for the struct leaves, and a pushed leaf predicate
+        // outside every leaf range prunes the SQL scan to ZERO files
+        val leafStats = all.nonEmpty && all.forall(_.columnStats.exists(st =>
+          st.contains("evt.type") && st.contains("evt.v")))
+        val cn = sqlCatalog(s, "gnesttp", whDir)
+        val leafScanned = s.sql(s"SELECT event_id FROM $cn.lake.events_nested " +
+            "WHERE evt.type = 'zz_no_such_type'")
+          .queryExecution.sparkPlan
+          .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan }
+          .collect { case fs: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+            fs.fileIndex.inputFiles.length }.sum
         tbl.scan()
           .groupBy(col("evt.type").as("event_type"))
           .agg(count(lit(1)).as("n"),
@@ -2420,6 +2435,8 @@ object Lakehouse {
             countDistinct(element_at(col("attrs"), "user")).as("users"),
             countDistinct(col("uid")).as("uid_users"))
           .withColumn("pruned", lit(kept > 0 && kept < all.size))
+          .withColumn("leaf_stats", lit(leafStats))
+          .withColumn("leaf_pruned", lit(leafScanned == 0))
           .orderBy(col("event_type"))
       },
       Some("""SELECT event_type, COUNT(*) AS n,
@@ -2427,7 +2444,7 @@ object Lakehouse {
           CAST(SUM(CAST(value * 2 AS DECIMAL(18,2))) AS DOUBLE) AS doubled,
           COUNT(DISTINCT CAST(user_id AS VARCHAR)) AS users,
           COUNT(DISTINCT user_id) AS uid_users,
-          TRUE AS pruned
+          TRUE AS pruned, TRUE AS leaf_stats, TRUE AS leaf_pruned
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // Iceberg-spec murmur3 bucket interop: a supplier table partitioned

@@ -1423,54 +1423,75 @@ private[sql] object FilePrune {
     case other => other
   }
 
+  /** Column reference usable as a stat/partition key: a top-level
+    * attribute by name, or a struct-LEAF extraction chain
+    * (`props.x`, any depth) by its dot path — exactly the key the
+    * stat writer records for struct leaves ([[FileStats.stat]]).
+    * Map/array extractions don't extract (no per-leaf file bounds
+    * exist for them). A leaf path colliding with a literal dotted
+    * flat name is fine to EXTRACT — the writer refused to record the
+    * ambiguous key, so lookups miss and nothing prunes. */
+  private object RefName {
+    def unapply(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+        unapply(g.child).map(p => s"$p.${g.extractFieldName}")
+      case _ => None
+    }
+  }
+
   def mayMatch(f: DataFileEntry, e: Expression): Boolean = if (f.rowCount == 0L) false else e match {
-    case CEq(a: AttributeReference, l: Literal) => eqAllows(f, a.name, litVal(l))
-    case CEq(l: Literal, a: AttributeReference) => eqAllows(f, a.name, litVal(l))
-    case CIn(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-      vs.exists(v => eqAllows(f, a.name, litVal(v.asInstanceOf[Literal])))
+    case CEq(RefName(c), l: Literal) => eqAllows(f, c, litVal(l))
+    case CEq(l: Literal, RefName(c)) => eqAllows(f, c, litVal(l))
+    case CIn(RefName(c), vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists(v => eqAllows(f, c, litVal(v.asInstanceOf[Literal])))
     // Range predicates consult the recorded identity-partition value
     // FIRST (exact, strictness-aware — required for partition-exact
     // range aggregates), then fall back to conservative [min,max]
-    // bounds.
-    case CGt(a: AttributeReference, l: Literal) =>
-      partitionCmp(f, a.name, litVal(l))(_ > _)
-        .getOrElse(boundsAllow(f, a.name, lo = Some(litVal(l)), hi = None))
-    case CGte(a: AttributeReference, l: Literal) =>
-      partitionCmp(f, a.name, litVal(l))(_ >= _)
-        .getOrElse(boundsAllow(f, a.name, lo = Some(litVal(l)), hi = None))
-    case CLt(a: AttributeReference, l: Literal) =>
-      partitionCmp(f, a.name, litVal(l))(_ < _)
-        .getOrElse(boundsAllow(f, a.name, lo = None, hi = Some(litVal(l))))
-    case CLte(a: AttributeReference, l: Literal) =>
-      partitionCmp(f, a.name, litVal(l))(_ <= _)
-        .getOrElse(boundsAllow(f, a.name, lo = None, hi = Some(litVal(l))))
+    // bounds. Struct-leaf refs never have a partition value, so they
+    // fall straight through to their recorded leaf bounds.
+    case CGt(RefName(c), l: Literal) =>
+      partitionCmp(f, c, litVal(l))(_ > _)
+        .getOrElse(boundsAllow(f, c, lo = Some(litVal(l)), hi = None))
+    case CGte(RefName(c), l: Literal) =>
+      partitionCmp(f, c, litVal(l))(_ >= _)
+        .getOrElse(boundsAllow(f, c, lo = Some(litVal(l)), hi = None))
+    case CLt(RefName(c), l: Literal) =>
+      partitionCmp(f, c, litVal(l))(_ < _)
+        .getOrElse(boundsAllow(f, c, lo = None, hi = Some(litVal(l))))
+    case CLte(RefName(c), l: Literal) =>
+      partitionCmp(f, c, litVal(l))(_ <= _)
+        .getOrElse(boundsAllow(f, c, lo = None, hi = Some(litVal(l))))
     // mirrored literal-first comparisons flip the bound
-    case CGt(l: Literal, a: AttributeReference) =>
-      partitionCmp(f, a.name, litVal(l))(_ < _)
-        .getOrElse(boundsAllow(f, a.name, lo = None, hi = Some(litVal(l))))
-    case CGte(l: Literal, a: AttributeReference) =>
-      partitionCmp(f, a.name, litVal(l))(_ <= _)
-        .getOrElse(boundsAllow(f, a.name, lo = None, hi = Some(litVal(l))))
-    case CLt(l: Literal, a: AttributeReference) =>
-      partitionCmp(f, a.name, litVal(l))(_ > _)
-        .getOrElse(boundsAllow(f, a.name, lo = Some(litVal(l)), hi = None))
-    case CLte(l: Literal, a: AttributeReference) =>
-      partitionCmp(f, a.name, litVal(l))(_ >= _)
-        .getOrElse(boundsAllow(f, a.name, lo = Some(litVal(l)), hi = None))
+    case CGt(l: Literal, RefName(c)) =>
+      partitionCmp(f, c, litVal(l))(_ < _)
+        .getOrElse(boundsAllow(f, c, lo = None, hi = Some(litVal(l))))
+    case CGte(l: Literal, RefName(c)) =>
+      partitionCmp(f, c, litVal(l))(_ <= _)
+        .getOrElse(boundsAllow(f, c, lo = None, hi = Some(litVal(l))))
+    case CLt(l: Literal, RefName(c)) =>
+      partitionCmp(f, c, litVal(l))(_ > _)
+        .getOrElse(boundsAllow(f, c, lo = Some(litVal(l)), hi = None))
+    case CLte(l: Literal, RefName(c)) =>
+      partitionCmp(f, c, litVal(l))(_ >= _)
+        .getOrElse(boundsAllow(f, c, lo = Some(litVal(l)), hi = None))
     case CAnd(l, r) => mayMatch(f, l) && mayMatch(f, r)
     case COr(l, r) => mayMatch(f, l) || mayMatch(f, r)
     // a file recorded under the null-partition sentinel holds ONLY
     // null values for that column — IsNotNull excludes it exactly;
     // a recorded null count equal to the row count proves the same
-    case CIsNotNull(a: AttributeReference) =>
-      !f.partitionValues.get(a.name).contains(Snaplog.HiveDefaultPartition) &&
-        !f.nullCounts.flatMap(_.get(a.name)).contains(f.rowCount)
+    // (for a struct LEAF the recorded count includes rows where an
+    // ancestor struct is null — parquet definition levels — so
+    // count==rows still proves no row satisfies IS NOT NULL)
+    case CIsNotNull(RefName(c)) =>
+      !f.partitionValues.get(c).contains(Snaplog.HiveDefaultPartition) &&
+        !f.nullCounts.flatMap(_.get(c)).contains(f.rowCount)
     // IS NULL prunes a file PROVEN all-non-null: identity partition
     // value recorded under a real (non-sentinel) value, or a recorded
     // null count of zero
-    case CIsNull(a: AttributeReference) =>
-      !f.partitionValues.get(a.name).exists(_ != Snaplog.HiveDefaultPartition) &&
-        !f.nullCounts.flatMap(_.get(a.name)).contains(0L)
+    case CIsNull(RefName(c)) =>
+      !f.partitionValues.get(c).exists(_ != Snaplog.HiveDefaultPartition) &&
+        !f.nullCounts.flatMap(_.get(c)).contains(0L)
     case _ => true // unknown / null-semantics predicates: never prune
   }
 
@@ -1543,8 +1564,13 @@ private[sql] object FilePrune {
                 hi.forall(v => asDouble(v).forall(_ >= mn))
           }
         case (Some(_: String), _) | (_, Some(_: String)) =>
-          lo.forall(v => v.asInstanceOf[String].compareTo(b.max) <= 0) &&
-            hi.forall(v => v.asInstanceOf[String].compareTo(b.min) >= 0)
+          // UTF-8 byte order — the order parquet chose the bounds in
+          // (String.compareTo misorders supplementary characters,
+          // which could false-prune a file containing the value)
+          lo.forall(v => graft.table.FileStats.utf8Compare(
+            v.asInstanceOf[String], b.max) <= 0) &&
+            hi.forall(v => graft.table.FileStats.utf8Compare(
+              v.asInstanceOf[String], b.min) >= 0)
         case _ => true
       }
     }

@@ -96,7 +96,10 @@ object EqDeletes {
     def disjoint(dt: DataType, db: graft.catalog.ColBounds,
         eb: graft.catalog.ColBounds): Option[Boolean] = dt match {
       case StringType =>
-        Some(db.max.compareTo(eb.min) < 0 || db.min.compareTo(eb.max) > 0)
+        // UTF-8 byte order — the order parquet chose the bounds in
+        // (String.compareTo would misorder supplementary characters)
+        Some(FileStats.utf8Compare(db.max, eb.min) < 0 ||
+          FileStats.utf8Compare(db.min, eb.max) > 0)
       case _: NumericType | DateType | TimestampType | TimestampNTZType =>
         try {
           val (dmn, dmx) = (db.min.toDouble, db.max.toDouble)

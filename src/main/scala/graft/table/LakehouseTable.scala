@@ -1119,10 +1119,21 @@ final class LakehouseTable(
     } finally if (cacheHere) batch.unpersist(false)
   }
 
-  private def keyField(keyCol: String): StructField =
-    schema.fields.find(_.name.equalsIgnoreCase(keyCol)).getOrElse(
+  private def keyField(keyCol: String): StructField = {
+    val f = schema.fields.find(_.name.equalsIgnoreCase(keyCol)).getOrElse(
       throw new IllegalArgumentException(
         s"no column '$keyCol' in $namespace.$name"))
+    // Iceberg's equality-delete fields are primitives for a reason:
+    // nested equality has no footer stats (attribution degrades to
+    // touch-everything), no recorded null counts (the null-rejection
+    // proof collapses to a scan), and struct equality semantics vary
+    // by reader. Refuse loudly rather than half-support it.
+    require(!isNestedType(f.dataType),
+      s"equality-delete key '$keyCol' of $namespace.$name is nested " +
+        "(struct/map/array) — key on a flat column (extract the leaf " +
+        "into its own column if needed)")
+    f
+  }
 
   /** Merge-on-read row-level DELETE (the Iceberg v2 position-delete
     * tier, complement of the COW [[delete]]): instead of rewriting the
@@ -1920,6 +1931,40 @@ object FileStats {
       // per column merged across row groups. Columns whose stats are
       // missing in ANY block get no bound (absence = "cannot prune" —
       // always safe).
+      //
+      // Keys are top-level primitives AND struct-LEAF dot paths
+      // ("props.x" — every ancestor an UNANNOTATED parquet group, the
+      // physical form of a struct): a pushed `props.x > 5` prunes
+      // files by the leaf's bounds exactly like a flat column, which
+      // is what Iceberg's per-leaf metrics buy at 100 TB. List/map
+      // leaves are excluded (their LIST/MAP ancestors are annotated;
+      // an element bound is no row predicate bound). A dot path that
+      // COLLIDES with a literal dotted flat name ("props.x" the
+      // column) is ambiguous — neither records. Key count caps at
+      // MaxStatKeys in schema order (wide structs must not turn the
+      // log into a stats dump; absence only costs pruning).
+      val sch = r.getFooter.getFileMetaData.getSchema
+      val recordKeys: Set[String] = {
+        def structPath(parts: Array[String]): Boolean = {
+          var t: org.apache.parquet.schema.Type = sch
+          var i = 0
+          while (i < parts.length - 1) {
+            val g = t.asGroupType()
+            if (!g.containsField(parts(i))) return false
+            val child = g.getType(parts(i))
+            if (child.isPrimitive || child.getLogicalTypeAnnotation != null)
+              return false
+            t = child; i += 1
+          }
+          true
+        }
+        val paths = sch.getColumns.asScala.map(_.getPath).toSeq
+        val names = paths.map(_.mkString("."))
+        val ambiguous = names.groupBy(identity)
+          .collect { case (n, g) if g.size > 1 => n }.toSet
+        paths.filter(p => structPath(p) && !ambiguous(p.mkString(".")))
+          .map(_.mkString(".")).take(MaxStatKeys).toSet
+      }
       val mins = scala.collection.mutable.Map[String, Any]()
       val maxs = scala.collection.mutable.Map[String, Any]()
       val unsafe = scala.collection.mutable.Set[String]()
@@ -1928,13 +1973,7 @@ object FileStats {
       r.getFooter.getBlocks.asScala.foreach { b =>
         b.getColumns.asScala.foreach { c =>
           val name = c.getPath.toDotString
-          // bounds/null counts only for TOP-LEVEL primitive columns: a
-          // nested leaf's dot path ("props.device", "emb.list.element")
-          // is no prune key — pushed predicates reference top-level
-          // names, a leaf null count is not the struct's, and a leaf
-          // bound is not a column bound. Nested columns simply decline
-          // stat-based answers (conservative, like any missing stat).
-          if (!name.contains('.')) {
+          if (recordKeys(name)) {
             val st = c.getStatistics
             if (st == null || !st.hasNonNullValue) unsafe += name
             else statValues(st).foreach { case (mn, mx) =>
@@ -1960,6 +1999,25 @@ object FileStats {
     } finally r.close()
   }
 
+  /** Stat-key budget per file entry — Iceberg's metrics-truncation
+    * analogue. Deterministic (schema order), absence never breaks
+    * correctness (a missing stat just doesn't prune). */
+  private val MaxStatKeys = 96
+
+  /** Compare two strings in the order their recorded bounds were
+    * CHOSEN in: parquet picks UTF8 min/max by UNSIGNED BYTE order,
+    * which diverges from java.lang.String's UTF-16 code-unit order on
+    * supplementary characters (4-byte UTF-8 sorts above all of the
+    * BMP; their surrogate code units sort below U+E000..U+FFFF). A
+    * String.compareTo against byte-order bounds could judge a
+    * CONTAINED value out of bounds — false pruning / false delete
+    * disjointness. Every string-bounds consumer compares through
+    * this. */
+  def utf8Compare(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** (min, max) as comparable JVM values for the stat types we prune
     * on: integral, floating, and UTF-8 binary. Others → no bound. */
   private def statValues(
@@ -1983,7 +2041,9 @@ object FileStats {
   private def combine(a: Any, b: Any, min: Boolean): Any = (a, b) match {
     case (x: Long, y: Long) => if ((x < y) == min) x else y
     case (x: Double, y: Double) => if ((x < y) == min) x else y
-    case (x: String, y: String) => if ((x.compareTo(y) < 0) == min) x else y
+    // byte order, matching how parquet chose each block's extremes —
+    // a UTF-16 merge could record a non-extreme as the bound
+    case (x: String, y: String) => if ((utf8Compare(x, y) < 0) == min) x else y
     case _ => a
   }
 }

@@ -49,7 +49,15 @@ object SchemaInfer {
     * column order. Missing nullable columns are filled with typed nulls;
     * missing required columns are an error (fail fast, like the
     * reference's cast raising per bad file `main-polars.py:181-183`).
-    */
+    *
+    * Casts target the NULLABILITY-RELAXED form of the stored type: a
+    * cast can never ADD a NOT NULL guarantee (Spark refuses
+    * `struct<v:int>` → `struct<v:int NOT NULL>` outright), and parquet
+    * reads come back inner-nullable regardless of what the writer
+    * declared — so a stored schema with required nested fields would
+    * otherwise make every read-modify path (MOR subtraction, COW
+    * rewrite, changelog) unanalyzable. Equal-up-to-nullability types
+    * skip the cast node entirely. */
   def normalize(df: DataFrame, target: StructType): DataFrame = {
     val present = df.columns.map(c => c.toLowerCase -> c).toMap
     val cols: Array[Column] = target.fields.map { f =>
@@ -57,9 +65,13 @@ object SchemaInfer {
       // aliased column — field-id stamps must survive normalization or
       // the parquet writer has nothing to populate
       present.get(f.name.toLowerCase) match {
-        case Some(src) => col(src).cast(f.dataType).as(f.name, f.metadata)
+        case Some(src) =>
+          val srcType = df.schema(df.schema.fieldIndex(src)).dataType
+          val c = if (relaxNulls(srcType) == relaxNulls(f.dataType)) col(src)
+                  else col(src).cast(relaxNulls(f.dataType))
+          c.as(f.name, f.metadata)
         case None if f.nullable =>
-          org.apache.spark.sql.functions.lit(null).cast(f.dataType)
+          org.apache.spark.sql.functions.lit(null).cast(relaxNulls(f.dataType))
             .as(f.name, f.metadata)
         case None =>
           throw new IllegalArgumentException(
@@ -68,6 +80,17 @@ object SchemaInfer {
       }
     }
     df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** The type with every nested nullability flag set true (top-level
+    * nullability lives on StructField, untouched here). */
+  private def relaxNulls(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = relaxNulls(f.dataType), nullable = true)))
+    case a: ArrayType => ArrayType(relaxNulls(a.elementType), containsNull = true)
+    case m: MapType =>
+      MapType(relaxNulls(m.keyType), relaxNulls(m.valueType), valueContainsNull = true)
+    case other => other
   }
 
   /** True when `batch` can be appended to a table of schema `target`

@@ -330,6 +330,92 @@ class FieldEvolutionSpec extends SparkSpec {
     assert(cat.loadTable("ns", "rc").schema.fields.length == 10)
   }
 
+  test("flat rename/drop work beside nested columns; nested targets gate") {
+    // Spark resolves each requested top-level field independently — by
+    // id when the field carries metadata, by name otherwise — so a flat
+    // rename is well-defined on a nested-bearing table. The hazard the
+    // gates guard is nested ROOTS: nested schema pruning rebuilds the
+    // pruned read schema without field-id metadata, so a RENAMED root
+    // (or a nested re-add under a freed name) would name-match old
+    // files and silently null / resurrect.
+    val cat = new Snaplog(Files.createTempDirectory("graft-fidnest").toString)
+    import org.apache.spark.sql.functions.{struct => sstruct}
+    import org.apache.spark.sql.types.{IntegerType, StructType}
+    val df = fixture()
+      .withColumn("props", sstruct($"group".as("g"), $"value2".as("v2")))
+    val tbl = LakehouseTable.create(cat, spark, "ns", "nev", df.schema)
+    tbl.append(df)                                  // snapshot 1: old name
+    // flat rename: old files answer by id, nested content intact
+    tbl.renameColumn("value2", "score")
+    assert(tbl.scan().select("score").collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(10, 20, 30, 40))
+    // the nested root keeps resolving in BOTH plan shapes: the full
+    // read (id-matched root) and the PRUNED read (SchemaPruning strips
+    // the id → name fallback — the root's name never changed)
+    assert(tbl.scan().select($"props").collect()
+      .map(_.getStruct(0).getInt(1)).sorted.toSeq == Seq(10, 20, 30, 40))
+    assert(tbl.scan().select($"props.v2").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(10, 20, 30, 40))
+    assert(tbl.scan().filter(col("score") > 25).select($"props.g").count() == 2)
+    // new writes land the evolved shape; both eras read as one table
+    tbl.append(df.withColumnRenamed("value2", "score")
+      .withColumn("id", $"id" + 10))
+    assert(tbl.scan().select($"props.v2").count() == 8)
+    // renaming the nested column ITSELF refuses, loudly and unchanged
+    val e = intercept[IllegalArgumentException](tbl.renameColumn("props", "payload"))
+    assert(e.getMessage.contains("nested"))
+    assert(tbl.schema.fieldNames.contains("props"))
+    // dropping the nested column works — a removed column never resolves
+    tbl.dropColumn("props")
+    assert(!tbl.scan().columns.contains("props"))
+    // …but re-adding a NESTED column under the freed name refuses:
+    // pruned reads name-match roots and would serve the OLD struct's
+    // bytes out of retained files
+    val e2 = intercept[IllegalArgumentException](
+      tbl.addColumn("props", new StructType().add("z", IntegerType)))
+    assert(e2.getMessage.contains("freed") || e2.getMessage.contains("resurrect"))
+    // a FRESH nested name is fine on the evolved table (old rows null)
+    tbl.addColumn("extra", new StructType().add("z", IntegerType))
+    assert(tbl.scan().select("extra").collect().forall(_.isNullAt(0)))
+    // a FLAT column may reuse the freed name: its id metadata survives
+    // every plan shape, so the fresh id shields old files' struct
+    tbl.addColumn("props", IntegerType)
+    assert(tbl.scan().select("props").collect().forall(_.isNullAt(0)))
+    // the evolved nested table keeps ingesting end-to-end
+    val df2 = fixture().withColumn("id", $"id" + 20)
+      .withColumnRenamed("value2", "score")
+      .withColumn("extra", sstruct(($"id" * 2).as("z")))
+      .withColumn("props", ($"id" * 3).cast(IntegerType))
+    tbl.append(df2.select(tbl.schema.fieldNames.map(col).toSeq: _*))
+    val newRows = tbl.scan().filter($"id" > 20)
+      .select($"extra.z", $"props").orderBy($"id").collect()
+    assert(newRows.length == 4 && newRows.head.getInt(0) == 42 &&
+      newRows.head.getInt(1) == 63)
+    // Iceberg export of the EVOLVED nested-bearing table publishes the
+    // REGISTRY ids at the top level (score keeps value2's id 4) with a
+    // real struct node for `extra`; the re-IMPORT stores an id-bearing
+    // schema (the files are id-stamped), so pre-rename files' values
+    // answer under the renamed column instead of null-filling
+    val dest = Files.createTempDirectory("graft-fidnest-exp")
+    graft.interop.IcebergExport.export(tbl, dest)
+    val cj = {
+      import scala.jdk.CollectionConverters._
+      Files.readString(
+        Files.list(dest.resolve("metadata")).iterator().asScala.toSeq
+          .filter(_.toString.endsWith(".metadata.json")).head)
+    }.replaceAll("\\s", "")
+    assert(cj.contains("\"name\":\"score\"") && cj.contains("\"struct\""), cj)
+    val rep = graft.interop.IcebergImport.register(
+      cat, spark, dest, "ns", "nev_imp")
+    val reg = FieldIds.decode(
+      cat.loadTable("ns", "nev_imp").properties(FieldIds.RegistryProp))
+    assert(reg("score") == 4, s"imported registry must carry source ids: $reg")
+    assert(FieldIds.hasIds(cat.loadTable("ns", "nev_imp").schema),
+      "id-stamped tree must import with an id-bearing stored schema")
+    assert(rep.table.scan().filter(col("score") > 25).count() == 6,
+      "pre-rename files' values must answer under the renamed column")
+  }
+
   test("rename works on the JDBC catalog backend") {
     val dir = Files.createTempDirectory("graft-fidjdbc")
     val cat = new JdbcCatalog(s"jdbc:derby:$dir/cat;create=true", s"$dir/wh")

@@ -257,6 +257,54 @@ class MergeDeltaSpec extends SparkSpec {
     assert(tbl.scan().count() == 2)
   }
 
+  test("nested payload rides the merge tier: struct/map columns through CDC upsert") {
+    // the LLM-pipeline CDC shape: flat key, nested payload — the delete
+    // key file stays flat (stats-complete), the batch's nested columns
+    // flow through the anti-join, changelog and MOR subtraction intact
+    val base = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "tag")
+      .withColumn("payload", struct(col("tag").as("t"), (col("id") * 10).as("v")))
+      .withColumn("attrs", map(lit("k"), col("tag")))
+    val wh = Files.createTempDirectory("graft-md-nest").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "nest", base.schema)
+    tbl.append(base)
+    val from = tbl.currentSnapshotId
+    val patch = Seq((2, "B2"), (4, "d")).toDF("id", "tag")
+      .withColumn("payload", struct(col("tag").as("t"), (col("id") * 100).as("v")))
+      .withColumn("attrs", map(lit("k"), col("tag")))
+    val snap = Upsert.upsertTable(tbl, patch, Seq("id"))
+    assert(snap.operation == Snaplog.OpEqDelete)
+    // nested content post-merge: key 2 rebound to the new struct values
+    val got = tbl.scan()
+      .select(col("id"), col("payload.t"), col("payload.v"), col("attrs")("k"))
+      .orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getString(3))).toSeq
+    assert(got == Seq((1, "a", 10, "a"), (2, "B2", 200, "B2"),
+      (3, "c", 30, "c"), (4, "d", 400, "d")))
+    // pruned nested read through the MOR subtraction too
+    assert(tbl.scan().select(col("payload.v")).collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(10, 30, 200, 400))
+    // the delete key file records flat-key stats (bounds present on id)
+    val del = cat.liveDeleteFiles("ns", "nest").head
+    assert(del.columnStats.exists(_.contains("id")))
+    // keyed changelog pairs pre/post images with the nested payload
+    val ch = tbl.scanChangesKeyed(Seq("id"), from)
+      .filter(col("id") === 2)
+      .select(col(LakehouseTable.ChangeTypeCol), col("payload.v")).collect()
+      .map(r => (r.getString(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(ch == Seq(("update_postimage", 200), ("update_preimage", 20)), ch.toString)
+    // maintenance retires the delete without disturbing nested content
+    tbl.rewriteDeleteFiles()
+    assert(cat.liveDeleteFiles("ns", "nest").isEmpty)
+    assert(tbl.scan().select(col("payload.v")).collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(10, 30, 200, 400))
+    // a NESTED equality-delete key refuses loudly (Iceberg keys are
+    // primitive: no stats for attribution, no null-count proof)
+    val e = intercept[IllegalArgumentException](
+      tbl.deleteEq("payload", Seq("x")))
+    assert(e.getMessage.contains("nested"))
+  }
+
   test("merge tier runs unchanged on the JDBC catalog backend") {
     val dir = Files.createTempDirectory("graft-md-jdbc")
     val cat = new graft.catalog.JdbcCatalog(

@@ -655,13 +655,18 @@ abstract class CatalogContractSpec extends SparkSpec {
     // identity pruning on the atomic partition column still works
     assert(tbl.selectFiles(partitionFilter = Map("group" -> "B"))
       .forall(_.partitionValues.get("group").contains("B")))
-    // stats: bounds/null counts recorded for top-level primitives ONLY
-    // (nested leaves decline — no dotted keys in the log)
+    // stats: top-level primitives AND struct-leaf dot paths record
+    // bounds (the per-leaf metrics file pruning consumes); list/map
+    // leaves never do — an element bound is no row-predicate bound
     cat.liveFiles("ns", "nested").foreach { f =>
       val keys = f.columnStats.map(_.keySet).getOrElse(Set.empty) ++
         f.nullCounts.map(_.keySet).getOrElse(Set.empty)
-      assert(keys.forall(!_.contains(".")), s"nested leaf stat leaked: $keys")
       assert(f.columnStats.exists(_.contains("id")))
+      assert(f.columnStats.exists(_.contains("props.g")) &&
+        f.columnStats.exists(_.contains("props.v2")),
+        s"struct leaf bounds missing: $keys")
+      assert(!keys.exists(k => k.startsWith("xs.") || k.startsWith("tags.")),
+        s"list/map leaf stat leaked: $keys")
     }
     // nested identity partitioning refuses at create
     val e1 = intercept[IllegalArgumentException] {

@@ -79,6 +79,45 @@ class SqlCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT COUNT(*) FROM gsqltest.ns.t").head().getLong(0) == 6)
   }
 
+  test("struct-leaf bounds prune files through pushed nested predicates") {
+    // per-leaf metrics (Iceberg-style): `p.x > 100` consults the
+    // recorded struct-leaf bounds keyed "p.x" and drops files whose
+    // leaf range cannot match — file-level skipping for the nested
+    // payload shape an events table carries at 100 TB
+    import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, FileScan}
+    import org.apache.spark.sql.functions.struct
+    val wh = Files.createTempDirectory("graft-sqlnp").toString
+    val cat = new Snaplog(wh)
+    def mk(rows: Seq[(Int, String, Int)]) = rows.toDF("id", "tag", "v")
+      .withColumn("p", struct(col("tag").as("t"), col("v").as("x")))
+    val lo = mk(Seq((1, "a", 10), (2, "b", 20)))
+    val tbl = LakehouseTable.create(cat, spark, "ns", "np", lo.schema)
+    tbl.append(lo.coalesce(1))
+    tbl.append(mk(Seq((3, "c", 300), (4, "d", 400))).coalesce(1))
+    spark.conf.set("spark.sql.catalog.gsqlnp", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlnp.warehouse", wh)
+    // the log carries dotted leaf keys for both files
+    assert(cat.liveFiles("ns", "np").forall(
+      _.columnStats.exists(s => s.contains("p.x") && s.contains("p.t"))))
+    def scannedFiles(sql: String): Int = {
+      val plan = spark.sql(sql).queryExecution.sparkPlan
+      val scans = plan.collect { case b: BatchScanExec => b.scan }
+      scans.head.asInstanceOf[FileScan].fileIndex.inputFiles.length
+    }
+    // numeric leaf range prunes by the recorded leaf bounds
+    assert(scannedFiles("SELECT id FROM gsqlnp.ns.np WHERE p.x > 100") == 1)
+    assert(scannedFiles("SELECT id FROM gsqlnp.ns.np WHERE p.x > 1000") == 0)
+    // string leaf equality prunes too (byte-order bounds)
+    assert(scannedFiles("SELECT id FROM gsqlnp.ns.np WHERE p.t = 'd'") == 1)
+    // pruning is conservative-only — results stay exact
+    assert(spark.sql("SELECT id FROM gsqlnp.ns.np WHERE p.x > 100 ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(3, 4))
+    assert(spark.sql("SELECT id FROM gsqlnp.ns.np WHERE p.t = 'd'")
+      .collect().map(_.getInt(0)).toSeq == Seq(4))
+    assert(spark.sql("SELECT COUNT(*) FROM gsqlnp.ns.np WHERE p.x > 1000")
+      .head().getLong(0) == 0)
+  }
+
   test("sql catalog prunes files from log metadata before planning") {
     import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, FileScan}
     val wh = Files.createTempDirectory("graft-sqlprune").toString

@@ -331,6 +331,33 @@ object IcebergExport {
           "an exported NULL partition would mis-prune for external readers; " +
           "compact() first")
     }
+    // Existence defaults are Iceberg v3 (`initial-default`); a v2 tree
+    // cannot express them, so an external reader would null-fill the
+    // files that predate the column while graft serves the default —
+    // silent value divergence, worse than refusing. compact() rewrites
+    // every file to physically carry the column and clears the gate
+    // (the schema keeps serving the default for files it never sees);
+    // historical snapshots whose live set still holds pre-add files are
+    // skipped below, like delete-bearing ones.
+    val defaultedCols =
+      graft.types.ColumnDefaults.anyExistsDefaults(table.schema)
+    val defaultSafePaths: Set[String] =
+      if (defaultedCols.isEmpty) Set.empty
+      else cat.liveFiles(ns, name).map(_.path)
+        .filter(p => defaultedCols.forall(c =>
+          graft.types.FieldIds.fileContainsPath(table.spark, p, Seq(c))))
+        .toSet
+    locally {
+      lazy val missing = cat.liveFiles(ns, name)
+        .map(_.path).filterNot(defaultSafePaths)
+      require(defaultedCols.isEmpty || missing.isEmpty,
+        s"cannot export $ns.$name: column(s) ${defaultedCols.mkString(", ")} " +
+          "carry existence DEFAULTs (Iceberg v3 initial-default) that a " +
+          "v2 tree cannot express, and " +
+          s"${missing.size} live file(s) do not physically carry them — " +
+          "external readers would null-fill where graft serves values; " +
+          "compact() so every file carries the column, then retry")
+    }
     val schema = table.schema
     // Exported schema ids MUST match the ids stamped into the parquet
     // files (graft's field-id registry): an Iceberg reader resolves
@@ -392,7 +419,11 @@ object IcebergExport {
       // above in both respects, so it always exports
       val specOk = live.forall(f =>
         partCols.forall { case (pf, _) => f.partitionValues.contains(pf.fieldName) })
-      if (dels.isEmpty && specOk) Some((s, live)) else None
+      // defaults gate (see above): a historical snapshot listing a file
+      // that predates a defaulted column would null-fill externally
+      val defaultsOk = defaultedCols.isEmpty ||
+        live.forall(f => defaultSafePaths(f.path))
+      if (dels.isEmpty && specOk && defaultsOk) Some((s, live)) else None
     }
     var manifests = 0
     var dataFiles = 0L

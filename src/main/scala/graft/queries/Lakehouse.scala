@@ -2447,6 +2447,103 @@ object Lakehouse {
           TRUE AS pruned, TRUE AS leaf_stats, TRUE AS leaf_pruned
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // Inner-struct evolution (round 12): Iceberg's `ADD COLUMN
+    // parent.child` + struct-leaf widening, both driven through SQL
+    // ALTER. Era-1 files predate the leaf and null-fill by NAME in
+    // every plan shape; era-2 lands int values; the leaf then widens
+    // int→bigint and era-2's narrow-written values read back wide
+    // (parquet column readers are per-leaf — same value-preserving
+    // promotion as a flat widen). The DuckDB oracle rebuilds the same
+    // aggregate from the raw flat columns with the era split inlined,
+    // so the whole lifecycle (write → ALTER → write → ALTER → scan →
+    // extraction) is hash-gated. Metadata-only at any table size: no
+    // data moves at either ALTER.
+    QueryDef("lake_nested_evolution",
+      (s, d) => {
+        val whDir = wh("lake_nested_evolution", d)
+        val cat = new Snaplog(whDir)
+        val ev = events(s, d).select(col("event_id"), col("user_id"),
+          col("event_type"), col("value"))
+        val era1 = ev.filter(col("event_id") % 2 === 0)
+          .withColumn("evt", struct(col("event_type").as("t"),
+            col("value").cast("decimal(18,2)").as("v")))
+          .drop("event_type", "value")
+        val rep = Ingest.ingestDf(cat, "lake", "events_evo", era1)
+        val tbl = rep.table
+        val cn = sqlCatalog(s, "gnestevo", whDir)
+        s.sql(s"ALTER TABLE $cn.lake.events_evo ADD COLUMN evt.score INT")
+        val era2 = ev.filter(col("event_id") % 2 === 1)
+          .withColumn("evt", struct(col("event_type").as("t"),
+            col("value").cast("decimal(18,2)").as("v"),
+            (col("user_id") % 100).cast("int").as("score")))
+          .drop("event_type", "value")
+        tbl.append(era2.select(tbl.schema.fieldNames.map(col).toSeq: _*))
+        s.sql(s"ALTER TABLE $cn.lake.events_evo " +
+          "ALTER COLUMN evt.score TYPE BIGINT")
+        tbl.scan()
+          .groupBy(col("evt.t").as("event_type"))
+          .agg(count(lit(1)).as("n"),
+            count(col("evt.score")).as("scored"),
+            sum(col("evt.score")).as("score_sum"),
+            sum(col("evt.v")).cast("double").as("total"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+          COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END) AS scored,
+          CAST(SUM(CASE WHEN event_id % 2 = 1
+            THEN CAST(user_id % 100 AS BIGINT) END) AS BIGINT) AS score_sum,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Column DEFAULT values (round 12, Iceberg v3 initial/write-default
+    // semantics): era 1 predates the column and answers the EXISTENCE
+    // default from the parquet readers' missing-column fill (ZERO data
+    // movement at the ALTER — claimed in-result by unchanged file
+    // paths); era 2 writes explicit values; SET DEFAULT then rebinds
+    // only the WRITE side and era 3, appended WITHOUT the column,
+    // takes the new write default while era 1 keeps the existence one.
+    // The DuckDB oracle reconstructs all three eras from the flat
+    // source with the same %3 split, so the whole lifecycle
+    // (write → ALTER DEFAULT → write → SET DEFAULT → write → scan) is
+    // hash-gated.
+    QueryDef("lake_column_defaults",
+      (s, d) => {
+        val whDir = wh("lake_column_defaults", d)
+        val cat = new Snaplog(whDir)
+        val ev = events(s, d).select(col("event_id"), col("user_id"),
+          col("event_type"), col("value"))
+        val era1 = ev.filter(col("event_id") % 3 === 0)
+        val rep = Ingest.ingestDf(cat, "lake", "events_dflt", era1)
+        val tbl = rep.table
+        val before = cat.liveFiles("lake", "events_dflt").map(_.path).toSet
+        val cn = sqlCatalog(s, "gdflttp", whDir)
+        s.sql(s"ALTER TABLE $cn.lake.events_dflt " +
+          "ADD COLUMN segment STRING DEFAULT 'legacy'")
+        val after = cat.liveFiles("lake", "events_dflt").map(_.path).toSet
+        val era2 = ev.filter(col("event_id") % 3 === 1)
+          .withColumn("segment",
+            when(col("value") >= 50.0, lit("hot")).otherwise(lit("warm")))
+        tbl.append(era2.select(tbl.schema.fieldNames.map(col).toSeq: _*))
+        s.sql(s"ALTER TABLE $cn.lake.events_dflt " +
+          "ALTER COLUMN segment SET DEFAULT 'backfill'")
+        val era3 = ev.filter(col("event_id") % 3 === 2)
+        tbl.append(era3) // column omitted → the NEW write default
+        tbl.scan()
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("users"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+          .withColumn("metadata_only", lit(before == after && before.nonEmpty))
+          .orderBy(col("segment"))
+      },
+      Some("""SELECT CASE WHEN event_id % 3 = 0 THEN 'legacy'
+            WHEN event_id % 3 = 2 THEN 'backfill'
+            WHEN value >= 50.0 THEN 'hot' ELSE 'warm' END AS segment,
+          COUNT(*) AS n, COUNT(DISTINCT user_id) AS users,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          TRUE AS metadata_only
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
     // Iceberg-spec murmur3 bucket interop: a supplier table partitioned
     // by mbucket(8,s_suppkey) exports a REAL `bucket[8]` spec (the spec
     // mandates murmur3_x86_32, which mbucket computes — Appendix-B

@@ -1625,6 +1625,15 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
+  // DEFAULT clauses in CREATE/ALTER are accepted (Spark gates them on
+  // this declaration) and honored: existence defaults fill rows that
+  // predate the column, write defaults fill rows written without it
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private var catName: String = _
   private var backing: Catalog = _
 
@@ -1842,21 +1851,39 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     // validate EVERY change before applying ANY: a mixed statement must
     // fail whole, not commit a partial evolution and then throw
     val adds = Seq.newBuilder[TableChange.AddColumn]
+    val nestedAdds = Seq.newBuilder[TableChange.AddColumn]
     val renames = Seq.newBuilder[TableChange.RenameColumn]
     val drops = Seq.newBuilder[TableChange.DeleteColumn]
     val widens = Seq.newBuilder[TableChange.UpdateColumnType]
+    val nestedWidens = Seq.newBuilder[TableChange.UpdateColumnType]
+    val setDefaults = Seq.newBuilder[TableChange.UpdateColumnDefaultValue]
     val setProps = Map.newBuilder[String, String]
     val unsetProps = Seq.newBuilder[String]
     changes.foreach {
       case add: TableChange.AddColumn
           if add.fieldNames().length == 1 && add.isNullable &&
             add.position() == null => adds += add
+      // `ADD COLUMN parent.child` — the struct-chain inner append
+      // (LakehouseTable.addStructField); appended-at-end, nullable
+      // only, and no DEFAULT (inner fields fill by name-resolution
+      // null only; an inner existence default has no reader support)
+      case add: TableChange.AddColumn
+          if add.fieldNames().length > 1 && add.isNullable &&
+            add.position() == null && add.defaultValue() == null =>
+        nestedAdds += add
+      // `ALTER COLUMN c SET/DROP DEFAULT` — write-side default only
+      // (empty string = DROP, Spark's convention)
+      case ud: TableChange.UpdateColumnDefaultValue
+          if ud.fieldNames().length == 1 => setDefaults += ud
       case rn: TableChange.RenameColumn
           if rn.fieldNames().length == 1 => renames += rn
       case dc: TableChange.DeleteColumn
           if dc.fieldNames().length == 1 => drops += dc
       case ut: TableChange.UpdateColumnType
           if ut.fieldNames().length == 1 => widens += ut
+      // `ALTER COLUMN parent.child TYPE bigint` — the struct-leaf widen
+      case ut: TableChange.UpdateColumnType
+          if ut.fieldNames().length > 1 => nestedWidens += ut
       case sp: TableChange.SetProperty =>
         // Spark-reserved bookkeeping keys are not table properties a
         // log reader should see (mirrors createTable's filter); the
@@ -1873,13 +1900,29 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             s"'${rp.property}' is engine bookkeeping — not unsettable from SQL")
         unsetProps += rp.property
       case other => throw new UnsupportedOperationException(
-        s"$catName supports ALTER TABLE ADD COLUMN (top-level, nullable, " +
-          s"appended), RENAME/DROP COLUMN (top-level, field-id tables), " +
-          s"ALTER COLUMN TYPE (int->bigint, float->double widening), " +
+        s"$catName supports ALTER TABLE ADD COLUMN (nullable, appended; " +
+          s"top-level or struct-chain parent.child), RENAME/DROP COLUMN " +
+          s"(top-level, field-id tables — inner fields resolve by name " +
+          s"and cannot rename/drop), ALTER COLUMN TYPE (int->bigint, " +
+          s"float->double widening, top-level or struct leaf), " +
           s"and SET/UNSET TBLPROPERTIES; $other needs the graft API")
     }
     val (ns, t) = (ident.namespace()(0), ident.name)
+    // AddColumn DEFAULT clauses carry the original SQL text (falling
+    // back to the analyzer's folded literal when only an expression
+    // was supplied); graft re-folds and re-validates at evolution time
+    def defaultSqlOf(add: TableChange.AddColumn): Option[String] =
+      Option(add.defaultValue()).map { dv =>
+        Option(dv.getSql).getOrElse {
+          val l = dv.getValue
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            l.value, l.dataType).sql
+        }
+      }
     val addList = adds.result()
+    val nestedAddList = nestedAdds.result()
+    val nestedWidenList = nestedWidens.result()
+    val setDefaultList = setDefaults.result()
     val renameList = renames.result()
     // honor IF EXISTS: a missing drop target with the flag is a no-op
     val curFields = backing.loadTable(ns, t).schema.fieldNames
@@ -1910,12 +1953,51 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
         names = names - c
       }
       require(names.nonEmpty, "cannot drop every column")
+      // nested changes: replay the pure schema patches so a structural
+      // violation (missing root, non-struct step, existing leaf, bad
+      // promotion path) fails the WHOLE statement before any op runs
+      // (addStructField's foreign-file probe still runs per-op)
+      locally {
+        import graft.types.SchemaInfer
+        var sch = meta0.schema
+        nestedAddList.foreach { a =>
+          sch = SchemaInfer.addInnerField(sch, a.fieldNames().toSeq, a.dataType())
+        }
+        nestedWidenList.foreach { w =>
+          require(SchemaInfer.innerType(sch, w.fieldNames().toSeq).isDefined,
+            s"no struct leaf '${w.fieldNames().mkString(".")}' in $ns.$t")
+        }
+      }
+      // DEFAULT clauses fold statically too (constant-foldable +
+      // type-coercible — Spark's own analysis), so a bad default in a
+      // mixed statement applies nothing
+      addList.foreach(a => defaultSqlOf(a).foreach(sql =>
+        graft.types.ColumnDefaults.foldedField(
+          a.fieldNames()(0), a.dataType(), sql)))
+      setDefaultList.foreach { ud =>
+        val c = lower(ud.fieldNames()(0))
+        val f = meta0.schema.fields.find(x => lower(x.name) == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"no column '${ud.fieldNames()(0)}' in $ns.$t"))
+        Option(ud.newDefaultValue()).filter(_.nonEmpty).foreach(sql =>
+          graft.types.ColumnDefaults.foldedField(f.name, f.dataType, sql))
+      }
     }
     val tbl = LakehouseTable.load(backing, SparkSession.active, ns, t)
     if (addList.nonEmpty) {
       // ONE schema commit for the whole statement's additions
-      tbl.addColumns(addList.map(a => a.fieldNames()(0) -> a.dataType()))
+      tbl.addColumnsDefaulted(addList.map(a =>
+        (a.fieldNames()(0), a.dataType(), defaultSqlOf(a))))
     }
+    setDefaultList.foreach { ud =>
+      // Spark encodes DROP DEFAULT as the empty string
+      val sql = Option(ud.newDefaultValue()).filter(_.nonEmpty)
+      tbl.setColumnDefault(ud.fieldNames()(0), sql)
+    }
+    // struct-chain inner appends — per-path (each re-validates and
+    // runs the foreign-file probe inside the evolution lock)
+    nestedAddList.foreach(a =>
+      tbl.addStructField(a.fieldNames().mkString("."), a.dataType()))
     // RENAME/DROP are metadata-only via field-id indirection — the
     // table-side ops re-run every eligibility gate before mutating
     renameList.foreach(rn => tbl.renameColumn(rn.fieldNames()(0), rn.newName()))
@@ -1924,6 +2006,8 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     // rules + the bucket-source refusal) inside widenColumn
     widens.result().foreach(ut =>
       tbl.widenColumn(ut.fieldNames()(0), ut.newDataType()))
+    nestedWidenList.foreach(ut =>
+      tbl.widenStructField(ut.fieldNames().mkString("."), ut.newDataType()))
     val (set, unset) = (setProps.result(), unsetProps.result())
     if (set.nonEmpty || unset.nonEmpty)
       backing.updateProperties(ns, t, set, unset)

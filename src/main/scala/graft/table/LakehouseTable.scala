@@ -1419,6 +1419,27 @@ final class LakehouseTable(
   def addColumn(colName: String, dataType: DataType): TableMetadata =
     addColumns(Seq(colName -> dataType))
 
+  /** [[addColumn]] with a DEFAULT — Iceberg v3's initial/write-default
+    * semantics, metadata-only at any table size. `defaultSql` is a
+    * constant-foldable SQL expression (validated and folded HERE, at
+    * evolution time — non-constant defaults refuse loudly); the folded
+    * literal lands in the stored schema under Spark's own
+    * `EXISTS_DEFAULT` key (rows that PREDATE the column — parquet's
+    * readers fill missing columns from it, so old files answer the
+    * default instead of null in every plan shape) and the original
+    * text under `CURRENT_DEFAULT` (rows written WITHOUT the column
+    * from here on: SQL INSERTs resolve it in the analyzer, API batches
+    * in [[graft.types.SchemaInfer.normalize]]'s missing-column fill).
+    * EXISTS_DEFAULT is immutable after the add — [[setColumnDefault]]
+    * edits only the write-side default, so files already interpreted
+    * under one existence default can never silently re-read under
+    * another. Iceberg v2 export REFUSES defaults-bearing tables
+    * (`initial-default` is v3; a v2 reader would null-fill where graft
+    * serves values). */
+  def addColumn(colName: String, dataType: DataType,
+      defaultSql: String): TableMetadata =
+    addColumnsDefaulted(Seq((colName, dataType, Some(defaultSql))))
+
   /** Batch form of [[addColumn]]: validates EVERY addition (against the
     * current schema and against each other) BEFORE committing, then
     * commits the evolved schema ONCE — a multi-column ALTER can never
@@ -1427,8 +1448,12 @@ final class LakehouseTable(
     * re-adds under a FRESH id — old files hold no field with it, and
     * the old data can never resurrect. */
   def addColumns(cols: Seq[(String, DataType)]): TableMetadata =
+    addColumnsDefaulted(cols.map { case (n, dt) => (n, dt, None) })
+
+  def addColumnsDefaulted(
+      cols: Seq[(String, DataType, Option[String])]): TableMetadata =
       catalog.withEvolutionLock(namespace, name) {
-    import graft.types.FieldIds
+    import graft.types.{ColumnDefaults, FieldIds}
     require(cols.nonEmpty, "addColumns of zero columns")
     val m = meta
     val cur = m.schema
@@ -1453,7 +1478,15 @@ final class LakehouseTable(
         "under a name freed by rename/drop would resurrect old files' " +
         "data under nested schema pruning (pruned reads match nested " +
         "roots by NAME) — pick a fresh name")
-    val added = cols.map { case (n, dt) => StructField(n, dt, nullable = true) }
+    // defaults fold to literals NOW (type-coerced to the column type,
+    // non-constant expressions refuse): the write-side text lands under
+    // CURRENT_DEFAULT, the folded existence literal under
+    // EXISTS_DEFAULT — the key parquet's readers fill missing columns
+    // from, which is what makes the add metadata-only AND non-null
+    val added = cols.map {
+      case (n, dt, None) => StructField(n, dt, nullable = true)
+      case (n, dt, Some(d)) => ColumnDefaults.foldedField(n, dt, d)
+    }
     val base = StructType(cur.fields ++ added)
     // a new column taking a FREED name is a rebinding: old files' stats
     // keyed by that name describe the previously-bound column, so every
@@ -1471,7 +1504,7 @@ final class LakehouseTable(
         val last = m.properties.get(FieldIds.LastIdProp).map(_.toInt)
           .getOrElse(if (reg.isEmpty) 0 else reg.values.max)
         val reg2 = reg ++ cols.zipWithIndex.map {
-          case ((n, _), i) => n -> (last + i + 1)
+          case ((n, _, _), i) => n -> (last + i + 1)
         }
         catalog.updateProperties(namespace, name,
           Map(FieldIds.RegistryProp -> FieldIds.encode(reg2),
@@ -1488,6 +1521,124 @@ final class LakehouseTable(
           catalog.updateProperties(namespace, name, reboundProps, Seq.empty)
         catalog.updateSchema(namespace, name, base)
     }
+  }
+
+  /** `ALTER COLUMN … SET/DROP DEFAULT` — edits ONLY the write-side
+    * default (`CURRENT_DEFAULT`): future rows written without the
+    * column take the new default (SQL INSERTs via the analyzer, API
+    * batches via normalize's fill). The EXISTENCE default is immutable
+    * after the add by design — files already interpreted under one
+    * existence default must never silently re-read under another — so
+    * a SET DEFAULT on a column added WITHOUT one leaves old files
+    * null-filling, exactly Iceberg v3's initial-default vs
+    * write-default split. Validation (constant-foldable, type-coerced)
+    * matches the add path's. */
+  def setColumnDefault(colName: String,
+      defaultSql: Option[String]): TableMetadata =
+      catalog.withEvolutionLock(namespace, name) {
+    import graft.types.ColumnDefaults
+    val m = meta
+    val f = m.schema.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column '$colName' in $namespace.$name"))
+    val nf = ColumnDefaults.withCurrentDefault(f, defaultSql)
+    catalog.updateSchema(namespace, name,
+      StructType(m.schema.fields.map(x => if (x.name == f.name) nf else x)))
+  }
+
+  /** Additive NESTED evolution — Iceberg's `ADD COLUMN parent.child`:
+    * append a nullable field at the END of an existing struct column
+    * (struct-of-struct chains descend; list/map interiors refuse —
+    * their element shape is not name-evolvable). Metadata-only at any
+    * table size: old files simply lack the leaf and every plan shape
+    * (full read, nested-pruned read, MOR subtraction, changelog,
+    * time travel) null-fills it by NAME. Name resolution is safe
+    * precisely because graft never renames or drops INNER fields —
+    * the current schema contains every inner name any MANAGED file
+    * ever wrote, so a fresh inner name is provably absent from all of
+    * them. FOREIGN files (add_files / Iceberg import) carry shapes
+    * another system wrote: each is footer-probed, and one already
+    * holding bytes at the path refuses the evolution (its values —
+    * possibly a source-side DROPPED field's — would resurrect under
+    * the new name); compact() rewrites them managed and unblocks.
+    *
+    * Stat-key hygiene (struct-leaf file stats key by DOT PATH):
+    * a CURRENT flat column literally named like the new path refuses
+    * (one SQL name, two bindings — ambiguous forever); a FREED flat
+    * name matching the path poisons its stats instead — old files'
+    * recorded bounds describe the dropped flat column, so the dotted
+    * key AND the root column enter [[graft.types.FieldIds.StatsUnsafeProp]]
+    * (prune eligibility filters by ROOT reference — see
+    * `GraftSqlCatalog.prunable`). Writers keep writing: batches must
+    * carry the evolved struct shape (the Iceberg writer contract;
+    * [[graft.types.SchemaInfer.normalize]] casts exact-shape batches
+    * only). */
+  def addStructField(dottedPath: String, dataType: DataType): TableMetadata =
+      catalog.withEvolutionLock(namespace, name) {
+    import graft.types.{FieldIds, SchemaInfer}
+    val parts = dottedPath.split('.').toSeq
+    val m = meta
+    // the pure patch throws on every structural violation (missing
+    // root, non-struct step, existing leaf, bad names)
+    val evolved = SchemaInfer.addInnerField(m.schema, parts, dataType)
+    val lower = dottedPath.toLowerCase(java.util.Locale.ROOT)
+    require(!m.schema.fieldNames.exists(_.equalsIgnoreCase(dottedPath)),
+      s"$namespace.$name has a top-level column literally named " +
+        s"'$dottedPath' — its stat keys and SQL name would collide with " +
+        "the new leaf's forever; pick another name")
+    // foreign files: footer-probe each for the path (parallel, no data
+    // pages; all-history like the rename gate — time travel reads old
+    // snapshots with current-schema name resolution too)
+    locally {
+      val dd = catalog.dataDir(namespace, name).toString
+      val prefix = if (dd.endsWith("/")) dd else dd + "/"
+      val foreign = catalog.snapshots(namespace, name).flatMap(_.files)
+        .filterNot(_.deleteFile.contains(true)).map(_.path).distinct
+        .filterNot(_.startsWith(prefix))
+      if (foreign.nonEmpty) {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.DurationInt
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        val holding = Await.result(
+          Future.traverse(foreign)(p =>
+            Future((p, FieldIds.fileContainsPath(spark, p, parts)))),
+          30.minutes).filter(_._2).map(_._1)
+        require(holding.isEmpty,
+          s"cannot add '$dottedPath' to $namespace.$name: " +
+            s"${holding.size} foreign file(s) (add_files/import) already " +
+            "hold a field at that path — their bytes would resurrect " +
+            "under the new name (nested children resolve by name); " +
+            "compact() first")
+      }
+    }
+    if (FieldIds.namesSet(m.properties, FieldIds.FreedNamesProp)(lower))
+      catalog.updateProperties(namespace, name,
+        Map(FieldIds.StatsUnsafeProp -> FieldIds.addNames(m.properties,
+          FieldIds.StatsUnsafeProp,
+          Seq(lower, parts.head.toLowerCase(java.util.Locale.ROOT)))),
+        Seq.empty)
+    catalog.updateSchema(namespace, name, evolved)
+  }
+
+  /** [[widenColumn]] for a struct LEAF (`parent.child[...]`): the same
+    * Iceberg promotions (int→bigint, float→double, decimal precision),
+    * metadata-only — parquet's column readers are per-LEAF, so the
+    * read-time value-preserving promotion that widens a flat column
+    * widens a nested one identically. Inner fields are never partition
+    * or equality-delete sources (both refuse nested), and struct-leaf
+    * stat bounds compare numerically, so no bucket-source refusal
+    * applies below the top level. */
+  def widenStructField(dottedPath: String, to: DataType): TableMetadata =
+      catalog.withEvolutionLock(namespace, name) {
+    import graft.types.SchemaInfer
+    val parts = dottedPath.split('.').toSeq
+    val m = meta
+    val cur = SchemaInfer.innerType(m.schema, parts).getOrElse(
+      throw new IllegalArgumentException(
+        s"no struct leaf '$dottedPath' in $namespace.$name"))
+    requireWidening(cur, to)
+    catalog.updateSchema(namespace, name,
+      SchemaInfer.replaceInnerType(m.schema, parts, to))
   }
 
   /** Column RENAME via parquet field-id indirection (the Iceberg
@@ -1619,25 +1770,30 @@ final class LakehouseTable(
     * sources: the Iceberg spec hashes ints WIDENED TO LONG and
     * decimals by unscaled value precisely so `bucket[n]` survives
     * int→bigint and decimal-precision promotion with indexes intact. */
+  /** Iceberg's legal type promotions, shared by the flat and nested
+    * widen paths. Precision may grow, scale may not change (a scale
+    * change rewrites values, not just their range). */
+  private def requireWidening(from: DataType, to: DataType): Unit = {
+    val ok = (from, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.precision > d1.precision && d1.scale == d2.scale
+      case _ => false
+    }
+    require(ok,
+      s"cannot widen ${from.catalogString} to ${to.catalogString}: " +
+        "supported promotions are int -> bigint, float -> double, and " +
+        "decimal(p,s) -> decimal(p',s) with p' > p")
+  }
+
   def widenColumn(colName: String, to: DataType): TableMetadata =
       catalog.withEvolutionLock(namespace, name) {
     val m = meta
     val f = m.schema.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
       throw new IllegalArgumentException(
         s"no column '$colName' in $namespace.$name"))
-    val ok = (f.dataType, to) match {
-      case (IntegerType, LongType) => true
-      case (FloatType, DoubleType) => true
-      // Iceberg's third promotion: precision may grow, scale may not
-      // change (a scale change rewrites values, not just their range)
-      case (d1: DecimalType, d2: DecimalType) =>
-        d2.precision > d1.precision && d1.scale == d2.scale
-      case _ => false
-    }
-    require(ok,
-      s"cannot widen ${f.dataType.catalogString} to ${to.catalogString}: " +
-        "supported promotions are int -> bigint, float -> double, and " +
-        "decimal(p,s) -> decimal(p',s) with p' > p")
+    requireWidening(f.dataType, to)
     require(!PartitionTransforms.parseAll(m.partitionColumns).exists {
         case BucketField(_, src) => src.equalsIgnoreCase(colName)
         case _ => false

@@ -135,6 +135,39 @@ object FieldIds {
       }
     })
 
+  /** Does the parquet file's PHYSICAL schema hold a field at the given
+    * path (case-insensitive per step)? Footer-only, no data pages —
+    * the foreign-file probe `addStructField` runs before appending an
+    * inner field: graft resolves nested children by NAME, so a foreign
+    * file (add_files / Iceberg import) already holding bytes at the
+    * path would serve them under the new field — silent resurrection
+    * of another system's dropped data. Managed files need no probe
+    * (inner fields are never renamed or dropped, so the current schema
+    * contains every inner name any managed file ever wrote). */
+  def fileContainsPath(spark: SparkSession, path: String,
+      parts: Seq[String]): Boolean = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path), spark.sessionState.newHadoopConf())
+    val r = ParquetFileReader.open(in)
+    try {
+      import scala.jdk.CollectionConverters._
+      var t: org.apache.parquet.schema.Type =
+        r.getFooter.getFileMetaData.getSchema
+      var i = 0
+      while (i < parts.length) {
+        if (t.isPrimitive) return false
+        t.asGroupType().getFields.asScala
+          .find(_.getName.equalsIgnoreCase(parts(i))) match {
+          case Some(child) => t = child; i += 1
+          case None => return false
+        }
+      }
+      true
+    } finally r.close()
+  }
+
   /** Do ALL top-level fields of the parquet file carry field ids?
     * Footer-only (no data pages) — the eligibility probe a rename/drop
     * runs over the table's files before flipping to read-by-id. */

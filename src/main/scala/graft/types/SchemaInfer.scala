@@ -66,13 +66,22 @@ object SchemaInfer {
       // the parquet writer has nothing to populate
       present.get(f.name.toLowerCase) match {
         case Some(src) =>
+          // backtick-quote the reference: a flat column whose name
+          // contains dots must resolve literally, not as a struct path
+          val ref = col("`" + src.replace("`", "``") + "`")
           val srcType = df.schema(df.schema.fieldIndex(src)).dataType
-          val c = if (relaxNulls(srcType) == relaxNulls(f.dataType)) col(src)
-                  else col(src).cast(relaxNulls(f.dataType))
+          val c = if (relaxNulls(srcType) == relaxNulls(f.dataType)) ref
+                  else ref.cast(relaxNulls(f.dataType))
           c.as(f.name, f.metadata)
         case None if f.nullable =>
-          org.apache.spark.sql.functions.lit(null).cast(relaxNulls(f.dataType))
-            .as(f.name, f.metadata)
+          // a column with a WRITE default fills it (the analyzer does
+          // the same for SQL INSERTs); validated constant-foldable at
+          // evolution time, so expr() here cannot surprise
+          val fill = ColumnDefaults.currentDefault(f) match {
+            case Some(sql) => org.apache.spark.sql.functions.expr(sql)
+            case None => org.apache.spark.sql.functions.lit(null)
+          }
+          fill.cast(relaxNulls(f.dataType)).as(f.name, f.metadata)
         case None =>
           throw new IllegalArgumentException(
             s"required column '${f.name}' absent from batch " +
@@ -91,6 +100,106 @@ object SchemaInfer {
     case m: MapType =>
       MapType(relaxNulls(m.keyType), relaxNulls(m.valueType), valueContainsNull = true)
     case other => other
+  }
+
+  /** Schema with a nullable field appended at the END of the struct a
+    * dotted path names — the pure patch under
+    * `LakehouseTable.addStructField` (Iceberg's `ADD COLUMN
+    * parent.child`), also run statically by the SQL catalog's ALTER
+    * validation. `parts` is the full path (root first, new leaf last),
+    * each step matched case-insensitively; every step before the last
+    * must resolve to a StructType (list/map interiors refuse — their
+    * element shape is not name-evolvable), and the leaf name must be
+    * fresh at its level. Top-level field metadata (field ids) is
+    * preserved untouched. Throws IllegalArgumentException on every
+    * structural violation; mutates nothing. */
+  def addInnerField(schema: StructType, parts: Seq[String],
+      dataType: DataType): StructType = {
+    require(parts.length >= 2 && parts.forall(_.nonEmpty),
+      s"nested add needs parent.child[...], got '${parts.mkString(".")}'")
+    val leaf = parts.last
+    // "," and ":" would corrupt the comma-separated name-set table
+    // properties a poisoned dotted path may need to enter
+    require(!leaf.contains(",") && !leaf.contains(":"),
+      s"illegal inner field name '$leaf'")
+    def patch(st: StructType, rest: Seq[String], done: String): StructType =
+      rest match {
+        case Seq(last) =>
+          require(!st.fieldNames.exists(_.equalsIgnoreCase(last)),
+            s"field '$done.$last' already exists")
+          StructType(st.fields :+ StructField(last, dataType, nullable = true))
+        case head +: tail =>
+          val idx = st.fields.indexWhere(_.name.equalsIgnoreCase(head))
+          require(idx >= 0, s"no field '$head' under '$done'")
+          val f = st.fields(idx)
+          f.dataType match {
+            case inner: StructType =>
+              StructType(st.fields.updated(idx,
+                f.copy(dataType = patch(inner, tail, s"$done.${f.name}"))))
+            case other => throw new IllegalArgumentException(
+              s"'$done.${f.name}' is ${other.catalogString}, not a " +
+                "struct — only struct chains take inner fields")
+          }
+      }
+    val rootIdx = schema.fields.indexWhere(_.name.equalsIgnoreCase(parts.head))
+    require(rootIdx >= 0, s"no column '${parts.head}'")
+    val root = schema.fields(rootIdx)
+    val newRoot = root.dataType match {
+      case inner: StructType =>
+        root.copy(dataType = patch(inner, parts.tail, root.name))
+      case other => throw new IllegalArgumentException(
+        s"'${root.name}' is ${other.catalogString}, not a struct — " +
+          "only struct chains take inner fields")
+    }
+    StructType(schema.fields.updated(rootIdx, newRoot))
+  }
+
+  /** Schema with the type of the struct LEAF a dotted path names
+    * replaced — the pure patch under `LakehouseTable.widenStructField`.
+    * Same path rules as [[addInnerField]], except the leaf must EXIST;
+    * the promotion-legality check is the caller's. */
+  def replaceInnerType(schema: StructType, parts: Seq[String],
+      to: DataType): StructType = {
+    require(parts.length >= 2 && parts.forall(_.nonEmpty),
+      s"nested widen needs parent.child[...], got '${parts.mkString(".")}'")
+    def patch(st: StructType, rest: Seq[String], done: String): StructType = {
+      val idx = st.fields.indexWhere(_.name.equalsIgnoreCase(rest.head))
+      require(idx >= 0, s"no field '${rest.head}' under '$done'")
+      val f = st.fields(idx)
+      (rest, f.dataType) match {
+        case (Seq(_), _) =>
+          StructType(st.fields.updated(idx, f.copy(dataType = to)))
+        case (_ +: tail, inner: StructType) =>
+          StructType(st.fields.updated(idx,
+            f.copy(dataType = patch(inner, tail, s"$done.${f.name}"))))
+        case (_, other) => throw new IllegalArgumentException(
+          s"'$done.${f.name}' is ${other.catalogString}, not a struct")
+      }
+    }
+    val rootIdx = schema.fields.indexWhere(_.name.equalsIgnoreCase(parts.head))
+    require(rootIdx >= 0, s"no column '${parts.head}'")
+    val root = schema.fields(rootIdx)
+    root.dataType match {
+      case inner: StructType => StructType(schema.fields.updated(rootIdx,
+        root.copy(dataType = patch(inner, parts.tail, root.name))))
+      case other => throw new IllegalArgumentException(
+        s"'${root.name}' is ${other.catalogString}, not a struct")
+    }
+  }
+
+  /** The type of the field a dotted struct path names, if the chain
+    * resolves (case-insensitive per step, structs only). */
+  def innerType(schema: StructType, parts: Seq[String]): Option[DataType] = {
+    def walk(dt: DataType, rest: Seq[String]): Option[DataType] = rest match {
+      case Seq() => Some(dt)
+      case head +: tail => dt match {
+        case st: StructType =>
+          st.fields.find(_.name.equalsIgnoreCase(head))
+            .flatMap(f => walk(f.dataType, tail))
+        case _ => None
+      }
+    }
+    walk(schema, parts)
   }
 
   /** True when `batch` can be appended to a table of schema `target`

@@ -1,0 +1,157 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{IntegerType, StringType}
+
+import graft.catalog.{JdbcCatalog, Snaplog}
+import graft.sql.GraftSqlCatalog
+import graft.table.LakehouseTable
+
+/** Column DEFAULT values (Iceberg v3 initial/write-default semantics):
+  * metadata-only adds where rows predating the column answer the
+  * existence default — not null — in every plan shape, write defaults
+  * fill rows written without the column, SET/DROP DEFAULT edits only
+  * the write side, and Iceberg v2 export refuses until compaction
+  * makes every file physically carry the column. */
+class ColumnDefaultsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture() = Seq(
+    (1, "A", 10), (2, "A", 20), (3, "B", 30), (4, "C", 40)
+  ).toDF("id", "group", "value")
+
+  test("existence default fills pre-add rows; write default fills omitted columns") {
+    val wh = Files.createTempDirectory("graft-dflt").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "d", fixture().schema)
+    tbl.append(fixture())
+    val preAdd = tbl.currentSnapshotId
+    val filesBefore = cat.liveFiles("ns", "d").map(_.path).toSet
+    tbl.addColumn("segment", StringType, "'legacy'")
+    tbl.addColumn("prio", IntegerType, "5")
+    // metadata-only: not a single file moved
+    assert(cat.liveFiles("ns", "d").map(_.path).toSet == filesBefore)
+    // pre-add rows answer the DEFAULT, not null — projected, filtered,
+    // aggregated
+    assert(tbl.scan().select("segment", "prio").collect()
+      .forall(r => r.getString(0) == "legacy" && r.getInt(1) == 5))
+    assert(tbl.scan().filter(col("segment") === "legacy").count() == 4)
+    assert(tbl.scan().filter(col("segment").isNull).count() == 0)
+    // era 2: explicit values; era 3: column omitted → WRITE default
+    tbl.append(fixture().withColumn("id", $"id" + 10)
+      .withColumn("segment", lit("hot")).withColumn("prio", lit(9)))
+    tbl.append(fixture().withColumn("id", $"id" + 20))
+    val got = tbl.scan().groupBy("segment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("legacy" -> 8L, "hot" -> 4L), got.toString)
+    // explicit null stays null (a default is not a NOT NULL constraint)
+    tbl.append(fixture().withColumn("id", $"id" + 30)
+      .withColumn("segment", lit(null).cast(StringType))
+      .withColumn("prio", lit(null).cast(IntegerType)))
+    assert(tbl.scan().filter(col("segment").isNull).count() == 4)
+    // time travel to the pre-add snapshot reads the current schema like
+    // any graft time travel — and serves the default, consistently
+    assert(tbl.scan(asOf = Some(preAdd)).select("segment").collect()
+      .forall(_.getString(0) == "legacy"))
+    // SET DEFAULT changes only FUTURE omitted writes; DROP ends them
+    tbl.setColumnDefault("segment", Some("'warm'"))
+    tbl.append(fixture().withColumn("id", $"id" + 40))
+    assert(tbl.scan().filter(col("segment") === "warm").count() == 4)
+    assert(tbl.scan().filter(col("segment") === "legacy").count() == 8,
+      "pre-add rows must keep the EXISTENCE default across SET DEFAULT")
+    tbl.setColumnDefault("segment", None)
+    tbl.append(fixture().withColumn("id", $"id" + 50))
+    assert(tbl.scan().filter(col("segment").isNull).count() == 8)
+    // a non-constant / non-coercible default refuses loudly
+    assert(intercept[Exception](
+      tbl.addColumn("bad", IntegerType, "rand()")).getMessage.nonEmpty)
+    assert(intercept[Exception](
+      tbl.addColumn("bad2", IntegerType, "'abc'")).getMessage.nonEmpty)
+    assert(!tbl.schema.fieldNames.contains("bad") &&
+      !tbl.schema.fieldNames.contains("bad2"))
+    // a RENAME flips the table to read-BY-ID: the missing-column
+    // existence fill must keep working in id-matched plans too (the
+    // defaulted column's id is absent from pre-add files either way)
+    tbl.renameColumn("group", "grp")
+    assert(tbl.scan().filter($"id" <= 4).select("segment", "grp").collect()
+      .forall(r => r.getString(0) == "legacy" && r.getString(1) != null))
+    assert(tbl.scan().filter($"segment" === "legacy").count() == 8)
+  }
+
+  test("defaults hold through SQL, MOR subtraction and the JDBC backend") {
+    val wh = Files.createTempDirectory("graft-dfltsql").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "ds", fixture().schema)
+    tbl.append(fixture())
+    spark.conf.set("spark.sql.catalog.gdflt", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdflt.warehouse", wh)
+    // the DEFAULT clause rides ALTER (previously it would have been
+    // rejected — the catalog now declares SUPPORT_COLUMN_DEFAULT_VALUE)
+    spark.sql("ALTER TABLE gdflt.ns.ds ADD COLUMN segment STRING DEFAULT 'legacy'")
+    assert(spark.sql("SELECT segment FROM gdflt.ns.ds").collect()
+      .forall(_.getString(0) == "legacy"))
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM gdflt.ns.ds WHERE segment = 'legacy'")
+      .head().getLong(0) == 4)
+    // INSERT omitting the column resolves the write default in the
+    // analyzer; the DEFAULT keyword resolves too
+    spark.sql("INSERT INTO gdflt.ns.ds (id, group, value) VALUES (11, 'D', 50)")
+    spark.sql("INSERT INTO gdflt.ns.ds VALUES (12, 'D', 60, DEFAULT)")
+    spark.sql("INSERT INTO gdflt.ns.ds VALUES (13, 'E', 70, 'hot')")
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM gdflt.ns.ds WHERE segment = 'legacy'")
+      .head().getLong(0) == 6)
+    // SET/DROP DEFAULT from SQL
+    spark.sql("ALTER TABLE gdflt.ns.ds ALTER COLUMN segment SET DEFAULT 'warm'")
+    spark.sql("INSERT INTO gdflt.ns.ds (id, group, value) VALUES (14, 'E', 80)")
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM gdflt.ns.ds WHERE segment = 'warm'")
+      .head().getLong(0) == 1)
+    spark.sql("ALTER TABLE gdflt.ns.ds ALTER COLUMN segment DROP DEFAULT")
+    spark.sql("INSERT INTO gdflt.ns.ds (id, group, value) VALUES (15, 'E', 90)")
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM gdflt.ns.ds WHERE segment IS NULL")
+      .head().getLong(0) == 1)
+    // MOR: an outstanding equality delete subtracts; survivors keep
+    // answering the default through the SQL relation
+    tbl.deleteEq("id", Seq(1, 11))
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM gdflt.ns.ds WHERE segment = 'legacy'")
+      .head().getLong(0) == 4)
+    assert(tbl.scan().filter(col("segment") === "legacy").count() == 4)
+    // JDBC catalog backend round-trips the default metadata
+    val dir = Files.createTempDirectory("graft-dfltjdbc")
+    val jcat = new JdbcCatalog(s"jdbc:derby:$dir/cat;create=true", s"$dir/wh")
+    val jt = LakehouseTable.create(jcat, spark, "ns", "dj", fixture().schema)
+    jt.append(fixture())
+    jt.addColumn("segment", StringType, "'legacy'")
+    val reloaded = LakehouseTable.load(jcat, spark, "ns", "dj")
+    assert(reloaded.scan().select("segment").collect()
+      .forall(_.getString(0) == "legacy"))
+    jt.append(fixture().withColumn("id", $"id" + 10))
+    assert(reloaded.scan().filter(col("segment") === "legacy").count() == 8)
+  }
+
+  test("Iceberg v2 export refuses existence defaults until files carry the column") {
+    val wh = Files.createTempDirectory("graft-dfltexp").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "de", fixture().schema)
+    tbl.append(fixture())
+    tbl.addColumn("segment", StringType, "'legacy'")
+    val dest = Files.createTempDirectory("graft-dfltexp-out")
+    val e = intercept[IllegalArgumentException](
+      graft.interop.IcebergExport.export(tbl, dest))
+    assert(e.getMessage.contains("initial-default"), e.getMessage)
+    // compaction rewrites every file to physically carry the column —
+    // the export unblocks and the exported values ARE the defaults
+    tbl.compact()
+    val rep = graft.interop.IcebergExport.export(tbl, dest)
+    assert(rep.dataFiles > 0)
+    val back = graft.interop.IcebergImport.register(
+      cat, spark, dest, "ns", "de_back")
+    assert(back.table.scan().select("segment").collect()
+      .forall(_.getString(0) == "legacy"))
+  }
+}

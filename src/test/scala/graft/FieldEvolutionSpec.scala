@@ -416,6 +416,148 @@ class FieldEvolutionSpec extends SparkSpec {
       "pre-rename files' values must answer under the renamed column")
   }
 
+  test("addStructField: inner append + widen across eras, nulls in every plan shape") {
+    // Iceberg's `ADD COLUMN parent.child`: metadata-only — era-1 files
+    // lack the leaf and null-fill by name; era-2 files carry it. Then
+    // the leaf widens int→bigint and era-2's int-written values read
+    // back wide (parquet column readers are per-leaf, same promotion
+    // as a flat widen).
+    val cat = new Snaplog(Files.createTempDirectory("graft-fidinner").toString)
+    import org.apache.spark.sql.functions.{struct => sstruct, lit}
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructType}
+    val era1 = fixture().withColumn("props",
+      sstruct($"group".as("g"), sstruct($"value2".as("v")).as("deep")))
+    val tbl = LakehouseTable.create(cat, spark, "ns", "inner", era1.schema)
+    tbl.append(era1)
+    tbl.addStructField("props.score", IntegerType)
+    assert(graft.types.SchemaInfer.innerType(
+      tbl.schema, Seq("props", "score")).contains(IntegerType))
+    // old rows null-fill in the FULL read and the PRUNED read alike
+    assert(tbl.scan().select($"props").collect()
+      .forall(_.getStruct(0).isNullAt(2)))
+    assert(tbl.scan().select($"props.score").collect().forall(_.isNullAt(0)))
+    // era 2 carries values; both eras read as one table
+    val era2 = fixture().withColumn("id", $"id" + 10).withColumn("props",
+      sstruct($"group".as("g"), sstruct($"value2".as("v")).as("deep"),
+        ($"value2" * 2).as("score")))
+    tbl.append(era2.select(tbl.schema.fieldNames.map(col).toSeq: _*))
+    assert(tbl.scan().select($"props.score").collect()
+      .filterNot(_.isNullAt(0)).map(_.getInt(0)).sorted.toSeq ==
+      Seq(20, 40, 60, 80))
+    assert(tbl.scan().filter($"props.score" > 45).count() == 2)
+    // deep chain: a second add inside the nested struct
+    tbl.addStructField("props.deep.w", IntegerType)
+    assert(tbl.scan().select($"props.deep.w").collect().forall(_.isNullAt(0)))
+    // the leaf widens; era-2's int-written values come back as longs
+    tbl.widenStructField("props.score", LongType)
+    assert(graft.types.SchemaInfer.innerType(
+      tbl.schema, Seq("props", "score")).contains(LongType))
+    assert(tbl.scan().select($"props.score").collect()
+      .filterNot(_.isNullAt(0)).map(_.getLong(0)).sorted.toSeq ==
+      Seq(20L, 40L, 60L, 80L))
+    assert(tbl.scan().select($"props").collect().filterNot(_.getStruct(0)
+      .isNullAt(2)).map(_.getStruct(0).getLong(2)).sorted.toSeq ==
+      Seq(20L, 40L, 60L, 80L))
+    // era 3 lands the wide shape end-to-end
+    val era3 = fixture().withColumn("id", $"id" + 20).withColumn("props",
+      sstruct($"group".as("g"),
+        sstruct($"value2".as("v"), lit(null).cast(IntegerType).as("w")).as("deep"),
+        ($"value2" * 3L).as("score")))
+    tbl.append(era3.select(tbl.schema.fieldNames.map(col).toSeq: _*))
+    assert(tbl.scan().filter($"props.score" > 100L).count() == 1)
+    // refusals, all loud and mutation-free
+    assert(intercept[IllegalArgumentException](
+      tbl.addStructField("props.score", IntegerType))
+      .getMessage.contains("already exists"))
+    assert(intercept[IllegalArgumentException](
+      tbl.addStructField("nosuch.x", IntegerType))
+      .getMessage.contains("no column"))
+    assert(intercept[IllegalArgumentException](
+      tbl.addStructField("id.x", IntegerType))
+      .getMessage.contains("not a struct"))
+    assert(intercept[IllegalArgumentException](
+      tbl.widenStructField("props.score", DoubleType))
+      .getMessage.contains("cannot widen"))
+    assert(intercept[IllegalArgumentException](
+      tbl.widenStructField("props.g", LongType))
+      .getMessage.contains("cannot widen"))
+    // a top-level column literally named like the path refuses the add
+    tbl.addColumn("props.late", IntegerType)
+    assert(intercept[IllegalArgumentException](
+      tbl.addStructField("props.late", IntegerType))
+      .getMessage.contains("literally named"))
+    // flat evolution still composes beside the evolved struct
+    tbl.renameColumn("value1", "weight")
+    assert(tbl.scan().filter($"props.score" > 100L)
+      .select($"weight").collect().map(_.getFloat(0)).toSeq == Seq(4.5f))
+  }
+
+  test("addStructField: foreign-file probe and freed-flat-name stats poisoning") {
+    import org.apache.spark.sql.functions.{struct => sstruct}
+    import org.apache.spark.sql.types.IntegerType
+    val wh = Files.createTempDirectory("graft-fidprobe").toString
+    val cat = new Snaplog(wh)
+    // a FOREIGN parquet already holding bytes at props.score — written
+    // by "another system" whose schema later dropped the field
+    val foreignDir =
+      Files.createTempDirectory("graft-fidprobe-ext").toString + "/files"
+    fixture().withColumn("props",
+        sstruct($"group".as("g"), ($"value2" * 100).as("score")))
+      .select($"id", $"group", $"value1", $"value2", $"props")
+      .coalesce(1).write.parquet(foreignDir)
+    // the table's declared schema has NO props.score — exactly the
+    // shape a source-side inner drop leaves behind
+    val declared = fixture().withColumn("props", sstruct($"group".as("g")))
+    val tbl = LakehouseTable.create(cat, spark, "ns", "probe", declared.schema)
+    tbl.addFiles(graft.table.FileStats.listParquet(foreignDir))
+    val e = intercept[IllegalArgumentException](
+      tbl.addStructField("props.score", IntegerType))
+    assert(e.getMessage.contains("foreign") && e.getMessage.contains("resurrect"))
+    // compact() rewrites the foreign bytes through the DECLARED schema
+    // (the dropped field's values are physically gone) and expiry
+    // retires the foreign history — same recipe as the rename gate;
+    // the probe is all-history because time travel reads old snapshots
+    // with current-schema name resolution too
+    tbl.compact()
+    cat.expireSnapshots("ns", "probe", keepLast = 1)
+    tbl.addStructField("props.score", IntegerType)
+    assert(tbl.scan().select($"props.score").collect().forall(_.isNullAt(0)),
+      "the foreign file's dropped values must NOT resurrect")
+    // ---- freed-flat-name poisoning: a DROPPED flat column literally
+    // named 'attrs.n' left name-keyed stats in old log entries; adding
+    // struct leaf attrs.n must poison that dotted key (and the root,
+    // which prune-eligibility filters by)
+    val withFlat = fixture()
+      .withColumn("attrs", sstruct($"value2".as("m")))
+      .withColumn("attrs.n", $"value2" * 7)
+    val t2 = LakehouseTable.create(cat, spark, "ns", "freed", withFlat.schema)
+    t2.append(withFlat)
+    t2.dropColumn("attrs.n")
+    t2.addStructField("attrs.n", IntegerType)
+    val unsafe = graft.types.FieldIds.namesSet(
+      cat.loadTable("ns", "freed").properties,
+      graft.types.FieldIds.StatsUnsafeProp)
+    assert(unsafe("attrs.n") && unsafe("attrs"),
+      s"dotted path and root must be stats-poisoned, got $unsafe")
+    // correctness over the poisoned path, driven through the SQL
+    // catalog's file pruning: era-1 files recorded the FLAT column's
+    // stats under this dotted key — nullCount 0 and bounds 70..280.
+    // Unpoisoned, `attrs.n IS NULL` would false-prune era 1 (whose
+    // struct leaf IS null for every row) and lose all four rows.
+    t2.append(fixture().withColumn("id", $"id" + 10)
+      .withColumn("attrs", sstruct($"value2".as("m"),
+        ($"value2" / 10).as("n"))))
+    spark.conf.set("spark.sql.catalog.gfreed", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gfreed.warehouse", wh)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM gfreed.ns.freed WHERE attrs.n IS NULL")
+      .head().getLong(0) == 4)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM gfreed.ns.freed WHERE attrs.n < 5")
+      .head().getLong(0) == 4)
+    assert(t2.scan().filter($"attrs.n" < 5).count() == 4)
+  }
+
   test("rename works on the JDBC catalog backend") {
     val dir = Files.createTempDirectory("graft-fidjdbc")
     val cat = new JdbcCatalog(s"jdbc:derby:$dir/cat;create=true", s"$dir/wh")

@@ -118,6 +118,41 @@ class SqlCatalogSpec extends SparkSpec {
       .head().getLong(0) == 0)
   }
 
+  test("ALTER TABLE evolves struct inner fields: ADD COLUMN p.x, ALTER COLUMN p.x TYPE") {
+    import org.apache.spark.sql.functions.struct
+    val wh = Files.createTempDirectory("graft-sqlinner").toString
+    val cat = new Snaplog(wh)
+    val era1 = Seq((1, "a", 10), (2, "b", 20)).toDF("id", "tag", "v")
+      .withColumn("p", struct(col("tag").as("t")))
+    val tbl = LakehouseTable.create(cat, spark, "ns", "ie", era1.schema)
+    tbl.append(era1)
+    spark.conf.set("spark.sql.catalog.gsqlie", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlie.warehouse", wh)
+    spark.sql("ALTER TABLE gsqlie.ns.ie ADD COLUMN p.score INT")
+    spark.sql("INSERT INTO gsqlie.ns.ie SELECT 3, 'c', 30, named_struct('t', 'c', 'score', 33)")
+    assert(spark.sql("SELECT id, p.score FROM gsqlie.ns.ie ORDER BY id")
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+      .toSeq == Seq((1, -1), (2, -1), (3, 33)))
+    spark.sql("ALTER TABLE gsqlie.ns.ie ALTER COLUMN p.score TYPE BIGINT")
+    assert(spark.sql("SELECT sum(p.score) FROM gsqlie.ns.ie").head().getLong(0) == 33L)
+    // mixed nested+flat statement lands atomically
+    spark.sql("ALTER TABLE gsqlie.ns.ie ADD COLUMNS (p.extra STRING, flat2 INT)")
+    assert(spark.sql("SELECT p.extra, flat2 FROM gsqlie.ns.ie").collect()
+      .forall(r => r.isNullAt(0) && r.isNullAt(1)))
+    // structural violations refuse the WHOLE statement before any op
+    val e1 = intercept[Exception](
+      spark.sql("ALTER TABLE gsqlie.ns.ie ADD COLUMNS (p.t2 INT, id.x INT)"))
+    assert(e1.getMessage.contains("not a struct"), e1.getMessage)
+    assert(!tbl.schema("p").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.contains("t2"), "failed statement must not half-apply")
+    // Spark's analyzer permits bigint->decimal as an upcast; graft's
+    // promotion gate (int->bigint / float->double / decimal precision
+    // only) still refuses it for struct leaves
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE gsqlie.ns.ie ALTER COLUMN p.score TYPE DECIMAL(20,0)"))
+    assert(e2.getMessage.contains("cannot widen"), e2.getMessage)
+  }
+
   test("sql catalog prunes files from log metadata before planning") {
     import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, FileScan}
     val wh = Files.createTempDirectory("graft-sqlprune").toString

@@ -343,10 +343,18 @@ object IcebergExport {
       graft.types.ColumnDefaults.anyExistsDefaults(table.schema)
     val defaultSafePaths: Set[String] =
       if (defaultedCols.isEmpty) Set.empty
-      else cat.liveFiles(ns, name).map(_.path)
-        .filter(p => defaultedCols.forall(c =>
-          graft.types.FieldIds.fileContainsPath(table.spark, p, Seq(c))))
-        .toSet
+      else {
+        // parallel footer probe (no data pages) — same shape as the
+        // rename gate's id probe; a large table pays one round-trip
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.DurationInt
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        Await.result(
+          Future.traverse(cat.liveFiles(ns, name).map(_.path))(p =>
+            Future((p, defaultedCols.forall(c =>
+              graft.types.FieldIds.fileContainsPath(table.spark, p, Seq(c)))))),
+          30.minutes).filter(_._2).map(_._1).toSet
+      }
     locally {
       lazy val missing = cat.liveFiles(ns, name)
         .map(_.path).filterNot(defaultSafePaths)

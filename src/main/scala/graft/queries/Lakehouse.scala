@@ -2544,6 +2544,59 @@ object Lakehouse {
           TRUE AS metadata_only
         FROM events GROUP BY 1 ORDER BY 1""")),
 
+    // Auto schema evolution on write (round 12, Delta-mergeSchema
+    // analogue): a drifting batch appends through ONE appendEvolve
+    // call that widens score int→bigint (era-2 values exceed int
+    // range, proving the read-time promotion is live), adds a lang
+    // column (era-1 rows null) and grows the struct a new leaf evt.v
+    // (era-1 rows null) — no coordinated DDL, every underlying safety
+    // gate still armed. The DuckDB oracle rebuilds the aggregate from
+    // the flat source with the same era split, hash-gating the whole
+    // drift lifecycle. In-result claims pin the evolved shape.
+    QueryDef("lake_schema_merge",
+      (s, d) => {
+        val whDir = wh("lake_schema_merge", d)
+        val cat = new Snaplog(whDir)
+        val ev = events(s, d).select(col("event_id"), col("user_id"),
+          col("event_type"), col("value"))
+        val era1 = ev.filter(col("event_id") % 2 === 0)
+          .withColumn("score", (col("user_id") % 100).cast("int"))
+          .withColumn("evt", struct(col("event_type").as("t")))
+          .drop("event_type")
+        val rep = Ingest.ingestDf(cat, "lake", "events_drift", era1)
+        val tbl = rep.table
+        val era2 = ev.filter(col("event_id") % 2 === 1)
+          .withColumn("score", col("user_id") % 100 + lit(3000000000L))
+          .withColumn("lang",
+            when(col("value") >= 50.0, lit("en")).otherwise(lit("xx")))
+          .withColumn("evt", struct(col("event_type").as("t"),
+            col("value").cast("decimal(18,2)").as("v")))
+          .drop("event_type")
+        tbl.appendEvolve(era2)
+        val widened = tbl.schema("score").dataType ==
+          org.apache.spark.sql.types.LongType
+        val leafAdded = graft.types.SchemaInfer.innerType(
+          tbl.schema, Seq("evt", "v")).isDefined
+        tbl.scan()
+          .groupBy(col("evt.t").as("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("score")).as("score_sum"),
+            count(col("lang")).as("langs"),
+            sum(col("evt.v")).cast("double").as("total_v"))
+          .withColumn("widened", lit(widened))
+          .withColumn("leaf_added", lit(leafAdded))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN event_id % 2 = 0 THEN CAST(user_id % 100 AS BIGINT)
+            ELSE CAST(user_id % 100 AS BIGINT) + 3000000000 END) AS BIGINT)
+            AS score_sum,
+          COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END) AS langs,
+          CAST(SUM(CASE WHEN event_id % 2 = 1
+            THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS total_v,
+          TRUE AS widened, TRUE AS leaf_added
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // Iceberg-spec murmur3 bucket interop: a supplier table partitioned
     // by mbucket(8,s_suppkey) exports a REAL `bucket[8]` spec (the spec
     // mandates murmur3_x86_32, which mbucket computes — Appendix-B

@@ -102,9 +102,16 @@ object StreamingIngest {
     * commit it breaks OTHER streams tailing this table — size N to
     * your read topology (Iceberg streaming upserts carry the same
     * compact-vs-tail tension). */
+  /** `mergeSchema = true` runs [[LakehouseTable.evolveToMatch]] on each
+    * micro-batch before the upsert (Delta's streaming mergeSchema): a
+    * months-long ingest whose upstream sprouts columns keeps flowing —
+    * additive drift only, every evolution gate still armed. Note the
+    * STREAM's own analyzed schema is fixed at start; this evolves the
+    * SINK table for batches the source already delivers wider. */
   def upsertEachBatch(stream: DataFrame, table: LakehouseTable,
       keys: Seq[String], checkpointLocation: Option[String] = None,
-      consolidateAfterDeletes: Int = 0): Long = {
+      consolidateAfterDeletes: Int = 0,
+      mergeSchema: Boolean = false): Long = {
     var batches = 0L
     val batchKey = checkpointLocation match {
       case Some(_) => StreamBatchKey
@@ -115,6 +122,7 @@ object StreamingIngest {
     val perBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
       val applied = table.maxSummaryValue(batchKey)
       if (!batch.isEmpty && !applied.exists(_ >= batchId)) {
+        if (mergeSchema) table.evolveToMatch(batch.schema)
         Upsert.upsertTable(table, batch, keys,
           summary = Map(batchKey -> batchId.toString))
         batches += 1

@@ -1641,6 +1641,74 @@ final class LakehouseTable(
       SchemaInfer.replaceInnerType(m.schema, parts, to))
   }
 
+  /** AUTO SCHEMA EVOLUTION ON WRITE (Delta's `mergeSchema`, Iceberg's
+    * accept-any-schema merge): diff `incoming` against the stored
+    * schema and apply exactly the additive evolutions this table
+    * already supports — new top-level columns (nested types included),
+    * new struct-leaf fields at any struct-chain depth, and the three
+    * legal widenings, flat and struct-leaf. Everything else keeps the
+    * strict write contract: narrower/castable batch types just cast in
+    * normalize, incompatible ones fail there loudly, and a shape
+    * change INSIDE a list/map element refuses here (no evolution can
+    * express it — compose a new column instead). All safety gates of
+    * the underlying ops still fire (freed-name nested adds, foreign
+    * files at the leaf path, bucket-source widenings), so a merge can
+    * refuse — loud beats silent drift. Identical schemas commit
+    * nothing. The LLM-pipeline shape this serves: a months-long ingest
+    * whose upstream keeps sprouting metadata columns appends every
+    * batch through one call, no coordinated DDL. */
+  def evolveToMatch(incoming: StructType): Unit = {
+    import graft.types.SchemaInfer
+    val cur = schema
+    val fresh = incoming.fields.filterNot(f =>
+      cur.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+    if (fresh.nonEmpty)
+      addColumns(fresh.map(f => f.name -> f.dataType).toSeq)
+    def walk(path: Seq[String], stored: DataType, in: DataType): Unit =
+      (stored, in) match {
+        case (s, i) if s == i => ()
+        case (IntegerType, LongType) | (FloatType, DoubleType) =>
+          if (path.length == 1) widenColumn(path.head, in)
+          else widenStructField(path.mkString("."), in)
+        case (d1: DecimalType, d2: DecimalType)
+            if d2.precision > d1.precision && d1.scale == d2.scale =>
+          if (path.length == 1) widenColumn(path.head, in)
+          else widenStructField(path.mkString("."), in)
+        case (s: StructType, i: StructType) =>
+          i.fields.foreach { f =>
+            s.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+              case Some(sf) => walk(path :+ sf.name, sf.dataType, f.dataType)
+              case None =>
+                addStructField((path :+ f.name).mkString("."), f.dataType)
+            }
+          }
+        case (a: ArrayType, b: ArrayType) =>
+          require(SchemaInfer.relaxNulls(a) == SchemaInfer.relaxNulls(b),
+            s"cannot auto-evolve '${path.mkString(".")}': list element " +
+              s"shapes differ (${a.catalogString} vs ${b.catalogString}) " +
+              "and element types are not evolvable — add a new column")
+        case (m1: MapType, m2: MapType) =>
+          require(SchemaInfer.relaxNulls(m1) == SchemaInfer.relaxNulls(m2),
+            s"cannot auto-evolve '${path.mkString(".")}': map shapes " +
+              s"differ (${m1.catalogString} vs ${m2.catalogString}) " +
+              "and key/value types are not evolvable — add a new column")
+        case _ => () // equal-up-to-nullability, narrower, or castable:
+                     // normalize's cast handles (or loudly refuses)
+      }
+    incoming.fields.foreach { inF =>
+      cur.fields.find(_.name.equalsIgnoreCase(inF.name)).foreach { stF =>
+        walk(Seq(stF.name), stF.dataType, inF.dataType)
+      }
+    }
+  }
+
+  /** [[append]] with [[evolveToMatch]] applied first — the one-call
+    * drifting-schema ingest path. */
+  def appendEvolve(df: DataFrame): Snapshot = {
+    evolveToMatch(df.schema)
+    append(df)
+  }
+
   /** Column RENAME via parquet field-id indirection (the Iceberg
     * evolution model): metadata-only — the stored schema changes the
     * NAME but keeps the column's field id, the table flips to

@@ -93,7 +93,7 @@ object SchemaInfer {
 
   /** The type with every nested nullability flag set true (top-level
     * nullability lives on StructField, untouched here). */
-  private def relaxNulls(dt: DataType): DataType = dt match {
+  private[graft] def relaxNulls(dt: DataType): DataType = dt match {
     case s: StructType => StructType(s.fields.map(f =>
       f.copy(dataType = relaxNulls(f.dataType), nullable = true)))
     case a: ArrayType => ArrayType(relaxNulls(a.elementType), containsNull = true)

@@ -134,6 +134,35 @@ class ColumnDefaultsSpec extends SparkSpec {
     assert(reloaded.scan().filter(col("segment") === "legacy").count() == 8)
   }
 
+  test("CREATE TABLE with DEFAULT columns; COW UPDATE on nested fields") {
+    val wh = Files.createTempDirectory("graft-dfltct").toString
+    spark.conf.set("spark.sql.catalog.gdfct", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdfct.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdfct.ns")
+    // CREATE-time defaults ride Spark's column→schema-metadata encoding
+    // into the stored schema; omitted-column INSERTs resolve them
+    spark.sql(
+      "CREATE TABLE gdfct.ns.ct (id INT, seg STRING DEFAULT 'fresh', n INT DEFAULT 7)")
+    spark.sql("INSERT INTO gdfct.ns.ct (id) VALUES (1)")
+    spark.sql("INSERT INTO gdfct.ns.ct VALUES (2, 'hot', 9)")
+    val rows = spark.sql("SELECT id, seg, n FROM gdfct.ns.ct ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    assert(rows == Seq((1, "fresh", 7), (2, "hot", 9)))
+    // COW UPDATE assigning a struct LEAF rewrites whole rows through
+    // the group-replacement contract — nested assignment lands, the
+    // struct's other leaf and sibling rows survive
+    val cat = new Snaplog(wh)
+    import org.apache.spark.sql.functions.struct
+    val df = Seq((1, "a", 10), (2, "b", 20)).toDF("id", "tag", "v")
+      .withColumn("p", struct(col("tag").as("t"), col("v").as("x")))
+    val tbl = LakehouseTable.create(cat, spark, "ns", "nu", df.schema)
+    tbl.append(df)
+    spark.sql("UPDATE gdfct.ns.nu SET p.x = 99 WHERE id = 1")
+    val got = spark.sql("SELECT id, p.t, p.x FROM gdfct.ns.nu ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got == Seq((1, "a", 99), (2, "b", 20)))
+  }
+
   test("Iceberg v2 export refuses existence defaults until files carry the column") {
     val wh = Files.createTempDirectory("graft-dfltexp").toString
     val cat = new Snaplog(wh)

@@ -47,6 +47,42 @@ class StreamingSpec extends SparkSpec {
     assert(got.head.getAs[String]("k") == "a2") // id 1 upserted by the delta
   }
 
+  test("mergeSchema evolves the sink table across drifting stream runs") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.LongType
+    val drop = Files.createTempDirectory("graft-stream-drop-ms").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt-ms").toString
+    val eraA = Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "k", "score")
+    eraA.coalesce(1).write.mode("append").parquet(drop)
+    val cat = new Snaplog(Files.createTempDirectory("graft-stream-wh-ms").toString)
+    val table = LakehouseTable.create(cat, spark, "ns", "ms", eraA.schema)
+    def run(schema: org.apache.spark.sql.types.StructType): Long =
+      StreamingIngest.upsertEachBatch(
+        StreamingIngest.readParquetStream(spark, drop, schema,
+          maxFilesPerTrigger = 1),
+        table, Seq("id"), checkpointLocation = Some(ckpt), mergeSchema = true)
+    assert(run(eraA.schema) == 1L)
+    assert(table.schema.fieldNames.toSeq == Seq("id", "k", "score"),
+      "identical schema must evolve nothing")
+    // the upstream drifts: score widens to long, a lang column appears;
+    // the RESUMED run reads the drop wider and the sink evolves to match
+    val eraB = Seq((2L, "b2", 3000000000L, "en"), (3L, "c", 30L, "xx"))
+      .toDF("id", "k", "score", "lang")
+    eraB.coalesce(1).write.mode("append").parquet(drop)
+    assert(run(eraB.schema) == 1L)
+    assert(table.schema("score").dataType == LongType)
+    assert(table.schema.fieldNames.contains("lang"))
+    val got = table.scan().select("id", "k", "score", "lang").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) "-" else r.getString(3))).toSeq
+    assert(got == Seq((1L, "a", 10L, "-"), (2L, "b2", 3000000000L, "en"),
+      (3L, "c", 30L, "xx")))
+    // resume with nothing new: no batch, no evolution, content stable
+    assert(run(eraB.schema) == 0L)
+    assert(table.scan().count() == 3)
+    assert(table.scan().filter(col("lang").isNull).count() == 1)
+  }
+
   test("consolidateAfterDeletes bounds outstanding key files and keeps resume exact") {
     val drop = Files.createTempDirectory("graft-stream-drop3").toString
     val ckpt = Files.createTempDirectory("graft-stream-ckpt3").toString

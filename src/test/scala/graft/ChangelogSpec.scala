@@ -236,6 +236,41 @@ class ChangelogSpec extends SparkSpec {
     assert(keyed.count() == 4)
   }
 
+  test("changelog spanning inner-add and default-add reads current-schema rows") {
+    // both evolutions are metadata-only (no snapshot), so a window
+    // spanning them replays pre- and post-evolution files alike — the
+    // PINNED contract mirrors the widening one: every leg reads with
+    // the CURRENT schema, so pre-add rows emit the existence default
+    // (not null) and a null struct leaf, and the delete leg's preimage
+    // does too
+    import org.apache.spark.sql.functions.struct
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    val cat = new Snaplog(Files.createTempDirectory("graft-cl-evo").toString)
+    val era1 = Seq((1, "a"), (2, "b")).toDF("id", "grp")
+      .withColumn("p", struct(col("grp").as("t")))
+    val t = LakehouseTable.create(cat, spark, "ns", "evo", era1.schema)
+    t.append(era1)                               // 1: pre-evolution files
+    t.addStructField("p.v", IntegerType)
+    t.addColumn("seg", StringType, "'legacy'")
+    t.append(Seq((3, "c")).toDF("id", "grp")     // 2: post-evolution files
+      .withColumn("p", struct(col("grp").as("t"), lit(30).as("v")))
+      .withColumn("seg", lit("hot")))
+    t.deleteEq("id", Seq(1))                     // 3: deletes a PRE-add row
+    val ch = t.scanChanges(0L)
+    assert(ch.schema.fieldNames.contains("seg"))
+    val got = ch.select(col(ChangeTypeCol), col(ChangeSnapshotCol),
+        col("id"), col("seg"), col("p.v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getString(3), if (r.isNullAt(4)) -1 else r.getInt(4)))
+      .toSeq.sorted
+    assert(got == Seq(
+      (ChangeDelete, 3L, 1, "legacy", -1),       // preimage fills the default
+      (ChangeInsert, 1L, 1, "legacy", -1), (ChangeInsert, 1L, 2, "legacy", -1),
+      (ChangeInsert, 2L, 3, "hot", 30)).sorted, got.toString)
+    val keyed = t.scanChangesKeyed(Seq("id"), 0L)
+    assert(keyed.schema.fieldNames.contains("seg") && keyed.count() == 4)
+  }
+
   test("refusals: unknown snapshots and expired-away creation history") {
     val t = freshTable("refuse")
     t.append(fixture(1)) // 1

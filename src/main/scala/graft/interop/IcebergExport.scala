@@ -341,23 +341,26 @@ object IcebergExport {
     // skipped below, like delete-bearing ones.
     val defaultedCols =
       graft.types.ColumnDefaults.anyExistsDefaults(table.schema)
+    val defaultLivePaths: Seq[String] =
+      if (defaultedCols.isEmpty) Seq.empty
+      else cat.liveFiles(ns, name).map(_.path)
     val defaultSafePaths: Set[String] =
       if (defaultedCols.isEmpty) Set.empty
       else {
-        // parallel footer probe (no data pages) — same shape as the
-        // rename gate's id probe; a large table pays one round-trip
+        // parallel footer probe (no data pages), ONE open per file for
+        // ALL defaulted columns — same shape as the rename gate's probe
         import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.DurationInt
         implicit val ec: ExecutionContext = ExecutionContext.global
+        val wanted = defaultedCols.map(Seq(_))
         Await.result(
-          Future.traverse(cat.liveFiles(ns, name).map(_.path))(p =>
-            Future((p, defaultedCols.forall(c =>
-              graft.types.FieldIds.fileContainsPath(table.spark, p, Seq(c)))))),
+          Future.traverse(defaultLivePaths)(p =>
+            Future((p,
+              graft.types.FieldIds.fileContainsAll(table.spark, p, wanted)))),
           30.minutes).filter(_._2).map(_._1).toSet
       }
     locally {
-      lazy val missing = cat.liveFiles(ns, name)
-        .map(_.path).filterNot(defaultSafePaths)
+      lazy val missing = defaultLivePaths.filterNot(defaultSafePaths)
       require(defaultedCols.isEmpty || missing.isEmpty,
         s"cannot export $ns.$name: column(s) ${defaultedCols.mkString(", ")} " +
           "carry existence DEFAULTs (Iceberg v3 initial-default) that a " +

@@ -286,8 +286,11 @@ object IcebergImport {
     // add_files data living under a name-mapping) keep name matching —
     // correct exactly when names agree, the only binding such a tree
     // can express. A MIXED tree has no single resolution mode: refuse.
-    // Footer-only probe, capped at 8 files (spec trees are uniformly
-    // stamped or uniformly not). Nested CHILDREN always resolve by
+    // EVERY file is footer-probed, in parallel, no data pages — a
+    // name-mapping tree that later received spec-conforming native
+    // writes is mixed in exactly the way a uniform-prefix sample would
+    // miss, and a wrong mode silently null-fills whole columns of the
+    // minority files. Nested CHILDREN always resolve by
     // name either way (graft's convention — see object scaladoc); a
     // source-side rename of a nested INNER field is not recoverable
     // here and reads null, like any name-mapping-only reader would
@@ -295,8 +298,13 @@ object IcebergImport {
     val storedSchema =
       if (registryProps.isEmpty || files.isEmpty) schema
       else {
-        val probed = files.take(8).map(f =>
-          graft.types.FieldIds.fileCarriesIds(spark, f.path))
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.DurationInt
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        val probed = Await.result(
+          Future.traverse(files)(f =>
+            Future(graft.types.FieldIds.fileCarriesIds(spark, f.path))),
+          30.minutes)
         if (probed.forall(identity))
           graft.types.FieldIds.attach(schema, srcRegistry)
         else if (!probed.exists(identity)) schema

@@ -101,8 +101,9 @@ object StreamingIngest {
     * `replace` (content no-op for the changelog), but like any reset
     * commit it breaks OTHER streams tailing this table — size N to
     * your read topology (Iceberg streaming upserts carry the same
-    * compact-vs-tail tension). */
-  /** `mergeSchema = true` runs [[LakehouseTable.evolveToMatch]] on each
+    * compact-vs-tail tension).
+    *
+    * `mergeSchema = true` runs [[LakehouseTable.evolveToMatch]] on each
     * micro-batch before the upsert (Delta's streaming mergeSchema): a
     * months-long ingest whose upstream sprouts columns keeps flowing —
     * additive drift only, every evolution gate still armed. Note the

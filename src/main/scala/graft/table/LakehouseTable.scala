@@ -1494,10 +1494,29 @@ final class LakehouseTable(
     // cannot be rewritten)
     val rebound = cols.map(_._1.toLowerCase(java.util.Locale.ROOT))
       .filter(FieldIds.namesSet(m.properties, FieldIds.FreedNamesProp))
+    // a NEW STRUCT column's leaf dot paths are future stat keys — one
+    // colliding with a FREED dotted flat name inherits that dropped
+    // column's recorded bounds/null counts on old files (the same
+    // hazard addStructField poisons): enter the dotted key AND the new
+    // root (prune eligibility filters by root reference)
+    val freedSet = FieldIds.namesSet(m.properties, FieldIds.FreedNamesProp)
+    def leafPaths(prefix: String, dt: DataType): Seq[String] = dt match {
+      case st: StructType =>
+        st.fields.toSeq.flatMap(f => leafPaths(s"$prefix.${f.name}", f.dataType))
+      case _: ArrayType | _: MapType => Seq.empty // never stat keys
+      case _ => Seq(prefix)
+    }
+    val poisonedLeaves = cols.flatMap { case (n, dt, _) =>
+      val hits = leafPaths(n, dt).map(_.toLowerCase(java.util.Locale.ROOT))
+        .filter(freedSet)
+      if (hits.isEmpty) Seq.empty
+      else hits :+ n.toLowerCase(java.util.Locale.ROOT)
+    }
+    val reboundAll = (rebound ++ poisonedLeaves).distinct
     val reboundProps: Map[String, String] =
-      if (rebound.isEmpty) Map.empty
+      if (reboundAll.isEmpty) Map.empty
       else Map(FieldIds.StatsUnsafeProp ->
-        FieldIds.addNames(m.properties, FieldIds.StatsUnsafeProp, rebound))
+        FieldIds.addNames(m.properties, FieldIds.StatsUnsafeProp, reboundAll))
     m.properties.get(FieldIds.RegistryProp).map(FieldIds.decode) match {
       case Some(reg) if cols.forall(c =>
           !c._1.contains(",") && !c._1.contains(":")) =>
@@ -1656,8 +1675,28 @@ final class LakehouseTable(
     * refuse — loud beats silent drift. Identical schemas commit
     * nothing. The LLM-pipeline shape this serves: a months-long ingest
     * whose upstream keeps sprouting metadata columns appends every
-    * batch through one call, no coordinated DDL. */
+    * batch through one call, no coordinated DDL.
+    *
+    * Concurrency: the diff is computed from a schema snapshot and the
+    * sub-evolutions lock individually, so TWO writers merging the same
+    * drift can race — the loser's add throws "already exists" even
+    * though the table now matches what it wanted. That benign race
+    * retries (re-diffing against the fresh schema, which converges);
+    * a genuinely conflicting evolution still surfaces on the retry. */
   def evolveToMatch(incoming: StructType): Unit = {
+    var attempts = 0
+    while (true) {
+      try { evolveOnce(incoming); return }
+      catch {
+        case e: IllegalArgumentException
+            if attempts < 3 && e.getMessage != null &&
+              e.getMessage.contains("already exists") =>
+          attempts += 1
+      }
+    }
+  }
+
+  private def evolveOnce(incoming: StructType): Unit = {
     import graft.types.SchemaInfer
     val cur = schema
     val fresh = incoming.fields.filterNot(f =>
@@ -2164,9 +2203,12 @@ object FileStats {
       // leaves are excluded (their LIST/MAP ancestors are annotated;
       // an element bound is no row predicate bound). A dot path that
       // COLLIDES with a literal dotted flat name ("props.x" the
-      // column) is ambiguous — neither records. Key count caps at
-      // MaxStatKeys in schema order (wide structs must not turn the
-      // log into a stats dump; absence only costs pruning).
+      // column) is ambiguous — neither records. STRUCT-LEAF key count
+      // caps at MaxStatKeys in schema order (wide structs must not
+      // turn the log into a stats dump; absence only costs pruning) —
+      // TOP-LEVEL columns are exempt from the cap: a wide flat table
+      // must never silently lose the pruning and metadata-aggregate
+      // coverage it always had.
       val sch = r.getFooter.getFileMetaData.getSchema
       val recordKeys: Set[String] = {
         def structPath(parts: Array[String]): Boolean = {
@@ -2186,8 +2228,11 @@ object FileStats {
         val names = paths.map(_.mkString("."))
         val ambiguous = names.groupBy(identity)
           .collect { case (n, g) if g.size > 1 => n }.toSet
-        paths.filter(p => structPath(p) && !ambiguous(p.mkString(".")))
-          .map(_.mkString(".")).take(MaxStatKeys).toSet
+        val eligible = paths
+          .filter(p => structPath(p) && !ambiguous(p.mkString(".")))
+        val (top, leaves) = eligible.partition(_.length == 1)
+        (top.map(_.mkString(".")) ++
+          leaves.map(_.mkString(".")).take(MaxStatKeys)).toSet
       }
       val mins = scala.collection.mutable.Map[String, Any]()
       val maxs = scala.collection.mutable.Map[String, Any]()

@@ -145,7 +145,15 @@ object FieldIds {
     * (inner fields are never renamed or dropped, so the current schema
     * contains every inner name any managed file ever wrote). */
   def fileContainsPath(spark: SparkSession, path: String,
-      parts: Seq[String]): Boolean = {
+      parts: Seq[String]): Boolean =
+    fileContainsAll(spark, path, Seq(parts))
+
+  /** [[fileContainsPath]] for SEVERAL paths in ONE footer open — true
+    * when the file holds a field at EVERY given path. The export
+    * defaults gate probes all defaulted columns per file through this
+    * (k columns must not cost k footer round-trips per file). */
+  def fileContainsAll(spark: SparkSession, path: String,
+      pathsToFind: Seq[Seq[String]]): Boolean = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val in = HadoopInputFile.fromPath(
@@ -153,18 +161,22 @@ object FieldIds {
     val r = ParquetFileReader.open(in)
     try {
       import scala.jdk.CollectionConverters._
-      var t: org.apache.parquet.schema.Type =
+      val root: org.apache.parquet.schema.Type =
         r.getFooter.getFileMetaData.getSchema
-      var i = 0
-      while (i < parts.length) {
-        if (t.isPrimitive) return false
-        t.asGroupType().getFields.asScala
-          .find(_.getName.equalsIgnoreCase(parts(i))) match {
-          case Some(child) => t = child; i += 1
-          case None => return false
+      def holds(parts: Seq[String]): Boolean = {
+        var t = root
+        var i = 0
+        while (i < parts.length) {
+          if (t.isPrimitive) return false
+          t.asGroupType().getFields.asScala
+            .find(_.getName.equalsIgnoreCase(parts(i))) match {
+            case Some(child) => t = child; i += 1
+            case None => return false
+          }
         }
+        true
       }
-      true
+      pathsToFind.forall(holds)
     } finally r.close()
   }
 

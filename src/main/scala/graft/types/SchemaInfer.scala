@@ -1,7 +1,7 @@
 package graft.types
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, transform, transform_keys, transform_values, when}
 import org.apache.spark.sql.types._
 
 /** Schema-inference and normalization policy.
@@ -70,9 +70,7 @@ object SchemaInfer {
           // contains dots must resolve literally, not as a struct path
           val ref = col("`" + src.replace("`", "``") + "`")
           val srcType = df.schema(df.schema.fieldIndex(src)).dataType
-          val c = if (relaxNulls(srcType) == relaxNulls(f.dataType)) ref
-                  else ref.cast(relaxNulls(f.dataType))
-          c.as(f.name, f.metadata)
+          align(ref, srcType, f.dataType).as(f.name, f.metadata)
         case None if f.nullable =>
           // a column with a WRITE default fills it (the analyzer does
           // the same for SQL INSERTs); validated constant-foldable at
@@ -90,6 +88,39 @@ object SchemaInfer {
     }
     df.select(cols.toIndexedSeq: _*)
   }
+
+  /** Conform one column to the target type. The non-trivial case is
+    * STRUCTS: Spark's struct cast binds fields POSITIONALLY, so a batch
+    * whose struct carries the same field NAMES in a different ORDER
+    * (schema-inferred sources reorder freely; auto-evolution appends
+    * new leaves at the end while a source may emit them mid-struct)
+    * would silently swap values under a plain cast. Whenever every
+    * target field name resolves in the source struct
+    * (case-insensitive), fields bind BY NAME — recursively, through
+    * array elements and map values too. Any other shape falls back to
+    * Spark's cast, keeping its existing semantics (including its
+    * failure modes) for genuinely mismatched types. NULL structs stay
+    * NULL (the rebuild is guarded, never a struct of nulls). */
+  private def align(c: Column, src: DataType, dst: DataType): Column =
+    (src, dst) match {
+      case (s, d) if relaxNulls(s) == relaxNulls(d) => c
+      case (s: StructType, d: StructType)
+          if d.fields.forall(df =>
+            s.fieldNames.exists(_.equalsIgnoreCase(df.name))) =>
+        val parts = d.fields.map { df =>
+          val sf = s.fields.find(_.name.equalsIgnoreCase(df.name)).get
+          align(c.getField(sf.name), sf.dataType, df.dataType).as(df.name)
+        }
+        when(c.isNotNull,
+          org.apache.spark.sql.functions.struct(parts.toIndexedSeq: _*))
+      case (s: ArrayType, d: ArrayType) =>
+        transform(c, x => align(x, s.elementType, d.elementType))
+      case (s: MapType, d: MapType) =>
+        transform_values(
+          transform_keys(c, (k, _) => align(k, s.keyType, d.keyType)),
+          (_, v) => align(v, s.valueType, d.valueType))
+      case (_, d) => c.cast(relaxNulls(d))
+    }
 
   /** The type with every nested nullability flag set true (top-level
     * nullability lives on StructField, untouched here). */

@@ -104,9 +104,15 @@ object SchemaInfer {
   private def align(c: Column, src: DataType, dst: DataType): Column =
     (src, dst) match {
       case (s, d) if relaxNulls(s) == relaxNulls(d) => c
+      // by-name binding only for equal-arity structs whose names all
+      // resolve: a batch struct with EXTRA fields must keep falling to
+      // the cast's loud arity failure (silently dropping batch data
+      // would be worse than the positional hazard this fixes) — callers
+      // that WANT the extra field evolve first (appendEvolve)
       case (s: StructType, d: StructType)
-          if d.fields.forall(df =>
-            s.fieldNames.exists(_.equalsIgnoreCase(df.name))) =>
+          if s.fields.length == d.fields.length &&
+            d.fields.forall(df =>
+              s.fieldNames.exists(_.equalsIgnoreCase(df.name))) =>
         val parts = d.fields.map { df =>
           val sf = s.fields.find(_.name.equalsIgnoreCase(df.name)).get
           align(c.getField(sf.name), sf.dataType, df.dataType).as(df.name)

@@ -102,6 +102,15 @@ class SchemaMergeSpec extends SparkSpec {
         if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
     assert(got == Seq((1, "a", 10, -1L), (2, "b", 20, -1L),
       (3, "c", 30, 333L)), got.toString)
+    // a PLAIN append whose struct carries an EXTRA field still fails
+    // loudly (by-name binding must not silently drop batch data —
+    // evolving is appendEvolve's job, and it succeeded above)
+    val extra = Seq((9, "z", 90, 9L, 1.5)).toDF("id", "tag", "v", "score", "oops")
+      .withColumn("p", struct(col("tag").as("t"), col("score").as("score"),
+        col("v").as("v"), col("oops").as("oops")))
+      .drop("tag", "v", "score", "oops")
+    assert(intercept[Exception](tbl.append(extra)).getMessage != null)
+    assert(tbl.scan().count() == 3, "failed append must land nothing")
     // array-of-struct element order drift binds by name too
     val tbl2 = LakehouseTable.create(cat, spark, "ns", "al2",
       base.withColumn("xs", org.apache.spark.sql.functions.array(

@@ -569,4 +569,34 @@ class FieldEvolutionSpec extends SparkSpec {
     tbl.append(fixture().withColumnRenamed("value1", "weight"))
     assert(tbl.scan().count() == 8)
   }
+
+  test("inner-add, struct-leaf widen and auto-merge run on the JDBC backend") {
+    // the round's evolutions live in schema METADATA (nested shapes,
+    // dotted stat poisoning, default keys) — this pins that the SQL
+    // backend's schema serialization round-trips all of it
+    import org.apache.spark.sql.functions.{struct => sstruct, lit}
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val dir = Files.createTempDirectory("graft-evojdbc")
+    val cat = new JdbcCatalog(s"jdbc:derby:$dir/cat;create=true", s"$dir/wh")
+    val base = fixture().withColumn("props", sstruct($"group".as("g")))
+    val tbl = LakehouseTable.create(cat, spark, "ns", "je", base.schema)
+    tbl.append(base)
+    tbl.addStructField("props.score", IntegerType)
+    tbl.widenStructField("props.score", LongType)
+    val reloaded = LakehouseTable.load(cat, spark, "ns", "je")
+    assert(graft.types.SchemaInfer.innerType(
+      reloaded.schema, Seq("props", "score")).contains(LongType))
+    assert(reloaded.scan().select($"props.score").collect()
+      .forall(_.isNullAt(0)))
+    // a drifting batch auto-merges through the reloaded handle
+    val drift = fixture().withColumn("id", $"id" + 10)
+      .withColumn("props", sstruct($"group".as("g"),
+        ($"value2" * 2L).as("score"), $"value2".as("extra")))
+      .withColumn("lang", lit("en"))
+    reloaded.appendEvolve(drift)
+    assert(reloaded.scan().filter($"props.score" > 50L)
+      .select($"props.extra", $"lang").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq ==
+      Seq((30, "en"), (40, "en")))
+  }
 }

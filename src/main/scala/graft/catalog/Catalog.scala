@@ -492,14 +492,14 @@ trait Catalog {
     val dd = dataDir(ns, t)
     if (!Files.isDirectory(dd)) return Seq.empty
     val cutoff = System.currentTimeMillis() - math.max(0L, graceMs)
-    val orphans = Files.walk(dd).iterator.asScala
+    val orphans = graft.util.Fs.walkList(dd)
       .filter(p => Files.isRegularFile(p) && !referenced.contains(p.toString) &&
         (try Files.getLastModifiedTime(p).toMillis <= cutoff
          catch { case _: java.io.IOException => false })) // vanished/unreadable: skip
-      .map(_.toString).toSeq.sorted
+      .map(_.toString).sorted
     orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
     // prune now-empty directories bottom-up
-    Files.walk(dd).iterator.asScala.toSeq.reverse
+    graft.util.Fs.walkList(dd).reverse
       .filter(p => Files.isDirectory(p) && p != dd)
       .foreach { p =>
         val s = Files.list(p)

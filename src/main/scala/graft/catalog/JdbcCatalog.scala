@@ -185,9 +185,7 @@ final class JdbcCatalog(val jdbcUrl: String, val warehouse: String,
       finally c.setAutoCommit(true) // connection is shared — leave it clean
     }
     val dir = Paths.get(warehouse, ns, t)
-    if (Files.exists(dir)) {
-      Files.walk(dir).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    }
+    graft.util.Fs.deleteTree(dir)
   }
 
   /** Rename under a dedicated transaction: FOR UPDATE lock on the

@@ -174,9 +174,7 @@ final class Snaplog(val warehouse: String,
 
   override def dropTable(ns: String, t: String): Unit = {
     val dir = tableDir(ns, t)
-    if (Files.exists(dir)) {
-      Files.walk(dir).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    }
+    graft.util.Fs.deleteTree(dir)
   }
 
   /** Rename, serialized against commits by the source table's lock

@@ -53,11 +53,7 @@ object Common {
   def scratchDir(name: String, sfDir: String): String = {
     val label = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val p = java.nio.file.Paths.get("target", "qwh", s"$name-$label").toAbsolutePath
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator.asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    graft.util.Fs.deleteTree(p)
     java.nio.file.Files.createDirectories(p)
     p.toString
   }

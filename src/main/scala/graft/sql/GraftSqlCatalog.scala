@@ -301,10 +301,10 @@ private[sql] final class GraftAppendWrite(
         override def metadataSchema(): java.util.Optional[StructType] = info.metadataSchema()
       }
     // field-id stamping + INT64-micros timestamps, scoped to the
-    // delegate's job-description capture (synchronous inside toBatch) —
-    // a foreign same-session write must not inherit them
-    val delegate = FieldIds.withManagedWriteConfs(spark) {
-      ParquetTable(tableName, spark, info.options(),
+    // delegate's job-description capture via a cloned session — a
+    // foreign same-session write never inherits them, no lock needed
+    val delegate = FieldIds.withManagedWriteDelegate(spark) { mws =>
+      ParquetTable(tableName, mws, info.options(),
         Seq(stage.toString), Some(writeSchema), classOf[ParquetFileFormat])
         .newWriteBuilder(winfo).build().toBatch
     }
@@ -419,13 +419,12 @@ private[sql] final class GraftBatchWrite(
       df.repartition(layoutExprs: _*))(
       (d, pe) => d.withColumn(FileStats.layoutCol(pe._1.fieldName), pe._2))
     // the relayout is a managed write like any other — field ids +
-    // micros timestamps in force for ITS job too (it runs at commit
-    // time, after the staged write's scoped confs were restored)
-    graft.types.FieldIds.withManagedWriteConfs(spark) {
-      withLayout.write.mode("overwrite").option("compression", codec)
-        .partitionBy(partFields.map(pf => FileStats.layoutCol(pf.fieldName)): _*)
-        .parquet(layoutDir.toString)
-    }
+    // micros timestamps in force for ITS job too, via the same
+    // cloned-session scoping
+    graft.types.FieldIds.managedWrite(withLayout)
+      .write.mode("overwrite").option("compression", codec)
+      .partitionBy(partFields.map(pf => FileStats.layoutCol(pf.fieldName)): _*)
+      .parquet(layoutDir.toString)
     GraftBatchWrite.rmTree(stage) // staged files are intermediate once laid out
     FileStats.statAll(spark, FileStats.listParquet(layoutDir.toString),
       p => FileStats.partitionValuesFromPath(p, partFields.map(_.fieldName)))
@@ -433,12 +432,7 @@ private[sql] final class GraftBatchWrite(
 }
 
 private[sql] object GraftBatchWrite {
-  def rmTree(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p).iterator.asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-  }
+  def rmTree(p: java.nio.file.Path): Unit = graft.util.Fs.deleteTree(p)
 }
 
 /** Group-based row-level operation (UPDATE / MERGE / rewrite-DELETE)
@@ -821,10 +815,11 @@ private[sql] final class GraftRowLevelOperation(
                 info.metadataSchema()
             }
           // field-id stamping + INT64-micros timestamps, scoped to the
-          // delegate's job-description capture (see stageDataFiles)
-          val delegate = FieldIds.withManagedWriteConfs(spark) {
-            ParquetTable(tableName, spark, info.options(),
-              Seq(stage.toString), Some(stamp(tableSchema)), classOf[ParquetFileFormat])
+          // delegate's job-description capture via a cloned session
+          val delegate = FieldIds.withManagedWriteDelegate(spark) { mws =>
+            ParquetTable(tableName, mws, info.options(),
+              Seq(stage.toString), Some(stamp(tableSchema)),
+              classOf[ParquetFileFormat])
               .newWriteBuilder(winfo).build().toBatch
           }
           val codec = backing.loadTable(ns, tbl).properties
@@ -1875,10 +1870,8 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
       // (empty string = DROP, Spark's convention)
       case ud: TableChange.UpdateColumnDefaultValue
           if ud.fieldNames().length == 1 => setDefaults += ud
-      case rn: TableChange.RenameColumn
-          if rn.fieldNames().length == 1 => renames += rn
-      case dc: TableChange.DeleteColumn
-          if dc.fieldNames().length == 1 => drops += dc
+      case rn: TableChange.RenameColumn => renames += rn
+      case dc: TableChange.DeleteColumn => drops += dc
       case ut: TableChange.UpdateColumnType
           if ut.fieldNames().length == 1 => widens += ut
       // `ALTER COLUMN parent.child TYPE bigint` — the struct-leaf widen
@@ -1902,10 +1895,10 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
       case other => throw new UnsupportedOperationException(
         s"$catName supports ALTER TABLE ADD COLUMN (nullable, appended; " +
           s"top-level or struct-chain parent.child), RENAME/DROP COLUMN " +
-          s"(top-level, field-id tables — inner fields resolve by name " +
-          s"and cannot rename/drop), ALTER COLUMN TYPE (int->bigint, " +
-          s"float->double widening, top-level or struct leaf), " +
-          s"and SET/UNSET TBLPROPERTIES; $other needs the graft API")
+          s"(top-level or struct-chain, field-id tables), ALTER COLUMN " +
+          s"TYPE (int->bigint, float->double widening, top-level or " +
+          s"struct leaf), and SET/UNSET TBLPROPERTIES; " +
+          s"$other needs the graft API")
     }
     val (ns, t) = (ident.namespace()(0), ident.name)
     // AddColumn DEFAULT clauses carry the original SQL text (falling
@@ -1939,20 +1932,29 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
       def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
       var names = meta0.schema.fieldNames.map(lower).toSet ++
         addList.map(a => lower(a.fieldNames()(0)))
-      renameList.foreach { rn =>
+      renameList.filter(_.fieldNames().length == 1).foreach { rn =>
         val from = lower(rn.fieldNames()(0)); val to = lower(rn.newName())
         require(names(from), s"no column '${rn.fieldNames()(0)}' in $ns.$t")
         require(!partLower(from), s"cannot rename partition column '${rn.fieldNames()(0)}'")
         require(!names(to), s"column '${rn.newName()}' already exists")
         names = names - from + to
       }
-      dropList.foreach { dc =>
+      dropList.filter(_.fieldNames().length == 1).foreach { dc =>
         val c = lower(dc.fieldNames()(0))
         require(names(c), s"no column '${dc.fieldNames()(0)}' in $ns.$t")
         require(!partLower(c), s"cannot drop partition column '${dc.fieldNames()(0)}'")
         names = names - c
       }
       require(names.nonEmpty, "cannot drop every column")
+      // inner rename/drop (round 13): the chain must resolve through
+      // structs NOW (the per-op gates re-check under the lock)
+      (renameList.filter(_.fieldNames().length > 1).map(_.fieldNames().toSeq)
+        ++ dropList.filter(_.fieldNames().length > 1).map(_.fieldNames().toSeq))
+        .foreach { parts =>
+          require(graft.types.SchemaInfer.innerType(
+              meta0.schema, parts).isDefined,
+            s"no struct field '${parts.mkString(".")}' in $ns.$t")
+        }
       // nested changes: replay the pure schema patches so a structural
       // violation (missing root, non-struct step, existing leaf, bad
       // promotion path) fails the WHOLE statement before any op runs
@@ -1999,9 +2001,15 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     nestedAddList.foreach(a =>
       tbl.addStructField(a.fieldNames().mkString("."), a.dataType()))
     // RENAME/DROP are metadata-only via field-id indirection — the
-    // table-side ops re-run every eligibility gate before mutating
-    renameList.foreach(rn => tbl.renameColumn(rn.fieldNames()(0), rn.newName()))
-    dropList.foreach(dc => tbl.dropColumn(dc.fieldNames()(0)))
+    // table-side ops re-run every eligibility gate before mutating;
+    // struct-chain targets route to the inner tier (round 13)
+    renameList.foreach(rn =>
+      if (rn.fieldNames().length == 1)
+        tbl.renameColumn(rn.fieldNames()(0), rn.newName())
+      else tbl.renameStructField(rn.fieldNames().mkString("."), rn.newName()))
+    dropList.foreach(dc =>
+      if (dc.fieldNames().length == 1) tbl.dropColumn(dc.fieldNames()(0))
+      else tbl.dropStructField(dc.fieldNames().mkString(".")))
     // widening is metadata-only and re-validated per-op (promotion
     // rules + the bucket-source refusal) inside widenColumn
     widens.result().foreach(ut =>

@@ -443,11 +443,7 @@ private[graft] final class GraftMicroBatchStream(
     // drop initial-content materialization dirs (unregistered staging
     // files — invisible to the log, so this is pure disk hygiene)
     import scala.jdk.CollectionConverters._
-    initDirs.asScala.foreach { p =>
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.walk(p).iterator.asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    initDirs.asScala.foreach(graft.util.Fs.deleteTree)
     initDirs.clear()
   }
 
@@ -594,6 +590,29 @@ private[graft] final class GraftMicroBatchStream(
   private val initDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
 
+  // Purge STALE init dirs of this table on construction: `stop()` only
+  // runs on a graceful stop, so a killed/restarted query would otherwise
+  // accumulate one materialization dir per (re)start until JVM exit.
+  // The dir-name prefix is this table's alone; dirs older than an hour
+  // cannot belong to a stream still reading its initial batch here —
+  // the new stream materializes afresh before planning anything.
+  locally {
+    import scala.jdk.CollectionConverters._
+    val tmpRoot = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"))
+    val prefix = s"graft-stream-init-$ns-$tbl-"
+    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    val stale =
+      try scala.util.Using.resource(java.nio.file.Files.list(tmpRoot))(
+        _.iterator().asScala.filter { p =>
+          p.getFileName.toString.startsWith(prefix) &&
+            (try java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff
+             catch { case _: java.io.IOException => false })
+        }.toSeq)
+      catch { case _: java.io.IOException => Seq.empty }
+    stale.foreach(graft.util.Fs.deleteTree)
+  }
+
   private def initialPaths(e: Long): Seq[String] = {
     if (backing.liveDeleteFiles(ns, tbl, Some(e)).isEmpty)
       return backing.liveFiles(ns, tbl, Some(e)).map(_.path)
@@ -607,9 +626,8 @@ private[graft] final class GraftMicroBatchStream(
       // problem, not permanent warehouse garbage
       val tmp = java.nio.file.Files.createTempDirectory(
         s"graft-stream-init-$ns-$tbl-$e-")
-      graft.types.FieldIds.withManagedWriteConfs(spark) {
-        subtracted.write.mode("overwrite").parquet(tmp.toString)
-      }
+      graft.types.FieldIds.managedWrite(subtracted)
+        .write.mode("overwrite").parquet(tmp.toString)
       initDirs.add(tmp)
       graft.table.FileStats.listParquet(tmp.toString)
     })

@@ -1017,16 +1017,15 @@ final class LakehouseTable(
     // written INT96 would carry no footer stats, degrading the delete
     // tier's bounds-overlap selection (rewriteDeleteFiles) to
     // rewrite-everything
-    graft.types.FieldIds.withManagedWriteConfs(spark) {
-      keyDf.write.mode("overwrite").parquet(delDir.toString)
-    }
+    graft.types.FieldIds.managedWrite(keyDf)
+      .write.mode("overwrite").parquet(delDir.toString)
     val delFiles = listParquet(delDir.toString).map { p =>
       statFile(p, Map.empty)
         .copy(deleteFile = Some(true), equalityKey = Some(encodedKey))
     }
     val nValues = delFiles.map(_.rowCount).sum
     if (nValues == 0) {
-      Files.walk(delDir).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      graft.util.Fs.deleteTree(delDir)
       return (Seq.empty, encodedKey, 0L)
     }
     // null rejection from footer metadata; a footer without the null
@@ -1037,7 +1036,7 @@ final class LakehouseTable(
         spark.read.parquet(f.path).filter(col(n).isNull).count()
       }).sum).sum
     if (nullKeys > 0) {
-      Files.walk(delDir).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      graft.util.Fs.deleteTree(delDir)
       throw new IllegalArgumentException(
         s"deleteEq feed carries $nullKeys null key value(s) — equality is " +
           "null-rejecting; filter them out (or delete IS NULL rows via " +
@@ -1176,9 +1175,8 @@ final class LakehouseTable(
         Seq("file_path", "row_index"), "left_anti")
     val vecDir = catalog.dataDir(namespace, name)
       .resolve(s"delta-${java.util.UUID.randomUUID().toString.take(12)}")
-    graft.types.FieldIds.withManagedWriteConfs(spark) {
-      matched.coalesce(1).write.mode("overwrite").parquet(vecDir.toString)
-    }
+    graft.types.FieldIds.managedWrite(matched)
+      .coalesce(1).write.mode("overwrite").parquet(vecDir.toString)
     val vecFiles = listParquet(vecDir.toString).map { p =>
       statFile(p, Map.empty).copy(deleteFile = Some(true))
     }
@@ -1193,7 +1191,7 @@ final class LakehouseTable(
       else scan().filter(condition).count()
     if (recorded == 0) {
       // no matches: clean up the empty vector, commit an audit no-op
-      Files.walk(vecDir).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      graft.util.Fs.deleteTree(vecDir)
       return catalog.commit(namespace, name, Snaplog.OpMorDelete, Seq.empty,
         Map("deleted-rows" -> "0"), expectedSnapshotId = Some(base))
     }
@@ -1522,17 +1520,27 @@ final class LakehouseTable(
           !c._1.contains(",") && !c._1.contains(":")) =>
         val last = m.properties.get(FieldIds.LastIdProp).map(_.toInt)
           .getOrElse(if (reg.isEmpty) 0 else reg.values.max)
-        val reg2 = reg ++ cols.zipWithIndex.map {
-          case ((n, _, _), i) => n -> (last + i + 1)
-        }
+        var next = last
+        val topIds = cols.map { case (n, _, _) => next += 1; n -> next }
+        // new STRUCT columns get dotted inner ids too (round 13), so
+        // their files stamp inner ids from birth; same encodability
+        // rules as registryFor
+        val innerIds =
+          if (base.fieldNames.exists(_.contains("."))) Seq.empty
+          else FieldIds.structPathSeqs(StructType(added.toArray))
+            .filter(parts => !parts.exists(c =>
+              c.contains(",") || c.contains(":") || c.contains(".")))
+            .map { parts => next += 1; parts.mkString(".") -> next }
+        val reg2 = reg ++ topIds ++ innerIds
         catalog.updateProperties(namespace, name,
           Map(FieldIds.RegistryProp -> FieldIds.encode(reg2),
-            FieldIds.LastIdProp -> (last + cols.size).toString) ++ reboundProps,
+            FieldIds.LastIdProp -> next.toString) ++ reboundProps,
           Seq.empty)
         // the stored schema carries ids only after a rename/drop flipped
         // the table to read-by-id; before that it stays name-matched
         catalog.updateSchema(namespace, name,
-          if (FieldIds.hasIds(cur)) FieldIds.attach(base, reg2) else base)
+          if (innerIdsActive(m)) FieldIds.attachAll(base, reg2)
+          else if (FieldIds.hasIds(cur)) FieldIds.attach(base, reg2) else base)
       case _ =>
         // exotic names break the registry encoding: keep additive
         // evolution, forfeit renameability (refused later with guidance)
@@ -1620,7 +1628,8 @@ final class LakehouseTable(
         implicit val ec: ExecutionContext = ExecutionContext.global
         val holding = Await.result(
           Future.traverse(foreign)(p =>
-            Future((p, FieldIds.fileContainsPath(spark, p, parts)))),
+            Future(scala.concurrent.blocking(
+              (p, FieldIds.fileContainsPath(spark, p, parts))))),
           30.minutes).filter(_._2).map(_._1)
         require(holding.isEmpty,
           s"cannot add '$dottedPath' to $namespace.$name: " +
@@ -1630,13 +1639,63 @@ final class LakehouseTable(
             "compact() first")
       }
     }
-    if (FieldIds.namesSet(m.properties, FieldIds.FreedNamesProp)(lower))
+    val freedHere = FieldIds.namesSet(
+      m.properties, FieldIds.FreedNamesProp)(lower)
+    // A freed DOTTED name (an inner field dropped or renamed away,
+    // round 13) is the resurrection edge: while inner resolution is by
+    // NAME, managed files still holding bytes at the path would serve
+    // them under the re-added field. By-id tables are shielded (the
+    // re-add takes a FRESH id below; old bytes never match it) —
+    // otherwise probe EVERY history file and refuse on a hit.
+    if (freedHere && !innerIdsActive(m)) {
+      val all = catalog.snapshots(namespace, name).flatMap(_.files)
+        .filterNot(_.deleteFile.contains(true)).map(_.path).distinct
+      if (all.nonEmpty) {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.DurationInt
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        val holding = Await.result(
+          Future.traverse(all)(p =>
+            Future(scala.concurrent.blocking(
+              (p, FieldIds.fileContainsPath(spark, p, parts))))),
+          30.minutes).filter(_._2).map(_._1)
+        require(holding.isEmpty,
+          s"cannot re-add freed inner field '$dottedPath' to " +
+            s"$namespace.$name: ${holding.size} file(s) still hold bytes " +
+            "at that path and inner resolution is by NAME — the dropped " +
+            "values would resurrect (time travel included); compact() " +
+            "drops the field physically, expireSnapshots() retires the " +
+            "pre-drop history, then retry")
+      }
+    }
+    if (freedHere)
       catalog.updateProperties(namespace, name,
         Map(FieldIds.StatsUnsafeProp -> FieldIds.addNames(m.properties,
           FieldIds.StatsUnsafeProp,
           Seq(lower, parts.head.toLowerCase(java.util.Locale.ROOT)))),
         Seq.empty)
-    catalog.updateSchema(namespace, name, evolved)
+    // fresh dotted id for the new leaf (above the high-water mark) so
+    // files stamp it from birth and a by-id table keeps the new leaf
+    // distinct from any retired binding of the same name
+    val regProp = m.properties.get(FieldIds.RegistryProp).map(FieldIds.decode)
+    val encodable = parts.forall(c =>
+      !c.contains(",") && !c.contains(":") && !c.contains("."))
+    val reg2: Option[Map[String, Int]] = regProp.collect {
+      case reg if encodable =>
+        var next = m.properties.get(FieldIds.LastIdProp).flatMap(_.toIntOption)
+          .getOrElse(0).max(if (reg.isEmpty) 0 else reg.values.max)
+        next += 1
+        reg + (dottedPath -> next)
+    }
+    val stored = reg2 match {
+      case Some(r) if innerIdsActive(m) => FieldIds.attachAll(evolved, r)
+      case _ => evolved
+    }
+    reg2.foreach(r => catalog.updateProperties(namespace, name,
+      Map(FieldIds.RegistryProp -> FieldIds.encode(r),
+        FieldIds.LastIdProp -> r.values.max.toString),
+      Seq.empty))
+    catalog.updateSchema(namespace, name, stored)
   }
 
   /** [[widenColumn]] for a struct LEAF (`parent.child[...]`): the same
@@ -1658,6 +1717,173 @@ final class LakehouseTable(
     requireWidening(cur, to)
     catalog.updateSchema(namespace, name,
       SchemaInfer.replaceInnerType(m.schema, parts, to))
+  }
+
+  /** Registry extended with ids for every encodable struct-chain path
+    * it lacks, above the high-water mark (deterministic DFS order).
+    * Pure — callers persist via encode + LastIdProp. Tables created
+    * before round 13 (top-level-only registries) backfill through this
+    * on their first inner evolution; the subsequent compact() stamps
+    * the new ids into every file and clears the eligibility gate. */
+  private def withInnerIds(m: TableMetadata,
+      reg: Map[String, Int]): Map[String, Int] = {
+    val missing =
+      if (m.schema.fieldNames.exists(_.contains("."))) Seq.empty
+      else graft.types.FieldIds.structPathSeqs(m.schema)
+        .filter(parts => !parts.exists(c =>
+          c.contains(",") || c.contains(":") || c.contains(".")))
+        .map(_.mkString("."))
+        .filterNot(reg.contains)
+    if (missing.isEmpty) reg
+    else {
+      var next = m.properties.get(graft.types.FieldIds.LastIdProp)
+        .flatMap(_.toIntOption).getOrElse(0)
+        .max(if (reg.isEmpty) 0 else reg.values.max)
+      reg ++ missing.map { k => next += 1; k -> next }
+    }
+  }
+
+  /** Has this table's stored schema flipped INNER resolution to by-id
+    * (an inner rename happened, or a re-add under a freed inner name)?
+    * Distinct from the flat flip: [[graft.types.FieldIds.attach]] stamps
+    * top-level ids only, so flat evolutions on tables with pre-r13
+    * files never silently change how nested content resolves. */
+  private def innerIdsActive(m: TableMetadata): Boolean =
+    graft.types.FieldIds.collectIds(m.schema).keys.exists(_.contains('.'))
+
+  /** INNER struct-field RENAME (round 13) — Iceberg's nested rename,
+    * metadata-only at any table size, by parquet field-id indirection
+    * one level down. The stored schema flips to carry ids on EVERY
+    * struct-chain field ([[graft.types.FieldIds.attachAll]]); Spark's
+    * reader then resolves inner fields strictly by id in every plan
+    * shape (full read, nested-pruned read, MOR subtraction, time
+    * travel — Spark 4.1's pruning preserves inner id metadata,
+    * verified in FieldEvolutionSpec), so files written under the OLD
+    * inner name keep serving the renamed field's values.
+    *
+    * Eligibility is the price of the flip: EVERY live-history data
+    * file must carry ids on every struct leaf — one id-less inner
+    * field in one file would silently null that file's leaves under an
+    * id-bearing request (strict-by-id goes per file). Managed files
+    * stamp inner ids from birth once the registry carries dotted
+    * entries (fresh r13+ tables always; older tables backfill the
+    * registry HERE, metadata-only, then compact() once). Foreign files
+    * refuse like every id evolution. Renaming a struct CONTAINER
+    * re-keys its whole subtree; the old dotted names are FREED and
+    * their stats poisoned on reuse, exactly the flat contract. */
+  def renameStructField(dottedPath: String, newLeaf: String): TableMetadata =
+      catalog.withEvolutionLock(namespace, name) {
+    import graft.types.{FieldIds, SchemaInfer}
+    val m = meta
+    val parts = dottedPath.split('.').toSeq
+    require(parts.length >= 2,
+      s"renameStructField needs parent.child[...], got '$dottedPath' — " +
+        "use renameColumn for top-level columns")
+    val cur = m.schema
+    SchemaInfer.innerType(cur, parts).getOrElse(
+      throw new IllegalArgumentException(
+        s"no struct field '$dottedPath' in $namespace.$name"))
+    val parent = SchemaInfer.innerType(cur, parts.init)
+      .collect { case st: StructType => st }
+      .getOrElse(throw new IllegalArgumentException(
+        s"'${parts.init.mkString(".")}' is not a struct"))
+    require(!parent.fieldNames.exists(_.equalsIgnoreCase(newLeaf)),
+      s"field '$newLeaf' already exists under '${parts.init.mkString(".")}'")
+    require(newLeaf.nonEmpty && !newLeaf.contains(",") &&
+      !newLeaf.contains(":") && !newLeaf.contains("."),
+      s"illegal field name '$newLeaf'")
+    val oldKey = parts.mkString(".")
+    val newKey = (parts.init :+ newLeaf).mkString(".")
+    // backfill + PERSIST dotted registry ids first (metadata-only, and
+    // always safe — more stamped ids never change name-resolution):
+    // if the file gate below refuses, the user's compact() must stamp
+    // these very ids, or the retry could never succeed
+    val reg = withInnerIds(m, fieldRegistry(m, "rename"))
+    if (reg.size > fieldRegistry(m, "rename").size)
+      catalog.updateProperties(namespace, name,
+        Map(FieldIds.RegistryProp -> FieldIds.encode(reg),
+          FieldIds.LastIdProp -> reg.values.max.toString),
+        Seq.empty)
+    val id = reg.getOrElse(oldKey, throw new UnsupportedOperationException(
+      s"cannot rename '$dottedPath' of $namespace.$name: the field has no " +
+        "id (a component name the registry cannot encode, or a list/map " +
+        "interior — those stay name-bound)"))
+    requireIdBearingFiles("rename (inner)", nested = true)
+    val prefix = oldKey + "."
+    val reg2 = reg.map {
+      case (k, v) if k == oldKey => newKey -> v
+      case (k, v) if k.startsWith(prefix) =>
+        (newKey + "." + k.stripPrefix(prefix)) -> v
+      case kv => kv
+    }
+    val renamed = SchemaInfer.editInnerField(cur, parts,
+      f => Some(f.copy(name = newLeaf)))
+    // schema first, registry second — the flat rename's crash ordering
+    catalog.updateSchema(namespace, name, FieldIds.attachAll(renamed, reg2))
+    val lowNew = newKey.toLowerCase(java.util.Locale.ROOT)
+    val reboundProps: Map[String, String] =
+      if (!FieldIds.namesSet(m.properties, FieldIds.FreedNamesProp)(lowNew))
+        Map.empty
+      else Map(FieldIds.StatsUnsafeProp ->
+        FieldIds.addNames(m.properties, FieldIds.StatsUnsafeProp,
+          Seq(lowNew, parts.head.toLowerCase(java.util.Locale.ROOT))))
+    catalog.updateProperties(namespace, name,
+      Map(FieldIds.RegistryProp -> FieldIds.encode(reg2),
+        FieldIds.LastIdProp -> reg2.values.max.toString,
+        FieldIds.FreedNamesProp ->
+          FieldIds.addNames(m.properties, FieldIds.FreedNamesProp,
+            (reg.keys.filter(k => k == oldKey || k.startsWith(prefix))
+              .toSeq :+ oldKey).distinct))
+        ++ reboundProps,
+      Seq.empty)
+  }
+
+  /** INNER struct-field DROP (round 13) — metadata-only removal from
+    * the stored schema; data files untouched (a removed field is never
+    * requested again), and NO id flip or file gate: dropping cannot
+    * misresolve anything. The dotted name (and, for a container, its
+    * whole subtree) is FREED and the ids retired behind the high-water
+    * mark; the GUARDED operation is re-adding a freed inner name —
+    * [[addStructField]] refuses it while inner resolution is by NAME
+    * (old bytes would resurrect) and assigns a FRESH id once the table
+    * has flipped to inner-by-id (old bytes then stay unreachable,
+    * the Iceberg id-reuse rule one level down). */
+  def dropStructField(dottedPath: String): TableMetadata =
+      catalog.withEvolutionLock(namespace, name) {
+    import graft.types.{FieldIds, SchemaInfer}
+    val m = meta
+    val parts = dottedPath.split('.').toSeq
+    require(parts.length >= 2,
+      s"dropStructField needs parent.child[...], got '$dottedPath' — " +
+        "use dropColumn for top-level columns")
+    SchemaInfer.innerType(m.schema, parts).getOrElse(
+      throw new IllegalArgumentException(
+        s"no struct field '$dottedPath' in $namespace.$name"))
+    val reg = withInnerIds(m, fieldRegistry(m, "drop"))
+    val oldKey = parts.mkString(".")
+    val prefix = oldKey + "."
+    val freedKeys = reg.keys.filter(k =>
+      k == oldKey || k.startsWith(prefix)).toSeq
+    val last = m.properties.get(FieldIds.LastIdProp).flatMap(_.toIntOption)
+      .getOrElse(0).max(if (reg.isEmpty) 0 else reg.values.max)
+    val reg2 = reg -- freedKeys
+    val evolved = SchemaInfer.editInnerField(m.schema, parts, _ => None)
+    // preserve the EXACT stamping shape: inner-flipped tables re-attach
+    // everything, flat-flipped tables top-level only (attachAll here
+    // would flip inner resolution without the nested file gate —
+    // nulling pre-r13 files' nested content), virgin schemas stay bare
+    val stored =
+      if (innerIdsActive(m)) FieldIds.attachAll(evolved, reg2)
+      else if (FieldIds.hasIds(m.schema)) FieldIds.attach(evolved, reg2)
+      else evolved
+    catalog.updateSchema(namespace, name, stored)
+    catalog.updateProperties(namespace, name,
+      Map(FieldIds.RegistryProp -> FieldIds.encode(reg2),
+        FieldIds.LastIdProp -> last.toString,
+        FieldIds.FreedNamesProp ->
+          FieldIds.addNames(m.properties, FieldIds.FreedNamesProp,
+            (freedKeys :+ oldKey).distinct)),
+      Seq.empty)
   }
 
   /** AUTO SCHEMA EVOLUTION ON WRITE (Delta's `mergeSchema`, Iceberg's
@@ -1928,17 +2154,22 @@ final class LakehouseTable(
     requireIdBearingFiles("drop")
     val last = m.properties.get(FieldIds.LastIdProp).map(_.toInt)
       .getOrElse(0).max(reg.values.max)
-    val reg2 = reg - f.name
+    // a dropped STRUCT root retires its dotted subtree entries too —
+    // orphaned dotted ids under a re-added root would rebind old inner
+    // ids to new content
+    val subtree = reg.keys.filter(_.startsWith(f.name + ".")).toSeq
+    val reg2 = reg - f.name -- subtree
     // schema first, registry second — see renameColumn's ordering note
     catalog.updateSchema(namespace, name,
       FieldIds.attach(StructType(cur.fields.filterNot(_.name == f.name)), reg2))
     catalog.updateProperties(namespace, name,
       Map(FieldIds.RegistryProp -> FieldIds.encode(reg2),
         FieldIds.LastIdProp -> last.toString,
-        // the dropped name is freed: re-adding it must not inherit old
-        // files' name-keyed stats
+        // the dropped name (and its inner paths) is freed: re-adding it
+        // must not inherit old files' name-keyed stats
         FieldIds.FreedNamesProp ->
-          FieldIds.addNames(m.properties, FieldIds.FreedNamesProp, Seq(f.name))),
+          FieldIds.addNames(m.properties, FieldIds.FreedNamesProp,
+            f.name +: subtree)),
       Seq.empty)
   }
 
@@ -1950,17 +2181,17 @@ final class LakehouseTable(
   private def fieldRegistry(m: TableMetadata, op: String): Map[String, Int] = {
     import graft.types.FieldIds
     val s = m.schema
+    val prop = m.properties.get(FieldIds.RegistryProp)
+      .map(FieldIds.decode).getOrElse(Map.empty[String, Int])
     if (FieldIds.hasIds(s))
-      s.fields.flatMap(f =>
-        if (f.metadata.contains(FieldIds.MetaKey))
-          Some(f.name -> f.metadata.getLong(FieldIds.MetaKey).toInt)
-        else None).toMap
-    else m.properties.get(FieldIds.RegistryProp)
-      .map(FieldIds.decode).getOrElse(
-        throw new UnsupportedOperationException(
-          s"cannot $op a column of $namespace.$name: no field-id registry " +
-            "(table predates field ids or has column names the registry " +
-            "cannot encode)"))
+      // schema stamps (nested included) win per key; dotted entries the
+      // schema never flipped (flat-only flip) survive from the property
+      prop ++ FieldIds.collectIds(s)
+    else if (prop.nonEmpty) prop
+    else throw new UnsupportedOperationException(
+      s"cannot $op a column of $namespace.$name: no field-id registry " +
+        "(table predates field ids or has column names the registry " +
+        "cannot encode)")
   }
 
   /** Every file in every log snapshot must be managed AND carry field
@@ -1969,7 +2200,8 @@ final class LakehouseTable(
     * footer read per distinct file (no data pages), probed in PARALLEL
     * so a large retained history costs one round-trip latency, not one
     * per file. */
-  private def requireIdBearingFiles(op: String): Unit = {
+  private def requireIdBearingFiles(op: String,
+      nested: Boolean = false): Unit = {
     val dd = catalog.dataDir(namespace, name).toString
     val prefix = if (dd.endsWith("/")) dd else dd + "/"
     val paths = catalog.snapshots(namespace, name).flatMap(_.files)
@@ -1986,12 +2218,15 @@ final class LakehouseTable(
     implicit val ec: ExecutionContext = ExecutionContext.global
     val idless = Await.result(
       Future.traverse(paths)(p =>
-        Future((p, graft.types.FieldIds.fileCarriesIds(spark, p)))),
+        Future(scala.concurrent.blocking(
+          (p, graft.types.FieldIds.fileCarriesIds(spark, p, nested))))),
       30.minutes).filterNot(_._2).map(_._1)
     require(idless.isEmpty,
       s"cannot $op a column of $namespace.$name: ${idless.size} file(s) " +
-        "carry no parquet field ids (written before id stamping) — " +
-        "compact() rewrites them id-bearing, then retry")
+        (if (nested) "carry no parquet field ids on every struct leaf "
+         else "carry no parquet field ids ") +
+        "(written before id stamping) — compact() rewrites the live set " +
+        "id-bearing and expireSnapshots() retires old history, then retry")
   }
 
   private def writeCommit(
@@ -2015,15 +2250,15 @@ final class LakehouseTable(
     // from birth, so a later rename/drop finds id-bearing files); reads
     // stay name-matched until an evolution flips the stored schema
     val target = m.properties.get(graft.types.FieldIds.RegistryProp)
-      .map(r => graft.types.FieldIds.attach(m.schema, graft.types.FieldIds.decode(r)))
+      .map(r => graft.types.FieldIds.attachAll(m.schema,
+        graft.types.FieldIds.decode(r))) // dotted entries stamp INNER ids
       .getOrElse(m.schema)
     // Field-id stamping + INT64-micros timestamps (not Spark's legacy
     // INT96 default: INT96 carries no footer statistics — timestamp
     // bounds could never be recorded for pruning or metadata MIN/MAX —
-    // and the Iceberg spec forbids it in v2 data files). SCOPED to this
-    // write job: a same-session foreign `df.write.parquet` interleaved
-    // between two managed writes must see the session's own settings.
-    graft.types.FieldIds.withManagedWriteConfs(spark) {
+    // and the Iceberg spec forbids it in v2 data files). Scoped to this
+    // write job via a cloned session (managedWrite below): a foreign
+    // same-session `df.write.parquet` sees the user's own settings.
     val normalized = dfs.map(SchemaInfer.normalize(_, target))
       .reduce(_.unionByName(_))
     // the staging dir must be UNIQUE per write job, not per snapshot id:
@@ -2077,7 +2312,8 @@ final class LakehouseTable(
       d.withColumn(layoutCol(pf.fieldName),
         PartitionTransforms.layoutExpr(pf, normalized.schema)))
     val codec = m.properties.getOrElse("write.compression", "zstd")
-    var writer = withLayout.write.mode("overwrite").option("compression", codec)
+    var writer = graft.types.FieldIds.managedWrite(withLayout)
+      .write.mode("overwrite").option("compression", codec)
     m.properties.get("write.max-records-per-file")
       .foreach(v => writer = writer.option("maxRecordsPerFile", v))
     // `write.bloom-filter-columns=c1,c2`: parquet bloom filters on the
@@ -2111,7 +2347,6 @@ final class LakehouseTable(
     val (kept, empty) = statted.partition(_.rowCount > 0)
     empty.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
     kept
-    }
   }
 
   private def listParquet(dir: String): Seq[String] = FileStats.listParquet(dir)
@@ -2150,9 +2385,9 @@ object FileStats {
   }
 
   def listParquet(dir: String): Seq[String] =
-    Files.walk(Paths.get(dir)).iterator.asScala
+    graft.util.Fs.walkList(Paths.get(dir))
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .map(_.toString).toSeq.sorted
+      .map(_.toString).sorted
 
   /** URI-form path string (`file:///…`, as `_metadata.file_path` /
     * `input_file_name()` / external Iceberg metadata produce) → the
@@ -2176,7 +2411,8 @@ object FileStats {
       import scala.concurrent.duration.DurationInt
       implicit val ec: ExecutionContext = ExecutionContext.global
       Await.result(
-        Future.traverse(paths)(p => Future(stat(spark, p, pv(p), Some(conf)))),
+        Future.traverse(paths)(p =>
+          Future(scala.concurrent.blocking(stat(spark, p, pv(p), Some(conf))))),
         30.minutes)
     }
   }

@@ -52,50 +52,96 @@ object FieldIds {
   val WriteConf = "spark.sql.parquet.fieldId.write.enabled"
   val ReadConf = "spark.sql.parquet.fieldId.read.enabled"
 
-  /** Run `body` with the two managed-write session confs in force —
-    * field-id stamping on, INT64-micros timestamps (footer stats +
-    * Iceberg-v2-legal data files) — restoring the caller's values
-    * after. Both confs are session-global, so an UNSCOPED set would
-    * leak into a same-session foreign `df.write.parquet` between two
-    * managed writes. `body` must contain the point where the write
-    * job captures its conf (the eager `.parquet(...)` call, or a DSv2
-    * delegate's `toBatch`, which snapshots the session conf
-    * synchronously into its job description).
-    *
-    * Save/set/restore of a SESSION-global conf is not safe under
-    * concurrent interleaving (thread B's capture could see thread A's
-    * restore, writing id-less INT96 files; B's restore could re-leak
-    * the managed values session-wide), so the whole scope runs under
-    * one JVM-wide reentrant lock: managed writes serialize their
-    * conf-capture sections. Two managed writes racing in one session
-    * is already outside the engine's single-writer commit model —
-    * the lock turns a silent wrong-file hazard into brief driver-side
-    * serialization. */
-  private val writeConfLock = new java.util.concurrent.locks.ReentrantLock()
+  /** The two managed-write confs: field-id stamping on, INT64-micros
+    * timestamps (footer stats + Iceberg-v2-legal data files). */
+  val ManagedWriteConfs: Map[String, String] = Map(
+    WriteConf -> "true",
+    "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
 
-  def withManagedWriteConfs[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
-    writeConfLock.lock()
-    try {
-      val keys = Seq(WriteConf, "spark.sql.parquet.outputTimestampType")
-      val saved = keys.map(k => k -> spark.conf.getOption(k))
-      spark.conf.set(WriteConf, "true")
-      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      try body finally saved.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
-      }
-    } finally writeConfLock.unlock()
+  /** `df` re-bound onto a CLONED session carrying
+    * [[ManagedWriteConfs]] — the write job launched from the returned
+    * frame captures them, while the caller's session is never mutated
+    * and never locked. Per-write conf scoping without serialization:
+    * concurrent managed writes (unrelated tables, streaming initial
+    * materializations) each clone their own session, and a foreign
+    * same-session `df.write.parquet` interleaved at ANY point sees
+    * only the user's own settings. (A save/set/restore on the shared
+    * session would need a JVM-wide lock for the whole job duration —
+    * the r12 design — serializing all managed writes behind the
+    * longest ingest.) */
+  def managedWrite(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.GraftStreamingShim.bindWithConfs(df, ManagedWriteConfs)
+
+  /** A cloned session carrying [[ManagedWriteConfs]] — for DSv2 write
+    * delegates (`ParquetTable(...).newWriteBuilder(...).build().toBatch`
+    * snapshots a session conf into the job description). */
+  def managedWriteSession(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    org.apache.spark.sql.GraftStreamingShim.sessionWithConfs(spark, ManagedWriteConfs)
+
+  /** Build a DSv2 write delegate under the managed-write clone. Spark's
+    * `FileWrite.toBatch` captures `SparkSession.active`'s conf (not the
+    * table's session!) into the write-job description, so the clone
+    * must be the ACTIVE session for the duration of the synchronous
+    * builder call. Active-session is a THREAD-LOCAL: concurrent
+    * threads never observe each other's swap — unlike the r12 global
+    * conf mutation, no lock is needed. */
+  def withManagedWriteDelegate[A](spark: SparkSession)(
+      body: SparkSession => A): A = {
+    val clone = managedWriteSession(spark)
+    val prev = SparkSession.getActiveSession
+    SparkSession.setActiveSession(clone)
+    try body(clone)
+    finally prev match {
+      case Some(p) => SparkSession.setActiveSession(p)
+      case None => SparkSession.clearActiveSession()
+    }
   }
 
-  /** Registry for a fresh table: ids 1..n in schema order. None when a
-    * column name cannot round-trip the encoding (such a table simply
-    * never becomes renameable — it refuses with guidance). */
+  /** Struct-CHAIN paths of a schema as component sequences, depth-first
+    * (containers before their children): every inner field reachable
+    * through structs alone. List/map interiors carry no StructField
+    * metadata (no id carrier) and are excluded — they stay name-bound
+    * forever, which is why inner rename/drop refuse below them. */
+  def structPathSeqs(schema: StructType): Seq[Seq[String]] = {
+    def walk(prefix: Seq[String], dt: org.apache.spark.sql.types.DataType)
+        : Seq[Seq[String]] = dt match {
+      case st: StructType => st.fields.toSeq.flatMap { f =>
+        val p = prefix :+ f.name
+        p +: walk(p, f.dataType)
+      }
+      case _ => Seq.empty
+    }
+    schema.fields.toSeq.flatMap(f => walk(Seq(f.name), f.dataType))
+  }
+
+  /** Registry for a fresh table: top-level ids 1..n in schema order,
+    * then INNER struct-chain fields (round 13) depth-first above the
+    * top block — dotted keys ("props.score:7"), so inner rename/drop
+    * have ids to resolve by. None when a top-level name cannot
+    * round-trip the encoding (such a table never becomes renameable);
+    * an inner subtree with un-encodable component names is silently
+    * skipped (that subtree alone stays un-renameable, like the flat
+    * refusal but scoped). */
   def registryFor(schema: StructType): Option[Map[String, Int]] =
     if (schema.fieldNames.exists(n => n.contains(",") || n.contains(":")))
       None
-    else Some(schema.fieldNames.zipWithIndex.map {
-      case (n, i) => n -> (i + 1)
-    }.toMap)
+    else {
+      val top = schema.fieldNames.zipWithIndex.map {
+        case (n, i) => n -> (i + 1)
+      }
+      var next = schema.fields.length
+      // a TOP-LEVEL name containing '.' would collide with dotted inner
+      // keys — such schemas keep a flat-only registry (inner evolution
+      // refuses with guidance; flat rename/drop stay available)
+      val inner =
+        if (schema.fieldNames.exists(_.contains("."))) Seq.empty
+        else structPathSeqs(schema).flatMap { parts =>
+          if (parts.exists(c =>
+              c.contains(",") || c.contains(":") || c.contains("."))) None
+          else { next += 1; Some(parts.mkString(".") -> next) }
+        }
+      Some((top ++ inner).toMap)
+    }
 
   def encode(reg: Map[String, Int]): String =
     reg.toSeq.sortBy(_._2).map { case (n, i) => s"$n:$i" }.mkString(",")
@@ -113,7 +159,13 @@ object FieldIds {
     }.toMap
 
   /** Schema with `parquet.field.id` metadata stamped from the registry
-    * (fields without a registry entry stay untouched). */
+    * — TOP-LEVEL entries only (fields without a registry entry stay
+    * untouched, and nested stamps already present in the field types
+    * are preserved by the copy). The flat evolutions flip through this
+    * so a table whose files carry only top-level ids (every pre-r13
+    * write) keeps reading its nested content by name — Spark's reader
+    * goes strict-by-id per requested field, and an id-bearing inner
+    * request against an id-less inner file NULLS the leaf. */
   def attach(schema: StructType, reg: Map[String, Int]): StructType =
     StructType(schema.fields.map { f =>
       reg.get(f.name) match {
@@ -123,17 +175,63 @@ object FieldIds {
       }
     })
 
+  /** [[attach]] including DOTTED (inner struct-chain) entries — the
+    * WRITE-side stamping (files carry inner ids from birth once the
+    * registry has dotted entries) and the read-side flip an inner
+    * rename performs (gated on every live file carrying inner ids). */
+  def attachAll(schema: StructType, reg: Map[String, Int]): StructType = {
+    def stamp(f: StructField, path: String): StructField = {
+      val withChildren = f.dataType match {
+        case st: StructType =>
+          f.copy(dataType = StructType(st.fields.map(c =>
+            stamp(c, s"$path.${c.name}"))))
+        case _ => f
+      }
+      reg.get(path) match {
+        case Some(id) => withChildren.copy(metadata = new MetadataBuilder()
+          .withMetadata(withChildren.metadata).putLong(MetaKey, id.toLong).build())
+        case None => withChildren
+      }
+    }
+    StructType(schema.fields.map(f => stamp(f, f.name)))
+  }
+
+  /** Every stamped id in the schema, nested included, keyed by dotted
+    * path — the heal source [[graft.table.LakehouseTable]]'s registry
+    * reads when the stored schema is id-bearing. */
+  def collectIds(schema: StructType): Map[String, Int] = {
+    val out = scala.collection.mutable.Map.empty[String, Int]
+    def walk(f: StructField, path: String): Unit = {
+      if (f.metadata.contains(MetaKey))
+        out(path) = f.metadata.getLong(MetaKey).toInt
+      f.dataType match {
+        case st: StructType =>
+          st.fields.foreach(c => walk(c, s"$path.${c.name}"))
+        case _ => ()
+      }
+    }
+    schema.fields.foreach(f => walk(f, f.name))
+    out.toMap
+  }
+
   def hasIds(schema: StructType): Boolean =
     schema.fields.exists(_.metadata.contains(MetaKey))
 
-  def strip(schema: StructType): StructType =
-    StructType(schema.fields.map { f =>
-      if (!f.metadata.contains(MetaKey)) f
-      else {
-        val mb = new MetadataBuilder().withMetadata(f.metadata).remove(MetaKey)
-        f.copy(metadata = mb.build())
+  def strip(schema: StructType): StructType = {
+    def clean(f: StructField): StructField = {
+      val withChildren = f.dataType match {
+        case st: StructType => f.copy(dataType = StructType(st.fields.map(clean)))
+        case _ => f
       }
-    })
+      if (!withChildren.metadata.contains(MetaKey)) withChildren
+      else {
+        val mb = new MetadataBuilder()
+          .withMetadata(withChildren.metadata).remove(MetaKey)
+        withChildren.copy(metadata = mb.build())
+      }
+    }
+    StructType(schema.fields.map(clean))
+  }
 
   /** Does the parquet file's PHYSICAL schema hold a field at the given
     * path (case-insensitive per step)? Footer-only, no data pages —
@@ -182,8 +280,15 @@ object FieldIds {
 
   /** Do ALL top-level fields of the parquet file carry field ids?
     * Footer-only (no data pages) — the eligibility probe a rename/drop
-    * runs over the table's files before flipping to read-by-id. */
-  def fileCarriesIds(spark: SparkSession, path: String): Boolean = {
+    * runs over the table's files before flipping to read-by-id. With
+    * `nested = true` the probe additionally requires ids on every
+    * field of every plain-STRUCT group, recursively (list/map interior
+    * nodes are synthetic and never id-checked) — the inner-evolution
+    * flip's gate: one id-less inner field in one file would silently
+    * null that leaf for the whole file under an id-bearing read
+    * schema. */
+  def fileCarriesIds(spark: SparkSession, path: String,
+      nested: Boolean = false): Boolean = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val in = HadoopInputFile.fromPath(
@@ -191,8 +296,11 @@ object FieldIds {
     val r = ParquetFileReader.open(in)
     try {
       import scala.jdk.CollectionConverters._
-      r.getFooter.getFileMetaData.getSchema.getFields.asScala
-        .forall(_.getId != null)
+      def ok(t: org.apache.parquet.schema.Type): Boolean =
+        t.getId != null && (!nested || t.isPrimitive ||
+          t.getLogicalTypeAnnotation != null || // LIST/MAP: stop descent
+          t.asGroupType().getFields.asScala.forall(ok))
+      r.getFooter.getFileMetaData.getSchema.getFields.asScala.forall(ok)
     } finally r.close()
   }
 }

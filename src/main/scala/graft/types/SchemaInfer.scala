@@ -104,6 +104,14 @@ object SchemaInfer {
   private def align(c: Column, src: DataType, dst: DataType): Column =
     (src, dst) match {
       case (s, d) if relaxNulls(s) == relaxNulls(d) => c
+      // structurally identical, only metadata differs (the batch lacks
+      // the target's INNER field-id stamps — every struct batch against
+      // an id-registry table, round 13): a positional no-op cast to the
+      // target type is what carries the inner metadata onto the plan,
+      // so the parquet writer stamps inner ids. The shape compare
+      // ignores nullability and metadata but keeps names case-exact —
+      // case drift still takes the by-name rebuild below.
+      case (s, d) if shapeOf(s) == shapeOf(d) => c.cast(relaxNulls(d))
       // by-name binding only for equal-arity structs whose names all
       // resolve: a batch struct with EXTRA fields must keep falling to
       // the cast's loud arity failure (silently dropping batch data
@@ -117,8 +125,12 @@ object SchemaInfer {
           val sf = s.fields.find(_.name.equalsIgnoreCase(df.name)).get
           align(c.getField(sf.name), sf.dataType, df.dataType).as(df.name)
         }
+        // the rebuilt struct's fields carry no metadata — the closing
+        // positional cast (identical shape by construction) re-stamps
+        // the target's inner field-ids
         when(c.isNotNull,
           org.apache.spark.sql.functions.struct(parts.toIndexedSeq: _*))
+          .cast(relaxNulls(d))
       case (s: ArrayType, d: ArrayType) =>
         transform(c, x => align(x, s.elementType, d.elementType))
       case (s: MapType, d: MapType) =>
@@ -127,6 +139,17 @@ object SchemaInfer {
           (_, v) => align(v, s.valueType, d.valueType))
       case (_, d) => c.cast(relaxNulls(d))
     }
+
+  /** Structural shape: nullability relaxed AND metadata erased at
+    * every level — the "identical modulo field-id stamps" compare. */
+  private def shapeOf(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(f.name, shapeOf(f.dataType), nullable = true)))
+    case a: ArrayType => ArrayType(shapeOf(a.elementType), containsNull = true)
+    case m: MapType =>
+      MapType(shapeOf(m.keyType), shapeOf(m.valueType), valueContainsNull = true)
+    case other => other
+  }
 
   /** The type with every nested nullability flag set true (top-level
     * nullability lives on StructField, untouched here). */
@@ -211,6 +234,48 @@ object SchemaInfer {
             f.copy(dataType = patch(inner, tail, s"$done.${f.name}"))))
         case (_, other) => throw new IllegalArgumentException(
           s"'$done.${f.name}' is ${other.catalogString}, not a struct")
+      }
+    }
+    val rootIdx = schema.fields.indexWhere(_.name.equalsIgnoreCase(parts.head))
+    require(rootIdx >= 0, s"no column '${parts.head}'")
+    val root = schema.fields(rootIdx)
+    root.dataType match {
+      case inner: StructType => StructType(schema.fields.updated(rootIdx,
+        root.copy(dataType = patch(inner, parts.tail, root.name))))
+      case other => throw new IllegalArgumentException(
+        s"'${root.name}' is ${other.catalogString}, not a struct")
+    }
+  }
+
+  /** Schema with the struct field a dotted path names TRANSFORMED:
+    * `edit` returns the replacement field, or None to REMOVE it. Pure
+    * patch under `LakehouseTable.{renameStructField, dropStructField}`;
+    * same path rules as [[replaceInnerType]] (chain through structs,
+    * target must exist). Removing the last field of a struct refuses —
+    * an empty struct is unwritable in parquet. */
+  def editInnerField(schema: StructType, parts: Seq[String],
+      edit: StructField => Option[StructField]): StructType = {
+    require(parts.length >= 2 && parts.forall(_.nonEmpty),
+      s"inner edit needs parent.child[...], got '${parts.mkString(".")}'")
+    def patch(st: StructType, rest: Seq[String], done: String): StructType = {
+      val idx = st.fields.indexWhere(_.name.equalsIgnoreCase(rest.head))
+      require(idx >= 0, s"no field '${rest.head}' under '$done'")
+      val f = st.fields(idx)
+      rest match {
+        case Seq(_) => edit(f) match {
+          case Some(nf) => StructType(st.fields.updated(idx, nf))
+          case None =>
+            require(st.fields.length > 1,
+              s"cannot drop the only field of struct '$done'")
+            StructType(st.fields.patch(idx, Nil, 1))
+        }
+        case _ +: tail => f.dataType match {
+          case inner: StructType =>
+            StructType(st.fields.updated(idx,
+              f.copy(dataType = patch(inner, tail, s"$done.${f.name}"))))
+          case other => throw new IllegalArgumentException(
+            s"'$done.${f.name}' is ${other.catalogString}, not a struct")
+        }
       }
     }
     val rootIdx = schema.fields.indexWhere(_.name.equalsIgnoreCase(parts.head))

@@ -599,4 +599,196 @@ class FieldEvolutionSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq ==
       Seq((30, "en"), (40, "en")))
   }
+
+  test("managed write confs scope per write: session never mutated, no lock") {
+    val saved = Seq(FieldIds.WriteConf, "spark.sql.parquet.outputTimestampType")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      // hostile session settings: a pre-r13 save/set/restore would have
+      // to flip these; the cloned-session scoping must leave them alone
+      spark.conf.set(FieldIds.WriteConf, "false")
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+      val cat = new Snaplog(Files.createTempDirectory("graft-conf").toString)
+      import org.apache.spark.sql.functions.{current_timestamp, lit}
+      val df = fixture().withColumn("ts", current_timestamp())
+      val tbl = LakehouseTable.create(cat, spark, "ns", "c", df.schema)
+      tbl.append(df)
+      val paths = cat.liveFiles("ns", "c").map(_.path)
+      assert(paths.nonEmpty && paths.forall(FieldIds.fileCarriesIds(spark, _)),
+        "managed write must stamp ids despite the session conf saying off")
+      // INT64 micros despite the session's INT96: check the footer type
+      val footer = {
+        import org.apache.parquet.hadoop.ParquetFileReader
+        import org.apache.parquet.hadoop.util.HadoopInputFile
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(paths.head),
+          spark.sessionState.newHadoopConf()))
+        try r.getFooter.getFileMetaData.getSchema.toString finally r.close()
+      }
+      assert(footer.contains("int64") && !footer.contains("int96"),
+        s"timestamp must be INT64 micros, got:\n$footer")
+      // the shared session's confs were NEVER touched (no save/restore
+      // window for another thread to observe)
+      assert(spark.conf.get(FieldIds.WriteConf) == "false")
+      assert(spark.conf.get("spark.sql.parquet.outputTimestampType") == "INT96")
+      // a foreign write in the same session sees the user's settings
+      val foreignDir = Files.createTempDirectory("graft-conf-foreign")
+      df.write.mode("overwrite").parquet(foreignDir.toString)
+      val fPaths = graft.table.FileStats.listParquet(foreignDir.toString)
+      assert(fPaths.nonEmpty && !fPaths.exists(FieldIds.fileCarriesIds(spark, _)),
+        "foreign writes must NOT inherit managed confs")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("concurrent managed writes to unrelated tables both stamp ids") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.DurationInt
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val cat = new Snaplog(Files.createTempDirectory("graft-conc").toString)
+    val ta = LakehouseTable.create(cat, spark, "ns", "ca", fixture().schema)
+    val tb = LakehouseTable.create(cat, spark, "ns", "cb", fixture().schema)
+    Await.result(Future.sequence(Seq(
+      Future(ta.append(fixture())), Future(tb.append(fixture())))), 2.minutes)
+    Seq("ca", "cb").foreach { t =>
+      val paths = cat.liveFiles("ns", t).map(_.path)
+      assert(paths.nonEmpty && paths.forall(FieldIds.fileCarriesIds(spark, _)))
+    }
+  }
+
+  test("inner rename: old files serve values by id in every plan shape") {
+    import org.apache.spark.sql.functions.{struct => sstruct}
+    import org.apache.spark.sql.types.IntegerType
+    val cat = new Snaplog(Files.createTempDirectory("graft-inren").toString)
+    val df = fixture()
+      .withColumn("props", sstruct($"group".as("g"), $"value2".as("v2")))
+    val tbl = LakehouseTable.create(cat, spark, "ns", "ir", df.schema)
+    // fresh tables carry DOTTED registry entries and stamp inner ids
+    val reg0 = FieldIds.decode(
+      cat.loadTable("ns", "ir").properties(FieldIds.RegistryProp))
+    assert(reg0.contains("props.g") && reg0.contains("props.v2"), s"$reg0")
+    tbl.append(df) // snapshot 1: files under the OLD inner name
+    assert(cat.liveFiles("ns", "ir").map(_.path)
+      .forall(FieldIds.fileCarriesIds(spark, _, nested = true)),
+      "managed files must stamp INNER ids from birth")
+    tbl.renameStructField("props.v2", "score")
+    // both plan shapes answer from pre-rename files
+    assert(tbl.scan().select($"props.score").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(10, 20, 30, 40), "pruned read")
+    assert(tbl.scan().select($"props").collect()
+      .map(_.getStruct(0).getInt(1)).sorted.toSeq == Seq(10, 20, 30, 40),
+      "full read")
+    assert(tbl.scan().filter($"props.score" > 25).count() == 2)
+    // new writes land the evolved shape; eras mix
+    tbl.append(df.withColumn("id", $"id" + 10)
+      .withColumn("props", sstruct($"group".as("g"), $"value2".as("score"))))
+    assert(tbl.scan().select($"props.score").count() == 8)
+    // time travel reads pre-rename snapshots under the CURRENT schema
+    assert(tbl.scan(asOf = Some(1L)).select($"props.score").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(10, 20, 30, 40))
+    // rename back — ids are stable, names are labels
+    tbl.renameStructField("props.score", "v2")
+    assert(tbl.scan().select($"props.v2").count() == 8)
+    // renaming a CONTAINER re-keys its subtree
+    val deep = fixture().withColumn("id", $"id" + 100)
+      .withColumn("props", sstruct($"group".as("g"), $"value2".as("v2")))
+    tbl.overwrite(deep)
+    tbl.renameStructField("props.g", "grp")
+    val reg1 = FieldIds.decode(
+      cat.loadTable("ns", "ir").properties(FieldIds.RegistryProp))
+    assert(reg1.contains("props.grp") && !reg1.contains("props.g"))
+    assert(tbl.scan().select($"props.grp").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("A", "A", "B", "C"))
+  }
+
+  test("inner drop + freed-name re-add: refusal by name, fresh-id shield by id") {
+    import org.apache.spark.sql.functions.{struct => sstruct}
+    import org.apache.spark.sql.types.IntegerType
+    val cat = new Snaplog(Files.createTempDirectory("graft-indrop").toString)
+    val df = fixture()
+      .withColumn("props", sstruct($"group".as("g"), $"value2".as("v2")))
+    val tbl = LakehouseTable.create(cat, spark, "ns", "idr", df.schema)
+    tbl.append(df)
+    tbl.dropStructField("props.v2")
+    assert(graft.types.SchemaInfer.innerType(
+      tbl.schema, Seq("props", "v2")).isEmpty)
+    assert(tbl.scan().select($"props").collect()
+      .forall(_.getStruct(0).size == 1), "dropped leaf must not be served")
+    // re-add under the freed name while inner resolution is BY NAME:
+    // files still hold bytes at the path — refuse with compact guidance
+    val e = intercept[IllegalArgumentException](
+      tbl.addStructField("props.v2", IntegerType))
+    assert(e.getMessage.contains("resurrect") ||
+      e.getMessage.contains("compact"), e.getMessage)
+    // compact() physically drops the field; expiring the pre-drop
+    // history (whose files time travel would still read) clears the
+    // probe, and the re-add proceeds with old rows reading NULL
+    tbl.compact()
+    cat.expireSnapshots("ns", "idr", keepLast = 1)
+    tbl.addStructField("props.v2", IntegerType)
+    assert(tbl.scan().select($"props.v2").collect().forall(_.isNullAt(0)))
+    // BY-ID table (a rename flipped it): drop + immediate re-add is
+    // legal without compaction — the fresh id shields the old bytes
+    tbl.renameStructField("props.g", "grp") // flips inner resolution
+    tbl.append(df.withColumn("id", $"id" + 10).withColumn("props",
+      sstruct($"group".as("grp"), ($"value2" * 7).as("v2"))))
+    tbl.dropStructField("props.v2")
+    tbl.addStructField("props.v2", IntegerType)
+    assert(tbl.scan().select($"props.v2").collect().forall(_.isNullAt(0)),
+      "freed-name re-add on a by-id table must NOT resurrect old bytes")
+  }
+
+  test("inner rename migration path: pre-r13 files gate, compact clears") {
+    import org.apache.spark.sql.functions.{struct => sstruct}
+    val cat = new Snaplog(Files.createTempDirectory("graft-inmig").toString)
+    val df = fixture()
+      .withColumn("props", sstruct($"group".as("g"), $"value2".as("v2")))
+    val tbl = LakehouseTable.create(cat, spark, "ns", "mig", df.schema)
+    // simulate a pre-r13 table: strip the dotted entries so appends
+    // stamp TOP-LEVEL ids only
+    val reg0 = FieldIds.decode(
+      cat.loadTable("ns", "mig").properties(FieldIds.RegistryProp))
+    cat.updateProperties("ns", "mig",
+      Map(FieldIds.RegistryProp ->
+        FieldIds.encode(reg0.filterNot(_._1.contains('.')))),
+      Seq.empty)
+    tbl.append(df)
+    val paths = cat.liveFiles("ns", "mig").map(_.path)
+    assert(paths.forall(FieldIds.fileCarriesIds(spark, _)))
+    assert(!paths.exists(FieldIds.fileCarriesIds(spark, _, nested = true)),
+      "pre-r13 shape: no inner ids in the files")
+    // the rename BACKFILLS the dotted registry (persisted even though
+    // the file gate refuses), so the prescribed compact() stamps them
+    val e = intercept[IllegalArgumentException](
+      tbl.renameStructField("props.v2", "score"))
+    assert(e.getMessage.contains("compact"), e.getMessage)
+    assert(FieldIds.decode(cat.loadTable("ns", "mig")
+        .properties(FieldIds.RegistryProp)).contains("props.v2"),
+      "backfilled dotted ids must persist across the refusal")
+    tbl.compact()
+    cat.expireSnapshots("ns", "mig", keepLast = 1)
+    tbl.renameStructField("props.v2", "score")
+    assert(tbl.scan().select($"props.score").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(10, 20, 30, 40))
+  }
+
+  test("SQL: inner RENAME/DROP route through the nested tier") {
+    import org.apache.spark.sql.functions.{struct => sstruct}
+    val wh = Files.createTempDirectory("graft-insql").toString
+    val cat = new Snaplog(wh)
+    val df = fixture()
+      .withColumn("props", sstruct($"group".as("g"), $"value2".as("v2")))
+    val tbl = LakehouseTable.create(cat, spark, "ns", "sq", df.schema)
+    tbl.append(df)
+    spark.conf.set("spark.sql.catalog.ginner", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ginner.warehouse", wh)
+    spark.sql("ALTER TABLE ginner.ns.sq RENAME COLUMN props.v2 TO score")
+    assert(spark.sql("SELECT props.score FROM ginner.ns.sq").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(10, 20, 30, 40))
+    spark.sql("ALTER TABLE ginner.ns.sq DROP COLUMN props.score")
+    assert(!spark.sql("SELECT props.* FROM ginner.ns.sq").columns
+      .map(_.toLowerCase).contains("score"))
+  }
 }

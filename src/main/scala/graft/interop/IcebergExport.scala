@@ -66,7 +66,8 @@ object IcebergExport {
       manifestLists: Int,
       manifests: Int,
       dataFiles: Long,
-      totalRecords: Long)
+      totalRecords: Long,
+      deleteFiles: Long = 0L)
 
   private def icebergPrimitive(dt: DataType): Option[String] = dt match {
     case BooleanType => Some("boolean")
@@ -85,26 +86,40 @@ object IcebergExport {
 
   /** Iceberg schema JSON for one column type — primitives as the spec's
     * names, NESTED types (struct/list/map) as the spec's JSON nodes
-    * with fresh field-ids drawn from `nextId` (nested ids live above
-    * the top-level registry's high-water mark). Honest interop scope:
-    * graft-written data files physically carry TOP-LEVEL field ids
-    * only (Spark's field-id writer stamps StructField metadata, which
-    * nested list/map elements cannot carry), so a strict-by-id reader
-    * resolves top-level columns from the files directly; for nested
-    * content the export also emits the spec's
+    * with field-ids from the dotted registry for struct chains and
+    * fresh allocation above the high-water mark otherwise. Interop
+    * scope: graft-written data files carry TOP-LEVEL ids and (since
+    * round 13) STRUCT-chain inner ids stamped from the registry's
+    * dotted entries — the exported schema declares the same numbers,
+    * so a strict-by-id reader resolves both levels from the files
+    * directly; list/map interiors carry no file ids (Spark's metadata
+    * carrier is the StructField), so for those the export emits the
+    * spec's
     * `schema.name-mapping.default` property ([[nameMapping]], derived
     * from this very JSON so ids always agree) — the spec's sanctioned
     * fallback for fields without ids — and name-based engines (DuckDB's
     * iceberg_scan, graft's own re-import) read the nested shape
     * directly. No silent fallback: a type the spec cannot express
     * refuses rather than exporting a false schema. */
-  private def icebergTypeJson(dt: DataType, nextId: () => Int): JValue =
+  /** `path`/`reg`: dotted-registry lookup for STRUCT-chain inner ids —
+    * since round 13 managed writes stamp inner struct ids from the
+    * registry's dotted entries, so the exported schema MUST declare
+    * the same numbers (a strict-by-id external reader matches inner
+    * content against the file stamps). Fields outside any struct chain
+    * (list/map interiors) carry no file ids and keep fresh allocation
+    * + name-mapping fallback. */
+  private def icebergTypeJson(dt: DataType, nextId: () => Int,
+      path: Option[String] = None,
+      reg: Map[String, Int] = Map.empty): JValue =
     icebergPrimitive(dt).map(JString(_): JValue).getOrElse(dt match {
       case s: StructType =>
         ("type" -> "struct") ~ ("fields" -> JArray(s.fields.map { f =>
-          val id = nextId() // allocate parent-before-children, in order
+          val childPath = path.map(p => s"$p.${f.name}")
+          // registry id when the chain is tracked; fresh otherwise
+          // (parent-before-children allocation order preserved)
+          val id = childPath.flatMap(reg.get).getOrElse(nextId())
           ("id" -> id) ~ ("name" -> f.name) ~ ("required" -> !f.nullable) ~
-            ("type" -> icebergTypeJson(f.dataType, nextId)): JValue
+            ("type" -> icebergTypeJson(f.dataType, nextId, childPath, reg)): JValue
         }.toList))
       case a: ArrayType =>
         val eid = nextId()
@@ -235,7 +250,15 @@ object IcebergExport {
           ("type" -> (("type" -> "record") ~ ("name" -> "r102") ~
             ("fields" -> partitionFields))) ~ ("field-id" -> 102),
         ("name" -> "record_count") ~ ("type" -> "long") ~ ("field-id" -> 103),
-        ("name" -> "file_size_in_bytes") ~ ("type" -> "long") ~ ("field-id" -> 104))))
+        ("name" -> "file_size_in_bytes") ~ ("type" -> "long") ~ ("field-id" -> 104),
+        // equality_ids: set on content=2 (equality delete) entries, null
+        // for data and position-delete entries — the spec's optional
+        // field-list column of the data_file struct
+        ("name" -> "equality_ids") ~
+          ("type" -> JArray(List(JString("null"),
+            (("type" -> "array") ~ ("items" -> "int") ~
+              ("element-id" -> 136)): JValue))) ~
+          ("default" -> JNull) ~ ("field-id" -> 135))))
     val entry =
       ("type" -> "record") ~ ("name" -> "manifest_entry") ~ ("fields" -> JArray(List(
         ("name" -> "status") ~ ("type" -> "int") ~ ("field-id" -> 0),
@@ -303,16 +326,17 @@ object IcebergExport {
     Files.createDirectories(metaDir)
     val cat = table.catalog
     val (ns, name) = (table.namespace, table.name)
-    // An export that listed only the data files of a table with
-    // OUTSTANDING position-delete vectors would hand a third-party
-    // reader the deleted rows (our vector parquet uses `row_index`,
-    // not the spec's `pos` delete-file schema, so the vectors cannot
-    // be exported as v2 delete manifests either). Refuse rather than
-    // publish wrong data; compaction materializes the deletes.
-    require(cat.liveDeleteFiles(ns, name).isEmpty,
-      s"cannot export $ns.$name with outstanding merge-on-read delete " +
-        "vectors — a metadata-only export would resurrect deleted rows " +
-        "for external readers; compact() first")
+    // OUTSTANDING merge-on-read deletes export as REAL v2 delete
+    // manifests (round 13): position vectors merge-rewrite into spec
+    // delete files (`row_index` → `pos`, reserved field-ids 2147483546/
+    // 2147483545, paths stripped to the manifests' plain form), and
+    // equality-delete key files are referenced IN PLACE with their key
+    // field ids as `equality_ids` — no compact-first tax. Per-entry
+    // sequence numbers are the GLOBAL listing index over the log, so
+    // the spec's strictly-lower-sequence equality rule reproduces
+    // graft's replay-order application exactly (each listing gets a
+    // distinct sequence; data listed after a delete in the same commit
+    // carries a higher one and survives, the mergeDelta contract).
     // Partition evolution: a live file predating the current spec holds
     // no value for its fields — the manifest would record a NULL
     // partition, and an Iceberg reader pruning on it would silently
@@ -355,8 +379,8 @@ object IcebergExport {
         val wanted = defaultedCols.map(Seq(_))
         Await.result(
           Future.traverse(defaultLivePaths)(p =>
-            Future((p,
-              graft.types.FieldIds.fileContainsAll(table.spark, p, wanted)))),
+            Future(scala.concurrent.blocking((p,
+              graft.types.FieldIds.fileContainsAll(table.spark, p, wanted))))),
           30.minutes).filter(_._2).map(_._1).toSet
       }
     locally {
@@ -382,15 +406,19 @@ object IcebergExport {
     val fieldId = schema.fieldNames.zipWithIndex.map { case (n, i) =>
       n -> registry.getOrElse(n, i + 1)
     }.toMap
-    // nested field-ids allocate above the top-level high-water mark
-    // (deterministic traversal order → stable across re-exports)
+    // untracked nested ids (list/map interiors, un-encodable subtrees)
+    // allocate above the WHOLE registry's high-water mark — dotted
+    // struct entries included, so fresh numbers never collide with ids
+    // the files physically carry
     val idCounter = new java.util.concurrent.atomic.AtomicInteger(
-      fieldId.values.foldLeft(schema.fields.length)(_ max _))
+      (fieldId.values ++ registry.values)
+        .foldLeft(schema.fields.length)(_ max _))
     val nextNestedId: () => Int = () => idCounter.incrementAndGet()
     val fields = schema.fields.map { f =>
       ("id" -> fieldId(f.name)) ~ ("name" -> f.name) ~
         ("required" -> !f.nullable) ~
-        ("type" -> icebergTypeJson(f.dataType, nextNestedId))
+        ("type" -> icebergTypeJson(f.dataType, nextNestedId,
+          Some(f.name), registry))
     }
     val partFields = PartitionTransforms.parseAll(table.partitionColumns)
     // source-id resolves case-insensitively like every schema lookup
@@ -411,35 +439,111 @@ object IcebergExport {
     val dataFileSchema = entrySchema.getField("data_file").schema()
     val partitionSchema = dataFileSchema.getField("partition").schema()
 
-    // Export only snapshots whose replay window holds NO live delete
-    // vectors: a historical snapshot with outstanding vectors would be
-    // listed as raw data files (nothing in a data-only manifest can
-    // subtract the vector), so an external reader time-traveling to it
-    // would resurrect deleted rows. Skipped snapshots simply don't
-    // appear in the exported history — the same partial-history shape
-    // snapshot expiration produces, which Iceberg readers tolerate
-    // (dangling parent-snapshot-ids included). The current snapshot is
-    // always clean here (guarded above), so it remains exported. One
-    // liveFilesSplit replay per snapshot yields the filter verdict AND
-    // the manifest's file list.
-    val snaps = cat.snapshots(ns, name).flatMap { s =>
-      val (live, dels) = cat.liveFilesSplit(ns, name, Some(s.snapshotId))
-      // skip snapshots with outstanding deletes AND snapshots whose
-      // live set predates the current spec (their manifests would
-      // claim NULL partitions); the current snapshot is guarded clean
-      // above in both respects, so it always exports
-      val specOk = live.forall(f =>
-        partCols.forall { case (pf, _) => f.partitionValues.contains(pf.fieldName) })
-      // defaults gate (see above): a historical snapshot listing a file
-      // that predates a defaulted column would null-fill externally
-      val defaultsOk = defaultedCols.isEmpty ||
-        live.forall(f => defaultSafePaths(f.path))
-      if (dels.isEmpty && specOk && defaultsOk) Some((s, live)) else None
+    // Exported history: every snapshot whose live set is expressible —
+    // the spec-coverage and defaults gates still SKIP (their manifests
+    // would misread externally), but delete-bearing snapshots now
+    // EXPORT, carrying their outstanding merge-on-read state as v2
+    // DELETE manifests. One liveFilesSplit replay per snapshot yields
+    // the gate verdicts AND the manifest file lists; windowSnapshots
+    // attributes each listing its global sequence index.
+    val allSnaps = cat.snapshots(ns, name)
+      .filterNot(graft.catalog.Snaplog.isWapStaged)
+    // Global LISTING index: every (snapshot, file-position) listing
+    // gets a distinct, monotonically increasing sequence number. With
+    // distinct per-entry sequences, the spec's strictly-lower-sequence
+    // equality rule reproduces graft's replay-order application
+    // exactly — same-commit [delete, data] shapes (mergeDelta) and
+    // checkpoint folds included — because "listed earlier" and "lower
+    // sequence" become the same relation.
+    val listingIdx: Map[(Long, Int), Long] = {
+      var i = 0L
+      allSnaps.flatMap { sn =>
+        sn.files.indices.map { j => i += 1; ((sn.snapshotId, j), i) }
+      }.toMap
     }
+    val snapHighIdx: Map[Long, Long] = {
+      var i = 0L
+      allSnaps.map { sn => i += sn.files.size; sn.snapshotId -> i }.toMap
+    }
+    val snaps: Seq[(graft.catalog.Snapshot, Seq[graft.catalog.DataFileEntry],
+        Seq[graft.catalog.DataFileEntry], Map[String, Long])] =
+      cat.snapshots(ns, name).flatMap { s =>
+        val (live, dels) = cat.liveFilesSplit(ns, name, Some(s.snapshotId))
+        val specOk = live.forall(f =>
+          partCols.forall { case (pf, _) => f.partitionValues.contains(pf.fieldName) })
+        // defaults gate (see above): a historical snapshot listing a
+        // file that predates a defaulted column would null-fill
+        // externally
+        val defaultsOk = defaultedCols.isEmpty ||
+          live.forall(f => defaultSafePaths(f.path))
+        if (specOk && defaultsOk) {
+          val window = cat.windowSnapshots(ns, name, Some(s.snapshotId))
+            .filterNot(graft.catalog.Snaplog.isWapStaged)
+          val idxByPath: Map[String, Long] = window.flatMap(w =>
+            w.files.zipWithIndex.map { case (f, j) =>
+              f.path -> listingIdx((w.snapshotId, j)) })
+            .groupBy(_._1).map { case (p2, xs) => p2 -> xs.map(_._2).min }
+          Some((s, live, dels, idxByPath))
+        } else None
+      }
+
+    // ---- delete-manifest machinery -----------------------------------------
+    // Deletes ride the UNPARTITIONED spec (global application — exactly
+    // graft's position-vector and equality-delete semantics): spec-id 1
+    // beside a partitioned data spec, spec-id 0 when the table itself is
+    // unpartitioned (already empty).
+    val delSpecId = if (specFields.isEmpty) 0 else 1
+    val anyDeletes = snaps.exists(_._3.nonEmpty)
+    val delEntrySchema = manifestEntrySchema(Seq.empty)
+    val delDataFileSchema = delEntrySchema.getField("data_file").schema()
+    val delPartitionSchema = delDataFileSchema.getField("partition").schema()
+    // Merged position-delete file per distinct live-vector SET (history
+    // re-listing the same vectors across snapshots pays one rewrite):
+    // `row_index` → the spec's `pos`, reserved delete-file field-ids
+    // 2147483546/2147483545 stamped, and the vectors' qualified scan
+    // paths (`file:/…`, the `_metadata.file_path` form) stripped back
+    // to the PLAIN form the data manifests record — external readers
+    // string-match delete file_path against data file_path. Vector
+    // rows sort by (file_path, pos) as the spec requires. Delete files
+    // are predicate-sized; the data files stay untouched in place.
+    val posFileCache =
+      scala.collection.mutable.Map.empty[Seq[String], (String, Long, Long)]
+    def mergedPosDelete(
+        vecs: Seq[graft.catalog.DataFileEntry]): (String, Long, Long) = {
+      val key = vecs.map(_.path).sorted
+      posFileCache.getOrElseUpdate(key, {
+        val spark = table.spark
+        import org.apache.spark.sql.functions.{broadcast, col}
+        import spark.implicits._
+        val delDir = destDir.resolve("deletes")
+        Files.createDirectories(delDir)
+        val outDir = delDir.resolve(s"pos-del-${posFileCache.size}")
+        val raw = spark.read.parquet(key: _*)
+        val mapping = broadcast(raw.select("file_path").distinct().collect()
+          .map(_.getString(0)).toSeq
+          .map(r => (r, graft.table.FileStats.normalizePath(r)))
+          .toDF("file_path", "__plain"))
+        def md(id: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong(graft.types.FieldIds.MetaKey, id).build()
+        graft.types.FieldIds.managedWrite(
+          raw.join(mapping, Seq("file_path"))
+            .select(col("__plain").as("file_path", md(2147483546L)),
+              col("row_index").cast("long").as("pos", md(2147483545L)))
+            .repartition(1).sortWithinPartitions("file_path", "pos"))
+          .write.mode("overwrite").parquet(outDir.toString)
+        val p2 = graft.table.FileStats.listParquet(outDir.toString).head
+        val st = graft.table.FileStats.stat(spark, p2, Map.empty)
+        (p2, st.rowCount, st.sizeBytes)
+      })
+    }
+
     var manifests = 0
     var dataFiles = 0L
     var totalRecords = 0L
-    val snapshotJsons = snaps.map { case (s, live) =>
+    var deleteFilesOut = 0L
+    val snapshotJsons = snaps.map { case (s, live, dels, idxByPath) =>
+      def seqOf(path: String): Long =
+        idxByPath.getOrElse(path, snapHighIdx(s.snapshotId))
       // manifest: one ADDED entry per live data file of the snapshot
       val entries = live.map { f =>
         val part = new GenericData.Record(partitionSchema)
@@ -454,11 +558,12 @@ object IcebergExport {
         df.put("partition", part)
         df.put("record_count", f.rowCount)
         df.put("file_size_in_bytes", f.sizeBytes)
+        df.put("equality_ids", null)
         val e = new GenericData.Record(entrySchema)
         e.put("status", 1) // ADDED
         e.put("snapshot_id", s.snapshotId)
-        e.put("sequence_number", s.snapshotId)
-        e.put("file_sequence_number", s.snapshotId)
+        e.put("sequence_number", seqOf(f.path))
+        e.put("file_sequence_number", seqOf(f.path))
         e.put("data_file", df)
         e
       }
@@ -469,18 +574,75 @@ object IcebergExport {
           "format-version" -> "2", "content" -> "data"),
         entries)
       manifests += 1
+      // delete manifest: the snapshot's outstanding MOR state
+      val delManifest: Option[(String, Int, Long, Long, Long)] =
+        if (dels.isEmpty) None
+        else {
+          val posVecs = dels.filter(_.equalityKey.isEmpty)
+          val eqDels = dels.filter(_.equalityKey.isDefined)
+          def delEntry(content: Int, path: String, rows: Long, bytes: Long,
+              seq: Long, eqIds: Option[Seq[Int]]): GenericData.Record = {
+            val df = new GenericData.Record(delDataFileSchema)
+            df.put("content", content)
+            df.put("file_path", path)
+            df.put("file_format", "PARQUET")
+            df.put("partition", new GenericData.Record(delPartitionSchema))
+            df.put("record_count", rows)
+            df.put("file_size_in_bytes", bytes)
+            df.put("equality_ids", eqIds.map(ids =>
+              java.util.Arrays.asList(ids.map(Integer.valueOf(_)): _*)).orNull)
+            val e = new GenericData.Record(delEntrySchema)
+            e.put("status", 1)
+            e.put("snapshot_id", s.snapshotId)
+            e.put("sequence_number", seq)
+            e.put("file_sequence_number", seq)
+            e.put("data_file", df)
+            e
+          }
+          // merged vector: its sequence is the NEWEST member vector's —
+          // position deletes apply to data with sequence <= theirs, and
+          // a vector can only name rows of files that existed when it
+          // was written, so the widened window admits no false match
+          val posLeg =
+            if (posVecs.isEmpty) Seq.empty
+            else {
+              val (p2, rows, bytes) = mergedPosDelete(posVecs)
+              val seq = posVecs.map(v => seqOf(v.path)).max
+              Seq((delEntry(1, p2, rows, bytes, seq, None), seq, rows))
+            }
+          val eqLeg = eqDels.map { f =>
+            val ids = graft.table.EqDeletes.keyCols(f).map(sourceId)
+            val seq = seqOf(f.path)
+            (delEntry(2, f.path, f.rowCount, f.sizeBytes, seq, Some(ids)),
+              seq, f.rowCount)
+          }
+          val all = posLeg ++ eqLeg
+          val delName = s"manifest-${s.snapshotId}-deletes.avro"
+          writeAvro(metaDir.resolve(delName), delEntrySchema,
+            Seq("schema" -> schemaJson, "schema-id" -> "0",
+              "partition-spec" -> "[]",
+              "partition-spec-id" -> delSpecId.toString,
+              "format-version" -> "2", "content" -> "deletes"),
+            all.map(_._1))
+          manifests += 1
+          Some((delName, all.size, all.map(_._2).max, all.map(_._2).min,
+            all.map(_._3).sum))
+        }
       if (s.snapshotId == snaps.last._1.snapshotId) {
         dataFiles = live.size.toLong
         totalRecords = live.map(_.rowCount).sum
+        deleteFilesOut = delManifest.map(_._2.toLong).getOrElse(0L)
       }
       // manifest list: one manifest_file record per manifest
+      val dataSeqs = live.map(f => seqOf(f.path))
       val mf = new GenericData.Record(ManifestFileSchema)
       mf.put("manifest_path", metaDir.resolve(manifestName).toString)
       mf.put("manifest_length", Files.size(metaDir.resolve(manifestName)))
       mf.put("partition_spec_id", 0)
       mf.put("content", 0) // 0 = data manifests
-      mf.put("sequence_number", s.snapshotId)
-      mf.put("min_sequence_number", s.snapshotId)
+      mf.put("sequence_number",
+        if (dataSeqs.nonEmpty) dataSeqs.max else snapHighIdx(s.snapshotId))
+      mf.put("min_sequence_number", if (dataSeqs.nonEmpty) dataSeqs.min else 0L)
       mf.put("added_snapshot_id", s.snapshotId)
       mf.put("added_files_count", live.size)
       mf.put("existing_files_count", 0)
@@ -488,19 +650,38 @@ object IcebergExport {
       mf.put("added_rows_count", live.map(_.rowCount).sum)
       mf.put("existing_rows_count", 0L)
       mf.put("deleted_rows_count", 0L)
+      val delMf = delManifest.map { case (delName, n, mx, mn, rows) =>
+        val r = new GenericData.Record(ManifestFileSchema)
+        r.put("manifest_path", metaDir.resolve(delName).toString)
+        r.put("manifest_length", Files.size(metaDir.resolve(delName)))
+        r.put("partition_spec_id", delSpecId)
+        r.put("content", 1) // 1 = delete manifests
+        r.put("sequence_number", mx)
+        r.put("min_sequence_number", mn)
+        r.put("added_snapshot_id", s.snapshotId)
+        r.put("added_files_count", n)
+        r.put("existing_files_count", 0)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", rows)
+        r.put("existing_rows_count", 0L)
+        r.put("deleted_rows_count", 0L)
+        r
+      }
       val listName = s"snap-${s.snapshotId}.manifest-list.avro"
       writeAvro(metaDir.resolve(listName), ManifestFileSchema,
         Seq("snapshot-id" -> s.snapshotId.toString,
           "parent-snapshot-id" -> s.parentId.map(_.toString).getOrElse("null"),
-          "sequence-number" -> s.snapshotId.toString,
+          "sequence-number" -> snapHighIdx(s.snapshotId).toString,
           "format-version" -> "2"),
-        Seq(mf))
+        Seq(mf) ++ delMf)
       ("snapshot-id" -> s.snapshotId) ~
         ("parent-snapshot-id" -> s.parentId.map(JLong(_)).getOrElse(JNothing: JValue)) ~
-        ("sequence-number" -> s.snapshotId) ~
+        ("sequence-number" -> snapHighIdx(s.snapshotId)) ~
         ("timestamp-ms" -> s.timestampMs) ~
         ("summary" -> (("operation" ->
           (if (s.operation == "add_files" || s.operation == "append") "append"
+           else if (s.operation == graft.catalog.Snaplog.OpMorDelete ||
+             s.operation == graft.catalog.Snaplog.OpEqDelete) "delete"
            else "overwrite")) ~ ("graft-operation" -> s.operation))) ~
         ("manifest-list" -> metaDir.resolve(listName).toString) ~
         ("schema-id" -> 0)
@@ -515,18 +696,24 @@ object IcebergExport {
       ("format-version" -> 2) ~
         ("table-uuid" -> uuid) ~
         ("location" -> destDir.toString) ~
-        ("last-sequence-number" -> snaps.lastOption.map(_._1.snapshotId).getOrElse(0L)) ~
+        ("last-sequence-number" -> snaps.lastOption
+          .map(x => snapHighIdx(x._1.snapshotId)).getOrElse(0L)) ~
         ("last-updated-ms" -> snaps.lastOption.map(_._1.timestampMs)
           .getOrElse(m.createdAtMs)) ~
         ("last-column-id" -> idCounter.get()) ~ // covers nested ids too
         ("schemas" -> List(
           ("schema-id" -> 0) ~ ("type" -> "struct") ~ ("fields" -> fields.toList))) ~
         ("current-schema-id" -> 0) ~
-        ("partition-specs" -> List(
-          ("spec-id" -> 0) ~ ("fields" -> specFields.toList))) ~
+        ("partition-specs" -> (List(
+          ("spec-id" -> 0) ~ ("fields" -> specFields.toList)) ++
+          // the UNPARTITIONED spec delete manifests ride (global
+          // application); only materialized when needed and distinct
+          (if (anyDeletes && delSpecId == 1)
+            List(("spec-id" -> 1) ~ ("fields" -> List.empty[JValue]))
+          else Nil))) ~
         ("default-spec-id" -> 0) ~
         ("last-partition-id" -> (999 + specFields.length)) ~
-        ("properties" -> JObject(m.properties.toList.map {
+        ("properties" -> JObject((m.properties - "schema.name-mapping.default").toList.map {
           case (k, v) => k -> (JString(v): JValue)
         } :+ ("schema.name-mapping.default" ->
           // the spec's fallback for resolving fields data files carry
@@ -543,7 +730,8 @@ object IcebergExport {
     val metaFile = metaDir.resolve(s"v$version.metadata.json")
     write(metaFile, JsonMethods.pretty(JsonMethods.render(metadata)))
     write(metaDir.resolve("version-hint.text"), version.toString)
-    Report(metaFile, snaps.size, manifests, dataFiles, totalRecords)
+    Report(metaFile, snaps.size, manifests, dataFiles, totalRecords,
+      deleteFilesOut)
   }
 
   /** Parsed-back view of an export, for verification: walk
@@ -558,7 +746,10 @@ object IcebergExport {
       currentOperation: String,
       nDataFiles: Int,
       totalRecords: Long,
-      dataFilesExist: Boolean)
+      dataFilesExist: Boolean,
+      nPositionDeleteFiles: Int = 0,
+      nEqualityDeleteFiles: Int = 0,
+      deleteRecords: Long = 0L)
 
   private def readAvro(file: Path): Seq[GenericRecord] = {
     val r = new DataFileReader[GenericRecord](file.toFile,
@@ -582,15 +773,25 @@ object IcebergExport {
     val current = snapshots.find(s => (s \ "snapshot-id").extract[Long] == currentId)
       .getOrElse(throw new IllegalStateException("current snapshot missing"))
     val listPath = (current \ "manifest-list").extract[String]
-    val manifestPaths = readAvro(java.nio.file.Paths.get(listPath))
-      .map(_.get("manifest_path").toString)
-    val entries = manifestPaths.flatMap(mp =>
-      readAvro(java.nio.file.Paths.get(mp)))
-    val files = entries
-      .filter(_.get("status").asInstanceOf[Int] != 2) // 2 = DELETED
+    val manifestRecs = readAvro(java.nio.file.Paths.get(listPath))
+    def mfContent(r: GenericRecord): Int =
+      if (r.getSchema.getField("content") == null) 0
+      else r.get("content").asInstanceOf[Int]
+    val (dataMfs, delMfs) = manifestRecs.partition(mfContent(_) == 0)
+    def liveEntries(mfs: Seq[GenericRecord]): Seq[GenericRecord] =
+      mfs.map(_.get("manifest_path").toString)
+        .flatMap(mp => readAvro(java.nio.file.Paths.get(mp)))
+        .filter(_.get("status").asInstanceOf[Int] != 2) // 2 = DELETED
+    val files = liveEntries(dataMfs)
       .map { e =>
         val df = e.get("data_file").asInstanceOf[GenericRecord]
         (df.get("file_path").toString, df.get("record_count").asInstanceOf[Long])
+      }
+    val delFiles = liveEntries(delMfs)
+      .map { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        (df.get("content").asInstanceOf[Int],
+          df.get("record_count").asInstanceOf[Long])
       }
     ReadBack(
       formatVersion = formatVersion,
@@ -601,7 +802,10 @@ object IcebergExport {
       nDataFiles = files.size,
       totalRecords = files.map(_._2).sum,
       dataFilesExist = files.forall(f =>
-        Files.exists(java.nio.file.Paths.get(f._1))))
+        Files.exists(java.nio.file.Paths.get(f._1))),
+      nPositionDeleteFiles = delFiles.count(_._1 == 1),
+      nEqualityDeleteFiles = delFiles.count(_._1 == 2),
+      deleteRecords = delFiles.map(_._2).sum)
   }
 
   private def write(p: Path, content: String): Unit = {

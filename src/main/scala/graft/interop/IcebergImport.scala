@@ -50,12 +50,28 @@ import graft.table.{FileStats, LakehouseTable}
   * roots are ever id-matched, and renaming a nested root is refused),
   * so the tree's nested field-ids need no tracking.
   *
-  * Honest refusals, all failing BEFORE any catalog mutation: delete
-  * manifests / delete files (a data-only import would resurrect
-  * deleted rows), non-parquet file formats, primitive types the
-  * spec names that graft cannot represent exactly, and trees mixing
-  * id-stamped with id-less data files (no single resolution mode —
-  * see `register`'s probe).
+  * MERGE-ON-READ state imports too (round 13): position-delete files
+  * (content=1) rewrite into one graft MOR vector — `pos` → `row_index`
+  * and recorded paths re-qualified to the scan's `_metadata.file_path`
+  * form — and equality-delete files (content=2) register as graft
+  * equality-delete entries (identity-partition-scoped ones rewrite as
+  * keys × the partition literal; the composite key IS the scope).
+  * Commit order reconstructs the spec's sequence-number semantics:
+  * equality deletes interleave with data files by sequence, deletes
+  * first at equal sequence, so graft's replay-order application
+  * reproduces the strictly-lower-sequence rule. The first scan after
+  * import nets out the foreign tree's deletes exactly — real
+  * Flink/Spark-Iceberg CDC trees import without a foreign compaction.
+  *
+  * Honest refusals, all failing BEFORE any catalog mutation:
+  * non-parquet delete files (v3 puffin deletion vectors), equality ids
+  * naming nested fields, NULL key values in an equality delete
+  * (Iceberg's null-matching equality vs graft's null-rejecting keys),
+  * equality deletes scoped to non-identity partitions, equality
+  * deletes without usable sequence numbers, non-parquet data files,
+  * primitive types the spec names that graft cannot represent
+  * exactly, and trees mixing id-stamped with id-less data files (no
+  * single resolution mode — see `register`'s probe).
   */
 object IcebergImport {
 
@@ -65,7 +81,9 @@ object IcebergImport {
       schema: StructType,
       partitionColumns: Seq[String],
       dataFiles: Int,
-      totalRecords: Long)
+      totalRecords: Long,
+      positionDeleteFiles: Int = 0,
+      equalityDeleteFiles: Int = 0)
 
   /** Inverse of IcebergExport.icebergType for the primitive types the
     * spec names. Anything else refuses — imported schemas must read
@@ -181,8 +199,8 @@ object IcebergImport {
     // legally differs from the derived name graft would use (e.g. a
     // renamed source keeps the old spec-field name); the log registers
     // under graft's derived field name, which is what graft prunes on.
-    // `void` fields are dropped (no information), `bucket[n]` refuses
-    // (murmur3 ≠ xxhash64 — see object scaladoc).
+    // `void` fields are dropped (no information); `bucket[n]` imports
+    // as graft's spec-identical `mbucket(n,col)` (see object scaladoc).
     val partFields: Seq[(String, graft.table.PartField)] =
       (specJson \ "fields").asInstanceOf[JArray].arr.flatMap { pf =>
         val transform = (pf \ "transform").extract[String]
@@ -218,7 +236,7 @@ object IcebergImport {
         .getOrElse(StringType)
     }.toMap
 
-    // -- current snapshot → manifest list → manifests → data files -----------
+    // -- current snapshot → manifest list → manifests -------------------------
     val currentId = (meta \ "current-snapshot-id").extract[Long]
     require(currentId > 0, "table has no current snapshot — nothing to import")
     val current = (meta \ "snapshots").asInstanceOf[JArray].arr
@@ -227,34 +245,218 @@ object IcebergImport {
         s"current-snapshot-id $currentId missing from snapshots"))
     val manifestFiles = readAvro(Paths.get(
       normalizePath((current \ "manifest-list").extract[String])))
-    manifestFiles.foreach { mf =>
-      require(mf.get("content").asInstanceOf[Int] == 0,
-        s"${mf.get("manifest_path")}: DELETE manifests present — a data-only " +
-          "import would resurrect deleted rows; import refused")
+
+    // Sequence numbers order the MOR semantics (an equality delete
+    // applies to data files with STRICTLY LOWER sequence; a position
+    // delete to lower-or-equal). Per spec, a null entry sequence on an
+    // ADDED entry inherits the manifest's; manifests written without
+    // the field (pre-v2 shapes) default to 0 — all-equal sequences then
+    // degrade to "deletes apply to nothing", which the delete-presence
+    // guards below keep honest (a delete-bearing tree without usable
+    // sequences would silently resurrect rows, so eq deletes REQUIRE a
+    // positive sequence).
+    def mfSeq(mf: GenericRecord): Long =
+      if (mf.getSchema.getField("sequence_number") == null) 0L
+      else Option(mf.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    def entrySeq(e: GenericRecord, inherit: Long): Long =
+      if (e.getSchema.getField("sequence_number") == null) inherit
+      else Option(e.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(inherit)
+
+    val (dataManifests, deleteManifests) = manifestFiles.partition { mf =>
+      val c = mf.get("content").asInstanceOf[Int]
+      require(c == 0 || c == 1,
+        s"${mf.get("manifest_path")}: unknown manifest content $c")
+      c == 0
     }
-    val entries = manifestFiles.flatMap(mf =>
-      readAvro(Paths.get(normalizePath(mf.get("manifest_path").toString))))
-      .filter(_.get("status").asInstanceOf[Int] != 2) // 2 = DELETED
-    val files = entries.map { e =>
-      val df = e.get("data_file").asInstanceOf[GenericRecord]
-      require(df.get("content").asInstanceOf[Int] == 0,
-        s"${df.get("file_path")}: delete file listed as data — import refused")
-      require(df.get("file_format").toString.equalsIgnoreCase("PARQUET"),
-        s"${df.get("file_path")}: only PARQUET data files import")
-      val path = normalizePath(df.get("file_path").toString)
-      require(Files.exists(Paths.get(path)), s"data file missing: $path")
-      val part = df.get("partition").asInstanceOf[GenericRecord]
-      val pv = partFields.map { case (avroName, pf) =>
-        pf.fieldName -> (pf match {
-          case id: graft.table.IdentityField =>
-            partitionText(part.get(avroName), identityTypes(id.source))
-          case _ => transformText(part.get(avroName))
-        })
+    def manifestEntries(mf: GenericRecord): Seq[(GenericRecord, Long)] = {
+      val inherit = mfSeq(mf)
+      readAvro(Paths.get(normalizePath(mf.get("manifest_path").toString)))
+        .filter(_.get("status").asInstanceOf[Int] != 2) // 2 = DELETED
+        .map(e => (e, entrySeq(e, inherit)))
+    }
+
+    // -- data files ------------------------------------------------------------
+    val dataWithSeq: Seq[(DataFileEntry, Long)] =
+      dataManifests.flatMap(manifestEntries).map { case (e, seq) =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        require(df.get("content").asInstanceOf[Int] == 0,
+          s"${df.get("file_path")}: delete file listed in a DATA manifest — " +
+            "import refused")
+        require(df.get("file_format").toString.equalsIgnoreCase("PARQUET"),
+          s"${df.get("file_path")}: only PARQUET data files import")
+        val path = normalizePath(df.get("file_path").toString)
+        require(Files.exists(Paths.get(path)), s"data file missing: $path")
+        val part = df.get("partition").asInstanceOf[GenericRecord]
+        val pv = partFields.map { case (avroName, pf) =>
+          pf.fieldName -> (pf match {
+            case id: graft.table.IdentityField =>
+              partitionText(part.get(avroName), identityTypes(id.source))
+            case _ => transformText(part.get(avroName))
+          })
+        }.toMap
+        val entry =
+          if (statFooters) FileStats.stat(spark, path, pv)
+          else DataFileEntry(path, df.get("record_count").asInstanceOf[Long],
+            df.get("file_size_in_bytes").asInstanceOf[Long], pv, None)
+        (entry, seq)
+      }
+    val files = dataWithSeq.map(_._1)
+
+    // -- delete files (v2 merge-on-read state) ---------------------------------
+    // Foreign position deletes (content=1, parquet of `file_path`/`pos`)
+    // become graft MOR vectors; foreign equality deletes (content=2,
+    // parquet of the key columns named by `equality_ids`) register as
+    // graft equality-delete entries — the batch scan already owns both
+    // subtraction forms, so the first query after import nets out the
+    // tree's deletes exactly. Real Flink/Spark-Iceberg CDC tables all
+    // carry these; refusing them (the pre-r13 contract) meant no real
+    // CDC table could import without a foreign compaction first.
+    //
+    // Scope rules, all refusing loudly rather than approximating:
+    //  - v3 deletion vectors (puffin) are not parquet → refuse;
+    //  - equality ids must name top-level schema fields (nested ids are
+    //    not in graft's key model);
+    //  - a delete file carrying NULL key values cannot be expressed
+    //    (graft equality is null-rejecting, Iceberg's null-matches) →
+    //    refuse;
+    //  - an equality delete scoped to a partition applies only within
+    //    it: IDENTITY scopes re-express exactly as extra key columns
+    //    (keys × the partition literal); non-identity scopes refuse.
+    // Position-delete rows referencing data files NOT in the current
+    // snapshot (the tree compacted data but kept the vector) are
+    // dangling and DROPPED — they can no longer match any scanned row.
+    sealed trait DelPlan { def seq: Long }
+    final case class PosPlan(path: String, seq: Long) extends DelPlan
+    final case class EqPlan(path: String, keyNames: Seq[String],
+        scope: Seq[(String, DataType, Any)], seq: Long) extends DelPlan
+
+    // spec fields per spec-id, for DELETE manifests (their spec may
+    // differ from the default — Flink writes deletes under the data
+    // spec, a global equality delete rides the unpartitioned spec)
+    val specFieldsById: Map[Int, Seq[(String, String, String)]] =
+      (meta \ "partition-specs").asInstanceOf[JArray].arr.map { sj =>
+        (sj \ "spec-id").extract[Int] ->
+          (sj \ "fields").asInstanceOf[JArray].arr.map { pf =>
+            val srcId = (pf \ "source-id").extract[Int]
+            ((pf \ "name").extract[String], (pf \ "transform").extract[String],
+              fieldById.get(srcId).map(f => (f \ "name").extract[String])
+                .getOrElse(""))
+          }
       }.toMap
-      if (statFooters) FileStats.stat(spark, path, pv)
-      else DataFileEntry(path, df.get("record_count").asInstanceOf[Long],
-        df.get("file_size_in_bytes").asInstanceOf[Long], pv, None)
+
+    val delPlans: Seq[DelPlan] = deleteManifests.flatMap { mf =>
+      val delSpecId = mf.get("partition_spec_id").asInstanceOf[Int]
+      manifestEntries(mf).map { case (e, seq) =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        val content = df.get("content").asInstanceOf[Int]
+        val rawPath = df.get("file_path").toString
+        require(content == 1 || content == 2,
+          s"$rawPath: listed in a delete manifest with data content — refused")
+        require(df.get("file_format").toString.equalsIgnoreCase("PARQUET"),
+          s"$rawPath: only PARQUET delete files import (v3 puffin deletion " +
+            "vectors are not v2 state)")
+        val path = normalizePath(rawPath)
+        require(Files.exists(Paths.get(path)), s"delete file missing: $path")
+        if (content == 1) PosPlan(path, seq)
+        else {
+          val idsField = df.getSchema.getField("equality_ids")
+          require(idsField != null && df.get("equality_ids") != null,
+            s"$path: equality delete without equality_ids — refused")
+          val ids: Seq[Int] = df.get("equality_ids") match {
+            case l: java.util.List[_] => l.asScala.toSeq.map(
+              _.asInstanceOf[Number].intValue())
+            case other => throw new IllegalArgumentException(
+              s"$path: malformed equality_ids $other")
+          }
+          require(ids.nonEmpty, s"$path: empty equality_ids — refused")
+          val keyNames = ids.map(id => fieldById.getOrElse(id,
+            throw new IllegalArgumentException(
+              s"$path: equality id $id is not a top-level schema field — " +
+                "graft keys are top-level columns; import refused")))
+            .map(f => (f \ "name").extract[String])
+          require(keyNames.forall(n => !n.contains(",")),
+            s"$path: key column names cannot contain ','")
+          require(seq > 0,
+            s"$path: equality delete without a usable sequence number — " +
+              "its application order cannot be reconstructed; import refused")
+          // partition scope under the DELETE manifest's spec
+          val part = df.get("partition").asInstanceOf[GenericRecord]
+          val scope = specFieldsById.getOrElse(delSpecId,
+            throw new IllegalArgumentException(
+              s"$path: partition_spec_id $delSpecId not in partition-specs"))
+            .flatMap { case (avroName, transform, sourceCol) =>
+              val v =
+                if (part.getSchema.getField(avroName) == null) null
+                else part.get(avroName)
+              if (v == null) None
+              else {
+                require(transform == "identity",
+                  s"$path: equality delete scoped to non-identity partition " +
+                    s"'$transform($sourceCol)' — not expressible as a key " +
+                    "restriction; import refused")
+                val dt = schema.fields.find(_.name == sourceCol).map(_.dataType)
+                  .getOrElse(throw new IllegalArgumentException(
+                    s"$path: partition source '$sourceCol' not in schema"))
+                Some((sourceCol, dt, v))
+              }
+            }
+          EqPlan(path, keyNames, scope.filterNot(s => keyNames.contains(s._1)),
+            seq)
+        }
+      }
     }
+    val posPlans = delPlans.collect { case p: PosPlan => p }
+    val eqPlans = delPlans.collect { case p: EqPlan => p }
+
+    // validate equality files BEFORE any catalog mutation: keys must be
+    // physically present and null-free (footer-only probes; a footer
+    // without the null stat re-checks with one filter job)
+    val eqStats: Map[String, DataFileEntry] = eqPlans.map { p =>
+      require(graft.types.FieldIds.fileContainsAll(spark, p.path,
+          p.keyNames.map(Seq(_))),
+        s"${p.path}: equality delete file does not carry all key columns " +
+          s"(${p.keyNames.mkString(", ")}) — import refused")
+      val st = FileStats.stat(spark, p.path, Map.empty)
+      val nullKeys = p.keyNames.map(n =>
+        st.nullCounts.flatMap(_.get(n)).getOrElse {
+          spark.read.parquet(p.path).filter(
+            org.apache.spark.sql.functions.col(n).isNull).count()
+        }).sum
+      require(nullKeys == 0,
+        s"${p.path}: equality delete carries $nullKeys NULL key value(s) — " +
+          "Iceberg null-matching equality cannot be expressed by graft's " +
+          "null-rejecting keys; import refused")
+      p.path -> st
+    }.toMap
+
+    // position-delete reference map, driver-sized (delete files record
+    // bounded distinct paths): raw recorded form → the qualified form
+    // `_metadata.file_path` carries at scan. That form is the
+    // PERCENT-ENCODED URI string (SparkPath keeps `path.toUri`, so a
+    // partition dir with a space reads back as `%20`) — Path.toString
+    // would miss every file under such a dir and silently under-delete.
+    val dataPlainPaths = files.map(_.path).toSet
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    def qualified(plain: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(plain)
+      val u = hp.getFileSystem(hadoopConf).makeQualified(hp).toUri
+      // SparkPath's form: scheme + authority-if-present + RAW (encoded)
+      // path. makeQualified stamps an EMPTY authority ("file:///…")
+      // where directory-listing URIs carry none ("file:/…") — emit the
+      // listing form, or every vector row misses the anti-join.
+      val auth = Option(u.getAuthority).getOrElse("")
+      s"${u.getScheme}:${if (auth.nonEmpty) "//" + auth else ""}${u.getRawPath}"
+    }
+    val posRefMap: Seq[(String, String)] =
+      if (posPlans.isEmpty) Seq.empty
+      else spark.read.parquet(posPlans.map(_.path): _*)
+        .select("file_path").distinct().collect().toSeq
+        .map(_.getString(0))
+        .flatMap { raw =>
+          val plain = normalizePath(raw)
+          if (dataPlainPaths.contains(plain)) Some(raw -> qualified(plain))
+          else None // dangling: referenced data file not in this snapshot
+        }
 
     // -- one metadata-only registration commit -------------------------------
     // Carry the SOURCE's field ids as this table's registry: the
@@ -264,8 +466,33 @@ object IcebergImport {
     // evolved (dropped/reordered ids). The high-water mark comes from
     // the source's last-column-id so later ADD COLUMNs never collide
     // with ids the source already retired.
-    val srcRegistry: Map[String, Int] = fieldsJson.map(f =>
-      (f \ "name").extract[String] -> (f \ "id").extract[Int]).toMap
+    val srcRegistry: Map[String, Int] = {
+      val top = fieldsJson.map(f =>
+        (f \ "name").extract[String] -> (f \ "id").extract[Int])
+      // STRUCT-chain inner ids carry too (round 13, dotted keys):
+      // managed writes to the imported table then stamp the SOURCE's
+      // inner numbering, keeping files uniform for a later inner
+      // evolution or re-export. List/map interiors stay untracked
+      // (no dotted-path identity); un-encodable components skip.
+      def inner(prefix: String, tj: JValue): Seq[(String, Int)] = tj match {
+        case obj: JObject if (obj \ "type") == JString("struct") =>
+          (obj \ "fields") match {
+            case JArray(fs) => fs.flatMap { f =>
+              val n = (f \ "name").extract[String]
+              val id = (f \ "id").extract[Int]
+              if (n.contains(".") || n.contains(",") || n.contains(":") ||
+                  id <= 0) Seq.empty
+              else (s"$prefix.$n" -> id) +: inner(s"$prefix.$n", f \ "type")
+            }
+            case _ => Seq.empty
+          }
+        case _ => Seq.empty
+      }
+      val topNames = top.map(_._1)
+      (top ++ (if (topNames.exists(_.contains("."))) Seq.empty
+        else fieldsJson.flatMap(f =>
+          inner((f \ "name").extract[String], f \ "type")))).toMap
+    }
     val registryProps =
       if (srcRegistry.keys.exists(n => n.contains(",") || n.contains(":")) ||
           srcRegistry.values.exists(_ <= 0)) Map.empty[String, String]
@@ -303,7 +530,8 @@ object IcebergImport {
         implicit val ec: ExecutionContext = ExecutionContext.global
         val probed = Await.result(
           Future.traverse(files)(f =>
-            Future(graft.types.FieldIds.fileCarriesIds(spark, f.path))),
+            Future(scala.concurrent.blocking(
+              graft.types.FieldIds.fileCarriesIds(spark, f.path)))),
           30.minutes)
         if (probed.forall(identity))
           graft.types.FieldIds.attach(schema, srcRegistry)
@@ -317,10 +545,91 @@ object IcebergImport {
       properties = Map("iceberg.imported-from" -> metaDir.toString,
         "iceberg.imported-snapshot-id" -> currentId.toString) ++ registryProps,
       ifNotExists = false)
-    val snap = catalog.commit(ns, name, Snaplog.OpAddFiles, files,
+
+    // -- materialize MOR state under the new table's data dir ------------------
+    // Position deletes rewrite into ONE graft vector: `pos` → `row_index`
+    // and the recorded path → the exact qualified form `_metadata
+    // .file_path` carries at scan time (the subtraction anti-join is a
+    // raw string match — both sides must come off the same FileSystem
+    // qualification). Delete files are predicate-sized relative to the
+    // data, so the rewrite is metadata-scale I/O; the 100 TB of data
+    // files stay untouched in place.
+    val posEntries: Seq[DataFileEntry] =
+      if (posRefMap.isEmpty) Seq.empty
+      else {
+        import org.apache.spark.sql.functions.{broadcast, col}
+        import spark.implicits._
+        val mapping = broadcast(posRefMap.toDF("file_path", "__q"))
+        val vecDir = catalog.dataDir(ns, name).resolve(
+          s"import-dv-${java.util.UUID.randomUUID().toString.take(12)}")
+        spark.read.parquet(posPlans.map(_.path): _*)
+          .select(col("file_path"), col("pos"))
+          .join(mapping, Seq("file_path"))
+          .select(col("__q").as("file_path"),
+            col("pos").cast("long").as("row_index"))
+          .repartition(1).sortWithinPartitions("file_path", "row_index")
+          .write.mode("overwrite").parquet(vecDir.toString)
+        FileStats.listParquet(vecDir.toString)
+          .map(p => FileStats.stat(spark, p, Map.empty)
+            .copy(deleteFile = Some(true)))
+          .filter(_.rowCount > 0)
+      }
+
+    // Equality deletes: unscoped files register IN PLACE (their key
+    // columns are exactly graft's equality-delete file shape); identity-
+    // partition-scoped files rewrite once as keys × the partition
+    // literal, which IS the scoped semantics as a composite key.
+    def scopeCol(dt: DataType, v: Any): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions.lit
+      v match {
+        case i: Integer if dt == DateType =>
+          lit(java.time.LocalDate.ofEpochDay(i.longValue()).toString)
+            .cast(DateType)
+        case n: Number => lit(n).cast(dt)
+        case other => lit(other.toString).cast(dt)
+      }
+    }
+    val eqEntriesOrdered: Seq[(DataFileEntry, Long)] = eqPlans.map { p =>
+      val entry =
+        if (p.scope.isEmpty)
+          eqStats(p.path).copy(deleteFile = Some(true),
+            equalityKey = Some(p.keyNames.mkString(",")))
+        else {
+          import org.apache.spark.sql.functions.col
+          val scoped = p.scope.foldLeft(
+            spark.read.parquet(p.path).select(p.keyNames.map(col): _*)) {
+            case (df, (c, dt, v)) => df.withColumn(c, scopeCol(dt, v))
+          }
+          val dir = catalog.dataDir(ns, name).resolve(
+            s"import-eq-${java.util.UUID.randomUUID().toString.take(12)}")
+          scoped.repartition(1).write.mode("overwrite").parquet(dir.toString)
+          val f = FileStats.listParquet(dir.toString).head
+          FileStats.stat(spark, f, Map.empty).copy(deleteFile = Some(true),
+            equalityKey = Some((p.keyNames ++ p.scope.map(_._1)).mkString(",")))
+        }
+      (entry, p.seq)
+    }
+
+    // -- one registration commit, in SEQUENCE order ----------------------------
+    // The merged position vector leads (subtraction is global by
+    // (path, pos) — order-free, and leading keeps the streaming
+    // admission guards' vectors-before-adds shape). Equality deletes
+    // interleave with data files by sequence, deletes FIRST at equal
+    // sequence: graft applies an equality delete to the data entries
+    // BEFORE it in replay order, which then reproduces the spec's
+    // strictly-lower-sequence rule exactly (equal-sequence data — the
+    // same-transaction upsert shape — survives its own delete).
+    val orderedTail = (eqEntriesOrdered.map { case (e, s) => (e, s, 0) } ++
+      dataWithSeq.map { case (e, s) => (e, s, 1) })
+      .sortBy(t => (t._2, t._3)).map(_._1)
+    val snap = catalog.commit(ns, name, Snaplog.OpAddFiles,
+      posEntries ++ orderedTail,
       Map("iceberg-import" -> s"v$version.metadata.json",
-        "iceberg-snapshot-id" -> currentId.toString))
+        "iceberg-snapshot-id" -> currentId.toString,
+        "position-delete-files" -> posPlans.size.toString,
+        "equality-delete-files" -> eqPlans.size.toString))
     Report(LakehouseTable.load(catalog, spark, ns, name), snap, storedSchema,
-      partCols, files.size, files.map(_.rowCount).sum)
+      partCols, files.size, files.map(_.rowCount).sum,
+      positionDeleteFiles = posPlans.size, equalityDeleteFiles = eqPlans.size)
   }
 }

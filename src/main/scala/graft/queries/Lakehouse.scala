@@ -2319,6 +2319,63 @@ object Lakehouse {
         FROM customer WHERE c_mktsegment = 'BUILDING'
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // MOR interop round trip (round 13): a table carrying LIVE v2
+    // merge-on-read state — an equality delete, a delta MERGE (one
+    // commit: [eq-delete, data], whose own rows must survive their
+    // delete), and a position-delete vector — exports WITHOUT
+    // compacting as real v2 DELETE manifests (content=1, the vector
+    // rewritten to the spec's (file_path, pos) shape, equality files
+    // referenced in place with equality_ids, per-listing sequence
+    // numbers), then re-imports as a NEW table whose first scan nets
+    // out every delete. The DuckDB oracle recomputes the net rows from
+    // the raw source — the whole delete-manifest loop is hash-gated.
+    // At 100 TB this is importing a live Flink CDC Iceberg table:
+    // metadata + predicate-sized delete files move, data stays put.
+    QueryDef("lake_iceberg_import_mor",
+      (s, d) => {
+        val whDir = wh("lake_iceberg_import_mor", d)
+        val cat = new Snaplog(whDir)
+        val orders = t(s, d, "orders").select(
+          col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        val rep = Ingest.ingestDf(cat, "lake", "orders_mor", orders,
+          partitionColumns = Seq("o_orderpriority"))
+        // eq delete: every 1-URGENT row to date disappears…
+        rep.table.deleteEq("o_orderpriority", Seq("1-URGENT"))
+        // …then a keyed MERGE re-adds keys < 100 AS urgent (2× price);
+        // being listed after their own eq-delete key file, they survive
+        rep.table.mergeDelta(Seq("o_orderkey"),
+          orders.filter(col("o_orderkey") < 100)
+            .withColumn("o_orderpriority", lit("1-URGENT"))
+            .withColumn("o_totalprice", col("o_totalprice") * 2))
+        // position vector across BOTH eras
+        rep.table.deleteMor(col("o_orderkey") % 10 === 3)
+        val dest = Paths.get(whDir, "ice_mor")
+        val exp = IcebergExport.export(rep.table, dest)
+        val rb = IcebergExport.readBack(dest)
+        val imp = graft.interop.IcebergImport.register(
+          cat, s, dest, "lake", "orders_mor_rt")
+        imp.table.scan()
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("exported_deletes", lit(exp.deleteFiles >= 3L &&
+            rb.nPositionDeleteFiles == 1 && rb.nEqualityDeleteFiles == 2))
+          .withColumn("imported_deletes", lit(imp.positionDeleteFiles == 1 &&
+            imp.equalityDeleteFiles == 2))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""WITH final AS (
+          SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+          WHERE o_orderkey >= 100 AND o_orderpriority <> '1-URGENT'
+          UNION ALL
+          SELECT o_orderkey, '1-URGENT' AS o_orderpriority,
+            o_totalprice * 2 AS o_totalprice
+          FROM orders WHERE o_orderkey < 100)
+        SELECT o_orderpriority, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          TRUE AS exported_deletes, TRUE AS imported_deletes
+        FROM final WHERE o_orderkey % 10 <> 3
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // Delete-dodging reads on a delete-bearing table: an equality
     // delete lands in ONE partition's key range; a filtered COUNT and a
     // row read over OTHER partitions stay on the free paths (metadata
@@ -2494,6 +2551,55 @@ object Lakehouse {
             THEN CAST(user_id % 100 AS BIGINT) END) AS BIGINT) AS score_sum,
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // INNER struct-field RENAME (round 13): era 1 writes `evt.v`; the
+    // SQL ALTER renames it to `evt.amount` — metadata-only, by parquet
+    // field-id indirection one level down (the stored schema flips to
+    // inner-by-id; era-1 files keep serving the renamed leaf's values
+    // in BOTH plan shapes). Era 2 appends under the new name, a
+    // filtered aggregate over the renamed leaf spans both eras, and
+    // the DuckDB oracle recomputes everything from the flat source —
+    // the whole rename lifecycle is hash-gated. An inner DROP of a
+    // second leaf rides the same gate. At 100 TB: zero rewrite for a
+    // rename that name-resolution systems pay a full table rewrite for.
+    QueryDef("lake_nested_rename",
+      (s, d) => {
+        val whDir = wh("lake_nested_rename", d)
+        val cat = new Snaplog(whDir)
+        val ev = events(s, d).select(col("event_id"), col("user_id"),
+          col("event_type"), col("value"))
+        val era1 = ev.filter(col("event_id") % 2 === 0)
+          .withColumn("evt", struct(col("event_type").as("t"),
+            col("value").cast("decimal(18,2)").as("v"),
+            (col("user_id") % 100).cast("int").as("aux")))
+          .drop("event_type", "value")
+        val rep = Ingest.ingestDf(cat, "lake", "events_ren", era1)
+        val tbl = rep.table
+        val era1Paths = cat.liveFiles("lake", "events_ren").map(_.path).toSet
+        val cn = sqlCatalog(s, "gnestren", whDir)
+        s.sql(s"ALTER TABLE $cn.lake.events_ren RENAME COLUMN evt.v TO amount")
+        s.sql(s"ALTER TABLE $cn.lake.events_ren DROP COLUMN evt.aux")
+        // metadata-only: the rename+drop moved no data
+        val unmoved = cat.liveFiles("lake", "events_ren").map(_.path).toSet == era1Paths
+        val era2 = ev.filter(col("event_id") % 2 === 1)
+          .withColumn("evt", struct(col("event_type").as("t"),
+            col("value").cast("decimal(18,2)").as("amount")))
+          .drop("event_type", "value")
+        tbl.append(era2.select(tbl.schema.fieldNames.map(col).toSeq: _*))
+        val reloaded = LakehouseTable.load(cat, s, "lake", "events_ren")
+        reloaded.scan()
+          .filter(col("evt.amount") >= 0) // pruned-read plan shape
+          .groupBy(col("evt.t").as("event_type"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("evt.amount")).as("total"))
+          .withColumn("rename_metadata_only", lit(unmoved))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          TRUE AS rename_metadata_only
+        FROM events WHERE CAST(value AS DECIMAL(18,2)) >= 0
+        GROUP BY event_type ORDER BY event_type""")),
 
     // Column DEFAULT values (round 12, Iceberg v3 initial/write-default
     // semantics): era 1 predates the column and answers the EXISTENCE

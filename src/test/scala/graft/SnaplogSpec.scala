@@ -493,27 +493,175 @@ abstract class CatalogContractSpec extends SparkSpec {
     val magic = Files.readAllBytes(firstAvro).take(4)
     assert(magic.sameElements("Obj".getBytes :+ 1.toByte),
       "avro container magic Obj\\x01 expected")
-    // an export with OUTSTANDING delete vectors would hand external
-    // readers the deleted rows — refused until compaction materializes
+    // an export with OUTSTANDING delete vectors emits a REAL v2 delete
+    // manifest (round 13): the vector rewrites to the spec's
+    // (file_path, pos) shape, and the tree round-trips through import
+    // with the subtraction intact — no compact-first tax
     tbl.deleteMor($"id" === 1)
-    val e = intercept[IllegalArgumentException] {
-      graft.interop.IcebergExport.export(tbl, Files.createTempDirectory("graft-ice2"))
-    }
-    assert(e.getMessage.contains("merge-on-read"))
+    val dMor = Files.createTempDirectory("graft-ice2")
+    val repMor = graft.interop.IcebergExport.export(tbl, dMor)
+    assert(repMor.deleteFiles == 1L)
+    val rbMor = graft.interop.IcebergExport.readBack(dMor)
+    assert(rbMor.nPositionDeleteFiles == 1 && rbMor.deleteRecords == 1)
+    assert(rbMor.totalRecords == 8) // gross data rows; the delete nets 1
+    val impMor = graft.interop.IcebergImport.register(
+      cat, spark, dMor, "ns", "t_mor_rt")
+    assert(impMor.positionDeleteFiles == 1)
+    assert(impMor.table.scan().count() == 7)
+    assert(impMor.table.scan().filter($"id" === 1).count() == 0)
     tbl.compact()
     val rb2 = graft.interop.IcebergExport.readBack {
       val d2 = Files.createTempDirectory("graft-ice3")
       graft.interop.IcebergExport.export(tbl, d2); d2
     }
     assert(rb2.totalRecords == 7)
-    // history windows that held live delete vectors are EXCLUDED from
-    // the export (an external reader time-traveling to the mor_delete
-    // snapshot would otherwise read its data files raw and resurrect
-    // the deleted row): of append/append/mor_delete/replace only the
-    // three clean-window snapshots export
+    // the vector-window snapshot now EXPORTS (with its delete
+    // manifest): all four of append/append/mor_delete/replace appear,
+    // and the CURRENT window is clean after compaction
     assert(tbl.catalog.snapshots(tbl.namespace, tbl.name).size == 4)
-    assert(rb2.nSnapshots == 3,
-      s"vector-window snapshot must be excluded, got ${rb2.nSnapshots}")
+    assert(rb2.nSnapshots == 4,
+      s"delete-bearing history must export now, got ${rb2.nSnapshots}")
+    assert(rb2.nPositionDeleteFiles == 0 && rb2.nEqualityDeleteFiles == 0)
+  }
+
+  test("iceberg MOR interop: equality deletes round-trip; foreign delete tree imports") {
+    // ---- leg 1: graft-written MOR state exports as v2 delete manifests
+    // and re-imports with the subtraction intact. The mergeDelta commit
+    // is the hard ordering case: ONE commit listing [eq-delete, data],
+    // where the batch's own rows must SURVIVE the delete (they carry a
+    // higher per-listing sequence in the export).
+    val cat = freshCatalog()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "mor1", fixture().schema)
+    tbl.append(fixture()) // ids 1..4
+    tbl.mergeDelta(Seq("id"), Seq(
+      (3, "B", 9.5f, 99), (5, "E", 5.5f, 50)
+    ).toDF("id", "group", "value1", "value2")) // upsert 3, insert 5
+    tbl.deleteEq("group", Seq("A")) // drops ids 1, 2
+    val expected = tbl.scan().select("id", "value2").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    assert(expected == Seq((3, 99), (4, 40), (5, 50)))
+    val dest = Files.createTempDirectory("graft-mor-rt")
+    val rep = graft.interop.IcebergExport.export(tbl, dest)
+    assert(rep.deleteFiles == 2L, s"two eq-delete files, got ${rep.deleteFiles}")
+    val rb = graft.interop.IcebergExport.readBack(dest)
+    assert(rb.nEqualityDeleteFiles == 2 && rb.nPositionDeleteFiles == 0)
+    val imp = graft.interop.IcebergImport.register(cat, spark, dest, "ns", "mor1_rt")
+    assert(imp.equalityDeleteFiles == 2)
+    assert(imp.table.scan().select("id", "value2").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq == expected)
+    // time-travel history also exported: snapshot 2 (post-merge) nets
+    // the upsert but not the later group delete
+    assert(rb.nSnapshots == 3)
+
+    // ---- leg 2: a FOREIGN-shaped tree — delete file recording
+    // PyIceberg-style file:// URIs and a `pos` column, with entry
+    // sequence numbers left null (inherited from the manifest list) —
+    // imports with the position subtracted. Forged against the export
+    // tree of a clean table, the shapes a real writer emits.
+    val t2 = LakehouseTable.create(cat, spark, "ns", "mor2", fixture().schema)
+    t2.append(fixture())
+    val dest2 = Files.createTempDirectory("graft-mor-foreign")
+    graft.interop.IcebergExport.export(t2, dest2)
+    val metaDir = dest2.resolve("metadata")
+    import scala.jdk.CollectionConverters._
+    // the single data file, as the manifest records it (plain path)
+    val dataPath = cat.liveFiles("ns", "mor2").head.path
+    // forge a position-delete parquet: URI-form path + `pos`, the
+    // PyIceberg/Java writer shape (row 0 = id 1 after the sorted write)
+    val delDir = dest2.resolve("deletes")
+    Files.createDirectories(delDir)
+    spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row("file://" + dataPath, 0L)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("file_path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.LongType))))
+      .repartition(1).write.mode("overwrite").parquet(delDir.resolve("pd").toString)
+    val posFile = graft.table.FileStats.listParquet(delDir.resolve("pd").toString).head
+    // forge the delete manifest (entry sequence_number NULL → inherits)
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int","field-id":0},
+        |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+        |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+        |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"content","type":"int","field-id":134},
+        |{"name":"file_path","type":"string","field-id":100},
+        |{"name":"file_format","type":"string","field-id":101},
+        |{"name":"partition","type":{"type":"record","name":"r102","fields":[]},"field-id":102},
+        |{"name":"record_count","type":"long","field-id":103},
+        |{"name":"file_size_in_bytes","type":"long","field-id":104}
+        |]},"field-id":2}]}""".stripMargin)
+    val dfRec = new org.apache.avro.generic.GenericData.Record(
+      entrySchema.getField("data_file").schema())
+    dfRec.put("content", 1) // POSITION DELETES
+    dfRec.put("file_path", "file://" + posFile)
+    dfRec.put("file_format", "PARQUET")
+    dfRec.put("partition", new org.apache.avro.generic.GenericData.Record(
+      entrySchema.getField("data_file").schema().getField("partition").schema()))
+    dfRec.put("record_count", 1L)
+    dfRec.put("file_size_in_bytes", Files.size(java.nio.file.Paths.get(posFile)))
+    val entry = new org.apache.avro.generic.GenericData.Record(entrySchema)
+    entry.put("status", 1)
+    entry.put("snapshot_id", 1L)
+    entry.put("sequence_number", null) // inherit from the manifest list
+    entry.put("file_sequence_number", null)
+    entry.put("data_file", dfRec)
+    val delManifest = metaDir.resolve("manifest-foreign-deletes.avro")
+    locally {
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](entrySchema))
+      w.setMeta("format-version", "2"); w.setMeta("content", "deletes")
+      w.create(entrySchema, delManifest.toFile)
+      try w.append(entry) finally w.close()
+    }
+    // splice the delete manifest into the manifest list with a HIGHER
+    // sequence than the data manifest
+    val hint = Files.readString(metaDir.resolve("version-hint.text")).trim
+    val metaJson = Files.readString(metaDir.resolve(s"v$hint.metadata.json"))
+    val listPath = java.nio.file.Paths.get(
+      """"manifest-list" : "([^"]+)"""".r.findFirstMatchIn(metaJson).get.group(1))
+    val listRecs = {
+      val r = new org.apache.avro.file.DataFileReader(listPath.toFile,
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      try r.iterator.asScala.toVector finally r.close()
+    }
+    val mfSchema = listRecs.head.getSchema
+    val delMf = new org.apache.avro.generic.GenericData.Record(mfSchema)
+    delMf.put("manifest_path", delManifest.toString)
+    delMf.put("manifest_length", Files.size(delManifest))
+    delMf.put("partition_spec_id", 0)
+    delMf.put("content", 1)
+    delMf.put("sequence_number", 99L) // inherited by the null-seq entry
+    delMf.put("min_sequence_number", 99L)
+    delMf.put("added_snapshot_id", 1L)
+    delMf.put("added_files_count", 1)
+    delMf.put("existing_files_count", 0)
+    delMf.put("deleted_files_count", 0)
+    delMf.put("added_rows_count", 1L)
+    delMf.put("existing_rows_count", 0L)
+    delMf.put("deleted_rows_count", 0L)
+    locally {
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](mfSchema))
+      w.create(mfSchema, listPath.toFile)
+      try { listRecs.foreach(w.append); w.append(delMf) } finally w.close()
+    }
+    val imp2 = graft.interop.IcebergImport.register(
+      cat, spark, dest2, "ns", "mor2_rt")
+    assert(imp2.positionDeleteFiles == 1)
+    assert(imp2.table.scan().count() == 3)
+    // exactly the row at position 0 of the data file is gone
+    val gone = spark.read.parquet(dataPath)
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("_metadata.row_index").as("ri"))
+      .filter($"ri" === 0L).collect().head.getInt(0)
+    assert(imp2.table.scan().filter($"id" === gone).count() == 0)
   }
 
   test("iceberg export/import carries transform partition specs (days + truncate; bucket → void)") {

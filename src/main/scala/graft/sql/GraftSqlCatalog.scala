@@ -1866,6 +1866,20 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
           if add.fieldNames().length > 1 && add.isNullable &&
             add.position() == null && add.defaultValue() == null =>
         nestedAdds += add
+      // inner add WITH a DEFAULT refuses explicitly: SQL DEFAULT
+      // promises existence + write semantics, but Spark's parquet
+      // readers fill EXISTS_DEFAULT for TOP-LEVEL missing columns only
+      // (empirically pinned in ColumnDefaultsSpec) — an inner existence
+      // default would silently read null. The WRITE-side half alone is
+      // available via LakehouseTable.addStructFieldDefaulted.
+      case add: TableChange.AddColumn
+          if add.fieldNames().length > 1 && add.defaultValue() != null =>
+        throw new UnsupportedOperationException(
+          s"ADD COLUMN ${add.fieldNames().mkString(".")} DEFAULT: inner " +
+            "fields cannot take an EXISTENCE default (parquet readers " +
+            "fill missing columns at the top level only — old rows would " +
+            "read null, not the default); use " +
+            "addStructFieldDefaulted(...) for the write-side default")
       // `ALTER COLUMN c SET/DROP DEFAULT` — write-side default only
       // (empty string = DROP, Spark's convention)
       case ud: TableChange.UpdateColumnDefaultValue

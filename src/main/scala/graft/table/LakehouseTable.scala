@@ -1601,13 +1601,37 @@ final class LakehouseTable(
     * [[graft.types.SchemaInfer.normalize]] casts exact-shape batches
     * only). */
   def addStructField(dottedPath: String, dataType: DataType): TableMetadata =
+    addStructFieldDefaulted(dottedPath, dataType, None)
+
+  /** [[addStructField]] with an optional WRITE-side default for the new
+    * leaf: batches that omit it (subset-struct appends, normalize's
+    * fill) land the default instead of null. There is NO inner
+    * EXISTENCE default by design: Spark's parquet readers fill
+    * `EXISTS_DEFAULT` for missing TOP-LEVEL columns only (verified
+    * empirically in ColumnDefaultsSpec — a nested missing leaf reads
+    * null in every plan shape regardless of the metadata), so claiming
+    * one would silently serve null where the schema promises a value.
+    * Rows in files that predate the leaf read NULL, exactly as before. */
+  def addStructFieldDefaulted(dottedPath: String, dataType: DataType,
+      writeDefaultSql: Option[String]): TableMetadata =
       catalog.withEvolutionLock(namespace, name) {
-    import graft.types.{FieldIds, SchemaInfer}
+    import graft.types.{ColumnDefaults, FieldIds, SchemaInfer}
     val parts = dottedPath.split('.').toSeq
     val m = meta
+    val leafField = writeDefaultSql match {
+      case None => org.apache.spark.sql.types.StructField(
+        parts.last, dataType, nullable = true)
+      case Some(sql) =>
+        // validate foldability/coercion like the top-level path, then
+        // keep ONLY the write-side key (no EXISTS key — see scaladoc)
+        ColumnDefaults.foldedField(parts.last, dataType, sql) // validation
+        ColumnDefaults.withCurrentDefault(
+          org.apache.spark.sql.types.StructField(
+            parts.last, dataType, nullable = true), Some(sql))
+    }
     // the pure patch throws on every structural violation (missing
     // root, non-struct step, existing leaf, bad names)
-    val evolved = SchemaInfer.addInnerField(m.schema, parts, dataType)
+    val evolved = SchemaInfer.addInnerFieldF(m.schema, parts, leafField)
     val lower = dottedPath.toLowerCase(java.util.Locale.ROOT)
     require(!m.schema.fieldNames.exists(_.equalsIgnoreCase(dottedPath)),
       s"$namespace.$name has a top-level column literally named " +

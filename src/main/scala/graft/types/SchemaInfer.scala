@@ -112,18 +112,32 @@ object SchemaInfer {
       // ignores nullability and metadata but keeps names case-exact —
       // case drift still takes the by-name rebuild below.
       case (s, d) if shapeOf(s) == shapeOf(d) => c.cast(relaxNulls(d))
-      // by-name binding only for equal-arity structs whose names all
-      // resolve: a batch struct with EXTRA fields must keep falling to
-      // the cast's loud arity failure (silently dropping batch data
-      // would be worse than the positional hazard this fixes) — callers
-      // that WANT the extra field evolve first (appendEvolve)
+      // by-name binding when the batch struct's fields are a SUBSET of
+      // the target's (equal names, fewer allowed): present fields bind
+      // by name, MISSING nullable leaves fill their WRITE default
+      // (round 13 — the inner analogue of normalize's top-level
+      // missing-column fill) or null. A batch struct with EXTRA fields
+      // must keep falling to the cast's loud arity failure (silently
+      // dropping batch data would be worse than the positional hazard
+      // this fixes) — callers that WANT the extra field evolve first
+      // (appendEvolve). A missing NON-nullable leaf also falls through
+      // to the loud cast.
       case (s: StructType, d: StructType)
-          if s.fields.length == d.fields.length &&
+          if s.fieldNames.forall(sn =>
+              d.fieldNames.exists(_.equalsIgnoreCase(sn))) &&
             d.fields.forall(df =>
-              s.fieldNames.exists(_.equalsIgnoreCase(df.name))) =>
+              s.fieldNames.exists(_.equalsIgnoreCase(df.name)) || df.nullable) =>
         val parts = d.fields.map { df =>
-          val sf = s.fields.find(_.name.equalsIgnoreCase(df.name)).get
-          align(c.getField(sf.name), sf.dataType, df.dataType).as(df.name)
+          s.fields.find(_.name.equalsIgnoreCase(df.name)) match {
+            case Some(sf) =>
+              align(c.getField(sf.name), sf.dataType, df.dataType).as(df.name)
+            case None =>
+              val fill = ColumnDefaults.currentDefault(df) match {
+                case Some(sql) => org.apache.spark.sql.functions.expr(sql)
+                case None => org.apache.spark.sql.functions.lit(null)
+              }
+              fill.cast(relaxNulls(df.dataType)).as(df.name)
+          }
         }
         // the rebuilt struct's fields carry no metadata — the closing
         // positional cast (identical shape by construction) re-stamps
@@ -174,10 +188,19 @@ object SchemaInfer {
     * preserved untouched. Throws IllegalArgumentException on every
     * structural violation; mutates nothing. */
   def addInnerField(schema: StructType, parts: Seq[String],
-      dataType: DataType): StructType = {
+      dataType: DataType): StructType =
+    addInnerFieldF(schema, parts, StructField(parts.last, dataType,
+      nullable = true))
+
+  /** [[addInnerField]] with a PREPARED leaf field (metadata included —
+    * the inner WRITE-default carrier); the field's name must equal the
+    * path's last step. */
+  def addInnerFieldF(schema: StructType, parts: Seq[String],
+      field: StructField): StructType = {
     require(parts.length >= 2 && parts.forall(_.nonEmpty),
       s"nested add needs parent.child[...], got '${parts.mkString(".")}'")
     val leaf = parts.last
+    require(field.name == leaf, s"field name '${field.name}' != path leaf '$leaf'")
     // "," and ":" would corrupt the comma-separated name-set table
     // properties a poisoned dotted path may need to enter
     require(!leaf.contains(",") && !leaf.contains(":"),
@@ -187,7 +210,7 @@ object SchemaInfer {
         case Seq(last) =>
           require(!st.fieldNames.exists(_.equalsIgnoreCase(last)),
             s"field '$done.$last' already exists")
-          StructType(st.fields :+ StructField(last, dataType, nullable = true))
+          StructType(st.fields :+ field)
         case head +: tail =>
           val idx = st.fields.indexWhere(_.name.equalsIgnoreCase(head))
           require(idx >= 0, s"no field '$head' under '$done'")

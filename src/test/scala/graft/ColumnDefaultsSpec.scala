@@ -183,4 +183,62 @@ class ColumnDefaultsSpec extends SparkSpec {
     assert(back.table.scan().select("segment").collect()
       .forall(_.getString(0) == "legacy"))
   }
+
+  test("inner defaults: readers never fill nested EXISTS_DEFAULT (pinned); write-default fills omitted leaves") {
+    import org.apache.spark.sql.functions.{col, struct => sstruct}
+    import org.apache.spark.sql.types._
+    // ---- THE REASON inner existence defaults refuse: Spark's parquet
+    // reader fills EXISTS_DEFAULT for missing TOP-LEVEL columns only.
+    // Write a struct{a} file, read with struct{a, b(EXISTS_DEFAULT=42)}:
+    // b MUST come back null — if a Spark upgrade ever starts filling
+    // it, this pin flags that the refusal can be lifted.
+    val dir = Files.createTempDirectory("graft-inner-exists")
+    spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(org.apache.spark.sql.Row(7))),
+      StructType(Seq(StructField("props", StructType(Seq(
+        StructField("a", IntegerType)))))))
+      .write.mode("overwrite").parquet(dir.toString)
+    val defaulted = graft.types.ColumnDefaults.foldedField(
+      "b", IntegerType, "42")
+    val rs = StructType(Seq(StructField("props", StructType(Seq(
+      StructField("a", IntegerType), defaulted)))))
+    val read = spark.read.schema(rs).parquet(dir.toString)
+      .select(col("props.b")).collect()
+    assert(read.forall(_.isNullAt(0)),
+      "Spark now fills NESTED existence defaults — revisit the inner-" +
+        "default refusal (it can become a real existence tier)")
+
+    // ---- the WRITE-side half works: omitted leaves fill the default
+    val cat = new Snaplog(Files.createTempDirectory("graft-inner-wd").toString)
+    import spark.implicits._
+    val base = Seq((1, "A", 10), (2, "B", 20)).toDF("id", "g", "v")
+      .withColumn("evt", sstruct($"g".as("t"), $"v".as("amount")))
+      .drop("g", "v")
+    val tbl = LakehouseTable.create(cat, spark, "ns", "iwd", base.schema)
+    tbl.append(base) // era 1 predates the leaf entirely
+    tbl.addStructFieldDefaulted("evt.score", IntegerType, Some("5"))
+    // era 2 OMITS the leaf: subset-struct append fills the write default
+    tbl.append(base.withColumn("id", $"id" + 10))
+    // era 3 carries it explicitly
+    tbl.append(base.withColumn("id", $"id" + 20)
+      .withColumn("evt", sstruct($"evt.t".as("t"),
+        $"evt.amount".as("amount"),
+        ($"id" * 2).cast(IntegerType).as("score"))))
+    val rows = tbl.scan().select($"id", $"evt.score").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1))).sorted
+    assert(rows.toSeq == Seq(
+      (1, -1), (2, -1),        // era 1: files predate the leaf → null
+      (11, 5), (12, 5),        // era 2: write default
+      (21, 42), (22, 44)),     // era 3: explicit
+      rows.mkString(", "))
+    // SQL: inner ADD COLUMN with DEFAULT refuses with guidance
+    val wh2 = cat.warehouse
+    spark.conf.set("spark.sql.catalog.ginnerdef",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ginnerdef.warehouse", wh2)
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE ginnerdef.ns.iwd ADD COLUMN evt.extra INT DEFAULT 9"))
+    assert(e.getMessage.contains("top level only") ||
+      e.getMessage.contains("addStructFieldDefaulted"), e.getMessage)
+  }
 }

@@ -319,9 +319,55 @@ object IcebergExport {
     try records.foreach(w.append) finally w.close()
   }
 
+  /** Iceberg JSON single-value for a folded default literal (v3
+    * `initial-default` / `write-default`), for the primitive types the
+    * exporter maps; anything else refuses — a wrong default silently
+    * diverges external reads. */
+  private def icebergSingleValue(v: Any, dt: DataType): JValue = (v, dt) match {
+    case (null, _) => JNull
+    case (b: java.lang.Boolean, BooleanType) => JBool(b)
+    case (i: java.lang.Integer, IntegerType) => JInt(BigInt(i.intValue()))
+    case (l: java.lang.Long, LongType) => JLong(l)
+    case (f: java.lang.Float, FloatType) => JDouble(f.doubleValue())
+    case (d: java.lang.Double, DoubleType) => JDouble(d)
+    case (s, StringType) => JString(s.toString) // UTF8String
+    case (d: org.apache.spark.sql.types.Decimal, _: DecimalType) =>
+      JDecimal(d.toBigDecimal)
+    case (i: java.lang.Integer, DateType) =>
+      JString(java.time.LocalDate.ofEpochDay(i.longValue()).toString)
+    case (l: java.lang.Long, TimestampType) =>
+      JString(java.time.Instant.EPOCH.plus(
+        l.longValue(), java.time.temporal.ChronoUnit.MICROS).toString)
+    case (other, t) => throw new IllegalArgumentException(
+      s"default value $other of type ${t.simpleString} has no Iceberg " +
+        "single-value mapping — export refused")
+  }
+
+  /** The folded VALUE of a default SQL text (the same constant folding
+    * the add path ran), as the Catalyst internal value. */
+  private def foldedValue(name: String, dt: DataType, sql: String): Any =
+    org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .getExistenceDefaultValue(
+        graft.types.ColumnDefaults.foldedField(name, dt, sql))
+
   /** Export every snapshot of the table's history; the current snapshot
-    * becomes `current-snapshot-id`. Returns counts for verification. */
-  def export(table: LakehouseTable, destDir: Path): Report = {
+    * becomes `current-snapshot-id`. Returns counts for verification.
+    *
+    * `formatVersion = 3` lifts the existence-defaults gate: defaulted
+    * columns export as the spec's `initial-default` (and write defaults
+    * as `write-default`) WITHOUT the compact-first tax — v3 readers
+    * fill files that predate the column exactly as graft's own readers
+    * do. The v3 tree carries the required row-lineage bookkeeping
+    * (`next-row-id`, per-snapshot `first-row-id`, from the global
+    * listing row counter). One v3 refusal: outstanding POSITION
+    * vectors — v3 mandates puffin deletion vectors for position
+    * deletes, which this exporter does not emit; compact() first or
+    * export format-version 2 (whose parquet delete files express them
+    * exactly). Equality deletes export under both versions. */
+  def export(table: LakehouseTable, destDir: Path,
+      formatVersion: Int = 2): Report = {
+    require(formatVersion == 2 || formatVersion == 3,
+      s"unsupported iceberg format-version $formatVersion")
     val metaDir = destDir.resolve("metadata")
     Files.createDirectories(metaDir)
     val cat = table.catalog
@@ -364,7 +410,8 @@ object IcebergExport {
     // historical snapshots whose live set still holds pre-add files are
     // skipped below, like delete-bearing ones.
     val defaultedCols =
-      graft.types.ColumnDefaults.anyExistsDefaults(table.schema)
+      if (formatVersion >= 3) Seq.empty // v3 expresses initial-default
+      else graft.types.ColumnDefaults.anyExistsDefaults(table.schema)
     val defaultLivePaths: Seq[String] =
       if (defaultedCols.isEmpty) Seq.empty
       else cat.liveFiles(ns, name).map(_.path)
@@ -415,10 +462,27 @@ object IcebergExport {
         .foldLeft(schema.fields.length)(_ max _))
     val nextNestedId: () => Int = () => idCounter.incrementAndGet()
     val fields = schema.fields.map { f =>
-      ("id" -> fieldId(f.name)) ~ ("name" -> f.name) ~
+      val base = ("id" -> fieldId(f.name)) ~ ("name" -> f.name) ~
         ("required" -> !f.nullable) ~
         ("type" -> icebergTypeJson(f.dataType, nextNestedId,
           Some(f.name), registry))
+      if (formatVersion < 3) base
+      else {
+        import graft.types.ColumnDefaults
+        // v3: existence default → initial-default, write default →
+        // write-default (both as spec JSON single-values)
+        val withInitial =
+          if (!ColumnDefaults.hasExistsDefault(f)) base
+          else base ~ ("initial-default" -> icebergSingleValue(
+            org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+              .getExistenceDefaultValue(f), f.dataType))
+        ColumnDefaults.currentDefault(f) match {
+          case Some(sql) => withInitial ~ ("write-default" ->
+            icebergSingleValue(foldedValue(f.name, f.dataType, sql),
+              f.dataType))
+          case None => withInitial
+        }
+      }
     }
     val partFields = PartitionTransforms.parseAll(table.partitionColumns)
     // source-id resolves case-insensitively like every schema lookup
@@ -465,10 +529,20 @@ object IcebergExport {
       var i = 0L
       allSnaps.map { sn => i += sn.files.size; sn.snapshotId -> i }.toMap
     }
+    if (formatVersion >= 3)
+      require(cat.liveDeleteFiles(ns, name).forall(_.equalityKey.isDefined),
+        s"cannot export $ns.$name as v3 with outstanding position-delete " +
+          "vectors: v3 mandates puffin deletion vectors, which this " +
+          "exporter does not emit — compact() first, or export " +
+          "format-version 2 (parquet position-delete files)")
     val snaps: Seq[(graft.catalog.Snapshot, Seq[graft.catalog.DataFileEntry],
         Seq[graft.catalog.DataFileEntry], Map[String, Long])] =
       cat.snapshots(ns, name).flatMap { s =>
         val (live, dels) = cat.liveFilesSplit(ns, name, Some(s.snapshotId))
+        // v3: skip HISTORY snapshots holding position vectors (their
+        // windows would need deletion vectors); the current snapshot is
+        // guarded clean above
+        val v3PosOk = formatVersion < 3 || dels.forall(_.equalityKey.isDefined)
         val specOk = live.forall(f =>
           partCols.forall { case (pf, _) => f.partitionValues.contains(pf.fieldName) })
         // defaults gate (see above): a historical snapshot listing a
@@ -476,7 +550,7 @@ object IcebergExport {
         // externally
         val defaultsOk = defaultedCols.isEmpty ||
           live.forall(f => defaultSafePaths(f.path))
-        if (specOk && defaultsOk) {
+        if (specOk && defaultsOk && v3PosOk) {
           val window = cat.windowSnapshots(ns, name, Some(s.snapshotId))
             .filterNot(graft.catalog.Snaplog.isWapStaged)
           val idxByPath: Map[String, Long] = window.flatMap(w =>
@@ -571,7 +645,7 @@ object IcebergExport {
       writeAvro(metaDir.resolve(manifestName), entrySchema,
         Seq("schema" -> schemaJson, "schema-id" -> "0",
           "partition-spec" -> specJson, "partition-spec-id" -> "0",
-          "format-version" -> "2", "content" -> "data"),
+          "format-version" -> formatVersion.toString, "content" -> "data"),
         entries)
       manifests += 1
       // delete manifest: the snapshot's outstanding MOR state
@@ -622,7 +696,8 @@ object IcebergExport {
             Seq("schema" -> schemaJson, "schema-id" -> "0",
               "partition-spec" -> "[]",
               "partition-spec-id" -> delSpecId.toString,
-              "format-version" -> "2", "content" -> "deletes"),
+              "format-version" -> formatVersion.toString,
+              "content" -> "deletes"),
             all.map(_._1))
           manifests += 1
           Some((delName, all.size, all.map(_._2).max, all.map(_._2).min,
@@ -672,7 +747,7 @@ object IcebergExport {
         Seq("snapshot-id" -> s.snapshotId.toString,
           "parent-snapshot-id" -> s.parentId.map(_.toString).getOrElse("null"),
           "sequence-number" -> snapHighIdx(s.snapshotId).toString,
-          "format-version" -> "2"),
+          "format-version" -> formatVersion.toString),
         Seq(mf) ++ delMf)
       ("snapshot-id" -> s.snapshotId) ~
         ("parent-snapshot-id" -> s.parentId.map(JLong(_)).getOrElse(JNothing: JValue)) ~
@@ -692,8 +767,22 @@ object IcebergExport {
     // derive it from the identity, not a random source
     val uuid = java.util.UUID.nameUUIDFromBytes(
       s"graft:$ns.$name".getBytes(StandardCharsets.UTF_8)).toString
+    // v3 row lineage: first-row-id per snapshot from the global listing
+    // row counter, next-row-id = the high-water total
+    val snapFirstRow: Map[Long, Long] = {
+      var total = 0L
+      allSnaps.map { sn =>
+        val mine = total
+        total += sn.files.filterNot(_.deleteFile.contains(true))
+          .map(_.rowCount).sum
+        sn.snapshotId -> mine
+      }.toMap
+    }
+    val nextRowId: Long = allSnaps
+      .flatMap(_.files.filterNot(_.deleteFile.contains(true)))
+      .map(_.rowCount).sum
     val metadata =
-      ("format-version" -> 2) ~
+      ("format-version" -> formatVersion) ~
         ("table-uuid" -> uuid) ~
         ("location" -> destDir.toString) ~
         ("last-sequence-number" -> snaps.lastOption
@@ -722,7 +811,13 @@ object IcebergExport {
           (JString(JsonMethods.compact(JsonMethods.render(
             nameMapping(fields.toList)))): JValue)))) ~
         ("current-snapshot-id" -> snaps.lastOption.map(_._1.snapshotId).getOrElse(-1L)) ~
-        ("snapshots" -> snapshotJsons.toList) ~
+        ("next-row-id" -> (if (formatVersion >= 3) JLong(nextRowId)
+          else JNothing: JValue)) ~
+        ("snapshots" -> (if (formatVersion < 3) snapshotJsons.toList
+          else snaps.zip(snapshotJsons).map { case ((sn, _, _, _), j) =>
+            j.asInstanceOf[JObject] ~
+              ("first-row-id" -> snapFirstRow(sn.snapshotId))
+          }.toList)) ~
         ("sort-orders" -> List(("order-id" -> 0) ~ ("fields" -> List.empty[JValue]))) ~
         ("default-sort-order-id" -> 0)
 

@@ -172,8 +172,9 @@ object IcebergImport {
     val version = Files.readString(metaDir.resolve("version-hint.text")).trim
     val meta = JsonMethods.parse(Files.readString(
       metaDir.resolve(s"v$version.metadata.json")))
-    require((meta \ "format-version").extract[Int] == 2,
-      "only Iceberg format-version 2 trees import")
+    val formatVersion = (meta \ "format-version").extract[Int]
+    require(formatVersion == 2 || formatVersion == 3,
+      s"only Iceberg format-version 2/3 trees import (got $formatVersion)")
 
     // -- schema (current-schema-id) ------------------------------------------
     val schemaId = (meta \ "current-schema-id").extract[Int]
@@ -183,9 +184,46 @@ object IcebergImport {
         s"current-schema-id $schemaId not present in schemas"))
     val fieldsJson = (schemaJson \ "fields").asInstanceOf[JArray].arr
     val fieldById = fieldsJson.map(f => (f \ "id").extract[Int] -> f).toMap
+    // v3 defaults: `initial-default` (the existence default — files
+    // that predate the column answer it) and `write-default` map onto
+    // graft's EXISTS/CURRENT default keys, so the first scan after
+    // import serves exactly what a v3 reader would. JSON single-values
+    // re-fold through the same constant-folding the native add path
+    // runs.
+    def defaultSqlText(j: JValue, dt: DataType): String = (j, dt) match {
+      case (JString(v), StringType) => "'" + v.replace("'", "''") + "'"
+      case (JString(v), DateType) => s"DATE '$v'"
+      case (JString(v), TimestampType) => s"TIMESTAMP '$v'"
+      case (JBool(b), BooleanType) => b.toString
+      case (JInt(i), _) => i.toString
+      case (JLong(l), _) => l.toString
+      case (JDouble(d), _) => d.toString
+      case (JDecimal(d), _) => d.toString
+      case (other, t) => throw new IllegalArgumentException(
+        s"default ${JsonMethods.compact(JsonMethods.render(other))} for " +
+          s"${t.simpleString} has no graft mapping — import refused")
+    }
     val schema = StructType(fieldsJson.map { f =>
-      StructField((f \ "name").extract[String], sparkTypeJson(f \ "type"),
-        nullable = !(f \ "required").extract[Boolean])
+      val fname = (f \ "name").extract[String]
+      val dt = sparkTypeJson(f \ "type")
+      val nullable = !(f \ "required").extract[Boolean]
+      val base = StructField(fname, dt, nullable)
+      val initJ = f \ "initial-default"
+      val writeJ = f \ "write-default"
+      val withInit = initJ match {
+        case JNothing | JNull => base
+        case j => graft.types.ColumnDefaults
+          .foldedField(fname, dt, defaultSqlText(j, dt))
+          .copy(nullable = nullable)
+      }
+      (writeJ, initJ) match {
+        case (JNothing | JNull, JNothing | JNull) => withInit
+        case (JNothing | JNull, _) =>
+          // initial-only: the write side must not inherit it
+          graft.types.ColumnDefaults.withCurrentDefault(withInit, None)
+        case (j, _) => graft.types.ColumnDefaults
+          .withCurrentDefault(withInit, Some(defaultSqlText(j, dt)))
+      }
     })
 
     // -- partition spec (default-spec-id) ------------------------------------
@@ -543,6 +581,7 @@ object IcebergImport {
       }
     catalog.createTable(ns, name, storedSchema, partCols,
       properties = Map("iceberg.imported-from" -> metaDir.toString,
+        "iceberg.imported-format-version" -> formatVersion.toString,
         "iceberg.imported-snapshot-id" -> currentId.toString) ++ registryProps,
       ifNotExists = false)
 

@@ -2376,6 +2376,101 @@ object Lakehouse {
         FROM final WHERE o_orderkey % 10 <> 3
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // Iceberg v3 export with initial-default (round 13): a DEFAULTED
+    // column exports WITHOUT the compact-first tax — era 1 predates the
+    // column (v2 refuses: nothing in a v2 tree can tell a reader to
+    // fill 7 instead of null), the v3 tree carries `initial-default`
+    // and row-lineage bookkeeping, and the re-import serves the
+    // default for era-1 rows and explicit values for era 2. The DuckDB
+    // oracle reconstructs both eras from the flat source. At 100 TB
+    // this is publishing a table to external readers right after an
+    // ADD COLUMN DEFAULT instead of first rewriting every file.
+    QueryDef("lake_iceberg_v3_defaults",
+      (s, d) => {
+        val whDir = wh("lake_iceberg_v3_defaults", d)
+        val cat = new Snaplog(whDir)
+        val ev = events(s, d).select(col("event_id"), col("user_id"),
+          col("event_type"), col("value"))
+        val era1 = ev.filter(col("event_id") % 2 === 0)
+        val rep = Ingest.ingestDf(cat, "lake", "events_v3", era1)
+        val tbl = rep.table
+        val cn = sqlCatalog(s, "gv3d", whDir)
+        s.sql(s"ALTER TABLE $cn.lake.events_v3 ADD COLUMN score INT DEFAULT 7")
+        val era2 = ev.filter(col("event_id") % 2 === 1)
+          .withColumn("score", (col("user_id") % 100).cast("int"))
+        tbl.append(era2.select(tbl.schema.fieldNames.map(col).toSeq: _*))
+        // v2 refuses uncompacted — the v3 option is the whole point
+        val v2Refused =
+          try { IcebergExport.export(tbl, Paths.get(whDir, "nope")); false }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("initial-default") }
+        val dest = Paths.get(whDir, "ice_v3")
+        IcebergExport.export(tbl, dest, formatVersion = 3)
+        val rb = IcebergExport.readBack(dest)
+        val imp = graft.interop.IcebergImport.register(
+          cat, s, dest, "lake", "events_v3_rt")
+        imp.table.scan()
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("score")).as("score_sum"),
+            dsum(col("value")).as("total"))
+          .withColumn("v3_tree", lit(rb.formatVersion == 3 && v2Refused))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN event_id % 2 = 1
+            THEN CAST(user_id % 100 AS BIGINT) ELSE 7 END) AS BIGINT)
+            AS score_sum,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          TRUE AS v3_tree
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Inner WRITE-default (round 13): `evt.score` is added with a
+    // write-side default — era 2, appended as a SUBSET struct (the
+    // leaf omitted), lands the default; era 3 writes explicit values;
+    // era 1 files predate the leaf and read NULL (there is NO inner
+    // existence tier: Spark's readers fill missing columns at the top
+    // level only — pinned in ColumnDefaultsSpec, refused honestly in
+    // SQL). The DuckDB oracle reconstructs all three eras by the %3
+    // split.
+    QueryDef("lake_nested_default",
+      (s, d) => {
+        val whDir = wh("lake_nested_default", d)
+        val cat = new Snaplog(whDir)
+        val ev = events(s, d).select(col("event_id"), col("user_id"),
+          col("event_type"), col("value"))
+        def shaped(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("evt", struct(col("event_type").as("t"),
+            col("value").cast("decimal(18,2)").as("v")))
+          .drop("event_type", "value")
+        val era1 = shaped(ev.filter(col("event_id") % 3 === 0))
+        val rep = Ingest.ingestDf(cat, "lake", "events_nd", era1)
+        val tbl = rep.table
+        tbl.addStructFieldDefaulted("evt.score",
+          org.apache.spark.sql.types.IntegerType, Some("5"))
+        // era 2: the SUBSET shape — leaf omitted, write default fills
+        tbl.append(shaped(ev.filter(col("event_id") % 3 === 1)))
+        // era 3: explicit values
+        tbl.append(ev.filter(col("event_id") % 3 === 2)
+          .withColumn("evt", struct(col("event_type").as("t"),
+            col("value").cast("decimal(18,2)").as("v"),
+            (col("user_id") % 100).cast("int").as("score")))
+          .drop("event_type", "value"))
+        tbl.scan()
+          .groupBy(col("evt.t").as("event_type"))
+          .agg(count(lit(1)).as("n"),
+            count(col("evt.score")).as("scored"),
+            sum(col("evt.score")).as("score_sum"),
+            dsum(col("evt.v")).as("total"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+          COUNT(CASE WHEN event_id % 3 <> 0 THEN 1 END) AS scored,
+          CAST(SUM(CASE WHEN event_id % 3 = 1 THEN 5
+            WHEN event_id % 3 = 2 THEN CAST(user_id % 100 AS BIGINT)
+            END) AS BIGINT) AS score_sum,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // Delete-dodging reads on a delete-bearing table: an equality
     // delete lands in ONE partition's key range; a filtered COUNT and a
     // row read over OTHER partitions stay on the free paths (metadata

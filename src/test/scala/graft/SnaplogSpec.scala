@@ -664,6 +664,59 @@ abstract class CatalogContractSpec extends SparkSpec {
     assert(imp2.table.scan().filter($"id" === gone).count() == 0)
   }
 
+  test("iceberg v3 export: defaulted columns round-trip UNCOMPACTED") {
+    val cat = freshCatalog()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "v3d", fixture().schema)
+    tbl.append(fixture()) // era 1 predates the column
+    tbl.addColumnsDefaulted(Seq(("score", org.apache.spark.sql.types.IntegerType,
+      Some("7"))))
+    tbl.append(fixture().withColumn("id", $"id" + 10)
+      .withColumn("score", $"value2" * 2)) // era 2: explicit values
+    // v2 refuses while era-1 files lack the column physically
+    val e = intercept[IllegalArgumentException] {
+      graft.interop.IcebergExport.export(tbl,
+        Files.createTempDirectory("graft-v3d-v2"))
+    }
+    assert(e.getMessage.contains("initial-default"), e.getMessage)
+    // v3 expresses it: export uncompacted, walk back, re-import
+    val dest = Files.createTempDirectory("graft-v3d")
+    graft.interop.IcebergExport.export(tbl, dest, formatVersion = 3)
+    val rb = graft.interop.IcebergExport.readBack(dest)
+    assert(rb.formatVersion == 3 && rb.totalRecords == 8)
+    val metaText = {
+      import scala.jdk.CollectionConverters._
+      Files.readString(Files.list(dest.resolve("metadata")).iterator().asScala
+        .filter(_.toString.endsWith(".metadata.json")).toSeq.head)
+    }.replaceAll("\\s", "")
+    assert(metaText.contains("\"initial-default\":7") &&
+      metaText.contains("\"next-row-id\""), metaText)
+    val imp = graft.interop.IcebergImport.register(cat, spark, dest, "ns", "v3d_rt")
+    // era-1 rows answer the existence default, era-2 their values
+    assert(imp.table.scan().filter($"id" <= 4).select("score")
+      .collect().map(_.getInt(0)).toSeq.forall(_ == 7))
+    assert(imp.table.scan().filter($"id" > 10).select("score")
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(20, 40, 60, 80))
+    // the imported WRITE default carries too: an appended batch without
+    // the column takes it
+    imp.table.append(fixture().withColumn("id", $"id" + 20))
+    assert(imp.table.scan().filter($"id" > 20).select("score")
+      .collect().map(_.getInt(0)).forall(_ == 7))
+    // v3 + outstanding position vectors refuse (puffin not emitted)
+    tbl.deleteMor($"id" === 1)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.interop.IcebergExport.export(tbl,
+        Files.createTempDirectory("graft-v3d-pos"), formatVersion = 3)
+    }
+    assert(e2.getMessage.contains("puffin"), e2.getMessage)
+    // …while v2 still expresses the vector as a parquet delete file
+    val d2 = Files.createTempDirectory("graft-v3d-v2pos")
+    val eV2 = intercept[IllegalArgumentException] {
+      graft.interop.IcebergExport.export(tbl, d2)
+    }
+    assert(eV2.getMessage.contains("initial-default"),
+      "v2 defaults gate still holds: " + eV2.getMessage)
+  }
+
   test("iceberg export/import carries transform partition specs (days + truncate; bucket → void)") {
     val cat = freshCatalog()
     def tsOf(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))

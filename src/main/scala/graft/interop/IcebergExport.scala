@@ -20,12 +20,14 @@ import graft.table.{BucketField, DaysField, HoursField, IdentityField, Lakehouse
   * (`query_iceberg_duckdb.py:21-29`): a third-party engine reads the
   * table from its metadata tree alone, no graft code involved.
   *
-  * Emitted tree (under `destDir/metadata/`):
+  * Emitted tree (under `destDir/`):
   * {{{
-  * v<N>.metadata.json            # Iceberg v2 table metadata (JSON, per spec)
-  * version-hint.text             # latest metadata version pointer
-  * snap-<id>.manifest-list.avro  # AVRO manifest list (spec field names + ids)
-  * manifest-<id>.avro            # AVRO manifest: one entry per live data file
+  * metadata/v<N>.metadata.json     # Iceberg v2/v3 table metadata (JSON, per spec)
+  * metadata/version-hint.text      # latest metadata version pointer
+  * metadata/snap-<id>.manifest-list.avro   # AVRO manifest list
+  * metadata/manifest-<id>.avro             # data manifest per snapshot
+  * metadata/manifest-<id>-deletes.avro     # DELETE manifest (outstanding MOR state)
+  * deletes/pos-del-<k>/…           # merged position-delete parquet (file_path, pos)
   * }}}
   *
   * Manifest lists and manifests are serialized as AVRO with the spec's

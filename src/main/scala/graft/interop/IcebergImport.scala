@@ -301,7 +301,10 @@ object IcebergImport {
       else Option(e.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(inherit)
 
     val (dataManifests, deleteManifests) = manifestFiles.partition { mf =>
-      val c = mf.get("content").asInstanceOf[Int]
+      // absent content field (v1-era manifest lists) = data manifests
+      val c =
+        if (mf.getSchema.getField("content") == null) 0
+        else Option(mf.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
       require(c == 0 || c == 1,
         s"${mf.get("manifest_path")}: unknown manifest content $c")
       c == 0
@@ -383,7 +386,10 @@ object IcebergImport {
       }.toMap
 
     val delPlans: Seq[DelPlan] = deleteManifests.flatMap { mf =>
-      val delSpecId = mf.get("partition_spec_id").asInstanceOf[Int]
+      val delSpecId =
+        if (mf.getSchema.getField("partition_spec_id") == null) 0
+        else Option(mf.get("partition_spec_id"))
+          .map(_.asInstanceOf[Int]).getOrElse(0)
       manifestEntries(mf).map { case (e, seq) =>
         val df = e.get("data_file").asInstanceOf[GenericRecord]
         val content = df.get("content").asInstanceOf[Int]

@@ -434,6 +434,22 @@ final class LakehouseTable(
       s"changelog from table creation is unavailable: history before " +
         s"snapshot ${window.headOption.map(_.snapshotId).getOrElse(0L)} was " +
         "expired — start from a retained snapshot")
+    // An APPEND-op commit carrying DELETE entries is the Iceberg-import
+    // shape (one add_files registering data + foreign MOR state): its
+    // net content is not expressible as plain inserts — emitting the
+    // data files raw would show rows the imported deletes subtract.
+    // Refuse loudly; the import commit is table CREATION, so consumers
+    // start the changelog AT it (initial content via scan, changes
+    // after), or compact() to materialize the net rows first.
+    window.filter(s => s.operation == Snaplog.OpAppend ||
+        s.operation == Snaplog.OpAddFiles).foreach { s =>
+      require(s.files.forall(f => !f.deleteFile.contains(true)),
+        s"changelog window crosses snapshot ${s.snapshotId}: an " +
+          s"${s.operation} commit carrying merge-on-read delete entries " +
+          "(an Iceberg import) — its net content is not an insert " +
+          "stream; start from that snapshot " +
+          s"(scanChanges(${s.snapshotId}, …)) or compact() first")
+    }
 
     // mutable buffer: appending per commit must stay O(1) — an
     // immutable Seq ++ per commit is quadratic over a 10^4-append log

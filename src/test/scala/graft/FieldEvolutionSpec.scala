@@ -791,4 +791,25 @@ class FieldEvolutionSpec extends SparkSpec {
     assert(!spark.sql("SELECT props.* FROM ginner.ns.sq").columns
       .map(_.toLowerCase).contains("score"))
   }
+
+  test("inner rename and write-default run on the JDBC catalog backend") {
+    import org.apache.spark.sql.functions.{struct => sstruct}
+    import org.apache.spark.sql.types.IntegerType
+    val dir = Files.createTempDirectory("graft-injdbc")
+    val cat = new JdbcCatalog(s"jdbc:derby:$dir/cat;create=true", s"$dir/wh")
+    val df = fixture()
+      .withColumn("props", sstruct($"group".as("g"), $"value2".as("v2")))
+    val tbl = LakehouseTable.create(cat, spark, "ns", "ij", df.schema)
+    tbl.append(df)
+    tbl.renameStructField("props.v2", "score")
+    assert(tbl.scan().select($"props.score").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(10, 20, 30, 40))
+    tbl.addStructFieldDefaulted("props.bonus", IntegerType, Some("3"))
+    tbl.append(df.withColumn("id", $"id" + 10).withColumn("props",
+      sstruct($"group".as("g"), $"value2".as("score")))) // bonus omitted
+    assert(tbl.scan().filter($"id" > 10).select($"props.bonus")
+      .collect().map(_.getInt(0)).forall(_ == 3))
+    assert(tbl.scan().filter($"id" <= 4).select($"props.bonus")
+      .collect().forall(_.isNullAt(0)))
+  }
 }

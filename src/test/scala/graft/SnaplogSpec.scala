@@ -664,6 +664,126 @@ abstract class CatalogContractSpec extends SparkSpec {
     assert(imp2.table.scan().filter($"id" === gone).count() == 0)
   }
 
+  test("iceberg import: PARTITION-SCOPED foreign equality delete re-expresses as a composite key") {
+    // A Flink-style eq delete written under the DATA spec with a
+    // non-null identity partition applies only within that partition.
+    // graft re-expresses it as keys x the partition literal — forge the
+    // tree by splicing a scoped delete manifest into an export.
+    val cat = freshCatalog()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "psc",
+      fixture().schema, Seq("group"))
+    tbl.append(fixture()) // (1,A,10) (2,A,20) (3,B,30) (4,C,40) by value2
+    val dest = Files.createTempDirectory("graft-psc")
+    graft.interop.IcebergExport.export(tbl, dest)
+    val metaDir = dest.resolve("metadata")
+    import scala.jdk.CollectionConverters._
+    // forge the eq-delete parquet: keys value2 IN (20, 30)
+    val delDir = dest.resolve("deletes"); Files.createDirectories(delDir)
+    Seq(20, 30).toDF("value2").repartition(1)
+      .write.mode("overwrite").parquet(delDir.resolve("eq").toString)
+    val eqFile = graft.table.FileStats.listParquet(delDir.resolve("eq").toString).head
+    // delete manifest under the DATA spec (spec-id 0, identity(group)),
+    // partition = "A", equality_ids = [4] (value2's id)
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int","field-id":0},
+        |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+        |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+        |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"content","type":"int","field-id":134},
+        |{"name":"file_path","type":"string","field-id":100},
+        |{"name":"file_format","type":"string","field-id":101},
+        |{"name":"partition","type":{"type":"record","name":"r102","fields":[
+        |{"name":"group","type":["null","string"],"default":null,"field-id":1000}
+        |]},"field-id":102},
+        |{"name":"record_count","type":"long","field-id":103},
+        |{"name":"file_size_in_bytes","type":"long","field-id":104},
+        |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135}
+        |]},"field-id":2}]}""".stripMargin)
+    val part = new org.apache.avro.generic.GenericData.Record(
+      entrySchema.getField("data_file").schema().getField("partition").schema())
+    part.put("group", "A")
+    val dfRec = new org.apache.avro.generic.GenericData.Record(
+      entrySchema.getField("data_file").schema())
+    dfRec.put("content", 2) // EQUALITY DELETES
+    dfRec.put("file_path", eqFile)
+    dfRec.put("file_format", "PARQUET")
+    dfRec.put("partition", part)
+    dfRec.put("record_count", 2L)
+    dfRec.put("file_size_in_bytes", Files.size(java.nio.file.Paths.get(eqFile)))
+    dfRec.put("equality_ids", java.util.Arrays.asList(Integer.valueOf(4)))
+    val entry = new org.apache.avro.generic.GenericData.Record(entrySchema)
+    entry.put("status", 1); entry.put("snapshot_id", 1L)
+    entry.put("sequence_number", 99L); entry.put("file_sequence_number", 99L)
+    entry.put("data_file", dfRec)
+    val delManifest = metaDir.resolve("manifest-scoped-deletes.avro")
+    locally {
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](entrySchema))
+      w.create(entrySchema, delManifest.toFile)
+      try w.append(entry) finally w.close()
+    }
+    // splice into the manifest list
+    val hint = Files.readString(metaDir.resolve("version-hint.text")).trim
+    val metaJson = Files.readString(metaDir.resolve(s"v$hint.metadata.json"))
+    val listPath = java.nio.file.Paths.get(
+      """"manifest-list" : "([^"]+)"""".r.findFirstMatchIn(metaJson).get.group(1))
+    val listRecs = {
+      val r = new org.apache.avro.file.DataFileReader(listPath.toFile,
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      try r.iterator.asScala.toVector finally r.close()
+    }
+    val mfSchema = listRecs.head.getSchema
+    val delMf = new org.apache.avro.generic.GenericData.Record(mfSchema)
+    delMf.put("manifest_path", delManifest.toString)
+    delMf.put("manifest_length", Files.size(delManifest))
+    delMf.put("partition_spec_id", 0) // the DATA spec — scoped delete
+    delMf.put("content", 1)
+    delMf.put("sequence_number", 99L); delMf.put("min_sequence_number", 99L)
+    delMf.put("added_snapshot_id", 1L); delMf.put("added_files_count", 1)
+    delMf.put("existing_files_count", 0); delMf.put("deleted_files_count", 0)
+    delMf.put("added_rows_count", 2L); delMf.put("existing_rows_count", 0L)
+    delMf.put("deleted_rows_count", 0L)
+    locally {
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](mfSchema))
+      w.create(mfSchema, listPath.toFile)
+      try { listRecs.foreach(w.append); w.append(delMf) } finally w.close()
+    }
+    val imp = graft.interop.IcebergImport.register(cat, spark, dest, "ns", "psc_rt")
+    assert(imp.equalityDeleteFiles == 1)
+    // (2,A,20) deleted — in scope AND keyed; (3,B,30) SURVIVES: its key
+    // matches but its partition is outside the scope
+    assert(imp.table.scan().select("id").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(1, 3, 4),
+      "partition-scoped equality delete must not leak outside its partition")
+    // the rewritten delete entry is a composite key
+    val eqEntry = cat.liveDeleteFiles("ns", "psc_rt").head
+    assert(eqEntry.equalityKey.contains("value2,group"), s"$eqEntry")
+  }
+
+  test("changelog refuses to cross an imported-MOR commit, works from it") {
+    val cat = freshCatalog()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "clm", fixture().schema)
+    tbl.append(fixture())
+    tbl.deleteEq("group", Seq("A"))
+    val dest = Files.createTempDirectory("graft-clm")
+    graft.interop.IcebergExport.export(tbl, dest)
+    val imp = graft.interop.IcebergImport.register(cat, spark, dest, "ns", "clm_rt")
+    // crossing the import commit would emit the GROSS rows as inserts
+    val e = intercept[IllegalArgumentException](imp.table.scanChanges(0L))
+    assert(e.getMessage.contains("import"), e.getMessage)
+    // starting AT the import snapshot: later changes stream exactly
+    val importSnap = imp.snapshot.snapshotId
+    imp.table.append(fixture().withColumn("id", $"id" + 10))
+    val ch = imp.table.scanChanges(importSnap).collect()
+    assert(ch.length == 4 && ch.forall(_.getAs[String]("_change_type") == "insert"))
+  }
+
   test("iceberg v3 export: defaulted columns round-trip UNCOMPACTED") {
     val cat = freshCatalog()
     val tbl = LakehouseTable.create(cat, spark, "ns", "v3d", fixture().schema)

@@ -32,7 +32,8 @@ private[sql] object GraftProcedures {
     Seq("compact", "expire_snapshots", "expire_snapshots_older_than",
       "vacuum", "set_ref", "drop_ref", "fast_forward", "rollback_to_snapshot",
       "update_partition_spec", "rewrite_data_files", "rewrite_delete_files",
-      "create_changelog_view", "merge_delta")
+      "create_changelog_view", "merge_delta",
+      "iceberg_export", "iceberg_import")
 
   def load(catName: String, name: String, backing: Catalog): UnboundProcedure =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -259,6 +260,51 @@ private[sql] object GraftProcedures {
         row(snap.snapshotId,
           snap.summary.get("delete-values").map(_.toLong).getOrElse(0L),
           snap.summary.get("merge-rows").map(_.toLong).getOrElse(0L))
+      }
+      // the interop pair — Iceberg's own register_table/snapshot Spark
+      // procedures, from the other side: SQL-only users publish and
+      // adopt metadata trees without the Scala API
+      case "iceberg_export" => proc(name,
+        "write an Iceberg v2/v3 metadata tree for the table under dest " +
+          "(metadata-only, data files referenced in place; outstanding " +
+          "merge-on-read state exports as v2 delete manifests; " +
+          "format_version 3 additionally carries column defaults as " +
+          "initial-default)",
+        Seq("ns" -> StringType, "tbl" -> StringType, "dest" -> StringType,
+          "format_version" -> IntegerType),
+        StructType(Seq(
+          StructField("metadata_file", StringType, nullable = false),
+          StructField("snapshots", IntegerType, nullable = false),
+          StructField("data_files", LongType, nullable = false),
+          StructField("delete_files", LongType, nullable = false),
+          StructField("total_records", LongType, nullable = false)))) { in =>
+        val (ns, t) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString)
+        val dest = java.nio.file.Paths.get(in.getUTF8String(2).toString)
+        val tbl = LakehouseTable.load(backing, SparkSession.active, ns, t)
+        val rep = graft.interop.IcebergExport.export(tbl, dest, in.getInt(3))
+        row(UTF8String.fromString(rep.metadataFile.toString),
+          rep.manifestLists, rep.dataFiles, rep.deleteFiles, rep.totalRecords)
+      }
+      case "iceberg_import" => proc(name,
+        "register a foreign Iceberg v2/v3 tree as a NEW table " +
+          "(metadata-only: the current snapshot's data files are " +
+          "referenced in place; position/equality delete files become " +
+          "native merge-on-read state; stat_footers=1 adds a footer-only " +
+          "pass recovering per-column bounds for file skipping)",
+        Seq("ns" -> StringType, "tbl" -> StringType, "root" -> StringType,
+          "stat_footers" -> IntegerType),
+        StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("data_files", IntegerType, nullable = false),
+          StructField("position_delete_files", IntegerType, nullable = false),
+          StructField("equality_delete_files", IntegerType, nullable = false),
+          StructField("total_records", LongType, nullable = false)))) { in =>
+        val (ns, t) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString)
+        val rep = graft.interop.IcebergImport.register(backing,
+          SparkSession.active, java.nio.file.Paths.get(in.getUTF8String(2).toString),
+          ns, t, statFooters = in.getInt(3) != 0)
+        row(rep.snapshot.snapshotId, rep.dataFiles, rep.positionDeleteFiles,
+          rep.equalityDeleteFiles, rep.totalRecords)
       }
       case other => throw new UnsupportedOperationException(
         s"$catName has no procedure '$other' — available: ${Names.mkString(", ")}")

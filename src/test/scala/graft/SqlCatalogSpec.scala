@@ -992,6 +992,28 @@ class SqlCatalogSpec extends SparkSpec {
     assert(cat.liveDeleteFiles("ns", "tr").isEmpty, "no vector may be written")
   }
 
+  test("CALL iceberg_export / iceberg_import round-trip from SQL alone") {
+    val wh = Files.createTempDirectory("graft-sqlice").toString
+    val cat = new Snaplog(wh)
+    cat.createNamespace("ns")
+    spark.conf.set("spark.sql.catalog.gsqlice", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlice.warehouse", wh)
+    spark.sql("CREATE TABLE gsqlice.ns.src (id INT, v INT)")
+    spark.sql("INSERT INTO gsqlice.ns.src VALUES (1, 10), (2, 20), (3, 30)")
+    // live MOR state rides the export: delete id=2 as an equality key
+    LakehouseTable.load(cat, spark, "ns", "src").deleteEq("id", Seq(2))
+    val dest = s"$wh/ice_sql"
+    val exp = spark.sql(
+      s"CALL gsqlice.system.iceberg_export('ns', 'src', '$dest', 2)").head()
+    assert(exp.getLong(2) == 3L && exp.getLong(3) == 1L,
+      s"3 data files? ${exp.getLong(2)}; 1 delete file? ${exp.getLong(3)}")
+    val imp = spark.sql(
+      s"CALL gsqlice.system.iceberg_import('ns', 'src_rt', '$dest', 1)").head()
+    assert(imp.getInt(3) == 1, "one equality delete imported")
+    assert(spark.sql("SELECT id FROM gsqlice.ns.src_rt ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 3))
+  }
+
   test("CALL system procedures: compact, set_ref, expire_snapshots, vacuum") {
     val wh = Files.createTempDirectory("graft-sqlcall").toString
     val cat = new Snaplog(wh)

@@ -453,25 +453,40 @@ object IcebergImport {
     val eqPlans = delPlans.collect { case p: EqPlan => p }
 
     // validate equality files BEFORE any catalog mutation: keys must be
-    // physically present and null-free (footer-only probes; a footer
-    // without the null stat re-checks with one filter job)
-    val eqStats: Map[String, DataFileEntry] = eqPlans.map { p =>
-      require(graft.types.FieldIds.fileContainsAll(spark, p.path,
-          p.keyNames.map(Seq(_))),
-        s"${p.path}: equality delete file does not carry all key columns " +
-          s"(${p.keyNames.mkString(", ")}) — import refused")
-      val st = FileStats.stat(spark, p.path, Map.empty)
-      val nullKeys = p.keyNames.map(n =>
-        st.nullCounts.flatMap(_.get(n)).getOrElse {
-          spark.read.parquet(p.path).filter(
-            org.apache.spark.sql.functions.col(n).isNull).count()
-        }).sum
-      require(nullKeys == 0,
-        s"${p.path}: equality delete carries $nullKeys NULL key value(s) — " +
-          "Iceberg null-matching equality cannot be expressed by graft's " +
-          "null-rejecting keys; import refused")
-      p.path -> st
-    }.toMap
+    // physically present and null-free. Footer-only probes, in PARALLEL
+    // (a hot CDC tree carries one eq file per merge commit — hundreds
+    // between maintenance runs must cost one round-trip latency, not
+    // one per file); a footer without the null stat re-checks with one
+    // filter job, driver-side after the parallel pass.
+    val eqStats: Map[String, DataFileEntry] = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.DurationInt
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val probed = Await.result(
+        Future.traverse(eqPlans)(p => Future(scala.concurrent.blocking {
+          val carries = graft.types.FieldIds.fileContainsAll(spark, p.path,
+            p.keyNames.map(Seq(_)))
+          (p, carries,
+            if (carries) Some(FileStats.stat(spark, p.path, Map.empty))
+            else None)
+        })), 30.minutes)
+      probed.map { case (p, carries, stOpt) =>
+        require(carries,
+          s"${p.path}: equality delete file does not carry all key " +
+            s"columns (${p.keyNames.mkString(", ")}) — import refused")
+        val st = stOpt.get
+        val nullKeys = p.keyNames.map(n =>
+          st.nullCounts.flatMap(_.get(n)).getOrElse {
+            spark.read.parquet(p.path).filter(
+              org.apache.spark.sql.functions.col(n).isNull).count()
+          }).sum
+        require(nullKeys == 0,
+          s"${p.path}: equality delete carries $nullKeys NULL key " +
+            "value(s) — Iceberg null-matching equality cannot be " +
+            "expressed by graft's null-rejecting keys; import refused")
+        p.path -> st
+      }.toMap
+    }
 
     // position-delete reference map, driver-sized (delete files record
     // bounded distinct paths): raw recorded form → the qualified form

@@ -220,4 +220,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(inc.agg(sum(col("n"))).head().getLong(0) === expected)
     assert(inc.inputFiles.nonEmpty)
   }
+
+  test("imported-MOR scan: delete subtraction is broadcast anti-joins, never a shuffle of the data side") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val cat = new graft.catalog.Snaplog(
+      Files.createTempDirectory("graft-audit-mor").toString)
+    val df = Seq((1, "A", 10), (2, "A", 20), (3, "B", 30), (4, "C", 40))
+      .toDF("id", "grp", "v")
+    val tbl = graft.table.LakehouseTable.create(cat, spark, "ns", "am", df.schema)
+    tbl.append(df)
+    tbl.deleteEq("grp", Seq("A"))
+    tbl.mergeDelta(Seq("id"), Seq((5, "A", 50)).toDF("id", "grp", "v"))
+    tbl.deleteMor($"id" === 4)
+    val dest = Files.createTempDirectory("graft-audit-mor-ice")
+    graft.interop.IcebergExport.export(tbl, dest)
+    val imp = graft.interop.IcebergImport.register(
+      cat, spark, dest, "ns", "am_rt")
+    val plan = physical(imp.table.scan())
+    // two equality deletes + one position vector: every subtraction is
+    // a BROADCAST anti-join of a predicate-sized delete set — the data
+    // side never shuffles, which is what survives at 100 TB
+    val anti = "BroadcastHashJoin .*LeftAnti".r.findAllIn(plan).length
+    assert(anti >= 3, s"expected >=3 broadcast anti-joins, got $anti in:\n" +
+      plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("SortMergeJoin"),
+      "delete subtraction must never sort-merge (would shuffle the data side)")
+    // and the result is the net content: grp=A rows 1,2 eq-deleted,
+    // id=4 position-deleted, the merge's own id=5 (grp=A, listed after
+    // its delete) survives
+    assert(imp.table.scan().select("id").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(3, 5), "net rows wrong")
+  }
 }

@@ -315,10 +315,24 @@ object IcebergImport {
         .filter(_.get("status").asInstanceOf[Int] != 2) // 2 = DELETED
         .map(e => (e, entrySeq(e, inherit)))
     }
+    // manifests read in PARALLEL (driver-side Avro IO — a large tree
+    // carries one manifest per commit, and import latency must be one
+    // round trip, not one per manifest); Future.traverse preserves
+    // manifest ORDER, so the stable sequence sort below keeps its
+    // deterministic within-sequence tiebreak
+    def allEntries(mfs: Seq[GenericRecord]): Seq[(GenericRecord, Long)] = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.DurationInt
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(
+        Future.traverse(mfs)(mf =>
+          Future(scala.concurrent.blocking(manifestEntries(mf)))),
+        30.minutes).flatten
+    }
 
     // -- data files ------------------------------------------------------------
     val dataWithSeq: Seq[(DataFileEntry, Long)] =
-      dataManifests.flatMap(manifestEntries).map { case (e, seq) =>
+      allEntries(dataManifests).map { case (e, seq) =>
         val df = e.get("data_file").asInstanceOf[GenericRecord]
         require(df.get("content").asInstanceOf[Int] == 0,
           s"${df.get("file_path")}: delete file listed in a DATA manifest — " +
@@ -390,6 +404,8 @@ object IcebergImport {
         if (mf.getSchema.getField("partition_spec_id") == null) 0
         else Option(mf.get("partition_spec_id"))
           .map(_.asInstanceOf[Int]).getOrElse(0)
+      // delete manifests are few (one per exporting snapshot) — the
+      // per-manifest spec binding keeps this walk sequential
       manifestEntries(mf).map { case (e, seq) =>
         val df = e.get("data_file").asInstanceOf[GenericRecord]
         val content = df.get("content").asInstanceOf[Int]

@@ -593,21 +593,40 @@ private[graft] final class GraftMicroBatchStream(
   // Purge STALE init dirs of this table on construction: `stop()` only
   // runs on a graceful stop, so a killed/restarted query would otherwise
   // accumulate one materialization dir per (re)start until JVM exit.
-  // The dir-name prefix is this table's alone; dirs older than an hour
-  // cannot belong to a stream still reading its initial batch here —
-  // the new stream materializes afresh before planning anything.
+  // Ownership is EXPLICIT, not an age heuristic (an initial batch behind
+  // a slow sink can legitimately run for hours — deleting a live query's
+  // in-flight materialization mid-read would fail its tasks): the dir
+  // name embeds the owner JVM's PID, and a dir is stale only when that
+  // process is no longer alive. The table component is a fixed-length
+  // hash with a terminating delimiter, so one table's purge can never
+  // match a sibling table whose name extends this one.
+  private def initDirPrefix: String = {
+    val id = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$ns\u0000$tbl".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(6).map("%02x".format(_)).mkString
+    s"graft-stream-init-$id-"
+  }
+
   locally {
     import scala.jdk.CollectionConverters._
     val tmpRoot = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"))
-    val prefix = s"graft-stream-init-$ns-$tbl-"
-    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    val prefix = initDirPrefix
+    def ownerDead(dirName: String): Boolean = {
+      // name shape: <prefix><pid>-<snapshot>-<random>; unparseable names
+      // are not ours — never touch them
+      val rest = dirName.stripPrefix(prefix)
+      val pidStr = rest.takeWhile(_ != '-')
+      pidStr.nonEmpty && pidStr.forall(_.isDigit) &&
+        (try !ProcessHandle.of(pidStr.toLong)
+              .map[java.lang.Boolean](_.isAlive).orElse(false)
+         catch { case _: SecurityException => false })
+    }
     val stale =
       try scala.util.Using.resource(java.nio.file.Files.list(tmpRoot))(
         _.iterator().asScala.filter { p =>
-          p.getFileName.toString.startsWith(prefix) &&
-            (try java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff
-             catch { case _: java.io.IOException => false })
+          val n = p.getFileName.toString
+          n.startsWith(prefix) && ownerDead(n)
         }.toSeq)
       catch { case _: java.io.IOException => Seq.empty }
     stale.foreach(graft.util.Fs.deleteTree)
@@ -625,7 +644,7 @@ private[graft] final class GraftMicroBatchStream(
       // initial batch; a crash-leaked temp dir is the OS temp dir's
       // problem, not permanent warehouse garbage
       val tmp = java.nio.file.Files.createTempDirectory(
-        s"graft-stream-init-$ns-$tbl-$e-")
+        s"$initDirPrefix${ProcessHandle.current().pid()}-$e-")
       graft.types.FieldIds.managedWrite(subtracted)
         .write.mode("overwrite").parquet(tmp.toString)
       initDirs.add(tmp)

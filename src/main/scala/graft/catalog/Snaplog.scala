@@ -515,8 +515,22 @@ object Snaplog {
       properties: Map[String, String]): Map[String, String] =
     if (properties.contains(graft.types.FieldIds.RegistryProp)) properties
     else graft.types.FieldIds.registryFor(schema)
-      .map(r => properties +
-        (graft.types.FieldIds.RegistryProp -> graft.types.FieldIds.encode(r)))
+      .map { r =>
+        val base = properties +
+          (graft.types.FieldIds.RegistryProp -> graft.types.FieldIds.encode(r))
+        // LIST/MAP INTERIOR ids (round 14) allocate above the registry:
+        // managed writes stamp them and the Iceberg export declares the
+        // same numbers (interop fidelity only — never read-side; see
+        // FieldIds.InteriorProp). LastIdProp covers them so later
+        // evolutions can never allocate a colliding id.
+        val interior = graft.types.FieldIds.interiorFor(schema,
+          if (r.isEmpty) 0 else r.values.max)
+        if (interior.isEmpty) base
+        else base +
+          (graft.types.FieldIds.InteriorProp ->
+            graft.types.FieldIds.encode(interior)) +
+          (graft.types.FieldIds.LastIdProp -> interior.values.max.toString)
+      }
       .getOrElse(properties)
 
   val OpAppend = "append"

@@ -1548,9 +1548,10 @@ final class LakehouseTable(
               c.contains(",") || c.contains(":") || c.contains(".")))
             .map { parts => next += 1; parts.mkString(".") -> next }
         val reg2 = reg ++ topIds ++ innerIds
+        val (intProps, hw) = interiorUpdates(m, base, next)
         catalog.updateProperties(namespace, name,
           Map(FieldIds.RegistryProp -> FieldIds.encode(reg2),
-            FieldIds.LastIdProp -> next.toString) ++ reboundProps,
+            FieldIds.LastIdProp -> hw.toString) ++ intProps ++ reboundProps,
           Seq.empty)
         // the stored schema carries ids only after a rename/drop flipped
         // the table to read-by-id; before that it stays name-matched
@@ -1731,10 +1732,13 @@ final class LakehouseTable(
       case Some(r) if innerIdsActive(m) => FieldIds.attachAll(evolved, r)
       case _ => evolved
     }
-    reg2.foreach(r => catalog.updateProperties(namespace, name,
-      Map(FieldIds.RegistryProp -> FieldIds.encode(r),
-        FieldIds.LastIdProp -> r.values.max.toString),
-      Seq.empty))
+    reg2.foreach { r =>
+      val (intProps, hw) = interiorUpdates(m, evolved, r.values.max)
+      catalog.updateProperties(namespace, name,
+        Map(FieldIds.RegistryProp -> FieldIds.encode(r),
+          FieldIds.LastIdProp -> hw.toString) ++ intProps,
+        Seq.empty)
+    }
     catalog.updateSchema(namespace, name, stored)
   }
 
@@ -1757,6 +1761,26 @@ final class LakehouseTable(
     requireWidening(cur, to)
     catalog.updateSchema(namespace, name,
       SchemaInfer.replaceInnerType(m.schema, parts, to))
+  }
+
+  /** LIST/MAP INTERIOR id-map updates for an evolved schema (round 14):
+    * new interior paths allocate above `floor` (and above the map's own
+    * high-water), retired paths drop. Returns (property updates — empty
+    * when nothing changes, new LastIdProp high-water). Pre-r14 tables
+    * backfill the whole map on their first evolution here; interior ids
+    * are write/export-side only, so the backfill is always safe (reads
+    * never consult them — see [[graft.types.FieldIds.InteriorProp]]). */
+  private def interiorUpdates(m: TableMetadata, evolved: StructType,
+      floor: Int): (Map[String, String], Int) = {
+    import graft.types.FieldIds
+    val cur = m.properties.get(FieldIds.InteriorProp).map(FieldIds.decode)
+      .getOrElse(Map.empty[String, Int])
+    val (upd, hw) = FieldIds.interiorEvolved(evolved, cur,
+      floor.max(cur.values.maxOption.getOrElse(0)))
+    val props =
+      if (upd == cur || upd.isEmpty) Map.empty[String, String]
+      else Map(FieldIds.InteriorProp -> FieldIds.encode(upd))
+    (props, hw)
   }
 
   /** Registry extended with ids for every encodable struct-chain path
@@ -2288,11 +2312,18 @@ final class LakehouseTable(
     val m = meta
     // stamp registry field ids into every managed write (files carry ids
     // from birth, so a later rename/drop finds id-bearing files); reads
-    // stay name-matched until an evolution flips the stored schema
-    val target = m.properties.get(graft.types.FieldIds.RegistryProp)
+    // stay name-matched until an evolution flips the stored schema.
+    // LIST/MAP INTERIOR ids (round 14) stamp too when the table carries
+    // an interior map — write-side and export-side only, never read-side
+    // (see FieldIds.InteriorProp).
+    val chainStamped = m.properties.get(graft.types.FieldIds.RegistryProp)
       .map(r => graft.types.FieldIds.attachAll(m.schema,
         graft.types.FieldIds.decode(r))) // dotted entries stamp INNER ids
       .getOrElse(m.schema)
+    val target = m.properties.get(graft.types.FieldIds.InteriorProp)
+      .map(i => graft.types.FieldIds.attachInterior(chainStamped,
+        graft.types.FieldIds.decode(i)))
+      .getOrElse(chainStamped)
     // Field-id stamping + INT64-micros timestamps (not Spark's legacy
     // INT96 default: INT96 carries no footer statistics — timestamp
     // bounds could never be recorded for pruning or metadata MIN/MAX —

@@ -40,6 +40,18 @@ object FieldIds {
     * consumer — file pruning, metadata aggregates, COW group filtering —
     * must treat predicates on them as never-prunable. */
   val StatsUnsafeProp = "graft.stats-unsafe"
+  /** Table property: LIST/MAP INTERIOR ids (round 14) — paths in
+    * Iceberg name-mapping tokens (`arr.element`, `m.key`, `m.value`,
+    * `arr.element.x`, …), same `name:id` encoding as the registry but
+    * a SEPARATE map: interior ids are stamped into managed files and
+    * declared by the Iceberg export (id-stable across re-exports and
+    * round-trips — a strict-by-id external reader must match the file
+    * stamps), but they are NEVER attached to READ schemas: Spark's
+    * nested schema pruning drops interior field-id metadata (pinned in
+    * FieldEvolutionSpec), so an interior rename would silently null
+    * leaves under pruned reads — interiors stay name-bound for
+    * resolution, and this map exists purely for interop fidelity. */
+  val InteriorProp = "graft.interior-ids"
 
   def namesSet(props: Map[String, String], key: String): Set[String] =
     props.get(key).toSeq.flatMap(_.split(',')).filter(_.nonEmpty).toSet
@@ -142,6 +154,96 @@ object FieldIds {
         }
       Some((top ++ inner).toMap)
     }
+
+  /** INTERIOR paths of a schema (everything at or below a list/map
+    * crossing), depth-first, in Iceberg name-mapping tokens: an array
+    * appends `element`, a map `key`/`value`, struct fields their names.
+    * Each key names exactly one schema node (a column has one type, so
+    * a struct-chain path and an interior path can never denote two
+    * nodes at once). Subtrees with un-encodable component names (`,`
+    * `:` `.`) are skipped — they just keep fresh-id export allocation. */
+  def interiorPathSeqs(schema: StructType): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def ok(n: String): Boolean =
+      !n.contains(",") && !n.contains(":") && !n.contains(".")
+    // below = are we at/below a container crossing (emit keys)?
+    def walk(path: String, dt: org.apache.spark.sql.types.DataType,
+        below: Boolean): Unit = dt match {
+      case st: StructType => st.fields.foreach { f =>
+        if (ok(f.name)) {
+          val p = s"$path.${f.name}"
+          if (below) out += p
+          walk(p, f.dataType, below)
+        }
+      }
+      case a: org.apache.spark.sql.types.ArrayType =>
+        out += s"$path.element"
+        walk(s"$path.element", a.elementType, below = true)
+      case m: org.apache.spark.sql.types.MapType =>
+        out += s"$path.key"
+        walk(s"$path.key", m.keyType, below = true)
+        out += s"$path.value"
+        walk(s"$path.value", m.valueType, below = true)
+      case _ => ()
+    }
+    schema.fields.foreach(f =>
+      if (ok(f.name)) walk(f.name, f.dataType, below = false))
+    out.toSeq
+  }
+
+  /** Interior-id map for a fresh schema: sequential allocation starting
+    * ABOVE `startId` (the main registry's high-water mark, so the two
+    * maps never collide). Empty when the schema has no containers. */
+  def interiorFor(schema: StructType, startId: Int): Map[String, Int] = {
+    var next = startId
+    interiorPathSeqs(schema).map { p => next += 1; p -> next }.toMap
+  }
+
+  /** Entries of `interior` for paths interiorPathSeqs no longer emits
+    * are retired; NEW paths allocate above the given high-water mark.
+    * Returns (updated map, new high-water). Evolution ops call this so
+    * an added container column gets stable interior ids from its first
+    * write. */
+  def interiorEvolved(schema: StructType, interior: Map[String, Int],
+      highWater: Int): (Map[String, Int], Int) = {
+    val want = interiorPathSeqs(schema)
+    var next = highWater
+    val kept = want.map { p =>
+      p -> interior.getOrElse(p, { next += 1; next })
+    }.toMap
+    (kept, next)
+  }
+
+  /** Stamp INTERIOR struct-field ids (the only interior carriers —
+    * element/key/value nodes themselves have no Spark metadata slot;
+    * their ids live in the map alone, read by the export). Composes
+    * with [[attach]]/[[attachAll]]: the interior map holds ONLY
+    * interior keys, so struct-chain fields (whose paths are never in
+    * it) pass through untouched, and the walk needs no above/below
+    * tracking — a lookup miss IS the pass-through. */
+  def attachInterior(schema: StructType, interior: Map[String, Int]): StructType = {
+    if (interior.isEmpty) return schema
+    def walk(dt: org.apache.spark.sql.types.DataType, path: String)
+        : org.apache.spark.sql.types.DataType = dt match {
+      case st: StructType => StructType(st.fields.map { f =>
+        val p = s"$path.${f.name}"
+        val g = f.copy(dataType = walk(f.dataType, p))
+        interior.get(p) match {
+          case Some(id) => g.copy(metadata = new MetadataBuilder()
+            .withMetadata(g.metadata).putLong(MetaKey, id.toLong).build())
+          case None => g
+        }
+      })
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = walk(a.elementType, s"$path.element"))
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(keyType = walk(m.keyType, s"$path.key"),
+          valueType = walk(m.valueType, s"$path.value"))
+      case other => other
+    }
+    StructType(schema.fields.map(f =>
+      f.copy(dataType = walk(f.dataType, f.name))))
+  }
 
   def encode(reg: Map[String, Int]): String =
     reg.toSeq.sortBy(_._2).map { case (n, i) => s"$n:$i" }.mkString(",")

@@ -103,41 +103,56 @@ object IcebergExport {
     * iceberg_scan, graft's own re-import) read the nested shape
     * directly. No silent fallback: a type the spec cannot express
     * refuses rather than exporting a false schema. */
-  /** `path`/`reg`: dotted-registry lookup for STRUCT-chain inner ids —
-    * since round 13 managed writes stamp inner struct ids from the
-    * registry's dotted entries, so the exported schema MUST declare
-    * the same numbers (a strict-by-id external reader matches inner
-    * content against the file stamps). Fields outside any struct chain
-    * (list/map interiors) carry no file ids and keep fresh allocation
-    * + name-mapping fallback. */
+  /** `path`/`reg`/`interior`: id lookups so the exported schema declares
+    * the SAME numbers the files physically carry — since round 13
+    * managed writes stamp STRUCT-chain inner ids from the registry's
+    * dotted entries, and since round 14 LIST/MAP interior ids from the
+    * table's interior map ([[graft.types.FieldIds.InteriorProp]], paths
+    * in name-mapping tokens: `arr.element.x`, `m.key`, `m.value`). A
+    * strict-by-id external reader matches content against the file
+    * stamps, so a declared id diverging from a stamp would null whole
+    * subtrees; the interior map also keeps ids STABLE across re-exports
+    * and import→export round-trips. Paths outside both maps (pre-r14
+    * tables, un-encodable names) keep fresh allocation above the
+    * high-water mark + the name-mapping fallback. */
   private def icebergTypeJson(dt: DataType, nextId: () => Int,
       path: Option[String] = None,
-      reg: Map[String, Int] = Map.empty): JValue =
+      reg: Map[String, Int] = Map.empty,
+      interior: Map[String, Int] = Map.empty): JValue = {
+    def idAt(p: Option[String]): Option[Int] =
+      p.flatMap(x => reg.get(x).orElse(interior.get(x)))
     icebergPrimitive(dt).map(JString(_): JValue).getOrElse(dt match {
       case s: StructType =>
         ("type" -> "struct") ~ ("fields" -> JArray(s.fields.map { f =>
           val childPath = path.map(p => s"$p.${f.name}")
-          // registry id when the chain is tracked; fresh otherwise
+          // tracked id when known; fresh otherwise
           // (parent-before-children allocation order preserved)
-          val id = childPath.flatMap(reg.get).getOrElse(nextId())
+          val id = idAt(childPath).getOrElse(nextId())
           ("id" -> id) ~ ("name" -> f.name) ~ ("required" -> !f.nullable) ~
-            ("type" -> icebergTypeJson(f.dataType, nextId, childPath, reg)): JValue
+            ("type" -> icebergTypeJson(f.dataType, nextId, childPath, reg,
+              interior)): JValue
         }.toList))
       case a: ArrayType =>
-        val eid = nextId()
+        val ep = path.map(p => s"$p.element")
+        val eid = idAt(ep).getOrElse(nextId())
         ("type" -> "list") ~ ("element-id" -> eid) ~
-          ("element" -> icebergTypeJson(a.elementType, nextId)) ~
+          ("element" -> icebergTypeJson(a.elementType, nextId, ep, reg,
+            interior)) ~
           ("element-required" -> !a.containsNull)
       case m: MapType =>
-        val kid = nextId()
-        val keyJson = icebergTypeJson(m.keyType, nextId)
-        val vid = nextId()
+        val kp = path.map(p => s"$p.key")
+        val vp = path.map(p => s"$p.value")
+        val kid = idAt(kp).getOrElse(nextId())
+        val keyJson = icebergTypeJson(m.keyType, nextId, kp, reg, interior)
+        val vid = idAt(vp).getOrElse(nextId())
         ("type" -> "map") ~ ("key-id" -> kid) ~ ("key" -> keyJson) ~
-          ("value-id" -> vid) ~ ("value" -> icebergTypeJson(m.valueType, nextId)) ~
+          ("value-id" -> vid) ~
+          ("value" -> icebergTypeJson(m.valueType, nextId, vp, reg, interior)) ~
           ("value-required" -> !m.valueContainsNull)
       case other => throw new IllegalArgumentException(
         s"type ${other.simpleString} has no Iceberg representation — export refused")
     })
+  }
 
   // ---- avro schemas (spec field names + field-ids) -------------------------
 
@@ -235,14 +250,31 @@ object IcebergExport {
   }
 
   /** Iceberg v2 `manifest_entry` record, with the per-table `r102`
-    * partition struct (one field per spec transform, result-typed). */
+    * partition struct (one field per spec transform, result-typed).
+    * `withDvFields` (v3 delete manifests) adds the deletion-vector
+    * columns of the data_file struct — `referenced_data_file` (143),
+    * `content_offset` (144), `content_size_in_bytes` (145) — which
+    * locate one DV blob inside a puffin file. */
   private def manifestEntrySchema(
-      partCols: Seq[(PartField, DataType)]): Schema = {
+      partCols: Seq[(PartField, DataType)],
+      withDvFields: Boolean = false): Schema = {
     val partitionFields = JArray(partCols.zipWithIndex.map { case ((pf, dt), i) =>
       ("name" -> pf.fieldName) ~
         ("type" -> JArray(List(JString("null"), partitionAvroType(pf, dt)))) ~
         ("default" -> JNull) ~ ("field-id" -> (1000 + i)): JValue
     }.toList)
+    val dvFields: List[JValue] =
+      if (!withDvFields) Nil
+      else List(
+        ("name" -> "referenced_data_file") ~
+          ("type" -> JArray(List(JString("null"), JString("string")))) ~
+          ("default" -> JNull) ~ ("field-id" -> 143),
+        ("name" -> "content_offset") ~
+          ("type" -> JArray(List(JString("null"), JString("long")))) ~
+          ("default" -> JNull) ~ ("field-id" -> 144),
+        ("name" -> "content_size_in_bytes") ~
+          ("type" -> JArray(List(JString("null"), JString("long")))) ~
+          ("default" -> JNull) ~ ("field-id" -> 145))
     val dataFile =
       ("type" -> "record") ~ ("name" -> "r2") ~ ("fields" -> JArray(List(
         ("name" -> "content") ~ ("type" -> "int") ~ ("field-id" -> 134),
@@ -260,7 +292,7 @@ object IcebergExport {
           ("type" -> JArray(List(JString("null"),
             (("type" -> "array") ~ ("items" -> "int") ~
               ("element-id" -> 136)): JValue))) ~
-          ("default" -> JNull) ~ ("field-id" -> 135))))
+          ("default" -> JNull) ~ ("field-id" -> 135)) ++ dvFields))
     val entry =
       ("type" -> "record") ~ ("name" -> "manifest_entry") ~ ("fields" -> JArray(List(
         ("name" -> "status") ~ ("type" -> "int") ~ ("field-id" -> 0),
@@ -361,11 +393,13 @@ object IcebergExport {
     * fill files that predate the column exactly as graft's own readers
     * do. The v3 tree carries the required row-lineage bookkeeping
     * (`next-row-id`, per-snapshot `first-row-id`, from the global
-    * listing row counter). One v3 refusal: outstanding POSITION
-    * vectors — v3 mandates puffin deletion vectors for position
-    * deletes, which this exporter does not emit; compact() first or
-    * export format-version 2 (whose parquet delete files express them
-    * exactly). Equality deletes export under both versions. */
+    * listing row counter). Outstanding POSITION vectors export under
+    * both versions (round 14): v2 as merged parquet position-delete
+    * files, v3 as PUFFIN deletion vectors ([[Puffin]] — one
+    * `deletion-vector-v1` blob per referenced data file, located by
+    * the manifest entry's `referenced_data_file`/`content_offset`/
+    * `content_size_in_bytes` columns, exactly the spec's v3 MOR form).
+    * Equality deletes export as parquet under both versions. */
   def export(table: LakehouseTable, destDir: Path,
       formatVersion: Int = 2): Report = {
     require(formatVersion == 2 || formatVersion == 3,
@@ -452,22 +486,27 @@ object IcebergExport {
     val registry = table.meta.properties
       .get(graft.types.FieldIds.RegistryProp).map(graft.types.FieldIds.decode)
       .getOrElse(Map.empty[String, Int])
+    // list/map INTERIOR ids (round 14): declared from the table's
+    // interior map so they match the file stamps and stay stable across
+    // re-exports (see icebergTypeJson's scaladoc)
+    val interiorReg = table.meta.properties
+      .get(graft.types.FieldIds.InteriorProp).map(graft.types.FieldIds.decode)
+      .getOrElse(Map.empty[String, Int])
     val fieldId = schema.fieldNames.zipWithIndex.map { case (n, i) =>
       n -> registry.getOrElse(n, i + 1)
     }.toMap
-    // untracked nested ids (list/map interiors, un-encodable subtrees)
-    // allocate above the WHOLE registry's high-water mark — dotted
-    // struct entries included, so fresh numbers never collide with ids
-    // the files physically carry
+    // untracked nested ids (un-mapped interiors, un-encodable subtrees)
+    // allocate above BOTH maps' high-water mark — so fresh numbers never
+    // collide with ids the files physically carry
     val idCounter = new java.util.concurrent.atomic.AtomicInteger(
-      (fieldId.values ++ registry.values)
+      (fieldId.values ++ registry.values ++ interiorReg.values)
         .foldLeft(schema.fields.length)(_ max _))
     val nextNestedId: () => Int = () => idCounter.incrementAndGet()
     val fields = schema.fields.map { f =>
       val base = ("id" -> fieldId(f.name)) ~ ("name" -> f.name) ~
         ("required" -> !f.nullable) ~
         ("type" -> icebergTypeJson(f.dataType, nextNestedId,
-          Some(f.name), registry))
+          Some(f.name), registry, interiorReg))
       if (formatVersion < 3) base
       else {
         import graft.types.ColumnDefaults
@@ -531,20 +570,18 @@ object IcebergExport {
       var i = 0L
       allSnaps.map { sn => i += sn.files.size; sn.snapshotId -> i }.toMap
     }
-    if (formatVersion >= 3)
-      require(cat.liveDeleteFiles(ns, name).forall(_.equalityKey.isDefined),
-        s"cannot export $ns.$name as v3 with outstanding position-delete " +
-          "vectors: v3 mandates puffin deletion vectors, which this " +
-          "exporter does not emit — compact() first, or export " +
-          "format-version 2 (parquet position-delete files)")
+    // iterate the WAP-FILTERED list: a staged branch commit must neither
+    // appear in the exported history (it is unpublished) nor be looked
+    // up in the sequence maps above (which are keyed over allSnaps —
+    // an unfiltered walk would throw on the first staged snapshot).
+    // Outstanding POSITION state exports under both versions: v2 as
+    // merged parquet position-delete files, v3 as puffin deletion
+    // vectors (the spec mandates DVs there — see the puffin machinery
+    // below), so neither version pays a compact-first tax.
     val snaps: Seq[(graft.catalog.Snapshot, Seq[graft.catalog.DataFileEntry],
         Seq[graft.catalog.DataFileEntry], Map[String, Long])] =
-      cat.snapshots(ns, name).flatMap { s =>
+      allSnaps.flatMap { s =>
         val (live, dels) = cat.liveFilesSplit(ns, name, Some(s.snapshotId))
-        // v3: skip HISTORY snapshots holding position vectors (their
-        // windows would need deletion vectors); the current snapshot is
-        // guarded clean above
-        val v3PosOk = formatVersion < 3 || dels.forall(_.equalityKey.isDefined)
         val specOk = live.forall(f =>
           partCols.forall { case (pf, _) => f.partitionValues.contains(pf.fieldName) })
         // defaults gate (see above): a historical snapshot listing a
@@ -552,7 +589,7 @@ object IcebergExport {
         // externally
         val defaultsOk = defaultedCols.isEmpty ||
           live.forall(f => defaultSafePaths(f.path))
-        if (specOk && defaultsOk && v3PosOk) {
+        if (specOk && defaultsOk) {
           val window = cat.windowSnapshots(ns, name, Some(s.snapshotId))
             .filterNot(graft.catalog.Snaplog.isWapStaged)
           val idxByPath: Map[String, Long] = window.flatMap(w =>
@@ -570,7 +607,10 @@ object IcebergExport {
     // unpartitioned (already empty).
     val delSpecId = if (specFields.isEmpty) 0 else 1
     val anyDeletes = snaps.exists(_._3.nonEmpty)
-    val delEntrySchema = manifestEntrySchema(Seq.empty)
+    // v3 delete manifests carry the deletion-vector locator columns
+    // (referenced_data_file / content_offset / content_size_in_bytes)
+    val delEntrySchema = manifestEntrySchema(Seq.empty,
+      withDvFields = formatVersion >= 3)
     val delDataFileSchema = delEntrySchema.getField("data_file").schema()
     val delPartitionSchema = delDataFileSchema.getField("partition").schema()
     // Merged position-delete file per distinct live-vector SET (history
@@ -582,6 +622,38 @@ object IcebergExport {
     // string-match delete file_path against data file_path. Vector
     // rows sort by (file_path, pos) as the spec requires. Delete files
     // are predicate-sized; the data files stay untouched in place.
+    // v3 sibling of the parquet cache below: one PUFFIN file per
+    // distinct live-vector SET, one deletion-vector-v1 blob per
+    // referenced data file (the spec's v3 position-delete form — v3
+    // forbids parquet position-delete files). Vector rows collect to
+    // the driver (predicate-sized: bounded by deleted-row count, never
+    // data-sized), group by referenced file, and bitmap-encode; blob
+    // locators return for the manifest entries. Paths strip back to
+    // the manifests' plain form like the parquet leg.
+    val puffinCache = scala.collection.mutable.Map.empty[
+      Seq[String], (String, Long, Seq[(String, Long, Long, Long)])]
+    def puffinDvs(vecs: Seq[graft.catalog.DataFileEntry],
+        snapshotId: Long, seq: Long): (String, Long, Seq[(String, Long, Long, Long)]) = {
+      val key = vecs.map(_.path).sorted
+      puffinCache.getOrElseUpdate(key, {
+        val spark = table.spark
+        val delDir = destDir.resolve("deletes")
+        Files.createDirectories(delDir)
+        val out = delDir.resolve(s"dv-${puffinCache.size}.puffin")
+        val rows = spark.read.parquet(key: _*)
+          .select("file_path", "row_index").collect()
+        val dvs = rows
+          .groupBy(r => graft.table.FileStats.normalizePath(r.getString(0)))
+          .toSeq.sortBy(_._1)
+          .map { case (plain, rs) =>
+            val bm = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+            rs.foreach(r => bm.addLong(r.getLong(1)))
+            (plain, bm)
+          }
+        val blobs = Puffin.writeDeletionVectors(out, dvs, snapshotId, seq)
+        (out.toString, Files.size(out), blobs)
+      })
+    }
     val posFileCache =
       scala.collection.mutable.Map.empty[Seq[String], (String, Long, Long)]
     def mergedPosDelete(
@@ -657,16 +729,22 @@ object IcebergExport {
           val posVecs = dels.filter(_.equalityKey.isEmpty)
           val eqDels = dels.filter(_.equalityKey.isDefined)
           def delEntry(content: Int, path: String, rows: Long, bytes: Long,
-              seq: Long, eqIds: Option[Seq[Int]]): GenericData.Record = {
+              seq: Long, eqIds: Option[Seq[Int]],
+              dv: Option[(String, Long, Long)] = None): GenericData.Record = {
             val df = new GenericData.Record(delDataFileSchema)
             df.put("content", content)
             df.put("file_path", path)
-            df.put("file_format", "PARQUET")
+            df.put("file_format", if (dv.isDefined) "PUFFIN" else "PARQUET")
             df.put("partition", new GenericData.Record(delPartitionSchema))
             df.put("record_count", rows)
             df.put("file_size_in_bytes", bytes)
             df.put("equality_ids", eqIds.map(ids =>
               java.util.Arrays.asList(ids.map(Integer.valueOf(_)): _*)).orNull)
+            dv.foreach { case (ref, off, len) =>
+              df.put("referenced_data_file", ref)
+              df.put("content_offset", off)
+              df.put("content_size_in_bytes", len)
+            }
             val e = new GenericData.Record(delEntrySchema)
             e.put("status", 1)
             e.put("snapshot_id", s.snapshotId)
@@ -678,10 +756,20 @@ object IcebergExport {
           // merged vector: its sequence is the NEWEST member vector's —
           // position deletes apply to data with sequence <= theirs, and
           // a vector can only name rows of files that existed when it
-          // was written, so the widened window admits no false match
+          // was written, so the widened window admits no false match.
+          // v2 → one merged parquet position-delete file; v3 → one
+          // puffin file, one DV entry PER REFERENCED DATA FILE
+          // (record_count = the blob's cardinality, per spec).
           val posLeg =
             if (posVecs.isEmpty) Seq.empty
-            else {
+            else if (formatVersion >= 3) {
+              val seq = posVecs.map(v => seqOf(v.path)).max
+              val (pPath, pSize, blobs) = puffinDvs(posVecs, s.snapshotId, seq)
+              blobs.map { case (ref, off, len, card) =>
+                (delEntry(1, pPath, card, pSize, seq, None,
+                  dv = Some((ref, off, len))), seq, card)
+              }
+            } else {
               val (p2, rows, bytes) = mergedPosDelete(posVecs)
               val seq = posVecs.map(v => seqOf(v.path)).max
               Seq((delEntry(1, p2, rows, bytes, seq, None), seq, rows))

@@ -63,6 +63,16 @@ import graft.table.{FileStats, LakehouseTable}
   * import nets out the foreign tree's deletes exactly — real
   * Flink/Spark-Iceberg CDC trees import without a foreign compaction.
   *
+  * LIVE trees stay adopted (round 14): [[refresh]] re-walks the source
+  * tree and lands everything committed since the recorded import
+  * watermark as native delta commits — appended data files as a
+  * metadata-only add, new delete files as MOR entries, and a foreign
+  * rewrite (compaction / overwrite / expired deletes) as one reset
+  * commit replacing the mirror's content. The reference's reader
+  * always sees the source's LATEST snapshot
+  * (`query_iceberg_duckdb.py:21-29`); with refresh, graft's adopted
+  * tables do too, without re-registering under a new name.
+  *
   * Honest refusals, all failing BEFORE any catalog mutation:
   * non-parquet delete files (v3 puffin deletion vectors), equality ids
   * naming nested fields, NULL key values in an equality delete
@@ -71,7 +81,11 @@ import graft.table.{FileStats, LakehouseTable}
   * deletes without usable sequence numbers, non-parquet data files,
   * primitive types the spec names that graft cannot represent
   * exactly, and trees mixing id-stamped with id-less data files (no
-  * single resolution mode — see `register`'s probe).
+  * single resolution mode — see `register`'s probe). Refresh adds its
+  * own: a source whose schema / partition spec / field-id registry
+  * evolved since import refuses with re-register guidance, an expired
+  * watermark snapshot refuses, and a source rewrite refuses the reset
+  * when the mirror carries native commits the reset would discard.
   */
 object IcebergImport {
 
@@ -84,6 +98,28 @@ object IcebergImport {
       totalRecords: Long,
       positionDeleteFiles: Int = 0,
       equalityDeleteFiles: Int = 0)
+
+  /** Outcome of one [[refresh]] pass. `snapshot` is None on a no-op
+    * (source unchanged since the watermark); `reset` marks the
+    * replace-everything path a foreign rewrite forces. */
+  final case class RefreshReport(
+      table: LakehouseTable,
+      snapshot: Option[Snapshot],
+      fromSourceSnapshotId: Long,
+      toSourceSnapshotId: Long,
+      dataFilesAdded: Int,
+      positionDeleteFiles: Int,
+      equalityDeleteFiles: Int,
+      reset: Boolean)
+
+  /** Table property: source `metadata/` dir recorded at register. */
+  val ImportedFromProp = "iceberg.imported-from"
+  /** Table property: source snapshot id last synced (the watermark). */
+  val ImportedSnapshotProp = "iceberg.imported-snapshot-id"
+  /** Table property: GRAFT snapshot id of the last register/refresh
+    * commit — the reset path refuses when the table advanced past it
+    * with real (non-checkpoint, non-WAP) commits a reset would drop. */
+  val SyncSnapshotProp = "iceberg.sync-snapshot-id"
 
   /** Inverse of IcebergExport.icebergType for the primitive types the
     * spec names. Anything else refuses — imported schemas must read
@@ -151,6 +187,21 @@ object IcebergImport {
     case null => Snaplog.HiveDefaultPartition
     case i: Integer if dt == DateType =>
       java.time.LocalDate.ofEpochDay(i.longValue()).toString
+    case l: java.lang.Long if dt == TimestampType =>
+      // real Iceberg writers store identity-timestamp partition values
+      // as MICROS since epoch — record the canonical UTC instant text
+      // (raw micros digits would never match a partition-filter text,
+      // so filtered reads would silently prune real rows). Graft's own
+      // exports store text and take the toString branch unchanged.
+      java.time.Instant.EPOCH.plus(
+        l.longValue(), java.time.temporal.ChronoUnit.MICROS).toString
+    case _: java.nio.ByteBuffer | _: org.apache.avro.generic.GenericFixed =>
+      // decimal (and other byte-encoded) identity values have no exact
+      // text mapping here; wrong text would mis-prune filtered reads —
+      // refuse rather than approximate
+      throw new IllegalArgumentException(
+        s"identity partition value for ${dt.simpleString} is stored as " +
+          "Avro bytes/fixed — no exact graft text mapping; import refused")
     case other => other.toString
   }
 
@@ -160,12 +211,70 @@ object IcebergImport {
   private def transformText(v: Any): String =
     if (v == null) Snaplog.HiveDefaultPartition else v.toString
 
-  /** Walk `root` (the table dir containing `metadata/`, or the
-    * `metadata/` dir itself) and register the current snapshot as the
-    * new table `ns.name` in `catalog`. */
-  def register(catalog: Catalog, spark: SparkSession, root: Path,
-      ns: String, name: String, statFooters: Boolean = false): Report = {
-    implicit val fmts: Formats = DefaultFormats
+  // ---- parsed tree + walked snapshot state ---------------------------------
+
+  /** One parsed metadata.json: everything register/refresh need to walk
+    * any snapshot of the tree. */
+  private final case class Tree(
+      metaDir: Path,
+      version: String,
+      formatVersion: Int,
+      schema: StructType,
+      partFields: Seq[(String, graft.table.PartField)],
+      identityTypes: Map[String, DataType],
+      specFieldsById: Map[Int, Seq[(String, String, String)]],
+      fieldById: Map[Int, JValue],
+      snapshots: List[JValue],
+      currentId: Long,
+      srcRegistry: Map[String, Int],
+      interiorRegistry: Map[String, Int],
+      lastColumnId: Int,
+      defaultSpecId: Int) {
+    def partCols: Seq[String] = partFields.map(_._2.spec)
+    def manifestListOf(snapshotId: Long)(implicit fmts: Formats): Path = {
+      val snap = snapshots
+        .find(s => (s \ "snapshot-id").extract[Long] == snapshotId)
+        .getOrElse(throw new IllegalArgumentException(
+          s"snapshot $snapshotId missing from the tree's snapshot list"))
+      Paths.get(normalizePath((snap \ "manifest-list").extract[String]))
+    }
+  }
+
+  // MOR delete plans of one walked snapshot. scope: identity partition
+  // fields NOT among the keys — they rewrite as extra key columns (the
+  // composite key IS the scope). rowFilter: identity partition fields
+  // that ARE keys — Iceberg applies the delete only within its
+  // partition, so rows whose key value differs from the partition
+  // literal match NOTHING there; they filter OUT of the rewritten file
+  // (keeping them would over-delete other partitions' rows).
+  private sealed trait DelPlan { def path: String; def seq: Long }
+  private final case class PosPlan(path: String, seq: Long) extends DelPlan
+  // v3 puffin deletion vector: one blob = one data file's position
+  // bitmap. blobOffset/blobLength come from the manifest entry's
+  // referenced_data_file/content_offset/content_size_in_bytes fields
+  // when the writer stamped them; absent (None), every
+  // deletion-vector-v1 blob in the file's footer index applies.
+  private final case class DvPlan(path: String, refDataFile: Option[String],
+      blobOffset: Option[Long], blobLength: Option[Long],
+      seq: Long) extends DelPlan
+  private final case class EqPlan(path: String, keyNames: Seq[String],
+      scope: Seq[(String, DataType, Any)],
+      rowFilter: Seq[(String, DataType, Any)], seq: Long) extends DelPlan
+
+  /** Everything a snapshot's manifests list, validated and
+    * sequence-attributed. */
+  private final case class Walked(
+      dataWithSeq: Seq[(DataFileEntry, Long)],
+      posPlans: Seq[PosPlan],
+      dvPlans: Seq[DvPlan],
+      eqPlans: Seq[EqPlan]) {
+    def dataPlainPaths: Set[String] = dataWithSeq.map(_._1.path).toSet
+    def posDeleteCount: Int = posPlans.size + dvPlans.size
+  }
+
+  /** Parse `root`'s metadata tree (the table dir containing
+    * `metadata/`, or the `metadata/` dir itself). */
+  private def loadTree(root: Path)(implicit fmts: Formats): Tree = {
     val metaDir =
       if (Files.exists(root.resolve("version-hint.text"))) root
       else root.resolve("metadata")
@@ -268,122 +377,10 @@ object IcebergImport {
             graft.table.PartitionTransforms.parse(spec)))
         }
       }
-    val partCols = partFields.map(_._2.spec)
     val identityTypes = partFields.collect { case (_, pf: graft.table.IdentityField) =>
       pf.source -> schema.fields.find(_.name == pf.source).map(_.dataType)
         .getOrElse(StringType)
     }.toMap
-
-    // -- current snapshot → manifest list → manifests -------------------------
-    val currentId = (meta \ "current-snapshot-id").extract[Long]
-    require(currentId > 0, "table has no current snapshot — nothing to import")
-    val current = (meta \ "snapshots").asInstanceOf[JArray].arr
-      .find(s => (s \ "snapshot-id").extract[Long] == currentId)
-      .getOrElse(throw new IllegalArgumentException(
-        s"current-snapshot-id $currentId missing from snapshots"))
-    val manifestFiles = readAvro(Paths.get(
-      normalizePath((current \ "manifest-list").extract[String])))
-
-    // Sequence numbers order the MOR semantics (an equality delete
-    // applies to data files with STRICTLY LOWER sequence; a position
-    // delete to lower-or-equal). Per spec, a null entry sequence on an
-    // ADDED entry inherits the manifest's; manifests written without
-    // the field (pre-v2 shapes) default to 0 — all-equal sequences then
-    // degrade to "deletes apply to nothing", which the delete-presence
-    // guards below keep honest (a delete-bearing tree without usable
-    // sequences would silently resurrect rows, so eq deletes REQUIRE a
-    // positive sequence).
-    def mfSeq(mf: GenericRecord): Long =
-      if (mf.getSchema.getField("sequence_number") == null) 0L
-      else Option(mf.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L)
-    def entrySeq(e: GenericRecord, inherit: Long): Long =
-      if (e.getSchema.getField("sequence_number") == null) inherit
-      else Option(e.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(inherit)
-
-    val (dataManifests, deleteManifests) = manifestFiles.partition { mf =>
-      // absent content field (v1-era manifest lists) = data manifests
-      val c =
-        if (mf.getSchema.getField("content") == null) 0
-        else Option(mf.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
-      require(c == 0 || c == 1,
-        s"${mf.get("manifest_path")}: unknown manifest content $c")
-      c == 0
-    }
-    def manifestEntries(mf: GenericRecord): Seq[(GenericRecord, Long)] = {
-      val inherit = mfSeq(mf)
-      readAvro(Paths.get(normalizePath(mf.get("manifest_path").toString)))
-        .filter(_.get("status").asInstanceOf[Int] != 2) // 2 = DELETED
-        .map(e => (e, entrySeq(e, inherit)))
-    }
-    // manifests read in PARALLEL (driver-side Avro IO — a large tree
-    // carries one manifest per commit, and import latency must be one
-    // round trip, not one per manifest); Future.traverse preserves
-    // manifest ORDER, so the stable sequence sort below keeps its
-    // deterministic within-sequence tiebreak
-    def allEntries(mfs: Seq[GenericRecord]): Seq[(GenericRecord, Long)] = {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.DurationInt
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      Await.result(
-        Future.traverse(mfs)(mf =>
-          Future(scala.concurrent.blocking(manifestEntries(mf)))),
-        30.minutes).flatten
-    }
-
-    // -- data files ------------------------------------------------------------
-    val dataWithSeq: Seq[(DataFileEntry, Long)] =
-      allEntries(dataManifests).map { case (e, seq) =>
-        val df = e.get("data_file").asInstanceOf[GenericRecord]
-        require(df.get("content").asInstanceOf[Int] == 0,
-          s"${df.get("file_path")}: delete file listed in a DATA manifest — " +
-            "import refused")
-        require(df.get("file_format").toString.equalsIgnoreCase("PARQUET"),
-          s"${df.get("file_path")}: only PARQUET data files import")
-        val path = normalizePath(df.get("file_path").toString)
-        require(Files.exists(Paths.get(path)), s"data file missing: $path")
-        val part = df.get("partition").asInstanceOf[GenericRecord]
-        val pv = partFields.map { case (avroName, pf) =>
-          pf.fieldName -> (pf match {
-            case id: graft.table.IdentityField =>
-              partitionText(part.get(avroName), identityTypes(id.source))
-            case _ => transformText(part.get(avroName))
-          })
-        }.toMap
-        val entry =
-          if (statFooters) FileStats.stat(spark, path, pv)
-          else DataFileEntry(path, df.get("record_count").asInstanceOf[Long],
-            df.get("file_size_in_bytes").asInstanceOf[Long], pv, None)
-        (entry, seq)
-      }
-    val files = dataWithSeq.map(_._1)
-
-    // -- delete files (v2 merge-on-read state) ---------------------------------
-    // Foreign position deletes (content=1, parquet of `file_path`/`pos`)
-    // become graft MOR vectors; foreign equality deletes (content=2,
-    // parquet of the key columns named by `equality_ids`) register as
-    // graft equality-delete entries — the batch scan already owns both
-    // subtraction forms, so the first query after import nets out the
-    // tree's deletes exactly. Real Flink/Spark-Iceberg CDC tables all
-    // carry these; refusing them (the pre-r13 contract) meant no real
-    // CDC table could import without a foreign compaction first.
-    //
-    // Scope rules, all refusing loudly rather than approximating:
-    //  - v3 deletion vectors (puffin) are not parquet → refuse;
-    //  - equality ids must name top-level schema fields (nested ids are
-    //    not in graft's key model);
-    //  - a delete file carrying NULL key values cannot be expressed
-    //    (graft equality is null-rejecting, Iceberg's null-matches) →
-    //    refuse;
-    //  - an equality delete scoped to a partition applies only within
-    //    it: IDENTITY scopes re-express exactly as extra key columns
-    //    (keys × the partition literal); non-identity scopes refuse.
-    // Position-delete rows referencing data files NOT in the current
-    // snapshot (the tree compacted data but kept the vector) are
-    // dangling and DROPPED — they can no longer match any scanned row.
-    sealed trait DelPlan { def seq: Long }
-    final case class PosPlan(path: String, seq: Long) extends DelPlan
-    final case class EqPlan(path: String, keyNames: Seq[String],
-        scope: Seq[(String, DataType, Any)], seq: Long) extends DelPlan
 
     // spec fields per spec-id, for DELETE manifests (their spec may
     // differ from the default — Flink writes deletes under the data
@@ -399,156 +396,13 @@ object IcebergImport {
           }
       }.toMap
 
-    val delPlans: Seq[DelPlan] = deleteManifests.flatMap { mf =>
-      val delSpecId =
-        if (mf.getSchema.getField("partition_spec_id") == null) 0
-        else Option(mf.get("partition_spec_id"))
-          .map(_.asInstanceOf[Int]).getOrElse(0)
-      // delete manifests are few (one per exporting snapshot) — the
-      // per-manifest spec binding keeps this walk sequential
-      manifestEntries(mf).map { case (e, seq) =>
-        val df = e.get("data_file").asInstanceOf[GenericRecord]
-        val content = df.get("content").asInstanceOf[Int]
-        val rawPath = df.get("file_path").toString
-        require(content == 1 || content == 2,
-          s"$rawPath: listed in a delete manifest with data content — refused")
-        require(df.get("file_format").toString.equalsIgnoreCase("PARQUET"),
-          s"$rawPath: only PARQUET delete files import (v3 puffin deletion " +
-            "vectors are not v2 state)")
-        val path = normalizePath(rawPath)
-        require(Files.exists(Paths.get(path)), s"delete file missing: $path")
-        if (content == 1) PosPlan(path, seq)
-        else {
-          val idsField = df.getSchema.getField("equality_ids")
-          require(idsField != null && df.get("equality_ids") != null,
-            s"$path: equality delete without equality_ids — refused")
-          val ids: Seq[Int] = df.get("equality_ids") match {
-            case l: java.util.List[_] => l.asScala.toSeq.map(
-              _.asInstanceOf[Number].intValue())
-            case other => throw new IllegalArgumentException(
-              s"$path: malformed equality_ids $other")
-          }
-          require(ids.nonEmpty, s"$path: empty equality_ids — refused")
-          val keyNames = ids.map(id => fieldById.getOrElse(id,
-            throw new IllegalArgumentException(
-              s"$path: equality id $id is not a top-level schema field — " +
-                "graft keys are top-level columns; import refused")))
-            .map(f => (f \ "name").extract[String])
-          require(keyNames.forall(n => !n.contains(",")),
-            s"$path: key column names cannot contain ','")
-          require(seq > 0,
-            s"$path: equality delete without a usable sequence number — " +
-              "its application order cannot be reconstructed; import refused")
-          // partition scope under the DELETE manifest's spec
-          val part = df.get("partition").asInstanceOf[GenericRecord]
-          val scope = specFieldsById.getOrElse(delSpecId,
-            throw new IllegalArgumentException(
-              s"$path: partition_spec_id $delSpecId not in partition-specs"))
-            .flatMap { case (avroName, transform, sourceCol) =>
-              val v =
-                if (part.getSchema.getField(avroName) == null) null
-                else part.get(avroName)
-              if (v == null) None
-              else {
-                require(transform == "identity",
-                  s"$path: equality delete scoped to non-identity partition " +
-                    s"'$transform($sourceCol)' — not expressible as a key " +
-                    "restriction; import refused")
-                val dt = schema.fields.find(_.name == sourceCol).map(_.dataType)
-                  .getOrElse(throw new IllegalArgumentException(
-                    s"$path: partition source '$sourceCol' not in schema"))
-                Some((sourceCol, dt, v))
-              }
-            }
-          EqPlan(path, keyNames, scope.filterNot(s => keyNames.contains(s._1)),
-            seq)
-        }
-      }
-    }
-    val posPlans = delPlans.collect { case p: PosPlan => p }
-    val eqPlans = delPlans.collect { case p: EqPlan => p }
-
-    // validate equality files BEFORE any catalog mutation: keys must be
-    // physically present and null-free. Footer-only probes, in PARALLEL
-    // (a hot CDC tree carries one eq file per merge commit — hundreds
-    // between maintenance runs must cost one round-trip latency, not
-    // one per file); a footer without the null stat re-checks with one
-    // filter job, driver-side after the parallel pass.
-    val eqStats: Map[String, DataFileEntry] = {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.DurationInt
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      val probed = Await.result(
-        Future.traverse(eqPlans)(p => Future(scala.concurrent.blocking {
-          val carries = graft.types.FieldIds.fileContainsAll(spark, p.path,
-            p.keyNames.map(Seq(_)))
-          (p, carries,
-            if (carries) Some(FileStats.stat(spark, p.path, Map.empty))
-            else None)
-        })), 30.minutes)
-      probed.map { case (p, carries, stOpt) =>
-        require(carries,
-          s"${p.path}: equality delete file does not carry all key " +
-            s"columns (${p.keyNames.mkString(", ")}) — import refused")
-        val st = stOpt.get
-        val nullKeys = p.keyNames.map(n =>
-          st.nullCounts.flatMap(_.get(n)).getOrElse {
-            spark.read.parquet(p.path).filter(
-              org.apache.spark.sql.functions.col(n).isNull).count()
-          }).sum
-        require(nullKeys == 0,
-          s"${p.path}: equality delete carries $nullKeys NULL key " +
-            "value(s) — Iceberg null-matching equality cannot be " +
-            "expressed by graft's null-rejecting keys; import refused")
-        p.path -> st
-      }.toMap
-    }
-
-    // position-delete reference map, driver-sized (delete files record
-    // bounded distinct paths): raw recorded form → the qualified form
-    // `_metadata.file_path` carries at scan. That form is the
-    // PERCENT-ENCODED URI string (SparkPath keeps `path.toUri`, so a
-    // partition dir with a space reads back as `%20`) — Path.toString
-    // would miss every file under such a dir and silently under-delete.
-    val dataPlainPaths = files.map(_.path).toSet
-    val hadoopConf = spark.sessionState.newHadoopConf()
-    def qualified(plain: String): String = {
-      val hp = new org.apache.hadoop.fs.Path(plain)
-      val u = hp.getFileSystem(hadoopConf).makeQualified(hp).toUri
-      // SparkPath's form: scheme + authority-if-present + RAW (encoded)
-      // path. makeQualified stamps an EMPTY authority ("file:///…")
-      // where directory-listing URIs carry none ("file:/…") — emit the
-      // listing form, or every vector row misses the anti-join.
-      val auth = Option(u.getAuthority).getOrElse("")
-      s"${u.getScheme}:${if (auth.nonEmpty) "//" + auth else ""}${u.getRawPath}"
-    }
-    val posRefMap: Seq[(String, String)] =
-      if (posPlans.isEmpty) Seq.empty
-      else spark.read.parquet(posPlans.map(_.path): _*)
-        .select("file_path").distinct().collect().toSeq
-        .map(_.getString(0))
-        .flatMap { raw =>
-          val plain = normalizePath(raw)
-          if (dataPlainPaths.contains(plain)) Some(raw -> qualified(plain))
-          else None // dangling: referenced data file not in this snapshot
-        }
-
-    // -- one metadata-only registration commit -------------------------------
-    // Carry the SOURCE's field ids as this table's registry: the
-    // imported files are stamped with those ids, so new managed writes
-    // (and a later export) must use the same numbering — a fresh 1..n
-    // assignment would diverge from the files whenever the source had
-    // evolved (dropped/reordered ids). The high-water mark comes from
-    // the source's last-column-id so later ADD COLUMNs never collide
-    // with ids the source already retired.
+    // Carry the SOURCE's field ids as the table registry (see register)
+    // — top-level names plus STRUCT-chain inner ids as dotted keys.
+    // List/map interiors stay untracked (no dotted-path identity);
+    // un-encodable components skip.
     val srcRegistry: Map[String, Int] = {
       val top = fieldsJson.map(f =>
         (f \ "name").extract[String] -> (f \ "id").extract[Int])
-      // STRUCT-chain inner ids carry too (round 13, dotted keys):
-      // managed writes to the imported table then stamp the SOURCE's
-      // inner numbering, keeping files uniform for a later inner
-      // evolution or re-export. List/map interiors stay untracked
-      // (no dotted-path identity); un-encodable components skip.
       def inner(prefix: String, tj: JValue): Seq[(String, Int)] = tj match {
         case obj: JObject if (obj \ "type") == JString("struct") =>
           (obj \ "fields") match {
@@ -568,15 +422,546 @@ object IcebergImport {
         else fieldsJson.flatMap(f =>
           inner((f \ "name").extract[String], f \ "type")))).toMap
     }
+
+    // LIST/MAP INTERIOR ids (round 14), in name-mapping tokens — carried
+    // so managed writes to the imported table stamp the SOURCE's interior
+    // numbering and a re-export declares the same ids the source's files
+    // physically carry (a strict-by-id external reader of the re-export
+    // would otherwise null interior subtrees of the original files).
+    val interiorRegistry: Map[String, Int] = {
+      def ok(n: String): Boolean =
+        !n.contains(".") && !n.contains(",") && !n.contains(":")
+      def walk(prefix: String, tj: JValue, below: Boolean): Seq[(String, Int)] =
+        tj match {
+          case obj: JObject => (obj \ "type") match {
+            case JString("struct") => (obj \ "fields") match {
+              case JArray(fs) => fs.flatMap { f =>
+                val n = (f \ "name").extract[String]
+                val id = (f \ "id").extract[Int]
+                if (!ok(n) || id <= 0) Seq.empty
+                else {
+                  val p = s"$prefix.$n"
+                  (if (below) Seq(p -> id) else Seq.empty) ++
+                    walk(p, f \ "type", below)
+                }
+              }
+              case _ => Seq.empty
+            }
+            case JString("list") =>
+              val p = s"$prefix.element"
+              (obj \ "element-id").extractOpt[Int].filter(_ > 0)
+                .map(p -> _).toSeq ++ walk(p, obj \ "element", below = true)
+            case JString("map") =>
+              val kp = s"$prefix.key"
+              val vp = s"$prefix.value"
+              ((obj \ "key-id").extractOpt[Int].filter(_ > 0)
+                .map(kp -> _).toSeq ++ walk(kp, obj \ "key", below = true)) ++
+                ((obj \ "value-id").extractOpt[Int].filter(_ > 0)
+                  .map(vp -> _).toSeq ++ walk(vp, obj \ "value", below = true))
+            case _ => Seq.empty
+          }
+          case _ => Seq.empty
+        }
+      if (fieldsJson.exists(f => (f \ "name").extract[String].contains(".")))
+        Map.empty
+      else fieldsJson.flatMap { f =>
+        val n = (f \ "name").extract[String]
+        if (ok(n)) walk(n, f \ "type", below = false) else Seq.empty
+      }.toMap
+    }
+    Tree(metaDir, version, formatVersion, schema, partFields, identityTypes,
+      specFieldsById, fieldById,
+      (meta \ "snapshots").asInstanceOf[JArray].arr,
+      (meta \ "current-snapshot-id").extract[Long],
+      srcRegistry, interiorRegistry,
+      (meta \ "last-column-id").extractOpt[Int].getOrElse(0),
+      specId)
+  }
+
+  // Sequence numbers order the MOR semantics (an equality delete
+  // applies to data files with STRICTLY LOWER sequence; a position
+  // delete to lower-or-equal). Per spec, a null entry sequence on an
+  // ADDED entry inherits the manifest's; manifests written without
+  // the field (pre-v2 shapes) default to 0 — all-equal sequences then
+  // degrade to "deletes apply to nothing", which the delete-presence
+  // guards below keep honest (a delete-bearing tree without usable
+  // sequences would silently resurrect rows, so eq deletes REQUIRE a
+  // positive sequence).
+  private def mfSeq(mf: GenericRecord): Long =
+    if (mf.getSchema.getField("sequence_number") == null) 0L
+    else Option(mf.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L)
+  private def entrySeq(e: GenericRecord, inherit: Long): Long =
+    if (e.getSchema.getField("sequence_number") == null) inherit
+    else Option(e.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(inherit)
+  private def mfContent(mf: GenericRecord): Int = {
+    val c =
+      if (mf.getSchema.getField("content") == null) 0
+      else Option(mf.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
+    require(c == 0 || c == 1,
+      s"${mf.get("manifest_path")}: unknown manifest content $c")
+    c
+  }
+  private def manifestEntries(mf: GenericRecord): Seq[(GenericRecord, Long)] = {
+    val inherit = mfSeq(mf)
+    readAvro(Paths.get(normalizePath(mf.get("manifest_path").toString)))
+      .filter(_.get("status").asInstanceOf[Int] != 2) // 2 = DELETED
+      .map(e => (e, entrySeq(e, inherit)))
+  }
+  // manifests read in PARALLEL (driver-side Avro IO — a large tree
+  // carries one manifest per commit, and import latency must be one
+  // round trip, not one per manifest); Future.traverse preserves
+  // manifest ORDER, so the stable sequence sort below keeps its
+  // deterministic within-sequence tiebreak
+  private def allEntries(mfs: Seq[GenericRecord]): Seq[(GenericRecord, Long)] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.DurationInt
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(
+      Future.traverse(mfs)(mf =>
+        Future(scala.concurrent.blocking(manifestEntries(mf)))),
+      30.minutes).flatten
+  }
+
+  /** Walk one snapshot's manifest list into validated data entries and
+    * MOR delete plans, all sequence-attributed.
+    *
+    * Scope rules for deletes, all refusing loudly rather than
+    * approximating:
+    *  - v3 deletion vectors (puffin) are not parquet → refuse;
+    *  - equality ids must name top-level schema fields (nested ids are
+    *    not in graft's key model);
+    *  - an equality delete scoped to a partition applies only within
+    *    it: IDENTITY scopes re-express exactly as extra key columns
+    *    (keys × the partition literal; key-overlapping scope fields
+    *    restrict rows instead); non-identity scopes refuse.
+    * Position-delete rows referencing data files NOT in the walked
+    * snapshot are dangling and later DROPPED — they can no longer match
+    * any scanned row. */
+  private def walkSnapshot(spark: SparkSession, tree: Tree, snapshotId: Long,
+      statFooters: Boolean)(implicit fmts: Formats): Walked = {
+    val manifestFiles = readAvro(tree.manifestListOf(snapshotId))
+    val (dataManifests, deleteManifests) =
+      manifestFiles.partition(mfContent(_) == 0)
+
+    // PARTITION-SPEC EVOLUTION in the source (VERDICT r13 #6): a data
+    // manifest written under an OLDER spec holds no values for the
+    // current spec's fields — its files import UNATTRIBUTED (no
+    // partition entry at all), which graft's mixed-coverage machinery
+    // handles conservatively (pruning keeps them, scans restore
+    // exactness with residual row filters). Recording the Hive null
+    // SENTINEL instead would claim "the value IS null" and a
+    // partition-filtered read would silently prune real rows.
+    def mfSpecId(mf: GenericRecord): Int =
+      if (mf.getSchema.getField("partition_spec_id") == null) tree.defaultSpecId
+      else Option(mf.get("partition_spec_id")).map(_.asInstanceOf[Int])
+        .getOrElse(tree.defaultSpecId)
+    val dataPerManifest: Seq[(Int, Seq[(GenericRecord, Long)])] = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.DurationInt
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(
+        Future.traverse(dataManifests)(mf =>
+          Future(scala.concurrent.blocking(
+            (mfSpecId(mf), manifestEntries(mf))))),
+        30.minutes)
+    }
+    val dataWithSeq: Seq[(DataFileEntry, Long)] =
+      dataPerManifest.flatMap { case (specId, entries) =>
+        entries.map { case (e, seq) =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        require(df.get("content").asInstanceOf[Int] == 0,
+          s"${df.get("file_path")}: delete file listed in a DATA manifest — " +
+            "import refused")
+        require(df.get("file_format").toString.equalsIgnoreCase("PARQUET"),
+          s"${df.get("file_path")}: only PARQUET data files import")
+        val path = normalizePath(df.get("file_path").toString)
+        require(Files.exists(Paths.get(path)), s"data file missing: $path")
+        val part = df.get("partition").asInstanceOf[GenericRecord]
+        val pv =
+          if (specId != tree.defaultSpecId) Map.empty[String, String]
+          else tree.partFields.flatMap { case (avroName, pf) =>
+            // a field ABSENT from the record (schema drift within the
+            // same spec id) is likewise unattributed, not null-valued
+            if (part.getSchema.getField(avroName) == null) None
+            else Some(pf.fieldName -> (pf match {
+              case id: graft.table.IdentityField =>
+                partitionText(part.get(avroName), tree.identityTypes(id.source))
+              case _ => transformText(part.get(avroName))
+            }))
+          }.toMap
+        val entry =
+          if (statFooters) FileStats.stat(spark, path, pv)
+          else DataFileEntry(path, df.get("record_count").asInstanceOf[Long],
+            df.get("file_size_in_bytes").asInstanceOf[Long], pv, None)
+        (entry, seq)
+        }
+      }
+
+    val delPlans: Seq[DelPlan] = deleteManifests.flatMap { mf =>
+      val delSpecId =
+        if (mf.getSchema.getField("partition_spec_id") == null) 0
+        else Option(mf.get("partition_spec_id"))
+          .map(_.asInstanceOf[Int]).getOrElse(0)
+      // delete manifests are few (one per exporting snapshot) — the
+      // per-manifest spec binding keeps this walk sequential
+      manifestEntries(mf).map { case (e, seq) =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        val content = df.get("content").asInstanceOf[Int]
+        val rawPath = df.get("file_path").toString
+        require(content == 1 || content == 2,
+          s"$rawPath: listed in a delete manifest with data content — refused")
+        val format = df.get("file_format").toString
+        val isPuffin = format.equalsIgnoreCase("PUFFIN")
+        require(format.equalsIgnoreCase("PARQUET") ||
+          (isPuffin && content == 1),
+          s"$rawPath: delete file format '$format' has no graft mapping " +
+            "(position deletes import as PARQUET or PUFFIN deletion " +
+            "vectors; equality deletes as PARQUET only)")
+        val path = normalizePath(rawPath)
+        require(Files.exists(Paths.get(path)), s"delete file missing: $path")
+        if (content == 1 && isPuffin) {
+          // v3 deletion vector: the manifest's referenced_data_file /
+          // content_offset / content_size_in_bytes name the exact blob
+          // (optional fields — a writer omitting them defers to the
+          // puffin footer's blob index)
+          def optField[T](n: String): Option[T] =
+            if (df.getSchema.getField(n) == null) None
+            else Option(df.get(n)).map(_.asInstanceOf[T])
+          DvPlan(path,
+            optField[AnyRef]("referenced_data_file").map(_.toString),
+            optField[java.lang.Long]("content_offset").map(_.longValue()),
+            optField[java.lang.Long]("content_size_in_bytes").map(_.longValue()),
+            seq)
+        } else if (content == 1) PosPlan(path, seq)
+        else {
+          val idsField = df.getSchema.getField("equality_ids")
+          require(idsField != null && df.get("equality_ids") != null,
+            s"$path: equality delete without equality_ids — refused")
+          val ids: Seq[Int] = df.get("equality_ids") match {
+            case l: java.util.List[_] => l.asScala.toSeq.map(
+              _.asInstanceOf[Number].intValue())
+            case other => throw new IllegalArgumentException(
+              s"$path: malformed equality_ids $other")
+          }
+          require(ids.nonEmpty, s"$path: empty equality_ids — refused")
+          val keyNames = ids.map(id => tree.fieldById.getOrElse(id,
+            throw new IllegalArgumentException(
+              s"$path: equality id $id is not a top-level schema field — " +
+                "graft keys are top-level columns; import refused")))
+            .map(f => (f \ "name").extract[String])
+          require(keyNames.forall(n => !n.contains(",")),
+            s"$path: key column names cannot contain ','")
+          require(seq > 0,
+            s"$path: equality delete without a usable sequence number — " +
+              "its application order cannot be reconstructed; import refused")
+          // partition scope under the DELETE manifest's spec
+          val part = df.get("partition").asInstanceOf[GenericRecord]
+          val scope = tree.specFieldsById.getOrElse(delSpecId,
+            throw new IllegalArgumentException(
+              s"$path: partition_spec_id $delSpecId not in partition-specs"))
+            .flatMap { case (avroName, transform, sourceCol) =>
+              val v =
+                if (part.getSchema.getField(avroName) == null) null
+                else part.get(avroName)
+              if (v == null) None
+              else {
+                require(transform == "identity",
+                  s"$path: equality delete scoped to non-identity partition " +
+                    s"'$transform($sourceCol)' — not expressible as a key " +
+                    "restriction; import refused")
+                val dt = tree.schema.fields.find(_.name == sourceCol)
+                  .map(_.dataType)
+                  .getOrElse(throw new IllegalArgumentException(
+                    s"$path: partition source '$sourceCol' not in schema"))
+                Some((sourceCol, dt, v))
+              }
+            }
+          val (overlap, extra) = scope.partition(s => keyNames.contains(s._1))
+          EqPlan(path, keyNames, extra, overlap, seq)
+        }
+      }
+    }
+    Walked(dataWithSeq,
+      delPlans.collect { case p: PosPlan => p },
+      delPlans.collect { case p: DvPlan => p },
+      delPlans.collect { case p: EqPlan => p })
+  }
+
+  /** Lenient path-set walk of one snapshot — NO validation, no
+    * existence checks (a file removed by a later foreign rewrite may be
+    * gone from disk): just which data / delete paths the snapshot
+    * lists, for refresh's watermark diff. */
+  private def walkPathSets(tree: Tree, snapshotId: Long)
+      (implicit fmts: Formats): (Set[String], Set[String]) = {
+    val manifestFiles = readAvro(tree.manifestListOf(snapshotId))
+    val (dataManifests, deleteManifests) =
+      manifestFiles.partition(mfContent(_) == 0)
+    def paths(mfs: Seq[GenericRecord]): Set[String] =
+      allEntries(mfs).map { case (e, _) =>
+        normalizePath(e.get("data_file").asInstanceOf[GenericRecord]
+          .get("file_path").toString)
+      }.toSet
+    (paths(dataManifests), paths(deleteManifests))
+  }
+
+  /** Validate equality-delete files BEFORE any catalog mutation: keys
+    * must be physically present and null-free. Footer-only probes, in
+    * PARALLEL (a hot CDC tree carries one eq file per merge commit —
+    * hundreds between maintenance runs must cost one round-trip
+    * latency, not one per file); a footer without the null stat
+    * re-checks with one filter job, driver-side after the parallel
+    * pass. */
+  private def validateEq(spark: SparkSession,
+      eqPlans: Seq[EqPlan]): Map[String, DataFileEntry] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.DurationInt
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val probed = Await.result(
+      Future.traverse(eqPlans)(p => Future(scala.concurrent.blocking {
+        val carries = graft.types.FieldIds.fileContainsAll(spark, p.path,
+          p.keyNames.map(Seq(_)))
+        (p, carries,
+          if (carries) Some(FileStats.stat(spark, p.path, Map.empty))
+          else None)
+      })), 30.minutes)
+    probed.map { case (p, carries, stOpt) =>
+      require(carries,
+        s"${p.path}: equality delete file does not carry all key " +
+          s"columns (${p.keyNames.mkString(", ")}) — import refused")
+      val st = stOpt.get
+      val nullKeys = p.keyNames.map(n =>
+        st.nullCounts.flatMap(_.get(n)).getOrElse {
+          spark.read.parquet(p.path).filter(
+            org.apache.spark.sql.functions.col(n).isNull).count()
+        }).sum
+      require(nullKeys == 0,
+        s"${p.path}: equality delete carries $nullKeys NULL key " +
+          "value(s) — Iceberg null-matching equality cannot be " +
+          "expressed by graft's null-rejecting keys; import refused")
+      p.path -> st
+    }.toMap
+  }
+
+  /** Rewrite position-delete files into ONE graft vector under the
+    * target table's data dir: `pos` → `row_index` and the recorded path
+    * → the exact qualified form `_metadata.file_path` carries at scan
+    * time (the subtraction anti-join is a raw string match — both sides
+    * must come off the same FileSystem qualification). Delete files are
+    * predicate-sized relative to the data, so the rewrite is
+    * metadata-scale I/O; the 100 TB of data files stay untouched in
+    * place. Rows referencing paths outside `dataPlainPaths` are
+    * dangling (the data file left the snapshot) and dropped. */
+  private def buildPosEntries(spark: SparkSession, catalog: Catalog,
+      ns: String, name: String, posPlans: Seq[PosPlan],
+      dvPlans: Seq[DvPlan], dataPlainPaths: Set[String]): Seq[DataFileEntry] = {
+    if (posPlans.isEmpty && dvPlans.isEmpty) return Seq.empty
+    // position-delete reference map, driver-sized (delete files record
+    // bounded distinct paths): raw recorded form → the qualified form
+    // `_metadata.file_path` carries at scan. That form is the
+    // PERCENT-ENCODED URI string (SparkPath keeps `path.toUri`, so a
+    // partition dir with a space reads back as `%20`) — Path.toString
+    // would miss every file under such a dir and silently under-delete.
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    def qualified(plain: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(plain)
+      val u = hp.getFileSystem(hadoopConf).makeQualified(hp).toUri
+      // SparkPath's form: scheme + authority-if-present + RAW (encoded)
+      // path. makeQualified stamps an EMPTY authority ("file:///…")
+      // where directory-listing URIs carry none ("file:/…") — emit the
+      // listing form, or every vector row misses the anti-join.
+      val auth = Option(u.getAuthority).getOrElse("")
+      s"${u.getScheme}:${if (auth.nonEmpty) "//" + auth else ""}${u.getRawPath}"
+    }
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import spark.implicits._
+    // v3 deletion vectors decode DRIVER-SIDE: one blob is one data
+    // file's position bitmap — predicate-sized (bounded by that file's
+    // row count), never data-sized. The manifest entry's explicit
+    // (offset, length) reads exactly one blob; entries without them
+    // defer to the puffin footer's blob index.
+    val dvRows: Seq[(String, Long)] = dvPlans.flatMap { p =>
+      val file = Paths.get(p.path)
+      val blobs: Seq[(String, Long, Long)] = (p.blobOffset, p.blobLength) match {
+        case (Some(off), Some(len)) =>
+          val ref = p.refDataFile.orElse(
+            Puffin.readFooter(file)
+              .find(b => b.offset == off && b.tpe == Puffin.DeletionVectorV1)
+              .flatMap(_.properties.get("referenced-data-file")))
+            .getOrElse(throw new IllegalArgumentException(
+              s"${p.path}: deletion-vector blob at $off names no " +
+                "referenced data file — import refused"))
+          Seq((ref, off, len))
+        case _ =>
+          val all = Puffin.readFooter(file)
+            .filter(_.tpe == Puffin.DeletionVectorV1)
+          require(all.nonEmpty,
+            s"${p.path}: puffin file carries no deletion-vector-v1 blobs")
+          all.map(b => (b.properties.getOrElse("referenced-data-file",
+            throw new IllegalArgumentException(
+              s"${p.path}: deletion-vector blob at ${b.offset} names no " +
+                "referenced data file — import refused")),
+            b.offset, b.length))
+      }
+      blobs.flatMap { case (ref, off, len) =>
+        val plain = normalizePath(ref)
+        if (!dataPlainPaths.contains(plain)) Seq.empty // dangling
+        else {
+          val bm = Puffin.readDeletionVector(file, off, len)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+          val it = bm.getLongIterator
+          while (it.hasNext) buf += ((plain, it.next()))
+          buf.toSeq
+        }
+      }
+    }
+    val posRefMap: Seq[(String, String)] =
+      ((if (posPlans.isEmpty) Seq.empty
+        else spark.read.parquet(posPlans.map(_.path): _*)
+          .select("file_path").distinct().collect().toSeq
+          .map(_.getString(0))) ++ dvRows.map(_._1).distinct)
+        .distinct
+        .flatMap { raw =>
+          val plain = normalizePath(raw)
+          if (dataPlainPaths.contains(plain)) Some(raw -> qualified(plain))
+          else None // dangling: referenced data file not in this snapshot
+        }
+    if (posRefMap.isEmpty) return Seq.empty
+    val mapping = broadcast(posRefMap.toDF("file_path", "__q"))
+    val parquetLeg =
+      if (posPlans.isEmpty) None
+      else Some(spark.read.parquet(posPlans.map(_.path): _*)
+        .select(col("file_path"), col("pos").cast("long").as("pos")))
+    val dvLeg =
+      if (dvRows.isEmpty) None
+      else Some(dvRows.toDF("file_path", "pos"))
+    val rows = (parquetLeg.toSeq ++ dvLeg.toSeq).reduce(_ unionAll _)
+    val vecDir = catalog.dataDir(ns, name).resolve(
+      s"import-dv-${java.util.UUID.randomUUID().toString.take(12)}")
+    rows
+      .join(mapping, Seq("file_path"))
+      .select(col("__q").as("file_path"),
+        col("pos").as("row_index"))
+      .repartition(1).sortWithinPartitions("file_path", "row_index")
+      .write.mode("overwrite").parquet(vecDir.toString)
+    FileStats.listParquet(vecDir.toString)
+      .map(p => FileStats.stat(spark, p, Map.empty)
+        .copy(deleteFile = Some(true)))
+      .filter(_.rowCount > 0)
+  }
+
+  /** Equality deletes: unscoped files register IN PLACE (their key
+    * columns are exactly graft's equality-delete file shape); identity-
+    * partition-scoped files rewrite once as keys × the partition
+    * literal, which IS the scoped semantics as a composite key.
+    * Key-overlapping scope fields restrict ROWS instead (see EqPlan). */
+  private def buildEqEntries(spark: SparkSession, catalog: Catalog,
+      ns: String, name: String, eqPlans: Seq[EqPlan],
+      eqStats: Map[String, DataFileEntry]): Seq[(DataFileEntry, Long)] = {
+    // Typed literal per (avro value, target type) — EXPLICIT mappings
+    // only. An Avro identity-timestamp value is MICROS since epoch; the
+    // plain long→timestamp cast Spark runs interprets SECONDS, so a
+    // naive lit-cast would rewrite a wrong constant and the scoped
+    // delete would silently match nothing (deleted rows resurrect).
+    // Unmapped combinations (decimal fixed/bytes, …) refuse loudly,
+    // matching the import's refuse-rather-than-approximate contract.
+    def scopeCol(dt: DataType, v: Any): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions.{lit, timestamp_micros}
+      (v, dt) match {
+        case (i: Integer, DateType) =>
+          lit(java.time.LocalDate.ofEpochDay(i.longValue()).toString)
+            .cast(DateType)
+        case (l: java.lang.Long, TimestampType) =>
+          timestamp_micros(lit(l.longValue()))
+        case (n: Number, IntegerType | LongType | ShortType | ByteType |
+                         FloatType | DoubleType) => lit(n).cast(dt)
+        case (s: CharSequence, _) => lit(s.toString).cast(dt)
+        case (b: java.lang.Boolean, BooleanType) => lit(b)
+        case (other, t) => throw new IllegalArgumentException(
+          s"identity partition scope value $other " +
+            s"(${other.getClass.getSimpleName}) for ${t.simpleString} has " +
+            "no exact graft literal mapping — a wrong constant would make " +
+            "the scoped delete silently match nothing; import refused")
+      }
+    }
+    eqPlans.flatMap { p =>
+      val entry =
+        if (p.scope.isEmpty && p.rowFilter.isEmpty)
+          Some(eqStats(p.path).copy(deleteFile = Some(true),
+            equalityKey = Some(p.keyNames.mkString(","))))
+        else {
+          import org.apache.spark.sql.functions.col
+          // partition fields that are THEMSELVES keys restrict rows
+          // (spec-legal delete rows whose key differs from the file's
+          // partition value match nothing in Iceberg — dropping the
+          // restriction would delete rows in OTHER partitions)
+          val restricted = p.rowFilter.foldLeft(
+            spark.read.parquet(p.path).select(p.keyNames.map(col): _*)) {
+            case (df, (c, dt, v)) => df.filter(col(c) === scopeCol(dt, v))
+          }
+          val scoped = p.scope.foldLeft(restricted) {
+            case (df, (c, dt, v)) => df.withColumn(c, scopeCol(dt, v))
+          }
+          val dir = catalog.dataDir(ns, name).resolve(
+            s"import-eq-${java.util.UUID.randomUUID().toString.take(12)}")
+          scoped.repartition(1).write.mode("overwrite").parquet(dir.toString)
+          val f = FileStats.listParquet(dir.toString).head
+          val st = FileStats.stat(spark, f, Map.empty)
+          // every row was out-of-partition: the delete matches nothing
+          if (st.rowCount == 0) None
+          else Some(st.copy(deleteFile = Some(true),
+            equalityKey = Some((p.keyNames ++ p.scope.map(_._1)).mkString(","))))
+        }
+      entry.map(e => (e, p.seq))
+    }
+  }
+
+  /** Commit tail in SEQUENCE order: equality deletes interleave with
+    * data files by sequence, deletes FIRST at equal sequence — graft
+    * applies an equality delete to the data entries BEFORE it in replay
+    * order, which then reproduces the spec's strictly-lower-sequence
+    * rule exactly (equal-sequence data — the same-transaction upsert
+    * shape — survives its own delete). */
+  private def orderedTail(eqEntries: Seq[(DataFileEntry, Long)],
+      dataWithSeq: Seq[(DataFileEntry, Long)]): Seq[DataFileEntry] =
+    (eqEntries.map { case (e, s) => (e, s, 0) } ++
+      dataWithSeq.map { case (e, s) => (e, s, 1) })
+      .sortBy(t => (t._2, t._3)).map(_._1)
+
+  /** Walk `root` (the table dir containing `metadata/`, or the
+    * `metadata/` dir itself) and register the current snapshot as the
+    * new table `ns.name` in `catalog`. */
+  def register(catalog: Catalog, spark: SparkSession, root: Path,
+      ns: String, name: String, statFooters: Boolean = false): Report = {
+    implicit val fmts: Formats = DefaultFormats
+    val tree = loadTree(root)
+    require(tree.currentId > 0, "table has no current snapshot — nothing to import")
+    val walked = walkSnapshot(spark, tree, tree.currentId, statFooters)
+    val files = walked.dataWithSeq.map(_._1)
+    val eqStats = validateEq(spark, walked.eqPlans)
+
+    // -- one metadata-only registration commit -------------------------------
+    // Carry the SOURCE's field ids as this table's registry: the
+    // imported files are stamped with those ids, so new managed writes
+    // (and a later export) must use the same numbering — a fresh 1..n
+    // assignment would diverge from the files whenever the source had
+    // evolved (dropped/reordered ids). The high-water mark comes from
+    // the source's last-column-id so later ADD COLUMNs never collide
+    // with ids the source already retired.
     val registryProps =
-      if (srcRegistry.keys.exists(n => n.contains(",") || n.contains(":")) ||
-          srcRegistry.values.exists(_ <= 0)) Map.empty[String, String]
+      if (tree.srcRegistry.keys.exists(n => n.contains(",") || n.contains(":")) ||
+          tree.srcRegistry.values.exists(_ <= 0)) Map.empty[String, String]
       else Map(
         graft.types.FieldIds.RegistryProp ->
-          graft.types.FieldIds.encode(srcRegistry),
+          graft.types.FieldIds.encode(tree.srcRegistry),
         graft.types.FieldIds.LastIdProp ->
-          ((meta \ "last-column-id").extractOpt[Int]
-            .getOrElse(0).max(srcRegistry.values.max)).toString)
+          (tree.lastColumnId.max(tree.srcRegistry.values.max)
+            .max(tree.interiorRegistry.values.maxOption.getOrElse(0))).toString) ++
+        // the source's LIST/MAP interior ids (name-mapping tokens) —
+        // managed writes stamp them and a re-export declares them, so
+        // interior resolution stays id-consistent with the source files
+        (if (tree.interiorRegistry.isEmpty) Map.empty[String, String]
+         else Map(graft.types.FieldIds.InteriorProp ->
+           graft.types.FieldIds.encode(tree.interiorRegistry)))
     // Resolution mode: the Iceberg spec resolves columns by FIELD ID
     // (spec-conforming writers stamp ids into every parquet footer), so
     // when the tree's data files carry top-level ids the stored schema
@@ -598,114 +983,207 @@ object IcebergImport {
     // here and reads null, like any name-mapping-only reader would
     // without the mapping.
     val storedSchema =
-      if (registryProps.isEmpty || files.isEmpty) schema
-      else {
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.DurationInt
-        implicit val ec: ExecutionContext = ExecutionContext.global
-        val probed = Await.result(
-          Future.traverse(files)(f =>
-            Future(scala.concurrent.blocking(
-              graft.types.FieldIds.fileCarriesIds(spark, f.path)))),
-          30.minutes)
-        if (probed.forall(identity))
-          graft.types.FieldIds.attach(schema, srcRegistry)
-        else if (!probed.exists(identity)) schema
-        else throw new IllegalArgumentException(
+      if (registryProps.isEmpty || files.isEmpty) tree.schema
+      else idProbe(spark, files.map(_.path)) match {
+        case Some(true) => graft.types.FieldIds.attach(tree.schema, tree.srcRegistry)
+        case Some(false) => tree.schema
+        case None => throw new IllegalArgumentException(
           s"$ns.$name: imported tree mixes id-stamped and id-less data " +
             "files — field resolution cannot be by-id and by-name at " +
             "once; rewrite the tree uniformly before importing")
       }
-    catalog.createTable(ns, name, storedSchema, partCols,
-      properties = Map("iceberg.imported-from" -> metaDir.toString,
-        "iceberg.imported-format-version" -> formatVersion.toString,
-        "iceberg.imported-snapshot-id" -> currentId.toString) ++ registryProps,
+    catalog.createTable(ns, name, storedSchema, tree.partCols,
+      properties = Map(ImportedFromProp -> tree.metaDir.toString,
+        "iceberg.imported-format-version" -> tree.formatVersion.toString,
+        ImportedSnapshotProp -> tree.currentId.toString) ++ registryProps,
       ifNotExists = false)
 
-    // -- materialize MOR state under the new table's data dir ------------------
-    // Position deletes rewrite into ONE graft vector: `pos` → `row_index`
-    // and the recorded path → the exact qualified form `_metadata
-    // .file_path` carries at scan time (the subtraction anti-join is a
-    // raw string match — both sides must come off the same FileSystem
-    // qualification). Delete files are predicate-sized relative to the
-    // data, so the rewrite is metadata-scale I/O; the 100 TB of data
-    // files stay untouched in place.
-    val posEntries: Seq[DataFileEntry] =
-      if (posRefMap.isEmpty) Seq.empty
-      else {
-        import org.apache.spark.sql.functions.{broadcast, col}
-        import spark.implicits._
-        val mapping = broadcast(posRefMap.toDF("file_path", "__q"))
-        val vecDir = catalog.dataDir(ns, name).resolve(
-          s"import-dv-${java.util.UUID.randomUUID().toString.take(12)}")
-        spark.read.parquet(posPlans.map(_.path): _*)
-          .select(col("file_path"), col("pos"))
-          .join(mapping, Seq("file_path"))
-          .select(col("__q").as("file_path"),
-            col("pos").cast("long").as("row_index"))
-          .repartition(1).sortWithinPartitions("file_path", "row_index")
-          .write.mode("overwrite").parquet(vecDir.toString)
-        FileStats.listParquet(vecDir.toString)
-          .map(p => FileStats.stat(spark, p, Map.empty)
-            .copy(deleteFile = Some(true)))
-          .filter(_.rowCount > 0)
-      }
-
-    // Equality deletes: unscoped files register IN PLACE (their key
-    // columns are exactly graft's equality-delete file shape); identity-
-    // partition-scoped files rewrite once as keys × the partition
-    // literal, which IS the scoped semantics as a composite key.
-    def scopeCol(dt: DataType, v: Any): org.apache.spark.sql.Column = {
-      import org.apache.spark.sql.functions.lit
-      v match {
-        case i: Integer if dt == DateType =>
-          lit(java.time.LocalDate.ofEpochDay(i.longValue()).toString)
-            .cast(DateType)
-        case n: Number => lit(n).cast(dt)
-        case other => lit(other.toString).cast(dt)
-      }
-    }
-    val eqEntriesOrdered: Seq[(DataFileEntry, Long)] = eqPlans.map { p =>
-      val entry =
-        if (p.scope.isEmpty)
-          eqStats(p.path).copy(deleteFile = Some(true),
-            equalityKey = Some(p.keyNames.mkString(",")))
-        else {
-          import org.apache.spark.sql.functions.col
-          val scoped = p.scope.foldLeft(
-            spark.read.parquet(p.path).select(p.keyNames.map(col): _*)) {
-            case (df, (c, dt, v)) => df.withColumn(c, scopeCol(dt, v))
-          }
-          val dir = catalog.dataDir(ns, name).resolve(
-            s"import-eq-${java.util.UUID.randomUUID().toString.take(12)}")
-          scoped.repartition(1).write.mode("overwrite").parquet(dir.toString)
-          val f = FileStats.listParquet(dir.toString).head
-          FileStats.stat(spark, f, Map.empty).copy(deleteFile = Some(true),
-            equalityKey = Some((p.keyNames ++ p.scope.map(_._1)).mkString(",")))
-        }
-      (entry, p.seq)
-    }
-
-    // -- one registration commit, in SEQUENCE order ----------------------------
-    // The merged position vector leads (subtraction is global by
-    // (path, pos) — order-free, and leading keeps the streaming
-    // admission guards' vectors-before-adds shape). Equality deletes
-    // interleave with data files by sequence, deletes FIRST at equal
-    // sequence: graft applies an equality delete to the data entries
-    // BEFORE it in replay order, which then reproduces the spec's
-    // strictly-lower-sequence rule exactly (equal-sequence data — the
-    // same-transaction upsert shape — survives its own delete).
-    val orderedTail = (eqEntriesOrdered.map { case (e, s) => (e, s, 0) } ++
-      dataWithSeq.map { case (e, s) => (e, s, 1) })
-      .sortBy(t => (t._2, t._3)).map(_._1)
+    // -- materialize MOR state under the new table's data dir, then ONE
+    // registration commit. The merged position vector leads
+    // (subtraction is global by (path, pos) — order-free, and leading
+    // keeps the streaming admission guards' vectors-before-adds shape).
+    val posEntries = buildPosEntries(spark, catalog, ns, name,
+      walked.posPlans, walked.dvPlans, walked.dataPlainPaths)
+    val eqEntries = buildEqEntries(spark, catalog, ns, name,
+      walked.eqPlans, eqStats)
     val snap = catalog.commit(ns, name, Snaplog.OpAddFiles,
-      posEntries ++ orderedTail,
-      Map("iceberg-import" -> s"v$version.metadata.json",
-        "iceberg-snapshot-id" -> currentId.toString,
-        "position-delete-files" -> posPlans.size.toString,
-        "equality-delete-files" -> eqPlans.size.toString))
+      posEntries ++ orderedTail(eqEntries, walked.dataWithSeq),
+      Map("iceberg-import" -> s"v${tree.version}.metadata.json",
+        "iceberg-snapshot-id" -> tree.currentId.toString,
+        "position-delete-files" -> walked.posDeleteCount.toString,
+        "equality-delete-files" -> walked.eqPlans.size.toString))
+    catalog.updateProperties(ns, name,
+      Map(SyncSnapshotProp -> snap.snapshotId.toString), Seq.empty)
     Report(LakehouseTable.load(catalog, spark, ns, name), snap, storedSchema,
-      partCols, files.size, files.map(_.rowCount).sum,
-      positionDeleteFiles = posPlans.size, equalityDeleteFiles = eqPlans.size)
+      tree.partCols, files.size, files.map(_.rowCount).sum,
+      positionDeleteFiles = walked.posDeleteCount,
+      equalityDeleteFiles = walked.eqPlans.size)
+  }
+
+  /** Parallel footer probe over `paths`: Some(true) = every file
+    * carries top-level field ids, Some(false) = none does, None =
+    * mixed. */
+  private def idProbe(spark: SparkSession,
+      paths: Seq[String]): Option[Boolean] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.DurationInt
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val probed = Await.result(
+      Future.traverse(paths)(p =>
+        Future(scala.concurrent.blocking(
+          graft.types.FieldIds.fileCarriesIds(spark, p)))),
+      30.minutes)
+    if (probed.forall(identity)) Some(true)
+    else if (!probed.exists(identity)) Some(false)
+    else None
+  }
+
+  private def schemaShape(s: StructType): Seq[(String, DataType, Boolean)] =
+    s.fields.toSeq.map(f => (f.name, f.dataType, f.nullable))
+
+  /** Re-sync an ADOPTED table with its live source tree: walk the
+    * foreign metadata again and land everything committed since the
+    * recorded watermark ([[ImportedSnapshotProp]]) as native commits.
+    *
+    *  - Source unchanged → no-op (idempotent; returns `snapshot=None`).
+    *  - Pure growth (no file left the snapshot): ONE `add_files` delta
+    *    commit — new equality deletes and data files interleaved by
+    *    sequence (deletes first at equal sequence, exactly register's
+    *    rule: new eq deletes list BEFORE new data, and graft's
+    *    replay-order application then hits all previously-committed
+    *    data, which all carries lower sequence), led by one merged
+    *    vector for the NEW position-delete files (old files' positions
+    *    are already subtracted by the vectors landed at register time;
+    *    new vectors may reference old data files — the reference map
+    *    spans the source's full current data set).
+    *  - A foreign rewrite (compaction / overwrite / expired delete
+    *    files): one RESET commit (`replace`) re-listing the source's
+    *    full current state — refused if the mirror advanced past the
+    *    last sync with real commits (the reset would silently discard
+    *    them; checkpoint folds and WAP-staged commits don't count).
+    *
+    * Costs match register: metadata-sized walks, predicate-sized
+    * delete-file I/O, zero data movement. Source schema / partition
+    * spec / field-id evolution since import refuses loudly with
+    * re-register guidance (replaying an evolved source into the old
+    * shape would silently misread values). */
+  def refresh(catalog: Catalog, spark: SparkSession, ns: String, name: String,
+      root: Option[Path] = None, statFooters: Boolean = false): RefreshReport = {
+    implicit val fmts: Formats = DefaultFormats
+    val meta0 = catalog.loadTable(ns, name)
+    val srcDir = root.getOrElse(Paths.get(
+      meta0.properties.getOrElse(ImportedFromProp,
+        throw new IllegalArgumentException(
+          s"$ns.$name was not imported from an Iceberg tree " +
+            s"(no $ImportedFromProp property) — nothing to refresh"))))
+    val watermark = meta0.properties.getOrElse(ImportedSnapshotProp,
+      throw new IllegalArgumentException(
+        s"$ns.$name carries no $ImportedSnapshotProp watermark — " +
+          "re-register the tree")).toLong
+    val tree = loadTree(srcDir)
+    val table = LakehouseTable.load(catalog, spark, ns, name)
+    if (tree.currentId == watermark)
+      return RefreshReport(table, None, watermark, watermark, 0, 0, 0,
+        reset = false)
+
+    // The mirror's shape was fixed at register time: an evolved source
+    // (schema, ids, or spec) cannot replay into it without misreading —
+    // refuse with guidance rather than null-fill or misattribute.
+    require(schemaShape(tree.schema) == schemaShape(meta0.schema),
+      s"cannot refresh $ns.$name: the source schema evolved since import " +
+        s"(now ${tree.schema.simpleString}) — re-register the tree under a " +
+        "new name and repoint consumers")
+    require(tree.partCols == meta0.partitionColumns,
+      s"cannot refresh $ns.$name: the source partition spec evolved since " +
+        s"import (now ${tree.partCols.mkString(", ")}) — re-register")
+    meta0.properties.get(graft.types.FieldIds.RegistryProp)
+      .map(graft.types.FieldIds.decode).foreach { stored =>
+        require(tree.srcRegistry == stored,
+          s"cannot refresh $ns.$name: the source field-id registry changed " +
+            "since import (a drop/re-add or rename evolution) — re-register")
+      }
+    meta0.properties.get(graft.types.FieldIds.InteriorProp)
+      .map(graft.types.FieldIds.decode).foreach { stored =>
+        require(tree.interiorRegistry == stored,
+          s"cannot refresh $ns.$name: the source's list/map interior ids " +
+            "changed since import — re-register")
+      }
+    require(tree.snapshots.exists(s =>
+        (s \ "snapshot-id").extract[Long] == watermark),
+      s"cannot refresh $ns.$name: watermark snapshot $watermark expired " +
+        "from the source tree — the delta cannot be reconstructed; " +
+        "re-register the tree under a new name")
+
+    val cur = walkSnapshot(spark, tree, tree.currentId, statFooters)
+    val (wmData, wmDels) = walkPathSets(tree, watermark)
+    val dataAdded = cur.dataWithSeq.filterNot(e => wmData(e._1.path))
+    val dataRemoved = wmData -- cur.dataPlainPaths
+    val posAdded = cur.posPlans.filterNot(p => wmDels(p.path))
+    val dvAdded = cur.dvPlans.filterNot(p => wmDels(p.path))
+    val eqAdded = cur.eqPlans.filterNot(p => wmDels(p.path))
+    val delRemoved = wmDels -- (cur.posPlans.map(_.path) ++
+      cur.dvPlans.map(_.path) ++ cur.eqPlans.map(_.path)).toSet
+
+    // new data files must match the table's resolution mode — a foreign
+    // writer switch (id-stamped vs id-less) would silently null-fill
+    val tableById = meta0.schema.fields.exists(
+      _.metadata.contains(graft.types.FieldIds.MetaKey))
+    if (dataAdded.nonEmpty) idProbe(spark, dataAdded.map(_._1.path)) match {
+      case Some(m) => require(m == tableById,
+        s"cannot refresh $ns.$name: new source data files are " +
+          s"${if (m) "id-stamped" else "id-less"} but the table resolves " +
+          s"by ${if (tableById) "id" else "name"} — rewrite uniformly or " +
+          "re-register")
+      case None => throw new IllegalArgumentException(
+        s"cannot refresh $ns.$name: new source data files mix id-stamped " +
+          "and id-less footers — no single resolution mode; rewrite " +
+          "uniformly before refreshing")
+    }
+
+    val additive = dataRemoved.isEmpty && delRemoved.isEmpty
+    if (!additive) {
+      // the source rewrote history out from under the mirror: only a
+      // reset can express it, and a reset discards whatever the mirror
+      // committed natively since the last sync — refuse in that case
+      val syncId = meta0.properties.get(SyncSnapshotProp).map(_.toLong)
+      val clean = syncId.exists { sid =>
+        catalog.snapshots(ns, name).filter(_.snapshotId > sid).forall(s =>
+          s.operation == Snaplog.OpCheckpoint || Snaplog.isWapStaged(s))
+      }
+      require(clean,
+        s"cannot refresh $ns.$name: the source rewrote files " +
+          s"(${dataRemoved.size} data / ${delRemoved.size} delete file(s) " +
+          "left the snapshot) and the mirror advanced past its last sync " +
+          "with native commits a reset would discard — re-register under " +
+          "a new name, or reconcile manually")
+    }
+
+    val (posToLand, dvToLand, dataToLand) =
+      if (additive) (posAdded, dvAdded, dataAdded)
+      else (cur.posPlans, cur.dvPlans, cur.dataWithSeq)
+    val eqToLand = if (additive) eqAdded else cur.eqPlans
+    val eqStats = validateEq(spark, eqToLand)
+    // reference map spans the source's FULL current data set: a new
+    // vector legitimately names rows of data files imported long ago
+    val posEntries = buildPosEntries(spark, catalog, ns, name,
+      posToLand, dvToLand, cur.dataPlainPaths)
+    val eqEntries = buildEqEntries(spark, catalog, ns, name, eqToLand, eqStats)
+    val posCount = posToLand.size + dvToLand.size
+    val snap = catalog.commit(ns, name,
+      if (additive) Snaplog.OpAddFiles else Snaplog.OpReplace,
+      posEntries ++ orderedTail(eqEntries, dataToLand),
+      Map("iceberg-refresh" -> s"v${tree.version}.metadata.json",
+        "iceberg-snapshot-id" -> tree.currentId.toString,
+        "iceberg-refresh-from" -> watermark.toString,
+        "iceberg-refresh-reset" -> (!additive).toString,
+        "position-delete-files" -> posCount.toString,
+        "equality-delete-files" -> eqToLand.size.toString))
+    catalog.updateProperties(ns, name,
+      Map(ImportedSnapshotProp -> tree.currentId.toString,
+        SyncSnapshotProp -> snap.snapshotId.toString,
+        ImportedFromProp -> tree.metaDir.toString), Seq.empty)
+    RefreshReport(LakehouseTable.load(catalog, spark, ns, name), Some(snap),
+      watermark, tree.currentId, dataToLand.size,
+      posCount, eqToLand.size, reset = !additive)
   }
 }

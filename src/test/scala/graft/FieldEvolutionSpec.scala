@@ -812,4 +812,140 @@ class FieldEvolutionSpec extends SparkSpec {
     assert(tbl.scan().filter($"id" <= 4).select($"props.bonus")
       .collect().forall(_.isNullAt(0)))
   }
+
+  test("PIN: Spark prunes away interior field-id metadata — list/map interior renames stay refused") {
+    // Why list/map INTERIOR fields stay name-bound (SURVEY §8.5): Spark's
+    // parquet machinery WRITES interior struct-field ids and FULL reads
+    // resolve them by id — but nested schema PRUNING rebuilds the
+    // requested schema without the interior metadata, so a pruned read
+    // (`select arr.aa`) falls back to by-NAME matching. Under an
+    // interior RENAME that silently NULLS the leaf for every file —
+    // exactly the wrongness graft refuses to ship. This test pins all
+    // three facts; if a Spark upgrade starts preserving the metadata,
+    // the last assertion FAILS and flags that interior renames can be
+    // revisited. (Interior ids are still stamped and kept export-stable
+    // for interop — see FieldIds.interior*.)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def md(id: Long) = new MetadataBuilder()
+      .putLong(FieldIds.MetaKey, id).build()
+    val dir = Files.createTempDirectory("graft-interior-pin").toString
+    val writeSchema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false, md(1)),
+      StructField("arr", ArrayType(StructType(Seq(
+        StructField("a", IntegerType, nullable = true, md(10)),
+        StructField("b", StringType, nullable = true, md(11)))),
+        containsNull = true), nullable = true, md(2))))
+    val rows = java.util.List.of(
+      Row(1, Seq(Row(5, "x"), Row(6, "y"))),
+      Row(2, Seq(Row(8, "z"))))
+    FieldIds.managedWrite(spark.createDataFrame(rows, writeSchema))
+      .write.mode("overwrite").parquet(dir)
+    // fact 1: the footer carries the interior ids
+    assert(FieldIds.fileCarriesIds(spark,
+      graft.table.FileStats.listParquet(dir).head))
+    // fact 2: a FULL read with a renamed interior leaf (same id) serves
+    // the old values — the writer/reader id machinery itself works
+    val readSchema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false, md(1)),
+      StructField("arr", ArrayType(StructType(Seq(
+        StructField("aa", IntegerType, nullable = true, md(10)),
+        StructField("bb", StringType, nullable = true, md(11)))),
+        containsNull = true), nullable = true, md(2))))
+    spark.conf.set(FieldIds.ReadConf, "true")
+    val full = spark.read.schema(readSchema).parquet(dir)
+      .orderBy("id").collect()
+    assert(full(0).getSeq[Row](1).map(_.getInt(0)) == Seq(5, 6))
+    // fact 3 (THE PIN): the nested-pruned read loses the id metadata
+    // and nulls the renamed leaf — interior renames are unsafe until
+    // this assertion flips on a Spark upgrade
+    val pruned = spark.read.schema(readSchema).parquet(dir)
+      .select(col("id"), col("arr.aa")).orderBy("id").collect()
+    assert(pruned(0).getSeq[Integer](1).forall(_ == null),
+      "Spark now preserves interior field-id metadata through nested " +
+        "schema pruning — interior renames can be revisited (SURVEY §8.5)")
+  }
+
+  test("interior ids: stable across write, export, import and re-export") {
+    // Round 14 (#5): list/map INTERIOR ids live in graft.interior-ids
+    // (name-mapping tokens). Managed writes stamp them, the Iceberg
+    // export declares the SAME numbers (a strict-by-id reader matches
+    // file stamps), import carries a source's interior ids, and a
+    // re-export of an imported tree keeps them — no drift.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val cat = new Snaplog(Files.createTempDirectory("graft-intid").toString)
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("arr", ArrayType(StructType(Seq(
+        StructField("a", IntegerType),
+        StructField("b", StringType)))), nullable = true),
+      StructField("m", MapType(StringType, IntegerType), nullable = true)))
+    val df = spark.createDataFrame(java.util.List.of(
+      Row(1, Seq(Row(5, "x")), Map("k" -> 7)),
+      Row(2, Seq(Row(8, "z"), Row(9, "w")), Map("k2" -> 9))), schema)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "ii", df.schema)
+    val interior = FieldIds.decode(
+      cat.loadTable("ns", "ii").properties(FieldIds.InteriorProp))
+    assert(interior == Map("arr.element" -> 4, "arr.element.a" -> 5,
+      "arr.element.b" -> 6, "m.key" -> 7, "m.value" -> 8), interior.toString)
+    tbl.append(df)
+    // the FILE stamps the interior struct ids the map declares
+    locally {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val f = cat.liveFiles("ns", "ii").head.path
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f), spark.sessionState.newHadoopConf()))
+      try {
+        val root = r.getFooter.getFileMetaData.getSchema
+        def child(t: org.apache.parquet.schema.GroupType,
+            n: String): org.apache.parquet.schema.Type =
+          t.getFields.get(t.getFieldIndex(n))
+        val el = child(child(child(root, "arr").asGroupType, "list")
+          .asGroupType, "element").asGroupType
+        assert(el.getType("a").getId.intValue == 5, el.toString)
+        assert(el.getType("b").getId.intValue == 6, el.toString)
+      } finally r.close()
+    }
+    // export declares the SAME interior ids
+    def interiorIdsOf(dest: java.nio.file.Path): (Int, Int, Int, Int, Int) = {
+      val metaDir = dest.resolve("metadata")
+      val hint = Files.readString(metaDir.resolve("version-hint.text")).trim
+      val meta = JsonMethods.parse(
+        Files.readString(metaDir.resolve(s"v$hint.metadata.json")))
+      val fields = ((meta \ "schemas").asInstanceOf[JArray].arr.head
+        \ "fields").asInstanceOf[JArray].arr
+      val byName = fields.map(f => (f \ "name").extract[String] -> f).toMap
+      val arrT = byName("arr") \ "type"
+      val elFields = ((arrT \ "element") \ "fields").asInstanceOf[JArray].arr
+        .map(f => (f \ "name").extract[String] -> (f \ "id").extract[Int]).toMap
+      val mT = byName("m") \ "type"
+      ((arrT \ "element-id").extract[Int],
+        elFields("a"), elFields("b"),
+        (mT \ "key-id").extract[Int],
+        (mT \ "value-id").extract[Int])
+    }
+    val dest = Files.createTempDirectory("graft-intid-ice")
+    graft.interop.IcebergExport.export(tbl, dest)
+    assert(interiorIdsOf(dest) == ((4, 5, 6, 7, 8)), interiorIdsOf(dest).toString)
+    // import carries the interior map; re-export keeps the ids
+    val imp = graft.interop.IcebergImport.register(cat, spark, dest, "ns", "ii_rt")
+    assert(FieldIds.decode(cat.loadTable("ns", "ii_rt")
+      .properties(FieldIds.InteriorProp)) == interior)
+    assert(imp.table.scan().count() == 2)
+    val dest2 = Files.createTempDirectory("graft-intid-ice2")
+    graft.interop.IcebergExport.export(imp.table, dest2)
+    assert(interiorIdsOf(dest2) == ((4, 5, 6, 7, 8)), "re-export drifted")
+    // evolution: a NEW container column allocates fresh interior ids
+    // above the high-water mark, existing entries untouched
+    tbl.addColumn("tags", ArrayType(StringType))
+    val int2 = FieldIds.decode(
+      cat.loadTable("ns", "ii").properties(FieldIds.InteriorProp))
+    assert(int2("tags.element") > 8, int2.toString)
+    assert(interior.forall { case (k, v) => int2.get(k).contains(v) })
+  }
 }

@@ -766,6 +766,270 @@ abstract class CatalogContractSpec extends SparkSpec {
     assert(eqEntry.equalityKey.contains("value2,group"), s"$eqEntry")
   }
 
+  /** Forge a one-entry DELETE manifest and splice it into an export
+    * tree's manifest list — the shape a foreign Flink/Spark writer
+    * leaves. `partFieldsJson` declares the r102 partition struct fields
+    * (empty for an unpartitioned delete spec); `partValues` sets them. */
+  private def spliceDeleteManifest(dest: java.nio.file.Path,
+      partFieldsJson: String, content: Int, filePath: String,
+      records: Long, eqIds: Seq[Int], partValues: Map[String, Any],
+      seq: Long, specId: Int = 0): Unit = {
+    import scala.jdk.CollectionConverters._
+    val metaDir = dest.resolve("metadata")
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int","field-id":0},
+        |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+        |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+        |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"content","type":"int","field-id":134},
+        |{"name":"file_path","type":"string","field-id":100},
+        |{"name":"file_format","type":"string","field-id":101},
+        |{"name":"partition","type":{"type":"record","name":"r102","fields":[
+        |$partFieldsJson
+        |]},"field-id":102},
+        |{"name":"record_count","type":"long","field-id":103},
+        |{"name":"file_size_in_bytes","type":"long","field-id":104},
+        |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135}
+        |]},"field-id":2}]}""".stripMargin)
+    val part = new org.apache.avro.generic.GenericData.Record(
+      entrySchema.getField("data_file").schema().getField("partition").schema())
+    partValues.foreach { case (k, v) => part.put(k, v) }
+    val dfRec = new org.apache.avro.generic.GenericData.Record(
+      entrySchema.getField("data_file").schema())
+    dfRec.put("content", content)
+    dfRec.put("file_path", filePath)
+    dfRec.put("file_format", "PARQUET")
+    dfRec.put("partition", part)
+    dfRec.put("record_count", records)
+    dfRec.put("file_size_in_bytes",
+      Files.size(java.nio.file.Paths.get(filePath)))
+    dfRec.put("equality_ids",
+      if (eqIds.isEmpty) null
+      else java.util.Arrays.asList(eqIds.map(Integer.valueOf(_)): _*))
+    val entry = new org.apache.avro.generic.GenericData.Record(entrySchema)
+    entry.put("status", 1); entry.put("snapshot_id", 1L)
+    entry.put("sequence_number", seq); entry.put("file_sequence_number", seq)
+    entry.put("data_file", dfRec)
+    val delManifest = metaDir.resolve(
+      s"manifest-forged-${java.util.UUID.randomUUID().toString.take(8)}-deletes.avro")
+    locally {
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](entrySchema))
+      w.setMeta("format-version", "2"); w.setMeta("content", "deletes")
+      w.create(entrySchema, delManifest.toFile)
+      try w.append(entry) finally w.close()
+    }
+    val hint = Files.readString(metaDir.resolve("version-hint.text")).trim
+    val metaJson = Files.readString(metaDir.resolve(s"v$hint.metadata.json"))
+    val listPath = java.nio.file.Paths.get(
+      """"manifest-list" : "([^"]+)"""".r.findFirstMatchIn(metaJson).get.group(1))
+    val listRecs = {
+      val r = new org.apache.avro.file.DataFileReader(listPath.toFile,
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      try r.iterator.asScala.toVector finally r.close()
+    }
+    val mfSchema = listRecs.head.getSchema
+    val delMf = new org.apache.avro.generic.GenericData.Record(mfSchema)
+    delMf.put("manifest_path", delManifest.toString)
+    delMf.put("manifest_length", Files.size(delManifest))
+    delMf.put("partition_spec_id", specId)
+    delMf.put("content", 1)
+    delMf.put("sequence_number", seq); delMf.put("min_sequence_number", seq)
+    delMf.put("added_snapshot_id", 1L); delMf.put("added_files_count", 1)
+    delMf.put("existing_files_count", 0); delMf.put("deleted_files_count", 0)
+    delMf.put("added_rows_count", records); delMf.put("existing_rows_count", 0L)
+    delMf.put("deleted_rows_count", 0L)
+    locally {
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](mfSchema))
+      w.create(mfSchema, listPath.toFile)
+      try { listRecs.foreach(w.append); w.append(delMf) } finally w.close()
+    }
+  }
+
+  test("iceberg export excludes WAP-staged commits instead of crashing on them") {
+    // a staged branch commit is unpublished: it must neither appear in
+    // the exported history nor be looked up in the sequence maps (which
+    // are keyed over the WAP-filtered snapshot list)
+    val cat = freshCatalog()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "wexp", fixture().schema)
+    tbl.append(fixture())
+    tbl.appendToBranch("audit", fixture().withColumn("id", $"id" + 10))
+    val dest = Files.createTempDirectory("graft-wexp")
+    graft.interop.IcebergExport.export(tbl, dest)
+    val rb = graft.interop.IcebergExport.readBack(dest)
+    assert(rb.nSnapshots == 1,
+      "staged WAP commit must not publish into the exported history")
+    assert(rb.totalRecords == 4L)
+    val imp = graft.interop.IcebergImport.register(
+      cat, spark, dest, "ns", "wexp_rt")
+    assert(imp.table.scan().count() == 4)
+  }
+
+  test("iceberg import: scoped eq delete whose KEY is the partition column restricts rows to the partition") {
+    // A spec-legal delete row whose key value differs from the file's
+    // partition value matches nothing in Iceberg (the delete applies
+    // only within its partition). The import must FILTER such rows out
+    // of the rewritten delete, not widen the match to other partitions.
+    val cat = freshCatalog()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "ovl",
+      fixture().schema, Seq("group"))
+    tbl.append(fixture()) // ids 1,2 in A; 3 in B; 4 in C
+    val dest = Files.createTempDirectory("graft-ovl")
+    graft.interop.IcebergExport.export(tbl, dest)
+    // eq delete KEYED ON group, rows "A" and "B", scoped to group="A"
+    val delDir = dest.resolve("deletes"); Files.createDirectories(delDir)
+    Seq("A", "B").toDF("group").repartition(1)
+      .write.mode("overwrite").parquet(delDir.resolve("eq").toString)
+    val eqFile = graft.table.FileStats.listParquet(
+      delDir.resolve("eq").toString).head
+    spliceDeleteManifest(dest,
+      """{"name":"group","type":["null","string"],"default":null,"field-id":1000}""",
+      content = 2, filePath = eqFile, records = 2L,
+      eqIds = Seq(2), partValues = Map("group" -> "A"), seq = 99L)
+    val imp = graft.interop.IcebergImport.register(
+      cat, spark, dest, "ns", "ovl_rt")
+    // only group=A rows delete; the out-of-partition "B" key row is
+    // spec-dead and must NOT delete id 3
+    assert(imp.table.scan().select("id").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(3, 4),
+      "an out-of-partition key row must not delete other partitions' rows")
+    // the rewritten file dropped the spec-dead row
+    val eqEntry = cat.liveDeleteFiles("ns", "ovl_rt").head
+    assert(eqEntry.rowCount == 1L, s"$eqEntry")
+  }
+
+  test("iceberg import: timestamp identity-partition scope converts MICROS exactly") {
+    // Real writers store identity-timestamp partition values as micros
+    // since epoch; a naive long->timestamp cast reads SECONDS and the
+    // scoped delete silently matches nothing (rows resurrect).
+    val t1 = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z"))
+    val t2 = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-02T00:00:00Z"))
+    val df = Seq((1, t1, 10), (2, t2, 20), (3, t1, 30))
+      .toDF("id", "ts", "v")
+    val cat = freshCatalog()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "tsc", df.schema, Seq("ts"))
+    tbl.append(df)
+    val dest = Files.createTempDirectory("graft-tsc")
+    graft.interop.IcebergExport.export(tbl, dest)
+    // eq delete on id IN (1, 2), scoped to partition ts = t1 (micros)
+    val delDir = dest.resolve("deletes"); Files.createDirectories(delDir)
+    Seq(1, 2).toDF("id").repartition(1)
+      .write.mode("overwrite").parquet(delDir.resolve("eq").toString)
+    val eqFile = graft.table.FileStats.listParquet(
+      delDir.resolve("eq").toString).head
+    val micros = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      .getEpochSecond * 1000000L
+    spliceDeleteManifest(dest,
+      """{"name":"ts","type":["null",{"type":"long","logicalType":"timestamp-micros"}],"default":null,"field-id":1000}""",
+      content = 2, filePath = eqFile, records = 2L,
+      eqIds = Seq(1), partValues = Map("ts" -> java.lang.Long.valueOf(micros)),
+      seq = 99L)
+    val imp = graft.interop.IcebergImport.register(
+      cat, spark, dest, "ns", "tsc_rt")
+    // id=1 (in the t1 partition, keyed) deletes; id=2 is keyed but its
+    // partition is t2 — survives; id=3 is in t1 but unkeyed — survives
+    assert(imp.table.scan().select("id").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(2, 3),
+      "micros scope literal must match the partition's rows exactly")
+  }
+
+  test("iceberg refresh: additive delta, reset on source rewrite, honest refusals") {
+    val cat = freshCatalog()
+    val src = LakehouseTable.create(cat, spark, "ns", "livesrc", fixture().schema)
+    src.append(fixture())
+    val dest = Files.createTempDirectory("graft-refresh")
+    graft.interop.IcebergExport.export(src, dest)
+    val imp = graft.interop.IcebergImport.register(
+      cat, spark, dest, "ns", "mirror")
+    assert(imp.table.scan().count() == 4)
+    // -- additive: source appends + eq-deletes, mirror refreshes to match
+    src.append(fixture().withColumn("id", $"id" + 10))
+    src.deleteEq("group", Seq("C"))
+    graft.interop.IcebergExport.export(src, dest)
+    val r1 = graft.interop.IcebergImport.refresh(cat, spark, "ns", "mirror")
+    assert(r1.snapshot.isDefined && !r1.reset)
+    assert(r1.dataFilesAdded >= 1 && r1.equalityDeleteFiles == 1)
+    assert(r1.table.scan().select("id").collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(1, 2, 3, 11, 12, 13), "mirror must net the source's eq delete")
+    // watermark advanced and persists
+    assert(cat.loadTable("ns", "mirror").properties
+      .get(graft.interop.IcebergImport.ImportedSnapshotProp)
+      .contains(src.currentSnapshotId.toString))
+    // -- no-op: unchanged source
+    val r2 = graft.interop.IcebergImport.refresh(cat, spark, "ns", "mirror")
+    assert(r2.snapshot.isEmpty && r2.dataFilesAdded == 0)
+    // -- reset: the source compacts (every file rewritten) — one replace
+    // commit re-lists the current state; content is unchanged
+    src.compact()
+    graft.interop.IcebergExport.export(src, dest)
+    val r3 = graft.interop.IcebergImport.refresh(cat, spark, "ns", "mirror")
+    assert(r3.snapshot.isDefined && r3.reset)
+    assert(r3.table.scan().select("id").collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(1, 2, 3, 11, 12, 13))
+    assert(r3.snapshot.get.operation == Snaplog.OpReplace)
+    // -- reset REFUSES when the mirror advanced natively since the sync
+    // (the reset would silently discard the native rows)
+    r3.table.append(fixture().withColumn("id", $"id" + 100))
+    src.deleteMor($"id" === 1)
+    src.compact() // another rewrite → refresh needs a reset again
+    graft.interop.IcebergExport.export(src, dest)
+    val e = intercept[IllegalArgumentException](
+      graft.interop.IcebergImport.refresh(cat, spark, "ns", "mirror"))
+    assert(e.getMessage.contains("native commits"), e.getMessage)
+    // -- non-imported table refuses
+    val e2 = intercept[IllegalArgumentException](
+      graft.interop.IcebergImport.refresh(cat, spark, "ns", "livesrc"))
+    assert(e2.getMessage.contains("not imported"), e2.getMessage)
+  }
+
+  test("iceberg v3: outstanding position vectors export as puffin DVs and re-import") {
+    val cat = freshCatalog()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "dv3", fixture().schema)
+    tbl.append(fixture())
+    tbl.deleteMor($"id" === 2)
+    // a later era rides ABOVE the vector (higher sequence, untouched)
+    tbl.append(fixture().withColumn("id", $"id" + 10))
+    val dest = Files.createTempDirectory("graft-dv3")
+    graft.interop.IcebergExport.export(tbl, dest, formatVersion = 3)
+    val rb = graft.interop.IcebergExport.readBack(dest)
+    assert(rb.formatVersion == 3)
+    assert(rb.nPositionDeleteFiles == 1, s"$rb")
+    assert(rb.deleteRecords == 1L, "DV record_count is the blob cardinality")
+    // the delete payload on disk is a PUFFIN file, not parquet
+    import scala.jdk.CollectionConverters._
+    val delFiles = scala.util.Using.resource(
+      Files.list(dest.resolve("deletes")))(_.iterator().asScala.toVector)
+    assert(delFiles.exists(_.getFileName.toString.endsWith(".puffin")),
+      delFiles.mkString(", "))
+    val imp = graft.interop.IcebergImport.register(cat, spark, dest, "ns", "dv3_rt")
+    assert(imp.positionDeleteFiles == 1)
+    assert(imp.table.scan().select("id").collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(1, 3, 4, 11, 12, 13, 14),
+      "the DV must decode back into exactly the deleted position")
+  }
+
+  test("iceberg refresh: source schema evolution refuses with re-register guidance") {
+    val cat = freshCatalog()
+    val src = LakehouseTable.create(cat, spark, "ns", "evsrc", fixture().schema)
+    src.append(fixture())
+    val dest = Files.createTempDirectory("graft-refresh-ev")
+    graft.interop.IcebergExport.export(src, dest)
+    graft.interop.IcebergImport.register(cat, spark, dest, "ns", "evmirror")
+    src.addColumn("extra", IntegerType)
+    src.append(fixture().withColumn("id", $"id" + 10)
+      .withColumn("extra", lit(1)))
+    graft.interop.IcebergExport.export(src, dest)
+    val e = intercept[IllegalArgumentException](
+      graft.interop.IcebergImport.refresh(cat, spark, "ns", "evmirror"))
+    assert(e.getMessage.contains("re-register"), e.getMessage)
+  }
+
   test("changelog refuses to cross an imported-MOR commit, works from it") {
     val cat = freshCatalog()
     val tbl = LakehouseTable.create(cat, spark, "ns", "clm", fixture().schema)
@@ -821,13 +1085,14 @@ abstract class CatalogContractSpec extends SparkSpec {
     imp.table.append(fixture().withColumn("id", $"id" + 20))
     assert(imp.table.scan().filter($"id" > 20).select("score")
       .collect().map(_.getInt(0)).forall(_ == 7))
-    // v3 + outstanding position vectors refuse (puffin not emitted)
+    // v3 + outstanding position vectors: exports as a puffin DV
+    // (round 14 — the pre-r14 refusal is lifted)
     tbl.deleteMor($"id" === 1)
-    val e2 = intercept[IllegalArgumentException] {
-      graft.interop.IcebergExport.export(tbl,
-        Files.createTempDirectory("graft-v3d-pos"), formatVersion = 3)
-    }
-    assert(e2.getMessage.contains("puffin"), e2.getMessage)
+    val dPos = Files.createTempDirectory("graft-v3d-pos")
+    graft.interop.IcebergExport.export(tbl, dPos, formatVersion = 3)
+    val rbPos = graft.interop.IcebergExport.readBack(dPos)
+    assert(rbPos.nPositionDeleteFiles == 1 && rbPos.deleteRecords == 1L,
+      s"$rbPos")
     // …while v2 still expresses the vector as a parquet delete file
     val d2 = Files.createTempDirectory("graft-v3d-v2pos")
     val eV2 = intercept[IllegalArgumentException] {

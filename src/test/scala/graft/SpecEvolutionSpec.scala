@@ -151,6 +151,127 @@ class SpecEvolutionSpec extends SparkSpec {
     assert(e3.getMessage.contains("id_bucket"))
   }
 
+  test("iceberg import: multi-spec tree lands old-spec files UNATTRIBUTED, reads stay exact") {
+    // A foreign tree whose manifests carry MULTIPLE spec ids: files
+    // under a non-default spec hold no value for the current spec's
+    // fields — they must import with NO partition entry (graft's
+    // mixed-coverage machinery keeps them through pruning and restores
+    // exactness row-level). Recording the Hive null sentinel instead
+    // would claim "the value IS null" and partition-filtered reads
+    // would silently drop their rows.
+    import scala.jdk.CollectionConverters._
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import org.json4s.JsonDSL._
+    val wh = Files.createTempDirectory("graft-pev-imp").toString
+    val cat = new Snaplog(wh)
+    val t = LakehouseTable.create(cat, spark, "ns", "mspec",
+      fixture(1).schema, Seq("grp"))
+    t.append(fixture(1, 2, 3, 4))
+    val dest = Files.createTempDirectory("graft-pev-tree")
+    graft.interop.IcebergExport.export(t, dest)
+    val metaDir = dest.resolve("metadata")
+    // an extra data file written under an OLDER, empty spec (id-stamped
+    // like the tree's other files, so the resolution probe stays by-id)
+    val md = (id: Long) => new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(graft.types.FieldIds.MetaKey, id).build()
+    val oldDir = dest.resolve("olddata")
+    graft.types.FieldIds.managedWrite(
+      fixture(9, 10).select(col("id").as("id", md(1)),
+        col("grp").as("grp", md(2)), col("ts").as("ts", md(3)),
+        col("v").as("v", md(4))).repartition(1))
+      .write.mode("overwrite").parquet(oldDir.toString)
+    val oldFile = graft.table.FileStats.listParquet(oldDir.toString).head
+    // forge a data manifest under spec-id 7 (no partition fields)
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int","field-id":0},
+        |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+        |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+        |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"content","type":"int","field-id":134},
+        |{"name":"file_path","type":"string","field-id":100},
+        |{"name":"file_format","type":"string","field-id":101},
+        |{"name":"partition","type":{"type":"record","name":"r102","fields":[]},"field-id":102},
+        |{"name":"record_count","type":"long","field-id":103},
+        |{"name":"file_size_in_bytes","type":"long","field-id":104}
+        |]},"field-id":2}]}""".stripMargin)
+    val dfRec = new org.apache.avro.generic.GenericData.Record(
+      entrySchema.getField("data_file").schema())
+    dfRec.put("content", 0)
+    dfRec.put("file_path", oldFile)
+    dfRec.put("file_format", "PARQUET")
+    dfRec.put("partition", new org.apache.avro.generic.GenericData.Record(
+      entrySchema.getField("data_file").schema().getField("partition").schema()))
+    dfRec.put("record_count", 2L)
+    dfRec.put("file_size_in_bytes",
+      Files.size(java.nio.file.Paths.get(oldFile)))
+    val entry = new org.apache.avro.generic.GenericData.Record(entrySchema)
+    entry.put("status", 1); entry.put("snapshot_id", 1L)
+    entry.put("sequence_number", 1L); entry.put("file_sequence_number", 1L)
+    entry.put("data_file", dfRec)
+    val oldManifest = metaDir.resolve("manifest-oldspec.avro")
+    locally {
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](entrySchema))
+      w.setMeta("format-version", "2"); w.setMeta("content", "data")
+      w.create(entrySchema, oldManifest.toFile)
+      try w.append(entry) finally w.close()
+    }
+    // splice into the manifest list under spec-id 7, and declare the
+    // old spec in metadata.json's partition-specs
+    val hint = Files.readString(metaDir.resolve("version-hint.text")).trim
+    val metaFile = metaDir.resolve(s"v$hint.metadata.json")
+    val metaJson = Files.readString(metaFile)
+    val listPath = java.nio.file.Paths.get(
+      """"manifest-list" : "([^"]+)"""".r.findFirstMatchIn(metaJson).get.group(1))
+    val listRecs = {
+      val r = new org.apache.avro.file.DataFileReader(listPath.toFile,
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      try r.iterator.asScala.toVector finally r.close()
+    }
+    val mfSchema = listRecs.head.getSchema
+    val oldMf = new org.apache.avro.generic.GenericData.Record(mfSchema)
+    oldMf.put("manifest_path", oldManifest.toString)
+    oldMf.put("manifest_length", Files.size(oldManifest))
+    oldMf.put("partition_spec_id", 7)
+    oldMf.put("content", 0)
+    oldMf.put("sequence_number", 1L); oldMf.put("min_sequence_number", 1L)
+    oldMf.put("added_snapshot_id", 1L); oldMf.put("added_files_count", 1)
+    oldMf.put("existing_files_count", 0); oldMf.put("deleted_files_count", 0)
+    oldMf.put("added_rows_count", 2L); oldMf.put("existing_rows_count", 0L)
+    oldMf.put("deleted_rows_count", 0L)
+    locally {
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](mfSchema))
+      w.create(mfSchema, listPath.toFile)
+      try { listRecs.foreach(w.append); w.append(oldMf) } finally w.close()
+    }
+    val parsed = JsonMethods.parse(metaJson)
+    val updated = parsed.transformField {
+      case ("partition-specs", JArray(specs)) =>
+        ("partition-specs", JArray(specs :+
+          ((("spec-id" -> 7) ~ ("fields" -> List.empty[JValue])): JValue)))
+    }
+    Files.writeString(metaFile, JsonMethods.pretty(JsonMethods.render(updated)))
+    val imp = graft.interop.IcebergImport.register(
+      cat, spark, dest, "ns", "mspec_rt")
+    // the old-spec file is UNATTRIBUTED — no grp key at all
+    val un = cat.liveFiles("ns", "mspec_rt")
+      .filter(!_.partitionValues.contains("grp"))
+    assert(un.size == 1 && un.head.path == oldFile, un.toString)
+    assert(imp.table.scan().count() == 6)
+    // identity partition filter stays EXACT: the unattributed file
+    // survives pruning and row-filters (grp = g(i % 2))
+    val got = imp.table.scan(partitionFilter = Map("grp" -> "g1"))
+      .select("id").collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == Seq(1, 3, 9), got.toString)
+  }
+
   test("JDBC backend persists the evolved spec") {
     val dir = Files.createTempDirectory("graft-pev-jdbc")
     val cat = new graft.catalog.JdbcCatalog(

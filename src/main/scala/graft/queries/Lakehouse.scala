@@ -2376,6 +2376,64 @@ object Lakehouse {
         FROM final WHERE o_orderkey % 10 <> 3
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // Live-tree adoption (round 14): a mirror registered from a foreign
+    // Iceberg tree REFRESHES as the source advances — the source
+    // appends an era and equality-deletes keys (refresh #1 lands one
+    // metadata-only delta commit: new data files + the eq delete,
+    // sequence-interleaved), then position-deletes rows (refresh #2
+    // lands one merged vector referencing data files imported earlier),
+    // and an unchanged source is a no-op (refresh #3). The mirror's
+    // final scan hash-matches DuckDB recomputing the net content, with
+    // every refresh-shape claim riding the result. At 100 TB this is
+    // mirroring a live Flink CDC Iceberg table WITHOUT re-registering:
+    // each sync moves metadata + predicate-sized delete files only.
+    QueryDef("lake_iceberg_refresh",
+      (s, d) => {
+        val whDir = wh("lake_iceberg_refresh", d)
+        val cat = new Snaplog(whDir)
+        val orders = t(s, d, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        // era 1 is the registered state; the source then lives on
+        val src = Ingest.ingestDf(cat, "lake", "orders_live",
+          orders.filter(col("o_orderkey") < 3000)).table
+        val dest = Paths.get(whDir, "ice_live")
+        IcebergExport.export(src, dest)
+        graft.interop.IcebergImport.register(
+          cat, s, dest, "lake", "orders_mirror")
+        // source advance #1: append era 2, then eq-delete every key % 7
+        src.append(orders.filter(col("o_orderkey") >= 3000))
+        src.deleteEq("o_orderkey",
+          orders.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"))
+        IcebergExport.export(src, dest)
+        val r1 = graft.interop.IcebergImport.refresh(
+          cat, s, "lake", "orders_mirror")
+        // source advance #2: a position vector across both eras
+        src.deleteMor(col("o_orderkey") % 10 === 3)
+        IcebergExport.export(src, dest)
+        val r2 = graft.interop.IcebergImport.refresh(
+          cat, s, "lake", "orders_mirror")
+        // unchanged source: refresh is an idempotent no-op
+        val r3 = graft.interop.IcebergImport.refresh(
+          cat, s, "lake", "orders_mirror")
+        r2.table.scan()
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("delta_refresh", lit(r1.snapshot.isDefined &&
+            !r1.reset && r1.dataFilesAdded >= 1 &&
+            r1.equalityDeleteFiles == 1 && r1.positionDeleteFiles == 0))
+          .withColumn("vector_refresh", lit(r2.snapshot.isDefined &&
+            !r2.reset && r2.dataFilesAdded == 0 &&
+            r2.positionDeleteFiles == 1))
+          .withColumn("noop_refresh", lit(r3.snapshot.isEmpty))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          TRUE AS delta_refresh, TRUE AS vector_refresh, TRUE AS noop_refresh
+        FROM orders
+        WHERE o_orderkey % 7 <> 0 AND o_orderkey % 10 <> 3
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // Iceberg v3 export with initial-default (round 13): a DEFAULTED
     // column exports WITHOUT the compact-first tax — era 1 predates the
     // column (v2 refuses: nothing in a v2 tree can tell a reader to
@@ -2423,6 +2481,48 @@ object Lakehouse {
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
           TRUE AS v3_tree
         FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Iceberg v3 PUFFIN deletion vectors, both directions (round 14):
+    // a table with an outstanding position vector exports as v3
+    // WITHOUT compacting — the vector becomes a `deletion-vector-v1`
+    // roaring-bitmap blob in a puffin file (one blob per referenced
+    // data file, located by the v3 manifest columns 143/144/145) —
+    // then the tree re-imports, the DV decodes back into a native
+    // vector, and the scan nets the deletes exactly (DuckDB oracle).
+    // A later append rides ABOVE the vector in sequence order and
+    // survives untouched. At 100 TB this is publishing a curated
+    // corpus with live takedown vectors to v3 readers (Iceberg 1.8+
+    // defaults) with metadata + bitmap-sized I/O only.
+    QueryDef("lake_iceberg_v3_dv",
+      (s, d) => {
+        val whDir = wh("lake_iceberg_v3_dv", d)
+        val cat = new Snaplog(whDir)
+        val customer = t(s, d, "customer").select(
+          col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        val rep = Ingest.ingestDf(cat, "lake", "cust_dv",
+          customer.filter(col("c_custkey") % 2 === 0))
+        rep.table.deleteMor(col("c_custkey") % 9 === 4)
+        // a second era lands AFTER the vector: higher sequence, untouched
+        rep.table.append(customer.filter(col("c_custkey") % 2 === 1))
+        val dest = Paths.get(whDir, "ice_dv")
+        IcebergExport.export(rep.table, dest, formatVersion = 3)
+        val rb = IcebergExport.readBack(dest)
+        val imp = graft.interop.IcebergImport.register(
+          cat, s, dest, "lake", "cust_dv_rt")
+        imp.table.scan()
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("total"))
+          .withColumn("dv_exported", lit(rb.formatVersion == 3 &&
+            rb.nPositionDeleteFiles >= 1))
+          .withColumn("dv_imported", lit(imp.positionDeleteFiles >= 1))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          TRUE AS dv_exported, TRUE AS dv_imported
+        FROM customer
+        WHERE c_custkey % 2 = 1 OR c_custkey % 9 <> 4
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
     // Inner WRITE-default (round 13): `evt.score` is added with a
     // write-side default — era 2, appended as a SUBSET struct (the

@@ -110,7 +110,8 @@ object IcebergImport {
       dataFilesAdded: Int,
       positionDeleteFiles: Int,
       equalityDeleteFiles: Int,
-      reset: Boolean)
+      reset: Boolean,
+      commits: Int = 1)
 
   /** Table property: source `metadata/` dir recorded at register. */
   val ImportedFromProp = "iceberg.imported-from"
@@ -1062,13 +1063,53 @@ object IcebergImport {
     *    last sync with real commits (the reset would silently discard
     *    them; checkpoint folds and WAP-staged commits don't count).
     *
+    * `perSnapshot = true` replays the window ONE NATIVE COMMIT PER
+    * SOURCE SNAPSHOT instead of a single folded delta — a source
+    * append lands as `add_files`, a source delete as
+    * `eq_delete`/`mor_delete`, a same-snapshot [delete, data] shape as
+    * the mergeDelta commit form — so the mirror's history is
+    * indistinguishable from native writes: the streaming table source
+    * tails it (delete commits lead batches exactly as admission
+    * control requires), the changelog/CDC tiers read it (no
+    * mixed-shape commit to refuse on), and incremental consumers see
+    * the source's real commit boundaries. The watermark advances after
+    * EVERY step, so a crash mid-replay resumes where it stopped. A
+    * rewrite inside the window degrades to the delta path's single
+    * reset at the source's current state (intermediate snapshots
+    * collapse — per-snapshot replay can only express additive steps).
+    * Cost: one metadata walk per source snapshot instead of one total.
+    *
     * Costs match register: metadata-sized walks, predicate-sized
     * delete-file I/O, zero data movement. Source schema / partition
     * spec / field-id evolution since import refuses loudly with
     * re-register guidance (replaying an evolved source into the old
-    * shape would silently misread values). */
+    * shape would silently misread values).
+    *
+    * Every refresh commit is CONDITIONAL on the mirror head observed
+    * when the delta was computed: two concurrent refreshers would
+    * otherwise both read the same watermark and land the same files
+    * twice (doubled rows). On conflict the whole pass retries from the
+    * persisted watermark — steps another refresher already landed
+    * skip, interleaved native commits (additive, so still sound)
+    * re-base the expectation. */
   def refresh(catalog: Catalog, spark: SparkSession, ns: String, name: String,
-      root: Option[Path] = None, statFooters: Boolean = false): RefreshReport = {
+      root: Option[Path] = None, statFooters: Boolean = false,
+      perSnapshot: Boolean = false): RefreshReport = {
+    var attemptsLeft = 3
+    while (attemptsLeft > 0) {
+      try return refreshOnce(catalog, spark, ns, name, root, statFooters,
+        perSnapshot)
+      catch {
+        case _: graft.catalog.CommitConflictException if attemptsLeft > 1 =>
+          attemptsLeft -= 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def refreshOnce(catalog: Catalog, spark: SparkSession,
+      ns: String, name: String, root: Option[Path],
+      statFooters: Boolean, perSnapshot: Boolean): RefreshReport = {
     implicit val fmts: Formats = DefaultFormats
     val meta0 = catalog.loadTable(ns, name)
     val srcDir = root.getOrElse(Paths.get(
@@ -1084,7 +1125,7 @@ object IcebergImport {
     val table = LakehouseTable.load(catalog, spark, ns, name)
     if (tree.currentId == watermark)
       return RefreshReport(table, None, watermark, watermark, 0, 0, 0,
-        reset = false)
+        reset = false, commits = 0)
 
     // The mirror's shape was fixed at register time: an evolved source
     // (schema, ids, or spec) cannot replay into it without misreading —
@@ -1113,6 +1154,22 @@ object IcebergImport {
       s"cannot refresh $ns.$name: watermark snapshot $watermark expired " +
         "from the source tree — the delta cannot be reconstructed; " +
         "re-register the tree under a new name")
+
+    // conditional-commit base: the mirror head as of this pass's reads —
+    // any interleaved commit (a concurrent refresher, a native writer)
+    // conflicts instead of silently double-landing the delta
+    val headAtEntry = catalog.currentSnapshot(ns, name).map(_.snapshotId)
+
+    if (perSnapshot) replayPerSnapshot(catalog, spark, ns, name, tree,
+      meta0, watermark, headAtEntry, statFooters) match {
+      case Some(report) => return report
+      case None =>
+        // a rewrite inside the window: additive steps up to it are
+        // already landed and watermarked — re-enter the delta path
+        // fresh, which expresses the remainder as one reset
+        return refreshOnce(catalog, spark, ns, name, root, statFooters,
+          perSnapshot = false)
+    }
 
     val cur = walkSnapshot(spark, tree, tree.currentId, statFooters)
     val (wmData, wmDels) = walkPathSets(tree, watermark)
@@ -1177,7 +1234,8 @@ object IcebergImport {
         "iceberg-refresh-from" -> watermark.toString,
         "iceberg-refresh-reset" -> (!additive).toString,
         "position-delete-files" -> posCount.toString,
-        "equality-delete-files" -> eqToLand.size.toString))
+        "equality-delete-files" -> eqToLand.size.toString),
+      expectedSnapshotId = headAtEntry)
     catalog.updateProperties(ns, name,
       Map(ImportedSnapshotProp -> tree.currentId.toString,
         SyncSnapshotProp -> snap.snapshotId.toString,
@@ -1185,5 +1243,126 @@ object IcebergImport {
     RefreshReport(LakehouseTable.load(catalog, spark, ns, name), Some(snap),
       watermark, tree.currentId, dataToLand.size,
       posCount, eqToLand.size, reset = !additive)
+  }
+
+  /** Source snapshot ids from `from` (exclusive) to the current
+    * snapshot, oldest first, resolved by the parent-snapshot-id chain —
+    * the only walk that is correct under branching (the flat snapshot
+    * list may hold other branches' commits). Refuses when the chain
+    * does not reach the watermark (branch switch, expired parents):
+    * per-snapshot replay cannot reconstruct those boundaries, the
+    * folded delta still can. */
+  private def lineage(tree: Tree, from: Long)
+      (implicit fmts: Formats): Seq[Long] = {
+    val byId = tree.snapshots
+      .map(s => (s \ "snapshot-id").extract[Long] -> s).toMap
+    var chain = List.empty[Long]
+    var cur = tree.currentId
+    while (cur != from) {
+      chain = cur :: chain
+      cur = byId.get(cur).flatMap(s => s \ "parent-snapshot-id" match {
+        case JNothing | JNull => None
+        case j => Some(j.extract[Long])
+      }).getOrElse(throw new IllegalArgumentException(
+        s"per-snapshot refresh: the parent chain from current snapshot " +
+          s"${tree.currentId} does not reach watermark $from (branch " +
+          "switch or expired parents) — refresh without perSnapshot, " +
+          "or re-register"))
+    }
+    chain
+  }
+
+  /** The perSnapshot replay loop: one native commit per source
+    * snapshot in (watermark, current]. Returns None when a step is
+    * non-additive (a rewrite) — the caller re-enters the delta path,
+    * which expresses the remainder as one reset. Each step advances
+    * the watermark BEFORE the next walk, so a crash or a commit
+    * conflict resumes exactly where it stopped. */
+  private def replayPerSnapshot(catalog: Catalog, spark: SparkSession,
+      ns: String, name: String, tree: Tree,
+      meta0: graft.catalog.TableMetadata, watermark: Long,
+      headAtEntry: Option[Long], statFooters: Boolean)
+      (implicit fmts: Formats): Option[RefreshReport] = {
+    val chain = lineage(tree, watermark)
+    val tableById = meta0.schema.fields.exists(
+      _.metadata.contains(graft.types.FieldIds.MetaKey))
+    var (prevData, prevDels) = walkPathSets(tree, watermark)
+    var expected = headAtEntry
+    var wm = watermark
+    var lastSnap: Option[Snapshot] = None
+    var commits = 0; var dataN = 0; var posN = 0; var eqN = 0
+    chain.foreach { sid =>
+      val cur = walkSnapshot(spark, tree, sid, statFooters)
+      val curDelPaths: Set[String] = (cur.posPlans.map(_.path) ++
+        cur.dvPlans.map(_.path) ++ cur.eqPlans.map(_.path)).toSet
+      if ((prevData -- cur.dataPlainPaths).nonEmpty ||
+          (prevDels -- curDelPaths).nonEmpty)
+        return None // rewrite: remainder lands as the delta path's reset
+      val dataAdded = cur.dataWithSeq.filterNot(e => prevData(e._1.path))
+      val posAdded = cur.posPlans.filterNot(p => prevDels(p.path))
+      val dvAdded = cur.dvPlans.filterNot(p => prevDels(p.path))
+      val eqAdded = cur.eqPlans.filterNot(p => prevDels(p.path))
+      if (dataAdded.nonEmpty) idProbe(spark, dataAdded.map(_._1.path)) match {
+        case Some(m) => require(m == tableById,
+          s"cannot refresh $ns.$name: new source data files are " +
+            s"${if (m) "id-stamped" else "id-less"} but the table resolves " +
+            s"by ${if (tableById) "id" else "name"} — rewrite uniformly or " +
+            "re-register")
+        case None => throw new IllegalArgumentException(
+          s"cannot refresh $ns.$name: new source data files mix id-stamped " +
+            "and id-less footers — no single resolution mode; rewrite " +
+            "uniformly before refreshing")
+      }
+      if (dataAdded.nonEmpty || posAdded.nonEmpty || dvAdded.nonEmpty ||
+          eqAdded.nonEmpty) {
+        val eqStats = validateEq(spark, eqAdded)
+        val posEntries = buildPosEntries(spark, catalog, ns, name,
+          posAdded, dvAdded, cur.dataPlainPaths)
+        val eqEntries = buildEqEntries(spark, catalog, ns, name,
+          eqAdded, eqStats)
+        // native op per source shape, so downstream tiers (streaming
+        // admission, changelog, CDC) see commits indistinguishable from
+        // graft's own writers: delete-only snapshots use the delete
+        // ops; a same-snapshot [eq-delete, data] pair is the mergeDelta
+        // commit form (equal sequence — the data survives its own
+        // delete, expressed by replay position); anything carrying
+        // position vectors uses the register shape (vectors lead an
+        // add_files commit, which admission control admits)
+        val op =
+          if (dataAdded.isEmpty && eqEntries.isEmpty && posEntries.nonEmpty)
+            Snaplog.OpMorDelete
+          else if (posEntries.isEmpty && eqEntries.nonEmpty)
+            Snaplog.OpEqDelete
+          else Snaplog.OpAddFiles
+        val snap = catalog.commit(ns, name, op,
+          posEntries ++ orderedTail(eqEntries, dataAdded),
+          Map("iceberg-refresh" -> s"v${tree.version}.metadata.json",
+            "iceberg-snapshot-id" -> sid.toString,
+            "iceberg-refresh-from" -> wm.toString,
+            "iceberg-refresh-reset" -> "false",
+            "position-delete-files" -> (posAdded.size + dvAdded.size).toString,
+            "equality-delete-files" -> eqAdded.size.toString),
+          expectedSnapshotId = expected)
+        lastSnap = Some(snap); commits += 1
+        dataN += dataAdded.size
+        posN += posAdded.size + dvAdded.size
+        eqN += eqAdded.size
+        expected = Some(snap.snapshotId)
+        catalog.updateProperties(ns, name,
+          Map(ImportedSnapshotProp -> sid.toString,
+            SyncSnapshotProp -> snap.snapshotId.toString,
+            ImportedFromProp -> tree.metaDir.toString), Seq.empty)
+      } else {
+        // an empty source snapshot (audit no-op): watermark only
+        catalog.updateProperties(ns, name,
+          Map(ImportedSnapshotProp -> sid.toString), Seq.empty)
+      }
+      wm = sid
+      prevData = cur.dataPlainPaths
+      prevDels = curDelPaths
+    }
+    Some(RefreshReport(LakehouseTable.load(catalog, spark, ns, name),
+      lastSnap, watermark, tree.currentId, dataN, posN, eqN,
+      reset = false, commits = commits))
   }
 }

@@ -2434,6 +2434,67 @@ object Lakehouse {
         WHERE o_orderkey % 7 <> 0 AND o_orderkey % 10 <> 3
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // STREAMING MIRROR of a live foreign Iceberg tree (round 14): the
+    // table source's `refresh=true` option re-syncs an adopted mirror
+    // in PER-SNAPSHOT mode before each trigger, so the foreign tree's
+    // new snapshots land as NATIVE commits the stream then tails —
+    // nobody calls refresh by hand. A source append becomes an
+    // add_files batch; a source equality delete becomes a native
+    // eq_delete boundary (skip semantics — the sink keeps both eras,
+    // the MIRROR nets the delete). At 100 TB this is "tail a live
+    // Flink CDC Iceberg table into a Spark pipeline" with one
+    // driver-side metadata walk per trigger and zero data movement.
+    QueryDef("stream_iceberg_mirror",
+      (s, d) => {
+        val whDir = wh("stream_iceberg_mirror", d)
+        val cat = new Snaplog(whDir)
+        val orders = t(s, d, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val src = Ingest.ingestDf(cat, "lake", "orders_feed",
+          orders.filter(col("o_orderkey") % 2 === 0)).table
+        val dest = Paths.get(whDir, "ice_feed")
+        IcebergExport.export(src, dest)
+        graft.interop.IcebergImport.register(
+          cat, s, dest, "lake", "orders_feed_mirror")
+        val cn = sqlCatalog(s, "gmir", whDir)
+        val ckpt = scratchDir("stream_iceberg_mirror_ck", d)
+        val out = scratchDir("stream_iceberg_mirror_out", d)
+        def runOnce(): Unit = {
+          val q = s.readStream.option("refresh", "true")
+            .table(s"$cn.lake.orders_feed_mirror")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination(300000)
+          q.exception.foreach(throw _)
+        }
+        runOnce() // the registered content (evens)
+        // the SOURCE advances: odds append, then a key-valued delete —
+        // only the stream's own refresh syncs the mirror
+        src.append(orders.filter(col("o_orderkey") % 2 === 1))
+        src.deleteEq("o_orderkey",
+          orders.filter(col("o_orderkey") % 10 === 7).select("o_orderkey"))
+        IcebergExport.export(src, dest)
+        runOnce() // delta: odds stream, the delete is a native boundary
+        val sinkRows = s.read.schema(src.schema).parquet(out).count()
+        val mirror = LakehouseTable.load(cat, s, "lake", "orders_feed_mirror")
+        val nativeDelete = cat.snapshots("lake", "orders_feed_mirror")
+          .exists(_.operation == Snaplog.OpEqDelete)
+        mirror.scan()
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("streamed_both_eras", lit(sinkRows == orders.count()))
+          .withColumn("native_delete_commit", lit(nativeDelete))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          TRUE AS streamed_both_eras, TRUE AS native_delete_commit
+        FROM orders WHERE o_orderkey % 10 <> 7
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // Iceberg v3 export with initial-default (round 13): a DEFAULTED
     // column exports WITHOUT the compact-first tax — era 1 predates the
     // column (v2 refuses: nothing in a v2 tree can tell a reader to

@@ -406,6 +406,29 @@ private[graft] final class GraftMicroBatchStream(
   maxBytesPerTrigger.foreach(n =>
     require(n > 0, s"maxBytesPerTrigger must be positive, got $n"))
 
+  /** `refresh=true` — valid only on a table adopted from an Iceberg
+    * tree ([[graft.interop.IcebergImport.register]]): before each
+    * trigger's end offset is computed, re-sync the mirror with its
+    * live source in PER-SNAPSHOT mode, so the foreign tree's new
+    * snapshots land as native commits this source then tails like any
+    * other writer's — a source append becomes an add_files batch, a
+    * source delete an eq_delete/mor_delete boundary the admission
+    * guards already understand. The full "tail a live external CDC
+    * table" story: one driver-side metadata walk per trigger, zero
+    * data movement. Refresh refusals (source schema/spec evolution,
+    * rewind) fail the query loudly — restart after re-registering. */
+  private val refreshSource: Boolean =
+    Option(options.get("refresh")).exists(_.toBoolean)
+  if (refreshSource)
+    require(backing.loadTable(ns, tbl).properties
+        .contains(graft.interop.IcebergImport.ImportedFromProp),
+      s"streaming read of $ns.$tbl: refresh=true requires a table " +
+        "imported from an Iceberg tree (IcebergImport.register)")
+  private def refreshIfMirror(): Unit =
+    if (refreshSource)
+      graft.interop.IcebergImport.refresh(backing, spark, ns, tbl,
+        perSnapshot = true)
+
   /** Trigger.AvailableNow target: pinned once at stream start so the
     * run terminates even while writers keep committing. */
   @volatile private var availableNowTarget: Option[Long] = None
@@ -447,8 +470,12 @@ private[graft] final class GraftMicroBatchStream(
     initDirs.clear()
   }
 
-  override def prepareForTriggerAvailableNow(): Unit =
+  override def prepareForTriggerAvailableNow(): Unit = {
+    // one sync at stream start: the run drains everything the source
+    // had committed by then, and terminates even while it keeps writing
+    refreshIfMirror()
     availableNowTarget = Some(headId)
+  }
 
   override def getDefaultReadLimit: ReadLimit = {
     val limits = maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
@@ -467,6 +494,9 @@ private[graft] final class GraftMicroBatchStream(
       "latestOffset(Offset, ReadLimit) should be called instead (SupportsAdmissionControl)")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    // continuous triggers re-sync the mirror per trigger; AvailableNow
+    // synced once at prepare time (the target is already pinned)
+    if (availableNowTarget.isEmpty) refreshIfMirror()
     val cap = availableNowTarget.getOrElse(headId)
     val s = start.asInstanceOf[GraftStreamOffset].id
     if (cap <= s) return GraftStreamOffset(s)

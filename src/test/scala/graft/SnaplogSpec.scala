@@ -1014,6 +1014,60 @@ abstract class CatalogContractSpec extends SparkSpec {
       "the DV must decode back into exactly the deleted position")
   }
 
+  test("iceberg refresh perSnapshot: one NATIVE commit per source snapshot") {
+    val cat = freshCatalog()
+    val src = LakehouseTable.create(cat, spark, "ns", "pssrc", fixture().schema)
+    src.append(fixture())
+    val dest = Files.createTempDirectory("graft-refresh-ps")
+    graft.interop.IcebergExport.export(src, dest)
+    graft.interop.IcebergImport.register(cat, spark, dest, "ns", "psmirror")
+    val syncAfterRegister = cat.currentSnapshot("ns", "psmirror").get.snapshotId
+    // three DISTINCT source commits: append, equality delete, position
+    // vector — per-snapshot replay must land them as three native
+    // commits with the matching ops, not one folded add_files
+    src.append(fixture().withColumn("id", $"id" + 10))
+    src.deleteEq("group", Seq("C"))
+    src.deleteMor($"id" === 1)
+    graft.interop.IcebergExport.export(src, dest)
+    val r = graft.interop.IcebergImport.refresh(
+      cat, spark, "ns", "psmirror", perSnapshot = true)
+    assert(!r.reset && r.commits == 3, r.toString)
+    assert(r.dataFilesAdded >= 1 && r.equalityDeleteFiles == 1 &&
+      r.positionDeleteFiles == 1, r.toString)
+    val ops = cat.snapshots("ns", "psmirror")
+      .filter(_.snapshotId > syncAfterRegister).map(_.operation)
+    assert(ops == Seq(Snaplog.OpAddFiles, Snaplog.OpEqDelete,
+      Snaplog.OpMorDelete), ops.toString)
+    // content nets exactly like the source
+    val mirror = r.table
+    assert(mirror.scan().select("id").collect().map(_.getInt(0)).sorted.toSeq
+      == src.scan().select("id").collect().map(_.getInt(0)).sorted.toSeq)
+    // the refreshed window is CHANGELOG-readable — native shapes, so
+    // the import-guard has nothing to refuse (the folded delta's mixed
+    // commit would refuse here)
+    val changes = mirror.scanChanges(fromSnapshot = syncAfterRegister)
+    val byType = changes.groupBy(LakehouseTable.ChangeTypeCol).count()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(byType.getOrElse("insert", 0L) >= 4, byType.toString)
+    assert(byType.getOrElse("delete", 0L) >= 2, byType.toString)
+    // idempotent: unchanged source is a zero-commit no-op
+    val r2 = graft.interop.IcebergImport.refresh(
+      cat, spark, "ns", "psmirror", perSnapshot = true)
+    assert(r2.snapshot.isEmpty && r2.commits == 0)
+    // watermark persisted at the source head
+    assert(cat.loadTable("ns", "psmirror").properties
+      .get(graft.interop.IcebergImport.ImportedSnapshotProp)
+      .contains(src.currentSnapshotId.toString))
+    // a source rewrite degrades to the delta path's single reset
+    src.compact()
+    graft.interop.IcebergExport.export(src, dest)
+    val r3 = graft.interop.IcebergImport.refresh(
+      cat, spark, "ns", "psmirror", perSnapshot = true)
+    assert(r3.reset && r3.snapshot.get.operation == Snaplog.OpReplace)
+    assert(r3.table.scan().select("id").collect().map(_.getInt(0)).sorted.toSeq
+      == src.scan().select("id").collect().map(_.getInt(0)).sorted.toSeq)
+  }
+
   test("iceberg refresh: source schema evolution refuses with re-register guidance") {
     val cat = freshCatalog()
     val src = LakehouseTable.create(cat, spark, "ns", "evsrc", fixture().schema)

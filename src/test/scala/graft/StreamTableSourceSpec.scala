@@ -41,8 +41,11 @@ class StreamTableSourceSpec extends SparkSpec {
     * memory sink refuses checkpoint recovery, and resume-across-restart
     * is exactly what these tests prove. Returns the CUMULATIVE ids in
     * the output dir: delta-only resume shows as each id exactly once. */
-  private def runToDir(tableName: String, ckpt: String, out: String): Seq[Int] = {
-    val q = spark.readStream.table(tableName)
+  private def runToDir(tableName: String, ckpt: String, out: String,
+      options: Map[String, String] = Map.empty): Seq[Int] = {
+    var r = spark.readStream
+    options.foreach { case (k, v) => r = r.option(k, v) }
+    val q = r.table(tableName)
       .writeStream.format("parquet")
       .option("path", out)
       .option("checkpointLocation", ckpt)
@@ -367,5 +370,61 @@ class StreamTableSourceSpec extends SparkSpec {
     val rows = spark.table(sink).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rows == Map("A" -> 2L, "B" -> 2L))
+  }
+
+  test("refresh=true tails a LIVE foreign Iceberg tree through its mirror") {
+    val wh = Files.createTempDirectory("graft-streammirror").toString
+    val cat = new Snaplog(wh)
+    val src = LakehouseTable.create(cat, spark, "ns", "live",
+      fixture(1 to 2, "A").schema)
+    src.append(fixture(1 to 2, "A"))
+    val dest = Files.createTempDirectory("graft-streammirror-ice")
+    graft.interop.IcebergExport.export(src, dest)
+    graft.interop.IcebergImport.register(cat, spark, dest, "ns", "mirror")
+    spark.conf.set("spark.sql.catalog.gsmir", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsmir.warehouse", wh)
+    val ckpt = Files.createTempDirectory("graft-streammirror-ck").toString
+    val out = Files.createTempDirectory("graft-streammirror-out").toString
+    val opts = Map("refresh" -> "true")
+
+    // run 1: the mirror's registered content
+    assert(runToDir("gsmir.ns.mirror", ckpt, out, opts) == Seq(1, 2))
+    // the SOURCE advances; nobody calls refresh — the stream does
+    src.append(fixture(3 to 4, "B"))
+    graft.interop.IcebergExport.export(src, dest)
+    assert(runToDir("gsmir.ns.mirror", ckpt, out, opts) == Seq(1, 2, 3, 4))
+    // a source DELETE lands as a native delete boundary: nothing is
+    // re-emitted (skip semantics), and the next source append streams
+    src.deleteEq("group", Seq("A"))
+    graft.interop.IcebergExport.export(src, dest)
+    assert(runToDir("gsmir.ns.mirror", ckpt, out, opts) == Seq(1, 2, 3, 4))
+    src.append(fixture(5 to 5, "C"))
+    graft.interop.IcebergExport.export(src, dest)
+    assert(runToDir("gsmir.ns.mirror", ckpt, out, opts) == Seq(1, 2, 3, 4, 5))
+    // the mirror itself holds the net state (deletes applied)
+    assert(LakehouseTable.load(cat, spark, "ns", "mirror").scan()
+      .select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(3, 4, 5))
+    // a fresh checkpoint replays like any native table with a delete
+    // in its history: the batch splits AT the delete boundary, rows
+    // before it emit, the delete itself is a skip no-op (same contract
+    // the native eq-delete streaming tests pin)
+    assert(runOnce("gsmir.ns.mirror",
+      Files.createTempDirectory("graft-streammirror-ck2").toString,
+      opts)._1 == Seq(1, 2, 3, 4, 5))
+    // refresh=true on a NON-imported table refuses loudly at start
+    val e = intercept[Exception] {
+      val q = spark.readStream.option("refresh", "true")
+        .table("gsmir.ns.live")
+        .writeStream.format("memory").queryName("mirror_refuse")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-streammirror-ck3").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      q.exception.foreach(throw _)
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(chain.contains("imported from an Iceberg tree"), chain)
   }
 }

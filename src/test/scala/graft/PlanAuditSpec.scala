@@ -253,4 +253,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(imp.table.scan().select("id").collect()
       .map(_.getInt(0)).sorted.toSeq == Seq(3, 5), "net rows wrong")
   }
+
+  test("refreshed-mirror scan keeps the broadcast anti-join shape (per-snapshot replay)") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val cat = new graft.catalog.Snaplog(
+      Files.createTempDirectory("graft-audit-refresh").toString)
+    val df = Seq((1, "A", 10), (2, "A", 20), (3, "B", 30), (4, "C", 40))
+      .toDF("id", "grp", "v")
+    val tbl = graft.table.LakehouseTable.create(cat, spark, "ns", "ar", df.schema)
+    tbl.append(df)
+    val dest = Files.createTempDirectory("graft-audit-refresh-ice")
+    graft.interop.IcebergExport.export(tbl, dest)
+    graft.interop.IcebergImport.register(cat, spark, dest, "ns", "ar_rt")
+    // the SOURCE advances with delete-bearing commits; the refreshed
+    // mirror must plan the same subtraction shape register produces
+    tbl.deleteEq("grp", Seq("A"))
+    tbl.deleteMor($"id" === 4)
+    graft.interop.IcebergExport.export(tbl, dest)
+    val r = graft.interop.IcebergImport.refresh(
+      cat, spark, "ns", "ar_rt", perSnapshot = true)
+    assert(r.commits == 2 && !r.reset, r.toString)
+    val plan = physical(r.table.scan())
+    val anti = "BroadcastHashJoin .*LeftAnti".r.findAllIn(plan).length
+    assert(anti >= 2, s"expected >=2 broadcast anti-joins, got $anti in:\n" +
+      plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("SortMergeJoin"),
+      "refreshed delete subtraction must never shuffle the data side")
+    assert(r.table.scan().select("id").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(3), "net rows wrong")
+  }
 }

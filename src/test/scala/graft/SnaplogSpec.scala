@@ -1068,6 +1068,26 @@ abstract class CatalogContractSpec extends SparkSpec {
       == src.scan().select("id").collect().map(_.getInt(0)).sorted.toSeq)
   }
 
+  test("iceberg refresh perSnapshot: a v3 source's puffin DV lands as a native mor_delete") {
+    val cat = freshCatalog()
+    val src = LakehouseTable.create(cat, spark, "ns", "dvsrc", fixture().schema)
+    src.append(fixture())
+    val dest = Files.createTempDirectory("graft-refresh-dv")
+    graft.interop.IcebergExport.export(src, dest, formatVersion = 3)
+    graft.interop.IcebergImport.register(cat, spark, dest, "ns", "dvmirror")
+    // the source's new position vector exports as a puffin deletion
+    // vector (v3 mandates DVs); the per-snapshot refresh must decode it
+    // and land it as a NATIVE mor_delete commit
+    src.deleteMor($"id" === 2)
+    graft.interop.IcebergExport.export(src, dest, formatVersion = 3)
+    val r = graft.interop.IcebergImport.refresh(
+      cat, spark, "ns", "dvmirror", perSnapshot = true)
+    assert(!r.reset && r.commits == 1 && r.positionDeleteFiles == 1, r.toString)
+    assert(r.snapshot.get.operation == Snaplog.OpMorDelete)
+    assert(r.table.scan().select("id").collect().map(_.getInt(0)).sorted.toSeq
+      == src.scan().select("id").collect().map(_.getInt(0)).sorted.toSeq)
+  }
+
   test("iceberg refresh: source schema evolution refuses with re-register guidance") {
     val cat = freshCatalog()
     val src = LakehouseTable.create(cat, spark, "ns", "evsrc", fixture().schema)

@@ -2495,6 +2495,74 @@ object Lakehouse {
         FROM orders WHERE o_orderkey % 10 <> 7
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // CDC REPLICATION OUT OF A LIVE FOREIGN TREE (round 14): the
+    // change feed's refresh=true composes the whole interop stack —
+    // a foreign Iceberg table advances (delete + append), the feed's
+    // own per-snapshot refresh lands those as native commits, the
+    // changelog turns them into insert/DELETE change rows (the
+    // retractions the append-only table stream can only skip), and
+    // applyChanges materializes an exact replica in a native table.
+    // At 100 TB: replicate a live Flink CDC Iceberg table into any
+    // downstream, retractions intact, metadata-walk-per-trigger,
+    // no hand-rolled sync job.
+    QueryDef("stream_mirror_cdc",
+      (s, d) => {
+        val whDir = wh("stream_mirror_cdc", d)
+        val cat = new Snaplog(whDir)
+        val orders = t(s, d, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val src = Ingest.ingestDf(cat, "lake", "orders_ext",
+          orders.filter(col("o_orderkey") % 2 === 0)).table
+        val dest = Paths.get(whDir, "ice_ext")
+        IcebergExport.export(src, dest)
+        graft.interop.IcebergImport.register(
+          cat, s, dest, "lake", "orders_ext_mirror")
+        val dst = LakehouseTable.create(
+          cat, s, "lake", "orders_replica", src.schema)
+        val ckpt = scratchDir("stream_mirror_cdc_ck", d)
+        def replicateOnce(): Unit = {
+          val q = s.readStream.format("graft-changes")
+            .option("warehouse", whDir)
+            .option("table", "lake.orders_ext_mirror")
+            .option("refresh", "true")
+            .load()
+            .writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              val tc = graft.table.LakehouseTable.ChangeTypeCol
+              val sc = graft.table.LakehouseTable.ChangeSnapshotCol
+              val changes = batch
+                .withColumn("op",
+                  when(col(tc) === "delete", lit("D")).otherwise(lit("U")))
+                .withColumn("seq", col(sc) * 2 +
+                  when(col(tc) === "insert", 1L).otherwise(0L))
+              if (!changes.isEmpty)
+                Upsert.applyChanges(dst, changes, keys = Seq("o_orderkey"),
+                  opCol = "op", tiebreak = Some("seq"))
+              ()
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination(300000)
+          q.exception.foreach(throw _)
+        }
+        replicateOnce() // the registered content (evens)
+        // the FOREIGN source advances; only the stream's refresh syncs
+        src.deleteEq("o_orderkey",
+          orders.filter(col("o_orderkey") % 6 === 0).select("o_orderkey"))
+        src.append(orders.filter(col("o_orderkey") % 2 === 1))
+        IcebergExport.export(src, dest)
+        replicateOnce() // delta: retraction + odds, applied exactly
+        dst.scan()
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders WHERE o_orderkey % 6 <> 0
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // Iceberg v3 export with initial-default (round 13): a DEFAULTED
     // column exports WITHOUT the compact-first tax — era 1 predates the
     // column (v2 refuses: nothing in a v2 tree can tell a reader to

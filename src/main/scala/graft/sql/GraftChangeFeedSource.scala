@@ -103,6 +103,24 @@ private[graft] final class GraftChangeFeedSource(
   maxCommitsPerTrigger.foreach(n =>
     require(n > 0, s"maxCommitsPerTrigger must be positive, got $n"))
 
+  /** `refresh=true` — the change-feed twin of the DSv2 table source's
+    * option: valid only on a table adopted from an Iceberg tree; each
+    * offset poll first re-syncs the mirror in PER-SNAPSHOT mode, so a
+    * live foreign tree's commits become native changelog windows —
+    * including RETRACTIONS (a foreign equality delete streams as
+    * 'delete' change rows; a foreign compaction's reset crosses as a
+    * content no-op). This is CDC replication OUT of a live external
+    * Iceberg table: the feed a downstream materialization keeps itself
+    * exact against, with one driver-side metadata walk per poll. */
+  private val refreshSource: Boolean =
+    opt(parameters, "refresh").exists(_.toBoolean)
+  if (refreshSource)
+    require(backing.loadTable(table.namespace, table.name).properties
+        .contains(graft.interop.IcebergImport.ImportedFromProp),
+      s"change feed of ${table.namespace}.${table.name}: refresh=true " +
+        "requires a table imported from an Iceberg tree " +
+        "(IcebergImport.register)")
+
   /** Output schema pinned at source creation; a mid-stream table schema
     * change fails the batch loudly (same contract as the DSv2 stream). */
   private val pinnedSchema: StructType = table.schema
@@ -160,6 +178,9 @@ private[graft] final class GraftChangeFeedSource(
   }
 
   override def getOffset: Option[V1Offset] = {
+    if (refreshSource)
+      graft.interop.IcebergImport.refresh(backing, spark,
+        table.namespace, table.name, perSnapshot = true)
     val snaps = mainSnaps()
     val head = snaps.lastOption.map(_.snapshotId).getOrElse(return None)
     // a typo'd start id AT/ABOVE head would silently stream zero

@@ -173,4 +173,47 @@ class ChangeFeedStreamSpec extends SparkSpec {
     assert(df.schema == t.changesSchema)
     assert(df.isStreaming)
   }
+
+  test("refresh=true replicates a LIVE foreign tree's changes, retractions included") {
+    val (wh, src) = freshTable("cfsrc")
+    src.append(fixture(1, 2, 3))
+    val dest = Files.createTempDirectory("graft-cf-mirror-ice")
+    graft.interop.IcebergExport.export(src, dest)
+    graft.interop.IcebergImport.register(
+      new Snaplog(wh), spark, dest, "ns", "cfmirror")
+    val ckpt = Files.createTempDirectory("graft-cf-mirror-ck").toString
+    val out = Files.createTempDirectory("graft-cf-mirror-out").toString
+    val opts = Map("refresh" -> "true")
+    // run 1: the registered content arrives as inserts
+    val g1 = runToDir(wh, "cfmirror", ckpt, out, opts)
+    assert(g1.map(x => (x._1, x._3)).sorted ==
+      Seq((ChangeInsert, 1), (ChangeInsert, 2), (ChangeInsert, 3)))
+    // the SOURCE advances (append + equality delete); nobody refreshes
+    // by hand — the feed emits inserts AND the retractions the
+    // append-only table stream can only skip
+    src.append(fixture(4, 5))
+    src.deleteEq("id", Seq(1, 4))
+    graft.interop.IcebergExport.export(src, dest)
+    val delta = runToDir(wh, "cfmirror", ckpt, out, opts).diff(g1)
+    assert(delta.map(x => (x._1, x._3)).sorted ==
+      Seq((ChangeDelete, 1), (ChangeDelete, 4),
+        (ChangeInsert, 4), (ChangeInsert, 5)), delta.toString)
+    // refresh=true on a NON-imported table refuses loudly
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft-changes")
+        .option("warehouse", wh).option("table", "ns.cfsrc")
+        .option("refresh", "true")
+        .load()
+        .writeStream.format("memory").queryName("cf_mirror_refuse")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-cf-mirror-ck2").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      q.exception.foreach(throw _)
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(chain.contains("imported from an Iceberg tree"), chain)
+  }
 }

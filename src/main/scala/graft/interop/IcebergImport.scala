@@ -282,6 +282,14 @@ object IcebergImport {
     val version = Files.readString(metaDir.resolve("version-hint.text")).trim
     val meta = JsonMethods.parse(Files.readString(
       metaDir.resolve(s"v$version.metadata.json")))
+    parseTree(metaDir, version, meta)
+  }
+
+  /** Parse one table-metadata JSON document into a [[Tree]] — shared by
+    * the directory walk (version-hint) and the REST catalog path (the
+    * LoadTableResult's `metadata` payload / `metadata-location` file). */
+  private def parseTree(metaDir: Path, version: String, meta: JValue)
+      (implicit fmts: Formats): Tree = {
     val formatVersion = (meta \ "format-version").extract[Int]
     require(formatVersion == 2 || formatVersion == 3,
       s"only Iceberg format-version 2/3 trees import (got $formatVersion)")
@@ -935,6 +943,67 @@ object IcebergImport {
       ns: String, name: String, statFooters: Boolean = false): Report = {
     implicit val fmts: Formats = DefaultFormats
     val tree = loadTree(root)
+    registerTree(catalog, spark, tree, ns, name, statFooters,
+      tree.metaDir.toString)
+  }
+
+  /** [[ImportedFromProp]] prefix marking a REST-catalog adoption —
+    * the stored ref is `rest:<endpoint>#<ns><table>` (the unit
+    * separator keeps multi-level namespaces unambiguous), so a refresh
+    * re-fetches the CURRENT metadata pointer from the catalog service
+    * instead of re-reading a frozen directory. Tokens are never stored
+    * — pass them per call. */
+  val RestPrefix = "rest:"
+
+  /** Adopt a table FROM AN ICEBERG REST CATALOG (the modern deployment
+    * shape — the catalog service serves the current metadata pointer,
+    * manifests and data stay on storage): `GET /v1/namespaces/{ns}/
+    * tables/{table}`, parse the LoadTableResult's inlined `metadata`
+    * document (or read its `metadata-location`), then register through
+    * the same metadata-only path the directory walk uses. The stored
+    * import ref is the REST endpoint, so [[refresh]] (and the streaming
+    * sources' `refresh=true`) re-fetch the catalog's CURRENT pointer
+    * per sync — a REST-adopted mirror tracks the live table, not a
+    * frozen metadata file. */
+  def registerFromRest(catalog: Catalog, spark: SparkSession,
+      endpoint: String, srcNs: String, srcTable: String,
+      ns: String, name: String, statFooters: Boolean = false,
+      token: Option[String] = None): Report = {
+    implicit val fmts: Formats = DefaultFormats
+    val tree = restTree(endpoint, srcNs, srcTable, token)
+    registerTree(catalog, spark, tree, ns, name, statFooters,
+      s"$RestPrefix$endpoint#$srcNs\u001f$srcTable")
+  }
+
+  /** Fetch + parse one table's current metadata document via REST. */
+  private def restTree(endpoint: String, srcNs: String, srcTable: String,
+      token: Option[String])(implicit fmts: Formats): Tree = {
+    val lt = RestCatalog.loadTable(endpoint, srcNs, srcTable, token)
+    val metaPath = Paths.get(normalizePath(lt.metadataLocation))
+    val meta = lt.metadata.getOrElse {
+      require(Files.exists(metaPath),
+        s"REST catalog: $srcNs.$srcTable metadata-location " +
+          s"${lt.metadataLocation} is not readable — the LoadTableResult " +
+          "inlined no metadata and the location does not resolve")
+      JsonMethods.parse(Files.readString(metaPath))
+    }
+    parseTree(metaPath.getParent,
+      versionLabelOf(metaPath.getFileName.toString), meta)
+  }
+
+  /** `v3.metadata.json` → `3`; foreign naming (`00001-<uuid>.metadata
+    * .json`) keeps its base name — the label is informational (commit
+    * summaries), never parsed back. */
+  private def versionLabelOf(fileName: String): String = {
+    val base = fileName.stripSuffix(".metadata.json")
+    if (base.length > 1 && base.head == 'v' && base.tail.forall(_.isDigit))
+      base.tail
+    else base
+  }
+
+  private def registerTree(catalog: Catalog, spark: SparkSession,
+      tree: Tree, ns: String, name: String, statFooters: Boolean,
+      importedFrom: String)(implicit fmts: Formats): Report = {
     require(tree.currentId > 0, "table has no current snapshot — nothing to import")
     val walked = walkSnapshot(spark, tree, tree.currentId, statFooters)
     val files = walked.dataWithSeq.map(_._1)
@@ -994,7 +1063,7 @@ object IcebergImport {
             "once; rewrite the tree uniformly before importing")
       }
     catalog.createTable(ns, name, storedSchema, tree.partCols,
-      properties = Map(ImportedFromProp -> tree.metaDir.toString,
+      properties = Map(ImportedFromProp -> importedFrom,
         "iceberg.imported-format-version" -> tree.formatVersion.toString,
         ImportedSnapshotProp -> tree.currentId.toString) ++ registryProps,
       ifNotExists = false)
@@ -1094,11 +1163,12 @@ object IcebergImport {
     * re-base the expectation. */
   def refresh(catalog: Catalog, spark: SparkSession, ns: String, name: String,
       root: Option[Path] = None, statFooters: Boolean = false,
-      perSnapshot: Boolean = false): RefreshReport = {
+      perSnapshot: Boolean = false,
+      token: Option[String] = None): RefreshReport = {
     var attemptsLeft = 3
     while (attemptsLeft > 0) {
       try return refreshOnce(catalog, spark, ns, name, root, statFooters,
-        perSnapshot)
+        perSnapshot, token)
       catch {
         case _: graft.catalog.CommitConflictException if attemptsLeft > 1 =>
           attemptsLeft -= 1
@@ -1109,19 +1179,31 @@ object IcebergImport {
 
   private def refreshOnce(catalog: Catalog, spark: SparkSession,
       ns: String, name: String, root: Option[Path],
-      statFooters: Boolean, perSnapshot: Boolean): RefreshReport = {
+      statFooters: Boolean, perSnapshot: Boolean,
+      token: Option[String]): RefreshReport = {
     implicit val fmts: Formats = DefaultFormats
     val meta0 = catalog.loadTable(ns, name)
-    val srcDir = root.getOrElse(Paths.get(
+    val source: String = root.map(_.toString).getOrElse(
       meta0.properties.getOrElse(ImportedFromProp,
         throw new IllegalArgumentException(
           s"$ns.$name was not imported from an Iceberg tree " +
-            s"(no $ImportedFromProp property) — nothing to refresh"))))
+            s"(no $ImportedFromProp property) — nothing to refresh")))
     val watermark = meta0.properties.getOrElse(ImportedSnapshotProp,
       throw new IllegalArgumentException(
         s"$ns.$name carries no $ImportedSnapshotProp watermark — " +
           "re-register the tree")).toLong
-    val tree = loadTree(srcDir)
+    // a REST-adopted mirror re-fetches the catalog's CURRENT metadata
+    // pointer; a directory-adopted one re-reads the tree in place
+    val tree =
+      if (source.startsWith(RestPrefix)) {
+        val ref = source.stripPrefix(RestPrefix)
+        val hash = ref.lastIndexOf('#')
+        val sep = ref.indexOf('\u001f', hash + 1)
+        require(hash > 0 && sep > hash,
+          s"$ns.$name: malformed REST import ref '$source' — re-register")
+        restTree(ref.take(hash), ref.substring(hash + 1, sep),
+          ref.substring(sep + 1), token)
+      } else loadTree(Paths.get(source))
     val table = LakehouseTable.load(catalog, spark, ns, name)
     if (tree.currentId == watermark)
       return RefreshReport(table, None, watermark, watermark, 0, 0, 0,
@@ -1168,7 +1250,7 @@ object IcebergImport {
         // already landed and watermarked — re-enter the delta path
         // fresh, which expresses the remainder as one reset
         return refreshOnce(catalog, spark, ns, name, root, statFooters,
-          perSnapshot = false)
+          perSnapshot = false, token)
     }
 
     val cur = walkSnapshot(spark, tree, tree.currentId, statFooters)
@@ -1236,10 +1318,11 @@ object IcebergImport {
         "position-delete-files" -> posCount.toString,
         "equality-delete-files" -> eqToLand.size.toString),
       expectedSnapshotId = headAtEntry)
+    // ImportedFromProp stays as REGISTERED (a REST ref must survive a
+    // refresh; a root override is a one-call affair, not a re-point)
     catalog.updateProperties(ns, name,
       Map(ImportedSnapshotProp -> tree.currentId.toString,
-        SyncSnapshotProp -> snap.snapshotId.toString,
-        ImportedFromProp -> tree.metaDir.toString), Seq.empty)
+        SyncSnapshotProp -> snap.snapshotId.toString), Seq.empty)
     RefreshReport(LakehouseTable.load(catalog, spark, ns, name), Some(snap),
       watermark, tree.currentId, dataToLand.size,
       posCount, eqToLand.size, reset = !additive)
@@ -1350,8 +1433,7 @@ object IcebergImport {
         expected = Some(snap.snapshotId)
         catalog.updateProperties(ns, name,
           Map(ImportedSnapshotProp -> sid.toString,
-            SyncSnapshotProp -> snap.snapshotId.toString,
-            ImportedFromProp -> tree.metaDir.toString), Seq.empty)
+            SyncSnapshotProp -> snap.snapshotId.toString), Seq.empty)
       } else {
         // an empty source snapshot (audit no-op): watermark only
         catalog.updateProperties(ns, name,

@@ -1,0 +1,114 @@
+package graft.interop
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** Minimal read-only Iceberg REST-catalog SERVER over graft-exported
+  * trees — the publishing half of the REST interop: any spec-conforming
+  * REST client (PyIceberg, Trino, graft's own [[RestCatalog]]) can
+  * `GET /v1/config`, list namespaces/tables, and load a table's
+  * CURRENT metadata pointer, which is re-read from the tree's
+  * version-hint per request — so a client always sees the latest
+  * export, exactly like a live catalog service fronting a writer.
+  *
+  * Scope is deliberately read-only (loads and listings): graft tables
+  * mutate through graft commits and publish through
+  * [[IcebergExport.export]]; accepting REST writes would bypass the
+  * snaplog's optimistic-concurrency contract. Mutating routes answer
+  * 405. Optional STATIC bearer-token auth (the spec's Authorization
+  * header); `inlineMetadata` embeds the metadata document in the
+  * LoadTableResult (both spec-legal response shapes, so clients of
+  * either kind are served).
+  *
+  * Loopback-only by design: the bind address is 127.0.0.1 — exposing
+  * a catalog beyond the host is a deployment concern (TLS, real auth)
+  * out of a library's scope. */
+object RestServe {
+
+  final class Server private[RestServe] (http: HttpServer) {
+    def endpoint: String = s"http://127.0.0.1:${http.getAddress.getPort}"
+    def stop(): Unit = http.stop(0)
+  }
+
+  /** Start serving `tables` ((namespace, table) → exported tree root,
+    * the dir holding `metadata/`). `port = 0` binds an ephemeral port. */
+  def start(tables: Map[(String, String), Path], port: Int = 0,
+      token: Option[String] = None,
+      inlineMetadata: Boolean = false): Server = {
+    val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+    def respond(x: HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes(StandardCharsets.UTF_8)
+      x.getResponseHeaders.add("Content-Type", "application/json")
+      x.sendResponseHeaders(code, b.length)
+      x.getResponseBody.write(b)
+      x.close()
+    }
+    def jsonStr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def currentMetadataFile(root: Path): Path = {
+      val metaDir =
+        if (Files.exists(root.resolve("version-hint.text"))) root
+        else root.resolve("metadata")
+      val v = Files.readString(metaDir.resolve("version-hint.text")).trim
+      metaDir.resolve(s"v$v.metadata.json")
+    }
+    // the spec's %1F namespace-level separator, decoded by the URI class
+    def decodeNs(seg: String): String = seg.replace('\u001f', '.')
+
+    http.createContext("/v1/", (x: HttpExchange) => {
+      try {
+        val authOk = token.forall(t =>
+          Option(x.getRequestHeaders.getFirst("Authorization"))
+            .contains(s"Bearer $t"))
+        val segs = x.getRequestURI.getPath.stripPrefix("/v1/")
+          .split("/").toList.filter(_.nonEmpty)
+        if (!authOk)
+          respond(x, 401, """{"error":{"message":"missing or wrong bearer token","type":"NotAuthorizedException","code":401}}""")
+        else if (x.getRequestMethod != "GET")
+          respond(x, 405, """{"error":{"message":"this catalog is read-only: graft tables mutate through graft commits and publish via export","type":"UnsupportedOperationException","code":405}}""")
+        else segs match {
+          case List("config") =>
+            respond(x, 200, """{"defaults":{},"overrides":{}}""")
+          case List("namespaces") =>
+            val nss = tables.keys.map(_._1).toSeq.distinct.sorted
+            respond(x, 200, nss.map(n => s"[${jsonStr(n)}]")
+              .mkString("""{"namespaces":[""", ",", "]}"))
+          case List("namespaces", nsSeg, "tables") =>
+            val ns = decodeNs(nsSeg)
+            val names = tables.keys.collect {
+              case (n, t) if n == ns => t
+            }.toSeq.sorted
+            respond(x, 200, names.map(t =>
+              s"""{"namespace":[${jsonStr(ns)}],"name":${jsonStr(t)}}""")
+              .mkString("""{"identifiers":[""", ",", "]}"))
+          case List("namespaces", nsSeg, "tables", tbl) =>
+            tables.get((decodeNs(nsSeg), tbl)) match {
+              case None => respond(x, 404,
+                s"""{"error":{"message":"no such table ${decodeNs(nsSeg)}.$tbl","type":"NoSuchTableException","code":404}}""")
+              case Some(root) =>
+                val f = currentMetadataFile(root)
+                val loc = jsonStr(f.toString)
+                val body =
+                  if (inlineMetadata)
+                    s"""{"metadata-location":$loc,"metadata":${Files.readString(f)}}"""
+                  else s"""{"metadata-location":$loc}"""
+                respond(x, 200, body)
+            }
+          case other =>
+            respond(x, 404,
+              s"""{"error":{"message":"no such route /v1/${other.mkString("/")}","type":"NoSuchRouteException","code":404}}""")
+        }
+      } catch {
+        case e: Exception =>
+          respond(x, 500,
+            s"""{"error":{"message":${jsonStr(e.toString.take(300))},"type":"InternalServerError","code":500}}""")
+      }
+    })
+    http.start()
+    new Server(http)
+  }
+}

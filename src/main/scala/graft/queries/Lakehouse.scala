@@ -2563,6 +2563,55 @@ object Lakehouse {
         FROM orders WHERE o_orderkey % 6 <> 0
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // REST-CATALOG adoption (round 14): the modern Iceberg deployment
+    // serves table pointers over the REST API while manifests/data
+    // stay on storage. A loopback RestServe publishes the exported
+    // tree; registerFromRest adopts THROUGH the catalog service (GET
+    // /v1/namespaces/{ns}/tables/{tbl} → metadata-location), and the
+    // stored import ref is the ENDPOINT — so refresh re-fetches the
+    // catalog's CURRENT pointer and lands the source's advance without
+    // anyone naming a metadata file. At 100 TB this is adopting a
+    // table from a real catalog service (Polaris/Nessie/Tabular-style)
+    // instead of a filesystem path.
+    QueryDef("lake_iceberg_rest_catalog",
+      (s, d) => {
+        val whDir = wh("lake_iceberg_rest_catalog", d)
+        val cat = new Snaplog(whDir)
+        val supplier = t(s, d, "supplier").select(
+          col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+        val src = Ingest.ingestDf(cat, "lake", "supp_live",
+          supplier.filter(col("s_suppkey") % 2 === 0)).table
+        val dest = Paths.get(whDir, "ice_rest")
+        IcebergExport.export(src, dest)
+        val srv = graft.interop.RestServe.start(
+          Map(("ext", "supp_live") -> dest))
+        try {
+          graft.interop.IcebergImport.registerFromRest(cat, s,
+            srv.endpoint, "ext", "supp_live", "lake", "supp_mirror")
+          // the source lives on; only the catalog's POINTER moves
+          src.append(supplier.filter(col("s_suppkey") % 2 === 1))
+          src.deleteEq("s_suppkey",
+            supplier.filter(col("s_suppkey") % 9 === 5).select("s_suppkey"))
+          IcebergExport.export(src, dest)
+          val r = graft.interop.IcebergImport.refresh(
+            cat, s, "lake", "supp_mirror", perSnapshot = true)
+          val restRef = cat.loadTable("lake", "supp_mirror").properties
+            .get(graft.interop.IcebergImport.ImportedFromProp)
+            .exists(_.startsWith(graft.interop.IcebergImport.RestPrefix))
+          r.table.scan()
+            .groupBy(col("s_nationkey"))
+            .agg(count(lit(1)).as("n"), dsum(col("s_acctbal")).as("total"))
+            .withColumn("rest_adopted", lit(restRef))
+            .withColumn("live_refresh", lit(!r.reset && r.commits == 2))
+            .orderBy(col("s_nationkey"))
+        } finally srv.stop()
+      },
+      Some("""SELECT s_nationkey, COUNT(*) AS n,
+          CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          TRUE AS rest_adopted, TRUE AS live_refresh
+        FROM supplier WHERE s_suppkey % 9 <> 5
+        GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
     // Iceberg v3 export with initial-default (round 13): a DEFAULTED
     // column exports WITHOUT the compact-first tax — era 1 predates the
     // column (v2 refuses: nothing in a v2 tree can tell a reader to

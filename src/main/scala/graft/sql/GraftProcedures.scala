@@ -33,7 +33,8 @@ private[sql] object GraftProcedures {
       "vacuum", "set_ref", "drop_ref", "fast_forward", "rollback_to_snapshot",
       "update_partition_spec", "rewrite_data_files", "rewrite_delete_files",
       "create_changelog_view", "merge_delta",
-      "iceberg_export", "iceberg_import")
+      "iceberg_export", "iceberg_import", "iceberg_refresh",
+      "iceberg_register_rest")
 
   def load(catName: String, name: String, backing: Catalog): UnboundProcedure =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -303,6 +304,51 @@ private[sql] object GraftProcedures {
         val rep = graft.interop.IcebergImport.register(backing,
           SparkSession.active, java.nio.file.Paths.get(in.getUTF8String(2).toString),
           ns, t, statFooters = in.getInt(3) != 0)
+        row(rep.snapshot.snapshotId, rep.dataFiles, rep.positionDeleteFiles,
+          rep.equalityDeleteFiles, rep.totalRecords)
+      }
+      case "iceberg_refresh" => proc(name,
+        "re-sync a table adopted from an Iceberg tree with its live " +
+          "source: new source snapshots land as native commits " +
+          "(per_snapshot=1 replays ONE native commit per source snapshot " +
+          "— streaming/changelog-readable history; 0 folds the window " +
+          "into one delta commit); a source rewrite lands as one reset; " +
+          "an unchanged source is a no-op",
+        Seq("ns" -> StringType, "tbl" -> StringType,
+          "per_snapshot" -> IntegerType),
+        StructType(Seq(
+          StructField("from_source_snapshot", LongType, nullable = false),
+          StructField("to_source_snapshot", LongType, nullable = false),
+          StructField("commits", IntegerType, nullable = false),
+          StructField("data_files", IntegerType, nullable = false),
+          StructField("delete_files", IntegerType, nullable = false),
+          StructField("reset", IntegerType, nullable = false)))) { in =>
+        val (ns, t) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString)
+        val r = graft.interop.IcebergImport.refresh(backing,
+          SparkSession.active, ns, t, perSnapshot = in.getInt(2) != 0)
+        row(r.fromSourceSnapshotId, r.toSourceSnapshotId, r.commits,
+          r.dataFilesAdded, r.positionDeleteFiles + r.equalityDeleteFiles,
+          if (r.reset) 1 else 0)
+      }
+      case "iceberg_register_rest" => proc(name,
+        "adopt a table FROM AN ICEBERG REST CATALOG service (metadata-" +
+          "only, like iceberg_import but through the catalog's current " +
+          "pointer; later iceberg_refresh re-fetches that pointer). " +
+          "Tokened catalogs use the Scala API — a bearer token in SQL " +
+          "text would land in query logs",
+        Seq("ns" -> StringType, "tbl" -> StringType,
+          "endpoint" -> StringType, "src_ns" -> StringType,
+          "src_table" -> StringType),
+        StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("data_files", IntegerType, nullable = false),
+          StructField("position_delete_files", IntegerType, nullable = false),
+          StructField("equality_delete_files", IntegerType, nullable = false),
+          StructField("total_records", LongType, nullable = false)))) { in =>
+        val (ns, t) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString)
+        val rep = graft.interop.IcebergImport.registerFromRest(backing,
+          SparkSession.active, in.getUTF8String(2).toString,
+          in.getUTF8String(3).toString, in.getUTF8String(4).toString, ns, t)
         row(rep.snapshot.snapshotId, rep.dataFiles, rep.positionDeleteFiles,
           rep.equalityDeleteFiles, rep.totalRecords)
       }

@@ -74,7 +74,9 @@ import graft.table.{FileStats, LakehouseTable}
   * tables do too, without re-registering under a new name.
   *
   * Honest refusals, all failing BEFORE any catalog mutation:
-  * non-parquet delete files (v3 puffin deletion vectors), equality ids
+  * delete-file formats outside parquet/puffin (and puffin equality
+  * deletes, which the spec does not define — v3 puffin DELETION
+  * VECTORS import since round 14, decoded by [[Puffin]]), equality ids
   * naming nested fields, NULL key values in an equality delete
   * (Iceberg's null-matching equality vs graft's null-rejecting keys),
   * equality deletes scoped to non-identity partitions, equality
@@ -536,7 +538,9 @@ object IcebergImport {
     *
     * Scope rules for deletes, all refusing loudly rather than
     * approximating:
-    *  - v3 deletion vectors (puffin) are not parquet → refuse;
+    *  - v3 puffin DELETION VECTORS decode into position plans (entry
+    *    locator columns 143/144/145, or the footer's blob index when a
+    *    writer omitted them); other puffin delete content refuses;
     *  - equality ids must name top-level schema fields (nested ids are
     *    not in graft's key model);
     *  - an equality delete scoped to a partition applies only within

@@ -1018,32 +1018,32 @@ class SqlCatalogSpec extends SparkSpec {
     val wh = Files.createTempDirectory("graft-sqlref").toString
     val cat = new Snaplog(wh)
     cat.createNamespace("ns")
-    spark.conf.set("spark.sql.catalog.gsqlref", classOf[GraftSqlCatalog].getName)
-    spark.conf.set("spark.sql.catalog.gsqlref.warehouse", wh)
-    spark.sql("CREATE TABLE gsqlref.ns.live (id INT, v INT)")
-    spark.sql("INSERT INTO gsqlref.ns.live VALUES (1, 10), (2, 20)")
+    spark.conf.set("spark.sql.catalog.gsqladopt", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqladopt.warehouse", wh)
+    spark.sql("CREATE TABLE gsqladopt.ns.live (id INT, v INT)")
+    spark.sql("INSERT INTO gsqladopt.ns.live VALUES (1, 10), (2, 20)")
     val dest = s"$wh/ice_live"
-    spark.sql(s"CALL gsqlref.system.iceberg_export('ns', 'live', '$dest', 2)")
+    spark.sql(s"CALL gsqladopt.system.iceberg_export('ns', 'live', '$dest', 2)")
     val srv = graft.interop.RestServe.start(
       Map(("ext", "live") -> java.nio.file.Paths.get(dest)))
     try {
       val reg = spark.sql(
-        s"CALL gsqlref.system.iceberg_register_rest('ns', 'mirror', " +
+        s"CALL gsqladopt.system.iceberg_register_rest('ns', 'mirror', " +
           s"'${srv.endpoint}', 'ext', 'live')").head()
       assert(reg.getInt(1) >= 1, s"data files: $reg")
       // the source advances; SQL alone re-syncs — per-snapshot replay
-      spark.sql("INSERT INTO gsqlref.ns.live VALUES (3, 30)")
+      spark.sql("INSERT INTO gsqladopt.ns.live VALUES (3, 30)")
       LakehouseTable.load(cat, spark, "ns", "live").deleteEq("id", Seq(1))
-      spark.sql(s"CALL gsqlref.system.iceberg_export('ns', 'live', '$dest', 2)")
+      spark.sql(s"CALL gsqladopt.system.iceberg_export('ns', 'live', '$dest', 2)")
       val r = spark.sql(
-        "CALL gsqlref.system.iceberg_refresh('ns', 'mirror', 1)").head()
+        "CALL gsqladopt.system.iceberg_refresh('ns', 'mirror', 1)").head()
       assert(r.getInt(2) == 2 && r.getInt(5) == 0,
         s"2 per-snapshot commits, no reset: $r")
-      assert(spark.sql("SELECT id FROM gsqlref.ns.mirror ORDER BY id")
+      assert(spark.sql("SELECT id FROM gsqladopt.ns.mirror ORDER BY id")
         .collect().map(_.getInt(0)).toSeq == Seq(2, 3))
       // unchanged source: a zero-commit no-op
       val r2 = spark.sql(
-        "CALL gsqlref.system.iceberg_refresh('ns', 'mirror', 0)").head()
+        "CALL gsqladopt.system.iceberg_refresh('ns', 'mirror', 0)").head()
       assert(r2.getInt(2) == 0, r2.toString)
     } finally srv.stop()
   }

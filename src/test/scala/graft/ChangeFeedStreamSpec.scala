@@ -194,10 +194,21 @@ class ChangeFeedStreamSpec extends SparkSpec {
     src.append(fixture(4, 5))
     src.deleteEq("id", Seq(1, 4))
     graft.interop.IcebergExport.export(src, dest)
-    val delta = runToDir(wh, "cfmirror", ckpt, out, opts).diff(g1)
+    val g2 = runToDir(wh, "cfmirror", ckpt, out, opts)
+    val delta = g2.diff(g1)
     assert(delta.map(x => (x._1, x._3)).sorted ==
       Seq((ChangeDelete, 1), (ChangeDelete, 4),
         (ChangeInsert, 4), (ChangeInsert, 5)), delta.toString)
+    // a foreign COMPACTION lands as a reset commit; the feed crosses
+    // it as a content NO-OP (same rows, new files — the changelog's
+    // multiset diff cancels the rewrite churn)
+    src.compact()
+    graft.interop.IcebergExport.export(src, dest)
+    val g3 = runToDir(wh, "cfmirror", ckpt, out, opts)
+    assert(g3 == g2, s"compaction must emit no change rows: ${g3.diff(g2)}")
+    assert(new Snaplog(wh).snapshots("ns", "cfmirror")
+      .last.operation == graft.catalog.Snaplog.OpReplace,
+      "the foreign rewrite must have landed as a reset")
     // refresh=true on a NON-imported table refuses loudly
     val e = intercept[Exception] {
       val q = spark.readStream.format("graft-changes")

@@ -411,6 +411,18 @@ class StreamTableSourceSpec extends SparkSpec {
     assert(runOnce("gsmir.ns.mirror",
       Files.createTempDirectory("graft-streammirror-ck2").toString,
       opts)._1 == Seq(1, 2, 3, 4, 5))
+    // a foreign REWRITE lands as a reset commit, which the APPEND-ONLY
+    // contract cannot cross: the stream fails with restart guidance
+    // (the retraction-capable change feed is the source that streams
+    // through it — pinned in ChangeFeedStreamSpec)
+    src.compact()
+    graft.interop.IcebergExport.export(src, dest)
+    val eReset = intercept[Exception](runToDir("gsmir.ns.mirror", ckpt, out, opts))
+    val resetChain = Iterator.iterate[Throwable](eReset)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(resetChain.contains("reset commit"), resetChain)
+
     // refresh=true on a NON-imported table refuses loudly at start
     val e = intercept[Exception] {
       val q = spark.readStream.option("refresh", "true")

@@ -1153,10 +1153,16 @@ object IcebergImport {
     * Cost: one metadata walk per source snapshot instead of one total.
     *
     * Costs match register: metadata-sized walks, predicate-sized
-    * delete-file I/O, zero data movement. Source schema / partition
-    * spec / field-id evolution since import refuses loudly with
-    * re-register guidance (replaying an evolved source into the old
-    * shape would silently misread values).
+    * delete-file I/O, zero data movement. Source schema evolution:
+    * APPENDED nullable-or-defaulted columns (Iceberg ADD COLUMN — the
+    * routine live-CDC evolution) are adopted in place — the mirror's
+    * schema and field-id registry advance to the source's with one
+    * metadata write, then the sync proceeds (a running stream over the
+    * mirror fails its schema pin with restart guidance, by design).
+    * Every other shape — rename / drop / retype / reorder / partition
+    * spec / changed ids of existing columns — refuses loudly with
+    * re-register guidance (replaying into a reshaped mirror would
+    * silently misread values).
     *
     * Every refresh commit is CONDITIONAL on the mirror head observed
     * when the delta was computed: two concurrent refreshers would
@@ -1213,23 +1219,81 @@ object IcebergImport {
       return RefreshReport(table, None, watermark, watermark, 0, 0, 0,
         reset = false, commits = 0)
 
-    // The mirror's shape was fixed at register time: an evolved source
-    // (schema, ids, or spec) cannot replay into it without misreading —
-    // refuse with guidance rather than null-fill or misattribute.
-    require(schemaShape(tree.schema) == schemaShape(meta0.schema),
-      s"cannot refresh $ns.$name: the source schema evolved since import " +
-        s"(now ${tree.schema.simpleString}) — re-register the tree under a " +
-        "new name and repoint consumers")
-    require(tree.partCols == meta0.partitionColumns,
+    // The mirror's shape was fixed at register time. ONE evolution a
+    // mirror can adopt losslessly: the source APPENDED columns (Iceberg
+    // ADD COLUMN — the routine live-CDC evolution), nullable or
+    // existence-defaulted, with every pre-existing column and field id
+    // unchanged — the mirror's schema/registry then advance to the
+    // source's (one metadata write, no commit) and the sync proceeds.
+    // Anything else (rename / drop / retype / reorder / spec change)
+    // still refuses with re-register guidance: replaying into a
+    // reshaped mirror would silently misread values.
+    val meta = {
+      val oldShape = schemaShape(meta0.schema)
+      val newShape = schemaShape(tree.schema)
+      if (newShape == oldShape) meta0
+      else {
+        val appended = tree.schema.fields.drop(oldShape.size).toSeq
+        require(newShape.size > oldShape.size &&
+            newShape.take(oldShape.size) == oldShape &&
+            appended.forall(f => f.nullable ||
+              graft.types.ColumnDefaults.hasExistsDefault(f)),
+          s"cannot refresh $ns.$name: the source schema evolved since " +
+            s"import (now ${tree.schema.simpleString}) in a shape the " +
+            "mirror cannot adopt (only appended nullable-or-defaulted " +
+            "columns replay losslessly) — re-register the tree under a " +
+            "new name and repoint consumers")
+        meta0.properties.get(graft.types.FieldIds.RegistryProp)
+          .map(graft.types.FieldIds.decode).foreach { stored =>
+            require(stored.forall { case (k, v) =>
+                tree.srcRegistry.get(k).contains(v) },
+              s"cannot refresh $ns.$name: the source changed field ids of " +
+                "EXISTING columns (a drop/re-add or rename evolution) — " +
+                "re-register")
+          }
+        meta0.properties.get(graft.types.FieldIds.InteriorProp)
+          .map(graft.types.FieldIds.decode).foreach { stored =>
+            require(stored.forall { case (k, v) =>
+                tree.interiorRegistry.get(k).contains(v) },
+              s"cannot refresh $ns.$name: the source changed list/map " +
+                "interior ids of EXISTING columns — re-register")
+          }
+        val tableById = meta0.schema.fields.exists(
+          _.metadata.contains(graft.types.FieldIds.MetaKey))
+        val stored =
+          if (tableById)
+            graft.types.FieldIds.attach(tree.schema, tree.srcRegistry)
+          else tree.schema
+        catalog.updateSchema(ns, name, stored)
+        // registry/interior/high-water advance to the source's, exactly
+        // as a fresh register of the evolved tree would record them
+        val regProps =
+          if (meta0.properties.contains(graft.types.FieldIds.RegistryProp))
+            Map(graft.types.FieldIds.RegistryProp ->
+              graft.types.FieldIds.encode(tree.srcRegistry),
+              graft.types.FieldIds.LastIdProp ->
+                (tree.lastColumnId.max(tree.srcRegistry.values.max)
+                  .max(tree.interiorRegistry.values.maxOption.getOrElse(0)))
+                  .toString) ++
+              (if (tree.interiorRegistry.isEmpty) Map.empty[String, String]
+               else Map(graft.types.FieldIds.InteriorProp ->
+                 graft.types.FieldIds.encode(tree.interiorRegistry)))
+          else Map.empty[String, String]
+        if (regProps.nonEmpty)
+          catalog.updateProperties(ns, name, regProps, Seq.empty)
+        catalog.loadTable(ns, name)
+      }
+    }
+    require(tree.partCols == meta.partitionColumns,
       s"cannot refresh $ns.$name: the source partition spec evolved since " +
         s"import (now ${tree.partCols.mkString(", ")}) — re-register")
-    meta0.properties.get(graft.types.FieldIds.RegistryProp)
+    meta.properties.get(graft.types.FieldIds.RegistryProp)
       .map(graft.types.FieldIds.decode).foreach { stored =>
         require(tree.srcRegistry == stored,
           s"cannot refresh $ns.$name: the source field-id registry changed " +
             "since import (a drop/re-add or rename evolution) — re-register")
       }
-    meta0.properties.get(graft.types.FieldIds.InteriorProp)
+    meta.properties.get(graft.types.FieldIds.InteriorProp)
       .map(graft.types.FieldIds.decode).foreach { stored =>
         require(tree.interiorRegistry == stored,
           s"cannot refresh $ns.$name: the source's list/map interior ids " +
@@ -1247,7 +1311,7 @@ object IcebergImport {
     val headAtEntry = catalog.currentSnapshot(ns, name).map(_.snapshotId)
 
     if (perSnapshot) replayPerSnapshot(catalog, spark, ns, name, tree,
-      meta0, watermark, headAtEntry, statFooters) match {
+      meta, watermark, headAtEntry, statFooters) match {
       case Some(report) => return report
       case None =>
         // a rewrite inside the window: additive steps up to it are
@@ -1269,7 +1333,7 @@ object IcebergImport {
 
     // new data files must match the table's resolution mode — a foreign
     // writer switch (id-stamped vs id-less) would silently null-fill
-    val tableById = meta0.schema.fields.exists(
+    val tableById = meta.schema.fields.exists(
       _.metadata.contains(graft.types.FieldIds.MetaKey))
     if (dataAdded.nonEmpty) idProbe(spark, dataAdded.map(_._1.path)) match {
       case Some(m) => require(m == tableById,
@@ -1288,7 +1352,7 @@ object IcebergImport {
       // the source rewrote history out from under the mirror: only a
       // reset can express it, and a reset discards whatever the mirror
       // committed natively since the last sync — refuse in that case
-      val syncId = meta0.properties.get(SyncSnapshotProp).map(_.toLong)
+      val syncId = meta.properties.get(SyncSnapshotProp).map(_.toLong)
       val clean = syncId.exists { sid =>
         catalog.snapshots(ns, name).filter(_.snapshotId > sid).forall(s =>
           s.operation == Snaplog.OpCheckpoint || Snaplog.isWapStaged(s))

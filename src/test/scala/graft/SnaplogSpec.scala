@@ -1088,16 +1088,37 @@ abstract class CatalogContractSpec extends SparkSpec {
       == src.scan().select("id").collect().map(_.getInt(0)).sorted.toSeq)
   }
 
-  test("iceberg refresh: source schema evolution refuses with re-register guidance") {
+  test("iceberg refresh: appended source columns ADOPT in place; reshaping refuses") {
     val cat = freshCatalog()
     val src = LakehouseTable.create(cat, spark, "ns", "evsrc", fixture().schema)
     src.append(fixture())
     val dest = Files.createTempDirectory("graft-refresh-ev")
     graft.interop.IcebergExport.export(src, dest)
     graft.interop.IcebergImport.register(cat, spark, dest, "ns", "evmirror")
+    // the routine live-CDC evolution: source ADD COLUMN, then new data
+    // carrying values — the mirror adopts the appended column and syncs
     src.addColumn("extra", IntegerType)
     src.append(fixture().withColumn("id", $"id" + 10)
       .withColumn("extra", lit(1)))
+    graft.interop.IcebergExport.export(src, dest)
+    val r = graft.interop.IcebergImport.refresh(cat, spark, "ns", "evmirror")
+    assert(!r.reset && r.dataFilesAdded >= 1, r.toString)
+    assert(r.table.schema.fieldNames.contains("extra"),
+      "the mirror schema must have adopted the appended column")
+    val got = r.table.scan().select("id", "extra").collect()
+      .map(x => (x.getInt(0), if (x.isNullAt(1)) -1 else x.getInt(1)))
+      .sorted.toSeq
+    assert(got == Seq(1 -> -1, 2 -> -1, 3 -> -1, 4 -> -1,
+      11 -> 1, 12 -> 1, 13 -> 1, 14 -> 1),
+      s"old era null, new era valued: $got")
+    // the mirror's registry advanced with the source's
+    assert(cat.loadTable("ns", "evmirror").properties
+      .get(graft.types.FieldIds.RegistryProp)
+      .exists(_.contains("extra:")), "registry must carry the new column")
+    // RESHAPING (a rename of an existing column) still refuses loudly
+    src.renameColumn("extra", "extra2")
+    src.append(fixture().withColumn("id", $"id" + 20)
+      .withColumn("extra2", lit(2)))
     graft.interop.IcebergExport.export(src, dest)
     val e = intercept[IllegalArgumentException](
       graft.interop.IcebergImport.refresh(cat, spark, "ns", "evmirror"))

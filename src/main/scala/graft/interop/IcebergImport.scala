@@ -1284,9 +1284,16 @@ object IcebergImport {
         catalog.loadTable(ns, name)
       }
     }
-    require(tree.partCols == meta.partitionColumns,
-      s"cannot refresh $ns.$name: the source partition spec evolved since " +
-        s"import (now ${tree.partCols.mkString(", ")}) — re-register")
+    // Source partition-spec evolution ADOPTS through graft's own spec
+    // evolution: the mirror's current spec advances (one metadata
+    // write, create-time validation re-run), files keep the partition
+    // values they were imported with — mixed coverage reads stay exact,
+    // pruning is conservative for old-spec files, and layout-
+    // attributing ops keep their compact-first refusals; new source
+    // files arrive attributed under the new spec (walkSnapshot values
+    // only default-spec manifests, which IS the adopted spec).
+    if (tree.partCols != meta.partitionColumns)
+      LakehouseTable.load(catalog, spark, ns, name).updateSpec(tree.partCols)
     meta.properties.get(graft.types.FieldIds.RegistryProp)
       .map(graft.types.FieldIds.decode).foreach { stored =>
         require(tree.srcRegistry == stored,

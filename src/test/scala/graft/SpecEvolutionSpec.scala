@@ -272,6 +272,34 @@ class SpecEvolutionSpec extends SparkSpec {
     assert(got == Seq(1, 3, 9), got.toString)
   }
 
+  test("iceberg refresh: a source spec evolution ADOPTS via graft spec evolution") {
+    val wh = Files.createTempDirectory("graft-pev-refresh").toString
+    val cat = new Snaplog(wh)
+    val src = LakehouseTable.create(cat, spark, "ns", "specsrc",
+      fixture(1).schema, Seq("grp"))
+    src.append(fixture(1, 2, 3, 4))
+    val dest = Files.createTempDirectory("graft-pev-refresh-tree")
+    graft.interop.IcebergExport.export(src, dest)
+    graft.interop.IcebergImport.register(cat, spark, dest, "ns", "specmirror")
+    assert(cat.loadTable("ns", "specmirror").partitionColumns == Seq("grp"))
+    // the source evolves its spec (here: drops partitioning — the
+    // export-expressible direction; a foreign widened-spec tree takes
+    // the same adoption path through the partCols mismatch) and lands
+    // a new era under the new spec
+    src.updateSpec(Seq.empty)
+    src.append(fixture(11, 12, 13, 14))
+    graft.interop.IcebergExport.export(src, dest)
+    val r = graft.interop.IcebergImport.refresh(cat, spark, "ns", "specmirror")
+    assert(!r.reset && r.dataFilesAdded >= 1, r.toString)
+    assert(cat.loadTable("ns", "specmirror").partitionColumns.isEmpty,
+      "the mirror's spec must have advanced with the source")
+    assert(r.table.scan().select("id").collect().map(_.getInt(0)).sorted.toSeq
+      == src.scan().select("id").collect().map(_.getInt(0)).sorted.toSeq)
+    // old-era partition-attributed reads stay exact through the mix
+    assert(r.table.scan().filter(col("grp") === "g1").count() ==
+      src.scan().filter(col("grp") === "g1").count())
+  }
+
   test("JDBC backend persists the evolved spec") {
     val dir = Files.createTempDirectory("graft-pev-jdbc")
     val cat = new graft.catalog.JdbcCatalog(

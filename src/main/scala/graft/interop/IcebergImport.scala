@@ -1225,9 +1225,10 @@ object IcebergImport {
     // existence-defaulted, with every pre-existing column and field id
     // unchanged — the mirror's schema/registry then advance to the
     // source's (one metadata write, no commit) and the sync proceeds.
-    // Anything else (rename / drop / retype / reorder / spec change)
-    // still refuses with re-register guidance: replaying into a
-    // reshaped mirror would silently misread values.
+    // (Partition-spec evolution adopts separately below.) Anything
+    // else (rename / drop / retype / reorder) still refuses with
+    // re-register guidance: replaying into a reshaped mirror would
+    // silently misread values.
     val meta = {
       val oldShape = schemaShape(meta0.schema)
       val newShape = schemaShape(tree.schema)

@@ -488,7 +488,11 @@ trait Catalog {
     * pass 0 only under genuinely exclusive table access. */
   final def vacuum(ns: String, t: String,
       graceMs: Long = Snaplog.VacuumGraceMs): Seq[String] = {
-    val referenced = snapshots(ns, t).flatMap(_.files).map(_.path).toSet
+    // the current ANALYZE statistics file is property-referenced, not
+    // snapshot-referenced — keep it; superseded stats files from
+    // earlier ANALYZE runs are exactly what vacuum should collect
+    val referenced = snapshots(ns, t).flatMap(_.files).map(_.path).toSet ++
+      loadTable(ns, t).properties.get(graft.table.TableStats.PathProp)
     val dd = dataDir(ns, t)
     if (!Files.isDirectory(dd)) return Seq.empty
     val cutoff = System.currentTimeMillis() - math.max(0L, graceMs)

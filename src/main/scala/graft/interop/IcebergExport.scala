@@ -1,7 +1,7 @@
 package graft.interop
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.avro.Schema
@@ -871,6 +871,44 @@ object IcebergExport {
     val nextRowId: Long = allSnaps
       .flatMap(_.files.filterNot(_.deleteFile.contains(true)))
       .map(_.rowCount).sum
+    // ANALYZE statistics (spec `statistics` field): the native stats
+    // file IS a spec-shaped puffin of `apache-datasketches-theta-v1`
+    // blobs whose field ids are the registry ids — the same ids this
+    // export declares — and whose snapshot-id/sequence-number follow
+    // the same published-file-count model as snapHighIdx, so the file
+    // copies VERBATIM into the exported tree. Entries only publish
+    // when the analyzed snapshot is part of the exported history
+    // (stats are advisory; an expired or staged snapshot's stats are
+    // silently omitted, never exported dangling).
+    val statsJson: JValue = {
+      import graft.table.TableStats
+      val exportedIds = snaps.map(_._1.snapshotId).toSet
+      (table.meta.properties.get(TableStats.PathProp),
+        table.meta.properties.get(TableStats.SnapshotProp).map(_.toLong)) match {
+        case (Some(p), Some(sid)) if exportedIds.contains(sid) &&
+            Files.isRegularFile(Paths.get(p)) =>
+          val dest = metaDir.resolve(s"stats-$sid.puffin")
+          Files.copy(Paths.get(p), dest,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          val blobs = Puffin.readFooter(dest)
+          JArray(List(
+            ("snapshot-id" -> sid) ~
+              ("statistics-path" -> dest.toString) ~
+              ("file-size-in-bytes" -> Files.size(dest)) ~
+              ("file-footer-size-in-bytes" -> Puffin.footerSize(dest)) ~
+              ("blob-metadata" -> blobs.map { b =>
+                ("type" -> b.tpe) ~
+                  ("snapshot-id" -> b.snapshotId.getOrElse(sid)) ~
+                  ("sequence-number" -> b.sequenceNumber
+                    .getOrElse(snapHighIdx(sid))) ~
+                  ("fields" -> b.fields.toList) ~
+                  ("properties" -> JObject(b.properties.toList.map {
+                    case (k, v) => k -> (JString(v): JValue)
+                  })): JValue
+              }.toList)))
+        case _ => JNothing
+      }
+    }
     val metadata =
       ("format-version" -> formatVersion) ~
         ("table-uuid" -> uuid) ~
@@ -892,7 +930,14 @@ object IcebergExport {
           else Nil))) ~
         ("default-spec-id" -> 0) ~
         ("last-partition-id" -> (999 + specFields.length)) ~
-        ("properties" -> JObject((m.properties - "schema.name-mapping.default").toList.map {
+        ("statistics" -> statsJson) ~
+        // stats properties never export: the path is warehouse-local
+        // and the summary/snapshot ride the spec `statistics` field
+        ("properties" -> JObject((m.properties -- Seq(
+          "schema.name-mapping.default",
+          graft.table.TableStats.PathProp,
+          graft.table.TableStats.SnapshotProp,
+          graft.table.TableStats.SummaryProp)).toList.map {
           case (k, v) => k -> (JString(v): JValue)
         } :+ ("schema.name-mapping.default" ->
           // the spec's fallback for resolving fields data files carry
@@ -908,8 +953,30 @@ object IcebergExport {
             j.asInstanceOf[JObject] ~
               ("first-row-id" -> snapFirstRow(sn.snapshotId))
           }.toList)) ~
-        ("sort-orders" -> List(("order-id" -> 0) ~ ("fields" -> List.empty[JValue]))) ~
-        ("default-sort-order-id" -> 0)
+        // `write.sort-order=c1,c2` declares as a REAL Iceberg sort
+        // order (identity/asc/nulls-first — exactly what the managed
+        // write's repartitionByRange+sortWithinPartitions produces for
+        // new files). Table-level default = WRITE INTENT per the spec;
+        // per-file sort_order_id stays unset because pre-property
+        // files carry no sort guarantee — honest, and external
+        // planners still pick up the clustering intent. Unknown
+        // columns (a stale property) degrade to the unsorted order
+        // rather than exporting a dangling source-id.
+        ("sort-orders" -> {
+          val unsorted = ("order-id" -> 0) ~ ("fields" -> List.empty[JValue])
+          sortOrderCols(m.properties, fieldId) match {
+            case Some(cols) => List(unsorted,
+              ("order-id" -> 1) ~ ("fields" -> cols.map { c =>
+                ("transform" -> "identity") ~
+                  ("source-id" -> fieldId(c)) ~
+                  ("direction" -> "asc") ~
+                  ("null-order" -> "nulls-first"): JValue
+              }.toList))
+            case None => List(unsorted)
+          }
+        }) ~
+        ("default-sort-order-id" ->
+          (if (sortOrderCols(m.properties, fieldId).isDefined) 1 else 0))
 
     val version = snaps.lastOption.map(_._1.snapshotId).getOrElse(0L)
     val metaFile = metaDir.resolve(s"v$version.metadata.json")
@@ -918,6 +985,15 @@ object IcebergExport {
     Report(metaFile, snaps.size, manifests, dataFiles, totalRecords,
       deleteFilesOut)
   }
+
+  /** Columns of a declared `write.sort-order` property, when every one
+    * resolves to an exported field id — the gate that keeps a stale
+    * property from exporting a dangling source-id. */
+  private def sortOrderCols(props: Map[String, String],
+      fieldId: Map[String, Int]): Option[Seq[String]] =
+    props.get("write.sort-order")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(cs => cs.nonEmpty && cs.forall(fieldId.contains))
 
   /** Parsed-back view of an export, for verification: walk
     * version-hint → metadata.json → current snapshot's AVRO manifest

@@ -232,7 +232,9 @@ object IcebergImport {
       srcRegistry: Map[String, Int],
       interiorRegistry: Map[String, Int],
       lastColumnId: Int,
-      defaultSpecId: Int) {
+      defaultSpecId: Int,
+      statistics: JValue = JNothing,
+      sortOrder: Seq[String] = Seq.empty) {
     def partCols: Seq[String] = partFields.map(_._2.spec)
     def manifestListOf(snapshotId: Long)(implicit fmts: Formats): Path = {
       val snap = snapshots
@@ -486,7 +488,40 @@ object IcebergImport {
       (meta \ "current-snapshot-id").extract[Long],
       srcRegistry, interiorRegistry,
       (meta \ "last-column-id").extractOpt[Int].getOrElse(0),
-      specId)
+      specId,
+      statistics = meta \ "statistics",
+      sortOrder = parseSortOrder(meta, fieldById))
+  }
+
+  /** The default sort order's column names, adopted only when graft's
+    * `write.sort-order` can express it EXACTLY — all-identity,
+    * ascending, nulls-first (what the managed write produces). Any
+    * other shape (transforms, desc, nulls-last, unresolved source-id)
+    * is advisory metadata graft cannot honor on its own writes, so it
+    * drops rather than mis-declaring future file layout. */
+  private def parseSortOrder(meta: JValue, fieldById: Map[Int, JValue])
+      (implicit fmts: Formats): Seq[String] = {
+    val defId = (meta \ "default-sort-order-id").extractOpt[Int].getOrElse(0)
+    if (defId == 0) return Seq.empty
+    val order = (meta \ "sort-orders") match {
+      case JArray(orders) => orders.find(o =>
+        (o \ "order-id").extractOpt[Int].contains(defId))
+      case _ => None
+    }
+    order.map { o =>
+      val fs = (o \ "fields") match { case JArray(xs) => xs; case _ => Nil }
+      val resolved: Seq[Option[String]] = fs.map { f =>
+        val exact = (f \ "transform").extractOpt[String].contains("identity") &&
+          (f \ "direction").extractOpt[String].forall(_.equalsIgnoreCase("asc")) &&
+          (f \ "null-order").extractOpt[String]
+            .forall(_.equalsIgnoreCase("nulls-first"))
+        if (!exact) None
+        else (f \ "source-id").extractOpt[Int].flatMap(fieldById.get)
+          .flatMap(fj => (fj \ "name").extractOpt[String])
+      }
+      if (resolved.nonEmpty && resolved.forall(_.isDefined)) resolved.flatten
+      else Seq.empty
+    }.getOrElse(Seq.empty)
   }
 
   // Sequence numbers order the MOR semantics (an equality delete
@@ -1069,7 +1104,13 @@ object IcebergImport {
     catalog.createTable(ns, name, storedSchema, tree.partCols,
       properties = Map(ImportedFromProp -> importedFrom,
         "iceberg.imported-format-version" -> tree.formatVersion.toString,
-        ImportedSnapshotProp -> tree.currentId.toString) ++ registryProps,
+        ImportedSnapshotProp -> tree.currentId.toString) ++ registryProps ++
+        // the source's default sort order, when graft's write path can
+        // honor it exactly (identity/asc/nulls-first) — native writes
+        // on the adopted table then cluster like the source's did, and
+        // a re-export declares the same order
+        (if (tree.sortOrder.isEmpty) Map.empty[String, String]
+         else Map("write.sort-order" -> tree.sortOrder.mkString(","))),
       ifNotExists = false)
 
     // -- materialize MOR state under the new table's data dir, then ONE
@@ -1088,10 +1129,72 @@ object IcebergImport {
         "equality-delete-files" -> walked.eqPlans.size.toString))
     catalog.updateProperties(ns, name,
       Map(SyncSnapshotProp -> snap.snapshotId.toString), Seq.empty)
+    adoptStatistics(catalog, ns, name, tree, snap.snapshotId)
     Report(LakehouseTable.load(catalog, spark, ns, name), snap, storedSchema,
       tree.partCols, files.size, files.map(_.rowCount).sum,
       positionDeleteFiles = walked.posDeleteCount,
       equalityDeleteFiles = walked.eqPlans.size)
+  }
+
+  /** Adopt the source's ANALYZE statistics (spec `statistics` field)
+    * for the snapshot being imported: the puffin file's
+    * `apache-datasketches-theta-v1` blobs become the native stats tier
+    * — NDV summary in table properties (the scan reports it to Spark's
+    * planner) plus a native copy of the puffin (a later export
+    * re-publishes it). Advisory by contract: entries for OTHER
+    * snapshots, unreachable files, or unknown blob types are silently
+    * skipped, never a refusal — stats can only misorder a join, not
+    * mis-answer a query. NDV comes from the blob's `ndv` property (the
+    * convention Iceberg/Trino write) with the sketch's own estimate as
+    * the fallback, so a property-less writer still imports. */
+  private def adoptStatistics(catalog: Catalog, ns: String, name: String,
+      tree: Tree, nativeSnapshotId: Long)(implicit fmts: Formats): Int = {
+    import graft.table.TableStats
+    val entry = tree.statistics match {
+      case JArray(xs) => xs.find(e =>
+        (e \ "snapshot-id").extractOpt[Long].contains(tree.currentId))
+      case _ => None
+    }
+    entry match {
+      case None => 0
+      case Some(e) =>
+        val p = (e \ "statistics-path").extractOpt[String]
+          .map(s => Paths.get(normalizePath(s)))
+        if (p.isEmpty || !Files.isRegularFile(p.get)) 0
+        else {
+          val src = p.get
+          val names: Seq[(String, Long)] = Puffin.readFooter(src)
+            .filter(b => b.tpe == Puffin.ThetaV1 && b.fields.length == 1)
+            .flatMap { b =>
+              tree.fieldById.get(b.fields.head)
+                .flatMap(f => (f \ "name").extractOpt[String])
+                .map { colName =>
+                  val ndv = b.properties.get("ndv")
+                    .flatMap(s => scala.util.Try(s.toLong).toOption)
+                    .getOrElse(TableStats.estimate(
+                      Puffin.readBlobBytes(src, b.offset, b.length)))
+                  colName -> ndv
+                }
+            }
+          if (names.isEmpty) 0
+          else {
+            val statsDir = catalog.dataDir(ns, name).resolve("stats")
+            Files.createDirectories(statsDir)
+            val dest = statsDir.resolve(
+              s"stats-$nativeSnapshotId-${java.util.UUID.randomUUID()}.puffin")
+            Files.copy(src, dest)
+            catalog.updateProperties(ns, name,
+              Map(
+                TableStats.SnapshotProp -> nativeSnapshotId.toString,
+                TableStats.PathProp -> dest.toString,
+                TableStats.SummaryProp -> TableStats.encodeSummary(
+                  names.map { case (c, n) =>
+                    c -> TableStats.ColNdv(n, None, None) }.toMap)),
+              Seq.empty)
+            names.size
+          }
+        }
+    }
   }
 
   /** Parallel footer probe over `paths`: Some(true) = every file
@@ -1399,6 +1502,9 @@ object IcebergImport {
     catalog.updateProperties(ns, name,
       Map(ImportedSnapshotProp -> tree.currentId.toString,
         SyncSnapshotProp -> snap.snapshotId.toString), Seq.empty)
+    // a refreshed source may carry fresh ANALYZE stats for the synced
+    // snapshot — adopt them (stale native stats stay otherwise)
+    adoptStatistics(catalog, ns, name, tree, snap.snapshotId)
     RefreshReport(LakehouseTable.load(catalog, spark, ns, name), Some(snap),
       watermark, tree.currentId, dataToLand.size,
       posCount, eqToLand.size, reset = !additive)

@@ -47,11 +47,21 @@ object Puffin {
   private val DvMagic = Array[Byte](0xD1.toByte, 0xD3.toByte, 0x39, 0x64)
   val DeletionVectorV1 = "deletion-vector-v1"
 
+  /** `apache-datasketches-theta-v1` — the spec's NDV statistics blob:
+    * a serialized COMPACT theta sketch built over values in Iceberg
+    * single-value binary form, `ndv` carried as a blob property so
+    * readers that only want the estimate never deserialize the
+    * sketch (the Trino/Iceberg convention). */
+  val ThetaV1 = "apache-datasketches-theta-v1"
+
   final case class Blob(
       tpe: String,
       offset: Long,
       length: Long,
-      properties: Map[String, String])
+      properties: Map[String, String],
+      fields: Seq[Int] = Seq.empty,
+      snapshotId: Option[Long] = None,
+      sequenceNumber: Option[Long] = None)
 
   /** Parse the footer's blob index. Refuses compressed footer payloads
     * and trailers that are not puffin (wrong magic). */
@@ -83,8 +93,81 @@ object Puffin {
             case (k, JLong(v)) => k -> v.toString
           }.toMap
           case _ => Map.empty[String, String]
-        })
+        },
+        fields = (b \ "fields") match {
+          case JArray(xs) => xs.collect {
+            case JInt(v) => v.toInt
+            case JLong(v) => v.toInt
+          }
+          case _ => Seq.empty
+        },
+        snapshotId = (b \ "snapshot-id").extractOpt[Long],
+        sequenceNumber = (b \ "sequence-number").extractOpt[Long])
     }
+  }
+
+  /** Total byte length of the puffin FOOTER (trailing magic + payload +
+    * payload-size + flags + magic) — the `file-footer-size-in-bytes` an
+    * Iceberg statistics-file entry declares so readers seek the blob
+    * index without probing. */
+  def footerSize(path: Path): Long = {
+    val bytes = Files.readAllBytes(path)
+    require(bytes.length >= 16 && bytes.takeRight(4).sameElements(Magic),
+      s"$path: not a puffin file (magic mismatch)")
+    val size = java.nio.ByteBuffer.wrap(bytes, bytes.length - 12, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    4L + size + 12L
+  }
+
+  /** Raw bytes of one blob at (offset, length) — statistics blobs
+    * (theta sketches) are unframed, unlike DV blobs. */
+  def readBlobBytes(path: Path, offset: Long, length: Long): Array[Byte] = {
+    val ch = Files.newByteChannel(path)
+    try {
+      ch.position(offset)
+      val b = java.nio.ByteBuffer.allocate(length.toInt)
+      var read = 0
+      while (read < length && ch.read(b) >= 0) read = b.position()
+      require(read == length, s"$path: truncated puffin blob at $offset")
+      b.array()
+    } finally ch.close()
+  }
+
+  /** Write one puffin file of `apache-datasketches-theta-v1` blobs —
+    * one per analyzed column, `fields` carrying the column's Iceberg
+    * field id and `ndv` the sketch's estimate as a property. The blob
+    * body is the compact sketch's own serialization, UNFRAMED (the
+    * spec frames only deletion vectors). */
+  def writeStats(path: Path,
+      blobs: Seq[(Int, Array[Byte], Long)], // (fieldId, sketchBytes, ndv)
+      snapshotId: Long, sequenceNumber: Long): Unit = {
+    require(blobs.nonEmpty, "a puffin file needs at least one blob")
+    val out = new ByteArrayOutputStream()
+    out.write(Magic)
+    val blobMeta = blobs.map { case (fieldId, bytes, ndv) =>
+      val offset = out.size().toLong
+      out.write(bytes)
+      (fieldId, offset, bytes.length.toLong, ndv)
+    }
+    val payload = JsonMethods.compact(JsonMethods.render(
+      ("blobs" -> blobMeta.map { case (fieldId, offset, length, ndv) =>
+        ("type" -> ThetaV1) ~
+          ("fields" -> List(fieldId)) ~
+          ("snapshot-id" -> snapshotId) ~
+          ("sequence-number" -> sequenceNumber) ~
+          ("offset" -> offset) ~ ("length" -> length) ~
+          ("properties" -> (("ndv" -> ndv.toString): JValue)): JValue
+      }.toList) ~
+        ("properties" -> (("created-by" -> "graft"): JValue))))
+      .getBytes(StandardCharsets.UTF_8)
+    out.write(Magic)
+    out.write(payload)
+    out.write(java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(payload.length).array())
+    out.write(Array[Byte](0, 0, 0, 0)) // flags: uncompressed footer
+    out.write(Magic)
+    Files.write(path, out.toByteArray)
+    ()
   }
 
   /** Decode one `deletion-vector-v1` blob at (offset, length) into its

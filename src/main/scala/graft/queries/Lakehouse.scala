@@ -2434,6 +2434,81 @@ object Lakehouse {
         WHERE o_orderkey % 7 <> 0 AND o_orderkey % 10 <> 3
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // ANALYZE statistics tier (round 14): ONE distributed pass builds
+    // per-column theta-sketch NDV (map-side sketching, driver union of
+    // partition-count compact sketches — metadata-sized at any table
+    // size), persisted as a puffin statistics file + property summary
+    // the SQL scan reports through DSv2 SupportsReportStatistics. The
+    // sketch is EXACT below its 4096 nominal entries, so the
+    // low-cardinality columns here gate hash-exactly against
+    // COUNT(DISTINCT); the flags assert the PLANNER actually sees the
+    // log-exact row count and the NDV through the relation's stats —
+    // at 100 TB this is what prices a join's build side correctly
+    // before AQE ever runs.
+    QueryDef("lake_analyze_stats",
+      (s, d) => {
+        val whDir = wh("lake_analyze_stats", d)
+        val cat = new Snaplog(whDir)
+        val cust = t(s, d, "customer")
+        val tbl = Ingest.ingestDf(cat, "lake", "cust_stats", cust).table
+        val summary = tbl.analyze(Seq("c_mktsegment", "c_nationkey"))
+        val cn = sqlCatalog(s, "gstat", whDir)
+        val st = s.sql(s"SELECT c_custkey, c_mktsegment, c_nationkey " +
+            s"FROM $cn.lake.cust_stats").queryExecution.optimizedPlan
+          .collectFirst {
+            case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+              r.stats
+          }
+        val planExactRows = st.exists(_.rowCount.contains(BigInt(cust.count())))
+        val planNdv = st.exists(_.attributeStats.toSeq.exists { case (a, cs) =>
+          a.name == "c_mktsegment" &&
+            cs.distinctCount.contains(BigInt(summary("c_mktsegment").ndv))
+        })
+        import s.implicits._
+        summary.toSeq.sortBy(_._1).map { case (c, v) => (c, v.ndv) }
+          .toDF("col_name", "ndv")
+          .withColumn("plan_exact_rows", lit(planExactRows))
+          .withColumn("plan_ndv", lit(planNdv))
+          .orderBy(col("col_name"))
+      },
+      Some("""SELECT 'c_mktsegment' AS col_name,
+          COUNT(DISTINCT c_mktsegment) AS ndv,
+          TRUE AS plan_exact_rows, TRUE AS plan_ndv FROM customer
+        UNION ALL
+        SELECT 'c_nationkey', COUNT(DISTINCT c_nationkey), TRUE, TRUE
+        FROM customer ORDER BY col_name""")),
+
+    // Statistics INTEROP (round 14): the native stats file IS a spec
+    // puffin of `apache-datasketches-theta-v1` blobs, so export
+    // publishes it as the metadata `statistics` entry (field-id
+    // addressed, `ndv` property per the Iceberg/Trino convention) and
+    // a fresh import ADOPTS a foreign tree's statistics as the native
+    // NDV tier — an adopted 100 TB table arrives with its planner
+    // statistics intact, no re-ANALYZE pass over the data.
+    QueryDef("lake_iceberg_stats",
+      (s, d) => {
+        val whDir = wh("lake_iceberg_stats", d)
+        val cat = new Snaplog(whDir)
+        val part = t(s, d, "part")
+        val src = Ingest.ingestDf(cat, "lake", "part_stats", part).table
+        src.analyze(Seq("p_brand", "p_size"))
+        val dest = Paths.get(whDir, "ice_stats")
+        IcebergExport.export(src, dest)
+        graft.interop.IcebergImport.register(
+          cat, s, dest, "lake", "part_stats_mirror")
+        val adopted = graft.table.TableStats.fromProperties(
+          cat.loadTable("lake", "part_stats_mirror").properties)
+        import s.implicits._
+        adopted.toSeq.sortBy(_._1).map { case (c, v) => (c, v.ndv) }
+          .toDF("col_name", "ndv")
+          .orderBy(col("col_name"))
+      },
+      Some("""SELECT 'p_brand' AS col_name,
+          COUNT(DISTINCT p_brand) AS ndv FROM part
+        UNION ALL
+        SELECT 'p_size', COUNT(DISTINCT p_size) FROM part
+        ORDER BY col_name""")),
+
     // STREAMING MIRROR of a live foreign Iceberg tree (round 14): the
     // table source's `refresh=true` option re-syncs an adopted mirror
     // in PER-SNAPSHOT mode before each trigger, so the foreign tree's

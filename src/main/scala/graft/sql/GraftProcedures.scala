@@ -34,7 +34,7 @@ private[sql] object GraftProcedures {
       "update_partition_spec", "rewrite_data_files", "rewrite_delete_files",
       "create_changelog_view", "merge_delta",
       "iceberg_export", "iceberg_import", "iceberg_refresh",
-      "iceberg_register_rest")
+      "iceberg_register_rest", "analyze_table")
 
   def load(catName: String, name: String, backing: Catalog): UnboundProcedure =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -51,6 +51,24 @@ private[sql] object GraftProcedures {
         val tbl = LakehouseTable.load(backing, SparkSession.active, ns, t)
         val snap = tbl.compact(sortBy = sortBy)
         row(snap.snapshotId, backing.liveFiles(ns, t).size)
+      }
+      case "analyze_table" => proc(name,
+        "one-pass ANALYZE: per-column NDV theta sketches persisted as a " +
+          "puffin statistics file + a property summary the planner reads " +
+          "(CBO selectivity, join reordering, plan-time broadcast)",
+        Seq("ns" -> StringType, "tbl" -> StringType, "columns" -> StringType),
+        StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("analyzed_columns", IntegerType, nullable = false),
+          StructField("summary", StringType, nullable = false)))) { in =>
+        val (ns, t) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString)
+        val cols = in.getUTF8String(2).toString.split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        val tbl = LakehouseTable.load(backing, SparkSession.active, ns, t)
+        val summary = tbl.analyze(cols)
+        row(tbl.currentSnapshotId, summary.size,
+          UTF8String.fromString(
+            graft.table.TableStats.encodeSummary(summary)))
       }
       case "expire_snapshots" => proc(name,
         "drop history older than the last N snapshots (refs pin their targets)",

@@ -220,7 +220,8 @@ private[sql] final class GraftSqlTable(
       streamCtx = if (writable) Some((backing, ns, tbl)) else None,
       statsUnsafe = graft.types.FieldIds.namesSet(tableProps,
         graft.types.FieldIds.StatsUnsafeProp),
-      orderedEntries = orderedEntries)
+      orderedEntries = orderedEntries,
+      ndvStats = graft.table.TableStats.fromProperties(tableProps))
   /** `INSERT INTO` appends; `INSERT OVERWRITE` (truncate-then-append in
     * Spark's plan) lands as ONE conditional overwrite commit — the
     * previous file set is replaced atomically, never a visible empty
@@ -957,7 +958,8 @@ private[sql] final class GraftScanBuilder(
     options: CaseInsensitiveStringMap,
     streamCtx: Option[(Catalog, String, String)] = None,
     statsUnsafe: Set[String] = Set.empty,
-    orderedEntries: Seq[DataFileEntry] = Seq.empty)
+    orderedEntries: Seq[DataFileEntry] = Seq.empty,
+    ndvStats: Map[String, graft.table.TableStats.ColNdv] = Map.empty)
     extends ScanBuilder
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -1323,7 +1325,7 @@ private[sql] final class GraftScanBuilder(
             Some((backing, ns, tbl))) =>
           new GraftStreamableParquetScan(ps, tableSchema, backing, ns, tbl,
             options, SpjKeys.build(tableSchema, partitionCols, kept),
-            partitionCols, kept)
+            partitionCols, kept, statsUnsafe, ndvStats)
         case _ => scan
       }
   }
@@ -2102,9 +2104,10 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
 
   // ---- metadata relations -------------------------------------------------
 
-  /** `cat.ns.t.snapshots` / `.files` / `.refs`: the multipart name
-    * arrives as Identifier(ns=[ns, t], name=kind). Driver-computed
-    * rows — the snapshot log is metadata-sized by construction. */
+  /** `cat.ns.t.snapshots` / `.files` / `.partitions` / `.refs` /
+    * `.history` / `.stats`: the multipart name arrives as
+    * Identifier(ns=[ns, t], name=kind). Driver-computed rows — the
+    * snapshot log is metadata-sized by construction. */
   private def metaTable(ident: Identifier): Option[Table] = {
     if (ident.namespace().length != 2) return None
     val ns = ident.namespace()(0)
@@ -2172,6 +2175,42 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
         () => backing.refs(ns, t).toSeq.sortBy(_._1).map { case (n, r) =>
           row(str(n), str(r.refType), r.snapshotId)
         }.toArray))
+      case "history" => Some(new GraftMetaTable(
+        s"$catName.$ns.$t.history",
+        StructType(Seq(
+          StructField("made_current_at_ms", LongType, nullable = false),
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("parent_id", LongType, nullable = true),
+          StructField("is_current_ancestor", BooleanType, nullable = false))),
+        () => {
+          // snaplog history is linear (rollback is a NEW commit), so
+          // every published snapshot is a current ancestor; WAP-staged
+          // branch commits are not main history
+          val snaps = backing.snapshots(ns, t)
+          snaps.map { sn =>
+            row(sn.timestampMs, sn.snapshotId,
+              sn.parentId.map(Long.box).orNull,
+              !graft.catalog.Snaplog.isWapStaged(sn))
+          }.toArray
+        }))
+      case "stats" => Some(new GraftMetaTable(
+        s"$catName.$ns.$t.stats",
+        StructType(Seq(
+          StructField("column", StringType, nullable = false),
+          StructField("ndv", LongType, nullable = false),
+          StructField("avg_len", LongType, nullable = true),
+          StructField("max_len", LongType, nullable = true),
+          StructField("analyzed_snapshot_id", LongType, nullable = true))),
+        () => {
+          val props = backing.loadTable(ns, t).properties
+          val snapId = props.get(graft.table.TableStats.SnapshotProp)
+            .map(s => Long.box(s.toLong)).orNull
+          graft.table.TableStats.fromProperties(props).toSeq.sortBy(_._1)
+            .map { case (c, s) =>
+              row(str(c), s.ndv, s.avgLen.map(Long.box).orNull,
+                s.maxLen.map(Long.box).orNull, snapId)
+            }.toArray
+        }))
       case _ => None
     }
   }

@@ -47,7 +47,9 @@ private[sql] final class GraftStreamableParquetScan(
     options: CaseInsensitiveStringMap,
     spj: Option[SpjKeys] = None,
     partitionCols: Seq[String] = Seq.empty,
-    entries: Seq[graft.catalog.DataFileEntry] = Seq.empty)
+    entries: Seq[graft.catalog.DataFileEntry] = Seq.empty,
+    statsUnsafe: Set[String] = Set.empty,
+    ndvStats: Map[String, graft.table.TableStats.ColNdv] = Map.empty)
     extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
       base.dataSchema, base.readDataSchema, base.readPartitionSchema,
       base.pushedFilters, base.options, base.pushedAggregate,
@@ -63,6 +65,19 @@ private[sql] final class GraftStreamableParquetScan(
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(tableSchema, backing, ns, tbl, options)
+
+  /** Exact planner statistics from the snapshot log ([[ScanStats]]):
+    * `entries` is the post-prune kept file set, and this scan only
+    * plans on the delete-free branch (outstanding MOR deletes provably
+    * dodge every kept file), so the summed row count is exact — the
+    * stock FileScan estimate (on-disk bytes, no row count, no column
+    * stats) is replaced by log-exact numbers plus the ANALYZE NDV
+    * tier. Empty `entries` (defensive default) falls back to the
+    * delegate's estimate. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    if (entries.isEmpty) super.estimateStatistics()
+    else ScanStats.report(readSchema(), entries, statsUnsafe, ndvStats)
 
   override def outputPartitioning(): Partitioning = spj match {
     case Some(k) if k.keyByPath.nonEmpty =>

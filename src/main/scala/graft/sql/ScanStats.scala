@@ -1,0 +1,131 @@
+package graft.sql
+
+import java.util.{Optional, OptionalLong}
+
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.Statistics
+import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+import org.apache.spark.sql.types._
+
+import graft.catalog.DataFileEntry
+import graft.table.TableStats
+
+/** Planner-facing statistics of a graft SQL scan, assembled from the
+  * SNAPSHOT LOG (exact row counts, per-file bounds and null counts —
+  * free, always current) plus the ANALYZE summary (NDV and string
+  * lengths — one pass, advisory). Reported through DSv2
+  * `SupportsReportStatistics`, which is what lets Spark:
+  *
+  *  - auto-BROADCAST a small graft table at plan time (no hint, no AQE
+  *    wait): `numRows × row-width` is the build-side footprint the
+  *    broadcast threshold compares against;
+  *  - CBO-estimate filter selectivity from min/max/nullCount and
+  *    reorder joins from NDV (`spark.sql.cbo.enabled`) — at 100 TB the
+  *    difference between probing the small side and building the big
+  *    one.
+  *
+  * Exactness contract: the caller only reports from the delete-free
+  * branch (outstanding MOR deletes provably dodge every kept file), so
+  * `numRows` is the exact post-prune count from the log — which also
+  * makes the reported stats POST-PRUNE (a partition-filtered scan
+  * reports the filtered magnitude, not the table's). Bounds follow the
+  * metadata-aggregate gates: stat-exact types only, never a column
+  * rebound by evolution (`statsUnsafe`), every kept file recording the
+  * stat (all-null files count via their null counts). */
+private[sql] object ScanStats {
+
+  /** Types whose recorded bounds are exact, totally ordered, and stored
+    * as stringified catalyst-internal integers — the same gate the
+    * metadata MIN/MAX pushdown applies (GraftScanBuilder.statType):
+    * floats excluded for NaN-poisoned footer stats, strings excluded
+    * for UTF-8 vs UTF-16 order disagreement. */
+  private def boundType(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | DateType | TimestampType |
+         TimestampNTZType => true
+    case _ => false
+  }
+
+  private def parseBound(dt: DataType, s: String): Option[Any] = dt match {
+    case IntegerType | DateType =>
+      scala.util.Try(s.toLong.toInt: Any).toOption
+    case LongType | TimestampType | TimestampNTZType =>
+      scala.util.Try(s.toLong: Any).toOption
+    case _ => None
+  }
+
+  private def lt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Int, y: Int) => x < y
+    case (x: Long, y: Long) => x < y
+    case _ => false
+  }
+
+  def report(readSchema: StructType, entries: Seq[DataFileEntry],
+      statsUnsafe: Set[String],
+      ndv: Map[String, TableStats.ColNdv]): Statistics = {
+    val rows = entries.map(_.rowCount).sum
+    val width = math.max(1, readSchema.fields.map(_.dataType.defaultSize).sum)
+    val size =
+      try math.multiplyExact(rows, width.toLong)
+      catch { case _: ArithmeticException => Long.MaxValue }
+    val byCol = new java.util.HashMap[NamedReference, ColumnStatistics]()
+    readSchema.fields.foreach { f =>
+      val c = f.name
+      if (!statsUnsafe(c.toLowerCase(java.util.Locale.ROOT))) {
+        // exact when EVERY kept file recorded the count (footer-stat
+        // coverage rule — one unknown file poisons the sum)
+        val nulls: Option[Long] =
+          if (entries.nonEmpty &&
+              entries.forall(_.nullCounts.exists(_.contains(c))))
+            Some(entries.map(_.nullCounts.get(c)).sum)
+          else None
+        // bounds: stat-exact type, every file records them (all-null
+        // files contribute nothing and are vacuously covered)
+        val mm: Option[(Any, Any)] =
+          if (boundType(f.dataType) && entries.nonEmpty &&
+              entries.forall(e => e.columnStats.exists(_.contains(c)) ||
+                e.nullCounts.exists(_.get(c).contains(e.rowCount)))) {
+            val bs = entries.flatMap(_.columnStats.flatMap(_.get(c)))
+            val parsed = bs.map(b =>
+              (parseBound(f.dataType, b.min), parseBound(f.dataType, b.max)))
+            if (parsed.nonEmpty && parsed.forall(p => p._1.isDefined && p._2.isDefined))
+              Some((parsed.map(_._1.get).reduce((x, y) => if (lt(y, x)) y else x),
+                parsed.map(_._2.get).reduce((x, y) => if (lt(x, y)) y else x)))
+            else None
+          } else None
+        val nd = ndv.get(c)
+        if (nulls.isDefined || mm.isDefined || nd.isDefined) {
+          byCol.put(Expressions.column(c), new ColumnStatistics {
+            override def distinctCount(): OptionalLong =
+              nd.map(x => OptionalLong.of(x.ndv)).getOrElse(OptionalLong.empty)
+            override def min(): Optional[Object] =
+              mm.map(x => Optional.of(x._1.asInstanceOf[Object]))
+                .getOrElse(Optional.empty[Object])
+            override def max(): Optional[Object] =
+              mm.map(x => Optional.of(x._2.asInstanceOf[Object]))
+                .getOrElse(Optional.empty[Object])
+            override def nullCount(): OptionalLong =
+              nulls.map(OptionalLong.of).getOrElse(OptionalLong.empty)
+            override def avgLen(): OptionalLong =
+              nd.flatMap(_.avgLen).map(OptionalLong.of)
+                .getOrElse(if (boundType(f.dataType) ||
+                    f.dataType.isInstanceOf[NumericType])
+                  OptionalLong.of(f.dataType.defaultSize.toLong)
+                else OptionalLong.empty)
+            override def maxLen(): OptionalLong =
+              nd.flatMap(_.maxLen).map(OptionalLong.of)
+                .getOrElse(if (boundType(f.dataType) ||
+                    f.dataType.isInstanceOf[NumericType])
+                  OptionalLong.of(f.dataType.defaultSize.toLong)
+                else OptionalLong.empty)
+          })
+        }
+      }
+    }
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(size)
+      override def numRows(): OptionalLong = OptionalLong.of(rows)
+      override def columnStats()
+          : java.util.Map[NamedReference, ColumnStatistics] = byCol
+    }
+  }
+}

@@ -1351,6 +1351,76 @@ final class LakehouseTable(
   }
 
 
+  /** ANALYZE: one distributed pass computing per-column NDV (theta
+    * sketches, see [[TableStats]]) over the CURRENT net content — the
+    * MOR-subtracted scan, so outstanding deletes never inflate
+    * cardinality. Persists two artifacts:
+    *
+    *  - a puffin statistics file of `apache-datasketches-theta-v1`
+    *    blobs (one per column, field-id addressed) next to the data —
+    *    the Iceberg statistics-file shape, exported verbatim;
+    *  - a JSON summary in table properties the SQL scan reports to
+    *    Spark's planner with zero I/O (`columnStats()` → CBO filter
+    *    selectivity and join reordering).
+    *
+    * Stats are ANALYZE-semantics: pinned to the analyzed snapshot id,
+    * advisory afterwards (a stale NDV misorders a join at worst, never
+    * mis-answers a query — correctness never consults this tier).
+    * Defaults to every analyzable top-level column. */
+  def analyze(columns: Seq[String] = Seq.empty): Map[String, TableStats.ColNdv] = {
+    val m = meta
+    val snap = catalog.currentSnapshot(namespace, name).getOrElse(
+      throw new IllegalStateException(
+        s"$namespace.$name: ANALYZE needs at least one snapshot"))
+    val schema = m.schema
+    val byName = schema.fields.map(f => f.name -> f).toMap
+    val cols =
+      if (columns.nonEmpty) {
+        columns.foreach { c =>
+          val f = byName.getOrElse(c, throw new IllegalArgumentException(
+            s"$namespace.$name: ANALYZE column '$c' not in schema"))
+          require(TableStats.analyzable(f.dataType),
+            s"$namespace.$name: ANALYZE column '$c' has type " +
+              s"${f.dataType} — no single-value binary form to sketch")
+        }
+        columns
+      } else schema.fields.filter(f => TableStats.analyzable(f.dataType))
+        .map(_.name).toSeq
+    require(cols.nonEmpty,
+      s"$namespace.$name: no analyzable columns (all nested?)")
+    val collected = TableStats.collect(scan(), cols)
+    // field ids from the registry (every managed table carries one);
+    // the puffin blob addresses columns by id, the property summary by
+    // name — both are needed, ids for interop, names for the scan
+    val reg = m.properties.get(graft.types.FieldIds.RegistryProp)
+      .map(graft.types.FieldIds.decode).getOrElse(Map.empty)
+    val ids = cols.zipWithIndex.map { case (c, i) =>
+      reg.getOrElse(c, i + 1)
+    }
+    // sequence model shared with the Iceberg exporter: a snapshot's
+    // high sequence is the cumulative PUBLISHED file count at it (WAP
+    // staged commits excluded on both sides)
+    val seq = catalog.snapshots(namespace, name)
+      .filterNot(graft.catalog.Snaplog.isWapStaged)
+      .takeWhile(_.snapshotId != snap.snapshotId).map(_.files.size).sum +
+      (if (graft.catalog.Snaplog.isWapStaged(snap)) 0 else snap.files.size)
+    val statsDir = catalog.dataDir(namespace, name).resolve("stats")
+    java.nio.file.Files.createDirectories(statsDir)
+    val statsPath = statsDir.resolve(
+      s"stats-${snap.snapshotId}-${java.util.UUID.randomUUID()}.puffin")
+    graft.interop.Puffin.writeStats(statsPath,
+      cols.indices.map(i => (ids(i), collected(i)._1, collected(i)._2.ndv)),
+      snap.snapshotId, seq.toLong)
+    val summary = cols.indices.map(i => cols(i) -> collected(i)._2).toMap
+    catalog.updateProperties(namespace, name,
+      set = Map(
+        TableStats.SnapshotProp -> snap.snapshotId.toString,
+        TableStats.PathProp -> statsPath.toString,
+        TableStats.SummaryProp -> TableStats.encodeSummary(summary)),
+      unset = Seq.empty)
+    summary
+  }
+
   def compact(targetFileSizeBytes: Long = 512L * 1024 * 1024,
       sortBy: Seq[String] = Seq.empty): Snapshot = {
     val base = currentSnapshotId

@@ -1,0 +1,184 @@
+package graft.table
+
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.theta.{SetOperation, Sketches, Union, UpdateSketch}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.JsonDSL._
+
+/** Table-level column statistics — the ANALYZE tier.
+  *
+  * The reference keeps no table statistics (its engines re-estimate per
+  * query); at 100 TB a planner that cannot see cardinality broadcasts
+  * nothing and reorders nothing, so this tier computes per-column NDV
+  * once and lets every subsequent plan consume it for free:
+  *
+  *  - NDV per column via theta sketches (the bundled Apache
+  *    DataSketches library Spark itself ships) — ONE distributed pass,
+  *    map-side sketching (each task folds its partition into a ~KB
+  *    compact sketch), driver union of #partitions sketches. At 1000
+  *    executors the driver merges 1000 × 4 KB objects — metadata-sized
+  *    regardless of table size.
+  *  - Sketches are built over values in ICEBERG SINGLE-VALUE BINARY
+  *    form (spec Appendix D) with the library's default seed/family,
+  *    which is exactly how Iceberg's own `compute_table_stats` builds
+  *    them — so the native stats file IS a spec
+  *    `apache-datasketches-theta-v1` puffin payload, exportable
+  *    verbatim and mergeable by external engines.
+  *  - min/max/nullCount are NOT re-computed here: the snapshot log
+  *    already records them per file (footer stats), so the scan-side
+  *    reporter aggregates them live — always fresh, zero extra I/O.
+  *    ANALYZE only adds what files cannot record: distinct counts and
+  *    string lengths.
+  *
+  * Exactness: a theta sketch is EXACT below its nominal entry count
+  * (default 4096) and ~2% beyond — which is why the correctness gate
+  * pins NDV on low-cardinality columns against a COUNT(DISTINCT)
+  * oracle, and why estimates on high-cardinality columns are still the
+  * right planner input (CBO needs magnitude, not equality).
+  */
+object TableStats {
+
+  /** Table property holding the analyzed snapshot id. Stats are
+    * ANALYZE-semantics: they describe the table as of this snapshot
+    * and go stale (never wrong-plan-fatal) as the table advances. */
+  val SnapshotProp = "graft.stats.snapshot-id"
+
+  /** Table property pointing at the native puffin statistics file. */
+  val PathProp = "graft.stats.path"
+
+  /** Table property holding the compact JSON summary the scan reports
+    * from without touching the puffin file:
+    * `{"col":{"ndv":N,"avgLen":n,"maxLen":n},…}` (lengths only where
+    * tracked, i.e. variable-width columns). */
+  val SummaryProp = "graft.stats.summary"
+
+  final case class ColNdv(ndv: Long, avgLen: Option[Long], maxLen: Option[Long])
+
+  /** Column types ANALYZE sketches: every type with an Iceberg
+    * single-value binary form the footer-stat machinery also
+    * understands. Nested types carry no single-value form. */
+  def analyzable(dt: DataType): Boolean = dt match {
+    case BooleanType | IntegerType | LongType | ShortType | ByteType |
+         FloatType | DoubleType | StringType | BinaryType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** One distributed pass: per-column compact theta sketches plus
+    * byte-length aggregates for variable-width columns. Returns
+    * (sketchBytes, ColNdv) per column, in `cols` order.
+    *
+    * Values are hashed in catalyst-internal form converted to Iceberg
+    * single-value bytes — ints/longs/dates/timestamps little-endian,
+    * strings UTF-8, decimals minimal big-endian two's-complement —
+    * so two engines analyzing the same data produce mergeable
+    * sketches with identical estimates. */
+  def collect(df: DataFrame, cols: Seq[String])
+      : Seq[(Array[Byte], ColNdv)] = {
+    val proj = df.select(cols.map(col): _*)
+    val dts: Array[DataType] = proj.schema.fields.map(_.dataType)
+    dts.foreach(dt => require(analyzable(dt),
+      s"ANALYZE cannot sketch type $dt — no single-value binary form"))
+    val n = dts.length
+    // catalyst rows: the internal values ARE the serialized integers
+    // (epoch days/micros), so no external-type round trip
+    val parts: Array[(Array[Array[Byte]], Array[Long], Array[Long], Array[Long])] =
+      proj.queryExecution.toRdd.mapPartitions { it =>
+        val sks = Array.fill(n)(UpdateSketch.builder().build())
+        val tot = new Array[Long](n)
+        val mx = new Array[Long](n)
+        val nn = new Array[Long](n)
+        it.foreach { row =>
+          var i = 0
+          while (i < n) {
+            if (!row.isNullAt(i)) {
+              val b = singleValueBytes(dts(i), row, i)
+              sks(i).update(b)
+              nn(i) += 1
+              tot(i) += b.length
+              if (b.length > mx(i)) mx(i) = b.length
+            }
+            i += 1
+          }
+        }
+        Iterator.single((sks.map(_.compact.toByteArray), tot, mx, nn))
+      }.collect()
+    (0 until n).map { i =>
+      val u: Union = SetOperation.builder().buildUnion()
+      parts.foreach(p =>
+        u.union(Sketches.heapifyCompactSketch(Memory.wrap(p._1(i)))))
+      val compact = u.getResult(true, null)
+      val nonNull = parts.map(_._4(i)).sum
+      val lens = dts(i) match {
+        case StringType | BinaryType | _: DecimalType if nonNull > 0 =>
+          val tot = parts.map(_._2(i)).sum
+          (Some((tot + nonNull - 1) / nonNull), Some(parts.map(_._3(i)).max))
+        case _ => (None, None)
+      }
+      (compact.toByteArray,
+        ColNdv(Math.round(compact.getEstimate), lens._1, lens._2))
+    }
+  }
+
+  /** Iceberg single-value binary serialization (spec Appendix D) of a
+    * catalyst-internal value: the bytes both the sketch hashes and an
+    * external DataSketches reader would hash for the same value. */
+  private def singleValueBytes(dt: DataType,
+      row: org.apache.spark.sql.catalyst.InternalRow, i: Int): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case BooleanType => Array[Byte](if (row.getBoolean(i)) 1 else 0)
+      // Iceberg has no 1/2-byte integrals: short/byte widen to int
+      case ByteType => le(4).putInt(row.getByte(i).toInt).array()
+      case ShortType => le(4).putInt(row.getShort(i).toInt).array()
+      case IntegerType | DateType => le(4).putInt(row.getInt(i)).array()
+      case LongType | TimestampType | TimestampNTZType =>
+        le(8).putLong(row.getLong(i)).array()
+      case FloatType => le(4).putFloat(row.getFloat(i)).array()
+      case DoubleType => le(8).putDouble(row.getDouble(i)).array()
+      case StringType => row.getUTF8String(i).getBytes
+      case BinaryType => row.getBinary(i)
+      case d: DecimalType =>
+        row.getDecimal(i, d.precision, d.scale)
+          .toJavaBigDecimal.unscaledValue.toByteArray
+      case other =>
+        throw new IllegalStateException(s"unsketchable type $other")
+    }
+  }
+
+  /** NDV estimate of a serialized compact theta sketch — how import
+    * recovers a foreign blob's cardinality when the writer omitted the
+    * `ndv` property. */
+  def estimate(sketchBytes: Array[Byte]): Long =
+    Math.round(Sketches.heapifyCompactSketch(Memory.wrap(sketchBytes)).getEstimate)
+
+  // ---- summary JSON codec --------------------------------------------------
+
+  def encodeSummary(m: Map[String, ColNdv]): String =
+    JsonMethods.compact(JsonMethods.render(JObject(
+      m.toList.sortBy(_._1).map { case (c, s) =>
+        c -> (("ndv" -> s.ndv) ~
+          ("avgLen" -> s.avgLen) ~ ("maxLen" -> s.maxLen): JValue)
+      })))
+
+  def decodeSummary(s: String): Map[String, ColNdv] = {
+    implicit val fmts: Formats = DefaultFormats
+    JsonMethods.parse(s) match {
+      case JObject(fs) => fs.map { case (c, v) =>
+        c -> ColNdv((v \ "ndv").extract[Long],
+          (v \ "avgLen").extractOpt[Long], (v \ "maxLen").extractOpt[Long])
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  /** Parsed summary from table properties — empty when never analyzed. */
+  def fromProperties(props: Map[String, String]): Map[String, ColNdv] =
+    props.get(SummaryProp).map(decodeSummary).getOrElse(Map.empty)
+}

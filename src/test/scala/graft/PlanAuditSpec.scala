@@ -284,4 +284,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(r.table.scan().select("id").collect()
       .map(_.getInt(0)).sorted.toSeq == Seq(3), "net rows wrong")
   }
+
+  test("lake_analyze_stats gate: planner sees exact rows and NDV") {
+    val rows = q("lake_analyze_stats").collect()
+    assert(rows.length == 2)
+    // the in-gate plan probes passed: Spark's relation stats carried
+    // the log-exact row count and the ANALYZE NDV
+    assert(rows.forall(_.getBoolean(2)), "plan_exact_rows flag false")
+    assert(rows.forall(_.getBoolean(3)), "plan_ndv flag false")
+    // NDV exact below sketch capacity: matches COUNT(DISTINCT)
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val expect = Map(
+      "c_mktsegment" -> cust.select("c_mktsegment").distinct().count(),
+      "c_nationkey" -> cust.select("c_nationkey").distinct().count())
+    rows.foreach(r => assert(r.getLong(1) == expect(r.getString(0)),
+      s"${r.getString(0)} NDV ${r.getLong(1)} != ${expect(r.getString(0))}"))
+  }
+
+  test("lake_iceberg_stats gate: adopted NDV matches COUNT(DISTINCT)") {
+    val rows = q("lake_iceberg_stats").collect()
+    assert(rows.length == 2)
+    val part = spark.read.parquet(s"$sf/part.parquet")
+    val expect = Map(
+      "p_brand" -> part.select("p_brand").distinct().count(),
+      "p_size" -> part.select("p_size").distinct().count())
+    rows.foreach(r => assert(r.getLong(1) == expect(r.getString(0)),
+      s"${r.getString(0)} NDV ${r.getLong(1)} != ${expect(r.getString(0))}"))
+  }
 }

@@ -468,6 +468,50 @@ abstract class CatalogContractSpec extends SparkSpec {
     assert(tbl.scan().count() == 8)
   }
 
+  test("sort order round-trips: write.sort-order exports, import adopts") {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    import org.json4s._
+    val cat = freshCatalog()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "so", fixture().schema)
+    cat.updateProperties("ns", "so",
+      Map("write.sort-order" -> "group,id"), Seq.empty)
+    tbl.append(fixture())
+    val dest = Files.createTempDirectory("graft-ice-so")
+    graft.interop.IcebergExport.export(tbl, dest)
+    val metaFile = graft.util.Fs.walkList(dest.resolve("metadata"))
+      .filter(_.getFileName.toString.endsWith(".metadata.json"))
+      .maxBy(_.getFileName.toString)
+    val meta = org.json4s.jackson.JsonMethods.parse(Files.readString(metaFile))
+    assert((meta \ "default-sort-order-id").extract[Int] == 1)
+    val orders = (meta \ "sort-orders").asInstanceOf[JArray].arr
+    val declared = orders.find(o => (o \ "order-id").extract[Int] == 1).get
+    val fs = (declared \ "fields").asInstanceOf[JArray].arr
+    assert(fs.map(f => ((f \ "source-id").extract[Int],
+      (f \ "transform").extract[String], (f \ "direction").extract[String],
+      (f \ "null-order").extract[String])) ==
+      List((2, "identity", "asc", "nulls-first"),
+        (1, "identity", "asc", "nulls-first")),
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(declared)))
+    // import adopts the exact-expressible order as write.sort-order
+    val imp = graft.interop.IcebergImport.register(
+      cat, spark, dest, "ns", "so_rt")
+    assert(cat.loadTable("ns", "so_rt").properties
+      .get("write.sort-order").contains("group,id"))
+    assert(imp.table.scan().count() == 4)
+    // a stale property naming a dropped/unknown column degrades to the
+    // unsorted order instead of exporting a dangling source-id
+    cat.updateProperties("ns", "so",
+      Map("write.sort-order" -> "group,ghost"), Seq.empty)
+    val dest2 = Files.createTempDirectory("graft-ice-so2")
+    graft.interop.IcebergExport.export(tbl, dest2)
+    val meta2 = org.json4s.jackson.JsonMethods.parse(Files.readString(
+      graft.util.Fs.walkList(dest2.resolve("metadata"))
+        .filter(_.getFileName.toString.endsWith(".metadata.json"))
+        .maxBy(_.getFileName.toString)))
+    assert((meta2 \ "default-sort-order-id").extract[Int] == 0)
+  }
+
   test("iceberg export emits a walkable v2 metadata tree") {
     val cat = freshCatalog()
     val tbl = LakehouseTable.create(cat, spark, "ns", "t", fixture().schema, Seq("group"))

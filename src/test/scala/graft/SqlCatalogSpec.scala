@@ -1369,6 +1369,24 @@ class SqlCatalogSpec extends SparkSpec {
     assert(parts2 == Seq(("group=A", 1L, 2L), ("group=B", 1L, 1L), ("group=C", 1L, 1L)),
       s"got $parts2")
 
+    // .history lists the commit lineage (linear log: every published
+    // snapshot is a current ancestor)
+    val hist = spark.sql("""SELECT snapshot_id, parent_id, is_current_ancestor
+      FROM gsqlmeta.ns.m.history ORDER BY snapshot_id""").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getBoolean(2))).toSeq
+    assert(hist.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    assert(hist.head._2.isEmpty && hist(1)._2.contains(1L))
+    assert(hist.forall(_._3))
+
+    // .stats surfaces the ANALYZE tier (empty before, populated after)
+    assert(spark.sql("SELECT * FROM gsqlmeta.ns.m.stats").collect().isEmpty)
+    tbl.analyze(Seq("group"))
+    val stats = spark.sql("""SELECT column, ndv, analyzed_snapshot_id
+      FROM gsqlmeta.ns.m.stats""").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(stats == Seq(("group", 3L, tbl.currentSnapshotId)), s"got $stats")
+
     // unknown metadata kinds still fail as missing tables
     intercept[Exception] { spark.sql("SELECT * FROM gsqlmeta.ns.m.nope").collect() }
   }

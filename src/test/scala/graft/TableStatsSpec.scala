@@ -1,0 +1,179 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.functions.col
+
+import graft.catalog.Snaplog
+import graft.interop.{IcebergExport, IcebergImport, Puffin}
+import graft.sql.GraftSqlCatalog
+import graft.table.{LakehouseTable, TableStats}
+
+/** The ANALYZE statistics tier: theta-sketch NDV collection, the
+  * scan-side planner report (exact rowCount + column stats), vacuum
+  * retention of the stats file, and the Iceberg statistics-file
+  * export/import round trip. */
+class TableStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture() = Seq(
+    (1L, "A", "x", java.sql.Date.valueOf("2024-01-01")),
+    (2L, "A", "y", java.sql.Date.valueOf("2024-01-02")),
+    (3L, "B", "x", java.sql.Date.valueOf("2024-01-03")),
+    (4L, "B", "y", java.sql.Date.valueOf("2024-01-04")),
+    (5L, "C", "x", java.sql.Date.valueOf("2024-01-05"))
+  ).toDF("id", "grp", "tag", "d")
+
+  test("analyze: exact NDV below sketch capacity, summary persisted") {
+    val wh = Files.createTempDirectory("graft-stats").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "t", fixture().schema)
+    tbl.append(fixture())
+    val summary = tbl.analyze()
+    assert(summary("id").ndv == 5)
+    assert(summary("grp").ndv == 3)
+    assert(summary("tag").ndv == 2)
+    assert(summary("d").ndv == 5)
+    // string lengths tracked in bytes
+    assert(summary("grp").avgLen.contains(1L))
+    assert(summary("grp").maxLen.contains(1L))
+    // persisted: properties round-trip through the codec
+    val props = cat.loadTable("ns", "t").properties
+    assert(props(TableStats.SnapshotProp) == tbl.currentSnapshotId.toString)
+    val decoded = TableStats.fromProperties(props)
+    assert(decoded == summary)
+    // the puffin file exists and carries one theta blob per column,
+    // ndv as a property — and the sketch bytes THEMSELVES estimate to
+    // the same value (a property-less reader recovers it)
+    val statsPath = Paths.get(props(TableStats.PathProp))
+    assert(Files.isRegularFile(statsPath))
+    val blobs = Puffin.readFooter(statsPath)
+    assert(blobs.size == 4 && blobs.forall(_.tpe == Puffin.ThetaV1))
+    blobs.foreach { b =>
+      val est = TableStats.estimate(
+        Puffin.readBlobBytes(statsPath, b.offset, b.length))
+      assert(b.properties("ndv").toLong == est)
+    }
+    // blob field-ids are the registry ids (1..4 for a fresh table)
+    assert(blobs.flatMap(_.fields).sorted == Seq(1, 2, 3, 4))
+  }
+
+  test("analyze: MOR-subtracted content, column selection, refusals") {
+    val wh = Files.createTempDirectory("graft-stats2").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "t", fixture().schema)
+    tbl.append(fixture())
+    tbl.deleteMor(col("grp") === "C")
+    // NDV sees the NET content: grp C is deleted
+    val summary = tbl.analyze(Seq("grp", "id"))
+    assert(summary("grp").ndv == 2)
+    assert(summary("id").ndv == 4)
+    assert(summary.keySet == Set("grp", "id"))
+    intercept[IllegalArgumentException](tbl.analyze(Seq("nope")))
+    val empty = LakehouseTable.create(cat, spark, "ns", "e", fixture().schema)
+    intercept[IllegalStateException](empty.analyze())
+  }
+
+  test("vacuum keeps the current stats file, collects superseded ones") {
+    val wh = Files.createTempDirectory("graft-stats3").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "t", fixture().schema)
+    tbl.append(fixture())
+    tbl.analyze(Seq("grp"))
+    val first = Paths.get(cat.loadTable("ns", "t").properties(TableStats.PathProp))
+    tbl.analyze(Seq("grp", "tag"))
+    val second = Paths.get(cat.loadTable("ns", "t").properties(TableStats.PathProp))
+    assert(first != second)
+    cat.vacuum("ns", "t", graceMs = 0L)
+    assert(!Files.exists(first), "superseded stats file should be collected")
+    assert(Files.exists(second), "current stats file must survive vacuum")
+  }
+
+  test("SQL scan reports exact rowCount, NDV, bounds and null counts") {
+    val wh = Files.createTempDirectory("graft-stats4").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "t", fixture().schema,
+      Seq("grp"))
+    tbl.append(fixture())
+    tbl.analyze()
+    spark.conf.set("spark.sql.catalog.gstats", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gstats.warehouse", wh)
+    def relStats(sql: String) = {
+      val rel = spark.sql(sql).queryExecution.optimizedPlan.collectFirst {
+        case r: DataSourceV2ScanRelation => r
+      }.getOrElse(fail(s"no V2 scan relation in: $sql"))
+      rel.stats
+    }
+    val st = relStats("SELECT id, grp, d FROM gstats.ns.t")
+    assert(st.rowCount.contains(BigInt(5)), s"rowCount ${st.rowCount}")
+    assert(st.sizeInBytes > 0)
+    val byName = st.attributeStats.toSeq.map { case (a, cs) => a.name -> cs }.toMap
+    assert(byName("id").distinctCount.contains(BigInt(5)))
+    assert(byName("grp").distinctCount.contains(BigInt(3)))
+    assert(byName("id").nullCount.contains(BigInt(0)))
+    // long bounds surface as catalyst values
+    assert(byName("id").min.contains(1L) && byName("id").max.contains(5L))
+    // date bounds are epoch-day ints internally
+    assert(byName("d").min.contains(19723) && byName("d").max.contains(19727))
+    // PRUNED scan reports the pruned magnitude, not the table's
+    val pruned = relStats("SELECT id FROM gstats.ns.t WHERE grp = 'A'")
+    assert(pruned.rowCount.contains(BigInt(2)), s"pruned ${pruned.rowCount}")
+  }
+
+  test("statistics export/import: the puffin round-trips as NDV") {
+    val wh = Files.createTempDirectory("graft-stats5").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "src", fixture().schema)
+    tbl.append(fixture())
+    tbl.analyze(Seq("id", "grp"))
+    val out = Files.createTempDirectory("graft-stats5-ice")
+    IcebergExport.export(tbl, out)
+    // exported metadata declares the statistics file; stats properties
+    // (warehouse-local path) never leak into exported properties
+    val metaDir = out.resolve("metadata")
+    val metaFile = graft.util.Fs.walkList(metaDir)
+      .filter(_.getFileName.toString.endsWith(".metadata.json"))
+      .maxBy(_.getFileName.toString)
+    val metaTxt = Files.readString(metaFile)
+    assert(metaTxt.contains("\"statistics\""))
+    assert(metaTxt.contains("apache-datasketches-theta-v1"))
+    assert(!metaTxt.contains(TableStats.PathProp))
+    // a fresh import adopts the NDV tier
+    val cat2 = new Snaplog(Files.createTempDirectory("graft-stats5-wh2").toString)
+    IcebergImport.register(cat2, spark, out, "ns", "dst")
+    val adopted = TableStats.fromProperties(cat2.loadTable("ns", "dst").properties)
+    assert(adopted("id").ndv == 5)
+    assert(adopted("grp").ndv == 3)
+    // and the adopted table's SQL scan reports it to the planner
+    spark.conf.set("spark.sql.catalog.gstats2", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gstats2.warehouse", cat2.warehouse)
+    val rel = spark.sql("SELECT grp FROM gstats2.ns.dst").queryExecution
+      .optimizedPlan.collectFirst { case r: DataSourceV2ScanRelation => r }.get
+    val ndv = rel.stats.attributeStats.toSeq
+      .collectFirst { case (a, cs) if a.name == "grp" => cs.distinctCount }.flatten
+    assert(ndv.contains(BigInt(3)))
+  }
+
+  test("refresh adopts the source's fresh statistics") {
+    val wh = Files.createTempDirectory("graft-stats6").toString
+    val cat = new Snaplog(wh)
+    val src = LakehouseTable.create(cat, spark, "ns", "src", fixture().schema)
+    src.append(fixture())
+    val out = Files.createTempDirectory("graft-stats6-ice")
+    IcebergExport.export(src, out)
+    val cat2 = new Snaplog(Files.createTempDirectory("graft-stats6-wh2").toString)
+    IcebergImport.register(cat2, spark, out, "ns", "mirror")
+    // no stats at register time (source never analyzed)
+    assert(TableStats.fromProperties(
+      cat2.loadTable("ns", "mirror").properties).isEmpty)
+    // source advances AND analyzes; re-export carries the stats entry
+    src.append(fixture().withColumn("id", $"id" + 10))
+    src.analyze(Seq("id"))
+    IcebergExport.export(src, out)
+    IcebergImport.refresh(cat2, spark, "ns", "mirror", Some(out))
+    val adopted = TableStats.fromProperties(
+      cat2.loadTable("ns", "mirror").properties)
+    assert(adopted("id").ndv == 10)
+  }
+}

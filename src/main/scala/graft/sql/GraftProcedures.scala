@@ -55,17 +55,20 @@ private[sql] object GraftProcedures {
       case "analyze_table" => proc(name,
         "one-pass ANALYZE: per-column NDV theta sketches persisted as a " +
           "puffin statistics file + a property summary the planner reads " +
-          "(CBO selectivity, join reordering, plan-time broadcast)",
-        Seq("ns" -> StringType, "tbl" -> StringType, "columns" -> StringType),
+          "(CBO selectivity, join reordering, plan-time broadcast); " +
+          "histogram_columns adds equi-height histograms for range " +
+          "estimation over skewed distributions",
+        Seq("ns" -> StringType, "tbl" -> StringType, "columns" -> StringType,
+          "histogram_columns" -> StringType),
         StructType(Seq(
           StructField("snapshot_id", LongType, nullable = false),
           StructField("analyzed_columns", IntegerType, nullable = false),
           StructField("summary", StringType, nullable = false)))) { in =>
         val (ns, t) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString)
-        val cols = in.getUTF8String(2).toString.split(',').map(_.trim)
+        def csv(i: Int) = in.getUTF8String(i).toString.split(',').map(_.trim)
           .filter(_.nonEmpty).toSeq
         val tbl = LakehouseTable.load(backing, SparkSession.active, ns, t)
-        val summary = tbl.analyze(cols)
+        val summary = tbl.analyze(csv(2), histogramColumns = csv(3))
         row(tbl.currentSnapshotId, summary.size,
           UTF8String.fromString(
             graft.table.TableStats.encodeSummary(summary)))

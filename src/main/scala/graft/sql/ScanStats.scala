@@ -4,7 +4,7 @@ import java.util.{Optional, OptionalLong}
 
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.read.Statistics
-import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+import org.apache.spark.sql.connector.read.colstats.{ColumnStatistics, Histogram, HistogramBin}
 import org.apache.spark.sql.types._
 
 import graft.catalog.DataFileEntry
@@ -117,6 +117,25 @@ private[sql] object ScanStats {
                     f.dataType.isInstanceOf[NumericType])
                   OptionalLong.of(f.dataType.defaultSize.toLong)
                 else OptionalLong.empty)
+            // equi-height histogram from ANALYZE(histogramColumns):
+            // height = non-null rows per bin — CBO's range estimation
+            // then prices skewed BETWEEN windows by the distribution
+            override def histogram(): Optional[Histogram] =
+              nd.flatMap(_.hist) match {
+                case Some(bs) if bs.nonEmpty && rows > 0 =>
+                  val nonNull = rows - nulls.getOrElse(0L)
+                  Optional.of(new Histogram {
+                    override def height(): Double =
+                      nonNull.toDouble / bs.size
+                    override def bins(): Array[HistogramBin] =
+                      bs.map(b => new HistogramBin {
+                        override def lo(): Double = b.lo
+                        override def hi(): Double = b.hi
+                        override def ndv(): Long = b.ndv
+                      }: HistogramBin).toArray
+                  })
+                case _ => Optional.empty[Histogram]
+              }
           })
         }
       }

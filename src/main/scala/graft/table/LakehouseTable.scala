@@ -1366,8 +1366,16 @@ final class LakehouseTable(
     * Stats are ANALYZE-semantics: pinned to the analyzed snapshot id,
     * advisory afterwards (a stale NDV misorders a join at worst, never
     * mis-answers a query — correctness never consults this tier).
-    * Defaults to every analyzable top-level column. */
-  def analyze(columns: Seq[String] = Seq.empty): Map[String, TableStats.ColNdv] = {
+    * Defaults to every analyzable top-level column.
+    *
+    * `histogramColumns` additionally computes equi-height histograms
+    * (two more bounded passes, [[TableStats.histograms]]) for CBO
+    * range estimation over skewed distributions — native-only (no
+    * Iceberg statistics blob type exists for histograms), carried in
+    * the property summary. */
+  def analyze(columns: Seq[String] = Seq.empty,
+      histogramColumns: Seq[String] = Seq.empty,
+      numBins: Int = 64): Map[String, TableStats.ColNdv] = {
     val m = meta
     val snap = catalog.currentSnapshot(namespace, name).getOrElse(
       throw new IllegalStateException(
@@ -1388,7 +1396,21 @@ final class LakehouseTable(
         .map(_.name).toSeq
     require(cols.nonEmpty,
       s"$namespace.$name: no analyzable columns (all nested?)")
-    val collected = TableStats.collect(scan(), cols)
+    histogramColumns.foreach { c =>
+      val f = byName.getOrElse(c, throw new IllegalArgumentException(
+        s"$namespace.$name: histogram column '$c' not in schema"))
+      require(TableStats.histogramType(f.dataType),
+        s"$namespace.$name: histogram column '$c' has type ${f.dataType} — " +
+          "no ordered double space for equi-height bins")
+      require(cols.contains(c),
+        s"$namespace.$name: histogram column '$c' must also be analyzed " +
+          "(include it in `columns`, or leave `columns` empty)")
+    }
+    val content = scan()
+    val collected = TableStats.collect(content, cols)
+    val hists =
+      if (histogramColumns.isEmpty) Map.empty[String, Seq[TableStats.Bin]]
+      else TableStats.histograms(content, histogramColumns, numBins)
     // field ids from the registry (every managed table carries one);
     // the puffin blob addresses columns by id, the property summary by
     // name — both are needed, ids for interop, names for the scan
@@ -1411,7 +1433,8 @@ final class LakehouseTable(
     graft.interop.Puffin.writeStats(statsPath,
       cols.indices.map(i => (ids(i), collected(i)._1, collected(i)._2.ndv)),
       snap.snapshotId, seq.toLong)
-    val summary = cols.indices.map(i => cols(i) -> collected(i)._2).toMap
+    val summary = cols.indices.map(i => cols(i) ->
+      collected(i)._2.copy(hist = hists.get(cols(i)))).toMap
     catalog.updateProperties(namespace, name,
       set = Map(
         TableStats.SnapshotProp -> snap.snapshotId.toString,
@@ -2417,24 +2440,11 @@ final class LakehouseTable(
     // (hidden partitioning: queries filter the source, metadata prunes
     // the transform)
     val partFields = PartitionTransforms.parseAll(m.partitionColumns)
-    // Transform-partitioned writes repartition by the layout expressions
-    // first: a days×bucket spec crossed with N input tasks would
-    // otherwise fan out to N × |dirs| small files (and as many log
-    // entries) per commit. Identity writes keep the caller's
-    // partitioning — existing layouts and file-count contracts stand.
-    val clustered =
-      if (partFields.forall(_.isInstanceOf[IdentityField])) normalized
-      else normalized.repartition(
-        partFields.map(pf =>
-          PartitionTransforms.layoutExpr(pf, normalized.schema)): _*)
     // `write.sort-order=c1,c2`: cluster every managed write so files
     // carry tight, (mostly) disjoint [min,max] bounds on the sort
     // columns — stat-based file skipping then prunes appends the way
     // compact(sortBy) prunes rewrites, at the cost of one range
-    // shuffle per write (the property is the opt-in). For transform-
-    // partitioned tables the layout repartition above wins the
-    // clustering; the sort applies within those partitions only, so
-    // bounds tighten without breaking the directory layout.
+    // shuffle per write (the property is the opt-in).
     val sortCols = m.properties.get("write.sort-order")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
@@ -2442,9 +2452,43 @@ final class LakehouseTable(
       normalized.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
       s"write.sort-order column '$c' not in schema " +
         s"(${normalized.schema.fieldNames.mkString(", ")})"))
+    // `write.distribution-mode` (Iceberg's write layout property) for
+    // PARTITIONED tables: `hash` shuffles each partition tuple into one
+    // task (one file per partition value per commit — at 1000 input
+    // tasks × 100 partitions the difference between 100 files and
+    // 100,000), `range` range-partitions by (partition, sort key) for
+    // globally disjoint bounds across files, `none` (default) keeps the
+    // caller's partitioning — existing layouts and file-count contracts
+    // stand. Transform-partitioned writes ALWAYS cluster at least by
+    // the layout expressions: a days×bucket spec crossed with N input
+    // tasks would otherwise fan out to N × |dirs| small files (and as
+    // many log entries) per commit.
+    val distMode = m.properties
+      .getOrElse("write.distribution-mode", "none")
+      .toLowerCase(java.util.Locale.ROOT)
+    require(Set("none", "hash", "range")(distMode),
+      s"write.distribution-mode '$distMode' — expected none|hash|range")
+    val layoutExprs = partFields.map(pf =>
+      PartitionTransforms.layoutExpr(pf, normalized.schema))
+    val clustered =
+      if (partFields.isEmpty) normalized
+      else distMode match {
+        case "hash" => normalized.repartition(layoutExprs: _*)
+        case "range" =>
+          normalized.repartitionByRange(
+            (layoutExprs ++ sortCols.map(col)): _*)
+        case _ =>
+          if (partFields.forall(_.isInstanceOf[IdentityField])) normalized
+          else normalized.repartition(layoutExprs: _*)
+      }
+    // sort application: an explicit distribution mode (or a transform
+    // layout) already owns the clustering, so the sort applies within
+    // those partitions only; identity tables under the default mode
+    // keep the original whole-write range shuffle on the sort key
     val laidOut =
       if (sortCols.isEmpty) clustered
-      else if (partFields.forall(_.isInstanceOf[IdentityField])) {
+      else if (partFields.isEmpty || (distMode == "none" &&
+          partFields.forall(_.isInstanceOf[IdentityField]))) {
         val n = math.max(1, clustered.rdd.getNumPartitions)
         clustered.repartitionByRange(n, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)

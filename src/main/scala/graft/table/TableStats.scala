@@ -56,7 +56,13 @@ object TableStats {
     * tracked, i.e. variable-width columns). */
   val SummaryProp = "graft.stats.summary"
 
-  final case class ColNdv(ndv: Long, avgLen: Option[Long], maxLen: Option[Long])
+  /** One equi-height histogram bin over the column's CATALYST-INTERNAL
+    * value space as doubles (dates epoch-days, timestamps epoch-micros
+    * — the space Spark's estimation compares literals in). */
+  final case class Bin(lo: Double, hi: Double, ndv: Long)
+
+  final case class ColNdv(ndv: Long, avgLen: Option[Long], maxLen: Option[Long],
+      hist: Option[Seq[Bin]] = None)
 
   /** Column types ANALYZE sketches: every type with an Iceberg
     * single-value binary form the footer-stat machinery also
@@ -152,6 +158,86 @@ object TableStats {
     }
   }
 
+  /** Column types an equi-height histogram can cover: totally-ordered
+    * types whose catalyst-internal value maps losslessly to a double
+    * for estimation (Spark's own ANALYZE histogram space). NTZ
+    * timestamps are excluded — their internal wall-clock micros can't
+    * be recovered through a session-timezone-dependent cast. */
+  def histogramType(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | ShortType | ByteType | FloatType |
+         DoubleType | DateType | TimestampType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** The column in its internal-as-double estimation space. */
+  private def histExpr(c: String, dt: DataType): org.apache.spark.sql.Column =
+    dt match {
+      case DateType =>
+        org.apache.spark.sql.functions.unix_date(col(c)).cast(DoubleType)
+      case TimestampType =>
+        org.apache.spark.sql.functions.unix_micros(col(c)).cast(DoubleType)
+      case _ => col(c).cast(DoubleType)
+    }
+
+  /** Equi-height histograms (Spark's ANALYZE ... COMPUTE STATISTICS
+    * FOR COLUMNS histogram equivalent) in TWO distributed passes over
+    * all requested columns together:
+    *
+    *  1. one aggregation computes every column's `numBins+1` equi-height
+    *     boundaries via `percentile_approx` (nulls skipped);
+    *  2. one explode+aggregate computes per-bin NDV via HLL — rows
+    *     shuffled = numBins × columns, never data-sized.
+    *
+    * Bins live in the internal-as-double space [[Bin]] documents, which
+    * is exactly what CBO's range estimation compares predicate literals
+    * in — a skewed 100 TB fact column then prices `BETWEEN` windows by
+    * its real distribution instead of a uniform [min,max] spread. */
+  def histograms(df: DataFrame, cols: Seq[String], numBins: Int)
+      : Map[String, Seq[Bin]] = {
+    import org.apache.spark.sql.functions._
+    require(numBins >= 2 && numBins <= 1000, s"numBins $numBins out of range")
+    val dts = cols.map(c => c -> df.schema(c).dataType).toMap
+    cols.foreach(c => require(histogramType(dts(c)),
+      s"histogram column '$c' has type ${dts(c)} — no ordered double space"))
+    val fractions = array((0 to numBins).map(i =>
+      lit(i.toDouble / numBins)): _*)
+    val bounds: Map[String, Seq[Double]] = {
+      val row = df.select(cols.map(c =>
+        percentile_approx(histExpr(c, dts(c)), fractions, lit(10000))
+          .as(c)): _*).head()
+      cols.zipWithIndex.map { case (c, i) =>
+        c -> (if (row.isNullAt(i)) Seq.empty[Double]
+              else row.getSeq[Double](i))
+      }.toMap
+    }
+    val withData = cols.filter(c => bounds(c).size == numBins + 1)
+    if (withData.isEmpty) return Map.empty
+    // bin index = number of INNER boundaries strictly below the value
+    // (0-based, in [0, numBins-1]) — a codegen'd higher-order filter,
+    // no UDF; each row contributes one (column, bin, value) triple per
+    // histogrammed column
+    val exploded = df.select(explode(array(withData.map { c =>
+      val inner = array(bounds(c).slice(1, numBins).map(lit): _*)
+      val v = histExpr(c, dts(c))
+      struct(lit(c).as("c"),
+        size(filter(inner, b => b < v)).as("bin"),
+        v.as("v"))
+    }: _*)).as("h"))
+      .select(col("h.c"), col("h.bin"), col("h.v"))
+      .filter(col("v").isNotNull)
+    val ndvRows = exploded.groupBy(col("c"), col("bin"))
+      .agg(approx_count_distinct(col("v")).as("ndv"))
+      .collect()
+    val ndvByBin: Map[(String, Int), Long] = ndvRows.map(r =>
+      (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    withData.map { c =>
+      val b = bounds(c)
+      c -> (0 until numBins).map(i =>
+        Bin(b(i), b(i + 1), ndvByBin.getOrElse((c, i), 0L)))
+    }.toMap
+  }
+
   /** NDV estimate of a serialized compact theta sketch — how import
     * recovers a foreign blob's cardinality when the writer omitted the
     * `ndv` property. */
@@ -163,16 +249,29 @@ object TableStats {
   def encodeSummary(m: Map[String, ColNdv]): String =
     JsonMethods.compact(JsonMethods.render(JObject(
       m.toList.sortBy(_._1).map { case (c, s) =>
-        c -> (("ndv" -> s.ndv) ~
-          ("avgLen" -> s.avgLen) ~ ("maxLen" -> s.maxLen): JValue)
+        val base = ("ndv" -> s.ndv) ~
+          ("avgLen" -> s.avgLen) ~ ("maxLen" -> s.maxLen)
+        c -> (s.hist match {
+          case Some(bins) => base ~ ("hist" -> bins.map(b =>
+            JArray(List(JDouble(b.lo), JDouble(b.hi), JLong(b.ndv)))).toList)
+          case None => base: JValue
+        })
       })))
 
   def decodeSummary(s: String): Map[String, ColNdv] = {
     implicit val fmts: Formats = DefaultFormats
     JsonMethods.parse(s) match {
       case JObject(fs) => fs.map { case (c, v) =>
+        val hist = (v \ "hist") match {
+          case JArray(bins) => Some(bins.collect {
+            case JArray(List(lo, hi, n)) =>
+              Bin(lo.extract[Double], hi.extract[Double], n.extract[Long])
+          })
+          case _ => None
+        }
         c -> ColNdv((v \ "ndv").extract[Long],
-          (v \ "avgLen").extractOpt[Long], (v \ "maxLen").extractOpt[Long])
+          (v \ "avgLen").extractOpt[Long], (v \ "maxLen").extractOpt[Long],
+          hist.filter(_.nonEmpty))
       }.toMap
       case _ => Map.empty
     }

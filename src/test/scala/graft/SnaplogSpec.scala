@@ -468,6 +468,44 @@ abstract class CatalogContractSpec extends SparkSpec {
     assert(tbl.scan().count() == 8)
   }
 
+  test("write.distribution-mode clusters partitioned writes") {
+    val cat = freshCatalog()
+    // default mode: caller's partitioning stands — 4 input tasks × 3
+    // partition values can fan out past 3 files
+    val wide = fixture().repartition(4)
+    val none = LakehouseTable.create(cat, spark, "ns", "dmn",
+      fixture().schema, Seq("group"))
+    none.append(wide)
+    val noneFiles = cat.liveFiles("ns", "dmn").size
+    // hash mode: each partition tuple lands in ONE task — exactly one
+    // file per partition value regardless of input task count
+    val hash = LakehouseTable.create(cat, spark, "ns", "dmh",
+      fixture().schema, Seq("group"))
+    cat.updateProperties("ns", "dmh",
+      Map("write.distribution-mode" -> "hash"), Seq.empty)
+    hash.append(wide)
+    assert(cat.liveFiles("ns", "dmh").size == 3,
+      s"hash mode must write one file per partition value, " +
+        s"got ${cat.liveFiles("ns", "dmh").size} (default mode: $noneFiles)")
+    assert(hash.scan().count() == 4)
+    // range mode composes with write.sort-order and stays exact
+    val range = LakehouseTable.create(cat, spark, "ns", "dmr",
+      fixture().schema, Seq("group"))
+    cat.updateProperties("ns", "dmr",
+      Map("write.distribution-mode" -> "range",
+        "write.sort-order" -> "id"), Seq.empty)
+    range.append(wide)
+    assert(range.scan().count() == 4)
+    assert(range.scan().select("id").collect().map(_.getInt(0)).sorted
+      .toSeq == Seq(1, 2, 3, 4))
+    // unknown mode refuses loudly at write time
+    val bad = LakehouseTable.create(cat, spark, "ns", "dmb",
+      fixture().schema, Seq("group"))
+    cat.updateProperties("ns", "dmb",
+      Map("write.distribution-mode" -> "shuffle"), Seq.empty)
+    intercept[IllegalArgumentException](bad.append(wide))
+  }
+
   test("sort order round-trips: write.sort-order exports, import adopts") {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     import org.json4s._

@@ -155,6 +155,71 @@ class TableStatsSpec extends SparkSpec {
     assert(ndv.contains(BigInt(3)))
   }
 
+  test("CBO consumes the reported stats: filter selectivity shrinks estimates") {
+    val wh = Files.createTempDirectory("graft-stats-cbo").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "t", fixture().schema)
+    tbl.append(fixture())
+    tbl.analyze()
+    spark.conf.set("spark.sql.catalog.gcbo", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcbo.warehouse", wh)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      // range estimation from the reported min/max/NDV: id <= 2 over
+      // ids 1..5 must estimate well below the full 5 rows — the
+      // estimate CBO prices join sides with at 100 TB
+      val st = spark.sql("SELECT * FROM gcbo.ns.t WHERE id <= 2")
+        .queryExecution.optimizedPlan.stats
+      assert(st.rowCount.isDefined, "CBO lost the row count through Filter")
+      assert(st.rowCount.get >= BigInt(1) && st.rowCount.get <= BigInt(3),
+        s"expected a selectivity-shrunk estimate, got ${st.rowCount}")
+    } finally spark.conf.unset("spark.sql.cbo.enabled")
+  }
+
+  test("histograms: equi-height bins price skewed ranges, round-trip, SQL CALL") {
+    val wh = Files.createTempDirectory("graft-stats-hist").toString
+    val cat = new Snaplog(wh)
+    // skewed: 90 rows in [0,9], 10 rows at 100..1000 — a uniform
+    // [min,max] spread would price x >= 100 at ~90% of rows
+    val df = (0 until 100).map { i =>
+      if (i < 90) (i.toLong, (i % 10).toLong)
+      else (i.toLong, ((i - 89) * 100).toLong)
+    }.toDF("id", "x")
+    val tbl = LakehouseTable.create(cat, spark, "ns", "t", df.schema)
+    tbl.append(df)
+    val summary = tbl.analyze(Seq("x"), histogramColumns = Seq("x"),
+      numBins = 10)
+    val hist = summary("x").hist.getOrElse(fail("no histogram computed"))
+    assert(hist.size == 10)
+    assert(hist.head.lo == 0.0 && hist.last.hi == 1000.0)
+    // persists: the decoded property summary carries the same bins
+    val decoded = TableStats.fromProperties(cat.loadTable("ns", "t").properties)
+    assert(decoded("x").hist.contains(hist))
+    // CBO range estimation follows the DISTRIBUTION, not the spread
+    spark.conf.set("spark.sql.catalog.ghist", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ghist.warehouse", wh)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val st = spark.sql("SELECT * FROM ghist.ns.t WHERE x >= 100")
+        .queryExecution.optimizedPlan.stats
+      assert(st.rowCount.isDefined)
+      assert(st.rowCount.get <= BigInt(40),
+        s"histogram should price the skewed tail well under the uniform " +
+          s"~90-row estimate, got ${st.rowCount}")
+    } finally spark.conf.unset("spark.sql.cbo.enabled")
+    // the SQL procedure takes histogram_columns
+    val out = spark.sql(
+      "CALL ghist.system.analyze_table('ns', 't', 'id,x', 'x')").head()
+    assert(out.getInt(1) == 2)
+    assert(TableStats.fromProperties(cat.loadTable("ns", "t").properties)
+      .get("x").exists(_.hist.exists(_.size == 64)))
+    // refusals: unknown column, unordered type, not-analyzed column
+    intercept[IllegalArgumentException](
+      tbl.analyze(Seq("x"), histogramColumns = Seq("ghost")))
+    intercept[IllegalArgumentException](
+      tbl.analyze(Seq("id"), histogramColumns = Seq("x")))
+  }
+
   test("refresh adopts the source's fresh statistics") {
     val wh = Files.createTempDirectory("graft-stats6").toString
     val cat = new Snaplog(wh)

@@ -344,6 +344,36 @@ object IcebergExport {
       }
     }
 
+  /** Spark type of one partition field in the PARTITION-STATISTICS
+    * file's `partition` struct — the same result-type mapping the
+    * manifest partition struct uses ([[partitionAvroType]]). */
+  private def sparkPartType(pf: PartField, srcDt: DataType): DataType = pf match {
+    case _: IdentityField => srcDt match {
+      case IntegerType | ShortType | ByteType => IntegerType
+      case LongType => LongType
+      case DateType => DateType
+      case _ => StringType
+    }
+    case _: DaysField => DateType
+    case _: HoursField | _: MonthsField | _: YearsField => IntegerType
+    case _: BucketField | _: MBucketField => IntegerType
+    case _: TruncateField => srcDt match {
+      case LongType => LongType
+      case IntegerType | ShortType | ByteType => IntegerType
+      case _ => StringType
+    }
+  }
+
+  /** Stored (string) partition value → Spark EXTERNAL value for the
+    * partition-statistics row (dates as java.sql.Date, otherwise the
+    * manifest conversion's boxed values). */
+  private def sparkPartValue(pf: PartField, stored: String, srcDt: DataType): Any =
+    partitionAvroValue(pf, stored, srcDt) match {
+      case i: Integer if sparkPartType(pf, srcDt) == DateType =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
+      case other => other
+    }
+
   private def writeAvro(file: Path, schema: Schema,
       meta: Seq[(String, String)], records: Seq[GenericRecord]): Unit = {
     val w = new DataFileWriter[GenericRecord](
@@ -909,6 +939,63 @@ object IcebergExport {
         case _ => JNothing
       }
     }
+    // PARTITION STATISTICS file (spec `partition-statistics`): one
+    // typed parquet row per partition of the CURRENT snapshot —
+    // partition struct under the spec's field ids (1000+i inside,
+    // 1..5 outside), counts straight from the log (no data I/O; the
+    // file is #partitions rows at any table size). Emitted only for
+    // partitioned tables with an exported current snapshot; coverage
+    // is uniform here by the data-manifest gates.
+    val partitionStatsJson: JValue =
+      if (partCols.isEmpty || snaps.isEmpty) JNothing
+      else {
+        val curId = snaps.last._1.snapshotId
+        val (live, _) = cat.liveFilesSplit(ns, name, Some(curId))
+        val groups = live.groupBy(f => partCols.map { case (pf, _) =>
+          f.partitionValues.getOrElse(pf.fieldName,
+            graft.catalog.Snaplog.HiveDefaultPartition) })
+        val structFields = partCols.map { case (pf, dt) =>
+          StructField(pf.fieldName, sparkPartType(pf, dt), nullable = true) }
+        val statsSchema = StructType(Seq(
+          StructField("partition", StructType(structFields), nullable = false),
+          StructField("spec_id", IntegerType, nullable = false),
+          StructField("data_record_count", LongType, nullable = false),
+          StructField("data_file_count", IntegerType, nullable = false),
+          StructField("total_data_file_size_in_bytes", LongType,
+            nullable = false)))
+        val idReg: Map[String, Int] = Map(
+          "partition" -> 1, "spec_id" -> 2, "data_record_count" -> 3,
+          "data_file_count" -> 4, "total_data_file_size_in_bytes" -> 5) ++
+          partCols.zipWithIndex.map { case ((pf, _), i) =>
+            s"partition.${pf.fieldName}" -> (1000 + i) }
+        val rows = groups.toSeq
+          .sortBy(_._1.mkString(" "))
+          .map { case (vals, fs) =>
+            org.apache.spark.sql.Row(
+              org.apache.spark.sql.Row(partCols.zip(vals).map {
+                case ((pf, dt), v) => sparkPartValue(pf, v, dt) }: _*),
+              0, fs.map(_.rowCount).sum, fs.size, fs.map(_.sizeBytes).sum)
+          }
+        val spark = table.spark
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1),
+          graft.types.FieldIds.attachAll(statsSchema, idReg))
+        val tmp = Files.createTempDirectory("graft-pstats")
+        graft.types.FieldIds.managedWrite(df.coalesce(1))
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = graft.util.Fs.walkList(tmp)
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            "partition-statistics write produced no parquet"))
+        val dest = metaDir.resolve(s"partition-stats-$curId.parquet")
+        Files.copy(part, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        graft.util.Fs.walkList(tmp).reverse.foreach(Files.deleteIfExists(_))
+        JArray(List(
+          ("snapshot-id" -> curId) ~
+            ("statistics-path" -> dest.toString) ~
+            ("file-size-in-bytes" -> Files.size(dest))))
+      }
     val metadata =
       ("format-version" -> formatVersion) ~
         ("table-uuid" -> uuid) ~
@@ -931,6 +1018,7 @@ object IcebergExport {
         ("default-spec-id" -> 0) ~
         ("last-partition-id" -> (999 + specFields.length)) ~
         ("statistics" -> statsJson) ~
+        ("partition-statistics" -> partitionStatsJson) ~
         // stats properties never export: the path is warehouse-local
         // and the summary/snapshot ride the spec `statistics` field
         ("properties" -> JObject((m.properties -- Seq(

@@ -95,8 +95,12 @@ private[sql] object ScanStats {
         val nd = ndv.get(c)
         if (nulls.isDefined || mm.isDefined || nd.isDefined) {
           byCol.put(Expressions.column(c), new ColumnStatistics {
+            // capped at the scan's own row count: ANALYZE NDV is
+            // table-wide, and a partition-pruned scan of 2 rows must
+            // not claim 25 distinct values to the estimator
             override def distinctCount(): OptionalLong =
-              nd.map(x => OptionalLong.of(x.ndv)).getOrElse(OptionalLong.empty)
+              nd.map(x => OptionalLong.of(math.min(x.ndv, rows)))
+                .getOrElse(OptionalLong.empty)
             override def min(): Optional[Object] =
               mm.map(x => Optional.of(x._1.asInstanceOf[Object]))
                 .getOrElse(Optional.empty[Object])

@@ -506,6 +506,45 @@ abstract class CatalogContractSpec extends SparkSpec {
     intercept[IllegalArgumentException](bad.append(wide))
   }
 
+  test("partition statistics file: per-partition counts, spec field ids") {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    import org.json4s._
+    val cat = freshCatalog()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "ps",
+      fixture().schema, Seq("group"))
+    tbl.append(fixture())
+    val dest = Files.createTempDirectory("graft-ice-ps")
+    graft.interop.IcebergExport.export(tbl, dest)
+    val meta = org.json4s.jackson.JsonMethods.parse(Files.readString(
+      graft.util.Fs.walkList(dest.resolve("metadata"))
+        .filter(_.getFileName.toString.endsWith(".metadata.json"))
+        .maxBy(_.getFileName.toString)))
+    val entry = (meta \ "partition-statistics").asInstanceOf[JArray].arr.head
+    assert((entry \ "snapshot-id").extract[Long] == 1L)
+    val p = (entry \ "statistics-path").extract[String]
+    assert((entry \ "file-size-in-bytes").extract[Long] ==
+      Files.size(java.nio.file.Paths.get(p)))
+    // the file is ONE typed parquet of per-partition counts
+    val rows = spark.read.parquet(p)
+      .selectExpr("partition.group AS g", "spec_id", "data_record_count",
+        "data_file_count", "total_data_file_size_in_bytes")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(rows == Seq(("A", 0, 2L), ("B", 0, 1L), ("C", 0, 1L)), s"got $rows")
+    // spec field ids are stamped (partition struct inner ids 1000+)
+    assert(graft.types.FieldIds.fileCarriesIds(spark, p))
+    // unpartitioned tables emit no partition-statistics entry
+    val u = LakehouseTable.create(cat, spark, "ns", "psu", fixture().schema)
+    u.append(fixture())
+    val destU = Files.createTempDirectory("graft-ice-psu")
+    graft.interop.IcebergExport.export(u, destU)
+    val metaU = org.json4s.jackson.JsonMethods.parse(Files.readString(
+      graft.util.Fs.walkList(destU.resolve("metadata"))
+        .filter(_.getFileName.toString.endsWith(".metadata.json"))
+        .maxBy(_.getFileName.toString)))
+    assert((metaU \ "partition-statistics") == JNothing)
+  }
+
   test("sort order round-trips: write.sort-order exports, import adopts") {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     import org.json4s._

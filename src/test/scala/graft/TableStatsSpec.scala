@@ -220,6 +220,40 @@ class TableStatsSpec extends SparkSpec {
       tbl.analyze(Seq("id"), histogramColumns = Seq("x")))
   }
 
+  test("reported sizes pick the broadcast side at plan time (no hint, no AQE)") {
+    val wh = Files.createTempDirectory("graft-stats-bcast").toString
+    val cat = new Snaplog(wh)
+    // small dim: 5 rows; big fact: 5000 rows — the threshold sits
+    // between the two REPORTED sizes (rows × row-width), so the
+    // planner's choice proves the scan statistics, not a default
+    val dim = fixture()
+    val fact = spark.range(5000).selectExpr("id AS fk",
+      "CAST(id % 5 + 1 AS BIGINT) AS did", "id * 2 AS v")
+    LakehouseTable.create(cat, spark, "ns", "dim", dim.schema).append(dim)
+    LakehouseTable.create(cat, spark, "ns", "fact", fact.schema).append(fact)
+    spark.conf.set("spark.sql.catalog.gbc", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbc.warehouse", wh)
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys(0), "4096") // dim ~45B*5, fact ~24B*5000
+    spark.conf.set(keys(1), "false")
+    try {
+      val plan = spark.sql(
+        """SELECT f.fk, d.grp FROM gbc.ns.fact f
+           JOIN gbc.ns.dim d ON f.did = d.id""")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"dim under threshold must broadcast at PLAN time:\n${plan.take(1500)}")
+      // and the broadcast side is the dim (the build side exchange
+      // wraps the dim scan, not the fact scan)
+      val bcastIdx = plan.indexOf("BroadcastExchange")
+      assert(bcastIdx >= 0 && plan.indexOf("dim", bcastIdx) >= 0)
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("refresh adopts the source's fresh statistics") {
     val wh = Files.createTempDirectory("graft-stats6").toString
     val cat = new Snaplog(wh)

@@ -59,7 +59,8 @@ private[sql] object GraftProcedures {
           "histogram_columns adds equi-height histograms for range " +
           "estimation over skewed distributions",
         Seq("ns" -> StringType, "tbl" -> StringType, "columns" -> StringType,
-          "histogram_columns" -> StringType),
+          "histogram_columns" -> StringType,
+          "incremental" -> org.apache.spark.sql.types.BooleanType),
         StructType(Seq(
           StructField("snapshot_id", LongType, nullable = false),
           StructField("analyzed_columns", IntegerType, nullable = false),
@@ -68,7 +69,13 @@ private[sql] object GraftProcedures {
         def csv(i: Int) = in.getUTF8String(i).toString.split(',').map(_.trim)
           .filter(_.nonEmpty).toSeq
         val tbl = LakehouseTable.load(backing, SparkSession.active, ns, t)
-        val summary = tbl.analyze(csv(2), histogramColumns = csv(3))
+        val summary =
+          if (in.getBoolean(4)) {
+            require(csv(2).isEmpty && csv(3).isEmpty,
+              "incremental ANALYZE continues the stored column set — " +
+                "pass empty columns/histogram_columns")
+            tbl.analyzeIncremental()
+          } else tbl.analyze(csv(2), histogramColumns = csv(3))
         row(tbl.currentSnapshotId, summary.size,
           UTF8String.fromString(
             graft.table.TableStats.encodeSummary(summary)))

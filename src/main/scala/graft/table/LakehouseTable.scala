@@ -1444,6 +1444,91 @@ final class LakehouseTable(
     summary
   }
 
+  /** INCREMENTAL ANALYZE: sketch only the rows appended since the last
+    * analyze and UNION the theta sketches — at 100 TB the difference
+    * between re-scanning the table and scanning the day's delta.
+    * Sound exactly when the window holds pure data appends (theta
+    * sketches union, never subtract): any delete/rewrite/expired
+    * watermark in the window refuses with full-analyze guidance.
+    * Old outstanding MOR state stays sound — an equality delete
+    * applies only to files PRECEDING it in replay order and a position
+    * vector references fixed files, so post-watermark appends are
+    * untouched by pre-watermark deletes. Histograms drop (equi-height
+    * boundaries are distribution-wide); avg/max lengths merge weighted
+    * by the stored non-null counts. */
+  def analyzeIncremental(): Map[String, TableStats.ColNdv] = {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val m = meta
+    val props = m.properties
+    val watermark = props.get(TableStats.SnapshotProp).map(_.toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"$namespace.$name: no prior ANALYZE to increment — run analyze()"))
+    val statsPath = props.get(TableStats.PathProp).map(JPaths.get(_))
+      .filter(JFiles.isRegularFile(_))
+      .getOrElse(throw new IllegalStateException(
+        s"$namespace.$name: stats file missing — run analyze()"))
+    val cur = catalog.currentSnapshot(namespace, name).getOrElse(
+      throw new IllegalStateException(s"$namespace.$name: empty table"))
+    val stored = TableStats.fromProperties(props)
+    require(stored.nonEmpty,
+      s"$namespace.$name: stored stats summary empty — run analyze()")
+    if (cur.snapshotId == watermark) return stored // up to date: no-op
+    val published = catalog.snapshots(namespace, name)
+      .filterNot(graft.catalog.Snaplog.isWapStaged)
+    require(published.exists(_.snapshotId == watermark),
+      s"$namespace.$name: analyzed snapshot $watermark expired from " +
+        "history — run a full analyze()")
+    val window = published.filter(s =>
+      s.snapshotId > watermark && s.snapshotId <= cur.snapshotId)
+    val pureAppends = window.forall(s =>
+      Set(Snaplog.OpAppend, Snaplog.OpAddFiles)(s.operation) &&
+        s.files.forall(!_.deleteFile.contains(true)))
+    require(pureAppends,
+      s"$namespace.$name: the window since snapshot $watermark carries " +
+        "deletes or rewrites — a theta sketch cannot subtract; run a " +
+        "full analyze()")
+    // stored sketches by column through the field-id registry
+    val reg = props.get(graft.types.FieldIds.RegistryProp)
+      .map(graft.types.FieldIds.decode).getOrElse(Map.empty[String, Int])
+    val idToCol = reg.filterNot(_._1.contains(".")).map(_.swap)
+    val blobByCol: Map[String, Array[Byte]] =
+      graft.interop.Puffin.readFooter(statsPath)
+        .filter(b => b.tpe == graft.interop.Puffin.ThetaV1 &&
+          b.fields.length == 1)
+        .flatMap(b => idToCol.get(b.fields.head).map(c =>
+          c -> graft.interop.Puffin.readBlobBytes(statsPath, b.offset, b.length)))
+        .toMap
+    val cols = stored.keys.toSeq.sorted.filter(blobByCol.contains)
+    require(cols.nonEmpty,
+      s"$namespace.$name: stored puffin carries no matching sketches — " +
+        "run a full analyze()")
+    val collected = TableStats.collect(scanIncremental(watermark), cols)
+    val byCol = cols.zip(collected).toMap
+    val merged = cols.map { c =>
+      val union = TableStats.unionSketches(blobByCol(c), byCol(c)._1)
+      val ndv = TableStats.estimate(union)
+      (c, union, TableStats.mergeLens(stored(c), byCol(c)._2, ndv))
+    }
+    val ids = cols.map(c => reg.getOrElse(c, cols.indexOf(c) + 1))
+    val seq = published.takeWhile(_.snapshotId != cur.snapshotId)
+      .map(_.files.size).sum + cur.files.size
+    val statsDir = catalog.dataDir(namespace, name).resolve("stats")
+    JFiles.createDirectories(statsDir)
+    val outPath = statsDir.resolve(
+      s"stats-${cur.snapshotId}-${java.util.UUID.randomUUID()}.puffin")
+    graft.interop.Puffin.writeStats(outPath,
+      merged.indices.map(i => (ids(i), merged(i)._2, merged(i)._3.ndv)),
+      cur.snapshotId, seq.toLong)
+    val summary = merged.map(x => x._1 -> x._3).toMap
+    catalog.updateProperties(namespace, name,
+      set = Map(
+        TableStats.SnapshotProp -> cur.snapshotId.toString,
+        TableStats.PathProp -> outPath.toString,
+        TableStats.SummaryProp -> TableStats.encodeSummary(summary)),
+      unset = Seq.empty)
+    summary
+  }
+
   def compact(targetFileSizeBytes: Long = 512L * 1024 * 1024,
       sortBy: Seq[String] = Seq.empty): Snapshot = {
     val base = currentSnapshotId

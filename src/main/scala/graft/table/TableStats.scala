@@ -61,8 +61,10 @@ object TableStats {
     * — the space Spark's estimation compares literals in). */
   final case class Bin(lo: Double, hi: Double, ndv: Long)
 
+  /** `nn` = the analyzed pass's non-null count — what lets an
+    * INCREMENTAL analyze weight merged average lengths. */
   final case class ColNdv(ndv: Long, avgLen: Option[Long], maxLen: Option[Long],
-      hist: Option[Seq[Bin]] = None)
+      hist: Option[Seq[Bin]] = None, nn: Option[Long] = None)
 
   /** Column types ANALYZE sketches: every type with an Iceberg
     * single-value binary form the footer-stat machinery also
@@ -127,8 +129,36 @@ object TableStats {
         case _ => (None, None)
       }
       (compact.toByteArray,
-        ColNdv(Math.round(compact.getEstimate), lens._1, lens._2))
+        ColNdv(Math.round(compact.getEstimate), lens._1, lens._2,
+          nn = Some(nonNull)))
     }
+  }
+
+  /** Merge a stored column summary with a DELTA pass's summary given
+    * the delta's compact sketch unioned in by the caller: lengths
+    * merge exactly for max, weighted by non-null counts for avg. */
+  def mergeLens(old: ColNdv, delta: ColNdv, mergedNdv: Long): ColNdv = {
+    val nnOld = old.nn.getOrElse(0L)
+    val nnNew = delta.nn.getOrElse(0L)
+    val avg = (old.avgLen, delta.avgLen) match {
+      case (Some(a), Some(b)) if nnOld + nnNew > 0 =>
+        Some((a * nnOld + b * nnNew + nnOld + nnNew - 1) / (nnOld + nnNew))
+      case (Some(a), None) => Some(a)
+      case (None, Some(b)) => Some(b)
+      case _ => None
+    }
+    val mx = (old.maxLen.toSeq ++ delta.maxLen.toSeq).reduceOption(_ max _)
+    // histograms cannot merge (bin boundaries are distribution-wide) —
+    // an incremental pass drops them; re-run a full ANALYZE to refresh
+    ColNdv(mergedNdv, avg, mx, hist = None, nn = Some(nnOld + nnNew))
+  }
+
+  /** Union a stored compact sketch with a delta pass's sketch. */
+  def unionSketches(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val u: Union = SetOperation.builder().buildUnion()
+    u.union(Sketches.heapifyCompactSketch(Memory.wrap(a)))
+    u.union(Sketches.heapifyCompactSketch(Memory.wrap(b)))
+    u.getResult(true, null).toByteArray
   }
 
   /** Iceberg single-value binary serialization (spec Appendix D) of a
@@ -250,7 +280,7 @@ object TableStats {
     JsonMethods.compact(JsonMethods.render(JObject(
       m.toList.sortBy(_._1).map { case (c, s) =>
         val base = ("ndv" -> s.ndv) ~
-          ("avgLen" -> s.avgLen) ~ ("maxLen" -> s.maxLen)
+          ("avgLen" -> s.avgLen) ~ ("maxLen" -> s.maxLen) ~ ("nn" -> s.nn)
         c -> (s.hist match {
           case Some(bins) => base ~ ("hist" -> bins.map(b =>
             JArray(List(JDouble(b.lo), JDouble(b.hi), JLong(b.ndv)))).toList)
@@ -271,7 +301,8 @@ object TableStats {
         }
         c -> ColNdv((v \ "ndv").extract[Long],
           (v \ "avgLen").extractOpt[Long], (v \ "maxLen").extractOpt[Long],
-          hist.filter(_.nonEmpty))
+          hist.filter(_.nonEmpty),
+          (v \ "nn").extractOpt[Long])
       }.toMap
       case _ => Map.empty
     }

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, lit}
 
 import graft.catalog.Snaplog
 import graft.interop.{IcebergExport, IcebergImport, Puffin}
@@ -209,7 +209,7 @@ class TableStatsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.cbo.enabled")
     // the SQL procedure takes histogram_columns
     val out = spark.sql(
-      "CALL ghist.system.analyze_table('ns', 't', 'id,x', 'x')").head()
+      "CALL ghist.system.analyze_table('ns', 't', 'id,x', 'x', false)").head()
     assert(out.getInt(1) == 2)
     assert(TableStats.fromProperties(cat.loadTable("ns", "t").properties)
       .get("x").exists(_.hist.exists(_.size == 64)))
@@ -252,6 +252,55 @@ class TableStatsSpec extends SparkSpec {
     } finally prev.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
+  }
+
+  test("incremental analyze: delta-only sketch union, guards, no-op") {
+    val wh = Files.createTempDirectory("graft-stats-inc").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "t", fixture().schema)
+    tbl.append(fixture())
+    tbl.analyze(Seq("id", "grp", "tag"))
+    // append a disjoint era, then increment: NDV lands exactly where a
+    // full analyze would (exact below sketch capacity)
+    tbl.append(fixture().withColumn("id", $"id" + 10)
+      .withColumn("grp", concat($"grp", lit("2"))))
+    val inc = tbl.analyzeIncremental()
+    assert(inc("id").ndv == 10)
+    assert(inc("grp").ndv == 6) // A,B,C + A2,B2,C2
+    assert(inc("tag").ndv == 2) // overlap dedups through the union
+    assert(inc("grp").nn.contains(10L))
+    // the DELTA pass read only the second era's files
+    val deltaFiles = tbl.scanIncremental(1L).inputFiles
+    assert(deltaFiles.nonEmpty && deltaFiles.forall(_.contains("snap-2")),
+      deltaFiles.mkString(","))
+    // watermark advanced; an immediate re-run is a no-op
+    val props = cat.loadTable("ns", "t").properties
+    assert(props(TableStats.SnapshotProp) == "2")
+    assert(tbl.analyzeIncremental() == inc)
+    // vacuum collects the superseded full-analyze puffin
+    cat.vacuum("ns", "t", graceMs = 0L)
+    assert(Files.isRegularFile(java.nio.file.Paths.get(
+      cat.loadTable("ns", "t").properties(TableStats.PathProp))))
+    // a delete in the window refuses (sketches cannot subtract)…
+    tbl.deleteMor($"id" === 3)
+    val e = intercept[IllegalArgumentException](tbl.analyzeIncremental())
+    assert(e.getMessage.contains("full analyze()"))
+    // …and a full analyze over the MOR-subtracted content recovers
+    val full = tbl.analyze(Seq("id"))
+    assert(full("id").ndv == 9)
+    // after that, incremental works again over pure appends — and old
+    // outstanding deletes stay sound (they precede the new files)
+    tbl.append(fixture().withColumn("id", $"id" + 20))
+    assert(tbl.analyzeIncremental()("id").ndv == 14)
+    // SQL: the incremental flag continues the stored column set
+    spark.conf.set("spark.sql.catalog.ginc", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ginc.warehouse", wh)
+    tbl.append(fixture().withColumn("id", $"id" + 30))
+    val out = spark.sql(
+      "CALL ginc.system.analyze_table('ns', 't', '', '', true)").head()
+    assert(out.getLong(0) == tbl.currentSnapshotId)
+    assert(TableStats.fromProperties(cat.loadTable("ns", "t").properties)
+      .apply("id").ndv == 19)
   }
 
   test("refresh adopts the source's fresh statistics") {

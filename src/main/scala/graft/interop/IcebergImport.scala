@@ -1150,9 +1150,31 @@ object IcebergImport {
   private def adoptStatistics(catalog: Catalog, ns: String, name: String,
       tree: Tree, nativeSnapshotId: Long)(implicit fmts: Formats): Int = {
     import graft.table.TableStats
+    // nearest-ANCESTOR selection (current first): a live source
+    // typically analyzes once and keeps appending, so its statistics
+    // entry names an older snapshot — still the right advisory NDV for
+    // the adopted content (ANALYZE-stale semantics, same as native).
+    // Foreign snapshot ids are random longs, so ancestry walks the
+    // parent-snapshot-id chain rather than comparing magnitudes.
     val entry = tree.statistics match {
-      case JArray(xs) => xs.find(e =>
-        (e \ "snapshot-id").extractOpt[Long].contains(tree.currentId))
+      case JArray(xs) =>
+        val bySnap = xs.flatMap(e =>
+          (e \ "snapshot-id").extractOpt[Long].map(_ -> e)).toMap
+        val parentOf: Map[Long, Long] = tree.snapshots.flatMap { s =>
+          for {
+            id <- (s \ "snapshot-id").extractOpt[Long]
+            p <- (s \ "parent-snapshot-id").extractOpt[Long]
+          } yield id -> p
+        }.toMap
+        var cur = Option(tree.currentId)
+        var found: Option[JValue] = None
+        var hops = 0
+        while (found.isEmpty && cur.isDefined && hops < 100000) {
+          found = bySnap.get(cur.get)
+          cur = parentOf.get(cur.get)
+          hops += 1
+        }
+        found
       case _ => None
     }
     entry match {

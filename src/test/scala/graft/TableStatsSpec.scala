@@ -303,6 +303,41 @@ class TableStatsSpec extends SparkSpec {
       .apply("id").ndv == 19)
   }
 
+  test("import adopts nearest-ANCESTOR statistics when the source kept appending") {
+    val wh = Files.createTempDirectory("graft-stats-anc").toString
+    val cat = new Snaplog(wh)
+    val src = LakehouseTable.create(cat, spark, "ns", "src", fixture().schema)
+    src.append(fixture())
+    src.analyze(Seq("grp")) // stats pin snapshot 1
+    src.append(fixture().withColumn("id", $"id" + 10)) // source lives on
+    val out = Files.createTempDirectory("graft-stats-anc-ice")
+    IcebergExport.export(src, out)
+    val cat2 = new Snaplog(Files.createTempDirectory("graft-stats-anc2").toString)
+    IcebergImport.register(cat2, spark, out, "ns", "dst")
+    // the statistics entry names snapshot 1, not the imported current —
+    // the ancestor walk still adopts it (ANALYZE-stale semantics)
+    val adopted = TableStats.fromProperties(cat2.loadTable("ns", "dst").properties)
+    assert(adopted("grp").ndv == 3)
+  }
+
+  test("stats tier runs unchanged on the JDBC catalog backend") {
+    val dir = Files.createTempDirectory("graft-stats-jdbc").toString
+    val cat = new graft.catalog.JdbcCatalog(
+      s"jdbc:derby:$dir/cat;create=true", s"$dir/wh")
+    val tbl = LakehouseTable.create(cat, spark, "ns", "t", fixture().schema)
+    tbl.append(fixture())
+    val s1 = tbl.analyze(Seq("id", "grp"))
+    assert(s1("id").ndv == 5 && s1("grp").ndv == 3)
+    assert(TableStats.fromProperties(cat.loadTable("ns", "t").properties) == s1)
+    tbl.append(fixture().withColumn("id", $"id" + 10))
+    assert(tbl.analyzeIncremental()("id").ndv == 10)
+    // the stats file lives under the JDBC catalog's warehouse and
+    // survives its vacuum
+    cat.vacuum("ns", "t", graceMs = 0L)
+    assert(Files.isRegularFile(java.nio.file.Paths.get(
+      cat.loadTable("ns", "t").properties(TableStats.PathProp))))
+  }
+
   test("refresh adopts the source's fresh statistics") {
     val wh = Files.createTempDirectory("graft-stats6").toString
     val cat = new Snaplog(wh)

@@ -42,6 +42,11 @@ case class ColBounds(min: String, max: String)
   * key), so rows appended after the delete with the same key survive —
   * the keyed-CDC contract. Retired by any reset commit, like position
   * vectors. */
+/** `firstRowId`/`dataSeq` (round 15) carry Iceberg v3 ROW LINEAGE for
+  * files adopted from a v3 tree: the `_row_id` of the file's first row
+  * and the file's data sequence number (`_last_updated_sequence_number`
+  * for its non-updated rows). Absent everywhere else — lineage is an
+  * imported-v3 contract, not a native one. */
 case class DataFileEntry(
     path: String,
     rowCount: Long,
@@ -50,7 +55,9 @@ case class DataFileEntry(
     columnStats: Option[Map[String, ColBounds]] = None,
     deleteFile: Option[Boolean] = None,
     nullCounts: Option[Map[String, Long]] = None,
-    equalityKey: Option[String] = None)
+    equalityKey: Option[String] = None,
+    firstRowId: Option[Long] = None,
+    dataSeq: Option[Long] = None)
 
 /** One commit. `operation` ∈ append | overwrite | add_files — the three
   * commit kinds the reference exercises (`table.append`

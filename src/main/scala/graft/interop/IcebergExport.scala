@@ -969,7 +969,7 @@ object IcebergExport {
           partCols.zipWithIndex.map { case ((pf, _), i) =>
             s"partition.${pf.fieldName}" -> (1000 + i) }
         val rows = groups.toSeq
-          .sortBy(_._1.mkString(" "))
+          .sortBy(_._1.mkString("\u0000"))
           .map { case (vals, fs) =>
             org.apache.spark.sql.Row(
               org.apache.spark.sql.Row(partCols.zip(vals).map {

@@ -83,11 +83,15 @@ import graft.table.{FileStats, LakehouseTable}
   * deletes without usable sequence numbers, non-parquet data files,
   * primitive types the spec names that graft cannot represent
   * exactly, and trees mixing id-stamped with id-less data files (no
-  * single resolution mode — see `register`'s probe). Refresh adds its
-  * own: a source whose schema / partition spec / field-id registry
-  * evolved since import refuses with re-register guidance, an expired
-  * watermark snapshot refuses, and a source rewrite refuses the reset
-  * when the mirror carries native commits the reset would discard.
+  * single resolution mode — see `register`'s probe). Refresh ADOPTS
+  * the routine source evolutions in place (appended
+  * nullable-or-defaulted columns, partition-spec evolution, legal type
+  * widenings, and — on a read-by-id mirror — id-matched renames and
+  * drops at every level: flat, struct-chain, list/map interior); what
+  * still refuses with re-register guidance: an illegal retype, a
+  * reorder, a changed field id under a kept name, renames/drops
+  * against a name-bound mirror, an expired watermark snapshot, and a
+  * source rewrite whose reset would discard native mirror commits.
   */
 object IcebergImport {
 
@@ -641,7 +645,16 @@ object IcebergImport {
           if (statFooters) FileStats.stat(spark, path, pv)
           else DataFileEntry(path, df.get("record_count").asInstanceOf[Long],
             df.get("file_size_in_bytes").asInstanceOf[Long], pv, None)
-        (entry, seq)
+        // v3 row lineage: a spec-conforming writer materializes the
+        // file's assigned first_row_id into the data_file struct —
+        // carry it; absent/null defers to snapshot-level inheritance
+        // (rowLineage). dataSeq always carries — it is the rows'
+        // _last_updated_sequence_number when lineage is served.
+        val explicitFirst: Option[Long] =
+          if (df.getSchema.getField("first_row_id") == null) None
+          else Option(df.get("first_row_id"))
+            .map(_.asInstanceOf[java.lang.Long].longValue())
+        (entry.copy(firstRowId = explicitFirst, dataSeq = Some(seq)), seq)
         }
       }
 
@@ -739,6 +752,46 @@ object IcebergImport {
     * existence checks (a file removed by a later foreign rewrite may be
     * gone from disk): just which data / delete paths the snapshot
     * lists, for refresh's watermark diff. */
+  /** Iceberg v3 ROW-LINEAGE assignment: `file_path` → the `_row_id` of
+    * the file's first row, reconstructed per the spec's inheritance
+    * model — each snapshot's metadata carries `first-row-id`, and the
+    * data files FIRST APPEARING at that snapshot take consecutive
+    * ranges from it in manifest listing order (`first + Σ preceding
+    * added files' record counts`); files re-listed by later snapshots
+    * keep their original assignment. Explicit per-file values (a
+    * writer that materialized `first_row_id` into the data_file
+    * struct) take precedence at the walkSnapshot capture site, not
+    * here. Returns None when the tree carries no lineage (v2, or a v3
+    * tree whose snapshots omit `first-row-id`) — lineage is then
+    * simply not served, never guessed. Cost: one metadata walk per
+    * source snapshot, the per-snapshot-replay price, paid only on
+    * v3-lineage trees at register/refresh time. */
+  private def rowLineage(tree: Tree)(implicit fmts: Formats)
+      : Option[Map[String, Long]] = {
+    if (tree.formatVersion < 3) return None
+    val snaps = tree.snapshots.sortBy(s =>
+      (s \ "sequence-number").extractOpt[Long].getOrElse(0L))
+    if (snaps.isEmpty ||
+        !snaps.forall(s => (s \ "first-row-id").extractOpt[Long].isDefined))
+      return None
+    var assigned = Map.empty[String, Long]
+    snaps.foreach { s =>
+      val sid = (s \ "snapshot-id").extract[Long]
+      var ctr = (s \ "first-row-id").extract[Long]
+      val dataManifests = readAvro(tree.manifestListOf(sid))
+        .filter(mfContent(_) == 0)
+      allEntries(dataManifests).foreach { case (e, _) =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        val p = normalizePath(df.get("file_path").toString)
+        if (!assigned.contains(p)) {
+          assigned += p -> ctr
+          ctr += df.get("record_count").asInstanceOf[Long]
+        }
+      }
+    }
+    Some(assigned)
+  }
+
   private def walkPathSets(tree: Tree, snapshotId: Long)
       (implicit fmts: Formats): (Set[String], Set[String]) = {
     val manifestFiles = readAvro(tree.manifestListOf(snapshotId))
@@ -1007,17 +1060,19 @@ object IcebergImport {
   def registerFromRest(catalog: Catalog, spark: SparkSession,
       endpoint: String, srcNs: String, srcTable: String,
       ns: String, name: String, statFooters: Boolean = false,
-      token: Option[String] = None): Report = {
+      token: Option[String] = None,
+      auth: Option[RestCatalog.Auth] = None): Report = {
     implicit val fmts: Formats = DefaultFormats
-    val tree = restTree(endpoint, srcNs, srcTable, token)
+    val tree = restTree(endpoint, srcNs, srcTable,
+      auth.getOrElse(RestCatalog.fromToken(token)))
     registerTree(catalog, spark, tree, ns, name, statFooters,
       s"$RestPrefix$endpoint#$srcNs\u001f$srcTable")
   }
 
   /** Fetch + parse one table's current metadata document via REST. */
   private def restTree(endpoint: String, srcNs: String, srcTable: String,
-      token: Option[String])(implicit fmts: Formats): Tree = {
-    val lt = RestCatalog.loadTable(endpoint, srcNs, srcTable, token)
+      auth: RestCatalog.Auth)(implicit fmts: Formats): Tree = {
+    val lt = RestCatalog.loadTable(endpoint, srcNs, srcTable, auth)
     val metaPath = Paths.get(normalizePath(lt.metadataLocation))
     val meta = lt.metadata.getOrElse {
       require(Files.exists(metaPath),
@@ -1044,7 +1099,17 @@ object IcebergImport {
       tree: Tree, ns: String, name: String, statFooters: Boolean,
       importedFrom: String)(implicit fmts: Formats): Report = {
     require(tree.currentId > 0, "table has no current snapshot — nothing to import")
-    val walked = walkSnapshot(spark, tree, tree.currentId, statFooters)
+    val walked0 = walkSnapshot(spark, tree, tree.currentId, statFooters)
+    // v3 row lineage: fill inheritance-assigned first-row-ids for
+    // entries without an explicit (writer-materialized) value
+    val walked = rowLineage(tree) match {
+      case Some(ln) => walked0.copy(dataWithSeq = walked0.dataWithSeq.map {
+        case (e, seq) if e.firstRowId.isEmpty =>
+          (e.copy(firstRowId = ln.get(e.path)), seq)
+        case x => x
+      })
+      case None => walked0
+    }
     val files = walked.dataWithSeq.map(_._1)
     val eqStats = validateEq(spark, walked.eqPlans)
 
@@ -1167,10 +1232,10 @@ object IcebergImport {
           } yield id -> p
         }.toMap
         var cur = Option(tree.currentId)
-        var found: Option[JValue] = None
+        var found: Option[(Long, JValue)] = None
         var hops = 0
         while (found.isEmpty && cur.isDefined && hops < 100000) {
-          found = bySnap.get(cur.get)
+          found = bySnap.get(cur.get).map(cur.get -> _)
           cur = parentOf.get(cur.get)
           hops += 1
         }
@@ -1179,7 +1244,7 @@ object IcebergImport {
     }
     entry match {
       case None => 0
-      case Some(e) =>
+      case Some((statsSnapId, e)) =>
         val p = (e \ "statistics-path").extractOpt[String]
           .map(s => Paths.get(normalizePath(s)))
         if (p.isEmpty || !Files.isRegularFile(p.get)) 0
@@ -1205,18 +1270,51 @@ object IcebergImport {
             val dest = statsDir.resolve(
               s"stats-$nativeSnapshotId-${java.util.UUID.randomUUID()}.puffin")
             Files.copy(src, dest)
+            // ancestor-sourced stats get a provenance marker: the
+            // imported content includes rows appended AFTER the foreign
+            // ANALYZE, so incremental analyze must not union from this
+            // watermark as if it were fully sketched
+            val ancestorMark =
+              if (statsSnapId == tree.currentId) Map.empty[String, String]
+              else Map(TableStats.AdoptedAncestorProp -> statsSnapId.toString)
             catalog.updateProperties(ns, name,
               Map(
                 TableStats.SnapshotProp -> nativeSnapshotId.toString,
                 TableStats.PathProp -> dest.toString,
                 TableStats.SummaryProp -> TableStats.encodeSummary(
                   names.map { case (c, n) =>
-                    c -> TableStats.ColNdv(n, None, None) }.toMap)),
-              Seq.empty)
+                    c -> TableStats.ColNdv(n, None, None) }.toMap)) ++
+                ancestorMark,
+              if (ancestorMark.isEmpty)
+                Seq(TableStats.AdoptedAncestorProp) else Seq.empty)
             names.size
           }
         }
     }
+  }
+
+  /** On an INTERIOR-BY-ID mirror (a list/map interior rename was
+    * adopted), every arriving data file must stamp interior ids too —
+    * a writer that stopped stamping them would silently null interior
+    * members under the mirror's full-subtree-by-id reads. No-op for
+    * tables without the mode. */
+  private def requireInteriorStampedIfMode(spark: SparkSession,
+      meta: graft.catalog.TableMetadata, ns: String, name: String,
+      paths: Seq[String]): Unit = {
+    if (!meta.properties.get(graft.types.FieldIds.InteriorByIdProp)
+        .contains("true")) return
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.DurationInt
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val bad = Await.result(
+      Future.traverse(paths)(p => Future(scala.concurrent.blocking(
+        (p, graft.types.FieldIds.fileCarriesInteriorIds(spark, p))))),
+      30.minutes).filterNot(_._2)
+    require(bad.isEmpty,
+      s"cannot refresh $ns.$name: ${bad.size} new source data file(s) " +
+        "carry no interior field ids, but the mirror resolves list/map " +
+        "interiors BY ID (an interior rename was adopted) — rewrite the " +
+        "source files interior-stamped or re-register")
   }
 
   /** Parallel footer probe over `paths`: Some(true) = every file
@@ -1239,6 +1337,316 @@ object IcebergImport {
 
   private def schemaShape(s: StructType): Seq[(String, DataType, Boolean)] =
     s.fields.toSeq.map(f => (f.name, f.dataType, f.nullable))
+
+  /** Refresh-time adoption of the source's schema evolution, metadata
+    * only — the shapes that replay losslessly into an adopted mirror:
+    *
+    *  - APPENDED nullable-or-defaulted columns (Iceberg ADD COLUMN) —
+    *    schema and registry advance to the source's.
+    *  - An id-matched RENAME: the source registry carries the SAME
+    *    field id under a new name and the mirror reads BY ID (import
+    *    stamped the source's ids), so the native rename conventions
+    *    apply at every level — a flat column
+    *    ([[graft.table.LakehouseTable.renameColumn]]), a struct-chain
+    *    member (dotted registry key; the stored schema flips to
+    *    chain-id stamping, the renameStructField convention), or a
+    *    list/map INTERIOR member (interior registry key; the mirror
+    *    flips to interior-by-id reads, the renameInteriorField
+    *    convention, gated on every mirror file stamping interior
+    *    ids). Old names are FREED
+    *    ([[graft.types.FieldIds.FreedNamesProp]]); any current name
+    *    reusing a freed name turns stats-unsafe.
+    *  - A DROP: the stored field id vanished from the source registry
+    *    — the column (and a struct root's dotted subtree) leaves the
+    *    stored schema and registry, the id retires behind the
+    *    high-water mark, the name is freed. A source drop+re-add under
+    *    the same name decomposes as drop + append (fresh id at the
+    *    end) with the reused name marked stats-unsafe — old values
+    *    never resurrect because reads resolve by id. A vanished
+    *    NESTED member id is likewise a safe member drop.
+    *  - A legal type WIDENING (int→bigint, float→double, decimal
+    *    precision growth at fixed scale — Iceberg's safe promotions)
+    *    and required→nullable relaxation: value-preserving at read
+    *    time, refused only for a bucket-partition source (recorded
+    *    bucket indexes would mis-prune, the native widenColumn gate).
+    *
+    * Everything else refuses loudly: an illegal retype, reorder, a
+    * changed id under a kept name, any rename/drop against a
+    * NAME-BOUND mirror (the source files carry no field ids, so only
+    * name resolution exists and old files would misread), or touching
+    * a partition-source column (partition tuples and layout are keyed
+    * by it). Reference tie: the reference's reader re-reads latest
+    * metadata per query (`query_iceberg_duckdb.py:21-29`) and survives
+    * any source evolution; this path gives an adopted mirror the same
+    * resilience for every evolution that is sound under id
+    * resolution. */
+  private def adoptSourceEvolution(catalog: Catalog, spark: SparkSession,
+      ns: String, name: String, meta0: graft.catalog.TableMetadata,
+      tree: Tree): graft.catalog.TableMetadata = {
+    import graft.types.FieldIds
+    val oldShape = schemaShape(meta0.schema)
+    val newShape = schemaShape(tree.schema)
+    if (newShape == oldShape) return meta0
+    def lower(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
+    def refuse(why: String): Nothing = throw new IllegalArgumentException(
+      s"cannot refresh $ns.$name: $why — re-register the tree under a " +
+        "new name and repoint consumers")
+    def isNested(dt: DataType): Boolean = dt match {
+      case _: StructType | _: MapType | _: ArrayType => true
+      case _ => false
+    }
+    val storedReg: Map[String, Int] =
+      meta0.properties.get(FieldIds.RegistryProp)
+        .map(FieldIds.decode).getOrElse(Map.empty)
+    val storedFlat = storedReg.filterNot(_._1.contains("."))
+    val srcFlat = tree.srcRegistry.filterNot(_._1.contains("."))
+    val srcNameById: Map[Int, String] = srcFlat.map(_.swap)
+    val tableById = meta0.schema.fields.exists(
+      _.metadata.contains(FieldIds.MetaKey))
+    val partSources = graft.table.PartitionTransforms
+      .parseAll(meta0.partitionColumns).map(p => lower(p.source)).toSet
+
+    // classify every existing top-level column BY FIELD ID — only a
+    // read-by-id mirror with a full registry can attribute a rename or
+    // drop; a name-bound mirror leaves both lists empty and any
+    // non-append shape falls through to the refusal below
+    val canDiffById = tableById && storedFlat.nonEmpty &&
+      meta0.schema.fields.forall(f => storedFlat.contains(f.name))
+    val (renames, drops) =
+      if (!canDiffById) (Vector.empty[(String, String)], Vector.empty[String])
+      else meta0.schema.fields.foldLeft(
+          (Vector.empty[(String, String)], Vector.empty[String])) {
+        case ((rs, ds), f) =>
+          srcNameById.get(storedFlat(f.name)) match {
+            case Some(n) if n == f.name => (rs, ds)
+            case Some(n) => (rs :+ (f.name -> n), ds)
+            case None => (rs, ds :+ f.name)
+          }
+      }
+    val dropSet = drops.toSet
+    renames.foreach { case (from, to) =>
+      val f = meta0.schema.fields.find(_.name == from).get
+      if (isNested(f.dataType))
+        refuse(s"the source renamed nested column '$from' to '$to'; " +
+          "nested schema pruning drops field-id metadata from pruned " +
+          "read schemas, so old files would silently read null")
+      if (partSources(lower(from)))
+        refuse(s"the source renamed partition-source column '$from' — " +
+          "partition tuples and directory layout are keyed by it")
+    }
+    drops.foreach { d =>
+      if (partSources(lower(d)))
+        refuse(s"the source dropped partition-source column '$d'")
+    }
+    if (meta0.schema.fields.length - drops.size < 1)
+      refuse("the source dropped every imported column")
+    val renameMap = renames.toMap
+    val keptNames = meta0.schema.fields.map(_.name)
+      .filterNot(n => dropSet(n) || renameMap.contains(n)).toSet
+    renames.foreach { case (from, to) =>
+      if (keptNames(to))
+        refuse(s"the source renamed '$from' to '$to', colliding with a " +
+          "retained column")
+    }
+
+    // ---- nested renames, classified by id one level further down ----
+    // Struct-chain members (dotted registry keys) and list/map INTERIOR
+    // members (interior registry keys): an id that MOVED to a new key
+    // is a rename the id machinery serves — the old schema is rewritten
+    // to the source's member names before the shape comparison below,
+    // so a nested rename (alone or combined with flat evolutions)
+    // replays losslessly. A vanished id is a member drop (safe — the
+    // member is never requested again). A moved INTERIOR id flips the
+    // mirror to interior-by-id reads, exactly as the native
+    // renameInteriorField would, gated on every mirror file stamping
+    // interior ids.
+    val interiorTok = Set("element", "key", "value")
+    def aligned(a: String, b: String): Boolean = {
+      val (as, bs) = (a.split('.').toSeq, b.split('.').toSeq)
+      as.length == bs.length && as.zip(bs).forall { case (x, y) =>
+        (interiorTok(x), interiorTok(y)) match {
+          case (true, true) => x == y
+          case (false, false) => true
+          case _ => false
+        }
+      }
+    }
+    def classifyNested(storedMap: Map[String, Int],
+        srcMap: Map[String, Int], what: String): Seq[(String, String)] = {
+      val srcById = srcMap.map(_.swap)
+      storedMap.toSeq.flatMap { case (k, v) =>
+        if (dropSet(k.takeWhile(_ != '.'))) None
+        else srcById.get(v) match {
+          case Some(k2) if k2 == k => None
+          case Some(k2) if canDiffById && aligned(k, k2) => Some(k -> k2)
+          case None => None // member dropped with its id — safe
+          case Some(k2) => refuse(s"the source moved $what id $v from " +
+            s"'$k' to '$k2' in a shape the mirror cannot attribute")
+        }
+      }
+    }
+    val chainRenames = classifyNested(
+      storedReg.filter(_._1.contains(".")),
+      tree.srcRegistry.filter(_._1.contains(".")), "inner field")
+    val interiorRenames = classifyNested(
+      meta0.properties.get(FieldIds.InteriorProp)
+        .map(FieldIds.decode).getOrElse(Map.empty),
+      tree.interiorRegistry, "list/map interior")
+    if (interiorRenames.nonEmpty) {
+      // interior-by-id reads need every mirror file interior-stamped
+      val paths = catalog.snapshots(ns, name).flatMap(_.files)
+        .filterNot(_.deleteFile.contains(true)).map(_.path).distinct
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.DurationInt
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val bad = Await.result(
+        Future.traverse(paths)(p => Future(scala.concurrent.blocking(
+          (p, FieldIds.fileCarriesInteriorIds(spark, p))))),
+        30.minutes).filterNot(_._2)
+      if (bad.nonEmpty)
+        refuse(s"the source renamed a list/map interior member but " +
+          s"${bad.size} mirror file(s) carry no interior field ids — " +
+          "interior-by-id resolution cannot serve them")
+    }
+    // rewrite the OLD schema's nested member names to the source's
+    // (shallow paths first; a subtree key moved only because its
+    // ancestor renamed needs no edit of its own)
+    def applyKeyRenames(k: String, pairs: Seq[(String, String)]): String =
+      pairs.foldLeft(k) { case (cur, (o, n)) =>
+        if (cur == o) n
+        else if (cur.startsWith(o + ".")) n + cur.stripPrefix(o)
+        else cur
+      }
+    var baseSchema = meta0.schema
+    var appliedNested = Vector.empty[(String, String)]
+    (chainRenames ++ interiorRenames).sortBy(_._1.count(_ == '.'))
+      .foreach { case (o, n) =>
+        val oCur = applyKeyRenames(o, appliedNested)
+        val newLeaf = n.split('.').last
+        if (oCur.split('.').last != newLeaf) {
+          val tok = oCur.split('.').toSeq
+          baseSchema =
+            if (tok.exists(interiorTok))
+              graft.types.SchemaInfer.editInteriorField(baseSchema, tok,
+                f => Some(f.copy(name = newLeaf)))
+            else
+              graft.types.SchemaInfer.editInnerField(baseSchema, tok,
+                f => Some(f.copy(name = newLeaf)))
+        }
+        appliedNested :+= (oCur -> applyKeyRenames(n, appliedNested))
+      }
+
+    // survivors in original order, flat renames applied over the
+    // nested-rewritten base — the source schema must read as exactly
+    // this prefix (allowing legal type WIDENING, Iceberg's safe
+    // promotions, and required→nullable relaxation) plus appended
+    // nullable-or-defaulted columns; anything else (illegal retype,
+    // reorder, a changed id under a kept name) mismatches and refuses
+    val survivors = baseSchema.fields.toSeq
+      .filterNot(f => dropSet(f.name))
+      .map(f => renameMap.get(f.name).fold(f)(n => f.copy(name = n)))
+    val oldShape2 = schemaShape(StructType(survivors))
+    val appended = tree.schema.fields.drop(oldShape2.size).toSeq
+    def legalWiden(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.precision > d1.precision && d1.scale == d2.scale
+      case _ => false
+    }
+    val prefixPairs = newShape.take(oldShape2.size).zip(oldShape2)
+    require(newShape.size >= oldShape2.size &&
+        prefixPairs.forall { case ((nn, nt, nnul), (on, ot, onul)) =>
+          nn == on && (nnul == onul || (nnul && !onul)) &&
+            (nt == ot || legalWiden(ot, nt))
+        } &&
+        appended.forall(f => f.nullable ||
+          graft.types.ColumnDefaults.hasExistsDefault(f)),
+      s"cannot refresh $ns.$name: the source schema evolved since " +
+        s"import (now ${tree.schema.simpleString}) in a shape the " +
+        "mirror cannot adopt (appended nullable-or-defaulted columns, " +
+        "id-matched renames/drops — flat, struct-chain and list/map " +
+        "interior — and legal type widenings replay losslessly; " +
+        "other retypes/reorders/changed-ids do not" +
+        (if (canDiffById) "" else "; this mirror resolves columns by " +
+          "NAME, so renames/drops cannot be attributed") +
+        ") — re-register the tree under a new name and repoint consumers")
+    // a widened BUCKET-partition source would silently mis-prune: the
+    // bucket transform hashes the value as its type (the native
+    // widenColumn refusal, mirrored)
+    prefixPairs.foreach { case ((nn, nt, _), (_, ot, _)) =>
+      if (nt != ot && graft.table.PartitionTransforms
+          .parseAll(meta0.partitionColumns).exists {
+            case graft.table.BucketField(_, src) => src.equalsIgnoreCase(nn)
+            case _ => false
+          })
+        refuse(s"the source widened bucket-partition source '$nn' — " +
+          "retained files' recorded bucket indexes would mis-prune")
+    }
+
+    val stored =
+      if (!tableById) tree.schema
+      else if (chainRenames.nonEmpty)
+        // a struct-chain rename rides on INNER by-id resolution: the
+        // stored schema stamps the whole chain (the native
+        // renameStructField flip)
+        FieldIds.attachAll(tree.schema, tree.srcRegistry)
+      else FieldIds.attach(tree.schema, tree.srcRegistry)
+    catalog.updateSchema(ns, name, stored)
+    // registry/interior/high-water advance to the source's, exactly as
+    // a fresh register of the evolved tree would record them; dropped
+    // ids retire behind a monotonic high-water mark
+    val regProps =
+      if (meta0.properties.contains(FieldIds.RegistryProp))
+        Map(FieldIds.RegistryProp -> FieldIds.encode(tree.srcRegistry),
+          FieldIds.LastIdProp ->
+            (tree.lastColumnId.max(tree.srcRegistry.values.max)
+              .max(tree.interiorRegistry.values.maxOption.getOrElse(0))
+              .max(meta0.properties.get(FieldIds.LastIdProp)
+                .flatMap(s => scala.util.Try(s.toInt).toOption)
+                .getOrElse(0))).toString) ++
+          (if (tree.interiorRegistry.isEmpty) Map.empty[String, String]
+           else Map(FieldIds.InteriorProp ->
+             FieldIds.encode(tree.interiorRegistry)))
+      else Map.empty[String, String]
+    // freed names: renamed-from (flat and nested), dropped roots and
+    // their dotted subtree; any CURRENT name sitting on a freed name
+    // (rename onto a freed name, drop+re-add, append under a freed
+    // name) has untrustworthy name-keyed log stats forever
+    val freedNow: Seq[String] = renames.map(_._1) ++ drops ++
+      chainRenames.map(_._1) ++ interiorRenames.map(_._1) ++
+      storedReg.keys.filter(k =>
+        k.contains(".") && dropSet(k.takeWhile(_ != '.'))).toSeq
+    val freedAll = FieldIds.namesSet(meta0.properties,
+      FieldIds.FreedNamesProp) ++ freedNow.map(lower)
+    val nowUnsafe = tree.schema.fields.map(_.name)
+      .filter(n => freedAll(lower(n))).toSeq
+    val freedProps =
+      (if (freedNow.isEmpty) Map.empty[String, String]
+       else Map(FieldIds.FreedNamesProp ->
+         FieldIds.addNames(meta0.properties, FieldIds.FreedNamesProp,
+           freedNow))) ++
+        (if (nowUnsafe.isEmpty) Map.empty[String, String]
+         else Map(FieldIds.StatsUnsafeProp ->
+           FieldIds.addNames(meta0.properties, FieldIds.StatsUnsafeProp,
+             nowUnsafe)))
+    val unset =
+      if (tree.interiorRegistry.isEmpty &&
+          meta0.properties.contains(FieldIds.InteriorProp))
+        Seq(FieldIds.InteriorProp)
+      else Seq.empty
+    // a moved interior id flips the mirror to interior-by-id reads —
+    // scans attach interior ids and request full subtrees, the same
+    // contract the native renameInteriorField establishes
+    val interiorModeProps =
+      if (interiorRenames.isEmpty) Map.empty[String, String]
+      else Map(FieldIds.InteriorByIdProp -> "true")
+    if ((regProps ++ freedProps ++ interiorModeProps).nonEmpty ||
+        unset.nonEmpty)
+      catalog.updateProperties(ns, name,
+        regProps ++ freedProps ++ interiorModeProps, unset)
+    catalog.loadTable(ns, name)
+  }
 
   /** Re-sync an ADOPTED table with its live source tree: walk the
     * foreign metadata again and land everything committed since the
@@ -1278,16 +1686,21 @@ object IcebergImport {
     * Cost: one metadata walk per source snapshot instead of one total.
     *
     * Costs match register: metadata-sized walks, predicate-sized
-    * delete-file I/O, zero data movement. Source schema evolution:
-    * APPENDED nullable-or-defaulted columns (Iceberg ADD COLUMN — the
-    * routine live-CDC evolution) are adopted in place — the mirror's
-    * schema and field-id registry advance to the source's with one
-    * metadata write, then the sync proceeds (a running stream over the
-    * mirror fails its schema pin with restart guidance, by design).
-    * Every other shape — rename / drop / retype / reorder / partition
-    * spec / changed ids of existing columns — refuses loudly with
-    * re-register guidance (replaying into a reshaped mirror would
-    * silently misread values).
+    * delete-file I/O, zero data movement. Source schema evolution is
+    * ADOPTED in place, metadata-only (see [[adoptSourceEvolution]]):
+    * appended nullable-or-defaulted columns (Iceberg ADD COLUMN — the
+    * routine live-CDC evolution), partition-spec evolution, legal type
+    * widenings, and — on a read-by-id mirror — id-matched RENAMEs and
+    * DROPs at every level (flat columns, struct-chain members, and
+    * list/map interior members, the last flipping the mirror to
+    * interior-by-id reads); the mirror's schema and field-id
+    * registries advance to the source's with one metadata write, then
+    * the sync proceeds (a running stream over the mirror fails its
+    * schema pin with restart guidance, by design). What still refuses
+    * with re-register guidance: an illegal retype / reorder / changed
+    * ids of existing columns / renames-drops against a name-bound
+    * mirror (replaying those into a reshaped mirror would silently
+    * misread values).
     *
     * Every refresh commit is CONDITIONAL on the mirror head observed
     * when the delta was computed: two concurrent refreshers would
@@ -1299,11 +1712,13 @@ object IcebergImport {
   def refresh(catalog: Catalog, spark: SparkSession, ns: String, name: String,
       root: Option[Path] = None, statFooters: Boolean = false,
       perSnapshot: Boolean = false,
-      token: Option[String] = None): RefreshReport = {
+      token: Option[String] = None,
+      auth: Option[RestCatalog.Auth] = None): RefreshReport = {
+    val effAuth = auth.getOrElse(RestCatalog.fromToken(token))
     var attemptsLeft = 3
     while (attemptsLeft > 0) {
       try return refreshOnce(catalog, spark, ns, name, root, statFooters,
-        perSnapshot, token)
+        perSnapshot, effAuth)
       catch {
         case _: graft.catalog.CommitConflictException if attemptsLeft > 1 =>
           attemptsLeft -= 1
@@ -1315,7 +1730,7 @@ object IcebergImport {
   private def refreshOnce(catalog: Catalog, spark: SparkSession,
       ns: String, name: String, root: Option[Path],
       statFooters: Boolean, perSnapshot: Boolean,
-      token: Option[String]): RefreshReport = {
+      auth: RestCatalog.Auth): RefreshReport = {
     implicit val fmts: Formats = DefaultFormats
     val meta0 = catalog.loadTable(ns, name)
     val source: String = root.map(_.toString).getOrElse(
@@ -1337,79 +1752,18 @@ object IcebergImport {
         require(hash > 0 && sep > hash,
           s"$ns.$name: malformed REST import ref '$source' — re-register")
         restTree(ref.take(hash), ref.substring(hash + 1, sep),
-          ref.substring(sep + 1), token)
+          ref.substring(sep + 1), auth)
       } else loadTree(Paths.get(source))
     val table = LakehouseTable.load(catalog, spark, ns, name)
     if (tree.currentId == watermark)
       return RefreshReport(table, None, watermark, watermark, 0, 0, 0,
         reset = false, commits = 0)
 
-    // The mirror's shape was fixed at register time. ONE evolution a
-    // mirror can adopt losslessly: the source APPENDED columns (Iceberg
-    // ADD COLUMN — the routine live-CDC evolution), nullable or
-    // existence-defaulted, with every pre-existing column and field id
-    // unchanged — the mirror's schema/registry then advance to the
-    // source's (one metadata write, no commit) and the sync proceeds.
-    // (Partition-spec evolution adopts separately below.) Anything
-    // else (rename / drop / retype / reorder) still refuses with
-    // re-register guidance: replaying into a reshaped mirror would
-    // silently misread values.
-    val meta = {
-      val oldShape = schemaShape(meta0.schema)
-      val newShape = schemaShape(tree.schema)
-      if (newShape == oldShape) meta0
-      else {
-        val appended = tree.schema.fields.drop(oldShape.size).toSeq
-        require(newShape.size > oldShape.size &&
-            newShape.take(oldShape.size) == oldShape &&
-            appended.forall(f => f.nullable ||
-              graft.types.ColumnDefaults.hasExistsDefault(f)),
-          s"cannot refresh $ns.$name: the source schema evolved since " +
-            s"import (now ${tree.schema.simpleString}) in a shape the " +
-            "mirror cannot adopt (only appended nullable-or-defaulted " +
-            "columns replay losslessly) — re-register the tree under a " +
-            "new name and repoint consumers")
-        meta0.properties.get(graft.types.FieldIds.RegistryProp)
-          .map(graft.types.FieldIds.decode).foreach { stored =>
-            require(stored.forall { case (k, v) =>
-                tree.srcRegistry.get(k).contains(v) },
-              s"cannot refresh $ns.$name: the source changed field ids of " +
-                "EXISTING columns (a drop/re-add or rename evolution) — " +
-                "re-register")
-          }
-        meta0.properties.get(graft.types.FieldIds.InteriorProp)
-          .map(graft.types.FieldIds.decode).foreach { stored =>
-            require(stored.forall { case (k, v) =>
-                tree.interiorRegistry.get(k).contains(v) },
-              s"cannot refresh $ns.$name: the source changed list/map " +
-                "interior ids of EXISTING columns — re-register")
-          }
-        val tableById = meta0.schema.fields.exists(
-          _.metadata.contains(graft.types.FieldIds.MetaKey))
-        val stored =
-          if (tableById)
-            graft.types.FieldIds.attach(tree.schema, tree.srcRegistry)
-          else tree.schema
-        catalog.updateSchema(ns, name, stored)
-        // registry/interior/high-water advance to the source's, exactly
-        // as a fresh register of the evolved tree would record them
-        val regProps =
-          if (meta0.properties.contains(graft.types.FieldIds.RegistryProp))
-            Map(graft.types.FieldIds.RegistryProp ->
-              graft.types.FieldIds.encode(tree.srcRegistry),
-              graft.types.FieldIds.LastIdProp ->
-                (tree.lastColumnId.max(tree.srcRegistry.values.max)
-                  .max(tree.interiorRegistry.values.maxOption.getOrElse(0)))
-                  .toString) ++
-              (if (tree.interiorRegistry.isEmpty) Map.empty[String, String]
-               else Map(graft.types.FieldIds.InteriorProp ->
-                 graft.types.FieldIds.encode(tree.interiorRegistry)))
-          else Map.empty[String, String]
-        if (regProps.nonEmpty)
-          catalog.updateProperties(ns, name, regProps, Seq.empty)
-        catalog.loadTable(ns, name)
-      }
-    }
+    // The mirror adopts the source's routine schema evolutions in
+    // place, metadata-only (appends, id-matched renames/drops — see
+    // adoptSourceEvolution); unadoptable shapes refuse with
+    // re-register guidance.
+    val meta = adoptSourceEvolution(catalog, spark, ns, name, meta0, tree)
     // Source partition-spec evolution ADOPTS through graft's own spec
     // evolution: the mirror's current spec advances (one metadata
     // write, create-time validation re-run), files keep the partition
@@ -1451,12 +1805,21 @@ object IcebergImport {
         // already landed and watermarked — re-enter the delta path
         // fresh, which expresses the remainder as one reset
         return refreshOnce(catalog, spark, ns, name, root, statFooters,
-          perSnapshot = false, token)
+          perSnapshot = false, auth)
     }
 
     val cur = walkSnapshot(spark, tree, tree.currentId, statFooters)
     val (wmData, wmDels) = walkPathSets(tree, watermark)
+    // v3 row lineage carries through refresh: files the source added
+    // since the watermark take their inheritance-assigned first-row-ids
+    // (explicit writer-materialized values already captured in the walk)
+    lazy val rowIds = rowLineage(tree)
     val dataAdded = cur.dataWithSeq.filterNot(e => wmData(e._1.path))
+      .map {
+        case (e, seq) if e.firstRowId.isEmpty && rowIds.isDefined =>
+          (e.copy(firstRowId = rowIds.get.get(e.path)), seq)
+        case x => x
+      }
     val dataRemoved = wmData -- cur.dataPlainPaths
     val posAdded = cur.posPlans.filterNot(p => wmDels(p.path))
     val dvAdded = cur.dvPlans.filterNot(p => wmDels(p.path))
@@ -1479,6 +1842,9 @@ object IcebergImport {
           "and id-less footers — no single resolution mode; rewrite " +
           "uniformly before refreshing")
     }
+    if (dataAdded.nonEmpty)
+      requireInteriorStampedIfMode(spark, meta, ns, name,
+        dataAdded.map(_._1.path))
 
     val additive = dataRemoved.isEmpty && delRemoved.isEmpty
     if (!additive) {
@@ -1571,6 +1937,7 @@ object IcebergImport {
       headAtEntry: Option[Long], statFooters: Boolean)
       (implicit fmts: Formats): Option[RefreshReport] = {
     val chain = lineage(tree, watermark)
+    lazy val rowIds = rowLineage(tree)
     val tableById = meta0.schema.fields.exists(
       _.metadata.contains(graft.types.FieldIds.MetaKey))
     var (prevData, prevDels) = walkPathSets(tree, watermark)
@@ -1586,6 +1953,11 @@ object IcebergImport {
           (prevDels -- curDelPaths).nonEmpty)
         return None // rewrite: remainder lands as the delta path's reset
       val dataAdded = cur.dataWithSeq.filterNot(e => prevData(e._1.path))
+        .map {
+          case (e, seq) if e.firstRowId.isEmpty && rowIds.isDefined =>
+            (e.copy(firstRowId = rowIds.get.get(e.path)), seq)
+          case x => x
+        }
       val posAdded = cur.posPlans.filterNot(p => prevDels(p.path))
       val dvAdded = cur.dvPlans.filterNot(p => prevDels(p.path))
       val eqAdded = cur.eqPlans.filterNot(p => prevDels(p.path))
@@ -1600,6 +1972,9 @@ object IcebergImport {
             "and id-less footers — no single resolution mode; rewrite " +
             "uniformly before refreshing")
       }
+      if (dataAdded.nonEmpty)
+        requireInteriorStampedIfMode(spark, meta0, ns, name,
+          dataAdded.map(_._1.path))
       if (dataAdded.nonEmpty || posAdded.nonEmpty || dvAdded.nonEmpty ||
           eqAdded.nonEmpty) {
         val eqStats = validateEq(spark, eqAdded)

@@ -20,10 +20,14 @@ import org.json4s.jackson.JsonMethods
   *    and, when the server inlines it, the `metadata` document itself —
   *    [[IcebergImport.registerFromRest]] turns either into the same
   *    parsed tree the directory walk produces.
-  *  - Auth is a STATIC bearer token (the spec's
-  *    `Authorization: Bearer` header). OAuth token exchange flows are
-  *    out of scope — pass a pre-issued token; it is NEVER persisted
-  *    into table properties (a refresh re-supplies it per call).
+  *  - Auth is either a STATIC bearer token (the spec's
+  *    `Authorization: Bearer` header, pre-issued) or the spec's OAuth2
+  *    CLIENT-CREDENTIALS exchange (`POST /v1/oauth/tokens` — the
+  *    common Polaris/Tabular/Gravitino deployment): the access token
+  *    is fetched lazily, held in MEMORY only (never persisted into
+  *    table properties — a refresh re-supplies credentials per call),
+  *    and transparently re-fetched ONCE when a request answers 401
+  *    (token expiry), then the request retries.
   *  - Errors refuse loudly with the server's error payload — a 404 is
   *    "no such table", anything else non-2xx surfaces status + body.
   *
@@ -35,6 +39,31 @@ object RestCatalog {
   final case class LoadedTable(
       metadataLocation: String,
       metadata: Option[JValue])
+
+  /** Credential shapes ([[NoAuth]] / [[StaticBearer]] /
+    * [[ClientCredentials]]); see the object doc for the contract. */
+  sealed trait Auth
+  case object NoAuth extends Auth
+  final case class StaticBearer(token: String) extends Auth
+  /** OAuth2 client-credentials, spec §`POST /v1/oauth/tokens`
+    * (`grant_type=client_credentials`, form-encoded). The instance
+    * CACHES its current access token — share one instance across
+    * register + refresh calls so a still-valid token is reused, and a
+    * 401 refreshes it for every holder at once. */
+  final class ClientCredentials(
+      private[interop] val clientId: String,
+      private[interop] val clientSecret: String,
+      private[interop] val scope: String = "catalog") extends Auth {
+    @volatile private[interop] var cached: Option[String] = None
+  }
+  object ClientCredentials {
+    def apply(clientId: String, clientSecret: String,
+        scope: String = "catalog"): ClientCredentials =
+      new ClientCredentials(clientId, clientSecret, scope)
+  }
+
+  private[interop] def fromToken(token: Option[String]): Auth =
+    token.map(StaticBearer(_): Auth).getOrElse(NoAuth)
 
   private lazy val client: HttpClient = HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofSeconds(30))
@@ -49,15 +78,66 @@ object RestCatalog {
   private def enc(s: String): String =
     URLEncoder.encode(s, StandardCharsets.UTF_8)
 
-  private def get(endpoint: String, path: String,
-      token: Option[String]): JValue = {
+  /** `POST /v1/oauth/tokens` — the spec's client-credentials exchange.
+    * Form-encoded per RFC 6749 §4.4; the response's `access_token` is
+    * cached on the credentials instance (memory only). */
+  private def fetchToken(endpoint: String, cc: ClientCredentials): String = {
     val base = endpoint.stripSuffix("/")
-    var b = HttpRequest.newBuilder(java.net.URI.create(s"$base$path"))
+    val form = Seq(
+      "grant_type" -> "client_credentials",
+      "client_id" -> cc.clientId,
+      "client_secret" -> cc.clientSecret,
+      "scope" -> cc.scope)
+      .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
+    val req = HttpRequest.newBuilder(
+        java.net.URI.create(s"$base/v1/oauth/tokens"))
       .timeout(java.time.Duration.ofSeconds(60))
+      .header("Content-Type", "application/x-www-form-urlencoded")
       .header("Accept", "application/json")
-      .GET()
-    token.foreach(t => b = b.header("Authorization", s"Bearer $t"))
-    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      .POST(HttpRequest.BodyPublishers.ofString(form))
+      .build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() < 200 || resp.statusCode() >= 300)
+      throw new IllegalArgumentException(
+        s"REST catalog $base/v1/oauth/tokens: HTTP ${resp.statusCode()} — " +
+          s"token exchange refused: ${resp.body().take(500)}")
+    (JsonMethods.parse(resp.body()) \ "access_token") match {
+      case JString(t) if t.nonEmpty => t
+      case _ => throw new IllegalArgumentException(
+        s"REST catalog $base/v1/oauth/tokens: token response carries no " +
+          s"access_token — ${resp.body().take(500)}")
+    }
+  }
+
+  private def bearerFor(endpoint: String, auth: Auth,
+      forceRefresh: Boolean): Option[String] = auth match {
+    case NoAuth => None
+    case StaticBearer(t) => Some(t)
+    case cc: ClientCredentials =>
+      if (forceRefresh || cc.cached.isEmpty)
+        cc.synchronized {
+          if (forceRefresh || cc.cached.isEmpty)
+            cc.cached = Some(fetchToken(endpoint, cc))
+        }
+      cc.cached
+  }
+
+  private def get(endpoint: String, path: String,
+      auth: Auth): JValue = {
+    val base = endpoint.stripSuffix("/")
+    def send(bearer: Option[String]): HttpResponse[String] = {
+      var b = HttpRequest.newBuilder(java.net.URI.create(s"$base$path"))
+        .timeout(java.time.Duration.ofSeconds(60))
+        .header("Accept", "application/json")
+        .GET()
+      bearer.foreach(t => b = b.header("Authorization", s"Bearer $t"))
+      client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    }
+    var resp = send(bearerFor(endpoint, auth, forceRefresh = false))
+    // an expired client-credentials token re-authenticates ONCE and
+    // retries; a static bearer has nothing to refresh
+    if (resp.statusCode() == 401 && auth.isInstanceOf[ClientCredentials])
+      resp = send(bearerFor(endpoint, auth, forceRefresh = true))
     resp.statusCode() match {
       case ok if ok >= 200 && ok < 300 => JsonMethods.parse(resp.body())
       case 404 => throw new IllegalArgumentException(
@@ -72,8 +152,10 @@ object RestCatalog {
     * overrides properties (callers rarely need them, but the call is
     * the spec's liveness probe). */
   def config(endpoint: String, token: Option[String] = None)
-      : Map[String, String] = {
-    val j = get(endpoint, "/v1/config", token)
+      : Map[String, String] = config(endpoint, fromToken(token))
+
+  def config(endpoint: String, auth: Auth): Map[String, String] = {
+    val j = get(endpoint, "/v1/config", auth)
     def props(v: JValue): Map[String, String] = v match {
       case JObject(fs) => fs.collect { case (k, JString(s)) => k -> s }.toMap
       case _ => Map.empty
@@ -84,8 +166,10 @@ object RestCatalog {
   /** `GET /v1/namespaces` — top-level namespace names (multi-level
     * namespaces come back dot-joined). */
   def listNamespaces(endpoint: String, token: Option[String] = None)
-      : Seq[String] = {
-    val j = get(endpoint, "/v1/namespaces", token)
+      : Seq[String] = listNamespaces(endpoint, fromToken(token))
+
+  def listNamespaces(endpoint: String, auth: Auth): Seq[String] = {
+    val j = get(endpoint, "/v1/namespaces", auth)
     (j \ "namespaces") match {
       case JArray(nss) => nss.collect {
         case JArray(parts) => parts.collect { case JString(p) => p }
@@ -97,8 +181,11 @@ object RestCatalog {
 
   /** `GET /v1/namespaces/{ns}/tables` — table names in `ns`. */
   def listTables(endpoint: String, ns: String,
-      token: Option[String] = None): Seq[String] = {
-    val j = get(endpoint, s"/v1/namespaces/${encodeNs(ns)}/tables", token)
+      token: Option[String] = None): Seq[String] =
+    listTables(endpoint, ns, fromToken(token))
+
+  def listTables(endpoint: String, ns: String, auth: Auth): Seq[String] = {
+    val j = get(endpoint, s"/v1/namespaces/${encodeNs(ns)}/tables", auth)
     (j \ "identifiers") match {
       case JArray(ids) => ids.flatMap(i => (i \ "name") match {
         case JString(n) => Some(n)
@@ -113,9 +200,13 @@ object RestCatalog {
     * (the inlined document) is optional — servers that omit it leave
     * the caller to read the location. */
   def loadTable(endpoint: String, ns: String, table: String,
-      token: Option[String] = None): LoadedTable = {
+      token: Option[String] = None): LoadedTable =
+    loadTable(endpoint, ns, table, fromToken(token))
+
+  def loadTable(endpoint: String, ns: String, table: String,
+      auth: Auth): LoadedTable = {
     val j = get(endpoint,
-      s"/v1/namespaces/${encodeNs(ns)}/tables/${enc(table)}", token)
+      s"/v1/namespaces/${encodeNs(ns)}/tables/${enc(table)}", auth)
     val loc = (j \ "metadata-location") match {
       case JString(l) => l
       case _ => throw new IllegalArgumentException(

@@ -33,11 +33,64 @@ object RestServe {
     def stop(): Unit = http.stop(0)
   }
 
+  /** One served table: `root` is the exported tree directory,
+    * `ensureCurrent` runs BEFORE every load of this table's metadata
+    * pointer (listings never re-export — only loads pay). */
+  private final class Served(val root: Path, val ensureCurrent: () => Unit)
+
+  /** Serve NATIVE graft tables LIVE: each `loadTable` request compares
+    * the table's current snapshot id against the last-exported
+    * watermark and, when a graft commit advanced the head since the
+    * last export, re-runs [[IcebergExport.export]] into the table's
+    * serve directory BEFORE answering — an external reader always
+    * loads CURRENT content, no manual export call, exactly the outward
+    * mirror of `refresh`'s inward pull. Cost model: an unchanged table
+    * answers with ONE catalog head probe (metadata-sized, no I/O);
+    * a changed table pays one export, which is metadata-sized plus
+    * stats copying — data files are referenced in place, never moved.
+    * Concurrent loads of the same changed table serialize on a
+    * per-table lock; the export itself is atomic at the version-hint
+    * flip, so a reader racing the re-export still loads a complete
+    * (previous) tree. */
+  def startLive(
+      tables: Map[(String, String), (graft.table.LakehouseTable, Path)],
+      port: Int = 0, token: Option[String] = None,
+      inlineMetadata: Boolean = false,
+      formatVersion: Int = 2): Server = {
+    val served = tables.map { case (k, (tbl, dir)) =>
+      val lock = new Object
+      // -1 forces the first load to export (a pre-exported dir would
+      // also work, but exporting unconditionally once is simpler than
+      // trusting a possibly-stale tree)
+      val lastExported = new java.util.concurrent.atomic.AtomicLong(-1L)
+      k -> new Served(dir, () => {
+        val cur = tbl.currentSnapshotId
+        if (cur != lastExported.get) lock.synchronized {
+          if (cur != lastExported.get) {
+            IcebergExport.export(tbl, dir, formatVersion)
+            lastExported.set(cur)
+          }
+        }
+      })
+    }
+    startImpl(served, port, token, inlineMetadata)
+  }
+
   /** Start serving `tables` ((namespace, table) → exported tree root,
-    * the dir holding `metadata/`). `port = 0` binds an ephemeral port. */
+    * the dir holding `metadata/`). `port = 0` binds an ephemeral port.
+    * Snapshot-frozen by contract: the version-hint is re-read per
+    * request, so a caller re-running `export` publishes — for tables
+    * that should publish every graft commit automatically, use
+    * [[startLive]]. */
   def start(tables: Map[(String, String), Path], port: Int = 0,
       token: Option[String] = None,
-      inlineMetadata: Boolean = false): Server = {
+      inlineMetadata: Boolean = false): Server =
+    startImpl(tables.map { case (k, root) =>
+      k -> new Served(root, () => ()) }, port, token, inlineMetadata)
+
+  private def startImpl(tables: Map[(String, String), Served], port: Int,
+      token: Option[String],
+      inlineMetadata: Boolean): Server = {
     val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
     def respond(x: HttpExchange, code: Int, body: String): Unit = {
@@ -89,8 +142,9 @@ object RestServe {
             tables.get((decodeNs(nsSeg), tbl)) match {
               case None => respond(x, 404,
                 s"""{"error":{"message":"no such table ${decodeNs(nsSeg)}.$tbl","type":"NoSuchTableException","code":404}}""")
-              case Some(root) =>
-                val f = currentMetadataFile(root)
+              case Some(s) =>
+                s.ensureCurrent()
+                val f = currentMetadataFile(s.root)
                 val loc = jsonStr(f.toString)
                 val body =
                   if (inlineMetadata)

@@ -2434,6 +2434,57 @@ object Lakehouse {
         WHERE o_orderkey % 7 <> 0 AND o_orderkey % 10 <> 3
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // Refresh-time SCHEMA EVOLUTION adoption (round 15): the source
+    // RENAMES and DROPS columns mid-life — the routine evolution any
+    // actively-developed table hits within weeks. Both sides track
+    // field ids, so an id-matched rename maps to graft's native
+    // metadata-only rename (files written under the old name keep
+    // serving values BY ID) and a vanished id maps to the native drop;
+    // the mirror adopts with one metadata write and the sync proceeds,
+    // where the reference's reader survives by re-reading latest
+    // metadata per query (query_iceberg_duckdb.py:21-29). The oracle
+    // reconstructs the post-evolution content from the flat source
+    // under the NEW names — old-era rows must answer their original
+    // values through the rename, proving id resolution, not name luck.
+    QueryDef("lake_iceberg_refresh_evolve",
+      (s, d) => {
+        val whDir = wh("lake_iceberg_refresh_evolve", d)
+        val cat = new Snaplog(whDir)
+        val orders = t(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        val src = Ingest.ingestDf(cat, "lake", "orders_ev",
+          orders.filter(col("o_orderkey") % 2 === 0)).table
+        val dest = Paths.get(whDir, "ice_ev")
+        IcebergExport.export(src, dest)
+        graft.interop.IcebergImport.register(
+          cat, s, dest, "lake", "orders_ev_mirror")
+        // the source evolves: rename + drop (both metadata-only), then
+        // appends a new era under the new shape
+        src.renameColumn("o_totalprice", "price")
+        src.dropColumn("o_custkey")
+        src.append(orders.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice").as("price")))
+        IcebergExport.export(src, dest)
+        val r = graft.interop.IcebergImport.refresh(
+          cat, s, "lake", "orders_ev_mirror")
+        val names = r.table.schema.fieldNames.toSeq
+        r.table.scan()
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("price")).as("total_price"))
+          .withColumn("adopted_rename", lit(names.contains("price") &&
+            !names.contains("o_totalprice")))
+          .withColumn("adopted_drop", lit(!names.contains("o_custkey")))
+          .withColumn("delta_sync", lit(!r.reset && r.dataFilesAdded >= 1))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+          TRUE AS adopted_rename, TRUE AS adopted_drop, TRUE AS delta_sync
+        FROM orders
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // ANALYZE statistics tier (round 14): ONE distributed pass builds
     // per-column theta-sketch NDV (map-side sketching, driver union of
     // partition-count compact sketches — metadata-sized at any table
@@ -2638,16 +2689,19 @@ object Lakehouse {
         FROM orders WHERE o_orderkey % 6 <> 0
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
-    // REST-CATALOG adoption (round 14): the modern Iceberg deployment
-    // serves table pointers over the REST API while manifests/data
-    // stay on storage. A loopback RestServe publishes the exported
-    // tree; registerFromRest adopts THROUGH the catalog service (GET
-    // /v1/namespaces/{ns}/tables/{tbl} → metadata-location), and the
-    // stored import ref is the ENDPOINT — so refresh re-fetches the
-    // catalog's CURRENT pointer and lands the source's advance without
-    // anyone naming a metadata file. At 100 TB this is adopting a
-    // table from a real catalog service (Polaris/Nessie/Tabular-style)
-    // instead of a filesystem path.
+    // REST-CATALOG adoption (round 14) + LIVE publishing (round 15):
+    // the modern Iceberg deployment serves table pointers over the
+    // REST API while manifests/data stay on storage. A loopback
+    // RestServe serves the NATIVE table LIVE — each load compares the
+    // graft head to the last-exported watermark and re-exports on
+    // demand, so a COMMIT AFTER PUBLISH is externally visible without
+    // anyone calling export. registerFromRest adopts THROUGH the
+    // catalog service (GET /v1/namespaces/{ns}/tables/{tbl} →
+    // metadata-location); the stored import ref is the ENDPOINT, so
+    // refresh re-fetches the catalog's CURRENT pointer and lands the
+    // post-publish commits. At 100 TB this is fronting a continuously
+    // written table with a catalog service (Polaris/Nessie/Tabular
+    // style) whose readers always see the latest commit.
     QueryDef("lake_iceberg_rest_catalog",
       (s, d) => {
         val whDir = wh("lake_iceberg_rest_catalog", d)
@@ -2657,19 +2711,23 @@ object Lakehouse {
         val src = Ingest.ingestDf(cat, "lake", "supp_live",
           supplier.filter(col("s_suppkey") % 2 === 0)).table
         val dest = Paths.get(whDir, "ice_rest")
-        IcebergExport.export(src, dest)
-        val srv = graft.interop.RestServe.start(
-          Map(("ext", "supp_live") -> dest))
+        // LIVE publish: no manual export anywhere in this query
+        val srv = graft.interop.RestServe.startLive(
+          Map(("ext", "supp_live") -> (src, dest)))
         try {
           graft.interop.IcebergImport.registerFromRest(cat, s,
             srv.endpoint, "ext", "supp_live", "lake", "supp_mirror")
-          // the source lives on; only the catalog's POINTER moves
+          val ptrAtRegister = graft.interop.RestCatalog.loadTable(
+            srv.endpoint, "ext", "supp_live").metadataLocation
+          // COMMITS AFTER PUBLISH: the source lives on; the catalog's
+          // pointer follows by itself on the next load
           src.append(supplier.filter(col("s_suppkey") % 2 === 1))
           src.deleteEq("s_suppkey",
             supplier.filter(col("s_suppkey") % 9 === 5).select("s_suppkey"))
-          IcebergExport.export(src, dest)
           val r = graft.interop.IcebergImport.refresh(
             cat, s, "lake", "supp_mirror", perSnapshot = true)
+          val ptrAfter = graft.interop.RestCatalog.loadTable(
+            srv.endpoint, "ext", "supp_live").metadataLocation
           val restRef = cat.loadTable("lake", "supp_mirror").properties
             .get(graft.interop.IcebergImport.ImportedFromProp)
             .exists(_.startsWith(graft.interop.IcebergImport.RestPrefix))
@@ -2678,14 +2736,62 @@ object Lakehouse {
             .agg(count(lit(1)).as("n"), dsum(col("s_acctbal")).as("total"))
             .withColumn("rest_adopted", lit(restRef))
             .withColumn("live_refresh", lit(!r.reset && r.commits == 2))
+            .withColumn("live_publish", lit(ptrAfter != ptrAtRegister))
             .orderBy(col("s_nationkey"))
         } finally srv.stop()
       },
       Some("""SELECT s_nationkey, COUNT(*) AS n,
           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total,
-          TRUE AS rest_adopted, TRUE AS live_refresh
+          TRUE AS rest_adopted, TRUE AS live_refresh, TRUE AS live_publish
         FROM supplier WHERE s_suppkey % 9 <> 5
         GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
+    // Iceberg v3 ROW LINEAGE (round 15): a v3 tree assigns every row a
+    // durable `_row_id` (snapshot-level `first-row-id` + per-file
+    // inheritance, spec §row-lineage) — the ecosystem's
+    // change-tracking substrate as engines move to v3. graft adopts
+    // the assignment at register, CARRIES it through refresh (new
+    // files take their inheritance ranges; old rows keep theirs), and
+    // serves `_row_id` / `_last_updated_sequence_number` as computed
+    // columns: first_row_id + file position, via the broadcast
+    // file-count-sized lineage map — no stored per-row ids, row-id
+    // arithmetic codegen'd on the scan. The oracle recomputes the
+    // spec's assignment: era-1 rows occupy [0, n1), era-2 rows
+    // (landed by refresh) [n1, n1+n2) — exact min/max/count per era.
+    QueryDef("lake_iceberg_v3_lineage",
+      (s, d) => {
+        val whDir = wh("lake_iceberg_v3_lineage", d)
+        val cat = new Snaplog(whDir)
+        val orders = t(s, d, "orders").select(
+          col("o_orderkey"), col("o_totalprice"))
+        val era1 = orders.filter(col("o_orderkey") % 2 === 0)
+        val era2 = orders.filter(col("o_orderkey") % 2 === 1)
+        val src = Ingest.ingestDf(cat, "lake", "orders_lin", era1).table
+        val dest = Paths.get(whDir, "ice_lin")
+        IcebergExport.export(src, dest, formatVersion = 3)
+        graft.interop.IcebergImport.register(
+          cat, s, dest, "lake", "orders_lin_rt")
+        src.append(era2)
+        IcebergExport.export(src, dest, formatVersion = 3)
+        graft.interop.IcebergImport.refresh(cat, s, "lake", "orders_lin_rt")
+        LakehouseTable.load(cat, s, "lake", "orders_lin_rt").scanLineage()
+          .withColumn("era",
+            when(col("o_orderkey") % 2 === 0, 1).otherwise(2))
+          .groupBy(col("era"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("_row_id")).as("distinct_ids"),
+            min(col("_row_id")).as("min_row_id"),
+            max(col("_row_id")).as("max_row_id"))
+          .orderBy(col("era"))
+      },
+      Some("""WITH e1 AS (SELECT COUNT(*) AS c FROM orders WHERE o_orderkey % 2 = 0),
+          e2 AS (SELECT COUNT(*) AS c FROM orders WHERE o_orderkey % 2 = 1)
+        SELECT 1 AS era, e1.c AS n, e1.c AS distinct_ids,
+            CAST(0 AS BIGINT) AS min_row_id, e1.c - 1 AS max_row_id FROM e1
+        UNION ALL
+        SELECT 2 AS era, e2.c AS n, e2.c AS distinct_ids,
+            e1.c AS min_row_id, e1.c + e2.c - 1 AS max_row_id FROM e1, e2
+        ORDER BY era""")),
 
     // Iceberg v3 export with initial-default (round 13): a DEFAULTED
     // column exports WITHOUT the compact-first tax — era 1 predates the
@@ -3048,6 +3154,49 @@ object Lakehouse {
           TRUE AS rename_metadata_only
         FROM events WHERE CAST(value AS DECIMAL(18,2)) >= 0
         GROUP BY event_type ORDER BY event_type""")),
+
+    // LIST/MAP INTERIOR rename (round 15, VERDICT r14 #7): renaming a
+    // struct member INSIDE an array — the one evolution interior-id
+    // stamping (round 14) existed for but reads previously refused.
+    // Metadata-only (file paths unchanged, claimed in-result); the
+    // table flips to interior-by-id reads, requesting full interior
+    // subtrees with ids attached because Spark's nested pruning drops
+    // interior id metadata (the FieldEvolutionSpec pin). Era 1 files
+    // carry the OLD member name and serve values by id; era 2 lands
+    // under the new name. The DuckDB oracle reconstructs the exploded
+    // array (each source row contributes v and 2v elements) — a
+    // silently-nulled old era would zero half the sum and hash-fail.
+    QueryDef("lake_interior_rename",
+      (s, d) => {
+        val whDir = wh("lake_interior_rename", d)
+        val cat = new Snaplog(whDir)
+        val ev = events(s, d).select(col("event_id"), col("event_type"),
+          col("value"))
+        def withArr(df: org.apache.spark.sql.DataFrame, member: String) =
+          df.withColumn("arr", array(
+            struct(col("value").cast("decimal(18,2)").as(member)),
+            struct((col("value") * 2).cast("decimal(18,2)").as(member))))
+            .drop("value")
+        val era1 = withArr(ev.filter(col("event_id") % 2 === 0), "v")
+        val tbl = Ingest.ingestDf(cat, "lake", "events_arr", era1).table
+        val era1Paths = cat.liveFiles("lake", "events_arr").map(_.path).toSet
+        tbl.renameInteriorField("arr.element.v", "amount")
+        val unmoved =
+          cat.liveFiles("lake", "events_arr").map(_.path).toSet == era1Paths
+        val era2 = withArr(ev.filter(col("event_id") % 2 === 1), "amount")
+        tbl.append(era2.select(tbl.schema.fieldNames.map(col).toSeq: _*))
+        LakehouseTable.load(cat, s, "lake", "events_arr").scan()
+          .select(col("event_type"), explode(col("arr")).as("x"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("x.amount")).as("total"))
+          .withColumn("rename_metadata_only", lit(unmoved))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, 2 * COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2)) +
+                   CAST(value * 2 AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          TRUE AS rename_metadata_only
+        FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // Column DEFAULT values (round 12, Iceberg v3 initial/write-default
     // semantics): era 1 predates the column and answers the EXISTENCE

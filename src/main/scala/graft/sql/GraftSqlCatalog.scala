@@ -221,7 +221,9 @@ private[sql] final class GraftSqlTable(
       statsUnsafe = graft.types.FieldIds.namesSet(tableProps,
         graft.types.FieldIds.StatsUnsafeProp),
       orderedEntries = orderedEntries,
-      ndvStats = graft.table.TableStats.fromProperties(tableProps))
+      ndvStats = graft.table.TableStats.fromProperties(tableProps),
+      interiorFullRead = tableProps
+        .get(graft.types.FieldIds.InteriorByIdProp).contains("true"))
   /** `INSERT INTO` appends; `INSERT OVERWRITE` (truncate-then-append in
     * Spark's plan) lands as ONE conditional overwrite commit — the
     * previous file set is replaced atomically, never a visible empty
@@ -959,7 +961,8 @@ private[sql] final class GraftScanBuilder(
     streamCtx: Option[(Catalog, String, String)] = None,
     statsUnsafe: Set[String] = Set.empty,
     orderedEntries: Seq[DataFileEntry] = Seq.empty,
-    ndvStats: Map[String, graft.table.TableStats.ColNdv] = Map.empty)
+    ndvStats: Map[String, graft.table.TableStats.ColNdv] = Map.empty,
+    interiorFullRead: Boolean = false)
     extends ScanBuilder
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -1050,8 +1053,33 @@ private[sql] final class GraftScanBuilder(
   override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     Array.empty
 
+  /** Interior-by-id tables ([[graft.types.FieldIds.InteriorByIdProp]])
+    * widen any pruned LIST/MAP-bearing root back to its FULL field from
+    * the table schema: Spark's nested schema pruning rebuilds the
+    * requested schema WITHOUT interior field-id metadata, so honoring
+    * the pruned shape would silently null renamed interior leaves of
+    * old files. Column pruning is advisory in DSv2 — Spark projects the
+    * narrow shape on top of the widened scan output, so plans stay
+    * correct; the cost is reading the full interior subtree, the
+    * documented price of an interior rename. Struct-only chains keep
+    * full pruning (Spark preserves their id metadata). */
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    required =
+      if (!interiorFullRead) requiredSchema
+      else {
+        def interiorBearing(dt: org.apache.spark.sql.types.DataType): Boolean =
+          dt match {
+            case _: org.apache.spark.sql.types.ArrayType |
+                 _: org.apache.spark.sql.types.MapType => true
+            case st: StructType => st.fields.exists(f => interiorBearing(f.dataType))
+            case _ => false
+          }
+        StructType(requiredSchema.fields.map { f =>
+          if (!interiorBearing(f.dataType)) f
+          else tableSchema.fields
+            .find(_.name.equalsIgnoreCase(f.name)).getOrElse(f)
+        })
+      }
 
   // ---- metadata-only aggregates ------------------------------------------
   // COUNT(*)/MIN/MAX are already IN the snapshot log (row counts and
@@ -1325,7 +1353,8 @@ private[sql] final class GraftScanBuilder(
             Some((backing, ns, tbl))) =>
           new GraftStreamableParquetScan(ps, tableSchema, backing, ns, tbl,
             options, SpjKeys.build(tableSchema, partitionCols, kept),
-            partitionCols, kept, statsUnsafe, ndvStats)
+            partitionCols, kept, statsUnsafe, ndvStats,
+            unprunedStats = kept.size == files.size)
         case _ => scan
       }
   }
@@ -1831,7 +1860,17 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     // session must resolve parquet columns BY ID for its scans
     if (graft.types.FieldIds.hasIds(meta.schema))
       SparkSession.active.conf.set(graft.types.FieldIds.ReadConf, "true")
-    new GraftSqlTable(s"$catName.$ns.$t", meta.schema, meta.partitionColumns,
+    // an interior-renamed table additionally attaches its LIST/MAP
+    // interior ids so scans resolve interior struct members by id (the
+    // scan builder widens interior-bearing roots to full subtrees —
+    // see GraftScanBuilder.pruneColumns)
+    val servedSchema =
+      if (!meta.properties.get(graft.types.FieldIds.InteriorByIdProp)
+          .contains("true")) meta.schema
+      else graft.types.FieldIds.attachInterior(meta.schema,
+        meta.properties.get(graft.types.FieldIds.InteriorProp)
+          .map(graft.types.FieldIds.decode).getOrElse(Map.empty))
+    new GraftSqlTable(s"$catName.$ns.$t", servedSchema, meta.partitionColumns,
       dataFiles, delFiles, backing, ns, t, writable = asOf.isEmpty,
       tableProps = meta.properties, loadedSnapshotId = snapId.getOrElse(0L),
       orderedEntries = ordered)

@@ -49,7 +49,8 @@ private[sql] final class GraftStreamableParquetScan(
     partitionCols: Seq[String] = Seq.empty,
     entries: Seq[graft.catalog.DataFileEntry] = Seq.empty,
     statsUnsafe: Set[String] = Set.empty,
-    ndvStats: Map[String, graft.table.TableStats.ColNdv] = Map.empty)
+    ndvStats: Map[String, graft.table.TableStats.ColNdv] = Map.empty,
+    unprunedStats: Boolean = true)
     extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
       base.dataSchema, base.readDataSchema, base.readPartitionSchema,
       base.pushedFilters, base.options, base.pushedAggregate,
@@ -77,7 +78,8 @@ private[sql] final class GraftStreamableParquetScan(
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =
     if (entries.isEmpty) super.estimateStatistics()
-    else ScanStats.report(readSchema(), entries, statsUnsafe, ndvStats)
+    else ScanStats.report(readSchema(), entries, statsUnsafe, ndvStats,
+      unprunedStats)
 
   override def outputPartitioning(): Partitioning = spj match {
     case Some(k) if k.keyByPath.nonEmpty =>

@@ -59,13 +59,37 @@ private[sql] object ScanStats {
     case _ => false
   }
 
+  /** Variable-width types whose in-memory row footprint `defaultSize`
+    * (20 B for strings) can be arbitrarily wrong — the ANALYZE avgLen,
+    * when present, replaces it in the row-width estimate. Without it a
+    * 500K-row table of ~1 KB strings reports ~10 MB and auto-broadcasts
+    * a ~500 MB build side. */
+  private def varWidth(dt: DataType): Boolean = dt match {
+    case StringType | BinaryType => true
+    case _ => false
+  }
+
+  /** @param unpruned true when `entries` is the FULL live file set (no
+    *   partition/stat pruning dropped anything) — the only case where
+    *   the table-wide ANALYZE histogram describes this scan's rows. */
   def report(readSchema: StructType, entries: Seq[DataFileEntry],
       statsUnsafe: Set[String],
-      ndv: Map[String, TableStats.ColNdv]): Statistics = {
+      ndv: Map[String, TableStats.ColNdv],
+      unpruned: Boolean = true): Statistics = {
     val rows = entries.map(_.rowCount).sum
-    val width = math.max(1, readSchema.fields.map(_.dataType.defaultSize).sum)
+    // row width folds the ANALYZE average length in for string/binary
+    // columns (defaultSize is a fixed 20 B guess); fixed-width types
+    // keep defaultSize. avgLen counts only non-null values — close
+    // enough for a broadcast decision, and strictly better than the
+    // constant.
+    val width = math.max(1L, readSchema.fields.map { f =>
+      if (varWidth(f.dataType))
+        ndv.get(f.name).flatMap(_.avgLen)
+          .getOrElse(f.dataType.defaultSize.toLong)
+      else f.dataType.defaultSize.toLong
+    }.sum)
     val size =
-      try math.multiplyExact(rows, width.toLong)
+      try math.multiplyExact(rows, width)
       catch { case _: ArithmeticException => Long.MaxValue }
     val byCol = new java.util.HashMap[NamedReference, ColumnStatistics]()
     readSchema.fields.foreach { f =>
@@ -123,10 +147,15 @@ private[sql] object ScanStats {
                 else OptionalLong.empty)
             // equi-height histogram from ANALYZE(histogramColumns):
             // height = non-null rows per bin — CBO's range estimation
-            // then prices skewed BETWEEN windows by the distribution
+            // then prices skewed BETWEEN windows by the distribution.
+            // Reported ONLY on unpruned scans (the bin boundaries are
+            // table-wide; a partition-pruned scan's rows follow a
+            // different distribution) and only with exact null
+            // coverage (an unknown null count would overstate height).
             override def histogram(): Optional[Histogram] =
               nd.flatMap(_.hist) match {
-                case Some(bs) if bs.nonEmpty && rows > 0 =>
+                case Some(bs) if bs.nonEmpty && rows > 0 && unpruned &&
+                    nulls.isDefined =>
                   val nonNull = rows - nulls.getOrElse(0L)
                   Optional.of(new Histogram {
                     override def height(): Double =

@@ -70,6 +70,61 @@ final class LakehouseTable(
       ordered, partitionFilter)
   }
 
+  /** Iceberg v3 ROW LINEAGE read surface: the table's current content
+    * plus `_row_id` and `_last_updated_sequence_number`, per the v3
+    * spec's virtual-column semantics — `_row_id` = the file's assigned
+    * `first_row_id` + the row's position in the file, stable under
+    * outstanding deletes (a position vector or equality delete removes
+    * rows WITHOUT renumbering survivors, exactly what the
+    * MOR-subtracted assembly preserves: `__scan_pos` is the original
+    * file position); `_last_updated_sequence_number` = the data file's
+    * sequence number (graft never updates rows in place — an upsert is
+    * delete + insert into a new file, which correctly re-assigns).
+    *
+    * Lineage exists on files adopted from a v3 row-lineage tree
+    * ([[graft.interop.IcebergImport]] assigns per the spec's
+    * inheritance model at register and carries it through refresh);
+    * files without an assignment (native writes, rewrites, v2 imports)
+    * refuse loudly rather than serve guessed ids. Scale: the per-file
+    * (first_row_id, seq) map is file-count-sized and broadcast; the
+    * row-id arithmetic is a codegen'd column expression on the scan. */
+  def scanLineage(): DataFrame = {
+    import spark.implicits._
+    val ordered = catalog.liveEntriesOrdered(namespace, name, None)
+    val data = ordered.filterNot(_.deleteFile.contains(true))
+    if (data.isEmpty)
+      return spark.createDataFrame(java.util.Collections.emptyList[Row](),
+        StructType(schema.fields ++ Seq(
+          StructField("_row_id", LongType, nullable = false),
+          StructField("_last_updated_sequence_number", LongType,
+            nullable = false))))
+    val missing = data.filter(e => e.firstRowId.isEmpty || e.dataSeq.isEmpty)
+    require(missing.isEmpty,
+      s"$namespace.$name: ${missing.size} data file(s) carry no row-lineage " +
+        "assignment — _row_id/_last_updated_sequence_number serve only on " +
+        "tables adopted from an Iceberg v3 row-lineage tree (natively " +
+        "written or rewritten files lose their assignment); scan() serves " +
+        "the content without lineage")
+    def canon(p: String): String =
+      new HadoopPath(p.replaceFirst(LakehouseTable.PathSchemeRe, "/"))
+        .toUri.getRawPath
+    val lookup = broadcast(data.map(e =>
+      (canon(e.path), e.firstRowId.get, e.dataSeq.get))
+      .toDF("__ln_file", "__ln_first", "__ln_seq"))
+    assembleOrderedMeta(ordered, _ => true, retainMeta = true)
+      .withColumn("__ln_path", regexp_replace(col("__scan_file"),
+        LakehouseTable.PathSchemeRe, "/"))
+      .join(lookup, col("__ln_path") === col("__ln_file"), "left")
+      .withColumn("_row_id",
+        when(col("__ln_first").isNull, raise_error(concat(
+          lit("row lineage: no assignment found for scanned file "),
+          col("__ln_path"), lit(" — path representation drift"))))
+          .otherwise(col("__ln_first") + col("__scan_pos")))
+      .withColumn("_last_updated_sequence_number", col("__ln_seq"))
+      .drop("__scan_file", "__scan_pos", "__ln_path", "__ln_file",
+        "__ln_first", "__ln_seq")
+  }
+
   /** Keep `scan(partitionFilter)` EXACT across partition evolution:
     * metadata pruning keeps any file that records no value for a
     * filtered field (it predates the spec — pruning must stay
@@ -133,8 +188,44 @@ final class LakehouseTable(
     val s = schema
     if (graft.types.FieldIds.hasIds(s))
       spark.conf.set(graft.types.FieldIds.ReadConf, "true")
-    s
+    val props = meta.properties
+    // an interior-renamed table resolves list/map interior members BY
+    // ID: the read schema carries the interior ids (the one case the
+    // "never attach interiors to read schemas" rule inverts — see
+    // FieldIds.InteriorByIdProp) and the scan runs on [[readSession]]
+    if (props.get(graft.types.FieldIds.InteriorByIdProp).contains("true"))
+      graft.types.FieldIds.attachInterior(s,
+        props.get(graft.types.FieldIds.InteriorProp)
+          .map(graft.types.FieldIds.decode).getOrElse(Map.empty))
+    else s
   }
+
+  /** Session the SCAN path reads under. Interior-by-id tables read on
+    * a CLONE with nested schema pruning disabled: Spark's pruning
+    * rebuilds pruned read schemas WITHOUT interior field-id metadata
+    * (the FieldEvolutionSpec pin), so a pruned plan would silently
+    * null renamed interior leaves of old files — full-subtree requests
+    * with ids attached resolve correctly in every plan shape. The
+    * clone's conf governs the whole plan because scan() returns a
+    * DataFrame BOUND to it (the managedWrite rebinding trick, read
+    * side); tables without interior renames keep the caller's session
+    * and full nested pruning. */
+  @volatile private var interiorClone: SparkSession = null
+  private def readSession: SparkSession =
+    if (!meta.properties.get(graft.types.FieldIds.InteriorByIdProp)
+        .contains("true")) spark
+    else {
+      if (interiorClone == null) synchronized {
+        if (interiorClone == null) {
+          val c = spark.newSession()
+          c.conf.set(graft.types.FieldIds.ReadConf, "true")
+          c.conf.set("spark.sql.optimizer.nestedSchemaPruning.enabled",
+            "false")
+          interiorClone = c
+        }
+      }
+      interiorClone
+    }
 
   /** Assemble a scan from replay-ordered entries: per-segment equality-
     * delete anti-joins (see [[EqDeletes]]), then the global position-
@@ -155,12 +246,13 @@ final class LakehouseTable(
     val segs = EqDeletes.segments(ordered, keep)
     if (segs.isEmpty)
       return spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-    val data = EqDeletes.readSubtracted(spark, readSchema, segs,
+    val rs = readSession
+    val data = EqDeletes.readSubtracted(rs, readSchema, segs,
       withMeta = posDeletes.nonEmpty || retainMeta)
     if (posDeletes.isEmpty) data
     else {
       val dv = broadcast(
-        spark.read.parquet(posDeletes.map(_.path): _*)
+        rs.read.parquet(posDeletes.map(_.path): _*)
           .select(col("file_path").as("__dv_file"), col("row_index").as("__dv_pos"))
           .distinct())
       val sub = data
@@ -508,7 +600,7 @@ final class LakehouseTable(
       if (lookup.map(_._1).distinct.size != lookup.size) return false
       import spark.implicits._
       val lk = broadcast(lookup.toDF("__cl_path", "__cl_snap", "__cl_ts"))
-      parts += spark.read.schema(readSchema)
+      parts += readSession.read.schema(readSchema)
         .parquet(entries.map(_._1.path): _*)
         .select(col("*"), regexp_replace(col("_metadata.file_path"),
           LakehouseTable.PathSchemeRe, "/").as("__cl_path"))
@@ -534,7 +626,7 @@ final class LakehouseTable(
           val data = s.files.filterNot(_.deleteFile.contains(true))
           if (data.nonEmpty)
             parts += stamp(
-              spark.read.schema(readSchema).parquet(data.map(_.path): _*),
+              readSession.read.schema(readSchema).parquet(data.map(_.path): _*),
               ChangeInsert, s)
           prefixBuf ++= s.files
         case Snaplog.OpEqDelete =>
@@ -547,7 +639,7 @@ final class LakehouseTable(
           val dataRun = scala.collection.mutable.ArrayBuffer.empty[DataFileEntry]
           def flushRun(): Unit = if (dataRun.nonEmpty) {
             parts += stamp(
-              spark.read.schema(readSchema).parquet(dataRun.map(_.path).toSeq: _*),
+              readSession.read.schema(readSchema).parquet(dataRun.map(_.path).toSeq: _*),
               ChangeInsert, s)
             dataRun.clear()
           }
@@ -599,7 +691,7 @@ final class LakehouseTable(
           val remVis = if (removedPaths.isEmpty) None
             else Some(assembleOrdered(prefix, f => removedPaths(f.path)))
           val addRows = if (added.isEmpty) None
-            else Some(spark.read.schema(readSchema).parquet(added.map(_.path): _*))
+            else Some(readSession.read.schema(readSchema).parquet(added.map(_.path): _*))
           (remVis, addRows) match {
             case (Some(rem), Some(add)) =>
               parts += stamp(rem.exceptAll(add), ChangeDelete, s)
@@ -932,7 +1024,7 @@ final class LakehouseTable(
           "materialized-mor" -> "true"),
         expected = Some(base))
     }
-    val matched = spark.read.schema(readSchema).parquet(live.map(_.path): _*)
+    val matched = readSession.read.schema(readSchema).parquet(live.map(_.path): _*)
       .filter(condition)
       .groupBy(input_file_name().as("f")).count()
       .collect().map(r => normalizePath(r.getString(0)) -> r.getLong(1)).toMap
@@ -941,7 +1033,7 @@ final class LakehouseTable(
     if (touched.isEmpty)
       return catalog.commit(namespace, name, Snaplog.OpDelete, live,
         Map("deleted-rows" -> "0", "rewritten-files" -> "0"))
-    val survivors = spark.read.schema(readSchema).parquet(touched.map(_.path): _*)
+    val survivors = readSession.read.schema(readSchema).parquet(touched.map(_.path): _*)
       .filter(!condition)
     writeCommit(Seq(survivors), Snaplog.OpDelete,
       Map("deleted-rows" -> deletedRows.toString,
@@ -1174,7 +1266,7 @@ final class LakehouseTable(
     // positions come from the RAW file scan (the metadata column only
     // exists on the source relation); already-deleted positions are
     // subtracted so re-deleting records nothing twice
-    val candidate = spark.read.schema(readSchema).parquet(live.map(_.path): _*)
+    val candidate = readSession.read.schema(readSchema).parquet(live.map(_.path): _*)
       .filter(condition)
       .select(col("_metadata.file_path").as("file_path"),
         col("_metadata.row_index").as("row_index"))
@@ -1440,7 +1532,9 @@ final class LakehouseTable(
         TableStats.SnapshotProp -> snap.snapshotId.toString,
         TableStats.PathProp -> statsPath.toString,
         TableStats.SummaryProp -> TableStats.encodeSummary(summary)),
-      unset = Seq.empty)
+      // a full pass sketches everything — any adopted-ancestor
+      // provenance marker is now satisfied
+      unset = Seq(TableStats.AdoptedAncestorProp))
     summary
   }
 
@@ -1469,6 +1563,17 @@ final class LakehouseTable(
         s"$namespace.$name: stats file missing — run analyze()"))
     val cur = catalog.currentSnapshot(namespace, name).getOrElse(
       throw new IllegalStateException(s"$namespace.$name: empty table"))
+    // stats adopted from a foreign ANCESTOR statistics entry do not
+    // cover rows appended between the foreign ANALYZE and the import —
+    // treating the watermark as fully sketched would leave that gap
+    // permanently unsketched (an immediate run would even no-op as
+    // "up to date"). Only a full pass closes the gap.
+    props.get(TableStats.AdoptedAncestorProp).foreach { src =>
+      throw new IllegalStateException(
+        s"$namespace.$name: stored statistics were adopted from foreign " +
+          s"snapshot $src, an ANCESTOR of the imported content — the gap " +
+          "rows were never sketched; run a full analyze()")
+    }
     val stored = TableStats.fromProperties(props)
     require(stored.nonEmpty,
       s"$namespace.$name: stored stats summary empty — run analyze()")
@@ -2078,6 +2183,119 @@ final class LakehouseTable(
               .toSeq :+ oldKey).distinct))
         ++ reboundProps,
       Seq.empty)
+  }
+
+  /** LIST/MAP INTERIOR field RENAME (round 15) — the name-mapping
+    * evolution the interior-id stamping (round 14) was laid down for:
+    * renaming a struct member INSIDE a list or map
+    * (`arr.element.a` → `arr.element.x`, `m.value.k` → …) is
+    * metadata-only at any table size. The interior registry re-keys
+    * (same ids), the stored schema renames the member, and the table
+    * flips to INTERIOR-BY-ID reads ([[graft.types.FieldIds
+    * .InteriorByIdProp]]): scans attach the interior ids to the read
+    * schema and request the FULL interior subtree (nested schema
+    * pruning drops interior id metadata — the FieldEvolutionSpec pin),
+    * so files written under the old member name keep serving values in
+    * every plan shape, pruned and unpruned, table-API and SQL.
+    *
+    * Eligibility mirrors the other id evolutions, one level further
+    * down: every live-history data file must be managed and stamp
+    * field ids on every struct member INCLUDING inside list/map
+    * interiors ([[graft.types.FieldIds.fileCarriesInteriorIds]]) —
+    * managed writes stamp interiors from birth on r14+ tables with an
+    * interior map; older tables compact() once after the registry
+    * backfills. Cost of the flip: interior subtrees stop
+    * nested-pruning on this table (the full-subtree request is what
+    * makes old files resolve) — the price of the rename, documented,
+    * paid only by tables that rename an interior. */
+  def renameInteriorField(path: String, newLeaf: String): TableMetadata =
+      catalog.withEvolutionLock(namespace, name) {
+    import graft.types.{FieldIds, SchemaInfer}
+    val m = meta
+    val tokens = path.split('.').toSeq
+    val interiorTokens = Set("element", "key", "value")
+    require(tokens.exists(interiorTokens),
+      s"renameInteriorField needs a path crossing a list/map interior " +
+        s"(… element/key/value …), got '$path' — use renameStructField " +
+        "for struct chains and renameColumn for top-level columns")
+    require(!interiorTokens(tokens.last),
+      s"cannot rename '$path': element/key/value are fixed name-mapping " +
+        "tokens, not renamable fields")
+    SchemaInfer.interiorType(m.schema, tokens).getOrElse(
+      throw new IllegalArgumentException(
+        s"no interior field '$path' in $namespace.$name"))
+    val parent = SchemaInfer.interiorType(m.schema, tokens.init)
+      .collect { case st: StructType => st }
+      .getOrElse(throw new IllegalArgumentException(
+        s"'${tokens.init.mkString(".")}' is not a struct"))
+    require(!parent.fieldNames.exists(_.equalsIgnoreCase(newLeaf)),
+      s"field '$newLeaf' already exists under '${tokens.init.mkString(".")}'")
+    require(newLeaf.nonEmpty && !newLeaf.contains(",") &&
+      !newLeaf.contains(":") && !newLeaf.contains("."),
+      s"illegal field name '$newLeaf'")
+    val interior = m.properties.get(FieldIds.InteriorProp)
+      .map(FieldIds.decode).getOrElse(Map.empty[String, Int])
+    val oldKey = tokens.mkString(".")
+    val id = interior.getOrElse(oldKey,
+      throw new UnsupportedOperationException(
+        s"cannot rename '$path' of $namespace.$name: the field has no " +
+          "interior id (table predates interior-id stamping, round 14) — " +
+          "recreate or re-ingest the table to allocate interior ids"))
+    require(id > 0, s"invalid interior id $id for '$path'")
+    // the flat registry flips too: by-id resolution of the interior
+    // subtree rides on the whole chain being id-matched
+    val reg = withInnerIds(m, fieldRegistry(m, "rename (interior)"))
+    requireIdBearingFiles("rename (interior)", nested = true)
+    requireInteriorIdFiles()
+    val prefix = oldKey + "."
+    val newKey = (tokens.init :+ newLeaf).mkString(".")
+    val interior2 = interior.map {
+      case (k, v) if k == oldKey => newKey -> v
+      case (k, v) if k.startsWith(prefix) =>
+        (newKey + "." + k.stripPrefix(prefix)) -> v
+      case kv => kv
+    }
+    val renamed = SchemaInfer.editInteriorField(m.schema, tokens,
+      f => Some(f.copy(name = newLeaf)))
+    // schema first, properties second — the flat rename's crash
+    // ordering (an id-bearing schema alone never misresolves)
+    catalog.updateSchema(namespace, name, FieldIds.attachAll(renamed, reg))
+    val freed = (interior.keys.filter(k =>
+      k == oldKey || k.startsWith(prefix)).toSeq :+ oldKey).distinct
+    catalog.updateProperties(namespace, name,
+      Map(FieldIds.InteriorProp -> FieldIds.encode(interior2),
+        FieldIds.RegistryProp -> FieldIds.encode(reg),
+        FieldIds.LastIdProp ->
+          (m.properties.get(FieldIds.LastIdProp).flatMap(_.toIntOption)
+            .getOrElse(0)
+            .max(if (reg.isEmpty) 0 else reg.values.max)
+            .max(interior2.values.max)).toString,
+        FieldIds.InteriorByIdProp -> "true",
+        FieldIds.FreedNamesProp ->
+          FieldIds.addNames(m.properties, FieldIds.FreedNamesProp, freed)),
+      Seq.empty)
+  }
+
+  /** Interior counterpart of [[requireIdBearingFiles]]: every
+    * live-history data file must stamp ids on struct members inside
+    * its list/map interiors — the proof interior-by-id reads resolve
+    * every file. Parallel footer probes, no data pages. */
+  private def requireInteriorIdFiles(): Unit = {
+    val paths = catalog.snapshots(namespace, name).flatMap(_.files)
+      .filterNot(_.deleteFile.contains(true)).map(_.path).distinct
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.DurationInt
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val bad = Await.result(
+      Future.traverse(paths)(p =>
+        Future(scala.concurrent.blocking(
+          (p, graft.types.FieldIds.fileCarriesInteriorIds(spark, p))))),
+      30.minutes).filterNot(_._2).map(_._1)
+    require(bad.isEmpty,
+      s"cannot rename an interior field of $namespace.$name: ${bad.size} " +
+        "file(s) carry no field ids inside list/map interiors (written " +
+        "before interior stamping) — compact() rewrites the live set " +
+        "interior-stamped and expireSnapshots() retires old history")
   }
 
   /** INNER struct-field DROP (round 13) — metadata-only removal from

@@ -39,6 +39,16 @@ import org.json4s.JsonDSL._
   * pins NDV on low-cardinality columns against a COUNT(DISTINCT)
   * oracle, and why estimates on high-cardinality columns are still the
   * right planner input (CBO needs magnitude, not equality).
+  *
+  * Known deviation (kept deliberately): DataSketches'
+  * `UpdateSketch.update(byte[])` is a documented no-op for EMPTY
+  * arrays, so the empty string / empty binary value is never hashed —
+  * NDV undercounts `COUNT(DISTINCT)` by exactly 1 on columns that
+  * contain `""`, while `nn`/avgLen still count it. Iceberg's own
+  * `theta-v1` sketches share the convention (same library call), so
+  * hashing a private sentinel here would break the cross-engine
+  * sketch-merge parity the puffin export promises. Planner impact is
+  * a ±1 NDV — noise at any cardinality CBO acts on.
   */
 object TableStats {
 
@@ -49,6 +59,18 @@ object TableStats {
 
   /** Table property pointing at the native puffin statistics file. */
   val PathProp = "graft.stats.path"
+
+  /** Provenance marker set when the stored stats were ADOPTED from a
+    * foreign (Iceberg) statistics entry that described an ANCESTOR of
+    * the imported snapshot, not the imported content itself — the
+    * value is the foreign snapshot id the stats actually cover. The
+    * imported tree then contains rows the foreign ANALYZE never
+    * sketched, so [[graft.table.LakehouseTable.analyzeIncremental]]
+    * must NOT treat [[SnapshotProp]] as fully sketched (a union over
+    * post-import deltas would leave the gap rows permanently
+    * uncounted); it refuses with full-analyze guidance, and a full
+    * `analyze()` clears the marker. */
+  val AdoptedAncestorProp = "graft.stats.adopted-ancestor-snapshot"
 
   /** Table property holding the compact JSON summary the scan reports
     * from without touching the puffin file:

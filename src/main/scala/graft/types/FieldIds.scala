@@ -46,12 +46,26 @@ object FieldIds {
     * a SEPARATE map: interior ids are stamped into managed files and
     * declared by the Iceberg export (id-stable across re-exports and
     * round-trips — a strict-by-id external reader must match the file
-    * stamps), but they are NEVER attached to READ schemas: Spark's
-    * nested schema pruning drops interior field-id metadata (pinned in
-    * FieldEvolutionSpec), so an interior rename would silently null
-    * leaves under pruned reads — interiors stay name-bound for
-    * resolution, and this map exists purely for interop fidelity. */
+    * stamps). Read-side they stay detached — Spark's nested schema
+    * pruning drops interior field-id metadata (pinned in
+    * FieldEvolutionSpec) — EXCEPT once [[InteriorByIdProp]] flips: an
+    * interior-renamed table attaches them and requests full interior
+    * subtrees, which is what lets old files serve renamed members by
+    * id in every plan shape (round 15). */
   val InteriorProp = "graft.interior-ids"
+
+  /** Table property: "true" once a LIST/MAP INTERIOR field has been
+    * renamed (round 15). The table's reads then resolve interior
+    * struct members BY ID — which requires requesting the FULL
+    * interior subtree with id metadata attached (Spark's nested schema
+    * pruning rebuilds pruned read schemas WITHOUT interior field-id
+    * metadata, the FieldEvolutionSpec pin): the table-API scan builds
+    * on a session clone with nested pruning disabled, and the SQL
+    * scan builder widens interior-bearing roots back to their full
+    * subtree. The cost — interior subtrees stop nested-pruning on this
+    * table — is the price of serving old files' values under the new
+    * name; tables that never rename an interior keep full pruning. */
+  val InteriorByIdProp = "graft.interior-by-id"
 
   def namesSet(props: Map[String, String], key: String): Set[String] =
     props.get(key).toSeq.flatMap(_.split(',')).filter(_.nonEmpty).toSet
@@ -403,6 +417,51 @@ object FieldIds {
           t.getLogicalTypeAnnotation != null || // LIST/MAP: stop descent
           t.asGroupType().getFields.asScala.forall(ok))
       r.getFooter.getFileMetaData.getSchema.getFields.asScala.forall(ok)
+    } finally r.close()
+  }
+
+  /** Footer probe for INTERIOR-BY-ID eligibility: every struct MEMBER
+    * field anywhere in the file — including inside list/map interiors —
+    * must carry a parquet field id. The list/map wrapper groups
+    * (`list`/`key_value`) and the `element`/`key`/`value` nodes
+    * themselves carry no ids (Spark metadata lives on StructFields
+    * only, so the writer has nowhere to stamp them — and they are not
+    * renamable); primitive elements likewise need none. */
+  def fileCarriesInteriorIds(spark: SparkSession, path: String): Boolean = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path), spark.sessionState.newHadoopConf())
+    val r = ParquetFileReader.open(in)
+    try {
+      // subtreeOk(t): t's own id already checked by the caller (or not
+      // required); verifies everything below it
+      def subtreeOk(t: org.apache.parquet.schema.Type): Boolean =
+        if (t.isPrimitive) true
+        else {
+          val g = t.asGroupType()
+          if (g.getLogicalTypeAnnotation == null)
+            // a plain struct: members need ids
+            g.getFields.asScala.forall(f => f.getId != null && subtreeOk(f))
+          else
+            // LIST/MAP: descend through wrapper and element/key/value
+            // nodes without requiring ids on them
+            g.getFields.asScala.forall { rep =>
+              if (rep.isPrimitive) true
+              else rep.asGroupType().getFields.asScala.forall { ekv =>
+                if (ekv.isPrimitive) true
+                else {
+                  val eg = ekv.asGroupType()
+                  if (eg.getLogicalTypeAnnotation != null) subtreeOk(ekv)
+                  else eg.getFields.asScala.forall(f =>
+                    f.getId != null && subtreeOk(f))
+                }
+              }
+            }
+        }
+      r.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .forall(f => f.getId != null && subtreeOk(f))
     } finally r.close()
   }
 }

@@ -314,6 +314,71 @@ object SchemaInfer {
 
   /** The type of the field a dotted struct path names, if the chain
     * resolves (case-insensitive per step, structs only). */
+  /** Navigate a NAME-MAPPING token path (`arr.element.a`, `m.value.x`
+    * — `element`/`key`/`value` step through list/map interiors, other
+    * tokens through struct fields, all case-insensitive for struct
+    * names, exact for the interior tokens). Returns the type at the
+    * path, or None. */
+  def interiorType(schema: StructType, tokens: Seq[String]): Option[DataType] = {
+    def walk(dt: DataType, rest: Seq[String]): Option[DataType] = rest match {
+      case Seq() => Some(dt)
+      case head +: tail => dt match {
+        case a: ArrayType if head == "element" => walk(a.elementType, tail)
+        case m: MapType if head == "key" => walk(m.keyType, tail)
+        case m: MapType if head == "value" => walk(m.valueType, tail)
+        case st: StructType =>
+          st.fields.find(_.name.equalsIgnoreCase(head))
+            .flatMap(f => walk(f.dataType, tail))
+        case _ => None
+      }
+    }
+    walk(schema, tokens)
+  }
+
+  /** Edit the STRUCT FIELD at a name-mapping token path that crosses at
+    * least one list/map interior — `edit` returning Some replaces the
+    * field, None drops it (a struct must keep ≥1 field). Refuses when
+    * the path does not resolve or its leaf is an interior token rather
+    * than a struct member. */
+  def editInteriorField(schema: StructType, tokens: Seq[String],
+      edit: StructField => Option[StructField]): StructType = {
+    require(tokens.length >= 3,
+      s"interior edit needs root…(element|key|value)…leaf, got " +
+        s"'${tokens.mkString(".")}'")
+    require(!Set("element", "key", "value")(tokens.last),
+      s"'${tokens.mkString(".")}': the leaf must be a struct member, " +
+        "not a list/map interior token")
+    def walk(dt: DataType, rest: Seq[String], done: String): DataType =
+      (dt, rest) match {
+        case (a: ArrayType, "element" +: tail) =>
+          a.copy(elementType = walk(a.elementType, tail, s"$done.element"))
+        case (m: MapType, "key" +: tail) =>
+          m.copy(keyType = walk(m.keyType, tail, s"$done.key"))
+        case (m: MapType, "value" +: tail) =>
+          m.copy(valueType = walk(m.valueType, tail, s"$done.value"))
+        case (st: StructType, Seq(leaf)) =>
+          val idx = st.fields.indexWhere(_.name.equalsIgnoreCase(leaf))
+          require(idx >= 0, s"no field '$leaf' under '$done'")
+          edit(st.fields(idx)) match {
+            case Some(nf) => StructType(st.fields.updated(idx, nf))
+            case None =>
+              require(st.fields.length > 1,
+                s"cannot drop the only field of struct '$done'")
+              StructType(st.fields.patch(idx, Nil, 1))
+          }
+        case (st: StructType, head +: tail) =>
+          val idx = st.fields.indexWhere(_.name.equalsIgnoreCase(head))
+          require(idx >= 0, s"no field '$head' under '$done'")
+          val f = st.fields(idx)
+          StructType(st.fields.updated(idx,
+            f.copy(dataType = walk(f.dataType, tail, s"$done.${f.name}"))))
+        case (other, head +: _) => throw new IllegalArgumentException(
+          s"'$done' is ${other.catalogString} — cannot step into '$head'")
+        case (_, Seq()) => throw new IllegalStateException("unreachable")
+      }
+    StructType(walk(schema, tokens, "").asInstanceOf[StructType].fields)
+  }
+
   def innerType(schema: StructType, parts: Seq[String]): Option[DataType] = {
     def walk(dt: DataType, rest: Seq[String]): Option[DataType] = rest match {
       case Seq() => Some(dt)

@@ -813,18 +813,20 @@ class FieldEvolutionSpec extends SparkSpec {
       .collect().forall(_.isNullAt(0)))
   }
 
-  test("PIN: Spark prunes away interior field-id metadata — list/map interior renames stay refused") {
-    // Why list/map INTERIOR fields stay name-bound (SURVEY §8.5): Spark's
-    // parquet machinery WRITES interior struct-field ids and FULL reads
-    // resolve them by id — but nested schema PRUNING rebuilds the
-    // requested schema without the interior metadata, so a pruned read
-    // (`select arr.aa`) falls back to by-NAME matching. Under an
-    // interior RENAME that silently NULLS the leaf for every file —
-    // exactly the wrongness graft refuses to ship. This test pins all
-    // three facts; if a Spark upgrade starts preserving the metadata,
-    // the last assertion FAILS and flags that interior renames can be
-    // revisited. (Interior ids are still stamped and kept export-stable
-    // for interop — see FieldIds.interior*.)
+  test("PIN: Spark prunes away interior field-id metadata — interior reads must widen to full subtrees") {
+    // Why interior-renamed tables read FULL subtrees (SURVEY §8.5):
+    // Spark's parquet machinery WRITES interior struct-field ids and
+    // FULL reads resolve them by id — but nested schema PRUNING
+    // rebuilds the requested schema without the interior metadata, so
+    // a pruned read (`select arr.aa`) falls back to by-NAME matching,
+    // which under an interior RENAME silently NULLS the leaf for every
+    // old file. Round 15's renameInteriorField therefore flips the
+    // table to full-subtree-with-ids requests (readSession /
+    // GraftScanBuilder.pruneColumns widening) instead of trusting the
+    // pruned shape. This pin keeps all three underlying facts honest;
+    // if a Spark upgrade starts preserving the metadata, the last
+    // assertion FAILS and flags that the widening workaround (and its
+    // read-amplification cost) can be retired.
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     def md(id: Long) = new MetadataBuilder()
@@ -864,6 +866,84 @@ class FieldEvolutionSpec extends SparkSpec {
     assert(pruned(0).getSeq[Integer](1).forall(_ == null),
       "Spark now preserves interior field-id metadata through nested " +
         "schema pruning — interior renames can be revisited (SURVEY §8.5)")
+  }
+
+  test("interior rename: old files serve by id under pruned and unpruned plans, table API and SQL") {
+    // Round 15 (VERDICT r14 #7): renaming a struct member INSIDE a
+    // list/map — metadata-only via the interior-id registry, with reads
+    // flipped to full-subtree-with-ids requests (the pin above shows
+    // why: nested pruning drops interior id metadata, so the pruned
+    // shape must not reach the parquet reader).
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val wh = Files.createTempDirectory("graft-ev-interior").toString
+    val cat = new Snaplog(wh)
+    val schema0 = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("arr", ArrayType(StructType(Seq(
+        StructField("a", IntegerType),
+        StructField("b", StringType)))), nullable = true),
+      StructField("m", MapType(StringType, StructType(Seq(
+        StructField("v", IntegerType)))), nullable = true)))
+    val tbl = LakehouseTable.create(cat, spark, "ns", "ti", schema0)
+    tbl.append(spark.createDataFrame(java.util.List.of(
+      Row(1, Seq(Row(5, "x"), Row(6, "y")), Map("k" -> Row(10))),
+      Row(2, Seq(Row(8, "z")), Map("k" -> Row(20)))), schema0))
+    // both renames are metadata-only; files untouched
+    tbl.renameInteriorField("arr.element.a", "aa")
+    tbl.renameInteriorField("m.value.v", "vv")
+    // UNPRUNED plan: full scan answers old values under the new names
+    val full = tbl.scan().orderBy("id").collect()
+    assert(full(0).getSeq[Row](1).map(_.getInt(0)) == Seq(5, 6), full.toSeq)
+    assert(full(1).getMap[String, Row](2)("k").getInt(0) == 20, full.toSeq)
+    // PRUNED plans — the shape the Spark pin shows silently nulls
+    // without the full-subtree flip
+    val prunedArr = tbl.scan().select(col("id"), col("arr.aa"))
+      .orderBy("id").collect()
+    assert(prunedArr(0).getSeq[Int](1) == Seq(5, 6),
+      s"pruned array read must serve by id: ${prunedArr.toSeq}")
+    val prunedMap = tbl.scan()
+      .select(col("id"), col("m")("k")("vv").as("mv"))
+      .orderBy("id").collect()
+    assert(prunedMap.map(_.getInt(1)).toSeq == Seq(10, 20),
+      s"pruned map read must serve by id: ${prunedMap.toSeq}")
+    // a NEW era lands under the renamed schema; both eras answer
+    val schema1 = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("arr", ArrayType(StructType(Seq(
+        StructField("aa", IntegerType),
+        StructField("b", StringType)))), nullable = true),
+      StructField("m", MapType(StringType, StructType(Seq(
+        StructField("vv", IntegerType)))), nullable = true)))
+    tbl.append(spark.createDataFrame(java.util.List.of(
+      Row(3, Seq(Row(7, "w")), Map("k" -> Row(30)))), schema1))
+    val both = tbl.scan().select(col("id"), col("arr.aa")).orderBy("id")
+      .collect()
+    assert(both.map(_.getSeq[Int](1)).toSeq == Seq(Seq(5, 6), Seq(8), Seq(7)),
+      s"old and new eras must both serve: ${both.toSeq}")
+    // SQL path: pruned and unpruned, same answers
+    spark.conf.set("spark.sql.catalog.gint", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gint.warehouse", wh)
+    val sqlPruned = spark.sql(
+      "SELECT id, arr.aa AS aas FROM gint.ns.ti ORDER BY id").collect()
+    assert(sqlPruned.map(_.getSeq[Int](1)).toSeq ==
+      Seq(Seq(5, 6), Seq(8), Seq(7)), sqlPruned.toSeq.toString)
+    val sqlMap = spark.sql(
+      "SELECT id, m['k'].vv AS mv FROM gint.ns.ti ORDER BY id").collect()
+    assert(sqlMap.map(_.getInt(1)).toSeq == Seq(10, 20, 30),
+      sqlMap.toSeq.toString)
+    assert(spark.sql("SELECT SUM(x.aa) FROM gint.ns.ti " +
+      "LATERAL VIEW explode(arr) AS x").head().getLong(0) == 5 + 6 + 8 + 7)
+    // refusals: fixed interior tokens; struct-chain paths belong to
+    // renameStructField; unknown fields
+    val e1 = intercept[IllegalArgumentException](
+      tbl.renameInteriorField("arr.element", "stuff"))
+    assert(e1.getMessage.contains("fixed name-mapping"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      tbl.renameInteriorField("id", "nope"))
+    assert(e2.getMessage.contains("renameStructField"), e2.getMessage)
+    intercept[IllegalArgumentException](
+      tbl.renameInteriorField("arr.element.ghost", "g2"))
   }
 
   test("interior ids: stable across write, export, import and re-export") {

@@ -84,6 +84,116 @@ class RestCatalogSpec extends SparkSpec {
     } finally stop()
   }
 
+  test("startLive publishes every graft commit: loads see new snapshots without a manual export") {
+    val wh = Files.createTempDirectory("graft-rest-live").toString
+    val cat = new Snaplog(wh)
+    val src = LakehouseTable.create(cat, spark, "ns", "lsrc", fixture().schema)
+    src.append(fixture())
+    val dir = Files.createTempDirectory("graft-rest-live-ice")
+    val srv = RestServe.startLive(Map(("extns", "lsrc") -> (src, dir)))
+    try {
+      // first load exports on demand — no manual export call anywhere
+      val lt1 = RestCatalog.loadTable(srv.endpoint, "extns", "lsrc")
+      val imp = IcebergImport.registerFromRest(
+        cat, spark, srv.endpoint, "extns", "lsrc", "ns", "lmirror")
+      assert(imp.table.scan().count() == 4)
+      // a native commit AFTER publish: the next load re-exports, so the
+      // external reader (here: graft's own refresh) sees it immediately
+      src.append(fixture().withColumn("id", $"id" + 10))
+      val r = IcebergImport.refresh(cat, spark, "ns", "lmirror")
+      assert(r.dataFilesAdded >= 1, r.toString)
+      assert(r.table.scan().count() == 8)
+      val lt2 = RestCatalog.loadTable(srv.endpoint, "extns", "lsrc")
+      assert(lt2.metadataLocation != lt1.metadataLocation,
+        "the served pointer must advance past the commit")
+      // unchanged head: repeated loads answer the same pointer (the
+      // head probe short-circuits — no export churn)
+      assert(RestCatalog.loadTable(srv.endpoint, "extns", "lsrc")
+        .metadataLocation == lt2.metadataLocation)
+    } finally srv.stop()
+  }
+
+  test("OAuth2 client-credentials: exchange, expiry re-auth, refusals") {
+    val wh = Files.createTempDirectory("graft-rest-oauth").toString
+    val cat = new Snaplog(wh)
+    val src = LakehouseTable.create(cat, spark, "ns", "osrc", fixture().schema)
+    src.append(fixture())
+    val dest = Files.createTempDirectory("graft-rest-oauth-ice")
+    IcebergExport.export(src, dest)
+    // token-ISSUING stub: POST /v1/oauth/tokens answers the spec's
+    // client-credentials exchange; every other route checks the bearer
+    // against the latest issued token (so "expiring" a token is just
+    // issuing a new one out-of-band)
+    val issued = new java.util.concurrent.atomic.AtomicInteger(0)
+    val valid = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val http = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def respond(x: com.sun.net.httpserver.HttpExchange, code: Int,
+        body: String): Unit = {
+      val b = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      x.sendResponseHeaders(code, b.length)
+      x.getResponseBody.write(b); x.close()
+    }
+    http.createContext("/v1/oauth/tokens", x => {
+      val form = new String(x.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (x.getRequestMethod != "POST" ||
+          !form.contains("grant_type=client_credentials"))
+        respond(x, 400, """{"error":"invalid_request"}""")
+      else if (!form.contains("client_id=ci") ||
+          !form.contains("client_secret=cs"))
+        respond(x, 401, """{"error":"invalid_client"}""")
+      else {
+        val t = s"tok-${issued.incrementAndGet()}"
+        valid.set(t)
+        respond(x, 200,
+          s"""{"access_token":"$t","token_type":"bearer","expires_in":60}""")
+      }
+    })
+    http.createContext("/v1/", x => {
+      val ok = Option(x.getRequestHeaders.getFirst("Authorization"))
+        .contains(s"Bearer ${valid.get}")
+      val path = x.getRequestURI.getPath
+      if (!ok) respond(x, 401, """{"error":{"code":401}}""")
+      else if (path == "/v1/config")
+        respond(x, 200, """{"defaults":{},"overrides":{}}""")
+      else if (path == "/v1/namespaces/extns/tables/osrc") {
+        val v = Files.readString(
+          dest.resolve("metadata").resolve("version-hint.text")).trim
+        val loc = dest.resolve("metadata").resolve(s"v$v.metadata.json")
+        respond(x, 200, s"""{"metadata-location":"$loc"}""")
+      } else respond(x, 404, """{"error":{"code":404}}""")
+    })
+    http.start()
+    val ep = s"http://127.0.0.1:${http.getAddress.getPort}"
+    try {
+      val auth = RestCatalog.ClientCredentials("ci", "cs")
+      val imp = IcebergImport.registerFromRest(
+        cat, spark, ep, "extns", "osrc", "ns", "omirror", auth = Some(auth))
+      assert(imp.table.scan().count() == 4)
+      assert(issued.get == 1, "one exchange serves the whole register")
+      // neither the secret nor the access token is ever persisted
+      assert(!cat.loadTable("ns", "omirror").properties.values
+        .exists(v => v.contains("cs") || v.contains("tok-")))
+      // EXPIRE the token server-side: refresh hits 401, re-authenticates
+      // once, and proceeds — no caller intervention
+      valid.set("rotated-away")
+      src.append(fixture().withColumn("id", $"id" + 10))
+      IcebergExport.export(src, dest)
+      val r = IcebergImport.refresh(cat, spark, "ns", "omirror",
+        auth = Some(auth))
+      assert(r.dataFilesAdded >= 1, r.toString)
+      assert(r.table.scan().count() == 8)
+      assert(issued.get >= 2, "the 401 must have re-run the exchange")
+      // wrong credentials refuse loudly at the exchange
+      val bad = intercept[IllegalArgumentException](
+        RestCatalog.loadTable(ep, "extns", "osrc",
+          RestCatalog.ClientCredentials("ci", "wrong")))
+      assert(bad.getMessage.contains("token exchange refused"),
+        bad.getMessage)
+    } finally http.stop(0)
+  }
+
   test("bearer-token auth: rejected without, accepted with; never persisted") {
     val wh = Files.createTempDirectory("graft-rest-auth").toString
     val cat = new Snaplog(wh)

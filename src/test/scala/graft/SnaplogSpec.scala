@@ -1236,14 +1236,183 @@ abstract class CatalogContractSpec extends SparkSpec {
     assert(cat.loadTable("ns", "evmirror").properties
       .get(graft.types.FieldIds.RegistryProp)
       .exists(_.contains("extra:")), "registry must carry the new column")
-    // RESHAPING (a rename of an existing column) still refuses loudly
-    src.renameColumn("extra", "extra2")
+    // a legal WIDENING (int → bigint) adopts too — metadata-only, old
+    // narrow files widen at read time
+    src.widenColumn("extra", LongType)
     src.append(fixture().withColumn("id", $"id" + 20)
-      .withColumn("extra2", lit(2)))
+      .withColumn("extra", lit(2L)))
     graft.interop.IcebergExport.export(src, dest)
+    val rw = graft.interop.IcebergImport.refresh(cat, spark, "ns", "evmirror")
+    assert(!rw.reset && rw.table.schema("extra").dataType == LongType,
+      rw.toString)
+    assert(rw.table.scan().agg(org.apache.spark.sql.functions.sum($"extra"))
+      .collect().head.getLong(0) == 4 * 1 + 4 * 2)
+    // RESHAPING (an int → string retype, forged at the raw catalog
+    // layer — no graft op can produce it) still refuses loudly
+    val ms = cat.loadTable("ns", "evsrc")
+    cat.updateSchema("ns", "evsrc", StructType(ms.schema.fields.map(f =>
+      if (f.name == "extra") f.copy(dataType = StringType) else f)))
+    val src2 = LakehouseTable.load(cat, spark, "ns", "evsrc")
+    src2.append(fixture().withColumn("id", $"id" + 30)
+      .withColumn("extra", lit("oops")))
+    graft.interop.IcebergExport.export(src2, dest)
     val e = intercept[IllegalArgumentException](
       graft.interop.IcebergImport.refresh(cat, spark, "ns", "evmirror"))
     assert(e.getMessage.contains("re-register"), e.getMessage)
+  }
+
+  test("iceberg refresh: id-matched source renames and drops ADOPT in place") {
+    val cat = freshCatalog()
+    val src = LakehouseTable.create(cat, spark, "ns", "rnsrc", fixture().schema)
+    src.append(fixture())
+    val dest = Files.createTempDirectory("graft-refresh-rn")
+    graft.interop.IcebergExport.export(src, dest)
+    graft.interop.IcebergImport.register(cat, spark, dest, "ns", "rnmirror")
+    // source RENAMES value2 -> amount (metadata-only, id kept) and
+    // appends a new era under the new name
+    src.renameColumn("value2", "amount")
+    src.append(fixture().withColumnRenamed("value2", "amount")
+      .withColumn("id", $"id" + 10))
+    graft.interop.IcebergExport.export(src, dest)
+    val r = graft.interop.IcebergImport.refresh(cat, spark, "ns", "rnmirror")
+    assert(!r.reset && r.dataFilesAdded >= 1, r.toString)
+    assert(r.table.schema.fieldNames.contains("amount") &&
+      !r.table.schema.fieldNames.contains("value2"),
+      r.table.schema.simpleString)
+    // OLD-era values serve under the NEW name (read-by-id), both eras
+    val got = r.table.scan().select("id", "amount").collect()
+      .map(x => (x.getInt(0), x.getInt(1))).sorted.toSeq
+    assert(got == Seq(1 -> 10, 2 -> 20, 3 -> 30, 4 -> 40,
+      11 -> 10, 12 -> 20, 13 -> 30, 14 -> 40), s"$got")
+    // the old name is freed, exactly as a native rename records it
+    assert(graft.types.FieldIds.namesSet(
+      cat.loadTable("ns", "rnmirror").properties,
+      graft.types.FieldIds.FreedNamesProp)("value2"))
+    // source DROPS a column; the mirror drops it too, metadata-only
+    src.dropColumn("value1")
+    src.append(Seq((21, "X", 1), (22, "Y", 2)).toDF("id", "group", "amount"))
+    graft.interop.IcebergExport.export(src, dest)
+    val r2 = graft.interop.IcebergImport.refresh(cat, spark, "ns", "rnmirror")
+    assert(!r2.reset, r2.toString)
+    assert(r2.table.schema.fieldNames.toSeq == Seq("id", "group", "amount"),
+      r2.table.schema.simpleString)
+    assert(r2.table.scan().count() == 10)
+    // a pruned projection over all three eras still answers by id
+    val amtSum = r2.table.scan()
+      .agg(org.apache.spark.sql.functions.sum($"amount")).collect().head
+    assert(!amtSum.isNullAt(0) && amtSum.getLong(0) == 203L, amtSum.toString)
+    // mirror registry advanced to the source's exactly
+    assert(cat.loadTable("ns", "rnmirror").properties
+      .get(graft.types.FieldIds.RegistryProp) ==
+      cat.loadTable("ns", "rnsrc").properties
+        .get(graft.types.FieldIds.RegistryProp))
+    // DROP + RE-ADD under the same name: decomposes as drop + append
+    // with a FRESH id — old values must not resurrect, and the reused
+    // name turns stats-unsafe
+    src.dropColumn("amount")
+    src.addColumn("amount", IntegerType)
+    src.append(Seq((31, "Z", 7)).toDF("id", "group", "amount"))
+    graft.interop.IcebergExport.export(src, dest)
+    val r3 = graft.interop.IcebergImport.refresh(cat, spark, "ns", "rnmirror")
+    assert(!r3.reset, r3.toString)
+    val byId = r3.table.scan().select("id", "amount").collect()
+      .map(x => x.getInt(0) -> (if (x.isNullAt(1)) -1 else x.getInt(1))).toMap
+    assert(byId(31) == 7 && byId(1) == -1 && byId(11) == -1 && byId(21) == -1,
+      s"old values must not resurrect under a re-added name: $byId")
+    assert(graft.types.FieldIds.namesSet(
+      cat.loadTable("ns", "rnmirror").properties,
+      graft.types.FieldIds.StatsUnsafeProp)("amount"))
+  }
+
+  test("iceberg refresh: struct-chain + interior renames and widenings ADOPT") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType, StructField, StructType}
+    val cat = freshCatalog()
+    val schema0 = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("s", StructType(Seq(
+        StructField("x", IntegerType),
+        StructField("y", StringType))), nullable = true),
+      StructField("arr", ArrayType(StructType(Seq(
+        StructField("v", IntegerType)))), nullable = true),
+      StructField("val2", IntegerType, nullable = true)))
+    val src = LakehouseTable.create(cat, spark, "ns", "nsrc", schema0)
+    src.append(spark.createDataFrame(java.util.List.of(
+      Row(1, Row(5, "a"), Seq(Row(10), Row(11)), 100),
+      Row(2, Row(6, "b"), Seq(Row(20)), 200)), schema0))
+    val dest = Files.createTempDirectory("graft-refresh-nested")
+    graft.interop.IcebergExport.export(src, dest)
+    graft.interop.IcebergImport.register(cat, spark, dest, "ns", "nmirror")
+    // the source evolves one level down, all metadata-only: an inner
+    // struct-member rename, a list-interior member rename, a widening
+    src.renameStructField("s.x", "xx")
+    src.renameInteriorField("arr.element.v", "amount")
+    src.widenColumn("val2", LongType)
+    val schema1 = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("s", StructType(Seq(
+        StructField("xx", IntegerType),
+        StructField("y", StringType))), nullable = true),
+      StructField("arr", ArrayType(StructType(Seq(
+        StructField("amount", IntegerType)))), nullable = true),
+      StructField("val2", LongType, nullable = true)))
+    src.append(spark.createDataFrame(java.util.List.of(
+      Row(3, Row(7, "c"), Seq(Row(30)), 300L)), schema1))
+    graft.interop.IcebergExport.export(src, dest)
+    val r = graft.interop.IcebergImport.refresh(cat, spark, "ns", "nmirror")
+    assert(!r.reset && r.dataFilesAdded >= 1, r.toString)
+    // old era answers under the NEW nested names, in PRUNED plans
+    val got = r.table.scan()
+      .select($"id", $"s.xx", $"arr.amount", $"val2").orderBy("id").collect()
+    assert(got.map(_.getInt(1)).toSeq == Seq(5, 6, 7), got.toSeq.toString)
+    assert(got.map(_.getSeq[Int](2)).toSeq ==
+      Seq(Seq(10, 11), Seq(20), Seq(30)), got.toSeq.toString)
+    assert(got.map(_.getLong(3)).toSeq == Seq(100L, 200L, 300L),
+      got.toSeq.toString)
+    // the interior rename flipped the mirror to interior-by-id reads
+    assert(cat.loadTable("ns", "nmirror").properties
+      .get(graft.types.FieldIds.InteriorByIdProp).contains("true"))
+  }
+
+  test("iceberg v3 row lineage: _row_id / _last_updated_sequence_number on adopted trees") {
+    val cat = freshCatalog()
+    val src = LakehouseTable.create(cat, spark, "ns", "lin", fixture().schema)
+    src.append(fixture()) // era 1 → row ids [0, 4)
+    val dest = Files.createTempDirectory("graft-lin")
+    graft.interop.IcebergExport.export(src, dest, formatVersion = 3)
+    val imp = graft.interop.IcebergImport.register(
+      cat, spark, dest, "ns", "lin_rt")
+    val l1 = imp.table.scanLineage()
+      .select("id", "_row_id", "_last_updated_sequence_number").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(l1.map(_._2).sorted.toSeq == Seq(0L, 1L, 2L, 3L), l1.toSeq.toString)
+    val era1Assign = l1.map(x => x._1 -> x._2).toMap
+    // era 2 lands via REFRESH: new rows continue at 4, era-1 rows KEEP
+    // their assignment (lineage is durable, not recomputed)
+    src.append(fixture().withColumn("id", $"id" + 10))
+    graft.interop.IcebergExport.export(src, dest, formatVersion = 3)
+    graft.interop.IcebergImport.refresh(cat, spark, "ns", "lin_rt")
+    val tbl = LakehouseTable.load(cat, spark, "ns", "lin_rt")
+    val l2 = tbl.scanLineage().select("id", "_row_id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+    assert(l2.length == 8 && l2.map(_._2).toSet == (0L to 7L).toSet,
+      l2.toSeq.toString)
+    assert(l2.filter(_._1 <= 4).toMap == era1Assign,
+      "era-1 rows must keep their register-time ids through refresh")
+    // row ids are STABLE under deletes: survivors keep their numbers
+    // (position subtraction removes rows without renumbering)
+    val dropped = era1Assign(2)
+    tbl.deleteMor($"id" === 2)
+    val l3 = tbl.scanLineage().select("id", "_row_id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+    assert(l3.length == 7 && !l3.map(_._2).contains(dropped) &&
+      l3.filter(_._1 <= 4).toMap == (era1Assign - 2), l3.toSeq.toString)
+    // a natively appended file carries no assignment → lineage refuses
+    // loudly (scan() still serves the content)
+    tbl.append(fixture().withColumn("id", $"id" + 100))
+    val e = intercept[IllegalArgumentException](tbl.scanLineage())
+    assert(e.getMessage.contains("row-lineage"), e.getMessage)
+    assert(tbl.scan().count() == 11)
   }
 
   test("changelog refuses to cross an imported-MOR commit, works from it") {

@@ -218,6 +218,30 @@ class TableStatsSpec extends SparkSpec {
       tbl.analyze(Seq("x"), histogramColumns = Seq("ghost")))
     intercept[IllegalArgumentException](
       tbl.analyze(Seq("id"), histogramColumns = Seq("x")))
+    // a PRUNED scan does NOT report the table-wide histogram: the bin
+    // boundaries describe the whole table's distribution, not the kept
+    // partitions' — CBO range estimates over pruned scans would
+    // misprice. NDV (capped at the pruned row count) still reports.
+    import scala.jdk.CollectionConverters._
+    val pdf = (0 until 100).map(i => (i.toLong, if (i < 90) "A" else "B",
+      (if (i < 90) i % 10 else (i - 89) * 100).toLong)).toDF("id", "p", "x")
+    val pt = LakehouseTable.create(cat, spark, "ns", "tp", pdf.schema, Seq("p"))
+    pt.append(pdf)
+    pt.analyze(Seq("x"), histogramColumns = Seq("x"), numBins = 10)
+    def xStats(sql: String) = spark.sql(sql).queryExecution.optimizedPlan
+      .collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.get.scan
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics().columnStats().asScala
+      .collectFirst { case (k, v) if k.describe == "x" => v }.get
+    assert(xStats("SELECT * FROM ghist.ns.tp").histogram.isPresent,
+      "unpruned scan reports the histogram")
+    val pruned = xStats("SELECT * FROM ghist.ns.tp WHERE p = 'A'")
+    assert(!pruned.histogram.isPresent,
+      "partition-pruned scan must not report the table-wide histogram")
+    assert(pruned.distinctCount.isPresent,
+      "NDV still reports on the pruned scan")
   }
 
   test("reported sizes pick the broadcast side at plan time (no hint, no AQE)") {
@@ -249,6 +273,43 @@ class TableStatsSpec extends SparkSpec {
       // wraps the dim scan, not the fact scan)
       val bcastIdx = plan.indexOf("BroadcastExchange")
       assert(bcastIdx >= 0 && plan.indexOf("dim", bcastIdx) >= 0)
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  test("ANALYZE avgLen corrects the reported row width for wide strings") {
+    val wh = Files.createTempDirectory("graft-stats-width").toString
+    val cat = new Snaplog(wh)
+    // 500 rows of ~1 KB strings: defaultSize prices the table at
+    // 500 × 28 B ≈ 14 KB (under a 100 KB threshold → spurious
+    // broadcast of a ~0.5 MB build side); the ANALYZE avgLen prices it
+    // at 500 × ~1032 B ≈ 516 KB → over threshold
+    val wide = spark.range(500).selectExpr("id", "repeat('x', 1024) AS s")
+    val fact = spark.range(50000).selectExpr("id AS fk", "id % 500 AS did")
+    val wtbl = LakehouseTable.create(cat, spark, "ns", "wide", wide.schema)
+    wtbl.append(wide)
+    LakehouseTable.create(cat, spark, "ns", "fact", fact.schema).append(fact)
+    spark.conf.set("spark.sql.catalog.gsw", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsw.warehouse", wh)
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys(0), "102400")
+    spark.conf.set(keys(1), "false")
+    val q = """SELECT f.fk, w.s FROM gsw.ns.fact f
+               JOIN gsw.ns.wide w ON f.did = w.id"""
+    try {
+      // without stats the constant-width guess under-prices → broadcast
+      assert(spark.sql(q).queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "precondition: defaultSize width must under-price the wide table")
+      // ANALYZE folds the real string width into the reported size
+      wtbl.analyze(Seq("id", "s"))
+      val after = spark.sql(q).queryExecution.executedPlan.toString
+      assert(!after.contains("BroadcastHashJoin") &&
+        after.contains("SortMergeJoin"),
+        s"avgLen-corrected size must exceed the threshold:\n${after.take(1500)}")
     } finally prev.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
@@ -318,6 +379,22 @@ class TableStatsSpec extends SparkSpec {
     // the ancestor walk still adopts it (ANALYZE-stale semantics)
     val adopted = TableStats.fromProperties(cat2.loadTable("ns", "dst").properties)
     assert(adopted("grp").ndv == 3)
+    // ...but the adoption is PROVENANCE-MARKED: the imported content
+    // holds rows the foreign ANALYZE never sketched, so incremental
+    // analyze must refuse (a sketch union from this watermark would
+    // leave the gap rows permanently uncounted) until a full pass
+    assert(cat2.loadTable("ns", "dst").properties
+      .contains(TableStats.AdoptedAncestorProp))
+    val dst = LakehouseTable.load(cat2, spark, "ns", "dst")
+    val e = intercept[IllegalStateException](dst.analyzeIncremental())
+    assert(e.getMessage.contains("full analyze"), e.getMessage)
+    // a full analyze closes the gap and clears the marker
+    val full = dst.analyze(Seq("grp"))
+    assert(full("grp").ndv == 3)
+    assert(!cat2.loadTable("ns", "dst").properties
+      .contains(TableStats.AdoptedAncestorProp))
+    dst.append(fixture().withColumn("id", $"id" + 100))
+    assert(dst.analyzeIncremental()("grp").ndv == 3) // increments again
   }
 
   test("stats tier runs unchanged on the JDBC catalog backend") {

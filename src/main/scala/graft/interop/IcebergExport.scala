@@ -257,7 +257,8 @@ object IcebergExport {
     * locate one DV blob inside a puffin file. */
   private def manifestEntrySchema(
       partCols: Seq[(PartField, DataType)],
-      withDvFields: Boolean = false): Schema = {
+      withDvFields: Boolean = false,
+      withLineage: Boolean = false): Schema = {
     val partitionFields = JArray(partCols.zipWithIndex.map { case ((pf, dt), i) =>
       ("name" -> pf.fieldName) ~
         ("type" -> JArray(List(JString("null"), partitionAvroType(pf, dt)))) ~
@@ -275,6 +276,17 @@ object IcebergExport {
         ("name" -> "content_size_in_bytes") ~
           ("type" -> JArray(List(JString("null"), JString("long")))) ~
           ("default" -> JNull) ~ ("field-id" -> 145))
+    // v3 row lineage (spec field 142): a file's DURABLE first_row_id.
+    // Written explicitly for every entry that carries an assignment
+    // (files adopted from a v3 tree), so a re-export of a mirror keeps
+    // the source's row ids instead of silently renumbering — the
+    // spec's rewrite rule one ecosystem hop out.
+    val lineageFields: List[JValue] =
+      if (!withLineage) Nil
+      else List(
+        ("name" -> "first_row_id") ~
+          ("type" -> JArray(List(JString("null"), JString("long")))) ~
+          ("default" -> JNull) ~ ("field-id" -> 142))
     val dataFile =
       ("type" -> "record") ~ ("name" -> "r2") ~ ("fields" -> JArray(List(
         ("name" -> "content") ~ ("type" -> "int") ~ ("field-id" -> 134),
@@ -292,7 +304,8 @@ object IcebergExport {
           ("type" -> JArray(List(JString("null"),
             (("type" -> "array") ~ ("items" -> "int") ~
               ("element-id" -> 136)): JValue))) ~
-          ("default" -> JNull) ~ ("field-id" -> 135)) ++ dvFields))
+          ("default" -> JNull) ~ ("field-id" -> 135)) ++ dvFields ++
+        lineageFields))
     val entry =
       ("type" -> "record") ~ ("name" -> "manifest_entry") ~ ("fields" -> JArray(List(
         ("name" -> "status") ~ ("type" -> "int") ~ ("field-id" -> 0),
@@ -570,7 +583,8 @@ object IcebergExport {
       pf -> schema.fields.find(_.name.equalsIgnoreCase(pf.source)).map(_.dataType)
         .getOrElse(StringType)
     }
-    val entrySchema = manifestEntrySchema(partCols)
+    val entrySchema = manifestEntrySchema(partCols,
+      withLineage = formatVersion >= 3)
     val dataFileSchema = entrySchema.getField("data_file").schema()
     val partitionSchema = dataFileSchema.getField("partition").schema()
 
@@ -737,6 +751,10 @@ object IcebergExport {
         df.put("record_count", f.rowCount)
         df.put("file_size_in_bytes", f.sizeBytes)
         df.put("equality_ids", null)
+        // v3: a carried row-lineage assignment publishes EXPLICITLY —
+        // re-exports never renumber adopted rows
+        if (formatVersion >= 3)
+          df.put("first_row_id", f.firstRowId.map(Long.box).orNull)
         val e = new GenericData.Record(entrySchema)
         e.put("status", 1) // ADDED
         e.put("snapshot_id", s.snapshotId)
@@ -887,20 +905,29 @@ object IcebergExport {
     // derive it from the identity, not a random source
     val uuid = java.util.UUID.nameUUIDFromBytes(
       s"graft:$ns.$name".getBytes(StandardCharsets.UTF_8)).toString
-    // v3 row lineage: first-row-id per snapshot from the global listing
-    // row counter, next-row-id = the high-water total
+    // v3 row lineage: files CARRYING an adopted assignment publish it
+    // explicitly (first_row_id in their manifest entries), so the
+    // metadata counters only govern UNASSIGNED files (native writes) —
+    // their inheritance ranges start ABOVE every explicit assignment,
+    // ensuring a mixed mirror (adopted files + native appends) never
+    // collides row-id ranges. A table with no assignments degenerates
+    // to the plain cumulative row counter.
+    val maxAssigned: Long = allSnaps.flatMap(_.files)
+      .filterNot(_.deleteFile.contains(true))
+      .flatMap(e => e.firstRowId.map(_ + e.rowCount))
+      .maxOption.getOrElse(0L)
     val snapFirstRow: Map[Long, Long] = {
-      var total = 0L
+      var unassigned = 0L
       allSnaps.map { sn =>
-        val mine = total
-        total += sn.files.filterNot(_.deleteFile.contains(true))
-          .map(_.rowCount).sum
+        val mine = maxAssigned + unassigned
+        unassigned += sn.files.filterNot(_.deleteFile.contains(true))
+          .filter(_.firstRowId.isEmpty).map(_.rowCount).sum
         sn.snapshotId -> mine
       }.toMap
     }
-    val nextRowId: Long = allSnaps
+    val nextRowId: Long = maxAssigned + allSnaps
       .flatMap(_.files.filterNot(_.deleteFile.contains(true)))
-      .map(_.rowCount).sum
+      .filter(_.firstRowId.isEmpty).map(_.rowCount).sum
     // ANALYZE statistics (spec `statistics` field): the native stats
     // file IS a spec-shaped puffin of `apache-datasketches-theta-v1`
     // blobs whose field ids are the registry ids — the same ids this

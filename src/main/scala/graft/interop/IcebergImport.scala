@@ -775,6 +775,7 @@ object IcebergImport {
         !snaps.forall(s => (s \ "first-row-id").extractOpt[Long].isDefined))
       return None
     var assigned = Map.empty[String, Long]
+    var seen = Set.empty[String]
     snaps.foreach { s =>
       val sid = (s \ "snapshot-id").extract[Long]
       var ctr = (s \ "first-row-id").extract[Long]
@@ -783,9 +784,19 @@ object IcebergImport {
       allEntries(dataManifests).foreach { case (e, _) =>
         val df = e.get("data_file").asInstanceOf[GenericRecord]
         val p = normalizePath(df.get("file_path").toString)
-        if (!assigned.contains(p)) {
-          assigned += p -> ctr
-          ctr += df.get("record_count").asInstanceOf[Long]
+        if (!seen(p)) {
+          seen += p
+          // a file carrying an EXPLICIT (writer-materialized)
+          // first_row_id keeps it (captured in walkSnapshot) and
+          // consumes nothing from the snapshot's inheritance range —
+          // the range governs only unassigned files, matching the
+          // exporter's accounting
+          val explicit = df.getSchema.getField("first_row_id") != null &&
+            df.get("first_row_id") != null
+          if (!explicit) {
+            assigned += p -> ctr
+            ctr += df.get("record_count").asInstanceOf[Long]
+          }
         }
       }
     }

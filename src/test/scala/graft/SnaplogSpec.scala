@@ -1413,6 +1413,22 @@ abstract class CatalogContractSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](tbl.scanLineage())
     assert(e.getMessage.contains("row-lineage"), e.getMessage)
     assert(tbl.scan().count() == 11)
+    // ROUND TRIP: re-exporting the mirror publishes the adopted
+    // assignments EXPLICITLY (first_row_id per entry) and allocates the
+    // native rows ABOVE them — a re-import serves the same ids for
+    // adopted rows and fresh non-colliding ids for the native era
+    val dest2 = Files.createTempDirectory("graft-lin-rt")
+    graft.interop.IcebergExport.export(tbl, dest2, formatVersion = 3)
+    val imp2 = graft.interop.IcebergImport.register(
+      cat, spark, dest2, "ns", "lin_rt2")
+    val l4 = imp2.table.scanLineage().select("id", "_row_id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+    assert(l4.length == 11, l4.toSeq.toString)
+    assert(l4.filter(_._1 <= 14).toMap == l3.toMap,
+      s"adopted rows must keep their ids through a re-export round " +
+        s"trip: ${l4.toSeq} vs ${l3.toSeq}")
+    assert(l4.filter(_._1 > 100).map(_._2).toSet == Set(8L, 9L, 10L, 11L),
+      s"native rows allocate above every adopted assignment: ${l4.toSeq}")
   }
 
   test("changelog refuses to cross an imported-MOR commit, works from it") {

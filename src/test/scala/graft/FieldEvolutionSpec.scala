@@ -934,6 +934,17 @@ class FieldEvolutionSpec extends SparkSpec {
       sqlMap.toSeq.toString)
     assert(spark.sql("SELECT SUM(x.aa) FROM gint.ns.ti " +
       "LATERAL VIEW explode(arr) AS x").head().getLong(0) == 5 + 6 + 8 + 7)
+    // the widening is SURGICAL: the interior-bearing root reads full,
+    // but COLUMN pruning of everything else survives — an
+    // interior-renamed table must not regress to full-schema scans
+    val rel = spark.sql("SELECT arr.aa FROM gint.ns.ti").queryExecution
+      .optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.get
+    val readCols = rel.scan.readSchema().fieldNames.toSeq
+    assert(readCols.contains("arr") && !readCols.contains("m") &&
+      !readCols.contains("id"),
+      s"interior widening must keep top-level column pruning: $readCols")
     // refusals: fixed interior tokens; struct-chain paths belong to
     // renameStructField; unknown fields
     val e1 = intercept[IllegalArgumentException](

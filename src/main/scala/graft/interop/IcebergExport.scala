@@ -387,14 +387,56 @@ object IcebergExport {
       case other => other
     }
 
+  /** Every metadata/manifest file lands via temp-name + ATOMIC_MOVE
+    * (round 16): [[RestServe.startLive]] re-exports on concurrent
+    * request paths, and Avro rewrites are not byte-identical (random
+    * sync markers), so an in-place truncate-then-write would let a
+    * reader walking the PREVIOUS tree see an empty version-hint or a
+    * torn manifest. With the move, a same-name file is either the old
+    * complete content or the new complete content — both valid for
+    * that snapshot — and the version-hint flip stays the publication
+    * point. */
   private def writeAvro(file: Path, schema: Schema,
       meta: Seq[(String, String)], records: Seq[GenericRecord]): Unit = {
+    val tmp = file.resolveSibling(file.getFileName.toString + ".tmp")
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](schema))
     meta.foreach { case (k, v) => w.setMeta(k, v) }
-    w.create(schema, file.toFile)
+    w.create(schema, tmp.toFile)
     try records.foreach(w.append) finally w.close()
+    Files.move(tmp, file,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** [[writeAvro]] that SKIPS the write when the existing file was
+    * produced from identical inputs — `fp` is an MD5 over everything
+    * the records are built from, stamped into the Avro metadata and
+    * compared header-only (no record iteration) on the next export.
+    * Re-export-on-load ([[RestServe.startLive]]) re-walks the whole
+    * history per commit; prior snapshots' manifests are derived from
+    * append-only log content and rewrite byte-different (Avro sync
+    * markers) without this, churning O(history) files per commit where
+    * O(new commits) suffices — and in-flight readers of the old tree
+    * never see even an atomic replace of content that didn't change. */
+  private def writeAvroStable(file: Path, schema: Schema,
+      meta: Seq[(String, String)], records: Seq[GenericRecord],
+      fp: String): Unit = {
+    val existing =
+      if (!Files.exists(file)) None
+      else try {
+        val r = new DataFileReader[GenericRecord](file.toFile,
+          new GenericDatumReader[GenericRecord]())
+        try Option(r.getMetaString("graft-fingerprint")) finally r.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    if (!existing.contains(fp))
+      writeAvro(file, schema, meta :+ ("graft-fingerprint" -> fp), records)
+  }
+
+  private def md5(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
 
   /** Iceberg JSON single-value for a folded default literal (v3
     * `initial-default` / `write-default`), for the primitive types the
@@ -945,7 +987,11 @@ object IcebergExport {
         case (Some(p), Some(sid)) if exportedIds.contains(sid) &&
             Files.isRegularFile(Paths.get(p)) =>
           val dest = metaDir.resolve(s"stats-$sid.puffin")
-          Files.copy(Paths.get(p), dest,
+          val tmpStats = dest.resolveSibling(dest.getFileName.toString + ".tmp")
+          Files.copy(Paths.get(p), tmpStats,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          Files.move(tmpStats, dest,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           val blobs = Puffin.readFooter(dest)
           JArray(List(
@@ -1015,7 +1061,11 @@ object IcebergExport {
           .getOrElse(throw new IllegalStateException(
             "partition-statistics write produced no parquet"))
         val dest = metaDir.resolve(s"partition-stats-$curId.parquet")
-        Files.copy(part, dest,
+        val tmpPart = dest.resolveSibling(dest.getFileName.toString + ".tmp")
+        Files.copy(part, tmpPart,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Files.move(tmpPart, dest,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         graft.util.Fs.walkList(tmp).reverse.foreach(Files.deleteIfExists(_))
         JArray(List(
@@ -1184,8 +1234,14 @@ object IcebergExport {
       deleteRecords = delFiles.map(_._2).sum)
   }
 
+  /** Atomic text write (see [[writeAvro]]'s scaladoc): version-hint and
+    * metadata documents flip, never tear, under concurrent readers. */
   private def write(p: Path, content: String): Unit = {
-    Files.write(p, content.getBytes(StandardCharsets.UTF_8))
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     ()
   }
 }

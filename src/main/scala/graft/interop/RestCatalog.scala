@@ -49,12 +49,19 @@ object RestCatalog {
     * (`grant_type=client_credentials`, form-encoded). The instance
     * CACHES its current access token — share one instance across
     * register + refresh calls so a still-valid token is reused, and a
-    * 401 refreshes it for every holder at once. */
+    * refresh serves every holder at once. Expiry is PROACTIVE (round
+    * 16): the token response's `expires_in` (RFC 6749 §5.1) is
+    * honored — a token within [[RestCatalog.ExpirySkewMs]] of its
+    * deadline re-exchanges BEFORE the request goes out, so a
+    * long-lived client never eats a 401-and-retry per expiry. The 401
+    * retry stays as the fallback for servers that revoke early or
+    * omit `expires_in`. */
   final class ClientCredentials(
       private[interop] val clientId: String,
       private[interop] val clientSecret: String,
       private[interop] val scope: String = "catalog") extends Auth {
-    @volatile private[interop] var cached: Option[String] = None
+    /** (access token, epoch-ms deadline; Long.MaxValue = no expiry). */
+    @volatile private[interop] var cached: Option[(String, Long)] = None
   }
   object ClientCredentials {
     def apply(clientId: String, clientSecret: String,
@@ -78,10 +85,16 @@ object RestCatalog {
   private def enc(s: String): String =
     URLEncoder.encode(s, StandardCharsets.UTF_8)
 
+  /** Refresh this many ms BEFORE a token's `expires_in` deadline — one
+    * request's worth of clock skew and transit time. */
+  private[interop] val ExpirySkewMs = 30000L
+
   /** `POST /v1/oauth/tokens` — the spec's client-credentials exchange.
     * Form-encoded per RFC 6749 §4.4; the response's `access_token` is
-    * cached on the credentials instance (memory only). */
-  private def fetchToken(endpoint: String, cc: ClientCredentials): String = {
+    * cached on the credentials instance (memory only) together with
+    * its `expires_in`-derived deadline (absent → no deadline). */
+  private def fetchToken(endpoint: String,
+      cc: ClientCredentials): (String, Long) = {
     val base = endpoint.stripSuffix("/")
     val form = Seq(
       "grant_type" -> "client_credentials",
@@ -101,12 +114,25 @@ object RestCatalog {
       throw new IllegalArgumentException(
         s"REST catalog $base/v1/oauth/tokens: HTTP ${resp.statusCode()} — " +
           s"token exchange refused: ${resp.body().take(500)}")
-    (JsonMethods.parse(resp.body()) \ "access_token") match {
+    val body = JsonMethods.parse(resp.body())
+    val token = (body \ "access_token") match {
       case JString(t) if t.nonEmpty => t
       case _ => throw new IllegalArgumentException(
         s"REST catalog $base/v1/oauth/tokens: token response carries no " +
           s"access_token — ${resp.body().take(500)}")
     }
+    // expires_in is seconds-from-now (RFC 6749 §5.1), optional; a
+    // server may also send it as a JSON string — accept both
+    val deadline = ((body \ "expires_in") match {
+      case JInt(s) => Some(s.toLong)
+      case JLong(s) => Some(s)
+      case JDouble(s) => Some(s.toLong)
+      case JString(s) => s.toLongOption
+      case _ => None
+    }).filter(_ > 0)
+      .map(s => System.currentTimeMillis() + s * 1000L)
+      .getOrElse(Long.MaxValue)
+    (token, deadline)
   }
 
   private def bearerFor(endpoint: String, auth: Auth,
@@ -114,12 +140,17 @@ object RestCatalog {
     case NoAuth => None
     case StaticBearer(t) => Some(t)
     case cc: ClientCredentials =>
-      if (forceRefresh || cc.cached.isEmpty)
+      def stale(c: Option[(String, Long)]): Boolean = c.forall {
+        case (_, deadline) =>
+          deadline != Long.MaxValue &&
+            System.currentTimeMillis() >= deadline - ExpirySkewMs
+      }
+      if (forceRefresh || stale(cc.cached))
         cc.synchronized {
-          if (forceRefresh || cc.cached.isEmpty)
+          if (forceRefresh || stale(cc.cached))
             cc.cached = Some(fetchToken(endpoint, cc))
         }
-      cc.cached
+      cc.cached.map(_._1)
   }
 
   private def get(endpoint: String, path: String,

@@ -134,6 +134,43 @@ trait Catalog {
       expectedSnapshotId: Option[Long] = None,
       parentIdOverride: Option[Long] = None): Snapshot
 
+  // ---- commit listeners (round 16) ----------------------------------------
+  // Post-commit hooks — the mechanism behind publish-on-commit
+  // ([[graft.interop.RestServe.startLive]] re-exports a served table
+  // when the WRITER commits, so readers never pay export latency in
+  // the request path). Contract mirrors maybeCheckpoint: the snapshot
+  // has already durably landed when a listener runs, so NO listener
+  // failure may surface as a commit failure — exceptions are swallowed
+  // (a listener needing visibility keeps its own error state, as the
+  // REST server's stale-watermark fallback does). Listeners run on the
+  // committer's thread AFTER the critical section: they may read the
+  // table, but a listener that commits back to the SAME table must
+  // tolerate recursion. This is per-catalog-INSTANCE state (in-memory):
+  // a writer on a different Catalog instance of the same warehouse
+  // does not fire these — consumers that need cross-instance currency
+  // keep a read-path fallback.
+
+  private val commitListeners =
+    new java.util.concurrent.CopyOnWriteArrayList[
+      (String, String, Snapshot) => Unit]
+
+  final def addCommitListener(f: (String, String, Snapshot) => Unit): Unit = {
+    commitListeners.add(f); ()
+  }
+
+  final def removeCommitListener(
+      f: (String, String, Snapshot) => Unit): Unit = {
+    commitListeners.remove(f); ()
+  }
+
+  /** Implementations call this after every successful commit, outside
+    * their critical section (alongside [[maybeCheckpoint]]). */
+  protected final def notifyCommit(ns: String, t: String, s: Snapshot): Unit =
+    commitListeners.forEach { f =>
+      try f(ns, t, s)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+
   /** Live data files as of `asOf` (default: current) — replay from the
     * latest overwrite/replace at-or-before the target snapshot. Time
     * travel = this file list fed to a plain parquet scan. Position-
@@ -408,10 +445,12 @@ trait Catalog {
 
   /** Replace the persisted snapshot log with exactly `kept`
     * (implementation storage; called by [[expireSnapshots]] after
-    * validation). `kept` is always a contiguous SUFFIX of the log at
-    * validation time (possibly with the head row's summary amended);
-    * implementations may preserve rows newer than `kept.last` appended
-    * by a concurrent committer. */
+    * validation and by [[assignRowLineage]]'s backfill). `kept` is
+    * always a contiguous SUFFIX of the log at validation time
+    * (possibly with row bodies amended — the head's summary for
+    * expiration, every row for the lineage backfill); implementations
+    * may preserve rows newer than `kept.last` appended by a concurrent
+    * committer. */
   protected def replaceLog(ns: String, t: String, kept: Seq[Snapshot]): Unit
 
   /** Expire history: keep only the last `keepLast` snapshots. Refused
@@ -551,14 +590,111 @@ trait Catalog {
               "another writer committed first; re-read and retry")
       }
     }
+    val snapshotId = prev.map(_.snapshotId + 1).getOrElse(1L)
+    // NATIVE row lineage (round 16, [[Snaplog.RowLineageProp]]): new
+    // data files get Iceberg-v3 first_row_id / data-sequence
+    // assignments at commit — the spec's writer-side model. The range
+    // base is the previous commit's next-row-id mark (derived from a
+    // one-time history walk on the first lineage commit), advanced by
+    // the new files' row counts and stamped into this summary;
+    // already-assigned entries (adopted imports, carried re-listings)
+    // pass through untouched, so a rollback or checkpoint never
+    // renumbers. One small metadata read per commit pays for the
+    // property check.
+    val (assigned, lineageSummary) = {
+      val lineage = try {
+        loadTable(ns, t).properties
+          .get(Snaplog.RowLineageProp).contains("true")
+      } catch { case scala.util.control.NonFatal(_) => false }
+      if (!lineage) (files, Map.empty[String, String])
+      else {
+        val base = prev.flatMap(_.summary.get(Snaplog.NextRowIdKey))
+          .flatMap(_.toLongOption)
+          .getOrElse(snapshots(ns, t).iterator.flatMap(_.files)
+            .filterNot(_.deleteFile.contains(true))
+            .flatMap(e => e.firstRowId.map(_ + e.rowCount))
+            .maxOption.getOrElse(0L))
+        var next = base
+        val out = files.map { f =>
+          if (f.deleteFile.contains(true) || f.firstRowId.isDefined) f
+          else {
+            val fr = next; next += f.rowCount
+            f.copy(firstRowId = Some(fr), dataSeq = Some(snapshotId))
+          }
+        }
+        (out, Map(Snaplog.NextRowIdKey -> next.toString))
+      }
+    }
     Snapshot(
-      snapshotId = prev.map(_.snapshotId + 1).getOrElse(1L),
+      snapshotId = snapshotId,
       parentId = parentIdOverride.orElse(prev.map(_.snapshotId)),
       timestampMs = System.currentTimeMillis(),
       operation = operation,
-      files = files,
-      summary = summary ++ Map(
+      files = assigned,
+      summary = summary ++ lineageSummary ++ Map(
         "added-files" -> files.size.toString,
         "added-records" -> files.map(_.rowCount).sum.toString))
+  }
+
+  /** Stamp Iceberg-v3 row-lineage assignments onto EVERY data entry of
+    * the table's history that lacks one, idempotently, and persist the
+    * rewritten log — the one-time backfill behind
+    * [[graft.table.LakehouseTable.enableRowLineage]] and the
+    * persistence pass a v3 [[graft.interop.IcebergExport]] runs so
+    * re-exports never renumber native rows (the spec's writers stamp
+    * `first_row_id` at write time; this stamps it at first need).
+    *
+    * Assignment model: ids allocate in LISTING order by each file's
+    * FIRST occurrence (the commit that introduced it); re-listings
+    * (checkpoint folds, overwrite carries, rollbacks) receive the same
+    * assignment, and existing assignments (adopted v3 imports, prior
+    * lineage commits) are preserved verbatim with new ranges starting
+    * above them. Each snapshot's summary gains the running
+    * `next-row-id` mark. Data-sequence = the introducing snapshot's id
+    * (ids are dense-monotonic, so they ARE the commit sequence).
+    *
+    * Runs under the table's maintenance mutex; like renameTable, run
+    * it without concurrent writers on THIS table (a racing commit on
+    * another catalog instance could interleave between the walk and
+    * the rewrite). Returns the table's next unassigned row id. */
+  final def assignRowLineage(ns: String, t: String): Long = withTableMutex(ns, t) {
+    val all = snapshots(ns, t)
+    if (all.isEmpty) return 0L
+    def isData(f: DataFileEntry): Boolean = !f.deleteFile.contains(true)
+    var next = math.max(
+      all.iterator.flatMap(_.files).filter(isData)
+        .flatMap(e => e.firstRowId.map(_ + e.rowCount)).maxOption.getOrElse(0L),
+      all.iterator.flatMap(_.summary.get(Snaplog.NextRowIdKey))
+        .flatMap(_.toLongOption).maxOption.getOrElse(0L))
+    val byPath = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    all.foreach(s => s.files.foreach { f =>
+      if (isData(f) && f.firstRowId.isDefined && !byPath.contains(f.path))
+        byPath(f.path) = (f.firstRowId.get, f.dataSeq.getOrElse(s.snapshotId))
+    })
+    var changed = false
+    val rewritten = all.map { s =>
+      val fs = s.files.map { f =>
+        if (!isData(f)) f
+        else byPath.get(f.path) match {
+          case Some((fr, seq))
+            if !f.firstRowId.contains(fr) || !f.dataSeq.contains(seq) =>
+            changed = true
+            f.copy(firstRowId = Some(fr), dataSeq = Some(seq))
+          case Some(_) => f
+          case None =>
+            changed = true
+            val fr = next; next += f.rowCount
+            byPath(f.path) = (fr, s.snapshotId)
+            f.copy(firstRowId = Some(fr), dataSeq = Some(s.snapshotId))
+        }
+      }
+      val mark = s.summary.get(Snaplog.NextRowIdKey).flatMap(_.toLongOption)
+      if (!mark.exists(_ >= next)) changed = true
+      s.copy(files = fs,
+        summary = s.summary +
+          (Snaplog.NextRowIdKey -> math.max(next, mark.getOrElse(0L)).toString))
+    }
+    if (changed) replaceLog(ns, t, rewritten)
+    next
   }
 }

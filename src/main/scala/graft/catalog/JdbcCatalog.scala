@@ -372,6 +372,7 @@ final class JdbcCatalog(val jdbcUrl: String, val warehouse: String,
         } finally ps.close()
       }
       if (won) {
+        notifyCommit(ns, t, snap)
         maybeCheckpoint(ns, t, snap)
         return snap
       }
@@ -452,12 +453,18 @@ final class JdbcCatalog(val jdbcUrl: String, val warehouse: String,
           del.setString(1, ns); del.setString(2, t)
           del.setLong(3, kept.head.snapshotId); del.executeUpdate(); ()
         } finally del.close()
+        // every kept row's body rewrites (not only the head): expiration
+        // amends the head summary, assignRowLineage amends every row —
+        // kept windows are expiration-bounded, so this stays small for
+        // the hot caller and correct for the backfill
         val upd = c.prepareStatement(
           "UPDATE graft_snapshots SET body = ? WHERE ns = ? AND tbl = ? AND snapshot_id = ?")
         try {
-          upd.setString(1, jwrite(kept.head)); upd.setString(2, ns)
-          upd.setString(3, t); upd.setLong(4, kept.head.snapshotId)
-          upd.executeUpdate(); ()
+          kept.foreach { s =>
+            upd.setString(1, jwrite(s)); upd.setString(2, ns)
+            upd.setString(3, t); upd.setLong(4, s.snapshotId)
+            upd.executeUpdate(); ()
+          }
         } finally upd.close()
         c.commit()
       } catch { case e: Throwable => c.rollback(); throw e }

@@ -42,11 +42,13 @@ case class ColBounds(min: String, max: String)
   * key), so rows appended after the delete with the same key survive —
   * the keyed-CDC contract. Retired by any reset commit, like position
   * vectors. */
-/** `firstRowId`/`dataSeq` (round 15) carry Iceberg v3 ROW LINEAGE for
-  * files adopted from a v3 tree: the `_row_id` of the file's first row
-  * and the file's data sequence number (`_last_updated_sequence_number`
-  * for its non-updated rows). Absent everywhere else — lineage is an
-  * imported-v3 contract, not a native one. */
+/** `firstRowId`/`dataSeq` (round 15) carry Iceberg v3 ROW LINEAGE: the
+  * `_row_id` of the file's first row and the file's data sequence
+  * number (`_last_updated_sequence_number` for its non-updated rows).
+  * Present on files adopted from a v3 tree, on every data file of a
+  * [[Snaplog.RowLineageProp]] table (assigned at commit, round 16),
+  * and on files stamped by [[Catalog#assignRowLineage]] (a v3 export's
+  * persistence pass); absent on plain tables' files. */
 case class DataFileEntry(
     path: String,
     rowCount: Long,
@@ -302,6 +304,8 @@ final class Snaplog(val warehouse: String,
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
       s
     }
+    notifyCommit(ns, t, snap) // outside the lock, before the fold: a
+    // checkpoint triggered below notifies for itself
     maybeCheckpoint(ns, t, snap) // outside the lock: it commits on its own
     snap
   }
@@ -576,6 +580,23 @@ object Snaplog {
     * micro-batch high-water mark (see StreamingIngest.upsertEachBatch). */
   val StreamBatchKey = "streaming-batch-id"
 
+  /** Table property (round 16): "true" = NATIVE row lineage — every
+    * commit assigns Iceberg-v3 `first_row_id` / data-sequence lineage
+    * to its new data files (see [[Catalog#buildSnapshot]]), so
+    * [[graft.table.LakehouseTable.scanLineage]] serves `_row_id` /
+    * `_last_updated_sequence_number` on the engine's OWN tables, not
+    * only on imported v3 mirrors, and a v3 export publishes the same
+    * ids verbatim. Enable at creation, or on a live table via
+    * [[graft.table.LakehouseTable.enableRowLineage]] (which backfills
+    * history). */
+  val RowLineageProp = "graft.row-lineage"
+
+  /** Summary key: the table's next unassigned row id AFTER this commit
+    * (Iceberg v3 `next-row-id`). Monotonic — ids of deleted or
+    * overwritten-away files are never reused — and folded forward
+    * across history expiration via [[CarryMaxKeys]]. */
+  val NextRowIdKey = "next-row-id"
+
   /** Summary key marking a WAP (write-audit-publish) STAGED branch
     * commit: present = the snapshot belongs to the named branch, not to
     * main — main replay, checkpoint folds and incremental reads all
@@ -588,7 +609,7 @@ object Snaplog {
   /** Summary keys whose running maximum [[Catalog#expireSnapshots]]
     * folds forward into the retained log — monotonic marks that must
     * survive history expiration. */
-  val CarryMaxKeys: Set[String] = Set(StreamBatchKey)
+  val CarryMaxKeys: Set[String] = Set(StreamBatchKey, NextRowIdKey)
 
   /** Block size for the backwards tail read of the snapshot log. */
   val ReverseBlockBytes: Int = 64 * 1024

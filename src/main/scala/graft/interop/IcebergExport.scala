@@ -477,8 +477,12 @@ object IcebergExport {
     * as `write-default`) WITHOUT the compact-first tax — v3 readers
     * fill files that predate the column exactly as graft's own readers
     * do. The v3 tree carries the required row-lineage bookkeeping
-    * (`next-row-id`, per-snapshot `first-row-id`, from the global
-    * listing row counter). Outstanding POSITION vectors export under
+    * (`next-row-id`, per-snapshot `first-row-id`, explicit per-file
+    * `first_row_id`), and the first v3 export PERSISTS the assignment
+    * into the source snaplog ([[graft.catalog.Catalog.assignRowLineage]]
+    * — a metadata-only side effect on the exported table, documented
+    * there) so re-exports never renumber rows under an external
+    * reader. Outstanding POSITION vectors export under
     * both versions (round 14): v2 as merged parquet position-delete
     * files, v3 as PUFFIN deletion vectors ([[Puffin]] — one
     * `deletion-vector-v1` blob per referenced data file, located by
@@ -637,6 +641,16 @@ object IcebergExport {
     // DELETE manifests. One liveFilesSplit replay per snapshot yields
     // the gate verdicts AND the manifest file lists; windowSnapshots
     // attributes each listing its global sequence index.
+    // v3 row lineage PERSISTS at first export (round 16, the spec's
+    // writer model): unassigned native files get their inheritance
+    // assignment stamped INTO the snaplog once, so every re-export
+    // publishes identical explicit first_row_ids — previously the
+    // ranges re-derived from the current high-water mark each export,
+    // and a refresh adopting higher source ids would renumber native
+    // rows under external readers' feet. Idempotent; metadata-only.
+    if (formatVersion >= 3 && cat.snapshots(ns, name).exists(_.files.exists(
+        f => !f.deleteFile.contains(true) && f.firstRowId.isEmpty)))
+      cat.assignRowLineage(ns, name)
     val allSnaps = cat.snapshots(ns, name)
       .filterNot(graft.catalog.Snaplog.isWapStaged)
     // Global LISTING index: every (snapshot, file-position) listing
@@ -806,11 +820,21 @@ object IcebergExport {
         e
       }
       val manifestName = s"manifest-${s.snapshotId}.avro"
-      writeAvro(metaDir.resolve(manifestName), entrySchema,
+      // fingerprint = everything the entries are built from: a prior
+      // snapshot's manifest re-derives identically from the append-only
+      // log unless the schema/spec evolved or history was expired
+      // (listing indexes shift) — writeAvroStable skips those rewrites
+      val manifestFp = md5(Seq(formatVersion, schemaJson, specJson,
+        s.snapshotId).mkString("|") + "|" +
+        live.map(f => Seq(f.path, seqOf(f.path), f.rowCount, f.sizeBytes,
+          f.firstRowId.getOrElse(-1L),
+          f.partitionValues.toSeq.sorted.mkString(",")).mkString("^"))
+          .mkString(";"))
+      writeAvroStable(metaDir.resolve(manifestName), entrySchema,
         Seq("schema" -> schemaJson, "schema-id" -> "0",
           "partition-spec" -> specJson, "partition-spec-id" -> "0",
           "format-version" -> formatVersion.toString, "content" -> "data"),
-        entries)
+        entries, manifestFp)
       manifests += 1
       // delete manifest: the snapshot's outstanding MOR state
       val delManifest: Option[(String, Int, Long, Long, Long)] =
@@ -923,12 +947,22 @@ object IcebergExport {
         r
       }
       val listName = s"snap-${s.snapshotId}.manifest-list.avro"
-      writeAvro(metaDir.resolve(listName), ManifestFileSchema,
+      // list fingerprint covers the data-manifest identity (its input
+      // fingerprint + on-disk length) and the delete leg — a skipped
+      // manifest implies an unchanged list entry
+      val listFp = md5(Seq(formatVersion, s.snapshotId, s.parentId,
+        snapHighIdx(s.snapshotId), manifestFp,
+        Files.size(metaDir.resolve(manifestName)),
+        delManifest.map { case (dn, n, mx, mn, rows) =>
+          Seq(dn, Files.size(metaDir.resolve(dn)), n, mx, mn, rows)
+            .mkString("^")
+        }.getOrElse("nodel")).mkString("|"))
+      writeAvroStable(metaDir.resolve(listName), ManifestFileSchema,
         Seq("snapshot-id" -> s.snapshotId.toString,
           "parent-snapshot-id" -> s.parentId.map(_.toString).getOrElse("null"),
           "sequence-number" -> snapHighIdx(s.snapshotId).toString,
           "format-version" -> formatVersion.toString),
-        Seq(mf) ++ delMf)
+        Seq(mf) ++ delMf, listFp)
       ("snapshot-id" -> s.snapshotId) ~
         ("parent-snapshot-id" -> s.parentId.map(JLong(_)).getOrElse(JNothing: JValue)) ~
         ("sequence-number" -> snapHighIdx(s.snapshotId)) ~
@@ -947,13 +981,13 @@ object IcebergExport {
     // derive it from the identity, not a random source
     val uuid = java.util.UUID.nameUUIDFromBytes(
       s"graft:$ns.$name".getBytes(StandardCharsets.UTF_8)).toString
-    // v3 row lineage: files CARRYING an adopted assignment publish it
-    // explicitly (first_row_id in their manifest entries), so the
-    // metadata counters only govern UNASSIGNED files (native writes) —
-    // their inheritance ranges start ABOVE every explicit assignment,
-    // ensuring a mixed mirror (adopted files + native appends) never
-    // collides row-id ranges. A table with no assignments degenerates
-    // to the plain cumulative row counter.
+    // v3 row lineage: files CARRYING an assignment (adopted imports,
+    // native lineage commits, the persistence pass above) publish it
+    // explicitly (first_row_id in their manifest entries). Under v3
+    // the pass above leaves no unassigned data files, so these
+    // counters degenerate to "max assigned"; the inheritance walk is
+    // kept for the v2 path (which exports no lineage) and as the
+    // defensive fallback.
     val maxAssigned: Long = allSnaps.flatMap(_.files)
       .filterNot(_.deleteFile.contains(true))
       .flatMap(e => e.firstRowId.map(_ + e.rowCount))

@@ -28,9 +28,10 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * out of a library's scope. */
 object RestServe {
 
-  final class Server private[RestServe] (http: HttpServer) {
+  final class Server private[RestServe] (http: HttpServer,
+      cleanup: () => Unit = () => ()) {
     def endpoint: String = s"http://127.0.0.1:${http.getAddress.getPort}"
-    def stop(): Unit = http.stop(0)
+    def stop(): Unit = { cleanup(); http.stop(0) }
   }
 
   /** One served table: `root` is the exported tree directory,
@@ -38,20 +39,26 @@ object RestServe {
     * pointer (listings never re-export — only loads pay). */
   private final class Served(val root: Path, val ensureCurrent: () => Unit)
 
-  /** Serve NATIVE graft tables LIVE: each `loadTable` request compares
-    * the table's current snapshot id against the last-exported
-    * watermark and, when a graft commit advanced the head since the
-    * last export, re-runs [[IcebergExport.export]] into the table's
-    * serve directory BEFORE answering — an external reader always
-    * loads CURRENT content, no manual export call, exactly the outward
-    * mirror of `refresh`'s inward pull. Cost model: an unchanged table
-    * answers with ONE catalog head probe (metadata-sized, no I/O);
-    * a changed table pays one export, which is metadata-sized plus
-    * stats copying — data files are referenced in place, never moved.
-    * Concurrent loads of the same changed table serialize on a
-    * per-table lock; the export itself is atomic at the version-hint
-    * flip, so a reader racing the re-export still loads a complete
-    * (previous) tree. */
+  /** Serve NATIVE graft tables LIVE, publish-on-COMMIT (round 16): the
+    * server registers a commit listener on each table's catalog, so
+    * the WRITER pays the re-export at commit time — a reader's
+    * `loadTable` is a metadata read (version-hint + pointer), never an
+    * export, exactly the outward mirror of `refresh`'s inward pull.
+    * Registration exports once up front, so the tree is current before
+    * the first request. A snapshot-watermark check stays on the load
+    * path as the FALLBACK for commits the listener cannot see (a
+    * writer on a DIFFERENT Catalog instance of the same warehouse, or
+    * a listener-time export failure) — that path re-pays the r15
+    * reader-side cost but keeps content always current. Cost model: an
+    * up-to-date load is one catalog head probe; each commit pays one
+    * export, which is metadata-sized plus stats copying — data files
+    * are referenced in place, never moved, and unchanged prior-
+    * snapshot manifests are fingerprint-skipped
+    * ([[IcebergExport]]'s stable writes), so a commit's export cost is
+    * O(new snapshots), not O(history). Concurrent exports of one table
+    * serialize on a per-table lock; every metadata file lands by
+    * atomic rename, so a reader racing a re-export sees only complete
+    * content, old or new. `stop()` unregisters the listeners. */
   def startLive(
       tables: Map[(String, String), (graft.table.LakehouseTable, Path)],
       port: Int = 0, token: Option[String] = None,
@@ -59,11 +66,8 @@ object RestServe {
       formatVersion: Int = 2): Server = {
     val served = tables.map { case (k, (tbl, dir)) =>
       val lock = new Object
-      // -1 forces the first load to export (a pre-exported dir would
-      // also work, but exporting unconditionally once is simpler than
-      // trusting a possibly-stale tree)
       val lastExported = new java.util.concurrent.atomic.AtomicLong(-1L)
-      k -> new Served(dir, () => {
+      def sync(): Unit = {
         val cur = tbl.currentSnapshotId
         if (cur != lastExported.get) lock.synchronized {
           if (cur != lastExported.get) {
@@ -71,9 +75,17 @@ object RestServe {
             lastExported.set(cur)
           }
         }
-      })
+      }
+      sync() // current before the first request — loads never cold-export
+      val listener: (String, String, graft.catalog.Snapshot) => Unit =
+        (ns, t, _) => if (ns == tbl.namespace && t == tbl.name) sync()
+      tbl.catalog.addCommitListener(listener)
+      (k, new Served(dir, () => sync()),
+        () => tbl.catalog.removeCommitListener(listener))
     }
-    startImpl(served, port, token, inlineMetadata)
+    startImpl(served.map { case (k, s, _) => k -> s }.toMap,
+      port, token, inlineMetadata,
+      cleanup = () => served.foreach { case (_, _, off) => off() })
   }
 
   /** Start serving `tables` ((namespace, table) → exported tree root,
@@ -90,7 +102,8 @@ object RestServe {
 
   private def startImpl(tables: Map[(String, String), Served], port: Int,
       token: Option[String],
-      inlineMetadata: Boolean): Server = {
+      inlineMetadata: Boolean,
+      cleanup: () => Unit = () => ()): Server = {
     val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
     def respond(x: HttpExchange, code: Int, body: String): Unit = {
@@ -163,6 +176,6 @@ object RestServe {
       }
     })
     http.start()
-    new Server(http)
+    new Server(http, cleanup)
   }
 }

@@ -1483,23 +1483,30 @@ object IcebergImport {
       }
     }
     def classifyNested(storedMap: Map[String, Int],
-        srcMap: Map[String, Int], what: String): Seq[(String, String)] = {
+        srcMap: Map[String, Int], what: String)
+        : (Seq[(String, String)], Seq[String]) = {
       val srcById = srcMap.map(_.swap)
-      storedMap.toSeq.flatMap { case (k, v) =>
-        if (dropSet(k.takeWhile(_ != '.'))) None
+      val classified = storedMap.toSeq.map { case (k, v) =>
+        if (dropSet(k.takeWhile(_ != '.'))) (None, None)
         else srcById.get(v) match {
-          case Some(k2) if k2 == k => None
-          case Some(k2) if canDiffById && aligned(k, k2) => Some(k -> k2)
-          case None => None // member dropped with its id — safe
+          case Some(k2) if k2 == k => (None, None)
+          case Some(k2) if canDiffById && aligned(k, k2) =>
+            (Some(k -> k2), None)
+          // a vanished id under a by-id mirror is a member DROP — the
+          // member leaves the stored schema below (never silently: a
+          // name-bound mirror falls through to the shape refusal)
+          case None if canDiffById => (None, Some(k))
+          case None => (None, None)
           case Some(k2) => refuse(s"the source moved $what id $v from " +
             s"'$k' to '$k2' in a shape the mirror cannot attribute")
         }
       }
+      (classified.flatMap(_._1), classified.flatMap(_._2))
     }
-    val chainRenames = classifyNested(
+    val (chainRenames, chainDrops) = classifyNested(
       storedReg.filter(_._1.contains(".")),
       tree.srcRegistry.filter(_._1.contains(".")), "inner field")
-    val interiorRenames = classifyNested(
+    val (interiorRenames, interiorDrops) = classifyNested(
       meta0.properties.get(FieldIds.InteriorProp)
         .map(FieldIds.decode).getOrElse(Map.empty),
       tree.interiorRegistry, "list/map interior")
@@ -1546,6 +1553,29 @@ object IcebergImport {
         }
         appliedNested :+= (oCur -> applyKeyRenames(n, appliedNested))
       }
+    // nested member DROPS leave the rewritten base too (round 16 —
+    // previously only the id was discarded and the shape comparison
+    // below refused the refresh): shallow-first, root-most only (a
+    // dropped subtree's descendants vanish with it), drop paths
+    // translated through any ancestor renames applied above
+    locally {
+      var droppedRoots = Vector.empty[String]
+      (chainDrops ++ interiorDrops).sortBy(_.count(_ == '.'))
+        .foreach { k0 =>
+          val k = applyKeyRenames(k0, appliedNested)
+          if (!droppedRoots.exists(r => k == r || k.startsWith(r + "."))) {
+            val tok = k.split('.').toSeq
+            baseSchema =
+              if (tok.exists(interiorTok))
+                graft.types.SchemaInfer.editInteriorField(baseSchema, tok,
+                  _ => None)
+              else
+                graft.types.SchemaInfer.editInnerField(baseSchema, tok,
+                  _ => None)
+            droppedRoots :+= k
+          }
+        }
+    }
 
     // survivors in original order, flat renames applied over the
     // nested-rewritten base — the source schema must read as exactly
@@ -1626,6 +1656,7 @@ object IcebergImport {
     // name) has untrustworthy name-keyed log stats forever
     val freedNow: Seq[String] = renames.map(_._1) ++ drops ++
       chainRenames.map(_._1) ++ interiorRenames.map(_._1) ++
+      chainDrops ++ interiorDrops ++
       storedReg.keys.filter(k =>
         k.contains(".") && dropSet(k.takeWhile(_ != '.'))).toSeq
     val freedAll = FieldIds.namesSet(meta0.properties,

@@ -74,7 +74,20 @@ private[sql] object GraftProcedures {
             require(csv(2).isEmpty && csv(3).isEmpty,
               "incremental ANALYZE continues the stored column set — " +
                 "pass empty columns/histogram_columns")
-            tbl.analyzeIncremental()
+            // stats adopted from a foreign ANCESTOR snapshot leave a
+            // never-sketched gap no sketch union can close — operators
+            // script this CALL, so degrade to the full pass (which
+            // clears the marker) with a logged notice instead of
+            // erroring the pipeline (round 16; the native
+            // analyzeIncremental stays strict)
+            if (tbl.meta.properties
+                .contains(graft.table.TableStats.AdoptedAncestorProp)) {
+              System.err.println(s"analyze_table($ns.$t, incremental=true): stored " +
+                "statistics were adopted from a foreign ancestor " +
+                "snapshot — the gap rows were never sketched; degrading " +
+                "to a FULL analyze (clears the adoption marker)")
+              tbl.analyze()
+            } else tbl.analyzeIncremental()
           } else tbl.analyze(csv(2), histogramColumns = csv(3))
         row(tbl.currentSnapshotId, summary.size,
           UTF8String.fromString(

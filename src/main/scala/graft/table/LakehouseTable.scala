@@ -83,11 +83,18 @@ final class LakehouseTable(
     *
     * Lineage exists on files adopted from a v3 row-lineage tree
     * ([[graft.interop.IcebergImport]] assigns per the spec's
-    * inheritance model at register and carries it through refresh);
-    * files without an assignment (native writes, rewrites, v2 imports)
-    * refuse loudly rather than serve guessed ids. Scale: the per-file
-    * (first_row_id, seq) map is file-count-sized and broadcast; the
-    * row-id arithmetic is a codegen'd column expression on the scan. */
+    * inheritance model at register and carries it through refresh) and
+    * on NATIVE tables under [[graft.catalog.Snaplog.RowLineageProp]]
+    * (round 16 — every commit assigns; [[enableRowLineage]] backfills
+    * a live table). Files without an assignment refuse loudly rather
+    * than serve guessed ids. One caveat mirrors the format's intent
+    * imperfectly: a COMPACTION rewrites surviving rows into new files,
+    * which re-assigns their ids (graft never materializes `_row_id`
+    * into data files, the spec's carry mechanism) — ids are stable
+    * under append/delete/upsert, not across compact(). Scale: the
+    * per-file (first_row_id, seq) map is file-count-sized and
+    * broadcast; the row-id arithmetic is a codegen'd column expression
+    * on the scan. */
   def scanLineage(): DataFrame = {
     import spark.implicits._
     val ordered = catalog.liveEntriesOrdered(namespace, name, None)
@@ -101,10 +108,11 @@ final class LakehouseTable(
     val missing = data.filter(e => e.firstRowId.isEmpty || e.dataSeq.isEmpty)
     require(missing.isEmpty,
       s"$namespace.$name: ${missing.size} data file(s) carry no row-lineage " +
-        "assignment — _row_id/_last_updated_sequence_number serve only on " +
-        "tables adopted from an Iceberg v3 row-lineage tree (natively " +
-        "written or rewritten files lose their assignment); scan() serves " +
-        "the content without lineage")
+        "assignment — _row_id/_last_updated_sequence_number serve on " +
+        "tables adopted from an Iceberg v3 row-lineage tree and on native " +
+        "tables with row lineage enabled (enableRowLineage(), or the " +
+        "graft.row-lineage property at creation); scan() serves the " +
+        "content without lineage")
     def canon(p: String): String =
       new HadoopPath(p.replaceFirst(LakehouseTable.PathSchemeRe, "/"))
         .toUri.getRawPath
@@ -200,32 +208,65 @@ final class LakehouseTable(
     else s
   }
 
-  /** Session the SCAN path reads under. Interior-by-id tables read on
-    * a CLONE with nested schema pruning disabled: Spark's pruning
-    * rebuilds pruned read schemas WITHOUT interior field-id metadata
-    * (the FieldEvolutionSpec pin), so a pruned plan would silently
-    * null renamed interior leaves of old files — full-subtree requests
-    * with ids attached resolve correctly in every plan shape. The
-    * clone's conf governs the whole plan because scan() returns a
-    * DataFrame BOUND to it (the managedWrite rebinding trick, read
-    * side); tables without interior renames keep the caller's session
-    * and full nested pruning. */
+  /** Is this table in interior-by-id read mode (an interior member was
+    * renamed, natively or by refresh adoption)? */
+  private def interiorByIdMode: Boolean =
+    meta.properties.get(graft.types.FieldIds.InteriorByIdProp)
+      .contains("true")
+
+  /** Can the session's plans restore interior ids POST-pruning? True
+    * when [[graft.sql.InteriorIdRestoreRule]] was injected
+    * (spark.sql.extensions=graft.GraftExtensions) — interior-by-id
+    * scans then keep FULL nested pruning (round 16): the reader option
+    * below carries the id map to the physical plan and the rule
+    * re-stamps the pruned schema. */
+  private def interiorRestoreInjected: Boolean =
+    spark.sessionState.columnarRules
+      .exists(_.isInstanceOf[graft.sql.InteriorIdRestoreRule])
+
+  /** Reader options every scan-path parquet read attaches: the
+    * interior-id map for [[graft.sql.InteriorIdRestoreRule]] when the
+    * table reads interior-by-id and the rule is present; empty
+    * otherwise. */
+  private def readOptions: Map[String, String] =
+    if (!interiorByIdMode || !interiorRestoreInjected) Map.empty
+    else Map(graft.types.FieldIds.InteriorOptKey ->
+      meta.properties.getOrElse(graft.types.FieldIds.InteriorProp, ""))
+
+  /** Session the SCAN path reads under. With the graft extensions
+    * injected this is ALWAYS the caller's session — interior-by-id
+    * tables keep full nested pruning via [[readOptions]] +
+    * [[graft.sql.InteriorIdRestoreRule]]. Without the extensions,
+    * interior-by-id tables fall back to the round-15 contract: a
+    * session CLONE with nested schema pruning disabled (Spark's
+    * pruning rebuilds pruned read schemas WITHOUT interior field-id
+    * metadata — the FieldEvolutionSpec pin — so an un-restored pruned
+    * plan would silently null renamed interior leaves of old files;
+    * full-subtree requests with ids attached resolve in every plan
+    * shape). The clone is built with cloneSession semantics
+    * (GraftStreamingShim.sessionWithConfs), so the caller's runtime
+    * SQL confs — session timezone, case sensitivity, ANSI mode — keep
+    * applying; the clone's conf governs the whole plan because scan()
+    * returns a DataFrame BOUND to it. */
   @volatile private var interiorClone: SparkSession = null
   private def readSession: SparkSession =
-    if (!meta.properties.get(graft.types.FieldIds.InteriorByIdProp)
-        .contains("true")) spark
+    if (!interiorByIdMode || interiorRestoreInjected) spark
     else {
       if (interiorClone == null) synchronized {
-        if (interiorClone == null) {
-          val c = spark.newSession()
-          c.conf.set(graft.types.FieldIds.ReadConf, "true")
-          c.conf.set("spark.sql.optimizer.nestedSchemaPruning.enabled",
-            "false")
-          interiorClone = c
-        }
+        if (interiorClone == null)
+          interiorClone = org.apache.spark.sql.GraftStreamingShim
+            .sessionWithConfs(spark, Map(
+              graft.types.FieldIds.ReadConf -> "true",
+              "spark.sql.optimizer.nestedSchemaPruning.enabled" -> "false"))
       }
       interiorClone
     }
+
+  /** THE scan-path parquet read: explicit file list, the table's read
+    * schema, the interior-restore options, on [[readSession]]. */
+  private def readParquet(paths: Seq[String]): DataFrame =
+    readSession.read.schema(readSchema).options(readOptions)
+      .parquet(paths: _*)
 
   /** Assemble a scan from replay-ordered entries: per-segment equality-
     * delete anti-joins (see [[EqDeletes]]), then the global position-
@@ -248,7 +289,8 @@ final class LakehouseTable(
       return spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
     val rs = readSession
     val data = EqDeletes.readSubtracted(rs, readSchema, segs,
-      withMeta = posDeletes.nonEmpty || retainMeta)
+      withMeta = posDeletes.nonEmpty || retainMeta,
+      readerOptions = readOptions)
     if (posDeletes.isEmpty) data
     else {
       val dv = broadcast(
@@ -466,7 +508,8 @@ final class LakehouseTable(
     if (segs.isEmpty)
       spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
     else
-      EqDeletes.readSubtracted(spark, readSchema, segs, withMeta = false)
+      EqDeletes.readSubtracted(spark, readSchema, segs, withMeta = false,
+        readerOptions = readOptions)
   }
 
   /** Row-level CHANGELOG read (Iceberg changelog scan / Delta CDF
@@ -600,8 +643,7 @@ final class LakehouseTable(
       if (lookup.map(_._1).distinct.size != lookup.size) return false
       import spark.implicits._
       val lk = broadcast(lookup.toDF("__cl_path", "__cl_snap", "__cl_ts"))
-      parts += readSession.read.schema(readSchema)
-        .parquet(entries.map(_._1.path): _*)
+      parts += readParquet(entries.map(_._1.path))
         .select(col("*"), regexp_replace(col("_metadata.file_path"),
           LakehouseTable.PathSchemeRe, "/").as("__cl_path"))
         .join(lk, Seq("__cl_path"), "left")
@@ -626,7 +668,7 @@ final class LakehouseTable(
           val data = s.files.filterNot(_.deleteFile.contains(true))
           if (data.nonEmpty)
             parts += stamp(
-              readSession.read.schema(readSchema).parquet(data.map(_.path): _*),
+              readParquet(data.map(_.path)),
               ChangeInsert, s)
           prefixBuf ++= s.files
         case Snaplog.OpEqDelete =>
@@ -639,7 +681,7 @@ final class LakehouseTable(
           val dataRun = scala.collection.mutable.ArrayBuffer.empty[DataFileEntry]
           def flushRun(): Unit = if (dataRun.nonEmpty) {
             parts += stamp(
-              readSession.read.schema(readSchema).parquet(dataRun.map(_.path).toSeq: _*),
+              readParquet(dataRun.map(_.path).toSeq),
               ChangeInsert, s)
             dataRun.clear()
           }
@@ -691,7 +733,7 @@ final class LakehouseTable(
           val remVis = if (removedPaths.isEmpty) None
             else Some(assembleOrdered(prefix, f => removedPaths(f.path)))
           val addRows = if (added.isEmpty) None
-            else Some(readSession.read.schema(readSchema).parquet(added.map(_.path): _*))
+            else Some(readParquet(added.map(_.path)))
           (remVis, addRows) match {
             case (Some(rem), Some(add)) =>
               parts += stamp(rem.exceptAll(add), ChangeDelete, s)
@@ -845,6 +887,21 @@ final class LakehouseTable(
       expectedSnapshotId: Option[Long] = None): Snapshot =
     writeCommit(Seq(df), Snaplog.OpOverwrite, extraSummary = summary,
       expected = expectedSnapshotId)
+
+  /** Flip the table to NATIVE row lineage (round 16,
+    * [[graft.catalog.Snaplog.RowLineageProp]]): every subsequent
+    * commit assigns Iceberg-v3 `first_row_id`/data-sequence lineage to
+    * its new data files, and existing history is BACKFILLED in listing
+    * order ([[graft.catalog.Catalog.assignRowLineage]]) so
+    * [[scanLineage]] serves immediately. Metadata-only at any table
+    * size (one log rewrite, zero data movement). Like renameTable, run
+    * the flip without concurrent writers on this table; idempotent. */
+  def enableRowLineage(): TableMetadata = {
+    catalog.updateProperties(namespace, name,
+      Map(Snaplog.RowLineageProp -> "true"), Seq.empty)
+    catalog.assignRowLineage(namespace, name)
+    meta
+  }
 
   /** Snapshot id the next conditional write should expect — 0 for an
     * empty table (the id `commit` compares against when no snapshot
@@ -1024,7 +1081,7 @@ final class LakehouseTable(
           "materialized-mor" -> "true"),
         expected = Some(base))
     }
-    val matched = readSession.read.schema(readSchema).parquet(live.map(_.path): _*)
+    val matched = readParquet(live.map(_.path))
       .filter(condition)
       .groupBy(input_file_name().as("f")).count()
       .collect().map(r => normalizePath(r.getString(0)) -> r.getLong(1)).toMap
@@ -1033,7 +1090,7 @@ final class LakehouseTable(
     if (touched.isEmpty)
       return catalog.commit(namespace, name, Snaplog.OpDelete, live,
         Map("deleted-rows" -> "0", "rewritten-files" -> "0"))
-    val survivors = readSession.read.schema(readSchema).parquet(touched.map(_.path): _*)
+    val survivors = readParquet(touched.map(_.path))
       .filter(!condition)
     writeCommit(Seq(survivors), Snaplog.OpDelete,
       Map("deleted-rows" -> deletedRows.toString,
@@ -1266,7 +1323,7 @@ final class LakehouseTable(
     // positions come from the RAW file scan (the metadata column only
     // exists on the source relation); already-deleted positions are
     // subtracted so re-deleting records nothing twice
-    val candidate = readSession.read.schema(readSchema).parquet(live.map(_.path): _*)
+    val candidate = readParquet(live.map(_.path))
       .filter(condition)
       .select(col("_metadata.file_path").as("file_path"),
         col("_metadata.row_index").as("row_index"))
@@ -2192,11 +2249,14 @@ final class LakehouseTable(
     * metadata-only at any table size. The interior registry re-keys
     * (same ids), the stored schema renames the member, and the table
     * flips to INTERIOR-BY-ID reads ([[graft.types.FieldIds
-    * .InteriorByIdProp]]): scans attach the interior ids to the read
-    * schema and request the FULL interior subtree (nested schema
-    * pruning drops interior id metadata — the FieldEvolutionSpec pin),
-    * so files written under the old member name keep serving values in
-    * every plan shape, pruned and unpruned, table-API and SQL.
+    * .InteriorByIdProp]]), so files written under the old member name
+    * keep serving values in every plan shape, pruned and unpruned,
+    * table-API and SQL. Round 16: the flip costs NOTHING at scan time
+    * on sessions with the graft extensions — nested schema pruning
+    * stays fully on, with the pruned schema's interior ids restored
+    * post-pruning ([[graft.sql.InteriorIdRestoreRule]]); extension-less
+    * sessions fall back to full-subtree requests on a pruning-disabled
+    * clone (see [[readSession]]).
     *
     * Eligibility mirrors the other id evolutions, one level further
     * down: every live-history data file must be managed and stamp
@@ -2204,10 +2264,7 @@ final class LakehouseTable(
     * interiors ([[graft.types.FieldIds.fileCarriesInteriorIds]]) —
     * managed writes stamp interiors from birth on r14+ tables with an
     * interior map; older tables compact() once after the registry
-    * backfills. Cost of the flip: interior subtrees stop
-    * nested-pruning on this table (the full-subtree request is what
-    * makes old files resolve) — the price of the rename, documented,
-    * paid only by tables that rename an interior. */
+    * backfills. */
   def renameInteriorField(path: String, newLeaf: String): TableMetadata =
       catalog.withEvolutionLock(namespace, name) {
     import graft.types.{FieldIds, SchemaInfer}

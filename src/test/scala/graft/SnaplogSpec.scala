@@ -1374,6 +1374,60 @@ abstract class CatalogContractSpec extends SparkSpec {
       .get(graft.types.FieldIds.InteriorByIdProp).contains("true"))
   }
 
+  test("iceberg refresh: a vanished NESTED member id adopts as a member DROP") {
+    // round 16 (ADVICE r15): the classifier discarded the vanished id
+    // but never removed the member from the stored schema, so the
+    // shape comparison refused an advertised routine evolution — every
+    // subsequent refresh of the mirror broke. Now the member leaves
+    // the schema like a native inner drop.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    val cat = freshCatalog()
+    val schema0 = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("s", StructType(Seq(
+        StructField("x", IntegerType),
+        StructField("y", StringType),
+        StructField("z", IntegerType))), nullable = true)))
+    val src = LakehouseTable.create(cat, spark, "ns", "ndsrc", schema0)
+    src.append(spark.createDataFrame(java.util.List.of(
+      Row(1, Row(5, "a", 50)), Row(2, Row(6, "b", 60))), schema0))
+    val dest = Files.createTempDirectory("graft-refresh-ndrop")
+    graft.interop.IcebergExport.export(src, dest)
+    graft.interop.IcebergImport.register(cat, spark, dest, "ns", "ndmirror")
+    // the source DROPS s.y and RENAMES s.x -> xx in one evolution,
+    // then appends an era under the new shape
+    src.dropStructField("s.y")
+    src.renameStructField("s.x", "xx")
+    val schema1 = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("s", StructType(Seq(
+        StructField("xx", IntegerType),
+        StructField("z", IntegerType))), nullable = true)))
+    src.append(spark.createDataFrame(java.util.List.of(
+      Row(3, Row(7, 70))), schema1))
+    graft.interop.IcebergExport.export(src, dest)
+    val r = graft.interop.IcebergImport.refresh(cat, spark, "ns", "ndmirror")
+    assert(!r.reset && r.dataFilesAdded >= 1, r.toString)
+    assert(r.table.schema.fields.find(_.name == "s").get.dataType
+      .asInstanceOf[StructType].fieldNames.toSeq == Seq("xx", "z"),
+      r.table.schema.simpleString)
+    // both eras answer under the adopted shape; the dropped member is
+    // gone, the renamed one serves old values by id
+    val got = r.table.scan().select($"id", $"s.xx", $"s.z")
+      .orderBy("id").collect()
+    assert(got.map(_.getInt(1)).toSeq == Seq(5, 6, 7), got.toSeq.toString)
+    assert(got.map(_.getInt(2)).toSeq == Seq(50, 60, 70), got.toSeq.toString)
+    // the dropped key is freed on the mirror, like a native inner drop
+    assert(graft.types.FieldIds.namesSet(
+      cat.loadTable("ns", "ndmirror").properties,
+      graft.types.FieldIds.FreedNamesProp)("s.y"))
+    // and the NEXT refresh is a clean no-op — the r15 defect broke
+    // every subsequent refresh here
+    val r2 = graft.interop.IcebergImport.refresh(cat, spark, "ns", "ndmirror")
+    assert(!r2.reset && r2.dataFilesAdded == 0, r2.toString)
+  }
+
   test("iceberg v3 row lineage: _row_id / _last_updated_sequence_number on adopted trees") {
     val cat = freshCatalog()
     val src = LakehouseTable.create(cat, spark, "ns", "lin", fixture().schema)
@@ -1429,6 +1483,150 @@ abstract class CatalogContractSpec extends SparkSpec {
         s"trip: ${l4.toSeq} vs ${l3.toSeq}")
     assert(l4.filter(_._1 > 100).map(_._2).toSet == Set(8L, 9L, 10L, 11L),
       s"native rows allocate above every adopted assignment: ${l4.toSeq}")
+    // round 16: that v3 export PERSISTED the native rows' assignment
+    // into the mirror's own log (ADVICE: no re-derivation drift) — the
+    // previously-refusing scanLineage now serves, ids matching what
+    // the export published
+    val l5 = tbl.scanLineage().select("id", "_row_id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+    assert(l5.toMap == l4.toMap,
+      s"the export must stamp the same ids it published: ${l5.toSeq}")
+  }
+
+  test("native row lineage: commit-time assignment, MOR-update stability, backfill, export round trip") {
+    val cat = freshCatalog()
+    // v3-mode from birth: the property makes every commit assign
+    val tbl = LakehouseTable.create(cat, spark, "ns", "nlin",
+      fixture().schema,
+      properties = Map(Snaplog.RowLineageProp -> "true"))
+    tbl.append(fixture())                                    // seq 1
+    tbl.append(fixture().withColumn("id", $"id" + 10))       // seq 2
+    def lineage(t: LakehouseTable) = t.scanLineage()
+      .select("id", "_row_id", "_last_updated_sequence_number").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val l1 = lineage(tbl)
+    assert(l1.map(_._2).toSet == (0L to 7L).toSet, l1.toSeq.toString)
+    assert(l1.filter(_._1 <= 4).map(_._2).toSet == (0L to 3L).toSet,
+      "commit 1's files take the first range")
+    assert(l1.filter(_._1 <= 4).forall(_._3 == 1L) &&
+      l1.filter(_._1 > 4).forall(_._3 == 2L),
+      s"sequence = committing snapshot: ${l1.toSeq}")
+    val assign1 = l1.map(x => x._1 -> x._2).toMap
+    // MOR UPDATE of id=2: position-delete + re-insert — survivors keep
+    // their ids (no renumbering), the re-inserted row takes a FRESH id
+    // above the high-water mark and the new commit's sequence
+    tbl.deleteMor($"id" === 2)                               // seq 3
+    tbl.append(Seq((2, "A", 9.9f, 99))
+      .toDF("id", "group", "value1", "value2"))              // seq 4
+    val l2 = lineage(tbl)
+    assert(l2.length == 8, l2.toSeq.toString)
+    val updated = l2.find(_._1 == 2).get
+    assert(updated._2 == 8L && updated._3 == 4L,
+      s"the re-inserted row must take a fresh id + sequence: $updated")
+    assert(l2.filter(_._1 != 2).map(x => x._1 -> x._2).toMap ==
+      (assign1 - 2), "survivors keep their ids through the MOR update")
+    // v3 export → re-import: the mirror serves IDENTICAL row ids.
+    // (Sequence NUMBERS legitimately renumber: the export assigns each
+    // manifest listing a distinct global sequence — load-bearing for
+    // its strictly-lower-sequence equality-delete ordering — while
+    // native lineage uses the committing snapshot id; both orderings
+    // agree on which write is newer.)
+    val dest = Files.createTempDirectory("graft-nlin-rt")
+    graft.interop.IcebergExport.export(tbl, dest, formatVersion = 3)
+    val imp = graft.interop.IcebergImport.register(
+      cat, spark, dest, "ns", "nlin_rt")
+    assert(lineage(imp.table).map(x => x._1 -> x._2).toSet ==
+      l2.map(x => x._1 -> x._2).toSet,
+      "the exported tree must round-trip the native row-id assignment")
+    // ordering agreement: the one MOR-updated row is the newest under
+    // BOTH numberings
+    assert(lineage(imp.table).maxBy(_._3)._1 == 2)
+    // BACKFILL: a plain table enables lineage mid-life — history gets
+    // listing-order ids, later commits continue above them
+    val t2 = LakehouseTable.create(cat, spark, "ns", "nlin2",
+      fixture().schema)
+    t2.append(fixture())
+    t2.append(fixture().withColumn("id", $"id" + 10))
+    val refuse = intercept[IllegalArgumentException](t2.scanLineage())
+    assert(refuse.getMessage.contains("row-lineage"), refuse.getMessage)
+    t2.enableRowLineage()
+    val b1 = lineage(t2)
+    assert(b1.map(_._2).toSet == (0L to 7L).toSet, b1.toSeq.toString)
+    assert(b1.filter(_._1 <= 4).map(_._2).toSet == (0L to 3L).toSet,
+      "backfill assigns in listing order")
+    t2.append(fixture().withColumn("id", $"id" + 20))
+    val b2 = lineage(t2)
+    assert(b2.map(_._2).toSet == (0L to 11L).toSet,
+      s"post-backfill commits continue above the backfilled range: " +
+        s"${b2.toSeq}")
+    assert(b2.filter(_._1 > 20).forall(_._3 == 3L), b2.toSeq.toString)
+    // idempotent
+    t2.enableRowLineage()
+    assert(lineage(t2).toSet == b2.toSet)
+  }
+
+  test("native row lineage: ids survive expiration (next-row-id carries) and rollback") {
+    val cat = freshCatalog()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "nlex",
+      fixture().schema,
+      properties = Map(Snaplog.RowLineageProp -> "true"))
+    tbl.append(fixture())                               // ids 0..3
+    tbl.overwrite(fixture().withColumn("id", $"id" + 10)) // ids 4..7 (reset)
+    cat.expireSnapshots("ns", "nlex", 1)
+    // the dropped history's high-water mark carried: new rows never
+    // reuse the expired ids 0..3
+    tbl.append(fixture().withColumn("id", $"id" + 20))  // must be 8..11
+    val l = tbl.scanLineage().select("id", "_row_id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+    assert(l.map(_._2).toSet == (4L to 11L).toSet,
+      s"expired ids must never be reused: ${l.toSeq}")
+    // rollback re-lists assigned entries verbatim — no renumbering,
+    // and the next append still allocates above the high-water mark
+    val preRollback = tbl.currentSnapshotId
+    tbl.append(fixture().withColumn("id", $"id" + 30))  // ids 12..15
+    tbl.rollbackTo(preRollback)
+    val lr = tbl.scanLineage().select("id", "_row_id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+    assert(lr.toMap == l.toMap, s"rollback must not renumber: ${lr.toSeq}")
+    tbl.append(fixture().withColumn("id", $"id" + 40))
+    val lf = tbl.scanLineage().select("id", "_row_id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+    assert(lf.filter(_._1 > 40).map(_._2).toSet == (16L to 19L).toSet,
+      s"post-rollback ids allocate above the rolled-back era: ${lf.toSeq}")
+  }
+
+  test("re-export skips rewriting unchanged prior-snapshot manifests") {
+    val cat = freshCatalog()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "stab",
+      fixture().schema)
+    tbl.append(fixture())
+    tbl.append(fixture().withColumn("id", $"id" + 10))
+    val dest = Files.createTempDirectory("graft-stab")
+    graft.interop.IcebergExport.export(tbl, dest)
+    val meta = dest.resolve("metadata")
+    val m1 = meta.resolve("manifest-1.avro")
+    val list1 = meta.resolve("snap-1.manifest-list.avro")
+    val (t1, tl1) = (Files.getLastModifiedTime(m1),
+      Files.getLastModifiedTime(list1))
+    Thread.sleep(15)
+    tbl.append(fixture().withColumn("id", $"id" + 20))
+    graft.interop.IcebergExport.export(tbl, dest)
+    // prior snapshots' manifests derive from append-only log content —
+    // the fingerprint skip must leave them byte-untouched (live REST
+    // serving re-exports per commit; O(new commits), not O(history))
+    assert(Files.getLastModifiedTime(m1) == t1,
+      "unchanged prior manifest must not rewrite")
+    assert(Files.getLastModifiedTime(list1) == tl1,
+      "unchanged prior manifest list must not rewrite")
+    assert(Files.exists(meta.resolve("manifest-3.avro")),
+      "the new snapshot's manifest must land")
+    assert(Files.readString(meta.resolve("version-hint.text")).trim == "3")
+    // a schema evolution CHANGES prior manifests (they embed the
+    // current schema) — the skip must not survive it
+    tbl.renameColumn("value2", "amount")
+    graft.interop.IcebergExport.export(tbl, dest)
+    assert(Files.getLastModifiedTime(m1) != t1,
+      "a schema change must rewrite prior manifests")
   }
 
   test("changelog refuses to cross an imported-MOR commit, works from it") {

@@ -397,6 +397,46 @@ class TableStatsSpec extends SparkSpec {
     assert(dst.analyzeIncremental()("grp").ndv == 3) // increments again
   }
 
+  test("CALL analyze_table(incremental) DEGRADES to a full pass on ancestor-adopted stats") {
+    // round 16 (VERDICT r15 #6): operators script the incremental CALL;
+    // where the native analyzeIncremental refuses on the adoption
+    // marker (gap rows never sketched), the procedure runs the full
+    // pass instead — which clears the marker — rather than erroring
+    // the pipeline. The native API stays strict (tested above).
+    val wh = Files.createTempDirectory("graft-stats-deg").toString
+    val cat = new Snaplog(wh)
+    val src = LakehouseTable.create(cat, spark, "ns", "dsrc", fixture().schema)
+    src.append(fixture())
+    src.analyze(Seq("grp"))
+    src.append(fixture().withColumn("id", $"id" + 10))
+    val out = Files.createTempDirectory("graft-stats-deg-ice")
+    IcebergExport.export(src, out)
+    val wh2 = Files.createTempDirectory("graft-stats-deg2").toString
+    val cat2 = new Snaplog(wh2)
+    IcebergImport.register(cat2, spark, out, "ns", "ddst")
+    assert(cat2.loadTable("ns", "ddst").properties
+      .contains(TableStats.AdoptedAncestorProp))
+    spark.conf.set("spark.sql.catalog.gdeg",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdeg.warehouse", wh2)
+    val outRow = spark.sql(
+      "CALL gdeg.system.analyze_table('ns', 'ddst', '', '', true)").head()
+    assert(outRow.getInt(1) >= 1, outRow.toString) // columns analyzed
+    // the degrade ran the FULL pass: marker cleared, stats cover the
+    // whole imported content (8 ids, 3 groups)
+    val props = cat2.loadTable("ns", "ddst").properties
+    assert(!props.contains(TableStats.AdoptedAncestorProp))
+    assert(TableStats.fromProperties(props)("id").ndv >= 7)
+    // and the NEXT incremental call is a genuine increment again
+    val dst = LakehouseTable.load(cat2, spark, "ns", "ddst")
+    dst.append(fixture().withColumn("id", $"id" + 100))
+    val out2 = spark.sql(
+      "CALL gdeg.system.analyze_table('ns', 'ddst', '', '', true)").head()
+    assert(out2.getLong(0) == dst.currentSnapshotId)
+    assert(TableStats.fromProperties(cat2.loadTable("ns", "ddst")
+      .properties)("id").ndv >= 11)
+  }
+
   test("stats tier runs unchanged on the JDBC catalog backend") {
     val dir = Files.createTempDirectory("graft-stats-jdbc").toString
     val cat = new graft.catalog.JdbcCatalog(

@@ -90,6 +90,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // DELETE … WHERE k IN (SELECT …) → equality-delete tier (must run
     // during resolution, before the analyzer's DML rewrite)
     ext.injectResolutionRule(s => graft.sql.EqDeleteRoute(s))
+    // re-attach list/map interior field ids onto PRUNED scan schemas
+    // (interior-renamed tables keep nested pruning — see the rule doc)
+    ext.injectColumnar(s => graft.sql.InteriorIdRestoreRule(s))
     GraftFunctions.builders.foreach { case (name, b) =>
       ext.injectFunction((
         new org.apache.spark.sql.catalyst.FunctionIdentifier(name),

@@ -222,7 +222,7 @@ private[sql] final class GraftSqlTable(
         graft.types.FieldIds.StatsUnsafeProp),
       orderedEntries = orderedEntries,
       ndvStats = graft.table.TableStats.fromProperties(tableProps),
-      interiorFullRead = tableProps
+      interiorById = tableProps
         .get(graft.types.FieldIds.InteriorByIdProp).contains("true"))
   /** `INSERT INTO` appends; `INSERT OVERWRITE` (truncate-then-append in
     * Spark's plan) lands as ONE conditional overwrite commit — the
@@ -962,7 +962,7 @@ private[sql] final class GraftScanBuilder(
     statsUnsafe: Set[String] = Set.empty,
     orderedEntries: Seq[DataFileEntry] = Seq.empty,
     ndvStats: Map[String, graft.table.TableStats.ColNdv] = Map.empty,
-    interiorFullRead: Boolean = false)
+    interiorById: Boolean = false)
     extends ScanBuilder
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -1053,33 +1053,23 @@ private[sql] final class GraftScanBuilder(
   override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     Array.empty
 
-  /** Interior-by-id tables ([[graft.types.FieldIds.InteriorByIdProp]])
-    * widen any pruned LIST/MAP-bearing root back to its FULL field from
-    * the table schema: Spark's nested schema pruning rebuilds the
-    * requested schema WITHOUT interior field-id metadata, so honoring
-    * the pruned shape would silently null renamed interior leaves of
-    * old files. Column pruning is advisory in DSv2 — Spark projects the
-    * narrow shape on top of the widened scan output, so plans stay
-    * correct; the cost is reading the full interior subtree, the
-    * documented price of an interior rename. Struct-only chains keep
-    * full pruning (Spark preserves their id metadata). */
+  /** Interior-by-id tables ([[graft.types.FieldIds.InteriorByIdProp]]):
+    * Spark's nested schema pruning hands this builder a requested
+    * schema WITHOUT interior field-id metadata, and honoring it as-is
+    * would silently null renamed interior leaves of old files. Round
+    * 16: the ids are RE-ATTACHED onto the pruned shape (path-keyed
+    * from the interior-stamped table schema — a no-op for pruned-away
+    * members), so the delegated ParquetScan's read schema keeps the
+    * PRUNED shape and resolves the requested members BY ID against old
+    * and new files alike — an interior rename no longer costs nested
+    * pruning (r15 widened interior-bearing roots to full subtrees
+    * here). Struct-only chains never needed this (Spark preserves
+    * their id metadata through pruning). */
   override def pruneColumns(requiredSchema: StructType): Unit =
     required =
-      if (!interiorFullRead) requiredSchema
-      else {
-        def interiorBearing(dt: org.apache.spark.sql.types.DataType): Boolean =
-          dt match {
-            case _: org.apache.spark.sql.types.ArrayType |
-                 _: org.apache.spark.sql.types.MapType => true
-            case st: StructType => st.fields.exists(f => interiorBearing(f.dataType))
-            case _ => false
-          }
-        StructType(requiredSchema.fields.map { f =>
-          if (!interiorBearing(f.dataType)) f
-          else tableSchema.fields
-            .find(_.name.equalsIgnoreCase(f.name)).getOrElse(f)
-        })
-      }
+      if (!interiorById) requiredSchema
+      else graft.types.FieldIds.attachInterior(requiredSchema,
+        graft.types.FieldIds.collectInteriorIds(tableSchema))
 
   // ---- metadata-only aggregates ------------------------------------------
   // COUNT(*)/MIN/MAX are already IN the snapshot log (row counts and
@@ -1862,8 +1852,8 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
       SparkSession.active.conf.set(graft.types.FieldIds.ReadConf, "true")
     // an interior-renamed table additionally attaches its LIST/MAP
     // interior ids so scans resolve interior struct members by id (the
-    // scan builder widens interior-bearing roots to full subtrees —
-    // see GraftScanBuilder.pruneColumns)
+    // scan builder re-attaches them onto pruned requested schemas —
+    // see GraftScanBuilder.pruneColumns; nested pruning is kept)
     val servedSchema =
       if (!meta.properties.get(graft.types.FieldIds.InteriorByIdProp)
           .contains("true")) meta.schema

@@ -168,9 +168,11 @@ object EqDeletes {
     * subtraction — metadata columns must be selected inside each read. */
   def readSubtracted(spark: SparkSession, readSchema: StructType,
       segs: Seq[(Seq[DataFileEntry], Seq[DataFileEntry])],
-      withMeta: Boolean): DataFrame = {
+      withMeta: Boolean,
+      readerOptions: Map[String, String] = Map.empty): DataFrame = {
     val parts = segs.map { case (data, eqDels) =>
-      val base0 = spark.read.schema(readSchema).parquet(data.map(_.path): _*)
+      val base0 = spark.read.schema(readSchema).options(readerOptions)
+        .parquet(data.map(_.path): _*)
       val base = if (!withMeta) base0
         else base0.select(col("*"),
           col("_metadata.file_path").as("__scan_file"),

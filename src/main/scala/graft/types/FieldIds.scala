@@ -56,16 +56,33 @@ object FieldIds {
 
   /** Table property: "true" once a LIST/MAP INTERIOR field has been
     * renamed (round 15). The table's reads then resolve interior
-    * struct members BY ID — which requires requesting the FULL
-    * interior subtree with id metadata attached (Spark's nested schema
-    * pruning rebuilds pruned read schemas WITHOUT interior field-id
-    * metadata, the FieldEvolutionSpec pin): the table-API scan builds
-    * on a session clone with nested pruning disabled, and the SQL
-    * scan builder widens interior-bearing roots back to their full
-    * subtree. The cost — interior subtrees stop nested-pruning on this
-    * table — is the price of serving old files' values under the new
-    * name; tables that never rename an interior keep full pruning. */
+    * struct members BY ID. Spark's nested schema pruning rebuilds
+    * pruned read schemas WITHOUT interior field-id metadata (the
+    * FieldEvolutionSpec pin), so the ids must return to the pruned
+    * shape before the parquet reader sees it — round 16 does exactly
+    * that and KEEPS full nested pruning: the table-API scan stamps the
+    * id map into the reader options and
+    * [[graft.sql.InteriorIdRestoreRule]] re-attaches it post-pruning;
+    * the SQL scan builder re-attaches onto the pruned requested schema
+    * directly (GraftScanBuilder.pruneColumns). Sessions WITHOUT the
+    * graft extensions fall back to the round-15 contract for the
+    * table API — a session clone with nested pruning disabled
+    * requesting full interior subtrees — trading read width for
+    * correctness, never correctness. */
   val InteriorByIdProp = "graft.interior-by-id"
+
+  /** Parquet READER option carrying an interior-id map (encoded like
+    * the registry) on scans of an interior-renamed table. Spark's
+    * nested schema pruning drops interior field-id metadata from the
+    * pruned read schema (the FieldEvolutionSpec pin); the option rides
+    * the relation into the physical plan, where
+    * [[graft.sql.InteriorIdRestoreRule]] re-attaches the ids onto the
+    * PRUNED schema — so interior-renamed tables keep full nested
+    * pruning (round 16; r15 shipped the correct-but-widened
+    * full-subtree fallback, which remains for sessions without the
+    * graft extensions). Lowercase: reader options are case-insensitive
+    * and the relation records them as given. */
+  val InteriorOptKey = "graft.interiorids"
 
   def namesSet(props: Map[String, String], key: String): Set[String] =
     props.get(key).toSeq.flatMap(_.split(',')).filter(_.nonEmpty).toSet
@@ -257,6 +274,31 @@ object FieldIds {
     }
     StructType(schema.fields.map(f =>
       f.copy(dataType = walk(f.dataType, f.name))))
+  }
+
+  /** Inverse of [[attachInterior]]: every interior struct-member id
+    * stamped in the schema, keyed by name-mapping path — how the DSv2
+    * scan builder recovers the map from its (interior-attached) table
+    * schema to re-stamp a pruned requested schema. */
+  def collectInteriorIds(schema: StructType): Map[String, Int] = {
+    val out = scala.collection.mutable.Map.empty[String, Int]
+    def walk(dt: org.apache.spark.sql.types.DataType, path: String,
+        below: Boolean): Unit = dt match {
+      case st: StructType => st.fields.foreach { f =>
+        val p = s"$path.${f.name}"
+        if (below && f.metadata.contains(MetaKey))
+          out(p) = f.metadata.getLong(MetaKey).toInt
+        walk(f.dataType, p, below)
+      }
+      case a: org.apache.spark.sql.types.ArrayType =>
+        walk(a.elementType, s"$path.element", below = true)
+      case m: org.apache.spark.sql.types.MapType =>
+        walk(m.keyType, s"$path.key", below = true)
+        walk(m.valueType, s"$path.value", below = true)
+      case _ => ()
+    }
+    schema.fields.foreach(f => walk(f.dataType, f.name, below = false))
+    out.toMap
   }
 
   def encode(reg: Map[String, Int]): String =

@@ -814,19 +814,21 @@ class FieldEvolutionSpec extends SparkSpec {
   }
 
   test("PIN: Spark prunes away interior field-id metadata — interior reads must widen to full subtrees") {
-    // Why interior-renamed tables read FULL subtrees (SURVEY §8.5):
-    // Spark's parquet machinery WRITES interior struct-field ids and
-    // FULL reads resolve them by id — but nested schema PRUNING
-    // rebuilds the requested schema without the interior metadata, so
-    // a pruned read (`select arr.aa`) falls back to by-NAME matching,
-    // which under an interior RENAME silently NULLS the leaf for every
-    // old file. Round 15's renameInteriorField therefore flips the
-    // table to full-subtree-with-ids requests (readSession /
-    // GraftScanBuilder.pruneColumns widening) instead of trusting the
-    // pruned shape. This pin keeps all three underlying facts honest;
-    // if a Spark upgrade starts preserving the metadata, the last
-    // assertion FAILS and flags that the widening workaround (and its
-    // read-amplification cost) can be retired.
+    // Why interior-renamed tables need POST-PRUNING id restoration
+    // (SURVEY §8.5): Spark's parquet machinery WRITES interior
+    // struct-field ids and FULL reads resolve them by id — but nested
+    // schema PRUNING rebuilds the requested schema without the
+    // interior metadata, so a raw pruned read (`select arr.aa`) falls
+    // back to by-NAME matching, which under an interior RENAME
+    // silently NULLS the leaf for every old file. Round 15 widened to
+    // full-subtree-with-ids requests; round 16 keeps pruning and
+    // re-attaches the ids where pruning has already run
+    // (InteriorIdRestoreRule on the physical scan,
+    // GraftScanBuilder.pruneColumns on the DSv2 path — the extension-
+    // less table-API fallback still widens). This pin keeps the
+    // underlying facts honest; if a Spark upgrade starts preserving
+    // the metadata, the last assertion FAILS and flags that the whole
+    // restoration layer can be retired.
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     def md(id: Long) = new MetadataBuilder()
@@ -902,6 +904,30 @@ class FieldEvolutionSpec extends SparkSpec {
       .orderBy("id").collect()
     assert(prunedArr(0).getSeq[Int](1) == Seq(5, 6),
       s"pruned array read must serve by id: ${prunedArr.toSeq}")
+    // round 16 (VERDICT r15 #2): the pruned TABLE-API plan must keep
+    // NESTED pruning — the physical scan requests ONLY the asked-for
+    // interior leaf, with its field id restored post-pruning
+    // (InteriorIdRestoreRule), never the full subtree the r15 fallback
+    // widened to
+    locally {
+      val df = tbl.scan().select(col("arr.aa"))
+      df.collect() // force preparation (the restore rule runs there)
+      val scan = df.queryExecution.executedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.getOrElse(fail("no FileSourceScanExec in the pruned plan"))
+      val arrField = scan.requiredSchema.fields.find(_.name == "arr")
+        .getOrElse(fail(s"arr missing from ${scan.requiredSchema}"))
+      val elem = arrField.dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      assert(elem.fieldNames.toSeq == Seq("aa"),
+        s"interior-renamed scan must stay nested-PRUNED, got $elem")
+      assert(elem.fields.head.metadata.contains(FieldIds.MetaKey),
+        "the pruned leaf must carry its restored field id")
+      assert(!scan.requiredSchema.fieldNames.contains("m") &&
+        !scan.requiredSchema.fieldNames.contains("id"),
+        s"top-level pruning must survive: ${scan.requiredSchema.fieldNames.toSeq}")
+    }
     val prunedMap = tbl.scan()
       .select(col("id"), col("m")("k")("vv").as("mv"))
       .orderBy("id").collect()
@@ -934,17 +960,30 @@ class FieldEvolutionSpec extends SparkSpec {
       sqlMap.toSeq.toString)
     assert(spark.sql("SELECT SUM(x.aa) FROM gint.ns.ti " +
       "LATERAL VIEW explode(arr) AS x").head().getLong(0) == 5 + 6 + 8 + 7)
-    // the widening is SURGICAL: the interior-bearing root reads full,
-    // but COLUMN pruning of everything else survives — an
-    // interior-renamed table must not regress to full-schema scans
+    // plan audit, SQL path: column pruning AND nested pruning both
+    // survive the interior rename (round 16 — the r15 shape widened
+    // interior-bearing roots to their full subtree; now the pruned
+    // shape keeps only the requested leaf, id re-attached)
     val rel = spark.sql("SELECT arr.aa FROM gint.ns.ti").queryExecution
       .optimizedPlan.collectFirst {
         case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
       }.get
-    val readCols = rel.scan.readSchema().fieldNames.toSeq
+    val readSchema = rel.scan.readSchema()
+    val readCols = readSchema.fieldNames.toSeq
     assert(readCols.contains("arr") && !readCols.contains("m") &&
       !readCols.contains("id"),
-      s"interior widening must keep top-level column pruning: $readCols")
+      s"interior-renamed SQL scan must keep top-level column pruning: $readCols")
+    readSchema.fields.find(_.name == "arr").foreach { arrField =>
+      arrField.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+            st: org.apache.spark.sql.types.StructType, _) =>
+          assert(st.fieldNames.toSeq == Seq("aa"),
+            s"interior-renamed SQL scan must keep NESTED pruning, got $st")
+          assert(st.fields.head.metadata.contains(FieldIds.MetaKey),
+            "the pruned leaf must carry its re-attached field id")
+        case other => fail(s"unexpected arr type $other")
+      }
+    }
     // refusals: fixed interior tokens; struct-chain paths belong to
     // renameStructField; unknown fields
     val e1 = intercept[IllegalArgumentException](

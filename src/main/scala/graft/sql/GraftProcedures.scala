@@ -34,7 +34,7 @@ private[sql] object GraftProcedures {
       "update_partition_spec", "rewrite_data_files", "rewrite_delete_files",
       "create_changelog_view", "merge_delta",
       "iceberg_export", "iceberg_import", "iceberg_refresh",
-      "iceberg_register_rest", "analyze_table")
+      "iceberg_register_rest", "analyze_table", "enable_row_lineage")
 
   def load(catName: String, name: String, backing: Catalog): UnboundProcedure =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -92,6 +92,24 @@ private[sql] object GraftProcedures {
         row(tbl.currentSnapshotId, summary.size,
           UTF8String.fromString(
             graft.table.TableStats.encodeSummary(summary)))
+      }
+      case "enable_row_lineage" => proc(name,
+        "flip the table to native Iceberg-v3 row lineage: history is " +
+          "backfilled in listing order (metadata-only) and every " +
+          "subsequent commit assigns first_row_id/data-sequence — " +
+          "_row_id/_last_updated_sequence_number then serve via " +
+          "scanLineage() and the <table>.lineage relation",
+        Seq("ns" -> StringType, "tbl" -> StringType),
+        StructType(Seq(
+          StructField("next_row_id", LongType, nullable = false),
+          StructField("snapshot_id", LongType, nullable = false)))) { in =>
+        val (ns, t) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString)
+        val tbl = LakehouseTable.load(backing, SparkSession.active, ns, t)
+        tbl.enableRowLineage()
+        val next = backing.currentSnapshot(ns, t)
+          .flatMap(_.summary.get(graft.catalog.Snaplog.NextRowIdKey))
+          .flatMap(_.toLongOption).getOrElse(0L)
+        row(next, tbl.currentSnapshotId)
       }
       case "expire_snapshots" => proc(name,
         "drop history older than the last N snapshots (refs pin their targets)",

@@ -2240,9 +2240,57 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
                 s.maxLen.map(Long.box).orNull, snapId)
             }.toArray
         }))
+      // DATA-sized (unlike the LocalScan kinds above): the table's
+      // current content plus the v3 row-lineage columns, served
+      // through the same scanLineage the table API exposes — the
+      // SQL-only user's `SELECT …, _row_id FROM cat.ns.t.lineage`.
+      // Refuses (loudly, at scan time) on tables without lineage
+      // assignments, exactly like the API.
+      case "lineage" =>
+        val meta = backing.loadTable(ns, t)
+        val lineageSchema = StructType(
+          graft.types.FieldIds.strip(meta.schema).fields ++ Seq(
+            StructField("_row_id", LongType, nullable = false),
+            StructField("_last_updated_sequence_number", LongType,
+              nullable = false)))
+        Some(new GraftDfTable(
+          s"$catName.$ns.$t.lineage", lineageSchema,
+          () => graft.table.LakehouseTable
+            .load(backing, SparkSession.active, ns, t).scanLineage()))
       case _ => None
     }
   }
+}
+
+/** A DATA-sized derived relation (the `.lineage` kind): a DSv2 table
+  * whose scan bridges to the DataFrame the table API serves, through
+  * the same V1Scan shape the MOR relation uses. Filters/projections
+  * stay residual — Spark evaluates them above; the inner DataFrame's
+  * own plan keeps its scan-level pushdown. */
+private[sql] final class GraftDfTable(
+    fullName: String,
+    dfSchema: StructType,
+    dfFn: () => org.apache.spark.sql.DataFrame)
+    extends Table with SupportsRead {
+  override def name(): String = fullName
+  override def schema(): StructType = dfSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = dfSchema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = dfSchema
+            override def buildScan(): org.apache.spark.rdd.RDD[Row] =
+              dfFn().select(dfSchema.fieldNames.toIndexedSeq.map(col): _*).rdd
+          }.asInstanceOf[T]
+        override def description(): String = s"GraftDfScan[$fullName]"
+      }
+    }
 }
 
 /** A driver-computed metadata relation planned as a local scan — rows

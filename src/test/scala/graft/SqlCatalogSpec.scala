@@ -1391,6 +1391,48 @@ class SqlCatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql("SELECT * FROM gsqlmeta.ns.m.nope").collect() }
   }
 
+  test("SQL row lineage: CALL enable_row_lineage + the .lineage relation") {
+    // round 16: the SQL-only user's lineage lifecycle — enable (with
+    // history backfill) via CALL, read _row_id /
+    // _last_updated_sequence_number via the data-sized `.lineage`
+    // relation, and commit-time assignment continues through SQL
+    // INSERT.
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-sqllin").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "ln", fixture().schema)
+    tbl.append(fixture().repartition(1).sortWithinPartitions("id"))
+    tbl.append(fixture().withColumn("id", $"id" + 10)
+      .repartition(1).sortWithinPartitions("id"))
+    spark.conf.set("spark.sql.catalog.gsqlln", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlln.warehouse", wh)
+    // refuses loudly before lineage exists
+    val e = intercept[Throwable](
+      spark.sql("SELECT * FROM gsqlln.ns.ln.lineage").collect())
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("row-lineage"))), e.toString)
+    val pr = spark.sql("CALL gsqlln.system.enable_row_lineage('ns', 'ln')")
+      .head()
+    assert(pr.getLong(0) == 8L, pr.toString) // next_row_id after backfill
+    val rows = spark.sql("""SELECT id, _row_id,
+        _last_updated_sequence_number
+      FROM gsqlln.ns.ln.lineage ORDER BY _row_id""").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.map(_._2) == (0L to 7L), rows.toString)
+    assert(rows.take(4).map(_._1) == Seq(1, 2, 3, 4) &&
+      rows.drop(4).map(_._1) == Seq(11, 12, 13, 14), rows.toString)
+    assert(rows.take(4).forall(_._3 == 1L) &&
+      rows.drop(4).forall(_._3 == 2L), rows.toString)
+    // a SQL INSERT after the flip assigns at commit
+    spark.sql(
+      "INSERT INTO gsqlln.ns.ln VALUES (21, 'Z', CAST(1.0 AS FLOAT), 5)")
+    val ins = spark.sql("""SELECT _row_id, _last_updated_sequence_number
+      FROM gsqlln.ns.ln.lineage WHERE id = 21""").head()
+    assert(ins.getLong(0) == 8L && ins.getLong(1) == 3L, ins.toString)
+  }
+
   test("catalog-table joins broadcast small dimensions with pushdown intact") {
     val wh = Files.createTempDirectory("graft-sqljoin").toString
     val cat = new Snaplog(wh)

@@ -616,7 +616,8 @@ trait Catalog {
             .maxOption.getOrElse(0L))
         var next = base
         val out = files.map { f =>
-          if (f.deleteFile.contains(true) || f.firstRowId.isDefined) f
+          if (f.deleteFile.contains(true) || f.firstRowId.isDefined ||
+              f.lineageInFile.contains(true)) f
           else {
             val fr = next; next += f.rowCount
             f.copy(firstRowId = Some(fr), dataSeq = Some(snapshotId))
@@ -674,7 +675,9 @@ trait Catalog {
     var changed = false
     val rewritten = all.map { s =>
       val fs = s.files.map { f =>
-        if (!isData(f)) f
+        // a materialized-lineage file carries its ids IN the data —
+        // nothing to assign, ranges untouched
+        if (!isData(f) || f.lineageInFile.contains(true)) f
         else byPath.get(f.path) match {
           case Some((fr, seq))
             if !f.firstRowId.contains(fr) || !f.dataSeq.contains(seq) =>

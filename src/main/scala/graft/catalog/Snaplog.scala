@@ -49,6 +49,14 @@ case class ColBounds(min: String, max: String)
   * [[Snaplog.RowLineageProp]] table (assigned at commit, round 16),
   * and on files stamped by [[Catalog#assignRowLineage]] (a v3 export's
   * persistence pass); absent on plain tables' files. */
+/** `lineageInFile = Some(true)` (round 16) marks a data file whose
+  * rows carry MATERIALIZED `_row_id`/`_last_updated_sequence_number`
+  * columns — the v3 spec's carry mechanism for rewrites: a compaction
+  * of a row-lineage table writes the ids INTO the new files (under the
+  * spec's reserved field ids), so surviving rows keep their identity
+  * across the rewrite. Such entries have no `firstRowId` (readers take
+  * the column value, which the spec gives precedence per row) and are
+  * skipped by every assignment pass. */
 case class DataFileEntry(
     path: String,
     rowCount: Long,
@@ -59,7 +67,8 @@ case class DataFileEntry(
     nullCounts: Option[Map[String, Long]] = None,
     equalityKey: Option[String] = None,
     firstRowId: Option[Long] = None,
-    dataSeq: Option[Long] = None)
+    dataSeq: Option[Long] = None,
+    lineageInFile: Option[Boolean] = None)
 
 /** One commit. `operation` ∈ append | overwrite | add_files — the three
   * commit kinds the reference exercises (`table.append`

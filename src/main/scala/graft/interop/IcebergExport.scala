@@ -649,7 +649,8 @@ object IcebergExport {
     // and a refresh adopting higher source ids would renumber native
     // rows under external readers' feet. Idempotent; metadata-only.
     if (formatVersion >= 3 && cat.snapshots(ns, name).exists(_.files.exists(
-        f => !f.deleteFile.contains(true) && f.firstRowId.isEmpty)))
+        f => !f.deleteFile.contains(true) && f.firstRowId.isEmpty &&
+          !f.lineageInFile.contains(true))))
       cat.assignRowLineage(ns, name)
     val allSnaps = cat.snapshots(ns, name)
       .filterNot(graft.catalog.Snaplog.isWapStaged)
@@ -827,7 +828,7 @@ object IcebergExport {
       val manifestFp = md5(Seq(formatVersion, schemaJson, specJson,
         s.snapshotId).mkString("|") + "|" +
         live.map(f => Seq(f.path, seqOf(f.path), f.rowCount, f.sizeBytes,
-          f.firstRowId.getOrElse(-1L),
+          f.firstRowId.getOrElse(-1L), f.lineageInFile.contains(true),
           f.partitionValues.toSeq.sorted.mkString(",")).mkString("^"))
           .mkString(";"))
       writeAvroStable(metaDir.resolve(manifestName), entrySchema,
@@ -997,13 +998,15 @@ object IcebergExport {
       allSnaps.map { sn =>
         val mine = maxAssigned + unassigned
         unassigned += sn.files.filterNot(_.deleteFile.contains(true))
-          .filter(_.firstRowId.isEmpty).map(_.rowCount).sum
+          .filter(f => f.firstRowId.isEmpty && !f.lineageInFile.contains(true))
+          .map(_.rowCount).sum
         sn.snapshotId -> mine
       }.toMap
     }
     val nextRowId: Long = maxAssigned + allSnaps
       .flatMap(_.files.filterNot(_.deleteFile.contains(true)))
-      .filter(_.firstRowId.isEmpty).map(_.rowCount).sum
+      .filter(f => f.firstRowId.isEmpty && !f.lineageInFile.contains(true))
+      .map(_.rowCount).sum
     // ANALYZE statistics (spec `statistics` field): the native stats
     // file IS a spec-shaped puffin of `apache-datasketches-theta-v1`
     // blobs whose field ids are the registry ids — the same ids this

@@ -761,13 +761,20 @@ object IcebergImport {
     * keep their original assignment. Explicit per-file values (a
     * writer that materialized `first_row_id` into the data_file
     * struct) take precedence at the walkSnapshot capture site, not
-    * here. Returns None when the tree carries no lineage (v2, or a v3
-    * tree whose snapshots omit `first-row-id`) — lineage is then
-    * simply not served, never guessed. Cost: one metadata walk per
-    * source snapshot, the per-snapshot-replay price, paid only on
-    * v3-lineage trees at register/refresh time. */
-  private def rowLineage(tree: Tree)(implicit fmts: Formats)
-      : Option[Map[String, Long]] = {
+    * here. A file with NO explicit value whose footer physically
+    * carries a `_row_id` column is a REWRITE-MATERIALIZED file (the
+    * spec's compaction carry; per-row column values take precedence
+    * over any inherited range) — it lands in the returned set, gets no
+    * assignment, and consumes nothing from the range, matching the
+    * exporter's accounting. Returns None when the tree carries no
+    * lineage (v2, or a v3 tree whose snapshots omit `first-row-id`) —
+    * lineage is then simply not served, never guessed. Cost: one
+    * metadata walk per source snapshot plus one footer probe per
+    * unexplicit file, paid only on v3-lineage trees at
+    * register/refresh time. */
+  private def rowLineage(spark: SparkSession, tree: Tree)
+      (implicit fmts: Formats)
+      : Option[(Map[String, Long], Set[String])] = {
     if (tree.formatVersion < 3) return None
     val snaps = tree.snapshots.sortBy(s =>
       (s \ "sequence-number").extractOpt[Long].getOrElse(0L))
@@ -775,6 +782,7 @@ object IcebergImport {
         !snaps.forall(s => (s \ "first-row-id").extractOpt[Long].isDefined))
       return None
     var assigned = Map.empty[String, Long]
+    var materialized = Set.empty[String]
     var seen = Set.empty[String]
     snaps.foreach { s =>
       val sid = (s \ "snapshot-id").extract[Long]
@@ -783,7 +791,8 @@ object IcebergImport {
         .filter(mfContent(_) == 0)
       allEntries(dataManifests).foreach { case (e, _) =>
         val df = e.get("data_file").asInstanceOf[GenericRecord]
-        val p = normalizePath(df.get("file_path").toString)
+        val raw = df.get("file_path").toString
+        val p = normalizePath(raw)
         if (!seen(p)) {
           seen += p
           // a file carrying an EXPLICIT (writer-materialized)
@@ -794,13 +803,18 @@ object IcebergImport {
           val explicit = df.getSchema.getField("first_row_id") != null &&
             df.get("first_row_id") != null
           if (!explicit) {
-            assigned += p -> ctr
-            ctr += df.get("record_count").asInstanceOf[Long]
+            if (graft.types.FieldIds.fileContainsPath(spark, raw,
+                Seq(graft.types.FieldIds.RowIdCol)))
+              materialized += p
+            else {
+              assigned += p -> ctr
+              ctr += df.get("record_count").asInstanceOf[Long]
+            }
           }
         }
       }
     }
-    Some(assigned)
+    Some((assigned, materialized))
   }
 
   private def walkPathSets(tree: Tree, snapshotId: Long)
@@ -1113,12 +1127,15 @@ object IcebergImport {
     val walked0 = walkSnapshot(spark, tree, tree.currentId, statFooters)
     // v3 row lineage: fill inheritance-assigned first-row-ids for
     // entries without an explicit (writer-materialized) value
-    val walked = rowLineage(tree) match {
-      case Some(ln) => walked0.copy(dataWithSeq = walked0.dataWithSeq.map {
-        case (e, seq) if e.firstRowId.isEmpty =>
-          (e.copy(firstRowId = ln.get(e.path)), seq)
-        case x => x
-      })
+    val walked = rowLineage(spark, tree) match {
+      case Some((ln, mat)) =>
+        walked0.copy(dataWithSeq = walked0.dataWithSeq.map {
+          case (e, seq) if e.firstRowId.isEmpty && mat(e.path) =>
+            (e.copy(lineageInFile = Some(true)), seq)
+          case (e, seq) if e.firstRowId.isEmpty =>
+            (e.copy(firstRowId = ln.get(e.path)), seq)
+          case x => x
+        })
       case None => walked0
     }
     val files = walked.dataWithSeq.map(_._1)
@@ -1855,11 +1872,14 @@ object IcebergImport {
     // v3 row lineage carries through refresh: files the source added
     // since the watermark take their inheritance-assigned first-row-ids
     // (explicit writer-materialized values already captured in the walk)
-    lazy val rowIds = rowLineage(tree)
+    lazy val rowIds = rowLineage(spark, tree)
     val dataAdded = cur.dataWithSeq.filterNot(e => wmData(e._1.path))
       .map {
+        case (e, seq) if e.firstRowId.isEmpty &&
+            rowIds.exists(_._2(e.path)) =>
+          (e.copy(lineageInFile = Some(true)), seq)
         case (e, seq) if e.firstRowId.isEmpty && rowIds.isDefined =>
-          (e.copy(firstRowId = rowIds.get.get(e.path)), seq)
+          (e.copy(firstRowId = rowIds.get._1.get(e.path)), seq)
         case x => x
       }
     val dataRemoved = wmData -- cur.dataPlainPaths
@@ -1979,7 +1999,7 @@ object IcebergImport {
       headAtEntry: Option[Long], statFooters: Boolean)
       (implicit fmts: Formats): Option[RefreshReport] = {
     val chain = lineage(tree, watermark)
-    lazy val rowIds = rowLineage(tree)
+    lazy val rowIds = rowLineage(spark, tree)
     val tableById = meta0.schema.fields.exists(
       _.metadata.contains(graft.types.FieldIds.MetaKey))
     var (prevData, prevDels) = walkPathSets(tree, watermark)
@@ -1996,8 +2016,11 @@ object IcebergImport {
         return None // rewrite: remainder lands as the delta path's reset
       val dataAdded = cur.dataWithSeq.filterNot(e => prevData(e._1.path))
         .map {
+          case (e, seq) if e.firstRowId.isEmpty &&
+              rowIds.exists(_._2(e.path)) =>
+            (e.copy(lineageInFile = Some(true)), seq)
           case (e, seq) if e.firstRowId.isEmpty && rowIds.isDefined =>
-            (e.copy(firstRowId = rowIds.get.get(e.path)), seq)
+            (e.copy(firstRowId = rowIds.get._1.get(e.path)), seq)
           case x => x
         }
       val posAdded = cur.posPlans.filterNot(p => prevDels(p.path))

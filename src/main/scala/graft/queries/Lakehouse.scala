@@ -2823,6 +2823,11 @@ object Lakehouse {
         tbl.deleteMor(col("o_orderkey") % 9 === 4)
         tbl.append(oneSortedFile(orders.filter(col("o_orderkey") % 9 === 4)
           .withColumn("o_totalprice", col("o_totalprice") * 2)))
+        // COMPACTION preserves identity: the rewrite MATERIALIZES the
+        // lineage columns into the new files (reserved v3 field ids),
+        // so the aggregates below — and the oracle — are unchanged by
+        // it, and the export leg publishes a materialized tree
+        tbl.compact()
         val native = tbl.scanLineage()
         // round-trip: the exported v3 tree serves the SAME ids back
         val dest = Paths.get(whDir, "ice_nl")
@@ -2867,6 +2872,52 @@ object Lakehouse {
           CAST(MAX(rid) AS BIGINT) AS max_row_id,
           CAST(SUM(rid) AS BIGINT) AS sum_row_id,
           TRUE AS rt_ids
+        FROM live GROUP BY seq ORDER BY seq""")),
+
+    // SQL surface of native row lineage (round 16): CALL
+    // system.enable_row_lineage backfills a live table's history in
+    // listing order (metadata-only at any table size), and the
+    // `<table>.lineage` relation serves the content with
+    // `_row_id`/`_last_updated_sequence_number` — the SQL-only user's
+    // whole lineage lifecycle, no table-API call anywhere. The DuckDB
+    // oracle reconstructs the listing-order assignment via ROW_NUMBER.
+    QueryDef("lake_sql_lineage",
+      (s, d) => {
+        val whDir = wh("lake_sql_lineage", d)
+        val cat = new Snaplog(whDir)
+        val orders = t(s, d, "orders").select(
+          col("o_orderkey"), col("o_totalprice"))
+        def oneSortedFile(df: DataFrame) =
+          df.repartition(1).sortWithinPartitions("o_orderkey")
+        val tbl = LakehouseTable.create(cat, s, "lake", "orders_sl",
+          orders.schema)
+        tbl.append(oneSortedFile(orders.filter(col("o_orderkey") % 2 === 0)))
+        tbl.append(oneSortedFile(orders.filter(col("o_orderkey") % 2 === 1)))
+        val cn = sqlCatalog(s, "glin", whDir)
+        val pr = s.sql(
+          s"CALL $cn.system.enable_row_lineage('lake', 'orders_sl')").head()
+        s.sql(
+          s"""SELECT _last_updated_sequence_number AS seq, COUNT(*) AS n,
+            MIN(_row_id) AS min_row_id, MAX(_row_id) AS max_row_id,
+            SUM(_row_id) AS sum_row_id
+          FROM $cn.lake.orders_sl.lineage
+          GROUP BY _last_updated_sequence_number ORDER BY seq""")
+          .withColumn("next_row_id", lit(pr.getLong(0)))
+      },
+      Some("""WITH e1 AS (SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+          FROM orders WHERE o_orderkey % 2 = 0),
+        n1 AS (SELECT COUNT(*) AS c FROM e1),
+        e2 AS (SELECT (SELECT c FROM n1) +
+            ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+          FROM orders WHERE o_orderkey % 2 = 1),
+        n2 AS (SELECT COUNT(*) AS c FROM e2),
+        live AS (SELECT 1 AS seq, rid FROM e1
+          UNION ALL SELECT 2, rid FROM e2)
+        SELECT CAST(seq AS BIGINT) AS seq, COUNT(*) AS n,
+          CAST(MIN(rid) AS BIGINT) AS min_row_id,
+          CAST(MAX(rid) AS BIGINT) AS max_row_id,
+          CAST(SUM(rid) AS BIGINT) AS sum_row_id,
+          (SELECT c FROM n1) + (SELECT c FROM n2) AS next_row_id
         FROM live GROUP BY seq ORDER BY seq""")),
 
     // Iceberg v3 export with initial-default (round 13): a DEFAULTED

@@ -87,25 +87,33 @@ final class LakehouseTable(
     * on NATIVE tables under [[graft.catalog.Snaplog.RowLineageProp]]
     * (round 16 — every commit assigns; [[enableRowLineage]] backfills
     * a live table). Files without an assignment refuse loudly rather
-    * than serve guessed ids. One caveat mirrors the format's intent
-    * imperfectly: a COMPACTION rewrites surviving rows into new files,
-    * which re-assigns their ids (graft never materializes `_row_id`
-    * into data files, the spec's carry mechanism) — ids are stable
-    * under append/delete/upsert, not across compact(). Scale: the
-    * per-file (first_row_id, seq) map is file-count-sized and
-    * broadcast; the row-id arithmetic is a codegen'd column expression
-    * on the scan. */
-  def scanLineage(): DataFrame = {
+    * than serve guessed ids. Rewrites PRESERVE identity the way the v3
+    * spec's writers do: a compaction of a row-lineage table
+    * MATERIALIZES `_row_id`/`_last_updated_sequence_number` into the
+    * rewritten files (reserved field ids), and the read coalesces the
+    * physical column first — so ids are stable under append, delete,
+    * upsert AND compact/rewrite. Scale: the per-file (first_row_id,
+    * seq) map is file-count-sized and broadcast; the row-id arithmetic
+    * is a codegen'd column expression on the scan; the physical-column
+    * read adds two long columns on rewritten files only (absent
+    * columns null-fill for free). */
+  def scanLineage(): DataFrame =
+    lineageFrame(catalog.liveEntriesOrdered(namespace, name, None), _ => true)
+
+  /** [[scanLineage]] over the entries `keep` selects — also the
+    * content source a row-lineage REWRITE materializes from. */
+  private def lineageFrame(ordered: Seq[DataFileEntry],
+      keep: DataFileEntry => Boolean): DataFrame = {
     import spark.implicits._
-    val ordered = catalog.liveEntriesOrdered(namespace, name, None)
-    val data = ordered.filterNot(_.deleteFile.contains(true))
+    import graft.types.FieldIds.{RowIdCol, LastUpdatedCol}
+    val data = ordered.filterNot(_.deleteFile.contains(true)).filter(keep)
     if (data.isEmpty)
       return spark.createDataFrame(java.util.Collections.emptyList[Row](),
         StructType(schema.fields ++ Seq(
-          StructField("_row_id", LongType, nullable = false),
-          StructField("_last_updated_sequence_number", LongType,
-            nullable = false))))
-    val missing = data.filter(e => e.firstRowId.isEmpty || e.dataSeq.isEmpty)
+          StructField(RowIdCol, LongType, nullable = false),
+          StructField(LastUpdatedCol, LongType, nullable = false))))
+    val missing = data.filter(e => !e.lineageInFile.contains(true) &&
+      (e.firstRowId.isEmpty || e.dataSeq.isEmpty))
     require(missing.isEmpty,
       s"$namespace.$name: ${missing.size} data file(s) carry no row-lineage " +
         "assignment — _row_id/_last_updated_sequence_number serve on " +
@@ -116,20 +124,43 @@ final class LakehouseTable(
     def canon(p: String): String =
       new HadoopPath(p.replaceFirst(LakehouseTable.PathSchemeRe, "/"))
         .toUri.getRawPath
-    val lookup = broadcast(data.map(e =>
-      (canon(e.path), e.firstRowId.get, e.dataSeq.get))
-      .toDF("__ln_file", "__ln_first", "__ln_seq"))
-    assembleOrderedMeta(ordered, _ => true, retainMeta = true)
-      .withColumn("__ln_path", regexp_replace(col("__scan_file"),
-        LakehouseTable.PathSchemeRe, "/"))
-      .join(lookup, col("__ln_path") === col("__ln_file"), "left")
-      .withColumn("_row_id",
+    // the read requests the MATERIALIZED lineage columns too (reserved
+    // v3 field ids): present in rewritten files, null-filled for plain
+    // ones — the coalesce below prefers the physical value per row,
+    // exactly the spec's precedence
+    def rmd(id: Long) = new MetadataBuilder()
+      .putLong(graft.types.FieldIds.MetaKey, id).build()
+    val ext = StructType(readSchema.fields ++ Seq(
+      StructField(RowIdCol, LongType, nullable = true,
+        rmd(graft.types.FieldIds.RowIdFieldId)),
+      StructField(LastUpdatedCol, LongType, nullable = true,
+        rmd(graft.types.FieldIds.LastUpdatedFieldId))))
+    val base = assembleOrderedMeta(ordered, keep, retainMeta = true,
+      schemaOverride = Some(ext))
+    val assigned = data.filter(e => !e.lineageInFile.contains(true))
+    val withLookup =
+      if (assigned.isEmpty)
+        base.withColumn("__ln_path", lit(null).cast("string"))
+          .withColumn("__ln_first", lit(null).cast("long"))
+          .withColumn("__ln_seq", lit(null).cast("long"))
+      else {
+        val lookup = broadcast(assigned.map(e =>
+          (canon(e.path), e.firstRowId.get, e.dataSeq.get))
+          .toDF("__ln_file", "__ln_first", "__ln_seq"))
+        base.withColumn("__ln_path", regexp_replace(col("__scan_file"),
+          LakehouseTable.PathSchemeRe, "/"))
+          .join(lookup, col("__ln_path") === col("__ln_file"), "left")
+          .drop("__ln_file")
+      }
+    withLookup
+      .withColumn(RowIdCol, coalesce(col(RowIdCol),
         when(col("__ln_first").isNull, raise_error(concat(
           lit("row lineage: no assignment found for scanned file "),
           col("__ln_path"), lit(" — path representation drift"))))
-          .otherwise(col("__ln_first") + col("__scan_pos")))
-      .withColumn("_last_updated_sequence_number", col("__ln_seq"))
-      .drop("__scan_file", "__scan_pos", "__ln_path", "__ln_file",
+          .otherwise(col("__ln_first") + col("__scan_pos"))))
+      .withColumn(LastUpdatedCol,
+        coalesce(col(LastUpdatedCol), col("__ln_seq")))
+      .drop("__scan_file", "__scan_pos", "__ln_path",
         "__ln_first", "__ln_seq")
   }
 
@@ -282,13 +313,15 @@ final class LakehouseTable(
     * the changelog's position-delete emission joins on them AFTER the
     * outstanding-vector subtraction has already run. */
   private def assembleOrderedMeta(ordered: Seq[DataFileEntry],
-      keep: DataFileEntry => Boolean, retainMeta: Boolean): DataFrame = {
+      keep: DataFileEntry => Boolean, retainMeta: Boolean,
+      schemaOverride: Option[StructType] = None): DataFrame = {
     val posDeletes = ordered.filter(EqDeletes.isPos)
     val segs = EqDeletes.segments(ordered, keep)
     if (segs.isEmpty)
       return spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
     val rs = readSession
-    val data = EqDeletes.readSubtracted(rs, readSchema, segs,
+    val data = EqDeletes.readSubtracted(rs,
+      schemaOverride.getOrElse(readSchema), segs,
       withMeta = posDeletes.nonEmpty || retainMeta,
       readerOptions = readOptions)
     if (posDeletes.isEmpty) data
@@ -897,6 +930,11 @@ final class LakehouseTable(
     * size (one log rewrite, zero data movement). Like renameTable, run
     * the flip without concurrent writers on this table; idempotent. */
   def enableRowLineage(): TableMetadata = {
+    require(!schema.fieldNames.exists(n =>
+      n.equalsIgnoreCase(graft.types.FieldIds.RowIdCol) ||
+        n.equalsIgnoreCase(graft.types.FieldIds.LastUpdatedCol)),
+      s"$namespace.$name: a user column already uses a reserved lineage " +
+        "name (_row_id / _last_updated_sequence_number)")
     catalog.updateProperties(namespace, name,
       Map(Snaplog.RowLineageProp -> "true"), Seq.empty)
     catalog.assignRowLineage(namespace, name)
@@ -1066,6 +1104,29 @@ final class LakehouseTable(
   def delete(condition: Column): Snapshot = {
     val base = currentSnapshotId
     val live = catalog.liveFiles(namespace, name)
+    // a row-lineage table's COW rewrite MATERIALIZES the lineage
+    // columns into the rewritten survivors (the same carry
+    // compact/rewrite use): a deleted row vanishes, every survivor
+    // keeps its identity — the v3 contract. Plain tables are
+    // byte-identical to before.
+    val lineageMode =
+      meta.properties.get(Snaplog.RowLineageProp).contains("true")
+    def cowRewrite(content: DataFrame, summary: Map[String, String],
+        carry: Seq[DataFileEntry] = Seq.empty): Snapshot = {
+      val staged = stageDataFiles(Seq(content),
+        withLineageCols = lineageMode)
+      val entries =
+        if (lineageMode) staged.map(_.copy(lineageInFile = Some(true)))
+        else staged
+      catalog.commit(namespace, name, Snaplog.OpDelete, carry ++ entries,
+        summary, expectedSnapshotId = Some(base))
+    }
+    def content(keep: DataFileEntry => Boolean): DataFrame = {
+      val ordered = catalog.liveEntriesOrdered(namespace, name)
+      if (lineageMode) lineageFrame(ordered, keep)
+      else assembleOrdered(ordered,
+        f => !f.deleteFile.contains(true) && keep(f))
+    }
     if (live.isEmpty)
       return catalog.commit(namespace, name, Snaplog.OpDelete, Seq.empty,
         Map("deleted-rows" -> "0", "rewritten-files" -> "0"))
@@ -1075,11 +1136,10 @@ final class LakehouseTable(
       // their MOR-deleted rows. Materialize everything in one rewrite
       // (compact + delete in a single commit).
       val deletedRows = scan().filter(condition).count()
-      return writeCommit(Seq(scan().filter(!condition)), Snaplog.OpDelete,
+      return cowRewrite(content(_ => true).filter(!condition),
         Map("deleted-rows" -> deletedRows.toString,
           "rewritten-files" -> live.size.toString,
-          "materialized-mor" -> "true"),
-        expected = Some(base))
+          "materialized-mor" -> "true"))
     }
     val matched = readParquet(live.map(_.path))
       .filter(condition)
@@ -1090,12 +1150,11 @@ final class LakehouseTable(
     if (touched.isEmpty)
       return catalog.commit(namespace, name, Snaplog.OpDelete, live,
         Map("deleted-rows" -> "0", "rewritten-files" -> "0"))
-    val survivors = readParquet(touched.map(_.path))
-      .filter(!condition)
-    writeCommit(Seq(survivors), Snaplog.OpDelete,
+    val touchedPaths = touched.map(_.path).toSet
+    cowRewrite(content(f => touchedPaths(f.path)).filter(!condition),
       Map("deleted-rows" -> deletedRows.toString,
         "rewritten-files" -> touched.size.toString),
-      carryFiles = untouched, expected = Some(base))
+      carry = untouched)
   }
 
   /** EQUALITY delete (the Iceberg v2 equality-delete tier): `DELETE
@@ -1418,17 +1477,16 @@ final class LakehouseTable(
         throw new IllegalStateException(
           s"table $namespace.$name has no snapshots"))
     val selPaths = sel.map(_.path).toSet
-    val content = assembleOrdered(ordered, f => selPaths(f.path))
     val totalBytes = sel.map(_.sizeBytes).sum
     val n = math.max(1L,
       (totalBytes + targetFileSizeBytes - 1) / targetFileSizeBytes).toInt
-    writeCommit(Seq(content.repartition(n)), Snaplog.OpReplace,
+    replaceRewrite(ordered, f => selPaths(f.path), n,
       Map("rewritten-files" -> sel.size.toString,
         "carried-files" ->
           rest.count(!_.deleteFile.contains(true)).toString,
         "carried-delete-entries" ->
           rest.count(_.deleteFile.contains(true)).toString),
-      carryFiles = rest, expected = Some(base))
+      carry = rest, base = base)
   }
 
   /** [[rewriteDataFiles]] selector: bin-pack the small-file tail. */
@@ -1491,12 +1549,11 @@ final class LakehouseTable(
     val totalBytes = math.max(1L, sel.map(_.sizeBytes).sum)
     val n = math.max(1L,
       (totalBytes + targetFileSizeBytes - 1) / targetFileSizeBytes).toInt
-    val content = assembleOrdered(ordered, f => selPaths(f.path))
-    writeCommit(Seq(content.repartition(n)), Snaplog.OpReplace,
+    replaceRewrite(ordered, f => selPaths(f.path), n,
       Map("rewritten-files" -> sel.size.toString,
         "retired-delete-entries" -> deletes.size.toString,
         "carried-files" -> rest.size.toString),
-      carryFiles = rest, expected = Some(base))
+      carry = rest, base = base)
   }
 
 
@@ -1694,19 +1751,45 @@ final class LakehouseTable(
   def compact(targetFileSizeBytes: Long = 512L * 1024 * 1024,
       sortBy: Seq[String] = Seq.empty): Snapshot = {
     val base = currentSnapshotId
-    val files = catalog.liveFiles(namespace, name)
+    val ordered = catalog.liveEntriesOrdered(namespace, name)
+    val files = ordered.filterNot(_.deleteFile.contains(true))
     val totalBytes = files.map(_.sizeBytes).sum
     val n = math.max(1L, (totalBytes + targetFileSizeBytes - 1) / targetFileSizeBytes).toInt
-    val laid =
-      if (sortBy.isEmpty) scan().repartition(n)
-      else scan().repartitionByRange(n, sortBy.map(col): _*)
-        .sortWithinPartitions(sortBy.map(col): _*)
-    writeCommit(Seq(laid), Snaplog.OpReplace,
+    replaceRewrite(ordered, _ => true, n,
       Map("compacted-files" -> files.size.toString,
         "compacted-bytes" -> totalBytes.toString) ++
         (if (sortBy.isEmpty) Map.empty
          else Map("sort-order" -> sortBy.mkString(","))),
-      expected = Some(base))
+      carry = Seq.empty, base = base, sortBy = sortBy)
+  }
+
+  /** One REPLACE commit rewriting the content of the entries `keep`
+    * selects (everything else carries by entry) — shared by
+    * [[compact]], [[rewriteDataFiles]] and [[rewriteDeleteFiles]]. On
+    * a ROW-LINEAGE table the rewritten files MATERIALIZE
+    * `_row_id`/`_last_updated_sequence_number` (reserved v3 field ids,
+    * entries marked `lineageInFile`), so surviving rows keep their
+    * identity across the rewrite — the spec's carry mechanism; plain
+    * tables rewrite exactly as before. */
+  private def replaceRewrite(ordered: Seq[DataFileEntry],
+      keep: DataFileEntry => Boolean, n: Int,
+      summary: Map[String, String], carry: Seq[DataFileEntry],
+      base: Long, sortBy: Seq[String] = Seq.empty): Snapshot = {
+    val lineageMode =
+      meta.properties.get(Snaplog.RowLineageProp).contains("true")
+    val content =
+      if (lineageMode) lineageFrame(ordered, keep)
+      else assembleOrdered(ordered, f => !f.deleteFile.contains(true) && keep(f))
+    val laid =
+      if (sortBy.isEmpty) content.repartition(n)
+      else content.repartitionByRange(n, sortBy.map(col): _*)
+        .sortWithinPartitions(sortBy.map(col): _*)
+    val staged = stageDataFiles(Seq(laid), withLineageCols = lineageMode)
+    val entries =
+      if (lineageMode) staged.map(_.copy(lineageInFile = Some(true)))
+      else staged
+    catalog.commit(namespace, name, Snaplog.OpReplace, carry ++ entries,
+      summary, expectedSnapshotId = Some(base))
   }
 
   /** PARTITION EVOLUTION (Iceberg `update_spec`): replace the partition
@@ -2761,7 +2844,8 @@ final class LakehouseTable(
     * properties, write parquet under a unique staging dir, footer-stat
     * the outputs. Shared by [[writeCommit]] and [[mergeDelta]] (which
     * commits data files together with a delete entry). */
-  private def stageDataFiles(dfs: Seq[DataFrame]): Seq[DataFileEntry] = {
+  private def stageDataFiles(dfs: Seq[DataFrame],
+      withLineageCols: Boolean = false): Seq[DataFileEntry] = {
     val m = meta
     // stamp registry field ids into every managed write (files carry ids
     // from birth, so a later rename/drop finds id-bearing files); reads
@@ -2773,10 +2857,24 @@ final class LakehouseTable(
       .map(r => graft.types.FieldIds.attachAll(m.schema,
         graft.types.FieldIds.decode(r))) // dotted entries stamp INNER ids
       .getOrElse(m.schema)
-    val target = m.properties.get(graft.types.FieldIds.InteriorProp)
+    val target0 = m.properties.get(graft.types.FieldIds.InteriorProp)
       .map(i => graft.types.FieldIds.attachInterior(chainStamped,
         graft.types.FieldIds.decode(i)))
       .getOrElse(chainStamped)
+    // a row-lineage REWRITE materializes the lineage columns into the
+    // new files under the v3 spec's reserved field ids — the carry
+    // mechanism that keeps row identity stable across compaction
+    val target =
+      if (!withLineageCols) target0
+      else {
+        def rmd(id: Long) = new MetadataBuilder()
+          .putLong(graft.types.FieldIds.MetaKey, id).build()
+        StructType(target0.fields ++ Seq(
+          StructField(graft.types.FieldIds.RowIdCol, LongType,
+            nullable = false, rmd(graft.types.FieldIds.RowIdFieldId)),
+          StructField(graft.types.FieldIds.LastUpdatedCol, LongType,
+            nullable = false, rmd(graft.types.FieldIds.LastUpdatedFieldId))))
+      }
     // Field-id stamping + INT64-micros timestamps (not Spark's legacy
     // INT96 default: INT96 carries no footer statistics — timestamp
     // bounds could never be recorded for pruning or metadata MIN/MAX —

@@ -92,6 +92,15 @@ object FieldIds {
     (namesSet(props, key) ++ add.map(_.toLowerCase(java.util.Locale.ROOT)))
       .toSeq.sorted.mkString(",")
 
+  /** Iceberg v3 RESERVED field ids for the row-lineage columns a
+    * rewrite materializes into data files (spec §"Reserved Field IDs":
+    * `_row_id` / `_last_updated_sequence_number`) — stamped so a
+    * strict-by-id external v3 reader resolves the carried lineage. */
+  val RowIdFieldId = 2147483540L
+  val LastUpdatedFieldId = 2147483539L
+  val RowIdCol = "_row_id"
+  val LastUpdatedCol = "_last_updated_sequence_number"
+
   val WriteConf = "spark.sql.parquet.fieldId.write.enabled"
   val ReadConf = "spark.sql.parquet.fieldId.read.enabled"
 

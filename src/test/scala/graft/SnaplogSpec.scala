@@ -1541,6 +1541,42 @@ abstract class CatalogContractSpec extends SparkSpec {
     // ordering agreement: the one MOR-updated row is the newest under
     // BOTH numberings
     assert(lineage(imp.table).maxBy(_._3)._1 == 2)
+    // COMPACTION preserves identity (round 16, the v3 spec's carry
+    // mechanism): the rewrite MATERIALIZES _row_id /
+    // _last_updated_sequence_number into the new files — ids AND
+    // sequences unchanged, the vector retired, entries marked
+    tbl.compact()
+    assert(lineage(tbl).toSet == l2.toSet,
+      "compaction must not renumber or re-sequence surviving rows")
+    val compacted = cat.currentSnapshot("ns", "nlin").get.files
+      .filterNot(_.deleteFile.contains(true))
+    assert(compacted.nonEmpty &&
+      compacted.forall(_.lineageInFile.contains(true)))
+    assert(compacted.forall(_.firstRowId.isEmpty))
+    // a materialized tree round-trips through v3 export → import: the
+    // mirror probes the physical column and serves identical lineage
+    val dest2 = Files.createTempDirectory("graft-nlin-rt2")
+    graft.interop.IcebergExport.export(tbl, dest2, formatVersion = 3)
+    val imp2 = graft.interop.IcebergImport.register(
+      cat, spark, dest2, "ns", "nlin_rt2")
+    assert(lineage(imp2.table).toSet == l2.toSet,
+      "materialized lineage must round-trip exactly, sequences included")
+    // the plain scan never sees the carried physical columns
+    assert(tbl.scan().columns.toSeq == fixture().schema.fieldNames.toSeq)
+    // post-compaction commits keep allocating above the high-water mark
+    tbl.append(Seq((99, "Z", 0.5f, 7))
+      .toDF("id", "group", "value1", "value2"))
+    val after = lineage(tbl)
+    assert(after.find(_._1 == 99).get._2 == 9L,
+      s"post-compaction append must continue above the mark: " +
+        s"${after.toSeq.sortBy(_._2)}")
+    // COW DELETE preserves survivor identity: the touched files'
+    // survivors rewrite materialized, untouched files carry
+    tbl.delete($"id" === 11)
+    val afterDel = lineage(tbl)
+    assert(afterDel.toSet == after.filterNot(_._1 == 11).toSet,
+      s"COW-delete survivors must keep their ids: " +
+        s"${afterDel.toSeq.sortBy(_._2)} vs ${after.toSeq.sortBy(_._2)}")
     // BACKFILL: a plain table enables lineage mid-life — history gets
     // listing-order ids, later commits continue above them
     val t2 = LakehouseTable.create(cat, spark, "ns", "nlin2",

@@ -133,4 +133,26 @@ class RewriteDataFilesSpec extends SparkSpec {
     assert(res.getInt(1) > 0) // rewritten_files
     assert(t.scan().count() == 33)
   }
+
+  test("a row-lineage table's partial rewrite materializes ids — selected files keep identity") {
+    val wh = Files.createTempDirectory("graft-rw-lin").toString
+    val cat = new Snaplog(wh)
+    val t = LakehouseTable.create(cat, spark, "ns", "rlin",
+      fixture(1).schema,
+      properties = Map(graft.catalog.Snaplog.RowLineageProp -> "true"))
+    t.append(fixture(1 to 30: _*))                // one big file
+    (31 to 34).foreach(i => t.append(fixture(i))) // 4 tiny commits
+    def lin() = t.scanLineage().select("id", "_row_id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val before = lin()
+    t.rewriteDataFiles(select = _.rowCount <= 1) // the tiny tail only
+    assert(lin() == before,
+      "the partial rewrite must not renumber the rewritten tail")
+    // rewritten entries are marked, the carried big file keeps its
+    // assignment
+    val cur = cat.currentSnapshot("ns", "rlin").get.files
+      .filterNot(_.deleteFile.contains(true))
+    assert(cur.exists(_.lineageInFile.contains(true)) &&
+      cur.exists(_.firstRowId.isDefined))
+  }
 }

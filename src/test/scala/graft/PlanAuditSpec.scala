@@ -311,4 +311,33 @@ class PlanAuditSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(1) == expect(r.getString(0)),
       s"${r.getString(0)} NDV ${r.getLong(1)} != ${expect(r.getString(0))}"))
   }
+
+  test("scanLineage plans scale-shaped: broadcast file-map join, no cartesian, one data scan") {
+    // the lineage read = data scan + ONE broadcast join against the
+    // file-count-sized (first_row_id, seq) map — never a shuffle of
+    // the data side, never a cartesian; the 100 TB contract
+    import java.nio.file.Files
+    import graft.catalog.Snaplog
+    import graft.table.LakehouseTable
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-lin-plan").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "lp",
+      Seq((1, "a")).toDF("id", "s").schema,
+      properties = Map(Snaplog.RowLineageProp -> "true"))
+    tbl.append((1 to 100).map(i => (i, s"v$i")).toDF("id", "s"))
+    tbl.append((101 to 200).map(i => (i, s"v$i")).toDF("id", "s"))
+    val plan = physical(tbl.scanLineage())
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the file-map join must broadcast:\n${plan.take(800)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      "the metadata-sized map must never shuffle the data side")
+    // after a materializing compaction the plan is even simpler — the
+    // ids come from the files; still no cartesian/shuffle
+    tbl.compact()
+    val plan2 = physical(tbl.scanLineage())
+    assert(!plan2.contains("CartesianProduct") &&
+      !plan2.contains("SortMergeJoin"), plan2.take(800))
+  }
 }

@@ -929,6 +929,14 @@ final class LakehouseTable(
     * [[scanLineage]] serves immediately. Metadata-only at any table
     * size (one log rewrite, zero data movement). Like renameTable, run
     * the flip without concurrent writers on this table; idempotent. */
+  /** Lineage stability boundary: MAINTENANCE rewrites (compact,
+    * rewriteDataFiles/DeleteFiles, COW delete survivors) and the MOR
+    * tier (mergeDelta, deleteMor, deleteEq) preserve surviving rows'
+    * ids — content-identical rows keep their identity. CONTENT
+    * REPLACEMENT (overwrite, the keep-last upsert tier, rollback-then-
+    * rewrite) assigns fresh ids to everything it writes: the new
+    * snapshot's rows are new content by construction, exactly the
+    * semantics an external v3 writer's overwrite produces. */
   def enableRowLineage(): TableMetadata = {
     require(!schema.fieldNames.exists(n =>
       n.equalsIgnoreCase(graft.types.FieldIds.RowIdCol) ||

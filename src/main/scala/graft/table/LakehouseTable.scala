@@ -97,8 +97,8 @@ final class LakehouseTable(
     * is a codegen'd column expression on the scan; the physical-column
     * read adds two long columns on rewritten files only (absent
     * columns null-fill for free). */
-  def scanLineage(): DataFrame =
-    lineageFrame(catalog.liveEntriesOrdered(namespace, name, None), _ => true)
+  def scanLineage(asOf: Option[Long] = None): DataFrame =
+    lineageFrame(catalog.liveEntriesOrdered(namespace, name, asOf), _ => true)
 
   /** [[scanLineage]] over the entries `keep` selects — also the
     * content source a row-lineage REWRITE materializes from. */

@@ -1572,11 +1572,19 @@ abstract class CatalogContractSpec extends SparkSpec {
         s"${after.toSeq.sortBy(_._2)}")
     // COW DELETE preserves survivor identity: the touched files'
     // survivors rewrite materialized, untouched files carry
+    val preDelete = tbl.currentSnapshotId
     tbl.delete($"id" === 11)
     val afterDel = lineage(tbl)
     assert(afterDel.toSet == after.filterNot(_._1 == 11).toSet,
       s"COW-delete survivors must keep their ids: " +
         s"${afterDel.toSeq.sortBy(_._2)} vs ${after.toSeq.sortBy(_._2)}")
+    // TIME TRAVEL serves lineage as of any snapshot — the deleted
+    // row's id is back at the pre-delete snapshot, same assignment
+    val travelled = tbl.scanLineage(asOf = Some(preDelete))
+      .select("id", "_row_id", "_last_updated_sequence_number").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(travelled.toSet == after.toSet,
+      s"time-travelled lineage must match the historical assignment")
     // BACKFILL: a plain table enables lineage mid-life — history gets
     // listing-order ids, later commits continue above them
     val t2 = LakehouseTable.create(cat, spark, "ns", "nlin2",

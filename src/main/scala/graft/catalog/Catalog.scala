@@ -54,6 +54,29 @@ trait Catalog {
     * on replay — compact and expire the vector windows first. */
   def renameTable(ns: String, t: String, newName: String): TableMetadata
 
+  /** Reserved-lineage-name guard (round 17, ADVICE): a table whose
+    * properties enable native row lineage must not declare user columns
+    * under the v3 reserved virtual-column names — the lineage read's
+    * extended schema and rewrite materialization would otherwise build
+    * duplicate/ambiguous `_row_id`/`_last_updated_sequence_number`
+    * columns and corrupt materialized rewrites. `enableRowLineage()`
+    * guards the live flip; this guards the CREATION-time property path
+    * (create with `graft.row-lineage=true`) and any later
+    * `updateProperties` that sets the flag — every implementation
+    * calls it from both. */
+  protected final def requireLineageNamesFree(schema: StructType,
+      props: Map[String, String]): Unit =
+    if (props.get(Snaplog.RowLineageProp).contains("true")) {
+      val bad = schema.fieldNames.filter(n =>
+        n.equalsIgnoreCase("_row_id") ||
+          n.equalsIgnoreCase("_last_updated_sequence_number"))
+      require(bad.isEmpty,
+        s"${Snaplog.RowLineageProp}=true reserves the column names " +
+          "_row_id/_last_updated_sequence_number for Iceberg v3 row " +
+          s"lineage; the schema declares (${bad.mkString(", ")}) — rename " +
+          "the column(s) or leave row lineage off")
+    }
+
   /** Shared rename guards + log-path rewrite (managed-dir prefix only). */
   protected final def validateRename(ns: String, t: String, newName: String): Unit = {
     require(tableExists(ns, t), s"table $ns.$t does not exist")

@@ -139,6 +139,7 @@ final class JdbcCatalog(val jdbcUrl: String, val warehouse: String,
       ifNotExists: Boolean = true): TableMetadata = {
     createNamespace(ns)
     graft.table.PartitionTransforms.validate(schema, partitionColumns)
+    requireLineageNamesFree(schema, properties)
     val meta = TableMetadata(ns, name, schema.json, partitionColumns,
       Snaplog.withFieldIdRegistry(schema, properties), System.currentTimeMillis())
     val inserted = withConn { c =>
@@ -294,6 +295,7 @@ final class JdbcCatalog(val jdbcUrl: String, val warehouse: String,
   override def updateProperties(ns: String, t: String,
       set: Map[String, String], unset: Seq[String]): TableMetadata = {
     val m = loadTable(ns, t)
+    requireLineageNamesFree(m.schema, set)
     replaceMeta(ns, t, m.copy(properties = (m.properties ++ set) -- unset))
   }
 

@@ -176,6 +176,7 @@ final class Snaplog(val warehouse: String,
       throw new IllegalStateException(s"table $ns.$name already exists")
     }
     graft.table.PartitionTransforms.validate(schema, partitionColumns)
+    requireLineageNamesFree(schema, properties)
     val meta = TableMetadata(ns, name, schema.json, partitionColumns,
       Snaplog.withFieldIdRegistry(schema, properties), System.currentTimeMillis())
     Files.createDirectories(tableDir(ns, name).resolve("data"))
@@ -262,6 +263,7 @@ final class Snaplog(val warehouse: String,
   override def updateProperties(ns: String, t: String,
       set: Map[String, String], unset: Seq[String]): TableMetadata = {
     val m = loadTable(ns, t)
+    requireLineageNamesFree(m.schema, set)
     val updated = m.copy(properties = (m.properties ++ set) -- unset)
     writeAtomic(metaFile(ns, t), jwrite(updated))
     updated

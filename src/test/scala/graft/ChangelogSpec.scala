@@ -287,4 +287,73 @@ class ChangelogSpec extends SparkSpec {
     // ...but a retained-snapshot start still works
     assert(changes(t.scanChanges(3L)).map(_._3) == Seq(3))
   }
+
+  // ---- lineage-stamped changelog (round 17, VERDICT r16 #3) --------------
+
+  private def freshLineageTable(name: String): LakehouseTable = {
+    val cat = new Snaplog(
+      Files.createTempDirectory(s"graft-cl-$name").toString)
+    LakehouseTable.create(cat, spark, "ns", name, fixture(1).schema,
+      properties = Map(Snaplog.RowLineageProp -> "true"))
+  }
+
+  test("lineage changelog stamps durable row ids on every change row") {
+    val t = freshLineageTable("lincl")
+    t.append(fixture(1, 2, 3).repartition(1)
+      .sortWithinPartitions("id"))   // 1: ids 0,1,2 by sort order
+    t.deleteEq("id", Seq(2))         // 2: the dead row carries its id
+    t.append(fixture(4))             // 3: fresh id 3
+    val got = t.scanChangesLineage(0L)
+      .select(col(ChangeTypeCol), col(ChangeSnapshotCol), col("id"),
+        col("_row_id"), col("_last_updated_sequence_number"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4)))
+      .toSeq.sorted
+    assert(got == Seq(
+      (ChangeDelete, 2L, 2, 1L, 1L), // id it held, seq of its file
+      (ChangeInsert, 1L, 1, 0L, 1L),
+      (ChangeInsert, 1L, 2, 1L, 1L),
+      (ChangeInsert, 1L, 3, 2L, 1L),
+      (ChangeInsert, 3L, 4, 3L, 3L)), got.toString)
+    // an empty window still answers the lineage-extended schema
+    val empty = t.scanChangesLineage(3L)
+    assert(empty.count() == 0 &&
+      empty.columns.contains("_row_id") &&
+      empty.columns.contains("_last_updated_sequence_number"))
+    // a table without lineage refuses loudly instead of guessing
+    val plain = freshTable("linclplain")
+    plain.append(fixture(1))
+    val e = intercept[IllegalArgumentException](
+      plain.scanChangesLineage(0L).collect())
+    assert(e.getMessage.contains("lineage"), e.getMessage)
+  }
+
+  test("row-id-keyed changelog pairs a MERGE's images by durable identity") {
+    val t = freshLineageTable("linpair")
+    t.append(fixture(1, 2, 3).repartition(1)
+      .sortWithinPartitions("id"))   // 1: ids 0,1,2
+    // MERGE update of id=2: ONE commit, postimage CARRIES the
+    // preimage's _row_id — the pairing needs no key columns at all
+    graft.pipeline.Upsert.upsertTable(t,
+      fixture(2).withColumn("v", lit(99.9)), Seq("id")) // 2
+    val keyed = t.scanChangesKeyedByRowId(1L)
+      .select(col(ChangeTypeCol), col("id"), col("_row_id"),
+        col("_last_updated_sequence_number"), col("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+      .toSeq.sortBy(_._1)
+    assert(keyed == Seq(
+      ("update_postimage", 2, 1L, 2L, 99.9),
+      ("update_preimage", 2, 1L, 1L, 3.0)), keyed.toString)
+    // an unmatched-key MERGE row stays an unpaired insert with a fresh
+    // id (the high-water mark advanced past snapshot 2's assignment)
+    graft.pipeline.Upsert.upsertTable(t,
+      fixture(5).repartition(1), Seq("id")) // 3: id 5 matches nothing
+    val ins = t.scanChangesKeyedByRowId(2L)
+      .select(col(ChangeTypeCol), col("id"), col("_row_id")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(ins == Seq((ChangeInsert, 5, 4L)), ins.toString)
+  }
 }

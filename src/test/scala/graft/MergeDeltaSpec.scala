@@ -354,4 +354,96 @@ class MergeDeltaSpec extends SparkSpec {
     assert(tbl.scan().orderBy("id").collect()
       .map(r => (r.getInt(0), r.getInt(3))).toSeq == got)
   }
+
+  // ---- v3 row-lineage MERGE-update semantics (round 17) ------------------
+  // The Iceberg v3 spec's writer guidance: an UPDATE keeps the row's
+  // `_row_id`, bumping only `_last_updated_sequence_number`. mergeDelta
+  // on a lineage-enabled table carries the matched pre-merge id into
+  // the written image (materialized nullable column under the reserved
+  // field id); inserts stay null and draw fresh commit-time ids.
+
+  private def freshLineage(name: String) = {
+    val wh = Files.createTempDirectory(s"graft-md-$name").toString
+    val cat = new Snaplog(wh)
+    (cat, LakehouseTable.create(cat, spark, "ns", name, fixture().schema,
+      properties = Map(Snaplog.RowLineageProp -> "true")))
+  }
+
+  private def lineageOf(tbl: LakehouseTable) = tbl.scanLineage()
+    .select("id", "_row_id", "_last_updated_sequence_number").collect()
+    .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+
+  test("lineage merge update carries _row_id and bumps sequence; insert draws fresh id") {
+    val (_, tbl) = freshLineage("lincarry")
+    tbl.append(fixture()) // seq 1, ids 0..3
+    val before = lineageOf(tbl).map(x => x._1 -> x._2).toMap
+    val patch = Seq((2, "A", 99.9f, 222), (5, "D", 5.5f, 50))
+      .toDF("id", "group", "value1", "value2")
+    val snap = Upsert.upsertTable(tbl, patch, Seq("id")) // seq 2
+    val after = lineageOf(tbl)
+    assert(after.length == 5, after.toSeq.toString)
+    val upd = after.find(_._1 == 2).get
+    assert(upd._2 == before(2),
+      s"updated row must KEEP its _row_id: $upd vs carried ${before(2)}")
+    assert(upd._3 == snap.snapshotId,
+      s"updated row's sequence must bump to the merge commit: $upd")
+    val ins = after.find(_._1 == 5).get
+    assert(ins._2 >= 4L && ins._3 == snap.snapshotId,
+      s"unmatched insert draws a fresh id above the high-water mark: $ins")
+    after.filter(x => x._1 != 2 && x._1 != 5).foreach { x =>
+      assert(x._2 == before(x._1) && x._3 == 1L,
+        s"untouched row must keep id AND sequence: $x")
+    }
+    assert(after.map(_._2).distinct.length == after.length,
+      "visible row ids must stay unique")
+    // the carry never leaks into the plain read surface
+    assert(!tbl.scan().columns.contains("_row_id"))
+  }
+
+  test("lineage applyChanges: upserts carry identity, deletes end it") {
+    val (_, tbl) = freshLineage("lincdc")
+    tbl.append(fixture()) // ids 0..3
+    val before = lineageOf(tbl).map(x => x._1 -> x._2).toMap
+    val changes = Seq(
+      (2, "A", 7.5f, 777, "U"), // update: carries id
+      (3, "B", 0.0f, 0, "D"),   // delete: identity ends
+      (6, "E", 6.5f, 60, "I")   // insert: fresh id
+    ).toDF("id", "group", "value1", "value2", "op")
+    val snap = Upsert.applyChanges(tbl, changes, Seq("id"))
+    val after = lineageOf(tbl)
+    assert(after.map(_._1).sorted.toSeq == Seq(1, 2, 4, 6), after.toSeq.toString)
+    assert(after.find(_._1 == 2).get._2 == before(2),
+      "CDC update must carry the row id")
+    assert(after.find(_._1 == 6).get._2 >= 4L,
+      "CDC insert must draw a fresh id")
+    assert(!after.map(_._2).contains(before(3)),
+      "a deleted row's id must not resurface")
+    assert(after.filter(x => Set(2, 6)(x._1)).forall(_._3 == snap.snapshotId))
+  }
+
+  test("merge on a PLAIN table writes no physical lineage column") {
+    val (_, tbl) = fresh("nolincol")
+    tbl.append(fixture())
+    val patch = Seq((2, "A", 99.9f, 222)).toDF("id", "group", "value1", "value2")
+    val snap = Upsert.upsertTable(tbl, patch, Seq("id"))
+    val dataEntries = snap.files.filterNot(_.deleteFile.contains(true))
+    val written = spark.read.parquet(dataEntries.map(_.path): _*)
+    assert(!written.columns.contains("_row_id"),
+      "a non-lineage table's merge files must stay byte-plain")
+  }
+
+  test("lineage merge: key matching several visible rows carries the smallest id") {
+    val (_, tbl) = freshLineage("linmulti")
+    // two rows share id=7 (the keep-last tier would refuse; mergeDelta
+    // deletes BOTH and the carried identity is the smallest matched id)
+    tbl.append(Seq((7, "A", 1.0f, 1), (7, "B", 2.0f, 2), (8, "C", 3.0f, 3))
+      .toDF("id", "group", "value1", "value2")) // ids 0,1,2
+    val patch = Seq((7, "Z", 9.0f, 9)).toDF("id", "group", "value1", "value2")
+    Upsert.upsertTable(tbl, patch, Seq("id"))
+    val after = lineageOf(tbl)
+    assert(after.map(_._1).sorted.toSeq == Seq(7, 8))
+    assert(after.find(_._1 == 7).get._2 == 0L,
+      s"multi-match carries the SMALLEST matched id: ${after.toSeq}")
+    assert(after.find(_._1 == 8).get._2 == 2L)
+  }
 }

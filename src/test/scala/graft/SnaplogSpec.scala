@@ -1639,6 +1639,26 @@ abstract class CatalogContractSpec extends SparkSpec {
       s"post-rollback ids allocate above the rolled-back era: ${lf.toSeq}")
   }
 
+  test("row lineage reserves _row_id at EVERY enable path, not just enableRowLineage") {
+    val cat = freshCatalog()
+    val clash = fixture().withColumn("_row_id", $"id".cast("long"))
+    // creation-time property path (round 17, ADVICE): a table created
+    // WITH graft.row-lineage=true and a user _row_id column would give
+    // the lineage read duplicate/ambiguous columns — refuse up front
+    val e1 = intercept[IllegalArgumentException](
+      LakehouseTable.create(cat, spark, "ns", "nlres", clash.schema,
+        properties = Map(Snaplog.RowLineageProp -> "true")))
+    assert(e1.getMessage.contains("_row_id"), e1.getMessage)
+    // late property flip through updateProperties refuses the same way
+    LakehouseTable.create(cat, spark, "ns", "nlres2", clash.schema)
+    val e2 = intercept[IllegalArgumentException](
+      cat.updateProperties("ns", "nlres2",
+        Map(Snaplog.RowLineageProp -> "true"), Seq.empty))
+    assert(e2.getMessage.contains("_row_id"), e2.getMessage)
+    // without the property the clashing column is ordinary user data
+    assert(cat.tableExists("ns", "nlres2"))
+  }
+
   test("re-export skips rewriting unchanged prior-snapshot manifests") {
     val cat = freshCatalog()
     val tbl = LakehouseTable.create(cat, spark, "ns", "stab",

@@ -31,6 +31,38 @@ import org.apache.spark.sql.SparkSession
   *     minima over the total.
   */
 object Bench {
+  /** Trailing-round per-query medians, parsed from the driver's prior
+    * BENCH_r*.json artifacts in `dir`. Each artifact wraps a possibly
+    * front-truncated "tail" STRING of the bench line, so per-query
+    * entries appear with ESCAPED quotes (`\"name\":1.23`) — the regex
+    * accepts an optional backslash before each quote (round-17 fix: the
+    * previous unescaped-only pattern matched zero entries in every
+    * artifact, leaving the band-aware re-probe threshold dead).
+    * Artifact-metadata keys are excluded; a missing/unparseable history
+    * degrades to an empty map (callers fall back to an absolute
+    * threshold). Public so BenchBandsSpec can parse the real artifacts.
+    */
+  def parseBands(dir: String): Map[String, Double] = {
+    val nonQuery = Set("sf", "variance", "value", "n", "rc", "cpus", "omitted")
+    val entryRe = """\\?"([A-Za-z0-9_]+)\\?":([0-9]+\.[0-9]+)""".r
+    val acc = scala.collection.mutable.Map.empty[String, List[Double]]
+    try {
+      val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("BENCH_r") && f.getName.endsWith(".json"))
+      files.foreach { f =>
+        val txt = try new String(java.nio.file.Files.readAllBytes(f.toPath)) catch { case _: Throwable => "" }
+        entryRe.findAllMatchIn(txt).foreach { m =>
+          val (k, v) = (m.group(1), m.group(2).toDouble)
+          if (!nonQuery(k)) acc(k) = v :: acc.getOrElse(k, Nil)
+        }
+      }
+    } catch { case _: Throwable => () }
+    acc.toMap.map { case (k, vs) =>
+      val s = vs.sorted
+      k -> (if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -50,33 +82,8 @@ object Bench {
     def epoch(): Long = System.currentTimeMillis() / 1000
     val tsStart = epoch(); val loadStart = load1m()
 
-    // Trailing-round per-query medians, parsed from the driver's prior
-    // BENCH_r*.json artifacts (each wraps a possibly front-truncated
-    // "tail" of the bench line; a "name":12.34 regex recovers entries).
-    // Keys that are artifact metadata, not queries, are excluded. A
-    // missing/unparseable history degrades to an absolute threshold.
     val bandsDir = sys.env.getOrElse("SPARK_GRAFT_BANDS_DIR", sys.props.getOrElse("user.dir", "."))
-    val nonQuery = Set("sf", "variance", "value", "n", "rc", "cpus", "omitted")
-    val entryRe = """"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)""".r
-    val median: Map[String, Double] = {
-      val acc = scala.collection.mutable.Map.empty[String, List[Double]]
-      try {
-        val dir = new java.io.File(bandsDir)
-        val files = Option(dir.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.getName.startsWith("BENCH_r") && f.getName.endsWith(".json"))
-        files.foreach { f =>
-          val txt = try new String(java.nio.file.Files.readAllBytes(f.toPath)) catch { case _: Throwable => "" }
-          entryRe.findAllMatchIn(txt).foreach { m =>
-            val (k, v) = (m.group(1), m.group(2).toDouble)
-            if (!nonQuery(k)) acc(k) = v :: acc.getOrElse(k, Nil)
-          }
-        }
-      } catch { case _: Throwable => () }
-      acc.toMap.map { case (k, vs) =>
-        val s = vs.sorted
-        k -> (if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2)
-      }
-    }
+    val median: Map[String, Double] = parseBands(bandsDir)
 
     // Untimed warmup: initialize the parquet datasource, shuffle
     // machinery, codegen framework and JIT before measuring — standard
@@ -138,6 +145,16 @@ object Bench {
     }
     val reprobed = reprobe.map { case (n, (_, fin, _)) => n -> fin }.toMap
     val results = pass1.collect { case (n, (lo, _, true)) => n -> reprobed.getOrElse(n, lo) }
+    // Bimodal-plan guard (round 17): a re-probe that improves a pass-1
+    // min by >5x at COMPARABLE load (re-probe 1-min load within 2.0 of
+    // the pass-1 launch load, so external contention cannot explain the
+    // gap) is flagged under "bimodal". The min is still adopted — the
+    // isolated re-probe remains the adjudication — but the flag stops a
+    // lucky fast run from silently masking an intermittently bad plan;
+    // both raw values already ride the "reprobe" triples.
+    val bimodal = reprobe.collect {
+      case (n, (o, f, l)) if f > 0 && o / f > 5.0 && math.abs(l - loadStart) <= 2.0 => n
+    }.sorted
 
     val tsEnd = epoch(); val loadEnd = load1m()
     val quiet = variance <= 1.6 && (loadStart < 8.0 || loadStart < 0)
@@ -162,6 +179,9 @@ object Bench {
       else reprobe.sortBy(_._1)
         .map { case (n, (o, f, l)) => "\"" + n + "\":[" + fmt(o) + "," + fmt(f) + "," + fmt(l) + "]" }
         .mkString(""","reprobe":{""", ",", "}")
+    val bimodalJson =
+      if (bimodal.isEmpty) ""
+      else bimodal.map("\"" + _ + "\"").mkString(""","bimodal":[""", ",", "]")
     val telemetry =
       s""","load":[${fmt(loadStart)},${fmt(loadMid)},${fmt(loadEnd)}]""" +
       s""","ts":[$tsStart,$tsEnd],"quiet":$quiet"""
@@ -174,7 +194,7 @@ object Bench {
       // failures" from "failures not tracked" for the driver
       val fl = failed.map("\"" + _ + "\"")
         .mkString(""","failed":[""", ",", "]")
-      s"""{"queries":$qs$om$fl$reprobeJson$telemetry,"variance":${fmt(variance)},"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}"""
+      s"""{"queries":$qs$om$fl$reprobeJson$bimodalJson$telemetry,"variance":${fmt(variance)},"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}"""
     }
     val budget = 3000
     var keep = bySlowest.size

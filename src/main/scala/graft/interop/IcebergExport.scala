@@ -156,8 +156,10 @@ object IcebergExport {
 
   // ---- avro schemas (spec field names + field-ids) -------------------------
 
-  /** Iceberg v2 `manifest_file` record (the manifest-list entry). */
-  private val ManifestFileSchema: Schema = new Schema.Parser().parse(
+  /** Iceberg v2 `manifest_file` record (the manifest-list entry).
+    * `private[interop]`: [[RestCatalog.commitAppend]] writes the same
+    * spec shape for the manifest list a REST commit references. */
+  private[interop] val ManifestFileSchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
       |{"name":"manifest_path","type":"string","field-id":500},
       |{"name":"manifest_length","type":"long","field-id":501},
@@ -255,7 +257,7 @@ object IcebergExport {
     * columns of the data_file struct — `referenced_data_file` (143),
     * `content_offset` (144), `content_size_in_bytes` (145) — which
     * locate one DV blob inside a puffin file. */
-  private def manifestEntrySchema(
+  private[interop] def manifestEntrySchema(
       partCols: Seq[(PartField, DataType)],
       withDvFields: Boolean = false,
       withLineage: Boolean = false): Schema = {
@@ -396,7 +398,7 @@ object IcebergExport {
     * complete content or the new complete content — both valid for
     * that snapshot — and the version-hint flip stays the publication
     * point. */
-  private def writeAvro(file: Path, schema: Schema,
+  private[interop] def writeAvro(file: Path, schema: Schema,
       meta: Seq[(String, String)], records: Seq[GenericRecord]): Unit = {
     val tmp = file.resolveSibling(file.getFileName.toString + ".tmp")
     val w = new DataFileWriter[GenericRecord](
@@ -479,10 +481,25 @@ object IcebergExport {
     * do. The v3 tree carries the required row-lineage bookkeeping
     * (`next-row-id`, per-snapshot `first-row-id`, explicit per-file
     * `first_row_id`), and the first v3 export PERSISTS the assignment
-    * into the source snaplog ([[graft.catalog.Catalog.assignRowLineage]]
-    * — a metadata-only side effect on the exported table, documented
-    * there) so re-exports never renumber rows under an external
-    * reader. Outstanding POSITION vectors export under
+    * into the source snaplog ([[graft.catalog.Catalog.assignRowLineage]])
+    * so re-exports never renumber rows under an external reader.
+    *
+    * WRITE SIDE EFFECT (v3 only, be deliberate about it): that
+    * persistence pass means `export(formatVersion = 3)` of a table
+    * with unassigned native files is NOT read-only — it rewrites the
+    * source snaplog once (metadata-only, idempotent; subsequent v3
+    * exports of the same history are pure reads). Consequences:
+    * a v3 export from a READ-ONLY warehouse mount fails on that first
+    * pass (run it once from a writable mount, or enableRowLineage()
+    * up front); [[RestServe.startLive]] with `formatVersion = 3`
+    * triggers it implicitly from its commit listener the first time it
+    * publishes such a table; and the guarding table mutex is
+    * per-JVM on [[graft.catalog.JdbcCatalog]] — a committer on a
+    * DIFFERENT catalog instance can interleave with the walk→rewrite
+    * window (benign for correctness because JdbcCatalog.replaceLog
+    * preserves newer rows, but the interleaved commit's files are
+    * assigned by its own commit path, not the backfill). v2 exports
+    * never write to the source. Outstanding POSITION vectors export under
     * both versions (round 14): v2 as merged parquet position-delete
     * files, v3 as PUFFIN deletion vectors ([[Puffin]] — one
     * `deletion-vector-v1` blob per referenced data file, located by

@@ -180,7 +180,7 @@ object IcebergImport {
     * must walk. */
   private def normalizePath(s: String): String = FileStats.normalizePath(s)
 
-  private def readAvro(file: Path): Seq[GenericRecord] = {
+  private[interop] def readAvro(file: Path): Seq[GenericRecord] = {
     val r = new DataFileReader[GenericRecord](file.toFile,
       new GenericDatumReader[GenericRecord]())
     try r.iterator.asScala.toSeq finally r.close()
@@ -190,7 +190,7 @@ object IcebergImport {
     * records for identity partitions (null → the Hive null sentinel,
     * date logical ints → ISO dates — the exact inverse of the export's
     * `partitionAvroValue`). */
-  private def partitionText(v: Any, dt: DataType): String = v match {
+  private[interop] def partitionText(v: Any, dt: DataType): String = v match {
     case null => Snaplog.HiveDefaultPartition
     case i: Integer if dt == DateType =>
       java.time.LocalDate.ofEpochDay(i.longValue()).toString
@@ -215,7 +215,7 @@ object IcebergImport {
   /** Transform-field value → graft's stored text: the epoch indexes /
     * truncated values ARE the stored form, so plain toString (Avro
     * Utf8 included); null → the sentinel. */
-  private def transformText(v: Any): String =
+  private[interop] def transformText(v: Any): String =
     if (v == null) Snaplog.HiveDefaultPartition else v.toString
 
   // ---- parsed tree + walked snapshot state ---------------------------------

@@ -226,6 +226,160 @@ object RestCatalog {
     }
   }
 
+  /** `POST /v1/namespaces/{ns}/tables/{table}` — the spec's commit
+    * route (CommitTableRequest: `requirements` + `updates`), round 17:
+    * the WRITE half of the REST interop. The server checks every
+    * requirement against its current state and applies the updates as
+    * ONE atomic commit; a failed requirement answers the spec's 409,
+    * which this client surfaces as graft's own
+    * [[graft.catalog.CommitConflictException]] — the same exception a
+    * native conditional commit throws, so retry loops treat local and
+    * REST conflicts identically. Other non-2xx answers refuse loudly
+    * with status + body. Returns the CommitTableResponse's metadata
+    * (location + inlined document when the server sends it). */
+  def commitTable(endpoint: String, ns: String, table: String,
+      body: JValue, auth: Auth = NoAuth): LoadedTable = {
+    val base = endpoint.stripSuffix("/")
+    val path = s"/v1/namespaces/${encodeNs(ns)}/tables/${enc(table)}"
+    val payload = JsonMethods.compact(JsonMethods.render(body))
+    def send(bearer: Option[String]): HttpResponse[String] = {
+      var b = HttpRequest.newBuilder(java.net.URI.create(s"$base$path"))
+        .timeout(java.time.Duration.ofSeconds(120))
+        .header("Accept", "application/json")
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(payload))
+      bearer.foreach(t => b = b.header("Authorization", s"Bearer $t"))
+      client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    }
+    var resp = send(bearerFor(endpoint, auth, forceRefresh = false))
+    if (resp.statusCode() == 401 && auth.isInstanceOf[ClientCredentials])
+      resp = send(bearerFor(endpoint, auth, forceRefresh = true))
+    resp.statusCode() match {
+      case ok if ok >= 200 && ok < 300 =>
+        val j = JsonMethods.parse(resp.body())
+        val loc = (j \ "metadata-location") match {
+          case JString(l) => l
+          case _ => throw new IllegalArgumentException(
+            s"REST catalog $base$path: CommitTableResponse carries no " +
+              s"metadata-location — ${resp.body().take(500)}")
+        }
+        val inline = (j \ "metadata") match {
+          case JNothing | JNull => None
+          case m => Some(m)
+        }
+        LoadedTable(loc, inline)
+      case 409 => throw new graft.catalog.CommitConflictException(
+        s"REST commit to $ns.$table conflicted (409) — a requirement " +
+          s"failed against the server's current state: " +
+          s"${resp.body().take(500)}")
+      case other => throw new IllegalArgumentException(
+        s"REST catalog $base$path: HTTP $other — ${resp.body().take(500)}")
+    }
+  }
+
+  /** APPEND staged parquet files to a served table through the REST
+    * commit route — the client half of "a foreign engine commits
+    * through graft's catalog server". Spec-shaped end to end: the
+    * helper writes a real Iceberg data manifest + manifest list under
+    * `stagingDir` (Avro, the export's spec field ids) and POSTs
+    * `add-snapshot` + `set-snapshot-ref main` guarded by
+    * `assert-ref-snapshot-id` (`expectedSnapshotId`; `Some(0)` =
+    * "table must still be empty", `None` = blind append). The server
+    * re-derives authoritative per-file statistics from the parquet
+    * footers, so `files` only needs path + row count + size (e.g. from
+    * `FileStats.statAll`) — and the manifest's partition struct is
+    * written EMPTY, which the server records as unattributed (reads
+    * stay exact; metadata pruning just can't skip these files). A
+    * partition-attributed foreign writer includes the values in its
+    * own manifests; this helper refuses entries carrying partition
+    * values rather than silently dropping the attribution.
+    *
+    * The proposed `snapshot-id` in the request is ADVISORY: graft
+    * assigns its own dense monotonic id at commit (recorded in the
+    * response metadata; the client-proposed id lands in the commit
+    * summary) — spec clients re-read identity from the returned
+    * metadata, never from their proposal. */
+  def commitAppend(endpoint: String, ns: String, table: String,
+      files: Seq[graft.catalog.DataFileEntry],
+      stagingDir: java.nio.file.Path,
+      expectedSnapshotId: Option[Long],
+      auth: Auth = NoAuth): LoadedTable = {
+    require(files.nonEmpty, "REST append: no files to commit")
+    require(files.forall(f => !f.deleteFile.contains(true)),
+      "REST append: delete files do not commit through this route")
+    require(files.forall(_.partitionValues.isEmpty),
+      "REST append: partition-attributed entries need a writer that " +
+        "emits the manifest partition struct — this helper writes it " +
+        "empty (unattributed) and refuses rather than drop attribution")
+    java.nio.file.Files.createDirectories(stagingDir)
+    val proposed = expectedSnapshotId.map(_ + 1)
+      .getOrElse(System.currentTimeMillis())
+    val entrySchema = IcebergExport.manifestEntrySchema(Seq.empty)
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val partSchema = dataFileSchema.getField("partition").schema()
+    val records = files.map { f =>
+      val df = new org.apache.avro.generic.GenericData.Record(dataFileSchema)
+      df.put("content", 0)
+      df.put("file_path", f.path)
+      df.put("file_format", "PARQUET")
+      df.put("partition",
+        new org.apache.avro.generic.GenericData.Record(partSchema))
+      df.put("record_count", f.rowCount)
+      df.put("file_size_in_bytes", f.sizeBytes)
+      df.put("equality_ids", null)
+      val e = new org.apache.avro.generic.GenericData.Record(entrySchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", java.lang.Long.valueOf(proposed))
+      e.put("sequence_number", null)      // inherited from the commit
+      e.put("file_sequence_number", null)
+      e.put("data_file", df)
+      e
+    }
+    val mfPath = stagingDir.resolve(s"rest-manifest-$proposed.avro")
+    IcebergExport.writeAvro(mfPath, entrySchema,
+      Seq("format-version" -> "2", "content" -> "data",
+        "partition-spec" -> "[]", "partition-spec-id" -> "0"),
+      records)
+    val mf = new org.apache.avro.generic.GenericData.Record(
+      IcebergExport.ManifestFileSchema)
+    mf.put("manifest_path", mfPath.toString)
+    mf.put("manifest_length", java.nio.file.Files.size(mfPath))
+    mf.put("partition_spec_id", 0)
+    mf.put("content", 0)
+    mf.put("sequence_number", 0L)     // assigned by the committing catalog
+    mf.put("min_sequence_number", 0L)
+    mf.put("added_snapshot_id", proposed)
+    mf.put("added_files_count", files.size)
+    mf.put("existing_files_count", 0)
+    mf.put("deleted_files_count", 0)
+    mf.put("added_rows_count", files.map(_.rowCount).sum)
+    mf.put("existing_rows_count", 0L)
+    mf.put("deleted_rows_count", 0L)
+    val listPath = stagingDir.resolve(s"rest-snap-$proposed.manifest-list.avro")
+    IcebergExport.writeAvro(listPath, IcebergExport.ManifestFileSchema,
+      Seq("snapshot-id" -> proposed.toString, "format-version" -> "2"),
+      Seq(mf))
+    import org.json4s.JsonDSL._
+    // the spec encodes "ref must not exist yet" as snapshot-id null —
+    // graft's expect-empty (Some(0)) maps onto exactly that
+    val requirements: List[JValue] = expectedSnapshotId.toList.map { want =>
+      ("type" -> "assert-ref-snapshot-id") ~ ("ref" -> "main") ~
+        ("snapshot-id" -> (if (want == 0L) JNull else JLong(want): JValue))
+    }
+    val body: JValue =
+      ("requirements" -> JArray(requirements)) ~
+      ("updates" -> JArray(List(
+        ("action" -> "add-snapshot") ~ ("snapshot" ->
+          (("snapshot-id" -> proposed) ~
+            ("timestamp-ms" -> System.currentTimeMillis()) ~
+            ("summary" -> (("operation" -> "append"): JValue)) ~
+            ("manifest-list" -> listPath.toString))),
+        ("action" -> "set-snapshot-ref") ~ ("ref-name" -> "main") ~
+          ("snapshot-ref" ->
+            (("type" -> "branch") ~ ("snapshot-id" -> proposed))))))
+    commitTable(endpoint, ns, table, body, auth)
+  }
+
   /** `GET /v1/namespaces/{ns}/tables/{table}` — the LoadTableResult.
     * `metadata-location` is required by the spec for loads; `metadata`
     * (the inlined document) is optional — servers that omit it leave

@@ -2,68 +2,100 @@ package graft.interop
 
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, Path, Paths}
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
 
-/** Minimal read-only Iceberg REST-catalog SERVER over graft-exported
-  * trees — the publishing half of the REST interop: any spec-conforming
-  * REST client (PyIceberg, Trino, graft's own [[RestCatalog]]) can
+/** Iceberg REST-catalog SERVER over graft-exported trees — the
+  * publishing half of the REST interop: any spec-conforming REST
+  * client (PyIceberg, Trino, graft's own [[RestCatalog]]) can
   * `GET /v1/config`, list namespaces/tables, and load a table's
   * CURRENT metadata pointer, which is re-read from the tree's
   * version-hint per request — so a client always sees the latest
   * export, exactly like a live catalog service fronting a writer.
   *
-  * Scope is deliberately read-only (loads and listings): graft tables
-  * mutate through graft commits and publish through
-  * [[IcebergExport.export]]; accepting REST writes would bypass the
-  * snaplog's optimistic-concurrency contract. Mutating routes answer
-  * 405. Optional STATIC bearer-token auth (the spec's Authorization
-  * header); `inlineMetadata` embeds the metadata document in the
-  * LoadTableResult (both spec-legal response shapes, so clients of
-  * either kind are served).
+  * WRITES (round 17): tables served LIVE ([[startLive]]) also accept
+  * the spec's commit route — `POST /v1/namespaces/{ns}/tables/{t}`
+  * with a CommitTableRequest (`requirements` + `updates`) — scoped to
+  * APPEND snapshots: `assert-ref-snapshot-id` maps onto the snaplog's
+  * conditional-commit CAS (stale expectation → the spec's 409), the
+  * posted snapshot's manifest list is walked for its data files, each
+  * file is footer-statted and committed as ONE native graft append —
+  * so a foreign engine can write through graft's catalog without
+  * knowing the snaplog format. Everything else (deletes, overwrites,
+  * schema changes) mutates through graft commits and answers 400 with
+  * that guidance; statically-served trees ([[start]]) stay read-only
+  * (405) — there is no native table behind them to commit to.
   *
   * Loopback-only by design: the bind address is 127.0.0.1 — exposing
   * a catalog beyond the host is a deployment concern (TLS, real auth)
-  * out of a library's scope. */
+  * out of a library's scope. The commit route reads manifests from
+  * the local filesystem for the same reason: client and server share
+  * storage, the deployment shape the reference runs (MinIO/FS shared
+  * between engines). */
 object RestServe {
 
   final class Server private[RestServe] (http: HttpServer,
       cleanup: () => Unit = () => ()) {
     def endpoint: String = s"http://127.0.0.1:${http.getAddress.getPort}"
     def stop(): Unit = { cleanup(); http.stop(0) }
+    /** Names of threads that ran an export since the last [[resetExportTrace]]
+      * — test-only visibility for the async-publish contract (a
+      * committer's thread must never appear here). */
+    private[graft] val exportThreads =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    private[graft] def resetExportTrace(): Unit = exportThreads.clear()
   }
 
   /** One served table: `root` is the exported tree directory,
     * `ensureCurrent` runs BEFORE every load of this table's metadata
-    * pointer (listings never re-export — only loads pay). */
-  private final class Served(val root: Path, val ensureCurrent: () => Unit)
+    * pointer (listings never re-export — only loads pay), `commit`
+    * handles the spec's POST commit route (None = read-only serving). */
+  private final class Served(val root: Path, val ensureCurrent: () => Unit,
+      val commit: Option[String => (Int, String)] = None)
 
-  /** Serve NATIVE graft tables LIVE, publish-on-COMMIT (round 16): the
-    * server registers a commit listener on each table's catalog, so
-    * the WRITER pays the re-export at commit time — a reader's
-    * `loadTable` is a metadata read (version-hint + pointer), never an
-    * export, exactly the outward mirror of `refresh`'s inward pull.
-    * Registration exports once up front, so the tree is current before
-    * the first request. A snapshot-watermark check stays on the load
+  /** Serve NATIVE graft tables LIVE: publish-on-COMMIT, and (round 17)
+    * accept spec commits back. The server registers a commit listener
+    * on each table's catalog; the listener marks the table dirty and
+    * hands the re-export to a SINGLE-FLIGHT background publisher
+    * (round 17 — the export no longer runs on the committing thread:
+    * a high-frequency streaming committer pays nothing in its commit
+    * path, and a burst of commits coalesces into one trailing export
+    * via the dirty flag). A snapshot-watermark check stays on the load
     * path as the FALLBACK for commits the listener cannot see (a
-    * writer on a DIFFERENT Catalog instance of the same warehouse, or
-    * a listener-time export failure) — that path re-pays the r15
-    * reader-side cost but keeps content always current. Cost model: an
+    * writer on a DIFFERENT Catalog instance of the same warehouse, a
+    * publisher-time export failure, or a load racing ahead of the
+    * publisher) — so reader-visible content is ALWAYS current even
+    * while the background export is still in flight. Cost model: an
     * up-to-date load is one catalog head probe; each commit pays one
-    * export, which is metadata-sized plus stats copying — data files
-    * are referenced in place, never moved, and unchanged prior-
-    * snapshot manifests are fingerprint-skipped
+    * DEFERRED export, which is metadata-sized plus stats copying —
+    * data files are referenced in place, never moved, and unchanged
+    * prior-snapshot manifests are fingerprint-skipped
     * ([[IcebergExport]]'s stable writes), so a commit's export cost is
     * O(new snapshots), not O(history). Concurrent exports of one table
     * serialize on a per-table lock; every metadata file lands by
     * atomic rename, so a reader racing a re-export sees only complete
-    * content, old or new. `stop()` unregisters the listeners. */
+    * content, old or new. `stop()` unregisters the listeners and
+    * shuts the publisher down. */
   def startLive(
       tables: Map[(String, String), (graft.table.LakehouseTable, Path)],
       port: Int = 0, token: Option[String] = None,
       inlineMetadata: Boolean = false,
       formatVersion: Int = 2): Server = {
+    // one single-flight publisher for ALL served tables: exports are
+    // metadata-sized, so serializing them bounds filesystem churn and
+    // keeps the thread count at one regardless of table count
+    val publisher = java.util.concurrent.Executors.newSingleThreadExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-rest-publisher")
+        t.setDaemon(true)
+        t
+      })
+    // filled in below once the Server exists — sync() records its
+    // thread here for the async-publish contract tests
+    var trace: java.util.Set[String] = null
     val served = tables.map { case (k, (tbl, dir)) =>
       val lock = new Object
       val lastExported = new java.util.concurrent.atomic.AtomicLong(-1L)
@@ -71,34 +103,345 @@ object RestServe {
         val cur = tbl.currentSnapshotId
         if (cur != lastExported.get) lock.synchronized {
           if (cur != lastExported.get) {
+            if (trace != null) trace.add(Thread.currentThread().getName)
             IcebergExport.export(tbl, dir, formatVersion)
             lastExported.set(cur)
           }
         }
       }
       sync() // current before the first request — loads never cold-export
+      // single-flight + trailing-edge coalescing: `dirty` is the
+      // pending-work latch, `inFlight` admits one queued task; the
+      // task drains until clean, and the post-release re-check closes
+      // the "listener fired after the drain loop exited" window
+      val dirty = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val inFlight = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def schedule(): Unit =
+        if (inFlight.compareAndSet(false, true))
+          publisher.execute { () =>
+            try
+              while ({
+                dirty.set(false)
+                try sync()
+                catch { case scala.util.control.NonFatal(_) => () }
+                dirty.get
+              }) ()
+            finally {
+              inFlight.set(false)
+              if (dirty.get) schedule()
+            }
+          }
       val listener: (String, String, graft.catalog.Snapshot) => Unit =
-        (ns, t, _) => if (ns == tbl.namespace && t == tbl.name) sync()
+        (ns, t, _) => if (ns == tbl.namespace && t == tbl.name) {
+          dirty.set(true); schedule()
+        }
       tbl.catalog.addCommitListener(listener)
-      (k, new Served(dir, () => sync()),
+      (k, new Served(dir, () => sync(),
+        Some(restCommit(tbl, k._1, k._2, () => sync(), dir) _)),
         () => tbl.catalog.removeCommitListener(listener))
     }
-    startImpl(served.map { case (k, s, _) => k -> s }.toMap,
+    val srv = startImpl(served.map { case (k, s, _) => k -> s }.toMap,
       port, token, inlineMetadata,
-      cleanup = () => served.foreach { case (_, _, off) => off() })
+      cleanup = () => {
+        served.foreach { case (_, _, off) => off() }
+        publisher.shutdown()
+      })
+    trace = srv.exportThreads
+    srv
   }
 
   /** Start serving `tables` ((namespace, table) → exported tree root,
     * the dir holding `metadata/`). `port = 0` binds an ephemeral port.
-    * Snapshot-frozen by contract: the version-hint is re-read per
-    * request, so a caller re-running `export` publishes — for tables
-    * that should publish every graft commit automatically, use
-    * [[startLive]]. */
+    * Snapshot-frozen and READ-ONLY by contract: the version-hint is
+    * re-read per request, so a caller re-running `export` publishes —
+    * for tables that should publish every graft commit automatically
+    * and accept REST commits back, use [[startLive]]. */
   def start(tables: Map[(String, String), Path], port: Int = 0,
       token: Option[String] = None,
       inlineMetadata: Boolean = false): Server =
     startImpl(tables.map { case (k, root) =>
       k -> new Served(root, () => ()) }, port, token, inlineMetadata)
+
+  /** The spec's commit route for one LIVE-served table: parse the
+    * CommitTableRequest, enforce requirements against the CURRENT
+    * snaplog head, walk the posted snapshot's manifest list for its
+    * data files, footer-stat them, and land ONE native conditional
+    * commit. Returns (http status, response body).
+    *
+    * Honest scope — what maps and what refuses:
+    *  - `assert-ref-snapshot-id` (ref main) → the snaplog CAS
+    *    (`expectedSnapshotId`; the spec's null snapshot-id = "ref must
+    *    not exist" → graft's expect-empty). Stale → 409
+    *    CommitFailedException, the table untouched.
+    *  - `assert-table-uuid` → checked against the export's
+    *    deterministic uuid. `assert-create` → 409 (the table exists —
+    *    creation is a graft operation).
+    *  - updates: exactly one `add-snapshot` whose summary operation is
+    *    `append`; `set-snapshot-ref` on main is accepted (graft's main
+    *    advances at commit). Anything else → 400 with guidance —
+    *    deletes/overwrites/schema changes mutate through graft.
+    *  - manifest partition structs attribute IDENTITY and transform
+    *    values by field name exactly as the importer does; fields the
+    *    writer omitted leave the file unattributed (reads stay exact,
+    *    pruning just can't skip it — graft's standard mixed-coverage
+    *    posture).
+    *  - the proposed snapshot-id is advisory (recorded in the commit
+    *    summary); graft assigns its own dense id, and the response's
+    *    metadata is authoritative — the same contract a spec client
+    *    already honors by re-reading the returned metadata.
+    *
+    * Scale: the commit is metadata-sized — one footer read per new
+    * file (parallel, [[graft.table.FileStats.statAll]]), one log line;
+    * data files are referenced in place. Row lineage on an enabled
+    * table is assigned at commit time by the catalog (the v3
+    * inheritance model), so REST-committed files get durable row ids
+    * with no writer cooperation. */
+  private def restCommit(tbl: graft.table.LakehouseTable,
+      ns: String, name: String, sync: () => Unit, root: Path)
+      (bodyText: String): (Int, String) = {
+    def err(code: Int, typ: String, msg: String): (Int, String) =
+      (code, s"""{"error":{"message":${jsonStr(msg)},"type":"$typ","code":$code}}""")
+    def bad(msg: String): (Int, String) =
+      err(400, "BadRequestException", msg)
+    try {
+      val j = JsonMethods.parse(bodyText)
+      // ---- requirements → CAS expectation --------------------------------
+      var expected: Option[Long] = None
+      val reqs = (j \ "requirements") match {
+        case JArray(rs) => rs
+        case JNothing | JNull => Nil
+        case _ => return bad("requirements must be a list")
+      }
+      for (r <- reqs) (r \ "type") match {
+        case JString("assert-ref-snapshot-id") =>
+          (r \ "ref") match {
+            case JString("main") | JNothing | JNull => ()
+            case JString(other) => return bad(
+              s"ref '$other': graft serves a single main branch over REST")
+            case _ => return bad("assert-ref-snapshot-id: malformed ref")
+          }
+          expected = (r \ "snapshot-id") match {
+            case JInt(v) => Some(v.toLong)
+            case JLong(v) => Some(v)
+            // the spec's null = "ref must not exist yet" = expect-empty
+            case JNull | JNothing => Some(0L)
+            case _ => return bad("assert-ref-snapshot-id: malformed snapshot-id")
+          }
+        case JString("assert-table-uuid") =>
+          val want = java.util.UUID.nameUUIDFromBytes(
+            s"graft:${tbl.namespace}.${tbl.name}"
+              .getBytes(StandardCharsets.UTF_8)).toString
+          (r \ "uuid") match {
+            case JString(u) if u == want => ()
+            case JString(u) => return err(409, "CommitFailedException",
+              s"assert-table-uuid: expected $u but the served table is $want")
+            case _ => return bad("assert-table-uuid: malformed uuid")
+          }
+        case JString("assert-create") =>
+          return err(409, "CommitFailedException",
+            s"assert-create: $ns.$name already exists — table creation " +
+              "is a graft operation")
+        case JString(other) =>
+          return bad(s"requirement '$other' is not supported by this " +
+            "catalog (supported: assert-ref-snapshot-id, " +
+            "assert-table-uuid, assert-create)")
+        case _ => return bad("requirement without a type")
+      }
+      // spec ordering: requirements are judged against current state
+      // BEFORE any update work — a stale writer learns 409 without the
+      // server walking its manifests. The conditional commit below
+      // re-checks inside the critical section (this probe narrows the
+      // race window; the CAS closes it).
+      expected.foreach { want =>
+        val cur = tbl.currentSnapshotId
+        // same no-op tolerance the native CAS applies: a lineage of
+        // pure checkpoint folds / WAP-staged commits leaves the
+        // writer's read state current — don't 409 what the commit
+        // would accept
+        val noOp = cur > want && {
+          val between = tbl.catalog.snapshots(tbl.namespace, tbl.name)
+            .filter(s => s.snapshotId > want && s.snapshotId <= cur)
+          between.map(_.snapshotId) == (want + 1 to cur) &&
+            between.forall(s =>
+              s.operation == graft.catalog.Snaplog.OpCheckpoint ||
+                graft.catalog.Snaplog.isWapStaged(s))
+        }
+        if (cur != want && !noOp)
+          return err(409, "CommitFailedException",
+            s"assert-ref-snapshot-id: main is at $cur, not $want — " +
+              "re-read the table and retry")
+      }
+      // ---- updates → one append snapshot ---------------------------------
+      val updates = (j \ "updates") match {
+        case JArray(us) => us
+        case JNothing | JNull => Nil
+        case _ => return bad("updates must be a list")
+      }
+      var snapshot: Option[JValue] = None
+      var proposedRef: Option[Long] = None
+      for (u <- updates) (u \ "action") match {
+        case JString("add-snapshot") =>
+          if (snapshot.isDefined)
+            return bad("one add-snapshot per commit — batch files into " +
+              "one manifest list instead")
+          snapshot = Some(u \ "snapshot")
+        case JString("set-snapshot-ref") =>
+          (u \ "ref-name") match {
+            case JString("main") | JNothing | JNull => ()
+            case JString(other) => return bad(
+              s"set-snapshot-ref '$other': graft serves a single main branch")
+            case _ => return bad("set-snapshot-ref: malformed ref-name")
+          }
+          proposedRef = (u \ "snapshot-ref" \ "snapshot-id") match {
+            case JInt(v) => Some(v.toLong)
+            case JLong(v) => Some(v)
+            case _ => None
+          }
+        case JString(other) =>
+          return bad(s"update action '$other' does not commit through " +
+            "this catalog — only append snapshots (add-snapshot + " +
+            "set-snapshot-ref main) land over REST; deletes, overwrites " +
+            "and schema changes mutate through graft commits")
+        case _ => return bad("update without an action")
+      }
+      val snap = snapshot.getOrElse(
+        return bad("no add-snapshot update — nothing to commit"))
+      (snap \ "summary" \ "operation") match {
+        case JString("append") => ()
+        case JString(op) => return bad(
+          s"snapshot operation '$op' does not commit through this " +
+            "catalog — only appends land over REST")
+        case _ => return bad("snapshot without a summary operation")
+      }
+      val proposedId = (snap \ "snapshot-id") match {
+        case JInt(v) => v.toLong
+        case JLong(v) => v
+        case _ => return bad("snapshot without a snapshot-id")
+      }
+      if (proposedRef.exists(_ != proposedId))
+        return bad("set-snapshot-ref names a different snapshot than " +
+          "add-snapshot — one atomic append per commit")
+      val listPath = (snap \ "manifest-list") match {
+        case JString(p) => graft.table.FileStats.normalizePath(p)
+        case _ => return bad("snapshot without a manifest-list")
+      }
+      if (!Files.isRegularFile(Paths.get(listPath)))
+        return bad(s"manifest list not readable by the catalog host: $listPath")
+      // an evolved (read-by-id) table cannot take foreign files — the
+      // same invariant addFiles enforces natively
+      if (graft.types.FieldIds.hasIds(tbl.schema))
+        return bad(s"$ns.$name has evolved columns (read-by-id): foreign " +
+          "parquet is not verifiable against its field ids — load the " +
+          "files in an engine and append through graft")
+      // ---- manifest walk → file paths + partition attribution -----------
+      val partFields = graft.table.PartitionTransforms
+        .parseAll(tbl.partitionColumns)
+      val srcTypes: Map[String, org.apache.spark.sql.types.DataType] =
+        tbl.schema.fields.map(f => f.name -> f.dataType).toMap
+      val pvByPath = scala.collection.mutable.Map.empty[String, Map[String, String]]
+      val paths = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (mf <- IcebergImport.readAvro(Paths.get(listPath))) {
+        val content = Option(mf.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
+        if (content != 0)
+          return bad("the posted snapshot carries a DELETE manifest — " +
+            "only appends land over REST")
+        val mfPath = graft.table.FileStats.normalizePath(
+          mf.get("manifest_path").toString)
+        if (!Files.isRegularFile(Paths.get(mfPath)))
+          return bad(s"manifest not readable by the catalog host: $mfPath")
+        for (e <- IcebergImport.readAvro(Paths.get(mfPath))) {
+          val status = Option(e.get("status")).map(_.asInstanceOf[Int]).getOrElse(1)
+          if (status == 2)
+            return bad("the posted manifest DELETES files — only appends " +
+              "land over REST")
+          if (status != 0) { // 0 = EXISTING (already live) — skip
+            val df = e.get("data_file")
+              .asInstanceOf[org.apache.avro.generic.GenericRecord]
+            if (df.get("content").asInstanceOf[Int] != 0)
+              return bad(s"${df.get("file_path")}: delete content in a data " +
+                "manifest — refused")
+            if (!df.get("file_format").toString.equalsIgnoreCase("PARQUET"))
+              return bad(s"${df.get("file_path")}: only PARQUET commits")
+            val p = graft.table.FileStats.normalizePath(
+              df.get("file_path").toString)
+            if (!Files.isRegularFile(Paths.get(p)))
+              return bad(s"data file not readable by the catalog host: $p")
+            // partition attribution by field name, the importer's rules:
+            // identity values decode typed→text, transform values ARE
+            // their stored text; fields the writer omitted (or an empty
+            // struct) leave the file unattributed — conservative, exact
+            val part = df.get("partition")
+              .asInstanceOf[org.apache.avro.generic.GenericRecord]
+            val pv = partFields.flatMap { pf =>
+              if (part == null || part.getSchema.getField(pf.fieldName) == null)
+                None
+              else {
+                val v = part.get(pf.fieldName)
+                pf match {
+                  case idf: graft.table.IdentityField =>
+                    Some(pf.fieldName ->
+                      IcebergImport.partitionText(v, srcTypes(idf.source)))
+                  case _ =>
+                    Some(pf.fieldName -> IcebergImport.transformText(v))
+                }
+              }
+            }.toMap
+            pvByPath(p) = pv
+            paths += p
+          }
+        }
+      }
+      if (paths.isEmpty)
+        return bad("the posted snapshot adds no data files")
+      if (paths.distinct.size != paths.size)
+        return bad("the posted snapshot lists a data file twice")
+      val live = tbl.catalog.liveEntriesOrdered(tbl.namespace, tbl.name)
+        .filterNot(_.deleteFile.contains(true)).map(_.path).toSet
+      paths.find(live) match {
+        case Some(dup) => return bad(
+          s"data file already referenced by the table: $dup")
+        case None => ()
+      }
+      // ---- footer-stat + conditional commit ------------------------------
+      val entries = graft.table.FileStats.statAll(
+        tbl.spark, paths.toSeq, p => pvByPath(p))
+      val committed =
+        try tbl.catalog.commit(tbl.namespace, tbl.name, graft.catalog.Snaplog.OpAppend,
+          entries,
+          summary = Map("rest-commit" -> "true",
+            "rest-client-snapshot-id" -> proposedId.toString),
+          expectedSnapshotId = expected)
+        catch {
+          case c: graft.catalog.CommitConflictException =>
+            return err(409, "CommitFailedException", c.getMessage)
+          case e: IllegalArgumentException =>
+            return bad(e.getMessage)
+        }
+      // the async publisher is already running (the commit listener
+      // fired), but the RESPONSE must carry the committed metadata —
+      // sync() here is idempotent, serialized on the per-table lock,
+      // and runs on a server thread, never the foreign committer's
+      sync()
+      val f = currentMetadataFile(root)
+      (200, s"""{"metadata-location":${jsonStr(f.toString)},""" +
+        s""""metadata":${Files.readString(f)},""" +
+        s""""snapshot-id":${committed.snapshotId}}""")
+    } catch {
+      case e: Exception =>
+        err(500, "InternalServerError", e.toString.take(300))
+    }
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def currentMetadataFile(root: Path): Path = {
+    val metaDir =
+      if (Files.exists(root.resolve("version-hint.text"))) root
+      else root.resolve("metadata")
+    val v = Files.readString(metaDir.resolve("version-hint.text")).trim
+    metaDir.resolve(s"v$v.metadata.json")
+  }
 
   private def startImpl(tables: Map[(String, String), Served], port: Int,
       token: Option[String],
@@ -113,15 +456,6 @@ object RestServe {
       x.getResponseBody.write(b)
       x.close()
     }
-    def jsonStr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    def currentMetadataFile(root: Path): Path = {
-      val metaDir =
-        if (Files.exists(root.resolve("version-hint.text"))) root
-        else root.resolve("metadata")
-      val v = Files.readString(metaDir.resolve("version-hint.text")).trim
-      metaDir.resolve(s"v$v.metadata.json")
-    }
     // the spec's %1F namespace-level separator, decoded by the URI class
     def decodeNs(seg: String): String = seg.replace('\u001f', '.')
 
@@ -134,8 +468,28 @@ object RestServe {
           .split("/").toList.filter(_.nonEmpty)
         if (!authOk)
           respond(x, 401, """{"error":{"message":"missing or wrong bearer token","type":"NotAuthorizedException","code":401}}""")
+        else if (x.getRequestMethod == "POST") segs match {
+          // the spec's commit route — live-served tables only
+          case List("namespaces", nsSeg, "tables", tbl) =>
+            tables.get((decodeNs(nsSeg), tbl)) match {
+              case None => respond(x, 404,
+                s"""{"error":{"message":"no such table ${decodeNs(nsSeg)}.$tbl","type":"NoSuchTableException","code":404}}""")
+              case Some(s) => s.commit match {
+                case None => respond(x, 405,
+                  """{"error":{"message":"this table is served from a static export: commits land on live-served tables only (RestServe.startLive)","type":"UnsupportedOperationException","code":405}}""")
+                case Some(h) =>
+                  val body = new String(x.getRequestBody.readAllBytes(),
+                    StandardCharsets.UTF_8)
+                  val (code, resp) = h(body)
+                  respond(x, code, resp)
+              }
+            }
+          case other =>
+            respond(x, 405,
+              s"""{"error":{"message":"POST /v1/${other.mkString("/")} is not a commit route","type":"UnsupportedOperationException","code":405}}""")
+        }
         else if (x.getRequestMethod != "GET")
-          respond(x, 405, """{"error":{"message":"this catalog is read-only: graft tables mutate through graft commits and publish via export","type":"UnsupportedOperationException","code":405}}""")
+          respond(x, 405, """{"error":{"message":"unsupported method: reads are GET, commits POST to /v1/namespaces/{ns}/tables/{t}","type":"UnsupportedOperationException","code":405}}""")
         else segs match {
           case List("config") =>
             respond(x, 200, """{"defaults":{},"overrides":{}}""")

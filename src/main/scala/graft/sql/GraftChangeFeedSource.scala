@@ -56,7 +56,10 @@ final class GraftChangeFeedProvider extends StreamSourceProvider with DataSource
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val tbl = resolve(sqlContext.sparkSession, parameters)
-    (shortName(), tbl.changesSchema)
+    (shortName(),
+      if (GraftChangeFeedSource.lineageOpt(parameters))
+        tbl.changesLineageSchema
+      else tbl.changesSchema)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -71,6 +74,9 @@ private[graft] object GraftChangeFeedSource {
     * convention. */
   def opt(parameters: Map[String, String], key: String): Option[String] =
     org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(parameters).get(key)
+
+  def lineageOpt(parameters: Map[String, String]): Boolean =
+    opt(parameters, "lineage").exists(_.toBoolean)
 
   def resolve(spark: SparkSession, parameters: Map[String, String]): LakehouseTable = {
     val wh = opt(parameters, "warehouse").getOrElse(
@@ -121,10 +127,24 @@ private[graft] final class GraftChangeFeedSource(
         "requires a table imported from an Iceberg tree " +
         "(IcebergImport.register)")
 
+  /** `lineage=true` — stamp the Iceberg-v3 `_row_id` /
+    * `_last_updated_sequence_number` columns onto every change row
+    * (round 17): the streaming form of [[LakehouseTable
+    * .scanChangesLineage]], so a downstream CDC materialization keys
+    * on durable row identity instead of declared key columns — a
+    * MERGE update's postimage carries its preimage's id across the
+    * micro-batch boundary. Requires lineage to serve; a batch over
+    * unassigned files fails loudly like the batch API. Cost matches
+    * the plain feed leg for leg (broadcast per-file lookup, no extra
+    * shuffle). */
+  private val lineage: Boolean =
+    GraftChangeFeedSource.lineageOpt(parameters)
+
   /** Output schema pinned at source creation; a mid-stream table schema
     * change fails the batch loudly (same contract as the DSv2 stream). */
   private val pinnedSchema: StructType = table.schema
-  override val schema: StructType = table.changesSchema
+  override val schema: StructType =
+    if (lineage) table.changesLineageSchema else table.changesSchema
 
   private def mainSnaps() =
     backing.snapshots(table.namespace, table.name)
@@ -233,8 +253,10 @@ private[graft] final class GraftChangeFeedSource(
           "restart the streaming query")
     }
     val changes =
-      try table.scanChanges(s, Some(e))
-      catch {
+      try {
+        if (lineage) table.scanChangesLineage(s, Some(e))
+        else table.scanChanges(s, Some(e))
+      } catch {
         case ex: IllegalArgumentException =>
           throw new IllegalArgumentException(
             s"change feed of ${table.namespace}.${table.name}: " +

@@ -269,7 +269,11 @@ private[sql] object GraftProcedures {
           "_change_type/_commit_snapshot_id/_commit_timestamp; " +
           "to_snapshot = 0 means current; identifier_columns (comma list, " +
           "may be empty) refines same-commit delete+insert pairs into " +
-          "update_preimage/update_postimage images",
+          "update_preimage/update_postimage images. Passing the single " +
+          "value _row_id pairs by DURABLE ROW IDENTITY instead (round " +
+          "17): the view rides scanChangesKeyedByRowId on a row-lineage " +
+          "table — change rows carry _row_id/_last_updated_sequence_" +
+          "number, and a MERGE's images pair with no declared keys",
         Seq("ns" -> StringType, "tbl" -> StringType, "view_name" -> StringType,
           "from_snapshot" -> LongType, "to_snapshot" -> LongType,
           "identifier_columns" -> StringType),
@@ -286,6 +290,9 @@ private[sql] object GraftProcedures {
         val tbl = LakehouseTable.load(backing, SparkSession.active, ns, t)
         val ch =
           if (keys.isEmpty) tbl.scanChanges(from, toOpt)
+          else if (keys.map(_.toLowerCase(java.util.Locale.ROOT)) ==
+              Seq(graft.types.FieldIds.RowIdCol))
+            tbl.scanChangesKeyedByRowId(from, toOpt)
           else tbl.scanChangesKeyed(keys, from, toOpt)
         ch.createOrReplaceTempView(viewName)
         row(UTF8String.fromString(viewName), from,

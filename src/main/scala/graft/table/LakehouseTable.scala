@@ -882,14 +882,7 @@ final class LakehouseTable(
     }
     if (parts.isEmpty)
       spark.createDataFrame(java.util.Collections.emptyList[Row](),
-        if (!lineage) changesSchema
-        else {
-          import graft.types.FieldIds.{RowIdCol, LastUpdatedCol}
-          StructType(schema.fields ++ Seq(
-            StructField(RowIdCol, LongType, nullable = false),
-            StructField(LastUpdatedCol, LongType, nullable = false)) ++
-            changesSchema.fields.drop(schema.fields.length))
-        })
+        if (lineage) changesLineageSchema else changesSchema)
     else parts.reduce(_.unionByName(_))
   }
 
@@ -1008,6 +1001,17 @@ final class LakehouseTable(
       StructField(ChangeTypeCol, StringType, nullable = false),
       StructField(ChangeSnapshotCol, LongType, nullable = false),
       StructField(ChangeTimestampCol, TimestampType, nullable = false)))
+
+  /** Schema [[scanChangesLineage]] emits: [[changesSchema]] with the
+    * two v3 lineage columns between the table columns and the change
+    * metadata. */
+  def changesLineageSchema: StructType = {
+    import graft.types.FieldIds.{RowIdCol, LastUpdatedCol}
+    StructType(schema.fields ++ Seq(
+      StructField(RowIdCol, LongType, nullable = false),
+      StructField(LastUpdatedCol, LongType, nullable = false)) ++
+      changesSchema.fields.drop(schema.fields.length))
+  }
 
   /** SQL access to the changelog: register `scanChanges(from, to)`
     * under a temp view, the same surface [[registerView]] gives the

@@ -174,6 +174,50 @@ class ChangeFeedStreamSpec extends SparkSpec {
     assert(df.isStreaming)
   }
 
+  test("lineage=true stamps durable row ids onto the streamed feed") {
+    // the streaming form of scanChangesLineage (round 17): a CDC
+    // consumer keys on _row_id across micro-batches — a MERGE's
+    // postimage arrives CARRYING its preimage's id
+    val wh = Files.createTempDirectory("graft-cf-lin").toString
+    val t = LakehouseTable.create(new Snaplog(wh), spark, "ns", "cflin",
+      fixture(1).schema,
+      properties = Map(Snaplog.RowLineageProp -> "true"))
+    t.append(fixture(1, 2, 3).repartition(1)
+      .sortWithinPartitions("id"))                               // 1: ids 0,1,2
+    val dfS = spark.readStream.format("graft-changes")
+      .option("warehouse", wh).option("table", "ns.cflin")
+      .option("lineage", "true").load()
+    assert(dfS.schema == t.changesLineageSchema)
+    val ckpt = Files.createTempDirectory("graft-cf-lin-ck").toString
+    val out = Files.createTempDirectory("graft-cf-lin-out").toString
+    def run(): Seq[(String, Long, Int, Long, Long)] = {
+      val q = spark.readStream.format("graft-changes")
+        .option("warehouse", wh).option("table", "ns.cflin")
+        .option("lineage", "true").load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      q.exception.foreach(throw _)
+      spark.read.parquet(out)
+        .select(col(ChangeTypeCol), col(ChangeSnapshotCol), col("id"),
+          col("_row_id"), col("_last_updated_sequence_number"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+          r.getLong(3), r.getLong(4))).toSeq.sorted
+    }
+    assert(run() == Seq(
+      (ChangeInsert, 1L, 1, 0L, 1L),
+      (ChangeInsert, 1L, 2, 1L, 1L),
+      (ChangeInsert, 1L, 3, 2L, 1L)))
+    graft.pipeline.Upsert.upsertTable(t,                         // 2
+      Seq((2, "gX", 9.9)).toDF("id", "grp", "v"), Seq("id"))
+    val batch2 = run().filter(_._2 == 2L)
+    assert(batch2 == Seq(
+      (ChangeDelete, 2L, 2, 1L, 1L),   // preimage: the id it held
+      (ChangeInsert, 2L, 2, 1L, 2L)),  // postimage: SAME id, bumped seq
+      batch2.toString)
+  }
+
   test("refresh=true replicates a LIVE foreign tree's changes, retractions included") {
     val (wh, src) = freshTable("cfsrc")
     src.append(fixture(1, 2, 3))

@@ -340,4 +340,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan2.contains("CartesianProduct") &&
       !plan2.contains("SortMergeJoin"), plan2.take(800))
   }
+
+  test("lineage changelog and row-id pairing keep the scale plan shapes") {
+    // scanChangesLineage = the changelog's own legs plus the same
+    // broadcast file-map stamp the lineage scan uses; the row-id
+    // pairing adds ONE change-set-sized join. Neither may plan a
+    // cartesian or shuffle the data side of the id stamp.
+    import java.nio.file.Files
+    import graft.catalog.Snaplog
+    import graft.table.LakehouseTable
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-lincl-plan").toString
+    val cat = new Snaplog(wh)
+    val tbl = LakehouseTable.create(cat, spark, "ns", "lcp",
+      Seq((1, "a")).toDF("id", "s").schema,
+      properties = Map(Snaplog.RowLineageProp -> "true"))
+    tbl.append((1 to 100).map(i => (i, s"v$i")).toDF("id", "s"))
+    graft.pipeline.Upsert.upsertTable(tbl,
+      (1 to 10).map(i => (i * 7, s"u$i")).toDF("id", "s"), Seq("id"))
+    val plan = physical(tbl.scanChangesLineage(0L))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    val paired = physical(tbl.scanChangesKeyedByRowId(0L))
+    assert(!paired.contains("CartesianProduct"), paired.take(800))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the lineage stamp must broadcast the file map:\n${plan.take(800)}")
+  }
 }

@@ -1128,6 +1128,41 @@ class SqlCatalogSpec extends SparkSpec {
     assert(raw == Seq("delete" -> 1L, "insert" -> 2L))
   }
 
+  test("CALL create_changelog_view('_row_id') pairs by durable row identity") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-sqlclvl").toString
+    val cat = new Snaplog(wh)
+    val df = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "v", "x")
+    val tbl = LakehouseTable.create(cat, spark, "ns", "clvl", df.schema,
+      properties = Map(Snaplog.RowLineageProp -> "true"))
+    tbl.append(df.repartition(1).sortWithinPartitions("id")) // 1: ids 0,1,2
+    val from = tbl.currentSnapshotId
+    graft.pipeline.Upsert.upsertTable(tbl,                   // 2 (merge)
+      Seq((2L, "b2", 22), (4L, "d", 40)).toDF("id", "v", "x"), Seq("id"))
+    spark.conf.set("spark.sql.catalog.gsqlclvl", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlclvl.warehouse", wh)
+    spark.sql(s"CALL gsqlclvl.system.create_changelog_view(" +
+      s"'ns', 'clvl', 'clvl_changes', $from, 0, '_row_id')")
+    // the v3-native form: NO table keys declared anywhere — the merge's
+    // images pair because the postimage CARRIES its preimage's _row_id,
+    // and both lineage columns ride into plain SQL
+    val got = spark.sql(
+      """SELECT id, v, _row_id, _last_updated_sequence_number, _change_type
+         FROM clvl_changes ORDER BY _row_id, _change_type""").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    assert(got.take(2) == Seq(
+      (2L, "b2", 1L, 2L, "update_postimage"),
+      (2L, "b", 1L, 1L, "update_preimage")), got.toString)
+    // the unmatched insert draws a FRESH id above the pre-merge
+    // high-water mark (its exact value depends on the batch's file
+    // layout — identity only has to be new and unique, not dense)
+    val ins = got.drop(2)
+    assert(ins.size == 1 && ins.head._1 == 4L && ins.head._2 == "d" &&
+      ins.head._3 >= 3L && ins.head._4 == 2L &&
+      ins.head._5 == "insert", got.toString)
+  }
+
   test("CALL merge_delta upserts and CDC-applies from SQL, delta-sized") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft-sqlmd").toString

@@ -154,6 +154,23 @@ object IcebergExport {
     })
   }
 
+  /** Spec schema JSON for a FRESH table (the REST client's
+    * CreateTableRequest): top-level ids 1..n in schema order, nested
+    * ids above — advisory numbering for a table with no files yet
+    * (graft's creation allocates its own registry; a re-export
+    * publishes the registry's numbers). */
+  private[interop] def plainSchemaJson(schema: org.apache.spark.sql.types.StructType): JValue = {
+    val idCounter = new java.util.concurrent.atomic.AtomicInteger(
+      schema.fields.length)
+    val nextNestedId: () => Int = () => idCounter.incrementAndGet()
+    ("type" -> "struct") ~ ("schema-id" -> 0) ~ ("fields" -> JArray(
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        ("id" -> (i + 1)) ~ ("name" -> f.name) ~
+          ("required" -> !f.nullable) ~
+          ("type" -> icebergTypeJson(f.dataType, nextNestedId)): JValue
+      }.toList))
+  }
+
   // ---- avro schemas (spec field names + field-ids) -------------------------
 
   /** Iceberg v2 `manifest_file` record (the manifest-list entry).

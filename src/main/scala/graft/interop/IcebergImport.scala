@@ -153,7 +153,7 @@ object IcebergImport {
     * into the registry — graft resolves nested children by name (the
     * rename gate keeps nested root names stable), so id-based
     * resolution is never required below the top level. */
-  private def sparkTypeJson(j: JValue)(implicit fmts: Formats): DataType = j match {
+  private[interop] def sparkTypeJson(j: JValue)(implicit fmts: Formats): DataType = j match {
     case JString(s) => sparkType(s)
     case obj: JObject => (obj \ "type").extract[String] match {
       case "struct" => StructType((obj \ "fields") match {

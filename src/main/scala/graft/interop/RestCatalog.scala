@@ -237,10 +237,9 @@ object RestCatalog {
     * REST conflicts identically. Other non-2xx answers refuse loudly
     * with status + body. Returns the CommitTableResponse's metadata
     * (location + inlined document when the server sends it). */
-  def commitTable(endpoint: String, ns: String, table: String,
-      body: JValue, auth: Auth = NoAuth): LoadedTable = {
+  private def postJson(endpoint: String, path: String, body: JValue,
+      auth: Auth): HttpResponse[String] = {
     val base = endpoint.stripSuffix("/")
-    val path = s"/v1/namespaces/${encodeNs(ns)}/tables/${enc(table)}"
     val payload = JsonMethods.compact(JsonMethods.render(body))
     def send(bearer: Option[String]): HttpResponse[String] = {
       var b = HttpRequest.newBuilder(java.net.URI.create(s"$base$path"))
@@ -254,26 +253,99 @@ object RestCatalog {
     var resp = send(bearerFor(endpoint, auth, forceRefresh = false))
     if (resp.statusCode() == 401 && auth.isInstanceOf[ClientCredentials])
       resp = send(bearerFor(endpoint, auth, forceRefresh = true))
+    resp
+  }
+
+  private def loadedFrom(resp: HttpResponse[String], what: String): LoadedTable = {
+    val j = JsonMethods.parse(resp.body())
+    val loc = (j \ "metadata-location") match {
+      case JString(l) => l
+      case _ => throw new IllegalArgumentException(
+        s"REST catalog: $what carries no metadata-location — " +
+          s"${resp.body().take(500)}")
+    }
+    val inline = (j \ "metadata") match {
+      case JNothing | JNull => None
+      case m => Some(m)
+    }
+    LoadedTable(loc, inline)
+  }
+
+  def commitTable(endpoint: String, ns: String, table: String,
+      body: JValue, auth: Auth = NoAuth): LoadedTable = {
+    val path = s"/v1/namespaces/${encodeNs(ns)}/tables/${enc(table)}"
+    val resp = postJson(endpoint, path, body, auth)
     resp.statusCode() match {
       case ok if ok >= 200 && ok < 300 =>
-        val j = JsonMethods.parse(resp.body())
-        val loc = (j \ "metadata-location") match {
-          case JString(l) => l
-          case _ => throw new IllegalArgumentException(
-            s"REST catalog $base$path: CommitTableResponse carries no " +
-              s"metadata-location — ${resp.body().take(500)}")
-        }
-        val inline = (j \ "metadata") match {
-          case JNothing | JNull => None
-          case m => Some(m)
-        }
-        LoadedTable(loc, inline)
+        loadedFrom(resp, s"CommitTableResponse for $ns.$table")
       case 409 => throw new graft.catalog.CommitConflictException(
         s"REST commit to $ns.$table conflicted (409) — a requirement " +
           s"failed against the server's current state: " +
           s"${resp.body().take(500)}")
       case other => throw new IllegalArgumentException(
-        s"REST catalog $base$path: HTTP $other — ${resp.body().take(500)}")
+        s"REST catalog $path: HTTP $other — ${resp.body().take(500)}")
+    }
+  }
+
+  /** `POST /v1/namespaces/{ns}/tables` — the spec's CREATE route
+    * (round 17): create a table through a graft catalog server that
+    * accepts creates ([[RestServe.CreateTarget]]). The request carries
+    * the spec's shapes end to end — schema as Iceberg JSON (nested
+    * types included), partition spec as transform + source-id fields
+    * (identity / time transforms / truncate; graft refuses bucket —
+    * its xxhash64 buckets are not murmur3), properties verbatim. An
+    * existing table answers the spec's 409, surfaced as
+    * IllegalStateException to match the native catalog's createTable
+    * contract. Returns the fresh (empty) table's LoadTableResult. */
+  def createTable(endpoint: String, ns: String, name: String,
+      schema: org.apache.spark.sql.types.StructType,
+      partitionColumns: Seq[String] = Seq.empty,
+      properties: Map[String, String] = Map.empty,
+      auth: Auth = NoAuth): LoadedTable = {
+    import org.json4s.JsonDSL._
+    val srcId: Map[String, Int] = schema.fieldNames.zipWithIndex
+      .map { case (n, i) => n.toLowerCase(java.util.Locale.ROOT) -> (i + 1) }
+      .toMap
+    val partFields = graft.table.PartitionTransforms.parseAll(partitionColumns)
+      .zipWithIndex.map { case (pf, i) =>
+        val transform = pf match {
+          case _: graft.table.IdentityField => "identity"
+          case _: graft.table.DaysField => "day"
+          case _: graft.table.HoursField => "hour"
+          case _: graft.table.MonthsField => "month"
+          case _: graft.table.YearsField => "year"
+          case t: graft.table.TruncateField => s"truncate[${t.width}]"
+          case other => throw new IllegalArgumentException(
+            s"partition transform '$other' does not create over REST — " +
+              "graft buckets (xxhash64) have no spec transform; create " +
+              "bucket-partitioned tables through graft directly")
+        }
+        val sid = srcId.getOrElse(
+          pf.source.toLowerCase(java.util.Locale.ROOT),
+          throw new IllegalArgumentException(
+            s"partition source '${pf.source}' not in schema"))
+        ("name" -> pf.fieldName) ~ ("transform" -> transform) ~
+          ("source-id" -> sid) ~ ("field-id" -> (1000 + i)): JValue
+      }
+    val body: JValue =
+      ("name" -> name) ~
+        ("schema" -> IcebergExport.plainSchemaJson(schema)) ~
+        ("partition-spec" ->
+          (("spec-id" -> 0) ~ ("fields" -> JArray(partFields.toList)))) ~
+        ("properties" -> JObject(properties.toList.map {
+          case (k, v) => k -> (JString(v): JValue)
+        }))
+    val resp = postJson(endpoint,
+      s"/v1/namespaces/${encodeNs(ns)}/tables", body, auth)
+    resp.statusCode() match {
+      case ok if ok >= 200 && ok < 300 =>
+        loadedFrom(resp, s"LoadTableResult for created $ns.$name")
+      case 409 => throw new IllegalStateException(
+        s"REST create of $ns.$name: table already exists (409) — " +
+          s"${resp.body().take(500)}")
+      case other => throw new IllegalArgumentException(
+        s"REST catalog create $ns.$name: HTTP $other — " +
+          s"${resp.body().take(500)}")
     }
   }
 
@@ -378,6 +450,33 @@ object RestCatalog {
           ("snapshot-ref" ->
             (("type" -> "branch") ~ ("snapshot-id" -> proposed))))))
     commitTable(endpoint, ns, table, body, auth)
+  }
+
+  /** `DELETE /v1/namespaces/{ns}/tables/{table}` — the spec's drop
+    * route (round 17): drop a table a graft catalog server MANAGES
+    * (created-through-REST lifecycle, [[RestServe.CreateTarget]]).
+    * 204 on success; 404 refuses loudly; servers without a
+    * CreateTarget answer 405. */
+  def dropTable(endpoint: String, ns: String, table: String,
+      auth: Auth = NoAuth): Unit = {
+    val base = endpoint.stripSuffix("/")
+    val path = s"/v1/namespaces/${encodeNs(ns)}/tables/${enc(table)}"
+    def send(bearer: Option[String]): HttpResponse[String] = {
+      var b = HttpRequest.newBuilder(java.net.URI.create(s"$base$path"))
+        .timeout(java.time.Duration.ofSeconds(60))
+        .header("Accept", "application/json")
+        .DELETE()
+      bearer.foreach(t => b = b.header("Authorization", s"Bearer $t"))
+      client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    }
+    var resp = send(bearerFor(endpoint, auth, forceRefresh = false))
+    if (resp.statusCode() == 401 && auth.isInstanceOf[ClientCredentials])
+      resp = send(bearerFor(endpoint, auth, forceRefresh = true))
+    resp.statusCode() match {
+      case ok if ok >= 200 && ok < 300 => ()
+      case other => throw new IllegalArgumentException(
+        s"REST catalog $base$path: HTTP $other — ${resp.body().take(500)}")
+    }
   }
 
   /** `GET /v1/namespaces/{ns}/tables/{table}` — the LoadTableResult.

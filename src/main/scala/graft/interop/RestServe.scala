@@ -79,11 +79,27 @@ object RestServe {
     * atomic rename, so a reader racing a re-export sees only complete
     * content, old or new. `stop()` unregisters the listeners and
     * shuts the publisher down. */
+  /** Where the spec's CREATE route lands tables (round 17):
+    * `POST /v1/namespaces/{ns}/tables` with a CreateTableRequest
+    * creates a NATIVE graft table in `catalog` under the request's
+    * namespace and starts serving it live from
+    * `exportBase/<ns>/<name>` — so a foreign engine can create,
+    * commit, and read entirely through REST. Identity and time/
+    * truncate transforms map onto graft's partition layout; bucket
+    * transforms refuse (graft's xxhash64 buckets are not Iceberg
+    * murmur3 — silently accepting would attribute files under a
+    * different hash). */
+  final case class CreateTarget(
+      spark: org.apache.spark.sql.SparkSession,
+      catalog: graft.catalog.Catalog,
+      exportBase: Path)
+
   def startLive(
       tables: Map[(String, String), (graft.table.LakehouseTable, Path)],
       port: Int = 0, token: Option[String] = None,
       inlineMetadata: Boolean = false,
-      formatVersion: Int = 2): Server = {
+      formatVersion: Int = 2,
+      acceptCreates: Option[CreateTarget] = None): Server = {
     // one single-flight publisher for ALL served tables: exports are
     // metadata-sized, so serializing them bounds filesystem churn and
     // keeps the thread count at one regardless of table count
@@ -96,7 +112,12 @@ object RestServe {
     // filled in below once the Server exists — sync() records its
     // thread here for the async-publish contract tests
     var trace: java.util.Set[String] = null
-    val served = tables.map { case (k, (tbl, dir)) =>
+    val served =
+      new java.util.concurrent.ConcurrentHashMap[(String, String), Served]()
+    val cleanups =
+      new java.util.concurrent.ConcurrentHashMap[(String, String), () => Unit]()
+    def registerTable(key: (String, String),
+        tbl: graft.table.LakehouseTable, dir: Path): Unit = {
       val lock = new Object
       val lastExported = new java.util.concurrent.atomic.AtomicLong(-1L)
       def sync(): Unit = {
@@ -136,18 +157,144 @@ object RestServe {
           dirty.set(true); schedule()
         }
       tbl.catalog.addCommitListener(listener)
-      (k, new Served(dir, () => sync(),
-        Some(restCommit(tbl, k._1, k._2, () => sync(), dir) _)),
-        () => tbl.catalog.removeCommitListener(listener))
+      served.put(key, new Served(dir, () => sync(),
+        Some(restCommit(tbl, key._1, key._2, () => sync(), dir) _)))
+      cleanups.put(key, () => tbl.catalog.removeCommitListener(listener))
+      ()
     }
-    val srv = startImpl(served.map { case (k, s, _) => k -> s }.toMap,
-      port, token, inlineMetadata,
+    tables.foreach { case (k, (tbl, dir)) => registerTable(k, tbl, dir) }
+    val create = acceptCreates.map { target => (ns: String, body: String) =>
+      restCreate(target, ns, body, served.containsKey _,
+        (key, tbl, dir) => registerTable(key, tbl, dir))
+    }
+    // the spec's DELETE route — scoped to the tables this server
+    // MANAGES (a CreateTarget catalog): a pre-registered table handed
+    // into startLive belongs to the embedding app, not to REST clients
+    val drop = acceptCreates.map { target => (ns: String, name: String) =>
+      val key = (ns, name)
+      if (!target.catalog.tableExists(ns, name))
+        (404, s"""{"error":{"message":"no such table $ns.$name","type":"NoSuchTableException","code":404}}""")
+      else
+        try {
+          Option(cleanups.remove(key)).foreach(off => off())
+          served.remove(key)
+          target.catalog.dropTable(ns, name)
+          (204, "")
+        } catch {
+          case e: Exception =>
+            (500, s"""{"error":{"message":${jsonStr(e.toString.take(300))},"type":"InternalServerError","code":500}}""")
+        }
+    }
+    val srv = startImpl(served, port, token, inlineMetadata,
       cleanup = () => {
-        served.foreach { case (_, _, off) => off() }
+        cleanups.values.forEach(off => off())
         publisher.shutdown()
-      })
+      },
+      create = create,
+      drop = drop)
     trace = srv.exportThreads
     srv
+  }
+
+  /** `POST /v1/namespaces/{ns}/tables` — the spec's create route (see
+    * [[CreateTarget]]). Parses name / schema (spec JSON, nested types
+    * included) / partition-spec / properties, creates the NATIVE graft
+    * table, registers it for live serving, and answers the fresh
+    * LoadTableResult. An existing table (served or in the target
+    * catalog) answers the spec's 409 AlreadyExistsException; reserved
+    * property guards (row-lineage column names) fire as 400s. */
+  private def restCreate(target: CreateTarget, ns: String, bodyText: String,
+      alreadyServed: ((String, String)) => Boolean,
+      register: ((String, String), graft.table.LakehouseTable, Path) => Unit)
+      : (Int, String) = {
+    def err(code: Int, typ: String, msg: String): (Int, String) =
+      (code, s"""{"error":{"message":${jsonStr(msg)},"type":"$typ","code":$code}}""")
+    def bad(msg: String): (Int, String) = err(400, "BadRequestException", msg)
+    try {
+      implicit val fmts: Formats = DefaultFormats
+      val j = JsonMethods.parse(bodyText)
+      val name = (j \ "name") match {
+        case JString(n) if n.nonEmpty => n
+        case _ => return bad("CreateTableRequest without a name")
+      }
+      if ((j \ "stage-create") == JBool(true))
+        return bad("stage-create (transactional create-then-commit) is " +
+          "not supported — create, then commit through the table route")
+      val fieldsJson = (j \ "schema" \ "fields") match {
+        case JArray(fs) if fs.nonEmpty => fs
+        case _ => return bad("CreateTableRequest without a non-empty " +
+          "struct schema")
+      }
+      val schema = org.apache.spark.sql.types.StructType(fieldsJson.map { f =>
+        val fname = (f \ "name") match {
+          case JString(n) => n
+          case _ => return bad("schema field without a name")
+        }
+        org.apache.spark.sql.types.StructField(fname,
+          IcebergImport.sparkTypeJson(f \ "type"),
+          nullable = !(f \ "required").extractOpt[Boolean].getOrElse(false))
+      })
+      val idToName = fieldsJson.flatMap(f => (f \ "id") match {
+        case JInt(i) => (f \ "name") match {
+          case JString(n) => Some(i.toInt -> n)
+          case _ => None
+        }
+        case _ => None
+      }).toMap
+      val partitionColumns: Seq[String] = (j \ "partition-spec" \ "fields") match {
+        case JArray(pfs) => pfs.map { pf =>
+          val src = (pf \ "source-id") match {
+            case JInt(i) => idToName.getOrElse(i.toInt,
+              return bad(s"partition-spec source-id $i names no schema field"))
+            case _ => return bad("partition-spec field without a source-id")
+          }
+          (pf \ "transform") match {
+            case JString("identity") => src
+            case JString(t) if t == "day" || t == "days" => s"days($src)"
+            case JString(t) if t == "hour" || t == "hours" => s"hours($src)"
+            case JString(t) if t == "month" || t == "months" => s"months($src)"
+            case JString(t) if t == "year" || t == "years" => s"years($src)"
+            case JString(t) if t.startsWith("truncate[") =>
+              s"truncate(${t.stripPrefix("truncate[").stripSuffix("]")},$src)"
+            case JString(t) if t.startsWith("bucket[") =>
+              return bad(s"bucket transform '$t': graft buckets are " +
+                "xxhash64, not Iceberg murmur3 — a bucket-partitioned " +
+                "table must be created through graft (mbucket) so the " +
+                "layout hash is declared honestly")
+            case JString(other) =>
+              return bad(s"partition transform '$other' has no graft mapping")
+            case _ => return bad("partition-spec field without a transform")
+          }
+        }
+        case JNothing | JNull => Seq.empty
+        case _ => return bad("malformed partition-spec")
+      }
+      val properties: Map[String, String] = (j \ "properties") match {
+        case JObject(fs) => fs.collect { case (k, JString(v)) => k -> v }.toMap
+        case _ => Map.empty
+      }
+      val key = (ns, name)
+      if (alreadyServed(key) || target.catalog.tableExists(ns, name))
+        return err(409, "AlreadyExistsException",
+          s"table $ns.$name already exists")
+      val tbl =
+        try graft.table.LakehouseTable.create(target.catalog, target.spark,
+          ns, name, schema, partitionColumns, properties)
+        catch {
+          case e: IllegalArgumentException => return bad(e.getMessage)
+          case e: IllegalStateException => // create raced another creator
+            return err(409, "AlreadyExistsException", e.getMessage)
+        }
+      val dir = target.exportBase.resolve(ns).resolve(name)
+      Files.createDirectories(dir)
+      register(key, tbl, dir)
+      val f = currentMetadataFile(dir)
+      (200, s"""{"metadata-location":${jsonStr(f.toString)},""" +
+        s""""metadata":${Files.readString(f)}}""")
+    } catch {
+      case e: Exception =>
+        err(500, "InternalServerError", e.toString.take(300))
+    }
   }
 
   /** Start serving `tables` ((namespace, table) → exported tree root,
@@ -158,9 +305,11 @@ object RestServe {
     * and accept REST commits back, use [[startLive]]. */
   def start(tables: Map[(String, String), Path], port: Int = 0,
       token: Option[String] = None,
-      inlineMetadata: Boolean = false): Server =
-    startImpl(tables.map { case (k, root) =>
-      k -> new Served(root, () => ()) }, port, token, inlineMetadata)
+      inlineMetadata: Boolean = false): Server = {
+    val m = new java.util.concurrent.ConcurrentHashMap[(String, String), Served]()
+    tables.foreach { case (k, root) => m.put(k, new Served(root, () => ())) }
+    startImpl(m, port, token, inlineMetadata)
+  }
 
   /** The spec's commit route for one LIVE-served table: parse the
     * CommitTableRequest, enforce requirements against the CURRENT
@@ -443,18 +592,30 @@ object RestServe {
     metaDir.resolve(s"v$v.metadata.json")
   }
 
-  private def startImpl(tables: Map[(String, String), Served], port: Int,
+  private def startImpl(
+      tables: java.util.concurrent.ConcurrentHashMap[(String, String), Served],
+      port: Int,
       token: Option[String],
       inlineMetadata: Boolean,
-      cleanup: () => Unit = () => ()): Server = {
+      cleanup: () => Unit = () => (),
+      create: Option[(String, String) => (Int, String)] = None,
+      drop: Option[(String, String) => (Int, String)] = None): Server = {
+    import scala.jdk.CollectionConverters._
+    def keys: Seq[(String, String)] = tables.keySet().asScala.toSeq
+    def get(k: (String, String)): Option[Served] = Option(tables.get(k))
     val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
     def respond(x: HttpExchange, code: Int, body: String): Unit = {
-      val b = body.getBytes(StandardCharsets.UTF_8)
-      x.getResponseHeaders.add("Content-Type", "application/json")
-      x.sendResponseHeaders(code, b.length)
-      x.getResponseBody.write(b)
-      x.close()
+      if (code == 204 || body.isEmpty) {
+        x.sendResponseHeaders(if (code == 204) 204 else code, -1)
+        x.close()
+      } else {
+        val b = body.getBytes(StandardCharsets.UTF_8)
+        x.getResponseHeaders.add("Content-Type", "application/json")
+        x.sendResponseHeaders(code, b.length)
+        x.getResponseBody.write(b)
+        x.close()
+      }
     }
     // the spec's %1F namespace-level separator, decoded by the URI class
     def decodeNs(seg: String): String = seg.replace('\u001f', '.')
@@ -471,7 +632,7 @@ object RestServe {
         else if (x.getRequestMethod == "POST") segs match {
           // the spec's commit route — live-served tables only
           case List("namespaces", nsSeg, "tables", tbl) =>
-            tables.get((decodeNs(nsSeg), tbl)) match {
+            get((decodeNs(nsSeg), tbl)) match {
               case None => respond(x, 404,
                 s"""{"error":{"message":"no such table ${decodeNs(nsSeg)}.$tbl","type":"NoSuchTableException","code":404}}""")
               case Some(s) => s.commit match {
@@ -484,29 +645,54 @@ object RestServe {
                   respond(x, code, resp)
               }
             }
+          // the spec's create route — live servers with a CreateTarget
+          case List("namespaces", nsSeg, "tables") =>
+            create match {
+              case None => respond(x, 405,
+                """{"error":{"message":"table creation is not accepted here: start the server with RestServe.startLive(..., acceptCreates = Some(CreateTarget(...)))","type":"UnsupportedOperationException","code":405}}""")
+              case Some(h) =>
+                val body = new String(x.getRequestBody.readAllBytes(),
+                  StandardCharsets.UTF_8)
+                val (code, resp) = h(decodeNs(nsSeg), body)
+                respond(x, code, resp)
+            }
           case other =>
             respond(x, 405,
-              s"""{"error":{"message":"POST /v1/${other.mkString("/")} is not a commit route","type":"UnsupportedOperationException","code":405}}""")
+              s"""{"error":{"message":"POST /v1/${other.mkString("/")} is not a commit or create route","type":"UnsupportedOperationException","code":405}}""")
+        }
+        else if (x.getRequestMethod == "DELETE") segs match {
+          // the spec's drop route — REST-managed tables only
+          case List("namespaces", nsSeg, "tables", tbl) =>
+            drop match {
+              case None => respond(x, 405,
+                """{"error":{"message":"table drops are not accepted here: only servers with a CreateTarget manage table lifecycle over REST","type":"UnsupportedOperationException","code":405}}""")
+              case Some(h) =>
+                val (code, resp) = h(decodeNs(nsSeg), tbl)
+                respond(x, code, resp)
+            }
+          case other =>
+            respond(x, 405,
+              s"""{"error":{"message":"DELETE /v1/${other.mkString("/")} is not a drop route","type":"UnsupportedOperationException","code":405}}""")
         }
         else if (x.getRequestMethod != "GET")
-          respond(x, 405, """{"error":{"message":"unsupported method: reads are GET, commits POST to /v1/namespaces/{ns}/tables/{t}","type":"UnsupportedOperationException","code":405}}""")
+          respond(x, 405, """{"error":{"message":"unsupported method: reads are GET, commits/creates POST and drops DELETE under /v1/namespaces","type":"UnsupportedOperationException","code":405}}""")
         else segs match {
           case List("config") =>
             respond(x, 200, """{"defaults":{},"overrides":{}}""")
           case List("namespaces") =>
-            val nss = tables.keys.map(_._1).toSeq.distinct.sorted
+            val nss = keys.map(_._1).distinct.sorted
             respond(x, 200, nss.map(n => s"[${jsonStr(n)}]")
               .mkString("""{"namespaces":[""", ",", "]}"))
           case List("namespaces", nsSeg, "tables") =>
             val ns = decodeNs(nsSeg)
-            val names = tables.keys.collect {
+            val names = keys.collect {
               case (n, t) if n == ns => t
-            }.toSeq.sorted
+            }.sorted
             respond(x, 200, names.map(t =>
               s"""{"namespace":[${jsonStr(ns)}],"name":${jsonStr(t)}}""")
               .mkString("""{"identifiers":[""", ",", "]}"))
           case List("namespaces", nsSeg, "tables", tbl) =>
-            tables.get((decodeNs(nsSeg), tbl)) match {
+            get((decodeNs(nsSeg), tbl)) match {
               case None => respond(x, 404,
                 s"""{"error":{"message":"no such table ${decodeNs(nsSeg)}.$tbl","type":"NoSuchTableException","code":404}}""")
               case Some(s) =>
@@ -529,6 +715,15 @@ object RestServe {
             s"""{"error":{"message":${jsonStr(e.toString.take(300))},"type":"InternalServerError","code":500}}""")
       }
     })
+    // a commit (manifest walk + parallel footer stats) must not block
+    // reads: without an executor the JDK server dispatches every
+    // request on ONE thread. Daemon pool — serving never pins the JVM.
+    http.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-rest-worker")
+        t.setDaemon(true)
+        t
+      }))
     http.start()
     new Server(http, cleanup)
   }

@@ -151,7 +151,14 @@ final class LakehouseTable(
         .toUri.getRawPath
     // the read requests the MATERIALIZED lineage columns too
     // ([[lineageReadSchema]]) — the coalesce below prefers the physical
-    // value per row, exactly the spec's precedence
+    // value per row, exactly the spec's precedence. Those columns ride
+    // reserved FIELD IDS; a session with field-id reads enabled would
+    // refuse files carrying no ids at all (foreign add_files / REST
+    // commits on a never-evolved table) instead of name-matching and
+    // null-filling — set the spec-intended relaxation (sticky session
+    // conf, the same pattern readSchema uses for ReadConf; safe — see
+    // [[graft.types.FieldIds.ReadIgnoreMissingConf]]).
+    spark.conf.set(graft.types.FieldIds.ReadIgnoreMissingConf, "true")
     val base = assembleOrderedMeta(ordered, keep, retainMeta = true,
       schemaOverride = Some(lineageReadSchema))
     val assigned = data.filter(e => !e.lineageInFile.contains(true))
@@ -761,12 +768,14 @@ final class LakehouseTable(
           readParquet(entries.map(_._1.path))
             .select(col("*"), regexp_replace(col("_metadata.file_path"),
               LakehouseTable.PathSchemeRe, "/").as("__cl_path"))
-        else
+        else {
+          spark.conf.set(graft.types.FieldIds.ReadIgnoreMissingConf, "true")
           readSession.read.schema(lineageReadSchema).options(readOptions)
             .parquet(entries.map(_._1.path): _*)
             .select(col("*"), regexp_replace(col("_metadata.file_path"),
               LakehouseTable.PathSchemeRe, "/").as("__cl_path"),
               col("_metadata.row_index").as("__cl_pos"))
+        }
       val stamped0 = base
         .join(lk, Seq("__cl_path"), "left")
         .withColumn(ChangeTypeCol, lit(ChangeInsert))

@@ -103,6 +103,14 @@ object FieldIds {
 
   val WriteConf = "spark.sql.parquet.fieldId.write.enabled"
   val ReadConf = "spark.sql.parquet.fieldId.read.enabled"
+  /** With [[ReadConf]] on, a file carrying NO ids at all refuses under
+    * an id-bearing read schema unless this is also set — then Spark
+    * name-matches that file (graft's intended semantics: id-less files
+    * exist only on never-evolved tables, where names are stable, and
+    * the lineage read's reserved-id columns null-fill for them). The
+    * id-bearing-files guard on EVOLVED tables lives at registration
+    * time, not in this reader error. */
+  val ReadIgnoreMissingConf = "spark.sql.parquet.fieldId.read.ignoreMissing"
 
   /** The two managed-write confs: field-id stamping on, INT64-micros
     * timestamps (footer stats + Iceberg-v2-legal data files). */

@@ -343,6 +343,130 @@ class RestCatalogSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("REST create: a foreign engine creates, commits, and reads entirely through REST") {
+    // round 17: the create route completes the writable-catalog story —
+    // a foreign engine that knows ONLY the endpoint can create a table
+    // (schema as spec JSON, properties verbatim), append through the
+    // commit route, and read it back; the serving set grows live.
+    val wh = Files.createTempDirectory("graft-rest-create").toString
+    val cat = new Snaplog(wh)
+    val base = Files.createTempDirectory("graft-rest-create-ice")
+    val srv = RestServe.startLive(
+      Map.empty[(String, String), (LakehouseTable, java.nio.file.Path)],
+      acceptCreates = Some(RestServe.CreateTarget(spark, cat, base)))
+    try {
+      val created = RestCatalog.createTable(srv.endpoint, "extns", "fresh",
+        fixture().schema,
+        properties = Map(Snaplog.RowLineageProp -> "true"))
+      assert(created.metadata.isDefined &&
+        created.metadataLocation.endsWith("v0.metadata.json"),
+        created.metadataLocation)
+      // the table exists NATIVELY in the target catalog, property intact
+      assert(cat.tableExists("extns", "fresh"))
+      assert(cat.loadTable("extns", "fresh").properties
+        .get(Snaplog.RowLineageProp).contains("true"))
+      // the serving set grew live: listings and loads answer
+      assert(RestCatalog.listTables(srv.endpoint, "extns") == Seq("fresh"))
+      assert(RestCatalog.loadTable(srv.endpoint, "extns", "fresh")
+        .metadataLocation.endsWith("v0.metadata.json"))
+      // append through the commit route with the expect-empty CAS
+      val stage = Files.createTempDirectory("graft-rest-create-stage")
+      fixture().coalesce(1).write.parquet(stage.resolve("data").toString)
+      val files = graft.table.FileStats.statAll(spark,
+        graft.table.FileStats.listParquet(stage.resolve("data").toString),
+        _ => Map.empty)
+      RestCatalog.commitAppend(srv.endpoint, "extns", "fresh",
+        files, stage.resolve("meta"), Some(0L))
+      val t = LakehouseTable.load(cat, spark, "extns", "fresh")
+      assert(t.scan().count() == 4)
+      // the creation-time lineage property bound: commit-time ids serve
+      assert(t.scanLineage().select("_row_id").distinct().count() == 4)
+      // duplicate create answers the spec's 409
+      intercept[IllegalStateException](RestCatalog.createTable(
+        srv.endpoint, "extns", "fresh", fixture().schema))
+      // identity-partitioned create round-trips the spec's spec shape
+      RestCatalog.createTable(srv.endpoint, "extns", "parted",
+        fixture().schema, partitionColumns = Seq("group"))
+      assert(cat.loadTable("extns", "parted").partitionColumns == Seq("group"))
+      // reserved lineage names refuse at REST creation too (400)
+      val e = intercept[IllegalArgumentException](
+        RestCatalog.createTable(srv.endpoint, "extns", "clash",
+          fixture().withColumn("_row_id", $"id".cast("long")).schema,
+          properties = Map(Snaplog.RowLineageProp -> "true")))
+      assert(e.getMessage.contains("400") &&
+        e.getMessage.contains("_row_id"), e.getMessage)
+      // DROP completes the managed lifecycle: 204, catalog + serving
+      // both forget the table; a second drop 404s
+      RestCatalog.dropTable(srv.endpoint, "extns", "parted")
+      assert(!cat.tableExists("extns", "parted"))
+      assert(RestCatalog.listTables(srv.endpoint, "extns") == Seq("fresh"))
+      val e404 = intercept[IllegalArgumentException](
+        RestCatalog.dropTable(srv.endpoint, "extns", "parted"))
+      assert(e404.getMessage.contains("404"), e404.getMessage)
+      // the dropped name is free for re-creation
+      RestCatalog.createTable(srv.endpoint, "extns", "parted",
+        fixture().schema)
+      assert(cat.tableExists("extns", "parted"))
+    } finally srv.stop()
+    // a server without a CreateTarget answers 405
+    val wh2 = Files.createTempDirectory("graft-rest-nocreate").toString
+    val cat2 = new Snaplog(wh2)
+    val src = LakehouseTable.create(cat2, spark, "ns", "nc", fixture().schema)
+    src.append(fixture())
+    val dir2 = Files.createTempDirectory("graft-rest-nocreate-ice")
+    val srv2 = RestServe.startLive(Map(("extns", "nc") -> (src, dir2)))
+    try {
+      val e2 = intercept[IllegalArgumentException](
+        RestCatalog.createTable(srv2.endpoint, "extns", "x", fixture().schema))
+      assert(e2.getMessage.contains("405"), e2.getMessage)
+      // and a pre-registered table is not REST-droppable either
+      val e3 = intercept[IllegalArgumentException](
+        RestCatalog.dropTable(srv2.endpoint, "extns", "nc"))
+      assert(e3.getMessage.contains("405"), e3.getMessage)
+    } finally srv2.stop()
+  }
+
+  test("racing REST commits: the CAS admits exactly one writer, the loser 409s") {
+    val wh = Files.createTempDirectory("graft-rest-race").toString
+    val cat = new Snaplog(wh)
+    val src = LakehouseTable.create(cat, spark, "ns", "race", fixture().schema)
+    src.append(fixture()) // head = 1
+    val dir = Files.createTempDirectory("graft-rest-race-ice")
+    val srv = RestServe.startLive(Map(("extns", "race") -> (src, dir)))
+    try {
+      val stage = Files.createTempDirectory("graft-rest-race-stage")
+      def staged(tag: String) = {
+        fixture().withColumn("id", $"id" + (if (tag == "a") 10 else 20))
+          .coalesce(1).write.parquet(stage.resolve(tag).toString)
+        graft.table.FileStats.statAll(spark,
+          graft.table.FileStats.listParquet(stage.resolve(tag).toString),
+          _ => Map.empty)
+      }
+      val (fa, fb) = (staged("a"), staged("b"))
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.DurationInt
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      // both writers read head=1 and commit concurrently against it
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      def attempt(files: Seq[graft.catalog.DataFileEntry], m: String) =
+        Future {
+          gate.await()
+          try Right(RestCatalog.commitAppend(srv.endpoint, "extns", "race",
+            files, stage.resolve(m), Some(1L)))
+          catch {
+            case c: graft.catalog.CommitConflictException => Left(c)
+          }
+        }
+      val (ra, rb) = (attempt(fa, "ma"), attempt(fb, "mb"))
+      gate.countDown()
+      val results = Await.result(Future.sequence(Seq(ra, rb)), 120.seconds)
+      assert(results.count(_.isRight) == 1 && results.count(_.isLeft) == 1,
+        s"exactly one racing commit must land: $results")
+      assert(src.currentSnapshotId == 2L)
+      assert(src.scan().count() == 8, "the loser's rows must NOT appear")
+    } finally srv.stop()
+  }
+
   test("REST commit refusals: non-append updates, duplicate files, unknown requirements") {
     val wh = Files.createTempDirectory("graft-rest-wr").toString
     val cat = new Snaplog(wh)

@@ -452,6 +452,38 @@ object RestCatalog {
     commitTable(endpoint, ns, table, body, auth)
   }
 
+  /** `POST /v1/namespaces` — create a namespace in a catalog server
+    * that manages its catalog over REST ([[RestServe.CreateTarget]]).
+    * An existing namespace answers the spec's 409, surfaced as
+    * IllegalStateException. */
+  def createNamespace(endpoint: String, ns: String,
+      auth: Auth = NoAuth): Unit = {
+    import org.json4s.JsonDSL._
+    val body: JValue =
+      ("namespace" -> ns.split('.').toList) ~
+        ("properties" -> JObject(Nil))
+    val resp = postJson(endpoint, "/v1/namespaces", body, auth)
+    resp.statusCode() match {
+      case ok if ok >= 200 && ok < 300 => ()
+      case 409 => throw new IllegalStateException(
+        s"REST create of namespace $ns: already exists (409) — " +
+          s"${resp.body().take(500)}")
+      case other => throw new IllegalArgumentException(
+        s"REST catalog create namespace $ns: HTTP $other — " +
+          s"${resp.body().take(500)}")
+    }
+  }
+
+  /** `GET /v1/namespaces/{ns}` — the spec's namespace existence/
+    * metadata probe: true on 200, false on 404, loud otherwise. */
+  def namespaceExists(endpoint: String, ns: String,
+      auth: Auth = NoAuth): Boolean =
+    try { get(endpoint, s"/v1/namespaces/${encodeNs(ns)}", auth); true }
+    catch {
+      case e: IllegalArgumentException if e.getMessage.contains("(404)") =>
+        false
+    }
+
   /** `DELETE /v1/namespaces/{ns}/tables/{table}` — the spec's drop
     * route (round 17): drop a table a graft catalog server MANAGES
     * (created-through-REST lifecycle, [[RestServe.CreateTarget]]).

@@ -185,13 +185,44 @@ object RestServe {
             (500, s"""{"error":{"message":${jsonStr(e.toString.take(300))},"type":"InternalServerError","code":500}}""")
         }
     }
+    // namespace half of the managed lifecycle: POST /v1/namespaces
+    // creates in the target catalog; listings/loads see catalog
+    // namespaces even before their first table exists
+    val createNs = acceptCreates.map { target => (body: String) =>
+      try {
+        val parts = (JsonMethods.parse(body) \ "namespace") match {
+          case JArray(ps) => ps.collect { case JString(p) => p }
+          case _ => Nil
+        }
+        if (parts.isEmpty)
+          (400, """{"error":{"message":"CreateNamespaceRequest without a namespace","type":"BadRequestException","code":400}}""")
+        else {
+          val ns = parts.mkString(".")
+          if (target.catalog.namespaceExists(ns))
+            (409, s"""{"error":{"message":"namespace $ns already exists","type":"AlreadyExistsException","code":409}}""")
+          else {
+            target.catalog.createNamespace(ns)
+            (200, parts.map(jsonStr)
+              .mkString("""{"namespace":[""", ",", """],"properties":{}}"""))
+          }
+        }
+      } catch {
+        case e: Exception =>
+          (500, s"""{"error":{"message":${jsonStr(e.toString.take(300))},"type":"InternalServerError","code":500}}""")
+      }
+    }
+    val extraNs: () => Seq[String] = acceptCreates
+      .map(t => () => t.catalog.listNamespaces())
+      .getOrElse(() => Seq.empty[String])
     val srv = startImpl(served, port, token, inlineMetadata,
       cleanup = () => {
         cleanups.values.forEach(off => off())
         publisher.shutdown()
       },
       create = create,
-      drop = drop)
+      drop = drop,
+      createNs = createNs,
+      extraNs = extraNs)
     trace = srv.exportThreads
     srv
   }
@@ -599,7 +630,9 @@ object RestServe {
       inlineMetadata: Boolean,
       cleanup: () => Unit = () => (),
       create: Option[(String, String) => (Int, String)] = None,
-      drop: Option[(String, String) => (Int, String)] = None): Server = {
+      drop: Option[(String, String) => (Int, String)] = None,
+      createNs: Option[String => (Int, String)] = None,
+      extraNs: () => Seq[String] = () => Seq.empty): Server = {
     import scala.jdk.CollectionConverters._
     def keys: Seq[(String, String)] = tables.keySet().asScala.toSeq
     def get(k: (String, String)): Option[Served] = Option(tables.get(k))
@@ -645,6 +678,17 @@ object RestServe {
                   respond(x, code, resp)
               }
             }
+          // the spec's namespace-create route
+          case List("namespaces") =>
+            createNs match {
+              case None => respond(x, 405,
+                """{"error":{"message":"namespace creation is not accepted here: only servers with a CreateTarget manage the catalog over REST","type":"UnsupportedOperationException","code":405}}""")
+              case Some(h) =>
+                val body = new String(x.getRequestBody.readAllBytes(),
+                  StandardCharsets.UTF_8)
+                val (code, resp) = h(body)
+                respond(x, code, resp)
+            }
           // the spec's create route — live servers with a CreateTarget
           case List("namespaces", nsSeg, "tables") =>
             create match {
@@ -680,9 +724,17 @@ object RestServe {
           case List("config") =>
             respond(x, 200, """{"defaults":{},"overrides":{}}""")
           case List("namespaces") =>
-            val nss = keys.map(_._1).distinct.sorted
-            respond(x, 200, nss.map(n => s"[${jsonStr(n)}]")
+            val nss = (keys.map(_._1) ++ extraNs()).distinct.sorted
+            respond(x, 200, nss.map(n =>
+              n.split('.').map(jsonStr).mkString("[", ",", "]"))
               .mkString("""{"namespaces":[""", ",", "]}"))
+          case List("namespaces", nsSeg) =>
+            val ns = decodeNs(nsSeg)
+            if ((keys.map(_._1) ++ extraNs()).contains(ns))
+              respond(x, 200, ns.split('.').map(jsonStr)
+                .mkString("""{"namespace":[""", ",", """],"properties":{}}"""))
+            else respond(x, 404,
+              s"""{"error":{"message":"no such namespace $ns","type":"NoSuchNamespaceException","code":404}}""")
           case List("namespaces", nsSeg, "tables") =>
             val ns = decodeNs(nsSeg)
             val names = keys.collect {

@@ -407,6 +407,15 @@ class RestCatalogSpec extends SparkSpec {
       RestCatalog.createTable(srv.endpoint, "extns", "parted",
         fixture().schema)
       assert(cat.tableExists("extns", "parted"))
+      // namespace half: create over REST, visible in listings and the
+      // existence probe BEFORE any table lives in it; duplicate 409s
+      RestCatalog.createNamespace(srv.endpoint, "fresh_ns")
+      assert(cat.namespaceExists("fresh_ns"))
+      assert(RestCatalog.namespaceExists(srv.endpoint, "fresh_ns"))
+      assert(!RestCatalog.namespaceExists(srv.endpoint, "no_such_ns"))
+      assert(RestCatalog.listNamespaces(srv.endpoint).contains("fresh_ns"))
+      intercept[IllegalStateException](
+        RestCatalog.createNamespace(srv.endpoint, "fresh_ns"))
     } finally srv.stop()
     // a server without a CreateTarget answers 405
     val wh2 = Files.createTempDirectory("graft-rest-nocreate").toString

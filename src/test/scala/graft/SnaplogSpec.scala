@@ -1639,6 +1639,32 @@ abstract class CatalogContractSpec extends SparkSpec {
       s"post-rollback ids allocate above the rolled-back era: ${lf.toSeq}")
   }
 
+  test("lineage reads serve foreign id-less files under field-id-read sessions") {
+    // round 17 regression: the lineage read requests the reserved-id
+    // physical columns; with spark.sql.parquet.fieldId.read.enabled on
+    // (sticky — any evolved-table read in the session sets it), a file
+    // carrying NO ids at all (add_files / REST commit of foreign
+    // parquet) REFUSED instead of name-matching and null-filling.
+    val cat = freshCatalog()
+    val dir = Files.createTempDirectory("graft-lin-ext")
+    fixture().coalesce(1).write.parquet(s"$dir/ext.parquet")
+    val tbl = LakehouseTable.create(cat, spark, "ns", "linext",
+      fixture().schema,
+      properties = Map(Snaplog.RowLineageProp -> "true"))
+    val prior = spark.conf.getOption(graft.types.FieldIds.ReadConf)
+    spark.conf.set(graft.types.FieldIds.ReadConf, "true")
+    try {
+      tbl.addFiles(graft.table.FileStats.listParquet(s"$dir/ext.parquet"))
+      val l = tbl.scanLineage().select("id", "_row_id").collect()
+        .map(r => r.getInt(0) -> r.getLong(1))
+      assert(l.length == 4 && l.map(_._2).distinct.length == 4,
+        l.toSeq.toString)
+    } finally prior match {
+      case Some(v) => spark.conf.set(graft.types.FieldIds.ReadConf, v)
+      case None => spark.conf.unset(graft.types.FieldIds.ReadConf)
+    }
+  }
+
   test("row lineage reserves _row_id at EVERY enable path, not just enableRowLineage") {
     val cat = freshCatalog()
     val clash = fixture().withColumn("_row_id", $"id".cast("long"))

@@ -24,10 +24,16 @@ import org.json4s.jackson.JsonMethods
   * posted snapshot's manifest list is walked for its data files, each
   * file is footer-statted and committed as ONE native graft append —
   * so a foreign engine can write through graft's catalog without
-  * knowing the snaplog format. Everything else (deletes, overwrites,
-  * schema changes) mutates through graft commits and answers 400 with
-  * that guidance; statically-served trees ([[start]]) stay read-only
-  * (405) — there is no native table behind them to commit to.
+  * knowing the snaplog format. With a [[CreateTarget]] the server
+  * also manages the catalog LIFECYCLE over REST: `POST
+  * /v1/namespaces` and `POST /v1/namespaces/{ns}/tables` create,
+  * `DELETE /v1/namespaces/{ns}/tables/{t}` drops REST-managed tables,
+  * and the serving set grows/shrinks live — create, commit, read,
+  * drop, all through the spec surface. Everything else (deletes,
+  * overwrites, schema changes) mutates through graft commits and
+  * answers 400 with that guidance; statically-served trees ([[start]])
+  * stay read-only (405) — there is no native table behind them to
+  * commit to.
   *
   * Loopback-only by design: the bind address is 127.0.0.1 — exposing
   * a catalog beyond the host is a deployment concern (TLS, real auth)
@@ -243,7 +249,10 @@ object RestServe {
     def bad(msg: String): (Int, String) = err(400, "BadRequestException", msg)
     try {
       implicit val fmts: Formats = DefaultFormats
-      val j = JsonMethods.parse(bodyText)
+      val j = try JsonMethods.parse(bodyText) catch {
+        case e: Exception =>
+          return bad(s"malformed CreateTableRequest JSON: ${e.getMessage}")
+      }
       val name = (j \ "name") match {
         case JString(n) if n.nonEmpty => n
         case _ => return bad("CreateTableRequest without a name")
@@ -384,7 +393,10 @@ object RestServe {
     def bad(msg: String): (Int, String) =
       err(400, "BadRequestException", msg)
     try {
-      val j = JsonMethods.parse(bodyText)
+      val j = try JsonMethods.parse(bodyText) catch {
+        case e: Exception =>
+          return bad(s"malformed CommitTableRequest JSON: ${e.getMessage}")
+      }
       // ---- requirements → CAS expectation --------------------------------
       var expected: Option[Long] = None
       val reqs = (j \ "requirements") match {

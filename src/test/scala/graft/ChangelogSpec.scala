@@ -329,6 +329,35 @@ class ChangelogSpec extends SparkSpec {
     assert(e.getMessage.contains("lineage"), e.getMessage)
   }
 
+  test("lineage changelog: MOR vectors and overwrites carry/end identity correctly") {
+    val t = freshLineageTable("linmor")
+    t.append(fixture(1, 2, 3).repartition(1)
+      .sortWithinPartitions("id"))      // 1: ids 0,1,2
+    t.deleteMor(col("id") === 2)        // 2: position vector
+    val mor = t.scanChangesLineage(1L)
+      .select(col(ChangeTypeCol), col("id"), col("_row_id")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(mor == Seq((ChangeDelete, 2, 1L)),
+      s"the vector-killed row carries the id it held: $mor")
+    // overwrite ends EVERY identity — under v3 semantics rewritten-
+    // verbatim content with fresh ids is delete+insert, the stream's
+    // truth (the documented divergence from plain scanChanges)
+    t.overwrite(fixture(1, 3).repartition(1).sortWithinPartitions("id")) // 3
+    val ow = t.scanChangesLineage(2L)
+      .select(col(ChangeTypeCol), col("id"), col("_row_id")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(ow.filter(_._1 == ChangeDelete).map(x => (x._2, x._3)).toSet ==
+      Set((1, 0L), (3, 2L)), s"old identities end: $ow")
+    val inserted = ow.filter(_._1 == ChangeInsert)
+    assert(inserted.map(_._2).sorted == Seq(1, 3) &&
+      inserted.forall(_._3 >= 3L),
+      s"overwrite content re-enters under FRESH ids: $ow")
+    // plain scanChanges keeps the content-diff view: the same window
+    // shows NO changes for rows the overwrite kept verbatim
+    assert(t.scanChanges(2L).count() == 0,
+      "content-identical overwrite is a plain-changelog no-op")
+  }
+
   test("row-id-keyed changelog pairs a MERGE's images by durable identity") {
     val t = freshLineageTable("linpair")
     t.append(fixture(1, 2, 3).repartition(1)

@@ -877,6 +877,23 @@ object IcebergImport {
     * metadata-scale I/O; the 100 TB of data files stay untouched in
     * place. Rows referencing paths outside `dataPlainPaths` are
     * dangling (the data file left the snapshot) and dropped. */
+  /** The form `_metadata.file_path` carries at scan for a plain path:
+    * scheme + authority-if-present + RAW (percent-encoded) path.
+    * makeQualified stamps an EMPTY authority ("file:///…") where
+    * directory-listing URIs carry none ("file:/…") — emit the listing
+    * form, or every vector row misses the MOR anti-join. Shared by the
+    * import's position-delete conversion and the REST commit route's
+    * ([[RestServe]]) — both rewrite foreign (file_path, pos) rows into
+    * graft vector files keyed by this form. */
+  private[interop] def qualifiedScanPath(
+      hadoopConf: org.apache.hadoop.conf.Configuration,
+      plain: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(plain)
+    val u = hp.getFileSystem(hadoopConf).makeQualified(hp).toUri
+    val auth = Option(u.getAuthority).getOrElse("")
+    s"${u.getScheme}:${if (auth.nonEmpty) "//" + auth else ""}${u.getRawPath}"
+  }
+
   private def buildPosEntries(spark: SparkSession, catalog: Catalog,
       ns: String, name: String, posPlans: Seq[PosPlan],
       dvPlans: Seq[DvPlan], dataPlainPaths: Set[String]): Seq[DataFileEntry] = {
@@ -888,16 +905,7 @@ object IcebergImport {
     // partition dir with a space reads back as `%20`) — Path.toString
     // would miss every file under such a dir and silently under-delete.
     val hadoopConf = spark.sessionState.newHadoopConf()
-    def qualified(plain: String): String = {
-      val hp = new org.apache.hadoop.fs.Path(plain)
-      val u = hp.getFileSystem(hadoopConf).makeQualified(hp).toUri
-      // SparkPath's form: scheme + authority-if-present + RAW (encoded)
-      // path. makeQualified stamps an EMPTY authority ("file:///…")
-      // where directory-listing URIs carry none ("file:/…") — emit the
-      // listing form, or every vector row misses the anti-join.
-      val auth = Option(u.getAuthority).getOrElse("")
-      s"${u.getScheme}:${if (auth.nonEmpty) "//" + auth else ""}${u.getRawPath}"
-    }
+    def qualified(plain: String): String = qualifiedScanPath(hadoopConf, plain)
     import org.apache.spark.sql.functions.{broadcast, col}
     import spark.implicits._
     // v3 deletion vectors decode DRIVER-SIDE: one blob is one data

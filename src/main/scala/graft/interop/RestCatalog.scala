@@ -452,6 +452,108 @@ object RestCatalog {
     commitTable(endpoint, ns, table, body, auth)
   }
 
+  /** COMMIT a merge-on-read DELETE snapshot through the REST route —
+    * the CDC writer's retraction commit (round 17). `posFiles` are
+    * spec position-delete parquet files ((file_path, pos) rows,
+    * unscoped); `eqFiles` pair an unscoped equality-delete parquet
+    * with its `equality_ids` (the TARGET table's field ids — read them
+    * from the loaded metadata; fresh graft tables number top-level
+    * fields 1..n in schema order). Exactly one kind per commit, the
+    * server's contract. The helper writes the spec delete manifest +
+    * manifest list under `stagingDir` and POSTs `add-snapshot` with
+    * operation `delete` guarded by `assert-ref-snapshot-id`; a stale
+    * expectation — or a position delete referencing a file the current
+    * snapshot no longer holds — surfaces as
+    * [[graft.catalog.CommitConflictException]]. */
+  def commitDelete(endpoint: String, ns: String, table: String,
+      posFiles: Seq[graft.catalog.DataFileEntry] = Seq.empty,
+      eqFiles: Seq[(graft.catalog.DataFileEntry, Seq[Int])] = Seq.empty,
+      stagingDir: java.nio.file.Path = null,
+      expectedSnapshotId: Option[Long] = None,
+      auth: Auth = NoAuth): LoadedTable = {
+    require(stagingDir != null, "REST delete: stagingDir is required")
+    require(posFiles.nonEmpty ^ eqFiles.nonEmpty,
+      "REST delete: exactly one delete kind per commit (position OR " +
+        "equality files)")
+    java.nio.file.Files.createDirectories(stagingDir)
+    val proposed = expectedSnapshotId.map(_ + 1)
+      .getOrElse(System.currentTimeMillis())
+    val entrySchema = IcebergExport.manifestEntrySchema(Seq.empty)
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val partSchema = dataFileSchema.getField("partition").schema()
+    // equality_ids is union(null, array<int>) — the array branch
+    val eqIdsSchema = dataFileSchema.getField("equality_ids").schema()
+      .getTypes.get(1)
+    import scala.jdk.CollectionConverters._
+    def entry(f: graft.catalog.DataFileEntry, content: Int,
+        ids: Option[Seq[Int]]): org.apache.avro.generic.GenericRecord = {
+      val df = new org.apache.avro.generic.GenericData.Record(dataFileSchema)
+      df.put("content", content)
+      df.put("file_path", f.path)
+      df.put("file_format", "PARQUET")
+      df.put("partition",
+        new org.apache.avro.generic.GenericData.Record(partSchema))
+      df.put("record_count", f.rowCount)
+      df.put("file_size_in_bytes", f.sizeBytes)
+      df.put("equality_ids", ids.map(seq =>
+        new org.apache.avro.generic.GenericData.Array[Integer](eqIdsSchema,
+          seq.map(Integer.valueOf).asJava)).orNull)
+      val e = new org.apache.avro.generic.GenericData.Record(entrySchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", java.lang.Long.valueOf(proposed))
+      e.put("sequence_number", null)
+      e.put("file_sequence_number", null)
+      e.put("data_file", df)
+      e
+    }
+    val records =
+      posFiles.map(f => entry(f, 1, None)) ++
+        eqFiles.map { case (f, ids) => entry(f, 2, Some(ids)) }
+    val mfPath = stagingDir.resolve(s"rest-del-manifest-$proposed.avro")
+    IcebergExport.writeAvro(mfPath, entrySchema,
+      Seq("format-version" -> "2", "content" -> "deletes",
+        "partition-spec" -> "[]", "partition-spec-id" -> "0"),
+      records)
+    val mf = new org.apache.avro.generic.GenericData.Record(
+      IcebergExport.ManifestFileSchema)
+    mf.put("manifest_path", mfPath.toString)
+    mf.put("manifest_length", java.nio.file.Files.size(mfPath))
+    mf.put("partition_spec_id", 0)
+    mf.put("content", 1) // delete manifest
+    mf.put("sequence_number", 0L)
+    mf.put("min_sequence_number", 0L)
+    mf.put("added_snapshot_id", proposed)
+    mf.put("added_files_count", records.size)
+    mf.put("existing_files_count", 0)
+    mf.put("deleted_files_count", 0)
+    mf.put("added_rows_count",
+      (posFiles ++ eqFiles.map(_._1)).map(_.rowCount).sum)
+    mf.put("existing_rows_count", 0L)
+    mf.put("deleted_rows_count", 0L)
+    val listPath = stagingDir.resolve(
+      s"rest-del-snap-$proposed.manifest-list.avro")
+    IcebergExport.writeAvro(listPath, IcebergExport.ManifestFileSchema,
+      Seq("snapshot-id" -> proposed.toString, "format-version" -> "2"),
+      Seq(mf))
+    import org.json4s.JsonDSL._
+    val requirements: List[JValue] = expectedSnapshotId.toList.map { want =>
+      ("type" -> "assert-ref-snapshot-id") ~ ("ref" -> "main") ~
+        ("snapshot-id" -> (if (want == 0L) JNull else JLong(want): JValue))
+    }
+    val body: JValue =
+      ("requirements" -> JArray(requirements)) ~
+      ("updates" -> JArray(List(
+        ("action" -> "add-snapshot") ~ ("snapshot" ->
+          (("snapshot-id" -> proposed) ~
+            ("timestamp-ms" -> System.currentTimeMillis()) ~
+            ("summary" -> (("operation" -> "delete"): JValue)) ~
+            ("manifest-list" -> listPath.toString))),
+        ("action" -> "set-snapshot-ref") ~ ("ref-name" -> "main") ~
+          ("snapshot-ref" ->
+            (("type" -> "branch") ~ ("snapshot-id" -> proposed))))))
+    commitTable(endpoint, ns, table, body, auth)
+  }
+
   /** `POST /v1/namespaces` — create a namespace in a catalog server
     * that manages its catalog over REST ([[RestServe.CreateTarget]]).
     * An existing namespace answers the spec's 409, surfaced as

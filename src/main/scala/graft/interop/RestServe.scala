@@ -18,19 +18,23 @@ import org.json4s.jackson.JsonMethods
   *
   * WRITES (round 17): tables served LIVE ([[startLive]]) also accept
   * the spec's commit route — `POST /v1/namespaces/{ns}/tables/{t}`
-  * with a CommitTableRequest (`requirements` + `updates`) — scoped to
-  * APPEND snapshots: `assert-ref-snapshot-id` maps onto the snaplog's
+  * with a CommitTableRequest (`requirements` + `updates`) — for
+  * APPEND and merge-on-read DELETE snapshots:
+  * `assert-ref-snapshot-id` maps onto the snaplog's
   * conditional-commit CAS (stale expectation → the spec's 409), the
-  * posted snapshot's manifest list is walked for its data files, each
-  * file is footer-statted and committed as ONE native graft append —
-  * so a foreign engine can write through graft's catalog without
-  * knowing the snaplog format. With a [[CreateTarget]] the server
-  * also manages the catalog LIFECYCLE over REST: `POST
-  * /v1/namespaces` and `POST /v1/namespaces/{ns}/tables` create,
-  * `DELETE /v1/namespaces/{ns}/tables/{t}` drops REST-managed tables,
-  * and the serving set grows/shrinks live — create, commit, read,
-  * drop, all through the spec surface. Everything else (deletes,
-  * overwrites, schema changes) mutates through graft commits and
+  * posted snapshot's manifest list is walked, data files are
+  * footer-statted, delete files convert to graft's MOR state
+  * (position parquet → vector, equality parquet in place), and the
+  * whole request lands as ONE native commit — so a foreign engine,
+  * including a CDC-style writer emitting retractions, writes through
+  * graft's catalog without knowing the snaplog format. With a
+  * [[CreateTarget]] the server also manages the catalog LIFECYCLE
+  * over REST: `POST /v1/namespaces` and `POST
+  * /v1/namespaces/{ns}/tables` create, `DELETE
+  * /v1/namespaces/{ns}/tables/{t}` drops REST-managed tables, and
+  * the serving set grows/shrinks live — create, commit, delete, read,
+  * drop, all through the spec surface. Everything else (overwrites,
+  * replaces, schema changes) mutates through graft commits and
   * answers 400 with that guidance; statically-served trees ([[start]])
   * stay read-only (405) — there is no native table behind them to
   * commit to.
@@ -366,9 +370,19 @@ object RestServe {
     *    deterministic uuid. `assert-create` → 409 (the table exists —
     *    creation is a graft operation).
     *  - updates: exactly one `add-snapshot` whose summary operation is
-    *    `append`; `set-snapshot-ref` on main is accepted (graft's main
-    *    advances at commit). Anything else → 400 with guidance —
-    *    deletes/overwrites/schema changes mutate through graft.
+    *    `append` (data manifests) or `delete` (merge-on-read delete
+    *    manifests — a Flink-CDC-style writer's retraction commit);
+    *    `set-snapshot-ref` on main is accepted (graft's main advances
+    *    at commit). Anything else → 400 with guidance — overwrites/
+    *    replaces/schema changes mutate through graft.
+    *  - DELETE commits: unscoped POSITION files ((file_path, pos)
+    *    parquet) rewrite once into a graft vector keyed by the
+    *    qualified scan-path form — a reference to a non-live file is
+    *    the spec's 409 (stale writer), not a 400; unscoped EQUALITY
+    *    files register IN PLACE, `equality_ids` mapped to top-level
+    *    columns through the table's field registry. One delete kind
+    *    per commit; partition-scoped delete files and inbound puffin
+    *    refuse with guidance.
     *  - manifest partition structs attribute IDENTITY and transform
     *    values by field name exactly as the importer does; fields the
     *    writer omitted leave the file unattributed (reads stay exact,
@@ -498,11 +512,13 @@ object RestServe {
       }
       val snap = snapshot.getOrElse(
         return bad("no add-snapshot update — nothing to commit"))
-      (snap \ "summary" \ "operation") match {
-        case JString("append") => ()
+      val operation = (snap \ "summary" \ "operation") match {
+        case JString(op @ ("append" | "delete")) => op
         case JString(op) => return bad(
           s"snapshot operation '$op' does not commit through this " +
-            "catalog — only appends land over REST")
+            "catalog — appends and merge-on-read delete snapshots land " +
+            "over REST; overwrites/replaces/schema changes mutate " +
+            "through graft")
         case _ => return bad("snapshot without a summary operation")
       }
       val proposedId = (snap \ "snapshot-id") match {
@@ -532,11 +548,18 @@ object RestServe {
         tbl.schema.fields.map(f => f.name -> f.dataType).toMap
       val pvByPath = scala.collection.mutable.Map.empty[String, Map[String, String]]
       val paths = scala.collection.mutable.ArrayBuffer.empty[String]
+      val posDeletes = scala.collection.mutable.ArrayBuffer.empty[String]
+      val eqDeletes = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Int])]
       for (mf <- IcebergImport.readAvro(Paths.get(listPath))) {
         val content = Option(mf.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
-        if (content != 0)
-          return bad("the posted snapshot carries a DELETE manifest — " +
-            "only appends land over REST")
+        if (content != 0 && operation == "append")
+          return bad("the posted append carries a DELETE manifest — " +
+            "commit deletes as their own snapshot (operation 'delete')")
+        if (content == 0 && operation == "delete")
+          return bad("the posted delete snapshot carries a DATA manifest — " +
+            "an upsert's delete+data shape commits through graft " +
+            "(mergeDelta); over REST, append and delete are separate " +
+            "snapshots")
         val mfPath = graft.table.FileStats.normalizePath(
           mf.get("manifest_path").toString)
         if (!Files.isRegularFile(Paths.get(mfPath)))
@@ -544,20 +567,26 @@ object RestServe {
         for (e <- IcebergImport.readAvro(Paths.get(mfPath))) {
           val status = Option(e.get("status")).map(_.asInstanceOf[Int]).getOrElse(1)
           if (status == 2)
-            return bad("the posted manifest DELETES files — only appends " +
-              "land over REST")
+            return bad("the posted manifest retires files (status 2) — " +
+              "rewrites/maintenance mutate through graft")
           if (status != 0) { // 0 = EXISTING (already live) — skip
             val df = e.get("data_file")
               .asInstanceOf[org.apache.avro.generic.GenericRecord]
-            if (df.get("content").asInstanceOf[Int] != 0)
+            val fileContent = df.get("content").asInstanceOf[Int]
+            if (operation == "append" && fileContent != 0)
               return bad(s"${df.get("file_path")}: delete content in a data " +
                 "manifest — refused")
+            if (operation == "delete" && fileContent == 0)
+              return bad(s"${df.get("file_path")}: data content in a delete " +
+                "manifest — refused")
             if (!df.get("file_format").toString.equalsIgnoreCase("PARQUET"))
-              return bad(s"${df.get("file_path")}: only PARQUET commits")
+              return bad(s"${df.get("file_path")}: only PARQUET commits " +
+                "(puffin deletion vectors publish FROM graft; inbound " +
+                "position deletes are parquet (file_path, pos) files)")
             val p = graft.table.FileStats.normalizePath(
               df.get("file_path").toString)
             if (!Files.isRegularFile(Paths.get(p)))
-              return bad(s"data file not readable by the catalog host: $p")
+              return bad(s"file not readable by the catalog host: $p")
             // partition attribution by field name, the importer's rules:
             // identity values decode typed→text, transform values ARE
             // their stored text; fields the writer omitted (or an empty
@@ -578,29 +607,133 @@ object RestServe {
                 }
               }
             }.toMap
-            pvByPath(p) = pv
-            paths += p
+            fileContent match {
+              case 0 =>
+                pvByPath(p) = pv
+                paths += p
+              case 1 =>
+                // PARTITION-SCOPED delete files restrict application to
+                // one partition — the importer expresses identity scopes
+                // as composite keys; the live commit route keeps the
+                // simpler contract and refuses scoped files outright
+                if (pv.nonEmpty)
+                  return bad(s"$p: partition-scoped delete files do not " +
+                    "commit over REST — write unscoped (global) deletes")
+                posDeletes += p
+              case 2 =>
+                if (pv.nonEmpty)
+                  return bad(s"$p: partition-scoped delete files do not " +
+                    "commit over REST — write unscoped (global) deletes")
+                val idsRaw = Option(df.get("equality_ids")).getOrElse(
+                  return bad(s"$p: equality delete without equality_ids"))
+                import scala.jdk.CollectionConverters._
+                val ids = idsRaw.asInstanceOf[java.util.List[Integer]]
+                  .asScala.map(_.intValue).toSeq
+                if (ids.isEmpty)
+                  return bad(s"$p: equality delete with empty equality_ids")
+                eqDeletes += ((p, ids))
+              case other =>
+                return bad(s"$p: unknown file content $other")
+            }
           }
         }
       }
-      if (paths.isEmpty)
-        return bad("the posted snapshot adds no data files")
-      if (paths.distinct.size != paths.size)
-        return bad("the posted snapshot lists a data file twice")
-      val live = tbl.catalog.liveEntriesOrdered(tbl.namespace, tbl.name)
+      // ---- build entries per operation -----------------------------------
+      val spark = tbl.spark
+      val liveData = tbl.catalog.liveEntriesOrdered(tbl.namespace, tbl.name)
         .filterNot(_.deleteFile.contains(true)).map(_.path).toSet
-      paths.find(live) match {
-        case Some(dup) => return bad(
-          s"data file already referenced by the table: $dup")
-        case None => ()
-      }
-      // ---- footer-stat + conditional commit ------------------------------
-      val entries = graft.table.FileStats.statAll(
-        tbl.spark, paths.toSeq, p => pvByPath(p))
+      val (op, entries, extraSummary): (String, Seq[graft.catalog.DataFileEntry], Map[String, String]) =
+        if (operation == "append") {
+          if (paths.isEmpty)
+            return bad("the posted snapshot adds no data files")
+          if (paths.distinct.size != paths.size)
+            return bad("the posted snapshot lists a data file twice")
+          paths.find(liveData) match {
+            case Some(dup) => return bad(
+              s"data file already referenced by the table: $dup")
+            case None => ()
+          }
+          (graft.catalog.Snaplog.OpAppend,
+            graft.table.FileStats.statAll(spark, paths.toSeq, p => pvByPath(p)),
+            Map.empty[String, String])
+        } else if (posDeletes.nonEmpty && eqDeletes.nonEmpty)
+          return bad("one delete kind per commit — position and equality " +
+            "delete files land as separate REST snapshots")
+        else if (posDeletes.isEmpty && eqDeletes.isEmpty)
+          return bad("the posted delete snapshot carries no delete files")
+        else if (posDeletes.nonEmpty) {
+          // POSITION deletes: foreign (file_path, pos) rows rewrite ONCE
+          // into a graft vector file keyed by the qualified scan-path
+          // form (the importer's conversion, applied live). A reference
+          // to a file not in the CURRENT snapshot means the writer's
+          // read state is stale — the spec's conflict, not a 400: the
+          // retry after re-read either finds the file live again (a
+          // rewrite carried it) or regenerates its positions.
+          val raws = spark.read.parquet(posDeletes.toSeq: _*)
+            .select("file_path").distinct()
+            .collect().map(_.getString(0)).toSeq
+          if (raws.isEmpty)
+            return bad("the posted position-delete files carry no rows")
+          val hadoopConf = spark.sessionState.newHadoopConf()
+          val mapping = raws.map { raw =>
+            val plain = graft.table.FileStats.normalizePath(raw)
+            if (!liveData.contains(plain))
+              return err(409, "CommitFailedException",
+                s"position delete references a file not live in " +
+                  s"$ns.$name: $plain — the writer's table state is " +
+                  "stale; re-read and retry")
+            raw -> IcebergImport.qualifiedScanPath(hadoopConf, plain)
+          }
+          val vecDir = tbl.catalog.dataDir(tbl.namespace, tbl.name)
+            .resolve(s"rest-dv-${java.util.UUID.randomUUID().toString.take(12)}")
+          import org.apache.spark.sql.functions.{broadcast, col}
+          import spark.implicits._
+          spark.read.parquet(posDeletes.toSeq: _*)
+            .select(col("file_path"), col("pos").cast("long").as("row_index"))
+            .join(broadcast(mapping.toDF("file_path", "__q")), Seq("file_path"))
+            .select(col("__q").as("file_path"), col("row_index"))
+            .repartition(1).sortWithinPartitions("file_path", "row_index")
+            .write.mode("overwrite").parquet(vecDir.toString)
+          val vecs = graft.table.FileStats.listParquet(vecDir.toString)
+            .map(p => graft.table.FileStats.stat(spark, p, Map.empty)
+              .copy(deleteFile = Some(true)))
+            .filter(_.rowCount > 0)
+          (graft.catalog.Snaplog.OpMorDelete, vecs,
+            Map("delete-vectors" -> vecs.size.toString))
+        } else {
+          // EQUALITY deletes: the foreign key-valued parquet IS graft's
+          // equality-delete file shape — register in place, keys mapped
+          // from the manifest's equality_ids through the table's field
+          // registry (top-level fields only, the native key model)
+          val registry = tbl.meta.properties
+            .get(graft.types.FieldIds.RegistryProp)
+            .map(graft.types.FieldIds.decode).getOrElse(Map.empty)
+          val byId = registry.collect {
+            case (n, id) if !n.contains('.') => id -> n
+          }
+          val eqEntries = eqDeletes.toSeq.map { case (p, ids) =>
+            val names = ids.map(id => byId.getOrElse(id,
+              return bad(s"$p: equality_id $id names no top-level field " +
+                s"of $ns.$name")))
+            val fileCols = spark.read.parquet(p).schema.fieldNames
+              .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+            names.find(n => !fileCols(n.toLowerCase(java.util.Locale.ROOT)))
+              .foreach(missing => return bad(
+                s"$p: equality delete file lacks its own key column " +
+                  s"'$missing'"))
+            graft.table.FileStats.stat(spark, p, Map.empty)
+              .copy(deleteFile = Some(true),
+                equalityKey = Some(names.mkString(",")))
+          }
+          (graft.catalog.Snaplog.OpEqDelete, eqEntries,
+            Map("equality-key" ->
+              eqEntries.flatMap(_.equalityKey).distinct.mkString(";")))
+        }
+      // ---- conditional commit --------------------------------------------
       val committed =
-        try tbl.catalog.commit(tbl.namespace, tbl.name, graft.catalog.Snaplog.OpAppend,
+        try tbl.catalog.commit(tbl.namespace, tbl.name, op,
           entries,
-          summary = Map("rest-commit" -> "true",
+          summary = extraSummary ++ Map("rest-commit" -> "true",
             "rest-client-snapshot-id" -> proposedId.toString),
           expectedSnapshotId = expected)
         catch {

@@ -2812,19 +2812,37 @@ object Lakehouse {
           val restCommitted = head.operation == "append" &&
             head.summary.get("rest-commit").contains("true") &&
             head.files.forall(_.columnStats.nonEmpty)
+          // the CDC writer's RETRACTION: an equality-delete commit
+          // (%9==5 keys; s_suppkey = field id 1) lands as native MOR
+          // state — the server maps equality_ids through the field
+          // registry and registers the key file in place
+          supplier.filter(col("s_suppkey") % 9 === 5).select("s_suppkey")
+            .coalesce(1).write.parquet(stage.resolve("d2").toString)
+          val dels = graft.table.FileStats.statAll(s,
+            graft.table.FileStats.listParquet(stage.resolve("d2").toString),
+            _ => Map.empty)
+          graft.interop.RestCatalog.commitDelete(srv.endpoint,
+            "ext", "supp_w", eqFiles = dels.map(f => (f, Seq(1))),
+            stagingDir = stage.resolve("m3"),
+            expectedSnapshotId = Some(src.currentSnapshotId))
+          val delHead = cat.currentSnapshot("ext", "supp_w").get
+          val restDeleted = delHead.operation == "eq_delete" &&
+            delHead.files.head.equalityKey.contains("s_suppkey")
           src.scan()
             .groupBy(col("s_nationkey"))
             .agg(count(lit(1)).as("n"), dsum(col("s_acctbal")).as("total"))
             .withColumn("rest_created", lit(restCreated))
             .withColumn("rest_cas", lit(conflicted && untouched))
             .withColumn("rest_committed", lit(restCommitted))
+            .withColumn("rest_deleted", lit(restDeleted))
             .orderBy(col("s_nationkey"))
         } finally srv.stop()
       },
       Some("""SELECT s_nationkey, COUNT(*) AS n,
           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total,
-          TRUE AS rest_created, TRUE AS rest_cas, TRUE AS rest_committed
-        FROM supplier
+          TRUE AS rest_created, TRUE AS rest_cas, TRUE AS rest_committed,
+          TRUE AS rest_deleted
+        FROM supplier WHERE s_suppkey % 9 <> 5
         GROUP BY s_nationkey ORDER BY s_nationkey""")),
 
     // Iceberg v3 ROW LINEAGE (round 15): a v3 tree assigns every row a

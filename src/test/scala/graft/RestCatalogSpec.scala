@@ -435,6 +435,73 @@ class RestCatalogSpec extends SparkSpec {
     } finally srv2.stop()
   }
 
+  test("REST delete commits: equality and position retractions land as native MOR state") {
+    // round 17: the CDC writer's shape — retraction commits through
+    // the catalog server. Equality files register in place (ids mapped
+    // through the field registry), position files rewrite once into a
+    // graft vector; both land as ONE conditional MOR commit.
+    val wh = Files.createTempDirectory("graft-rest-del").toString
+    val cat = new Snaplog(wh)
+    val src = LakehouseTable.create(cat, spark, "ns", "dsrc", fixture().schema)
+    src.append(fixture().repartition(1).sortWithinPartitions("id")) // 1
+    val dataPath = cat.currentSnapshot("ns", "dsrc").get.files.head.path
+    val dir = Files.createTempDirectory("graft-rest-del-ice")
+    val srv = RestServe.startLive(Map(("extns", "dsrc") -> (src, dir)))
+    try {
+      val stage = Files.createTempDirectory("graft-rest-del-stage")
+      // EQUALITY: kill group B (rows 2 and 3); field registry numbers
+      // top-level fields 1..n, so "group" is equality_id 2
+      Seq("B").toDF("group").coalesce(1)
+        .write.parquet(stage.resolve("eq").toString)
+      val eqF = graft.table.FileStats.statAll(spark,
+        graft.table.FileStats.listParquet(stage.resolve("eq").toString),
+        _ => Map.empty)
+      RestCatalog.commitDelete(srv.endpoint, "extns", "dsrc",
+        eqFiles = eqF.map(f => (f, Seq(2))),
+        stagingDir = stage.resolve("m1"), expectedSnapshotId = Some(1L))
+      assert(src.scan().select("id").collect().map(_.getInt(0)).sorted
+        .toSeq == Seq(1, 4), "the equality retraction must apply MOR")
+      val head = cat.currentSnapshot("ns", "dsrc").get
+      assert(head.operation == "eq_delete" &&
+        head.files.head.equalityKey.contains("group"), head.files.toString)
+      // POSITION: kill row 0 of the data file (id 1, the sorted head)
+      Seq((dataPath, 0L)).toDF("file_path", "pos").coalesce(1)
+        .write.parquet(stage.resolve("pos").toString)
+      val posF = graft.table.FileStats.statAll(spark,
+        graft.table.FileStats.listParquet(stage.resolve("pos").toString),
+        _ => Map.empty)
+      RestCatalog.commitDelete(srv.endpoint, "extns", "dsrc",
+        posFiles = posF,
+        stagingDir = stage.resolve("m2"), expectedSnapshotId = Some(2L))
+      assert(src.scan().select("id").collect().map(_.getInt(0)).toSeq
+        == Seq(4), "the position retraction must apply MOR")
+      assert(cat.currentSnapshot("ns", "dsrc").get.operation == "mor_delete")
+      // a position delete referencing a file the current snapshot no
+      // longer holds = a STALE writer: the spec's 409, not a silent drop
+      src.compact() // 4: retires the original file
+      Seq((dataPath, 1L)).toDF("file_path", "pos").coalesce(1)
+        .write.parquet(stage.resolve("pos2").toString)
+      val staleF = graft.table.FileStats.statAll(spark,
+        graft.table.FileStats.listParquet(stage.resolve("pos2").toString),
+        _ => Map.empty)
+      val e = intercept[graft.catalog.CommitConflictException](
+        RestCatalog.commitDelete(srv.endpoint, "extns", "dsrc",
+          posFiles = staleF, stagingDir = stage.resolve("m3"),
+          expectedSnapshotId = Some(src.currentSnapshotId)))
+      assert(e.getMessage.contains("stale"), e.getMessage)
+      // an unknown equality_id refuses up front (400), nothing commits
+      val snapBefore = src.currentSnapshotId
+      val e2 = intercept[IllegalArgumentException](
+        RestCatalog.commitDelete(srv.endpoint, "extns", "dsrc",
+          eqFiles = eqF.map(f => (f, Seq(99))),
+          stagingDir = stage.resolve("m4"),
+          expectedSnapshotId = Some(snapBefore)))
+      assert(e2.getMessage.contains("400"), e2.getMessage)
+      assert(src.currentSnapshotId == snapBefore)
+      assert(src.scan().count() == 1, "refusals must not change content")
+    } finally srv.stop()
+  }
+
   test("racing REST commits: the CAS admits exactly one writer, the loser 409s") {
     val wh = Files.createTempDirectory("graft-rest-race").toString
     val cat = new Snaplog(wh)

@@ -642,6 +642,10 @@ object RestServe {
       val spark = tbl.spark
       val liveData = tbl.catalog.liveEntriesOrdered(tbl.namespace, tbl.name)
         .filterNot(_.deleteFile.contains(true)).map(_.path).toSet
+      // staging written into the table's data dir before the commit
+      // (the rewritten position vector) must not orphan on a refused
+      // commit — a CAS loser's litter would sit until vacuum
+      var undoStaging: () => Unit = () => ()
       val (op, entries, extraSummary): (String, Seq[graft.catalog.DataFileEntry], Map[String, String]) =
         if (operation == "append") {
           if (paths.isEmpty)
@@ -686,6 +690,7 @@ object RestServe {
           }
           val vecDir = tbl.catalog.dataDir(tbl.namespace, tbl.name)
             .resolve(s"rest-dv-${java.util.UUID.randomUUID().toString.take(12)}")
+          undoStaging = () => graft.util.Fs.deleteTree(vecDir)
           import org.apache.spark.sql.functions.{broadcast, col}
           import spark.implicits._
           spark.read.parquet(posDeletes.toSeq: _*)
@@ -738,8 +743,12 @@ object RestServe {
           expectedSnapshotId = expected)
         catch {
           case c: graft.catalog.CommitConflictException =>
+            try undoStaging()
+            catch { case scala.util.control.NonFatal(_) => () }
             return err(409, "CommitFailedException", c.getMessage)
           case e: IllegalArgumentException =>
+            try undoStaging()
+            catch { case scala.util.control.NonFatal(_) => () }
             return bad(e.getMessage)
         }
       // the async publisher is already running (the commit listener

@@ -201,6 +201,14 @@ object Bench {
     while (keep > 1 && line(bySlowest.take(keep), bySlowest.size - keep).length > budget)
       keep -= 1
     val out = line(bySlowest.take(keep), bySlowest.size - keep)
+    // Builder-side measurement aid: the full unbudgeted line (every
+    // per-query entry, nothing omitted) lands in a file so optimization
+    // rounds can rank ALL queries, not just the slowest that fit the
+    // driver's bounded tail capture. stdout keeps the exact contract.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("target", "bench_full.json"),
+      line(bySlowest, 0).getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     // Stop the session BEFORE printing: shutdown log lines written after
     // the JSON would land inside the driver's bounded tail capture and
     // push the headline out of the window.

@@ -418,8 +418,12 @@ private[sql] final class GraftBatchWrite(
     val partFields = graft.table.PartitionTransforms.parseAll(partitionCols)
     val layoutExprs = partFields.map(pf =>
       graft.table.PartitionTransforms.layoutExpr(pf, df.schema))
+    // explicit task count like LakehouseTable.stageDataFiles (round 17):
+    // expression-only repartitions are AQE-coalesced by BYTES, which
+    // serializes a many-partition fan-out write onto a couple of tasks
+    val relayoutTasks = spark.sessionState.conf.numShufflePartitions
     val withLayout = partFields.zip(layoutExprs).foldLeft(
-      df.repartition(layoutExprs: _*))(
+      df.repartition(relayoutTasks, layoutExprs: _*))(
       (d, pe) => d.withColumn(FileStats.layoutCol(pe._1.fieldName), pe._2))
     // the relayout is a managed write like any other — field ids +
     // micros timestamps in force for ITS job too, via the same

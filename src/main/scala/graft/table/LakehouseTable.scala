@@ -3166,16 +3166,28 @@ final class LakehouseTable(
       s"write.distribution-mode '$distMode' — expected none|hash|range")
     val layoutExprs = partFields.map(pf =>
       PartitionTransforms.layoutExpr(pf, normalized.schema))
+    // EXPLICIT partition count on the clustering shuffle (round 17,
+    // guide §2.2/§6): an expression-only repartition is fair game for
+    // AQE partition coalescing, whose BYTE-sized target is the wrong
+    // cost model for a fan-out write — a days×bucket commit coalesced
+    // to 2 tasks opens/sorts/closes ~120 tiny writers per task
+    // near-serially (measured: 2 of 32 cores busy, INSERT 3.6 s warm at
+    // sf0.1) while per-task bytes stay trivial. The explicit count pins
+    // the write's task parallelism to `spark.sql.shuffle.partitions` —
+    // the same scale-configurable knob every other shuffle uses — and
+    // hash placement keeps one file per partition tuple per commit
+    // regardless of task count, so the layout contract is unchanged.
+    val writeTasks = normalized.sparkSession.sessionState.conf.numShufflePartitions
     val clustered =
       if (partFields.isEmpty) normalized
       else distMode match {
-        case "hash" => normalized.repartition(layoutExprs: _*)
+        case "hash" => normalized.repartition(writeTasks, layoutExprs: _*)
         case "range" =>
-          normalized.repartitionByRange(
+          normalized.repartitionByRange(writeTasks,
             (layoutExprs ++ sortCols.map(col)): _*)
         case _ =>
           if (partFields.forall(_.isInstanceOf[IdentityField])) normalized
-          else normalized.repartition(layoutExprs: _*)
+          else normalized.repartition(writeTasks, layoutExprs: _*)
       }
     // sort application: an explicit distribution mode (or a transform
     // layout) already owns the clustering, so the sort applies within

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.catalog.Snaplog
+import graft.table.LakehouseTable
 
 /** Scratch dev harness for this optimization round: section-level timing
   * of a gate's internals in a warm JVM (edit, re-run, read [LAB] lines).
@@ -31,40 +32,43 @@ object Lab {
     }
     val s = spark
 
-    for (round <- 1 to 2) {
+    for (round <- 1 to 3) {
       println(s"[LAB] ===== round $round =====")
-      val whDir = queries.Common.scratchDir("lab_lpt", d)
-      val cat = new Snaplog(whDir)
-      cat.createNamespace("ns")
-      val cn = "labx_" +
-        java.lang.Long.toHexString(whDir.hashCode.toLong & 0xffffffffL)
-      s.conf.set(s"spark.sql.catalog.$cn", classOf[graft.sql.GraftSqlCatalog].getName)
-      s.conf.set(s"spark.sql.catalog.$cn.warehouse", whDir)
-      time("create table")(s.sql(s"""CREATE TABLE $cn.ns.ev
-        (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
-         event_type STRING, value DOUBLE)
-        PARTITIONED BY (days(ts), bucket(8, user_id))"""))
-      time("temp view")(queries.Common.events(s, d)
-        .select("event_id", "ts", "user_id", "event_type", "value")
-        .createOrReplaceTempView("lab_lpt_src"))
-      time("INSERT")(s.sql(s"INSERT INTO $cn.ns.ev SELECT * FROM lab_lpt_src"))
-      val minTs = time("min ts")(
-        s.sql("SELECT MIN(ts) FROM lab_lpt_src").head().getTimestamp(0))
-      val start = new java.sql.Timestamp(minTs.getTime + 2L * 86400000)
-      val end = new java.sql.Timestamp(minTs.getTime + 4L * 86400000)
-      val cond = s"ts >= TIMESTAMP '$start' AND ts < TIMESTAMP '$end'"
-      val total = time("liveFiles")(cat.liveFiles("ns", "ev").size)
-      val pruned = time("prune audit")(
-        s.sql(s"SELECT * FROM $cn.ns.ev WHERE $cond")
-          .queryExecution.sparkPlan
-          .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan }
-          .collect { case fs: org.apache.spark.sql.execution.datasources.v2.FileScan =>
-            fs.fileIndex.inputFiles.length }.sum)
-      require(pruned > 0 && pruned < total)
-      time("final agg")(s.sql(s"""SELECT event_type, COUNT(*) AS n,
-          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-        FROM $cn.ns.ev WHERE $cond
-        GROUP BY event_type ORDER BY event_type""").count())
+      val orders = queries.Common.t(s, d, "orders")
+      val cat = new Snaplog(queries.Common.scratchDir("lab_md", d))
+      val table = LakehouseTable.create(cat, s, "lake", "o", orders.schema)
+      val batch = orders.filter(col("o_orderkey") % 3 === 0)
+      // one upsertTable call, piece by piece (mirrors mergeDelta)
+      val deduped = time("dedupIncoming (plan only)")(
+        graft.pipeline.Upsert.dedupIncoming(batch, Seq("o_orderkey")))
+      val persisted = time("persist feed (materialize)")({
+        val p = deduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count(); p
+      })
+      time("stage eqdelete keys (distinct+rep1+write)")({
+        val keyDf = persisted.select(col("o_orderkey")).na.drop("any")
+          .distinct().repartition(1)
+        graft.types.FieldIds.managedWrite(keyDf)
+          .write.mode("overwrite").parquet(
+            cat.dataDir("lake", "o").resolve("labeqdel").toString)
+      })
+      time("stage eqdelete keys (rep1+write only)")({
+        val keyDf = persisted.select(col("o_orderkey")).na.drop("any")
+          .repartition(1)
+        graft.types.FieldIds.managedWrite(keyDf)
+          .write.mode("overwrite").parquet(
+            cat.dataDir("lake", "o").resolve("labeqdel2").toString)
+      })
+      time("stage data files (write)")({
+        graft.types.FieldIds.managedWrite(persisted)
+          .write.mode("overwrite").parquet(
+            cat.dataDir("lake", "o").resolve("labdata").toString)
+      })
+      persisted.unpersist(false)
+      time("full upsertTable")(
+        graft.pipeline.Upsert.upsertTable(table, batch, Seq("o_orderkey")))
+      time("full upsertTable again")(
+        graft.pipeline.Upsert.upsertTable(table, batch, Seq("o_orderkey")))
     }
     spark.stop()
   }

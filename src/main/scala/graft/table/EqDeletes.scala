@@ -160,34 +160,74 @@ object EqDeletes {
     out.toList
   }
 
-  /** The data side of a scan with equality deletes applied: per-segment
-    * parquet reads, each anti-joined against its applicable delete-key
-    * sets, unioned. `withMeta` additionally carries
-    * `_metadata.file_path` / `_metadata.row_index` (as `__scan_file` /
-    * `__scan_pos`) through the union for a downstream position-vector
-    * subtraction — metadata columns must be selected inside each read. */
+  /** The data side of a scan with equality deletes applied. `withMeta`
+    * additionally carries `_metadata.file_path` / `_metadata.row_index`
+    * (as `__scan_file` / `__scan_pos`) through the union for a
+    * downstream position-vector subtraction — metadata columns must be
+    * selected inside each read.
+    *
+    * Subtraction shape (round 17, guide §2.4/§3): ONE broadcast join
+    * per distinct KEY-COLUMN SET, not one anti-join per delete FILE.
+    * The replay-order rule ("a delete applies to data files preceding
+    * it") is Iceberg's sequence-number semantics, so it folds: stamp
+    * each segment with its replay position, build a broadcast map
+    * `key tuple → max delete position` from all of that key set's
+    * delete files, and keep a row iff its key is absent or its max
+    * delete position is ≤ the segment position. The former shape
+    * planned one BroadcastHashJoin LeftAnti per (segment, applicable
+    * delete) — O(outstanding²/2) joins and O(outstanding) broadcasts
+    * for a long-running CDC sink; this plans O(distinct key sets)
+    * joins and broadcasts at ANY outstanding-delete depth, the same
+    * predicate-sized build and an unshuffled data side. Segments past
+    * the last delete skip the join entirely. Null keys never match the
+    * equality condition, so null-keyed rows survive exactly as under
+    * the anti-join. */
   def readSubtracted(spark: SparkSession, readSchema: StructType,
       segs: Seq[(Seq[DataFileEntry], Seq[DataFileEntry])],
       withMeta: Boolean,
       readerOptions: Map[String, String] = Map.empty): DataFrame = {
-    val parts = segs.map { case (data, eqDels) =>
-      val base0 = spark.read.schema(readSchema).options(readerOptions)
+    def baseRead(data: Seq[DataFileEntry]): DataFrame = {
+      val b = spark.read.schema(readSchema).options(readerOptions)
         .parquet(data.map(_.path): _*)
-      val base = if (!withMeta) base0
-        else base0.select(col("*"),
-          col("_metadata.file_path").as("__scan_file"),
-          col("_metadata.row_index").as("__scan_pos"))
-      eqDels.foldLeft(base) { (df, del) =>
-        val cols = keyCols(del)
-        val keys = broadcast(
-          spark.read.parquet(del.path)
-            .select(cols.zipWithIndex.map { case (c, i) =>
-              col(c).as(s"__eqdel_$i") }: _*).distinct())
-        df.join(keys,
-          cols.zipWithIndex.map { case (c, i) => df(c) === col(s"__eqdel_$i") }
-            .reduce(_ && _), "left_anti")
-      }
+      if (!withMeta) b
+      else b.select(col("*"),
+        col("_metadata.file_path").as("__scan_file"),
+        col("_metadata.row_index").as("__scan_pos"))
     }
-    parts.reduce(_.unionByName(_))
+    // suffixes are nested along replay order (the earliest segment sees
+    // every later delete), so the first segment's suffix IS the ordered
+    // list of all applying deletes; a delete's index in it is its
+    // replay position, and a segment's position is the count of deletes
+    // BEFORE it. A delete at position j applies to segment i iff j ≥ i.
+    val allDels = segs.headOption.map(_._2).getOrElse(Seq.empty)
+    if (allDels.isEmpty) return segs.map(s => baseRead(s._1)).reduce(_.unionByName(_))
+    val (joined, passThrough) = segs.partition(_._2.nonEmpty)
+    val stamped = joined.map { case (data, suffix) =>
+      baseRead(data).withColumn("__eqd_seg", lit(allDels.length - suffix.length))
+    }.reduce(_.unionByName(_))
+    val byKeySet = allDels.zipWithIndex.groupBy { case (d, _) => keyCols(d) }
+    val subtracted = byKeySet.toSeq.sortBy(_._1.mkString(","))
+      .zipWithIndex.foldLeft(stamped) {
+        case (df, ((cols, dels), si)) =>
+          val keyed = dels.map { case (del, pos) =>
+            spark.read.parquet(del.path).select(
+              cols.zipWithIndex.map { case (c, i) =>
+                col(c).as(s"__eqk_${si}_$i") } :+
+                lit(pos).as("__eqd_pos"): _*)
+          }.reduce(_.unionByName(_))
+          val delMap = broadcast(
+            keyed.groupBy(cols.indices.map(i => col(s"__eqk_${si}_$i")): _*)
+              .agg(max(col("__eqd_pos")).as(s"__eqd_max_$si")))
+          df.join(delMap,
+              cols.zipWithIndex.map { case (c, i) =>
+                df(c) === col(s"__eqk_${si}_$i") }.reduce(_ && _),
+              "left_outer")
+            .filter(col(s"__eqd_max_$si").isNull ||
+              col(s"__eqd_max_$si") < col("__eqd_seg"))
+            .drop((s"__eqd_max_$si" +:
+              cols.indices.map(i => s"__eqk_${si}_$i")): _*)
+      }
+      .drop("__eqd_seg")
+    (subtracted +: passThrough.map(s => baseRead(s._1))).reduce(_.unionByName(_))
   }
 }

@@ -238,12 +238,18 @@ class PlanAuditSpec extends SparkSpec {
     val imp = graft.interop.IcebergImport.register(
       cat, spark, dest, "ns", "am_rt")
     val plan = physical(imp.table.scan())
-    // two equality deletes + one position vector: every subtraction is
-    // a BROADCAST anti-join of a predicate-sized delete set — the data
-    // side never shuffles, which is what survives at 100 TB
+    // two equality-delete KEY SETS (grp, id) + one position vector:
+    // eq subtraction folds each key set into ONE broadcast outer join
+    // against a key→max-delete-position map (round 17 — O(key sets)
+    // joins at any outstanding-delete depth), the vector stays a
+    // broadcast anti-join; the data side never shuffles, which is what
+    // survives at 100 TB
     val anti = "BroadcastHashJoin .*LeftAnti".r.findAllIn(plan).length
-    assert(anti >= 3, s"expected >=3 broadcast anti-joins, got $anti in:\n" +
-      plan.take(2000))
+    assert(anti >= 1, s"expected >=1 broadcast anti-join (position " +
+      s"vector), got $anti in:\n" + plan.take(2000))
+    val outer = "BroadcastHashJoin .*LeftOuter".r.findAllIn(plan).length
+    assert(outer >= 2, s"expected >=2 broadcast outer joins (one per " +
+      s"eq key set), got $outer in:\n" + plan.take(2000))
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("SortMergeJoin"),
       "delete subtraction must never sort-merge (would shuffle the data side)")
@@ -275,9 +281,14 @@ class PlanAuditSpec extends SparkSpec {
       cat, spark, "ns", "ar_rt", perSnapshot = true)
     assert(r.commits == 2 && !r.reset, r.toString)
     val plan = physical(r.table.scan())
+    // eq delete → one broadcast outer join (key→max-position map),
+    // position vector → broadcast anti-join; data side unshuffled
     val anti = "BroadcastHashJoin .*LeftAnti".r.findAllIn(plan).length
-    assert(anti >= 2, s"expected >=2 broadcast anti-joins, got $anti in:\n" +
-      plan.take(2000))
+    assert(anti >= 1, s"expected >=1 broadcast anti-join (position " +
+      s"vector), got $anti in:\n" + plan.take(2000))
+    val outer = "BroadcastHashJoin .*LeftOuter".r.findAllIn(plan).length
+    assert(outer >= 1, s"expected >=1 broadcast outer join (eq key " +
+      s"set), got $outer in:\n" + plan.take(2000))
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("SortMergeJoin"),
       "refreshed delete subtraction must never shuffle the data side")

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.catalog.Snaplog
+import graft.interop.IcebergExport
+import graft.pipeline.Ingest
 import graft.table.LakehouseTable
 
 /** Scratch dev harness for this optimization round: section-level timing
@@ -32,43 +34,30 @@ object Lab {
     }
     val s = spark
 
-    for (round <- 1 to 3) {
+    for (round <- 1 to 2) {
       println(s"[LAB] ===== round $round =====")
-      val orders = queries.Common.t(s, d, "orders")
-      val cat = new Snaplog(queries.Common.scratchDir("lab_md", d))
-      val table = LakehouseTable.create(cat, s, "lake", "o", orders.schema)
-      val batch = orders.filter(col("o_orderkey") % 3 === 0)
-      // one upsertTable call, piece by piece (mirrors mergeDelta)
-      val deduped = time("dedupIncoming (plan only)")(
-        graft.pipeline.Upsert.dedupIncoming(batch, Seq("o_orderkey")))
-      val persisted = time("persist feed (materialize)")({
-        val p = deduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        p.count(); p
-      })
-      time("stage eqdelete keys (distinct+rep1+write)")({
-        val keyDf = persisted.select(col("o_orderkey")).na.drop("any")
-          .distinct().repartition(1)
-        graft.types.FieldIds.managedWrite(keyDf)
-          .write.mode("overwrite").parquet(
-            cat.dataDir("lake", "o").resolve("labeqdel").toString)
-      })
-      time("stage eqdelete keys (rep1+write only)")({
-        val keyDf = persisted.select(col("o_orderkey")).na.drop("any")
-          .repartition(1)
-        graft.types.FieldIds.managedWrite(keyDf)
-          .write.mode("overwrite").parquet(
-            cat.dataDir("lake", "o").resolve("labeqdel2").toString)
-      })
-      time("stage data files (write)")({
-        graft.types.FieldIds.managedWrite(persisted)
-          .write.mode("overwrite").parquet(
-            cat.dataDir("lake", "o").resolve("labdata").toString)
-      })
-      persisted.unpersist(false)
-      time("full upsertTable")(
-        graft.pipeline.Upsert.upsertTable(table, batch, Seq("o_orderkey")))
-      time("full upsertTable again")(
-        graft.pipeline.Upsert.upsertTable(table, batch, Seq("o_orderkey")))
+      val whDir = queries.Common.scratchDir("lab_imor", d)
+      val cat = new Snaplog(whDir)
+      val orders = queries.Common.t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val rep = time("ingest (partitioned)")(
+        Ingest.ingestDf(cat, "lake", "orders_mor", orders,
+          partitionColumns = Seq("o_orderpriority")))
+      time("deleteEq")(rep.table.deleteEq("o_orderpriority", Seq("1-URGENT")))
+      time("mergeDelta")(rep.table.mergeDelta(Seq("o_orderkey"),
+        orders.filter(col("o_orderkey") < 100)
+          .withColumn("o_orderpriority", lit("1-URGENT"))
+          .withColumn("o_totalprice", col("o_totalprice") * 2)))
+      time("deleteMor")(rep.table.deleteMor(col("o_orderkey") % 10 === 3))
+      val dest = java.nio.file.Paths.get(whDir, "ice_mor")
+      val exp = time("export")(IcebergExport.export(rep.table, dest))
+      val rb = time("readBack")(IcebergExport.readBack(dest))
+      val imp = time("register")(graft.interop.IcebergImport.register(
+        cat, s, dest, "lake", "orders_mor_rt"))
+      time("final scan+agg")(imp.table.scan()
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), queries.Common.dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderpriority")).count())
     }
     spark.stop()
   }

@@ -66,13 +66,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = {
+      var b = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+        .config("spark.ui.enabled", "false")
+      // Fork-free local-FS permission stamping (round 18, guide §7.3):
+      // without hadoop native IO, every file create/mkdir shells out a
+      // chmod — a process fork per written file from a multi-GB JVM,
+      // measured dominating warm write commits. Engine-level, applies
+      // to every query identically; see graft.util.LocalFs.
+      graft.util.LocalFs.confs.foreach { case (k, v) => b = b.config(k, v) }
+      b.getOrCreate()
+    }
     spark.sparkContext.setLogLevel("WARN")
 
     def load1m(): Double =
@@ -165,8 +173,11 @@ object Bench {
     // the totals. 10 ms precision keeps entries tight, and if the full
     // line would overflow the window the FASTEST queries are dropped
     // (slow ones are the ones worth reading), with the drop count
-    // recorded under "omitted". Budget 3000 chars: r5's 3800 still
-    // overflowed the capture window and lost 48 query entries.
+    // recorded under "omitted". Budget 2600 chars (was 3000 through
+    // r17): r5's 3800 overflowed the capture window and lost 48 query
+    // entries, and r16's headline arrived front-truncated — the margin
+    // shrinks as the surface grows, and trimming stdout harder costs
+    // nothing now that the full dump lands in target/bench_full.json.
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val bySlowest = results.toSeq.sortBy { case (_, v) => -v }
@@ -196,7 +207,7 @@ object Bench {
         .mkString(""","failed":[""", ",", "]")
       s"""{"queries":$qs$om$fl$reprobeJson$bimodalJson$telemetry,"variance":${fmt(variance)},"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}"""
     }
-    val budget = 3000
+    val budget = 2600
     var keep = bySlowest.size
     while (keep > 1 && line(bySlowest.take(keep), bySlowest.size - keep).length > budget)
       keep -= 1
@@ -208,7 +219,7 @@ object Bench {
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("target", "bench_full.json"),
       line(bySlowest, 0).getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     // Stop the session BEFORE printing: shutdown log lines written after
     // the JSON would land inside the driver's bounded tail capture and
     // push the headline out of the window.

@@ -16,13 +16,16 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = {
+      var b = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+        .config("spark.ui.enabled", "false")
+      graft.util.LocalFs.confs.foreach { case (k, v) => b = b.config(k, v) }
+      b.getOrCreate()
+    }
     spark.sparkContext.setLogLevel("WARN")
     // absorb engine bring-up so the first timed query isn't charged for it
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }

@@ -802,17 +802,20 @@ object IcebergExport {
         Files.createDirectories(delDir)
         val outDir = delDir.resolve(s"pos-del-${posFileCache.size}")
         val raw = spark.read.parquet(key: _*)
-        val mapping = broadcast(raw.select("file_path").distinct().collect()
+        val mapping = broadcast(raw.select("file_path").coalesce(1).distinct().collect()
           .map(_.getString(0)).toSeq
           .map(r => (r, graft.table.FileStats.normalizePath(r)))
           .toDF("file_path", "__plain"))
         def md(id: Long) = new org.apache.spark.sql.types.MetadataBuilder()
           .putLong(graft.types.FieldIds.MetaKey, id).build()
+        // coalesce(1), not repartition(1) (round 18): the single-file
+        // spec-shape rewrite of a predicate-sized vector needs no
+        // exchange — one task reads, sorts and writes
         graft.types.FieldIds.managedWrite(
           raw.join(mapping, Seq("file_path"))
             .select(col("__plain").as("file_path", md(2147483546L)),
               col("row_index").cast("long").as("pos", md(2147483545L)))
-            .repartition(1).sortWithinPartitions("file_path", "pos"))
+            .coalesce(1).sortWithinPartitions("file_path", "pos"))
           .write.mode("overwrite").parquet(outDir.toString)
         val p2 = graft.table.FileStats.listParquet(outDir.toString).head
         val st = graft.table.FileStats.stat(spark, p2, Map.empty)

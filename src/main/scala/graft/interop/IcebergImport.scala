@@ -951,7 +951,7 @@ object IcebergImport {
     val posRefMap: Seq[(String, String)] =
       ((if (posPlans.isEmpty) Seq.empty
         else spark.read.parquet(posPlans.map(_.path): _*)
-          .select("file_path").distinct().collect().toSeq
+          .select("file_path").coalesce(1).distinct().collect().toSeq
           .map(_.getString(0))) ++ dvRows.map(_._1).distinct)
         .distinct
         .flatMap { raw =>
@@ -971,11 +971,13 @@ object IcebergImport {
     val rows = (parquetLeg.toSeq ++ dvLeg.toSeq).reduce(_ unionAll _)
     val vecDir = catalog.dataDir(ns, name).resolve(
       s"import-dv-${java.util.UUID.randomUUID().toString.take(12)}")
+    // coalesce(1), not repartition(1) (round 18): the single-file vector
+    // rewrite of a predicate-sized delete set needs no exchange
     rows
       .join(mapping, Seq("file_path"))
       .select(col("__q").as("file_path"),
         col("pos").as("row_index"))
-      .repartition(1).sortWithinPartitions("file_path", "row_index")
+      .coalesce(1).sortWithinPartitions("file_path", "row_index")
       .write.mode("overwrite").parquet(vecDir.toString)
     FileStats.listParquet(vecDir.toString)
       .map(p => FileStats.stat(spark, p, Map.empty)

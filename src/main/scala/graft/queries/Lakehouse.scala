@@ -740,9 +740,11 @@ object Lakehouse {
         val table = LakehouseTable.create(cat, s, "lake", "orders_eq", orders.schema)
         table.append(orders)
         val dataBefore = cat.liveFiles("lake", "orders_eq").map(_.path).toSet
-        val deletedKeys = orders.filter(col("o_orderkey") % 7 === 0)
-          .select("o_orderkey").collect().map(_.getLong(0)).toSeq
-        table.deleteEq("o_orderkey", deletedKeys)
+        // key feed stays a DataFrame end-to-end: dedup + delete-file
+        // write run as cluster jobs, nothing collects to the driver
+        // (at 100 TB this key set is ~1/7 of all order keys)
+        table.deleteEq("o_orderkey",
+          orders.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"))
         // no data file rewritten; one key-valued delete entry
         require(cat.liveFiles("lake", "orders_eq").map(_.path).toSet == dataBefore,
           "equality delete must not touch data files")
@@ -2955,6 +2957,10 @@ object Lakehouse {
         // counts full-outer-joined is the same predicate (A ⊆ B ∧ B ⊆ A
         // over multisets ⇔ every tuple's multiplicity matches) for one
         // scan + one shuffle per side and one join (1.3 s warm).
+        // PRECONDITION: (o_orderkey, _row_id) are non-null by contract —
+        // the using-columns join is not null-safe, so identical
+        // null-keyed tuples on both sides would report mismatch (the
+        // safe direction; use <=> if this check is ever generalized).
         val rtOk = {
           val a = native.select("o_orderkey", "_row_id")
             .groupBy("o_orderkey", "_row_id").agg(count(lit(1)).as("__na"))

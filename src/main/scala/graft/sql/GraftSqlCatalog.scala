@@ -607,7 +607,7 @@ private[sql] final class GraftRowLevelOperation(
           if (vecs.isEmpty) Set.empty
           else SparkSession.active.read
             .parquet(vecs.map(_.path): _*)
-            .select("file_path").distinct().collect()
+            .select("file_path").coalesce(1).distinct().collect()
             .map(r => normalizePath(r.getString(0))).toSet
       }
     }

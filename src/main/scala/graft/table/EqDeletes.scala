@@ -75,7 +75,7 @@ object EqDeletes {
       if (vecs.isEmpty) Set.empty
       else vecPathCache.synchronized(Option(vecPathCache.get(vecs))).getOrElse {
         val read = spark.read.parquet(vecs: _*)
-          .select("file_path").distinct().collect()
+          .select("file_path").coalesce(1).distinct().collect()
           .map(r => FileStats.normalizePath(r.getString(0))).toSet
         vecPathCache.synchronized(vecPathCache.put(vecs, read))
         read
@@ -173,7 +173,9 @@ object EqDeletes {
     * each segment with its replay position, build a broadcast map
     * `key tuple → max delete position` from all of that key set's
     * delete files, and keep a row iff its key is absent or its max
-    * delete position is ≤ the segment position. The former shape
+    * delete position is STRICTLY LESS than the segment position (a
+    * delete at position == the segment position applies to that
+    * segment). The former shape
     * planned one BroadcastHashJoin LeftAnti per (segment, applicable
     * delete) — O(outstanding²/2) joins and O(outstanding) broadcasts
     * for a long-running CDC sink; this plans O(distinct key sets)
@@ -200,6 +202,14 @@ object EqDeletes {
     // replay position, and a segment's position is the count of deletes
     // BEFORE it. A delete at position j applies to segment i iff j ≥ i.
     val allDels = segs.headOption.map(_._2).getOrElse(Seq.empty)
+    // fail loudly on a non-conforming caller (a segment list whose head
+    // does not carry the full delete list would silently skip deletes);
+    // driver-side, bounded by the replay window
+    require(segs.forall { case (_, sfx) =>
+      sfx.length <= allDels.length &&
+        allDels.drop(allDels.length - sfx.length).map(_.path) == sfx.map(_.path)
+    }, "readSubtracted requires replay-ordered segments with nested " +
+      "delete suffixes (build them with EqDeletes.segments)")
     if (allDels.isEmpty) return segs.map(s => baseRead(s._1)).reduce(_.unionByName(_))
     val (joined, passThrough) = segs.partition(_._2.nonEmpty)
     val stamped = joined.map { case (data, suffix) =>
@@ -215,8 +225,14 @@ object EqDeletes {
                 col(c).as(s"__eqk_${si}_$i") } :+
                 lit(pos).as("__eqd_pos"): _*)
           }.reduce(_.unionByName(_))
+          // coalesce(1) before the dedup (round 18): SinglePartition
+          // satisfies the aggregation's clustering, so the broadcast
+          // build plans NO Exchange — a single-task max-per-key over a
+          // relation bounded by the same invariant that makes it
+          // broadcastable at all (delete files are predicate-sized)
           val delMap = broadcast(
-            keyed.groupBy(cols.indices.map(i => col(s"__eqk_${si}_$i")): _*)
+            keyed.coalesce(1)
+              .groupBy(cols.indices.map(i => col(s"__eqk_${si}_$i")): _*)
               .agg(max(col("__eqd_pos")).as(s"__eqd_max_$si")))
           df.join(delMap,
               cols.zipWithIndex.map { case (c, i) =>

@@ -363,10 +363,12 @@ final class LakehouseTable(
       readerOptions = readOptions)
     if (posDeletes.isEmpty) data
     else {
+      // coalesce(1) before the dedup (round 18): no Exchange in the
+      // broadcast build — vectors are predicate-sized by contract
       val dv = broadcast(
         rs.read.parquet(posDeletes.map(_.path): _*)
           .select(col("file_path").as("__dv_file"), col("row_index").as("__dv_pos"))
-          .distinct())
+          .coalesce(1).distinct())
       val sub = data
         .join(dv,
           col("__scan_file") === col("__dv_file") &&
@@ -833,10 +835,12 @@ final class LakehouseTable(
               val cur = prefix // ONE buffer snapshot per entry
               if (hasData(cur)) {
                 val cols = EqDeletes.keyCols(entry)
+                // coalesce(1): no Exchange in the predicate-sized
+                // broadcast build (round 18)
                 val keys = broadcast(
                   spark.read.parquet(entry.path)
                     .select(cols.zipWithIndex.map { case (c, i) =>
-                      col(c).as(s"__eqdel_$i") }: _*).distinct())
+                      col(c).as(s"__eqdel_$i") }: _*).coalesce(1).distinct())
                 val vis = visiblePrefix(cur, _ => true, retainMeta = false)
                 val matched = vis.join(keys,
                   cols.zipWithIndex.map { case (c, i) =>
@@ -851,11 +855,13 @@ final class LakehouseTable(
         case Snaplog.OpMorDelete =>
           val vectors = s.files.filter(EqDeletes.isPos)
           if (vectors.nonEmpty && hasData(prefix)) {
+            // coalesce(1): no Exchange in the predicate-sized
+            // broadcast build (round 18)
             val dv = broadcast(
               spark.read.parquet(vectors.map(_.path): _*)
                 .select(col("file_path").as("__dv_file"),
                   col("row_index").as("__dv_pos"))
-                .distinct())
+                .coalesce(1).distinct())
             val vis = visiblePrefix(prefix, _ => true, retainMeta = true)
             val matched = vis.join(dv,
               col("__scan_file") === col("__dv_file") &&
@@ -1396,12 +1402,15 @@ final class LakehouseTable(
       s"delete feed must carry exactly the key columns (${names.mkString(", ")}), " +
         s"got (${keys.columns.mkString(", ")})")
     val encodedKey = names.mkString(",")
-    // distinct BEFORE the single-file coalesce so dedup runs parallel;
-    // one output file keeps the log entry count at one per feed (the
-    // key set is broadcast-bounded at scan time regardless)
+    // distinct BEFORE the single-file coalesce so the MAP-side partial
+    // dedup runs parallel; coalesce(1) (round 18) folds the final dedup
+    // into the single write task instead of repartition(1)'s extra
+    // exchange — one less shuffle per commit, same one output file,
+    // and the final-task size is bounded by the same invariant that
+    // makes the key set broadcastable at scan time
     val keyDf = keys.toDF(names: _*)
       .select(fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-      .distinct().repartition(1)
+      .distinct().coalesce(1)
     val delDir = catalog.dataDir(namespace, name)
       .resolve(s"eqdel-${java.util.UUID.randomUUID().toString.take(12)}")
     // managed-write confs scoped here too: a timestamp KEY column
@@ -1561,7 +1570,12 @@ final class LakehouseTable(
     if (touched.isEmpty)
       return batch.withColumn(RowIdCol, lit(null).cast(LongType))
     val pre = lineageFrame(ordered, f => touched(f.path))
-    val keys = batch.select(names.map(col): _*).na.drop("any").distinct()
+    // the staged delete file IS the batch's distinct non-null key set
+    // (stageEqDelete dedups and null-rejects before writing) — read it
+    // back instead of re-deriving from the batch (round 18): one tiny
+    // file read replaces a batch scan + distinct shuffle per merge
+    val keys = spark.read.parquet(delFiles.map(_.path): _*)
+      .toDF(names: _*).coalesce(1)
     val carried = pre.join(broadcast(keys), names.toSeq, "left_semi")
       .groupBy(names.map(col): _*)
       .agg(min(col(RowIdCol)).as("__carried_rid"))
@@ -1603,28 +1617,27 @@ final class LakehouseTable(
     * subtractions remove the row — but they must not be counted). */
   def deleteMor(condition: Column): Snapshot = {
     val base = currentSnapshotId
-    val live = catalog.liveFiles(namespace, name)
-    if (live.isEmpty)
+    val ordered = catalog.liveEntriesOrdered(namespace, name)
+    if (!ordered.exists(f => !f.deleteFile.contains(true)))
       return catalog.commit(namespace, name, Snaplog.OpMorDelete, Seq.empty,
         Map("deleted-rows" -> "0"))
-    // positions come from the RAW file scan (the metadata column only
-    // exists on the source relation); already-deleted positions are
-    // subtracted so re-deleting records nothing twice
-    val candidate = readParquet(live.map(_.path))
+    // ONE pass (round 18, guide §1.2): positions come from the MOR-
+    // APPLIED assembly with scan metadata retained — outstanding
+    // position vectors AND equality deletes are already subtracted, so
+    // the vector records exactly the currently-VISIBLE matches,
+    // re-deleting records nothing twice, and `recorded == deleted rows`
+    // by construction. The former shape scanned the RAW files for
+    // positions and then, with equality deletes outstanding, ran a
+    // SECOND full MOR scan just to count for the summary — at 100 TB
+    // that doubled every position-delete's data pass. (Positions of
+    // rows an outstanding eq delete already removed used to re-record
+    // harmlessly; they are simply no longer visible to record — every
+    // snapshot that lists this vector also lists that eq delete, which
+    // only reset commits retire, so those rows stay deleted either way.)
+    val matched = assembleOrderedMeta(ordered, _ => true, retainMeta = true)
       .filter(condition)
-      .select(col("_metadata.file_path").as("file_path"),
-        col("_metadata.row_index").as("row_index"))
-    // dedup against POSITION vectors only (equality-delete files have a
-    // key-valued schema); re-recording a position for an eq-deleted row
-    // is harmless — both subtractions remove it
-    val existing = catalog.liveDeleteFiles(namespace, name)
-      .filter(_.equalityKey.isEmpty)
-    val matched =
-      if (existing.isEmpty) candidate
-      else candidate.join(
-        broadcast(spark.read.parquet(existing.map(_.path): _*)
-          .select("file_path", "row_index")),
-        Seq("file_path", "row_index"), "left_anti")
+      .select(col("__scan_file").as("file_path"),
+        col("__scan_pos").as("row_index"))
     val vecDir = catalog.dataDir(namespace, name)
       .resolve(s"delta-${java.util.UUID.randomUUID().toString.take(12)}")
     graft.types.FieldIds.managedWrite(matched)
@@ -1633,14 +1646,7 @@ final class LakehouseTable(
       statFile(p, Map.empty).copy(deleteFile = Some(true))
     }
     val recorded = vecFiles.map(_.rowCount).sum
-    // vector rows = deleted rows ONLY when no equality delete is
-    // outstanding; otherwise count against the MOR-applied scan so
-    // rows an eq delete already removed don't inflate the summary
-    val hasEqDeletes = catalog.liveDeleteFiles(namespace, name)
-      .exists(_.equalityKey.isDefined)
-    val deletedRows =
-      if (recorded == 0 || !hasEqDeletes) recorded
-      else scan().filter(condition).count()
+    val deletedRows = recorded
     if (recorded == 0) {
       // no matches: clean up the empty vector, commit an audit no-op
       graft.util.Fs.deleteTree(vecDir)

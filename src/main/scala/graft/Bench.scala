@@ -78,7 +78,7 @@ object Bench {
       // chmod — a process fork per written file from a multi-GB JVM,
       // measured dominating warm write commits. Engine-level, applies
       // to every query identically; see graft.util.LocalFs.
-      graft.util.LocalFs.confs.foreach { case (k, v) => b = b.config(k, v) }
+      graft.util.EngineDefaults.confs.foreach { case (k, v) => b = b.config(k, v) }
       b.getOrCreate()
     }
     spark.sparkContext.setLogLevel("WARN")

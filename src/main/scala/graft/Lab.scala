@@ -24,7 +24,9 @@ object Lab {
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.extensions", classOf[GraftExtensions].getName)
         .config("spark.ui.enabled", "false")
-      graft.util.LocalFs.confs.foreach { case (k, v) => b = b.config(k, v) }
+      graft.util.EngineDefaults.confs.foreach { case (k, v) => b = b.config(k, v) }
+      sys.env.get("GRAFT_LAB_CKSUM").foreach(v =>
+        b = b.config("spark.sql.streaming.checkpoint.fileChecksum.enabled", v))
       b.getOrCreate()
     }
     spark.sparkContext.setLogLevel("WARN")
@@ -313,6 +315,23 @@ object Lab {
         s.range(1).select(lit(-1L).as("v_user_id"), sentinelTs(ts).as("v_ts"),
           lit(0.0).as("v_value")).coalesce(1).write.mode("append").parquet(vDrop)
       })
+      val sampler = new Thread(() => {
+        import scala.jdk.CollectionConverters._
+        (1 to 10).foreach { i =>
+          Thread.sleep(700)
+          val stacks = Thread.getAllStackTraces.asScala.toSeq
+            .filter(_._1.getName.startsWith("Executor task launch"))
+          val heads = stacks.map { case (t, st) =>
+            val app = st.filter(f => f.getClassName.contains("spark") ||
+              f.getClassName.contains("graft")).take(6)
+            s"${t.getState}: ${app.mkString(" <- ")}"
+          }
+          heads.groupBy(identity).toSeq.sortBy(-_._2.size).take(3).foreach {
+            case (h, g) => println(s"[STK $i x${g.size}] ${h.take(700)}")
+          }
+        }
+      })
+      if (round == 2) { sampler.setDaemon(true); sampler.start() }
       val joined = time("stream run")(StreamingIngest.intervalJoinStreams(
         StreamingIngest.readParquetStream(s, pDrop, p.schema, maxFilesPerTrigger = 2), "p_ts",
         StreamingIngest.readParquetStream(s, vDrop, v.schema, maxFilesPerTrigger = 2), "v_ts",
@@ -377,12 +396,64 @@ object Lab {
         .orderBy(col("o_orderstatus")).count())
     }
 
+    def cllin(round: Int): Unit = {
+      println(s"[LAB] ===== changelog-lineage round $round =====")
+      val whDir = queries.Common.scratchDir("lab_cllin", d)
+      val cat = new Snaplog(whDir)
+      val orders = queries.Common.t(s, d, "orders").select(
+        col("o_orderkey"), col("o_totalprice"))
+      val tbl = LakehouseTable.create(cat, s, "lake", "orders_cl",
+        orders.schema,
+        properties = Map(Snaplog.RowLineageProp -> "true"))
+      time("append sorted")(tbl.append(orders.repartition(1)
+        .sortWithinPartitions("o_orderkey")))
+      time("merge %7==3")(Upsert.upsertTable(tbl,
+        orders.filter(col("o_orderkey") % 7 === 3)
+          .withColumn("o_totalprice", col("o_totalprice") * 3),
+        Seq("o_orderkey")))
+      time("deleteEq %7==5")(tbl.deleteEq("o_orderkey",
+        orders.filter(col("o_orderkey") % 7 === 5).select("o_orderkey")))
+      time("changes (unpaired) count")(
+        tbl.scanChangesLineage(1L).count())
+      time("keyed pairing + agg")(tbl.scanChangesKeyedByRowId(1L)
+        .groupBy(col(LakehouseTable.ChangeTypeCol).as("change_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("_row_id")).as("distinct_ids"))
+        .orderBy(col("change_type")).count())
+    }
+
+    def upsertSec(round: Int): Unit = {
+      println(s"[LAB] ===== stream_upsert_ingest round $round =====")
+      import graft.streaming.StreamingIngest
+      val drop = queries.Common.scratchDir("lab_sui_drop", d)
+      val orders = queries.Common.t(s, d, "orders")
+      time("write drops")((0 until 3).foreach { i =>
+        orders.filter(col("o_orderkey") % 3 === i)
+          .coalesce(1).write.mode("append").parquet(drop)
+      })
+      val cat = new Snaplog(queries.Common.scratchDir("lab_sui_wh", d))
+      val table = LakehouseTable.create(cat, s, "lake", "orders_stream",
+        orders.schema)
+      val stream = StreamingIngest.readParquetStream(s, drop, orders.schema,
+        maxFilesPerTrigger = 1)
+      time("stream upsert x3")(
+        StreamingIngest.upsertEachBatch(stream, table, Seq("o_orderkey")))
+      time("one standalone upsert")(Upsert.upsertTable(table,
+        orders.filter(col("o_orderkey") % 3 === 0), Seq("o_orderkey")))
+      time("final scan+agg")(table.scan()
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), queries.Common.dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus")).count())
+    }
+
     for (round <- 1 to 2) section match {
       case "imor" => imor(round)
       case "refresh" => refresh(round)
       case "v3" => v3(round)
       case "jdbc" => jdbc(round)
       case "clagg" => clagg(round)
+      case "cllin" => cllin(round)
+      case "upsert" => upsertSec(round)
       case "interval" => interval(round)
       case "mirror" => mirror(round)
       case other => sys.error(s"unknown Lab section '$other'")

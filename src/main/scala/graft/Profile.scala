@@ -23,7 +23,7 @@ object Profile {
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.extensions", classOf[GraftExtensions].getName)
         .config("spark.ui.enabled", "false")
-      graft.util.LocalFs.confs.foreach { case (k, v) => b = b.config(k, v) }
+      graft.util.EngineDefaults.confs.foreach { case (k, v) => b = b.config(k, v) }
       b.getOrCreate()
     }
     spark.sparkContext.setLogLevel("WARN")

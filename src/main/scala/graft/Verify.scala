@@ -20,7 +20,7 @@ object Verify {
         .config("spark.sql.extensions", classOf[GraftExtensions].getName)
         .config("spark.ui.enabled", "false")
       // fork-free local-FS permission stamping (round 18, guide §7.3)
-      graft.util.LocalFs.confs.foreach { case (k, v) => b = b.config(k, v) }
+      graft.util.EngineDefaults.confs.foreach { case (k, v) => b = b.config(k, v) }
       b.getOrCreate()
     }
     spark.sparkContext.setLogLevel("WARN")

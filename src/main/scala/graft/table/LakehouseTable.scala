@@ -968,31 +968,39 @@ final class LakehouseTable(
       Option(LakehouseTable.changelogCache.put(key, ch))
         .foreach(prev => prev.unpersist(false))
     }
-    def side(tpe: String, as: String): DataFrame = {
-      val df = ch.filter(col(ChangeTypeCol) === tpe)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy((ChangeSnapshotCol +: cols).map(col): _*)
-      // null-valued keys never pair (the equi-join is null-rejecting),
-      // so they are exempt from the ambiguity guard too — grouping
-      // would otherwise lump all null keys together and fire on a
-      // plain multi-row append of null-keyed rows
-      val anyNullKey = cols.map(col(_).isNull).reduce(_ || _)
-      df.withColumn("__n",
-          when(anyNullKey, lit(1L)).otherwise(count(lit(1)).over(w)))
-        .where(when(col("__n") > 1, raise_error(concat(
-            lit(s"$label(${cols.mkString(",")}): key tuple ("),
-            concat_ws(",", cols.map(c => col(c).cast("string")): _*),
-            lit(s") changes more than once as '$tpe' in commit "),
-            col(ChangeSnapshotCol).cast("string"),
-            lit(" — pairing is ambiguous; use scanChanges"))))
-          .otherwise(lit(true)))
-        .select((ChangeSnapshotCol +: cols).map(col) :+
-          struct((dataCols :+ ChangeTimestampCol).map(col): _*).as(as): _*)
-    }
-    val dels = side(ChangeDelete, "__pre")
-    val inss = side(ChangeInsert, "__post")
-    val joined = dels.join(inss, ChangeSnapshotCol +: cols, "full_outer")
-    val emitted = joined.select(col(ChangeSnapshotCol),
+    // ONE hash aggregation over (commit, key) does the ambiguity guard
+    // AND the delete+insert pairing (round 18, guide §2.4): the former
+    // shape ran a count-window per side (an Exchange + Sort each) and a
+    // full-outer sort-merge join — three clustered operators where one
+    // suffices. `first(…, ignoreNulls)` is deterministic here because
+    // the guard raises on any (commit, key, side) with more than one
+    // row, and it carries ANY payload type (maps included — no ordering
+    // comparison anywhere). Null-valued keys never pair (the old
+    // equi-join was null-rejecting), so they bypass the aggregation
+    // entirely and pass through unpaired — grouping would otherwise
+    // lump all null keys together and fire the guard on a plain
+    // multi-row append of null-keyed rows.
+    val payload = struct((dataCols :+ ChangeTimestampCol).map(col): _*)
+    val anyNullKey = cols.map(col(_).isNull).reduce(_ || _)
+    val isDel = col(ChangeTypeCol) === ChangeDelete
+    val grouped = ch.filter(!anyNullKey)
+      .groupBy((ChangeSnapshotCol +: cols).map(col): _*)
+      .agg(
+        first(when(isDel, payload), ignoreNulls = true).as("__pre"),
+        first(when(!isDel, payload), ignoreNulls = true).as("__post"),
+        sum(when(isDel, 1L).otherwise(0L)).as("__nd"),
+        sum(when(!isDel, 1L).otherwise(0L)).as("__ni"))
+    val guarded = grouped.where(
+      when(col("__nd") > 1 || col("__ni") > 1, raise_error(concat(
+          lit(s"$label(${cols.mkString(",")}): key tuple ("),
+          concat_ws(",", cols.map(c => col(c).cast("string")): _*),
+          lit(") changes more than once as '"),
+          when(col("__nd") > 1, lit(ChangeDelete)).otherwise(lit(ChangeInsert)),
+          lit("' in commit "),
+          col(ChangeSnapshotCol).cast("string"),
+          lit(" — pairing is ambiguous; use scanChanges"))))
+        .otherwise(lit(true)))
+    val emitted = guarded.select(col(ChangeSnapshotCol),
       explode(when(col("__pre").isNotNull && col("__post").isNotNull,
           array(
             struct(lit("update_preimage").as("t"), col("__pre").as("r")),
@@ -1002,11 +1010,15 @@ final class LakehouseTable(
         .otherwise(
           array(struct(lit(ChangeInsert).as("t"), col("__post").as("r")))))
         .as("__c"))
-    emitted.select(
+    val paired = emitted.select(
       (dataCols.map(c => col(s"__c.r.$c")) :+
         col("__c.t").as(ChangeTypeCol) :+
         col(ChangeSnapshotCol) :+
         col(s"__c.r.$ChangeTimestampCol").as(ChangeTimestampCol)): _*)
+    val nullKeyed = ch.filter(anyNullKey).select(
+      (dataCols.map(col) :+ col(ChangeTypeCol) :+ col(ChangeSnapshotCol) :+
+        col(ChangeTimestampCol)): _*)
+    paired.unionByName(nullKeyed)
   }
 
   /** Schema [[scanChanges]] emits: the table columns plus the three

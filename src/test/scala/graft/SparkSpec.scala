@@ -15,7 +15,7 @@ object SparkSpec {
         .config("spark.sql.extensions", classOf[GraftExtensions].getName)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
-      graft.util.LocalFs.confs.foreach { case (k, v) => b = b.config(k, v) }
+      graft.util.EngineDefaults.confs.foreach { case (k, v) => b = b.config(k, v) }
       b.getOrCreate()
     }
     s.sparkContext.setLogLevel("WARN")

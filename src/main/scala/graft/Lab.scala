@@ -373,9 +373,12 @@ object Lab {
                 when(col(tc) === "delete", lit("D")).otherwise(lit("U")))
               .withColumn("seq", col(sc) * 2 +
                 when(col(tc) === "insert", 1L).otherwise(0L))
-            if (!changes.isEmpty)
-              Upsert.applyChanges(dst, changes, keys = Seq("o_orderkey"),
-                opCol = "op", tiebreak = Some("seq"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              if (!changes.isEmpty)
+                Upsert.applyChanges(dst, changes, keys = Seq("o_orderkey"),
+                  opCol = "op", tiebreak = Some("seq"))
+            } finally changes.unpersist(false)
             ()
           }
           .option("checkpointLocation", ckpt)

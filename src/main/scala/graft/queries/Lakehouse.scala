@@ -1846,14 +1846,22 @@ object Lakehouse {
             .foreachBatch { (batch: DataFrame, _: Long) =>
               val tc = graft.table.LakehouseTable.ChangeTypeCol
               val sc = graft.table.LakehouseTable.ChangeSnapshotCol
+              // persist across the emptiness check and the apply: the
+              // change-feed batch is a LAZY changelog plan (per-commit
+              // scans + broadcast key builds), so without the cache the
+              // isEmpty probe and applyChanges would each compute it
+              // (round 18); change sets are window-sized by contract
               val changes = batch
                 .withColumn("op",
                   when(col(tc) === "delete", lit("D")).otherwise(lit("U")))
                 .withColumn("seq", col(sc) * 2 +
                   when(col(tc) === "insert", 1L).otherwise(0L))
-              if (!changes.isEmpty)
-                Upsert.applyChanges(dst, changes, keys = Seq("o_orderkey"),
-                  opCol = "op", tiebreak = Some("seq"))
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try {
+                if (!changes.isEmpty)
+                  Upsert.applyChanges(dst, changes, keys = Seq("o_orderkey"),
+                    opCol = "op", tiebreak = Some("seq"))
+              } finally changes.unpersist(false)
               ()
             }
             .option("checkpointLocation", ckpt)
@@ -2658,14 +2666,22 @@ object Lakehouse {
             .foreachBatch { (batch: DataFrame, _: Long) =>
               val tc = graft.table.LakehouseTable.ChangeTypeCol
               val sc = graft.table.LakehouseTable.ChangeSnapshotCol
+              // persist across the emptiness check and the apply: the
+              // change-feed batch is a LAZY changelog plan (per-commit
+              // scans + broadcast key builds), so without the cache the
+              // isEmpty probe and applyChanges would each compute it
+              // (round 18); change sets are window-sized by contract
               val changes = batch
                 .withColumn("op",
                   when(col(tc) === "delete", lit("D")).otherwise(lit("U")))
                 .withColumn("seq", col(sc) * 2 +
                   when(col(tc) === "insert", 1L).otherwise(0L))
-              if (!changes.isEmpty)
-                Upsert.applyChanges(dst, changes, keys = Seq("o_orderkey"),
-                  opCol = "op", tiebreak = Some("seq"))
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try {
+                if (!changes.isEmpty)
+                  Upsert.applyChanges(dst, changes, keys = Seq("o_orderkey"),
+                    opCol = "op", tiebreak = Some("seq"))
+              } finally changes.unpersist(false)
               ()
             }
             .option("checkpointLocation", ckpt)

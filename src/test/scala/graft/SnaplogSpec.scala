@@ -379,6 +379,28 @@ abstract class CatalogContractSpec extends SparkSpec {
     assert(cat.expireSnapshots("ns", "t", 1).map(_.snapshotId) == Seq(2L))
   }
 
+  test("deleteMor with outstanding equality deletes: one pass, exact summary, visible-only vector") {
+    // round 18: positions come from the MOR-applied assembly, so the
+    // summary counts only VISIBLE matches (no second count scan) and
+    // rows an outstanding eq delete already removed never re-record
+    val cat = freshCatalog()
+    val tbl = LakehouseTable.create(cat, spark, "ns", "dm1", fixture().schema)
+    tbl.append(fixture())              // 1: ids 1..4 (value2 10..40)
+    tbl.deleteEq("id", Seq(3, 4))      // 2: eq-deletes ids 3,4
+    tbl.append(fixture().filter($"id" === 4)) // 3: re-insert id 4 (survives)
+    // vector delete matches value2 >= 20 → raw rows 2,3,4(old),4(new);
+    // visible matches are 2 and the re-inserted 4 only
+    val snap = tbl.deleteMor($"value2" >= 20)
+    assert(snap.summary("deleted-rows") == "2")
+    val vecs = cat.liveDeleteFiles("ns", "dm1").filter(_.equalityKey.isEmpty)
+    assert(vecs.map(_.rowCount).sum == 2,
+      "vector must record only MOR-visible matches")
+    assert(tbl.scan().collect().map(_.getInt(0)).toSeq == Seq(1))
+    // re-delete: nothing visible matches any more
+    assert(tbl.deleteMor($"value2" >= 20).summary("deleted-rows") == "0")
+    assert(tbl.scan().collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
   test("merge-on-read delete: data files untouched, compact materializes") {
     val cat = freshCatalog()
     val tbl = LakehouseTable.create(cat, spark, "ns", "t", fixture().schema, Seq("group"))

@@ -1319,12 +1319,28 @@ final class LakehouseTable(
       // Outstanding MOR vectors: a COW delete is a RESET commit, which
       // retires vectors — carrying untouched files would resurrect
       // their MOR-deleted rows. Materialize everything in one rewrite
-      // (compact + delete in a single commit).
-      val deletedRows = scan().filter(condition).count()
-      return cowRewrite(content(_ => true).filter(!condition),
+      // (compact + delete in a single commit). ONE pass (round 18,
+      // guide §1.2): the rewrite's own write job counts the deleted
+      // rows via Dataset.observe on the pre-filter frame — the former
+      // shape ran a full MOR scan just for the summary count before a
+      // second full MOR pass rewrote. CollectMetrics is a pushdown
+      // barrier, so the `!condition` filter cannot slide below the
+      // counting aggregate (pinned in SnaplogSpec).
+      val obs = org.apache.spark.sql.Observation()
+      val kept = content(_ => true)
+        .observe(obs, sum(when(condition, 1L).otherwise(0L)).as("__del"))
+        .filter(!condition)
+      val staged = stageDataFiles(Seq(kept), withLineageCols = lineageMode)
+      val entries =
+        if (lineageMode) staged.map(_.copy(lineageInFile = Some(true)))
+        else staged
+      val deletedRows = Option(obs.get.getOrElse("__del", null))
+        .map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
+      return catalog.commit(namespace, name, Snaplog.OpDelete, entries,
         Map("deleted-rows" -> deletedRows.toString,
           "rewritten-files" -> live.size.toString,
-          "materialized-mor" -> "true"))
+          "materialized-mor" -> "true"),
+        expectedSnapshotId = Some(base))
     }
     val matched = readParquet(live.map(_.path))
       .filter(condition)

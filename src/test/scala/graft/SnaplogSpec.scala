@@ -432,6 +432,12 @@ abstract class CatalogContractSpec extends SparkSpec {
     // come back through carried files
     val snap = tbl.delete($"id" === 4)
     assert(snap.summary("materialized-mor") == "true")
+    // the summary count rides the rewrite's own job (round 18,
+    // Dataset.observe) and counts VISIBLE matches exactly — row 1 is
+    // already MOR-deleted and must not inflate it; and the observe
+    // aggregate must sit below the !condition filter (a pushed-down
+    // filter would zero it)
+    assert(snap.summary("deleted-rows") == "1")
     assert(cat.liveDeleteFiles("ns", "t").isEmpty)
     assert(tbl.scan().collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
   }
